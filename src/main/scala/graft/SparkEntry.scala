@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, GraftSession, Tables}
+import graft.queries.{EventQueries, Relational, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry: every operator from SURVEY.md §2.2 surfaces here as a
+  * named deterministic query; `oracleSql` carries the DuckDB twin for the
+  * driver's hash-compare (column names are kept identical on both sides —
+  * the compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star join + aggregation: orders ⋈ customer (shuffle on custkey),
+    * nation broadcast.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    val d = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Det.r2(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+      EventQueries.queries ++
+      TextQueries.queries ++
+      VectorQueries.queries ++
+      Map("q35_multimodal_features" -> ((s: SparkSession, d: String) =>
+        graft.multimodal.Multimodal.featureQuery(s, d)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q34 ANN-LSH, q35 multimodal stub) → driver records rows-only.
+    */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
 }

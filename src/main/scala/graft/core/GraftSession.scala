@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Design notes (100 TB target):
+  *  - AQE on: runtime join-strategy switching + skew-join splitting replace
+  *    any hand-rolled planning the reference's tiering did
+  *    (cf. reference `internal/storage/engine.go:70-81`, which hand-orders
+  *    hot-before-cold probes — Spark's optimizer + block manager own that
+  *    concern here).
+  *  - UTC session timezone: required for oracle (DuckDB) parity; DuckDB
+  *    timestamps are naive, Spark interprets parquet micros in session TZ.
+  *  - `nanosAsLong`: the `events` fixture carries TIMESTAMP(NANOS) which
+  *    Spark 4.x refuses to read natively; we read the raw int64 and convert
+  *    (see [[Tables.events]]) with the same truncation DuckDB applies.
+  */
+object GraftSession {
+
+  /** Runtime confs every graft query needs regardless of who built the
+    * session (the driver may hand us one). All are runtime-settable SQLConfs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Standalone builder for tests / tools. `local[n]` with shuffle
+    * partitions matched to cores (200 default is wrong single-node; on a
+    * real cluster this would be sized to 2-3x total executor cores, or left
+    * to AQE coalescing).
+    */
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,223 @@
+package graft.kv
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Error taxonomy mirroring the reference's distinct error strings for
+  * missing-collection vs missing-key (reference `internal/storage/hot.go:43,47`,
+  * `engine.go:97,125,172,221`).
+  */
+final case class NoSuchCollectionException(id: String)
+    extends RuntimeException(s"no collection found for id [$id]")
+final case class NoSuchKeyException(id: String, key: String)
+    extends RuntimeException(s"no value found for key [$key] in collection [$id]")
+final case class CollectionExistsException(id: String)
+    extends RuntimeException(s"collection already exists for id [$id]")
+final case class CollectionNotHotException(id: String)
+    extends RuntimeException(s"collection [$id] is not hot")
+
+/** Two-tier KV engine: the Spark-native re-expression of the reference's
+  * hot/cold storage (reference `internal/storage/engine.go`).
+  *
+  * Mapping (see SURVEY.md §1.2):
+  *  - cold tier = one **Parquet directory per collection** under `dataDir`
+  *    (replaces whole-file gob, reference `cold.go:136-154`) — columnar,
+  *    compressed, splittable, and written through Spark's commit protocol,
+  *    which gives the atomicity the reference's truncate-then-write lacks;
+  *  - hot tier = an LSM-style in-memory **overlay map** of unflushed upserts
+  *    (the moral successor of `hot.go:8-10`'s process map) over an optional
+  *    cached base DataFrame. Point reads check overlay first, then the base
+  *    scan (predicate pushdown makes the base probe a column-pruned,
+  *    row-group-skipping parquet read — not a full scan);
+  *  - flush = write base∪overlay (last-write-wins) to parquet **then evict**
+  *    from hot — a move, not a copy, exactly like `engine.go:111-126`;
+  *  - all hot-tier state is synchronized (the reference races: one goroutine
+  *    per HTTP request over unsynchronized maps, `main.go:109` + no mutex in
+  *    `hot.go` — a defect we do not replicate).
+  *
+  * At cluster scale the overlay stays driver-side and bounded (it is a write
+  * buffer, not a data store); the data lives in partitioned parquet and every
+  * read is a pushed-down distributed scan.
+  */
+final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreate: Boolean) {
+
+  graft.core.GraftSession.tune(spark)
+
+  val schema: StructType = StructType(
+    Seq(StructField("key", StringType, nullable = false), StructField("value", StringType)))
+
+  /** Hot collection = optional durable base + in-memory upsert overlay.
+    * `base=None` means the collection was created hot and never flushed.
+    */
+  private final case class Hot(base: Option[DataFrame], overlay: mutable.LinkedHashMap[String, String])
+
+  private val hot = mutable.LinkedHashMap.empty[String, Hot]
+  private val lock = new Object
+
+  Files.createDirectories(Paths.get(dataDir))
+
+  private def coldPath(id: String): java.nio.file.Path = Paths.get(dataDir, id)
+
+  /** Valid persisted collection ids, like the reference's filename regex
+    * `[a-zA-Z0-9]+.tsdata` (reference `cold.go:72`).
+    */
+  private val idRe = "^[a-zA-Z0-9]+$".r
+
+  // ---- listing / existence (reference engine.go:39-98) ----
+
+  /** Distinct union of hot and cold ids, sorted (the reference's map-order
+    * nondeterminism, `engine.go:60-65`, is replaced by a defined order).
+    */
+  def listCollections(): Seq[String] = {
+    val h = lock.synchronized(hot.keys.toVector)
+    (h ++ listCold()).distinct.sorted
+  }
+
+  private def listCold(): Seq[String] =
+    Files.list(Paths.get(dataDir)).iterator.asScala
+      .filter(p => Files.isDirectory(p) && idRe.matches(p.getFileName.toString))
+      .map(_.getFileName.toString)
+      .toVector
+
+  def isHotTier(id: String): Boolean = lock.synchronized(hot.contains(id))
+
+  private def coldExists(id: String): Boolean =
+    Files.isDirectory(coldPath(id)) &&
+      Files.list(coldPath(id)).iterator.asScala.exists(_.toString.endsWith(".parquet"))
+
+  def collectionExists(id: String): Boolean = isHotTier(id) || coldExists(id)
+
+  /** Reference `IsHot` errors when the collection exists nowhere (`engine.go:85-98`). */
+  def isHot(id: String): Boolean =
+    if (isHotTier(id)) true
+    else if (coldExists(id)) false
+    else throw NoSuchCollectionException(id)
+
+  // ---- tier movement (reference engine.go:100-137) ----
+
+  /** Cold → hot: install the parquet scan (cached) as the hot base. */
+  def loadCollection(id: String): Unit = {
+    if (!coldExists(id)) throw NoSuchCollectionException(id)
+    val df = spark.read.schema(schema).parquet(coldPath(id).toString).cache()
+    lock.synchronized(hot(id) = Hot(Some(df), mutable.LinkedHashMap.empty))
+  }
+
+  /** Hot → cold *move*: persist merged view then evict (reference flush is
+    * an eviction, not a checkpoint — `engine.go:113-121`).
+    */
+  def flushCollection(id: String): Unit = {
+    val h = lock.synchronized(hot.getOrElse(id, throw CollectionNotHotException(id)))
+    val merged = materialize(h)
+    // Write via a temp dir then swap: the hot base may itself be a scan of
+    // coldPath(id), and overwriting a parquet dir that is concurrently read
+    // by the plan writing it corrupts the write.
+    val tmp = coldPath(id).toString + ".tmp"
+    merged.coalesce(math.max(1, merged.rdd.getNumPartitions / 4)).write.mode("overwrite").parquet(tmp)
+    val target = coldPath(id)
+    if (Files.exists(target)) deleteRec(target)
+    Files.move(Paths.get(tmp), target)
+    lock.synchronized {
+      hot.remove(id).foreach(_.base.foreach(_.unpersist()))
+    }
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    Files.walk(p).iterator.asScala.toVector.reverseIterator.foreach(Files.delete)
+  }
+
+  /** Flush everything hot; collect (not fail-fast) errors, like
+    * `engine.go:128-137`.
+    */
+  def flushAllCollections(): Seq[Throwable] = {
+    val ids = lock.synchronized(hot.keys.toVector)
+    ids.flatMap(id => scala.util.Try(flushCollection(id)).failed.toOption)
+  }
+
+  /** Merged last-write-wins view of a hot collection: overlay beats base. */
+  private def materialize(h: Hot): DataFrame = {
+    import spark.implicits._
+    val overlayDf = h.overlay.toSeq.toDF("key", "value")
+    h.base match {
+      case None => overlayDf
+      case Some(b) =>
+        if (h.overlay.isEmpty) b
+        else b.join(overlayDf.select($"key"), Seq("key"), "left_anti").unionByName(overlayDf)
+    }
+  }
+
+  /** The collection as a DataFrame (any tier) — the engine's query surface. */
+  def collection(id: String): DataFrame = {
+    val inHot = lock.synchronized(hot.get(id))
+    inHot match {
+      case Some(h) => materialize(h)
+      case None =>
+        if (!coldExists(id)) throw NoSuchCollectionException(id)
+        spark.read.schema(schema).parquet(coldPath(id).toString)
+    }
+  }
+
+  // ---- point ops (reference engine.go:139-222) ----
+
+  /** Read-through point lookup (reference `ReadKey`, `engine.go:139-173`):
+    * hot miss loads the collection from cold, then reads. The base probe is
+    * a pushed-down parquet filter, not a full scan.
+    */
+  def readKey(id: String, key: String): String = {
+    val h = lock.synchronized(hot.get(id))
+    h match {
+      case Some(hc) =>
+        hc.overlay.get(key) match {
+          case Some(v) => v
+          case None =>
+            hc.base.flatMap(b => probe(b, key)).getOrElse(throw NoSuchKeyException(id, key))
+        }
+      case None =>
+        if (!coldExists(id)) throw NoSuchCollectionException(id)
+        loadCollection(id) // read-through: install in hot like engine.go:157
+        readKey(id, key)
+    }
+  }
+
+  private def probe(df: DataFrame, key: String): Option[String] =
+    df.filter(col("key") === key).select(col("value")).limit(1).collect() match {
+      case Array(Row(v: String)) => Some(v)
+      case Array(Row(null))      => Some(null)
+      case _                     => None
+    }
+
+  /** Last-write-wins upsert into hot; auto-creates when configured
+    * (reference `WriteKey` + `LoadCollectionIfNotPresent`,
+    * `engine.go:175-222`).
+    */
+  def writeKey(id: String, key: String, value: String): Unit = {
+    loadCollectionIfNotPresent(id)
+    lock.synchronized(hot(id).overlay(key) = value)
+  }
+
+  def loadCollectionIfNotPresent(id: String): Unit = {
+    if (isHotTier(id)) return
+    if (coldExists(id)) { loadCollection(id); return }
+    if (!autoCreate) throw NoSuchCollectionException(id)
+    createCollection(id)
+  }
+
+  /** Create empty hot collection; error if exists (reference `hot.go:62-72`). */
+  def createCollection(id: String): Unit = lock.synchronized {
+    if (collectionExists(id)) throw CollectionExistsException(id)
+    hot(id) = Hot(None, mutable.LinkedHashMap.empty)
+  }
+
+  /** Drop from hot; error if absent (reference `hot.go:74-85`). */
+  def dropCollection(id: String): Unit = lock.synchronized {
+    hot.remove(id) match {
+      case Some(h) => h.base.foreach(_.unpersist())
+      case None    => throw NoSuchCollectionException(id)
+    }
+  }
+}

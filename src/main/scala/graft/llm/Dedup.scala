@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant avoids the O(n²) cross join. Exact dedup is
+  * a hash aggregate on a digest; near-dup variants first *block* (LSH
+  * bands, simhash buckets, shared shingles) and only compare within
+  * blocks — the candidate-join key is always the blocking key, so the only
+  * shuffle is a hash partition on that key. Skewed blocks (stop-shingles)
+  * are the classic hazard; `jaccardPairs` filters shingles by document
+  * frequency before the self-join for exactly that reason.
+  */
+object Dedup {
+
+  /** Exact dedup on a digest of `textCol`: one surviving row (min id) per
+    * distinct text. Digest-first keeps the shuffle rows narrow — at 100 TB
+    * you shuffle 16-byte digests, not document bodies.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word-`n`-gram shingle set per doc, exploded:
+    * (id, shingle). The building block for jaccard and minhash.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(Text.shingles(Text.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
+    * thresholded. The shared-shingle equi-join IS the blocking: pairs with
+    * zero overlap never meet. `maxShingleDf` drops ubiquitous shingles
+    * (document frequency cap) to kill join skew — at scale this bounds the
+    * per-key fan-out; correctness caveat (slightly underestimates jaccard
+    * for dropped shingles) is acceptable for dedup and disabled (0) for
+    * oracle-checked runs.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+    val filtered =
+      if (maxShingleDf <= 0) sh
+      else {
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(dfreq.filter(col("df") <= maxShingleDf).select("shingle"), Seq("shingle"))
+      }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col(idCol).as("a_id"), col("shingle"))
+    val b = filtered.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 16-component minhash signature per doc (columns m0..m15). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, n)
+      .withColumn("h", Text.hash60(col("shingle")))
+    val aggs = (0 until 16).map(j => min(Text.minhashTerm(col("h"), j)).as(s"m$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded 4x4; docs sharing any band
+    * collide. Shuffle key = (band index, band value) — uniform unless the
+    * corpus is degenerate. Output is candidates only (verification against
+    * true jaccard is the caller's second stage, see `jaccardPairs`).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n)
+    val bands = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(j => col(s"m$j"))
+      sig.select(
+        col(idCol),
+        lit(b).as("band"),
+        concat_ws(":", cols.map(_.cast("string")): _*).as("bandval"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col(idCol).as("a_id"), col("band"), col("bandval"))
+    val r = bands.select(col(idCol).as("b_id"), col("band"), col("bandval"))
+    l.join(r, Seq("band", "bandval"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** 16-bit simhash per doc over token occurrences. Near-dup = small
+    * Hamming distance; bucketing on the simhash value (or bit-chunks of a
+    * wider hash) gives the scale path.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", Text.hash60(col("tok")))
+    val votes = (0 until 16).map(j => sum(Text.simhashVote(col("h"), j)).as(s"s$j"))
+    val folded = (0 until 16)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*).select(col(idCol), folded.as("simhash"))
+  }
+}

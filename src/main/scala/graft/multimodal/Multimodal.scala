@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, and per-partition batched feature extraction.
+  *
+  * The decode step is a **STUB** (image/audio codecs are not in this
+  * container): `decodeStub` derives deterministic pseudo-features from the
+  * bytes. The Spark-side shape is the real design and is what matters at
+  * 100 TB: binary + metadata travel columnar in parquet, extraction runs
+  * `mapPartitions` (one JVM-side batch loop per partition — the Scala
+  * analogue of `mapInPandas` batching), output is a typed Dataset with a
+  * stable schema, and nothing ever collects to the driver.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features; `width`/`height` are what a real image decode
+    * would yield — the stub synthesizes them deterministically.
+    */
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      checksum: Long,
+      width: Long,
+      height: Long)
+
+  /** Wrap a text table as a media table (payload = utf8 bytes) — a stand-in
+    * for real image/audio ingestion; keeps the pipeline end-to-end runnable.
+    */
+  def asMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("media_type"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real implementation would decode the codec here
+    * (e.g. JPEG → pixels). Deterministic fake so tests are stable.
+    */
+  private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum = (sum + (payload(i) & 0xff)) % 1000003L; i += 1 }
+    val width = 16L + (sum % 64L)        // fake dimensions derived from content
+    val height = 16L + ((sum / 64L) % 64L)
+    (sum, width, height)
+  }
+
+  /** Batched per-partition feature extraction. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (checksum, w, h) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, checksum, w, h)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media → features (the registered query). */
+  def featureQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(asMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event tables — the analytics the reference
+  * *intended* to grow into (reference `README.md:3` "(soon to be
+  * timeseries) database") expressed as declarative Spark plans so Catalyst
+  * owns pushdown, partial aggregation, and shuffle placement.
+  *
+  * Scale notes: every operator here shuffles at most once, on the series
+  * key (`keyCol`), which is exactly the partitioning a 1000-executor run
+  * needs; window functions run within those partitions with no further
+  * exchange. Nothing collects to the driver.
+  */
+object TimeSeriesOps {
+
+  /** Tumbling-window downsample: one row per (key, bucket) with aggregates.
+    * `date_trunc` keeps the bucket a plain timestamp (joinable, oracle-
+    * friendly), unlike `window()`'s struct column.
+    */
+  def downsample(df: DataFrame, tsCol: String, unit: String, keyCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    val bucket = date_trunc(unit, col(tsCol)).as("bucket")
+    df.groupBy(bucket +: keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-key running aggregate ordered by (ts, tieCol) — e.g. a running sum.
+    * The tie column makes the frame a total order (determinism for oracles).
+    */
+  def runningAgg(df: DataFrame, keyCol: String, tsCol: String, tieCol: String, agg: Column => Column, valueCol: String, as: String): DataFrame = {
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, agg(col(valueCol)).over(w))
+  }
+
+  /** Per-key delta between consecutive points (rate/derivative building
+    * block). First point's delta is 0 by definition here.
+    */
+  def delta(df: DataFrame, keyCol: String, tsCol: String, tieCol: String, valueCol: String, as: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn(as, col(valueCol) - lag(col(valueCol), 1, 0.0).over(w))
+  }
+
+  /** Top-k rows per group by `orderCols` (must be a total order). A window
+    * row_number + filter: Catalyst plans this as a per-partition sort with
+    * rank-limit pushdown (WindowGroupLimit) — no global sort.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column], k: Int, as: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(as, row_number().over(w)).filter(col(as) <= k)
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` and equal key. Implemented as union + last-over-
+    * window — one shuffle on the key, linear in rows, no range explosion;
+    * this is the scalable form of the classic TSDB as-of
+    * (a per-key sorted merge at 100 TB, planned by Spark as a single
+    * hash-partition + sort).
+    *
+    * Tie semantics: a right row at exactly leftTs qualifies. Among right
+    * rows with equal ts, the one with the highest `rightTie` wins.
+    *
+    * @param valueCols right columns to carry (renamed as given)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      valueCols: Map[String, String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MaxValue))
+    val carried = valueCols.toSeq.map { case (from, to) => col(from).as(s"__v_$to") }
+    val rTagged = right
+      .select((col(keyCol) +: col(rightTs).as("__ts") +: col(rightTie).cast("long").as("__tie") +: carried): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged
+      .withColumn("__grp", lit(null: String)) // placeholder removed below; keeps unionByName simple
+      .drop("__grp")
+      .unionByName(rTagged, allowMissingColumns = true)
+    // Order purchases (side=0) before left rows (side=1) at equal ts so an
+    // equal-ts right row is visible to the left row.
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.values.foldLeft(unioned) { (d, to) =>
+      d.withColumn(to, last(col(s"__v_$to"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .drop(("__ts" +: "__side" +: "__tie" +: valueCols.values.toSeq.map(v => s"__v_$v")): _*)
+  }
+
+  /** Gap-fill: produce one row per (key, day) over each key's [min,max] day
+    * span, zero-filling days with no data. `sequence` + explode stays
+    * distributed (per-key span expansion on executors, no driver loop).
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String, aggs: Seq[Column]): DataFrame = {
+    val daily = df
+      .withColumn("day", date_trunc("day", col(tsCol)))
+      .groupBy(col(keyCol), col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spans = daily.groupBy(col(keyCol)).agg(min("day").as("d0"), max("day").as("d1"))
+    val scaffold = spans.select(
+      col(keyCol),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    scaffold.join(daily, Seq(keyCol, "day"), "left")
+  }
+
+  /** Sessionize: new session when the gap to the previous event of the same
+    * key exceeds `gapMinutes`. Two window passes, one shuffle.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn(
+        "__new",
+        when(
+          col("__prev").isNull ||
+            col(tsCol).cast("long") - col("__prev").cast("long") > gapMinutes * 60L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+}

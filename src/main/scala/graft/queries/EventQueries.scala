@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.operators.TimeSeriesOps
+
+/** Time-series query registry over the `events` table — the reference's
+  * stated destiny ("(soon to be timeseries) database", reference
+  * `README.md:3`) realized: downsampling, running aggregates, deltas,
+  * as-of joins, gap-fill, sessionization, last-write-wins compaction.
+  *
+  * All windows partition by `user_id` (the series key) and order by
+  * `(ts, event_id)` — a total order, so every output is deterministic.
+  * One hash shuffle on the series key per query; at 100 TB the same plan
+  * holds with events parquet partitioned by date and bucketed by user.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling-hour downsample per event type. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sv"))
+      .orderBy(col("h"), col("event_type"))
+
+  val q13Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+       |  ${Det.sqlR("sum(value)", 2)} AS sv
+       |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin
+
+  /** Daily per-user downsample with a derived average. The average is a
+    * function of the already-rounded sum, so both engines divide identical
+    * doubles (see Det's determinism contract).
+    */
+  def q14(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .downsample(
+        Tables.events(s, d),
+        "ts",
+        "day",
+        Seq("user_id"),
+        Seq(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sv")))
+      .withColumn("avg_v", Det.r6(col("sv") / col("n")))
+      .select(col("user_id"), col("bucket"), col("n"), col("sv"), col("avg_v"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  val q14Sql: String = {
+    val sv = Det.sqlR("sum(value)", 2)
+    s"""SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n,
+       |  $sv AS sv, ${Det.sqlR(s"$sv / count(*)", 6)} AS avg_v
+       |FROM events GROUP BY bucket, user_id ORDER BY user_id, bucket""".stripMargin
+  }
+
+  /** Per-user running sum (rows-frame cumulative). */
+  def q15(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .runningAgg(Tables.events(s, d), "user_id", "ts", "event_id", sum(_), "value", "rsum")
+      .select(col("user_id"), col("ts"), col("event_id"), Det.r2(col("rsum")).as("rsum"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  val q15Sql: String =
+    s"""SELECT user_id, ts, event_id,
+       |  ${Det.sqlR(
+        "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        2)} AS rsum
+       |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** Per-user delta vs previous event (lag). */
+  def q16(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .delta(Tables.events(s, d), "user_id", "ts", "event_id", "value", "dv")
+      .select(col("user_id"), col("ts"), col("event_id"), Det.r2(col("dv")).as("dv"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  val q16Sql: String =
+    s"""SELECT user_id, ts, event_id,
+       |  ${Det.sqlR("value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)", 2)} AS dv
+       |FROM events ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** Top-5 events by value per type (ranked window, ties on event_id). */
+  def q17(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .topKPerGroup(Tables.events(s, d), Seq("event_type"), Seq(col("value").desc, col("event_id").asc), 5)
+      .select(col("event_type"), col("rk").cast("long").as("rk"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rk"))
+
+  val q17Sql: String =
+    """SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      |  FROM events) t WHERE rk <= 5 ORDER BY event_type, rk""".stripMargin
+
+  /** As-of join: each error event picks up the latest purchase value of the
+    * same user at-or-before its timestamp (union + last-over-window — one
+    * shuffle on user_id, no range blowup; see TimeSeriesOps.asOfJoin).
+    */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id", "value")
+    TimeSeriesOps
+      .asOfJoin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select(col("event_id"), col("user_id"), col("ts"), coalesce(col("pv"), lit(-1.0)).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q18Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  coalesce((SELECT p.value FROM events p
+      |            WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+      |            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1.0) AS last_purchase_value
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
+  /** Gap-fill: dense (user, day) scaffold over each user's active span,
+    * zero-filled (sequence+explode stays on executors).
+    */
+  def q19(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .gapFillDaily(
+        Tables.events(s, d),
+        "user_id",
+        "ts",
+        Seq(count(lit(1)).as("n0"), Det.r2(sum(col("value"))).as("sv0")))
+      .select(
+        col("user_id"),
+        col("day"),
+        coalesce(col("n0"), lit(0L)).as("n_events"),
+        coalesce(col("sv0"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("day"))
+
+  val q19Sql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n0,
+       |    ${Det.sqlR("sum(value)", 2)} AS sv0
+       |  FROM events GROUP BY user_id, day),
+       |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+       |scaffold AS (
+       |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans)
+       |SELECT s.user_id, s.day, coalesce(dl.n0, 0) AS n_events, coalesce(dl.sv0, 0.0) AS sum_value
+       |FROM scaffold s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.day = dl.day
+       |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** Sessionize with a 30-minute inactivity gap, then per-session rollup. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  val q20Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      |  min(ts) AS t0, max(ts) AS t1
+      |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  /** Last-write-wins compaction per key — the KV upsert semantic of the
+    * reference (`internal/storage/hot.go:50-60`) as a distributed query.
+    */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, value AS last_value, ts AS last_ts FROM (
+      |  SELECT user_id, value, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Point lookup through the KV view of a dimension table — the
+    * reference's `ReadKey` (`engine.go:139-173`) as a pushed-down scan.
+    */
+  def q22(s: SparkSession, d: String): DataFrame =
+    Tables
+      .nation(s, d)
+      .select(col("n_name").as("key"), col("n_nationkey").cast("string").as("value"))
+      .filter(col("key") === "NATION_7")
+
+  val q22Sql: String =
+    """SELECT n_name AS key, CAST(n_nationkey AS VARCHAR) AS value
+      |FROM nation WHERE n_name = 'NATION_7'""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q13_hourly_downsample" -> (q13 _),
+    "q14_daily_user_downsample" -> (q14 _),
+    "q15_running_sum" -> (q15 _),
+    "q16_delta" -> (q16 _),
+    "q17_topk_events_per_type" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_gapfill_daily" -> (q19 _),
+    "q20_sessionize" -> (q20 _),
+    "q21_kv_last_write_wins" -> (q21 _),
+    "q22_kv_point_lookup" -> (q22 _))
+
+  val oracles: Map[String, String] = Map(
+    "q13_hourly_downsample" -> q13Sql,
+    "q14_daily_user_downsample" -> q14Sql,
+    "q15_running_sum" -> q15Sql,
+    "q16_delta" -> q16Sql,
+    "q17_topk_events_per_type" -> q17Sql,
+    "q18_asof_join" -> q18Sql,
+    "q19_gapfill_daily" -> q19Sql,
+    "q20_sessionize" -> q20Sql,
+    "q21_kv_last_write_wins" -> q21Sql,
+    "q22_kv_point_lookup" -> q22Sql)
+}

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Text
+import graft.llm.Dedup
+
+/** Text-analysis / dedup query registry over `documents`.
+  *
+  * Portable-hash discipline: every hash-bearing query derives hashes from
+  * md5 hex ([[Text.hash60]]) so the DuckDB oracle reproduces them exactly;
+  * the minhash/simhash SQL twins are *generated* from the same parameter
+  * table the Spark side uses ([[Text.minhashParams]]) — one source of
+  * truth, no drift.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared SQL fragments (DuckDB dialect). */
+  private val sqlToks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** Word-trigram shingle CTEs: d(doc_id, w[]), sh(doc_id, s) distinct. */
+  private val sqlShingleCte =
+    s"""d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t)""".stripMargin
+
+  // -- q23: exact dedup ------------------------------------------------
+
+  def q23(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  val q23Sql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin
+
+  // -- q24: exact n-gram jaccard near-dup pairs ------------------------
+
+  def q24(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q24Sql: String =
+    s"""WITH $sqlShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -- q25: minhash signatures ----------------------------------------
+
+  def q25(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+
+  val q25Sql: String = {
+    val mins = (0 until 16)
+      .map(j => s"  min(${Text.sqlMinhashTerm("h", j)}) AS m$j")
+      .mkString(",\n")
+    s"""WITH $sqlShingleCte,
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("s")} AS h FROM sh)
+       |SELECT doc_id,
+       |$mins
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q26: LSH candidate pairs (4 bands x 4 rows) ---------------------
+
+  def q26(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .lshCandidatePairs(Tables.documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q26Sql: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${Text.sqlMinhashTerm("h", j)}) AS m$j")
+      .mkString(", ")
+    val bandRows = (0 until 4)
+      .map { b =>
+        val cols = (4 * b until 4 * b + 4).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, $cols AS bandval FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sqlShingleCte,
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // -- q27: simhash ----------------------------------------------------
+
+  def q27(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .simhash(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String = {
+    val votes = (0 until 16)
+      .map(j => s"  sum(${Text.sqlSimhashVote("h", j)}) AS s$j")
+      .mkString(",\n")
+    val fold = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("tok")} AS h FROM tk),
+       |v AS (SELECT doc_id,
+       |$votes
+       |FROM hs GROUP BY doc_id)
+       |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q28: language ID (marker-lexicon scoring) -----------------------
+
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val scored = Tables
+      .documents(s, d)
+      .select(
+        (col("doc_id") +: col("lang").as("actual_lang") +:
+          Text.langMarkers.map { case (lg, ms) => Text.markerCount(toks, ms).as(s"sc_$lg") }): _*)
+    val langs = Text.langMarkers.map(_._1)
+    val pred = langs.init
+      .foldRight(lit(langs.last)) { (lg, els) =>
+        when(langs.filter(_ != lg).map(o => col(s"sc_$lg") >= col(s"sc_$o")).reduce(_ && _), lit(lg))
+          .otherwise(els)
+      }
+    scored
+      .withColumn("pred_lang", pred)
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Sql: String = {
+    val langs = Text.langMarkers.map(_._1)
+    val scores = Text.langMarkers
+      .map { case (lg, ms) => s"  ${Text.sqlMarkerCount("w", ms)} AS sc_$lg" }
+      .mkString(",\n")
+    val pred = langs.init
+      .foldRight(s"'${langs.last}'") { (lg, els) =>
+        val conds = langs.filter(_ != lg).map(o => s"sc_$lg >= sc_$o").mkString(" AND ")
+        s"CASE WHEN $conds THEN '$lg' ELSE $els END"
+      }
+    s"""WITH d AS (SELECT doc_id, lang AS actual_lang, $sqlToks AS w FROM documents),
+       |sc AS (SELECT doc_id, actual_lang,
+       |$scores
+       |FROM d)
+       |SELECT doc_id, actual_lang, ${langs.map(l => s"sc_$l").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q29: quality scoring --------------------------------------------
+
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        Text.markerCount(toks, Text.stopwords).as("n_stop"),
+        regexp_count(lower(col("text")), lit("[^a-z0-9 ]")).cast("long").as("n_punct"),
+        col("n_chars"))
+      .withColumn("stop_ratio", when(col("n_tok") > 0, col("n_stop").cast("double") / col("n_tok")).otherwise(lit(0.0)))
+      .withColumn("avg_tok_len", when(col("n_tok") > 0, col("n_chars").cast("double") / col("n_tok")).otherwise(lit(0.0)))
+      .withColumn(
+        "quality",
+        Det.r4(
+          least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            col("stop_ratio") * 0.3 +
+            when(col("avg_tok_len").between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))))
+      .withColumn("stop_ratio", Det.r6(col("stop_ratio")))
+      .withColumn("avg_tok_len", Det.r6(col("avg_tok_len")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len($sqlToks) AS BIGINT) AS n_tok,
+       |    ${Text.sqlMarkerCount(sqlToks, Text.stopwords)} AS n_stop,
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, n_tok, n_stop, n_punct, n_chars,
+       |    CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok ELSE 0.0 END AS avg_tok_len
+       |  FROM d)
+       |SELECT doc_id, n_tok, n_stop, n_punct, n_chars,
+       |  ${Det.sqlR("stop_ratio", 6)} AS stop_ratio,
+       |  ${Det.sqlR("avg_tok_len", 6)} AS avg_tok_len,
+       |  ${Det.sqlR(
+        "least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.5 + stop_ratio*0.3 + (CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)",
+        4)} AS quality
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  // -- q30: token counting (whitespace + BPE-ish regex) ----------------
+
+  def q30(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  val q30Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($sqlToks) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- q31: document fingerprint (shingle-hash min/max digest) ---------
+
+  def q31(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
+      .withColumn("h", Text.hash60(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"), count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val q31Sql: String =
+    s"""WITH $sqlShingleCte,
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("s")} AS h FROM sh)
+       |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*) AS n_shingles
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q23_dedup_exact" -> (q23 _),
+    "q24_ngram_jaccard_pairs" -> (q24 _),
+    "q25_minhash_signatures" -> (q25 _),
+    "q26_lsh_candidate_pairs" -> (q26 _),
+    "q27_simhash" -> (q27 _),
+    "q28_lang_id" -> (q28 _),
+    "q29_quality_score" -> (q29 _),
+    "q30_token_count" -> (q30 _),
+    "q31_doc_fingerprint" -> (q31 _))
+
+  val oracles: Map[String, String] = Map(
+    "q23_dedup_exact" -> q23Sql,
+    "q24_ngram_jaccard_pairs" -> q24Sql,
+    "q25_minhash_signatures" -> q25Sql,
+    "q26_lsh_candidate_pairs" -> q26Sql,
+    "q27_simhash" -> q27Sql,
+    "q28_lang_id" -> q28Sql,
+    "q29_quality_score" -> q29Sql,
+    "q30_token_count" -> q30Sql,
+    "q31_doc_fingerprint" -> q31Sql)
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.Similarity
+
+/** Embedding similarity-search registry over `embeddings`
+  * (ArrayType(FloatType), 64 dims).
+  *
+  * The oracle computes dot/norm sums in double via unnest — both engines
+  * accumulate 64 exact float-products; fixed-point rounding at 4 digits
+  * absorbs any reassociation delta (≪ 1e-10) before ranking, so ranks are
+  * identical too.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5 (broadcast
+    * queries; corpus never shuffles).
+    */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .cosineTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q32Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      |p AS (SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+      |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |acc AS (
+      |  SELECT qid, vec_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * ve[i]) AS dotp,
+      |    sum(CAST(qe[i] AS DOUBLE) * qe[i]) AS qn,
+      |    sum(CAST(ve[i] AS DOUBLE) * ve[i]) AS vn
+      |  FROM p, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY qid, vec_id),
+      |sims AS (
+      |  SELECT qid, vec_id, floor(dotp / (sqrt(qn) * sqrt(vn)) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc),
+      |rked AS (
+      |  SELECT qid, vec_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      |  FROM sims)
+      |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** Near-duplicate pairs within coarse blocks (IVF-style cells — here the
+    * `label` column; at scale a kmeans/LSH assignment). Cost Σ|cell|², not n².
+    */
+  def q33(s: SparkSession, d: String): DataFrame =
+    Similarity
+      .nearDupPairsBlocked(Tables.embeddings(s, d), "label", 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q33Sql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ae, b.embedding AS be
+      |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |acc AS (
+      |  SELECT a_id, b_id,
+      |    sum(CAST(ae[i] AS DOUBLE) * be[i]) AS dotp,
+      |    sum(CAST(ae[i] AS DOUBLE) * ae[i]) AS an,
+      |    sum(CAST(be[i] AS DOUBLE) * be[i]) AS bn
+      |  FROM p, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY a_id, b_id),
+      |sims AS (
+      |  SELECT a_id, b_id, floor(dotp / (sqrt(an) * sqrt(bn)) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc)
+      |SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin
+
+  /** ANN top-k via random-hyperplane LSH buckets. No SQL oracle (the
+    * approximate result is validated in ScalaTest against the brute-force
+    * baseline's recall instead) — driver records rows-only.
+    */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .lshTopK(emb.filter(col("vec_id") < 5), emb, 10, planes = 4, dims = 64)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q32_cosine_topk" -> (q32 _),
+    "q33_embedding_neardup_blocked" -> (q33 _),
+    "q34_ann_lsh_topk" -> (q34 _))
+
+  val oracles: Map[String, String] = Map(
+    "q32_cosine_topk" -> q32Sql,
+    "q33_embedding_neardup_blocked" -> q33Sql)
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Reads Verify's output dir (per-query parquet + oracle_sql.json), runs each
+oracle in DuckDB over the same sf dir, and compares: row count, schema
+(column names, sorted), and a value hash over rows (columns sorted by name).
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        # repr of a double is stable; both sides produce identical doubles
+        return repr(val)
+    return str(val)
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    return cols, list(zip(*data)) if data else []
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(oracle):
+        pdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pdir, "*.parquet"))
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        got = pq.read_table(pdir)
+        try:
+            exp = con.sql(oracle[name]).arrow()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            continue
+        gc, gr = table_rows(got)
+        ec, er = table_rows(exp)
+        if gc != ec:
+            results[name] = f"SCHEMA: spark={gc} duck={ec}"
+        elif len(gr) != len(er):
+            results[name] = f"ROWS: spark={len(gr)} duck={len(er)}"
+        else:
+            bad = None
+            for i, (a, b) in enumerate(zip(gr, er)):
+                ca = tuple(canon(x) for x in a)
+                cb = tuple(canon(x) for x in b)
+                if ca != cb:
+                    bad = (i, ca, cb)
+                    break
+            results[name] = "OK" if bad is None else f"VALUES@{bad[0]}: spark={bad[1]} duck={bad[2]}"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for k, v in results.items():
+        mark = "PASS" if v == "OK" else "FAIL"
+        print(f"{mark} {k}: {v if v != 'OK' else ''}")
+    # queries with no oracle -> rows-only
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracle:
+            n = pq.read_table(p).num_rows
+            print(f"ROWS-ONLY {name}: {n} rows")
+    print(f"== {n_ok}/{len(oracle)} oracle-checked queries pass ==")
+    return 0 if n_ok == len(oracle) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
