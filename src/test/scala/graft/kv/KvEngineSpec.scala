@@ -1,0 +1,100 @@
+package graft.kv
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Reference-parity tests for the KV engine (SURVEY.md §2.1 semantics):
+  * error taxonomy, last-write-wins, read-through, flush-as-eviction,
+  * distinct-union listing.
+  */
+class KvEngineSpec extends SparkSpec {
+
+  private def freshEngine(autoCreate: Boolean = true): KvEngine = {
+    val dir = Files.createTempDirectory("kv").toString
+    new KvEngine(spark, dir, autoCreate)
+  }
+
+  test("write then read returns value; last write wins (hot.go:50-60 semantics)") {
+    val e = freshEngine()
+    e.writeKey("c1", "k", "v1")
+    e.writeKey("c1", "k", "v2")
+    assert(e.readKey("c1", "k") == "v2")
+  }
+
+  test("missing collection vs missing key raise distinct errors (hot.go:43,47)") {
+    val e = freshEngine(autoCreate = false)
+    intercept[NoSuchCollectionException](e.readKey("nope", "k"))
+    val e2 = freshEngine()
+    e2.writeKey("c1", "k", "v")
+    intercept[NoSuchKeyException](e2.readKey("c1", "other"))
+  }
+
+  test("autoCreate=false refuses writes to absent collections (engine.go:210-221)") {
+    val e = freshEngine(autoCreate = false)
+    intercept[NoSuchCollectionException](e.writeKey("c1", "k", "v"))
+  }
+
+  test("flush is a move: collection leaves hot, survives on disk, read-through reloads (engine.go:111-126,139-173)") {
+    val e = freshEngine()
+    e.writeKey("c1", "k1", "v1")
+    e.writeKey("c1", "k2", "v2")
+    assert(e.isHot("c1"))
+    e.flushCollection("c1")
+    assert(!e.isHot("c1"))
+    assert(e.collectionExists("c1"))
+    // read-through: miss in hot loads from cold then reads
+    assert(e.readKey("c1", "k2") == "v2")
+    assert(e.isHot("c1"))
+  }
+
+  test("flush of non-hot collection errors (engine.go:125)") {
+    val e = freshEngine()
+    intercept[CollectionNotHotException](e.flushCollection("ghost"))
+  }
+
+  test("listCollections is the distinct union of hot and cold (engine.go:39-66)") {
+    val e = freshEngine()
+    e.writeKey("a", "k", "v")
+    e.writeKey("b", "k", "v")
+    e.flushCollection("a") // a: cold only
+    e.writeKey("a", "k2", "v2") // a: hot again (and cold)
+    assert(e.listCollections() == Seq("a", "b"))
+  }
+
+  test("isHot errors when the collection exists nowhere (engine.go:85-98)") {
+    val e = freshEngine()
+    intercept[NoSuchCollectionException](e.isHot("ghost"))
+  }
+
+  test("create errors on duplicate; drop errors on absent (hot.go:62-85)") {
+    val e = freshEngine()
+    e.createCollection("c1")
+    intercept[CollectionExistsException](e.createCollection("c1"))
+    e.dropCollection("c1")
+    intercept[NoSuchCollectionException](e.dropCollection("c1"))
+  }
+
+  test("flush merges overlay over cold base (upsert compaction)") {
+    val e = freshEngine()
+    e.writeKey("c1", "k1", "v1")
+    e.writeKey("c1", "k2", "v2")
+    e.flushCollection("c1")
+    e.writeKey("c1", "k2", "v2b") // overlay updates one key over cold base
+    e.writeKey("c1", "k3", "v3")
+    e.flushCollection("c1")
+    e.loadCollection("c1")
+    assert(e.readKey("c1", "k1") == "v1")
+    assert(e.readKey("c1", "k2") == "v2b")
+    assert(e.readKey("c1", "k3") == "v3")
+    assert(e.collection("c1").count() == 3)
+  }
+
+  test("flushAll collects errors instead of failing fast (engine.go:128-137)") {
+    val e = freshEngine()
+    e.writeKey("a", "k", "v")
+    e.writeKey("b", "k", "v")
+    assert(e.flushAllCollections().isEmpty)
+    assert(!e.isHotTier("a") && !e.isHotTier("b"))
+  }
+}

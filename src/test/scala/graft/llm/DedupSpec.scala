@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = graft.core.Tables.documents(spark, sf)
+
+  test("exact dedup is idempotent and conserves rows") {
+    import spark.implicits._
+    val d1 = Dedup.exact(docs, "doc_id", "text")
+    assert(d1.agg(sum($"dup_cnt")).head.getLong(0) == docs.count())
+    // applying dedup to the deduped survivors changes nothing
+    val survivors = docs.join(d1.select($"keep_id".as("doc_id")), Seq("doc_id"))
+    val d2 = Dedup.exact(survivors, "doc_id", "text")
+    assert(d2.count() == d1.count())
+    assert(d2.filter($"dup_cnt" > 1).count() == 0)
+  }
+
+  test("duplicated corpus: every text collapses to one survivor") {
+    import spark.implicits._
+    val doubled = docs.unionByName(docs.withColumn("doc_id", $"doc_id" + 1000000L))
+    val d = Dedup.exact(doubled, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.filter($"dup_cnt" < 2).count() == 0)
+    // min-id survivor: the original, not the shifted copy
+    assert(d.filter($"keep_id" >= 1000000L).count() == 0)
+  }
+
+  test("LSH candidates cover all true near-duplicate pairs (recall on fixture)") {
+    import spark.implicits._
+    val truth = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val cand = Dedup
+      .lshCandidatePairs(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // 4 bands x 4 rows at jaccard 0.5: P(collision) = 1-(1-0.5^4)^4 ≈ 0.23 per
+    // pair minimum — but planted dups here are ≈0.9+, where recall ≈ 1.
+    val high = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a_id", "b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(high.subsetOf(cand), s"missed: ${high -- cand}")
+  }
+
+  test("jaccard of an identical pair is 1.0") {
+    import spark.implicits._
+    val two = docs.limit(1).unionByName(docs.limit(1).withColumn("doc_id", lit(999999L)))
+    val p = Dedup.jaccardPairs(two, "doc_id", "text", 3, 0.99).collect()
+    assert(p.length == 1 && p.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical texts is identical; signature stable across runs") {
+    import spark.implicits._
+    val s1 = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val s2 = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+    val two = docs.limit(1).unionByName(docs.limit(1).withColumn("doc_id", lit(999999L)))
+    val sh = Dedup.simhash(two, "doc_id", "text").select("simhash").distinct()
+    assert(sh.count() == 1)
+  }
+
+  test("minhash signatures estimate jaccard for near-identical docs") {
+    import spark.implicits._
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+    // the 0.98-jaccard planted pair should agree on nearly all components
+    val top = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9).collect()
+    if (top.nonEmpty) {
+      val (a, b) = (top.head.getLong(0), top.head.getLong(1))
+      val ra = sig.filter($"doc_id" === a).head
+      val rb = sig.filter($"doc_id" === b).head
+      val agree = (1 to 16).count(i => ra.getLong(i) == rb.getLong(i))
+      assert(agree >= 12, s"only $agree/16 components agree for pair ($a,$b)")
+    }
+  }
+}

@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Vectors
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf)
+
+  test("cosine of a vector with itself is 1 (up to fp)") {
+    import spark.implicits._
+    val sims = emb
+      .limit(10)
+      .select(Vectors.cosine(col("embedding"), col("embedding")).as("s"))
+      .collect()
+      .map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, descending sim, no self-match") {
+    import spark.implicits._
+    val out = Similarity.cosineTopK(emb.filter($"vec_id" < 5), emb, 10)
+    val rows = out.orderBy("qid", "rk").collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length == 10)
+      assert(rs.forall(_.getLong(1) != qid), "self excluded")
+      val sims = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending")
+    }
+  }
+
+  test("planted duplicate vector is every query's top-1") {
+    import spark.implicits._
+    val dup = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = emb.unionByName(dup)
+    val out = Similarity
+      .cosineTopK(emb.filter($"vec_id" < 5), corpus, 1)
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L, s"query ${r.getLong(0)} top-1 = ${r.getLong(1)}")
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates with correct sims") {
+    import spark.implicits._
+    val brute = Similarity
+      .cosineTopK(emb.filter($"vec_id" < 5), emb, 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val approx = Similarity.lshTopK(emb.filter($"vec_id" < 5), emb, 10, planes = 4, dims = 64).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.contains(key) && brute(key) == r.getDouble(2), s"sim mismatch at $key")
+    }
+  }
+
+  test("blocked near-dup pairs stay within blocks and above threshold") {
+    import spark.implicits._
+    val out = Similarity.nearDupPairsBlocked(emb, "label", 0.35).collect()
+    assert(out.forall(_.getDouble(2) >= 0.35))
+    val labels = emb.select($"vec_id", $"label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
+  }
+}

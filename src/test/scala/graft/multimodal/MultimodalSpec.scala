@@ -1,0 +1,27 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media plumbing: schema, determinism, and per-row feature bounds") {
+    val out = Multimodal.featureQuery(spark, sf)
+    assert(
+      out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "checksum", "width", "height"))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getLong(2) > 0)) // byte_len
+    assert(rows.forall(r => r.getLong(4) >= 16 && r.getLong(4) < 80)) // width bounds
+    // deterministic: second run identical
+    val again = Multimodal.featureQuery(spark, sf).collect()
+    assert(rows.sameElements(again))
+  }
+
+  test("byte_len matches utf8 length of the source text") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val expected = docs.select(sum(octet_length(col("text")))).head.getLong(0)
+    val got = Multimodal.featureQuery(spark, sf).agg(sum(col("byte_len"))).head.getLong(0)
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOfJoin matches a brute-force oracle on the fixture events") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+
+    val got = TimeSeriesOps
+      .asOfJoin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select($"event_id", $"pv")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    // brute force on the driver (test-only; fixture is tiny)
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val es = errors.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    es.foreach { case (eid, uid, t) =>
+      val want = ps
+        .filter(p => p._1 == uid && !p._2.after(t))
+        .sortBy(p => (p._2.getTime, p._3))
+        .lastOption
+        .map(_._4)
+      assert(got(eid) == want, s"event $eid")
+    }
+  }
+
+  test("asOfJoin: right row at exactly left ts qualifies; latest tie wins") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 5L, 50.0),
+      (100L, ts("2024-01-01 10:00:00"), 7L, 70.0), // same ts, higher tie → wins
+      (100L, ts("2024-01-01 09:00:00"), 3L, 30.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps
+      .asOfJoin(left, right, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select("pv")
+      .collect()
+    assert(out.head.getDouble(0) == 70.0)
+  }
+
+  test("gapFillDaily emits every day in each key's span") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 1.0),
+      (1L, ts("2024-01-04 05:00:00"), 2.0), // gap: Jan 2, Jan 3 missing
+      (2L, ts("2024-02-01 00:00:00"), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps
+      .gapFillDaily(df, "user_id", "ts", Seq(count(lit(1)).as("n")))
+      .orderBy("user_id", "day")
+      .collect()
+    assert(out.length == 5) // 4 days for user 1, 1 day for user 2
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.count(_.isNullAt(2)) == 2) // two zero-filled days
+  }
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:29:00"), 2L), // 29 min — same session
+      (1L, ts("2024-01-01 11:00:00"), 3L), // 31 min — new session
+      (1L, ts("2024-01-01 11:30:00"), 4L)) // exactly 30 min — same session
+      .toDF("user_id", "ts", "event_id")
+    val out = TimeSeriesOps
+      .sessionize(df, "user_id", "ts", "event_id", 30)
+      .orderBy("event_id")
+      .select("session_id")
+      .collect()
+      .map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("topKPerGroup returns exactly k rows per group in rank order") {
+    val out = TimeSeriesOps
+      .topKPerGroup(
+        graft.core.Tables.orders(spark, sf),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        3)
+      .groupBy("o_orderpriority")
+      .count()
+      .collect()
+    assert(out.forall(_.getLong(1) == 3L))
+  }
+
+  test("delta: first row per key is value - 0") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L, 5.0), (1L, ts("2024-01-01 11:00:00"), 2L, 3.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps
+      .delta(df, "user_id", "ts", "event_id", "value", "dv")
+      .orderBy("event_id")
+      .select("dv")
+      .collect()
+      .map(_.getDouble(0))
+    assert(out.toSeq == Seq(5.0, -2.0))
+  }
+}

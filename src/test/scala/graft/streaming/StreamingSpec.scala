@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.core.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def stagedEventsDir(): String = {
+    val dir = Files.createTempDirectory("evstream")
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("file-source stream: windowed counts equal the batch answer") {
+    import spark.implicits._
+    val dir = stagedEventsDir()
+    // stream side — nanos were written by the generator; read via the long
+    // column then convert, same as the batch path
+    val raw = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.windowedCounts(raw, "1 hour", "10 minutes")
+    val got = Streaming
+      .runToMemory(spark, agg, "win_counts", OutputMode.Complete())
+      .selectExpr("window.start AS h", "event_type", "n")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // batch oracle
+    val want = graft.core.Tables
+      .events(spark, sf)
+      .selectExpr("date_trunc('hour', ts) AS h", "event_type")
+      .groupBy("h", "event_type")
+      .count()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == want)
+  }
+
+  test("stateful last-value state matches batch last-write-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf).as[Event].collect().toSeq
+    val (batch1, batch2) = events.splitAt(events.length / 2)
+
+    val stream = MemoryStream[Event]
+    val q = Streaming
+      .lastValueState(stream.toDS())
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName("last_vals")
+      .start()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    stream.addData(batch2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .table("last_vals")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.last("last_value").as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val want = events
+      .groupBy(_.user_id)
+      .map { case (u, es) => u -> es.maxBy(e => (e.ts.getTime, e.event_id)).value }
+    assert(got == want)
+  }
+
+  test("session windows produce bounded state output") {
+    import spark.implicits._
+    val dir = stagedEventsDir()
+    val raw = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val agg = Streaming.sessionCounts(raw, "30 minutes", "10 minutes")
+    val out = Streaming.runToMemory(spark, agg, "sess_counts", OutputMode.Complete())
+    assert(out.count() > 0)
+  }
+}
