@@ -25,6 +25,14 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // InferFiltersFromGenerate re-derives `size(arr)>0` filters by inlining
+    // the full generator expression through projections — for our staged
+    // tokenize→shingle pipelines that re-evaluates the tokenization ~8x per
+    // row before the explode (measured 2-10x whole-query regressions). The
+    // rows it would skip (empty shingle arrays) are a negligible fraction.
+    spark.conf.set(
+      "spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
 

@@ -21,7 +21,17 @@ object Vectors {
   def sqNorm(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
+  /** Cosine similarity — native codegen'd Catalyst expression
+    * ([[graft.plans.CosineSimExpr]]): one fused loop, no intermediate
+    * arrays, bit-identical numerics to [[cosineHof]].
+    */
   def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
+
+  /** Higher-order-function composition of cosine — kept as the reference
+    * implementation the native expression is tested against.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
 
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into a long.

