@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, GraftSession, Tables}
-import graft.queries.{EventQueries, Relational, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, Extended, Relational, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,7 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       VectorQueries.queries ++
+      Extended.queries ++
       Map("q35_multimodal_features" -> ((s: SparkSession, d: String) =>
         graft.multimodal.Multimodal.featureQuery(s, d)))
 
@@ -46,5 +47,6 @@ object SparkEntry {
     * (q34 ANN-LSH, q35 multimodal stub) → driver records rows-only.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++ VectorQueries.oracles
+    Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles ++ Extended.oracles
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Aggregators
+
+/** Second-wave operator coverage: cube, intersect, distinct aggregation,
+  * typed custom aggregators, banded range joins, percentiles, and the
+  * remaining dimension tables (part, supplier).
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** CUBE over two order dimensions (all four grouping sets). */
+  def q36(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), Det.r2(sum(col("o_totalprice"))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("cnt"),
+        col("sum_price"))
+      .orderBy(col("st"), col("pri"))
+
+  val q36Sql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+       |  count(*) AS cnt, ${Det.sqlR("sum(o_totalprice)", 2)} AS sum_price
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY st, pri""".stripMargin
+
+  /** INTERSECT (distinct): nations having both customers and suppliers. */
+  def q37(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  val q37Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin
+
+  /** Multi-column distinct aggregation (expand-based two-phase plan). */
+  def q38(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  val q38Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Time-weighted average value per user via the typed [[Aggregators.WeightedMean]]
+    * (udaf-wrapped): weight = seconds until the next event of the same user;
+    * the last event of each user carries no weight.
+    */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(new Aggregators.WeightedMean())
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("dt", (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))) / 1000000.0)
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(Det.r6(wmean(col("value"), col("dt"))).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  val q39Sql: String =
+    s"""WITH w AS (
+       |  SELECT user_id, value,
+       |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)) / 1000000.0 AS dt
+       |  FROM events)
+       |SELECT user_id,
+       |  ${Det.sqlR("CASE WHEN sum(dt) > 0 THEN sum(value*dt)/sum(dt) ELSE 0.0 END", 6)} AS twa
+       |FROM w WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Range join, banded: purchases in the hour before each error event.
+    * Instead of an O(n·m) theta join, both sides bucket by hour and join on
+    * (user, bucket) over the two candidate buckets — the standard interval-
+    * join decomposition that stays an equi-join (hash shuffle) at any scale.
+    */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val err = ev
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("ets"))
+      .withColumn("eh", expr("unix_micros(ets) div 3600000000"))
+      .withColumn("ph", explode(array(col("eh") - 1, col("eh"))))
+    val pur = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts").as("pts"))
+      .withColumn("ph", expr("unix_micros(pts) div 3600000000"))
+    err
+      .join(pur, Seq("u", "ph"), "left")
+      .withColumn(
+        "hit",
+        col("pts").isNotNull &&
+          col("pts") > col("ets") - expr("interval 1 hour") && col("pts") <= col("ets"))
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_purch"))
+      .orderBy(col("event_id"))
+  }
+
+  val q40Sql: String =
+    """SELECT e.event_id,
+      |  (SELECT count(*) FROM events p
+      |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |     AND p.ts > e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts) AS n_purch
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
+  /** Exact interpolated percentiles per event type (median + p90). */
+  def q41(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        Det.r6(expr("percentile(value, 0.5)")).as("p50"),
+        Det.r6(expr("percentile(value, 0.9)")).as("p90"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  val q41Sql: String =
+    s"""SELECT event_type,
+       |  ${Det.sqlR("quantile_cont(value, 0.5)", 6)} AS p50,
+       |  ${Det.sqlR("quantile_cont(value, 0.9)", 6)} AS p90,
+       |  count(*) AS cnt
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Fact ⋈ part dimension: revenue by brand (AQE picks broadcast while the
+    * dimension fits, shuffled hash beyond).
+    */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Det.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        Det.r2(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q42Sql: String =
+    s"""SELECT p_brand, ${Det.sqlR("sum(l_extendedprice*(1-l_discount))", 4)} AS revenue,
+       |  ${Det.sqlR("sum(l_quantity)", 2)} AS sum_qty, count(*) AS cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Supplier stats per nation with a post-aggregation filter (HAVING). */
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    sup
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        Det.r2(sum(col("s_acctbal"))).as("sum_bal"),
+        Det.r2(min(col("s_acctbal"))).as("min_bal"),
+        Det.r2(max(col("s_acctbal"))).as("max_bal"))
+      .filter(col("n_supp") > 1)
+      .orderBy(col("n_name"))
+  }
+
+  val q43Sql: String =
+    s"""SELECT n_name, count(*) AS n_supp, ${Det.sqlR("sum(s_acctbal)", 2)} AS sum_bal,
+       |  ${Det.sqlR("min(s_acctbal)", 2)} AS min_bal, ${Det.sqlR("max(s_acctbal)", 2)} AS max_bal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name HAVING count(*) > 1 ORDER BY n_name""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q36_cube_orders" -> (q36 _),
+    "q37_intersect_nations" -> (q37 _),
+    "q38_distinct_agg" -> (q38 _),
+    "q39_time_weighted_avg" -> (q39 _),
+    "q40_range_join_purchases" -> (q40 _),
+    "q41_percentiles" -> (q41 _),
+    "q42_brand_revenue" -> (q42 _),
+    "q43_supplier_stats" -> (q43 _))
+
+  val oracles: Map[String, String] = Map(
+    "q36_cube_orders" -> q36Sql,
+    "q37_intersect_nations" -> q37Sql,
+    "q38_distinct_agg" -> q38Sql,
+    "q39_time_weighted_avg" -> q39Sql,
+    "q40_range_join_purchases" -> q40Sql,
+    "q41_percentiles" -> q41Sql,
+    "q42_brand_revenue" -> q42Sql,
+    "q43_supplier_stats" -> q43Sql)
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources & sinks. The reference's entire I/O surface is whole-file
+  * gob encode/decode (reference `internal/storage/cold.go:111-154`); here
+  * every format is a splittable, schema'd, predicate-pushdown-capable
+  * Spark source, and sinks go through Spark's commit protocol (atomic dir
+  * swap — the atomicity `cold.go`'s truncate-then-write lacks).
+  *
+  * Scale conventions:
+  *  - parquet is the canonical storage format; csv/json are interchange;
+  *  - explicit schemas everywhere (schema inference is a full extra scan —
+  *    never acceptable at 100 TB);
+  *  - sinks partition by the query key (`partitionBy`) so downstream reads
+  *    prune partitions instead of scanning.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv and json round-trip the events table losslessly") {
+    val ev = graft.core.Tables.events(spark, sf).drop("props") // commas inside json break naive csv
+    val dir = Files.createTempDirectory("src").toString
+
+    Sources.writeCsv(ev, s"$dir/csv")
+    val csvBack = Sources.readCsv(spark, s"$dir/csv", ev.schema)
+    assert(csvBack.count() == ev.count())
+    assert(csvBack.agg(sum("value")).head.getDouble(0) == ev.agg(sum("value")).head.getDouble(0))
+
+    val full = graft.core.Tables.events(spark, sf)
+    Sources.writeJson(full, s"$dir/json")
+    val jsonBack = Sources.readJson(spark, s"$dir/json", full.schema)
+    assert(jsonBack.count() == full.count())
+    assert(
+      jsonBack.agg(sum("event_id")).head.getLong(0) == full.agg(sum("event_id")).head.getLong(0))
+  }
+
+  test("partitioned parquet sink enables partition pruning on read") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("src").toString
+    Sources.writeParquet(ev, s"$dir/by_type", Seq("event_type"))
+    // physical layout: one dir per event_type
+    val dirs = new java.io.File(s"$dir/by_type").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_type=")) == 5)
+    val pruned = Sources.readParquet(spark, s"$dir/by_type").filter(col("event_type") === "error")
+    // plan must show partition filters, not a data filter over everything
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(pruned.count() == ev.filter(col("event_type") === "error").count())
+  }
+}
