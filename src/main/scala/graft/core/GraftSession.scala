@@ -33,6 +33,8 @@ object GraftSession {
     spark.conf.set(
       "spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // custom operators (runtime path; builder path is GraftExtensions)
+    graft.plans.AsOfJoin.register(spark)
     spark
   }
 

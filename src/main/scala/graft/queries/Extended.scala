@@ -181,7 +181,33 @@ object Extended {
        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
        |GROUP BY n_name HAVING count(*) > 1 ORDER BY n_name""".stripMargin
 
+  /** Same as-of semantics as q18, but through the native Catalyst operator
+    * ([[graft.plans.AsOfJoin]]: custom LogicalPlan + Strategy + sort-merge
+    * exec) instead of the union+window formulation — both must match the
+    * identical oracle.
+    */
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_uid"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_eid"),
+        col("value").as("pv"))
+    graft.plans.AsOfJoin
+      .join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        coalesce(col("pv"), lit(-1.0)).as("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_asof_join_native" -> (q44 _),
     "q36_cube_orders" -> (q36 _),
     "q37_intersect_nations" -> (q37 _),
     "q38_distinct_agg" -> (q38 _),
@@ -192,6 +218,7 @@ object Extended {
     "q43_supplier_stats" -> (q43 _))
 
   val oracles: Map[String, String] = Map(
+    "q44_asof_join_native" -> EventQueries.q18Sql,
     "q36_cube_orders" -> q36Sql,
     "q37_intersect_nations" -> q37Sql,
     "q38_distinct_agg" -> q38Sql,

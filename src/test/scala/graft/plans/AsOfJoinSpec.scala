@@ -1,0 +1,86 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TimeSeriesOps
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("native as-of join matches the window-based implementation on the fixture") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("p_ts"), $"event_id".as("p_eid"), $"value".as("pv"))
+
+    val native = AsOfJoin
+      .join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+      .select($"event_id", coalesce($"pv", lit(-1.0)).as("pv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+
+    val windowed = TimeSeriesOps
+      .asOfJoin(
+        errors,
+        ev.filter($"event_type" === "purchase").select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        "ts",
+        "ts",
+        "event_id",
+        Map("value" -> "pv"))
+      .select($"event_id", coalesce($"pv", lit(-1.0)).as("pv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+
+    assert(native == windowed)
+    assert(native.nonEmpty)
+  }
+
+  test("equal-timestamp right row qualifies; max tie wins; no match gives null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 08:00:00")), // before any purchase -> null
+      (3L, 200L, ts("2024-01-01 12:00:00"))) // other key
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 5L, 50.0),
+      (100L, ts("2024-01-01 10:00:00"), 7L, 70.0),
+      (100L, ts("2024-01-01 09:00:00"), 3L, 30.0),
+      (200L, ts("2024-01-01 11:00:00"), 9L, 90.0))
+      .toDF("p_uid", "p_ts", "p_eid", "pv")
+    val out = AsOfJoin
+      .join(left, right, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+      .select($"event_id", $"pv")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).contains(70.0)) // equal-ts, max tie
+    assert(out(2L).isEmpty) // no earlier purchase
+    assert(out(3L).contains(90.0))
+  }
+
+  test("physical plan is the custom exec over sorted hash-clustered children") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("p_ts"), $"event_id".as("p_eid"), $"value".as("pv"))
+    val df = AsOfJoin.join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan) // the custom exec node
+    assert(plan.contains("Exchange hashpartitioning"), plan) // clustered children
+    assert(plan.contains("Sort ["), plan) // sorted merge input
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"), plan) // scan pushdown survives
+    assert(!plan.contains("WindowExec"), plan) // no window fallback
+  }
+}
