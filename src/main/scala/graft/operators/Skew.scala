@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key joins and aggregations.
+  *
+  * AQE's skew-join splitting (on by default) handles most cases at runtime;
+  * salting is the explicit fallback for the pathological ones — a handful
+  * of keys carrying a large share of a 100 TB fact table, where even a
+  * split partition overwhelms one executor.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the skewed (large) side gets a random salt in
+    * [0, buckets); the small side is replicated `buckets` times; the join
+    * key becomes (key, salt), spreading each hot key over `buckets`
+    * partitions. Row multiplicity is unchanged — each large-side row meets
+    * exactly the one replica with its salt.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val salted = large.withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
+    val replicated = small.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. `partial` and
+    * `merge` must form the usual partial/merge pair (e.g. count → sum).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      buckets: Int,
+      partial: Column => Column,
+      valueCol: String,
+      merge: Column => Column): DataFrame =
+    df.withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial(col(valueCol)).as("__p"))
+      .groupBy(col(key))
+      .agg(merge(col("__p")).as(valueCol))
+}

@@ -206,8 +206,95 @@ object Extended {
       .orderBy(col("event_id"))
   }
 
+  /** UNION ALL + per-branch tagging across two dimension tables. */
+  def q45(s: SparkSession, d: String): DataFrame =
+    Tables
+      .customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"), lit("customer").as("kind"))
+      .unionByName(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey"), lit("supplier").as("kind")))
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"), col("kind"))
+
+  val q45Sql: String =
+    """SELECT nationkey, kind, count(*) AS n FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS kind FROM supplier) t
+      |GROUP BY nationkey, kind ORDER BY nationkey, kind""".stripMargin
+
+  /** Wider string-function coverage (trim/pad/replace/reverse/instr). */
+  def q46(s: SparkSession, d: String): DataFrame =
+    Tables
+      .part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "a", "@").as("masked"),
+        lpad(col("p_brand"), 12, "_").as("padded"),
+        trim(col("p_type")).as("trimmed"),
+        reverse(col("p_brand")).as("revd"),
+        instr(col("p_name"), "e").cast("long").as("epos"),
+        substring_index(col("p_type"), " ", 1).as("first_word"),
+        repeat(col("p_brand"), 2).as("doubled"))
+      .orderBy(col("p_partkey"))
+
+  val q46Sql: String =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, 'a', '@', 'g') AS masked,
+      |  lpad(p_brand, 12, '_') AS padded,
+      |  trim(p_type) AS trimmed,
+      |  reverse(p_brand) AS revd,
+      |  CAST(strpos(p_name, 'e') AS BIGINT) AS epos,
+      |  split_part(p_type, ' ', 1) AS first_word,
+      |  repeat(p_brand, 2) AS doubled
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Range-frame moving window (trailing 1 hour per user) + rank functions
+    * — RANGE frames over an epoch-micros ordering work identically on both
+    * engines.
+    */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("em"))
+    val hourFrame = byUser.rangeBetween(-3600000000L, 0L)
+    val rankW = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("em", unix_micros(col("ts")))
+      .withColumn("mv_sum", Det.r2(sum(col("value")).over(hourFrame)))
+      .withColumn("mv_n", count(lit(1)).over(hourFrame))
+      .withColumn("rk", rank().over(rankW).cast("long"))
+      .select(col("user_id"), col("event_id"), col("mv_sum"), col("mv_n"), col("rk"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q47Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS em FROM events)
+       |SELECT user_id, event_id,
+       |  ${Det.sqlR(
+        "sum(value) OVER (PARTITION BY user_id ORDER BY em RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
+        2)} AS mv_sum,
+       |  count(*) OVER (PARTITION BY user_id ORDER BY em RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS mv_n,
+       |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rk
+       |FROM e ORDER BY user_id, event_id""".stripMargin
+
+  /** HLL cardinality sketch (approx_count_distinct). No SQL oracle — the
+    * two engines' sketches differ by construction; accuracy is asserted
+    * against the exact count in ScalaTest instead (rows-only here).
+    */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
+    "q45_union_all_tagged" -> (q45 _),
+    "q46_string_functions" -> (q46 _),
+    "q47_range_frame_window" -> (q47 _),
+    "q48_approx_count_distinct" -> (q48 _),
     "q36_cube_orders" -> (q36 _),
     "q37_intersect_nations" -> (q37 _),
     "q38_distinct_agg" -> (q38 _),
@@ -219,6 +306,9 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join_native" -> EventQueries.q18Sql,
+    "q45_union_all_tagged" -> q45Sql,
+    "q46_string_functions" -> q46Sql,
+    "q47_range_frame_window" -> q47Sql,
     "q36_cube_orders" -> q36Sql,
     "q37_intersect_nations" -> q37Sql,
     "q38_distinct_agg" -> q38Sql,

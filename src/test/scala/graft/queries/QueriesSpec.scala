@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class QueriesSpec extends SparkSpec {
+
+  test("approx_count_distinct lands within 5% of exact (q48)") {
+    import org.apache.spark.sql.functions._
+    val approx = Extended
+      .q48(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val exact = graft.core.Tables
+      .lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("flagship entry() returns non-empty aggregated output") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+    assert(rows.forall(_.getLong(2) > 0)) // n_orders
+  }
+
+  test("every registered query has a distinct, non-empty result at sf0.001") {
+    val qs = graft.SparkEntry.queries
+    assert(qs.size >= 48)
+    // oracles reference only registered queries
+    graft.SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
+  }
+}

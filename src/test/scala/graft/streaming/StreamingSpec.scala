@@ -80,6 +80,64 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("durable ingest: streaming parquet sink with checkpoint resumes cleanly") {
+    import org.apache.spark.sql.functions._
+    val srcDir = stagedEventsDir()
+    val outDir = Files.createTempDirectory("evsink").toString
+    val raw = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = raw.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$outDir/data")
+    assert(written.count() == graft.core.Tables.events(spark, sf).count())
+    // restart against the same checkpoint: no reprocessing, no duplication
+    val q2 = raw.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$outDir/data").count() == written.count())
+  }
+
+  test("foreachBatch upsert sink: streamed last-write-wins lands in the KV engine") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf).as[Event].collect().toSeq
+    val kvDir = Files.createTempDirectory("kvstream").toString
+    val engine = new graft.kv.KvEngine(spark, kvDir, autoCreate = true)
+
+    val stream = MemoryStream[Event]
+    val q = Streaming
+      .lastValueState(stream.toDS())
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.KeyedValue], _: Long) =>
+        // the streaming twin of the reference's WriteKey ingest path
+        batch.collect().foreach(kv => engine.writeKey("uservals", kv.user_id.toString, kv.last_value.toString))
+        ()
+      }
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+
+    val want = events.groupBy(_.user_id).map { case (u, es) => u -> es.maxBy(e => (e.ts.getTime, e.event_id)).value }
+    want.foreach { case (u, v) =>
+      assert(engine.readKey("uservals", u.toString) == v.toString)
+    }
+    engine.flushCollection("uservals")
+    assert(!engine.isHot("uservals") && engine.collectionExists("uservals"))
+  }
+
   test("session windows produce bounded state output") {
     import spark.implicits._
     val dir = stagedEventsDir()
