@@ -30,6 +30,17 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) > 0)) // n_orders
   }
 
+  test("filters and projections reach the parquet scan (q02 pushdown)") {
+    val plan = Relational.q02(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice), EqualTo(o_orderstatus,F)"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), plan)
+  }
+
+  test("small dimensions broadcast in the star join (q03)") {
+    val plan = Relational.q03(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("every registered query has a distinct, non-empty result at sf0.001") {
     val qs = graft.SparkEntry.queries
     assert(qs.size >= 48)
