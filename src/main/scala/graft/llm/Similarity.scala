@@ -55,6 +55,77 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Train IVF coarse-quantizer centroids with Lloyd iterations, entirely
+    * in DataFrame ops: assignment is a broadcast-centroid cross join +
+    * per-vector argmax; the centroid update is an element-wise mean via
+    * posexplode → (cell, dim) average → array rebuild. Seeds are the first
+    * k vectors (deterministic). Each iteration is two shuffles regardless
+    * of corpus size — the standard distributed k-means shape.
+    */
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids = emb
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("centroid"))
+      .withColumn("cid", expr("row_number() over (order by cid)") - 1)
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(emb, centroids)
+      centroids = assigned
+        .join(emb, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("cell").as("cid"), expr("transform(pairs, p -> p.m)").as("centroid"))
+      centroids = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid (max cosine) cell per vector. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", Vectors.cosine(col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, score only
+    * vectors in probed cells. With nprobe = k this degenerates to exact
+    * brute force; smaller nprobe trades recall for a 1/nprobe-ish scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, topK: Int, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, centroids)
+      .join(corpus, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val qScored = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", Vectors.cosine(col("qe"), col("centroid")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val probes = qScored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("cell"))
+    val scored = corpusCells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", graft.core.Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by
     * signature; candidates are same-bucket pairs; rank within candidates.
     * Recall is tunable by `planes` (fewer planes → bigger buckets → higher

@@ -25,17 +25,27 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  /** Element accessor per side — float and double arrays both supported
+    * (embeddings are float32; trained centroids are double).
+    */
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val ld = elemIsDouble(left)
+    val rd = elemIsDouble(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi
@@ -44,7 +54,9 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsDouble(left)) "getDouble" else "getFloat"
+    val rGet = if (elemIsDouble(right)) "getDouble" else "getFloat"
     nullSafeCodeGen(
       ctx,
       ev,
@@ -52,12 +64,13 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double dot = 0.0, nx = 0.0, ny = 0.0;
         |for (int i = 0; i < n; i++) {
-        |  double xi = (double) $a.getFloat(i);
-        |  double yi = (double) $b.getFloat(i);
+        |  double xi = (double) $a.$lGet(i);
+        |  double yi = (double) $b.$rGet(i);
         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
         |}
         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
         |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -83,10 +83,23 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF search end-to-end: train 8 coarse cells (2 Lloyd iterations),
+    * probe 3 per query. Approximate — validated against brute-force recall
+    * in ScalaTest; rows-only for the driver.
+    */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = Similarity.ivfTrain(emb, k = 8, iters = 2)
+    Similarity
+      .ivfTopK(emb.filter(col("vec_id") < 5), emb, centroids, topK = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q32_cosine_topk" -> (q32 _),
     "q33_embedding_neardup_blocked" -> (q33 _),
-    "q34_ann_lsh_topk" -> (q34 _))
+    "q34_ann_lsh_topk" -> (q34 _),
+    "q49_ivf_topk" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
     "q32_cosine_topk" -> q32Sql,

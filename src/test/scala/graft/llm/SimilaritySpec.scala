@@ -73,6 +73,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF with nprobe = k is exactly brute force; smaller nprobe stays consistent") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 5)
+    val centroids = Similarity.ivfTrain(emb, k = 4, iters = 2)
+    assert(centroids.count() == 4)
+    val exhaustive = Similarity
+      .ivfTopK(queries, emb, centroids, topK = 10, nprobe = 4)
+      .orderBy("qid", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity
+      .cosineTopK(queries, emb, 10)
+      .orderBy("qid", "rk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exhaustive.toSeq == brute.toSeq)
+
+    // partial probing: valid sims (match brute-force values), k rows per query
+    val bruteAll = Similarity
+      .cosineTopK(queries, emb, 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val approx = Similarity.ivfTopK(queries, emb, centroids, topK = 10, nprobe = 2).collect()
+    assert(approx.groupBy(_.getLong(0)).forall(_._2.length == 10))
+    approx.foreach(r => assert(bruteAll((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
+  }
+
   test("blocked near-dup pairs stay within blocks and above threshold") {
     import spark.implicits._
     val out = Similarity.nearDupPairsBlocked(emb, "label", 0.35).collect()
