@@ -289,8 +289,33 @@ object Extended {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Map/JSON surface: parse props into a typed map, expose keys,
+    * cardinality, and a looked-up value (stringified columns keep the
+    * cross-engine schema simple).
+    */
+  def q50(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id"))
+
+  val q50Sql: String =
+    """SELECT event_id,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
+    "q50_map_json_functions" -> (q50 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -306,6 +331,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q44_asof_join_native" -> EventQueries.q18Sql,
+    "q50_map_json_functions" -> q50Sql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,

@@ -41,6 +41,21 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("scalar udf surface works but the native form matches it (prefer codegen)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a Scala closure UDF — supported, but breaks whole-stage codegen;
+    // the library keeps them out of hot paths (cf. functions.Text/Vectors)
+    val tokCount = udf((s: String) => s.toLowerCase.split(" ").count(_.nonEmpty))
+    val docs = graft.core.Tables.documents(spark, sf)
+    val viaUdf = docs.select($"doc_id", tokCount($"text").cast("long").as("n")).orderBy("doc_id").collect()
+    val native = docs
+      .select($"doc_id", size(graft.functions.Text.tokens($"text")).cast("long").as("n"))
+      .orderBy("doc_id")
+      .collect()
+    assert(viaUdf.map(_.getLong(1)).toSeq == native.map(_.getLong(1)).toSeq)
+  }
+
   test("every registered query has a distinct, non-empty result at sf0.001") {
     val qs = graft.SparkEntry.queries
     assert(qs.size >= 48)

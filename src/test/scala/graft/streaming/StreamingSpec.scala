@@ -80,6 +80,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, "click", v, "{}")
+
+    val stream = MemoryStream[Event]
+    val agg = Streaming.windowedCounts(stream.toDF(), "10 minutes", "10 minutes")
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory")
+      .queryName("late_test")
+      .start()
+    // batch 1: events up to 10:40 -> watermark becomes 10:30
+    stream.addData(ev(1, "2024-01-01 10:05:00", 1.0), ev(2, "2024-01-01 10:40:00", 1.0))
+    q.processAllAvailable()
+    // batch 2: a row at 10:07 (before watermark 10:30) must be DROPPED;
+    // advance event time far so all windows close and emit
+    stream.addData(ev(3, "2024-01-01 10:07:00", 99.0), ev(4, "2024-01-01 12:00:00", 1.0))
+    q.processAllAvailable()
+    stream.addData(ev(5, "2024-01-01 14:00:00", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark
+      .table("late_test")
+      .selectExpr("window.start AS s", "n", "sv")
+      .collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // 10:00 window contains ONLY event 1 — the late event 3 (v=99) was dropped
+    assert(rows("2024-01-01 10:00:00.0") == ((1L, 1.0)), rows.toString)
+  }
+
+  test("sliding windows emit one row per overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val agg = Streaming.slidingCounts(stream.toDF(), "10 minutes", "5 minutes", "10 minutes")
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory")
+      .queryName("slide_test")
+      .start()
+    stream.addData(Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val starts = spark.table("slide_test").selectExpr("window.start AS s").collect().map(_.getTimestamp(0).toString).sorted
+    // a point at 10:07 belongs to the 10:00 and 10:05 sliding windows
+    assert(starts.toSeq == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+  }
+
   test("durable ingest: streaming parquet sink with checkpoint resumes cleanly") {
     import org.apache.spark.sql.functions._
     val srcDir = stagedEventsDir()
