@@ -67,6 +67,36 @@ object Multimodal {
     }
   }
 
+  /** A sampled "frame" from a media payload. A real video pipeline would
+    * decode and emit every Nth frame; the stub slices the byte stream into
+    * fixed-size chunks and keeps every Nth — the Spark-side shape (one
+    * media row fans out to many frame rows, each with positional metadata)
+    * is identical.
+    */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long, frame_checksum: Long)
+
+  /** Frame sampling: explode each payload into every `everyN`th chunk of
+    * `chunkSize` bytes. Per-partition batched, no driver involvement; at
+    * scale the output is written partitioned by media id range.
+    */
+  def sampleFrames(media: Dataset[MediaRow], chunkSize: Int, everyN: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nChunks = (r.payload.length + chunkSize - 1) / chunkSize
+        (0 until nChunks).iterator.filter(_ % everyN == 0).map { i =>
+          val from = i * chunkSize
+          val until = math.min(from + chunkSize, r.payload.length)
+          var sum = 0L
+          var j = from
+          while (j < until) { sum = (sum + (r.payload(j) & 0xff)) % 1000003L; j += 1 }
+          Frame(r.doc_id, i.toLong, (until - from).toLong, sum)
+        }
+      }
+    }
+  }
+
   /** End-to-end: documents → media → features (the registered query). */
   def featureQuery(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMedia(graft.core.Tables.documents(spark, dir)))

@@ -17,6 +17,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("frame sampling keeps every Nth chunk with correct lengths") {
+    val media = Multimodal.asMedia(graft.core.Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media, chunkSize = 64, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.forall(f => f.frame_len > 0 && f.frame_len <= 64))
+    // coverage: every doc with a payload contributes frame 0
+    val docsWithFrames = frames.map(_.doc_id).distinct.length
+    assert(docsWithFrames == 500)
+    assert(frames.count(_.frame_idx == 0) == 500)
+  }
+
   test("byte_len matches utf8 length of the source text") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)

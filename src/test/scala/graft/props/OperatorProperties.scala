@@ -1,0 +1,92 @@
+package graft.props
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for operator laws (SURVEY §5.2 layer 2): as-of join vs a
+  * brute-force oracle, sessionize's gap law, and dedup conservation — over
+  * ScalaCheck-generated inputs rather than the fixtures.
+  */
+object OperatorProperties extends Properties("graft.operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.core.GraftSession.local(cores = 4, appName = "props")
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private case class Ev(id: Long, user: Long, offsetSec: Long, value: Double)
+
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(
+      n,
+      for {
+        user <- Gen.choose(0L, 3L)
+        off <- Gen.choose(0L, 7200L)
+        v <- Gen.choose(0, 10000).map(_ / 100.0)
+      } yield (user, off, v))
+  } yield evs.zipWithIndex.map { case ((u, o, v), i) => Ev(i.toLong, u, o, v) }
+
+  private def toDf(evs: List[Ev]) = {
+    import spark.implicits._
+    evs
+      .map(e => (e.id, e.user, new Timestamp(base + e.offsetSec * 1000L), e.value))
+      .toDF("event_id", "user_id", "ts", "value")
+  }
+
+  property("asOfJoin equals brute force") = forAll(genEvents, genEvents) { (ls, rs) =>
+    val left = toDf(ls)
+    val right = toDf(rs).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val got = graft.operators.TimeSeriesOps
+      .asOfJoin(left.select("event_id", "user_id", "ts"), right, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select("event_id", "pv")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    ls.forall { e =>
+      val want = rs
+        .filter(p => p.user == e.user && p.offsetSec <= e.offsetSec)
+        .sortBy(p => (p.offsetSec, p.id))
+        .lastOption
+        .map(_.value)
+      got(e.id) == want
+    }
+  }
+
+  property("sessionize: sessions per user = 1 + gaps > threshold") = forAll(genEvents) { evs =>
+    evs.isEmpty || {
+      val gapMin = 10
+      val out = graft.operators.TimeSeriesOps
+        .sessionize(toDf(evs), "user_id", "ts", "event_id", gapMin)
+        .groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      evs.groupBy(_.user).forall { case (u, es) =>
+        val sorted = es.sortBy(e => (e.offsetSec, e.id)).map(_.offsetSec)
+        val gaps = sorted.zip(sorted.tail).count { case (a, b) => b - a > gapMin * 60L }
+        out(u) == gaps + 1L
+      }
+    }
+  }
+
+  property("exact dedup conserves rows and is idempotent") = forAll(
+    Gen.listOf(Gen.oneOf("alpha beta", "gamma delta", "epsilon", "zeta eta theta"))) { texts =>
+    if (texts.isEmpty) Prop.passed
+    else {
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val d = graft.llm.Dedup.exact(df, "doc_id", "text")
+      val conserved = d.agg(sum("dup_cnt")).head.getLong(0) == texts.length
+      val distinctCnt = d.count() == texts.distinct.length
+      Prop(conserved && distinctCnt)
+    }
+  }
+}
