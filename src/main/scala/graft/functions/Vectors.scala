@@ -36,11 +36,17 @@ object Vectors {
 
   /** Random-hyperplane LSH bucket: `planes` sign bits packed into a long.
     * The hyperplane weights are a deterministic function of (plane, dim)
-    * via a cheap integer mix, so executors need no broadcast side data and
-    * the oracle can reproduce the bucketing.
-    * weight(p,i) = ((1103515245*(p*64+i) + 12345) mod 65536) - 32768
+    * via a cheap integer mix, so executors need no broadcast side data.
+    * Delegates to the native fused-loop expression
+    * ([[graft.plans.LshBucketExpr]]).
     */
-  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    graft.plans.VectorExpressions.lshBucket(v, planes, dims)
+
+  /** Column-composition form (planes x dims expression nodes) — reference
+    * implementation the native expression is tested against.
+    */
+  def lshBucketComposed(v: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = (0 until dims)
         .map { i =>

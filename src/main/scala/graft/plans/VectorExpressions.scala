@@ -76,9 +76,60 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket as a native expression: `planes` sign bits
+  * of deterministic pseudo-random projections packed into a long. The
+  * weights are the same integer mix as [[graft.functions.Vectors.lshBucket]]
+  * (w(p,i) = ((1103515245*(p*dims+i)+12345) mod 65536) - 32768) but fused
+  * into one loop — the Column-composition form builds a ~planes*dims-node
+  * expression tree that overwhelms codegen.
+  */
+case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+
+  override def nullSafeEval(a: Any): Any =
+    LshBucketExpr.eval(a.asInstanceOf[ArrayData], planes, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.LshBucketExpr.eval($a, $planes, $dims)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshBucketExpr {
+
+  /** Static evaluation entry for generated code (keeps the codegen'd method
+    * tiny; the loop JITs the same either way).
+    */
+  def eval(v: ArrayData, planes: Int, dims: Int): Long = {
+    val n = math.min(dims, v.numElements())
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val w = (((1103515245L * (p * dims + i) + 12345L) % 65536L) - 32768L).toDouble
+        proj += v.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
 object VectorExpressions {
 
   /** Column API for the native cosine. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the native LSH bucket. */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    Bridge.column(LshBucketExpr(Bridge.expression(v), planes, dims))
 }

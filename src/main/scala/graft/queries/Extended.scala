@@ -313,9 +313,28 @@ object Extended {
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Array aggregation: sorted distinct collection per group (collect_set
+    * is order-nondeterministic — the sort restores a total order for the
+    * oracle).
+    */
+  def q51(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        array_sort(collect_set(col("user_id"))).as("users"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .orderBy(col("event_type"))
+
+  val q51Sql: String =
+    """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+      |  CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
+    "q51_array_agg" -> (q51 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -332,6 +351,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q44_asof_join_native" -> EventQueries.q18Sql,
     "q50_map_json_functions" -> q50Sql,
+    "q51_array_agg" -> q51Sql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,

@@ -22,6 +22,16 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native LSH bucket equals the composed-column form") {
+    import spark.implicits._
+    val diff = emb
+      .select(
+        Vectors.lshBucket(col("embedding"), 4, 64).as("native"),
+        Vectors.lshBucketComposed(col("embedding"), 4, 64).as("composed"))
+      .filter($"native" =!= $"composed")
+    assert(diff.count() == 0)
+  }
+
   test("cosine of a vector with itself is 1 (up to fp)") {
     import spark.implicits._
     val sims = emb
