@@ -203,7 +203,69 @@ object EventQueries {
     """SELECT n_name AS key, CAST(n_nationkey AS VARCHAR) AS value
       |FROM nation WHERE n_name = 'NATION_7'""".stripMargin
 
+  /** Rate of change per user: Δvalue/Δseconds between consecutive events
+    * (both deltas from the same lag window — identical doubles on both
+    * engines, so the quotient is deterministic).
+    */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt_s", (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1000000.0)
+      .filter(col("dv").isNotNull && col("dt_s") > 0.0)
+      .select(col("user_id"), col("event_id"), Det.r6(col("dv") / col("dt_s")).as("rate"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q52Sql: String =
+    s"""WITH w AS (
+       |  SELECT user_id, event_id,
+       |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv,
+       |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS dt_s
+       |  FROM events)
+       |SELECT user_id, event_id, ${Det.sqlR("dv / dt_s", 6)} AS rate
+       |FROM w WHERE dv IS NOT NULL AND dt_s > 0.0 ORDER BY user_id, event_id""".stripMargin
+
+  /** OHLC downsample per (user, day): open/close via ranked windows
+    * (deterministic ties on event_id), high/low/volume via plain
+    * aggregation — the classic financial-TSDB rollup.
+    */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val dayCol = date_trunc("day", col("ts"))
+    val asc = Window.partitionBy(col("user_id"), dayCol).orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("user_id"), dayCol).orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(s, d)
+      .withColumn("day", dayCol)
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q53Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT user_id, day,
+      |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  count(*) AS volume
+      |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_rate_of_change" -> (q52 _),
+    "q53_ohlc_downsample" -> (q53 _),
     "q13_hourly_downsample" -> (q13 _),
     "q14_daily_user_downsample" -> (q14 _),
     "q15_running_sum" -> (q15 _),
@@ -216,6 +278,8 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q52_rate_of_change" -> q52Sql,
+    "q53_ohlc_downsample" -> q53Sql,
     "q13_hourly_downsample" -> q13Sql,
     "q14_daily_user_downsample" -> q14Sql,
     "q15_running_sum" -> q15Sql,
