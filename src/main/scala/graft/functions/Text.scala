@@ -36,8 +36,16 @@ object Text {
 
   /** Portable 60-bit hash: first 15 hex chars of md5 as a bigint.
     * DuckDB twin: `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`.
+    * Computed by the fused native expression
+    * ([[graft.plans.Md5Prefix60Expr]]) — no hex-string round trip.
     */
   def hash60(c: Column): Column =
+    graft.plans.VectorExpressions.md5Prefix60(c)
+
+  /** Composed form (md5 hex → substr → conv) — the reference the native
+    * expression is verified against.
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** SQL twin of [[hash60]] for oracle strings. */

@@ -123,6 +123,46 @@ object LshBucketExpr {
   }
 }
 
+/** Portable 60-bit text hash, fused: md5 → first 60 bits as a positive
+  * long, equal by construction to `conv(substr(md5(s),1,15),16,10)` (the
+  * first 15 hex chars are the first 7.5 digest bytes: big-endian first 8
+  * bytes >>> 4) but without materializing the hex string or parsing it
+  * back. Used by every shingle/minhash/simhash pipeline.
+  */
+case class Md5Prefix60Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(a: Any): Any =
+    Md5Prefix60Expr.eval(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.Md5Prefix60Expr.eval($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5Prefix60Expr {
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def eval(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+}
+
 object VectorExpressions {
 
   /** Column API for the native cosine. */
@@ -132,4 +172,8 @@ object VectorExpressions {
   /** Column API for the native LSH bucket. */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =
     Bridge.column(LshBucketExpr(Bridge.expression(v), planes, dims))
+
+  /** Column API for the native md5-prefix hash. */
+  def md5Prefix60(c: Column): Column =
+    Bridge.column(Md5Prefix60Expr(Bridge.expression(c)))
 }

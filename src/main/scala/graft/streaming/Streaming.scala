@@ -78,6 +78,29 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: errors pick up same-user purchases from
+    * the trailing hour. Both sides carry watermarks so the join state is
+    * bounded — Spark retires buffered purchase rows once the watermark
+    * passes their upper time bound (mandatory for an unbounded 100 TB/day
+    * stream).
+    */
+  def errorPurchaseJoin(events: DataFrame, watermark: String): DataFrame = {
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    errors.join(
+      purchases,
+      errors("user_id") === purchases("p_uid") &&
+        purchases("p_ts") > errors("err_ts") - expr("interval 1 hour") &&
+        purchases("p_ts") <= errors("err_ts"),
+      "inner")
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

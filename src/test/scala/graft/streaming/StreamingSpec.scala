@@ -189,6 +189,43 @@ class StreamingSpec extends SparkSpec {
     assert(!engine.isHot("uservals") && engine.collectionExists("uservals"))
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf).as[Event].collect().toSeq
+    val stream = MemoryStream[Event]
+    val joined = Streaming.errorPurchaseJoin(stream.toDF(), "2 hours")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory")
+      .queryName("ss_join")
+      .start()
+    stream.addData(events)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("ss_join")
+      .groupBy("err_id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // batch oracle: same pairing computed directly
+    val purchases = events.filter(_.event_type == "purchase")
+    val want = events
+      .filter(_.event_type == "error")
+      .map { e =>
+        e.event_id -> purchases
+          .count(p =>
+            p.user_id == e.user_id &&
+              p.ts.getTime > e.ts.getTime - 3600000L && p.ts.getTime <= e.ts.getTime)
+          .toLong
+      }
+      .filter(_._2 > 0)
+      .toMap
+    assert(got == want)
+  }
+
   test("session windows produce bounded state output") {
     import spark.implicits._
     val dir = stagedEventsDir()
