@@ -115,6 +115,34 @@ object TimeSeriesOps {
     scaffold.join(daily, Seq(keyCol, "day"), "left")
   }
 
+  /** Gap-fill with linear interpolation: dense daily scaffold per key, and
+    * days without data get `prev + (next-prev) * elapsed/gap` from the
+    * nearest real observations on both sides (ends stay at the boundary
+    * value). One shuffle on the key; the carry-forward/backward passes are
+    * windows inside that partitioning.
+    */
+  def gapFillInterpolateDaily(df: DataFrame, keyCol: String, tsCol: String, valueAgg: Column): DataFrame = {
+    val filled = gapFillDaily(df, keyCol, tsCol, Seq(valueAgg.as("v")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val fwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(bwd))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(bwd))
+      .withColumn(
+        "v_interp",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              (unix_micros(col("day")) - unix_micros(col("pd"))).cast("double") /
+              (unix_micros(col("nd")) - unix_micros(col("pd"))).cast("double")))
+      .select(col(keyCol), col("day"), col("v"), col("v_interp"))
+  }
+
   /** Sessionize: new session when the gap to the previous event of the same
     * key exceeds `gapMinutes`. Two window passes, one shuffle.
     */

@@ -263,8 +263,47 @@ object EventQueries {
       |  count(*) AS volume
       |FROM e GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
+  /** Gap-fill with linear interpolation over the daily max series: missing
+    * days get prev + (next-prev)·elapsed/gap; boundary gaps carry the edge
+    * value. (Daily max keeps the series value FP-exact on both engines.)
+    */
+  def q54(s: SparkSession, d: String): DataFrame =
+    TimeSeriesOps
+      .gapFillInterpolateDaily(Tables.events(s, d), "user_id", "ts", max(col("value")))
+      .select(
+        col("user_id"),
+        col("day"),
+        coalesce(col("v"), lit(-1.0)).as("v_raw"),
+        Det.r6(col("v_interp")).as("v_interp"))
+      .orderBy(col("user_id"), col("day"))
+
+  val q54Sql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, max(value) AS v
+       |  FROM events GROUP BY user_id, day),
+       |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+       |scaffold AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans),
+       |j AS (SELECT s.user_id, s.day, dl.v
+       |      FROM scaffold s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.day = dl.day),
+       |f AS (SELECT user_id, day, v,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM j)
+       |SELECT user_id, day, coalesce(v, -1.0) AS v_raw,
+       |  ${Det.sqlR(
+        """CASE WHEN v IS NOT NULL THEN v
+          |       WHEN pv IS NULL THEN nv
+          |       WHEN nv IS NULL THEN pv
+          |       ELSE pv + (nv - pv) * CAST(epoch_us(day) - epoch_us(pd) AS DOUBLE) / CAST(epoch_us(nd) - epoch_us(pd) AS DOUBLE)
+          |  END""".stripMargin,
+        6)} AS v_interp
+       |FROM f ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q52_rate_of_change" -> (q52 _),
+    "q54_gapfill_interpolate" -> (q54 _),
     "q53_ohlc_downsample" -> (q53 _),
     "q13_hourly_downsample" -> (q13 _),
     "q14_daily_user_downsample" -> (q14 _),
@@ -279,6 +318,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q52_rate_of_change" -> q52Sql,
+    "q54_gapfill_interpolate" -> q54Sql,
     "q53_ohlc_downsample" -> q53Sql,
     "q13_hourly_downsample" -> q13Sql,
     "q14_daily_user_downsample" -> q14Sql,

@@ -69,6 +69,21 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(u1.count(_.isNullAt(2)) == 2) // two zero-filled days
   }
 
+  test("interpolated gap-fill: midpoint of a 2-day gap is the value midpoint") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 10.0),
+      (1L, ts("2024-01-04 12:00:00"), 40.0)) // Jan 2, 3 missing
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeriesOps
+      .gapFillInterpolateDaily(df, "user_id", "ts", max(col("value")))
+      .orderBy("day")
+      .select("v_interp")
+      .collect()
+      .map(_.getDouble(0))
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+  }
+
   test("sessionize splits on gaps strictly greater than the threshold") {
     import spark.implicits._
     val df = Seq(
