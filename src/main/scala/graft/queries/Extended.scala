@@ -331,10 +331,36 @@ object Extended {
       |  CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Pivot: one column per event type (explicit value list keeps the
+    * output schema static — mandatory at scale, where an inferred pivot
+    * would scan for distinct values first).
+    */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types
+      .foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  val q55Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
     "q51_array_agg" -> (q51 _),
+    "q55_pivot" -> (q55 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -352,6 +378,7 @@ object Extended {
     "q44_asof_join_native" -> EventQueries.q18Sql,
     "q50_map_json_functions" -> q50Sql,
     "q51_array_agg" -> q51Sql,
+    "q55_pivot" -> q55Sql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,
