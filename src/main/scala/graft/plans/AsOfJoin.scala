@@ -64,10 +64,16 @@ case class AsOfJoinExec(
 
   /** Hash-cluster both sides on the key: EnsureRequirements inserts the
     * exchanges; identical key values land in identical partition ids on
-    * both sides (same hash function, same partition count).
+    * both sides (same hash function, same partition count). The partition
+    * count is pinned explicitly: doExecute zips the two children partition-
+    * by-partition, so AQE must never coalesce one side independently —
+    * a required count makes that contract structural, not incidental.
     */
-  override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n) ::
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n) :: Nil
+  }
 
   /** Sorted merge input: (key, ts) left; (key, ts, tie) right so the last
     * candidate seen at equal ts is the max-tie row.
