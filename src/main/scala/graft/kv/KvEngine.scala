@@ -79,17 +79,23 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     (h ++ listCold()).distinct.sorted
   }
 
-  private def listCold(): Seq[String] =
-    Files.list(Paths.get(dataDir)).iterator.asScala
+  private def listCold(): Seq[String] = {
+    val s = Files.list(Paths.get(dataDir))
+    try s.iterator.asScala
       .filter(p => Files.isDirectory(p) && idRe.matches(p.getFileName.toString))
       .map(_.getFileName.toString)
       .toVector
+    finally s.close()
+  }
 
   def isHotTier(id: String): Boolean = lock.synchronized(hot.contains(id))
 
   private def coldExists(id: String): Boolean =
-    Files.isDirectory(coldPath(id)) &&
-      Files.list(coldPath(id)).iterator.asScala.exists(_.toString.endsWith(".parquet"))
+    Files.isDirectory(coldPath(id)) && {
+      val s = Files.list(coldPath(id))
+      try s.iterator.asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
 
   def collectionExists(id: String): Boolean = isHotTier(id) || coldExists(id)
 

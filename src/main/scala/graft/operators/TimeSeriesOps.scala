@@ -81,10 +81,7 @@ object TimeSeriesOps {
     val rTagged = right
       .select((col(keyCol) +: col(rightTs).as("__ts") +: col(rightTie).cast("long").as("__tie") +: carried): _*)
       .withColumn("__side", lit(0))
-    val unioned = lTagged
-      .withColumn("__grp", lit(null: String)) // placeholder removed below; keeps unionByName simple
-      .drop("__grp")
-      .unionByName(rTagged, allowMissingColumns = true)
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // Order purchases (side=0) before left rows (side=1) at equal ts so an
     // equal-ts right row is visible to the left row.
     val w = Window

@@ -56,11 +56,13 @@ object Streaming {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
-  case class KeyedValue(user_id: Long, last_ts: java.sql.Timestamp, last_value: Double)
+  case class KeyedValue(user_id: Long, last_ts: java.sql.Timestamp, last_id: Long, last_value: Double)
 
   /** Stateful last-value-per-key — the streaming successor of the hot
     * tier's upsert map (reference `hot.go:50-60`): state per user holds the
-    * latest (ts, value); each micro-batch emits updated keys.
+    * latest (ts, event_id, value); each micro-batch emits updated keys.
+    * The event_id rides in the state so equal-timestamp ties resolve
+    * exactly like the batch last-write-wins (q21).
     */
   def lastValueState(events: Dataset[Event]): Dataset[KeyedValue] = {
     val spark = events.sparkSession
@@ -70,9 +72,9 @@ object Streaming {
       .mapGroupsWithState[KeyedValue, KeyedValue](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[KeyedValue]) =>
           val prev = state.getOption
-          val latest = (prev.map(p => Event(0L, p.last_ts, uid, "", p.last_value, "")).iterator ++ rows)
+          val latest = (prev.map(p => Event(p.last_id, p.last_ts, uid, "", p.last_value, "")).iterator ++ rows)
             .maxBy(e => (e.ts.getTime, e.event_id))
-          val next = KeyedValue(uid, latest.ts, latest.value)
+          val next = KeyedValue(uid, latest.ts, latest.event_id, latest.value)
           state.update(next)
           next
       }
