@@ -32,6 +32,19 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed catalog table: rows hash-bucketed by `bucketCol` at write
+    * time, so later equi-joins/aggregations on that column read
+    * co-located buckets and skip the shuffle entirely — the standard
+    * layout investment for a fact table joined on the same key every day.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -25,6 +25,27 @@ class SourcesSpec extends SparkSpec {
       jsonBack.agg(sum("event_id")).head.getLong(0) == full.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Sources.writeBucketedTable(li, "li_bucketed", "l_orderkey", 8)
+    Sources.writeBucketedTable(o, "o_bucketed", "o_orderkey", 8)
+    val joined = spark
+      .table("li_bucketed")
+      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    // disable broadcast so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan) // buckets are pre-shuffled
+      assert(joined.count() == li.select("l_orderkey").distinct().count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("partitioned parquet sink enables partition pruning on read") {
     val ev = graft.core.Tables.events(spark, sf)
     val dir = Files.createTempDirectory("src").toString
