@@ -29,6 +29,19 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val li = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val o = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // a prior JVM's managed-table dirs survive in spark-warehouse while the
+    // in-memory catalog starts empty — clear both sides first
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Sources.writeBucketedTable(li, "li_bucketed", "l_orderkey", 8)
     Sources.writeBucketedTable(o, "o_bucketed", "o_orderkey", 8)
     val joined = spark
