@@ -27,7 +27,16 @@ object Catalog {
     tableNames
   }
 
-  /** List the registered graft views — the `ListCollections` analogue. */
+  /** List the registered graft views — the `ListCollections` analogue.
+    * Filtered to the graft table set: the session catalog may also hold
+    * user views and managed tables that are not ours to report.
+    */
   def listTables(spark: SparkSession): Seq[String] =
-    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+    spark.catalog
+      .listTables()
+      .collect()
+      .map(_.name)
+      .filter(tableNames.contains)
+      .toSeq
+      .sorted
 }

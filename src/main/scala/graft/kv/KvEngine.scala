@@ -107,18 +107,26 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
 
   // ---- tier movement (reference engine.go:100-137) ----
 
-  /** Cold → hot: install the parquet scan (cached) as the hot base. */
-  def loadCollection(id: String): Unit = {
+  /** Cold → hot: install the parquet scan (cached) as the hot base.
+    * Holds the engine lock so a concurrent writer's overlay is never
+    * silently replaced.
+    */
+  def loadCollection(id: String): Unit = lock.synchronized {
+    if (hot.contains(id)) return // concurrent loader/writer won; keep its overlay
     if (!coldExists(id)) throw NoSuchCollectionException(id)
     val df = spark.read.schema(schema).parquet(coldPath(id).toString).cache()
-    lock.synchronized(hot(id) = Hot(Some(df), mutable.LinkedHashMap.empty))
+    hot(id) = Hot(Some(df), mutable.LinkedHashMap.empty)
   }
 
   /** Hot → cold *move*: persist merged view then evict (reference flush is
     * an eviction, not a checkpoint — `engine.go:113-121`).
     */
-  def flushCollection(id: String): Unit = {
-    val h = lock.synchronized(hot.getOrElse(id, throw CollectionNotHotException(id)))
+  def flushCollection(id: String): Unit = lock.synchronized {
+    // the lock is held across snapshot+write+evict: a write acknowledged
+    // concurrently must never vanish into a stale snapshot (the engine is
+    // a driver-side control plane; serializing flushes with writes is the
+    // correctness-first trade)
+    val h = hot.getOrElse(id, throw CollectionNotHotException(id))
     val merged = materialize(h)
     // Write via a temp dir then swap: the hot base may itself be a scan of
     // coldPath(id), and overwriting a parquet dir that is concurrently read
@@ -128,9 +136,7 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     val target = coldPath(id)
     if (Files.exists(target)) deleteRec(target)
     Files.move(Paths.get(tmp), target)
-    lock.synchronized {
-      hot.remove(id).foreach(_.base.foreach(_.unpersist()))
-    }
+    hot.remove(id).foreach(_.base.foreach(_.unpersist()))
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
@@ -174,8 +180,8 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     * hot miss loads the collection from cold, then reads. The base probe is
     * a pushed-down parquet filter, not a full scan.
     */
-  def readKey(id: String, key: String): String = {
-    val h = lock.synchronized(hot.get(id))
+  def readKey(id: String, key: String): String = lock.synchronized {
+    val h = hot.get(id)
     h match {
       case Some(hc) =>
         hc.overlay.get(key) match {
@@ -201,12 +207,12 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     * (reference `WriteKey` + `LoadCollectionIfNotPresent`,
     * `engine.go:175-222`).
     */
-  def writeKey(id: String, key: String, value: String): Unit = {
+  def writeKey(id: String, key: String, value: String): Unit = lock.synchronized {
     loadCollectionIfNotPresent(id)
-    lock.synchronized(hot(id).overlay(key) = value)
+    hot(id).overlay(key) = value
   }
 
-  def loadCollectionIfNotPresent(id: String): Unit = {
+  def loadCollectionIfNotPresent(id: String): Unit = lock.synchronized {
     if (isHotTier(id)) return
     if (coldExists(id)) { loadCollection(id); return }
     if (!autoCreate) throw NoSuchCollectionException(id)

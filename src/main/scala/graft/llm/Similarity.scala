@@ -17,13 +17,24 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** Shared top-k tail for every search variant: rank by the *rounded*
+    * similarity (stable under FP reassociation) with vec_id tie-break.
+    * Expects columns (qid, vec_id, sim). One definition keeps the exact /
+    * LSH / IVF variants' ranking semantics in lockstep — they are cross-
+    * validated against each other in tests.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` is expected to
     * be small (it is broadcast); the corpus is never shuffled — the join is
     * a broadcast nested loop, the per-partition top-k is a window with
     * rank-limit pushdown.
-    *
-    * Similarity is rounded (fixed-point) *before* ranking so ranking is
-    * stable under FP reassociation; ties break on vec_id.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -31,11 +42,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    topK(scored, k)
   }
 
   /** All near-duplicate pairs (cosine ≥ threshold) within coarse blocks.
@@ -118,12 +125,8 @@ object Similarity {
     val scored = corpusCells
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", graft.core.Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topK)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+      .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
+    this.topK(scored, topK)
   }
 
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by
@@ -143,10 +146,6 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), col("sim"), col("rk"))
+    topK(scored, k)
   }
 }

@@ -145,12 +145,14 @@ object TimeSeriesOps {
     */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // gap measured in exact microseconds — cast("long") would truncate to
+    // seconds and disagree with sub-second timestamps near the threshold
     df.withColumn("__prev", lag(col(tsCol), 1).over(w))
       .withColumn(
         "__new",
         when(
           col("__prev").isNull ||
-            col(tsCol).cast("long") - col("__prev").cast("long") > gapMinutes * 60L,
+            unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapMinutes * 60000000L,
           1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__prev", "__new")

@@ -111,16 +111,19 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkv = lKeyExpr.eval(l)
-          if (lkv == null) return toUnsafe(joined(l, nullRight))
-          val ltv = lTsExpr.eval(l).asInstanceOf[Long]
+          val ltvBoxed = lTsExpr.eval(l)
+          // null key or null ts on the left can never match anything
+          if (lkv == null || ltvBoxed == null) return toUnsafe(joined(l, nullRight))
+          val ltv = ltvBoxed.asInstanceOf[Long]
           var scanning = true
           while (scanning && rHead != null) {
             val rkv = rKeyExpr.eval(rHead)
-            if (rkv == null) advanceRight() // null keys never match; sorted first
+            val rtv = rTsExpr.eval(rHead)
+            if (rkv == null || rtv == null) advanceRight() // non-matchable; nulls sort first
             else {
               val c = keyOrd.compare(rkv, lkv)
               if (c < 0) advanceRight()
-              else if (c == 0 && rTsExpr.eval(rHead).asInstanceOf[Long] <= ltv) {
+              else if (c == 0 && rtv.asInstanceOf[Long] <= ltv) {
                 candidate = rHead.copy() // rows from sorted exchanges are reused buffers
                 candidateKey = rkv
                 advanceRight()

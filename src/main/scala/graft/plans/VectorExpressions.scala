@@ -90,11 +90,19 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lsh_bucket"
 
+  /** Like CosineSimExpr: dispatch on the array element type — getFloat on
+    * a double-backed unsafe array reads half a slot of garbage.
+    */
+  private def elemIsDouble: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any =
-    LshBucketExpr.eval(a.asInstanceOf[ArrayData], planes, dims)
+    LshBucketExpr.eval(a.asInstanceOf[ArrayData], planes, dims, elemIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.plans.LshBucketExpr.eval($a, $planes, $dims)")
+    defineCodeGen(ctx, ev, a => s"graft.plans.LshBucketExpr.eval($a, $planes, $dims, $elemIsDouble)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -104,7 +112,7 @@ object LshBucketExpr {
   /** Static evaluation entry for generated code (keeps the codegen'd method
     * tiny; the loop JITs the same either way).
     */
-  def eval(v: ArrayData, planes: Int, dims: Int): Long = {
+  def eval(v: ArrayData, planes: Int, dims: Int, elemIsDouble: Boolean): Long = {
     val n = math.min(dims, v.numElements())
     var bucket = 0L
     var p = 0
@@ -113,7 +121,8 @@ object LshBucketExpr {
       var i = 0
       while (i < n) {
         val w = (((1103515245L * (p * dims + i) + 12345L) % 65536L) - 32768L).toDouble
-        proj += v.getFloat(i).toDouble * w
+        val x = if (elemIsDouble) v.getDouble(i) else v.getFloat(i).toDouble
+        proj += x * w
         i += 1
       }
       if (proj > 0) bucket |= (1L << p)

@@ -210,7 +210,11 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    // batch oracle: same pairing computed directly
+    // batch oracle: same pairing computed directly, at full microsecond
+    // precision (getTime alone truncates to ms and can disagree near the
+    // window boundary)
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val purchases = events.filter(_.event_type == "purchase")
     val want = events
       .filter(_.event_type == "error")
@@ -218,7 +222,7 @@ class StreamingSpec extends SparkSpec {
         e.event_id -> purchases
           .count(p =>
             p.user_id == e.user_id &&
-              p.ts.getTime > e.ts.getTime - 3600000L && p.ts.getTime <= e.ts.getTime)
+              micros(p.ts) > micros(e.ts) - 3600000000L && micros(p.ts) <= micros(e.ts))
           .toLong
       }
       .filter(_._2 > 0)
