@@ -246,7 +246,46 @@ object TextQueries {
        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, count(*) AS n_shingles
        |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-3 terms per document. tf and df are integer counts; idf is
+    * ln(N/df) of identical doubles on both engines; ranking runs on the
+    * rounded score with a term tie-break, so order is deterministic.
+    */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count() // dimension-sized count, driver-side by design
+    val toks = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("tok")).distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfreq, Seq("tok"))
+      .withColumn("score", Det.r6(col("tf") * log(lit(n.toDouble) / col("df"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q56Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+       |dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tk) t GROUP BY tok),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tok, ${Det.sqlR("tf * ln(n.n / df)", 6)} AS score
+       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+       |rked AS (
+       |  SELECT doc_id, tok, score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, tok, score FROM rked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q56_tfidf_top_terms" -> (q56 _),
     "q23_dedup_exact" -> (q23 _),
     "q24_ngram_jaccard_pairs" -> (q24 _),
     "q25_minhash_signatures" -> (q25 _),
@@ -258,6 +297,7 @@ object TextQueries {
     "q31_doc_fingerprint" -> (q31 _))
 
   val oracles: Map[String, String] = Map(
+    "q56_tfidf_top_terms" -> q56Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_ngram_jaccard_pairs" -> q24Sql,
     "q25_minhash_signatures" -> q25Sql,

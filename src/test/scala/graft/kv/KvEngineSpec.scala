@@ -90,6 +90,25 @@ class KvEngineSpec extends SparkSpec {
     assert(e.collection("c1").count() == 3)
   }
 
+  test("no acknowledged write is lost under concurrent writes and flushes") {
+    val e = freshEngine()
+    e.writeKey("conc", "seed", "0")
+    val writers = (1 to 4).map { t =>
+      new Thread(() => (0 until 25).foreach(i => e.writeKey("conc", s"k_${t}_$i", s"v_${t}_$i")))
+    }
+    val flusher = new Thread(() => (0 until 5).foreach { _ =>
+      try e.flushCollection("conc")
+      catch { case _: CollectionNotHotException => () } // raced with another flush: fine
+    })
+    (writers :+ flusher).foreach(_.start())
+    (writers :+ flusher).foreach(_.join())
+    // every acknowledged write must be readable afterwards
+    (1 to 4).foreach(t => (0 until 25).foreach { i =>
+      assert(e.readKey("conc", s"k_${t}_$i") == s"v_${t}_$i", s"lost k_${t}_$i")
+    })
+    assert(e.readKey("conc", "seed") == "0")
+  }
+
   test("flushAll collects errors instead of failing fast (engine.go:128-137)") {
     val e = freshEngine()
     e.writeKey("a", "k", "v")

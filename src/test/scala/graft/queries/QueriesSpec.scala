@@ -41,6 +41,11 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ranked top-k plans as WindowGroupLimit, not a global sort (q04)") {
+    val plan = Relational.q04(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("scalar udf surface works but the native form matches it (prefer codegen)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
