@@ -301,9 +301,37 @@ object EventQueries {
         6)} AS v_interp
        |FROM f ORDER BY user_id, day""".stripMargin
 
+  /** Final EWMA (α=0.2) per user — a sequential recurrence expressed as a
+    * deterministic left fold over the time-ordered value array
+    * (`aggregate` HOF in Spark, `list_reduce` in DuckDB; both seed with the
+    * first element and apply 0.2·v + 0.8·acc in identical order). Per-key
+    * arrays are bounded by series length — the same per-key-state budget
+    * any stateful TSDB op carries.
+    */
+  def q57(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, value))), p -> p.value)").as("vals"),
+        count(lit(1)).as("n"))
+      .withColumn(
+        "ewma",
+        Det.r6(expr("aggregate(slice(vals, 2, size(vals) - 1), vals[0], (acc, v) -> 0.2D * v + 0.8D * acc)")))
+      .select(col("user_id"), col("n"), col("ewma"))
+      .orderBy(col("user_id"))
+
+  val q57Sql: String =
+    s"""SELECT user_id, count(*) AS n,
+       |  ${Det.sqlR(
+        "list_reduce(list(value ORDER BY ts, event_id), (acc, v) -> 0.2::DOUBLE * v + 0.8::DOUBLE * acc)",
+        6)} AS ewma
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q52_rate_of_change" -> (q52 _),
     "q54_gapfill_interpolate" -> (q54 _),
+    "q57_ewma" -> (q57 _),
     "q53_ohlc_downsample" -> (q53 _),
     "q13_hourly_downsample" -> (q13 _),
     "q14_daily_user_downsample" -> (q14 _),
@@ -319,6 +347,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q52_rate_of_change" -> q52Sql,
     "q54_gapfill_interpolate" -> q54Sql,
+    "q57_ewma" -> q57Sql,
     "q53_ohlc_downsample" -> q53Sql,
     "q13_hourly_downsample" -> q13Sql,
     "q14_daily_user_downsample" -> q14Sql,
