@@ -25,6 +25,12 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Deliberately KEEP the INT96 parquet timestamp default for dumps the
+    // oracle compare reads: INT96 round-trips through arrow as a *naive*
+    // timestamp (values stringify identically to DuckDB's naive
+    // timestamp[us]); TIMESTAMP_MICROS would tag tz=UTC and make every
+    // timestamp value tz-aware ('+00:00') — a hash mismatch against the
+    // oracle even when the instants are equal.
     // InferFiltersFromGenerate re-derives `size(arr)>0` filters by inlining
     // the full generator expression through projections — for our staged
     // tokenize→shingle pipelines that re-evaluates the tokenization ~8x per

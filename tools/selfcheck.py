@@ -52,6 +52,10 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = table_rows(got)
         ec, er = table_rows(exp)
+        # dtype note: exact pyarrow dtypes legitimately differ between the
+        # engines (INT96 -> naive timestamp[ns] vs duckdb timestamp[us];
+        # list element names/nullability) — values are what must match, so
+        # schema comparison stays name-based like the driver's.
         if gc != ec:
             results[name] = f"SCHEMA: spark={gc} duck={ec}"
         elif len(gr) != len(er):
