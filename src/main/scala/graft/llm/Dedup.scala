@@ -82,6 +82,32 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Dedup against a reference corpus: drop rows whose text digest already
+    * appears in `corpus` (decontamination / already-trained-on filtering).
+    * An anti join on 16-byte digests — the corpus side ships digests only,
+    * so at 100 TB the join input is gigabytes, not the corpus.
+    */
+  def againstCorpus(df: DataFrame, idCol: String, textCol: String, corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(corpusTextCol)).as("__h")).distinct()
+    df.withColumn("__h", md5(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Deterministic stratified sample: keep ~`fraction` of rows per stratum,
+    * chosen by a hash of the id — reproducible across runs and engines
+    * (unlike `sampleBy`'s RNG), and exact for a fixed dataset. The standard
+    * trick for down-sampling over-represented sources in a training mix.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String, fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(1.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    // uniform in [0,1): low 30 bits of the portable hash
+    val u = (Text.hash60(col(idCol).cast("string")) % lit(1073741824L)).cast("double") / 1073741824.0
+    df.filter(u < frac)
+  }
+
   /** 16-component minhash signature per doc (columns m0..m15).
     *
     * No distinct before the aggregation: min over the shingle multiset

@@ -284,7 +284,48 @@ object TextQueries {
        |  FROM scored)
        |SELECT doc_id, rk, tok, score FROM rked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Corpus decontamination: drop documents whose text already appears in
+    * a reference slice (here: every 7th doc plays the "seen corpus").
+    */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    Dedup
+      .againstCorpus(docs, "doc_id", "text", corpus, "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    """SELECT doc_id, lang, source FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id % 7 = 0 AND md5(c.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Text normalization pipeline: lowercase → strip non-alnum → collapse
+    * whitespace → trim; digest keeps the output narrow.
+    */
+  def q59(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .as("norm_hash"),
+        length(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .cast("long")
+          .as("norm_len"))
+      .orderBy(col("doc_id"))
+
+  val q59Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q58_dedup_against_corpus" -> (q58 _),
+    "q59_text_normalize" -> (q59 _),
     "q56_tfidf_top_terms" -> (q56 _),
     "q23_dedup_exact" -> (q23 _),
     "q24_ngram_jaccard_pairs" -> (q24 _),
@@ -297,6 +338,8 @@ object TextQueries {
     "q31_doc_fingerprint" -> (q31 _))
 
   val oracles: Map[String, String] = Map(
+    "q58_dedup_against_corpus" -> q58Sql,
+    "q59_text_normalize" -> q59Sql,
     "q56_tfidf_top_terms" -> q56Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_ngram_jaccard_pairs" -> q24Sql,

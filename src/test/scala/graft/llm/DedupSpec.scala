@@ -54,6 +54,32 @@ class DedupSpec extends SparkSpec {
     assert(high.subsetOf(cand), s"missed: ${high -- cand}")
   }
 
+  test("againstCorpus removes exactly the overlap, keeps the rest") {
+    import spark.implicits._
+    val corpus = docs.filter($"doc_id" < 100)
+    val kept = Dedup.againstCorpus(docs, "doc_id", "text", corpus, "text")
+    // corpus texts are gone
+    assert(kept.filter($"doc_id" < 100).count() == 0)
+    // nothing else lost (all texts distinct in the fixture)
+    assert(kept.count() == docs.count() - 100)
+    // idempotent
+    assert(Dedup.againstCorpus(kept, "doc_id", "text", corpus, "text").count() == kept.count())
+  }
+
+  test("stratified hash sample is deterministic and roughly honors fractions") {
+    import spark.implicits._
+    val fr = Map("en" -> 0.5, "zh" -> 0.0)
+    val s1 = Dedup.stratifiedSampleByHash(docs, "doc_id", "lang", fr)
+    val s2 = Dedup.stratifiedSampleByHash(docs, "doc_id", "lang", fr)
+    assert(s1.orderBy("doc_id").collect().sameElements(s2.orderBy("doc_id").collect()))
+    assert(s1.filter($"lang" === "zh").count() == 0)
+    val enTotal = docs.filter($"lang" === "en").count().toDouble
+    val enKept = s1.filter($"lang" === "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.5) < 0.15, s"kept ${enKept / enTotal}")
+    // unlisted strata keep everything (default fraction 1.0)
+    assert(s1.filter($"lang" === "fr").count() == docs.filter($"lang" === "fr").count())
+  }
+
   test("jaccard of an identical pair is 1.0") {
     import spark.implicits._
     val two = docs.limit(1).unionByName(docs.limit(1).withColumn("doc_id", lit(999999L)))
