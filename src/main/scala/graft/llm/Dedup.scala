@@ -78,8 +78,11 @@ object Dedup {
       .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), Seq("a_id"))
       .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), Seq("b_id"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      // containment flags subset relationships (a near-complete doc inside a
+      // longer one) that symmetric jaccard under-scores
+      .withColumn("containment", col("inter").cast("double") / least(col("na"), col("nb")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("containment"))
   }
 
   /** Dedup against a reference corpus: drop rows whose text digest already

@@ -53,7 +53,8 @@ object TextQueries {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a_id, b_id)
-       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+       |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
        |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
@@ -323,7 +324,49 @@ object TextQueries {
       |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs: same-language blocking, Hamming distance ≤ 3
+    * over the 16-bit signatures (bit_count of xor — identical on both
+    * engines). Language blocking bounds the pair space; the full-scale
+    * path buckets on signature bands instead.
+    */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup
+      .simhash(Tables.documents(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val a = sig.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sig.select(col("lang"), col("doc_id").as("b_id"), col("simhash").as("sb"))
+    a.join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("lang"), col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("lang"), col("a_id"), col("b_id"))
+  }
+
+  val q60Sql: String = {
+    val votes = (0 until 16)
+      .map(j => s"  sum(${Text.sqlSimhashVote("h", j)}) AS s$j")
+      .mkString(",\n")
+    val fold = (0 until 16)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("tok")} AS h FROM tk),
+       |v AS (SELECT doc_id,
+       |$votes
+       |FROM hs GROUP BY doc_id),
+       |sig AS (
+       |  SELECT v.doc_id, CAST($fold AS BIGINT) AS simhash, d.lang
+       |  FROM v JOIN documents d ON d.doc_id = v.doc_id)
+       |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a.lang, a_id, b_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q60_simhash_neardup" -> (q60 _),
     "q58_dedup_against_corpus" -> (q58 _),
     "q59_text_normalize" -> (q59 _),
     "q56_tfidf_top_terms" -> (q56 _),
@@ -338,6 +381,7 @@ object TextQueries {
     "q31_doc_fingerprint" -> (q31 _))
 
   val oracles: Map[String, String] = Map(
+    "q60_simhash_neardup" -> q60Sql,
     "q58_dedup_against_corpus" -> q58Sql,
     "q59_text_normalize" -> q59Sql,
     "q56_tfidf_top_terms" -> q56Sql,
