@@ -80,6 +80,49 @@ object Streaming {
       }
   }
 
+  /** `transformWithState` processor (the arbitrary-state API that
+    * supersedes mapGroupsWithState): per-user running count + running sum
+    * kept in a typed ValueState, emitting the updated aggregate per batch.
+    * Requires the RocksDB state store provider (bundled).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserTotals](
+        "totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = Option(state.get()).getOrElse(UserTotals(key, 0L, 0.0))
+      val next = rows.foldLeft(prev)((acc, e) => UserTotals(key, acc.n + 1, acc.sum + e.value))
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  case class UserTotals(user_id: Long, n: Long, sum: Double)
+
+  /** Wire the processor onto a stream (TimeMode.None: no timers needed). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Stream-stream interval join: errors pick up same-user purchases from
     * the trailing hour. Both sides carry watermarks so the join state is
     * bounded — Spark retires buffered purchase rows once the watermark

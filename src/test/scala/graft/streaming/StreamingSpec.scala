@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     assert(!engine.isHot("uservals") && engine.collectionExists("uservals"))
   }
 
+  test("transformWithState running totals match batch aggregation across two batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = graft.core.Tables.events(spark, sf).as[Event].collect().toSeq
+      val (b1, b2) = events.splitAt(events.length / 3)
+      val stream = MemoryStream[Event]
+      val q = Streaming
+        .runningTotals(stream.toDS())
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory")
+        .queryName("tws_totals")
+        .start()
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark
+        .table("tws_totals")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val want = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      assert(got == want)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
