@@ -132,19 +132,29 @@ object Similarity {
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by
     * signature; candidates are same-bucket pairs; rank within candidates.
     * Recall is tunable by `planes` (fewer planes → bigger buckets → higher
-    * recall, more compute). Multi-probe (flipping one bit) would raise
-    * recall at equal bucket size — left for a later round.
+    * recall, more compute) and by `probes` (multi-probe: the query also
+    * visits every bucket at Hamming distance 1 — near-misses on a single
+    * hyperplane are the dominant failure mode, so probing 1-bit flips
+    * recovers most of them at planes+1 times the candidate volume,
+    * without growing the corpus-side state at all).
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int): DataFrame = {
-    val q = queries
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int, probes: Int = 1): DataFrame = {
+    val qBase = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .withColumn("bucket", Vectors.lshBucket(col("qe"), planes, dims))
+      .withColumn("bucket0", Vectors.lshBucket(col("qe"), planes, dims))
+    val flips =
+      if (probes <= 1) array(col("bucket0"))
+      else array((col("bucket0") +: (0 until planes).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qBase
+      .select(col("qid"), col("qe"), explode(flips).as("bucket"))
     val c = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      // multi-probe can reach the same candidate through several buckets
+      .dropDuplicates("qid", "vec_id")
       .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
     topK(scored, k)
   }

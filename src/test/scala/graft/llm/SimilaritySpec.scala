@@ -111,6 +111,28 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(bruteAll((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
   }
 
+  test("multi-probe LSH recall dominates single-probe against the brute-force top-1") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 20)
+    val bruteTop1 = Similarity
+      .cosineTopK(queries, emb, 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def recall(probes: Int): Double = {
+      val hits = Similarity
+        .lshTopK(queries, emb, 10, planes = 6, dims = 64, probes = probes)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      bruteTop1.count { case (q, v) => hits.contains((q, v)) }.toDouble / bruteTop1.size
+    }
+    val single = recall(1)
+    val multi = recall(2)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi > 0.0)
+  }
+
   test("blocked near-dup pairs stay within blocks and above threshold") {
     import spark.implicits._
     val out = Similarity.nearDupPairsBlocked(emb, "label", 0.35).collect()
