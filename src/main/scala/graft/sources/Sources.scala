@@ -45,6 +45,15 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink with zstd (column stats + predicate pushdown like parquet —
+    * the alternative columnar interchange format).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -25,6 +25,20 @@ class SourcesSpec extends SparkSpec {
       jsonBack.agg(sum("event_id")).head.getLong(0) == full.agg(sum("event_id")).head.getLong(0))
   }
 
+  test("orc round-trips with zstd and pushes filters to the scan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("orc").toString
+    Sources.writeOrc(ev, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.count() == ev.count())
+    assert(
+      back.agg(sum("event_id")).head.getLong(0) == ev.agg(sum("event_id")).head.getLong(0))
+    val pruned = back.filter(col("event_type") === "error").select("event_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"), plan)
+  }
+
   test("bucketed tables join without a shuffle") {
     import org.apache.spark.sql.functions._
     val li = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
