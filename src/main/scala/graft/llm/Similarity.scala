@@ -78,6 +78,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("centroid"))
       .withColumn("cid", expr("row_number() over (order by cid)") - 1)
     (1 to iters).foreach { _ =>
+      val prev = centroids
       val assigned = assignCells(emb, centroids)
       centroids = assigned
         .join(emb, Seq("vec_id"))
@@ -87,7 +88,9 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"), expr("transform(pairs, p -> p.m)").as("centroid"))
-      centroids = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centroids.count() // materialize before releasing the previous iteration's cache
+      prev.unpersist()
     }
     centroids
   }

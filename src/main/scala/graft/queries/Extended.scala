@@ -356,11 +356,32 @@ object Extended {
       |  count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The SQL interface, verified end-to-end: this exact string executes on
+    * BOTH engines — Spark runs it over the [[graft.core.Catalog]] temp
+    * views, DuckDB runs it as the oracle. One dialect-portable text, two
+    * engines, one hash.
+    */
+  val q61SharedSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+      |    floor(sum(value)*100+0.5)/100 AS sv
+      |  FROM events GROUP BY user_id, date_trunc('day', ts))
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS active_days,
+      |  floor(sum(sv)*100+0.5)/100 AS total,
+      |  CAST(max(n) AS BIGINT) AS busiest_day_events
+      |FROM daily GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def q61(s: SparkSession, d: String): DataFrame = {
+    graft.core.Catalog.registerAll(s, d)
+    s.sql(q61SharedSql)
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
     "q51_array_agg" -> (q51 _),
     "q55_pivot" -> (q55 _),
+    "q61_shared_sql" -> (q61 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -379,6 +400,7 @@ object Extended {
     "q50_map_json_functions" -> q50Sql,
     "q51_array_agg" -> q51Sql,
     "q55_pivot" -> q55Sql,
+    "q61_shared_sql" -> q61SharedSql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,
