@@ -54,7 +54,19 @@ object Dedup {
     * for dropped shingles) is acceptable for dedup and disabled (0) for
     * oracle-checked runs.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double, maxShingleDf: Long = 0L): DataFrame = {
+  /** @param containmentThreshold when ≤ 1.0, pairs also survive on
+    *   containment alone — catching a short doc fully embedded in a long
+    *   one, which symmetric jaccard under-scores below `threshold`.
+    *   Default (>1) keeps pure-jaccard gating.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Long = 0L,
+      containmentThreshold: Double = 2.0): DataFrame = {
     // The distinct shingle set feeds four plan branches (sizes + both join
     // sides [+ df-filter]); persist it once instead of re-exploding the
     // corpus per branch. MEMORY_AND_DISK: spills, never OOMs.
@@ -81,7 +93,7 @@ object Dedup {
       // containment flags subset relationships (a near-complete doc inside a
       // longer one) that symmetric jaccard under-scores
       .withColumn("containment", col("inter").cast("double") / least(col("na"), col("nb")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold || col("containment") >= containmentThreshold)
       .select(col("a_id"), col("b_id"), col("jaccard"), col("containment"))
   }
 
@@ -90,7 +102,7 @@ object Dedup {
     * An anti join on 16-byte digests — the corpus side ships digests only,
     * so at 100 TB the join input is gigabytes, not the corpus.
     */
-  def againstCorpus(df: DataFrame, idCol: String, textCol: String, corpus: DataFrame, corpusTextCol: String): DataFrame = {
+  def againstCorpus(df: DataFrame, textCol: String, corpus: DataFrame, corpusTextCol: String): DataFrame = {
     val seen = corpus.select(md5(col(corpusTextCol)).as("__h")).distinct()
     df.withColumn("__h", md5(col(textCol)))
       .join(seen, Seq("__h"), "left_anti")

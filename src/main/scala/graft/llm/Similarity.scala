@@ -136,29 +136,29 @@ object Similarity {
     * signature; candidates are same-bucket pairs; rank within candidates.
     * Recall is tunable by `planes` (fewer planes → bigger buckets → higher
     * recall, more compute) and by `probes` (multi-probe: the query also
-    * visits every bucket at Hamming distance 1 — near-misses on a single
-    * hyperplane are the dominant failure mode, so probing 1-bit flips
-    * recovers most of them at planes+1 times the candidate volume,
-    * without growing the corpus-side state at all).
+    * visits `probes - 1` buckets at Hamming distance 1 — near-misses on a
+    * single hyperplane are the dominant failure mode, so probing 1-bit
+    * flips recovers them at `probes`× the candidate volume, without
+    * growing the corpus-side state at all).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int, probes: Int = 1): DataFrame = {
     val qBase = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("bucket0", Vectors.lshBucket(col("qe"), planes, dims))
+    val nFlips = math.min(planes, math.max(0, probes - 1))
     val flips =
-      if (probes <= 1) array(col("bucket0"))
-      else array((col("bucket0") +: (0 until planes).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
+      array((col("bucket0") +: (0 until nFlips).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
     val q = qBase
       .select(col("qid"), col("qe"), explode(flips).as("bucket"))
     val c = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
-    val scored = c
+    val joined = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      // multi-probe can reach the same candidate through several buckets
-      .dropDuplicates("qid", "vec_id")
-      .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
-    topK(scored, k)
+    // multi-probe can reach the same candidate through several buckets;
+    // single-probe cannot — skip the dedup shuffle there
+    val candidates = if (nFlips > 0) joined.dropDuplicates("qid", "vec_id") else joined
+    topK(candidates.withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding")))), k)
   }
 }

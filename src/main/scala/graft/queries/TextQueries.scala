@@ -111,20 +111,28 @@ object TextQueries {
       .simhash(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val q27Sql: String = {
+  /** Shared simhash CTE chain (tk → hs → v → sig(doc_id, simhash)): ONE
+    * source of truth for the vote/fold SQL so q27 and q60 can never drift
+    * apart on the vote rule.
+    */
+  private val sqlSimhashSig: String = {
     val votes = (0 until 16)
       .map(j => s"  sum(${Text.sqlSimhashVote("h", j)}) AS s$j")
       .mkString(",\n")
     val fold = (0 until 16)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+    s"""tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
        |hs AS (SELECT doc_id, ${Text.sqlHash60("tok")} AS h FROM tk),
        |v AS (SELECT doc_id,
        |$votes
-       |FROM hs GROUP BY doc_id)
-       |SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM v)""".stripMargin
   }
+
+  val q27Sql: String =
+    s"""WITH $sqlSimhashSig
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
 
   // -- q28: language ID (marker-lexicon scoring) -----------------------
 
@@ -256,6 +264,8 @@ object TextQueries {
     val n = docs.count() // dimension-sized count, driver-side by design
     val toks = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // tf and df both consume the exploded tokens — persist once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col("doc_id"), col("tok")).distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = tf
@@ -292,7 +302,7 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") % 7 === 0)
     Dedup
-      .againstCorpus(docs, "doc_id", "text", corpus, "text")
+      .againstCorpus(docs, "text", corpus, "text")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }
@@ -333,6 +343,9 @@ object TextQueries {
     val sig = Dedup
       .simhash(Tables.documents(s, d), "doc_id", "text")
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // both self-join sides scan sig: persist like the other self-joining
+      // dedup operators (the signature table is tiny — id + long + lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("sa"))
     val b = sig.select(col("lang"), col("doc_id").as("b_id"), col("simhash").as("sb"))
     a.join(b, Seq("lang"))
@@ -343,27 +356,16 @@ object TextQueries {
       .orderBy(col("lang"), col("a_id"), col("b_id"))
   }
 
-  val q60Sql: String = {
-    val votes = (0 until 16)
-      .map(j => s"  sum(${Text.sqlSimhashVote("h", j)}) AS s$j")
-      .mkString(",\n")
-    val fold = (0 until 16)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
-       |hs AS (SELECT doc_id, ${Text.sqlHash60("tok")} AS h FROM tk),
-       |v AS (SELECT doc_id,
-       |$votes
-       |FROM hs GROUP BY doc_id),
-       |sig AS (
-       |  SELECT v.doc_id, CAST($fold AS BIGINT) AS simhash, d.lang
-       |  FROM v JOIN documents d ON d.doc_id = v.doc_id)
+  val q60Sql: String =
+    s"""WITH $sqlSimhashSig,
+       |sigl AS (
+       |  SELECT sig.doc_id, sig.simhash, d.lang
+       |  FROM sig JOIN documents d ON d.doc_id = sig.doc_id)
        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY a.lang, a_id, b_id""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "q60_simhash_neardup" -> (q60 _),

@@ -57,13 +57,13 @@ class DedupSpec extends SparkSpec {
   test("againstCorpus removes exactly the overlap, keeps the rest") {
     import spark.implicits._
     val corpus = docs.filter($"doc_id" < 100)
-    val kept = Dedup.againstCorpus(docs, "doc_id", "text", corpus, "text")
+    val kept = Dedup.againstCorpus(docs, "text", corpus, "text")
     // corpus texts are gone
     assert(kept.filter($"doc_id" < 100).count() == 0)
     // nothing else lost (all texts distinct in the fixture)
     assert(kept.count() == docs.count() - 100)
     // idempotent
-    assert(Dedup.againstCorpus(kept, "doc_id", "text", corpus, "text").count() == kept.count())
+    assert(Dedup.againstCorpus(kept, "text", corpus, "text").count() == kept.count())
   }
 
   test("stratified hash sample is deterministic and roughly honors fractions") {
@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(enKept / enTotal - 0.5) < 0.15, s"kept ${enKept / enTotal}")
     // unlisted strata keep everything (default fraction 1.0)
     assert(s1.filter($"lang" === "fr").count() == docs.filter($"lang" === "fr").count())
+  }
+
+  test("containment threshold surfaces subset pairs that jaccard misses") {
+    import spark.implicits._
+    // doc B = doc A's text plus a long suffix: A's shingles ⊂ B's shingles
+    val a = "alpha beta gamma delta epsilon"
+    val b = a + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // pure jaccard at 0.5: the pair is invisible (inter=3, union=42+)
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5).count() == 0)
+    // containment gate finds it: inter / min = 3/3 = 1.0
+    val found = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5, containmentThreshold = 0.9).collect()
+    assert(found.length == 1 && found.head.getDouble(3) == 1.0)
   }
 
   test("jaccard of an identical pair is 1.0") {

@@ -211,14 +211,20 @@ class StreamingSpec extends SparkSpec {
       stream.addData(b2)
       q.processAllAvailable()
       q.stop()
+      import org.apache.spark.sql.functions.{max, struct}
+      // take each user's final emission (max n) with its sum — both halves
+      // of the state must round-trip through the RocksDB encoder
       val got = spark
         .table("tws_totals")
         .groupBy("user_id")
-        .agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .agg(max(struct($"n", $"sum")).as("fin"))
+        .selectExpr("user_id", "fin.n AS n", "fin.sum AS sum")
         .collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
+        .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 100) / 100)))
         .toMap
-      val want = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      val want = events.groupBy(_.user_id).map { case (u, es) =>
+        u -> ((es.size.toLong, math.rint(es.map(_.value).sum * 100) / 100))
+      }
       assert(got == want)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
