@@ -77,6 +77,41 @@ object OperatorProperties extends Properties("graft.operators") {
     }
   }
 
+  property("gap-fill interpolation stays within the series' value envelope") = forAll(genEvents) { evs =>
+    evs.isEmpty || {
+      import org.apache.spark.sql.functions._
+      val out = graft.operators.TimeSeriesOps
+        .gapFillInterpolateDaily(toDf(evs), "user_id", "ts", max(col("value")))
+        .collect()
+      val bounds = evs.groupBy(_.user).map { case (u, es) =>
+        // interpolation happens on the DAILY MAX series, so the envelope is
+        // over per-day maxima (== per-user max/min of those maxima)
+        val daily = es.groupBy(_.offsetSec / 86400L).map(_._2.map(_.value).max)
+        u -> (daily.min, daily.max)
+      }
+      out.forall { r =>
+        val (lo, hi) = bounds(r.getLong(0))
+        val v = r.getDouble(3)
+        v >= lo - 1e-9 && v <= hi + 1e-9
+      }
+    }
+  }
+
+  property("topKPerGroup returns min(k, group size) rows per group, rank-consecutive") = forAll(genEvents) { evs =>
+    evs.isEmpty || {
+      import org.apache.spark.sql.functions._
+      val sizes = evs.groupBy(_.user).map { case (u, es) => u -> math.min(3, es.size) }
+      val byUser = graft.operators.TimeSeriesOps
+        .topKPerGroup(toDf(evs), Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+        .select(col("user_id"), col("rk"))
+        .collect()
+        .groupBy(_.getLong(0))
+      sizes.forall { case (u, n) =>
+        byUser(u).map(_.getInt(1)).sorted.toSeq == (1 to n)
+      }
+    }
+  }
+
   property("exact dedup conserves rows and is idempotent") = forAll(
     Gen.listOf(Gen.oneOf("alpha beta", "gamma delta", "epsilon", "zeta eta theta"))) { texts =>
     if (texts.isEmpty) Prop.passed
