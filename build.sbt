@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout straight through: sbt's default logger
+// prefixes every line with "[info] ", which breaks machine parsing of
+// Bench's single JSON output line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // local[32] pushes plenty of short-lived allocation (tokenize/shingle
+  // arrays) through the young gen; G1 with a modest pause target keeps
+  // the text-pipeline queries from GC-stalling under contention.
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=200",
 )

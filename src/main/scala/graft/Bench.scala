@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner: times every registered query on the sf dir given by
+  * SPARK_GRAFT_SF_DIR and prints ONE machine-parseable JSON line, last.
+  *
+  * Output discipline: the JSON line is the final stdout line before exit
+  * (after `spark.stop()` so no executor log can interleave), timings are
+  * truncated to ms so the line stays well inside any tail-capture buffer,
+  * and a query that throws is recorded with a negative sentinel (-elapsed)
+  * plus an `errors` list — a crash must not masquerade as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,24 +20,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen/parquet-reader paths once, untimed, so the
     // first alphabetical query doesn't absorb ~4s of cold-start
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var errors = List.empty[String]
+    // optional args: substrings selecting a subset of queries (local iteration)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq
+      else SparkEntry.queries.toSeq.filter { case (n, _) => args.exists(n.contains) }
+    // Stall watchdog (diagnostic, stderr-only): if any single query runs
+    // past the threshold, dump every thread stack once so a wedged run
+    // shows WHERE it is wedged instead of just a large number in the JSON.
+    val current = new java.util.concurrent.atomic.AtomicReference[(String, Long)](null)
+    val watchdog = new Thread(() => {
+      var dumpedFor: String = null
+      while (true) {
+        Thread.sleep(5000)
+        val c = current.get()
+        if (c != null && c._1 != dumpedFor && (System.nanoTime() - c._2) / 1e9 > 20.0) {
+          dumpedFor = c._1
+          val sb = new StringBuilder(s"== graft-bench stall: ${c._1} exceeded 20s; thread dump ==\n")
+          import scala.jdk.CollectionConverters._
+          java.lang.Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            sb.append(s"-- ${t.getName} (${t.getState})\n")
+            st.take(12).foreach(f => sb.append(s"   at $f\n"))
+          }
+          System.err.println(sb.result())
+        }
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      current.set((name, t0))
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => errors ::= name; false }
       val dt = (System.nanoTime() - t0) / 1e9
+      current.set(null)
       // operator-internal persists (shingle/band tables) must not leak
       // across queries — clear outside the timed window
       spark.catalog.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      name -> (if (ok) dt else -dt)
+    }
     spark.stop()
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val errJson = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }

@@ -134,8 +134,17 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     val tmp = coldPath(id).toString + ".tmp"
     merged.coalesce(math.max(1, merged.rdd.getNumPartitions / 4)).write.mode("overwrite").parquet(tmp)
     val target = coldPath(id)
-    if (Files.exists(target)) deleteRec(target)
+    // Swap protocol keeps a readable copy at every instant: rename the old
+    // dir aside, move the fresh write into place, only then delete the old
+    // copy. A crash mid-sequence leaves either target or target.old intact
+    // (never "data stranded in .tmp with no live dir"); the `.old`/`.tmp`
+    // suffixes fail idRe so listCold/coldExists ignore leftovers on startup.
+    val old = Paths.get(target.toString + ".old")
+    if (Files.exists(old)) deleteRec(old) // leftover from an earlier crash
+    val hadOld = Files.exists(target)
+    if (hadOld) Files.move(target, old)
     Files.move(Paths.get(tmp), target)
+    if (hadOld) deleteRec(old)
     hot.remove(id).foreach(_.base.foreach(_.unpersist()))
   }
 

@@ -67,25 +67,38 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Long = 0L,
       containmentThreshold: Double = 2.0): DataFrame = {
-    // The distinct shingle set feeds four plan branches (sizes + both join
+    // Work on 60-bit shingle *hashes*, not the strings: the distinct, the
+    // self-join and the pair aggregation all shuffle 8-byte longs instead
+    // of ~25-byte UTF8 shingles — at 100 TB that's the difference between
+    // shuffling the corpus's n-gram text and shuffling fixed-width keys.
+    // Intersection-by-hash equals intersection-by-string absent 60-bit
+    // collisions (P ≈ |shingles|²/2^61 — negligible; the sf0.01 oracle
+    // hash-check would catch one).
+    // The distinct hash set feeds four plan branches (sizes + both join
     // sides [+ df-filter]); persist it once instead of re-exploding the
     // corpus per branch. MEMORY_AND_DISK: spills, never OOMs.
-    val sh = explodedShingles(df, idCol, textCol, n)
+    val sh = explodedShinglesAll(df, idCol, textCol, n)
+      .select(col(idCol), Text.hash60(col("shingle")).as("__h"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxShingleDf <= 0) sh
       else {
-        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        sh.join(dfreq.filter(col("df") <= maxShingleDf).select("shingle"), Seq("shingle"))
+        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("df"))
+        sh.join(dfreq.filter(col("df") <= maxShingleDf).select("__h"), Seq("__h"))
       }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col(idCol).as("a_id"), col("shingle"))
-    val b = filtered.select(col(idCol).as("b_id"), col("shingle"))
+    val a = filtered.select(col(idCol).as("a_id"), col("__h"))
+    val b = filtered.select(col(idCol).as("b_id"), col("__h"))
     val inter = a
-      .join(b, Seq("shingle"))
+      .join(b, Seq("__h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
+    // The doc-size side is one narrow row per document — small at test SF
+    // but proportional to the corpus at 100 TB, so the broadcast-vs-SMJ
+    // choice is data-dependent: leave it to AQE's runtime stats (enabled
+    // session-wide) instead of forcing a hint either way.
     inter
       .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), Seq("a_id"))
       .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), Seq("b_id"))

@@ -77,9 +77,16 @@ object TimeSeriesOps {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
-    val carried = valueCols.toSeq.map { case (from, to) => col(from).as(s"__v_$to") }
+    // All carried values travel in ONE struct: a struct row is non-null even
+    // when every field is null, so `last(ignoreNulls)` skips exactly the
+    // left rows (whose __pack is null from the union) and never skips a
+    // matched right row that happens to carry a null value — the per-column
+    // form would fall back to an older row there, diverging from the native
+    // operator (graft.plans.AsOfJoinExec) which attaches the matched row
+    // verbatim, nulls included.
+    val packed = struct(valueCols.toSeq.map { case (from, to) => col(from).as(to) }: _*)
     val rTagged = right
-      .select((col(keyCol) +: col(rightTs).as("__ts") +: col(rightTie).cast("long").as("__tie") +: carried): _*)
+      .select(col(keyCol), col(rightTs).as("__ts"), col(rightTie).cast("long").as("__tie"), packed.as("__pack"))
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // Order purchases (side=0) before left rows (side=1) at equal ts so an
@@ -88,12 +95,13 @@ object TimeSeriesOps {
       .partitionBy(col(keyCol))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.values.foldLeft(unioned) { (d, to) =>
-      d.withColumn(to, last(col(s"__v_$to"), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__m", last(col("__pack"), ignoreNulls = true).over(w))
+    val extracted = valueCols.values.foldLeft(filled) { (d, to) =>
+      d.withColumn(to, col("__m").getField(to))
     }
-    filled
+    extracted
       .filter(col("__side") === 1)
-      .drop(("__ts" +: "__side" +: "__tie" +: valueCols.values.toSeq.map(v => s"__v_$v")): _*)
+      .drop("__ts", "__side", "__tie", "__pack", "__m")
   }
 
   /** Gap-fill: produce one row per (key, day) over each key's [min,max] day

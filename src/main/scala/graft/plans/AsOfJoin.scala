@@ -167,16 +167,23 @@ object AsOfJoin {
     val rp = Bridge.logicalPlan(right)
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val (lk, rk) = (attr(lp, leftKeyCol), attr(rp, rightKeyCol))
+    val (lts, rts) = (attr(lp, leftTsCol), attr(rp, rightTsCol))
+    // Type equality is load-bearing, not cosmetic: the two sides'
+    // ClusteredDistributions hash the key with its own type, so e.g. an
+    // int key vs a bigint key lands equal values in DIFFERENT partitions
+    // and zipPartitions silently merges misaligned data. Fail loudly here.
+    require(
+      lk.dataType == rk.dataType,
+      s"as-of join key types must match exactly: $leftKeyCol is ${lk.dataType}, " +
+        s"$rightKeyCol is ${rk.dataType} — cast one side first")
+    require(
+      lts.dataType == rts.dataType,
+      s"as-of join timestamp types must match exactly: $leftTsCol is ${lts.dataType}, " +
+        s"$rightTsCol is ${rts.dataType} — cast one side first")
     Bridge.ofRows(
       left.sparkSession,
-      AsOfJoinNode(
-        lp,
-        rp,
-        attr(lp, leftKeyCol),
-        attr(rp, rightKeyCol),
-        attr(lp, leftTsCol),
-        attr(rp, rightTsCol),
-        attr(rp, rightTieCol)))
+      AsOfJoinNode(lp, rp, lk, rk, lts, rts, attr(rp, rightTieCol)))
   }
 }
 

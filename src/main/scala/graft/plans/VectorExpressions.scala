@@ -57,18 +57,24 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsDouble(left)) "getDouble" else "getFloat"
     val rGet = if (elemIsDouble(right)) "getDouble" else "getFloat"
+    // Every local gets a fresh name: this expression can occur several
+    // times inside one generated projection, and fixed names collide
+    // ("Redefinition of local variable"), which silently downgrades the
+    // whole projection to interpreter mode.
+    val (n, dot, nx, ny, i) =
+      (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"), ctx.freshName("i"))
     nullSafeCodeGen(
       ctx,
       ev,
       (a, b) => s"""
-        |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, nx = 0.0, ny = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double xi = (double) $a.$lGet(i);
-        |  double yi = (double) $b.$rGet(i);
-        |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double xi$i = (double) $a.$lGet($i);
+        |  double yi$i = (double) $b.$rGet($i);
+        |  $dot += xi$i * yi$i; $nx += xi$i * xi$i; $ny += yi$i * yi$i;
         |}
-        |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+        |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         |""".stripMargin)
   }
 
@@ -99,10 +105,10 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
   }
 
   override def nullSafeEval(a: Any): Any =
-    LshBucketExpr.eval(a.asInstanceOf[ArrayData], planes, dims, elemIsDouble)
+    LshBucketExpr.lshBucket(a.asInstanceOf[ArrayData], planes, dims, elemIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.plans.LshBucketExpr.eval($a, $planes, $dims, $elemIsDouble)")
+    defineCodeGen(ctx, ev, a => s"graft.plans.LshBucketExpr.lshBucket($a, $planes, $dims, $elemIsDouble)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -111,8 +117,14 @@ object LshBucketExpr {
 
   /** Static evaluation entry for generated code (keeps the codegen'd method
     * tiny; the loop JITs the same either way).
+    *
+    * NOT named `eval`: the companion case class inherits `eval(InternalRow)`
+    * from Expression, and scalac suppresses static forwarders for object
+    * methods whose name already exists on the class — generated Java then
+    * resolves `LshBucketExpr.eval(...)` to the wrong method, fails to
+    * janino-compile, and the projection silently runs interpreted.
     */
-  def eval(v: ArrayData, planes: Int, dims: Int, elemIsDouble: Boolean): Long = {
+  def lshBucket(v: ArrayData, planes: Int, dims: Int, elemIsDouble: Boolean): Long = {
     val n = math.min(dims, v.numElements())
     var bucket = 0L
     var p = 0
@@ -146,10 +158,10 @@ case class Md5Prefix60Expr(child: Expression)
   override def prettyName: String = "md5_prefix60"
 
   override def nullSafeEval(a: Any): Any =
-    Md5Prefix60Expr.eval(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    Md5Prefix60Expr.hash60(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.plans.Md5Prefix60Expr.eval($a)")
+    defineCodeGen(ctx, ev, a => s"graft.plans.Md5Prefix60Expr.hash60($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -161,7 +173,10 @@ object Md5Prefix60Expr {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def eval(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  /** NOT named `eval` — see [[LshBucketExpr.lshBucket]]: a same-named class
+    * member suppresses the static forwarder the generated code needs.
+    */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)

@@ -315,19 +315,22 @@ object Extended {
 
   /** Array aggregation: sorted distinct collection per group (collect_set
     * is order-nondeterministic — the sort restores a total order for the
-    * oracle).
+    * oracle). The array is stringified for the compare: the driver's
+    * hash-compare can't hash list cells (numpy arrays are unhashable), so
+    * both engines emit the canonical comma-joined form.
     */
   def q51(s: SparkSession, d: String): DataFrame =
     Tables
       .events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        array_sort(collect_set(col("user_id"))).as("users"),
+        concat_ws(",", array_sort(collect_set(col("user_id").cast("string")))).as("users"),
         size(collect_set(col("user_id"))).cast("long").as("n_users"))
       .orderBy(col("event_type"))
 
   val q51Sql: String =
-    """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users,
+    """SELECT event_type,
+      |  array_to_string(list_sort(list(DISTINCT CAST(user_id AS VARCHAR))), ',') AS users,
       |  CAST(len(list(DISTINCT user_id)) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

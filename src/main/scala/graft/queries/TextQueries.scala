@@ -262,14 +262,18 @@ object TextQueries {
   def q56(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docs.count() // dimension-sized count, driver-side by design
-    val toks = docs
+    val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      // tf and df both consume the exploded tokens — persist once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("tok")).distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // Document frequency IS the per-token row count of tf (one tf row per
+    // (doc, tok)) — a window over tok reuses tf in place of the
+    // distinct+groupBy+join detour, saving a persist, a distinct shuffle
+    // and a join; at 100 TB the vocab is too big to broadcast anyway, so
+    // the window's hash partition on tok is the minimal data movement.
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val scored = tf
-      .join(dfreq, Seq("tok"))
+      .withColumn("df", count(lit(1)).over(wTok))
       .withColumn("score", Det.r6(col("tf") * log(lit(n.toDouble) / col("df"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
