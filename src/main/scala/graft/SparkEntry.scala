@@ -43,10 +43,24 @@ object SparkEntry {
         graft.multimodal.Multimodal.featureQuery(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q34 ANN-LSH, q35 multimodal stub) → driver records rows-only.
+    * the same parquet tables. Omitted only for genuinely non-SQL ops
+    * (q48 HLL estimate, q49 iterative k-means) → driver records rows-only.
+    *
+    * q35's stub decode is SQL-expressible because the fixture text is
+    * ASCII (verified across all SFs): the byte sum equals the code-point
+    * sum, and text length < the stub's modulus so no wraparound occurs.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ Extended.oracles
+      VectorQueries.oracles ++ Extended.oracles ++
+      Map("q35_multimodal_features" ->
+        """WITH b AS (
+          |  SELECT doc_id, 'media/' || source AS media_type,
+          |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) AS checksum
+          |  FROM documents)
+          |SELECT doc_id, media_type, byte_len, checksum,
+          |  16 + (checksum % 64) AS width,
+          |  16 + ((checksum // 64) % 64) AS height
+          |FROM b ORDER BY doc_id""".stripMargin)
 }

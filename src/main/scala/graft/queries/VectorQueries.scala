@@ -72,9 +72,12 @@ object VectorQueries {
       |  FROM acc)
       |SELECT a_id, b_id, sim FROM sims WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin
 
-  /** ANN top-k via random-hyperplane LSH buckets. No SQL oracle (the
-    * approximate result is validated in ScalaTest against the brute-force
-    * baseline's recall instead) — driver records rows-only.
+  /** ANN top-k via random-hyperplane LSH buckets. Oracle-checked: the
+    * hyperplane weights are a deterministic integer mix of (plane, dim)
+    * (see [[graft.functions.Vectors.lshBucketComposed]]), so DuckDB can
+    * recompute the exact buckets in SQL — approximate ≠ nondeterministic.
+    * (Projection signs are FP-robust: |proj| is O(10³) while cross-engine
+    * summation-order noise is O(10⁻¹²).)
     */
   def q34(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -82,6 +85,39 @@ object VectorQueries {
       .lshTopK(emb.filter(col("vec_id") < 5), emb, 10, planes = 4, dims = 64)
       .orderBy(col("qid"), col("rk"))
   }
+
+  val q34Sql: String =
+    """WITH proj AS (
+      |  SELECT vec_id, p,
+      |    sum(CAST(embedding[i+1] AS DOUBLE) * (((1103515245*(p*64+i)+12345) % 65536) - 32768)) AS proj
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(range(0, 4)) AS p) pp,
+      |    LATERAL (SELECT unnest(range(0, 64)) AS i) ii
+      |  GROUP BY vec_id, p),
+      |buck AS (
+      |  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+      |      FROM embeddings e JOIN buck b USING (vec_id) WHERE e.vec_id < 5),
+      |c AS (SELECT e.vec_id, e.embedding AS ve, b.bucket
+      |      FROM embeddings e JOIN buck b USING (vec_id)),
+      |p2 AS (SELECT q.qid, c.vec_id, q.qe, c.ve
+      |       FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.qid),
+      |acc AS (
+      |  SELECT qid, vec_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * ve[i]) AS dotp,
+      |    sum(CAST(qe[i] AS DOUBLE) * qe[i]) AS qn,
+      |    sum(CAST(ve[i] AS DOUBLE) * ve[i]) AS vn
+      |  FROM p2, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY qid, vec_id),
+      |sims AS (
+      |  SELECT qid, vec_id, floor(dotp / (sqrt(qn) * sqrt(vn)) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc),
+      |rked AS (
+      |  SELECT qid, vec_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      |  FROM sims)
+      |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** IVF search end-to-end: train 8 coarse cells (2 Lloyd iterations),
     * probe 3 per query. Approximate — validated against brute-force recall
@@ -103,5 +139,6 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q32_cosine_topk" -> q32Sql,
-    "q33_embedding_neardup_blocked" -> q33Sql)
+    "q33_embedding_neardup_blocked" -> q33Sql,
+    "q34_ann_lsh_topk" -> q34Sql)
 }
