@@ -33,20 +33,49 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Cached per (dir, table): does this scan under-split the cluster? */
+  private val underSplit = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Repartition-to-cores when (and only when) the source under-splits.
+    *
+    * Parquet can't split below a row group, so a small single-row-group
+    * file scans as ONE task — and every per-row-CPU-heavy pipeline
+    * downstream (tokenize/shingle/hash, cosine) runs on one core until the
+    * first shuffle. Spreading such a scan across the cluster costs one
+    * cheap narrow shuffle and parallelizes everything after it.
+    *
+    * At real scale this is a structural no-op: a 100 TB table has far more
+    * row groups than cores, the condition is false, and no shuffle is
+    * added. Predicate pushdown and column pruning both traverse
+    * Repartition, so scan-level filters/ReadSchema are unaffected.
+    */
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    val need = underSplit.getOrElseUpdate(key, df.rdd.getNumPartitions < math.max(2, cores / 2))
+    if (need) df.repartition(cores) else df
+  }
+
+  /** Fact-table loader: scan + conditional spread. Dimensions deliberately
+    * skip this — they are broadcast-sized, and a repartition child would
+    * add a shuffle before every broadcast build.
+    */
+  private def fact(s: SparkSession, d: String, name: String): DataFrame =
+    spread(s, table(s, d, name), s"$d/$name")
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def orders(s: SparkSession, d: String): DataFrame = fact(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = fact(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
     * (legacy.parquet.nanosAsLong) and we truncate to micros — identical to
     * DuckDB's nanos→micros truncation, so oracle timestamps match exactly.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fact(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

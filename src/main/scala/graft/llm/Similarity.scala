@@ -79,9 +79,17 @@ object Similarity {
       .withColumn("cid", expr("row_number() over (order by cid)") - 1)
     (1 to iters).foreach { _ =>
       val prev = centroids
-      val assigned = assignCells(emb, centroids)
+      // argmax carries the embedding through the aggregation (any_value is
+      // exact under grouping by the key) — no join-back shuffle per round
+      val assigned = emb
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("sim", Vectors.cosine(col("embedding"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
+          any_value(col("embedding")).as("embedding"))
       centroids = assigned
-        .join(emb, Seq("vec_id"))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v")).as("m"))
@@ -95,18 +103,19 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid (max cosine) cell per vector. */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb
+  /** Nearest-centroid (max cosine) cell per vector. Argmax via `max_by`
+    * over (sim, -cid) — a hash aggregate with map-side partials — instead
+    * of a row_number window, which would pay a full sort-per-key shuffle
+    * for a single winner. Tie-break matches the window form: highest sim,
+    * then smallest cid.
+    */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("sim", Vectors.cosine(col("embedding"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"))
 
   /** IVF search: probe the `nprobe` nearest cells per query, score only
     * vectors in probed cells. With nprobe = k this degenerates to exact

@@ -95,7 +95,10 @@ class DedupSpec extends SparkSpec {
 
   test("jaccard of an identical pair is 1.0") {
     import spark.implicits._
-    val two = docs.limit(1).unionByName(docs.limit(1).withColumn("doc_id", lit(999999L)))
+    // pin the doc by key: limit(1) without order is partition-order-
+    // dependent and the two branches may pick different rows
+    val one = docs.filter($"doc_id" === 0L)
+    val two = one.unionByName(one.withColumn("doc_id", lit(999999L)))
     val p = Dedup.jaccardPairs(two, "doc_id", "text", 3, 0.99).collect()
     assert(p.length == 1 && p.head.getDouble(2) == 1.0)
   }
@@ -105,7 +108,8 @@ class DedupSpec extends SparkSpec {
     val s1 = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
     val s2 = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(s1.sameElements(s2))
-    val two = docs.limit(1).unionByName(docs.limit(1).withColumn("doc_id", lit(999999L)))
+    val one = docs.filter($"doc_id" === 0L)
+    val two = one.unionByName(one.withColumn("doc_id", lit(999999L)))
     val sh = Dedup.simhash(two, "doc_id", "text").select("simhash").distinct()
     assert(sh.count() == 1)
   }
