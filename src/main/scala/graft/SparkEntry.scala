@@ -39,8 +39,17 @@ object SparkEntry {
       TextQueries.queries ++
       VectorQueries.queries ++
       Extended.queries ++
-      Map("q35_multimodal_features" -> ((s: SparkSession, d: String) =>
-        graft.multimodal.Multimodal.featureQuery(s, d)))
+      Map(
+        "q35_multimodal_features" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.featureQuery(s, d)),
+        "q64_frame_sample" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal
+            .sampleFrames(
+              graft.multimodal.Multimodal.asMedia(Tables.documents(s, d)),
+              chunkSize = 64,
+              everyN = 2)
+            .toDF()
+            .orderBy(col("doc_id"), col("frame_idx"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -53,14 +62,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ Extended.oracles ++
-      Map("q35_multimodal_features" ->
-        """WITH b AS (
-          |  SELECT doc_id, 'media/' || source AS media_type,
-          |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) AS checksum
-          |  FROM documents)
-          |SELECT doc_id, media_type, byte_len, checksum,
-          |  16 + (checksum % 64) AS width,
-          |  16 + ((checksum // 64) % 64) AS height
-          |FROM b ORDER BY doc_id""".stripMargin)
+      Map(
+        "q35_multimodal_features" ->
+          """WITH b AS (
+            |  SELECT doc_id, 'media/' || source AS media_type,
+            |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+            |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) AS checksum
+            |  FROM documents)
+            |SELECT doc_id, media_type, byte_len, checksum,
+            |  16 + (checksum % 64) AS width,
+            |  16 + ((checksum // 64) % 64) AS height
+            |FROM b ORDER BY doc_id""".stripMargin,
+        // frame sampling: every 2nd 64-byte chunk; ASCII fixture text makes
+        // substr-by-chars equal substr-by-bytes and code-point sum equal
+        // byte sum (both < the stub modulus)
+        "q64_frame_sample" ->
+          """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+            |  CAST(length(ch) AS BIGINT) AS frame_len,
+            |  CAST(coalesce(list_sum(list_transform(string_split(ch, ''), c -> unicode(c))), 0) AS BIGINT) AS frame_checksum
+            |FROM (
+            |  SELECT doc_id, i, substr(text, CAST(i * 64 + 1 AS INT), 64) AS ch
+            |  FROM documents,
+            |    LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) t
+            |  WHERE i % 2 = 0) s
+            |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -371,7 +371,30 @@ object TextQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY a.lang, a_id, b_id""".stripMargin
 
+  /** Deterministic stratified sampling — down-weight over-represented
+    * strata of a training mix reproducibly (hash-gated, not RNG): keep 50%
+    * of en, 25% of fr, everything else. Both engines evaluate the same
+    * md5-derived uniform, so the kept set is bit-identical.
+    */
+  def q62(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .stratifiedSampleByHash(
+        Tables.documents(s, d),
+        "doc_id",
+        "lang",
+        Map("en" -> 0.5, "fr" -> 0.25))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val q62Sql: String = {
+    val u = s"(${Text.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1073741824) / 1073741824.0"
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE UNIF < (CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 1.0 END)
+      |ORDER BY doc_id""".stripMargin.replace("UNIF", u)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q62_stratified_sample" -> (q62 _),
     "q60_simhash_neardup" -> (q60 _),
     "q58_dedup_against_corpus" -> (q58 _),
     "q59_text_normalize" -> (q59 _),
@@ -387,6 +410,7 @@ object TextQueries {
     "q31_doc_fingerprint" -> (q31 _))
 
   val oracles: Map[String, String] = Map(
+    "q62_stratified_sample" -> q62Sql,
     "q60_simhash_neardup" -> q60Sql,
     "q58_dedup_against_corpus" -> q58Sql,
     "q59_text_normalize" -> q59Sql,

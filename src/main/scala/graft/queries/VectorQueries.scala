@@ -131,13 +131,36 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Per-label embedding centroid, element-wise, via posexplode →
+    * (label, pos) average — the same 100 TB shape as IVF's centroid
+    * update: two bounded shuffles, never a whole-vector collect. Output
+    * is one row per (label, pos) so the oracle compares scalars.
+    */
+  def q63(s: SparkSession, d: String): DataFrame =
+    Tables
+      .embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.core.Det.r6(avg(col("v").cast("double"))).as("c"), count(lit(1)).as("n_vecs"))
+      .withColumn("pos", col("pos").cast("long"))
+      .orderBy(col("label"), col("pos"))
+
+  val q63Sql: String =
+    s"""SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+       |  ${graft.core.Det.sqlR("avg(CAST(embedding[i] AS DOUBLE))", 6)} AS c,
+       |  count(*) AS n_vecs
+       |FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q63_label_centroids" -> (q63 _),
     "q32_cosine_topk" -> (q32 _),
     "q33_embedding_neardup_blocked" -> (q33 _),
     "q34_ann_lsh_topk" -> (q34 _),
     "q49_ivf_topk" -> (q49 _))
 
   val oracles: Map[String, String] = Map(
+    "q63_label_centroids" -> q63Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup_blocked" -> q33Sql,
     "q34_ann_lsh_topk" -> q34Sql)
