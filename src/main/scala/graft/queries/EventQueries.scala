@@ -328,7 +328,41 @@ object EventQueries {
         6)} AS ewma
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Grouped statistical aggregates: sample stddev/variance, covariance
+    * and Pearson correlation per event type — one hash shuffle with
+    * map-side partials (Spark merges per-partition moment sketches, the
+    * same shape that holds at 100 TB). Rounded at 4 digits: both engines
+    * accumulate moments in double with different merge orders; the noise
+    * is ~1e-9 relative, far inside the rounding margin.
+    */
+  def q65(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.r4(avg(col("value"))).as("mean_v"),
+        Det.r4(stddev_samp(col("value"))).as("sd_v"),
+        Det.r4(var_samp(col("value"))).as("var_v"),
+        Det.r4(covar_samp(col("value"), col("user_id").cast("double"))).as("cov_vu"),
+        Det.r4(corr(col("value"), col("user_id").cast("double"))).as("corr_vu"),
+        Det.r2(min(col("value"))).as("min_v"),
+        Det.r2(max(col("value"))).as("max_v"))
+      .orderBy(col("event_type"))
+
+  val q65Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${Det.sqlR("avg(value)", 4)} AS mean_v,
+       |  ${Det.sqlR("stddev_samp(value)", 4)} AS sd_v,
+       |  ${Det.sqlR("var_samp(value)", 4)} AS var_v,
+       |  ${Det.sqlR("covar_samp(value, CAST(user_id AS DOUBLE))", 4)} AS cov_vu,
+       |  ${Det.sqlR("corr(value, CAST(user_id AS DOUBLE))", 4)} AS corr_vu,
+       |  ${Det.sqlR("min(value)", 2)} AS min_v,
+       |  ${Det.sqlR("max(value)", 2)} AS max_v
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q65_grouped_stats" -> (q65 _),
     "q52_rate_of_change" -> (q52 _),
     "q54_gapfill_interpolate" -> (q54 _),
     "q57_ewma" -> (q57 _),
@@ -345,6 +379,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q65_grouped_stats" -> q65Sql,
     "q52_rate_of_change" -> q52Sql,
     "q54_gapfill_interpolate" -> q54Sql,
     "q57_ewma" -> q57Sql,

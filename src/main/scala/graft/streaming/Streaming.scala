@@ -49,6 +49,16 @@ object Streaming {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the streaming face of
+    * [[graft.llm.Dedup.exact]]: duplicate keys arriving within the
+    * watermark horizon are dropped, and (unlike plain `dropDuplicates`,
+    * whose key state grows forever) expired keys are evicted with the
+    * watermark, so state is bounded by rate x horizon — the property that
+    * makes streaming ingest dedup viable at 100 TB/day.
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCol: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCol)
+
   /** Session windows with an inactivity gap (built-in session_window). */
   def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
     events

@@ -28,4 +28,34 @@ class ExpressionsSpec extends SparkSpec {
     val sig = graft.llm.Dedup.minhashSignatures(graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)
     assert(sig.count() > 0)
   }
+
+  test("native expressions compile under CODEGEN_ONLY (no silent interpreter fallback)") {
+    // Regression: a broken doGenCode doesn't fail by default — Spark logs
+    // "Failed to compile" and silently runs the projection interpreted
+    // (exactly what a suppressed static forwarder caused in round 1).
+    // CODEGEN_ONLY turns that fallback into a hard error; codegen.fallback
+    // = false does the same for whole-stage codegen.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.core.Tables.documents(spark, sf)
+      val emb = graft.core.Tables.embeddings(spark, sf)
+      // Md5Prefix60Expr through projection + aggregate
+      assert(docs.select(Text.hash60(col("text")).as("h")).agg(max(col("h"))).head.getLong(0) > 0)
+      // CosineSimExpr twice in ONE projection (fresh-name collision case)
+      val c = emb.select(
+        graft.functions.Vectors.cosine(col("embedding"), col("embedding")).as("c1"),
+        graft.functions.Vectors.cosine(col("embedding"), col("embedding")).as("c2"))
+      assert(c.filter(col("c1") =!= col("c2")).count() == 0)
+      // LshBucketExpr
+      assert(emb.select(graft.functions.Vectors.lshBucket(col("embedding"), 4, 64).as("b")).distinct().count() > 0)
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        spark.conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(v =>
+        spark.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
 }

@@ -80,6 +80,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup within watermark: duplicates dropped, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, "click", v, "{}")
+
+    val stream = MemoryStream[Event]
+    val q = Streaming
+      .dedupWithinWatermark(stream.toDF(), "event_id", "10 minutes")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("dedup_stream")
+      .start()
+    // same-batch duplicates and a cross-batch replay of id 1
+    stream.addData(ev(1, "2026-01-01 10:00:00", 1.0), ev(1, "2026-01-01 10:00:00", 1.0), ev(2, "2026-01-01 10:01:00", 2.0))
+    q.processAllAvailable()
+    stream.addData(ev(1, "2026-01-01 10:02:00", 9.0), ev(3, "2026-01-01 10:03:00", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream").select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id 1 survives once with its FIRST value; the replay was suppressed
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
