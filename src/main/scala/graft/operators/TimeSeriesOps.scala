@@ -104,6 +104,33 @@ object TimeSeriesOps {
       .drop("__ts", "__side", "__tie", "__pack", "__m")
   }
 
+  /** As-of join with a staleness bound: like [[asOfJoin]], but a match
+    * older than `toleranceSec` is treated as no match (all carried values
+    * null). The classic TSDB "join latest sensor reading, but only if
+    * fresh". Same single shuffle: the tolerance is a post-window filter,
+    * not a range-join blowup. Latest-within-tolerance equals
+    * latest-overall-if-fresh, because any other candidate is older still.
+    */
+  def asOfJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      valueCols: Map[String, String],
+      toleranceSec: Long): DataFrame = {
+    require(!valueCols.valuesIterator.contains("__match_ts"), "reserved name __match_ts")
+    val joined =
+      asOfJoin(left, right, keyCol, leftTs, rightTs, rightTie, valueCols + (rightTs -> "__match_ts"))
+    // timestamp→double = epoch seconds with microsecond fraction (exact)
+    val stale = col("__match_ts").isNull ||
+      (col(leftTs).cast("double") - col("__match_ts").cast("double")) > toleranceSec.toDouble
+    valueCols.values
+      .foldLeft(joined)((d, to) => d.withColumn(to, when(stale, lit(null)).otherwise(col(to))))
+      .drop("__match_ts")
+  }
+
   /** Gap-fill: produce one row per (key, day) over each key's [min,max] day
     * span, zero-filling days with no data. `sequence` + explode stays
     * distributed (per-key span expansion on executors, no driver loop).

@@ -117,6 +117,29 @@ object EventQueries {
       |            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1.0) AS last_purchase_value
       |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
 
+  /** As-of join bounded by staleness: each error event gets the user's
+    * last purchase value only if that purchase is at most 1 hour old —
+    * the freshness-gated enrichment every TSDB needs (stale sensor reads
+    * must not leak into features).
+    */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id", "value")
+    TimeSeriesOps
+      .asOfJoinWithin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"), 3600L)
+      .select(col("event_id"), col("user_id"), col("ts"), coalesce(col("pv"), lit(-1.0)).as("fresh_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q66Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  coalesce((SELECT p.value FROM events p
+      |            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+      |              AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+      |            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1.0) AS fresh_purchase_value
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
   /** Gap-fill: dense (user, day) scaffold over each user's active span,
     * zero-filled (sequence+explode stays on executors).
     */
@@ -363,6 +386,7 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q65_grouped_stats" -> (q65 _),
+    "q66_asof_within" -> (q66 _),
     "q52_rate_of_change" -> (q52 _),
     "q54_gapfill_interpolate" -> (q54 _),
     "q57_ewma" -> (q57 _),
@@ -380,6 +404,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q65_grouped_stats" -> q65Sql,
+    "q66_asof_within" -> q66Sql,
     "q52_rate_of_change" -> q52Sql,
     "q54_gapfill_interpolate" -> q54Sql,
     "q57_ewma" -> q57Sql,

@@ -53,6 +53,34 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.head.getDouble(0) == 70.0)
   }
 
+  test("asOfJoinWithin: infinite tolerance equals plain as-of; stale matches null out") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts("2024-01-01 09:30:00"), 3L, 30.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    // 1h tolerance: event 1 (30 min stale) keeps the match, event 2 (2.5h) loses it
+    val got = TimeSeriesOps
+      .asOfJoinWithin(left, right, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"), 3600L)
+      .orderBy("event_id")
+      .select("pv")
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(30.0), None))
+    // huge tolerance degenerates to the unbounded as-of on the fixture
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase").select("user_id", "ts", "event_id", "value")
+    val a = TimeSeriesOps
+      .asOfJoin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select("event_id", "pv")
+    val b = TimeSeriesOps
+      .asOfJoinWithin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"), Int.MaxValue.toLong)
+      .select("event_id", "pv")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("gapFillDaily emits every day in each key's span") {
     import spark.implicits._
     val df = Seq(
