@@ -48,6 +48,12 @@ object Bench {
             st.take(12).foreach(f => sb.append(s"   at $f\n"))
           }
           System.err.println(sb.result())
+          // also to a file: harness greps of stdout routinely drop stderr
+          try {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"/tmp/graft_stall_${c._1}_${System.nanoTime()}.txt"),
+              sb.result().getBytes("UTF-8"))
+          } catch { case _: Throwable => }
         }
       }
     })
