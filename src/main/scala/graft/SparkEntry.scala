@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, GraftSession, Tables}
-import graft.queries.{EventQueries, Extended, Relational, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, Extended, Relational, Retrieval, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
       TextQueries.queries ++
       VectorQueries.queries ++
       Extended.queries ++
+      Retrieval.queries ++
       Map(
         "q35_multimodal_features" -> ((s: SparkSession, d: String) =>
           graft.multimodal.Multimodal.featureQuery(s, d)),
@@ -61,7 +62,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ Extended.oracles ++
+      VectorQueries.oracles ++ Extended.oracles ++ Retrieval.oracles ++
       Map(
         "q35_multimodal_features" ->
           """WITH b AS (

@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Text
+
+/** Lexical-retrieval and corpus-hygiene queries over `documents`: the
+  * search-side complement to the embedding operators (q32/q34/q49) and the
+  * Gopher-style repetition filters every pretraining mix applies before
+  * training. (The reference stores opaque text blobs — gotsdb has no text
+  * surface at all — so these derive from the LLM-pipeline mandate, not from
+  * reference parity.)
+  *
+  * Scale shape: everything here is explode → hash-aggregate on (doc, term)
+  * or (term) — the same shuffle keys an inverted-index build uses at 100 TB.
+  * No driver-side collections; corpus-level stats (N, avgdl) travel as a
+  * one-row broadcast cross join, not a collected literal.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sqlToks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  /** (doc_id, tok, tf) — term frequencies. One shuffle on (doc_id, tok);
+    * partial aggregation halves the exploded stream map-side.
+    */
+  private def tf(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  // -- q67: repetition / diversity stats (Gopher-rule style) -----------
+
+  /** Per-document repetition signals: distinct-token ratio, top-token
+    * fraction, duplicate-bigram mass — the standard "remove boilerplate
+    * and looping text" gates. Flag computed from the ROUNDED ratios so
+    * both engines gate on bit-identical values.
+    */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+    val uni = toks
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+    val bi = toks
+      .select(col("doc_id"), Text.shingles(col("__toks"), 2).as("__shs"))
+      .select(col("doc_id"), explode(col("__shs")).as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("total2"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup2"))
+    uni
+      .join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        col("n_distinct"),
+        col("top_tf"),
+        Det.r6(col("n_distinct").cast("double") / col("n_tok")).as("distinct_ratio"),
+        Det.r6(col("top_tf").cast("double") / col("n_tok")).as("top_frac"),
+        when(col("total2") > 0, Det.r6(col("dup2").cast("double") / col("total2")))
+          .otherwise(lit(0.0))
+          .as("dup2_frac"))
+      .withColumn(
+        "repetitive",
+        (col("top_frac") > 0.10 || col("dup2_frac") > 0.10).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS tok FROM d) GROUP BY doc_id, tok),
+       |uni AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+       |               CAST(count(*) AS BIGINT) AS n_distinct,
+       |               CAST(max(tf) AS BIGINT) AS top_tf
+       |        FROM tf GROUP BY doc_id),
+       |bgc AS (SELECT doc_id, s, count(*) AS c
+       |        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+       |              FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t)
+       |        GROUP BY doc_id, s),
+       |bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+       |              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+       |       FROM bgc GROUP BY doc_id),
+       |r AS (
+       |  SELECT uni.doc_id, n_tok, n_distinct, top_tf,
+       |    ${Det.sqlR("CAST(n_distinct AS DOUBLE) / n_tok", 6)} AS distinct_ratio,
+       |    ${Det.sqlR("CAST(top_tf AS DOUBLE) / n_tok", 6)} AS top_frac,
+       |    CASE WHEN total2 > 0 THEN ${Det.sqlR("CAST(dup2 AS DOUBLE) / total2", 6)}
+       |         ELSE 0.0 END AS dup2_frac
+       |  FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id)
+       |SELECT doc_id, n_tok, n_distinct, top_tf, distinct_ratio, top_frac, dup2_frac,
+       |  CAST(CASE WHEN top_frac > 0.10 OR dup2_frac > 0.10 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // -- q68: inverted-index build ---------------------------------------
+
+  /** Postings-list build: per term, document frequency, collection
+    * frequency and the head of the sorted postings list (stringified —
+    * the driver compare can't hash list cells). The groupBy(term) shuffle
+    * IS the index partitioning at scale: each reducer owns a vocabulary
+    * shard, exactly how a distributed index is laid out.
+    */
+  def q68(s: SparkSession, d: String): DataFrame =
+    tf(s, d)
+      .groupBy(col("tok").as("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 8), _.cast("string")),
+          ",").as("postings_head"))
+      .orderBy(col("term"))
+
+  val q68Sql: String =
+    s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+       |            FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+       |            GROUP BY doc_id, tok)
+       |SELECT tok AS term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |  array_to_string((list_sort(list(doc_id)))[1:8], ',') AS postings_head
+       |FROM tf GROUP BY tok ORDER BY term""".stripMargin
+
+  // -- q69: BM25 top-10 ------------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75, Lucene idf) for a fixed term set, top-10 docs.
+    *
+    * Determinism: each term's contribution lands in its own conditional
+    * aggregate (adding 0.0 is exact), and the total sums those columns in
+    * one fixed textual order — no data-dependent float summation order on
+    * either engine. Corpus stats (N, avgdl) join in as a one-row broadcast,
+    * never a collected literal.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "join")
+
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val t = tf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = t.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = t
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val contrib: Column = {
+      val idf = log(
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    val perTerm = t
+      .join(dfreq, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok") === Bm25Terms.head, contrib).otherwise(lit(0.0))).as("__c0"),
+        Bm25Terms.tail.zipWithIndex.map { case (term, i) =>
+          sum(when(col("tok") === term, contrib).otherwise(lit(0.0))).as(s"__c${i + 1}")
+        }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    perTerm
+      .withColumn(
+        "score",
+        Det.r6(Bm25Terms.indices.map(i => col(s"__c$i")).reduceLeft(_ + _)))
+      // top-10 BEFORE ranking: plans as TakeOrderedAndProject (per-partition
+      // heap + driver merge), so no single-partition global window ever sees
+      // the full corpus; row_number then ranks just the 10 survivors
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("score"))
+      .orderBy(col("rk"))
+  }
+
+  val q69Sql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val contrib =
+      "ln((CAST(n_docs AS DOUBLE) - df + 0.5)/(df + 0.5) + 1.0)" +
+        " * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+    val cCols = Bm25Terms.zipWithIndex
+      .map { case (t, i) => s"    sum(CASE WHEN tok = '$t' THEN $contrib ELSE 0.0 END) AS c$i" }
+      .mkString(",\n")
+    val total = Bm25Terms.indices.map(i => s"c$i").mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |            FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+       |            GROUP BY doc_id, tok),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+       |          WHERE tok IN ($inList) GROUP BY tok),
+       |perterm AS (
+       |  SELECT tf.doc_id,
+       |$cCols
+       |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id),
+       |scored AS (SELECT doc_id, ${Det.sqlR(total, 6)} AS score FROM perterm),
+       |rked AS (SELECT doc_id, score,
+       |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |         FROM scored)
+       |SELECT rk, doc_id, score FROM rked WHERE rk <= 10 ORDER BY rk""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q67_repetition_stats" -> (q67 _),
+    "q68_inverted_index" -> (q68 _),
+    "q69_bm25_topk" -> (q69 _))
+
+  val oracles: Map[String, String] = Map(
+    "q67_repetition_stats" -> q67Sql,
+    "q68_inverted_index" -> q68Sql,
+    "q69_bm25_topk" -> q69Sql)
+}
