@@ -45,6 +45,41 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a parquet dataset: rewrite `inPath` as ~`targetBytes`-sized
+    * files, optionally range-sorted by `sortCols` so every output file owns
+    * a narrow min/max band and point/range scans prune whole files (and row
+    * groups) via parquet column statistics.
+    *
+    * This is the small-files maintenance pass every long-lived 100 TB table
+    * needs: streaming ingest and partitioned writes accumulate files far
+    * below the HDFS/S3-efficient size, and scan task count explodes. File
+    * count is derived from the *input's on-disk bytes* (compressed), so the
+    * output lands near `targetBytes` per file without a pre-pass over the
+    * data. `repartitionByRange` + `sortWithinPartitions` keeps the layout
+    * clustering work one shuffle; plain `repartition` (round-robin) when no
+    * sort is requested.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(inPath)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1L, (inputBytes / BigInt(targetBytes)).toLong +
+      (if (inputBytes % BigInt(targetBytes) > 0) 1L else 0L))
+    val n = math.min(nFiles, Int.MaxValue.toLong).toInt
+    val laid =
+      if (sortCols.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val sc = sortCols.map(col)
+        df.repartitionByRange(n, sc: _*).sortWithinPartitions(sc: _*)
+      } else df.repartition(n)
+    laid.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -90,4 +90,41 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
     assert(pruned.count() == ev.filter(col("event_type") === "error").count())
   }
+
+  test("compaction collapses a small-files dataset and preserves the data") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("compact").toString
+    docs.repartition(64).write.parquet(s"$dir/small") // the small-files problem
+    def parts(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts(s"$dir/small").length == 64)
+
+    Sources.compactParquet(spark, s"$dir/small", s"$dir/big", targetBytes = 64L * 1024 * 1024)
+    val after = parts(s"$dir/big")
+    assert(after.length < 8, s"expected few files, got ${after.length}")
+    val back = spark.read.parquet(s"$dir/big")
+    assert(back.count() == docs.count())
+    assert(
+      back.agg(sum("doc_id")).head.getLong(0) == docs.agg(sum("doc_id")).head.getLong(0))
+  }
+
+  test("sorted compaction yields disjoint per-file key ranges (file-level pruning)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("compactsort").toString
+    docs.repartition(16).write.parquet(s"$dir/small")
+    // tiny target forces multiple output files so the range claim is testable
+    Sources.compactParquet(
+      spark, s"$dir/small", s"$dir/sorted", targetBytes = 16L * 1024, sortCols = Seq("doc_id"))
+    val bands = spark.read
+      .parquet(s"$dir/sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(bands.length > 1, "expected multiple output files")
+    bands.zip(bands.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file key ranges overlap: hi=$hi lo2=$lo2")
+    }
+  }
 }
