@@ -50,7 +50,12 @@ object SparkEntry {
               chunkSize = 64,
               everyN = 2)
             .toDF()
-            .orderBy(col("doc_id"), col("frame_idx"))))
+            .orderBy(col("doc_id"), col("frame_idx"))),
+        "q70_resize_stub" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal
+            .resizeStub(graft.multimodal.Multimodal.asMedia(Tables.documents(s, d)), factor = 2)
+            .toDF()
+            .orderBy(col("doc_id"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -86,5 +91,24 @@ object SparkEntry {
             |  FROM documents,
             |    LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) t
             |  WHERE i % 2 = 0) s
-            |ORDER BY doc_id, frame_idx""".stripMargin)
+            |ORDER BY doc_id, frame_idx""".stripMargin,
+        // resize stub: stride-4 byte sampling (2×2 pooling pick) — same
+        // ASCII-fixture argument as q35/q64 makes it SQL-expressible
+        "q70_resize_stub" ->
+          """WITH b AS (
+            |  SELECT doc_id, 'media/' || source AS media_type, text,
+            |    CAST(length(text) AS BIGINT) AS len,
+            |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) % 1000003 AS checksum
+            |  FROM documents),
+            |d AS (SELECT doc_id, media_type, text, len,
+            |        16 + (checksum % 64) AS width,
+            |        16 + ((checksum // 64) % 64) AS height
+            |      FROM b)
+            |SELECT doc_id, media_type,
+            |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+            |  CAST(greatest(1, width // 2) AS BIGINT) AS new_w,
+            |  CAST(greatest(1, height // 2) AS BIGINT) AS new_h,
+            |  CAST(len(range(1, CAST(len + 1 AS BIGINT), 4)) AS BIGINT) AS resized_len,
+            |  CAST(coalesce(list_sum(list_transform(range(1, CAST(len + 1 AS BIGINT), 4), i -> unicode(text[i]))), 0) AS BIGINT) % 1000003 AS resized_checksum
+            |FROM d ORDER BY doc_id""".stripMargin)
 }

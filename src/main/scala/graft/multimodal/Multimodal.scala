@@ -97,6 +97,53 @@ object Multimodal {
     }
   }
 
+  /** Resize result: original + target dimensions and the checksum of the
+    * downsampled payload.
+    */
+  case class Resized(
+      doc_id: Long,
+      media_type: String,
+      width: Long,
+      height: Long,
+      new_w: Long,
+      new_h: Long,
+      resized_len: Long,
+      resized_checksum: Long)
+
+  /** STUB resize: a real pipeline would decode, bilinear-downscale by
+    * `factor`, and re-encode; the stub keeps every `factor²`-th byte of the
+    * flat payload (the top-left pick of each factor×factor pooling block)
+    * and halves the stub-decoded dimensions. Per-partition batched like the
+    * other media ops — the binary column never leaves the executors.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int = 2): Dataset[Resized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val stride = factor * factor
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, w, h) = decodeStub(r.payload)
+        var sum = 0L
+        var cnt = 0L
+        var i = 0
+        while (i < r.payload.length) {
+          sum = (sum + (r.payload(i) & 0xff)) % 1000003L
+          cnt += 1
+          i += stride
+        }
+        Resized(
+          r.doc_id,
+          r.media_type,
+          w,
+          h,
+          math.max(1L, w / factor),
+          math.max(1L, h / factor),
+          cnt,
+          sum)
+      }
+    }
+  }
+
   /** End-to-end: documents → media → features (the registered query). */
   def featureQuery(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(asMedia(graft.core.Tables.documents(spark, dir)))

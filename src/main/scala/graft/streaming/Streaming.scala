@@ -90,6 +90,35 @@ object Streaming {
       }
   }
 
+  case class Alert(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double, prev_max: Double)
+
+  /** Threshold-crossing alerts via `flatMapGroupsWithState` — the
+    * variable-fan-out stateful API (0..n output rows per key per batch,
+    * where mapGroups emits exactly 1): state holds the per-user running
+    * max; each event that exceeds BOTH the alert threshold and the user's
+    * previous max emits an alert row carrying the max it beat. Batch rows
+    * process in (ts, event_id) order so replays are deterministic.
+    */
+  def thresholdAlerts(events: Dataset[Event], threshold: Double): Dataset[Alert] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Alert](OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Double]) =>
+          var runningMax = state.getOption.getOrElse(Double.NegativeInfinity)
+          val alerts = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val prev = runningMax
+            if (e.value > runningMax) runningMax = e.value
+            if (e.value > threshold && e.value > prev)
+              Some(Alert(uid, e.event_id, e.ts, e.value, if (prev.isNegInfinity) 0.0 else prev))
+            else None
+          }
+          state.update(runningMax)
+          alerts.iterator
+      }
+  }
+
   /** `transformWithState` processor (the arbitrary-state API that
     * supersedes mapGroupsWithState): per-user running count + running sum
     * kept in a typed ValueState, emitting the updated aggregate per batch.

@@ -36,4 +36,21 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.featureQuery(spark, sf).agg(sum(col("byte_len"))).head.getLong(0)
     assert(got == expected)
   }
+
+  test("resize stub halves dimensions and samples a quarter of the bytes") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.asMedia(graft.core.Tables.documents(spark, sf))
+    val resized = Multimodal.resizeStub(media, factor = 2).toDF()
+    val feats = Multimodal.extractFeatures(media).toDF()
+    val joined = resized
+      .join(feats.select(col("doc_id"), col("byte_len"), col("width").as("fw"), col("height").as("fh")), "doc_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("new_w") == math.max(1L, r.getAs[Long]("fw") / 2))
+      assert(r.getAs[Long]("new_h") == math.max(1L, r.getAs[Long]("fh") / 2))
+      val len = r.getAs[Long]("byte_len")
+      assert(r.getAs[Long]("resized_len") == (len + 3) / 4) // ceil(len/4) via stride-4
+    }
+  }
 }

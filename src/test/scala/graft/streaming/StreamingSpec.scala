@@ -308,4 +308,39 @@ class StreamingSpec extends SparkSpec {
     val out = Streaming.runToMemory(spark, agg, "sess_counts", OutputMode.Complete())
     assert(out.count() > 0)
   }
+
+  test("flatMapGroupsWithState alerts fire only on new maxima above threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), 7L, "metric", v, "{}")
+
+    val stream = MemoryStream[Event]
+    val q = Streaming
+      .thresholdAlerts(stream.toDS(), threshold = 2.0)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName("alerts")
+      .start()
+    // batch 1: 1.0 (below threshold), 5.0 (alert), 3.0 (below running max)
+    stream.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1.0),
+      ev(2, "2024-01-01 10:01:00", 5.0),
+      ev(3, "2024-01-01 10:02:00", 3.0)))
+    q.processAllAvailable()
+    // batch 2: 7.0 (alert, beats state max 5.0 from batch 1), 6.0 (no)
+    stream.addData(Seq(
+      ev(4, "2024-01-01 10:03:00", 7.0),
+      ev(5, "2024-01-01 10:04:00", 6.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .table("alerts")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"), r.getAs[Double]("prev_max")))
+    assert(got.sameElements(Array((2L, 5.0, 1.0), (4L, 7.0, 5.0))), got.mkString(", "))
+  }
 }
