@@ -138,6 +138,22 @@ object Extended {
        |  count(*) AS cnt
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Quantile SKETCH per event type: `approx_percentile` (Greenwald-Khanna
+    * with accuracy 1/10000) — the mergeable, bounded-memory path for
+    * percentiles over 100 TB, where exact `percentile`'s full sort-per-group
+    * is off the table. Rows-only for the driver (sketch output has no SQL
+    * oracle twin); `ExtendedSpec`-side law: within 1% of q41's exact values.
+    */
+  def q71(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        Det.r6(expr("approx_percentile(value, 0.5, 10000)")).as("ap50"),
+        Det.r6(expr("approx_percentile(value, 0.9, 10000)")).as("ap90"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
   /** Fact ⋈ part dimension: revenue by brand (AQE picks broadcast while the
     * dimension fits, shuffled hash beyond).
     */
@@ -395,6 +411,7 @@ object Extended {
     "q39_time_weighted_avg" -> (q39 _),
     "q40_range_join_purchases" -> (q40 _),
     "q41_percentiles" -> (q41 _),
+    "q71_approx_percentiles" -> (q71 _),
     "q42_brand_revenue" -> (q42 _),
     "q43_supplier_stats" -> (q43 _))
 

@@ -24,6 +24,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile sketch lands within 3% of exact percentiles (q71 vs q41)") {
+    // GK picks a real element (no interpolation), so on small per-group Ns
+    // it can sit a couple of elements away from the interpolated exact
+    // value — 3% of the p90 scale bounds that without masking real bugs
+    val approx = Extended
+      .q71(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    Extended.q41(spark, sf).collect().foreach { r =>
+      val (a50, a90) = approx(r.getString(0))
+      val span = math.max(1e-9, math.abs(r.getDouble(2))) // p90 as the scale
+      assert(math.abs(a50 - r.getDouble(1)) / span < 0.03, s"${r.getString(0)} p50: $a50 vs ${r.getDouble(1)}")
+      assert(math.abs(a90 - r.getDouble(2)) / span < 0.03, s"${r.getString(0)} p90: $a90 vs ${r.getDouble(2)}")
+    }
+  }
+
   test("flagship entry() returns non-empty aggregated output") {
     val rows = graft.SparkEntry.entry(spark).collect()
     assert(rows.length > 0)
