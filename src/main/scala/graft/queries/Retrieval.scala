@@ -217,13 +217,73 @@ object Retrieval {
        |SELECT rk, doc_id, score FROM rked WHERE rk <= 10 ORDER BY rk""".stripMargin
   }
 
+  // -- q72: winnowing fingerprints ---------------------------------------
+
+  /** Winnowing (MOSS-style) document fingerprints: hash every word
+    * 3-shingle in positional order, slide a w=4 window over the hash
+    * sequence, keep each window's minimum, dedupe — a guaranteed-density
+    * fingerprint set for plagiarism/overlap detection that samples ~1/w of
+    * the hashes yet never misses a shared run of ≥ w shingles. Output is
+    * the per-doc fingerprint summary (count / min / max / mod-prime sum)
+    * so the compare stays narrow.
+    *
+    * Scale shape: posexplode → window-min partitioned by doc (each doc's
+    * hash sequence sorts locally within its partition) → distinct →
+    * hash-aggregate. Nothing is corpus-global; skew is bounded by max doc
+    * length.
+    */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val wSize = 4
+    val toks = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+    val sh = toks
+      .select(col("doc_id"), Text.shingles(col("__toks"), 3).as("__shs"))
+      .select(col("doc_id"), posexplode(col("__shs")).as(Seq("i0", "s")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), Text.hash60(col("s")).as("h"))
+    val npos = sh.groupBy(col("doc_id")).agg(max(col("i")).as("npos"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+      .rowsBetween(0, wSize - 1)
+    sh.withColumn("fp", min(col("h")).over(win))
+      .join(npos, Seq("doc_id"))
+      .filter(col("i") <= col("npos") - (wSize - 1)) // full windows only
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        sum(col("fp") % 1000000007L).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sh AS (SELECT doc_id, i, ${Text.sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |n AS (SELECT doc_id, max(i) AS npos FROM sh GROUP BY doc_id),
+       |wm AS (SELECT doc_id, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |       FROM sh),
+       |sel AS (SELECT DISTINCT wm.doc_id, fp
+       |        FROM wm JOIN n ON wm.doc_id = n.doc_id WHERE i <= npos - 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
+       |  CAST(sum(fp % 1000000007) AS BIGINT) AS fp_sum
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q67_repetition_stats" -> (q67 _),
     "q68_inverted_index" -> (q68 _),
-    "q69_bm25_topk" -> (q69 _))
+    "q69_bm25_topk" -> (q69 _),
+    "q72_winnowing_fingerprint" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
     "q67_repetition_stats" -> q67Sql,
     "q68_inverted_index" -> q68Sql,
-    "q69_bm25_topk" -> q69Sql)
+    "q69_bm25_topk" -> q69Sql,
+    "q72_winnowing_fingerprint" -> q72Sql)
 }

@@ -71,6 +71,33 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan missing TakeOrderedAndProject:\n$plan")
   }
 
+  test("q72 winnowing selects between 1/w and all of the full windows") {
+    val npos = graft.core.Tables
+      .documents(spark, sf)
+      .select(
+        col("doc_id"),
+        size(graft.functions.Text.shingles(graft.functions.Text.tokens(col("text")), 3))
+          .cast("long")
+          .as("npos"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val rows = Retrieval.q72(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nWindows = npos(id) - 3 // full w=4 windows
+      val nFp = r.getAs[Long]("n_fp")
+      assert(nWindows >= 1, s"doc $id unexpectedly short")
+      assert(nFp >= math.ceil(nWindows / 4.0).toLong, s"doc $id: too few fingerprints ($nFp of $nWindows windows)")
+      assert(nFp <= nWindows, s"doc $id: more fingerprints than windows")
+      assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_max"))
+    }
+    // docs too short for a full window are absent, not zero-row artifacts
+    val present = rows.map(_.getAs[Long]("doc_id")).toSet
+    npos.filter(_._2 < 4).keys.foreach(id => assert(!present.contains(id)))
+  }
+
   test("q69 only ranks docs that actually contain a query term") {
     val hits = Retrieval.q69(spark, sf).select("doc_id").collect().map(_.getLong(0)).toSet
     val containing = graft.core.Tables
