@@ -100,10 +100,12 @@ object Bench {
     val fullErr = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), // cwd = the sbt project root
         s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullQs,"errors":$fullErr,"runs":$passes,"agg":"min","sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"runs":$passes,"agg":"min","sf":"$sfDir"}""")
   }
 }

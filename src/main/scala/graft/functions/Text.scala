@@ -51,6 +51,11 @@ object Text {
   /** SQL twin of [[hash60]] for oracle strings. */
   def sqlHash60(e: String): String = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
+  /** DuckDB twin of [[tokens]] — the ONE tokenizer string every text oracle
+    * shares (a drift between copies would silently break oracle parity).
+    */
+  val sqlToks: String = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
   /** Minhash permutation params: 16 independent affine maps over the
     * 31-bit-reduced shingle hash, mod a prime. All arithmetic stays well
     * inside int64 (max a*h31 ≈ 1.7e5 * 2.1e9 ≈ 3.6e14), so Spark and

@@ -111,10 +111,13 @@ object Multimodal {
       resized_checksum: Long)
 
   /** STUB resize: a real pipeline would decode, bilinear-downscale by
-    * `factor`, and re-encode; the stub keeps every `factor²`-th byte of the
-    * flat payload (the top-left pick of each factor×factor pooling block)
-    * and halves the stub-decoded dimensions. Per-partition batched like the
-    * other media ops — the binary column never leaves the executors.
+    * `factor`, and re-encode; the stub has no pixel geometry (the payload
+    * is an opaque byte stream), so it keeps every `factor²`-th byte of the
+    * FLAT payload — the same 1/factor² data reduction a factor× downscale
+    * gives, but NOT equivalent to per-block pooling of a row-major image
+    * (a real decode replacing this stub must also replace the q70 oracle).
+    * Per-partition batched like the other media ops — the binary column
+    * never leaves the executors.
     */
   def resizeStub(media: Dataset[MediaRow], factor: Int = 2): Dataset[Resized] = {
     val spark = media.sparkSession

@@ -142,7 +142,8 @@ object Extended {
     * with accuracy 1/10000) — the mergeable, bounded-memory path for
     * percentiles over 100 TB, where exact `percentile`'s full sort-per-group
     * is off the table. Rows-only for the driver (sketch output has no SQL
-    * oracle twin); `ExtendedSpec`-side law: within 1% of q41's exact values.
+    * oracle twin); `QueriesSpec`-side law: within 3% of q41's exact values
+    * (GK returns elements, not interpolations, so small groups drift more).
     */
   def q71(s: SparkSession, d: String): DataFrame =
     Tables

@@ -22,7 +22,7 @@ object Retrieval {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val sqlToks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private val sqlToks = Text.sqlToks
 
   /** (doc_id, tok, tf) — term frequencies. One shuffle on (doc_id, tok);
     * partial aggregation halves the exploded stream map-side.
@@ -147,6 +147,9 @@ object Retrieval {
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "join")
 
   def q69(s: SparkSession, d: String): DataFrame = {
+    // persist: tf feeds three branches (dl, dfreq, the scoring join). Both
+    // Bench and Verify clearCache() after each query; other callers should
+    // do the same once the result is materialized.
     val t = tf(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = t.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(

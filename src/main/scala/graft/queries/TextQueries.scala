@@ -20,7 +20,7 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Shared SQL fragments (DuckDB dialect). */
-  private val sqlToks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private val sqlToks = Text.sqlToks
 
   /** Word-trigram shingle CTEs: d(doc_id, w[]), sh(doc_id, s) distinct. */
   private val sqlShingleCte =

@@ -65,6 +65,10 @@ object Sources {
       outPath: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(
+      java.nio.file.Paths.get(inPath).normalize() != java.nio.file.Paths.get(outPath).normalize(),
+      "compactParquet cannot rewrite in place: Spark reads lazily while overwriting — use a new path and swap")
     val df = spark.read.parquet(inPath)
     val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (inputBytes / BigInt(targetBytes)).toLong +

@@ -98,6 +98,10 @@ object Streaming {
     * max; each event that exceeds BOTH the alert threshold and the user's
     * previous max emits an alert row carrying the max it beat. Batch rows
     * process in (ts, event_id) order so replays are deterministic.
+    *
+    * `prev_max` is 0.0 when no prior event existed — indistinguishable
+    * from a true prior max of 0.0, so treat `prev_max` as informational
+    * only for thresholds ≤ 0 (the alert decision itself is unaffected).
     */
   def thresholdAlerts(events: Dataset[Event], threshold: Double): Dataset[Alert] = {
     val spark = events.sparkSession

@@ -32,9 +32,8 @@ class RetrievalSpec extends SparkSpec {
     assert(r.nonEmpty)
     r.foreach { row =>
       val ids = row.getAs[String]("postings_head").split(",").map(_.toLong)
-      assert(ids.length <= 8)
       assert(ids.sameElements(ids.sorted), s"postings not sorted: ${ids.mkString(",")}")
-      assert(row.getAs[Long]("df") >= ids.length || row.getAs[Long]("df") <= 8)
+      assert(ids.length == math.min(row.getAs[Long]("df"), 8L), s"postings_head length ${ids.length} != min(df=${row.getAs[Long]("df")}, 8)")
       assert(row.getAs[Long]("cf") >= row.getAs[Long]("df")) // cf counts multiplicity
     }
   }
