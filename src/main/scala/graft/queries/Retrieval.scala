@@ -115,8 +115,12 @@ object Retrieval {
     * IS the index partitioning at scale: each reducer owns a vocabulary
     * shard, exactly how a distributed index is laid out.
     */
-  def q68(s: SparkSession, d: String): DataFrame =
-    tf(s, d)
+  /** Core of q68 over any (doc_id, text) frame. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
       .groupBy(col("tok").as("term"))
       .agg(
         count(lit(1)).as("df"),
@@ -124,7 +128,9 @@ object Retrieval {
         array_join(
           transform(slice(array_sort(collect_list(col("doc_id"))), 1, 8), _.cast("string")),
           ",").as("postings_head"))
-      .orderBy(col("term"))
+
+  def q68(s: SparkSession, d: String): DataFrame =
+    invertedIndex(Tables.documents(s, d)).orderBy(col("term"))
 
   val q68Sql: String =
     s"""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
@@ -235,10 +241,10 @@ object Retrieval {
     * hash-aggregate. Nothing is corpus-global; skew is bounded by max doc
     * length.
     */
-  def q72(s: SparkSession, d: String): DataFrame = {
+  /** Core of q72 over any (doc_id, text) frame. */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
     val wSize = 4
-    val toks = Tables
-      .documents(s, d)
+    val toks = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
     val sh = toks
       .select(col("doc_id"), Text.shingles(col("__toks"), 3).as("__shs"))
@@ -260,8 +266,10 @@ object Retrieval {
         min(col("fp")).as("fp_min"),
         max(col("fp")).as("fp_max"),
         sum(col("fp") % 1000000007L).as("fp_sum"))
-      .orderBy(col("doc_id"))
   }
+
+  def q72(s: SparkSession, d: String): DataFrame =
+    winnowingFingerprints(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   val q72Sql: String =
     s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
