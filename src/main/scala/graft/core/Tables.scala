@@ -33,7 +33,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Cached per (dir, table): does this scan under-split the cluster? */
+  /** Cached per (dir, table, parallelism): does this scan under-split the
+    * cluster? Keying on defaultParallelism keeps the decision correct when
+    * one JVM hosts sessions with different core counts; a rewrite of the
+    * parquet at the same path (e.g. after compaction) still reuses the old
+    * answer — accepted and documented per-JVM staleness, worst case one
+    * redundant (or one missing) narrow shuffle, never a wrong result.
+    */
   private val underSplit = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Repartition-to-cores when (and only when) the source under-splits.
@@ -51,7 +57,7 @@ object Tables {
     */
   private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    val need = underSplit.getOrElseUpdate(key, df.rdd.getNumPartitions < math.max(2, cores / 2))
+    val need = underSplit.getOrElseUpdate(s"$key@$cores", df.rdd.getNumPartitions < math.max(2, cores / 2))
     if (need) df.repartition(cores) else df
   }
 

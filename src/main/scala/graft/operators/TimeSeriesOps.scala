@@ -121,13 +121,19 @@ object TimeSeriesOps {
       valueCols: Map[String, String],
       toleranceSec: Long): DataFrame = {
     require(!valueCols.valuesIterator.contains("__match_ts"), "reserved name __match_ts")
-    val joined =
-      asOfJoin(left, right, keyCol, leftTs, rightTs, rightTie, valueCols + (rightTs -> "__match_ts"))
+    // A caller-supplied mapping for rightTs must not be lost to the internal
+    // __match_ts copy: route the internal copy through its own key and
+    // restore the caller's output column from it after the join.
+    val callerTsOut = valueCols.get(rightTs)
+    val joined = asOfJoin(
+      left, right, keyCol, leftTs, rightTs, rightTie,
+      (valueCols - rightTs) + (rightTs -> "__match_ts"))
+    val restored = callerTsOut.fold(joined)(out => joined.withColumn(out, col("__match_ts")))
     // timestamp→double = epoch seconds with microsecond fraction (exact)
     val stale = col("__match_ts").isNull ||
       (col(leftTs).cast("double") - col("__match_ts").cast("double")) > toleranceSec.toDouble
     valueCols.values
-      .foldLeft(joined)((d, to) => d.withColumn(to, when(stale, lit(null)).otherwise(col(to))))
+      .foldLeft(restored)((d, to) => d.withColumn(to, when(stale, lit(null)).otherwise(col(to))))
       .drop("__match_ts")
   }
 

@@ -115,19 +115,36 @@ object Retrieval {
     * IS the index partitioning at scale: each reducer owns a vocabulary
     * shard, exactly how a distributed index is laid out.
     */
-  /** Core of q68 over any (doc_id, text) frame. */
-  def invertedIndex(docs: DataFrame): DataFrame =
+  /** Core of q68 over any (doc_id, text) frame.
+    *
+    * Per-term aggregation state is O(8), not O(df): doc_ids are ranked
+    * within each term by a `row_number` window first, and only ranks ≤ 8
+    * reach `collect_list` (via `when`, whose null branch CollectList skips).
+    * A stopword-grade term at 100 TB therefore buffers 8 ids on its
+    * reducer, never the corpus's full postings list. The window's
+    * hash-partitioning on `tok` also satisfies the following groupBy's
+    * distribution, so the rank adds no extra shuffle — one exchange total
+    * after the tf aggregation.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok"))
+      .orderBy(col("doc_id"))
     docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(byTerm))
       .groupBy(col("tok").as("term"))
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("cf"),
         array_join(
-          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 8), _.cast("string")),
+          transform(
+            array_sort(collect_list(when(col("rn") <= 8, col("doc_id")))),
+            _.cast("string")),
           ",").as("postings_head"))
+  }
 
   def q68(s: SparkSession, d: String): DataFrame =
     invertedIndex(Tables.documents(s, d)).orderBy(col("term"))
@@ -241,9 +258,17 @@ object Retrieval {
     * hash-aggregate. Nothing is corpus-global; skew is bounded by max doc
     * length.
     */
-  /** Core of q72 over any (doc_id, text) frame. */
-  def winnowingFingerprints(docs: DataFrame): DataFrame = {
-    val wSize = 4
+  /** Pre-distinct winnowing selection: one row per full window, carrying
+    * the window position `i`, the selected minimum `fp`, and the position
+    * `selpos` the minimum was taken from (leftmost on hash ties, via a
+    * struct-min). The guaranteed-density law — a given position can be the
+    * minimum of at most w consecutive windows, so distinct selected
+    * POSITIONS ≥ nWindows / w — holds HERE; identical fp VALUES chosen in
+    * distant windows of a repetitive doc collapse under the later distinct,
+    * so density must be asserted on selpos in this frame, not on q72's
+    * deduplicated value set.
+    */
+  def winnowingSelections(docs: DataFrame, wSize: Int = 4): DataFrame = {
     val toks = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
     val sh = toks
@@ -255,9 +280,15 @@ object Retrieval {
       .partitionBy(col("doc_id"))
       .orderBy(col("i"))
       .rowsBetween(0, wSize - 1)
-    sh.withColumn("fp", min(col("h")).over(win))
+    sh.withColumn("__m", min(struct(col("h"), col("i"))).over(win))
       .join(npos, Seq("doc_id"))
       .filter(col("i") <= col("npos") - (wSize - 1)) // full windows only
+      .select(col("doc_id"), col("i"), col("__m.h").as("fp"), col("__m.i").as("selpos"))
+  }
+
+  /** Core of q72 over any (doc_id, text) frame. */
+  def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    winnowingSelections(docs)
       .select(col("doc_id"), col("fp"))
       .distinct()
       .groupBy(col("doc_id"))

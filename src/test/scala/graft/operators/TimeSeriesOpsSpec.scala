@@ -81,6 +81,25 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("asOfJoinWithin preserves a caller mapping of the right timestamp column") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts("2024-01-01 09:30:00"), 3L, 30.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeriesOps
+      .asOfJoinWithin(
+        left, right, "user_id", "ts", "ts", "event_id",
+        Map("value" -> "pv", "ts" -> "match_time"), 3600L)
+      .orderBy("event_id")
+      .select("pv", "match_time")
+      .collect()
+    // fresh row keeps both carried columns; stale row nulls both
+    assert(got(0).getDouble(0) == 30.0 && got(0).getTimestamp(1) == ts("2024-01-01 09:30:00"))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+  }
+
   test("gapFillDaily emits every day in each key's span") {
     import spark.implicits._
     val df = Seq(

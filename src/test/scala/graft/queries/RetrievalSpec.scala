@@ -81,6 +81,17 @@ class RetrievalSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
+    // Density law lives on the PRE-distinct selection: a position is the
+    // window minimum for at most w consecutive windows, so distinct selected
+    // positions >= nWindows / w. Post-distinct fp VALUES can legitimately
+    // fall below that in repetitive docs (same value at distant positions).
+    val selPos = Retrieval
+      .winnowingSelections(graft.core.Tables.documents(spark, sf))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("selpos")).as("n_sel"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_sel"))
+      .toMap
     val rows = Retrieval.q72(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -88,13 +99,32 @@ class RetrievalSpec extends SparkSpec {
       val nWindows = npos(id) - 3 // full w=4 windows
       val nFp = r.getAs[Long]("n_fp")
       assert(nWindows >= 1, s"doc $id unexpectedly short")
-      assert(nFp >= math.ceil(nWindows / 4.0).toLong, s"doc $id: too few fingerprints ($nFp of $nWindows windows)")
+      assert(selPos(id) >= math.ceil(nWindows / 4.0).toLong, s"doc $id: too few selected positions (${selPos(id)} of $nWindows windows)")
+      assert(nFp >= 1 && nFp <= selPos(id), s"doc $id: fp value count $nFp outside (0, selected=${selPos(id)}]")
       assert(nFp <= nWindows, s"doc $id: more fingerprints than windows")
       assert(r.getAs[Long]("fp_min") <= r.getAs[Long]("fp_max"))
     }
     // docs too short for a full window are absent, not zero-row artifacts
     val present = rows.map(_.getAs[Long]("doc_id")).toSet
     npos.filter(_._2 < 4).keys.foreach(id => assert(!present.contains(id)))
+  }
+
+  test("q68 per-term aggregation state is bounded: rank-gated collect, one post-tf exchange") {
+    spark.catalog.clearCache() // q69's persisted tf would otherwise inline its cached plan (and its exchanges) here
+    val qe = Retrieval.q68(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    // collect_list input must be the rank-conditional, not the raw doc_id
+    assert(
+      optimized.contains("collect_list(CASE WHEN"),
+      s"collect_list is not rank-gated:\n$optimized")
+    assert(optimized.contains("row_number()"), "missing row_number rank")
+    // the window's hash-partitioning on tok must be reused by the final
+    // groupBy: hash exchanges = tf-agg shuffle + window/term shuffle and
+    // nothing else (the final groupBy adds none; orderBy's range exchange
+    // and the fixture's scan-spread round-robin don't hash-shuffle)
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(qe.executedPlan.toString).length
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges:\n${qe.executedPlan}")
   }
 
   test("q69 only ranks docs that actually contain a query term") {
