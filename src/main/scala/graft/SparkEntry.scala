@@ -51,33 +51,44 @@ object SparkEntry {
               everyN = 2)
             .toDF()
             .orderBy(col("doc_id"), col("frame_idx"))),
-        "q70_resize_stub" -> ((s: SparkSession, d: String) =>
-          graft.multimodal.Multimodal
-            .resizeStub(graft.multimodal.Multimodal.asMedia(Tables.documents(s, d)), factor = 2)
-            .toDF()
-            .orderBy(col("doc_id"))))
+        "q70_resize_bmp" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.resizeQuery(s, d)),
+        "q73_wav_features" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.wavFeatureQuery(s, d)),
+        "q74_ppm_features" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.ppmFeatureQuery(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
-    * (q48 HLL estimate, q49 iterative k-means) → driver records rows-only.
+    * (q48 HLL estimate, q49 iterative k-means training) → driver records
+    * rows-only.
     *
-    * q35's stub decode is SQL-expressible because the fixture text is
-    * ASCII (verified across all SFs): the byte sum equals the code-point
-    * sum, and text length < the stub's modulus so no wraparound occurs.
+    * The media queries (q35/q64/q70/q73/q74) are SQL-expressible because
+    * the media bytes are synthesized closed-form from `documents` (the
+    * fixture text is ASCII at every SF, so byte == code point): the engine
+    * runs a real container encode→decode roundtrip, and the oracle
+    * recomputes the decoded features directly from the closed forms.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ Extended.oracles ++ Retrieval.oracles ++
       Map(
+        // q35: REAL BMP decode. The media bytes are a 24-bit BMP encoded
+        // from closed-form dimensions (w = 8 + doc_id % 24,
+        // h = 8 + n_chars % 16) and pixels cycled from the doc's text
+        // bytes; the engine decodes the container (header, padding,
+        // bottom-up rows), and the oracle recomputes the same features
+        // from the closed forms. byte_len = 54-byte headers + padded rows.
         "q35_multimodal_features" ->
           """WITH b AS (
-            |  SELECT doc_id, 'media/' || source AS media_type,
-            |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-            |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) AS checksum
+            |  SELECT doc_id, 8 + (doc_id % 24) AS w, 8 + (n_chars % 16) AS h,
+            |         text, length(text) AS len
             |  FROM documents)
-            |SELECT doc_id, media_type, byte_len, checksum,
-            |  16 + (checksum % 64) AS width,
-            |  16 + ((checksum // 64) % 64) AS height
+            |SELECT doc_id, 'image/bmp' AS media_type,
+            |  CAST(54 + (((3 * w + 3) // 4) * 4) * h AS BIGINT) AS byte_len,
+            |  CAST(list_sum(list_transform(range(0, 3 * w * h),
+            |       i -> unicode(text[CAST(i % len AS INT) + 1]))) AS BIGINT) AS checksum,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
             |FROM b ORDER BY doc_id""".stripMargin,
         // frame sampling: every 2nd 64-byte chunk; ASCII fixture text makes
         // substr-by-chars equal substr-by-bytes and code-point sum equal
@@ -92,23 +103,56 @@ object SparkEntry {
             |    LATERAL (SELECT unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i) t
             |  WHERE i % 2 = 0) s
             |ORDER BY doc_id, frame_idx""".stripMargin,
-        // resize stub: stride-4 byte sampling (2×2 pooling pick) — same
-        // ASCII-fixture argument as q35/q64 makes it SQL-expressible
-        "q70_resize_stub" ->
+        // q70: REAL resize — decode BMP, 2×2 top-left-pick downsample on
+        // pixel geometry, re-encode, decode again. Resized pixel (r, c)
+        // = original (2r, 2c); flat resized index i maps to original text
+        // byte ((i÷(nw·3))·2·w + ((i mod nw·3)÷3)·2)·3 + (i mod 3), mod len.
+        // resized_len is the re-encoded BMP's size (54 + padded rows).
+        "q70_resize_bmp" ->
           """WITH b AS (
-            |  SELECT doc_id, 'media/' || source AS media_type, text,
-            |    CAST(length(text) AS BIGINT) AS len,
-            |    CAST(coalesce(list_sum(list_transform(string_split(text, ''), c -> unicode(c))), 0) AS BIGINT) % 1000003 AS checksum
+            |  SELECT doc_id, 8 + (doc_id % 24) AS w, 8 + (n_chars % 16) AS h,
+            |         text, length(text) AS len
             |  FROM documents),
-            |d AS (SELECT doc_id, media_type, text, len,
-            |        16 + (checksum % 64) AS width,
-            |        16 + ((checksum // 64) % 64) AS height
+            |d AS (SELECT doc_id, w, h, greatest(1, w // 2) AS nw, greatest(1, h // 2) AS nh,
+            |             text, len
             |      FROM b)
-            |SELECT doc_id, media_type,
-            |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
-            |  CAST(greatest(1, width // 2) AS BIGINT) AS new_w,
-            |  CAST(greatest(1, height // 2) AS BIGINT) AS new_h,
-            |  CAST(len(range(1, CAST(len + 1 AS BIGINT), 4)) AS BIGINT) AS resized_len,
-            |  CAST(coalesce(list_sum(list_transform(range(1, CAST(len + 1 AS BIGINT), 4), i -> unicode(text[i]))), 0) AS BIGINT) % 1000003 AS resized_checksum
-            |FROM d ORDER BY doc_id""".stripMargin)
+            |SELECT doc_id, 'image/bmp' AS media_type,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            |  CAST(nw AS BIGINT) AS new_w, CAST(nh AS BIGINT) AS new_h,
+            |  CAST(54 + (((3 * nw + 3) // 4) * 4) * nh AS BIGINT) AS resized_len,
+            |  CAST(list_sum(list_transform(range(0, nw * nh * 3),
+            |    i -> unicode(text[CAST((((i // (nw * 3)) * 2 * w + ((i % (nw * 3)) // 3) * 2) * 3
+            |                            + (i % 3)) % len AS INT) + 1]))) AS BIGINT) AS resized_checksum
+            |FROM d ORDER BY doc_id""".stripMargin,
+        // q73: REAL WAV decode (RIFF chunk walk, PCM16 mono). Sample i is
+        // (text byte − 96)·256; rate = 8/12/16 kHz by doc_id mod 3.
+        "q73_wav_features" ->
+          """WITH b AS (
+            |  SELECT doc_id, 8000 + 4000 * (doc_id % 3) AS rate,
+            |         length(text) AS n, text
+            |  FROM documents)
+            |SELECT doc_id, 'audio/wav' AS media_type,
+            |  CAST(44 + 2 * n AS BIGINT) AS byte_len,
+            |  CAST(rate AS BIGINT) AS sample_rate,
+            |  CAST(n AS BIGINT) AS n_samples,
+            |  CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+            |  CAST(list_max(list_transform(range(1, n + 1),
+            |       i -> abs((unicode(text[i]) - 96) * 256))) AS BIGINT) AS peak,
+            |  CAST(list_sum(list_transform(range(1, n + 1),
+            |       i -> abs((unicode(text[i]) - 96) * 256))) AS BIGINT) AS loudness
+            |FROM b ORDER BY doc_id""".stripMargin,
+        // q74: REAL PPM (P6) decode — text header parse + raw RGB payload.
+        // byte_len = "P6\n" + "<w> <h>\n" + "255\n" + 3·w·h.
+        "q74_ppm_features" ->
+          """WITH b AS (
+            |  SELECT doc_id, 4 + (n_chars % 13) AS w, 4 + (doc_id % 11) AS h,
+            |         text, length(text) AS len
+            |  FROM documents)
+            |SELECT doc_id, 'image/ppm' AS media_type,
+            |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            |       + 3 * w * h AS BIGINT) AS byte_len,
+            |  CAST(list_sum(list_transform(range(0, 3 * w * h),
+            |       i -> unicode(text[CAST(i % len AS INT) + 1]))) AS BIGINT) AS checksum,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+            |FROM b ORDER BY doc_id""".stripMargin)
 }

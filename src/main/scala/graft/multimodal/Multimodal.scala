@@ -6,22 +6,28 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, and per-partition batched feature extraction.
   *
-  * The decode step is a **STUB** (image/audio codecs are not in this
-  * container): `decodeStub` derives deterministic pseudo-features from the
-  * bytes. The Spark-side shape is the real design and is what matters at
-  * 100 TB: binary + metadata travel columnar in parquet, extraction runs
-  * `mapPartitions` (one JVM-side batch loop per partition — the Scala
-  * analogue of `mapInPandas` batching), output is a typed Dataset with a
-  * stable schema, and nothing ever collects to the driver.
+  * Decode is REAL: [[MediaCodec]] implements BMP (24-bit), PPM (P6) and
+  * WAV (PCM16 mono) containers in pure JVM code — header parse, row
+  * padding, bottom-up row order, RIFF chunk walk — so `width`/`height`/
+  * `sample_rate` come out of actual container bytes, not a synthesized
+  * hash. The container has no image/audio fixture files, so the media
+  * BYTES are generated deterministically from the `documents` fixture
+  * (dimensions from doc_id/n_chars, pixels/samples from the text bytes):
+  * an encode→decode roundtrip through the real format, which a DuckDB
+  * oracle can still check end-to-end because the synthesis is closed-form.
+  *
+  * Scale shape (what matters at 100 TB): binary + metadata travel columnar
+  * in parquet, extraction runs `mapPartitions` (one JVM-side batch loop per
+  * partition — the Scala analogue of `mapInPandas` batching), output is a
+  * typed Dataset with a stable schema, and payload bytes never reach the
+  * driver.
   */
 object Multimodal {
 
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features; `width`/`height` are what a real image decode
-    * would yield — the stub synthesizes them deterministically.
-    */
+  /** Extracted image features: decoded dimensions + pixel checksum. */
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,
@@ -30,8 +36,19 @@ object Multimodal {
       width: Long,
       height: Long)
 
-  /** Wrap a text table as a media table (payload = utf8 bytes) — a stand-in
-    * for real image/audio ingestion; keeps the pipeline end-to-end runnable.
+  /** Extracted audio features from a decoded PCM clip. */
+  case class AudioFeatures(
+      doc_id: Long,
+      media_type: String,
+      byte_len: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      duration_ms: Long,
+      peak: Long,
+      loudness: Long)
+
+  /** Wrap a text table as a media table (payload = utf8 bytes) — the
+    * "opaque byte stream" shape used by frame sampling (q64).
     */
   def asMedia(df: DataFrame): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -43,35 +60,132 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would decode the codec here
-    * (e.g. JPEG → pixels). Deterministic fake so tests are stable.
+  /** Pixel synthesis: cycle the doc's text bytes over an n-byte buffer.
+    * Closed-form (`pixels(i) = text(i % len)`), so the oracle can recompute
+    * any decoded checksum straight from the text column.
     */
-  private def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    var sum = 0L
+  private def cycleBytes(text: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
     var i = 0
-    while (i < payload.length) { sum = (sum + (payload(i) & 0xff)) % 1000003L; i += 1 }
-    val width = 16L + (sum % 64L)        // fake dimensions derived from content
-    val height = 16L + ((sum / 64L) % 64L)
-    (sum, width, height)
+    while (i < n) { out(i) = text(i % text.length); i += 1 }
+    out
   }
 
-  /** Batched per-partition feature extraction. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
+  private def docTriples(df: DataFrame): Dataset[(Long, String, Long)] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val (checksum, w, h) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, checksum, w, h)
+    df.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+  }
+
+  /** documents → real 24-bit BMP payloads. Dimensions are closed-form in
+    * (doc_id, n_chars): width = 8 + doc_id % 24, height = 8 + n_chars % 16.
+    */
+  def asBmpMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docTriples(df).mapPartitions { rows =>
+      rows.map { case (id, text, nChars) =>
+        val w = (8 + id % 24).toInt
+        val h = (8 + nChars % 16).toInt
+        val px = cycleBytes(text.getBytes("UTF-8"), w * h * 3)
+        MediaRow(id, "image/bmp", MediaCodec.encodeBmp(MediaCodec.Raster(w, h, px)))
       }
     }
   }
 
-  /** A sampled "frame" from a media payload. A real video pipeline would
-    * decode and emit every Nth frame; the stub slices the byte stream into
-    * fixed-size chunks and keeps every Nth — the Spark-side shape (one
-    * media row fans out to many frame rows, each with positional metadata)
-    * is identical.
+  /** documents → binary P6 PPM payloads: width = 4 + n_chars % 13,
+    * height = 4 + doc_id % 11.
+    */
+  def asPpmMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docTriples(df).mapPartitions { rows =>
+      rows.map { case (id, text, nChars) =>
+        val w = (4 + nChars % 13).toInt
+        val h = (4 + id % 11).toInt
+        val px = cycleBytes(text.getBytes("UTF-8"), w * h * 3)
+        MediaRow(id, "image/ppm", MediaCodec.encodePpm(MediaCodec.Raster(w, h, px)))
+      }
+    }
+  }
+
+  /** documents → PCM16 mono WAV payloads: sample rate 8/12/16 kHz by
+    * doc_id mod 3, one sample per text byte: `(byte − 96) · 256`.
+    */
+  def asWavMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docTriples(df).mapPartitions { rows =>
+      rows.map { case (id, text, _) =>
+        val rate = (8000 + 4000 * (id % 3)).toInt
+        val bytes = text.getBytes("UTF-8")
+        val samples = new Array[Short](bytes.length)
+        var i = 0
+        while (i < bytes.length) { samples(i) = (((bytes(i) & 0xff) - 96) * 256).toShort; i += 1 }
+        MediaRow(id, "audio/wav", MediaCodec.encodeWav(MediaCodec.Clip(rate, samples)))
+      }
+    }
+  }
+
+  /** Image feature extraction: REAL decode (dispatched on media_type),
+    * checksum = sum of decoded pixel bytes. Batched per partition.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val raster = r.media_type match {
+          case "image/bmp" => MediaCodec.decodeBmp(r.payload)
+          case "image/ppm" => MediaCodec.decodePpm(r.payload)
+          case t => throw new IllegalArgumentException(s"not an image media_type: $t")
+        }
+        var sum = 0L
+        var i = 0
+        while (i < raster.pixels.length) { sum += raster.pixels(i) & 0xff; i += 1 }
+        MediaFeatures(
+          r.doc_id,
+          r.media_type,
+          r.payload.length.toLong,
+          sum,
+          raster.width.toLong,
+          raster.height.toLong)
+      }
+    }
+  }
+
+  /** Audio feature extraction: REAL RIFF/fmt/data parse. */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val clip = MediaCodec.decodeWav(r.payload)
+        var peak = 0L
+        var loud = 0L
+        var i = 0
+        while (i < clip.samples.length) {
+          val a = math.abs(clip.samples(i).toLong)
+          if (a > peak) peak = a
+          loud += a
+          i += 1
+        }
+        AudioFeatures(
+          r.doc_id,
+          r.media_type,
+          r.payload.length.toLong,
+          clip.sampleRate.toLong,
+          clip.samples.length.toLong,
+          clip.samples.length.toLong * 1000L / clip.sampleRate,
+          peak,
+          loud)
+      }
+    }
+  }
+
+  /** A sampled "frame" from a media payload: the byte stream sliced into
+    * fixed-size chunks, every Nth kept — the fan-out shape (one media row
+    * to many positional frame rows) of a video sampling pipeline.
     */
   case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long, frame_checksum: Long)
 
@@ -97,8 +211,8 @@ object Multimodal {
     }
   }
 
-  /** Resize result: original + target dimensions and the checksum of the
-    * downsampled payload.
+  /** Resize result: original + target dimensions, re-encoded size and the
+    * checksum of the resized pixels.
     */
   case class Resized(
       doc_id: Long,
@@ -110,46 +224,56 @@ object Multimodal {
       resized_len: Long,
       resized_checksum: Long)
 
-  /** STUB resize: a real pipeline would decode, bilinear-downscale by
-    * `factor`, and re-encode; the stub has no pixel geometry (the payload
-    * is an opaque byte stream), so it keeps every `factor²`-th byte of the
-    * FLAT payload — the same 1/factor² data reduction a factor× downscale
-    * gives, but NOT equivalent to per-block pooling of a row-major image
-    * (a real decode replacing this stub must also replace the q70 oracle).
-    * Per-partition batched like the other media ops — the binary column
-    * never leaves the executors.
+  /** REAL resize: decode the BMP, factor× box-downsample on actual pixel
+    * geometry (top-left pick per block — deterministic), re-encode as BMP,
+    * and decode the re-encoded bytes again so the reported features come
+    * from a full encode→decode roundtrip of the resized image.
+    * `resized_len` is the re-encoded BMP's size (header + padded rows).
     */
-  def resizeStub(media: Dataset[MediaRow], factor: Int = 2): Dataset[Resized] = {
+  def resizeMedia(media: Dataset[MediaRow], factor: Int = 2): Dataset[Resized] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val stride = factor * factor
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (_, w, h) = decodeStub(r.payload)
+        val orig = MediaCodec.decodeBmp(r.payload)
+        val reencoded = MediaCodec.encodeBmp(MediaCodec.downsample(orig, factor))
+        val small = MediaCodec.decodeBmp(reencoded)
         var sum = 0L
-        var cnt = 0L
         var i = 0
-        while (i < r.payload.length) {
-          sum = (sum + (r.payload(i) & 0xff)) % 1000003L
-          cnt += 1
-          i += stride
-        }
+        while (i < small.pixels.length) { sum += small.pixels(i) & 0xff; i += 1 }
         Resized(
           r.doc_id,
           r.media_type,
-          w,
-          h,
-          math.max(1L, w / factor),
-          math.max(1L, h / factor),
-          cnt,
+          orig.width.toLong,
+          orig.height.toLong,
+          small.width.toLong,
+          small.height.toLong,
+          reencoded.length.toLong,
           sum)
       }
     }
   }
 
-  /** End-to-end: documents → media → features (the registered query). */
+  /** End-to-end registered queries: documents → encoded media → decoded
+    * features.
+    */
   def featureQuery(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(asMedia(graft.core.Tables.documents(spark, dir)))
+    imageFeatures(asBmpMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  def ppmFeatureQuery(spark: SparkSession, dir: String): DataFrame =
+    imageFeatures(asPpmMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  def wavFeatureQuery(spark: SparkSession, dir: String): DataFrame =
+    audioFeatures(asWavMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeMedia(asBmpMedia(graft.core.Tables.documents(spark, dir)), factor = 2)
       .toDF()
       .orderBy(col("doc_id"))
 }

@@ -4,17 +4,149 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("media plumbing: schema, determinism, and per-row feature bounds") {
+  import MediaCodec.{Clip, Raster}
+
+  // ---- codec unit tests (no Spark) ------------------------------------
+
+  test("BMP golden bytes: 2x2 image matches the spec layout byte-for-byte") {
+    // pixels (top-down RGB): (255,0,0) (0,255,0) / (0,0,255) (1,2,3)
+    val r = Raster(2, 2, Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 1, 2, 3))
+    val b = MediaCodec.encodeBmp(r)
+    assert(b.length == 54 + 8 * 2) // stride(2)=8 (6 rounded to 8), 2 rows
+    assert(b(0) == 'B' && b(1) == 'M')
+    assert((b(2) & 0xff) == 70) // bfSize LE
+    assert((b(10) & 0xff) == 54) // bfOffBits
+    assert((b(14) & 0xff) == 40) // biSize
+    assert((b(18) & 0xff) == 2 && (b(22) & 0xff) == 2) // w, h
+    assert((b(28) & 0xff) == 24) // bit depth
+    // pixel data is bottom-up BGR: first stored row = image row 1
+    assert((b(54) & 0xff, b(55) & 0xff, b(56) & 0xff) == ((255, 0, 0))) // (0,0,255) as BGR
+    assert((b(57) & 0xff, b(58) & 0xff, b(59) & 0xff) == ((3, 2, 1))) // (1,2,3) as BGR
+    assert(b(60) == 0 && b(61) == 0) // row padding
+    // second stored row = image row 0
+    assert((b(62) & 0xff, b(63) & 0xff, b(64) & 0xff) == ((0, 0, 255))) // (255,0,0) as BGR
+    val back = MediaCodec.decodeBmp(b)
+    assert(back.width == 2 && back.height == 2)
+    assert(back.pixels.sameElements(r.pixels))
+  }
+
+  test("BMP roundtrips all widths across the padding boundary") {
+    for (w <- 1 to 9; h <- Seq(1, 3)) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+      val back = MediaCodec.decodeBmp(MediaCodec.encodeBmp(Raster(w, h, px)))
+      assert(back.width == w && back.height == h && back.pixels.sameElements(px),
+        s"roundtrip failed at ${w}x$h")
+    }
+  }
+
+  test("BMP decode rejects malformed input") {
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1, 2, 3)))
+    val good = MediaCodec.encodeBmp(Raster(2, 2, new Array[Byte](12)))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(good.take(40))) // truncated
+    val badDepth = good.clone(); badDepth(28) = 8 // 8bpp
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badDepth))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(badMagic))
+  }
+
+  test("PPM roundtrips and parses multi-digit dimensions") {
+    for ((w, h) <- Seq((1, 1), (13, 7), (120, 3))) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
+      val enc = MediaCodec.encodePpm(Raster(w, h, px))
+      assert(new String(enc.take(2), "US-ASCII") == "P6")
+      val back = MediaCodec.decodePpm(enc)
+      assert(back.width == w && back.height == h && back.pixels.sameElements(px))
+    }
+    intercept[IllegalArgumentException](MediaCodec.decodePpm("P3\n1 1\n255\n".getBytes))
+  }
+
+  test("WAV roundtrips samples and survives an extra RIFF chunk before data") {
+    val samples = Array.tabulate[Short](100)(i => ((i - 50) * 300).toShort)
+    val enc = MediaCodec.encodeWav(Clip(12000, samples))
+    assert(enc.length == 44 + 200)
+    val back = MediaCodec.decodeWav(enc)
+    assert(back.sampleRate == 12000 && back.samples.sameElements(samples))
+    // splice a LIST chunk between fmt and data: decoder must skip it
+    val extra = new Array[Byte](12) // id(4) + size(4) + 4 payload bytes
+    extra(0) = 'L'; extra(1) = 'I'; extra(2) = 'S'; extra(3) = 'T'; extra(4) = 4
+    val spliced = enc.take(36) ++ extra ++ enc.drop(36)
+    // fix RIFF size field (bytes 4..7, LE): + 12
+    val riffSize = 36 + 200 + 12
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    val back2 = MediaCodec.decodeWav(spliced)
+    assert(back2.sampleRate == 12000 && back2.samples.sameElements(samples))
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(enc.take(20)))
+  }
+
+  test("downsample picks top-left pixels with real geometry") {
+    // 4x2 image, pixel value = 10*row + col in the R channel
+    val px = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4) px((y * 4 + x) * 3) = (10 * y + x).toByte
+    val small = MediaCodec.downsample(Raster(4, 2, px), 2)
+    assert(small.width == 2 && small.height == 1)
+    assert(small.pixels(0) == 0) // (0,0)
+    assert(small.pixels(3) == 2) // (0,2)
+  }
+
+  // ---- Spark pipeline tests -------------------------------------------
+
+  test("BMP features: decoded dimensions match the synthesis closed form") {
     val out = Multimodal.featureQuery(spark, sf)
     assert(
       out.columns.toSeq == Seq("doc_id", "media_type", "byte_len", "checksum", "width", "height"))
     val rows = out.collect()
     assert(rows.length == 500)
-    assert(rows.forall(r => r.getLong(2) > 0)) // byte_len
-    assert(rows.forall(r => r.getLong(4) >= 16 && r.getLong(4) < 80)) // width bounds
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "image/bmp")
+      val w = r.getLong(4)
+      val h = r.getLong(5)
+      assert(w == 8 + id % 24 && h >= 8 && h < 24)
+      assert(r.getLong(2) == 54L + ((3 * w + 3) / 4 * 4) * h) // header + padded rows
+      assert(r.getLong(3) > 0) // pixel checksum
+    }
     // deterministic: second run identical
-    val again = Multimodal.featureQuery(spark, sf).collect()
-    assert(rows.sameElements(again))
+    assert(rows.sameElements(Multimodal.featureQuery(spark, sf).collect()))
+  }
+
+  test("resize roundtrip: re-decoded dimensions are halved, checksum matches direct downsample") {
+    val media = Multimodal.asBmpMedia(graft.core.Tables.documents(spark, sf))
+    val out = Multimodal.resizeMedia(media, factor = 2).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.new_w == math.max(1, r.width / 2) && r.new_h == math.max(1, r.height / 2))
+      assert(r.resized_len == MediaCodec.bmpSize(r.new_w.toInt, r.new_h.toInt))
+      assert(r.resized_checksum >= 0)
+    }
+  }
+
+  test("WAV features: duration and loudness come from real decoded samples") {
+    val out = Multimodal.wavFeatureQuery(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val rate = r.getLong(3)
+      val n = r.getLong(4)
+      assert(rate == 8000 + 4000 * (id % 3))
+      assert(r.getLong(2) == 44 + 2 * n) // byte_len
+      assert(r.getLong(5) == n * 1000 / rate) // duration_ms
+      assert(r.getLong(6) <= 16384 && r.getLong(6) > 0) // peak bounded by synthesis
+      assert(r.getLong(7) >= r.getLong(6)) // loudness >= peak
+    }
+  }
+
+  test("PPM features agree with BMP checksum formula where dims coincide") {
+    val out = Multimodal.ppmFeatureQuery(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val w = r.getLong(4)
+      val h = r.getLong(5)
+      assert(w >= 4 && w < 17 && h >= 4 && h < 15)
+      assert(r.getLong(2) == 9 + w.toString.length + h.toString.length + 3 * w * h)
+    }
   }
 
   test("frame sampling keeps every Nth chunk with correct lengths") {
@@ -27,30 +159,5 @@ class MultimodalSpec extends SparkSpec {
     val docsWithFrames = frames.map(_.doc_id).distinct.length
     assert(docsWithFrames == 500)
     assert(frames.count(_.frame_idx == 0) == 500)
-  }
-
-  test("byte_len matches utf8 length of the source text") {
-    import org.apache.spark.sql.functions._
-    val docs = graft.core.Tables.documents(spark, sf)
-    val expected = docs.select(sum(octet_length(col("text")))).head.getLong(0)
-    val got = Multimodal.featureQuery(spark, sf).agg(sum(col("byte_len"))).head.getLong(0)
-    assert(got == expected)
-  }
-
-  test("resize stub halves dimensions and samples a quarter of the bytes") {
-    import org.apache.spark.sql.functions._
-    val media = Multimodal.asMedia(graft.core.Tables.documents(spark, sf))
-    val resized = Multimodal.resizeStub(media, factor = 2).toDF()
-    val feats = Multimodal.extractFeatures(media).toDF()
-    val joined = resized
-      .join(feats.select(col("doc_id"), col("byte_len"), col("width").as("fw"), col("height").as("fh")), "doc_id")
-      .collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      assert(r.getAs[Long]("new_w") == math.max(1L, r.getAs[Long]("fw") / 2))
-      assert(r.getAs[Long]("new_h") == math.max(1L, r.getAs[Long]("fh") / 2))
-      val len = r.getAs[Long]("byte_len")
-      assert(r.getAs[Long]("resized_len") == (len + 3) / 4) // ceil(len/4) via stride-4
-    }
   }
 }
