@@ -84,7 +84,10 @@ object Similarity {
       val assigned = emb
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(centroids))
-        .withColumn("sim", Vectors.cosine(col("embedding"), col("centroid")))
+        // r6 snap before the argmax: both engines agree on the rounded
+        // value, so assignment (and with it the whole training trajectory)
+        // is oracle-reproducible; ties break deterministically on cid
+        .withColumn("sim", Det.r6(Vectors.cosine(col("embedding"), col("centroid"))))
         .groupBy(col("vec_id"))
         .agg(
           max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"),
@@ -92,7 +95,10 @@ object Similarity {
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        // r6 snap per element: the element-wise mean is the only place
+        // cross-engine summation order differs; snapping each iteration's
+        // output keeps the trajectories bit-aligned
+        .agg(Det.r6(avg(col("v"))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"), expr("transform(pairs, p -> p.m)").as("centroid"))
@@ -113,7 +119,7 @@ object Similarity {
     emb
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", Vectors.cosine(col("embedding"), col("centroid")))
+      .withColumn("sim", Det.r6(Vectors.cosine(col("embedding"), col("centroid"))))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"))
 
@@ -128,7 +134,7 @@ object Similarity {
     val qScored = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", Vectors.cosine(col("qe"), col("centroid")))
+      .withColumn("sim", Det.r6(Vectors.cosine(col("qe"), col("centroid"))))
     val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     val probes = qScored
       .withColumn("rn", row_number().over(wq))

@@ -120,8 +120,11 @@ object VectorQueries {
       |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
   /** IVF search end-to-end: train 8 coarse cells (2 Lloyd iterations),
-    * probe 3 per query. Approximate — validated against brute-force recall
-    * in ScalaTest; rows-only for the driver.
+    * probe 3 per query. Fully oracle-checked: every cross-engine float
+    * divergence point (assignment argmax input, per-element centroid mean,
+    * probe ranking) is snapped to 6 decimals on both sides, so the bounded
+    * training loop unrolls into deterministic SQL CTEs — approximate
+    * search ≠ nondeterministic search.
     */
   def q49(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -129,6 +132,86 @@ object VectorQueries {
     Similarity
       .ivfTopK(emb.filter(col("vec_id") < 5), emb, centroids, topK = 10, nprobe = 3)
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** The 2 Lloyd iterations of [[q49]] unrolled as SQL: seed → (assign →
+    * re-center) ×2 → corpus assignment → probe top-3 cells → score → rank.
+    * Mirrors [[graft.llm.Similarity.ivfTrain]]/[[graft.llm.Similarity.ivfTopK]]
+    * stage for stage, with the identical r6 snapping.
+    */
+  val q49Sql: String = {
+    def r6(e: String): String = graft.core.Det.sqlR(e, 6)
+    // one Lloyd iteration: sims vs c{t-1} → argmax cell → element-wise mean
+    def iter(t: Int): String =
+      s"""cn$t AS (SELECT cid, sum(v * v) AS cn FROM c${t - 1} GROUP BY cid),
+         |dp$t AS (
+         |  SELECT e.vec_id, c.cid, sum(CAST(e.embedding[c.i] AS DOUBLE) * c.v) AS dotp
+         |  FROM e, c${t - 1} c GROUP BY e.vec_id, c.cid),
+         |sim$t AS (
+         |  SELECT d.vec_id, d.cid, ${r6("d.dotp / (sqrt(n.en) * sqrt(cn.cn))")} AS sim
+         |  FROM dp$t d JOIN nrm n ON n.vec_id = d.vec_id JOIN cn$t cn ON cn.cid = d.cid),
+         |a$t AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sim$t) s WHERE rn = 1),
+         |c$t AS (
+         |  SELECT a.cell AS cid, i, ${r6("avg(CAST(e.embedding[i] AS DOUBLE))")} AS v
+         |  FROM a$t a JOIN e ON e.vec_id = a.vec_id,
+         |       LATERAL (SELECT unnest(range(1, 65)) AS i) t$t
+         |  GROUP BY a.cell, i)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id, sum(CAST(embedding[i] AS DOUBLE) * embedding[i]) AS en
+       |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) tn GROUP BY vec_id),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |         vec_id AS svid
+       |  FROM e ORDER BY vec_id LIMIT 8),
+       |c0 AS (
+       |  SELECT s.cid, i, CAST(e.embedding[i] AS DOUBLE) AS v
+       |  FROM seed s JOIN e ON e.vec_id = s.svid,
+       |       LATERAL (SELECT unnest(range(1, 65)) AS i) t0),
+       |${iter(1)},
+       |${iter(2)},
+       |-- search phase against the trained (c2) centroids: sims for all
+       |-- vectors serve both the corpus assignment and the query probes
+       |cn3 AS (SELECT cid, sum(v * v) AS cn FROM c2 GROUP BY cid),
+       |dp3 AS (
+       |  SELECT e.vec_id, c.cid, sum(CAST(e.embedding[c.i] AS DOUBLE) * c.v) AS dotp
+       |  FROM e, c2 c GROUP BY e.vec_id, c.cid),
+       |sim3 AS (
+       |  SELECT d.vec_id, d.cid, ${r6("d.dotp / (sqrt(n.en) * sqrt(cn.cn))")} AS sim
+       |  FROM dp3 d JOIN nrm n ON n.vec_id = d.vec_id JOIN cn3 cn ON cn.cid = d.cid),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sim3) s WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sim3 WHERE vec_id < 5) s WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.qid, m.vec_id
+       |  FROM probes p JOIN cells m ON m.cell = p.cell
+       |  WHERE m.vec_id <> p.qid),
+       |acc AS (
+       |  SELECT c.qid, c.vec_id,
+       |    sum(CAST(q.embedding[i] AS DOUBLE) * v.embedding[i]) AS dotp
+       |  FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e v ON v.vec_id = c.vec_id,
+       |       LATERAL (SELECT unnest(range(1, 65)) AS i) tt
+       |  GROUP BY c.qid, c.vec_id),
+       |sims AS (
+       |  SELECT a.qid, a.vec_id,
+       |    ${graft.core.Det.sqlR("a.dotp / (sqrt(nq.en) * sqrt(nv.en))", 4)} AS sim
+       |  FROM acc a JOIN nrm nq ON nq.vec_id = a.qid JOIN nrm nv ON nv.vec_id = a.vec_id),
+       |rked AS (
+       |  SELECT qid, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM sims)
+       |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
   }
 
   /** Per-label embedding centroid, element-wise, via posexplode →
@@ -163,5 +246,6 @@ object VectorQueries {
     "q63_label_centroids" -> q63Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup_blocked" -> q33Sql,
-    "q34_ann_lsh_topk" -> q34Sql)
+    "q34_ann_lsh_topk" -> q34Sql,
+    "q49_ivf_topk" -> q49Sql)
 }
