@@ -58,6 +58,13 @@ object Dedup {
     *   containment alone — catching a short doc fully embedded in a long
     *   one, which symmetric jaccard under-scores below `threshold`.
     *   Default (>1) keeps pure-jaccard gating.
+    * @param maxShingleDfFrac fractional alternative to `maxShingleDf`:
+    *   drop shingles appearing in more than `ceil(frac · corpus_size)`
+    *   documents. An absolute cap goes stale as the corpus grows (a cap
+    *   that prunes boilerplate at 1 TB deletes genuine near-dup evidence
+    *   at 100 TB); the fraction tracks corpus size with zero driver-side
+    *   state — the cap travels as a one-row broadcast. Ignored when
+    *   `maxShingleDf` is set.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -66,7 +73,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Long = 0L,
-      containmentThreshold: Double = 2.0): DataFrame = {
+      containmentThreshold: Double = 2.0,
+      maxShingleDfFrac: Double = 0.0): DataFrame = {
     // Work on 60-bit shingle *hashes*, not the strings: the distinct, the
     // self-join and the pair aggregation all shuffle 8-byte longs instead
     // of ~25-byte UTF8 shingles — at 100 TB that's the difference between
@@ -82,11 +90,18 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
-      if (maxShingleDf <= 0) sh
-      else {
+      if (maxShingleDf > 0) {
         val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("df"))
         sh.join(dfreq.filter(col("df") <= maxShingleDf).select("__h"), Seq("__h"))
-      }
+      } else if (maxShingleDfFrac > 0) {
+        // corpus-relative cap: one-row aggregate broadcast into the df
+        // filter — no collect, no literal that goes stale at scale
+        val cap = df.agg(ceil(count(lit(1)) * lit(maxShingleDfFrac)).cast("long").as("__cap"))
+        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("df"))
+        sh.join(
+          dfreq.crossJoin(broadcast(cap)).filter(col("df") <= col("__cap")).select("__h"),
+          Seq("__h"))
+      } else sh
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("a_id"), col("__h"))
     val b = filtered.select(col(idCol).as("b_id"), col("__h"))

@@ -59,6 +59,42 @@ object TextQueries {
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -- q24b: the scale-safe (df-capped) jaccard configuration ----------
+
+  /** Same operator as q24 with the stop-shingle skew guard ON, in its
+    * corpus-relative form (`maxShingleDfFrac = 0.012`): shingles present
+    * in more than ceil(1.2% of documents) are treated as boilerplate —
+    * they contribute negligible Jaccard evidence and at 100 TB would
+    * concentrate the self-join's shuffle on a handful of hot keys. A
+    * fraction rather than an absolute count because df of even legitimate
+    * shingles grows with corpus size: an absolute cap tuned at one SF
+    * deletes genuine near-dup evidence at 10x that SF (measured here:
+    * cap=5 keeps all sf0.01 clusters but zeroes sf0.1). At sf0.01 the cap
+    * resolves to 6 and FIRES (max shingle df 7), so the verified rows are
+    * the capped semantics: capped shingles leave the intersection while
+    * doc sizes stay uncapped — exactly what the oracle replicates.
+    */
+  def q24b(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.2, maxShingleDfFrac = 0.012)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q24bSql: String =
+    s"""WITH $sqlShingleCte,
+       |freq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |cap AS (SELECT CAST(ceil(0.012 * count(*)) AS BIGINT) AS c FROM documents),
+       |flt AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s), cap WHERE df <= cap.c),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM flt a JOIN flt b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+       |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+       |ORDER BY a_id, b_id""".stripMargin
+
   // -- q25: minhash signatures ----------------------------------------
 
   def q25(s: SparkSession, d: String): DataFrame =
@@ -401,6 +437,7 @@ object TextQueries {
     "q56_tfidf_top_terms" -> (q56 _),
     "q23_dedup_exact" -> (q23 _),
     "q24_ngram_jaccard_pairs" -> (q24 _),
+    "q24b_jaccard_df_capped" -> (q24b _),
     "q25_minhash_signatures" -> (q25 _),
     "q26_lsh_candidate_pairs" -> (q26 _),
     "q27_simhash" -> (q27 _),
@@ -417,6 +454,7 @@ object TextQueries {
     "q56_tfidf_top_terms" -> q56Sql,
     "q23_dedup_exact" -> q23Sql,
     "q24_ngram_jaccard_pairs" -> q24Sql,
+    "q24b_jaccard_df_capped" -> q24bSql,
     "q25_minhash_signatures" -> q25Sql,
     "q26_lsh_candidate_pairs" -> q26Sql,
     "q27_simhash" -> q27Sql,

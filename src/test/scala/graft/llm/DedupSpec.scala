@@ -93,6 +93,30 @@ class DedupSpec extends SparkSpec {
     assert(found.length == 1 && found.head.getDouble(3) == 1.0)
   }
 
+  test("fractional df cap prunes corpus-wide shingles and only shrinks the pair set") {
+    import spark.implicits._
+    // every doc shares the same boilerplate header; pairs (1,2) and (3,4)
+    // are real near-dups beyond it
+    val header = "terms of service apply to this document"
+    val df = Seq(
+      (1L, s"$header quick brown fox jumps over the lazy dog today"),
+      (2L, s"$header quick brown fox jumps over the lazy dog tonight"),
+      (3L, s"$header completely different payload about spark shuffles here"),
+      (4L, s"$header completely different payload about spark shuffles now"),
+      (5L, s"$header unrelated text mentioning neither animals nor engines at all"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.2).collect()
+    // cap at 40% of 5 docs = 2: the 5-doc header shingles are pruned
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.2, maxShingleDfFrac = 0.4)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real near-dup pairs survive; header-only affinity (e.g. with doc 5) doesn't
+    assert(cappedPairs.contains((1L, 2L)) && cappedPairs.contains((3L, 4L)))
+    assert(!cappedPairs.exists { case (a, b) => a == 5L || b == 5L })
+    // the cap can only shrink jaccard, so the pair set only shrinks
+    val uncappedPairs = uncapped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.subsetOf(uncappedPairs))
+  }
+
   test("jaccard of an identical pair is 1.0") {
     import spark.implicits._
     // pin the doc by key: limit(1) without order is partition-order-
