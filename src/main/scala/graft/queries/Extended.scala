@@ -396,12 +396,40 @@ object Extended {
     s.sql(q61SharedSql)
   }
 
+  /** TPC-H Q17-style correlated SCALAR subquery (per-part average-quantity
+    * threshold), dialect-portable and run verbatim on both engines.
+    * Exercises Catalyst's decorrelation: the optimizer must rewrite the
+    * per-row subquery into an aggregate-then-join — plan-asserted in
+    * QueriesSpec (no ScalarSubquery survives optimization; a naive
+    * engine would re-run the inner aggregate per probe row, which at
+    * 100 TB is a full lineitem scan per lineitem row).
+    *
+    * Determinism: l_quantity is integral so avg() is exact in double on
+    * both engines (no summation-order sensitivity below the comparison);
+    * the revenue sum is 2-decimal data rounded portably at r2.
+    */
+  val q75SharedSql: String =
+    """SELECT p.p_brand,
+      |  floor(sum(l.l_extendedprice)*100+0.5)/100 AS small_qty_revenue,
+      |  CAST(count(*) AS BIGINT) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand IN ('Brand#12', 'Brand#23')
+      |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin
+
+  def q75(s: SparkSession, d: String): DataFrame = {
+    graft.core.Catalog.registerAll(s, d)
+    s.sql(q75SharedSql)
+  }
+
   val queries: Map[String, Q] = Map(
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
     "q51_array_agg" -> (q51 _),
     "q55_pivot" -> (q55 _),
     "q61_shared_sql" -> (q61 _),
+    "q75_correlated_scalar_subquery" -> (q75 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -422,6 +450,7 @@ object Extended {
     "q51_array_agg" -> q51Sql,
     "q55_pivot" -> q55Sql,
     "q61_shared_sql" -> q61SharedSql,
+    "q75_correlated_scalar_subquery" -> q75SharedSql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,

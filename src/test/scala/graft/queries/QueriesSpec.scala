@@ -63,6 +63,17 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("correlated scalar subquery decorrelates into an aggregate-join (q75)") {
+    val qe = Extended.q75(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    // decorrelation rewrites the per-row subquery away entirely
+    assert(!optimized.contains("scalar-subquery"), s"subquery survived optimization:\n$optimized")
+    assert(optimized.contains("Aggregate"), optimized)
+    // and the result is non-degenerate
+    val rows = Extended.q75(spark, sf).collect()
+    assert(rows.length == 2 && rows.forall(_.getLong(2) > 0))
+  }
+
   test("scalar udf surface works but the native form matches it (prefer codegen)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
