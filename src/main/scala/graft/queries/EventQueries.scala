@@ -384,7 +384,47 @@ object EventQueries {
        |  ${Det.sqlR("max(value)", 2)} AS max_v
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q76: partition pruning over a day-partitioned events layout ------
+
+  /** Day-partitioned copy of `events` under java.io.tmpdir, written once
+    * per (JVM, sf dir). This is the layout investment a 100 TB events
+    * table ships with (one directory per day); queries carrying a day
+    * predicate then read only the matching directories — pruning happens
+    * at planning/file-listing time, before any I/O.
+    */
+  def eventsByDay(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_events_by_day/$safe"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(target, "_SUCCESS"))) {
+      graft.sources.Sources.writeParquet(
+        Tables.events(s, d).withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        target,
+        Seq("day"))
+    }
+    s.read.parquet(target)
+  }
+
+  /** Day-ranged aggregate over the partitioned layout. The day predicate
+    * must land in the scan's PartitionFilters (plan-asserted in
+    * SourcesSpec): 3 of 30 day directories are listed, the other 27 are
+    * never opened.
+    */
+  def q76(s: SparkSession, d: String): DataFrame =
+    eventsByDay(s, d)
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-12")
+      .groupBy(col("day").cast("string").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sv"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q76Sql: String =
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       |  CAST(count(*) AS BIGINT) AS n, ${Det.sqlR("sum(value)", 2)} AS sv
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-13 00:00:00'
+       |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q76_partition_pruned_days" -> (q76 _),
     "q65_grouped_stats" -> (q65 _),
     "q66_asof_within" -> (q66 _),
     "q52_rate_of_change" -> (q52 _),
@@ -403,6 +443,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q76_partition_pruned_days" -> q76Sql,
     "q65_grouped_stats" -> q65Sql,
     "q66_asof_within" -> q66Sql,
     "q52_rate_of_change" -> q52Sql,

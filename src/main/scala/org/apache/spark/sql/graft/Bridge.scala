@@ -22,4 +22,11 @@ object Bridge {
   /** The analyzed logical plan of a DataFrame (for feeding custom nodes). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].logicalPlan
+
+  /** Partitions a file scan actually selected after partition pruning
+    * (`selectedPartitions` is private[sql]) — used by tests proving a
+    * predicate pruned the file listing, not just filtered rows.
+    */
+  def selectedPartitionCount(scan: org.apache.spark.sql.execution.FileSourceScanExec): Int =
+    scan.selectedPartitions.partitionCount
 }

@@ -91,6 +91,34 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == ev.filter(col("event_type") === "error").count())
   }
 
+  test("q76 day-range predicate lands in PartitionFilters and prunes to 3 of 30 days") {
+    val q = graft.queries.EventQueries.q76(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    assert(plan.contains("2024-01-10") && plan.contains("2024-01-12"), plan)
+    // pruning happens at file-listing time: the scan's file index keeps
+    // only the 3 matching day directories out of 30 (unwrap AQE — its
+    // children are not visible to collect until execution)
+    val physical = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = physical.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val nParts = org.apache.spark.sql.graft.Bridge.selectedPartitionCount(scans.head)
+    assert(nParts == 3, s"expected 3 day partitions, got $nParts")
+    // and the answer equals the same aggregate over the unpartitioned table
+    val direct = graft.core.Tables
+      .events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-12")
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.core.Det.r2(sum(col("value"))).as("sv"))
+    assert(q.exceptAll(direct).count() == 0 && direct.exceptAll(q).count() == 0)
+  }
+
   test("compaction collapses a small-files dataset and preserves the data") {
     val docs = graft.core.Tables.documents(spark, sf)
     val dir = Files.createTempDirectory("compact").toString
