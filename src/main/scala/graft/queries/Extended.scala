@@ -423,7 +423,48 @@ object Extended {
     s.sql(q75SharedSql)
   }
 
+  /** Salted hot-key join, oracle-checked. The fact side gets a synthetic
+    * pathological key (90% of lineitem collapses onto hk=0 — the shape AQE
+    * skew-split alone can't always save when one logical key exceeds an
+    * executor); [[graft.operators.Skew.saltedJoin]] spreads it over 16
+    * salt buckets. The salt changes the DISTRIBUTION, never the result, so
+    * the oracle is the plain join — correctness of the mitigation is
+    * exactly "salted == unsalted", verified by hash. Partition-balance
+    * evidence lives in SkewSpec; numbers in [[graft.operators.Skew]] docs.
+    */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables
+      .lineitem(s, d)
+      .select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey") % 97)
+          .as("hk"),
+        col("l_extendedprice"))
+    val dim = s
+      .range(0, 97)
+      .select(col("id").as("hk"), concat(lit("seg_"), (col("id") % 7).cast("string")).as("segment"))
+    graft.operators.Skew
+      .saltedJoin(fact, dim, "hk", buckets = 16)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("l_extendedprice"))).as("rev"))
+      .orderBy(col("segment"))
+  }
+
+  val q77Sql: String =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 97 END AS hk,
+       |         l_extendedprice
+       |  FROM lineitem),
+       |dim AS (
+       |  SELECT i AS hk, 'seg_' || CAST(i % 7 AS VARCHAR) AS segment
+       |  FROM (SELECT unnest(range(0, 97)) AS i))
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.sqlR("sum(l_extendedprice)", 2)} AS rev
+       |FROM fact JOIN dim USING (hk)
+       |GROUP BY segment ORDER BY segment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q77_skew_salted_join" -> (q77 _),
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
     "q51_array_agg" -> (q51 _),
@@ -445,6 +486,7 @@ object Extended {
     "q43_supplier_stats" -> (q43 _))
 
   val oracles: Map[String, String] = Map(
+    "q77_skew_salted_join" -> q77Sql,
     "q44_asof_join_native" -> EventQueries.q18Sql,
     "q50_map_json_functions" -> q50Sql,
     "q51_array_agg" -> q51Sql,
