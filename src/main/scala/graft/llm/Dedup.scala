@@ -191,6 +191,72 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id reachable from it. This is the missing last mile of pairwise
+    * dedup — near-dup PAIRS don't dedupe a corpus, CLUSTERS do (pick one
+    * canonical doc per component, drop the rest).
+    *
+    * Scale shape: each iteration is one shuffle on node id (edges join
+    * labels + min-aggregate); iteration count is the graph diameter, and
+    * near-dup components are dense little cliques (diameter ~1–2), not
+    * long chains. The convergence check ships one scalar to the driver
+    * per iteration. Labels persist across iterations with the same
+    * materialize-then-unpersist discipline as ivfTrain.
+    *
+    * The fixpoint is iteration-order independent, so the result is
+    * deterministic and oracle-checkable (DuckDB computes the same closure
+    * with a recursive CTE) even though the loop is data-dependent.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val undirected = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = undirected
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val prev = labels
+      val next = undirected
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // converged when no node's label shrank this round
+      val changed = next
+        .join(prev.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old"))
+        .limit(1)
+        .count()
+      converged = changed == 0
+      prev.unpersist()
+      labels = next
+    }
+    undirected.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup clustering: jaccard pairs at `threshold` → edge
+    * list → components → every doc labeled with its cluster id (the
+    * smallest doc id in its component; singletons label themselves) and a
+    * canonical flag. Downstream dedup = `filter(is_canonical)`.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val edges = jaccardPairs(df, idCol, textCol, n, threshold).select("a_id", "b_id")
+    val comp = connectedComponents(edges, "a_id", "b_id")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .withColumn("is_canonical", (col("cluster_id") === col(idCol)).cast("long"))
+      .select(col(idCol), col("cluster_id"), col("is_canonical"))
+  }
+
   /** 16-bit simhash per doc over token occurrences. Near-dup = small
     * Hamming distance; bucketing on the simhash value (or bit-chunks of a
     * wider hash) gives the scale path.

@@ -95,6 +95,47 @@ object TextQueries {
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
        |ORDER BY a_id, b_id""".stripMargin
 
+  // -- q78: near-dup clusters (connected components) -------------------
+
+  /** Pairwise near-dup → CLUSTERS: connected components over the q24 edge
+    * set, every doc labeled with its component's smallest doc id and a
+    * canonical flag — the actual corpus-dedup deliverable (keep one doc
+    * per cluster). Spark side iterates min-label propagation to the
+    * fixpoint; the oracle computes the same fixpoint with a recursive CTE.
+    * The fixpoint is iteration-order independent — deterministic, hence
+    * hash-checkable despite the data-dependent loop.
+    */
+  def q78(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .dedupClusters(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+      .orderBy(col("doc_id"))
+
+  val q78Sql: String =
+    s"""WITH RECURSIVE $sqlShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id),
+       |p AS (
+       |  SELECT a_id, b_id
+       |  FROM pr JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM p
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM p),
+       |reach(id, r) AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       |  CAST(CASE WHEN coalesce(lab.cluster_id, d.doc_id) = d.doc_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -- q25: minhash signatures ----------------------------------------
 
   def q25(s: SparkSession, d: String): DataFrame =
@@ -438,6 +479,7 @@ object TextQueries {
     "q23_dedup_exact" -> (q23 _),
     "q24_ngram_jaccard_pairs" -> (q24 _),
     "q24b_jaccard_df_capped" -> (q24b _),
+    "q78_dedup_clusters" -> (q78 _),
     "q25_minhash_signatures" -> (q25 _),
     "q26_lsh_candidate_pairs" -> (q26 _),
     "q27_simhash" -> (q27 _),
@@ -455,6 +497,7 @@ object TextQueries {
     "q23_dedup_exact" -> q23Sql,
     "q24_ngram_jaccard_pairs" -> q24Sql,
     "q24b_jaccard_df_capped" -> q24bSql,
+    "q78_dedup_clusters" -> q78Sql,
     "q25_minhash_signatures" -> q25Sql,
     "q26_lsh_candidate_pairs" -> q26Sql,
     "q27_simhash" -> q27Sql,

@@ -117,6 +117,35 @@ class DedupSpec extends SparkSpec {
     assert(cappedPairs.subsetOf(uncappedPairs))
   }
 
+  test("connectedComponents converges on a chain (diameter > 1) and a clique") {
+    import spark.implicits._
+    // chain 10-11-12-13 forces >1 propagation iteration; clique 20-21-22
+    // converges in one; 30-31 is a lone pair
+    val edges = Seq(
+      (11L, 10L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L)).toDF("a", "b")
+    val labels = Dedup
+      .connectedComponents(edges, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(Seq(10L, 11L, 12L, 13L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert(Seq(30L, 31L).forall(labels(_) == 30L))
+  }
+
+  test("dedupClusters: one canonical per cluster, members share its label, singletons self-label") {
+    val out = Dedup.dedupClusters(docs, "doc_id", "text", 3, 0.2).collect()
+    assert(out.length == docs.count())
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      // exactly one canonical per cluster, and it is the min doc_id = cid
+      assert(members.count(_.getLong(2) == 1L) == 1, s"cluster $cid")
+      assert(members.map(_.getLong(0)).min == cid, s"cluster $cid")
+    }
+  }
+
   test("jaccard of an identical pair is 1.0") {
     import spark.implicits._
     // pin the doc by key: limit(1) without order is partition-order-
