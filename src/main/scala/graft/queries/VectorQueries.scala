@@ -214,6 +214,49 @@ object VectorQueries {
        |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
   }
 
+  /** Int8-quantized cosine top-10: the 4×-compressed scale path of q32.
+    * Quantization (per-vector scale, floor(x+0.5) snap) and all dot/norm
+    * sums are integer-exact on both engines; only the final normalization
+    * is float, r4-snapped. Cross-engine determinism is therefore stronger
+    * than q32's, despite being "approximate" relative to full precision.
+    */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .quantizedCosineTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q79Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT e.vec_id,
+      |    list_transform(e.embedding,
+      |                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings e JOIN sc ON sc.vec_id = e.vec_id),
+      |p AS (
+      |  SELECT a.vec_id AS qid, b.vec_id, a.v AS qa, b.v AS qb
+      |  FROM qv a JOIN qv b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+      |acc AS (
+      |  SELECT qid, vec_id,
+      |    sum(qa[i] * qb[i]) AS dotp,
+      |    sum(qa[i] * qa[i]) AS qn,
+      |    sum(qb[i] * qb[i]) AS vn
+      |  FROM p, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY qid, vec_id),
+      |sims AS (
+      |  SELECT qid, vec_id,
+      |    floor(CAST(dotp AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(vn AS DOUBLE))) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc),
+      |rked AS (
+      |  SELECT qid, vec_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+      |  FROM sims)
+      |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** Per-label embedding centroid, element-wise, via posexplode →
     * (label, pos) average — the same 100 TB shape as IVF's centroid
     * update: two bounded shuffles, never a whole-vector collect. Output
@@ -240,12 +283,14 @@ object VectorQueries {
     "q32_cosine_topk" -> (q32 _),
     "q33_embedding_neardup_blocked" -> (q33 _),
     "q34_ann_lsh_topk" -> (q34 _),
-    "q49_ivf_topk" -> (q49 _))
+    "q49_ivf_topk" -> (q49 _),
+    "q79_int8_cosine_topk" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
     "q63_label_centroids" -> q63Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_embedding_neardup_blocked" -> q33Sql,
     "q34_ann_lsh_topk" -> q34Sql,
-    "q49_ivf_topk" -> q49Sql)
+    "q49_ivf_topk" -> q49Sql,
+    "q79_int8_cosine_topk" -> q79Sql)
 }

@@ -55,6 +55,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8-quantized top-k tracks full precision: high recall, bounded sim error") {
+    import spark.implicits._
+    val exact = Similarity
+      .cosineTopK(emb.filter($"vec_id" < 5), emb, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val quant = Similarity
+      .quantizedCosineTopK(emb.filter($"vec_id" < 5), emb, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // recall@10: int8 keeps at least 8 of 10 true neighbors per query
+    val byQ = exact.keys.groupBy(_._1)
+    byQ.foreach { case (q, keys) =>
+      val kept = keys.count(quant.contains)
+      assert(kept >= 8, s"query $q: only $kept/10 true neighbors survive quantization")
+    }
+    // where both rank a pair, the quantized sim is within 2e-2 of exact
+    quant.foreach { case (k, s) =>
+      exact.get(k).foreach(e => assert(math.abs(s - e) <= 0.02, s"$k: $s vs $e"))
+    }
+  }
+
   test("planted duplicate vector is every query's top-1") {
     import spark.implicits._
     val dup = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 100000L)
