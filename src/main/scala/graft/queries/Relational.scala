@@ -205,21 +205,31 @@ object Relational {
     """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
-  /** 4-table join: lineitem ⋈ orders shuffles on orderkey, orders ⋈
-    * customer on custkey, nation broadcast; revenue per (nation, year).
+  /** 4-table join: lineitem is PRE-AGGREGATED to one row per orderkey
+    * before it meets orders (aggregate pushed through the join — Catalyst
+    * doesn't do this rewrite itself), so the big join's probe side shrinks
+    * from |lineitem| to |orders| rows and the shuffled payload is
+    * (orderkey, rev, cnt) instead of wide lineitem rows. At 100 TB this is
+    * the difference between shuffling the fact table and shuffling one
+    * row per order. Exact under r4: per-order partial sums reassociate the
+    * same 4-decimal-exact products (FP drift ~1e-9 ≪ the 1e-4 snap).
+    * orders ⋈ customer on custkey, nation broadcast.
     */
   def q11(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val lAgg = l
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"),
+        count(lit(1)).as("__cnt"))
+    lAgg.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("y"))
-      .agg(
-        Det.r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
-        count(lit(1)).as("cnt"))
+      .agg(Det.r4(sum(col("__rev"))).as("revenue"), sum(col("__cnt")).as("cnt"))
       .orderBy(col("n_name"), col("y"))
   }
 
