@@ -463,8 +463,28 @@ object Extended {
        |FROM fact JOIN dim USING (hk)
        |GROUP BY segment ORDER BY segment""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize),
+    * dialect-portable shared SQL with grouping() disambiguating the
+    * all-rows stratum from a genuine NULL group.
+    */
+  val q80SharedSql: String =
+    """SELECT
+      |  CASE WHEN grouping(event_type) = 0 THEN event_type ELSE 'ALL' END AS etype,
+      |  CASE WHEN grouping(ub) = 0 THEN CAST(ub AS STRING) ELSE 'ALL' END AS user_bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  floor(sum(value)*100+0.5)/100 AS sv
+      |FROM (SELECT event_type, user_id % 10 AS ub, value FROM events) t
+      |GROUP BY GROUPING SETS ((event_type), (ub), ())
+      |ORDER BY etype, user_bucket""".stripMargin
+
+  def q80(s: SparkSession, d: String): DataFrame = {
+    graft.core.Catalog.registerAll(s, d)
+    s.sql(q80SharedSql)
+  }
+
   val queries: Map[String, Q] = Map(
     "q77_skew_salted_join" -> (q77 _),
+    "q80_grouping_sets" -> (q80 _),
     "q44_asof_join_native" -> (q44 _),
     "q50_map_json_functions" -> (q50 _),
     "q51_array_agg" -> (q51 _),
@@ -487,6 +507,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q77_skew_salted_join" -> q77Sql,
+    "q80_grouping_sets" -> q80SharedSql,
     "q44_asof_join_native" -> EventQueries.q18Sql,
     "q50_map_json_functions" -> q50Sql,
     "q51_array_agg" -> q51Sql,

@@ -136,6 +136,43 @@ object TextQueries {
        |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -- q81: token-budget sequence packing ------------------------------
+
+  /** Training-shard packing: assign each doc to a pack of ~2048 tokens,
+    * filled in doc_id order WITHIN its source stratum — the sequence-
+    * packing step that turns a filtered corpus into fixed-budget training
+    * shards. pack_id = floor(tokens_before_this_doc / capacity): the
+    * window is partitioned by source, so the cumulative sum never needs a
+    * global single-partition sort — per-stratum packing is both the
+    * realistic layout (shards don't mix sources) and the scale-safe plan.
+    */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        col("source"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_tok"))
+      .withColumn(
+        "pack_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 2048.0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok,
+      |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 2048.0) AS BIGINT) AS pack_id
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // -- q25: minhash signatures ----------------------------------------
 
   def q25(s: SparkSession, d: String): DataFrame =
@@ -480,6 +517,7 @@ object TextQueries {
     "q24_ngram_jaccard_pairs" -> (q24 _),
     "q24b_jaccard_df_capped" -> (q24b _),
     "q78_dedup_clusters" -> (q78 _),
+    "q81_token_packing" -> (q81 _),
     "q25_minhash_signatures" -> (q25 _),
     "q26_lsh_candidate_pairs" -> (q26 _),
     "q27_simhash" -> (q27 _),
@@ -498,6 +536,7 @@ object TextQueries {
     "q24_ngram_jaccard_pairs" -> q24Sql,
     "q24b_jaccard_df_capped" -> q24bSql,
     "q78_dedup_clusters" -> q78Sql,
+    "q81_token_packing" -> q81Sql,
     "q25_minhash_signatures" -> q25Sql,
     "q26_lsh_candidate_pairs" -> q26Sql,
     "q27_simhash" -> q27Sql,
