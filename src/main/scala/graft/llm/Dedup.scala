@@ -218,6 +218,11 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Convergence statistic: labels only ever decrease (min-propagation),
+    // so Σ label is strictly decreasing until the fixpoint — one scalar
+    // aggregate on the cached frame per round, no per-round join against
+    // the previous labels.
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     while (!converged) {
       val prev = labels
@@ -228,13 +233,9 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // converged when no node's label shrank this round
-      val changed = next
-        .join(prev.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old"))
-        .limit(1)
-        .count()
-      converged = changed == 0
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       prev.unpersist()
       labels = next
     }
