@@ -423,7 +423,38 @@ object EventQueries {
        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-13 00:00:00'
        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
 
+  // -- q82: distribution-rank window family ----------------------------
+
+  /** ntile / percent_rank / cume_dist per event_type over value — the
+    * distribution-rank window functions (row_number/rank/lag/lead live in
+    * q04/q15–q17). Ties broken by event_id so ranks are total-order
+    * deterministic on both engines; percent_rank/cume_dist are exact
+    * rationals (k/n) in double, identical cross-engine, r6-snapped anyway.
+    */
+  def q82(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables
+      .events(s, d)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        Det.r6(percent_rank().over(w)).as("pr"),
+        Det.r6(cume_dist().over(w)).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
+  val q82Sql: String =
+    s"""SELECT event_id, event_type,
+       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       |  ${Det.sqlR("percent_rank() OVER w", 6)} AS pr,
+       |  ${Det.sqlR("cume_dist() OVER w", 6)} AS cd
+       |FROM events
+       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_rank_distribution" -> (q82 _),
     "q76_partition_pruned_days" -> (q76 _),
     "q65_grouped_stats" -> (q65 _),
     "q66_asof_within" -> (q66 _),
@@ -443,6 +474,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q82_rank_distribution" -> q82Sql,
     "q76_partition_pruned_days" -> q76Sql,
     "q65_grouped_stats" -> q65Sql,
     "q66_asof_within" -> q66Sql,
