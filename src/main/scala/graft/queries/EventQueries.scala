@@ -430,6 +430,13 @@ object EventQueries {
     * q04/q15–q17). Ties broken by event_id so ranks are total-order
     * deterministic on both engines; percent_rank/cume_dist are exact
     * rationals (k/n) in double, identical cross-engine, r6-snapped anyway.
+    *
+    * Scale note: exact distribution ranks REQUIRE the partition's total
+    * order — that is their semantics, in every engine; there is no bounded
+    * equivalent with identical output (unlike q68's postings cap). When a
+    * partition is corpus-sized, the right tool is the mergeable sketch
+    * path (q41 exact percentiles at test scale, q71 GK approx at 100 TB),
+    * not this operator.
     */
   def q82(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))

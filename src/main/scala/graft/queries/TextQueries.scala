@@ -141,25 +141,44 @@ object TextQueries {
   /** Training-shard packing: assign each doc to a pack of ~2048 tokens,
     * filled in doc_id order WITHIN its source stratum — the sequence-
     * packing step that turns a filtered corpus into fixed-budget training
-    * shards. pack_id = floor(tokens_before_this_doc / capacity): the
-    * window is partitioned by source, so the cumulative sum never needs a
-    * global single-partition sort — per-stratum packing is both the
-    * realistic layout (shards don't mix sources) and the scale-safe plan.
+    * shards. pack_id = floor(tokens_before_this_doc / capacity).
+    *
+    * The cumulative sum is computed as a DISTRIBUTED two-level prefix sum,
+    * not one window over the whole stratum (which would put an entire
+    * source — possibly most of a 100 TB corpus — on a single reducer):
+    * docs are blocked by doc_id range, block totals get a per-source
+    * running sum (one row per block — tiny), and each doc's global prefix
+    * is its block's base plus a within-block cumulative sum whose window
+    * partition is bounded by the block size. Addition is associative, so
+    * the decomposition is exact and the oracle (a plain stratum-wide
+    * window) is unchanged.
     */
   def q81(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val blockSize = 64L // docs per block; sized so the test SFs exercise multiple blocks
+    val wBlocks = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
+      .orderBy(col("block"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wInBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("block"))
       .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val t = Tables
       .documents(s, d)
       .select(
         col("doc_id"),
         col("source"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_tok"))
-      .withColumn(
-        "pack_id",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 2048.0).cast("long"))
+      .withColumn("block", (col("doc_id") / blockSize).cast("long"))
+    val blockBase = t
+      .groupBy(col("source"), col("block"))
+      .agg(sum(col("n_tok")).as("__btot"))
+      .withColumn("__base", coalesce(sum(col("__btot")).over(wBlocks), lit(0L)))
+      .select(col("source"), col("block"), col("__base"))
+    t.join(blockBase, Seq("source", "block"))
+      .withColumn("__before", col("__base") + coalesce(sum(col("n_tok")).over(wInBlock), lit(0L)))
+      .withColumn("pack_id", floor(col("__before") / 2048.0).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pack_id"))
       .orderBy(col("doc_id"))
   }
 
