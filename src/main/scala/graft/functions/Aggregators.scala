@@ -32,6 +32,43 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra–Gries heavy-hitters summary with k counters: any item whose true
+    * frequency exceeds N/(k+1) is guaranteed present in the summary, and
+    * every reported count is within N/(k+1) of the truth. The buffer is a
+    * bounded map (≤ k entries), so per-partition state is O(k) regardless
+    * of vocabulary size — the scale path when the exact q84 aggregation's
+    * key space (the full vocabulary) is itself the bottleneck.
+    *
+    * The merge is the mergeable-summaries construction (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): add counts, then subtract the
+    * (k+1)-largest count from every entry and drop the non-positives —
+    * associative up to the error bound, which is what the guarantee needs.
+    */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] = {
+      val b2 = b.updated(x, b.getOrElse(x, 0L) + 1L)
+      if (b2.size <= k) b2
+      else {
+        // k+1 distinct keys: decrement all, drop zeros (classic MG step)
+        b2.map { case (t, c) => t -> (c - 1L) }.filter(_._2 > 0L)
+      }
+    }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (t, c)) => acc.updated(t, acc.getOrElse(t, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-largest
+        sum.map { case (t, c) => t -> (c - cut) }.filter(_._2 > 0L)
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+  }
+
   /** Last-write-wins merge: keeps the value with the max (ts, tie) — the
     * reference's upsert semantics (`internal/storage/hot.go:50-60`) as an
     * associative aggregate, usable for streaming state compaction.

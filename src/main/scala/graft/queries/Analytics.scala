@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Layout
+
+/** Behavioral-analytics query registry over `events` plus layout/fuzzy
+  * operators over the relational tables: funnel conversion, retention
+  * cohorts, trailing-window anomaly detection, blocked fuzzy matching,
+  * and Z-order clustering keys.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- q86: blocked fuzzy self-join (edit distance) --------------------
+
+  /** Fuzzy name matching: distinct part names within Levenshtein distance
+    * ≤ 2, blocked on the name's second token. Blocking IS the scale
+    * design — the quadratic comparison runs only inside each block
+    * (shuffle key = noun), exactly like the LSH band join; an unblocked
+    * edit-distance join would be the all-pairs cross product. The oracle
+    * verifies the blocked semantics (same blocking rule on both sides).
+    */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val t = Tables
+      .part(s, d)
+      .select(col("p_name"))
+      .distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = t.select(col("noun"), col("p_name").as("a_name"))
+    val b = t.select(col("noun"), col("p_name").as("b_name"))
+    a.join(b, Seq("noun"))
+      .filter(col("a_name") < col("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_name"), col("b_name"), col("dist"))
+      .orderBy(col("a_name"), col("b_name"))
+  }
+
+  val q86Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |t AS (SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM names)
+      |SELECT a.p_name AS a_name, b.p_name AS b_name,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY a_name, b_name""".stripMargin
+
+  // -- q87: funnel conversion ------------------------------------------
+
+  /** Three-stage funnel with conversion windows: first view → first click
+    * within 2 h → first purchase within 24 h of that click. Every stage is
+    * a conditional min-aggregate keyed on user_id; all four joins hash on
+    * the same key, so the plan is one exchange reused across stages — at
+    * 100 TB a user's history never leaves its partition.
+    */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val users = e.select(col("user_id")).distinct()
+    val v = e
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = e
+      .filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + expr("INTERVAL 2 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_click"))
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn(
+        "stage",
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val q87Sql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type='view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON v.user_id=e.user_id
+      |      WHERE e.event_type='click' AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 2 HOUR GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON c.user_id=e.user_id
+      |      WHERE e.event_type='purchase' AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR GROUP BY e.user_id)
+      |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3 WHEN c.user_id IS NOT NULL THEN 2
+      |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v USING (user_id) LEFT JOIN c ON c.user_id=u.user_id LEFT JOIN p ON p.user_id=u.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // -- q88: retention cohorts ------------------------------------------
+
+  /** Weekly retention by signup cohort: cohort = day of the user's first
+    * signup event; a user is active in week k if any post-signup event
+    * falls k calendar weeks after the cohort day. The (user, day) distinct
+    * bounds state per user at one row per active day; cohort arithmetic is
+    * integer day math — no float divergence anywhere.
+    */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val f = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+    e.join(f, Seq("user_id"))
+      .filter(col("ts") >= col("cohort"))
+      .select(col("user_id"), col("cohort"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+      .groupBy(
+        col("cohort"),
+        (datediff(col("d"), col("cohort")) / lit(7)).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val q88Sql: String =
+    """WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+      |           FROM events WHERE event_type='signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort, CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS d
+      |      FROM events e JOIN f USING (user_id) WHERE e.ts >= f.cohort)
+      |SELECT cohort, CAST(date_diff('day', cohort, d) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT user_id) AS n_active
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q89: trailing-window anomaly detection --------------------------
+
+  /** Per-series z-score anomalies: each event scored against the mean and
+    * variance of its user's previous ≤19 values (current row excluded);
+    * flagged when |z| > 2 with ≥10 points of history. Mean/variance come
+    * from explicit sum/sum² frame aggregates (not `stddev`, whose
+    * single-pass formula differs across engines); z is Det-rounded at the
+    * divergence point. One hash shuffle on the series key.
+    */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val fr = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, -1)
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        col("value"),
+        count(col("value")).over(fr).as("n"),
+        sum(col("value")).over(fr).as("s"),
+        sum(col("value") * col("value")).over(fr).as("s2"))
+      .filter(col("n") >= 10)
+      .withColumn(
+        "z",
+        (col("value") - col("s") / col("n")) /
+          sqrt(greatest((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1), lit(1e-12))))
+      .filter(abs(col("z")) > 2)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"), Det.r4(col("z")).as("z"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q89Sql: String =
+    s"""WITH w AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    count(value) OVER fr AS n, sum(value) OVER fr AS s, sum(value*value) OVER fr AS s2
+       |  FROM events
+       |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    (value - s/n) / sqrt(greatest((s2 - s*s/n)/(n-1), 1e-12)) AS z
+       |  FROM w WHERE n >= 10)
+       |SELECT user_id, ts, event_id, value, ${Det.sqlR("z", 4)} AS z
+       |FROM z WHERE abs(z) > 2 ORDER BY user_id, ts, event_id""".stripMargin
+
+  // -- q93: Z-order clustering key -------------------------------------
+
+  /** Z-order (Morton) key over (customer, order-day): the layout key that
+    * makes min/max file stats prune 2-D box predicates on a 100 TB fact
+    * table. Pure bit arithmetic in whole-stage codegen; the locality law
+    * (z-sorted buckets have narrow spans in BOTH dimensions) is asserted
+    * in LayoutSpec.
+    */
+  def q93(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        Layout
+          .zorder2(
+            col("o_custkey") % 65536,
+            datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+          .as("zval"))
+      .orderBy(col("o_orderkey"))
+
+  val q93Sql: String = {
+    val z = Layout.sqlZorder2(
+      "o_custkey % 65536",
+      "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))")
+    s"""SELECT o_orderkey, $z AS zval
+       |FROM orders ORDER BY o_orderkey""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q86_fuzzy_name_match" -> (q86 _),
+    "q87_funnel" -> (q87 _),
+    "q88_retention_cohorts" -> (q88 _),
+    "q89_anomaly_zscore" -> (q89 _),
+    "q93_zorder_key" -> (q93 _))
+
+  val oracles: Map[String, String] = Map(
+    "q86_fuzzy_name_match" -> q86Sql,
+    "q87_funnel" -> q87Sql,
+    "q88_retention_cohorts" -> q88Sql,
+    "q89_anomaly_zscore" -> q89Sql,
+    "q93_zorder_key" -> q93Sql)
+}

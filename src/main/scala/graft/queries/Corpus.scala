@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Text
+
+/** Corpus-preparation query registry — the cleaning/packaging stages of a
+  * training-data pipeline that sit between raw documents and shards:
+  * PII redaction, boilerplate removal, vocabulary building, n-gram language
+  * model statistics, and mixture rebalancing across strata.
+  *
+  * Same discipline as [[TextQueries]]: codegen'd built-ins only, portable
+  * md5-derived hashes, `Det` rounding at every float divergence point, and
+  * a DuckDB oracle twin per query.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sqlToks = Text.sqlToks
+
+  // -- q83: PII extraction + redaction ---------------------------------
+
+  /** PII scrub. The fixtures carry no natural PII, so the query first
+    * derives a deterministic "contact card" per customer (email present for
+    * 2/3 of keys, phone for 1/2, IP always — giving every count column a
+    * non-trivial distribution), then runs the actual operator: regex
+    * entity counting + redaction to `<EMAIL>`/`<PHONE>`/`<IP>` placeholders.
+    * At scale this is pure per-row codegen'd CPU — no shuffle at all until
+    * the final presentation sort.
+    */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    val key = col("c_custkey")
+    val note = concat(
+      lit("contact "),
+      lower(regexp_replace(col("c_name"), "#", "")),
+      when(
+        key % 3 =!= 0,
+        concat(lit(" email "), lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")))
+        .otherwise(lit("")),
+      when(
+        key % 2 === 0,
+        concat(lit(" phone 555-"), lpad((key % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" ip 10."),
+      (key % 256).cast("string"),
+      lit("."),
+      ((key / 256).cast("long") % 256).cast("string"),
+      lit("."),
+      (key % 250 + 1).cast("string"),
+      lit(" end"))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val ipRe = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    Tables
+      .customer(s, d)
+      // stage the multi-referenced note through its own projection
+      .select(col("c_custkey"), note.as("note"))
+      .select(
+        col("c_custkey"),
+        regexp_count(col("note"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("note"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("note"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(regexp_replace(col("note"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"),
+          ipRe,
+          "<IP>").as("red"))
+      .select(
+        col("c_custkey"),
+        col("n_emails"),
+        col("n_phones"),
+        col("n_ips"),
+        md5(col("red")).as("redacted_hash"),
+        length(col("red")).cast("long").as("redacted_len"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q83Sql: String = {
+    val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+    val phone = """\b555-[0-9]{4}\b"""
+    val ip = """\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+    val red =
+      s"""regexp_replace(regexp_replace(regexp_replace(note,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g'),
+         |      '$ip', '<IP>', 'g')""".stripMargin
+    s"""WITH note AS (
+       |  SELECT c_custkey,
+       |    'contact ' || lower(replace(c_name, '#', '')) ||
+       |    (CASE WHEN c_custkey % 3 <> 0 THEN ' email ' || lower(replace(c_name, '#', '.')) || '@example.com' ELSE '' END) ||
+       |    (CASE WHEN c_custkey % 2 = 0 THEN ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END) ||
+       |    ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST((c_custkey // 256) % 256 AS VARCHAR) || '.' || CAST(c_custkey % 250 + 1 AS VARCHAR) ||
+       |    ' end' AS note
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(note, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(note, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(note, '$ip')) AS BIGINT) AS n_ips,
+       |  md5($red) AS redacted_hash,
+       |  CAST(length($red) AS BIGINT) AS redacted_len
+       |FROM note ORDER BY c_custkey""".stripMargin
+  }
+
+  // -- q84: heavy hitters (exact top-k tokens) -------------------------
+
+  /** Corpus-wide heavy hitters: top-20 tokens by frequency. Plans as a
+    * map-side-combined hash aggregate on the token followed by
+    * `TakeOrderedAndProject` — no global sort, no single-partition window.
+    * The mergeable Misra–Gries sketch ([[graft.functions.Aggregators.MisraGries]])
+    * is the bounded-state scale path when the vocabulary itself is too
+    * large to aggregate exactly; its frequent-item guarantee is
+    * property-tested against this exact query's semantics.
+    */
+  def q84(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
+  val q84Sql: String =
+    s"""WITH tk AS (SELECT unnest($sqlToks) AS tok FROM documents)
+       |SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+       |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin
+
+  // -- q85: boilerplate window removal stats ---------------------------
+
+  /** C4-style boilerplate detection: sliding 5-token windows; a window is
+    * boilerplate when its exact text occurs in ≥2 distinct documents.
+    * Output is the per-document cleaning report (window count, flagged
+    * count, keep ratio). Shuffles 8-byte window hashes, never window text;
+    * the document-frequency side aggregates distinct (hash, doc) pairs —
+    * bounded state per key, no postings lists.
+    */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    val win = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 5)).as("g"))
+      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = win
+      .distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    // Bench/Verify clearCache() after each query releases the persist
+    win
+      .join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn(
+        "keep_ratio",
+        Det.r6(lit(1.0) - col("n_boiler").cast("double") / col("n_windows")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q85Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |win AS (
+       |  SELECT doc_id, ${Text.sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")} AS h
+       |  FROM d, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t),
+       |dfreq AS (SELECT h, count(*) AS df FROM (SELECT DISTINCT doc_id, h FROM win) u GROUP BY h),
+       |flag AS (SELECT win.doc_id, CASE WHEN df >= 2 THEN 1 ELSE 0 END AS boiler
+       |         FROM win JOIN dfreq USING (h))
+       |SELECT doc_id, count(*) AS n_windows, CAST(sum(boiler) AS BIGINT) AS n_boiler,
+       |  ${Det.sqlR("1.0 - CAST(sum(boiler) AS DOUBLE)/count(*)", 6)} AS keep_ratio
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- q90: bigram language-model statistics ---------------------------
+
+  /** Bigram LM table: corpus bigram counts with add-1-smoothed conditional
+    * probability p(w2|w1) = (c12+1)/(c1+V), top-100 by count. The w1
+    * marginal comes from a window over the already-aggregated bigram table
+    * (vocab²-sized, not corpus-sized) and V arrives as a one-row broadcast
+    * — the same corpus-stats shape as BM25 (q69).
+    */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables
+      .documents(s, d)
+      .select(Text.tokens(col("text")).as("w"))
+      .select(explode(Text.shingles(col("w"), 2)).as("g"))
+      .select(
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val v = bg
+      .select(col("w1"))
+      .union(bg.select(col("w2")))
+      .agg(countDistinct(col("w1")).cast("double").as("v"))
+    bc.withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c12"),
+        col("c1"),
+        Det.r6((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("p_smooth"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val q90Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+       |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM (SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg) u(w1))
+       |SELECT bc.w1, bc.w2, bc.c12, c1.c1,
+       |  ${Det.sqlR("(bc.c12 + 1.0) / (c1.c1 + v.v)", 6)} AS p_smooth
+       |FROM bc JOIN c1 USING (w1) CROSS JOIN v
+       |ORDER BY bc.c12 DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin
+
+  // -- q91: vocabulary build + OOV mapping -----------------------------
+
+  /** Tokenizer-vocabulary pipeline: build a top-10 frequency vocabulary
+    * (deterministic tie-break on the token), broadcast it, map every
+    * token position to its vocab id (-1 for OOV), and report per-document
+    * token counts, OOV rate, and a digest of the mapped id sequence —
+    * the corpus→ids step of training-data tokenization. The id sequence is
+    * reassembled order-correctly from an `array_sort` on (position, id)
+    * pairs; per-doc state is bounded by document length, not corpus size.
+    */
+  def q91(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables
+      .documents(s, d)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("i", "tok")))
+    val vocab = tk
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(10)
+      // 10 rows: the global window is trivially single-partition by design
+      .withColumn(
+        "vid",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("tok"))) - 1).cast("long"))
+      .select(col("tok"), col("vid"))
+    tk.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("i"), coalesce(col("vid"), lit(-1L)).as("vid"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("vid") === -1L, 1L).otherwise(0L)).as("n_oov"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("i"), col("vid")))),
+              x => x.getField("vid").cast("string")),
+            ",")).as("ids_hash"))
+      .withColumn("oov_rate", Det.r6(col("n_oov").cast("double") / col("n_tok")))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"), col("oov_rate"), col("ids_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    s"""WITH tk AS (SELECT doc_id, i, w[i] AS tok
+       |            FROM (SELECT doc_id, $sqlToks AS w FROM documents) d,
+       |            LATERAL (SELECT unnest(range(1, len(w)+1)) AS i) t),
+       |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS BIGINT) AS vid
+       |          FROM tk GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 10),
+       |mapped AS (SELECT tk.doc_id, tk.i, coalesce(v.vid, -1) AS vid FROM tk LEFT JOIN vocab v USING (tok))
+       |SELECT doc_id, count(*) AS n_tok,
+       |  CAST(sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  ${Det.sqlR("CAST(sum(CASE WHEN vid = -1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*)", 6)} AS oov_rate,
+       |  md5(list_aggregate(list_transform(list(vid ORDER BY i), x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS ids_hash
+       |FROM mapped GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- q92: mixture rebalancing across strata --------------------------
+
+  /** Training-mixture rebalancing: flatten an over-represented stratum by
+    * keeping each language with probability sqrt(n_min/n_lang) — a
+    * temperature-style down-weighting of large strata. `sqrt` (unlike
+    * `pow`) is IEEE-754 correctly-rounded, so both engines derive the
+    * bit-identical keep fraction; the per-doc gate is the q62 md5 uniform.
+    * Stratum stats are 5 rows — broadcast; the corpus is filtered in one
+    * shuffle-free map pass.
+    */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val mn = n.agg(min(col("n_docs")).cast("double").as("n_min"))
+    val fr = n
+      .crossJoin(broadcast(mn))
+      .withColumn("keep_frac", sqrt(col("n_min") / col("n_docs")))
+      .select(col("lang"), col("n_docs"), col("keep_frac"))
+    val u = (Text.hash60(col("doc_id").cast("string")) % lit(1073741824L)).cast("double") / 1073741824.0
+    val kept = docs
+      .join(broadcast(fr), Seq("lang"))
+      .filter(u < col("keep_frac"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+    fr.join(kept, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        Det.r6(col("keep_frac")).as("keep_frac"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val q92Sql: String = {
+    val u = s"(${Text.sqlHash60("CAST(doc_id AS VARCHAR)")} % 1073741824) / 1073741824.0"
+    s"""WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |mn AS (SELECT CAST(min(n_docs) AS DOUBLE) AS n_min FROM n),
+       |fr AS (SELECT lang, n_docs, sqrt(mn.n_min / n_docs) AS keep_frac FROM n CROSS JOIN mn),
+       |kept AS (SELECT d.lang, count(*) AS n_kept
+       |         FROM documents d JOIN fr USING (lang)
+       |         WHERE ($u) < fr.keep_frac
+       |         GROUP BY d.lang)
+       |SELECT fr.lang, fr.n_docs, ${Det.sqlR("fr.keep_frac", 6)} AS keep_frac,
+       |  coalesce(k.n_kept, 0) AS n_kept
+       |FROM fr LEFT JOIN kept k USING (lang) ORDER BY fr.lang""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q83_pii_scrub" -> (q83 _),
+    "q84_heavy_hitters" -> (q84 _),
+    "q85_boilerplate_windows" -> (q85 _),
+    "q90_bigram_lm" -> (q90 _),
+    "q91_vocab_oov" -> (q91 _),
+    "q92_mixture_resample" -> (q92 _))
+
+  val oracles: Map[String, String] = Map(
+    "q83_pii_scrub" -> q83Sql,
+    "q84_heavy_hitters" -> q84Sql,
+    "q85_boilerplate_windows" -> q85Sql,
+    "q90_bigram_lm" -> q90Sql,
+    "q91_vocab_oov" -> q91Sql,
+    "q92_mixture_resample" -> q92Sql)
+}
