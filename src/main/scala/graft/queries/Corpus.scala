@@ -319,7 +319,80 @@ object Corpus {
        |FROM fr LEFT JOIN kept k USING (lang) ORDER BY fr.lang""".stripMargin
   }
 
+  // -- q94: TextRank keyword extraction (damped PageRank) --------------
+
+  /** TextRank: damped PageRank (d = 0.85, 3 iterations) over the
+    * symmetrized token co-occurrence graph, weighted by adjacency counts —
+    * corpus-level keyword extraction. Each iteration is the canonical
+    * distributed PageRank step: join the rank vector to the edge list on
+    * src (hash shuffle), aggregate contributions on dst — two shuffles per
+    * iteration regardless of graph size, no driver-side adjacency. The
+    * rank is Det-snapped each iteration, so both engines carry bit-identical
+    * vectors into the next step and the fixed 3-step unroll is
+    * hash-checkable (the q49 technique). The node count is a dimension-
+    * sized driver count, as in q56.
+    */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables
+      .documents(s, d)
+      .select(Text.tokens(col("text")).as("w"))
+      .select(explode(Text.shingles(col("w"), 2)).as("g"))
+      .select(
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val edges = e0
+      .select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+      .union(e0.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("c")).cast("double").as("wt"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+    // per-edge transition probability, computed once, reused every iteration
+    val trans = edges
+      .join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("wt") / col("ow")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = trans.select(col("src").as("tok")).distinct()
+    val n = nodes.count() // dimension-sized count, driver-side by design
+    var r = nodes.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to 3) {
+      r = trans
+        .join(r, trans("src") === r("tok"))
+        .groupBy(col("dst"))
+        .agg(sum(col("p") * col("r")).as("s"))
+        .select(col("dst").as("tok"), Det.r6(lit(0.15 / n) + lit(0.85) * col("s")).as("r"))
+    }
+    r.select(col("tok"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("tok"))
+      .limit(20)
+  }
+
+  val q94Sql: String = {
+    def step(prev: String, next: String): String =
+      s"""$next AS (SELECT s.tok, ${Det.sqlR("0.15/n.n + 0.85*s.s", 6)} AS r
+         |  FROM (SELECT e.dst AS tok, sum($prev.r * (e.wt / o.ow)) AS s
+         |        FROM edges e JOIN $prev ON $prev.tok = e.src JOIN outw o ON o.src = e.src
+         |        GROUP BY e.dst) s CROSS JOIN n)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |e0 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       |edges AS (
+       |  SELECT src, dst, CAST(sum(c) AS DOUBLE) AS wt FROM (
+       |    SELECT w1 AS src, w2 AS dst, c FROM e0 UNION ALL SELECT w2 AS src, w1 AS dst, c FROM e0) u
+       |  GROUP BY src, dst),
+       |outw AS (SELECT src, sum(wt) AS ow FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS tok FROM edges GROUP BY src),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |p0 AS (SELECT tok, 1.0/n.n AS r FROM nodes CROSS JOIN n),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")}
+       |SELECT tok, r AS rank FROM p3 ORDER BY rank DESC, tok LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q94_textrank" -> (q94 _),
     "q83_pii_scrub" -> (q83 _),
     "q84_heavy_hitters" -> (q84 _),
     "q85_boilerplate_windows" -> (q85 _),
@@ -328,6 +401,7 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q94_textrank" -> q94Sql,
     "q83_pii_scrub" -> q83Sql,
     "q84_heavy_hitters" -> q84Sql,
     "q85_boilerplate_windows" -> q85Sql,

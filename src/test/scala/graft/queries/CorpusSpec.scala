@@ -91,6 +91,18 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q94 ranks are positive, sorted, and bounded by the undamped maximum") {
+    val r = Corpus.q94(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val ranks = r.map(_.getAs[Double]("rank"))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not sorted by rank desc")
+    ranks.foreach { p =>
+      // every rank sits in ((1-d)/N, 1): the damping floor is strict, and
+      // no node can absorb the entire rank mass
+      assert(p > 0.0 && p < 1.0)
+    }
+  }
+
   test("q92 keeps every smallest-stratum doc and downsamples the largest most") {
     val r = Corpus.q92(spark, sf).collect()
     assert(r.nonEmpty)
