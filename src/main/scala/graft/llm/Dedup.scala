@@ -137,6 +137,46 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Bloom-filter decontamination: the FP-tolerant scale path for
+    * [[againstCorpus]]. The anti join ships and shuffles every candidate
+    * digest; when the "seen" corpus is huge but a small false-positive
+    * rate is acceptable (over-dropping a few clean docs is harmless for
+    * training data), a Bloom filter built over the corpus digests and
+    * broadcast to every executor turns the whole operation into a
+    * shuffle-free map-side filter: bits-per-corpus-row instead of a join.
+    *
+    * Guarantees (property-tested in DedupSpec): NO false negatives — every
+    * contaminated row is dropped; false-positive rate bounded by `fpp` in
+    * expectation. Membership runs in `mapPartitions` over the broadcast
+    * filter — the structure is opaque bits, not expressible as a Catalyst
+    * expression.
+    */
+  def againstCorpusBloom(
+      df: DataFrame,
+      textCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    val bloom = corpus
+      .select(md5(col(corpusTextCol)).as("__h"))
+      .stat
+      .bloomFilter("__h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val schema = df.schema
+    val textIdx = schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val f = bc.value
+      rows.filter { r =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(textIdx).getBytes("UTF-8"))
+        !f.mightContain(h.map("%02x".format(_)).mkString)
+      }
+    }(enc)
+  }
+
   /** Deterministic stratified sample: keep ~`fraction` of rows per stratum,
     * chosen by a hash of the id — reproducible across runs and engines
     * (unlike `sampleBy`'s RNG), and exact for a fixed dataset. The standard

@@ -117,6 +117,27 @@ class DedupSpec extends SparkSpec {
     assert(cappedPairs.subsetOf(uncappedPairs))
   }
 
+  test("bloom decontamination: no false negatives, FP rate bounded, subset of exact") {
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Dedup
+      .againstCorpus(docs, "text", corpus, "text")
+      .select(col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val bloomKept = Dedup
+      .againstCorpusBloom(docs, "text", corpus, "text", expectedItems = 1000, fpp = 0.01)
+      .select(col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // no false negatives: anything the bloom pass kept, the exact pass kept
+    assert(bloomKept.subsetOf(exact), "bloom kept a contaminated doc (false negative)")
+    // false positives only shave a bounded sliver off the clean set
+    val fpObserved = (exact.size - bloomKept.size).toDouble / math.max(1, exact.size)
+    assert(fpObserved <= 0.05, s"bloom over-dropped: observed FP rate $fpObserved > 5%")
+  }
+
   test("connectedComponents converges on a chain (diameter > 1) and a clique") {
     import spark.implicits._
     // chain 10-11-12-13 forces >1 propagation iteration; clique 20-21-22

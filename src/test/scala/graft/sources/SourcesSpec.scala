@@ -155,4 +155,40 @@ class SourcesSpec extends SparkSpec {
       assert(hi < lo2, s"file key ranges overlap: hi=$hi lo2=$lo2")
     }
   }
+
+  test("z-ordered layout prunes 2-D box queries better than a 1-D range layout") {
+    import spark.implicits._
+    // uniform 8-bit grid — both dims carry equal significance
+    val grid = (0 until 4096)
+      .map { i => ((i * 2654435761L) & 255L, (i * 40503L + 17L) & 255L) }
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("zorder").toString
+    Sources.writeZOrdered(grid, s"$dir/z", "x", "y", files = 16, bits = 8)
+    grid
+      .repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write
+      .parquet(s"$dir/x")
+    def filesTouched(path: String): Int = {
+      val bbox = spark.read
+        .parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+        .collect()
+      val boxes = for (bx <- 0 until 4; by <- 0 until 4)
+        yield (bx * 64L, bx * 64L + 63L, by * 64L, by * 64L + 63L)
+      boxes.map { case (qx0, qx1, qy0, qy1) =>
+        bbox.count { r =>
+          r.getAs[Long]("x0") <= qx1 && qx0 <= r.getAs[Long]("x1") &&
+          r.getAs[Long]("y0") <= qy1 && qy0 <= r.getAs[Long]("y1")
+        }
+      }.sum
+    }
+    val zTouched = filesTouched(s"$dir/z")
+    val xTouched = filesTouched(s"$dir/x")
+    // the driver for parquet's min/max file skipping: fewer candidate files
+    assert(
+      zTouched * 4 <= xTouched * 3,
+      s"z layout should touch materially fewer files: z=$zTouched vs x=$xTouched")
+  }
 }
