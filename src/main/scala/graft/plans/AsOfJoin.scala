@@ -190,9 +190,53 @@ object AsOfJoin {
 /** `SparkSessionExtensions` installer for builder-time wiring:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (the
   * runtime path is [[AsOfJoin.register]] via experimental strategies).
+  *
+  * Besides the as-of planner strategy, this publishes the native
+  * expressions to the SQL function registry, so `spark.sql` users reach
+  * the codegen'd kernels without touching the Scala API:
+  * `graft_cosine_sim(a, b)`, `graft_hash60(s)`,
+  * `graft_lsh_bucket(v, planes, dims)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_cosine_sim"),
+        info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_cosine_sim(a, b) takes 2 arguments")
+          CosineSimExpr(args(0), args(1))
+        }))
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_hash60"),
+        info("graft_hash60", "graft_hash60(s) - portable 60-bit md5-prefix hash of a string"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_hash60(s) takes 1 argument")
+          Md5Prefix60Expr(args(0))
+        }))
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_lsh_bucket"),
+        info(
+          "graft_lsh_bucket",
+          "graft_lsh_bucket(v, planes, dims) - random-hyperplane LSH bucket of an embedding"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_lsh_bucket(v, planes, dims) takes 3 arguments")
+          LshBucketExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dims"))
+        }))
   }
 }

@@ -482,7 +482,39 @@ object Extended {
     s.sql(q80SharedSql)
   }
 
+  /** Unpivot (melt): wide measure columns → long (measure, value) rows via
+    * the native `unpivot` operator (generates a Expand node — one pass,
+    * no self-union of four scans), then per-measure aggregates.
+    */
+  def q95(s: SparkSession, d: String): DataFrame =
+    Tables
+      .lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure",
+        "v")
+      .groupBy(col("measure"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.r2(sum(col("v"))).as("sv"),
+        Det.r6(min(col("v"))).as("mn"),
+        Det.r6(max(col("v"))).as("mx"))
+      .orderBy(col("measure"))
+
+  val q95Sql: String =
+    s"""WITH long AS (
+       |  SELECT l_orderkey, l_linenumber, measure, v
+       |  FROM lineitem
+       |  UNPIVOT (v FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+       |SELECT measure, count(*) AS n,
+       |  ${Det.sqlR("sum(v)", 2)} AS sv,
+       |  ${Det.sqlR("min(v)", 6)} AS mn,
+       |  ${Det.sqlR("max(v)", 6)} AS mx
+       |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_unpivot_measures" -> (q95 _),
     "q77_skew_salted_join" -> (q77 _),
     "q80_grouping_sets" -> (q80 _),
     "q44_asof_join_native" -> (q44 _),
@@ -506,6 +538,7 @@ object Extended {
     "q43_supplier_stats" -> (q43 _))
 
   val oracles: Map[String, String] = Map(
+    "q95_unpivot_measures" -> q95Sql,
     "q77_skew_salted_join" -> q77Sql,
     "q80_grouping_sets" -> q80SharedSql,
     "q44_asof_join_native" -> EventQueries.q18Sql,

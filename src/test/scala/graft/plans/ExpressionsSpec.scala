@@ -58,4 +58,48 @@ class ExpressionsSpec extends SparkSpec {
         spark.conf.set("spark.sql.codegen.fallback", v))
     }
   }
+
+  test("GraftExtensions publishes the native expressions to the SQL registry") {
+    // getOrCreate returns the existing default session (ignoring
+    // withExtensions) unless the default/active slots are cleared first;
+    // the underlying SparkContext is shared and must NOT be stopped here.
+    val old = spark // force the shared session to exist before we juggle
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession
+      .builder()
+      .master(old.sparkContext.master)
+      .appName("ExtensionsSql")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.core.GraftSession.tune(s2)
+      val docs = graft.core.Tables.documents(s2, sf)
+      docs.createOrReplaceTempView("docs_ext")
+      val emb = graft.core.Tables.embeddings(s2, sf)
+      emb.createOrReplaceTempView("emb_ext")
+      // SQL path == Scala API path, row for row
+      val sqlHash = s2
+        .sql("SELECT doc_id, graft_hash60(text) AS h FROM docs_ext ORDER BY doc_id")
+        .collect()
+      val apiHash = docs
+        .select(col("doc_id"), Text.hash60(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+        .collect()
+      assert(sqlHash.map(_.getLong(1)).sameElements(apiHash.map(_.getLong(1))))
+      val sqlCos = s2
+        .sql("SELECT graft_cosine_sim(embedding, embedding) AS c FROM emb_ext")
+        .collect()
+      sqlCos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+      val sqlLsh = s2
+        .sql("SELECT count(DISTINCT graft_lsh_bucket(embedding, 4, 64)) AS n FROM emb_ext")
+        .head()
+      assert(sqlLsh.getLong(0) > 0)
+    } finally {
+      // restore the suite-shared session; the context stays alive
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
 }
