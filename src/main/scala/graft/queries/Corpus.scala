@@ -391,7 +391,98 @@ object Corpus {
        |SELECT tok, r AS rank FROM p3 ORDER BY rank DESC, tok LIMIT 20""".stripMargin
   }
 
+  // -- q96: LM-based quality filtering (pseudo-perplexity) -------------
+
+  /** CCNet-style model-based filtering: score every document by its
+    * average bigram log-probability under the corpus LM (q90's model) and
+    * report pseudo-perplexity — the filter that ranks documents by how
+    * "language-like" they are. The model tables are vocab²-sized; the only
+    * corpus-sized shuffle is the doc-bigram join against them on (w1, w2).
+    * `ln`/`exp` are within-1-ulp libm on both engines; sums of ~doc-length
+    * terms land well inside the Det.r6 snap (the q56 precedent).
+    */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val bgd = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Text.shingles(col("w"), 2)).as("g"))
+      .select(
+        col("doc_id"),
+        element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = bgd.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = bgd
+      .select(col("w1"))
+      .union(bgd.select(col("w2")))
+      .agg(countDistinct(col("w1")).cast("double").as("v"))
+    val avg = Det.r6(sum(col("lp")) / count(lit(1)))
+    bgd
+      .join(bc, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), log((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg.as("avg_logp"), Det.r4(exp(-avg)).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q96Sql: String = {
+    val avg = Det.sqlR("sum(lp)/count(*)", 6)
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |bgd AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bgd GROUP BY w1, w2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+       |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM (SELECT w1 FROM bgd UNION ALL SELECT w2 FROM bgd) u(w1)),
+       |sc AS (SELECT bgd.doc_id, ln((bc.c12 + 1.0) / (c1.c1 + v.v)) AS lp
+       |       FROM bgd JOIN bc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  $avg AS avg_logp,
+       |  ${Det.sqlR(s"exp(-($avg))", 4)} AS ppl
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q97: n-gram test-set decontamination ----------------------------
+
+  /** Benchmark decontamination at the n-gram level: flag (candidate,
+    * benchmark) pairs sharing any distinct 4-gram — the eval-leakage sweep
+    * run before training. Unlike q58's whole-text digests, this catches
+    * partial containment. Shuffle keys are 8-byte shingle hashes; the
+    * benchmark side of the join is the (tiny) eval set, broadcastable at
+    * any corpus scale.
+    */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Text.shingles(col("w"), 4)).as("g"))
+      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sh.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("bench_id"), col("h"))
+    val cand = sh.filter(col("doc_id") % 13 =!= 0)
+    cand
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  val q97Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ${Text.sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS h
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-2)) AS i) t),
+       |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 13 = 0),
+       |cand AS (SELECT doc_id, h FROM sh WHERE doc_id % 13 <> 0)
+       |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+       |FROM cand c JOIN bench b USING (h)
+       |GROUP BY c.doc_id, b.bench_id
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_lm_perplexity_filter" -> (q96 _),
+    "q97_ngram_decontamination" -> (q97 _),
     "q94_textrank" -> (q94 _),
     "q83_pii_scrub" -> (q83 _),
     "q84_heavy_hitters" -> (q84 _),
@@ -401,6 +492,8 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q96_lm_perplexity_filter" -> q96Sql,
+    "q97_ngram_decontamination" -> q97Sql,
     "q94_textrank" -> q94Sql,
     "q83_pii_scrub" -> q83Sql,
     "q84_heavy_hitters" -> q84Sql,

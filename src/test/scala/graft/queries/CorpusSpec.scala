@@ -103,6 +103,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q96 perplexity is exp(-avg_logp) and log-probs are negative") {
+    val r = Corpus.q96(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val avg = row.getAs[Double]("avg_logp")
+      assert(avg < 0.0, "smoothed bigram log-probs must be negative")
+      val expected = math.floor(math.exp(-avg) * 1e4 + 0.5) / 1e4
+      assert(row.getAs[Double]("ppl") == expected)
+      assert(row.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
+  test("q97 flags exactly the candidates sharing a 4-gram with the benchmark slice") {
+    val r = Corpus.q97(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_id") % 13 != 0, "benchmark docs cannot be candidates")
+      assert(row.getAs[Long]("bench_id") % 13 == 0, "flag target must be a benchmark doc")
+      assert(row.getAs[Long]("n_shared") >= 1)
+    }
+  }
+
   test("q92 keeps every smallest-stratum doc and downsamples the largest most") {
     val r = Corpus.q92(spark, sf).collect()
     assert(r.nonEmpty)
