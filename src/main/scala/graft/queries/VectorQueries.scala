@@ -134,12 +134,15 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** The 2 Lloyd iterations of [[q49]] unrolled as SQL: seed → (assign →
-    * re-center) ×2 → corpus assignment → probe top-3 cells → score → rank.
-    * Mirrors [[graft.llm.Similarity.ivfTrain]]/[[graft.llm.Similarity.ivfTopK]]
+  /** The 2 Lloyd iterations of [[q49]] unrolled as SQL CTEs, through the
+    * corpus cell assignment (`cells`): seed → (assign → re-center) ×2 →
+    * assign. ONE source of truth shared by q49 (which adds probe → score →
+    * rank) and q98 (which adds within-cell pair scoring) — the training
+    * trajectories can never drift apart between the two oracles. Mirrors
+    * [[graft.llm.Similarity.ivfTrain]]/[[graft.llm.Similarity.assignCells]]
     * stage for stage, with the identical r6 snapping.
     */
-  val q49Sql: String = {
+  private val ivfCellsCte: String = {
     def r6(e: String): String = graft.core.Det.sqlR(e, 6)
     // one Lloyd iteration: sims vs c{t-1} → argmax cell → element-wise mean
     def iter(t: Int): String =
@@ -160,7 +163,7 @@ object VectorQueries {
          |  FROM a$t a JOIN e ON e.vec_id = a.vec_id,
          |       LATERAL (SELECT unnest(range(1, 65)) AS i) t$t
          |  GROUP BY a.cell, i)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |nrm AS (
        |  SELECT vec_id, sum(CAST(embedding[i] AS DOUBLE) * embedding[i]) AS en
        |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) tn GROUP BY vec_id),
@@ -187,7 +190,11 @@ object VectorQueries {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-       |    FROM sim3) s WHERE rn = 1),
+       |    FROM sim3) s WHERE rn = 1)""".stripMargin
+  }
+
+  val q49Sql: String =
+    s"""WITH $ivfCellsCte,
        |probes AS (
        |  SELECT vec_id AS qid, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -212,7 +219,54 @@ object VectorQueries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM sims)
        |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** SemDeDup: semantic dedup inside learned embedding clusters. The IVF
+    * coarse quantizer (identical training to q49) provides the blocking —
+    * within each cell, pairs above cosine 0.35 mark the higher-id member
+    * dropped (greedy keep-lowest, deterministic). The cluster assignment
+    * IS the shuffle key, so pair scoring is Σ|cell|², never n² — the
+    * SemDeDup recipe (Abbas et al., 2023) as a Spark plan.
+    */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = Similarity.ivfTrain(emb, k = 8, iters = 2)
+    val cells = Similarity.assignCells(emb, centroids)
+    val withCell = emb.join(cells, Seq("vec_id"))
+    val dropped = Similarity
+      .nearDupPairsBlocked(withCell, "cell", 0.35)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("flag", lit(1L))
+    cells
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cell").cast("long").as("cell"),
+        coalesce(col("flag"), lit(0L)).as("dropped"))
+      .orderBy(col("vec_id"))
   }
+
+  val q98Sql: String =
+    s"""WITH $ivfCellsCte,
+       |pr AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+       |  JOIN e a ON a.vec_id = ca.vec_id JOIN e b ON b.vec_id = cb.vec_id),
+       |acc2 AS (
+       |  SELECT p.a_id, p.b_id,
+       |    sum(CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]) AS dotp
+       |  FROM pr p JOIN e a ON a.vec_id = p.a_id JOIN e b ON b.vec_id = p.b_id,
+       |       LATERAL (SELECT unnest(range(1, 65)) AS i) ti
+       |  GROUP BY p.a_id, p.b_id),
+       |sims2 AS (
+       |  SELECT a_id, b_id,
+       |    ${graft.core.Det.sqlR("acc2.dotp / (sqrt(na.en) * sqrt(nb.en))", 4)} AS sim
+       |  FROM acc2 JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id),
+       |dropped AS (SELECT DISTINCT b_id FROM sims2 WHERE sim >= 0.35)
+       |SELECT c.vec_id, c.cell,
+       |  CAST(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dropped
+       |FROM cells c LEFT JOIN dropped d ON d.b_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
 
   /** Int8-quantized cosine top-10: the 4×-compressed scale path of q32.
     * Quantization (per-vector scale, floor(x+0.5) snap) and all dot/norm
@@ -284,6 +338,7 @@ object VectorQueries {
     "q33_embedding_neardup_blocked" -> (q33 _),
     "q34_ann_lsh_topk" -> (q34 _),
     "q49_ivf_topk" -> (q49 _),
+    "q98_semdedup" -> (q98 _),
     "q79_int8_cosine_topk" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +347,6 @@ object VectorQueries {
     "q33_embedding_neardup_blocked" -> q33Sql,
     "q34_ann_lsh_topk" -> q34Sql,
     "q49_ivf_topk" -> q49Sql,
+    "q98_semdedup" -> q98Sql,
     "q79_int8_cosine_topk" -> q79Sql)
 }

@@ -157,6 +157,31 @@ class SimilaritySpec extends SparkSpec {
     assert(multi > 0.0)
   }
 
+  test("semdedup: dropped vectors have an in-cell lower-id neighbor above threshold; keepers don't") {
+    val r = graft.queries.VectorQueries.q98(spark, sf).collect()
+    assert(r.nonEmpty)
+    val dropped = r.filter(_.getAs[Long]("dropped") == 1L).map(_.getAs[Long]("vec_id")).toSet
+    // recompute ground truth per cell with the same operator primitives
+    val centroids = Similarity.ivfTrain(emb, k = 8, iters = 2)
+    val withCell = emb.join(Similarity.assignCells(emb, centroids), Seq("vec_id"))
+    val pairs = Similarity
+      .nearDupPairsBlocked(withCell, "cell", 0.35)
+      .collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")))
+    val expectDropped = pairs.map(_._2).toSet
+    assert(dropped == expectDropped)
+    val cellOf = withCell
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect()
+      .map(x => x.getLong(0) -> x.getLong(1))
+      .toMap
+    pairs.foreach { case (a, b) => assert(cellOf(a) == cellOf(b), "pair crosses cells") }
+    // every cell keeps at least one member
+    r.groupBy(_.getAs[Long]("cell")).foreach { case (_, rows) =>
+      assert(rows.exists(_.getAs[Long]("dropped") == 0L), "a cell lost all members")
+    }
+  }
+
   test("blocked near-dup pairs stay within blocks and above threshold") {
     import spark.implicits._
     val out = Similarity.nearDupPairsBlocked(emb, "label", 0.35).collect()
