@@ -480,7 +480,125 @@ object Corpus {
        |GROUP BY c.doc_id, b.bench_id
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  // -- q99: the full training-data pipeline, end to end ----------------
+
+  /** Capstone composition — the whole corpus-prep pipeline as ONE lazy
+    * DataFrame program, every stage an operator verified standalone
+    * elsewhere: exact dedup (q23) → near-dup drop (q24 greedy keep-lowest)
+    * → quality gate (q29's score ≥ 0.5) → benchmark decontamination
+    * (q97's 4-grams vs the doc_id%13 slice) → token-budget packing (q81's
+    * two-level distributed prefix sum, capacity 512). Catalyst sees one
+    * plan, so stages fuse where possible and nothing materializes between
+    * them; the oracle chains the same stages as CTEs.
+    */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Dedup
+    val docs = Tables.documents(s, d)
+    // 1: exact dedup — keep the smallest doc_id per text digest
+    val d0 = docs.join(
+      Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id")),
+      Seq("doc_id"))
+    // 2: near-dup drop — greedy keep-lowest over jaccard ≥ 0.2 pairs
+    val nd = Dedup
+      .jaccardPairs(d0, "doc_id", "text", 3, 0.2)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    val d1 = d0.join(nd, Seq("doc_id"), "left_anti")
+    // 3: quality gate — q29's formula, keep ≥ 0.5
+    val d2 = d1
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("text"),
+        size(col("toks")).cast("long").as("n_tok"),
+        Text.markerCount(col("toks"), Text.stopwords).as("n_stop"),
+        col("n_chars"))
+      .withColumn(
+        "quality",
+        Det.r4(
+          least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            when(col("n_tok") > 0, col("n_stop").cast("double") / col("n_tok")).otherwise(lit(0.0)) * 0.3 +
+            when(
+              when(col("n_tok") > 0, col("n_chars").cast("double") / col("n_tok"))
+                .otherwise(lit(0.0))
+                .between(3.0, 8.0),
+              lit(0.2)).otherwise(lit(0.0))))
+      .filter(col("quality") >= 0.5)
+    // 4: decontamination — drop candidates sharing any 4-gram with the bench slice
+    def grams4(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(Text.shingles(col("w"), 4)).as("g"))
+      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .distinct()
+    val benchH = grams4(docs.filter(col("doc_id") % 13 === 0)).select(col("h")).distinct()
+    val contaminated = grams4(d2)
+      .join(broadcast(benchH), Seq("h"))
+      .select(col("doc_id"))
+      .distinct()
+    val d3 = d2
+      .filter(col("doc_id") % 13 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 5: token-budget packing per source stratum
+    graft.operators.Packing
+      .tokenBudgetPack(
+        d3.select(col("doc_id"), col("source"), col("n_tok")),
+        "doc_id",
+        "source",
+        "n_tok",
+        capacity = 512L,
+        blockSize = 64L)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q99Sql: String = {
+    val stops = Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d0 AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1) k
+       |    ON md5(d.text) = k.h AND d.doc_id = k.keep_id),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS w FROM d0) dd,
+       |  LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |neardup AS (
+       |  SELECT b_id FROM (
+       |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+       |d1 AS (SELECT * FROM d0 WHERE doc_id NOT IN (SELECT b_id FROM neardup)),
+       |qual AS (
+       |  SELECT doc_id, n_tok, quality FROM (
+       |    SELECT doc_id,
+       |      CAST(len($sqlToks) AS BIGINT) AS n_tok,
+       |      ${Det.sqlR(
+        s"least(CAST(len($sqlToks) AS DOUBLE)/100.0, 1.0)*0.5" +
+          s" + (CASE WHEN len($sqlToks) > 0 THEN CAST(len(list_filter($sqlToks, x -> x IN ($stops))) AS DOUBLE)/len($sqlToks) ELSE 0.0 END)*0.3" +
+          s" + (CASE WHEN (CASE WHEN len($sqlToks) > 0 THEN CAST(n_chars AS DOUBLE)/len($sqlToks) ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)",
+        4)} AS quality
+       |    FROM d1) s WHERE quality >= 0.5),
+       |d2 AS (SELECT d1.*, qual.n_tok FROM d1 JOIN qual USING (doc_id)),
+       |g4 AS (
+       |  SELECT DISTINCT doc_id, ${Text.sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS h
+       |  FROM (SELECT doc_id, $sqlToks AS w FROM d2) dd, LATERAL (SELECT unnest(range(1, len(w)-2)) AS i) t),
+       |bh AS (
+       |  SELECT DISTINCT ${Text.sqlHash60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS h
+       |  FROM (SELECT doc_id, $sqlToks AS w FROM documents WHERE doc_id % 13 = 0) dd,
+       |  LATERAL (SELECT unnest(range(1, len(w)-2)) AS i) t),
+       |contaminated AS (SELECT DISTINCT g4.doc_id FROM g4 JOIN bh USING (h)),
+       |d3 AS (SELECT * FROM d2 WHERE doc_id % 13 <> 0
+       |       AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT doc_id, source, n_tok,
+       |  CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) / 512.0) AS BIGINT) AS pack_id
+       |FROM d3 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q99_pipeline_end_to_end" -> (q99 _),
     "q96_lm_perplexity_filter" -> (q96 _),
     "q97_ngram_decontamination" -> (q97 _),
     "q94_textrank" -> (q94 _),
@@ -492,6 +610,7 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q99_pipeline_end_to_end" -> q99Sql,
     "q96_lm_perplexity_filter" -> q96Sql,
     "q97_ngram_decontamination" -> q97Sql,
     "q94_textrank" -> q94Sql,

@@ -153,34 +153,22 @@ object TextQueries {
     * the decomposition is exact and the oracle (a plain stratum-wide
     * window) is unchanged.
     */
-  def q81(s: SparkSession, d: String): DataFrame = {
-    val blockSize = 64L // docs per block; sized so the test SFs exercise multiple blocks
-    val wBlocks = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("block"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wInBlock = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"), col("block"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val t = Tables
-      .documents(s, d)
-      .select(
-        col("doc_id"),
-        col("source"),
-        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_tok"))
-      .withColumn("block", (col("doc_id") / blockSize).cast("long"))
-    val blockBase = t
-      .groupBy(col("source"), col("block"))
-      .agg(sum(col("n_tok")).as("__btot"))
-      .withColumn("__base", coalesce(sum(col("__btot")).over(wBlocks), lit(0L)))
-      .select(col("source"), col("block"), col("__base"))
-    t.join(blockBase, Seq("source", "block"))
-      .withColumn("__before", col("__base") + coalesce(sum(col("n_tok")).over(wInBlock), lit(0L)))
-      .withColumn("pack_id", floor(col("__before") / 2048.0).cast("long"))
+  def q81(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing
+      .tokenBudgetPack(
+        Tables
+          .documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("n_tok")),
+        "doc_id",
+        "source",
+        "n_tok",
+        capacity = 2048L,
+        blockSize = 64L) // block sized so the test SFs exercise multiple blocks
       .select(col("doc_id"), col("source"), col("n_tok"), col("pack_id"))
       .orderBy(col("doc_id"))
-  }
 
   val q81Sql: String =
     """WITH t AS (

@@ -124,6 +124,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q99 pipeline: stages compose — survivors clean, packs budget-contiguous") {
+    val r = Corpus.q99(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_id") % 13 != 0, "benchmark docs must not survive")
+      assert(row.getAs[Long]("n_tok") > 0)
+    }
+    // pack ids are the floor of the running token prefix: within each
+    // source, recompute and compare
+    r.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var before = 0L
+      sorted.foreach { row =>
+        assert(row.getAs[Long]("pack_id") == before / 512L, "pack id mismatch")
+        before += row.getAs[Long]("n_tok")
+      }
+    }
+    // survivors are a strict subset: stages actually filtered something
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(r.length < total)
+  }
+
   test("q92 keeps every smallest-stratum doc and downsamples the largest most") {
     val r = Corpus.q92(spark, sf).collect()
     assert(r.nonEmpty)
