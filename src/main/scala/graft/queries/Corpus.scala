@@ -494,10 +494,12 @@ object Corpus {
   def q99(s: SparkSession, d: String): DataFrame = {
     import graft.llm.Dedup
     val docs = Tables.documents(s, d)
-    // 1: exact dedup — keep the smallest doc_id per text digest
-    val d0 = docs.join(
-      Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id")),
-      Seq("doc_id"))
+    // 1: exact dedup — keep the smallest doc_id per text digest.
+    // d0 feeds both the near-dup self-join and the survivor stream —
+    // persist instead of recomputing the digest join per branch
+    val d0 = docs
+      .join(Dedup.exact(docs, "doc_id", "text").select(col("keep_id").as("doc_id")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2: near-dup drop — greedy keep-lowest over jaccard ≥ 0.2 pairs
     val nd = Dedup
       .jaccardPairs(d0, "doc_id", "text", 3, 0.2)
@@ -525,6 +527,8 @@ object Corpus {
                 .between(3.0, 8.0),
               lit(0.2)).otherwise(lit(0.0))))
       .filter(col("quality") >= 0.5)
+      // d2 feeds the contamination shingle scan AND the survivor stream
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: decontamination — drop candidates sharing any 4-gram with the bench slice
     def grams4(df: DataFrame): DataFrame = df
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
