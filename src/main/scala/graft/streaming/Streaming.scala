@@ -166,6 +166,65 @@ object Streaming {
         OutputMode.Update())
   }
 
+  case class Anomaly(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double, z: Double, n: Long)
+
+  /** Streaming twin of the batch q89 anomaly detector: per-user trailing
+    * window of the last ≤19 values kept in a typed `ListState`-equivalent
+    * ring (a ValueState holding the bounded window — O(window) state per
+    * key, watermark-free because the window is row-bounded, not
+    * time-bounded). Each incoming event is scored against the mean/variance
+    * of the PRIOR window (current row excluded, ≥10 points of history,
+    * |z| > 2), then pushed into the ring — identical semantics to the
+    * batch `rowsBetween(-19, -1)` frame when events arrive in
+    * (ts, event_id) order, which the processor enforces per batch.
+    */
+  class AnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Anomaly] {
+    @transient private var ring: org.apache.spark.sql.streaming.ValueState[Seq[Double]] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      ring = getHandle.getValueState[Seq[Double]](
+        "window",
+        org.apache.spark.sql.Encoders.kryo[Seq[Double]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Anomaly] = {
+      var w = Option(ring.get()).getOrElse(Seq.empty[Double])
+      val out = Seq.newBuilder[Anomaly]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val n = w.length
+        if (n >= 10) {
+          val s = w.sum
+          val s2 = w.map(v => v * v).sum
+          val m = s / n
+          val sd = math.sqrt(math.max((s2 - s * s / n) / (n - 1), 1e-12))
+          val z = (e.value - m) / sd
+          if (math.abs(z) > 2.0) out += Anomaly(key, e.event_id, e.ts, e.value, z, n.toLong)
+        }
+        w = (w :+ e.value).takeRight(19)
+      }
+      ring.update(w)
+      out.result().iterator
+    }
+  }
+
+  def anomalyStream(events: Dataset[Event]): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new AnomalyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Stream-stream interval join: errors pick up same-user purchases from
     * the trailing hour. Both sides carry watermarks so the join state is
     * bounded — Spark retires buffered purchase rows once the watermark

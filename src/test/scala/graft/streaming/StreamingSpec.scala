@@ -256,6 +256,47 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming anomaly detector matches the batch q89 window exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // feed events in event-time order split across three batches so the
+      // ring state round-trips the store twice mid-series
+      val events = graft.core.Tables.events(spark, sf).as[Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val third = events.length / 3
+      val stream = MemoryStream[Event]
+      val q = Streaming
+        .anomalyStream(stream.toDS())
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory")
+        .queryName("tws_anomaly")
+        .start()
+      Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third)).foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark
+        .table("tws_anomaly")
+        .select($"user_id", $"event_id", org.apache.spark.sql.functions.round($"z", 4).as("z"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = graft.queries.Analytics
+        .q89(spark, sf)
+        .select($"user_id", $"event_id", org.apache.spark.sql.functions.round($"z", 4).as("z"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"stream/batch mismatch: only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
