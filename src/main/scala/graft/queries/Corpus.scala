@@ -296,7 +296,7 @@ object Corpus {
       .filter(u < col("keep_frac"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
-    fr.join(kept, Seq("lang"), "left")
+    fr.join(broadcast(kept), Seq("lang"), "left")
       .select(
         col("lang"),
         col("n_docs"),

@@ -124,4 +124,35 @@ object OperatorProperties extends Properties("graft.operators") {
       Prop(conserved && distinctCnt)
     }
   }
+
+  property("two-level packing prefix equals the single-window reference") = forAll(
+    Gen.chooseNum(1, 80),
+    Gen.chooseNum(1L, 7L),
+    Gen.chooseNum(8L, 64L)) { (nDocs: Int, nStrata: Long, capacity: Long) =>
+    import spark.implicits._
+    // ids deliberately sparse/shuffled so block boundaries don't align with strata
+    val rows = (0 until nDocs).map { i =>
+      val id = i.toLong * 3 + (i % 5)
+      (id, s"s${id % nStrata}", 1L + (id * 7) % 23)
+    }
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val got = graft.operators.Packing
+      .tokenBudgetPack(df, "doc_id", "source", "n_tok", capacity, blockSize = 8L)
+      .select("doc_id", "pack_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // reference: plain per-stratum running sum
+    val want = rows
+      .groupBy(_._2)
+      .flatMap { case (_, rs) =>
+        var before = 0L
+        rs.sortBy(_._1).map { case (id, _, t) =>
+          val p = before / capacity
+          before += t
+          id -> p
+        }
+      }
+    Prop(got == want)
+  }
 }

@@ -63,6 +63,27 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("heavy hitters plan as TakeOrderedAndProject, not a global sort (q84)") {
+    val plan = Corpus.q84(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+
+  test("mixture rebalance broadcasts stratum stats — no sort-merge join (q92)") {
+    val plan = Corpus.q92(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("PII scrub is a single narrow pipeline — no shuffle before the output sort (q83)") {
+    val plan = Corpus.q83(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the only exchange allowed is the presentation orderBy's range partition
+    assert(exchanges.length <= 1, plan.toString)
+  }
+
   test("correlated scalar subquery decorrelates into an aggregate-join (q75)") {
     val qe = Extended.q75(spark, sf).queryExecution
     val optimized = qe.optimizedPlan.toString
