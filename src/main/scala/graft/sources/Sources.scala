@@ -84,6 +84,19 @@ object Sources {
     nFiles
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition untouched — the partition-level
+    * upsert that backfills or restates one day of a 100 TB date-partitioned
+    * table without rewriting (or even listing) the rest. Static overwrite
+    * mode (the default) would truncate the whole root first.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Z-order-clustered parquet: lay rows out along the Morton curve of two
     * dimensions before writing, so every output file owns a compact 2-D
     * tile and min/max column statistics prune *both* dimensions of a box

@@ -156,6 +156,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite restates one day without touching the rest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dynover").toString
+    val base = Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base, dir, partitionCols = Seq("day"))
+    // restate ONLY day 2 (correcting its values); days 1 and 3 keep files
+    val restated = Seq((30L, "2024-01-02", 99.0)).toDF("id", "day", "v")
+    Sources.overwritePartitionsDynamic(restated, dir, Seq("day"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"day" === "2024-01-02").collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet == Set((30L, 99.0)))
+    // untouched partitions: all original rows still present
+    assert(after.filter($"day" === "2024-01-01").count() == 2)
+    assert(after.filter($"day" === "2024-01-03").count() == 1)
+    assert(after.count() == 4)
+  }
+
   test("z-ordered layout prunes 2-D box queries better than a 1-D range layout") {
     import spark.implicits._
     // uniform 8-bit grid — both dims carry equal significance
