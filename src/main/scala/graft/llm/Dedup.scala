@@ -89,18 +89,25 @@ object Dedup {
       .select(col(idCol), Text.hash60(col("shingle")).as("__h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-cap via count-over-window on the hash, not a groupBy+join-back:
+    // the window's single hash exchange on __h leaves the filtered stream
+    // already partitioned on the self-join key, so the pair join reuses it
+    // instead of re-aggregating and re-shuffling sh two more times.
+    // (sh is distinct (id, h), so the window count IS document frequency.)
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val filtered =
       if (maxShingleDf > 0) {
-        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("df"))
-        sh.join(dfreq.filter(col("df") <= maxShingleDf).select("__h"), Seq("__h"))
+        sh.withColumn("__df", count(lit(1)).over(wH))
+          .filter(col("__df") <= maxShingleDf)
+          .select(col(idCol), col("__h"))
       } else if (maxShingleDfFrac > 0) {
         // corpus-relative cap: one-row aggregate broadcast into the df
         // filter — no collect, no literal that goes stale at scale
         val cap = df.agg(ceil(count(lit(1)) * lit(maxShingleDfFrac)).cast("long").as("__cap"))
-        val dfreq = sh.groupBy("__h").agg(count(lit(1)).as("df"))
-        sh.join(
-          dfreq.crossJoin(broadcast(cap)).filter(col("df") <= col("__cap")).select("__h"),
-          Seq("__h"))
+        sh.crossJoin(broadcast(cap))
+          .withColumn("__df", count(lit(1)).over(wH))
+          .filter(col("__df") <= col("__cap"))
+          .select(col(idCol), col("__h"))
       } else sh
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("a_id"), col("__h"))
