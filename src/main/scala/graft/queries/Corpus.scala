@@ -412,17 +412,21 @@ object Corpus {
         element_at(split(col("g"), " "), 2).as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = bgd.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = bgd
       .select(col("w1"))
       .union(bgd.select(col("w2")))
       .agg(countDistinct(col("w1")).cast("double").as("v"))
+    // score the MODEL first (vocab²-sized: marginal via window, V via
+    // broadcast), so the corpus-sized bigram stream pays exactly one
+    // join — not separate shuffles for c12, c1, and V
+    val model = bc
+      .withColumn("c1", sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"), log((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
     val avg = Det.r6(sum(col("lp")) / count(lit(1)))
     bgd
-      .join(bc, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(v))
-      .select(col("doc_id"), log((col("c12") + lit(1.0)) / (col("c1") + col("v"))).as("lp"))
+      .join(model, Seq("w1", "w2"))
+      .select(col("doc_id"), col("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), avg.as("avg_logp"), Det.r4(exp(-avg)).as("ppl"))
       .orderBy(col("doc_id"))
