@@ -48,6 +48,15 @@ object Text {
   def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Fused tokenize→n-gram→hash60 in one native pass
+    * ([[graft.plans.ShingleHashesExpr]]): array of 60-bit window hashes,
+    * bit-identical to `shingles(tokens(c), n).map(hash60)` (parity
+    * property-tested) but with zero intermediate token/shingle strings.
+    * Use wherever only the hashes are needed — the dedup hot path.
+    */
+  def shingleHashes(c: Column, n: Int): Column =
+    graft.plans.ShingleHashesExpr.shingleHashes(c, n)
+
   /** SQL twin of [[hash60]] for oracle strings. */
   def sqlHash60(e: String): String = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 

@@ -85,8 +85,8 @@ object Dedup {
     // The distinct hash set feeds four plan branches (sizes + both join
     // sides [+ df-filter]); persist it once instead of re-exploding the
     // corpus per branch. MEMORY_AND_DISK: spills, never OOMs.
-    val sh = explodedShinglesAll(df, idCol, textCol, n)
-      .select(col(idCol), Text.hash60(col("shingle")).as("__h"))
+    val sh = df
+      .select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("__h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df-cap via count-over-window on the hash, not a groupBy+join-back:
@@ -206,8 +206,7 @@ object Dedup {
     * (partition, doc), not one per shingle).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = explodedShinglesAll(df, idCol, textCol, n)
-      .withColumn("h", Text.hash60(col("shingle")))
+    val sh = df.select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("h"))
     val aggs = (0 until 16).map(j => min(Text.minhashTerm(col("h"), j)).as(s"m$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -140,9 +140,7 @@ object Corpus {
   def q85(s: SparkSession, d: String): DataFrame = {
     val win = Tables
       .documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Text.shingles(col("toks"), 5)).as("g"))
-      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 5)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = win
       .distinct()
@@ -459,9 +457,7 @@ object Corpus {
   def q97(s: SparkSession, d: String): DataFrame = {
     val sh = Tables
       .documents(s, d)
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(Text.shingles(col("w"), 4)).as("g"))
-      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 4)).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(col("doc_id") % 13 === 0).select(col("doc_id").as("bench_id"), col("h"))
@@ -535,9 +531,7 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: decontamination — drop candidates sharing any 4-gram with the bench slice
     def grams4(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(Text.shingles(col("w"), 4)).as("g"))
-      .select(col("doc_id"), Text.hash60(col("g")).as("h"))
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 4)).as("h"))
       .distinct()
     val benchH = grams4(docs.filter(col("doc_id") % 13 === 0)).select(col("h")).distinct()
     val contaminated = grams4(d2)

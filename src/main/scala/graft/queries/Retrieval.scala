@@ -269,12 +269,11 @@ object Retrieval {
     * deduplicated value set.
     */
   def winnowingSelections(docs: DataFrame, wSize: Int = 4): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
-    val sh = toks
-      .select(col("doc_id"), Text.shingles(col("__toks"), 3).as("__shs"))
-      .select(col("doc_id"), posexplode(col("__shs")).as(Seq("i0", "s")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), Text.hash60(col("s")).as("h"))
+    val sh = docs
+      // fused native pass; posexplode preserves the positional order the
+      // winnowing windows depend on
+      .select(col("doc_id"), posexplode(Text.shingleHashes(col("text"), 3)).as(Seq("i0", "h")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("h"))
     val npos = sh.groupBy(col("doc_id")).agg(max(col("i")).as("npos"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -360,12 +360,13 @@ object TextQueries {
   // -- q31: document fingerprint (shingle-hash min/max digest) ---------
 
   def q31(s: SparkSession, d: String): DataFrame =
-    Dedup
-      // distinct-first, then hash: one string shuffle, md5 only on distinct
-      // rows, plain count(*) after (a countDistinct here would expand the
-      // stream 2x — measured 3x slower)
-      .explodedShingles(Tables.documents(s, d), "doc_id", "text", 3)
-      .withColumn("h", Text.hash60(col("shingle")))
+    Tables
+      .documents(s, d)
+      // fused hash explode; distinct on (doc, hash) equals distinct on the
+      // shingle strings absent 60-bit collisions (the jaccard contract),
+      // and shuffles 8-byte longs instead of shingle text
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 3)).as("h"))
+      .distinct()
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"), count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))

@@ -59,6 +59,39 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("fused shingle hashes are bit-identical to the composed pipeline") {
+    import spark.implicits._
+    val edge = Seq(
+      "",
+      " ",
+      "a",
+      "a b",
+      "a  b   c",
+      "  leading and trailing  ",
+      "ünïcödé tökens here too",
+      "日本語 テスト 混在 ascii",
+      "x " * 200 + "y",
+      "SAME same SaMe case folds")
+    val docs = graft.core.Tables.documents(spark, sf).select($"text").collect().map(_.getString(0))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = (edge ++ docs).toDF("text")
+      val composed = df.select(
+        graft.functions.Text
+          .shingles(graft.functions.Text.tokens(col("text")), n)
+          .as("sh"))
+        .select(transform(col("sh"), s => graft.functions.Text.hash60(s)).as("h"))
+        .collect()
+        .map(_.getSeq[Long](0))
+      val fused = df
+        .select(graft.plans.ShingleHashesExpr.shingleHashes(col("text"), n).as("h"))
+        .collect()
+        .map(_.getSeq[Long](0))
+      composed.zip(fused).zipWithIndex.foreach { case ((c, f), i) =>
+        assert(c == f, s"n=$n row=$i: composed=$c fused=$f")
+      }
+    }
+  }
+
   test("GraftExtensions publishes the native expressions to the SQL registry") {
     // getOrCreate returns the existing default session (ignoring
     // withExtensions) unless the default/active slots are cleared first;
