@@ -51,6 +51,13 @@ class ExpressionsSpec extends SparkSpec {
       assert(c.filter(col("c1") =!= col("c2")).count() == 0)
       // LshBucketExpr
       assert(emb.select(graft.functions.Vectors.lshBucket(col("embedding"), 4, 64).as("b")).distinct().count() > 0)
+      // ShingleHashesExpr through explode + aggregate
+      assert(
+        docs
+          .select(explode(Text.shingleHashes(col("text"), 3)).as("h"))
+          .agg(max(col("h")))
+          .head
+          .getLong(0) > 0)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
         spark.conf.set("spark.sql.codegen.factoryMode", v))
