@@ -599,7 +599,57 @@ object Corpus {
        |FROM d3 ORDER BY doc_id""".stripMargin
   }
 
+  // -- q100: overlapping token-window chunking (RAG prep) --------------
+
+  /** Retrieval-corpus chunking: overlapping 64-token windows at stride 48
+    * (16-token overlap keeps context across boundaries), each chunk with
+    * its position and text digest — the doc→chunk step of RAG/embedding
+    * corpus builds. Pure per-row array expansion in codegen (transform +
+    * slice + explode): zero shuffles before the presentation sort. A
+    * trailing window opens only when more than the overlap (16 tokens)
+    * remains, so no chunk is a near-empty sliver of its predecessor.
+    */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    val width = 64
+    val stride = 48
+    val overlap = width - stride
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(
+              lit(0),
+              ceil(greatest(size(col("w")) - overlap, lit(1)) / lit(stride.toDouble)).cast("int") - 1),
+            i =>
+              struct(
+                i.cast("long").as("chunk_idx"),
+                (i * stride).cast("long").as("start_tok"),
+                slice(col("w"), i * stride + 1, lit(width)).as("cw")))).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"),
+        size(col("c.cw")).cast("long").as("n_tok_chunk"),
+        md5(concat_ws(" ", col("c.cw"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q100Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_idx, CAST(i * 48 AS BIGINT) AS start_tok,
+       |    w[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)] AS cw
+       |  FROM d, LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(len(w) - 16, 1) / 48.0) AS BIGINT))) AS i) t)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_tok,
+       |  CAST(len(cw) AS BIGINT) AS n_tok_chunk,
+       |  md5(list_aggregate(cw, 'string_agg', ' ')) AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_token_chunks" -> (q100 _),
     "q99_pipeline_end_to_end" -> (q99 _),
     "q96_lm_perplexity_filter" -> (q96 _),
     "q97_ngram_decontamination" -> (q97 _),
@@ -612,6 +662,7 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q100_token_chunks" -> q100Sql,
     "q99_pipeline_end_to_end" -> q99Sql,
     "q96_lm_perplexity_filter" -> q96Sql,
     "q97_ngram_decontamination" -> q97Sql,

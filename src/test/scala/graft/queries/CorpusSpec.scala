@@ -146,6 +146,28 @@ class CorpusSpec extends SparkSpec {
     assert(r.length < total)
   }
 
+  test("q100 chunks tile each doc: stride positions, bounded width, full coverage") {
+    val chunks = Corpus.q100(spark, sf).collect()
+    assert(chunks.nonEmpty)
+    val nTok = graft.core.Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.Text.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i.toLong)
+        assert(r.getAs[Long]("start_tok") == i.toLong * 48)
+        assert(r.getAs[Long]("n_tok_chunk") >= 1 && r.getAs[Long]("n_tok_chunk") <= 64)
+      }
+      // the last chunk reaches the end of the doc (full coverage)
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("n_tok_chunk") == nTok(id))
+    }
+  }
+
   test("q92 keeps every smallest-stratum doc and downsamples the largest most") {
     val r = Corpus.q92(spark, sf).collect()
     assert(r.nonEmpty)
