@@ -206,9 +206,18 @@ object Dedup {
     * (partition, doc), not one per shingle).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = df.select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("h"))
-    val aggs = (0 until 16).map(j => min(Text.minhashTerm(col("h"), j)).as(s"m$j"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // Entirely per-row: a doc's shingle multiset lives in one array, so
+    // each component is an array_min over a transform — NO shuffle at all
+    // (the previous explode + 16-column groupBy paid a corpus-wide
+    // aggregation for what is row-local arithmetic). Docs shorter than n
+    // tokens have no shingles and are dropped, matching the exploded form.
+    // Streaming-safe as a bonus: no aggregation means stateful operators
+    // can legally follow it in a streaming plan.
+    val hs = Text.shingleHashes(col(textCol), n)
+    val mins = (0 until 16).map(j => array_min(transform(col("__hs"), h => Text.minhashTerm(h, j))).as(s"m$j"))
+    df.select(col(idCol), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol) +: mins: _*)
   }
 
   /** LSH candidate pairs: signatures banded 4x4; docs sharing any band
@@ -216,18 +225,26 @@ object Dedup {
     * corpus is degenerate. Output is candidates only (verification against
     * true jaccard is the caller's second stage, see `jaccardPairs`).
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** (id, band, bandval) rows: 4 banded 4-row minhash signatures per doc —
+    * the LSH bucket keys. Shared by the batch candidate-pair join and the
+    * streaming first-seen dedup, so the two can never disagree on banding.
+    */
+  def lshBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n)
     // One pass over the signatures: explode a 4-element band array instead
-    // of unioning 4 re-aggregations of the corpus. Persisted because the
-    // self-join scans it from both sides.
+    // of unioning 4 re-aggregations of the corpus.
     val bandArr = array((0 until 4).map { b =>
       val cols = (4 * b until 4 * b + 4).map(j => col(s"m$j").cast("string"))
       struct(lit(b).as("band"), concat_ws(":", cols: _*).as("bandval"))
     }: _*)
-    val bands = sig
+    sig
       .select(col(idCol), explode(bandArr).as("bv"))
       .select(col(idCol), col("bv.band").as("band"), col("bv.bandval").as("bandval"))
+  }
+
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // Persisted because the self-join scans it from both sides.
+    val bands = lshBands(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col(idCol).as("a_id"), col("band"), col("bandval"))
     val r = bands.select(col(idCol).as("b_id"), col("band"), col("bandval"))

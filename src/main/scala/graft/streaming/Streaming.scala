@@ -166,6 +166,41 @@ object Streaming {
         OutputMode.Update())
   }
 
+  case class BandClaim(doc_id: Long, band: Int, bandval: String, first: Boolean)
+
+  /** Streaming NEAR-dup dedup — the streaming twin of the batch LSH
+    * candidate join (q26): each arriving document's 4 minhash band buckets
+    * ([[graft.llm.Dedup.lshBands]], shared expression — banding can never
+    * drift from batch) probe per-bucket "claimed" state; a doc that fails
+    * to be first in at least one of its buckets is a near-duplicate of an
+    * earlier doc. State is one boolean per OCCUPIED bucket — bounded by
+    * distinct content, not stream length; production use adds a state TTL
+    * (timeout/watermark) to the processor for an unbounded horizon, the
+    * same knob `dropDuplicatesWithinWatermark` turns for exact dedup.
+    *
+    * Within a micro-batch, arrival order is doc_id order (deterministic
+    * replay); the verdict reduction (`dup = any bucket not first`) runs on
+    * the emitted claims — see StreamingSpec for the batch-fold parity law.
+    */
+  def lshBandClaims(docs: DataFrame): Dataset[BandClaim] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.llm.Dedup
+      .lshBands(docs, "doc_id", "text", 3)
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, bandval) => (band, bandval) }
+      .flatMapGroupsWithState[Boolean, BandClaim](OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Int, String)], state: GroupState[Boolean]) =>
+          val claimed = state.getOption.getOrElse(false)
+          val sorted = rows.toSeq.sortBy(_._1)
+          val out = sorted.zipWithIndex.map { case ((id, band, bv), i) =>
+            BandClaim(id, band, bv, first = !claimed && i == 0)
+          }
+          state.update(true)
+          out.iterator
+      }
+  }
+
   case class Anomaly(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double, z: Double, n: Long)
 
   /** Streaming twin of the batch q89 anomaly detector: per-user trailing

@@ -256,6 +256,62 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming LSH near-dup dedup matches the batch first-claim fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.core.Tables
+        .documents(spark, sf)
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .collect()
+        .toSeq
+        .sortBy(_._1)
+      val half = docs.length / 2
+      val stream = MemoryStream[(Long, String)]
+      val q = Streaming
+        .lshBandClaims(stream.toDS().toDF("doc_id", "text"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory")
+        .queryName("lsh_claims")
+        .start()
+      Seq(docs.take(half), docs.drop(half)).foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // streaming verdict: dup = some bucket already claimed by an earlier doc
+      import org.apache.spark.sql.functions.{min => fMin, when => fWhen}
+      val streamDup = spark
+        .table("lsh_claims")
+        .groupBy($"doc_id")
+        .agg(fMin(fWhen($"first", 1L).otherwise(0L)).as("allFirst"))
+        .filter($"allFirst" === 0L)
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      // batch reference: same banding, dup iff any bucket has a smaller doc_id
+      val bands = graft.llm.Dedup
+        .lshBands(graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("bandval")))
+      val firstInBucket = bands
+        .groupBy(b => (b._2, b._3))
+        .map { case (k, rows) => k -> rows.map(_._1).min }
+      val batchDup = bands
+        .filter { case (id, band, bv) => firstInBucket((band, bv)) < id }
+        .map(_._1)
+        .toSet
+      assert(streamDup == batchDup,
+        s"only-stream=${(streamDup -- batchDup).take(3)} only-batch=${(batchDup -- streamDup).take(3)}")
+      assert(streamDup.nonEmpty, "fixture contains near-dups; the detector should fire")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming anomaly detector matches the batch q89 window exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
