@@ -63,6 +63,17 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("minhash signatures are shuffle-free: map-only until the output sort (q25)") {
+    val plan = TextQueries.q25(spark, sf).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // signatures are row-local arithmetic; only the presentation orderBy
+    // may exchange
+    assert(exchanges.length <= 1, plan.toString)
+    assert(!plan.toString.contains("HashAggregate"), plan.toString)
+  }
+
   test("heavy hitters plan as TakeOrderedAndProject, not a global sort (q84)") {
     val plan = Corpus.q84(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
