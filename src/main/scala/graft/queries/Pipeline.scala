@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.Text
+import graft.llm.Dedup
+
+/** Web-scale corpus-curation queries that round out the pipeline surface:
+  * URL/domain analytics and blocklisting, weighted reservoir sampling,
+  * random-projection dimensionality reduction, per-stratum quantile
+  * gating, and sketch-estimated (not exact) near-dup similarity — the
+  * forms these operators actually take at 100 TB, where per-pair exact
+  * work or corpus-wide RNG state are off the table.
+  *
+  * Same discipline as the other registries: codegen'd built-ins only,
+  * portable md5-derived hashes, `Det` rounding at every float divergence
+  * point, and a DuckDB oracle twin per query.
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val sqlToks = Text.sqlToks
+
+  // -- q101: domain extraction + per-domain stats + blocklist ----------
+
+  /** Domain-level corpus analytics: parse the host out of each document's
+    * URL, drop blocklisted domains (hash-derived blocklist — in production
+    * a broadcast set), and report per-domain document counts, language
+    * spread, and volume. The fixtures carry no URL column, so one is
+    * synthesized closed-form from (source, doc_id, lang) first; the
+    * operator under test is the parse + filter + aggregate that follows.
+    * One hash shuffle on the domain; at 100 TB the domain cardinality is
+    * ~1e8 — far below corpus size — and heavy domains are exactly what
+    * AQE skew-split handles.
+    */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      col("source"),
+      lit("-"),
+      (col("doc_id") % 7).cast("string"),
+      lit(".example.com/"),
+      col("lang"),
+      lit("/doc/"),
+      col("doc_id").cast("string"))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), url.as("url"))
+      // the operator: host extraction from the URL string itself
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .filter(Text.hash60(col("domain")) % 5 =!= 0) // blocklist gate
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("avg_chars", Det.r2(col("total_chars").cast("double") / col("n_docs")))
+      .orderBy(col("domain"))
+  }
+
+  val q101Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    'https://' || source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+       |      || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    regexp_extract(url, '^https?://([^/]+)/', 1) AS domain
+       |  FROM u)
+       |SELECT domain, count(*) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  ${Det.sqlR("CAST(sum(n_chars) AS DOUBLE) / count(*)", 2)} AS avg_chars
+       |FROM h WHERE (${Text.sqlHash60("domain")}) % 5 <> 0
+       |GROUP BY domain ORDER BY domain""".stripMargin
+
+  // -- q102: deterministic weighted sampling (Efraimidis–Spirakis) -----
+
+  /** Weighted reservoir sampling without RNG state: the A-ES scheme keys
+    * each row by ln(u)/w (u = hash-derived uniform in (0,1], w = weight)
+    * and keeps the top-k keys per stratum — each row's inclusion
+    * probability is proportional to its weight, yet the sample is fully
+    * reproducible across runs, engines, and (crucially) executors. Here
+    * w = n_chars, k = 5 per source. One window per stratum; no global
+    * state, no driver round-trip — the distributed form of weighted
+    * sampling a mixture builder runs per shard.
+    */
+  def q102(s: SparkSession, d: String): DataFrame = {
+    val u =
+      ((Text.hash60(col("doc_id").cast("string")) % lit(1073741824L)) + lit(1L)).cast("double") / 1073741824.0
+    val key = Det.r6(log(u) / col("n_chars"))
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("skey"))
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy(col("source")).orderBy(col("skey").desc, col("doc_id")))
+          .cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("skey"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val q102Sql: String = {
+    val u = s"((${Text.sqlHash60("CAST(doc_id AS VARCHAR)")}) % 1073741824 + 1) / 1073741824.0"
+    s"""WITH k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ${Det.sqlR(s"ln($u) / n_chars", 6)} AS skey
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_chars, skey,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY skey DESC, doc_id) AS BIGINT) AS rn
+       |  FROM k)
+       |SELECT doc_id, source, n_chars, skey, rn
+       |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+  }
+
+  // -- q103: random-projection dimensionality reduction (JL) -----------
+
+  /** Johnson–Lindenstrauss random projection: 64-dim float embeddings
+    * down to 16 dims via a deterministic integer-mix weight matrix (the
+    * q34 hyperplane trick — executors need no broadcast side data, and
+    * the oracle can rebuild the exact same matrix in SQL). Entirely
+    * per-row codegen'd arithmetic: zero shuffles before the presentation
+    * sort. At 100 TB this is the standard 4× shrink applied before any
+    * distance-based stage — downstream cosine/cluster work touches 16
+    * doubles instead of 64 floats.
+    */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    def weight(j: Column, i: Column): Column =
+      ((lit(1103515245L) * (j.cast("long") * lit(64L) + i.cast("long")) + lit(12345L)) % lit(65536L) -
+        lit(32768L)).cast("double")
+    val proj = transform(
+      sequence(lit(0), lit(15)),
+      j =>
+        Det.r4(
+          aggregate(
+            zip_with(col("embedding"), sequence(lit(0), lit(63)), (x, i) => x.cast("double") * weight(j, i)),
+            lit(0.0),
+            (acc, x) => acc + x)))
+    Tables
+      .embeddings(s, d)
+      .select(col("vec_id") +: (0 until 16).map(j => element_at(proj, j + 1).as(s"p$j")): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val q103Sql: String = {
+    val lam = Det.sqlR(
+      "list_sum(list_transform(range(0, 64), i -> " +
+        "CAST(embedding[i + 1] AS DOUBLE) * CAST((1103515245*(j*64 + i) + 12345) % 65536 - 32768 AS DOUBLE)))",
+      4)
+    val cols = (0 until 16).map(j => s"p[${j + 1}] AS p$j").mkString(", ")
+    s"""WITH pr AS (
+       |  SELECT vec_id, list_transform(range(0, 16), j -> $lam) AS p
+       |  FROM embeddings)
+       |SELECT vec_id, $cols FROM pr ORDER BY vec_id""".stripMargin
+  }
+
+  // -- q104: per-stratum quantile quality gate --------------------------
+
+  /** Quantile-based quality filtering: score every document (q29's
+    * formula), rank it against its own source's distribution with
+    * percent_rank, and keep the top 60% of each source — the
+    * "filter relative to the stratum, not globally" rule that stops a
+    * single high-quality source from crowding out every other stratum.
+    * The rank window hashes on source; quality is r4-snapped BEFORE
+    * ranking so both engines order identically (doc_id breaks ties).
+    */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("toks")).cast("long").as("n_tok"),
+        Text.markerCount(col("toks"), Text.stopwords).as("n_stop"),
+        col("n_chars"))
+      .withColumn(
+        "quality",
+        Det.r4(
+          least(col("n_tok").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            when(col("n_tok") > 0, col("n_stop").cast("double") / col("n_tok")).otherwise(lit(0.0)) * 0.3 +
+            when(
+              when(col("n_tok") > 0, col("n_chars").cast("double") / col("n_tok"))
+                .otherwise(lit(0.0))
+                .between(3.0, 8.0),
+              lit(0.2)).otherwise(lit(0.0))))
+    docs
+      .withColumn(
+        "pr",
+        Det.r6(percent_rank().over(Window.partitionBy(col("source")).orderBy(col("quality"), col("doc_id")))))
+      .filter(col("pr") >= 0.4)
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Sql: String = {
+    val stops = Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(len($sqlToks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter($sqlToks, x -> x IN ($stops))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    ${Det.sqlR(
+        "least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.5" +
+          " + (CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok ELSE 0.0 END)*0.3" +
+          " + (CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok ELSE 0.0 END) BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)",
+        4)} AS quality
+       |  FROM d),
+       |r AS (
+       |  SELECT doc_id, source, quality,
+       |    ${Det.sqlR("percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)", 6)} AS pr
+       |  FROM q)
+       |SELECT doc_id, source, quality, pr FROM r WHERE pr >= 0.4 ORDER BY doc_id""".stripMargin
+  }
+
+  // -- q105: sketch-estimated near-dup similarity ------------------------
+
+  /** Estimated-similarity near-dup: LSH candidate pairs scored by their
+    * minhash signature agreement (matching components / 16) instead of
+    * exact shingle-set Jaccard. This is the form near-dup runs at 100 TB:
+    * candidates come from the banded join (q26) and the similarity
+    * estimate needs only the two 16-component signatures — 128 bytes a
+    * side — never a revisit of the documents. The estimator's accuracy
+    * against exact Jaccard is law-tested in PipelineSpec.
+    */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = Dedup
+      .minhashSignatures(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3)
+    val a = sig.select(col("doc_id").as("a_id") +: (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sig.select(col("doc_id").as("b_id") +: (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    val agree = (0 until 16)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(a, Seq("a_id"))
+      .join(b, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), agree.as("n_agree"))
+      .withColumn("est_jaccard", Det.r4(col("n_agree").cast("double") / 16.0))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q105Sql: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${Text.sqlMinhashTerm("h", j)}) AS m$j")
+      .mkString(", ")
+    val bandRows = (0 until 4)
+      .map { band =>
+        val cols = (4 * band until 4 * band + 4).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $band AS band, $cols AS bandval FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    val agree = (0 until 16)
+      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |  CAST($agree AS BIGINT) AS n_agree,
+       |  ${Det.sqlR(s"CAST($agree AS DOUBLE) / 16.0", 4)} AS est_jaccard
+       |FROM cand c JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q101_domain_stats" -> (q101 _),
+    "q102_weighted_sample" -> (q102 _),
+    "q103_random_projection" -> (q103 _),
+    "q104_quantile_gate" -> (q104 _),
+    "q105_minhash_estimate" -> (q105 _))
+
+  val oracles: Map[String, String] = Map(
+    "q101_domain_stats" -> q101Sql,
+    "q102_weighted_sample" -> q102Sql,
+    "q103_random_projection" -> q103Sql,
+    "q104_quantile_gate" -> q104Sql,
+    "q105_minhash_estimate" -> q105Sql)
+}
