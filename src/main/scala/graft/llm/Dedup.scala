@@ -229,8 +229,14 @@ object Dedup {
     * the LSH bucket keys. Shared by the batch candidate-pair join and the
     * streaming first-seen dedup, so the two can never disagree on banding.
     */
-  def lshBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, n)
+  def lshBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    bandsOfSignatures(minhashSignatures(df, idCol, textCol, n), idCol)
+
+  /** Band rows from an existing m0..m15 signature frame — callers that
+    * already hold (or persist) the signatures band them without paying a
+    * second shingle+minhash pass over the corpus.
+    */
+  def bandsOfSignatures(sig: DataFrame, idCol: String): DataFrame = {
     // One pass over the signatures: explode a 4-element band array instead
     // of unioning 4 re-aggregations of the corpus.
     val bandArr = array((0 until 4).map { b =>

@@ -235,10 +235,18 @@ object Pipeline {
     */
   def q105(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // ONE shingle+minhash pass: the persisted signatures feed the banded
+    // candidate join AND both sides of the signature-agreement join.
     val sig = Dedup
       .minhashSignatures(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3)
+    val bands = Dedup.bandsOfSignatures(sig, "doc_id")
+    val cand = bands
+      .select(col("doc_id").as("a_id"), col("band"), col("bandval"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bandval")), Seq("band", "bandval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
     val a = sig.select(col("doc_id").as("a_id") +: (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
     val b = sig.select(col("doc_id").as("b_id") +: (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
     val agree = (0 until 16)
