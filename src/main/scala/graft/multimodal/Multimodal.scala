@@ -60,6 +60,29 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Bridge from a `binaryFile`-source frame ([[graft.sources.Sources.readBinaryFiles]])
+    * into the decode pipeline: doc_id parsed from the file's base name,
+    * media_type from its extension. Media corpora that arrive as raw
+    * files on object storage enter through here and flow into the same
+    * [[imageFeatures]]/[[audioFeatures]]/[[resizeMedia]] operators as
+    * parquet-resident binary columns — the payload stays on executors
+    * either way.
+    */
+  def fromBinaryFiles(files: DataFrame): Dataset[MediaRow] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mediaType = when(ext === "bmp", lit("image/bmp"))
+      .when(ext === "ppm", lit("image/ppm"))
+      .when(ext === "wav", lit("audio/wav"))
+      .otherwise(concat(lit("application/"), ext))
+    files.select(
+      regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1).cast("long").as("doc_id"),
+      mediaType.as("media_type"),
+      col("content").as("payload"))
+      .as[MediaRow]
+  }
+
   /** Pixel synthesis: cycle the doc's text bytes over an n-byte buffer.
     * Closed-form (`pixels(i) = text(i % len)`), so the oracle can recompute
     * any decoded checksum straight from the text column.

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Batch sources & sinks. The reference's entire I/O surface is whole-file
@@ -135,6 +136,29 @@ object Sources {
     */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+
+  /** Raw-media ingestion: Spark's `binaryFile` source reads a directory
+    * of media files as (path, modificationTime, length, content) rows —
+    * the scan-side entry point for a multimodal corpus that arrives as
+    * files rather than as a binary column in parquet. The glob filters at
+    * FILE-LISTING time (no bytes read for skipped files), and predicates
+    * on length/path/modificationTime push into the scan, so "images under
+    * 5 MB from the jpg tree" never opens an oversized or off-format file.
+    * At 100 TB each file is one row in one task; Spark's file packing
+    * (`maxPartitionBytes`) bins small media files into shared tasks.
+    */
+  def readBinaryFiles(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*",
+      maxBytes: Long = 0L): DataFrame = {
+    val files = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+    if (maxBytes > 0) files.filter(col("length") <= maxBytes) else files
+  }
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

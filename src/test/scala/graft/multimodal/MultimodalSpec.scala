@@ -160,4 +160,44 @@ class MultimodalSpec extends SparkSpec {
     assert(docsWithFrames == 500)
     assert(frames.count(_.frame_idx == 0) == 500)
   }
+
+  test("binaryFile ingestion: raw media files flow into the decode pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      // 5 real BMPs with known dimensions + 2 WAVs the glob must skip
+      val dims = Seq((3, 2), (4, 4), (5, 3), (2, 7), (8, 1))
+      dims.zipWithIndex.foreach { case ((w, h), i) =>
+        val px = Array.tabulate[Byte](w * h * 3)(j => ((i + j) % 251).toByte)
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"img_$i.bmp").toPath,
+          MediaCodec.encodeBmp(Raster(w, h, px)))
+      }
+      (0 until 2).foreach { i =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"clip_$i.wav").toPath,
+          MediaCodec.encodeWav(Clip(8000, Array[Short](1, 2, 3))))
+      }
+      val files = graft.sources.Sources.readBinaryFiles(spark, dir.getAbsolutePath, "*.bmp")
+      assert(files.count() == 5, "glob must select only the BMPs at listing time")
+      // length predicate reaches the binaryFile scan (pushed, not residual-only)
+      val filtered = graft.sources.Sources
+        .readBinaryFiles(spark, dir.getAbsolutePath, "*.bmp", maxBytes = 1000000L)
+      val scan = filtered.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters") && scan.contains("LessThanOrEqual(length"), scan)
+      val feats = Multimodal
+        .imageFeatures(Multimodal.fromBinaryFiles(files))
+        .collect()
+        .map(f => f.doc_id -> f)
+        .toMap
+      dims.zipWithIndex.foreach { case ((w, h), i) =>
+        val f = feats(i.toLong)
+        assert(f.media_type == "image/bmp")
+        assert(f.width == w && f.height == h, s"img_$i decoded ${f.width}x${f.height}, wrote ${w}x$h")
+        assert(f.byte_len == MediaCodec.bmpSize(w, h))
+      }
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
 }
