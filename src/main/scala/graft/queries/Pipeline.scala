@@ -290,7 +290,124 @@ object Pipeline {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // -- q106: BPE tokenizer-training merges (3 unrolled rounds) ----------
+
+  /** Byte-pair-encoding vocabulary training, the distributed way: start
+    * from the corpus vocabulary as per-character symbol rows, then 3
+    * rounds of (count adjacent symbol pairs weighted by word frequency →
+    * pick the global top pair → merge its left-to-right non-overlapping
+    * occurrences in every word). The sequential "scan each word left to
+    * right" of textbook BPE is replaced by pure window algebra: matched
+    * positions form runs only when a pair self-overlaps (a == b), and a
+    * greedy scan keeps exactly the even offsets of each run — so
+    * `(pos − min(pos) OVER run) % 2 = 0` IS the greedy merge, no fold
+    * needed. Every window hashes on the word, so all three rounds reuse
+    * one partitioning; pair counting is vocabulary-sized (distinct words
+    * × word length), never corpus-sized, and the winning pair is a
+    * one-row broadcast. Entirely integer/string arithmetic — exact on
+    * both engines with no rounding at all.
+    */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables
+      .documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    bpeMerges(tk, 3)
+  }
+
+  /** The BPE training rounds over a (tok, freq) vocabulary frame — see
+    * [[q106]] for the algorithm; split out so the greedy-merge semantics
+    * (especially self-overlapping pairs like "aaaa") are unit-testable on
+    * crafted vocabularies.
+    */
+  def bpeMerges(tk: DataFrame, rounds: Int): DataFrame = {
+    val w = Window.partitionBy(col("tok")).orderBy(col("pos"))
+    var syms = tk
+      .select(
+        col("tok"),
+        col("freq"),
+        posexplode(transform(sequence(lit(1), length(col("tok"))), i => col("tok").substr(i, lit(1))))
+          .as(Seq("pos0", "sym")))
+      .select(col("tok"), col("freq"), (col("pos0") + 1).cast("long").as("pos"), col("sym"))
+    var merges = Seq.empty[DataFrame]
+    for (step <- 1 to rounds) {
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val top = paired
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+      merges = merges :+ top.select(
+        lit(step.toLong).as("step"),
+        col("a").as("lhs"),
+        col("b").as("rhs"),
+        concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_count"))
+      val flagged = paired
+        .crossJoin(broadcast(top))
+        .withColumn("m", coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
+        // runs of consecutive matched positions (only possible when a == b):
+        // greedy left-to-right keeps the even offsets within each run
+        .withColumn(
+          "grp",
+          when(col("m"), col("pos") - row_number().over(Window.partitionBy(col("tok"), col("m")).orderBy(col("pos")))))
+        .withColumn(
+          "keep",
+          when(
+            col("m"),
+            (col("pos") - min(col("pos")).over(Window.partitionBy(col("tok"), col("grp")))) % 2 === 0)
+            .otherwise(lit(false)))
+      syms = flagged
+        .withColumn("consumed", coalesce(lag(col("keep"), 1).over(w), lit(false)))
+        .filter(!col("consumed"))
+        .select(
+          col("tok"),
+          col("freq"),
+          row_number().over(w).cast("long").as("pos"),
+          when(col("keep"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+    }
+    merges.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  val q106Sql: String = {
+    def round(k: Int, in: String): String =
+      s"""p_$k AS (SELECT tok, freq, pos, sym, lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt FROM $in),
+         |t_$k AS (SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |         FROM p_$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |         ORDER BY cnt DESC, a, b LIMIT 1),
+         |m_$k AS (SELECT p.*, t.a, t.b, coalesce(p.sym = t.a AND p.nxt = t.b, false) AS m
+         |         FROM p_$k p CROSS JOIN t_$k t),
+         |r_$k AS (SELECT *, CASE WHEN m THEN pos - row_number() OVER (PARTITION BY tok, m ORDER BY pos) END AS grp
+         |         FROM m_$k),
+         |k_$k AS (SELECT *, CASE WHEN m THEN (pos - min(pos) OVER (PARTITION BY tok, grp)) % 2 = 0 ELSE false END AS keep
+         |         FROM r_$k),
+         |s_${k + 1} AS (
+         |  SELECT tok, freq, CAST(row_number() OVER (PARTITION BY tok ORDER BY pos) AS BIGINT) AS pos,
+         |         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, coalesce(lag(keep) OVER (PARTITION BY tok ORDER BY pos), false) AS consumed FROM k_$k) z
+         |  WHERE NOT consumed)""".stripMargin
+    s"""WITH tk AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($sqlToks) AS tok FROM documents) u GROUP BY tok),
+       |s_1 AS (
+       |  SELECT tok, freq, CAST(i AS BIGINT) AS pos, tok[CAST(i AS INT)] AS sym
+       |  FROM tk, LATERAL (SELECT unnest(range(1, length(tok) + 1)) AS i) t),
+       |${round(1, "s_1")},
+       |${round(2, "s_2")},
+       |${round(3, "s_3")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM t_1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM t_2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM t_3) m
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_bpe_merges" -> (q106 _),
     "q101_domain_stats" -> (q101 _),
     "q102_weighted_sample" -> (q102 _),
     "q103_random_projection" -> (q103 _),
@@ -298,6 +415,7 @@ object Pipeline {
     "q105_minhash_estimate" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
+    "q106_bpe_merges" -> q106Sql,
     "q101_domain_stats" -> q101Sql,
     "q102_weighted_sample" -> q102Sql,
     "q103_random_projection" -> q103Sql,

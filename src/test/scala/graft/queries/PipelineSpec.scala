@@ -94,6 +94,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q106 BPE reproduces the textbook merge sequence with tie-breaks") {
+    import spark.implicits._
+    // Sennrich et al.'s example vocabulary: (e,s) and (s,t) tie at 9,
+    // lexicographic tie-break picks (e,s); then (es,t); then (l,o) wins
+    // its 7-7 tie with (o,w).
+    val tk = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("tok", "freq")
+    val m = Pipeline.bpeMerges(tk, 3).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(m.toSeq == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L)))
+  }
+
+  test("q106 BPE greedy merge is left-to-right non-overlapping on runs") {
+    import spark.implicits._
+    // "aaaa": pair (a,a) occurs at positions 1,2,3 (count 3); a greedy
+    // scan merges positions 1 and 3 only -> "aa","aa"; round 2 merges
+    // (aa,aa) once. "aaa" contributes count 2 in round 1, merges once.
+    val tk = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("tok", "freq")
+    val m = Pipeline.bpeMerges(tk, 2).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count")))
+    assert(m.toSeq == Seq(
+      (1L, "a", "a", 5L), // 3 from aaaa + 2 from aaa
+      // round 2: aaaa -> (aa,aa), aaa -> (aa,a); 1-1 tie and "a" < "aa",
+      // so the lexicographic tie-break picks (aa, a)
+      (2L, "aa", "a", 1L)))
+  }
+
   test("q105 estimate tracks exact jaccard on the candidate pairs") {
     val docs = Tables.documents(spark, sf)
     val est = Pipeline.q105(spark, sf).collect()
