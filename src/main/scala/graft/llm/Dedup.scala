@@ -206,13 +206,25 @@ object Dedup {
     * (partition, doc), not one per shingle).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Entirely per-row: a doc's shingle multiset lives in one array, so
-    // each component is an array_min over a transform — NO shuffle at all
-    // (the previous explode + 16-column groupBy paid a corpus-wide
-    // aggregation for what is row-local arithmetic). Docs shorter than n
-    // tokens have no shingles and are dropped, matching the exploded form.
-    // Streaming-safe as a bonus: no aggregation means stateful operators
-    // can legally follow it in a streaming plan.
+    // Entirely per-row: NO shuffle at all (the original explode + 16-column
+    // groupBy paid a corpus-wide aggregation for what is row-local
+    // arithmetic), and since round 3 one FUSED native pass
+    // ([[graft.plans.MinhashSigExpr]]): token walk → window md5 → all 16
+    // running minima inline, no intermediate hash array, no per-component
+    // rescan. NULL signature = fewer than n tokens; the filter preserves
+    // the dropped-short-docs semantics of the exploded form. Streaming-safe
+    // as a bonus: no aggregation means stateful operators can legally
+    // follow it in a streaming plan.
+    val sig = graft.plans.MinhashSigExpr.minhashSig(col(textCol), n)
+    df.select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +: (0 until 16).map(j => element_at(col("__sig"), j + 1).as(s"m$j")): _*)
+  }
+
+  /** The pre-fusion composition — kept as the reference implementation
+    * [[graft.plans.MinhashSigExpr]] is property-tested against.
+    */
+  def minhashSignaturesComposed(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val hs = Text.shingleHashes(col(textCol), n)
     val mins = (0 until 16).map(j => array_min(transform(col("__hs"), h => Text.minhashTerm(h, j))).as(s"m$j"))
     df.select(col(idCol), hs.as("__hs"))

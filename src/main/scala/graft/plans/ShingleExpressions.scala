@@ -43,12 +43,115 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused text → 16-component minhash signature in ONE native pass: token
+  * walk + window MD5 (shared with [[ShingleHashesExpr]] — identical byte
+  * contract) and the 16 affine minhash terms tracked as running minima
+  * inline. The composed form (16 × `array_min(transform(hashes, …))`)
+  * allocates sixteen intermediate arrays per row and rescans the hash
+  * array per component; this expression materializes nothing — not even
+  * the hash array — and touches each window's digest once.
+  *
+  * Returns NULL when the text has fewer than `n` tokens (no windows),
+  * mirroring the `size(hashes) > 0` guard the composed pipeline needs.
+  * Bit-for-bit parity with the composed form is property-tested in
+  * ExpressionsSpec; the minhash constants are [[graft.functions.Text.minhashParams]].
+  */
+case class MinhashSigExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short texts yield no windows
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashSigExpr.minhashSig(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+        ${ev.value} = graft.plans.MinhashSigExpr.minhashSig($a, $n);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinhashSigExpr {
+
+  private val A: Array[Long] = graft.functions.Text.minhashParams.map(_._1).toArray
+  private val B: Array[Long] = graft.functions.Text.minhashParams.map(_._2).toArray
+  private val M31 = graft.functions.Text.M31
+  private val P = graft.functions.Text.MinhashP
+
+  /** NOT named `eval` — see [[ShingleHashesExpr.shingleHashes]]. */
+  def minhashSig(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    var nTok = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && bytes(i) != ' ') i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    if (nTok < n) return null
+    val md = ShingleHashesExpr.digest()
+    val mins = new Array[Long](16)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var w = 0
+    val nWin = nTok - n + 1
+    while (w < nWin) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, starts(w + j), ends(w + j) - starts(w + j))
+        j += 1
+      }
+      val d = md.digest()
+      var acc = 0L
+      var k = 0
+      while (k < 8) { acc = (acc << 8) | (d(k) & 0xffL); k += 1 }
+      val r = (acc >>> 4) % M31
+      var c = 0
+      while (c < 16) {
+        val t = (A(c) * r + B(c)) % P
+        if (t < mins(c)) mins(c) = t
+        c += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column API. */
+  def minhashSig(c: Column, n: Int): Column =
+    Bridge.column(MinhashSigExpr(Bridge.expression(c), n))
+}
+
 object ShingleHashesExpr {
 
   private val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+
+  private[plans] def digest(): java.security.MessageDigest = digests.get()
 
   private val EmptyResult = new GenericArrayData(Array.emptyLongArray)
 

@@ -58,6 +58,14 @@ class ExpressionsSpec extends SparkSpec {
           .agg(max(col("h")))
           .head
           .getLong(0) > 0)
+      // MinhashSigExpr (nullable result path) through projection + filter
+      assert(
+        docs
+          .select(graft.plans.MinhashSigExpr.minhashSig(col("text"), 3).as("s"))
+          .filter(col("s").isNotNull)
+          .agg(max(element_at(col("s"), 1)))
+          .head
+          .getLong(0) > 0)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
         spark.conf.set("spark.sql.codegen.factoryMode", v))
@@ -93,6 +101,38 @@ class ExpressionsSpec extends SparkSpec {
         .select(graft.plans.ShingleHashesExpr.shingleHashes(col("text"), n).as("h"))
         .collect()
         .map(_.getSeq[Long](0))
+      composed.zip(fused).zipWithIndex.foreach { case ((c, f), i) =>
+        assert(c == f, s"n=$n row=$i: composed=$c fused=$f")
+      }
+    }
+  }
+
+  test("fused minhash signatures are bit-identical to the composed pipeline") {
+    import spark.implicits._
+    val edge = Seq(
+      "",
+      " ",
+      "a",
+      "a b",
+      "a b c",
+      "a  b   c  d",
+      "ünïcödé tökens here too",
+      "x " * 50 + "y",
+      "SAME same SaMe case folds")
+    val docs = graft.core.Tables.documents(spark, sf).select($"text").collect().map(_.getString(0))
+    for (n <- Seq(1, 3, 5)) {
+      val df = (edge ++ docs).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val composed = graft.llm.Dedup
+        .minhashSignaturesComposed(df, "doc_id", "text", n)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (0 until 16).map(j => r.getAs[Long](s"m$j")))
+      val fused = graft.llm.Dedup
+        .minhashSignatures(df, "doc_id", "text", n)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (0 until 16).map(j => r.getAs[Long](s"m$j")))
+      assert(composed.length == fused.length, s"n=$n: dropped-row semantics diverge")
       composed.zip(fused).zipWithIndex.foreach { case ((c, f), i) =>
         assert(c == f, s"n=$n row=$i: composed=$c fused=$f")
       }
