@@ -195,7 +195,8 @@ object AsOfJoin {
   * expressions to the SQL function registry, so `spark.sql` users reach
   * the codegen'd kernels without touching the Scala API:
   * `graft_cosine_sim(a, b)`, `graft_hash60(s)`,
-  * `graft_lsh_bucket(v, planes, dims)`.
+  * `graft_lsh_bucket(v, planes, dims)`, `graft_shingle_hashes(text, n)`,
+  * `graft_minhash_sig(text, n)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -237,6 +238,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (args: Seq[Expression]) => {
           require(args.length == 3, "graft_lsh_bucket(v, planes, dims) takes 3 arguments")
           LshBucketExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dims"))
+        }))
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_shingle_hashes"),
+        info(
+          "graft_shingle_hashes",
+          "graft_shingle_hashes(text, n) - 60-bit hashes of the text's word n-grams"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_shingle_hashes(text, n) takes 2 arguments")
+          ShingleHashesExpr(args(0), intArg(args(1), "n"))
+        }))
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_minhash_sig"),
+        info(
+          "graft_minhash_sig",
+          "graft_minhash_sig(text, n) - 16-component minhash signature over word n-grams (NULL if fewer than n tokens)"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_minhash_sig(text, n) takes 2 arguments")
+          MinhashSigExpr(args(0), intArg(args(1), "n"))
         }))
   }
 }

@@ -176,6 +176,26 @@ class ExpressionsSpec extends SparkSpec {
         .sql("SELECT count(DISTINCT graft_lsh_bucket(embedding, 4, 64)) AS n FROM emb_ext")
         .head()
       assert(sqlLsh.getLong(0) > 0)
+      // the fused shingle/minhash kernels, SQL vs Scala API
+      val sqlSig = s2
+        .sql(
+          "SELECT doc_id, graft_minhash_sig(text, 3) AS s FROM docs_ext " +
+            "WHERE graft_minhash_sig(text, 3) IS NOT NULL ORDER BY doc_id")
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      val apiSig = graft.llm.Dedup
+        .minhashSignatures(docs, "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (0 until 16).map(j => r.getAs[Long](s"m$j")))
+      assert(sqlSig.length == apiSig.length)
+      sqlSig.zip(apiSig).foreach { case ((id1, s1), (id2, s2v)) =>
+        assert(id1 == id2 && s1 == s2v)
+      }
+      val sqlSh = s2
+        .sql("SELECT max(h) FROM (SELECT explode(graft_shingle_hashes(text, 3)) AS h FROM docs_ext)")
+        .head()
+      assert(sqlSh.getLong(0) > 0)
     } finally {
       // restore the suite-shared session; the context stays alive
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
