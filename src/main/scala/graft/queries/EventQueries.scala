@@ -460,7 +460,49 @@ object EventQueries {
        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
        |ORDER BY event_id""".stripMargin
 
+  // -- q107: SCD2 temporal dimension build ------------------------------
+
+  /** Slowly-changing-dimension (type 2) build: compact each user's
+    * purchase-value updates into validity intervals [valid_from, valid_to)
+    * — consecutive identical values extend the open interval instead of
+    * opening a new one, the latest interval stays open (valid_to NULL,
+    * is_current true). The warehouse-side temporal table every
+    * batch-ingested dimension needs; both windows hash on user_id, so the
+    * change-detection lag and the interval-closing lead share ONE
+    * exchange, and state per user is its update count, never the corpus.
+    */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables
+      .events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("value"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val q107Sql: String =
+    """WITH u AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value,
+      |             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |      FROM u),
+      |ch AS (SELECT user_id, ts, value FROM c WHERE prev IS NULL OR value <> prev)
+      |SELECT user_id, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |  value,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |FROM ch ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q107_scd2_intervals" -> (q107 _),
     "q82_rank_distribution" -> (q82 _),
     "q76_partition_pruned_days" -> (q76 _),
     "q65_grouped_stats" -> (q65 _),
@@ -481,6 +523,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q107_scd2_intervals" -> q107Sql,
     "q82_rank_distribution" -> q82Sql,
     "q76_partition_pruned_days" -> q76Sql,
     "q65_grouped_stats" -> q65Sql,

@@ -127,4 +127,29 @@ class QueriesSpec extends SparkSpec {
     // oracles reference only registered queries
     graft.SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"orphan oracle $k"))
   }
+
+  test("q107 SCD2 intervals tile each user's timeline: no gaps, one open, values change") {
+    val rows = EventQueries.q107(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, ivs) =>
+      // already sorted by valid_from (query orderBy); exactly one open interval
+      assert(ivs.count(_.isNullAt(ivs.head.fieldIndex("valid_to"))) == 1, s"user $uid open intervals")
+      assert(ivs.last.isNullAt(ivs.last.fieldIndex("valid_to")), s"user $uid: open interval not last")
+      ivs.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval closes exactly where the next opens (no gap/overlap)
+          assert(
+            a.getAs[java.sql.Timestamp]("valid_to") == b.getAs[java.sql.Timestamp]("valid_from"),
+            s"user $uid: gap or overlap")
+          // a new interval only opens on a changed value
+          assert(a.getAs[Double]("value") != b.getAs[Double]("value"), s"user $uid: no-op interval")
+        case _ => ()
+      }
+      assert(ivs.forall(r => r.getAs[Boolean]("is_current") == r.isNullAt(r.fieldIndex("valid_to"))))
+    }
+    // both windows hash on user_id: the plan needs exactly ONE hash exchange
+    val plan = EventQueries.q107(spark, sf).queryExecution.executedPlan.toString
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected one shared user_id exchange, got $hashEx:\n$plan")
+  }
 }
