@@ -214,7 +214,98 @@ object Analytics {
        |FROM orders ORDER BY o_orderkey""".stripMargin
   }
 
+  // -- q108: fixed-width value histograms per group ---------------------
+
+  /** Equi-width histogram of `value` per event type: 10 buckets spanning
+    * the type's own [min, max], top bucket closed. Bounds are a 5-row
+    * aggregate broadcast back onto the stream, so the corpus pays one
+    * map-side bucket assignment and one (type, bucket) hash aggregate —
+    * histogram construction stays two shuffles at any scale. Bucket
+    * arithmetic is raw-IEEE on the parquet doubles (floor of an exact
+    * expression), identical on both engines; only the reported bucket
+    * EDGES are Det-rounded for display.
+    */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val bounds = ev
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn(
+        "bucket",
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 10.0), lit(9.0)).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        col("cnt"),
+        Det.r6(col("lo") + col("bucket") * (col("hi") - col("lo")) / 10.0).as("bucket_lo"),
+        Det.r6(col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / 10.0).as("bucket_hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q108Sql: String =
+    s"""WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY event_type),
+       |k AS (
+       |  SELECT e.event_type,
+       |    CAST(least(floor((e.value - b.lo) / (b.hi - b.lo) * 10.0), 9.0) AS BIGINT) AS bucket,
+       |    b.lo, b.hi
+       |  FROM events e JOIN b USING (event_type))
+       |SELECT event_type, bucket, count(*) AS cnt,
+       |  ${Det.sqlR("min(lo) + bucket * (min(hi) - min(lo)) / 10.0", 6)} AS bucket_lo,
+       |  ${Det.sqlR("min(lo) + (bucket + 1) * (min(hi) - min(lo)) / 10.0", 6)} AS bucket_hi
+       |FROM k GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin
+
+  // -- q109: session-path Markov transition matrix -----------------------
+
+  /** Clickstream path analysis: first-order Markov transition matrix over
+    * event types, transitions counted WITHIN 30-minute sessions (the q20
+    * sessionization) so unrelated visits never chain. The transition
+    * count and the per-source normalization both hash on small keys
+    * (event-type pairs — vocabulary-sized); the only corpus-sized work is
+    * the per-user session window, one exchange on user_id.
+    */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = graft.operators.TimeSeriesOps
+      .sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    trans
+      .withColumn("p", Det.r6(col("cnt") / sum(col("cnt")).over(Window.partitionBy(col("from_type")))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q109Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |f AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+       |  FROM e),
+       |g AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM f),
+       |t AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+       |  FROM g),
+       |c AS (SELECT from_type, to_type, count(*) AS cnt FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, cnt,
+       |  ${Det.sqlR("cnt / (sum(cnt) OVER (PARTITION BY from_type))", 6)} AS p
+       |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q108_value_histogram" -> (q108 _),
+    "q109_markov_transitions" -> (q109 _),
     "q86_fuzzy_name_match" -> (q86 _),
     "q87_funnel" -> (q87 _),
     "q88_retention_cohorts" -> (q88 _),
@@ -222,6 +313,8 @@ object Analytics {
     "q93_zorder_key" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
+    "q108_value_histogram" -> q108Sql,
+    "q109_markov_transitions" -> q109Sql,
     "q86_fuzzy_name_match" -> q86Sql,
     "q87_funnel" -> q87Sql,
     "q88_retention_cohorts" -> q88Sql,

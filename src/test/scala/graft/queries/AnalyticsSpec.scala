@@ -131,4 +131,38 @@ class AnalyticsSpec extends SparkSpec {
       byZ * 4 <= byX * 3,
       s"z-order layout should touch materially fewer files for box queries: z=$byZ vs x-sort=$byX")
   }
+
+  test("q108 histogram: per-type counts conserve, buckets bounded, edges ordered") {
+    val ev = Tables.events(spark, sf)
+    val perType = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hist = Analytics.q108(spark, sf).collect()
+    val sums = hist.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    perType.foreach { case (t, n) => assert(sums(t) == n, s"type $t: ${sums(t)} != $n") }
+    hist.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      assert(r.getAs[Double]("bucket_lo") < r.getAs[Double]("bucket_hi"))
+    }
+    // the 5-row bounds side must broadcast, not sort-merge
+    val plan = Analytics.q108(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q109 markov rows: probabilities normalize per source state") {
+    val m = Analytics.q109(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getAs[String]("from_type")).foreach { case (t, rows) =>
+      val total = rows.map(_.getAs[Double]("p")).sum
+      // each p is r6-rounded: the sum can be off by at most 5e-7 per row
+      assert(math.abs(total - 1.0) <= 5e-7 * rows.length + 1e-9, s"$t: sum(p) = $total")
+    }
+    // transition count conserves: sum(cnt) = total events - one per (user, session)
+    val total = m.map(_.getAs[Long]("cnt")).sum
+    val sess = graft.operators.TimeSeriesOps
+      .sessionize(Tables.events(spark, sf), "user_id", "ts", "event_id", 30)
+      .groupBy(col("user_id"), col("session_id")).count().collect()
+    assert(total == sess.map(_.getAs[Long]("count") - 1).sum, "transition conservation")
+  }
 }
