@@ -51,10 +51,13 @@ final class KvHttpServer(engine: KvEngine, port: Int = 0) {
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      // Path segments use percent-escapes only: URLDecoder applies
+      // query-string semantics ('+' → space), so pre-escape '+' to keep a
+      // literal '+' in keys/values literal, matching mux path handling.
       val segments = ex.getRequestURI.getRawPath
         .split("/")
         .filter(_.nonEmpty)
-        .map(s => URLDecoder.decode(s, UTF_8))
+        .map(s => URLDecoder.decode(s.replace("+", "%2B"), UTF_8))
         .toList
       segments match {
         case List("ready") => respond(ex, 200, "")

@@ -36,6 +36,13 @@ final class KvExactlyOnceSink(
     valueCol: String) {
 
   require(collection.matches("^[a-zA-Z0-9]+$"), s"invalid collection id [$collection]")
+  // The journal lives in the same engine namespace as data collections; a
+  // sink target ending in "commits" would collide with another sink's
+  // journal (e.g. target 'metricscommits' vs the journal of 'metrics'), so
+  // such names are rejected outright.
+  require(
+    !collection.endsWith("commits"),
+    s"collection id [$collection] ends in reserved journal suffix 'commits'")
   val journalId: String = collection + "commits"
 
   private def committed(batchKey: String): Boolean =

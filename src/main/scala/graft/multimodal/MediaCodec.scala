@@ -98,10 +98,18 @@ object MediaCodec {
     val width = le32(b, 18)
     val height = le32(b, 22)
     require(width > 0 && height > 0, "BMP: non-positive dimensions")
+    // Header fields are untrusted 32-bit ints (reachable via binaryFile
+    // ingestion): cap dimensions and do the truncation bound in Long so a
+    // crafted width/height can't overflow Int past the require and land in
+    // ArrayIndexOutOfBounds instead of IllegalArgumentException.
+    require(width <= 65536 && height <= 65536, "BMP: dimensions exceed supported maximum")
     require(le16(b, 28) == 24, "BMP: only 24bpp supported")
     require(le32(b, 30) == 0, "BMP: only BI_RGB (uncompressed) supported")
     val stride = bmpStride(width)
-    require(b.length >= offBits + stride * height, "BMP: truncated pixel data")
+    require(offBits >= 54, "BMP: pixel offset inside header")
+    require(
+      b.length.toLong >= offBits.toLong + stride.toLong * height.toLong,
+      "BMP: truncated pixel data")
     val pixels = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

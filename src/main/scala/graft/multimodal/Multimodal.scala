@@ -88,9 +88,13 @@ object Multimodal {
     * any decoded checksum straight from the text column.
     */
   private def cycleBytes(text: Array[Byte], n: Int): Array[Byte] = {
+    // Empty text would make `i % length` divide by zero (and a silent WAV
+    // clip would diverge from the oracle's list_max(NULL)); substitute one
+    // space byte so the failure mode is explicit and closed-form.
+    val src = if (text.isEmpty) Array(' '.toByte) else text
     val out = new Array[Byte](n)
     var i = 0
-    while (i < n) { out(i) = text(i % text.length); i += 1 }
+    while (i < n) { out(i) = src(i % src.length); i += 1 }
     out
   }
 
@@ -142,6 +146,9 @@ object Multimodal {
       rows.map { case (id, text, _) =>
         val rate = (8000 + 4000 * (id % 3)).toInt
         val bytes = text.getBytes("UTF-8")
+        // An empty clip would give engine peak 0 vs the oracle's
+        // list_max(NULL); fail loudly instead of diverging silently.
+        require(bytes.nonEmpty, s"doc $id: empty text cannot synthesize a WAV clip")
         val samples = new Array[Short](bytes.length)
         var i = 0
         while (i < bytes.length) { samples(i) = (((bytes(i) & 0xff) - 96) * 256).toShort; i += 1 }

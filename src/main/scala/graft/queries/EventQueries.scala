@@ -472,11 +472,13 @@ object EventQueries {
     * exchange, and state per user is its update count, never the corpus.
     */
   def q107(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // (ts, event_id) tiebreak: duplicate (user_id, ts) purchases would
+    // otherwise make change-detection/interval-close order nondeterministic.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables
       .events(s, d)
       .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       .withColumn("prev", lag(col("value"), 1).over(w))
       .filter(col("prev").isNull || col("value") =!= col("prev"))
       .withColumn("valid_to", lead(col("ts"), 1).over(w))
@@ -490,15 +492,15 @@ object EventQueries {
   }
 
   val q107Sql: String =
-    """WITH u AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, ts, value,
-      |             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    """WITH u AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value, event_id,
+      |             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |      FROM u),
-      |ch AS (SELECT user_id, ts, value FROM c WHERE prev IS NULL OR value <> prev)
+      |ch AS (SELECT user_id, ts, value, event_id FROM c WHERE prev IS NULL OR value <> prev)
       |SELECT user_id, ts AS valid_from,
-      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
       |  value,
-      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
       |FROM ch ORDER BY user_id, valid_from""".stripMargin
 
   val queries: Map[String, Q] = Map(

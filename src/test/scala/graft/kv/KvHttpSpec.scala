@@ -81,6 +81,9 @@ class KvHttpSpec extends SparkSpec {
       assert(get(port, "/collections/a/b/c/d").statusCode() == 404)
       get(port, "/collections/metrics/hello%20world/a%2Fb")
       assert(get(port, "/collections/metrics/hello%20world").body() == "{\"data\":\"a/b\"}\n")
+      // a literal '+' in a path segment stays '+' (no query-string semantics)
+      get(port, "/collections/metrics/a+b/c+d")
+      assert(get(port, "/collections/metrics/a+b").body() == "{\"data\":\"c+d\"}\n")
     }
   }
 

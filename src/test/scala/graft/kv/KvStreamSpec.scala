@@ -31,6 +31,13 @@ class KvStreamSpec extends SparkSpec {
     assert(engine.readKey(sink.journalId, "1") == "committed")
   }
 
+  test("collection names ending in the journal suffix are rejected") {
+    val engine = freshEngine()
+    // 'metricscommits' would collide with the journal of 'metrics'
+    intercept[IllegalArgumentException](
+      new KvExactlyOnceSink(engine, "metricscommits", "k", "v"))
+  }
+
   test("crash between data apply and journal write: re-application converges") {
     import spark.implicits._
     val engine = freshEngine()

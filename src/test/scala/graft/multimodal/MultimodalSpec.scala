@@ -49,6 +49,19 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(badDepth))
     val badMagic = good.clone(); badMagic(0) = 'X'
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(badMagic))
+    // crafted width/height whose stride*height overflows Int must hit the
+    // require (Long-domain bound), not ArrayIndexOutOfBounds
+    val overflow = good.clone()
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(overflow, 18, 46341) // width: 46341*46341*... wraps Int
+    putLe32(overflow, 22, 46341) // height
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(overflow))
+    val hugeDim = good.clone()
+    putLe32(hugeDim, 18, 1 << 20) // over the 65536 cap
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(hugeDim))
   }
 
   test("PPM roundtrips and parses multi-digit dimensions") {
