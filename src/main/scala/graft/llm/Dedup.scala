@@ -290,15 +290,32 @@ object Dedup {
     * with a recursive CTE) even though the loop is data-dependent.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val undirected = fwd
+    val raw = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
+    // Size the loop's parallelism to the MATERIALIZED edge count: the
+    // near-dup edge list is orders smaller than the corpus it came from,
+    // and a fixed session-wide shuffle width would make every round pay
+    // full scheduling latency on near-empty partitions. ~1M edges per
+    // partition, capped at the session width; pre-partitioning by src and
+    // keeping every loop frame hash-partitioned the same way makes each
+    // round's join co-partitioned (shuffle only on the aggregate).
+    val edgeRows = raw.count()
+    val sessionWidth = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(sessionWidth.toLong, edgeRows / 1000000L + 1L)).toInt
+    val undirected = raw.repartition(parts, col("src")).persist(mem)
+    undirected.count()
+    raw.unpersist()
+    // Seed with the one-hop fixpoint candidate min(self, neighbors) — the
+    // first propagation round for free (und carries both directions, so
+    // every node appears as src).
     var labels = undirected
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
+      .repartition(parts, col("id"))
+      .persist(mem)
     // Convergence statistic: labels only ever decrease (min-propagation),
     // so Σ label is strictly decreasing until the fixpoint — one scalar
     // aggregate on the cached frame per round, no per-round join against
@@ -311,9 +328,10 @@ object Dedup {
         .join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("label"))
         .unionByName(labels)
+        .repartition(parts, col("id"))
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       val nextSum = next.agg(sum(col("label"))).head.getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
