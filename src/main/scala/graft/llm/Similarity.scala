@@ -186,6 +186,100 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Squared L2 distance between two double arrays — sequential left fold
+    * (codegen'd higher-order functions), so the accumulation order is
+    * fixed and cross-engine reproducible modulo the usual r6 snap.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, sv): the M subspace slices of each embedding, cast to
+    * double before any arithmetic. One narrow projection — no shuffle.
+    */
+  def subvectors(emb: DataFrame, mCount: Int, subDim: Int): DataFrame =
+    emb
+      .select(
+        col("vec_id"),
+        explode(array((0 until mCount).map(mm =>
+          struct(
+            lit(mm).as("m"),
+            slice(col("embedding"), mm * subDim + 1, subDim).cast("array<double>").as("sv"))): _*))
+          .as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+
+  /** Train a product-quantization codebook: the embedding is split into
+    * `mCount` subspaces of `subDim` dims; each subspace gets its own
+    * k-means codebook (`k` codes, one Lloyd step from the first-k-vector
+    * seeds — the q49/ivfTrain determinism recipe: r6-snap the assignment
+    * distances AND the per-element re-centered means, so the DuckDB oracle
+    * replays the identical trajectory). Returns (m, cid, cv).
+    *
+    * Scale shape: codebooks are (M·K) rows — broadcast-sized by
+    * construction; training is two shuffles total (assign argmin is a
+    * map-side-combined hash agg over the broadcast codebook; re-center is
+    * one (m, code, pos) hash agg). The corpus is never shuffled.
+    */
+  def pqTrain(emb: DataFrame, mCount: Int, subDim: Int, k: Int): DataFrame = {
+    val sv = subvectors(emb, mCount, subDim)
+    val seedBase = emb
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cid", (expr("row_number() over (order by vec_id)") - 1).cast("long"))
+    val seeds = subvectors(seedBase, mCount, subDim)
+      .join(seedBase.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .select(col("m"), col("cid"), col("sv").as("cv"))
+    // one Lloyd step: argmin assignment (sv carried through the agg — no
+    // join-back), then element-wise mean per (m, code)
+    val a0 = sv
+      .join(broadcast(seeds), Seq("m"))
+      .withColumn("d2", Det.r6(l2sq(col("sv"), col("cv"))))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(
+        min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"),
+        any_value(col("sv")).as("sv"))
+    a0.select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(Det.r6(avg(col("x"))).as("v"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pairs"))
+      .select(col("m"), col("code").as("cid"), expr("transform(pairs, p -> p.v)").as("cv"))
+  }
+
+  /** PQ / ADC search: encode the corpus as M small codes per vector (the
+    * 64× compression that makes billion-vector search feasible), build
+    * each query's M×K distance table against the trained codebook, and
+    * score candidates by asymmetric distance — Σ over subspaces of the
+    * table entry the candidate's code selects.
+    *
+    * Scale shape: the corpus-side state is only (vec_id, m, code); the
+    * query distance tables are broadcast; the ADC sum is a broadcast join
+    * + map-side-combined hash agg — the corpus codes are never shuffled,
+    * and the raw corpus vectors are read exactly once (to encode).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame, mCount: Int, subDim: Int, k: Int): DataFrame = {
+    val csv = subvectors(corpus, mCount, subDim)
+    val codes = csv
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", Det.r6(l2sq(col("sv"), col("cv"))))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+    val dtab = subvectors(queries, mCount, subDim)
+      .select(col("vec_id").as("qid"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("qid"), col("m"), col("cid").as("code"), Det.r6(l2sq(col("sv"), col("cv"))).as("d2"))
+    val scored = codes
+      .join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(Det.r6(sum(col("d2"))).as("ad"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("ad"), col("rk"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by
     * signature; candidates are same-bucket pairs; rank within candidates.
     * Recall is tunable by `planes` (fewer planes → bigger buckets → higher

@@ -303,7 +303,131 @@ object Analytics {
        |  ${Det.sqlR("cnt / (sum(cnt) OVER (PARTITION BY from_type))", 6)} AS p
        |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // -- q112: autocorrelation function (lag 1..3) ------------------------
+
+  /** Per-series autocorrelation at lags 1–3 over the hourly mean-value
+    * series — the classic TSDB seasonality probe (a strong lag-24 ACF is
+    * daily periodicity). The hourly means are r6-snapped so both engines
+    * correlate identical series; Pearson terms are plain sums over the
+    * lag-aligned pairs (one window per event_type, then one hash agg —
+    * the series, never the raw events, is what the window sorts).
+    */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Det.r6(avg(col("value"))).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lags = (1 to 3).map(k => lag(col("y"), k).over(w).as(s"l$k"))
+    val stacked = hourly
+      .select(col("event_type") +: col("y") +: lags: _*)
+      .select(
+        col("event_type"),
+        col("y"),
+        explode(array((1 to 3).map(k =>
+          struct(lit(k.toLong).as("k"), col(s"l$k").as("yl"))): _*)).as("p"))
+      .select(col("event_type"), col("p.k").as("lag_k"), col("y"), col("p.yl").as("yl"))
+      .filter(col("yl").isNotNull)
+    stacked
+      .groupBy(col("event_type"), col("lag_k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sx"),
+        sum(col("yl")).as("sy"),
+        sum(col("y") * col("y")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syy"),
+        sum(col("y") * col("yl")).as("sxy"))
+      .select(
+        col("event_type"),
+        col("lag_k"),
+        col("n"),
+        Det.r6(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))).as("acf"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  val q112Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h,
+       |    ${Det.sqlR("avg(value)", 6)} AS y
+       |  FROM events GROUP BY event_type, h),
+       |lagged AS (
+       |  SELECT event_type, y,
+       |    lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2, lag(y, 3) OVER w AS l3
+       |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+       |stacked AS (
+       |  SELECT event_type, CAST(k AS BIGINT) AS lag_k, y,
+       |    CASE k WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END AS yl
+       |  FROM lagged, LATERAL (SELECT unnest(range(1, 4)) AS k) t),
+       |agg AS (
+       |  SELECT event_type, lag_k, count(*) AS n,
+       |    sum(y) AS sx, sum(yl) AS sy,
+       |    sum(y * y) AS sxx, sum(yl * yl) AS syy, sum(y * yl) AS sxy
+       |  FROM stacked WHERE yl IS NOT NULL GROUP BY event_type, lag_k)
+       |SELECT event_type, lag_k, n,
+       |  ${Det.sqlR("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS acf
+       |FROM agg ORDER BY event_type, lag_k""".stripMargin
+
+  // -- q113: cross-series correlation matrix ----------------------------
+
+  /** Pearson correlation between every pair of event-type activity series
+    * (hourly event counts joined on the hour) — "which signals move
+    * together", the TSDB cross-series deliverable. All Pearson terms are
+    * integer counts summed exactly (cast to double only for the final
+    * ratio), so the only float op is the r6-snapped result: cross-engine
+    * determinism is exact. The join key is the hour; series count is the
+    * type cardinality, so the matrix is dimension-sized.
+    */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val hc = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val a = hc.select(col("event_type").as("type_a"), col("h"), col("c").as("ca"))
+    val b = hc.select(col("event_type").as("type_b"), col("h"), col("c").as("cb"))
+    a.join(b, Seq("h"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("ca")).cast("double").as("sa"),
+        sum(col("cb")).cast("double").as("sb"),
+        sum(col("ca") * col("ca")).cast("double").as("saa"),
+        sum(col("cb") * col("cb")).cast("double").as("sbb"),
+        sum(col("ca") * col("cb")).cast("double").as("sab"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_hours"),
+        Det.r6(
+          (col("n_hours") * col("sab") - col("sa") * col("sb")) /
+            sqrt(
+              (col("n_hours") * col("saa") - col("sa") * col("sa")) *
+                (col("n_hours") * col("sbb") - col("sb") * col("sb")))).as("xcorr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q113Sql: String =
+    s"""WITH hc AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+       |  FROM events GROUP BY event_type, h),
+       |agg AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_hours,
+       |    CAST(sum(a.c) AS DOUBLE) AS sa, CAST(sum(b.c) AS DOUBLE) AS sb,
+       |    CAST(sum(a.c * a.c) AS DOUBLE) AS saa, CAST(sum(b.c * b.c) AS DOUBLE) AS sbb,
+       |    CAST(sum(a.c * b.c) AS DOUBLE) AS sab
+       |  FROM hc a JOIN hc b ON a.h = b.h AND a.event_type < b.event_type
+       |  GROUP BY type_a, type_b)
+       |SELECT type_a, type_b, n_hours,
+       |  ${Det.sqlR("(n_hours * sab - sa * sb) / sqrt((n_hours * saa - sa * sa) * (n_hours * sbb - sb * sb))", 6)} AS xcorr
+       |FROM agg ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q112_acf" -> (q112 _),
+    "q113_xcorr_matrix" -> (q113 _),
     "q108_value_histogram" -> (q108 _),
     "q109_markov_transitions" -> (q109 _),
     "q86_fuzzy_name_match" -> (q86 _),
@@ -313,6 +437,8 @@ object Analytics {
     "q93_zorder_key" -> (q93 _))
 
   val oracles: Map[String, String] = Map(
+    "q112_acf" -> q112Sql,
+    "q113_xcorr_matrix" -> q113Sql,
     "q108_value_histogram" -> q108Sql,
     "q109_markov_transitions" -> q109Sql,
     "q86_fuzzy_name_match" -> q86Sql,

@@ -648,7 +648,44 @@ object Corpus {
        |  md5(list_aggregate(cw, 'string_agg', ' ')) AS chunk_hash
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // -- q114: corpus-wide repeated n-gram mining -------------------------
+
+  /** Repeated 6-gram mining: every 6-token window hashed (fused native
+    * shingle-hash pass), aggregated corpus-wide, kept where the window
+    * recurs across ≥ 2 documents — the exact-substring-dedup primitive
+    * (Lee et al. 2022): the surviving hashes ARE the boilerplate/template
+    * spans a dedup pass would cut. Distinct-doc counting is the two-phase
+    * (hash, doc_id) pre-dedup Spark plans for count(DISTINCT) — per-hash
+    * state is a count, never a doc list; the top-100 is a
+    * TakeOrderedAndProject, no global sort of the hash space.
+    */
+  def q114(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(Text.shingleHashes(col("text"), 6)).as("ngram_hash"))
+      .groupBy(col("ngram_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("ngram_hash"))
+      .limit(100)
+
+  val q114Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    ${Text.sqlHash60(
+        "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]")} AS ngram_hash
+       |  FROM d, LATERAL (SELECT unnest(range(1, len(w) - 4)) AS i) t)
+       |SELECT ngram_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  count(*) AS n_occ, min(doc_id) AS example_doc
+       |FROM sh GROUP BY ngram_hash HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, ngram_hash LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_repeated_ngrams" -> (q114 _),
     "q100_token_chunks" -> (q100 _),
     "q99_pipeline_end_to_end" -> (q99 _),
     "q96_lm_perplexity_filter" -> (q96 _),
@@ -662,6 +699,7 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q114_repeated_ngrams" -> q114Sql,
     "q100_token_chunks" -> q100Sql,
     "q99_pipeline_end_to_end" -> q99Sql,
     "q96_lm_perplexity_filter" -> q96Sql,

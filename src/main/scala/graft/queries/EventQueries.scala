@@ -503,7 +503,40 @@ object EventQueries {
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
       |FROM ch ORDER BY user_id, valid_from""".stripMargin
 
+  // -- q111: CDC changelog compaction → current snapshot ----------------
+
+  /** Change-data-capture apply: the event stream as a changelog
+    * (purchase = upsert of the user's value, error = delete tombstone),
+    * compacted to the current snapshot — the MERGE-into-latest-state
+    * every warehouse ingest ends with. One window per user ordered by
+    * (ts, event_id): the latest op decides existence, and its value is
+    * the state. Per-user state during compaction is one row (a
+    * WindowGroupLimit-able rank-1 filter), never the user's history.
+    */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("as_of"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q111Sql: String =
+    """WITH ops AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('purchase', 'error'))
+      |SELECT user_id, ts AS as_of, value
+      |FROM ops WHERE rn = 1 AND event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q111_cdc_snapshot" -> (q111 _),
     "q107_scd2_intervals" -> (q107 _),
     "q82_rank_distribution" -> (q82 _),
     "q76_partition_pruned_days" -> (q76 _),
@@ -525,6 +558,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q111_cdc_snapshot" -> q111Sql,
     "q107_scd2_intervals" -> q107Sql,
     "q82_rank_distribution" -> q82Sql,
     "q76_partition_pruned_days" -> q76Sql,

@@ -332,6 +332,69 @@ object VectorQueries {
        |FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Product-quantization ADC top-10: the compression-based ANN path the
+    * IVF (q49) and LSH (q34) variants don't cover. 4 subspaces × 16 dims,
+    * 16 codes each — the corpus collapses to 4 small codes per vector
+    * (64× smaller search-time state), queries carry a broadcast M×K
+    * distance table, and ranking is by asymmetric distance. Training is
+    * one Lloyd step from first-k seeds with the q49 determinism recipe
+    * (r6-snapped assignment distances and re-centered means), so the full
+    * trajectory — codebook, codes, distance tables, ranks — replays in
+    * DuckDB SQL.
+    */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val codebook = Similarity.pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+    Similarity
+      .pqTopK(emb.filter(col("vec_id") < 5), emb, codebook, mCount = 4, subDim = 16, k = 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q110Sql: String = {
+    def r6(e: String): String = graft.core.Det.sqlR(e, 6)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |sd AS (
+       |  SELECT vec_id, m, i, CAST(embedding[m * 16 + i] AS DOUBLE) AS x
+       |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS m) tm,
+       |       LATERAL (SELECT unnest(range(1, 17)) AS i) ti),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vec_id AS svid
+       |  FROM e ORDER BY vec_id LIMIT 16),
+       |c0 AS (SELECT s.cid, d.m, d.i, d.x AS v FROM seed s JOIN sd d ON d.vec_id = s.svid),
+       |d0 AS (
+       |  SELECT d.vec_id, d.m, c.cid, ${r6("sum((d.x - c.v) * (d.x - c.v))")} AS d2
+       |  FROM sd d JOIN c0 c ON c.m = d.m AND c.i = d.i
+       |  GROUP BY d.vec_id, d.m, c.cid),
+       |a0 AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM d0) s WHERE rn = 1),
+       |c1 AS (
+       |  SELECT d.m, a.code AS cid, d.i, ${r6("avg(d.x)")} AS v
+       |  FROM a0 a JOIN sd d ON d.vec_id = a.vec_id AND d.m = a.m
+       |  GROUP BY d.m, a.code, d.i),
+       |d1 AS (
+       |  SELECT d.vec_id, d.m, c.cid, ${r6("sum((d.x - c.v) * (d.x - c.v))")} AS d2
+       |  FROM sd d JOIN c1 c ON c.m = d.m AND c.i = d.i
+       |  GROUP BY d.vec_id, d.m, c.cid),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT vec_id, m, cid,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM d1) s WHERE rn = 1),
+       |adc AS (
+       |  SELECT t.vec_id AS qid, k.vec_id, ${r6("sum(t.d2)")} AS ad
+       |  FROM codes k JOIN d1 t ON t.m = k.m AND t.cid = k.code
+       |  WHERE t.vec_id < 5 AND k.vec_id <> t.vec_id
+       |  GROUP BY qid, k.vec_id),
+       |rked AS (
+       |  SELECT qid, vec_id, ad,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS BIGINT) AS rk
+       |  FROM adc)
+       |SELECT qid, vec_id, ad, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_label_centroids" -> (q63 _),
     "q32_cosine_topk" -> (q32 _),
@@ -339,7 +402,8 @@ object VectorQueries {
     "q34_ann_lsh_topk" -> (q34 _),
     "q49_ivf_topk" -> (q49 _),
     "q98_semdedup" -> (q98 _),
-    "q79_int8_cosine_topk" -> (q79 _))
+    "q79_int8_cosine_topk" -> (q79 _),
+    "q110_pq_adc_topk" -> (q110 _))
 
   val oracles: Map[String, String] = Map(
     "q63_label_centroids" -> q63Sql,
@@ -348,5 +412,6 @@ object VectorQueries {
     "q34_ann_lsh_topk" -> q34Sql,
     "q49_ivf_topk" -> q49Sql,
     "q98_semdedup" -> q98Sql,
-    "q79_int8_cosine_topk" -> q79Sql)
+    "q79_int8_cosine_topk" -> q79Sql,
+    "q110_pq_adc_topk" -> q110Sql)
 }

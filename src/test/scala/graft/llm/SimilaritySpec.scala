@@ -189,4 +189,44 @@ class SimilaritySpec extends SparkSpec {
     val labels = emb.select($"vec_id", $"label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     out.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1))))
   }
+
+  test("PQ/ADC: codebook shape, full result sets, and recall vs exact L2") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter($"vec_id" < 5)
+    val cb = Similarity.pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+    val cbRows = cb.collect()
+    assert(cbRows.length <= 64 && cbRows.length >= 4, s"codebook size ${cbRows.length}")
+    assert(cbRows.map(_.getAs[Int]("m")).toSet == Set(0, 1, 2, 3))
+    assert(cbRows.forall(_.getAs[Seq[Double]]("cv").length == 16))
+
+    val pq = Similarity.pqTopK(queries, emb, cb, mCount = 4, subDim = 16, k = 10).collect()
+    assert(pq.groupBy(_.getLong(0)).forall(_._2.length == 10), "10 rows per query")
+    pq.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRk = rows.sortBy(_.getLong(3))
+      assert(byRk.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) <= b.getDouble(2)
+        case _ => true
+      }, "ADC non-decreasing with rank")
+    }
+    assert(pq.forall(r => r.getLong(0) != r.getLong(1)), "no self-match")
+
+    // recall@10 against exact full-vector L2 (the metric PQ approximates)
+    val q = queries.select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qe"))
+    val c = emb.select($"vec_id", $"embedding".cast("array<double>").as("ve"))
+    val w = Window.partitionBy($"qid").orderBy($"d2", $"vec_id")
+    val exact = c
+      .join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("d2", Similarity.l2sq($"qe", $"ve"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"qid", $"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val hits = pq.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    info(f"PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.2, f"PQ recall $recall%.2f below sanity floor (random ≈ 0.02)")
+  }
 }

@@ -165,4 +165,26 @@ class AnalyticsSpec extends SparkSpec {
       .groupBy(col("user_id"), col("session_id")).count().collect()
     assert(total == sess.map(_.getAs[Long]("count") - 1).sum, "transition conservation")
   }
+
+  test("q112 ACF: one row per (type, lag 1..3), coefficients in [-1, 1]") {
+    val r = Analytics.q112(spark, sf).collect()
+    assert(r.nonEmpty)
+    val types = r.map(_.getAs[String]("event_type")).distinct
+    types.foreach { t =>
+      val lags = r.filter(_.getAs[String]("event_type") == t).map(_.getAs[Long]("lag_k")).sorted
+      assert(lags.toSeq == Seq(1L, 2L, 3L), s"$t lags: ${lags.mkString(",")}")
+    }
+    r.foreach(row => assert(math.abs(row.getAs[Double]("acf")) <= 1.0 + 1e-6))
+  }
+
+  test("q113 xcorr: full upper-triangle matrix, coefficients in [-1, 1]") {
+    val r = Analytics.q113(spark, sf).collect()
+    val types = Tables.events(spark, sf).select(col("event_type")).distinct().collect().map(_.getString(0))
+    assert(r.length == types.length * (types.length - 1) / 2, s"got ${r.length} pairs")
+    r.foreach { row =>
+      assert(row.getAs[String]("type_a") < row.getAs[String]("type_b"))
+      assert(math.abs(row.getAs[Double]("xcorr")) <= 1.0 + 1e-6)
+      assert(row.getAs[Long]("n_hours") > 0)
+    }
+  }
 }

@@ -182,4 +182,16 @@ class CorpusSpec extends SparkSpec {
       byN.last.getAs[Double]("keep_frac") <= byN.head.getAs[Double]("keep_frac"),
       "largest stratum must be downsampled at least as hard as the smallest")
   }
+
+  test("q114 repeated n-grams: cross-doc recurrence laws; top-100 plans as TakeOrderedAndProject") {
+    val df = Corpus.q114(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan missing TakeOrderedAndProject:\n$plan")
+    val r = df.collect()
+    assert(r.nonEmpty && r.length <= 100)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") >= 2, "every surviving n-gram recurs across docs")
+      assert(row.getAs[Long]("n_occ") >= row.getAs[Long]("n_docs"), "occurrences dominate doc count")
+    }
+  }
 }
