@@ -184,6 +184,49 @@ object Dedup {
     }(enc)
   }
 
+  /** Bloom-gated EXACT decontamination: the broadcast Bloom filter is a
+    * runtime pre-filter, not the decision — rows it clears pass outright
+    * (no false negatives, so they are provably clean), and only the
+    * `fpp`-sized sliver it flags goes through the exact digest anti-join.
+    * Result is bit-identical to [[againstCorpus]], which is what makes
+    * this registrable as an oracle-checked query; the scale win is that
+    * the anti-join's probe side shrinks from the whole corpus to ~fpp of
+    * it, so the shuffle all but disappears while exactness is preserved —
+    * the semi-join-reduction pattern runtime filters automate.
+    */
+  def againstCorpusBloomExact(
+      df: DataFrame,
+      textCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    val bloom = corpus
+      .select(md5(col(corpusTextCol)).as("__h"))
+      .stat
+      .bloomFilter("__h", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val schema = df.schema
+    val textIdx = schema.fieldIndex(textCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    def side(suspect: Boolean): DataFrame = df.mapPartitions { rows =>
+      val f = bc.value
+      rows.filter { r =>
+        val h = java.security.MessageDigest
+          .getInstance("MD5")
+          .digest(r.getString(textIdx).getBytes("UTF-8"))
+        f.mightContain(h.map("%02x".format(_)).mkString) == suspect
+      }
+    }(enc)
+    val corpusDigests = corpus.select(md5(col(corpusTextCol)).as("__d")).distinct()
+    val confirmedClean = side(suspect = true)
+      .withColumn("__d", md5(col(textCol)))
+      .join(corpusDigests, Seq("__d"), "left_anti")
+      .drop("__d")
+    side(suspect = false).unionByName(confirmedClean)
+  }
+
   /** Deterministic stratified sample: keep ~`fraction` of rows per stratum,
     * chosen by a hash of the id — reproducible across runs and engines
     * (unlike `sampleBy`'s RNG), and exact for a fixed dataset. The standard

@@ -425,9 +425,99 @@ object Analytics {
        |  ${Det.sqlR("(n_hours * sab - sa * sb) / sqrt((n_hours * saa - sa * sa) * (n_hours * sbb - sb * sb))", 6)} AS xcorr
        |FROM agg ORDER BY type_a, type_b""".stripMargin
 
+  // -- q115: exact percentile bands per series ---------------------------
+
+  /** Exact p50/p90/p99 value bands per event type — the latency-band
+    * readout every TSDB dashboard draws. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·p linear-interpolation definition, so
+    * the exact (sort-based) form is cross-engine checkable where the GK
+    * sketch (q71) is tolerance-only. One hash agg; the per-group sort is
+    * the aggregation buffer, never a global sort.
+    */
+  def q115(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("pcts"))
+      .select(
+        col("event_type"),
+        col("n"),
+        Det.r6(element_at(col("pcts"), 1)).as("p50"),
+        Det.r6(element_at(col("pcts"), 2)).as("p90"),
+        Det.r6(element_at(col("pcts"), 3)).as("p99"))
+      .orderBy(col("event_type"))
+
+  val q115Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  ${Det.sqlR("quantile_cont(value, 0.5)", 6)} AS p50,
+       |  ${Det.sqlR("quantile_cont(value, 0.9)", 6)} AS p90,
+       |  ${Det.sqlR("quantile_cont(value, 0.99)", 6)} AS p99
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q116: per-series OLS trend ----------------------------------------
+
+  /** Ordinary-least-squares trend per event-type series: value regressed
+    * on hours-since-series-start. Slope/intercept/R² from the five exact
+    * sums — the closed form distributes as one hash agg with map-side
+    * partials (the moment-sketch shape that holds at 100 TB; no window,
+    * no sort). The time axis is integer microseconds normalized in
+    * double — identical arithmetic on both engines; final stats r6.
+    */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val xy = Tables
+      .events(s, d)
+      .select(col("event_type"), col("ts"), col("value"))
+      .withColumn("t0", min(unix_micros(col("ts"))).over(w))
+      .select(
+        col("event_type"),
+        ((unix_micros(col("ts")) - col("t0")).cast("double") / lit(3.6e9)).as("x"),
+        col("value").as("y"))
+    xy.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("event_type"),
+        col("n"),
+        Det.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_per_hour"),
+        Det.r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("intercept"),
+        Det.r6(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) * (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  val q116Sql: String =
+    s"""WITH xy AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type) AS DOUBLE) / 3.6e9 AS x,
+       |    value AS y
+       |  FROM events),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  FROM xy GROUP BY event_type)
+       |SELECT event_type, n,
+       |  ${Det.sqlR("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope_per_hour,
+       |  ${Det.sqlR("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)} AS intercept,
+       |  ${Det.sqlR("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+       |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q112_acf" -> (q112 _),
     "q113_xcorr_matrix" -> (q113 _),
+    "q115_value_bands" -> (q115 _),
+    "q116_trend_ols" -> (q116 _),
     "q108_value_histogram" -> (q108 _),
     "q109_markov_transitions" -> (q109 _),
     "q86_fuzzy_name_match" -> (q86 _),
@@ -439,6 +529,8 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q112_acf" -> q112Sql,
     "q113_xcorr_matrix" -> q113Sql,
+    "q115_value_bands" -> q115Sql,
+    "q116_trend_ols" -> q116Sql,
     "q108_value_histogram" -> q108Sql,
     "q109_markov_transitions" -> q109Sql,
     "q86_fuzzy_name_match" -> q86Sql,

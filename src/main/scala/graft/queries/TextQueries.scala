@@ -439,6 +439,31 @@ object TextQueries {
       |  SELECT 1 FROM documents c WHERE c.doc_id % 7 = 0 AND md5(c.text) = md5(d.text))
       |ORDER BY doc_id""".stripMargin
 
+  // -- q117: bloom-gated exact decontamination ---------------------------
+
+  /** q58's decontamination routed through the broadcast-Bloom runtime
+    * pre-filter ([[graft.llm.Dedup.againstCorpusBloomExact]]): the filter
+    * clears the clean bulk shuffle-free, the exact digest anti-join only
+    * sees the ~fpp sliver it flags, and the result is bit-identical to the
+    * plain anti-join — proven by sharing q58's oracle semantics. At 100 TB
+    * this is the difference between shuffling the corpus and shuffling
+    * ~1% of it.
+    */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    Dedup
+      .againstCorpusBloomExact(docs, "text", corpus, "text", expectedItems = 100000L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q117Sql: String =
+    """SELECT doc_id, lang, source FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id % 7 = 0 AND md5(c.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin
+
   /** Text normalization pipeline: lowercase → strip non-alnum → collapse
     * whitespace → trim; digest keeps the output narrow.
     */
@@ -519,6 +544,7 @@ object TextQueries {
     "q62_stratified_sample" -> (q62 _),
     "q60_simhash_neardup" -> (q60 _),
     "q58_dedup_against_corpus" -> (q58 _),
+    "q117_bloom_decontaminate" -> (q117 _),
     "q59_text_normalize" -> (q59 _),
     "q56_tfidf_top_terms" -> (q56 _),
     "q23_dedup_exact" -> (q23 _),
@@ -538,6 +564,7 @@ object TextQueries {
     "q62_stratified_sample" -> q62Sql,
     "q60_simhash_neardup" -> q60Sql,
     "q58_dedup_against_corpus" -> q58Sql,
+    "q117_bloom_decontaminate" -> q117Sql,
     "q59_text_normalize" -> q59Sql,
     "q56_tfidf_top_terms" -> q56Sql,
     "q23_dedup_exact" -> q23Sql,

@@ -136,6 +136,15 @@ class DedupSpec extends SparkSpec {
     // false positives only shave a bounded sliver off the clean set
     val fpObserved = (exact.size - bloomKept.size).toDouble / math.max(1, exact.size)
     assert(fpObserved <= 0.05, s"bloom over-dropped: observed FP rate $fpObserved > 5%")
+    // the bloom-gated EXACT form (pre-filter + confirm join) restores
+    // bit-identical anti-join semantics — the registrable q117 contract
+    val gatedExact = Dedup
+      .againstCorpusBloomExact(docs, "text", corpus, "text", expectedItems = 1000, fpp = 0.01)
+      .select(col("doc_id"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(gatedExact == exact, "bloom-gated exact decontamination diverged from the anti-join")
   }
 
   test("connectedComponents converges on a chain (diameter > 1) and a clique") {
