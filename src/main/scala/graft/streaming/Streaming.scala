@@ -90,6 +90,32 @@ object Streaming {
       }
   }
 
+  case class CdcOp(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String, value: Double)
+
+  /** Streaming CDC snapshot — the streaming twin of the batch changelog
+    * compaction (q111): purchase = upsert, error = tombstone; state per
+    * user is the latest op by (ts, event_id) — ONE row, however long the
+    * user's history — and each micro-batch emits the user's new current
+    * op. The final snapshot is the latest emitted op per user filtered to
+    * upserts; parity with batch q111 is asserted in StreamingSpec across
+    * state-store round trips.
+    */
+  def cdcSnapshotState(ops: Dataset[Event]): Dataset[CdcOp] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops
+      .filter(e => e.event_type == "purchase" || e.event_type == "error")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcOp, CdcOp](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CdcOp]) =>
+          val candidates = state.getOption.iterator ++
+            rows.map(e => CdcOp(uid, e.ts, e.event_id, e.event_type, e.value))
+          val latest = candidates.maxBy(o => (o.ts.getTime, o.event_id))
+          state.update(latest)
+          latest
+      }
+  }
+
   case class Alert(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double, prev_max: Double)
 
   /** Threshold-crossing alerts via `flatMapGroupsWithState` — the

@@ -353,6 +353,43 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming CDC snapshot matches the batch q111 changelog compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.core.Tables.events(spark, sf).as[Event]
+      .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val third = events.length / 3
+    val stream = MemoryStream[Event]
+    val q = Streaming
+      .cdcSnapshotState(stream.toDS())
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory")
+      .queryName("cdc_snapshot")
+      .start()
+    Seq(events.take(third), events.slice(third, 2 * third), events.drop(2 * third)).foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // emitted rows are each user's latest-so-far op per batch (monotone in
+    // (ts, event_id)), so the final snapshot is the per-user max — upserts only
+    val got = spark
+      .table("cdc_snapshot")
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getString(3), r.getDouble(4))))
+      .groupBy(_._1)
+      .map { case (uid, rows) => uid -> rows.map(_._2).maxBy(t => (t._1, t._2)) }
+      .collect { case (uid, (ts, _, "purchase", v)) => (uid, ts, v) }
+      .toSet
+    val want = graft.queries.EventQueries
+      .q111(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .toSet
+    assert(got == want, s"stream/batch CDC mismatch: only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
