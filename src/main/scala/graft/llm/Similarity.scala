@@ -186,11 +186,16 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Squared L2 distance between two double arrays — sequential left fold
-    * (codegen'd higher-order functions), so the accumulation order is
-    * fixed and cross-engine reproducible modulo the usual r6 snap.
+  /** Squared L2 distance — the native fused-loop expression
+    * ([[graft.plans.L2SqExpr]]): sequential accumulation, bit-identical to
+    * [[l2sqHof]] (parity property-tested), cross-engine reproducible
+    * modulo the usual r6 snap.
     */
   def l2sq(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.l2Sq(a, b)
+
+  /** The HOF composition the native expression is verified against. */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, m, sv): the M subspace slices of each embedding, cast to

@@ -194,7 +194,7 @@ object AsOfJoin {
   * Besides the as-of planner strategy, this publishes the native
   * expressions to the SQL function registry, so `spark.sql` users reach
   * the codegen'd kernels without touching the Scala API:
-  * `graft_cosine_sim(a, b)`, `graft_hash60(s)`,
+  * `graft_cosine_sim(a, b)`, `graft_l2_sq(a, b)`, `graft_hash60(s)`,
   * `graft_lsh_bucket(v, planes, dims)`, `graft_shingle_hashes(text, n)`,
   * `graft_minhash_sig(text, n)`.
   */
@@ -220,6 +220,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_cosine_sim(a, b) takes 2 arguments")
           CosineSimExpr(args(0), args(1))
+        }))
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_l2_sq"),
+        info("graft_l2_sq", "graft_l2_sq(a, b) - squared L2 distance of two float/double arrays"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_l2_sq(a, b) takes 2 arguments")
+          L2SqExpr(args(0), args(1))
         }))
     e.injectFunction(
       (

@@ -82,6 +82,66 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance as a native expression — the PQ/ADC hot loop
+  * (assignment distances and query distance tables both evaluate it per
+  * (subvector, centroid) pair). Bit-identical to the
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, acc+x)` HOF
+  * composition (sequential accumulation, same element order), but one
+  * fused loop with no intermediate array. Same fresh-name discipline as
+  * [[CosineSimExpr]].
+  */
+case class L2SqExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val ld = elemIsDouble(left)
+    val rd = elemIsDouble(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsDouble(left)) "getDouble" else "getFloat"
+    val rGet = if (elemIsDouble(right)) "getDouble" else "getFloat"
+    val (n, acc, i, d) =
+      (ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"), ctx.freshName("d"))
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $acc = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+        |  $acc += $d * $d;
+        |}
+        |${ev.value} = $acc;
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket as a native expression: `planes` sign bits
   * of deterministic pseudo-random projections packed into a long. The
   * weights are the same integer mix as [[graft.functions.Vectors.lshBucket]]
@@ -192,6 +252,10 @@ object VectorExpressions {
   /** Column API for the native cosine. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the native squared-L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(L2SqExpr(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column API for the native LSH bucket. */
   def lshBucket(v: Column, planes: Int, dims: Int): Column =

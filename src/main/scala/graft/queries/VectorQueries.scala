@@ -344,7 +344,11 @@ object VectorQueries {
     */
   def q110(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val codebook = Similarity.pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+    // the codebook (≤ 64 rows) feeds TWO broadcasts (corpus encoding and
+    // the query distance tables) — materialize the training subtree once
+    val codebook = Similarity
+      .pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Similarity
       .pqTopK(emb.filter(col("vec_id") < 5), emb, codebook, mCount = 4, subDim = 16, k = 10)
       .orderBy(col("qid"), col("rk"))

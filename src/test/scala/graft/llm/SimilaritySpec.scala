@@ -22,6 +22,25 @@ class SimilaritySpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native L2-squared expression is bit-identical to the HOF composition") {
+    import spark.implicits._
+    val pairs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      .crossJoin(emb.limit(3).select(col("embedding").cast("array<double>").as("b")))
+    val diff = pairs
+      .select(
+        Similarity.l2sq(col("a"), col("b")).as("native"),
+        Similarity.l2sqHof(col("a"), col("b")).as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diff.count() == 0)
+    // mixed float/double operands dispatch correctly too
+    val mixed = emb
+      .select(col("embedding").as("f"), col("embedding").cast("array<double>").as("d"))
+      .select(Similarity.l2sq(col("f"), col("d")).as("m"))
+      .filter($"m" =!= 0.0)
+    assert(mixed.count() == 0, "x vs itself (float vs exact double cast) must be 0")
+  }
+
   test("native LSH bucket equals the composed-column form") {
     import spark.implicits._
     val diff = emb

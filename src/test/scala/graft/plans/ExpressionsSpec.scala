@@ -66,6 +66,11 @@ class ExpressionsSpec extends SparkSpec {
           .agg(max(element_at(col("s"), 1)))
           .head
           .getLong(0) > 0)
+      // L2SqExpr twice in ONE projection (fresh-name collision case)
+      val l2 = emb.select(
+        graft.plans.VectorExpressions.l2Sq(col("embedding"), col("embedding")).as("d1"),
+        graft.plans.VectorExpressions.l2Sq(col("embedding"), col("embedding")).as("d2"))
+      assert(l2.filter(col("d1") =!= col("d2") || col("d1") =!= 0.0).count() == 0)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
         spark.conf.set("spark.sql.codegen.factoryMode", v))
