@@ -684,8 +684,108 @@ object Corpus {
        |FROM sh GROUP BY ngram_hash HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, ngram_hash LIMIT 100""".stripMargin
 
+  // -- q118: two-sample KS drift between sources ------------------------
+
+  /** Distribution drift between corpus sources: the two-sample
+    * Kolmogorov–Smirnov statistic D = sup|F_a − F_b| over the n_chars
+    * (document length) distribution, for every source pair — the
+    * "did this crawl slice shift?" gate a training-mix pipeline runs per
+    * ingest. Computed on the value GRID (source pairs × distinct metric
+    * values, both dimension-sized — for a continuous metric you'd bin
+    * first): per-value counts, window cumsum → empirical CDFs, max gap.
+    * CDF numerators are exact integers; only the final ratio/max is
+    * float, r6-snapped.
+    */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vc = docs.groupBy(col("source"), col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = totals
+      .select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(totals.select(col("source").as("src_b"), col("n").as("n_b")), col("src_a") < col("src_b"))
+    val vals = docs.select(col("n_chars").as("v")).distinct()
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("v"))
+    val grid = pairs
+      .crossJoin(vals)
+      .join(
+        vc.select(col("source").as("src_a"), col("v"), col("cnt").as("ca")),
+        Seq("src_a", "v"),
+        "left")
+      .join(
+        vc.select(col("source").as("src_b"), col("v"), col("cnt").as("cb")),
+        Seq("src_b", "v"),
+        "left")
+      .withColumn("fa", sum(coalesce(col("ca"), lit(0L))).over(w).cast("double") / col("n_a"))
+      .withColumn("fb", sum(coalesce(col("cb"), lit(0L))).over(w).cast("double") / col("n_b"))
+    grid
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(Det.r6(max(abs(col("fa") - col("fb")))).as("d_stat"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q118Sql: String =
+    s"""WITH vc AS (SELECT source, n_chars AS v, count(*) AS cnt FROM documents GROUP BY source, v),
+       |totals AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+       |  FROM totals a JOIN totals b ON a.source < b.source),
+       |vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+       |grid AS (
+       |  SELECT p.src_a, p.src_b, p.n_a, p.n_b, vals.v,
+       |    coalesce(ca.cnt, 0) AS ca, coalesce(cb.cnt, 0) AS cb
+       |  FROM pairs p CROSS JOIN vals
+       |  LEFT JOIN vc ca ON ca.source = p.src_a AND ca.v = vals.v
+       |  LEFT JOIN vc cb ON cb.source = p.src_b AND cb.v = vals.v),
+       |cdf AS (
+       |  SELECT src_a, src_b, n_a, n_b,
+       |    CAST(sum(ca) OVER w AS DOUBLE) / n_a AS fa,
+       |    CAST(sum(cb) OVER w AS DOUBLE) / n_b AS fb
+       |  FROM grid WINDOW w AS (PARTITION BY src_a, src_b ORDER BY v
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT src_a, src_b, n_a, n_b, ${Det.sqlR("max(abs(fa - fb))", 6)} AS d_stat
+       |FROM cdf GROUP BY src_a, src_b, n_a, n_b ORDER BY src_a, src_b""".stripMargin
+
+  // -- q119: unigram entropy per source ----------------------------------
+
+  /** Token-distribution entropy per source (unigram Shannon entropy in
+    * bits) plus type/token counts — the lexical-diversity readout of a
+    * training mix (low entropy = templated/boilerplate-heavy source).
+    * Vocabulary-sharded: one (source, token) hash agg, then one
+    * source-level agg; p·log₂p terms are each within 1 ulp on both
+    * engines and the sum is r6-snapped.
+    */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables
+      .documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+    tc.withColumn("n", sum(col("c")).over(w))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        Det.r6(-sum(col("p") * log2(col("p")))).as("entropy_bits"))
+      .orderBy(col("source"))
+  }
+
+  val q119Sql: String =
+    s"""WITH tc AS (
+       |  SELECT source, tok, count(*) AS c
+       |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) u
+       |  GROUP BY source, tok),
+       |pt AS (
+       |  SELECT source, c, sum(c) OVER (PARTITION BY source) AS n FROM tc)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |  ${Det.sqlR("-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))", 6)} AS entropy_bits
+       |FROM pt GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q114_repeated_ngrams" -> (q114 _),
+    "q118_ks_drift" -> (q118 _),
+    "q119_token_entropy" -> (q119 _),
     "q100_token_chunks" -> (q100 _),
     "q99_pipeline_end_to_end" -> (q99 _),
     "q96_lm_perplexity_filter" -> (q96 _),
@@ -700,6 +800,8 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q114_repeated_ngrams" -> q114Sql,
+    "q118_ks_drift" -> q118Sql,
+    "q119_token_entropy" -> q119Sql,
     "q100_token_chunks" -> q100Sql,
     "q99_pipeline_end_to_end" -> q99Sql,
     "q96_lm_perplexity_filter" -> q96Sql,
