@@ -423,6 +423,59 @@ object Extended {
     s.sql(q75SharedSql)
   }
 
+  /** TPC-H Q21-shape: correlated EXISTS + NOT EXISTS against the same
+    * fact table (sole-blame suppliers — the only supplier with a returned
+    * line in a multi-supplier 'F' order). Exercises Catalyst's rewrite of
+    * both subqueries into left-semi and left-anti joins on the
+    * correlation key (plan-asserted in QueriesSpec): a naive engine would
+    * rescan lineitem per probe row; the decorrelated plan is two hash
+    * joins on l_orderkey. Counts only — no float anywhere.
+    */
+  val q120SharedSql: String =
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
+
+  def q120(s: SparkSession, d: String): DataFrame = {
+    graft.core.Catalog.registerAll(s, d)
+    s.sql(q120SharedSql)
+  }
+
+  /** TPC-H Q20-shape: nested IN chains with a correlated scalar aggregate
+    * in the HAVING clause (suppliers concentrating >50% of a tracked
+    * part's shipped quantity). Three levels of decorrelation in one
+    * query; l_quantity is integral so every sum is exact — no rounding
+    * anywhere.
+    */
+  val q121SharedSql: String =
+    """SELECT s.s_name
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%green%')
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING sum(l.l_quantity) > (
+      |    SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey))
+      |ORDER BY s.s_name""".stripMargin
+
+  def q121(s: SparkSession, d: String): DataFrame = {
+    graft.core.Catalog.registerAll(s, d)
+    s.sql(q121SharedSql)
+  }
+
   /** Salted hot-key join, oracle-checked. The fact side gets a synthetic
     * pathological key (90% of lineitem collapses onto hk=0 — the shape AQE
     * skew-split alone can't always save when one logical key exceeds an
@@ -523,6 +576,8 @@ object Extended {
     "q55_pivot" -> (q55 _),
     "q61_shared_sql" -> (q61 _),
     "q75_correlated_scalar_subquery" -> (q75 _),
+    "q120_multi_exists_decorrelation" -> (q120 _),
+    "q121_nested_in_having" -> (q121 _),
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
@@ -547,6 +602,8 @@ object Extended {
     "q55_pivot" -> q55Sql,
     "q61_shared_sql" -> q61SharedSql,
     "q75_correlated_scalar_subquery" -> q75SharedSql,
+    "q120_multi_exists_decorrelation" -> q120SharedSql,
+    "q121_nested_in_having" -> q121SharedSql,
     "q45_union_all_tagged" -> q45Sql,
     "q46_string_functions" -> q46Sql,
     "q47_range_frame_window" -> q47Sql,

@@ -106,6 +106,21 @@ class QueriesSpec extends SparkSpec {
     assert(rows.length == 2 && rows.forall(_.getLong(2) > 0))
   }
 
+  test("EXISTS + NOT EXISTS decorrelate into semi and anti joins (q120)") {
+    val qe = Extended.q120(spark, sf).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(!optimized.contains("exists-subquery"), s"subquery survived optimization:\n$optimized")
+    assert(optimized.contains("LeftSemi"), optimized)
+    assert(optimized.contains("LeftAnti"), optimized)
+  }
+
+  test("nested IN with correlated HAVING decorrelates fully (q121)") {
+    val optimized = Extended.q121(spark, sf).queryExecution.optimizedPlan.toString
+    assert(
+      !optimized.contains("scalar-subquery") && !optimized.contains("list-subquery"),
+      s"subquery survived optimization:\n$optimized")
+  }
+
   test("scalar udf surface works but the native form matches it (prefer codegen)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
