@@ -351,6 +351,63 @@ object EventQueries {
         6)} AS ewma
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- q122: Holt double-exponential smoothing (level + trend) ----------
+
+  /** Holt's linear-trend smoothing per user series (α = 0.2, β = 0.1):
+    * the 2-component recursion l_t = αv + (1−α)(l+b), b_t = β(l_t−l) +
+    * (1−β)b folded sequentially with a STRUCT accumulator — q57's
+    * deterministic-fold technique generalized from a scalar to a state
+    * vector (Spark `aggregate` with named_struct ↔ DuckDB `list_reduce`
+    * over structs, identical arithmetic shape so the trajectories agree
+    * bit-for-bit before the r6 snap). Output includes the one-step
+    * forecast l+b — the TSDB "where is this series heading" readout.
+    * Per-user state is the user's own history, the same bound as q57.
+    */
+  def q122(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, value))), p -> p.value)").as("vals"),
+        count(lit(1)).as("n"))
+      .withColumn(
+        "hw",
+        expr(
+          """aggregate(
+            |  slice(vals, 2, size(vals) - 1),
+            |  named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)),
+            |  (acc, v) -> named_struct(
+            |    'l', 0.2D * v + 0.8D * (acc.l + acc.b),
+            |    'b', 0.1D * ((0.2D * v + 0.8D * (acc.l + acc.b)) - acc.l) + 0.9D * acc.b))""".stripMargin))
+      .select(
+        col("user_id"),
+        col("n"),
+        Det.r6(col("hw.l")).as("level"),
+        Det.r6(col("hw.b")).as("trend"),
+        Det.r6(col("hw.l") + col("hw.b")).as("forecast_1"))
+      .orderBy(col("user_id"))
+
+  /** Oracle note: the accumulator is a 2-element LIST, not a struct —
+    * DuckDB's list_reduce builds a struct accumulator field-by-field, so a
+    * 'b' expression referencing acc.l would see the already-updated level
+    * (verified empirically); list construction is atomic.
+    */
+  val q122Sql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, count(*) AS n,
+       |    list_reduce(
+       |      list_transform(list(value ORDER BY ts, event_id),
+       |                     x -> [CAST(x AS DOUBLE), 0.0::DOUBLE]),
+       |      (acc, v) -> [0.2::DOUBLE * v[1] + 0.8::DOUBLE * (acc[1] + acc[2]),
+       |                   0.1::DOUBLE * ((0.2::DOUBLE * v[1] + 0.8::DOUBLE * (acc[1] + acc[2])) - acc[1])
+       |                   + 0.9::DOUBLE * acc[2]]) AS hw
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id, n,
+       |  ${Det.sqlR("hw[1]", 6)} AS level,
+       |  ${Det.sqlR("hw[2]", 6)} AS trend,
+       |  ${Det.sqlR("hw[1] + hw[2]", 6)} AS forecast_1
+       |FROM f ORDER BY user_id""".stripMargin
+
   /** Grouped statistical aggregates: sample stddev/variance, covariance
     * and Pearson correlation per event type — one hash shuffle with
     * map-side partials (Spark merges per-partition moment sketches, the
@@ -536,6 +593,7 @@ object EventQueries {
       |ORDER BY user_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q122_holt_trend" -> (q122 _),
     "q111_cdc_snapshot" -> (q111 _),
     "q107_scd2_intervals" -> (q107 _),
     "q82_rank_distribution" -> (q82 _),
@@ -558,6 +616,7 @@ object EventQueries {
     "q22_kv_point_lookup" -> (q22 _))
 
   val oracles: Map[String, String] = Map(
+    "q122_holt_trend" -> q122Sql,
     "q111_cdc_snapshot" -> q111Sql,
     "q107_scd2_intervals" -> q107Sql,
     "q82_rank_distribution" -> q82Sql,
