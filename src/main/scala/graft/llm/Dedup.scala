@@ -400,6 +400,43 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("is_canonical"))
   }
 
+  /** Scale-path near-dup clustering: LSH candidate pairs (banded minhash)
+    * gated by EXACT jaccard computed on the candidates only, then
+    * connected components. [[dedupClusters]]' blocking is the
+    * shared-shingle self-join — correct but proportional to Σ df(shingle)²;
+    * here the candidate set is the banded one (constant 128-byte signature
+    * per doc, band buckets as the join key), the jaccard joins touch only
+    * docs that appear in some candidate pair, and recall is the standard
+    * LSH S-curve (subset-of-exact law in DedupSpec). This is the
+    * MinHash-LSH dedup recipe (Broder; GPT-3/Gopher corpus dedup) end to
+    * end as one Spark plan.
+    */
+  def lshDedupClusters(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cand = lshCandidatePairs(df, idCol, textCol, n).persist(mem)
+    val sh = df
+      .select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("__h"))
+      .distinct()
+      .persist(mem)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("a_id"), col("__h")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("__h")), Seq("b_id", "__h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val edges = inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), Seq("b_id"))
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
+      .select("a_id", "b_id")
+    val comp = connectedComponents(edges, "a_id", "b_id")
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+      .withColumn("is_canonical", (col("cluster_id") === col(idCol)).cast("long"))
+      .select(col(idCol), col("cluster_id"), col("is_canonical"))
+  }
+
   /** 16-bit simhash per doc over token occurrences. Near-dup = small
     * Hamming distance; bucketing on the simhash value (or bit-chunks of a
     * wider hash) gives the scale path.

@@ -225,6 +225,64 @@ object TextQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // -- q123: LSH-blocked dedup clusters (the 100 TB dedup pipeline) -----
+
+  /** The full MinHash-LSH dedup pipeline as one query: banded signatures →
+    * candidate pairs → exact-jaccard gate on candidates only → connected
+    * components → per-doc cluster labels. q78's exact twin blocks on
+    * shared shingles (Σ df² join fan-out); this blocks on LSH bands
+    * (constant 128-byte signature per doc) — the shape that survives when
+    * even the shingle join is too hot. Oracle replays signatures, bands,
+    * candidate gate and the component fixpoint (recursive CTE).
+    */
+  def q123(s: SparkSession, d: String): DataFrame =
+    Dedup
+      .lshDedupClusters(Tables.documents(s, d), "doc_id", "text", 3, 0.2)
+      .orderBy(col("doc_id"))
+
+  val q123Sql: String = {
+    val mins = (0 until 16)
+      .map(j => s"min(${Text.sqlMinhashTerm("h", j)}) AS m$j")
+      .mkString(", ")
+    val bandRows = (0 until 4)
+      .map { b =>
+        val cols = (4 * b until 4 * b + 4).map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $b AS band, $cols AS bandval FROM sig"
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $sqlShingleCte,
+       |hs AS (SELECT doc_id, ${Text.sqlHash60("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.bandval = r.bandval AND l.doc_id < r.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+       |  GROUP BY c.a_id, c.b_id),
+       |p AS (
+       |  SELECT a_id, b_id
+       |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM p
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM p),
+       |reach(id, r) AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       |  CAST(CASE WHEN coalesce(lab.cluster_id, d.doc_id) = d.doc_id
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM documents d LEFT JOIN lab ON lab.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -- q27: simhash ----------------------------------------------------
 
   def q27(s: SparkSession, d: String): DataFrame =
@@ -545,6 +603,7 @@ object TextQueries {
     "q60_simhash_neardup" -> (q60 _),
     "q58_dedup_against_corpus" -> (q58 _),
     "q117_bloom_decontaminate" -> (q117 _),
+    "q123_lsh_dedup_clusters" -> (q123 _),
     "q59_text_normalize" -> (q59 _),
     "q56_tfidf_top_terms" -> (q56 _),
     "q23_dedup_exact" -> (q23 _),
@@ -565,6 +624,7 @@ object TextQueries {
     "q60_simhash_neardup" -> q60Sql,
     "q58_dedup_against_corpus" -> q58Sql,
     "q117_bloom_decontaminate" -> q117Sql,
+    "q123_lsh_dedup_clusters" -> q123Sql,
     "q59_text_normalize" -> q59Sql,
     "q56_tfidf_top_terms" -> q56Sql,
     "q23_dedup_exact" -> q23Sql,

@@ -147,6 +147,34 @@ class DedupSpec extends SparkSpec {
     assert(gatedExact == exact, "bloom-gated exact decontamination diverged from the anti-join")
   }
 
+  test("LSH dedup clusters refine the exact clusters (candidates ⊆ all pairs)") {
+    // LSH can only MISS pairs the exact form finds, never invent them: every
+    // LSH cluster must sit inside one exact cluster (refinement), and docs
+    // the LSH form clusters must be clustered identically or more coarsely
+    // by the exact form.
+    val exact = Dedup
+      .dedupClusters(docs, "doc_id", "text", 3, 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val lsh = Dedup
+      .lshDedupClusters(docs, "doc_id", "text", 3, 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(lsh.keySet == exact.keySet, "both label every document")
+    lsh.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size == 1, s"LSH cluster spans exact clusters: $members")
+    }
+    // and at this threshold the banded signatures recover a non-trivial
+    // share of the exact clustering (recall sanity, not exactness)
+    val exactClustered = exact.count { case (id, c) => id != c }
+    val lshClustered = lsh.count { case (id, c) => id != c }
+    if (exactClustered > 0)
+      assert(lshClustered.toDouble / exactClustered >= 0.5, s"$lshClustered/$exactClustered")
+  }
+
   test("connectedComponents converges on a chain (diameter > 1) and a clique") {
     import spark.implicits._
     // chain 10-11-12-13 forces >1 propagation iteration; clique 20-21-22
