@@ -138,22 +138,36 @@ object Extended {
        |  count(*) AS cnt
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Quantile SKETCH per event type: `approx_percentile` (Greenwald-Khanna
-    * with accuracy 1/10000) — the mergeable, bounded-memory path for
-    * percentiles over 100 TB, where exact `percentile`'s full sort-per-group
-    * is off the table. Rows-only for the driver (sketch output has no SQL
-    * oracle twin); `QueriesSpec`-side law: within 3% of q41's exact values
-    * (GK returns elements, not interpolations, so small groups drift more).
+  /** Approximate percentiles by deterministic uniform sampling: keep the
+    * rows whose 60-bit event_id hash lands in 1-of-5 residue classes (a
+    * 20% sample with no RNG and no shuffle — the filter is a scan-level
+    * predicate), then exact interpolated percentiles on the sample. This
+    * is the classic sampling estimator for quantiles: at 100 TB the sample
+    * rate drops with corpus size while the per-group sort stays bounded,
+    * and unlike GK/t-digest the whole pipeline is SQL-expressible, so the
+    * DuckDB oracle replays it end to end. The GK sketch
+    * (`approx_percentile`) remains law-tested in `QueriesSpec` as the
+    * alternative bounded-memory path.
     */
   def q71(s: SparkSession, d: String): DataFrame =
     Tables
       .events(s, d)
+      .filter(pmod(graft.functions.Text.hash60(col("event_id").cast("string")), lit(5)) === 0)
       .groupBy(col("event_type"))
       .agg(
-        Det.r6(expr("approx_percentile(value, 0.5, 10000)")).as("ap50"),
-        Det.r6(expr("approx_percentile(value, 0.9, 10000)")).as("ap90"),
-        count(lit(1)).as("cnt"))
+        Det.r6(expr("percentile(value, 0.5)")).as("sp50"),
+        Det.r6(expr("percentile(value, 0.9)")).as("sp90"),
+        count(lit(1)).as("sample_cnt"))
       .orderBy(col("event_type"))
+
+  val q71Sql: String =
+    s"""SELECT event_type,
+       |  ${Det.sqlR("quantile_cont(value, 0.5)", 6)} AS sp50,
+       |  ${Det.sqlR("quantile_cont(value, 0.9)", 6)} AS sp90,
+       |  count(*) AS sample_cnt
+       |FROM events
+       |WHERE ${graft.functions.Text.sqlHash60("CAST(event_id AS VARCHAR)")} % 5 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Fact ⋈ part dimension: revenue by brand (AQE picks broadcast while the
     * dimension fits, shuffled hash beyond).
@@ -295,16 +309,85 @@ object Extended {
        |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rk
        |FROM e ORDER BY user_id, event_id""".stripMargin
 
-  /** HLL cardinality sketch (approx_count_distinct). No SQL oracle — the
-    * two engines' sketches differ by construction; accuracy is asserted
-    * against the exact count in ScalaTest instead (rows-only here).
+  /** HyperLogLog cardinality from scratch, oracle-checked. The md5-derived
+    * 60-bit hash splits into an 8-bit register index (last 2 hex chars)
+    * and a 52-bit pattern (first 13 hex chars); rho (leading-zero run + 1)
+    * is read off the HEX STRING (strip leading '0' chars, classify the
+    * first nonzero digit) — zero floating-point in the register path, so
+    * Spark and DuckDB agree bit-for-bit where `floor(log2(w))` could
+    * misround across libm implementations. Register sums run in the
+    * INTEGER domain (sum of 2^(53-rho) ≤ 2^61) so aggregation order can't
+    * perturb the estimate. Scale story = the real HLL one: per-group state
+    * is 256 registers regardless of input size, partials merge by max, and
+    * both aggregations are map-side combinable. `approx_count_distinct`
+    * (Spark's native HLL++) stays law-tested in `QueriesSpec`.
     */
-  def q48(s: SparkSession, d: String): DataFrame =
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m // spliced as one literal in both engines
+    val two53 = 9007199254740992L // 2^53
+    val hex = md5(col("l_partkey").cast("string"))
+    val stripped = ltrim(substring(hex, 1, 13), "0")
+    val firstDigit = substring(stripped, 1, 1)
+    val bits = when(firstDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(firstDigit.isin("4", "5", "6", "7"), 3)
+      .when(firstDigit.isin("2", "3"), 2)
+      .otherwise(1)
+    val rho = when(length(stripped) === 0, lit(53))
+      .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
     Tables
       .lineitem(s, d)
+      .select(
+        col("l_returnflag"),
+        conv(substring(hex, 14, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        count(lit(1)).as("nz"),
+        sum(expr("CAST(power(2.0, 53 - r) AS BIGINT)")).as("sp"))
+      .select(
+        col("l_returnflag"),
+        Det.r4(
+          when(
+            lit(alphaM2) / ((col("sp") + (lit(m.toLong) - col("nz")) * lit(two53)).cast("double") / lit(two53.toDouble)) <= lit(2.5 * m)
+              && col("nz") < lit(m.toLong),
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("nz"))))
+            .otherwise(
+              lit(alphaM2) / ((col("sp") + (lit(m.toLong) - col("nz")) * lit(two53)).cast("double") / lit(two53.toDouble))))
+          .as("hll_parts"),
+        col("nz").as("buckets_used"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q48Sql: String = {
+    val alphaM2 = (0.7213 / (1 + 1.079 / 256) * 256 * 256).toString
+    val hex = "md5(CAST(l_partkey AS VARCHAR))"
+    val raw = s"$alphaM2 / (CAST(sp + (256 - nz) * 9007199254740992 AS DOUBLE) / 9007199254740992.0)"
+    s"""WITH rows_h AS (
+       |  SELECT l_returnflag,
+       |    CAST(('0x' || substr($hex, 14, 2)) AS BIGINT) AS bucket,
+       |    ltrim(substr($hex, 1, 13), '0') AS stripped
+       |  FROM lineitem),
+       |regs AS (
+       |  SELECT l_returnflag, bucket,
+       |    max(CASE WHEN length(stripped) = 0 THEN 53
+       |        ELSE 4 * (13 - length(stripped))
+       |          + (4 - (CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                       WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 3
+       |                       WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+       |                       ELSE 1 END)) + 1 END) AS r
+       |  FROM rows_h GROUP BY l_returnflag, bucket),
+       |grp AS (
+       |  SELECT l_returnflag, count(*) AS nz,
+       |    sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS sp
+       |  FROM regs GROUP BY l_returnflag)
+       |SELECT l_returnflag,
+       |  ${Det.sqlR(s"CASE WHEN $raw <= 640.0 AND nz < 256 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE $raw END", 4)} AS hll_parts,
+       |  nz AS buckets_used
+       |FROM grp ORDER BY l_returnflag""".stripMargin
+  }
 
   /** Map/JSON surface: parse props into a typed map, expose keys,
     * cardinality, and a looked-up value (stringified columns keep the
@@ -581,14 +664,14 @@ object Extended {
     "q45_union_all_tagged" -> (q45 _),
     "q46_string_functions" -> (q46 _),
     "q47_range_frame_window" -> (q47 _),
-    "q48_approx_count_distinct" -> (q48 _),
+    "q48_hll_count_distinct" -> (q48 _),
     "q36_cube_orders" -> (q36 _),
     "q37_intersect_nations" -> (q37 _),
     "q38_distinct_agg" -> (q38 _),
     "q39_time_weighted_avg" -> (q39 _),
     "q40_range_join_purchases" -> (q40 _),
     "q41_percentiles" -> (q41 _),
-    "q71_approx_percentiles" -> (q71 _),
+    "q71_sampled_percentiles" -> (q71 _),
     "q42_brand_revenue" -> (q42 _),
     "q43_supplier_stats" -> (q43 _))
 
@@ -613,6 +696,8 @@ object Extended {
     "q39_time_weighted_avg" -> q39Sql,
     "q40_range_join_purchases" -> q40Sql,
     "q41_percentiles" -> q41Sql,
+    "q48_hll_count_distinct" -> q48Sql,
+    "q71_sampled_percentiles" -> q71Sql,
     "q42_brand_revenue" -> q42Sql,
     "q43_supplier_stats" -> q43Sql)
 }

@@ -4,10 +4,17 @@ import graft.SparkSpec
 
 class QueriesSpec extends SparkSpec {
 
-  test("approx_count_distinct lands within 5% of exact (q48)") {
+  test("from-scratch HLL and native approx_count_distinct both land near exact (q48)") {
     import org.apache.spark.sql.functions._
-    val approx = Extended
+    val hll = Extended
       .q48(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val native = graft.core.Tables
+      .lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -19,25 +26,58 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+      // m=256 registers → standard error 1.04/sqrt(256) = 6.5%; allow 3σ
+      assert(math.abs(hll(k) - n) / n < 0.20, s"$k: hll ${hll(k)} vs exact $n")
+      assert(math.abs(native(k) - n).toDouble / n < 0.05, s"$k: native ${native(k)} vs exact $n")
     }
   }
 
-  test("approx_percentile sketch lands within 3% of exact percentiles (q71 vs q41)") {
-    // GK picks a real element (no interpolation), so on small per-group Ns
-    // it can sit a couple of elements away from the interpolated exact
-    // value — 3% of the p90 scale bounds that without masking real bugs
-    val approx = Extended
-      .q71(spark, sf)
+  test("sampled and GK-sketch percentiles both land near exact (q71 vs q41)") {
+    import org.apache.spark.sql.functions._
+    // q71 = deterministic 20% hash-sample + exact interpolation; GK picks a
+    // real element (no interpolation). Both bounded vs q41's exact values
+    // on the p90 scale without masking real bugs. The sampling law runs at
+    // sf0.01 — per-type sample counts at sf0.001 (tens of rows) put even a
+    // correct estimator's tail noise above any meaningful bound.
+    val sf01 = "/root/testdata/sf0.01"
+    val sampled = Extended
+      .q71(spark, sf01)
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
+    val gk = graft.core.Tables
+      .events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("ap90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // quantile-space bound: the sampled p-th quantile must land between the
+    // exact (p-8%) and (p+8%) quantiles — the statistically correct law for
+    // an order-statistic estimator (value-space bounds depend on the local
+    // density, which is tiny in this fixture's exponential-ish tail).
+    // ~400 sampled rows/type → SE ≈ sqrt(.25/400) = 2.5%, so ±8% ≈ 3σ.
+    val bounds = graft.core.Tables
+      .events(spark, sf01)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.42)").as("lo50"), expr("percentile(value, 0.58)").as("hi50"),
+        expr("percentile(value, 0.82)").as("lo90"), expr("percentile(value, 0.98)").as("hi90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    bounds.foreach { case (t, (lo50, hi50, lo90, hi90)) =>
+      val (s50, s90) = sampled(t)
+      assert(s50 >= lo50 && s50 <= hi50, s"$t sampled p50 $s50 outside exact [$lo50,$hi50]")
+      assert(s90 >= lo90 && s90 <= hi90, s"$t sampled p90 $s90 outside exact [$lo90,$hi90]")
+    }
     Extended.q41(spark, sf).collect().foreach { r =>
-      val (a50, a90) = approx(r.getString(0))
+      val (g50, g90) = gk(r.getString(0))
       val span = math.max(1e-9, math.abs(r.getDouble(2))) // p90 as the scale
-      assert(math.abs(a50 - r.getDouble(1)) / span < 0.03, s"${r.getString(0)} p50: $a50 vs ${r.getDouble(1)}")
-      assert(math.abs(a90 - r.getDouble(2)) / span < 0.03, s"${r.getString(0)} p90: $a90 vs ${r.getDouble(2)}")
+      assert(math.abs(g50 - r.getDouble(1)) / span < 0.03, s"${r.getString(0)} gk p50: $g50 vs ${r.getDouble(1)}")
+      assert(math.abs(g90 - r.getDouble(2)) / span < 0.03, s"${r.getString(0)} gk p90: $g90 vs ${r.getDouble(2)}")
     }
   }
 
