@@ -334,10 +334,11 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val raw = fwd
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(mem)
+    // Materialize the INPUT edge list first: both directions of the
+    // undirected mirror read it, and callers hand us the tail of a long
+    // join chain — without this persist the whole upstream (blocking join,
+    // jaccard gate, …) executes twice just to build the mirror.
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(mem)
     // Size the loop's parallelism to the MATERIALIZED edge count: the
     // near-dup edge list is orders smaller than the corpus it came from,
     // and a fixed session-wide shuffle width would make every round pay
@@ -345,12 +346,15 @@ object Dedup {
     // partition, capped at the session width; pre-partitioning by src and
     // keeping every loop frame hash-partitioned the same way makes each
     // round's join co-partitioned (shuffle only on the aggregate).
-    val edgeRows = raw.count()
+    val edgeRows = fwd.count() * 2
     val sessionWidth = edges.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(sessionWidth.toLong, edgeRows / 1000000L + 1L)).toInt
-    val undirected = raw.repartition(parts, col("src")).persist(mem)
+    val undirected = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("src"))
+      .persist(mem)
     undirected.count()
-    raw.unpersist()
+    fwd.unpersist()
     // Seed with the one-hop fixpoint candidate min(self, neighbors) — the
     // first propagation round for free (und carries both directions, so
     // every node appears as src).
@@ -414,7 +418,22 @@ object Dedup {
   def lshDedupClusters(df: DataFrame, idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cand = lshCandidatePairs(df, idCol, textCol, n).persist(mem)
+    // The exact-jaccard gate only ever reads shingles of docs that appear
+    // in some candidate pair — semi-join BEFORE exploding, so the shingle
+    // shuffle is Σ|candidate docs| not Σ|corpus| (at 100 TB the candidate
+    // set is a sliver of the corpus; the full-corpus work stays inside the
+    // constant-width signature pass above).
+    val candIds = cand
+      .select(col("a_id").as(idCol))
+      .unionByName(cand.select(col("b_id").as(idCol)))
+      .distinct()
+    // broadcast: candIds is bare 8-byte ids (a sliver of the corpus), and
+    // a shuffled semi-join here would move full TEXT BODIES across the
+    // exchange — the one thing this operator exists to avoid. If the
+    // candidate set ever outgrows a broadcast, swap for a bloom filter on
+    // doc_id (same plan shape, approximate pre-filter + exact semi join).
     val sh = df
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("__h"))
       .distinct()
       .persist(mem)
