@@ -39,8 +39,10 @@ object GraftSession {
     spark.conf.set(
       "spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // custom operators (runtime path; builder path is GraftExtensions)
+    // custom operators + native SQL functions (runtime path; builder path
+    // is GraftExtensions via spark.sql.extensions)
     graft.plans.AsOfJoin.register(spark)
+    graft.plans.GraftExtensions.registerRuntime(spark)
     spark
   }
 

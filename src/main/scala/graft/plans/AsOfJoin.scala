@@ -198,6 +198,22 @@ object AsOfJoin {
   * `graft_lsh_bucket(v, planes, dims)`, `graft_shingle_hashes(text, n)`,
   * `graft_minhash_sig(text, n)`.
   */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Runtime-path twin of the builder-path installer: register the same
+    * native SQL functions on an ALREADY-BUILT session (the driver hands
+    * Verify/Bench a plain builder session, where `withExtensions` is no
+    * longer reachable). Idempotent — createOrReplaceTempFunction.
+    */
+  def registerRuntime(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    new GraftExtensions().functionTriples.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, (args: Seq[Expression]) => builder(args), "built-in")
+    }
+  }
+}
+
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -211,61 +227,55 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private[plans] val functionTriples: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (
+      "graft_cosine_sim",
+      "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine_sim(a, b) takes 2 arguments")
+        CosineSimExpr(args(0), args(1))
+      }),
+    (
+      "graft_l2_sq",
+      "graft_l2_sq(a, b) - squared L2 distance of two float/double arrays",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_l2_sq(a, b) takes 2 arguments")
+        L2SqExpr(args(0), args(1))
+      }),
+    (
+      "graft_hash60",
+      "graft_hash60(s) - portable 60-bit md5-prefix hash of a string",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hash60(s) takes 1 argument")
+        Md5Prefix60Expr(args(0))
+      }),
+    (
+      "graft_lsh_bucket",
+      "graft_lsh_bucket(v, planes, dims) - random-hyperplane LSH bucket of an embedding",
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_lsh_bucket(v, planes, dims) takes 3 arguments")
+        LshBucketExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dims"))
+      }),
+    (
+      "graft_shingle_hashes",
+      "graft_shingle_hashes(text, n) - 60-bit hashes of the text's word n-grams",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingle_hashes(text, n) takes 2 arguments")
+        ShingleHashesExpr(args(0), intArg(args(1), "n"))
+      }),
+    (
+      "graft_minhash_sig",
+      "graft_minhash_sig(text, n) - 16-component minhash signature over word n-grams (NULL if fewer than n tokens)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig(text, n) takes 2 arguments")
+        MinhashSigExpr(args(0), intArg(args(1), "n"))
+      }))
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_cosine_sim"),
-        info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, "graft_cosine_sim(a, b) takes 2 arguments")
-          CosineSimExpr(args(0), args(1))
-        }))
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_l2_sq"),
-        info("graft_l2_sq", "graft_l2_sq(a, b) - squared L2 distance of two float/double arrays"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, "graft_l2_sq(a, b) takes 2 arguments")
-          L2SqExpr(args(0), args(1))
-        }))
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_hash60"),
-        info("graft_hash60", "graft_hash60(s) - portable 60-bit md5-prefix hash of a string"),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, "graft_hash60(s) takes 1 argument")
-          Md5Prefix60Expr(args(0))
-        }))
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_lsh_bucket"),
-        info(
-          "graft_lsh_bucket",
-          "graft_lsh_bucket(v, planes, dims) - random-hyperplane LSH bucket of an embedding"),
-        (args: Seq[Expression]) => {
-          require(args.length == 3, "graft_lsh_bucket(v, planes, dims) takes 3 arguments")
-          LshBucketExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dims"))
-        }))
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_shingle_hashes"),
-        info(
-          "graft_shingle_hashes",
-          "graft_shingle_hashes(text, n) - 60-bit hashes of the text's word n-grams"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, "graft_shingle_hashes(text, n) takes 2 arguments")
-          ShingleHashesExpr(args(0), intArg(args(1), "n"))
-        }))
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_minhash_sig"),
-        info(
-          "graft_minhash_sig",
-          "graft_minhash_sig(text, n) - 16-component minhash signature over word n-grams (NULL if fewer than n tokens)"),
-        (args: Seq[Expression]) => {
-          require(args.length == 2, "graft_minhash_sig(text, n) takes 2 arguments")
-          MinhashSigExpr(args(0), intArg(args(1), "n"))
-        }))
+    functionTriples.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
+
 }

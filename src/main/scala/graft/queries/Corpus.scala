@@ -782,7 +782,148 @@ object Corpus {
        |  ${Det.sqlR("-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))", 6)} AS entropy_bits
        |FROM pt GROUP BY source ORDER BY source""".stripMargin
 
+  // -- q124: hashed-feature linear quality classifier ------------------
+
+  /** Fasttext-shaped quality scoring: hash each token into one of 4096
+    * feature buckets, look up a fixed linear-model weight (derived from
+    * the bucket by a Knuth multiplicative hash — a stand-in for trained
+    * weights, which would broadcast identically), average, sigmoid. The
+    * accumulation runs in the INTEGER domain per row (exact, order-free),
+    * so only the final sigmoid touches floats; the classification label
+    * branches on the integer sum (`s >= 0`), never on a rounded double.
+    * Scale: weights are a 4096-entry broadcast regardless of corpus size;
+    * scoring is row-local (one narrow pass, no shuffle before the sort).
+    */
+  def q124(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr(
+          "aggregate(toks, 0L, (acc, t) -> acc + " +
+            "((graft_hash60(t) % 4096L) * 2654435761L) % 1048576L - 524288L)")
+          .as("s_int"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        Det.r6(
+          when(col("n_tok") > 0, lit(1.0) / (lit(1.0) + exp(-(col("s_int").cast("double") / (col("n_tok") * lit(524288.0))))))
+            .otherwise(lit(0.5))).as("quality_score"),
+        (col("s_int") >= 0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+
+  val q124Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |sc AS (
+       |  SELECT doc_id, len(w) AS n_tok,
+       |    coalesce(list_sum(list_transform(w, t ->
+       |      ((CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4096) * 2654435761) % 1048576 - 524288)), 0) AS s_int
+       |  FROM d)
+       |SELECT doc_id, n_tok,
+       |  ${Det.sqlR("CASE WHEN n_tok > 0 THEN 1.0 / (1.0 + exp(-(CAST(s_int AS DOUBLE) / (n_tok * 524288.0)))) ELSE 0.5 END", 6)} AS quality_score,
+       |  CAST(CASE WHEN s_int >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // -- q125: span-level exact dedup (ExactSubstr, windowed) ------------
+
+  /** Span-level exact dedup: chop each doc into consecutive 20-token
+    * windows, hash each window, keep only the globally-first occurrence
+    * (smallest (doc_id, pos)) of every distinct span — the practical
+    * window form of Lee et al.'s ExactSubstr dedup. The global winner per
+    * span hash is one hash-aggregate on the 8-byte span hash (min over
+    * the encoded (doc_id, pos) key — integer, exact); per-doc retention
+    * stats follow with a second small aggregate. Nothing is all-pairs and
+    * text bodies never shuffle — only (hash, encoded-position) pairs.
+    */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr("transform(sequence(0, CAST(ceil(size(toks) / 20.0) AS INT) - 1), " +
+            "i -> graft_hash60(concat_ws(' ', slice(toks, i * 20 + 1, 20))))"))
+          .as(Seq("pos", "h")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(col("doc_id") * 1024 + col("pos")).as("first_key"))
+    spans
+      .join(winners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("doc_id") * 1024 + col("pos") === col("first_key")).cast("long")).as("n_kept"))
+      .select(
+        col("doc_id"),
+        col("n_spans"),
+        col("n_kept"),
+        Det.r6(col("n_kept").cast("double") / col("n_spans")).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q125Sql: String =
+    s"""WITH d AS (SELECT doc_id, $sqlToks AS w FROM documents WHERE len($sqlToks) > 0),
+       |sp AS (
+       |  SELECT doc_id, i AS pos,
+       |    CAST(('0x' || substr(md5(array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')), 1, 15)) AS BIGINT) AS h
+       |  FROM d, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
+       |win AS (SELECT h, min(doc_id * 1024 + pos) AS first_key FROM sp GROUP BY h)
+       |SELECT sp.doc_id, count(*) AS n_spans,
+       |  CAST(sum(CASE WHEN sp.doc_id * 1024 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${Det.sqlR("CAST(sum(CASE WHEN sp.doc_id * 1024 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
+       |FROM sp JOIN win w USING (h)
+       |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin
+
+  // -- q126: training-shard manifest -----------------------------------
+
+  /** Deterministic shard assignment + manifest for a training-data export:
+    * every doc hashes to one of 64 shards; the manifest reports per-shard
+    * doc/token/byte totals and an order-independent content digest (sum of
+    * bounded per-doc hashes — integers, so partial aggregation order can't
+    * change it). This is the write-path bookkeeping of a 100 TB corpus
+    * export: one map-side-combined aggregate over 64 keys, then the writer
+    * would `partitionBy(shard)` with the same expression.
+    */
+  def q126(s: SparkSession, d: String): DataFrame =
+    Tables
+      .documents(s, d)
+      .select(
+        pmod(Text.hash60(col("doc_id").cast("string")), lit(64)).as("shard"),
+        col("doc_id"),
+        col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        pmod(Text.hash60(col("text")), lit(1048576)).as("dh"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        sum(col("dh")).as("content_digest"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  val q126Sql: String =
+    s"""WITH d AS (
+       |  SELECT ${Text.sqlHash60("CAST(doc_id AS VARCHAR)")} % 64 AS shard, doc_id, n_chars,
+       |    len($sqlToks) AS n_tok,
+       |    ${Text.sqlHash60("text")} % 1048576 AS dh
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |  CAST(sum(dh) AS BIGINT) AS content_digest,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_quality_classifier" -> (q124 _),
+    "q125_span_dedup" -> (q125 _),
+    "q126_shard_manifest" -> (q126 _),
     "q114_repeated_ngrams" -> (q114 _),
     "q118_ks_drift" -> (q118 _),
     "q119_token_entropy" -> (q119 _),
@@ -799,6 +940,9 @@ object Corpus {
     "q92_mixture_resample" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    "q124_quality_classifier" -> q124Sql,
+    "q125_span_dedup" -> q125Sql,
+    "q126_shard_manifest" -> q126Sql,
     "q114_repeated_ngrams" -> q114Sql,
     "q118_ks_drift" -> q118Sql,
     "q119_token_entropy" -> q119Sql,
