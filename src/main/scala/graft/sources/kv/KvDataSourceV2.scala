@@ -1,0 +1,211 @@
+package graft.sources.kv
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector over the KV engine's cold tier: every persisted
+  * collection (one parquet directory per collection under the engine root,
+  * [[graft.kv.KvEngine]]) surfaces as rows of ONE logical table
+  * `(collection, key, value)` — the relational view of the reference's
+  * whole store (reference `internal/storage/cold.go:61-88` lists the same
+  * directory to answer `ListCollections`).
+  *
+  * The Spark-native part is what the connector PUSHES DOWN:
+  *  - `collection = 'x'` / `collection IN (…)` prune entire directories at
+  *    planning time — the scan never opens a file of another collection
+  *    (the moral equivalent of partition pruning on a `partitionBy` layout);
+  *  - `key = 'k'` is taken into the reader and filtered during the parquet
+  *    row walk, so a point probe ships only matching rows out of the scan;
+  *  - column pruning drops unreferenced output columns (a keys-only listing
+  *    never materializes values).
+  *
+  * Split granularity is one input partition per parquet FILE, so a
+  * 1000-executor cluster reads a big collection in parallel; the constant
+  * `collection` column costs nothing per row. Local-FS `Configuration` is
+  * built reader-side; on a real cluster the hadoop conf would ride along
+  * broadcast exactly as Spark's own parquet source does.
+  */
+class KvDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvDataSourceV2.Schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft-kv requires a path (the KV engine dataDir)"))
+    new KvTable(root)
+  }
+}
+
+object KvDataSourceV2 {
+  val Schema: StructType = StructType(
+    Seq(
+      StructField("collection", StringType, nullable = false),
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType)))
+
+  /** Same id law as the engine/reference (`cold.go:72`'s filename regex). */
+  private[kv] val idRe = "^[a-zA-Z0-9]+$".r
+
+  private[kv] def listCollections(root: String): Seq[String] = {
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && idRe.matches(f.getName))
+      .map(_.getName)
+      .sorted
+      .toSeq
+  }
+
+  private[kv] def listParquetFiles(root: String, collection: String): Seq[String] = {
+    val dir = new java.io.File(root, collection)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+      .sorted
+      .toSeq
+  }
+}
+
+class KvTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv:$root"
+  override def schema(): StructType = KvDataSourceV2.Schema
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new KvScanBuilder(root)
+}
+
+class KvScanBuilder(root: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = KvDataSourceV2.Schema
+  private val pushed = mutable.ArrayBuffer.empty[Filter]
+  private var collections: Option[Set[String]] = None // None = all
+  private var keyEquals: Option[String] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ EqualTo("collection", v: String) =>
+        collections = Some(collections.fold(Set(v))(_ intersect Set(v))); pushed += f
+      case f @ In("collection", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        collections = Some(collections.fold(s)(_ intersect s)); pushed += f
+      case f @ EqualTo("key", v: String) =>
+        // several key-equality conjuncts can only match their intersection;
+        // keep the first and let Spark re-check the rest as residuals
+        if (keyEquals.isEmpty) { keyEquals = Some(v); pushed += f }
+        else residual += f
+      case f @ IsNotNull("collection" | "key") =>
+        pushed += f // never null by construction
+      case other =>
+        residual += other
+    }
+    residual.toArray
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new KvScan(root, required, collections, keyEquals, pushed.toArray)
+}
+
+class KvScan(
+    root: String,
+    required: StructType,
+    collections: Option[Set[String]],
+    keyEquals: Option[String],
+    pushed: Array[Filter])
+    extends Scan
+    with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftKvScan root=$root PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = KvDataSourceV2.listCollections(root)
+    val selected = collections.fold(all)(want => all.filter(want)) // directory-level pruning
+    selected.flatMap { c =>
+      KvDataSourceV2.listParquetFiles(root, c).map(f => KvInputPartition(c, f): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvReaderFactory(required.fieldNames, keyEquals)
+}
+
+case class KvInputPartition(collection: String, file: String) extends InputPartition
+
+case class KvReaderFactory(fields: Array[String], keyEquals: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvInputPartition]
+    new KvPartitionReader(p.collection, p.file, fields, keyEquals)
+  }
+}
+
+/** Row walk over one cold-tier parquet file through parquet-hadoop's Group
+  * API (the file was written by Spark with schema (key STRING, value
+  * STRING), [[graft.kv.KvEngine]]). The pushed key-equality is applied
+  * here, before any row leaves the scan.
+  */
+class KvPartitionReader(
+    collection: String,
+    file: String,
+    fields: Array[String],
+    keyEquals: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  private val reader =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(new Configuration()).build()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    while (g != null) {
+      val key = if (g.getFieldRepetitionCount("key") > 0) g.getString("key", 0) else null
+      if (keyEquals.forall(_ == key)) {
+        val value = if (g.getFieldRepetitionCount("value") > 0) g.getString("value", 0) else null
+        val vals: Array[Any] = fields.map {
+          case "collection" => UTF8String.fromString(collection)
+          case "key" => UTF8String.fromString(key)
+          case "value" => if (value == null) null else UTF8String.fromString(value)
+          case other => throw new IllegalStateException(s"unknown column $other")
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
+      g = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = reader.close()
+}

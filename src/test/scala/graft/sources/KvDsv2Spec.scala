@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.kv.KvEngine
+
+/** The DataSource V2 cold-tier connector: one logical (collection, key,
+  * value) table over the engine's parquet directories, with directory-level
+  * collection pruning, in-reader key pushdown, and column pruning.
+  */
+class KvDsv2Spec extends SparkSpec {
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("graftkv-dsv2").toString
+    val eng = new KvEngine(spark, dir, autoCreate = true)
+    eng.writeKey("metrics", "cpu", "0.97")
+    eng.writeKey("metrics", "mem", "0.41")
+    eng.writeKey("logs", "boot", "ok")
+    eng.flushAllCollections()
+    dir
+  }
+
+  private def table = spark.read.format("graft-kv").load(root)
+
+  test("reads every flushed collection as one (collection, key, value) table") {
+    val rows = table.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(("metrics", "cpu", "0.97"), ("metrics", "mem", "0.41"), ("logs", "boot", "ok")))
+  }
+
+  test("collection equality prunes directories and key equality pushes into the reader") {
+    val q = table.filter("collection = 'metrics' AND key = 'cpu'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(collection,metrics)"), plan)
+    assert(plan.contains("EqualTo(key,cpu)"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("metrics", "cpu", "0.97")))
+    // directory-level pruning is structural: the scan plans no partition
+    // for the unselected collection's files
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val parts = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(parts.nonEmpty && parts.forall {
+      case graft.sources.kv.KvInputPartition(c, _) => c == "metrics"
+      case other => fail(s"unexpected partition $other")
+    })
+  }
+
+  test("column pruning reaches the scan (keys-only listing reads no values)") {
+    val q = table.select("key").orderBy("key")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<key:string>"), plan)
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("boot", "cpu", "mem"))
+  }
+
+  test("IN-list on collection prunes to the named subset") {
+    val q = table.filter("collection IN ('logs', 'nosuch')")
+    val rows = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("logs", "boot")))
+  }
+}
