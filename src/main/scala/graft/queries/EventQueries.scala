@@ -408,6 +408,102 @@ object EventQueries {
        |  ${Det.sqlR("hw[1] + hw[2]", 6)} AS forecast_1
        |FROM f ORDER BY user_id""".stripMargin
 
+  /** Hour-of-day seasonal decomposition per event type: the hourly mean
+    * series (q112's base) folded onto the 24-hour clock — seasonal
+    * component = mean over days per (type, hour-of-day), residual spread =
+    * stddev around it. After the r6 snap the hourly means are EXACT
+    * multiples of 1e-6, so all cross-day sums run on integers (micro-unit
+    * BIGINTs; Spark's ANSI sum would error loudly on overflow, headroom
+    * ~1e4× the fixture's value scale) and only the final ratio/sqrt touch
+    * floats — aggregation order cannot move the output. Two hash shuffles
+    * (hourly, then 24-row clock) at any corpus size.
+    */
+  def q127(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Det.r6(avg(col("value"))).as("y"))
+      .select(
+        col("event_type"),
+        hour(col("h")).cast("long").as("hod"),
+        floor(col("y") * lit(1000000.0) + lit(0.5)).cast("long").as("yi"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("yi")).as("sx"),
+        sum(col("yi") * col("yi")).as("sxx"))
+      .select(
+        col("event_type"),
+        col("hod"),
+        col("n_days"),
+        Det.r6(col("sx").cast("double") / (col("n_days") * lit(1000000.0))).as("seasonal"),
+        Det.r6(
+          when(
+            col("n_days") > 1,
+            sqrt(
+              (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n_days")) /
+                (col("n_days") - 1)) / lit(1000000.0))
+            .otherwise(lit(0.0))).as("resid_sd"))
+      .orderBy(col("event_type"), col("hod"))
+
+  val q127Sql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, ${Det.sqlR("avg(value)", 6)} AS y
+       |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       |mu AS (
+       |  SELECT event_type, CAST(EXTRACT(hour FROM h) AS BIGINT) AS hod,
+       |    CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) AS yi
+       |  FROM hourly),
+       |ag AS (
+       |  SELECT event_type, hod, count(*) AS n_days,
+       |    CAST(sum(yi) AS BIGINT) AS sx, CAST(sum(yi * yi) AS BIGINT) AS sxx
+       |  FROM mu GROUP BY event_type, hod)
+       |SELECT event_type, hod, n_days,
+       |  ${Det.sqlR("CAST(sx AS DOUBLE) / (n_days * 1000000.0)", 6)} AS seasonal,
+       |  ${Det.sqlR(
+        "CASE WHEN n_days > 1 THEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_days) / (n_days - 1)) / 1000000.0 ELSE 0.0 END",
+        6)} AS resid_sd
+       |FROM ag ORDER BY event_type, hod""".stripMargin
+
+  /** Period-over-period user reconciliation via FULL OUTER join: activity
+    * in the first half of the month against the second half — retained /
+    * churned / appeared per user. Both aggregates hash on user_id, so the
+    * outer join is co-partitioned with its inputs (one exchange each side,
+    * reused); the date predicates push to the scan. The one §2.2 join
+    * shape (full outer) the registry didn't yet name as a query.
+    */
+  def q128(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val a = ev.filter(col("ts") < split).groupBy(col("user_id")).agg(count(lit(1)).as("n_first"))
+    val b = ev.filter(col("ts") >= split).groupBy(col("user_id")).agg(count(lit(1)).as("n_second"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"),
+        when(col("n_second").isNull, lit("churned"))
+          .when(col("n_first").isNull, lit("appeared"))
+          .otherwise(lit("retained")).as("status"))
+      .orderBy(col("user_id"))
+  }
+
+  val q128Sql: String =
+    s"""WITH a AS (
+       |  SELECT user_id, count(*) AS n_first FROM events
+       |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id),
+       |b AS (
+       |  SELECT user_id, count(*) AS n_second FROM events
+       |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY user_id)
+       |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       |  coalesce(a.n_first, 0) AS n_first,
+       |  coalesce(b.n_second, 0) AS n_second,
+       |  CASE WHEN b.user_id IS NULL THEN 'churned'
+       |       WHEN a.user_id IS NULL THEN 'appeared'
+       |       ELSE 'retained' END AS status
+       |FROM a FULL JOIN b ON a.user_id = b.user_id
+       |ORDER BY user_id""".stripMargin
+
   /** Grouped statistical aggregates: sample stddev/variance, covariance
     * and Pearson correlation per event type — one hash shuffle with
     * map-side partials (Spark merges per-partition moment sketches, the
@@ -594,6 +690,8 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     "q122_holt_trend" -> (q122 _),
+    "q127_seasonal_decomposition" -> (q127 _),
+    "q128_fullouter_churn" -> (q128 _),
     "q111_cdc_snapshot" -> (q111 _),
     "q107_scd2_intervals" -> (q107 _),
     "q82_rank_distribution" -> (q82 _),
@@ -617,6 +715,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q122_holt_trend" -> q122Sql,
+    "q127_seasonal_decomposition" -> q127Sql,
+    "q128_fullouter_churn" -> q128Sql,
     "q111_cdc_snapshot" -> q111Sql,
     "q107_scd2_intervals" -> q107Sql,
     "q82_rank_distribution" -> q82Sql,
