@@ -12,10 +12,11 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -95,12 +96,51 @@ class KvTable(root: String) extends Table with SupportsRead {
 class KvScanBuilder(root: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = KvDataSourceV2.Schema
   private val pushed = mutable.ArrayBuffer.empty[Filter]
   private var collections: Option[Set[String]] = None // None = all
   private var keyEquals: Option[String] = None
+  private var countByCollection: Option[Boolean] = None // Some(grouped?)
+  private var limit: Option[Int] = None
+
+  /** COUNT(*) — optionally grouped by `collection` — answers from parquet
+    * FOOTER metadata: row counts of a 100 TB store without opening a
+    * single data page. Complete pushdown is sound because a collection
+    * never spans input partitions in the aggregated plan (one partition
+    * per collection → per-group results are final). Refused whenever a
+    * key-equality was pushed (footer counts ignore row filters).
+    */
+  private def countPlan(agg: Aggregation): Option[Boolean] = {
+    val countStarOnly = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    lazy val groups = agg.groupByExpressions
+    if (!countStarOnly || keyEquals.isDefined) None
+    else if (groups.isEmpty) Some(false)
+    else if (groups.forall {
+        case f: NamedReference => f.fieldNames.sameElements(Array("collection"))
+        case _ => false
+      }) Some(true)
+    else None
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    countPlan(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    countPlan(aggregation) match {
+      case Some(grouped) => countByCollection = Some(grouped); true
+      case None => false
+    }
+  }
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l) // per-partition early stop; Spark still applies the global limit
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = mutable.ArrayBuffer.empty[Filter]
@@ -127,7 +167,66 @@ class KvScanBuilder(root: String)
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new KvScan(root, required, collections, keyEquals, pushed.toArray)
+  override def build(): Scan = countByCollection match {
+    case Some(grouped) => new KvCountScan(root, collections, grouped)
+    case None => new KvScan(root, required, collections, keyEquals, pushed.toArray, limit)
+  }
+}
+
+/** Aggregated scan: COUNT(*) [GROUP BY collection] from footer metadata.
+  * Output rows are FINAL (complete pushdown): grouped → one partition per
+  * collection emitting (collection, count); global → one partition summing
+  * every footer.
+  */
+class KvCountScan(root: String, collections: Option[Set[String]], grouped: Boolean)
+    extends Scan
+    with Batch {
+
+  override def readSchema(): StructType =
+    if (grouped)
+      StructType(Seq(StructField("collection", StringType, nullable = false), StructField("count", LongType, nullable = false)))
+    else StructType(Seq(StructField("count", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftKvCountScan root=$root grouped=$grouped PushedAggregates: [COUNT(*)]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = KvDataSourceV2.listCollections(root)
+    val selected = collections.fold(all)(want => all.filter(want))
+    if (grouped) selected.map(c => KvCountPartition(Seq(c)): InputPartition).toArray
+    else Array(KvCountPartition(selected))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = KvCountReaderFactory(root, grouped)
+}
+
+case class KvCountPartition(collections: Seq[String]) extends InputPartition
+
+case class KvCountReaderFactory(root: String, grouped: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvCountPartition]
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = {
+        val conf = new Configuration()
+        def countOf(c: String): Long =
+          KvDataSourceV2.listParquetFiles(root, c).map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader
+              .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+        if (grouped)
+          p.collections.iterator.map(c =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(c), countOf(c))): InternalRow)
+        else Iterator(new GenericInternalRow(Array[Any](p.collections.map(countOf).sum)): InternalRow)
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean = { if (rows.hasNext) { row = rows.next(); true } else false }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class KvScan(
@@ -135,7 +234,8 @@ class KvScan(
     required: StructType,
     collections: Option[Set[String]],
     keyEquals: Option[String],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends Scan
     with Batch {
 
@@ -156,16 +256,16 @@ class KvScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvReaderFactory(required.fieldNames, keyEquals)
+    KvReaderFactory(required.fieldNames, keyEquals, limit)
 }
 
 case class KvInputPartition(collection: String, file: String) extends InputPartition
 
-case class KvReaderFactory(fields: Array[String], keyEquals: Option[String])
+case class KvReaderFactory(fields: Array[String], keyEquals: Option[String], limit: Option[Int])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(p.collection, p.file, fields, keyEquals)
+    new KvPartitionReader(p.collection, p.file, fields, keyEquals, limit)
   }
 }
 
@@ -178,14 +278,17 @@ class KvPartitionReader(
     collection: String,
     file: String,
     fields: Array[String],
-    keyEquals: Option[String])
+    keyEquals: Option[String],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val reader =
     ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(new Configuration()).build()
   private var row: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed limit: stop the row walk early
     var g = reader.read()
     while (g != null) {
       val key = if (g.getFieldRepetitionCount("key") > 0) g.getString("key", 0) else null
@@ -198,6 +301,7 @@ class KvPartitionReader(
           case other => throw new IllegalStateException(s"unknown column $other")
         }
         row = new GenericInternalRow(vals)
+        emitted += 1
         return true
       }
       g = reader.read()

@@ -58,4 +58,33 @@ class KvDsv2Spec extends SparkSpec {
     val rows = q.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(rows == Set(("logs", "boot")))
   }
+
+  test("COUNT(*) GROUP BY collection answers from parquet footers (complete aggregate pushdown)") {
+    val q = table.groupBy("collection").count().orderBy("collection")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftKvCountScan"), plan)
+    // complete pushdown: no aggregate exec survives above the scan
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("logs", 1L), ("metrics", 2L)))
+  }
+
+  test("global COUNT(*) pushes down and matches") {
+    val q = table.groupBy().count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftKvCountScan"), plan)
+    assert(q.collect().head.getLong(0) == 3L)
+  }
+
+  test("aggregate pushdown is refused when a key filter is present (footer counts ignore filters)") {
+    val q = table.filter("key = 'cpu'").groupBy("collection").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftKvCountScan"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("metrics", 1L)))
+  }
+
+  test("limit pushes into the reader and still returns correct rows") {
+    val q = table.limit(2)
+    assert(q.collect().length == 2)
+  }
 }
