@@ -285,6 +285,60 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("ad"), col("rk"))
   }
 
+  /** IVF-PQ combined search — the standard billion-scale ANN architecture
+    * (FAISS IVFPQ): the coarse quantizer restricts each query to `nprobe`
+    * cells, and PQ/ADC ranks only the candidates inside probed cells. The
+    * corpus contributes (vec_id, cell) and (vec_id, m, code) — 8-byte
+    * rows — to the search; raw vectors are read once each by training,
+    * assignment, and encoding, and NEVER shuffle. Candidate generation is
+    * a broadcast join on cell; ADC scoring a broadcast join on the query
+    * distance tables. With `nprobe` = number of cells this is exactly
+    * [[pqTopK]] (equivalence law-tested in SimilaritySpec).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      mCount: Int,
+      subDim: Int,
+      topK: Int,
+      nprobe: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids)
+    val qScored = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", Det.r6(Vectors.cosine(col("qe"), col("centroid"))))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val probes = qScored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val codes = subvectors(corpus, mCount, subDim)
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("d2", Det.r6(l2sq(col("sv"), col("cv"))))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+    val dtab = subvectors(queries, mCount, subDim)
+      .select(col("vec_id").as("qid"), col("m"), col("sv"))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("qid"), col("m"), col("cid").as("code"), Det.r6(l2sq(col("sv"), col("cv"))).as("d2"))
+    val scored = codes
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(Det.r6(sum(col("d2"))).as("ad"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ad"), col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("vec_id"), col("ad"), col("rk"))
+  }
+
   /** ANN top-k via random-hyperplane LSH: corpus and queries bucketed by
     * signature; candidates are same-bucket pairs; rank within candidates.
     * Recall is tunable by `planes` (fewer planes → bigger buckets → higher

@@ -354,44 +354,105 @@ object VectorQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
-  val q110Sql: String = {
+  /** The PQ training + encoding chain (codebook → corpus codes `pqcodes`,
+    * all-vector distance tables `d1`) as CTEs, WITHOUT the `e` base (so it
+    * composes after [[ivfCellsCte]], which also needs `e`). Shared by q110
+    * (pure PQ/ADC) and q129 (IVF-PQ) — one training trajectory, two
+    * oracles that can never drift.
+    */
+  private val pqCtes: String = {
     def r6(e: String): String = graft.core.Det.sqlR(e, 6)
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |sd AS (
+    s"""sd AS (
        |  SELECT vec_id, m, i, CAST(embedding[m * 16 + i] AS DOUBLE) AS x
        |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS m) tm,
        |       LATERAL (SELECT unnest(range(1, 17)) AS i) ti),
-       |seed AS (
+       |pqseed AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vec_id AS svid
        |  FROM e ORDER BY vec_id LIMIT 16),
-       |c0 AS (SELECT s.cid, d.m, d.i, d.x AS v FROM seed s JOIN sd d ON d.vec_id = s.svid),
+       |pqc0 AS (SELECT s.cid, d.m, d.i, d.x AS v FROM pqseed s JOIN sd d ON d.vec_id = s.svid),
        |d0 AS (
        |  SELECT d.vec_id, d.m, c.cid, ${r6("sum((d.x - c.v) * (d.x - c.v))")} AS d2
-       |  FROM sd d JOIN c0 c ON c.m = d.m AND c.i = d.i
+       |  FROM sd d JOIN pqc0 c ON c.m = d.m AND c.i = d.i
        |  GROUP BY d.vec_id, d.m, c.cid),
        |a0 AS (
        |  SELECT vec_id, m, cid AS code FROM (
        |    SELECT vec_id, m, cid,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
        |    FROM d0) s WHERE rn = 1),
-       |c1 AS (
+       |pqc1 AS (
        |  SELECT d.m, a.code AS cid, d.i, ${r6("avg(d.x)")} AS v
        |  FROM a0 a JOIN sd d ON d.vec_id = a.vec_id AND d.m = a.m
        |  GROUP BY d.m, a.code, d.i),
        |d1 AS (
        |  SELECT d.vec_id, d.m, c.cid, ${r6("sum((d.x - c.v) * (d.x - c.v))")} AS d2
-       |  FROM sd d JOIN c1 c ON c.m = d.m AND c.i = d.i
+       |  FROM sd d JOIN pqc1 c ON c.m = d.m AND c.i = d.i
        |  GROUP BY d.vec_id, d.m, c.cid),
-       |codes AS (
+       |pqcodes AS (
        |  SELECT vec_id, m, cid AS code FROM (
        |    SELECT vec_id, m, cid,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-       |    FROM d1) s WHERE rn = 1),
+       |    FROM d1) s WHERE rn = 1)""".stripMargin
+  }
+
+  val q110Sql: String = {
+    def r6(e: String): String = graft.core.Det.sqlR(e, 6)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |$pqCtes,
        |adc AS (
        |  SELECT t.vec_id AS qid, k.vec_id, ${r6("sum(t.d2)")} AS ad
-       |  FROM codes k JOIN d1 t ON t.m = k.m AND t.cid = k.code
+       |  FROM pqcodes k JOIN d1 t ON t.m = k.m AND t.cid = k.code
        |  WHERE t.vec_id < 5 AND k.vec_id <> t.vec_id
        |  GROUP BY qid, k.vec_id),
+       |rked AS (
+       |  SELECT qid, vec_id, ad,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS BIGINT) AS rk
+       |  FROM adc)
+       |SELECT qid, vec_id, ad, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
+  /** IVF-PQ combined search (q129): coarse cells from q49's training CTEs
+    * gate the candidates; PQ/ADC from q110's chain ranks them. Both
+    * trainings replay deterministically, so even the two-level ANN stack
+    * is hash-checked against the oracle.
+    */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = Similarity.ivfTrain(emb, k = 8, iters = 2)
+    val codebook = Similarity
+      .pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Similarity
+      .ivfPqTopK(
+        emb.filter(col("vec_id") < 5),
+        emb,
+        centroids,
+        codebook,
+        mCount = 4,
+        subDim = 16,
+        topK = 10,
+        nprobe = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q129Sql: String = {
+    def r6(e: String): String = graft.core.Det.sqlR(e, 6)
+    s"""WITH $ivfCellsCte,
+       |$pqCtes,
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+       |    FROM sim3 WHERE vec_id < 5) s WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.qid, m.vec_id
+       |  FROM probes p JOIN cells m ON m.cell = p.cell
+       |  WHERE m.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id, ${r6("sum(t.d2)")} AS ad
+       |  FROM cand c
+       |  JOIN pqcodes k ON k.vec_id = c.vec_id
+       |  JOIN d1 t ON t.vec_id = c.qid AND t.m = k.m AND t.cid = k.code
+       |  GROUP BY c.qid, c.vec_id),
        |rked AS (
        |  SELECT qid, vec_id, ad,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS BIGINT) AS rk
@@ -407,7 +468,8 @@ object VectorQueries {
     "q49_ivf_topk" -> (q49 _),
     "q98_semdedup" -> (q98 _),
     "q79_int8_cosine_topk" -> (q79 _),
-    "q110_pq_adc_topk" -> (q110 _))
+    "q110_pq_adc_topk" -> (q110 _),
+    "q129_ivfpq_topk" -> (q129 _))
 
   val oracles: Map[String, String] = Map(
     "q63_label_centroids" -> q63Sql,
@@ -417,5 +479,6 @@ object VectorQueries {
     "q49_ivf_topk" -> q49Sql,
     "q98_semdedup" -> q98Sql,
     "q79_int8_cosine_topk" -> q79Sql,
-    "q110_pq_adc_topk" -> q110Sql)
+    "q110_pq_adc_topk" -> q110Sql,
+    "q129_ivfpq_topk" -> q129Sql)
 }

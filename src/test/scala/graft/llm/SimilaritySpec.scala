@@ -248,4 +248,32 @@ class SimilaritySpec extends SparkSpec {
     info(f"PQ recall@10 = $recall%.2f")
     assert(recall >= 0.2, f"PQ recall $recall%.2f below sanity floor (random ≈ 0.02)")
   }
+
+  test("IVF-PQ with nprobe = all cells degenerates to exactly pure PQ/ADC") {
+    import spark.implicits._
+    // Probing every cell makes the candidate set the whole corpus, so the
+    // two-level search must reproduce pqTopK row for row — the coarse
+    // quantizer can only ever REMOVE candidates, never rescore them.
+    val queries = emb.filter($"vec_id" < 5)
+    val centroids = Similarity.ivfTrain(emb, k = 4, iters = 1)
+    val cb = Similarity.pqTrain(emb, mCount = 4, subDim = 16, k = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(3))
+    def value(r: org.apache.spark.sql.Row) = (r.getLong(1), r.getDouble(2))
+    val full = Similarity.pqTopK(queries, emb, cb, 4, 16, 10)
+      .collect().map(r => key(r) -> value(r)).toMap
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, centroids, cb, 4, 16, 10, nprobe = 4)
+      .collect().map(r => key(r) -> value(r)).toMap
+    assert(ivfpq == full, "all-cells IVF-PQ diverged from pure PQ")
+    // and with fewer probes the result per (qid, vec) is a SUBSET rescored
+    // identically: every surviving pair keeps its full-PQ ADC distance
+    val narrow = Similarity.ivfPqTopK(queries, emb, centroids, cb, 4, 16, 10, nprobe = 1)
+      .collect()
+    val fullByPair = full.map { case ((q, _), (v, ad)) => (q, v) -> ad }
+    narrow.foreach { r =>
+      fullByPair.get((r.getLong(0), r.getLong(1))).foreach { ad =>
+        assert(ad == r.getDouble(2), s"ADC distance changed under cell gating for $r")
+      }
+    }
+  }
 }
