@@ -78,7 +78,6 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("centroid"))
       .withColumn("cid", expr("row_number() over (order by cid)") - 1)
     (1 to iters).foreach { _ =>
-      val prev = centroids
       // argmax carries the embedding through the aggregation (any_value is
       // exact under grouping by the key) — no join-back shuffle per round
       val assigned = emb
@@ -102,9 +101,12 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cell").as("cid"), expr("transform(pairs, p -> p.m)").as("centroid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      centroids.count() // materialize before releasing the previous iteration's cache
-      prev.unpersist()
+        // localCheckpoint: truncates the training lineage so each Lloyd
+        // round (and every downstream broadcast of the model) plans
+        // against a LogicalRDD instead of re-optimizing the whole
+        // trajectory — the k-rows model is loop temp state, executor-local
+        // durability is the right class for it (see connectedComponents).
+        .localCheckpoint()
     }
     centroids
   }

@@ -348,7 +348,7 @@ object VectorQueries {
     // the query distance tables) — materialize the training subtree once
     val codebook = Similarity
       .pqTrain(emb, mCount = 4, subDim = 16, k = 16)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // model-sized; cuts the training lineage for both broadcasts
     Similarity
       .pqTopK(emb.filter(col("vec_id") < 5), emb, codebook, mCount = 4, subDim = 16, k = 10)
       .orderBy(col("qid"), col("rk"))
@@ -420,7 +420,7 @@ object VectorQueries {
     val centroids = Similarity.ivfTrain(emb, k = 8, iters = 2)
     val codebook = Similarity
       .pqTrain(emb, mCount = 4, subDim = 16, k = 16)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint() // model-sized; cuts the training lineage for both broadcasts
     Similarity
       .ivfPqTopK(
         emb.filter(col("vec_id") < 5),
