@@ -848,15 +848,18 @@ object Corpus {
           expr("transform(sequence(0, CAST(ceil(size(toks) / 20.0) AS INT) - 1), " +
             "i -> graft_hash60(concat_ws(' ', slice(toks, i * 20 + 1, 20))))"))
           .as(Seq("pos", "h")))
+    // 2^20 spans/doc headroom (a 20M-token document) before the encoded
+    // (doc_id, pos) key could collide; doc_id keeps 2^43 of room above it
+    val enc = col("doc_id") * lit(1048576L) + col("pos")
     val winners = spans
       .groupBy(col("h"))
-      .agg(min(col("doc_id") * 1024 + col("pos")).as("first_key"))
+      .agg(min(enc).as("first_key"))
     spans
       .join(winners, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
-        sum((col("doc_id") * 1024 + col("pos") === col("first_key")).cast("long")).as("n_kept"))
+        sum((enc === col("first_key")).cast("long")).as("n_kept"))
       .select(
         col("doc_id"),
         col("n_spans"),
@@ -871,10 +874,10 @@ object Corpus {
        |  SELECT doc_id, i AS pos,
        |    CAST(('0x' || substr(md5(array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')), 1, 15)) AS BIGINT) AS h
        |  FROM d, LATERAL (SELECT unnest(range(0, CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
-       |win AS (SELECT h, min(doc_id * 1024 + pos) AS first_key FROM sp GROUP BY h)
+       |win AS (SELECT h, min(doc_id * 1048576 + pos) AS first_key FROM sp GROUP BY h)
        |SELECT sp.doc_id, count(*) AS n_spans,
-       |  CAST(sum(CASE WHEN sp.doc_id * 1024 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  ${Det.sqlR("CAST(sum(CASE WHEN sp.doc_id * 1024 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
+       |  CAST(sum(CASE WHEN sp.doc_id * 1048576 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ${Det.sqlR("CAST(sum(CASE WHEN sp.doc_id * 1048576 + sp.pos = w.first_key THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS kept_ratio
        |FROM sp JOIN win w USING (h)
        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin
 
