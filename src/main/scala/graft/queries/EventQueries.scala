@@ -656,6 +656,68 @@ object EventQueries {
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
       |FROM ch ORDER BY user_id, valid_from""".stripMargin
 
+  // -- q130: point-in-time (feature-store) join against the SCD2 dim ----
+
+  /** Point-in-time correctness join — THE training-data operator that
+    * prevents feature leakage: every click event is enriched with the
+    * purchase-derived feature value that was valid AT ITS TIMESTAMP, via
+    * interval containment against q107's SCD2 dimension (never the
+    * current value, never a future one). Because the SCD2 intervals tile
+    * each user's timeline disjointly (law-tested on q107), each fact row
+    * matches at most one interval, so the left join preserves fact
+    * cardinality. Plan shape: both sides hash on user_id (one SMJ
+    * exchange each), the containment predicate evaluates inside the
+    * join — per-user interval lists are dimension-sized, never
+    * corpus-sized. The same semantics as the native as-of join (q44), in
+    * the interval form warehouses materialize.
+    */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = Tables
+      .events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id").as("du"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("value").as("feature_value"))
+    val fact = Tables
+      .events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    fact
+      .join(
+        dim,
+        fact("user_id") === dim("du") &&
+          dim("valid_from") <= fact("ts") &&
+          (dim("valid_to").isNull || fact("ts") < dim("valid_to")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("feature_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q130Sql: String =
+    """WITH u AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, value, event_id,
+      |             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      FROM u),
+      |ch AS (SELECT user_id, ts, value, event_id FROM c WHERE prev IS NULL OR value <> prev),
+      |dim AS (
+      |  SELECT user_id AS du, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |    value AS feature_value
+      |  FROM ch),
+      |f AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+      |SELECT f.event_id, f.user_id, f.ts, d.feature_value
+      |FROM f LEFT JOIN dim d
+      |  ON d.du = f.user_id AND d.valid_from <= f.ts
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |ORDER BY event_id""".stripMargin
+
   // -- q111: CDC changelog compaction → current snapshot ----------------
 
   /** Change-data-capture apply: the event stream as a changelog
@@ -692,6 +754,7 @@ object EventQueries {
     "q122_holt_trend" -> (q122 _),
     "q127_seasonal_decomposition" -> (q127 _),
     "q128_fullouter_churn" -> (q128 _),
+    "q130_point_in_time_join" -> (q130 _),
     "q111_cdc_snapshot" -> (q111 _),
     "q107_scd2_intervals" -> (q107 _),
     "q82_rank_distribution" -> (q82 _),
@@ -717,6 +780,7 @@ object EventQueries {
     "q122_holt_trend" -> q122Sql,
     "q127_seasonal_decomposition" -> q127Sql,
     "q128_fullouter_churn" -> q128Sql,
+    "q130_point_in_time_join" -> q130Sql,
     "q111_cdc_snapshot" -> q111Sql,
     "q107_scd2_intervals" -> q107Sql,
     "q82_rank_distribution" -> q82Sql,

@@ -207,4 +207,36 @@ class QueriesSpec extends SparkSpec {
     val hashEx = "hashpartitioning\\(user_id".r.findAllIn(plan).length
     assert(hashEx == 1, s"expected one shared user_id exchange, got $hashEx:\n$plan")
   }
+
+  test("q130 point-in-time join agrees with the native as-of operator and preserves fact rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.Tables.events(spark, sf)
+    val facts = ev.filter(col("event_type") === "click")
+    val pit = EventQueries.q130(spark, sf).collect()
+    assert(pit.length == facts.count(), "left join must preserve fact cardinality")
+    assert(pit.map(_.getLong(0)).distinct.length == pit.length, "one row per fact (intervals tile)")
+    // same semantics through the native as-of operator over the SCD2
+    // change points: latest change with ts <= fact ts, per user
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNull || col("value") =!= col("prev"))
+      .select(col("user_id").as("r_uid"), col("ts").as("r_ts"), col("value").as("r_val"), col("event_id").as("r_eid"))
+    val asof = graft.plans.AsOfJoin
+      .join(
+        facts.select(col("user_id"), col("event_id"), col("ts")),
+        changes,
+        "user_id", "r_uid", "ts", "r_ts", "r_eid")
+      .select(col("event_id"), col("r_val"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    pit.foreach { r =>
+      val got = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(asof(r.getLong(0)) == got, s"as-of vs interval mismatch for fact ${r.getLong(0)}")
+    }
+  }
 }
