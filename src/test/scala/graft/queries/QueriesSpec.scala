@@ -208,6 +208,22 @@ class QueriesSpec extends SparkSpec {
     assert(hashEx == 1, s"expected one shared user_id exchange, got $hashEx:\n$plan")
   }
 
+  test("round-4 plan shapes: q124 stays narrow, q126 aggregates once, q130 is a hash join") {
+    // q124 scoring is row-local: no hash shuffle may appear before the
+    // output sort (the only exchanges are the scan spread + range sort)
+    val p124 = Corpus.q124(spark, sf).queryExecution.executedPlan.toString
+    assert(!p124.contains("hashpartitioning"), p124)
+    // q126's manifest is one map-side-combined aggregate on 64 shard keys
+    val p126 = Corpus.q126(spark, sf).queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(p126).length == 1, p126)
+    // q130's interval containment must ride the user_id equi-join (hash or
+    // sort-merge with the range condition as join filter), never a
+    // nested-loop cross product
+    val p130 = EventQueries.q130(spark, sf).queryExecution.executedPlan.toString
+    assert(!p130.contains("BroadcastNestedLoopJoin"), p130)
+    assert(p130.contains("HashJoin") || p130.contains("SortMergeJoin"), p130)
+  }
+
   test("q130 point-in-time join agrees with the native as-of operator and preserves fact rows") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
