@@ -87,4 +87,16 @@ class KvDsv2Spec extends SparkSpec {
     val q = table.limit(2)
     assert(q.collect().length == 2)
   }
+
+  test("robustness: empty root reads as empty, missing path option fails loudly") {
+    val empty = Files.createTempDirectory("graftkv-empty").toString
+    assert(spark.read.format("graft-kv").load(empty).collect().isEmpty)
+    val err = intercept[Exception] {
+      spark.read.format("graft-kv").options(Map.empty[String, String]).load().collect()
+    }
+    assert(err.getMessage != null)
+    // a stray non-collection directory (bad id chars) is never scanned
+    Files.createDirectory(java.nio.file.Paths.get(empty, "not-a-collection!"))
+    assert(spark.read.format("graft-kv").load(empty).collect().isEmpty)
+  }
 }
