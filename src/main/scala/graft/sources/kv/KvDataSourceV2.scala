@@ -11,7 +11,8 @@ import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
@@ -45,7 +46,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class KvDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = KvDataSourceV2.Schema
+  /** A write names its target collection via option("collection", …); the
+    * per-collection view of the store is (key, value), so that's the
+    * schema the writer validates against. Reads never pass the option and
+    * see the full (collection, key, value) table.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.containsKey("collection")) KvDataSourceV2.WriteSchema else KvDataSourceV2.Schema
 
   override def getTable(
       schema: StructType,
@@ -53,7 +60,7 @@ class KvDataSourceV2 extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val root = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft-kv requires a path (the KV engine dataDir)"))
-    new KvTable(root)
+    new KvTable(root, schema)
   }
 }
 
@@ -63,6 +70,10 @@ object KvDataSourceV2 {
       StructField("collection", StringType, nullable = false),
       StructField("key", StringType, nullable = false),
       StructField("value", StringType)))
+
+  /** Schema of one collection — what a writer provides. */
+  val WriteSchema: StructType = StructType(
+    Seq(StructField("key", StringType, nullable = false), StructField("value", StringType)))
 
   /** Same id law as the engine/reference (`cold.go:72`'s filename regex). */
   private[kv] val idRe = "^[a-zA-Z0-9]+$".r
@@ -86,11 +97,16 @@ object KvDataSourceV2 {
   }
 }
 
-class KvTable(root: String) extends Table with SupportsRead {
+class KvTable(root: String, presented: StructType = KvDataSourceV2.Schema)
+    extends Table
+    with SupportsRead
+    with SupportsWrite {
   override def name(): String = s"graft-kv:$root"
-  override def schema(): StructType = KvDataSourceV2.Schema
-  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(TableCapability.BATCH_READ)
+  override def schema(): StructType = presented
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new KvScanBuilder(root)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new KvWriteBuilder(root, info)
 }
 
 class KvScanBuilder(root: String)

@@ -88,6 +88,55 @@ class KvDsv2Spec extends SparkSpec {
     assert(q.collect().length == 2)
   }
 
+  test("DSv2 write: append lands through the commit protocol and reads back everywhere") {
+    import spark.implicits._
+    val wroot = Files.createTempDirectory("graftkv-write").toString
+    Seq(("a", "1"), ("b", "2")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "w1").mode("append").save()
+    Seq(("c", "3")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "w1").mode("append").save()
+    // readable through the DSv2 scan ...
+    val viaScan = spark.read.format("graft-kv").load(wroot)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(viaScan == Set("a" -> "1", "b" -> "2", "c" -> "3"))
+    // ... and through the engine (same cold-tier layout)
+    val eng = new KvEngine(spark, wroot, autoCreate = false)
+    assert(eng.readKey("w1", "b") == "2")
+    // no temp-generation files survive commit
+    val leftovers = new java.io.File(wroot, "w1").listFiles.filter(_.getName.startsWith("_tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("DSv2 write: overwrite truncates the previous generation atomically") {
+    import spark.implicits._
+    val wroot = Files.createTempDirectory("graftkv-ow").toString
+    Seq(("old", "x")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "w2").mode("append").save()
+    Seq(("new", "y")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "w2").mode("overwrite").save()
+    val rows = spark.read.format("graft-kv").load(wroot)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rows == Set("new" -> "y"))
+  }
+
+  test("DSv2 write: wrong schema and invalid collection ids fail loudly") {
+    import spark.implicits._
+    val wroot = Files.createTempDirectory("graftkv-bad").toString
+    // Spark's own table-schema validation fires first (the table presents
+    // (key, value) for a collection write) — either layer failing loudly
+    // is the contract
+    val bad1 = intercept[Exception] {
+      Seq(("a", 1)).toDF("key", "n")
+        .write.format("graft-kv").option("path", wroot).option("collection", "ok").mode("append").save()
+    }
+    assert(bad1.getMessage != null && bad1.getMessage.nonEmpty)
+    val bad2 = intercept[Exception] {
+      Seq(("a", "1")).toDF("key", "value")
+        .write.format("graft-kv").option("path", wroot).option("collection", "not/ok").mode("append").save()
+    }
+    assert(bad2.getMessage.contains("alphanumeric") || bad2.getCause != null)
+  }
+
   test("robustness: empty root reads as empty, missing path option fails loudly") {
     val empty = Files.createTempDirectory("graftkv-empty").toString
     assert(spark.read.format("graft-kv").load(empty).collect().isEmpty)
