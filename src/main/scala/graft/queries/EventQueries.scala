@@ -671,11 +671,13 @@ object EventQueries {
     * corpus-sized. The same semantics as the native as-of join (q44), in
     * the interval form warehouses materialize.
     */
-  def q130(s: SparkSession, d: String): DataFrame = {
+  /** The SCD2 feature dimension q130 joins against — extracted so the
+    * streaming twin ([[graft.streaming.Streaming.pointInTimeEnrich]]) and
+    * the batch query can never drift on interval semantics.
+    */
+  def scd2FeatureDim(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val dim = Tables
-      .events(s, d)
-      .filter(col("event_type") === "purchase")
+    ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       .withColumn("prev", lag(col("value"), 1).over(w))
       .filter(col("prev").isNull || col("value") =!= col("prev"))
@@ -685,6 +687,10 @@ object EventQueries {
         col("ts").as("valid_from"),
         col("valid_to"),
         col("value").as("feature_value"))
+  }
+
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2FeatureDim(Tables.events(s, d))
     val fact = Tables
       .events(s, d)
       .filter(col("event_type") === "click")

@@ -309,6 +309,26 @@ object Streaming {
       "inner")
   }
 
+  /** Stream-static point-in-time enrichment — the online half of the
+    * feature-store join (batch form: q130): every click in the STREAM is
+    * enriched with the SCD2 feature value valid at its event time, via
+    * interval containment against the batch-built dimension
+    * ([[graft.queries.EventQueries.scd2FeatureDim]]). Stream-static joins
+    * keep NO state on the stream side — the static relation is re-read
+    * (and broadcast while small) per micro-batch, so this deploys with
+    * zero state-store footprint and the same never-a-future-value law as
+    * the batch query (parity-tested in StreamingSpec).
+    */
+  def pointInTimeEnrich(clicks: DataFrame, dim: DataFrame): DataFrame =
+    clicks
+      .join(
+        dim,
+        clicks("user_id") === dim("du") &&
+          dim("valid_from") <= clicks("ts") &&
+          (dim("valid_to").isNull || clicks("ts") < dim("valid_to")),
+        "left")
+      .select(clicks("event_id"), clicks("user_id"), clicks("ts"), dim("feature_value"))
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

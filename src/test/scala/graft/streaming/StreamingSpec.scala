@@ -431,6 +431,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static point-in-time enrichment matches batch q130 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.core.Tables.events(spark, sf)
+    val dim = graft.queries.EventQueries.scd2FeatureDim(ev)
+    val stream = MemoryStream[Event]
+    val clicks = stream.toDF().filter($"event_type" === "click").select($"user_id", $"event_id", $"ts")
+    val enriched = Streaming.pointInTimeEnrich(clicks, dim)
+    val q = enriched.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory")
+      .queryName("pit_enrich")
+      .start()
+    stream.addData(ev.as[Event].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val got = spark.table("pit_enrich").collect().map(key).toMap
+    val want = graft.queries.EventQueries.q130(spark, sf).collect().map(key).toMap
+    assert(got == want, "stream-static enrichment diverged from batch q130")
+  }
+
   test("session windows produce bounded state output") {
     import spark.implicits._
     val dir = stagedEventsDir()
