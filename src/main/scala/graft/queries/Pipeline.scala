@@ -371,8 +371,7 @@ object Pipeline {
     merges.reduce(_ unionByName _).orderBy(col("step"))
   }
 
-  val q106Sql: String = {
-    def round(k: Int, in: String): String =
+  private def bpeRound(k: Int, in: String): String =
       s"""p_$k AS (SELECT tok, freq, pos, sym, lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt FROM $in),
          |t_$k AS (SELECT sym AS a, nxt AS b, CAST(sum(freq) AS BIGINT) AS cnt
          |         FROM p_$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
@@ -388,15 +387,25 @@ object Pipeline {
          |         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
          |  FROM (SELECT *, coalesce(lag(keep) OVER (PARTITION BY tok ORDER BY pos), false) AS consumed FROM k_$k) z
          |  WHERE NOT consumed)""".stripMargin
-    s"""WITH tk AS (
+
+  /** The BPE training CTE chain (vocabulary -> 3 greedy merge rounds,
+    * winners in t_1..t_3) — shared by q106 (which SELECTs the merge table)
+    * and q131 (which APPLIES the merges to tokenize the corpus), so the
+    * two oracles train identically by construction.
+    */
+  private val bpeCtes: String =
+    s"""tk AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($sqlToks) AS tok FROM documents) u GROUP BY tok),
        |s_1 AS (
        |  SELECT tok, freq, CAST(i AS BIGINT) AS pos, tok[CAST(i AS INT)] AS sym
        |  FROM tk, LATERAL (SELECT unnest(range(1, length(tok) + 1)) AS i) t),
-       |${round(1, "s_1")},
-       |${round(2, "s_2")},
-       |${round(3, "s_3")}
+       |${bpeRound(1, "s_1")},
+       |${bpeRound(2, "s_2")},
+       |${bpeRound(3, "s_3")}""".stripMargin
+
+  val q106Sql: String = {
+    s"""WITH $bpeCtes
        |SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM t_1
        |  UNION ALL
@@ -406,7 +415,76 @@ object Pipeline {
        |ORDER BY step""".stripMargin
   }
 
+  // -- q131: BPE tokenizer APPLY (encode with the trained merges) -------
+
+  /** The apply half of the tokenizer story: encode every document with the
+    * merge table q106 trained. Per word: char-split with spaces, then the
+    * 3 merges replace in rank order — single-pass left-to-right
+    * non-overlapping `replace` IS the BPE apply step (a merged symbol is a
+    * new token, so the same merge can never re-fire on its own output; the
+    * self-overlap law is q106's spec). The trained merges are collected to
+    * the driver and spliced as literals — an O(model) transfer, the
+    * standard deploy shape for a trained tokenizer — so the per-doc
+    * encoding is one narrow codegen'd pass, no join against the merge
+    * table. Output: per-doc word/unit/char totals + units-per-char ratio
+    * (the compression the 3 merges bought).
+    */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val merges = q106(s, d)
+      .orderBy(col("step"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val spaced = "concat_ws(' ', filter(split(x, ''), c -> c != ''))"
+    val applied = merges.foldLeft(spaced) { case (acc, (a, b, ab)) =>
+      s"replace($acc, '${esc(a)} ${esc(b)}', '${esc(ab)}')"
+    }
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr(s"aggregate(transform(w, x -> size(split($applied, ' '))), 0L, (a, u) -> a + u)")
+          .as("n_units"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (a, u) -> a + CAST(u AS BIGINT))")
+          .as("n_chars_tok"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_units"),
+        col("n_chars_tok"),
+        Det.r6(col("n_units").cast("double") / col("n_chars_tok")).as("unit_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle retrains the merges via [[bpeCtes]] (same chain as q106's
+    * oracle) and applies them with the same single-pass replaces; the
+    * winners come through a one-row cross-joined CTE because DuckDB
+    * lambdas capture columns, not subqueries.
+    */
+  val q131Sql: String =
+    s"""WITH $bpeCtes,
+       |mm AS (
+       |  SELECT (SELECT a || ' ' || b FROM t_1) AS f1, (SELECT a || b FROM t_1) AS r1,
+       |         (SELECT a || ' ' || b FROM t_2) AS f2, (SELECT a || b FROM t_2) AS r2,
+       |         (SELECT a || ' ' || b FROM t_3) AS f3, (SELECT a || b FROM t_3) AS r3),
+       |d AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |app AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    list_sum(list_transform(w, x -> len(string_split(
+       |      replace(replace(replace(array_to_string(string_split(x, ''), ' '), f1, r1), f2, r2), f3, r3),
+       |      ' ')))) AS n_units,
+       |    list_sum(list_transform(w, x -> length(x))) AS n_chars_tok
+       |  FROM d CROSS JOIN mm)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_units AS BIGINT) AS n_units,
+       |  CAST(n_chars_tok AS BIGINT) AS n_chars_tok,
+       |  ${Det.sqlR("CAST(n_units AS DOUBLE) / n_chars_tok", 6)} AS unit_ratio
+       |FROM app ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_bpe_tokenize" -> (q131 _),
     "q106_bpe_merges" -> (q106 _),
     "q101_domain_stats" -> (q101 _),
     "q102_weighted_sample" -> (q102 _),
@@ -415,6 +493,7 @@ object Pipeline {
     "q105_minhash_estimate" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
+    "q131_bpe_tokenize" -> q131Sql,
     "q106_bpe_merges" -> q106Sql,
     "q101_domain_stats" -> q101Sql,
     "q102_weighted_sample" -> q102Sql,
