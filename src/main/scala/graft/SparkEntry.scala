@@ -59,7 +59,9 @@ object SparkEntry {
         "q73_wav_features" -> ((s: SparkSession, d: String) =>
           graft.multimodal.Multimodal.wavFeatureQuery(s, d)),
         "q74_ppm_features" -> ((s: SparkSession, d: String) =>
-          graft.multimodal.Multimodal.ppmFeatureQuery(s, d)))
+          graft.multimodal.Multimodal.ppmFeatureQuery(s, d)),
+        "q132_image_ahash_dedup" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.imageDedupQuery(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -158,5 +160,30 @@ object SparkEntry {
             |  CAST(list_sum(list_transform(range(0, 3 * w * h),
             |       i -> unicode(text[CAST(i % len AS INT) + 1]))) AS BIGINT) AS checksum,
             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
-            |FROM b ORDER BY doc_id""".stripMargin)
+            |FROM b ORDER BY doc_id""".stripMargin,
+        // q132: aHash over the DECODED BMP — the oracle replays the 8×8
+        // top-left-pick grid on the closed-form raster (pixel (x,y,k) is
+        // text byte ((y·w+x)·3+k) mod len) and the all-integer 64·cell >
+        // total threshold; the hash ships as two 32-bit halves (a set bit
+        // 63 would be a negative BIGINT vs an overflowing HUGEINT cast).
+        "q132_image_ahash_dedup" ->
+          """WITH b AS (
+            |  SELECT doc_id, 8 + (doc_id % 24) AS w, 8 + (n_chars % 16) AS h,
+            |         text, length(text) AS len
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, ci,
+            |    list_sum(list_transform(range(0, 3), k ->
+            |      unicode(text[CAST(((((ci // 8) * h // 8) * w + ((ci % 8) * w // 8)) * 3 + k) % len AS INT) + 1]))) AS cs
+            |  FROM b, LATERAL (SELECT unnest(range(0, 64)) AS ci) t),
+            |g AS (SELECT doc_id, ci, cs, sum(cs) OVER (PARTITION BY doc_id) AS total FROM c),
+            |hh AS (
+            |  SELECT doc_id,
+            |    CAST(sum(CASE WHEN ci < 32 AND 64 * cs > total THEN (CAST(1 AS BIGINT) << CAST(ci AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+            |    CAST(sum(CASE WHEN ci >= 32 AND 64 * cs > total THEN (CAST(1 AS BIGINT) << CAST(ci - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi
+            |  FROM g GROUP BY doc_id),
+            |gs AS (SELECT ahash_lo, ahash_hi, count(*) AS group_size FROM hh GROUP BY 1, 2)
+            |SELECT h2.doc_id, h2.ahash_lo, h2.ahash_hi, gs.group_size
+            |FROM hh h2 JOIN gs USING (ahash_lo, ahash_hi)
+            |ORDER BY doc_id""".stripMargin)
 }

@@ -284,6 +284,66 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, ahash_lo: Long, ahash_hi: Long)
+
+  /** Perceptual average-hash over the DECODED image: sample an 8×8 grid
+    * (top-left pick, the q70 resize convention), bit i set when the cell's
+    * RGB sum beats the grid average — the classic aHash, with the
+    * comparison kept in integers (`64·cell > total`) so both engines
+    * agree exactly. Emitted as two 32-bit halves: a 64-bit hash with bit
+    * 63 set would be a negative BIGINT on one engine and an overflowing
+    * HUGEINT cast on the other. This is the image half of the dedup
+    * family — identical rasters collide exactly; near-dup imagery is a
+    * Hamming band away (the q27 simhash recipe, byte-domain).
+    */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val r = MediaCodec.decodeBmp(m.payload)
+        val cell = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val x = gx * r.width / 8
+            val y = gy * r.height / 8
+            val base = (y * r.width + x) * 3
+            cell(gy * 8 + gx) = (r.pixels(base) & 0xff).toLong +
+              (r.pixels(base + 1) & 0xff) + (r.pixels(base + 2) & 0xff)
+            gx += 1
+          }
+          gy += 1
+        }
+        val total = cell.sum
+        var lo = 0L
+        var hi = 0L
+        var i = 0
+        while (i < 64) {
+          if (64L * cell(i) > total) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        ImageHash(m.doc_id, lo, hi)
+      }
+    }
+  }
+
+  /** Registered query: aHash every BMP, then size each exact-collision
+    * group (the image-dedup blocking key). One narrow decode pass, one
+    * hash shuffle on the 16-byte hash.
+    */
+  def imageDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageAHash(asBmpMedia(graft.core.Tables.documents(spark, dir))).toDF()
+    h.join(
+      h.groupBy(col("ahash_lo"), col("ahash_hi")).agg(count(lit(1)).as("group_size")),
+      Seq("ahash_lo", "ahash_hi"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"), col("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end registered queries: documents → encoded media → decoded
     * features.
     */

@@ -213,4 +213,28 @@ class MultimodalSpec extends SparkSpec {
       dir.delete()
     }
   }
+
+  test("image aHash: uniform raster hashes to zero, half-contrast sets exactly the bright half") {
+    import spark.implicits._
+    def media(id: Long, px: Array[Byte], w: Int, h: Int) =
+      Seq(Multimodal.MediaRow(id, "image/bmp", MediaCodec.encodeBmp(Raster(w, h, px)))).toDS()
+    // uniform: every cell equals the average, the strict > never fires
+    val flat = Array.fill(16 * 16 * 3)(100.toByte)
+    val h0 = Multimodal.imageAHash(media(1, flat, 16, 16)).collect().head
+    assert(h0.ahash_lo == 0L && h0.ahash_hi == 0L)
+    // left half black, right half white: exactly the right-half grid
+    // columns (gx >= 4 → x >= w/2) beat the mean in every row
+    val split = Array.tabulate(16 * 16 * 3) { i =>
+      val x = (i / 3) % 16
+      if (x < 8) 0.toByte else 255.toByte
+    }
+    val h1 = Multimodal.imageAHash(media(2, split, 16, 16)).collect().head
+    val expectRow = (4 until 8).map(gx => 1L << gx).sum // bits 4..7 per row
+    val expectLo = (0 until 4).map(gy => expectRow << (8 * gy)).reduce(_ | _)
+    assert(h1.ahash_lo == expectLo && h1.ahash_hi == expectLo,
+      s"got ${h1.ahash_lo.toBinaryString}/${h1.ahash_hi.toBinaryString}")
+    // identical rasters collide — the dedup blocking law
+    val h2 = Multimodal.imageAHash(media(3, split.clone(), 16, 16)).collect().head
+    assert((h2.ahash_lo, h2.ahash_hi) == ((h1.ahash_lo, h1.ahash_hi)))
+  }
 }
