@@ -340,8 +340,12 @@ object Dedup {
     // Checkpointing truncates the lineage to a LogicalRDD, making each
     // round's plan constant-size. (Measured on q123: 42 jobs summing 3.7s
     // of execution inside a 16s pass — the rest was Catalyst replanning.)
-    // Executor-local storage is the right durability class for loop temp
-    // state; a lost executor costs a recompute of one round, not the run.
+    // Trade-off: truncation means the blocks are NOT recomputable — an
+    // executor lost while holding a localCheckpoint block fails the job
+    // (persist could rebuild from lineage). On a cluster with executor
+    // churn / dynamic allocation, use reliable checkpointing
+    // (sc.setCheckpointDir + .checkpoint()) for the same constant-size
+    // plans with HDFS-durable blocks; the replanning win is identical.
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).localCheckpoint()
     // Size the loop's parallelism to the MATERIALIZED edge count: the
     // near-dup edge list is orders smaller than the corpus it came from,

@@ -459,57 +459,71 @@ object Analytics {
   // -- q116: per-series OLS trend ----------------------------------------
 
   /** Ordinary-least-squares trend per event-type series: value regressed
-    * on hours-since-series-start. Slope/intercept/R² from the five exact
+    * on hours-since-series-start. Slope/intercept/R² from five moment
     * sums — the closed form distributes as one hash agg with map-side
     * partials (the moment-sketch shape that holds at 100 TB; no window,
-    * no sort). The time axis is integer microseconds normalized in
-    * double — identical arithmetic on both engines; final stats r6.
+    * no sort). Determinism is by construction, not accumulation luck: x
+    * is an integer HOUR INDEX, y integer MILLI-UNITS (floor-snap, an
+    * exact double op both engines share), and all five moments sum in
+    * the integer domain — DECIMAL(38,0) in Spark, HUGEINT in DuckDB —
+    * so cross-partition aggregation order provably cannot perturb them
+    * (the q127 discipline). Only the final closed-form stats run in
+    * double, as the same deterministic function of identical exact
+    * integers on both engines, then snap r6.
     */
   def q116(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
     val xy = Tables
       .events(s, d)
-      .select(col("event_type"), col("ts"), col("value"))
-      .withColumn("t0", min(unix_micros(col("ts"))).over(w))
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("t0", min(col("us")).over(w))
       .select(
         col("event_type"),
-        ((unix_micros(col("ts")) - col("t0")).cast("double") / lit(3.6e9)).as("x"),
-        col("value").as("y"))
-    xy.groupBy(col("event_type"))
+        expr("(us - t0) div 3600000000").as("xh"), // hour index, BIGINT
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("ym")) // milli-units
+    val d38 = "decimal(38,0)"
+    val agg = xy
+      .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("xh").cast(d38)).as("sx"),
+        sum(col("ym").cast(d38)).as("sy"),
+        sum((col("xh") * col("xh")).cast(d38)).as("sxx"),
+        sum((col("ym") * col("ym")).cast(d38)).as("syy"),
+        sum((col("xh") * col("ym")).cast(d38)).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    agg
       .select(
         col("event_type"),
         col("n"),
-        Det.r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_per_hour"),
-        Det.r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n")).as("intercept"),
-        Det.r6(
-          ((col("n") * col("sxy") - col("sx") * col("sy")) * (col("n") * col("sxy") - col("sx") * col("sy"))) /
-            ((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+        Det.r6(num / den / lit(1000.0)).as("slope_per_hour"),
+        Det.r6((sy - num / den * sx) / n / lit(1000.0)).as("intercept"),
+        Det.r6((num * num) / (den * (n * syy - sy * sy))).as("r2"))
       .orderBy(col("event_type"))
   }
 
   val q116Sql: String =
     s"""WITH xy AS (
        |  SELECT event_type,
-       |    CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type) AS DOUBLE) / 3.6e9 AS x,
-       |    value AS y
+       |    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type)) // 3600000000 AS xh,
+       |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ym
        |  FROM events),
        |agg AS (
-       |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(xh) AS DOUBLE) AS sx, CAST(sum(ym) AS DOUBLE) AS sy,
+       |    CAST(sum(xh * xh) AS DOUBLE) AS sxx, CAST(sum(ym * ym) AS DOUBLE) AS syy,
+       |    CAST(sum(xh * ym) AS DOUBLE) AS sxy
        |  FROM xy GROUP BY event_type)
        |SELECT event_type, n,
-       |  ${Det.sqlR("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope_per_hour,
-       |  ${Det.sqlR("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", 6)} AS intercept,
+       |  ${Det.sqlR("(n * sxy - sx * sy) / (n * sxx - sx * sx) / 1000", 6)} AS slope_per_hour,
+       |  ${Det.sqlR("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 1000", 6)} AS intercept,
        |  ${Det.sqlR("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
        |FROM agg ORDER BY event_type""".stripMargin
 

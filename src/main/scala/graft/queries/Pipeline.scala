@@ -461,14 +461,18 @@ object Pipeline {
   /** Oracle retrains the merges via [[bpeCtes]] (same chain as q106's
     * oracle) and applies them with the same single-pass replaces; the
     * winners come through a one-row cross-joined CTE because DuckDB
-    * lambdas capture columns, not subqueries.
+    * lambdas capture columns, not subqueries. Each winner subquery is
+    * coalesce-guarded (find → chr(1), a char tokenization strips; replace
+    * → '') so a degenerate corpus whose round-k merge table is empty
+    * applies a no-op replace — exactly what the Spark side's fold over
+    * however-many trained merges does.
     */
   val q131Sql: String =
     s"""WITH $bpeCtes,
        |mm AS (
-       |  SELECT (SELECT a || ' ' || b FROM t_1) AS f1, (SELECT a || b FROM t_1) AS r1,
-       |         (SELECT a || ' ' || b FROM t_2) AS f2, (SELECT a || b FROM t_2) AS r2,
-       |         (SELECT a || ' ' || b FROM t_3) AS f3, (SELECT a || b FROM t_3) AS r3),
+       |  SELECT coalesce((SELECT a || ' ' || b FROM t_1), chr(1)) AS f1, coalesce((SELECT a || b FROM t_1), '') AS r1,
+       |         coalesce((SELECT a || ' ' || b FROM t_2), chr(1)) AS f2, coalesce((SELECT a || b FROM t_2), '') AS r2,
+       |         coalesce((SELECT a || ' ' || b FROM t_3), chr(1)) AS f3, coalesce((SELECT a || b FROM t_3), '') AS r3),
        |d AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |app AS (
        |  SELECT doc_id, len(w) AS n_words,

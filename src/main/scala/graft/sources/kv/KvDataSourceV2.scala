@@ -46,10 +46,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class KvDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
 
-  /** A write names its target collection via option("collection", …); the
-    * per-collection view of the store is (key, value), so that's the
-    * schema the writer validates against. Reads never pass the option and
-    * see the full (collection, key, value) table.
+  /** option("collection", …) scopes the table to ONE collection and its
+    * (key, value) view — writers name their target this way, and a scoped
+    * READ sees only that collection's rows (the scan builder receives the
+    * same option and prunes to its directory). Without the option the
+    * table is the full (collection, key, value) store.
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.containsKey("collection")) KvDataSourceV2.WriteSchema else KvDataSourceV2.Schema
@@ -105,20 +106,34 @@ class KvTable(root: String, presented: StructType = KvDataSourceV2.Schema)
   override def schema(): StructType = presented
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = new KvScanBuilder(root)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // A collection-scoped read (option("collection", …)) presents the
+    // 2-column (key, value) schema, so the scope MUST also prune the scan
+    // — otherwise the rows of every collection would merge with no
+    // collection column left to tell them apart.
+    val scoped = Option(options.get("collection")).map { c =>
+      if (!KvDataSourceV2.idRe.matches(c))
+        throw new IllegalArgumentException(s"invalid collection id: $c")
+      c
+    }
+    new KvScanBuilder(root, presented, scoped)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new KvWriteBuilder(root, info)
 }
 
-class KvScanBuilder(root: String)
+class KvScanBuilder(
+    root: String,
+    presented: StructType = KvDataSourceV2.Schema,
+    scoped: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private var required: StructType = KvDataSourceV2.Schema
+  private var required: StructType = presented
   private val pushed = mutable.ArrayBuffer.empty[Filter]
-  private var collections: Option[Set[String]] = None // None = all
+  private var collections: Option[Set[String]] = scoped.map(Set(_)) // None = all
   private var keyEquals: Option[String] = None
   private var countByCollection: Option[Boolean] = None // Some(grouped?)
   private var limit: Option[Int] = None
@@ -233,8 +248,16 @@ case class KvCountReaderFactory(root: String, grouped: Boolean) extends Partitio
             try r.getRecordCount finally r.close()
           }.sum
         if (grouped)
-          p.collections.iterator.map(c =>
-            new GenericInternalRow(Array[Any](UTF8String.fromString(c), countOf(c))): InternalRow)
+          // A zero-row collection (zero parquet files, or only zero-row
+          // files — both reachable by overwriting with an empty frame)
+          // contributes no rows to the scan, and GROUP BY over the scan
+          // emits NO group for it — so the complete pushdown must not.
+          p.collections.iterator
+            .map(c => (c, countOf(c)))
+            .filter(_._2 > 0L)
+            .map { case (c, n) =>
+              new GenericInternalRow(Array[Any](UTF8String.fromString(c), n)): InternalRow
+            }
         else Iterator(new GenericInternalRow(Array[Any](p.collections.map(countOf).sum)): InternalRow)
       }
       private var row: InternalRow = _

@@ -137,6 +137,46 @@ class KvDsv2Spec extends SparkSpec {
     assert(bad2.getMessage.contains("alphanumeric") || bad2.getCause != null)
   }
 
+  test("collection-scoped read returns only that collection's rows with the (key, value) schema") {
+    val q = spark.read.format("graft-kv").option("collection", "metrics").load(root)
+    assert(q.schema.fieldNames.toSeq == Seq("key", "value"))
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set("cpu" -> "0.97", "mem" -> "0.41"))
+    // the scope is a scan-time prune: no partition of another collection is planned
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val parts = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    assert(parts.nonEmpty && parts.forall {
+      case graft.sources.kv.KvInputPartition(c, _) => c == "metrics"
+      case other => fail(s"unexpected partition $other")
+    })
+  }
+
+  test("collection-scoped read with an invalid id fails loudly") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kv").option("collection", "not/ok").load(root).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("grouped COUNT(*) emits no row for a zero-file collection (empty-overwrite truncation)") {
+    import spark.implicits._
+    val wroot = Files.createTempDirectory("graftkv-zero").toString
+    Seq(("a", "1")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "keep").mode("append").save()
+    Seq(("b", "2")).toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "gone").mode("append").save()
+    // truncate `gone` to a zero-file directory via an empty overwrite
+    spark.emptyDataset[(String, String)].toDF("key", "value")
+      .write.format("graft-kv").option("path", wroot).option("collection", "gone").mode("overwrite").save()
+    val t = spark.read.format("graft-kv").load(wroot)
+    val counted = t.groupBy("collection").count()
+    assert(counted.queryExecution.executedPlan.toString.contains("GraftKvCountScan"))
+    // GROUP BY over the scan emits no group for a zero-row collection — so must the pushdown
+    assert(counted.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("keep", 1L)))
+    assert(t.groupBy().count().collect().head.getLong(0) == 1L)
+  }
+
   test("robustness: empty root reads as empty, missing path option fails loudly") {
     val empty = Files.createTempDirectory("graftkv-empty").toString
     assert(spark.read.format("graft-kv").load(empty).collect().isEmpty)
