@@ -18,6 +18,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, so set at build: 133 queries × 2 passes evict the
+      // default 100-entry generated-class cache long before pass 2 reaches
+      // any given query — every eviction is a fresh janino compile, and the
+      // complex plans (q129's two trainings + search: ~30 codegen units)
+      // pay it worst. Measured: q129 17.5s inside the full run vs 5.5s in a
+      // fresh session before this; the cache is bounded, just sized to the
+      // registry.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")

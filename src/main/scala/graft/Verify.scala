@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, so set at build: the default 100-entry generated-class
+      // cache thrashes across a 133-query registry (every eviction is a
+      // fresh janino compile)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
