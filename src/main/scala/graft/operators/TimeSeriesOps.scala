@@ -72,11 +72,41 @@ object TimeSeriesOps {
       leftTs: String,
       rightTs: String,
       rightTie: String,
-      valueCols: Map[String, String]): DataFrame = {
+      valueCols: Map[String, String]): DataFrame =
+    asOfJoinImpl(left, right, keyCol, leftTs, rightTs, rightTie, valueCols, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` and equal key — the mirror of [[asOfJoin]]
+    * (interpolation and "next reading" enrichment need both directions).
+    * Among right rows with equal ts, the LOWEST `rightTie` wins. Same
+    * scale shape: one hash shuffle on the key, a per-key sort, no range
+    * explosion — the window just walks the time axis in reverse.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      valueCols: Map[String, String]): DataFrame =
+    asOfJoinImpl(left, right, keyCol, leftTs, rightTs, rightTie, valueCols, forward = true)
+
+  private def asOfJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      rightTie: String,
+      valueCols: Map[String, String],
+      forward: Boolean): DataFrame = {
+    // On the reversed axis the left sentinel must sort before every real
+    // tie the same way MaxValue does on the forward axis.
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__tie", lit(if (forward) Long.MinValue else Long.MaxValue))
     // All carried values travel in ONE struct: a struct row is non-null even
     // when every field is null, so `last(ignoreNulls)` skips exactly the
     // left rows (whose __pack is null from the union) and never skips a
@@ -89,11 +119,16 @@ object TimeSeriesOps {
       .select(col(keyCol), col(rightTs).as("__ts"), col(rightTie).cast("long").as("__tie"), packed.as("__pack"))
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    // Order purchases (side=0) before left rows (side=1) at equal ts so an
-    // equal-ts right row is visible to the left row.
+    // Order right rows (side=0) before left rows (side=1) at equal ts so an
+    // equal-ts right row is visible to the left row. Backward walks time
+    // ascending (last right at-or-before wins, highest tie last); forward
+    // walks it descending (last right at-or-after in that order = the
+    // earliest one, ties descending so the lowest tie lands last).
     val w = Window
       .partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(
+        (if (forward) Seq(col("__ts").desc, col("__side"), col("__tie").desc)
+         else Seq(col("__ts"), col("__side"), col("__tie"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__m", last(col("__pack"), ignoreNulls = true).over(w))
     val extracted = valueCols.values.foldLeft(filled) { (d, to) =>

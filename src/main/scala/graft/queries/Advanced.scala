@@ -1,0 +1,618 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Det, Tables}
+import graft.functions.{Layout, Text}
+import graft.llm.Similarity
+import graft.operators.TimeSeriesOps
+
+/** Round-5 operator additions: forward as-of, interval algebra, ColBERT
+  * maxsim retrieval, count-min sketch, Hilbert layout keys, Zipf fits,
+  * session motif mining, equi-depth histograms. Same contract as every
+  * other registry module — each query has a DuckDB oracle twin and a
+  * 100 TB shuffle story in its Scaladoc.
+  */
+object Advanced {
+  private type Q = (SparkSession, String) => DataFrame
+  private val sqlToks = Text.sqlToks
+
+  // -- q133: forward as-of join ----------------------------------------
+
+  /** Forward as-of: each error event picks up the value of the user's
+    * NEXT purchase at-or-after its timestamp — the other half of the
+    * as-of pair (backward = q18); interpolation and time-to-event
+    * features need both directions. Same scale shape as q18: one hash
+    * shuffle on user_id, a per-key sort, zero range explosion.
+    */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id", "value")
+    TimeSeriesOps
+      .asOfJoinForward(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select(col("event_id"), col("user_id"), col("ts"), coalesce(col("pv"), lit(-1.0)).as("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q133Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  coalesce((SELECT p.value FROM events p
+      |            WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts >= e.ts
+      |            ORDER BY p.ts ASC, p.event_id ASC LIMIT 1), -1.0) AS next_purchase_value
+      |FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id""".stripMargin
+
+  // -- q134: interval union (coverage) ---------------------------------
+
+  /** Interval algebra: each event opens a 10-minute activity interval;
+    * per user, merge overlaps (sweep: island starts where start exceeds
+    * the running max of prior ends) and report interval count + covered
+    * time. All arithmetic is integer microseconds — exact on both
+    * engines. One shuffle on user_id; the sweep is two windows inside
+    * that partitioning, state O(1) per row.
+    */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("s0"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("e0"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s0"), col("e0"))
+    val marked = iv
+      .withColumn("pmax", max(col("e0")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s0")).as("is0"), max(col("e0")).as("ie0"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"), sum(col("ie0") - col("is0")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q134Sql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s0, epoch_us(ts) + 600000000 AS e0 FROM events),
+      |m AS (
+      |  SELECT user_id, s0, e0,
+      |    max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |b AS (SELECT user_id, s0, e0, CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END AS brk FROM m),
+      |g AS (
+      |  SELECT user_id, s0, e0,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY s0, e0
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM b),
+      |i AS (SELECT user_id, island, min(s0) AS is0, max(e0) AS ie0 FROM g GROUP BY user_id, island)
+      |SELECT user_id, count(*) AS n_intervals, CAST(sum(ie0 - is0) AS BIGINT) AS covered_us
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -- q135: ColBERT-style maxsim late-interaction retrieval ------------
+
+  /** Multi-vector (late-interaction) retrieval: each vector's 4 subspace
+    * slices act as its token vectors; score(q, d) = Σ over query slices
+    * of the max cosine against any doc slice (the ColBERT MaxSim law).
+    * Per-slice sims are snapped to integer 1e-4 units BEFORE the
+    * max/sum, so ranking is exact-integer on both engines. Scale shape:
+    * the 20 query slices broadcast; the corpus's 4n slices never
+    * shuffle; max and sum are map-side-combined hash aggs.
+    */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val sv = Similarity.subvectors(emb, 4, 16)
+    val qsv = Similarity
+      .subvectors(emb.filter(col("vec_id") < 5), 4, 16)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qv"))
+    val scored = sv
+      .join(broadcast(qsv), col("vec_id") =!= col("qid"))
+      .withColumn(
+        "sim_i",
+        floor(graft.functions.Vectors.cosine(col("qv"), col("sv")) * 10000 + 0.5).cast("long"))
+      .groupBy(col("qid"), col("vec_id"), col("qm"))
+      .agg(max(col("sim_i")).as("best_i"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("best_i")).as("score_i"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_i").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), (col("score_i").cast("double") / 10000.0).as("maxsim"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q135Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |sd AS (
+      |  SELECT vec_id, m, i, CAST(embedding[CAST(m * 16 + i AS INT)] AS DOUBLE) AS x
+      |  FROM e, LATERAL (SELECT unnest(range(0, 4)) AS m) tm,
+      |       LATERAL (SELECT unnest(range(1, 17)) AS i) ti),
+      |acc AS (
+      |  SELECT q.vec_id AS qid, q.m AS qm, c.vec_id, c.m AS dm,
+      |    sum(q.x * c.x) AS dotp, sum(q.x * q.x) AS qn, sum(c.x * c.x) AS vn
+      |  FROM sd q JOIN sd c ON c.i = q.i AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 5
+      |  GROUP BY qid, qm, c.vec_id, dm),
+      |sims AS (
+      |  SELECT qid, vec_id, qm,
+      |    CAST(floor(dotp / (sqrt(qn) * sqrt(vn)) * 10000 + 0.5) AS BIGINT) AS sim_i
+      |  FROM acc),
+      |best AS (SELECT qid, vec_id, qm, max(sim_i) AS best_i FROM sims GROUP BY qid, vec_id, qm),
+      |sc AS (SELECT qid, vec_id, CAST(sum(best_i) AS BIGINT) AS score_i FROM best GROUP BY qid, vec_id),
+      |rked AS (
+      |  SELECT qid, vec_id, score_i,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_i DESC, vec_id) AS BIGINT) AS rk
+      |  FROM sc)
+      |SELECT qid, vec_id, CAST(score_i AS DOUBLE) / 10000.0 AS maxsim, rk
+      |FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  // -- q136: count-min sketch heavy hitters -----------------------------
+
+  /** Count-min sketch term frequencies (depth 4 × width 512, portable
+    * md5-derived row hashes) with the exact count alongside: the top-20
+    * readout demonstrates the overestimate law (cms_est ≥ exact_n,
+    * asserted in tests) while staying hash-checkable — every count is an
+    * integer. Scale shape: the sketch IS the groupBy(j, bucket) — 2048
+    * cells regardless of corpus size; vocabulary → cell is a map-side
+    * projection. The estimate join is against those 2048 broadcast-sized
+    * cells.
+    */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val depth = 4
+    val width = 512
+    val tf = Tables
+      .documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val rows = tf
+      .select(
+        col("tok"),
+        col("n"),
+        explode(array((0 until depth).map(j =>
+          struct(
+            lit(j.toLong).as("j"),
+            pmod(Text.hash60(concat(lit(j.toString), lit(":"), col("tok"))), lit(width.toLong)).as("b"))): _*))
+          .as("p"))
+      .select(col("tok"), col("n"), col("p.j").as("j"), col("p.b").as("b"))
+    val cms = rows.groupBy(col("j"), col("b")).agg(sum(col("n")).as("cnt"))
+    val est = rows
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy(col("tok"))
+      .agg(min(col("cnt")).as("cms_est"), max(col("n")).as("exact_n"))
+    // top-20 BEFORE ranking: plans as TakeOrderedAndProject (per-partition
+    // heads + merge), so no single-partition window ever sees the full
+    // vocabulary; row_number then ranks just the 20 survivors (q69 shape)
+    est
+      .orderBy(col("cms_est").desc, col("tok"))
+      .limit(20)
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(col("cms_est").desc, col("tok"))).cast("long"))
+      .select(col("tok"), col("cms_est"), col("exact_n"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val q136Sql: String =
+    s"""WITH tf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($sqlToks) AS tok FROM documents) u GROUP BY tok),
+       |rows_ AS (
+       |  SELECT tok, n, j, ${Text.sqlHash60("CAST(j AS VARCHAR) || ':' || tok")} % 512 AS b
+       |  FROM tf, LATERAL (SELECT unnest(range(0, 4)) AS j) t),
+       |cms AS (SELECT j, b, CAST(sum(n) AS BIGINT) AS cnt FROM rows_ GROUP BY j, b),
+       |est AS (
+       |  SELECT r.tok, min(c.cnt) AS cms_est, max(r.n) AS exact_n
+       |  FROM rows_ r JOIN cms c ON c.j = r.j AND c.b = r.b GROUP BY r.tok),
+       |rked AS (
+       |  SELECT tok, cms_est, exact_n,
+       |    CAST(row_number() OVER (ORDER BY cms_est DESC, tok) AS BIGINT) AS rk
+       |  FROM est)
+       |SELECT tok, cms_est, exact_n, rk FROM rked WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // -- q137: Hilbert-curve layout key -----------------------------------
+
+  /** Hilbert space-filling-curve key over (customer, order-day) — the
+    * locality-tighter sibling of q93's Z-order key (no Z-jumps across
+    * the midline, so range-partitioning by the key yields tighter
+    * min/max file-statistic boxes for 2-D box predicates). Pure unrolled
+    * bit arithmetic ([[graft.functions.Layout.hilbert2]]), no UDF; the
+    * oracle replays the identical curve from the driver-generated xy→d
+    * table.
+    */
+  def q137(s: SparkSession, d: String): DataFrame =
+    Tables
+      .orders(s, d)
+      .select(
+        col("o_orderkey"),
+        (col("o_custkey") % 16).as("hx"),
+        (datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long") % 16).as("hy"))
+      .withColumn("hkey", Layout.hilbert2(col("hx"), col("hy"), 4))
+      .orderBy(col("o_orderkey"))
+
+  val q137Sql: String = {
+    val table = Layout.hilbertTable(4).mkString(", ")
+    s"""SELECT o_orderkey, hx, hy,
+       |  CAST(([$table])[CAST(hx * 16 + hy + 1 AS INT)] AS BIGINT) AS hkey
+       |FROM (
+       |  SELECT o_orderkey, o_custkey % 16 AS hx,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 16 AS hy
+       |  FROM orders) t
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  // -- q138: Zipf rank-frequency fit per source -------------------------
+
+  /** Zipf's-law fit per source: regress ln(freq) on ln(rank) over the
+    * source's token vocabulary; the slope is the Zipf exponent (≈ −1 for
+    * natural text — a corpus-health diagnostic: synthetic/boilerplate
+    * text bends it). Per-term logs are snapped to integer micro-units
+    * before the moment sums (the q116 discipline: DECIMAL(38,0)/HUGEINT
+    * integer sums are aggregation-order-proof), so the fit hash-matches
+    * cross-engine. Two shuffles: (source, tok) count, then the per-source
+    * moment agg; the rank window rides the second shuffle's partitioning.
+    */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables
+      .documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok"))
+    val xy = tf
+      .withColumn("rnk", row_number().over(w))
+      .select(
+        col("source"),
+        floor(log(col("rnk").cast("double")) * 1e6 + 0.5).cast("long").as("xl"),
+        floor(log(col("n").cast("double")) * 1e6 + 0.5).cast("long").as("yl"))
+    val d38 = "decimal(38,0)"
+    val agg = xy
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("xl").cast(d38)).as("sx"),
+        sum(col("yl").cast(d38)).as("sy"),
+        sum((col("xl") * col("xl")).cast(d38)).as("sxx"),
+        sum((col("yl") * col("yl")).cast(d38)).as("syy"),
+        sum((col("xl") * col("yl")).cast(d38)).as("sxy"))
+    val n = col("n_terms").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    agg
+      .select(
+        col("source"),
+        col("n_terms"),
+        Det.r6(num / den).as("zipf_slope"),
+        Det.r6((num * num) / (den * (n * syy - sy * sy))).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  val q138Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT source, unnest($sqlToks) AS tok FROM documents) u GROUP BY source, tok),
+       |rk AS (
+       |  SELECT source, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rnk FROM tf),
+       |xy AS (
+       |  SELECT source,
+       |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS xl,
+       |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yl
+       |  FROM rk),
+       |agg AS (
+       |  SELECT source, count(*) AS n_terms,
+       |    CAST(sum(xl) AS DOUBLE) AS sx, CAST(sum(yl) AS DOUBLE) AS sy,
+       |    CAST(sum(xl * xl) AS DOUBLE) AS sxx, CAST(sum(yl * yl) AS DOUBLE) AS syy,
+       |    CAST(sum(xl * yl) AS DOUBLE) AS sxy
+       |  FROM xy GROUP BY source)
+       |SELECT source, n_terms,
+       |  ${Det.sqlR("(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)", 6)} AS zipf_slope,
+       |  ${Det.sqlR("((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)) / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))", 6)} AS r2
+       |FROM agg ORDER BY source""".stripMargin
+
+  // -- q139: session motif mining ---------------------------------------
+
+  /** Behavioral motif counts: sessionize (30-min gaps), render each
+    * session as its event-initial string (the five event types have
+    * distinct initials), and count view→click and view→click→purchase
+    * motifs by non-overlapping substring occurrence — MATCH_RECOGNIZE-
+    * style sequence analytics without a dedicated operator. The session
+    * string is bounded by the watermark/gap construction; counting is
+    * length arithmetic, exact on both engines. One shuffle on user_id.
+    */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val sess = TimeSeriesOps
+      .sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+      .withColumn("ini", substring(col("event_type"), 1, 1))
+    val strs = sess
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(ts, event_id, ini))), p -> p.ini), '')")
+          .as("seq"))
+    strs
+      .select(
+        col("user_id"),
+        expr("(length(seq) - length(replace(seq, 'vc', ''))) div 2").as("vc"),
+        expr("(length(seq) - length(replace(seq, 'vcp', ''))) div 3").as("vcp"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("vc")).as("n_view_click"),
+        sum(col("vcp")).as("n_view_click_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val q139Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id, ini,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts, event_id, ini,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f),
+      |strs AS (
+      |  SELECT user_id, session_id, string_agg(ini, '' ORDER BY ts, event_id) AS seq
+      |  FROM g GROUP BY user_id, session_id),
+      |cnt AS (
+      |  SELECT user_id,
+      |    (length(seq) - length(replace(seq, 'vc', ''))) // 2 AS vc,
+      |    (length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS vcp
+      |  FROM strs)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(vc) AS BIGINT) AS n_view_click,
+      |  CAST(sum(vcp) AS BIGINT) AS n_view_click_purchase
+      |FROM cnt GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -- q140: equi-depth histogram ---------------------------------------
+
+  /** Equi-depth (equal-count) histogram of value per event type via
+    * ntile over a total order — the quantile-bucketed complement of
+    * q108's equi-width bins (optimizer statistics and drift monitors
+    * want both). Exact form: one sort per type partition; the 100 TB
+    * variant seeds bucket BOUNDARIES from a sampled quantile sketch
+    * (q71) and bucket-assigns map-side — the readout schema is the same.
+    */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables
+      .events(s, d)
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), Det.r6(min(col("value"))).as("lo"), Det.r6(max(col("value"))).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q140Sql: String =
+    s"""WITH t AS (
+       |  SELECT event_type, value,
+       |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+       |  FROM events)
+       |SELECT event_type, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       |  ${Det.sqlR("min(value)", 6)} AS lo, ${Det.sqlR("max(value)", 6)} AS hi
+       |FROM t GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin
+
+  // -- q141: interpolated as-of (both directions) -----------------------
+
+  /** Linear interpolation between the previous and next purchase at each
+    * error event — the backward (q18) and forward (q133) as-of joins
+    * COMPOSED: the forward pass runs on the backward pass's output (the
+    * union-window operator preserves left-side columns, so chaining is
+    * free) and the interpolation weight is integer-microsecond exact.
+    * Still one shuffle shape per direction on user_id. Boundary law:
+    * before the first purchase → next value; after the last → previous;
+    * no purchases → -1.
+    */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id", "ts", "event_id", "value")
+    val back = TimeSeriesOps
+      .asOfJoin(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv", "ts" -> "pt"))
+    val both = TimeSeriesOps
+      .asOfJoinForward(back, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "nv", "ts" -> "nt"))
+    val w = (unix_micros(col("ts")) - unix_micros(col("pt"))).cast("double") /
+      (unix_micros(col("nt")) - unix_micros(col("pt"))).cast("double")
+    both
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        coalesce(
+          Det.r6(
+            when(col("pt").isNull && col("nt").isNull, lit(null))
+              .when(col("pt").isNull, col("nv"))
+              .when(col("nt").isNull, col("pv"))
+              .when(unix_micros(col("nt")) === unix_micros(col("pt")), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) * w)),
+          lit(-1.0)).as("interp_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q141Sql: String = {
+    val interp =
+      """CASE WHEN pt IS NULL AND nt IS NULL THEN NULL
+        |       WHEN pt IS NULL THEN nv
+        |       WHEN nt IS NULL THEN pv
+        |       WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - epoch_us(pt) AS DOUBLE) / (epoch_us(nt) - epoch_us(pt)))
+        |  END""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+       |b AS (
+       |  SELECT e.event_id, e.user_id, e.ts,
+       |    (SELECT p.value FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       |       AND p.ts <= e.ts ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS pv,
+       |    (SELECT p.ts FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       |       AND p.ts <= e.ts ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS pt,
+       |    (SELECT p.value FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       |       AND p.ts >= e.ts ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS nv,
+       |    (SELECT p.ts FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+       |       AND p.ts >= e.ts ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS nt
+       |  FROM e)
+       |SELECT event_id, user_id, ts,
+       |  coalesce(${Det.sqlR(interp, 6)}, -1.0) AS interp_value
+       |FROM b ORDER BY event_id""".stripMargin
+  }
+
+  // -- q142: triangle counting on the near-dup graph --------------------
+
+  /** Triangle counting over the simhash near-dup graph (q60's edges:
+    * same-lang pairs at Hamming ≤ 3): the classic oriented-edge-join
+    * algorithm — orient every edge low→high, join e1(a,b)⋈e2(b,c) to
+    * wedges, close with e3(a,c) — so each triangle is enumerated exactly
+    * once. Triangle density distinguishes boilerplate families (dense
+    * cliques) from chance collisions (isolated edges), a dedup QA
+    * readout connected components can't give. Scale: two hash joins on
+    * node ids; wedge volume is Σ deg², the standard bound.
+    */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sig = graft.llm.Dedup
+      .simhash(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sig.select(col("lang"), col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sig.select(col("lang"), col("doc_id").as("b_id"), col("simhash").as("sb"))
+    // edges feed three join consumers — checkpoint the (tiny) edge list
+    val edges = a
+      .join(b, Seq("lang"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+      .localCheckpoint()
+    val wedges = edges
+      .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String =
+    s"""WITH ${TextQueries.sqlSimhashSig},
+       |sigl AS (
+       |  SELECT sig.doc_id, sig.simhash, d.lang
+       |  FROM sig JOIN documents d ON d.doc_id = sig.doc_id),
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM sigl a JOIN sigl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -- q143: incremental materialized-view maintenance -------------------
+
+  /** Incremental aggregate maintenance: the daily per-type rollup is kept
+    * as a merge of PARTIAL aggregates — a base segment (days ≤ 20) and a
+    * delta segment (days > 20) aggregated independently, then merged by
+    * summing the commutative-monoid state (count, integer milli-unit
+    * value sum). The oracle aggregates the WHOLE table flat — passing
+    * hash-check proves merge(partial(base), partial(delta)) ≡
+    * recompute(all), the law every incremental pipeline (stream
+    * compaction, backfill, late-data upsert) rests on. Integer state
+    * makes the proof exact, not approximate.
+    */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+    val base = partial(ev.filter(dayofmonth(col("day")) <= 20))
+    val delta = partial(ev.filter(dayofmonth(col("day")) > 20))
+    base
+      .unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sv")).as("sv_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q143Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sv_milli
+      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
+  // -- q144: sliding 7-day distinct users --------------------------------
+
+  /** Trailing-7-day distinct active users per day — the windowed
+    * COUNT(DISTINCT) no engine can compute incrementally from daily
+    * counts (distinct doesn't compose). The scalable shape: collapse to
+    * distinct (day, user) pairs first, replicate each pair into the ≤ 7
+    * window-ends it serves (bounded ×7 amplification — this replaces an
+    * unbounded range self-join), and distinct-count per window end. Two
+    * hash shuffles total, both on bounded keys.
+    */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val du = Tables
+      .events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val maxDay = du.agg(max(col("day")).as("max_day"))
+    du.select(col("day"), col("user_id"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("wend"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("max_day"))
+      .groupBy(col("wend"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .orderBy(col("wend"))
+  }
+
+  val q144Sql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |w AS (
+      |  SELECT day + CAST(k AS INT) AS wend, user_id
+      |  FROM du, LATERAL (SELECT unnest(range(0, 7)) AS k) t),
+      |mx AS (SELECT max(day) AS max_day FROM du)
+      |SELECT wend, count(DISTINCT user_id) AS users_7d
+      |FROM w, mx WHERE wend <= max_day
+      |GROUP BY wend ORDER BY wend""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q141_interp_asof" -> (q141 _),
+    "q142_triangle_count" -> (q142 _),
+    "q143_incremental_mv" -> (q143 _),
+    "q144_sliding_distinct" -> (q144 _),
+    "q133_asof_join_forward" -> (q133 _),
+    "q134_interval_union" -> (q134 _),
+    "q135_maxsim_multivector" -> (q135 _),
+    "q136_cms_heavy_hitters" -> (q136 _),
+    "q137_hilbert_key" -> (q137 _),
+    "q138_zipf_fit" -> (q138 _),
+    "q139_session_motifs" -> (q139 _),
+    "q140_equidepth_histogram" -> (q140 _))
+
+  val oracles: Map[String, String] = Map(
+    "q141_interp_asof" -> q141Sql,
+    "q142_triangle_count" -> q142Sql,
+    "q143_incremental_mv" -> q143Sql,
+    "q144_sliding_distinct" -> q144Sql,
+    "q133_asof_join_forward" -> q133Sql,
+    "q134_interval_union" -> q134Sql,
+    "q135_maxsim_multivector" -> q135Sql,
+    "q136_cms_heavy_hitters" -> q136Sql,
+    "q137_hilbert_key" -> q137Sql,
+    "q138_zipf_fit" -> q138Sql,
+    "q139_session_motifs" -> q139Sql,
+    "q140_equidepth_histogram" -> q140Sql)
+}

@@ -294,7 +294,7 @@ object TextQueries {
     * source of truth for the vote/fold SQL so q27 and q60 can never drift
     * apart on the vote rule.
     */
-  private val sqlSimhashSig: String = {
+  private[queries] val sqlSimhashSig: String = {
     val votes = (0 until 16)
       .map(j => s"  sum(${Text.sqlSimhashVote("h", j)}) AS s$j")
       .mkString(",\n")

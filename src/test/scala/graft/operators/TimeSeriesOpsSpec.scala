@@ -53,6 +53,46 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.head.getDouble(0) == 70.0)
   }
 
+  test("asOfJoinForward matches a brute-force oracle on the fixture events") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val got = TimeSeriesOps
+      .asOfJoinForward(errors, purchases, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select($"event_id", $"pv")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val es = errors.collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    es.foreach { case (eid, uid, t) =>
+      val want = ps
+        .filter(p => p._1 == uid && !p._2.before(t))
+        .sortBy(p => (p._2.getTime, p._3))
+        .headOption
+        .map(_._4)
+      assert(got(eid) == want, s"event $eid")
+    }
+  }
+
+  test("asOfJoinForward: right row at exactly left ts qualifies; lowest tie wins") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 7L, 70.0),
+      (100L, ts("2024-01-01 10:00:00"), 5L, 50.0), // same ts, lower tie → wins
+      (100L, ts("2024-01-01 11:00:00"), 3L, 30.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeriesOps
+      .asOfJoinForward(left, right, "user_id", "ts", "ts", "event_id", Map("value" -> "pv"))
+      .select("pv")
+      .collect()
+    assert(out.head.getDouble(0) == 50.0)
+  }
+
   test("asOfJoinWithin: infinite tolerance equals plain as-of; stale matches null out") {
     import spark.implicits._
     val left = Seq(

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Layout
+
+/** Laws for the round-5 operators (the oracle gate checks exact values;
+  * these pin the algebraic properties that make the operators correct
+  * BY CONSTRUCTION, so a refactor that keeps hashes green but breaks a
+  * law still fails).
+  */
+class AdvancedSpec extends SparkSpec {
+
+  test("hilbert2 expression reproduces the driver-side curve on every cell (order 4)") {
+    import spark.implicits._
+    val table = Layout.hilbertTable(4)
+    val cells = (0 until 256).map(i => (i.toLong / 16, i.toLong % 16))
+    val got = cells
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbert2(col("x"), col("y"), 4).as("h"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) == table((x * 16 + y).toInt), s"hilbert($x,$y)")
+    }
+  }
+
+  test("hilbert curve walks adjacent cells (|Δx|+|Δy| = 1 between consecutive keys) — z-order does not") {
+    val table = Layout.hilbertTable(4)
+    val byD = table.zipWithIndex.sortBy(_._1).map { case (_, i) => (i / 16, i % 16) }
+    byD.sliding(2).foreach { case Array((x0, y0), (x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1, s"jump at ($x0,$y0)->($x1,$y1)")
+    }
+    // contrast: the Morton walk has at least one non-adjacent jump
+    def morton(x: Int, y: Int): Long =
+      (0 until 4).map(i => (((x >> i) & 1).toLong << (2 * i)) | (((y >> i) & 1).toLong << (2 * i + 1))).sum
+    val zWalk = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y)).sortBy { case (x, y) => morton(x, y) }
+    val zJumps = zWalk.sliding(2).count { case Seq((x0, y0), (x1, y1)) =>
+      math.abs(x1 - x0) + math.abs(y1 - y0) > 1
+    }
+    assert(zJumps > 0)
+  }
+
+  test("q136 count-min estimates dominate exact counts (overestimate law)") {
+    val rows = Advanced.q136(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"), r.toString)
+    }
+  }
+
+  test("q134 interval union: covered time bounded by event count and at least one interval") {
+    val perUser = graft.core.Tables
+      .events(spark, sf)
+      .groupBy("user_id")
+      .count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val rows = Advanced.q134(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val covered = r.getAs[Long]("covered_us")
+      assert(covered >= 600000000L, s"user $u below one interval")
+      assert(covered <= perUser(u) * 600000000L, s"user $u exceeds event-count bound")
+      assert(r.getAs[Long]("n_intervals") >= 1L)
+    }
+  }
+
+  test("q139 motif counts: every view-click-purchase contains a view-click") {
+    val rows = Advanced.q139(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_view_click") >= r.getAs[Long]("n_view_click_purchase"), r.toString)
+    }
+  }
+
+  test("q140 equi-depth buckets partition each type exactly and bounds are ordered") {
+    val rows = Advanced.q140(spark, sf).collect()
+    val counts = graft.core.Tables
+      .events(spark, sf)
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sum == counts(t), s"type $t row conservation")
+      assert(rs.length == math.min(10, counts(t)).toInt)
+      rs.sortBy(_.getAs[Long]("bucket")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("hi") + 1e-9, s"type $t bucket order")
+        case _ => ()
+      }
+    }
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+  }
+
+  test("q135 maxsim returns a full top-10 per query in strict rank order") {
+    val rows = Advanced.q135(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"qid $q")
+      val byRk = rs.sortBy(_.getAs[Long]("rk"))
+      byRk.sliding(2).foreach {
+        case Array(a, b) =>
+          val sa = a.getAs[Double]("maxsim"); val sb = b.getAs[Double]("maxsim")
+          assert(
+            sa > sb || (sa == sb && a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id")),
+            s"qid $q rank order")
+        case _ => ()
+      }
+    }
+  }
+}
