@@ -99,6 +99,83 @@ class AdvancedSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
   }
 
+  test("q136 plans the vocabulary top-20 as TakeOrderedAndProject (no full-vocab single-partition window)") {
+    val plan = Advanced.q136(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q141 interpolation lies between the neighboring purchase values (or is a boundary copy)") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val p = ev
+      .filter($"event_type" === "purchase")
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val rows = Advanced.q141(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val v = r.getAs[Double]("interp_value")
+      p.get(u) match {
+        case None => assert(v == -1.0, s"user $u has no purchases")
+        case Some((lo, hi)) => assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"user $u: $v outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("q142 triangle counts: total is divisible by 3 and each node is bounded by C(deg,2)") {
+    val rows = Advanced.q142(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_triangles")).sum
+    assert(total % 3 == 0, s"each triangle must appear at exactly 3 nodes (total $total)")
+    if (rows.nonEmpty) assert(rows.forall(_.getAs[Long]("n_triangles") >= 1))
+  }
+
+  test("q143 merged partials equal a flat recompute (the incremental-maintenance law)") {
+    import spark.implicits._
+    val flat = graft.core.Tables
+      .events(spark, sf)
+      .select(
+        $"event_type",
+        to_date($"ts").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_events"), sum($"vm").as("sv_milli"))
+      .orderBy($"event_type", $"day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    val merged = Advanced
+      .q143(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    assert(merged.toSeq == flat.toSeq)
+  }
+
+  test("q144 sliding distinct dominates the daily distinct and respects the 7-day union bound") {
+    import spark.implicits._
+    val daily = graft.core.Tables
+      .events(spark, sf)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .distinct()
+      .groupBy("day")
+      .count()
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+      .toMap
+    val rows = Advanced.q144(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDate(0)
+      val v = r.getAs[Long]("users_7d")
+      val day = d.toLocalDate
+      val window = (0 to 6).map(k => daily.getOrElse(day.minusDays(k.toLong).toString, 0L))
+      assert(v >= window.max, s"$day: $v < max daily ${window.max}")
+      assert(v <= window.sum, s"$day: $v > 7-day union bound ${window.sum}")
+    }
+  }
+
   test("q135 maxsim returns a full top-10 per query in strict rank order") {
     val rows = Advanced.q135(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
