@@ -186,6 +186,62 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/data").count() == written.count())
   }
 
+  test("foreachBatch incremental MV maintenance replays to exactly the batch q143 rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streamed rows, pre-projected to the MV's input shape
+    val rows = graft.core.Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "CAST(to_date(ts) AS STRING) AS day",
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm")
+      .as[(String, String, Long)]
+      .collect()
+      .toSeq
+    // split on the q143 base/delta boundary so the micro-batches mirror
+    // the batch operator's partial-aggregate segments
+    val (base, delta) = rows.partition(_._2.substring(8).toInt <= 20)
+    // the maintained view: merge each micro-batch's partial aggregate into
+    // state by summing the commutative-monoid fields — q143's law, run on
+    // the real micro-batch runtime instead of two static frames
+    val state = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    val stream = MemoryStream[(String, String, Long)]
+    val q = stream
+      .toDF()
+      .toDF("event_type", "day", "vm")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = batch
+          .groupBy("event_type", "day")
+          .agg(
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.sum("vm").as("sv"))
+          .collect()
+        state.synchronized {
+          partial.foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            val (n0, s0) = state.getOrElse(k, (0L, 0L))
+            state(k) = (n0 + r.getLong(2), s0 + r.getLong(3))
+          }
+        }
+        ()
+      }
+      .start()
+    stream.addData(base)
+    q.processAllAvailable()
+    stream.addData(delta)
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.queries.Advanced
+      .q143(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(state.toMap == want)
+  }
+
   test("foreachBatch upsert sink: streamed last-write-wins lands in the KV engine") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
