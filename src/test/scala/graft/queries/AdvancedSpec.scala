@@ -176,6 +176,53 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q145 merged-HLL estimates track q144's exact sliding distinct within the sketch envelope") {
+    val exact = Advanced
+      .q144(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("users_7d"))
+      .toMap
+    val est = Advanced.q145(spark, sf).collect()
+    assert(est.nonEmpty && est.length == exact.size)
+    est.foreach { r =>
+      val d = r.getDate(0).toString
+      val e = r.getAs[Double]("users_7d_hll")
+      val x = exact(d).toDouble
+      // m=256 → 6.5% stderr; linear counting dominates at these counts.
+      // 20% is ~3 sigma of the worst regime.
+      assert(math.abs(e - x) <= math.max(3.0, 0.2 * x), s"$d: est $e vs exact $x")
+    }
+  }
+
+  test("q146 prefix filtering loses no pairs: equals full shared-shingle blocking at the same threshold") {
+    val viaPrefix = Advanced
+      .q146(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val viaBlocking = graft.llm.Dedup
+      .jaccardPairs(graft.core.Tables.documents(spark, sf), "doc_id", "text", 3, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaPrefix == viaBlocking)
+    assert(viaPrefix.nonEmpty, "fixture should contain at least one 0.8-jaccard pair")
+  }
+
+  test("q134 plans exactly one hash shuffle (windows and rollups reuse the user_id partitioning)") {
+    val plan = Advanced.q134(spark, sf).queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hashpartitioning exchange, plan:\n$plan")
+  }
+
+  test("q142 and q135 plan without cartesian products; q135 broadcasts the query slices") {
+    val p142 = Advanced.q142(spark, sf).queryExecution.executedPlan.toString
+    assert(!p142.contains("CartesianProduct"), p142)
+    val p135 = Advanced.q135(spark, sf).queryExecution.executedPlan.toString
+    assert(!p135.contains("CartesianProduct"), p135)
+    assert(p135.contains("BroadcastExchange") || p135.contains("BroadcastNestedLoop"), p135)
+  }
+
   test("q135 maxsim returns a full top-10 per query in strict rank order") {
     val rows = Advanced.q135(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
