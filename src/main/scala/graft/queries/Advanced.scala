@@ -779,7 +779,163 @@ object Advanced {
        |  FROM s)
        |SELECT qkey, p_partkey, jw, rk FROM rked WHERE rk <= 3 ORDER BY qkey, rk""".stripMargin
 
+  // -- q148: Markov stationary distribution (power iteration) -----------
+
+  /** Stationary distribution of the session-transition Markov chain
+    * (q109's matrix): three power-iteration steps from the uniform
+    * vector, ENTIRELY in integer micro-units — probabilities are
+    * floor-snapped to 1e-6 once (an exact double op both engines share),
+    * then every step is Σ(πᵢ·pᵢ) followed by one integer
+    * divide-with-rounding, so the trajectory is bit-reproducible with no
+    * float accumulation anywhere. The chain is 5 states; each step is a
+    * broadcast-sized join — the same shape at any corpus scale because
+    * the matrix aggregates first.
+    */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id")).orderBy(col("ts"), col("event_id"))
+    val trans = TimeSeriesOps
+      .sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val pInt = trans
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        floor(col("cnt") * lit(1000000.0) / col("tot") + 0.5).cast("long").as("p_i"))
+    val states = trans
+      .select(col("from_type").as("state"))
+      .unionByName(trans.select(col("to_type").as("state")))
+      .distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("nst"))))
+      .select(col("state"), expr("1000000 div nst").cast("long").as("pi_i"))
+    (1 to 3).foreach { _ =>
+      pi = pi
+        .join(pInt, pi("state") === pInt("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(expr("(sum(pi_i * p_i) + 500000) div 1000000").cast("long").as("pi_i"))
+    }
+    pi.select(col("state"), col("pi_i"), (col("pi_i") / lit(1000000.0)).as("pi"))
+      .orderBy(col("state"))
+  }
+
+  val q148Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+      |  FROM g),
+      |cm AS (SELECT from_type, to_type, count(*) AS cnt FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |pm AS (
+      |  SELECT from_type, to_type,
+      |    CAST(floor(cnt * 1000000.0 / sum(cnt) OVER (PARTITION BY from_type) + 0.5) AS BIGINT) AS p_i
+      |  FROM cm),
+      |states AS (SELECT DISTINCT state FROM (SELECT from_type AS state FROM cm UNION SELECT to_type FROM cm) u),
+      |pi0 AS (SELECT state, 1000000 // nst AS pi_i FROM states, (SELECT count(*) AS nst FROM states) n),
+      |it1 AS (SELECT p.to_type AS state, (sum(pi.pi_i * p.p_i) + 500000) // 1000000 AS pi_i
+      |        FROM pi0 pi JOIN pm p ON p.from_type = pi.state GROUP BY p.to_type),
+      |it2 AS (SELECT p.to_type AS state, (sum(pi.pi_i * p.p_i) + 500000) // 1000000 AS pi_i
+      |        FROM it1 pi JOIN pm p ON p.from_type = pi.state GROUP BY p.to_type),
+      |it3 AS (SELECT p.to_type AS state, (sum(pi.pi_i * p.p_i) + 500000) // 1000000 AS pi_i
+      |        FROM it2 pi JOIN pm p ON p.from_type = pi.state GROUP BY p.to_type)
+      |SELECT state, CAST(pi_i AS BIGINT) AS pi_i, CAST(pi_i AS DOUBLE) / 1000000.0 AS pi
+      |FROM it3 ORDER BY state""".stripMargin
+
+  // -- q149: weighted median -------------------------------------------
+
+  /** Weighted median of value per event type (weight = day-of-month, a
+    * recency stand-in): the smallest value whose cumulative weight
+    * reaches half the total, under the (value, event_id) total order.
+    * The built-in percentile family can't take weights; the windowed
+    * cumulative-sum form is the standard distributed shape — one hash
+    * shuffle on the group key, integer weights so the threshold test is
+    * exact. Qualifying rows are a suffix of the order, so min(value)
+    * over them IS the first crossing.
+    */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val base = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        col("value"),
+        col("event_id"),
+        dayofmonth(col("ts")).cast("long").as("wt"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    base
+      .withColumn("cumw", sum(col("wt")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("wt")).over(Window.partitionBy(col("event_type"))))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("event_type"))
+      .agg(max(col("totw")).as("total_weight"), Det.r6(min(col("value"))).as("weighted_median"))
+      .orderBy(col("event_type"))
+  }
+
+  val q149Sql: String =
+    s"""WITH base AS (
+       |  SELECT event_type, value, event_id, CAST(day(ts) AS BIGINT) AS wt FROM events),
+       |c AS (
+       |  SELECT event_type, value, wt,
+       |    sum(wt) OVER (PARTITION BY event_type ORDER BY value, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+       |    sum(wt) OVER (PARTITION BY event_type) AS totw
+       |  FROM base)
+       |SELECT event_type, CAST(max(totw) AS BIGINT) AS total_weight,
+       |  ${Det.sqlR("min(value)", 6)} AS weighted_median
+       |FROM c WHERE cumw * 2 >= totw
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q150: longest consecutive-day streak -----------------------------
+
+  /** Longest run of consecutive active days per user — gaps-and-islands
+    * via the date-minus-rank trick (`day − row_number` is constant
+    * exactly within a consecutive run). Engagement-streak analytics with
+    * one shuffle on user_id; the distinct (user, day) collapse first
+    * bounds everything downstream by active-days, not events.
+    */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val du = Tables
+      .events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    du.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val q150Sql: String =
+    """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      |  FROM du),
+      |runs AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_markov_stationary" -> (q148 _),
+    "q149_weighted_median" -> (q149 _),
+    "q150_longest_streak" -> (q150 _),
     "q147_jaro_winkler_topk" -> (q147 _),
     "q145_sliding_hll" -> (q145 _),
     "q146_prefix_filter_join" -> (q146 _),
@@ -797,6 +953,9 @@ object Advanced {
     "q140_equidepth_histogram" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
+    "q148_markov_stationary" -> q148Sql,
+    "q149_weighted_median" -> q149Sql,
+    "q150_longest_streak" -> q150Sql,
     "q147_jaro_winkler_topk" -> q147Sql,
     "q145_sliding_hll" -> q145Sql,
     "q146_prefix_filter_join" -> q146Sql,

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -135,8 +135,11 @@ class KvScanBuilder(
   private val pushed = mutable.ArrayBuffer.empty[Filter]
   private var collections: Option[Set[String]] = scoped.map(Set(_)) // None = all
   private var keyEquals: Option[String] = None
+  private var keyRange: KvKeyRange = KvKeyRange.all
   private var countByCollection: Option[Boolean] = None // Some(grouped?)
   private var limit: Option[Int] = None
+
+  private def anyKeyPredicate: Boolean = keyEquals.isDefined || !keyRange.isAll
 
   /** COUNT(*) — optionally grouped by `collection` — answers from parquet
     * FOOTER metadata: row counts of a 100 TB store without opening a
@@ -149,7 +152,7 @@ class KvScanBuilder(
     val countStarOnly = agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
     lazy val groups = agg.groupByExpressions
-    if (!countStarOnly || keyEquals.isDefined) None
+    if (!countStarOnly || anyKeyPredicate) None
     else if (groups.isEmpty) Some(false)
     else if (groups.forall {
         case f: NamedReference => f.fieldNames.sameElements(Array("collection"))
@@ -186,6 +189,20 @@ class KvScanBuilder(
         // keep the first and let Spark re-check the rest as residuals
         if (keyEquals.isEmpty) { keyEquals = Some(v); pushed += f }
         else residual += f
+      // range / prefix scans — the other half of a KV store's read
+      // surface; bounds conjoin by tightening (lexicographic on the
+      // alphanumeric id space, identical to Spark's own UTF8 ordering
+      // there)
+      case f @ GreaterThan("key", v: String) =>
+        keyRange = keyRange.withLower(v, inclusive = false); pushed += f
+      case f @ GreaterThanOrEqual("key", v: String) =>
+        keyRange = keyRange.withLower(v, inclusive = true); pushed += f
+      case f @ LessThan("key", v: String) =>
+        keyRange = keyRange.withUpper(v, inclusive = false); pushed += f
+      case f @ LessThanOrEqual("key", v: String) =>
+        keyRange = keyRange.withUpper(v, inclusive = true); pushed += f
+      case f @ StringStartsWith("key", p) =>
+        keyRange = keyRange.withPrefix(p); pushed += f
       case f @ IsNotNull("collection" | "key") =>
         pushed += f // never null by construction
       case other =>
@@ -200,8 +217,58 @@ class KvScanBuilder(
 
   override def build(): Scan = countByCollection match {
     case Some(grouped) => new KvCountScan(root, collections, grouped)
-    case None => new KvScan(root, required, collections, keyEquals, pushed.toArray, limit)
+    case None => new KvScan(root, required, collections, keyEquals, pushed.toArray, limit, keyRange)
   }
+}
+
+/** Conjoined key bounds (tightest lower/upper + optional prefix), applied
+  * in the reader before any row leaves the scan. Bounds compare as plain
+  * Java strings — identical to UTF8 binary order on the engine's
+  * alphanumeric key space.
+  */
+case class KvKeyRange(
+    lower: Option[(String, Boolean)], // (bound, inclusive)
+    upper: Option[(String, Boolean)],
+    prefix: Option[String]) {
+  def isAll: Boolean = lower.isEmpty && upper.isEmpty && prefix.isEmpty
+  def withLower(v: String, inclusive: Boolean): KvKeyRange = {
+    val next = lower match {
+      case Some((b, inc)) =>
+        val c = v.compareTo(b)
+        if (c > 0 || (c == 0 && !inclusive)) (v, inclusive) else (b, inc)
+      case None => (v, inclusive)
+    }
+    copy(lower = Some(next))
+  }
+  def withUpper(v: String, inclusive: Boolean): KvKeyRange = {
+    val next = upper match {
+      case Some((b, inc)) =>
+        val c = v.compareTo(b)
+        if (c < 0 || (c == 0 && !inclusive)) (v, inclusive) else (b, inc)
+      case None => (v, inclusive)
+    }
+    copy(upper = Some(next))
+  }
+  def withPrefix(p: String): KvKeyRange = {
+    // two prefixes: the longer wins if nested, else the range is empty —
+    // modeled by keeping both (contains applies each)
+    val next = prefix match {
+      case Some(q) =>
+        if (p.startsWith(q)) p else if (q.startsWith(p)) q else p + " " + q // unsatisfiable
+      case None => p
+    }
+    copy(prefix = Some(next))
+  }
+  def contains(key: String): Boolean = {
+    if (key == null) return false
+    lower.forall { case (b, inc) => val c = key.compareTo(b); c > 0 || (inc && c == 0) } &&
+    upper.forall { case (b, inc) => val c = key.compareTo(b); c < 0 || (inc && c == 0) } &&
+    prefix.forall(key.startsWith)
+  }
+}
+
+object KvKeyRange {
+  val all: KvKeyRange = KvKeyRange(None, None, None)
 }
 
 /** Aggregated scan: COUNT(*) [GROUP BY collection] from footer metadata.
@@ -274,7 +341,8 @@ class KvScan(
     collections: Option[Set[String]],
     keyEquals: Option[String],
     pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    keyRange: KvKeyRange = KvKeyRange.all)
     extends Scan
     with Batch {
 
@@ -295,16 +363,20 @@ class KvScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvReaderFactory(required.fieldNames, keyEquals, limit)
+    KvReaderFactory(required.fieldNames, keyEquals, limit, keyRange)
 }
 
 case class KvInputPartition(collection: String, file: String) extends InputPartition
 
-case class KvReaderFactory(fields: Array[String], keyEquals: Option[String], limit: Option[Int])
+case class KvReaderFactory(
+    fields: Array[String],
+    keyEquals: Option[String],
+    limit: Option[Int],
+    keyRange: KvKeyRange = KvKeyRange.all)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(p.collection, p.file, fields, keyEquals, limit)
+    new KvPartitionReader(p.collection, p.file, fields, keyEquals, limit, keyRange)
   }
 }
 
@@ -318,7 +390,8 @@ class KvPartitionReader(
     file: String,
     fields: Array[String],
     keyEquals: Option[String],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    keyRange: KvKeyRange = KvKeyRange.all)
     extends PartitionReader[InternalRow] {
 
   private val reader =
@@ -331,7 +404,7 @@ class KvPartitionReader(
     var g = reader.read()
     while (g != null) {
       val key = if (g.getFieldRepetitionCount("key") > 0) g.getString("key", 0) else null
-      if (keyEquals.forall(_ == key)) {
+      if (keyEquals.forall(_ == key) && (keyRange.isAll || keyRange.contains(key))) {
         val value = if (g.getFieldRepetitionCount("value") > 0) g.getString("value", 0) else null
         val vals: Array[Any] = fields.map {
           case "collection" => UTF8String.fromString(collection)

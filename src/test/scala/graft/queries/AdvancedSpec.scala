@@ -223,6 +223,66 @@ class AdvancedSpec extends SparkSpec {
     assert(p135.contains("BroadcastExchange") || p135.contains("BroadcastNestedLoop"), p135)
   }
 
+  test("q148 stationary vector stays a near-distribution (mass within integer-rounding drift)") {
+    val rows = Advanced.q148(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getAs[Long]("pi_i")).sum
+    // each of 3 iterations can drift at most ±(nstates/2) micro-units
+    assert(math.abs(mass - 1000000L) <= 3L * rows.length, s"mass $mass")
+    rows.foreach(r => assert(r.getAs[Long]("pi_i") >= 0L))
+  }
+
+  test("q149 weighted median matches a driver-side brute force per type") {
+    import spark.implicits._
+    val data = graft.core.Tables
+      .events(spark, sf)
+      .select($"event_type", $"value", $"event_id", dayofmonth($"ts").cast("long").as("wt"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val want = data.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val tot = sorted.map(_._4).sum
+      var cum = 0L
+      val first = sorted.find { r => cum += r._4; cum * 2 >= tot }.get
+      t -> first._2
+    }
+    val got = Advanced
+      .q149(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("weighted_median"))
+      .toMap
+    want.foreach { case (t, v) =>
+      assert(math.abs(got(t) - v) < 1e-6, s"$t: ${got(t)} vs $v")
+    }
+  }
+
+  test("q150 streaks: longest <= active days, and brute-force agreement per user") {
+    import spark.implicits._
+    val days = graft.core.Tables
+      .events(spark, sf)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val want = days.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      var best = 1L; var cur = 1L
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          if (pair(1).toEpochDay == pair(0).toEpochDay + 1) { cur += 1; best = math.max(best, cur) }
+          else cur = 1
+        }
+      }
+      u -> (best, sorted.length.toLong)
+    }
+    val got = Advanced
+      .q150(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("longest_streak"), r.getAs[Long]("n_active_days")))
+      .toMap
+    assert(got == want)
+  }
+
   test("q135 maxsim returns a full top-10 per query in strict rank order") {
     val rows = Advanced.q135(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>

@@ -137,6 +137,30 @@ class KvDsv2Spec extends SparkSpec {
     assert(bad2.getMessage.contains("alphanumeric") || bad2.getCause != null)
   }
 
+  test("key range and prefix push into the reader (the KV range-scan surface)") {
+    // range: lexicographic bounds on the key
+    val q1 = table.filter("key >= 'boot' AND key < 'mem'")
+    val p1 = q1.queryExecution.executedPlan.toString
+    assert(p1.contains("GreaterThanOrEqual(key,boot)") && p1.contains("LessThan(key,mem)"), p1)
+    assert(q1.collect().map(_.getString(1)).toSet == Set("boot", "cpu"))
+    // prefix: LIKE 'c%' pushes as StringStartsWith
+    val q2 = table.filter("key LIKE 'c%'")
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.contains("StringStartsWith(key,c)"), p2)
+    assert(q2.collect().map(_.getString(1)).toSeq == Seq("cpu"))
+    // conjoined bounds tighten; contradictory bounds return nothing
+    assert(table.filter("key > 'boot' AND key > 'cpu' AND key <= 'mem'")
+      .collect().map(_.getString(1)).toSet == Set("mem"))
+    assert(table.filter("key > 'z'").collect().isEmpty)
+  }
+
+  test("aggregate pushdown is refused when a key RANGE is present (footer counts ignore filters)") {
+    val q = table.filter("key >= 'c'").groupBy("collection").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftKvCountScan"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("metrics", 2L)))
+  }
+
   test("collection-scoped read returns only that collection's rows with the (key, value) schema") {
     val q = spark.read.format("graft-kv").option("collection", "metrics").load(root)
     assert(q.schema.fieldNames.toSeq == Seq("key", "value"))
