@@ -932,7 +932,158 @@ object Advanced {
       |  CAST(sum(len) AS BIGINT) AS n_active_days
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- q151: PMI collocations -------------------------------------------
+
+  /** Pointwise-mutual-information collocation mining: top-20 adjacent
+    * word pairs by PMI = ln((c_ab/Nb) / ((c_a/Nu)(c_b/Nu))) with minimum
+    * support 5 — the multiword-expression detector corpus curation uses
+    * to protect collocations from token-level ops. All counts are exact
+    * integers; PMI is a per-row deterministic function of them (a sum of
+    * logs), snapped r6 BEFORE ranking. Shuffles: one per count table,
+    * totals ride one-row broadcasts; the global top-20 is
+    * TakeOrderedAndProject.
+    */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables
+      .documents(s, d)
+      .select(Text.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val uni = toks
+      .select(explode(col("w")).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(
+        explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(element_at(w, i + 1) AS a, element_at(w, i + 2) AS b))"))
+          .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val nb = Tables
+      .documents(s, d)
+      .select(Text.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .agg(sum(size(col("w")) - 1).cast("long").as("nb"))
+    val pmi = log(col("c_ab").cast("double")) - log(col("nb").cast("double")) -
+      log(col("ca").cast("double")) - log(col("cb").cast("double")) +
+      lit(2.0) * log(col("nu").cast("double"))
+    val scored = bi
+      .join(uni.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("c_ab"), Det.r6(pmi).as("pmi"))
+    scored
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(col("pmi").desc, col("a"), col("b"))).cast("long"))
+      .orderBy(col("rk"))
+  }
+
+  val q151Sql: String =
+    s"""WITH d AS (SELECT $sqlToks AS w FROM documents),
+       |dd AS (SELECT w FROM d WHERE len(w) >= 2),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+       |        FROM (SELECT unnest(w) AS t FROM dd) u GROUP BY t),
+       |bi AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (
+       |    SELECT w[CAST(i AS INT)] AS a, w[CAST(i + 1 AS INT)] AS b
+       |    FROM dd, LATERAL (SELECT unnest(range(1, len(w))) AS i) t) p
+       |  GROUP BY a, b HAVING count(*) >= 5),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+       |nb AS (SELECT CAST(sum(len(w) - 1) AS BIGINT) AS nb FROM dd),
+       |scored AS (
+       |  SELECT bi.a, bi.b, bi.c_ab,
+       |    ${Det.sqlR(
+        "ln(CAST(c_ab AS DOUBLE)) - ln(CAST(nb.nb AS DOUBLE)) - ln(CAST(ua.c AS DOUBLE)) - ln(CAST(ub.c AS DOUBLE)) + 2.0 * ln(CAST(nu.nu AS DOUBLE))",
+        6)} AS pmi
+       |  FROM bi JOIN uni ua ON ua.t = bi.a JOIN uni ub ON ub.t = bi.b, nu, nb),
+       |rked AS (
+       |  SELECT a, b, c_ab, pmi,
+       |    CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT a, b, c_ab, pmi, rk FROM rked WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  // -- q152: language-ID confusion matrix --------------------------------
+
+  /** Confusion matrix of the q28 marker-lexicon language detector against
+    * the labeled `lang` column, with per-cell recall (row-normalized) and
+    * precision (column-normalized) fractions — the QA readout that turns
+    * a classifier query into a monitored pipeline stage. Composes q28's
+    * predictor verbatim, so detector and audit can never drift. Matrix
+    * cells are a 5×5 aggregate; both normalizations ride windows over
+    * that tiny frame.
+    */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val cm = TextQueries
+      .q28(s, d)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    cm.select(
+      col("actual_lang"),
+      col("pred_lang"),
+      col("n"),
+      Det.r6(col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("actual_lang"))))
+        .as("frac_of_actual"),
+      Det.r6(col("n").cast("double") / sum(col("n")).over(Window.partitionBy(col("pred_lang"))))
+        .as("frac_of_pred"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
+  }
+
+  val q152Sql: String =
+    s"""WITH p AS (SELECT actual_lang, pred_lang FROM (${TextQueries.q28Sql.replace("\n", "\n  ")}) z),
+       |cm AS (SELECT actual_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT actual_lang, pred_lang, n,
+       |  ${Det.sqlR("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY actual_lang)", 6)} AS frac_of_actual,
+       |  ${Det.sqlR("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY pred_lang)", 6)} AS frac_of_pred
+       |FROM cm ORDER BY actual_lang, pred_lang""".stripMargin
+
+  // -- q153: VARIANT semi-structured extraction --------------------------
+
+  /** Semi-structured analytics through Spark 4's VARIANT type:
+    * `parse_json` once into the binary variant encoding, then typed
+    * `variant_get` path extraction — the open-schema path that keeps
+    * JSON shredding OUT of the scan schema (vs q10's `get_json_object`
+    * string walk and q50's rigid `from_json` map). At 100 TB variant's
+    * binary form is the difference between decoding JSON text per access
+    * and per ROW. Aggregates are integer-exact; the oracle reads the
+    * same paths with DuckDB's JSON extraction.
+    */
+  def q153(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("variant_get(parse_json(props), '$.missing', 'bigint')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing_path"))
+      .orderBy(col("event_type"))
+
+  val q153Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS distinct_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS BIGINT) AS n_missing_path
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q153_variant_extract" -> (q153 _),
+    "q151_pmi_collocations" -> (q151 _),
+    "q152_langid_confusion" -> (q152 _),
     "q148_markov_stationary" -> (q148 _),
     "q149_weighted_median" -> (q149 _),
     "q150_longest_streak" -> (q150 _),
@@ -953,6 +1104,9 @@ object Advanced {
     "q140_equidepth_histogram" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
+    "q153_variant_extract" -> q153Sql,
+    "q151_pmi_collocations" -> q151Sql,
+    "q152_langid_confusion" -> q152Sql,
     "q148_markov_stationary" -> q148Sql,
     "q149_weighted_median" -> q149Sql,
     "q150_longest_streak" -> q150Sql,

@@ -283,6 +283,17 @@ class AdvancedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("observe() metrics ride the q143 action — no second pass over the data") {
+    val obs = org.apache.spark.sql.Observation("mv_metrics")
+    val out = Advanced
+      .q143(spark, sf)
+      .observe(obs, count(lit(1)).as("rows"), sum(col("n_events")).as("events"))
+      .collect()
+    val events = graft.core.Tables.events(spark, sf).count()
+    assert(obs.get("rows") == out.length.toLong)
+    assert(obs.get("events") == events, "merged MV must conserve every source event")
+  }
+
   test("q135 maxsim returns a full top-10 per query in strict rank order") {
     val rows = Advanced.q135(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
