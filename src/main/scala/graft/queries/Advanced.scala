@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -623,10 +623,11 @@ object Advanced {
     * even the estimates hash-match the oracle. Law vs q144's exact
     * counts: tested within the HLL error envelope in AdvancedSpec.
     */
-  def q145(s: SparkSession, d: String): DataFrame = {
-    val m = 256
-    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
-    val two53 = 9007199254740992L // 2^53
+  /** The per-day HLL register table (day, bucket, r) over user_id — the
+    * mergeable state q145 windows over (exposed for the streaming twin,
+    * which max-merges the identical registers through foreachBatch).
+    */
+  private[graft] def dailyHllRegisters(s: SparkSession, d: String): DataFrame = {
     val hex = md5(col("user_id").cast("string"))
     val stripped = ltrim(substring(hex, 1, 13), "0")
     val firstDigit = substring(stripped, 1, 1)
@@ -636,7 +637,7 @@ object Advanced {
       .otherwise(1)
     val rho = when(length(stripped) === 0, lit(53))
       .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
-    val daily = Tables
+    Tables
       .events(s, d)
       .select(
         to_date(col("ts")).as("day"),
@@ -644,6 +645,32 @@ object Advanced {
         rho.as("rho"))
       .groupBy(col("day"), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** q48's estimate readout over a merged register frame (key, bucket, r). */
+  private[graft] def hllEstimate(merged: DataFrame, keyCol: String, outCol: String): DataFrame = {
+    val m = 256
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    val two53 = 9007199254740992L // 2^53
+    val raw = lit(alphaM2) /
+      ((col("sp") + (lit(m.toLong) - col("nz")) * lit(two53)).cast("double") / lit(two53.toDouble))
+    merged
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("nz"),
+        sum(expr("CAST(power(2.0, 53 - r) AS BIGINT)")).as("sp"))
+      .select(
+        col(keyCol),
+        Det.r4(
+          when(raw <= lit(2.5 * m) && col("nz") < lit(m.toLong),
+            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("nz"))))
+            .otherwise(raw)).as(outCol),
+        col("nz").as("buckets_used"))
+      .orderBy(col(keyCol))
+  }
+
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyHllRegisters(s, d)
     val maxDay = daily.agg(max(col("day")).as("max_day"))
     // sketch merge: replicate each day's ≤256 registers into the ≤7
     // windows they serve, take the bucket-wise max per window end
@@ -654,21 +681,7 @@ object Advanced {
       .filter(col("wend") <= col("max_day"))
       .groupBy(col("wend"), col("bucket"))
       .agg(max(col("r")).as("r"))
-    val raw = lit(alphaM2) /
-      ((col("sp") + (lit(m.toLong) - col("nz")) * lit(two53)).cast("double") / lit(two53.toDouble))
-    merged
-      .groupBy(col("wend"))
-      .agg(
-        count(lit(1)).as("nz"),
-        sum(expr("CAST(power(2.0, 53 - r) AS BIGINT)")).as("sp"))
-      .select(
-        col("wend"),
-        Det.r4(
-          when(raw <= lit(2.5 * m) && col("nz") < lit(m.toLong),
-            lit(m.toDouble) * log(lit(m.toDouble) / (lit(m.toLong) - col("nz"))))
-            .otherwise(raw)).as("users_7d_hll"),
-        col("nz").as("buckets_used"))
-      .orderBy(col("wend"))
+    hllEstimate(merged, "wend", "users_7d_hll")
   }
 
   val q145Sql: String = {
@@ -1080,7 +1093,56 @@ object Advanced {
       |  CAST(count(CAST(json_extract(props, '$.missing') AS BIGINT)) AS BIGINT) AS n_missing_path
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q154: reciprocal-rank fusion --------------------------------------
+
+  /** Hybrid-retrieval rank fusion: RRF-merge the exact cosine top-10
+    * (q32) with the multi-probe LSH top-10 (q34) per query — the
+    * standard way production search combines rankers without score
+    * calibration. Contributions are snapped to integer nano-units
+    * (floor(1e9/(60+rank))), so the fused score is an exact integer sum
+    * over however many systems ranked the candidate (full outer on the
+    * rank lists — a candidate one system missed simply contributes 0).
+    * Both inputs are verified queries; fusion adds one tiny-frame join.
+    */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    def contrib(rk: Column): Column =
+      when(rk.isNull, lit(0L)).otherwise(floor(lit(1.0e9) / (lit(60) + rk) + 0.5).cast("long"))
+    val a = VectorQueries.q32(s, d).select(col("qid"), col("vec_id"), col("rk").as("rk_exact"))
+    val b = VectorQueries.q34(s, d).select(col("qid"), col("vec_id"), col("rk").as("rk_lsh"))
+    val fused = a
+      .join(b, Seq("qid", "vec_id"), "full_outer")
+      .select(
+        col("qid"),
+        col("vec_id"),
+        (contrib(col("rk_exact")) + contrib(col("rk_lsh"))).as("rrf_i"),
+        col("rk_exact"),
+        col("rk_lsh"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_i").desc, col("vec_id"))
+    fused
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rrf_i"), col("rk"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q154Sql: String = {
+    def derived(sql: String) = "(" + sql.replace("\n", "\n  ") + ")"
+    s"""WITH a AS (SELECT qid, vec_id, rk AS rk_exact FROM ${derived(VectorQueries.q32Sql)} za),
+       |b AS (SELECT qid, vec_id, rk AS rk_lsh FROM ${derived(VectorQueries.q34Sql)} zb),
+       |fused AS (
+       |  SELECT coalesce(a.qid, b.qid) AS qid, coalesce(a.vec_id, b.vec_id) AS vec_id,
+       |    CAST(coalesce(CAST(floor(1e9 / (60 + a.rk_exact) + 0.5) AS BIGINT), 0)
+       |       + coalesce(CAST(floor(1e9 / (60 + b.rk_lsh) + 0.5) AS BIGINT), 0) AS BIGINT) AS rrf_i
+       |  FROM a FULL OUTER JOIN b ON a.qid = b.qid AND a.vec_id = b.vec_id),
+       |rked AS (
+       |  SELECT qid, vec_id, rrf_i,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_i DESC, vec_id) AS BIGINT) AS rk
+       |  FROM fused)
+       |SELECT qid, vec_id, rrf_i, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_rrf_fusion" -> (q154 _),
     "q153_variant_extract" -> (q153 _),
     "q151_pmi_collocations" -> (q151 _),
     "q152_langid_confusion" -> (q152 _),
@@ -1104,6 +1166,7 @@ object Advanced {
     "q140_equidepth_histogram" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
+    "q154_rrf_fusion" -> q154Sql,
     "q153_variant_extract" -> q153Sql,
     "q151_pmi_collocations" -> q151Sql,
     "q152_langid_confusion" -> q152Sql,

@@ -242,6 +242,70 @@ class StreamingSpec extends SparkSpec {
     assert(state.toMap == want)
   }
 
+  test("foreachBatch HLL register merge replays to exactly the batch q145 estimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streamed unit is the MERGEABLE SKETCH STATE, not raw events:
+    // (day, bucket, r) registers arrive in two arbitrary batches and the
+    // sink max-merges them — the law that lets a stream maintain windowed
+    // distinct counts without reprocessing any prior day
+    val regs = graft.queries.Advanced
+      .dailyHllRegisters(spark, sf)
+      .selectExpr("CAST(day AS STRING) AS day", "bucket", "r")
+      .as[(String, Int, Int)]
+      .collect()
+      .toSeq
+    val (first, second) = regs.partition(_.hashCode() % 2 == 0) // arbitrary interleave
+    val state = scala.collection.mutable.Map.empty[(String, Int), Int]
+    val stream = MemoryStream[(String, Int, Int)]
+    val q = stream
+      .toDF()
+      .toDF("day", "bucket", "r")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { row =>
+          val k = (row.getString(0), row.getInt(1))
+          val r = row.getInt(2)
+          state.synchronized { state(k) = math.max(state.getOrElse(k, 0), r) }
+        }
+        ()
+      }
+      .start()
+    stream.addData(first)
+    q.processAllAvailable()
+    stream.addData(second)
+    q.processAllAvailable()
+    q.stop()
+    // window the streamed state exactly like q145 and compare estimates
+    val mergedRows = state.toSeq.map { case ((day, b), r) => (day, b, r) }
+    val merged = mergedRows
+      .toDF("day", "bucket", "r")
+      .selectExpr("CAST(day AS DATE) AS day", "bucket", "r")
+    val maxDay = merged.selectExpr("max(day) AS max_day")
+    val windowed = merged
+      .select($"day", $"bucket", $"r", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(0),
+          org.apache.spark.sql.functions.lit(6))).as("k"))
+      .selectExpr("date_add(day, k) AS wend", "bucket", "r")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(maxDay))
+      .filter($"wend" <= $"max_day")
+      .groupBy($"wend", $"bucket")
+      .agg(org.apache.spark.sql.functions.max($"r").as("r"))
+    val got = graft.queries.Advanced
+      .hllEstimate(windowed, "wend", "users_7d_hll")
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    val want = graft.queries.Advanced
+      .q145(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+  }
+
   test("foreachBatch upsert sink: streamed last-write-wins lands in the KV engine") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
