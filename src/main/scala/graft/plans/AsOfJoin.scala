@@ -50,6 +50,35 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning through the custom node — the `Rule[LogicalPlan]` leg
+  * of the Catalyst extension surface (SURVEY §4.2 path (c)). Catalyst's
+  * own ColumnPruning only knows built-in node types, so a Project above
+  * [[AsOfJoinNode]] would otherwise leave BOTH scans reading every
+  * column — at 100 TB, a wide right table shipped through the shuffle
+  * for one carried value. The rule pushes the referenced-attribute set
+  * (plus the join's own key/ts/tie columns) into each child as a
+  * Project, which then keeps folding down to the parquet ReadSchema via
+  * the built-in rules (plan-asserted in AsOfJoinSpec). Fixpoint-safe:
+  * fires only when it removes at least one column.
+  */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, a: AsOfJoinNode) =>
+      val needed = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(Seq(a.leftKey, a.rightKey, a.leftTs, a.rightTs, a.rightTie))
+      val lKeep = a.left.output.filter(needed.contains)
+      val rKeep = a.right.output.filter(needed.contains)
+      if (lKeep.length == a.left.output.length && rKeep.length == a.right.output.length) p
+      else
+        p.copy(child =
+          a.copy(left = Project(lKeep, a.left), right = Project(rKeep, a.right)))
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -148,6 +177,9 @@ object AsOfJoin {
     val es = spark.experimental
     if (!es.extraStrategies.contains(AsOfJoinStrategy)) {
       es.extraStrategies = es.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!es.extraOptimizations.contains(PruneAsOfJoinColumns)) {
+      es.extraOptimizations = es.extraOptimizations :+ PruneAsOfJoinColumns
     }
   }
 
@@ -287,6 +319,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
     functionTriples.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

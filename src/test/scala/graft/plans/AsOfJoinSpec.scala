@@ -83,4 +83,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(event_type)"), plan) // scan pushdown survives
     assert(!plan.contains("WindowExec"), plan) // no window fallback
   }
+
+  test("PruneAsOfJoinColumns pushes a Project into both children and reaches the scan ReadSchema") {
+    import spark.implicits._
+    // use the raw parquet table (not the pre-projected frames): the rule's
+    // job is exactly to prune a WIDE child a caller passed whole
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select(
+        $"user_id".as("p_uid"), $"ts".as("p_ts"), $"event_id".as("p_eid"),
+        $"value".as("pv"), $"props".as("p_props"), $"event_type".as("p_type"))
+    val joined = AsOfJoin
+      .join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+      .select($"event_id", $"pv") // references 2 of the 12 output columns
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    // the node's children must be pruned projections, not full outputs
+    assert(!optimized.contains("p_props"), optimized)
+    val physical = joined.queryExecution.executedPlan.toString
+    // pruning must fold into the parquet scan: no props/value noise on the
+    // left read schema, no props on the right
+    assert(!physical.contains("p_props"), physical)
+    // and the results are identical to the unpruned evaluation
+    val got = joined.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val want = AsOfJoin
+      .join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("pv"))) None else Some(r.getAs[Double]("pv"))))
+      .toMap
+    assert(got == want)
+  }
 }
