@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Laws for the round-5 Frontier operators. The oracle gate checks exact
+  * values at sf0.01; these pin the algebraic properties at sf0.001 so a
+  * refactor that drifts semantics fails fast locally.
+  */
+class FrontierSpec extends SparkSpec {
+
+  test("q155 skyline = exact brute-force dominance set") {
+    val got = Frontier
+      .q155(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("price"), r.getAs[Long]("size")))
+      .toSet
+    val all = Tables
+      .part(spark, sf)
+      .selectExpr("p_partkey", "p_retailprice", "CAST(p_size AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def dominated(a: (Long, Double, Long)): Boolean =
+      all.exists(b => (b._2 < a._2 && b._3 >= a._3) || (b._2 <= a._2 && b._3 > a._3))
+    val want = all.filterNot(dominated).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q156 spearman matches row-level average-rank Pearson (brute force)") {
+    val rows = Tables
+      .lineitem(spark, sf)
+      .selectExpr("l_returnflag", "l_quantity", "l_discount")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def avgRanks(xs: Seq[Double]): Map[Double, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val want = rows.groupBy(_._1).map { case (flag, rs) =>
+      val rx = avgRanks(rs.map(_._2).toSeq)
+      val ry = avgRanks(rs.map(_._3).toSeq)
+      val xs = rs.map(r => rx(r._2))
+      val ys = rs.map(r => ry(r._3))
+      val n = rs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      flag -> num / den
+    }
+    Frontier.q156(spark, sf).collect().foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val rho = r.getAs[Double]("spearman_rho")
+      assert(math.abs(rho - want(flag)) < 1e-5, s"$flag: $rho vs ${want(flag)}")
+      assert(rho >= -1.0 && rho <= 1.0)
+    }
+  }
+
+  test("q157 closed-form cusum equals the sequential recursion") {
+    val rows = Frontier
+      .q157(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n"), r.getAs[Long]("cusum")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val ordered = series.sortBy(_._2)
+      val d = ordered.length.toLong
+      val nn = ordered.map(_._3).sum
+      var st = 0L
+      ordered.foreach { case (_, _, n, gotCusum) =>
+        // recursion on the same 10·D-scaled integer deviations
+        st = math.max(0L, st + (10L * d * n - 11L * nn))
+        assert(gotCusum == st, s"cusum mismatch: got $gotCusum want $st")
+      }
+    }
+  }
+}
