@@ -221,13 +221,234 @@ object Frontier {
       |  (prefix - least(0, runmin)) > 20*nn AS drift
       |FROM pf ORDER BY event_type, day""".stripMargin
 
+  // -- q158: HLL set algebra (audience overlap) -------------------------
+
+  private val hllM = 256
+  private val hllAlphaM2 = 0.7213 / (1 + 1.079 / hllM) * hllM * hllM
+  private val two53 = 9007199254740992L // 2^53
+
+  /** The q48 HLL estimate (raw + linear-counting branch) from register
+    * summary columns — all inputs are exact integers, so the double is a
+    * deterministic function on both engines.
+    */
+  private def hllEst(nz: Column, sp: Column): Column = {
+    val raw = lit(hllAlphaM2) /
+      ((sp + (lit(hllM.toLong) - nz) * lit(two53)).cast("double") / lit(two53.toDouble))
+    when(
+      raw <= lit(2.5 * hllM) && nz < lit(hllM.toLong),
+      lit(hllM.toDouble) * log(lit(hllM.toDouble) / (lit(hllM.toLong) - nz)))
+      .otherwise(raw)
+  }
+
+  private def hllEstSql(nz: String, sp: String): String = {
+    val raw = s"$hllAlphaM2 / (CAST($sp + (256 - $nz) * 9007199254740992 AS DOUBLE) / 9007199254740992.0)"
+    s"CASE WHEN $raw <= 640.0 AND $nz < 256 THEN 256.0 * ln(256.0 / (256 - $nz)) ELSE $raw END"
+  }
+
+  /** Audience overlap between every pair of event types via HLL set
+    * algebra: per-type register vectors (the q48 sketch on user_id), a
+    * UNION sketch per pair by register max-merge, and
+    * |A∩B| ≈ |A| + |B| − |A∪B| by inclusion-exclusion. This is the
+    * mergeable-sketch payoff at 100 TB: the pairwise overlap matrix is
+    * computed entirely on 256-register summaries (map-side combinable,
+    * 2 KB per type), never re-scanning or re-shuffling raw ids — where
+    * exact pairwise overlap would be a distinct-shuffle per pair.
+    * Register math is integer end-to-end (md5 hex-string rho, max-merge,
+    * integer register sums); estimates are r4-snapped before the
+    * inclusion-exclusion arithmetic so cross-engine doubles agree.
+    */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val hex = md5(col("user_id").cast("string"))
+    val stripped = ltrim(substring(hex, 1, 13), "0")
+    val firstDigit = substring(stripped, 1, 1)
+    val bits = when(firstDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(firstDigit.isin("4", "5", "6", "7"), 3)
+      .when(firstDigit.isin("2", "3"), 2)
+      .otherwise(1)
+    val rho = when(length(stripped) === 0, lit(53))
+      .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
+    val regs = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        conv(substring(hex, 14, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    def grp(df: DataFrame, keys: Column*): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(
+          count(lit(1)).as("nz"),
+          sum(expr("CAST(power(2.0, 53 - r) AS BIGINT)")).as("sp"))
+    val perType = grp(regs, col("event_type"))
+      .select(col("event_type"), Det.r4(hllEst(col("nz"), col("sp"))).as("est"))
+    val types = regs.select(col("event_type")).distinct()
+    val pairs = types
+      .select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val unionRegs = regs
+      .join(broadcast(pairs), col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    val unionEst = grp(unionRegs, col("type_a"), col("type_b"))
+      .select(col("type_a"), col("type_b"), Det.r4(hllEst(col("nz"), col("sp"))).as("est_union"))
+    unionEst
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("est").as("est_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("est").as("est_b"))), Seq("type_b"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("est_a"),
+        col("est_b"),
+        col("est_union"),
+        Det.r4(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))).as("est_inter"),
+        Det
+          .r6(greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .as("est_jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q158Sql: String = {
+    val hex = "md5(CAST(user_id AS VARCHAR))"
+    s"""WITH rows_h AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr($hex, 14, 2)) AS BIGINT) AS bucket,
+       |    ltrim(substr($hex, 1, 13), '0') AS stripped
+       |  FROM events),
+       |regs AS (
+       |  SELECT event_type, bucket,
+       |    max(CASE WHEN length(stripped) = 0 THEN 53
+       |        ELSE 4 * (13 - length(stripped))
+       |          + (4 - (CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                       WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 3
+       |                       WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+       |                       ELSE 1 END)) + 1 END) AS r
+       |  FROM rows_h GROUP BY 1, 2),
+       |per_type AS (
+       |  SELECT event_type, ${Det.sqlR(hllEstSql("nz", "sp"), 4)} AS est
+       |  FROM (SELECT event_type, count(*) AS nz,
+       |          sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS sp
+       |        FROM regs GROUP BY 1) g),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM (SELECT DISTINCT event_type FROM regs) a,
+       |       (SELECT DISTINCT event_type FROM regs) b
+       |  WHERE a.event_type < b.event_type),
+       |union_regs AS (
+       |  SELECT p.type_a, p.type_b, r.bucket, max(r.r) AS r
+       |  FROM regs r JOIN pairs p
+       |    ON r.event_type = p.type_a OR r.event_type = p.type_b
+       |  GROUP BY 1, 2, 3),
+       |union_est AS (
+       |  SELECT type_a, type_b, ${Det.sqlR(hllEstSql("nz", "sp"), 4)} AS est_union
+       |  FROM (SELECT type_a, type_b, count(*) AS nz,
+       |          sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS sp
+       |        FROM union_regs GROUP BY 1, 2) g)
+       |SELECT u.type_a, u.type_b, a.est AS est_a, b.est AS est_b, u.est_union,
+       |  ${Det.sqlR("greatest(0.0, a.est + b.est - u.est_union)", 4)} AS est_inter,
+       |  ${Det.sqlR("greatest(0.0, a.est + b.est - u.est_union) / u.est_union", 6)} AS est_jaccard
+       |FROM union_est u
+       |JOIN per_type a ON a.event_type = u.type_a
+       |JOIN per_type b ON b.event_type = u.type_b
+       |ORDER BY u.type_a, u.type_b""".stripMargin
+  }
+
+  // -- q159: deterministic Poisson bootstrap ----------------------------
+
+  /** Bootstrap confidence band for mean event value per type, without
+    * randomness or resampling shuffles: replica b weights each row by a
+    * Poisson(1) draw read off a 60-bit md5 hash of (event_id, b) against
+    * precomputed inverse-CDF thresholds — the online-bootstrap trick
+    * (Poisson(1) ≈ multinomial resampling), so each replica is one
+    * map-side-combinable weighted aggregation and rows are never
+    * materialized per-resample. Values ride in integer micro-units;
+    * replica means are snapped to integer micro-units (one deterministic
+    * double division each), so the cross-replica aggregation (sum, min,
+    * max over 16 integers) is order-proof on both engines.
+    */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    val b = 16
+    // cumulative Poisson(1) CDF thresholds scaled to 2^60, spliced as the
+    // SAME Long literals into both engines
+    val cum = List(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0).map(_ * math.exp(-1.0))
+    val thr = cum.map(c => math.floor(c * math.pow(2.0, 60)).toLong)
+    val u = graft.functions.Text.hash60(
+      concat(col("event_id").cast("string"), lit("_"), col("b").cast("string")))
+    val w = when(u < lit(thr(0)), 0L)
+      .when(u < lit(thr(1)), 1L)
+      .when(u < lit(thr(2)), 2L)
+      .when(u < lit(thr(3)), 3L)
+      .when(u < lit(thr(4)), 4L)
+      .otherwise(5L)
+    val reps = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("w", w)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("vu")).as("swv"), count(lit(1)).as("cnt"))
+      .select(
+        col("event_type"),
+        col("cnt"),
+        when(col("sw") === 0, 0L)
+          .otherwise(floor(col("swv").cast("double") / col("sw").cast("double") + lit(0.5)).cast("long"))
+          .as("rmu"))
+    reps
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_events"), sum(col("rmu")).as("srm"), min(col("rmu")).as("lo"), max(col("rmu")).as("hi"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        Det.r6(col("srm").cast("double") / lit(16.0) / lit(1000000.0)).as("boot_mean"),
+        Det.r6(col("lo").cast("double") / lit(1000000.0)).as("boot_lo"),
+        Det.r6(col("hi").cast("double") / lit(1000000.0)).as("boot_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val q159Sql: String = {
+    val cum = List(1.0, 2.0, 2.5, 8.0 / 3.0, 65.0 / 24.0).map(_ * math.exp(-1.0))
+    val thr = cum.map(c => math.floor(c * math.pow(2.0, 60)).toLong)
+    val h = graft.functions.Text.sqlHash60("CAST(event_id AS VARCHAR) || '_' || CAST(t.b AS VARCHAR)")
+    s"""WITH reps AS (
+       |  SELECT event_type, b, sum(w) AS sw, sum(w*vu) AS swv, count(*) AS cnt
+       |  FROM (
+       |    SELECT e.event_type, t.b,
+       |      CASE WHEN $h < ${thr(0)} THEN 0
+       |           WHEN $h < ${thr(1)} THEN 1
+       |           WHEN $h < ${thr(2)} THEN 2
+       |           WHEN $h < ${thr(3)} THEN 3
+       |           WHEN $h < ${thr(4)} THEN 4
+       |           ELSE 5 END AS w,
+       |      CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) AS vu
+       |    FROM events e, LATERAL (SELECT unnest(range(0, 16)) AS b) t) z
+       |  GROUP BY 1, 2),
+       |rm AS (
+       |  SELECT event_type, cnt,
+       |    CASE WHEN sw = 0 THEN 0
+       |         ELSE CAST(floor(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) + 0.5) AS BIGINT) END AS rmu
+       |  FROM reps)
+       |SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_events,
+       |  ${Det.sqlR("CAST(sum(rmu) AS DOUBLE) / 16.0 / 1000000.0", 6)} AS boot_mean,
+       |  ${Det.sqlR("CAST(min(rmu) AS DOUBLE) / 1000000.0", 6)} AS boot_lo,
+       |  ${Det.sqlR("CAST(max(rmu) AS DOUBLE) / 1000000.0", 6)} AS boot_hi
+       |FROM rm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q155_skyline_frontier" -> (q155 _),
     "q156_spearman_corr" -> (q156 _),
-    "q157_cusum_changepoint" -> (q157 _))
+    "q157_cusum_changepoint" -> (q157 _),
+    "q158_hll_overlap" -> (q158 _),
+    "q159_bootstrap_ci" -> (q159 _))
 
   val oracles: Map[String, String] = Map(
     "q155_skyline_frontier" -> q155Sql,
     "q156_spearman_corr" -> q156Sql,
-    "q157_cusum_changepoint" -> q157Sql)
+    "q157_cusum_changepoint" -> q157Sql,
+    "q158_hll_overlap" -> q158Sql,
+    "q159_bootstrap_ci" -> q159Sql)
 }

@@ -61,6 +61,48 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q158 HLL overlap estimates track exact set algebra within sketch error") {
+    import spark.implicits._
+    val byType = Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "user_id")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    Frontier.q158(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val exactU = (byType(a) ++ byType(b)).size.toDouble
+      val exactI = (byType(a) & byType(b)).size.toDouble
+      val estU = r.getAs[Double]("est_union")
+      val estI = r.getAs[Double]("est_inter")
+      // 256 registers → σ ≈ 6.5%; allow 4σ on the union, union-additive
+      // error on the intersection (inclusion-exclusion compounds 3 sketches)
+      assert(math.abs(estU - exactU) <= 0.26 * exactU + 1, s"$a-$b union $estU vs $exactU")
+      assert(math.abs(estI - exactI) <= 0.26 * exactU + 1, s"$a-$b inter $estI vs $exactI")
+      assert(estU >= math.max(r.getAs[Double]("est_a"), r.getAs[Double]("est_b")) - 1e-9)
+    }
+  }
+
+  test("q159 bootstrap band brackets its own mean and tracks the exact mean") {
+    val exact = Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "value")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sum / rs.length }
+    val rows = Frontier.q159(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (lo, m, hi) = (r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_mean"), r.getAs[Double]("boot_hi"))
+      assert(lo <= m && m <= hi, s"$t band")
+      // Poisson-bootstrap mean is consistent: 16 replicas on n≥100 rows
+      // land within a few σ/√n of the exact mean
+      assert(math.abs(m - exact(t)) <= 0.25 * exact(t) + 1, s"$t mean $m vs ${exact(t)}")
+      assert(lo < hi, s"$t: degenerate band")
+    }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
