@@ -261,6 +261,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
   private[plans] val functionTriples: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (
+      "graft_hour_split",
+      "graft_hour_split(start_us, end_us) - UDTF: one (hour_us, overlap_us) row per hour the interval touches",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_hour_split(start_us, end_us) takes 2 arguments")
+        HourSplitGenerator(args(0), args(1))
+      }),
+    (
       "graft_cosine_sim",
       "graft_cosine_sim(a, b) - cosine similarity of two float/double arrays",
       (args: Seq[Expression]) => {

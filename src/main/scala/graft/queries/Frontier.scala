@@ -438,17 +438,107 @@ object Frontier {
        |FROM rm GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -- q160: runtime bloom-filter join ---------------------------------
+
+  /** Shuffle join with a RUNTIME row-level filter: Catalyst's
+    * InjectRuntimeFilter builds a bloom filter over the filtered orders
+    * side and pushes `might_contain(xxhash64(l_orderkey))` into the
+    * lineitem scan — rows that can't join are dropped at the scan, BEFORE
+    * the shuffle. At 100 TB this is the difference between shuffling the
+    * full fact table and shuffling the ~20% that survives a selective dim
+    * filter, without bucketing or manual semi-join staging. Runs in a
+    * child session (isolated SQLConf): broadcast is disabled to force the
+    * shuffle-join shape the filter targets, and the injection thresholds
+    * are opened up (the 10 GB application-side default exists to skip
+    * tiny scans — at bench scale nothing reaches it). Plan-asserted in
+    * FrontierSpec; results are conf-independent (the oracle is the plain
+    * join).
+    */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val ns = s.newSession()
+    graft.core.GraftSession.tune(ns)
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // raw scans (no spread-Repartition): InjectRuntimeFilter's lineage walk
+    // traverses Project/Filter/Join only — a Repartition between the join
+    // key and the scan silently disables injection. At real scale the
+    // spread is a structural no-op anyway (Tables.spread scaladoc).
+    val o = Tables
+      .table(ns, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = Tables.table(ns, d, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q160Sql: String =
+    s"""SELECT l_returnflag,
+       |  ${Det.sqlR("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q161: native Generator UDTF (hour-of-day attribution) ------------
+
+  /** Hour-of-day time attribution through the native
+    * `graft_hour_split` Generator ([[graft.plans.HourSplitGenerator]]):
+    * each event opens a 10-minute activity interval; the generator
+    * splits it at hour boundaries inside the executor pipeline (a true
+    * UDTF — a `Generate` node, no intermediate arrays), and the rollup
+    * attributes exact integer microseconds of activity to each
+    * (event_type, hour-of-day) cell. One generate + one hash agg; the
+    * fan-out is bounded (an interval touches ≤ 2 hours), so the shuffle
+    * grows by at most 2× the input — never materializing per-hour rows
+    * driver-side.
+    */
+  def q161(s: SparkSession, d: String): DataFrame =
+    Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("s0"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("e0"))
+      .select(col("event_type"), expr("graft_hour_split(s0, e0)"))
+      .groupBy(col("event_type"), expr("(hour_us div 3600000000) % 24").cast("long").as("hour_of_day"))
+      .agg(sum(col("overlap_us")).as("covered_us"), count(lit(1)).as("n_segments"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+
+  val q161Sql: String =
+    """WITH seg AS (
+      |  SELECT e.event_type, h.h AS hour_idx,
+      |    least(epoch_us(e.ts) + 600000000, (h.h + 1) * 3600000000)
+      |      - greatest(epoch_us(e.ts), h.h * 3600000000) AS overlap_us
+      |  FROM events e, LATERAL (
+      |    SELECT unnest(range(epoch_us(e.ts) // 3600000000,
+      |                        (epoch_us(e.ts) + 600000000 - 1) // 3600000000 + 1)) AS h) h)
+      |SELECT event_type, CAST(hour_idx % 24 AS BIGINT) AS hour_of_day,
+      |  sum(overlap_us) AS covered_us, count(*) AS n_segments
+      |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q155_skyline_frontier" -> (q155 _),
     "q156_spearman_corr" -> (q156 _),
     "q157_cusum_changepoint" -> (q157 _),
     "q158_hll_overlap" -> (q158 _),
-    "q159_bootstrap_ci" -> (q159 _))
+    "q159_bootstrap_ci" -> (q159 _),
+    "q160_runtime_bloom_join" -> (q160 _),
+    "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
     "q155_skyline_frontier" -> q155Sql,
     "q156_spearman_corr" -> q156Sql,
     "q157_cusum_changepoint" -> q157Sql,
     "q158_hll_overlap" -> q158Sql,
-    "q159_bootstrap_ci" -> q159Sql)
+    "q159_bootstrap_ci" -> q159Sql,
+    "q160_runtime_bloom_join" -> q160Sql,
+    "q161_hour_attribution" -> q161Sql)
 }

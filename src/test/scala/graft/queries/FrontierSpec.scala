@@ -103,6 +103,38 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q160 plan carries the injected runtime bloom filter on the fact side") {
+    val df = Frontier.q160(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(plan.contains("bloom_filter_agg"), plan.take(2000))
+    // and the filtered join result is still exact
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = Tables
+      .lineitem(spark, sf)
+      .join(
+        Tables.orders(spark, sf).filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT"),
+        org.apache.spark.sql.functions.col("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == want)
+  }
+
+  test("q161 plans the native generator and conserves every event's 10 minutes") {
+    val df = Frontier.q161(spark, sf)
+    // the Generate node prints the generator class, lowercased
+    assert(df.queryExecution.executedPlan.toString.toLowerCase.contains("hoursplitgenerator"))
+    val totalUs = df.collect().map(_.getAs[Long]("covered_us")).sum
+    val nEvents = Tables.events(spark, sf).count()
+    assert(totalUs == nEvents * 600000000L, s"$totalUs vs ${nEvents * 600000000L}")
+    // bounded fan-out: a 10-minute interval touches at most 2 hours
+    val nSegs = df.collect().map(_.getAs[Long]("n_segments")).sum
+    assert(nSegs <= 2 * nEvents && nSegs >= nEvents)
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
