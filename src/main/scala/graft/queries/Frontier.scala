@@ -524,7 +524,256 @@ object Frontier {
       |  sum(overlap_us) AS covered_us, count(*) AS n_segments
       |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q162: largest-triangle downsampling (LTOB) -----------------------
+
+  /** Visualization downsampling à la LTTB (the Grafana/TSDB standard),
+    * in its bucket-independent LTOB form: per fixed-size bucket, keep
+    * the point forming the largest triangle against the NEIGHBOR BUCKET
+    * MEANS (LTTB proper anchors on the previously selected point — a
+    * sequential dependency that can't distribute; anchoring on bucket
+    * means keeps the shape-preserving behavior and makes every bucket
+    * independent). First/last buckets pin the series endpoints, like
+    * LTTB. Scale shape: one rank window inside the per-series hash
+    * partitioning, one tiny per-bucket aggregate joined back by (b±1) —
+    * no cross-bucket data movement. Areas are doubles derived from exact
+    * integer sums, r6-snapped BEFORE the argmax so cross-engine
+    * tie-breaks agree.
+    */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val bsz = 100
+    val pts = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("t"), col("vu"))))
+      .withColumn("b", ((col("rn") - 1) / lit(bsz)).cast("long"))
+    val bm = pts
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("t")).as("st"), sum(col("vu")).as("sv"), count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        col("b"),
+        // mean time in SECONDS: keeps triangle areas ~1e7, safely inside
+        // Det.r6's floor(x*1e6+0.5) BIGINT range (µs-scale areas overflow
+        // Spark's integral floor() where DuckDB's floor stays double)
+        (col("st").cast("double") / col("n") / lit(1000000.0)).as("mt"),
+        (col("sv").cast("double") / col("n") / lit(1000000.0)).as("mv"))
+    val withNbrs = pts
+      .join(
+        broadcast(bm.select(col("event_type"), (col("b") + 1).as("b"), col("mt").as("pt"), col("mv").as("pv"))),
+        Seq("event_type", "b"),
+        "left")
+      .join(
+        broadcast(bm.select(col("event_type"), (col("b") - 1).as("b"), col("mt").as("nt"), col("mv").as("nv"))),
+        Seq("event_type", "b"),
+        "left")
+    val v = col("vu").cast("double") / lit(1000000.0)
+    val tSec = col("t").cast("double") / lit(1000000.0)
+    val area = Det.r6(
+      abs(
+        (col("pt") - col("nt")) * (v - col("pv")) -
+          (col("pt") - tSec) * (col("nv") - col("pv"))) / lit(2.0))
+    val wMax = Window.partitionBy(col("event_type")).orderBy(col("b"))
+    val sel = withNbrs
+      .withColumn("maxb", max(col("b")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("area", when(col("pt").isNull || col("nt").isNull, lit(null)).otherwise(area))
+      .withColumn(
+        "pick",
+        row_number().over(
+          Window
+            .partitionBy(col("event_type"), col("b"))
+            .orderBy(
+              when(col("b") === 0, col("rn")) // first bucket: first point
+                .when(col("b") === col("maxb"), -col("rn")) // last bucket: last point
+                .otherwise(-col("area")),
+              col("t"),
+              col("vu"))))
+      .filter(col("pick") === 1)
+    sel
+      .select(col("event_type"), col("t").as("ts_us"), Det.r6(v).as("v"))
+      .orderBy(col("event_type"), col("ts_us"))
+  }
+
+  val q162Sql: String = {
+    val area = Det.sqlR(
+      "abs((pt - nt) * (CAST(vu AS DOUBLE)/1000000.0 - pv) - (pt - CAST(t AS DOUBLE)/1000000.0) * (nv - pv)) / 2.0",
+      6)
+    s"""WITH pts AS (
+       |  SELECT event_type, epoch_us(ts) AS t,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY epoch_us(ts),
+       |                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS rn
+       |  FROM events),
+       |pb AS (SELECT *, CAST((rn - 1) // 100 AS BIGINT) AS b FROM pts),
+       |bm AS (
+       |  SELECT event_type, b,
+       |    CAST(sum(t) AS DOUBLE) / count(*) / 1000000.0 AS mt,
+       |    CAST(sum(vu) AS DOUBLE) / count(*) / 1000000.0 AS mv
+       |  FROM pb GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT p.*, pm.mt AS pt, pm.mv AS pv, nm.mt AS nt, nm.mv AS nv,
+       |    max(p.b) OVER (PARTITION BY p.event_type) AS maxb
+       |  FROM pb p
+       |  LEFT JOIN bm pm ON pm.event_type = p.event_type AND pm.b = p.b - 1
+       |  LEFT JOIN bm nm ON nm.event_type = p.event_type AND nm.b = p.b + 1),
+       |ar AS (
+       |  SELECT *, CASE WHEN pt IS NULL OR nt IS NULL THEN NULL ELSE $area END AS area
+       |  FROM nb),
+       |sel AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type, b
+       |    ORDER BY CASE WHEN b = 0 THEN rn
+       |                  WHEN b = maxb THEN -rn
+       |                  ELSE -area END, t, vu) AS pick
+       |  FROM ar)
+       |SELECT event_type, t AS ts_us, ${Det.sqlR("CAST(vu AS DOUBLE)/1000000.0", 6)} AS v
+       |FROM sel WHERE pick = 1 ORDER BY event_type, ts_us""".stripMargin
+  }
+
+  // -- q163: counter increase with reset handling (PromQL semantics) ----
+
+  /** PromQL-style `increase()` over a counter that can reset: the daily
+    * increase of a per-user cumulative counter is Σ max(0, x_t − x_{t−1})
+    * — negative deltas mean the counter reset and contribute the new
+    * value, per Prometheus convention x_t (we count from 0 at reset:
+    * contribution = x_t). Implemented as one lag window inside the
+    * per-series hash partitioning + a day rollup; all arithmetic in
+    * integer micro-units. This is the TSDB ingestion-side primitive the
+    * reference's time-series intent implies (monotone gauges with agent
+    * restarts).
+    */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("vu"))
+    Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"))
+      .withColumn("prev", lag(col("vu"), 1).over(w))
+      .withColumn(
+        "inc",
+        when(col("prev").isNull, lit(0L))
+          .when(col("vu") >= col("prev"), col("vu") - col("prev"))
+          .otherwise(col("vu")))
+      .withColumn("reset", (col("prev").isNotNull && col("vu") < col("prev")).cast("long"))
+      .groupBy(col("event_type"), to_date(timestamp_micros(col("t"))).as("day"))
+      .agg(sum(col("inc")).as("increase_u"), sum(col("reset")).as("n_resets"), count(lit(1)).as("n_samples"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q163Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, epoch_us(ts) AS t,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |lg AS (
+      |  SELECT event_type, t, vu,
+      |    lag(vu) OVER (PARTITION BY event_type ORDER BY t, vu) AS prev
+      |  FROM pts)
+      |SELECT event_type, CAST(make_timestamp(t) AS DATE) AS day,
+      |  sum(CASE WHEN prev IS NULL THEN 0
+      |           WHEN vu >= prev THEN vu - prev
+      |           ELSE vu END) AS increase_u,
+      |  sum(CASE WHEN prev IS NOT NULL AND vu < prev THEN 1 ELSE 0 END) AS n_resets,
+      |  count(*) AS n_samples
+      |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q164: histogram_quantile over cumulative buckets -----------------
+
+  /** PromQL `histogram_quantile`: quantiles estimated from cumulative
+    * le-bucket counters with linear interpolation inside the chosen
+    * bucket. The bucketing is ONE bounded hash agg (the only pass over
+    * the data — the quantile math then runs on ≤10 rows per series);
+    * this is how a TSDB answers p99 over billions of samples without a
+    * sort. Bucket choice uses exact integer comparisons
+    * (k·cum ≥ q·k·total in integers), interpolation is a deterministic
+    * double from integer counts, r6-snapped. The +inf bucket degrades to
+    * the highest finite bound, per Prometheus convention.
+    */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    val bounds = List(1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+    val le = bounds.foldRight(lit(Double.PositiveInfinity)) { (b, acc) =>
+      when(col("value") <= b, lit(b)).otherwise(acc)
+    }
+    val counts = Tables
+      .events(s, d)
+      .select(col("event_type"), le.as("le"))
+      .groupBy(col("event_type"), col("le"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("le"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("le"))), lit(0.0)))
+      .withColumn("cum_prev", coalesce(lag(col("cum"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("le"))), lit(0L)))
+    // q in {50, 90, 99} as integer percents: pick the first bucket where
+    // 100*cum >= q*total, all integers
+    val qs = Seq(50, 90, 99)
+    val perQ = qs.map { q =>
+      val hit = cum
+        .filter(lit(100L) * col("cum") >= lit(q.toLong) * col("total"))
+        .withColumn(
+          "pick",
+          row_number().over(Window.partitionBy(col("event_type")).orderBy(col("le"))))
+        .filter(col("pick") === 1)
+      hit.select(
+        col("event_type"),
+        lit(q).cast("long").as("q_pct"),
+        Det
+          .r6(
+            when(col("le") === Double.PositiveInfinity, lit(500.0)).otherwise(
+              col("lo") + (col("le") - col("lo")) *
+                ((lit(q.toLong) * col("total")).cast("double") / lit(100.0) - col("cum_prev").cast("double")) /
+                col("c").cast("double")))
+          .as("quantile"))
+    }
+    perQ.reduce(_.unionByName(_)).orderBy(col("event_type"), col("q_pct"))
+  }
+
+  val q164Sql: String = {
+    val interp = Det.sqlR(
+      "CASE WHEN isinf(le) THEN 500.0 ELSE lo + (le - lo) * (CAST(q_pct * total AS DOUBLE)/100.0 - CAST(cum_prev AS DOUBLE)) / CAST(c AS DOUBLE) END",
+      6)
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    CASE WHEN value <= 1 THEN 1.0 WHEN value <= 2 THEN 2.0 WHEN value <= 5 THEN 5.0
+       |         WHEN value <= 10 THEN 10.0 WHEN value <= 20 THEN 20.0 WHEN value <= 50 THEN 50.0
+       |         WHEN value <= 100 THEN 100.0 WHEN value <= 200 THEN 200.0 WHEN value <= 500 THEN 500.0
+       |         ELSE CAST('inf' AS DOUBLE) END AS le
+       |  FROM events),
+       |counts AS (SELECT event_type, le, count(*) AS c FROM b GROUP BY 1, 2),
+       |cm AS (
+       |  SELECT event_type, le, c,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY le
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS total
+       |  FROM counts),
+       |cum AS (
+       |  SELECT event_type, le, c, cum, total,
+       |    coalesce(lag(le) OVER (PARTITION BY event_type ORDER BY le), 0.0) AS lo,
+       |    coalesce(lag(cum) OVER (PARTITION BY event_type ORDER BY le), 0) AS cum_prev
+       |  FROM cm),
+       |qq AS (SELECT unnest([50, 90, 99]) AS q_pct),
+       |hit AS (
+       |  SELECT event_type, q_pct, le, c, cum, total, lo, cum_prev,
+       |    row_number() OVER (PARTITION BY event_type, q_pct ORDER BY le) AS pick
+       |  FROM cum, qq WHERE 100 * cum >= q_pct * total)
+       |SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct, $interp AS quantile
+       |FROM hit WHERE pick = 1 ORDER BY event_type, q_pct""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q162_lttb_downsample" -> (q162 _),
+    "q163_counter_increase" -> (q163 _),
+    "q164_histogram_quantile" -> (q164 _),
     "q155_skyline_frontier" -> (q155 _),
     "q156_spearman_corr" -> (q156 _),
     "q157_cusum_changepoint" -> (q157 _),
@@ -534,6 +783,9 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q162_lttb_downsample" -> q162Sql,
+    "q163_counter_increase" -> q163Sql,
+    "q164_histogram_quantile" -> q164Sql,
     "q155_skyline_frontier" -> q155Sql,
     "q156_spearman_corr" -> q156Sql,
     "q157_cusum_changepoint" -> q157Sql,

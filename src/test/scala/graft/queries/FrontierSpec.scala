@@ -135,6 +135,69 @@ class FrontierSpec extends SparkSpec {
     assert(nSegs <= 2 * nEvents && nSegs >= nEvents)
   }
 
+  test("q162 downsample keeps one real point per bucket and pins the endpoints") {
+    import org.apache.spark.sql.functions.col
+    val raw = Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS t")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).sorted }
+    val got = Frontier.q162(spark, sf).collect().groupBy(_.getString(0))
+    got.foreach { case (tpe, rows) =>
+      val ts = rows.map(_.getAs[Long]("ts_us")).sorted
+      val expect = (raw(tpe).length + 99) / 100
+      assert(ts.length == expect, s"$tpe: ${ts.length} picks for ${raw(tpe).length} points")
+      assert(ts.head == raw(tpe).head, s"$tpe first endpoint")
+      assert(ts.last == raw(tpe).last, s"$tpe last endpoint")
+      // every pick is a real input timestamp
+      val inSet = raw(tpe).toSet
+      ts.foreach(t => assert(inSet.contains(t)))
+    }
+  }
+
+  test("q163 increase equals the sequential counter replay") {
+    val series = Tables
+      .events(spark, sf)
+      .selectExpr("event_type", "unix_micros(ts) AS t", "CAST(floor(value*1000000.0+0.5) AS LONG) AS vu")
+      .collect()
+      .groupBy(_.getString(0))
+    val got = Frontier
+      .q163(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) -> (r.getAs[Long]("increase_u"), r.getAs[Long]("n_resets")))
+      .toMap
+    series.foreach { case (tpe, rows) =>
+      val ordered = rows.map(r => (r.getLong(1), r.getLong(2))).sorted
+      var prev = Option.empty[Long]
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      ordered.foreach { case (t, vu) =>
+        val day = java.time.Instant.ofEpochMilli(t / 1000).atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        val (inc, rst) = prev match {
+          case None => (0L, 0L)
+          case Some(p) if vu >= p => (vu - p, 0L)
+          case Some(_) => (vu, 1L)
+        }
+        val (ai, ar) = acc.getOrElse(day, (0L, 0L))
+        acc(day) = (ai + inc, ar + rst)
+        prev = Some(vu)
+      }
+      acc.foreach { case (day, want) =>
+        assert(got((tpe, day)) == want, s"$tpe $day: ${got((tpe, day))} vs $want")
+      }
+    }
+  }
+
+  test("q164 quantiles are monotone in q and bracketed by their buckets") {
+    val rows = Frontier.q164(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val byQ = rs.map(r => r.getAs[Long]("q_pct") -> r.getAs[Double]("quantile")).toMap
+      assert(byQ(50L) <= byQ(90L) && byQ(90L) <= byQ(99L), s"$tpe monotone: $byQ")
+      byQ.values.foreach(v => assert(v >= 0.0 && v <= 500.0, s"$tpe bounds"))
+    }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
