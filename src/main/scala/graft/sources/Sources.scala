@@ -165,4 +165,34 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Retention / TTL expiry over a partitioned layout: drop every
+    * `col=value` partition directory whose value fails `keep` — the
+    * data-lifecycle operator a time-series store needs (the reference's
+    * whole-collection `FlushToDisk`/delete has no finer grain; a
+    * time-partitioned layout gives day-level deletes for free).
+    *
+    * This is METADATA-ONLY at any scale: one directory listing + one
+    * recursive delete per expired partition. No file is opened, no row is
+    * read, no job is launched — expiring 900 of 1000 days of a 100 TB
+    * table costs 900 namenode calls. Returns the expired partition
+    * values (sorted, for deterministic logging/tests).
+    */
+  def expirePartitions(
+      spark: SparkSession,
+      root: String,
+      partitionCol: String,
+      keep: String => Boolean): Seq[String] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val expired = fs
+      .listStatus(hadoopPath)
+      .toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => st.getPath)
+      .filter(p => !keep(p.getName.stripPrefix(prefix)))
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName.stripPrefix(prefix)).sorted
+  }
 }

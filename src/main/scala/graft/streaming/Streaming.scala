@@ -192,6 +192,45 @@ object Streaming {
         OutputMode.Update())
   }
 
+  case class DailyCount(event_type: String, day: String, n: Long)
+  case class CusumParams(mult: Long, sub: Long, thresh: Long)
+  case class CusumState(prefix: Long, runmin: Long)
+  case class CusumOut(event_type: String, day: String, n: Long, cusum: Long, drift: Boolean)
+
+  /** Streaming CUSUM drift alerting — the streaming twin of batch q157
+    * ([[graft.queries.Frontier.q157]]). The batch query derives its
+    * baseline (μ, slack, threshold) from the full series; the monitor
+    * takes those as trained parameters (the production shape: baselines
+    * are fit offline, alerting is online) and maintains the SAME
+    * closed-form state — (prefix sum, running min) per series, two longs
+    * regardless of stream length — via `mapGroupsWithState`. Days inside
+    * a micro-batch are folded in day order; state carries across
+    * batches, so replaying the series in any batch split reproduces the
+    * batch CUSUM exactly (asserted in StreamingSpec).
+    */
+  def cusumAlerts(
+      counts: Dataset[DailyCount],
+      params: Map[String, CusumParams]): Dataset[CusumOut] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[DailyCount], state: GroupState[CusumState]) =>
+          val p = params.getOrElse(key, CusumParams(0L, 0L, Long.MaxValue))
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MaxValue))
+          val out = rows.toSeq.sortBy(_.day).map { dc =>
+            val prefix = st.prefix + (p.mult * dc.n - p.sub)
+            val runmin = math.min(st.runmin, prefix)
+            st = CusumState(prefix, runmin)
+            val cusum = prefix - math.min(0L, runmin)
+            CusumOut(key, dc.day, dc.n, cusum, cusum > p.thresh)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class BandClaim(doc_id: Long, band: Int, bandval: String, first: Boolean)
 
   /** Streaming NEAR-dup dedup — the streaming twin of the batch LSH

@@ -211,4 +211,32 @@ class SourcesSpec extends SparkSpec {
       zTouched * 4 <= xTouched * 3,
       s"z layout should touch materially fewer files: z=$zTouched vs x=$xTouched")
   }
+
+  test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
+    val ev = graft.core.Tables
+      .events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = Files.createTempDirectory("ttl").toString
+    Sources.writeParquet(ev, s"$dir/by_day", Seq("day"))
+    val allDays = new java.io.File(s"$dir/by_day")
+      .listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day="))
+      .sorted
+    val cutoff = allDays(allDays.length / 2) // keep the later half
+    val keptWant = allDays.filter(_ >= cutoff)
+    val expired = Sources.expirePartitions(spark, s"$dir/by_day", "day", _ >= cutoff)
+    assert(expired == allDays.filter(_ < cutoff).toSeq, "expired exactly the pre-cutoff days")
+    val left = new java.io.File(s"$dir/by_day")
+      .listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day="))
+      .sorted
+    assert(left.toSeq == keptWant.toSeq)
+    // survivors read back exactly: expiry never touches rows inside kept partitions
+    val back = Sources.readParquet(spark, s"$dir/by_day")
+    assert(back.count() == ev.filter(col("day") >= cutoff).count())
+    // idempotent: nothing left to expire
+    assert(Sources.expirePartitions(spark, s"$dir/by_day", "day", _ >= cutoff).isEmpty)
+  }
 }

@@ -473,6 +473,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming CUSUM monitor replays the batch q157 detector exactly across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // trained baseline = the batch query's own derived parameters
+    val batch = graft.queries.Frontier
+      .q157(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("n"),
+          r.getAs[Long]("cusum"), r.getAs[Boolean]("drift")))
+    val byType = batch.groupBy(_._1)
+    val params = byType.map { case (t, rows) =>
+      val d = rows.length.toLong
+      val nn = rows.map(_._3).sum
+      t -> Streaming.CusumParams(mult = 10L * d, sub = 11L * nn, thresh = 20L * nn)
+    }
+    val daily = batch.map(r => Streaming.DailyCount(r._1, r._2, r._3)).sortBy(_.day)
+    val stream = MemoryStream[Streaming.DailyCount]
+    val q = Streaming
+      .cusumAlerts(stream.toDS(), params)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory")
+      .queryName("cusum_stream")
+      .start()
+    // chronological halves: state must survive the batch boundary
+    val half = daily.length / 2
+    Seq(daily.take(half), daily.drop(half)).foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark
+      .table("cusum_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSet
+    assert(got == batch.toSet, s"only-stream=${(got -- batch.toSet).take(3)} only-batch=${(batch.toSet -- got).take(3)}")
+  }
+
   test("streaming CDC snapshot matches the batch q111 changelog compaction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
