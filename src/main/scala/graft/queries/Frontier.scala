@@ -86,10 +86,14 @@ object Frontier {
     * division.
     */
   def q156(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the cell table (≤550 rows) feeds three consumers
+    // (both rank distributions + the moment join); without it each
+    // consumer re-scans and re-aggregates the full fact table
     val cells = Tables
       .lineitem(s, d)
       .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"), col("l_discount").as("disc"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     def ranks(dim: String, out: String): DataFrame = {
       val w = Window
         .partitionBy(col("flag"))

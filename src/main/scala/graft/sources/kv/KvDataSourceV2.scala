@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -136,37 +136,50 @@ class KvScanBuilder(
   private var collections: Option[Set[String]] = scoped.map(Set(_)) // None = all
   private var keyEquals: Option[String] = None
   private var keyRange: KvKeyRange = KvKeyRange.all
-  private var countByCollection: Option[Boolean] = None // Some(grouped?)
+  private var statsPush: Option[(Boolean, Seq[String])] = None // (grouped?, agg tokens in order)
   private var limit: Option[Int] = None
 
   private def anyKeyPredicate: Boolean = keyEquals.isDefined || !keyRange.isAll
 
-  /** COUNT(*) — optionally grouped by `collection` — answers from parquet
-    * FOOTER metadata: row counts of a 100 TB store without opening a
-    * single data page. Complete pushdown is sound because a collection
-    * never spans input partitions in the aggregated plan (one partition
-    * per collection → per-group results are final). Refused whenever a
-    * key-equality was pushed (footer counts ignore row filters).
+  /** COUNT(*) / MIN(key) / MAX(key) — optionally grouped by `collection`
+    * — answered from parquet FOOTER metadata: row counts and key-column
+    * min/max statistics of a 100 TB store without opening a single data
+    * page. Complete pushdown is sound because a collection never spans
+    * input partitions in the aggregated plan (one partition per
+    * collection → per-group results are final). Refused whenever a key
+    * predicate was pushed (footer stats ignore row filters). A file
+    * whose footer lacks usable key statistics degrades to a key-column
+    * walk of THAT file only (unreachable for files this engine wrote —
+    * Spark always records chunk statistics — but kept for soundness on
+    * foreign files).
     */
-  private def countPlan(agg: Aggregation): Option[Boolean] = {
-    val countStarOnly = agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  private def statsPlan(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    def isKey(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("key"))
+      case _ => false
+    }
+    val toks: Seq[Option[String]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isKey(m.column) => Some("min")
+      case m: Max if isKey(m.column) => Some("max")
+      case _ => None
+    }
     lazy val groups = agg.groupByExpressions
-    if (!countStarOnly || anyKeyPredicate) None
-    else if (groups.isEmpty) Some(false)
+    if (toks.isEmpty || toks.exists(_.isEmpty) || anyKeyPredicate) None
+    else if (groups.isEmpty) Some((false, toks.flatten))
     else if (groups.forall {
         case f: NamedReference => f.fieldNames.sameElements(Array("collection"))
         case _ => false
-      }) Some(true)
+      }) Some((true, toks.flatten))
     else None
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    countPlan(aggregation).isDefined
+    statsPlan(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    countPlan(aggregation) match {
-      case Some(grouped) => countByCollection = Some(grouped); true
+    statsPlan(aggregation) match {
+      case Some(plan) => statsPush = Some(plan); true
       case None => false
     }
   }
@@ -215,8 +228,8 @@ class KvScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = countByCollection match {
-    case Some(grouped) => new KvCountScan(root, collections, grouped)
+  override def build(): Scan = statsPush match {
+    case Some((grouped, aggs)) => new KvStatsScan(root, collections, grouped, aggs)
     case None => new KvScan(root, required, collections, keyEquals, pushed.toArray, limit, keyRange)
   }
 }
@@ -254,7 +267,7 @@ case class KvKeyRange(
     // modeled by keeping both (contains applies each)
     val next = prefix match {
       case Some(q) =>
-        if (p.startsWith(q)) p else if (q.startsWith(p)) q else p + " " + q // unsatisfiable
+        if (p.startsWith(q)) p else if (q.startsWith(p)) q else p + "\u0000" + q // unsatisfiable
       case None => p
     }
     copy(prefix = Some(next))
@@ -271,61 +284,130 @@ object KvKeyRange {
   val all: KvKeyRange = KvKeyRange(None, None, None)
 }
 
-/** Aggregated scan: COUNT(*) [GROUP BY collection] from footer metadata.
-  * Output rows are FINAL (complete pushdown): grouped → one partition per
-  * collection emitting (collection, count); global → one partition summing
-  * every footer.
+/** Aggregated scan: COUNT(*) / MIN(key) / MAX(key) [GROUP BY collection]
+  * from footer metadata. Output rows are FINAL (complete pushdown):
+  * grouped → one partition per collection emitting (collection, aggs…);
+  * global → one partition folding every footer. Row counts come from
+  * `getRecordCount`; key min/max from per-chunk BINARY statistics, with a
+  * per-FILE key-column walk as the soundness fallback when a footer
+  * carries no usable statistics.
   */
-class KvCountScan(root: String, collections: Option[Set[String]], grouped: Boolean)
+class KvStatsScan(root: String, collections: Option[Set[String]], grouped: Boolean, aggs: Seq[String])
     extends Scan
     with Batch {
 
-  override def readSchema(): StructType =
-    if (grouped)
-      StructType(Seq(StructField("collection", StringType, nullable = false), StructField("count", LongType, nullable = false)))
-    else StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def readSchema(): StructType = {
+    val aggFields = aggs.zipWithIndex.map {
+      case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", StringType, nullable = true)
+    }
+    if (grouped) StructType(StructField("collection", StringType, nullable = false) +: aggFields)
+    else StructType(aggFields)
+  }
 
   override def toBatch: Batch = this
 
-  override def description(): String =
-    s"GraftKvCountScan root=$root grouped=$grouped PushedAggregates: [COUNT(*)]"
+  override def description(): String = {
+    val names = aggs.map {
+      case "count" => "COUNT(*)"
+      case "min" => "MIN(key)"
+      case "max" => "MAX(key)"
+    }
+    s"GraftKvStatsScan root=$root grouped=$grouped PushedAggregates: [${names.mkString(", ")}]"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = KvDataSourceV2.listCollections(root)
     val selected = collections.fold(all)(want => all.filter(want))
-    if (grouped) selected.map(c => KvCountPartition(Seq(c)): InputPartition).toArray
-    else Array(KvCountPartition(selected))
+    if (grouped) selected.map(c => KvStatsPartition(Seq(c)): InputPartition).toArray
+    else Array(KvStatsPartition(selected))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = KvCountReaderFactory(root, grouped)
+  override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory(root, grouped, aggs)
 }
 
-case class KvCountPartition(collections: Seq[String]) extends InputPartition
+case class KvStatsPartition(collections: Seq[String]) extends InputPartition
 
-case class KvCountReaderFactory(root: String, grouped: Boolean) extends PartitionReaderFactory {
+case class KvStatsReaderFactory(root: String, grouped: Boolean, aggs: Seq[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KvCountPartition]
+    val p = partition.asInstanceOf[KvStatsPartition]
     new PartitionReader[InternalRow] {
+      private def minS(a: String, b: String): String = if (a == null) b else if (b == null) a else if (a <= b) a else b
+      private def maxS(a: String, b: String): String = if (a == null) b else if (b == null) a else if (a >= b) a else b
+
+      /** (rows, minKey, maxKey) for one file — footer-only unless a chunk
+        * with rows lacks statistics, then a key-column walk of that file.
+        */
+      private def fileStats(conf: Configuration, f: String): (Long, String, String) = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader
+          .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
+        val (n, mn, mx, ok) =
+          try {
+            val n = r.getRecordCount
+            var mn: String = null
+            var mx: String = null
+            var ok = true
+            r.getFooter.getBlocks.asScala.filter(_.getRowCount > 0).foreach { block =>
+              block.getColumns.asScala.find(_.getPath.toDotString == "key") match {
+                case Some(chunk) =>
+                  val st = chunk.getStatistics
+                  if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+                  else {
+                    mn = minS(mn, st.genericGetMin match { case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8; case o => o.toString })
+                    mx = maxS(mx, st.genericGetMax match { case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8; case o => o.toString })
+                  }
+                case None => ok = false
+              }
+            }
+            (n, mn, mx, ok)
+          } finally r.close()
+        if (ok || n == 0) (n, mn, mx)
+        else { // fallback: walk this file's keys
+          val rd = ParquetReader.builder(new GroupReadSupport(), new Path(f)).withConf(conf).build()
+          try {
+            var (wmn, wmx): (String, String) = (null, null)
+            var g = rd.read()
+            while (g != null) {
+              if (g.getFieldRepetitionCount("key") > 0) {
+                val k = g.getString("key", 0)
+                wmn = minS(wmn, k); wmx = maxS(wmx, k)
+              }
+              g = rd.read()
+            }
+            (n, wmn, wmx)
+          } finally rd.close()
+        }
+      }
+
       private val rows: Iterator[InternalRow] = {
         val conf = new Configuration()
-        def countOf(c: String): Long =
-          KvDataSourceV2.listParquetFiles(root, c).map { f =>
-            val r = org.apache.parquet.hadoop.ParquetFileReader
-              .open(org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), conf))
-            try r.getRecordCount finally r.close()
-          }.sum
+        def statsOf(c: String): (Long, String, String) =
+          KvDataSourceV2.listParquetFiles(root, c).map(fileStats(conf, _)).foldLeft((0L, null: String, null: String)) {
+            case ((n, mn, mx), (fn, fmn, fmx)) => (n + fn, minS(mn, fmn), maxS(mx, fmx))
+          }
+        def aggCols(s: (Long, String, String)): Seq[Any] = aggs.map {
+          case "count" => s._1
+          case "min" => if (s._2 == null) null else UTF8String.fromString(s._2)
+          case "max" => if (s._3 == null) null else UTF8String.fromString(s._3)
+        }
         if (grouped)
           // A zero-row collection (zero parquet files, or only zero-row
           // files — both reachable by overwriting with an empty frame)
           // contributes no rows to the scan, and GROUP BY over the scan
           // emits NO group for it — so the complete pushdown must not.
           p.collections.iterator
-            .map(c => (c, countOf(c)))
-            .filter(_._2 > 0L)
-            .map { case (c, n) =>
-              new GenericInternalRow(Array[Any](UTF8String.fromString(c), n)): InternalRow
+            .map(c => (c, statsOf(c)))
+            .filter(_._2._1 > 0L)
+            .map { case (c, s) =>
+              new GenericInternalRow((UTF8String.fromString(c) +: aggCols(s)).toArray[Any]): InternalRow
             }
-        else Iterator(new GenericInternalRow(Array[Any](p.collections.map(countOf).sum)): InternalRow)
+        else {
+          val total = p.collections.map(statsOf).foldLeft((0L, null: String, null: String)) {
+            case ((n, mn, mx), (fn, fmn, fmx)) => (n + fn, minS(mn, fmn), maxS(mx, fmx))
+          }
+          Iterator(new GenericInternalRow(aggCols(total).toArray[Any]): InternalRow)
+        }
       }
       private var row: InternalRow = _
       override def next(): Boolean = { if (rows.hasNext) { row = rows.next(); true } else false }

@@ -62,7 +62,7 @@ class KvDsv2Spec extends SparkSpec {
   test("COUNT(*) GROUP BY collection answers from parquet footers (complete aggregate pushdown)") {
     val q = table.groupBy("collection").count().orderBy("collection")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftKvCountScan"), plan)
+    assert(plan.contains("GraftKvStatsScan"), plan)
     // complete pushdown: no aggregate exec survives above the scan
     assert(!plan.contains("HashAggregate"), plan)
     assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
@@ -72,14 +72,14 @@ class KvDsv2Spec extends SparkSpec {
   test("global COUNT(*) pushes down and matches") {
     val q = table.groupBy().count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("GraftKvCountScan"), plan)
+    assert(plan.contains("GraftKvStatsScan"), plan)
     assert(q.collect().head.getLong(0) == 3L)
   }
 
   test("aggregate pushdown is refused when a key filter is present (footer counts ignore filters)") {
     val q = table.filter("key = 'cpu'").groupBy("collection").count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("GraftKvCountScan"), plan)
+    assert(!plan.contains("GraftKvStatsScan"), plan)
     assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("metrics", 1L)))
   }
 
@@ -157,7 +157,7 @@ class KvDsv2Spec extends SparkSpec {
   test("aggregate pushdown is refused when a key RANGE is present (footer counts ignore filters)") {
     val q = table.filter("key >= 'c'").groupBy("collection").count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("GraftKvCountScan"), plan)
+    assert(!plan.contains("GraftKvStatsScan"), plan)
     assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("metrics", 2L)))
   }
 
@@ -195,10 +195,48 @@ class KvDsv2Spec extends SparkSpec {
       .write.format("graft-kv").option("path", wroot).option("collection", "gone").mode("overwrite").save()
     val t = spark.read.format("graft-kv").load(wroot)
     val counted = t.groupBy("collection").count()
-    assert(counted.queryExecution.executedPlan.toString.contains("GraftKvCountScan"))
+    assert(counted.queryExecution.executedPlan.toString.contains("GraftKvStatsScan"))
     // GROUP BY over the scan emits no group for a zero-row collection — so must the pushdown
     assert(counted.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("keep", 1L)))
     assert(t.groupBy().count().collect().head.getLong(0) == 1L)
+  }
+
+  test("MIN/MAX(key) GROUP BY collection answers from footer statistics (complete pushdown)") {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val q = table
+      .groupBy("collection")
+      .agg(min("key").as("kmin"), max("key").as("kmax"), count("*").as("n"))
+      .orderBy("collection")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftKvStatsScan"), plan)
+    assert(plan.contains("MIN(key)") && plan.contains("MAX(key)") && plan.contains("COUNT(*)"), plan)
+    // complete pushdown: no aggregate exec above the scan
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("logs", "boot", "boot", 1L), ("metrics", "cpu", "mem", 2L)))
+  }
+
+  test("global MIN/MAX(key) pushes down and matches") {
+    import org.apache.spark.sql.functions.{max, min}
+    val q = table.agg(min("key"), max("key"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKvStatsScan"))
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("boot", "mem")))
+  }
+
+  test("MIN/MAX pushdown refused under a key predicate (stats ignore row filters)") {
+    import org.apache.spark.sql.functions.min
+    val q = table.filter("key >= 'c'").agg(min("key"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftKvStatsScan"), plan)
+    assert(q.collect().head.getString(0) == "cpu") // correct via the row path
+  }
+
+  test("MIN/MAX over an empty store yields one all-NULL global row") {
+    import org.apache.spark.sql.functions.{count, max, min}
+    val empty = Files.createTempDirectory("graftkv-mm-empty").toString
+    val q = spark.read.format("graft-kv").load(empty).agg(min("key"), max("key"), count("*"))
+    val r = q.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
   }
 
   test("robustness: empty root reads as empty, missing path option fails loudly") {
