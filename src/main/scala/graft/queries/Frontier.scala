@@ -774,7 +774,168 @@ object Frontier {
        |FROM hit WHERE pick = 1 ORDER BY event_type, q_pct""".stripMargin
   }
 
+  // -- q165: ANN recall evaluation --------------------------------------
+
+  /** Index-quality monitoring: recall@10 of the LSH ANN ranking (q34)
+    * against the exact ranking (q32), per query — the evaluation loop
+    * every production ANN deployment runs continuously. Composes the two
+    * verified queries verbatim (no drift) and adds one tiny-frame join;
+    * at scale both sides are top-k lists (k rows per query), so the
+    * recall join is k·|queries| rows regardless of corpus size.
+    */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    val exact = VectorQueries.q32(s, d).select(col("qid"), col("vec_id"))
+    val approx = VectorQueries.q34(s, d).select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("qid"), col("n_hit"), Det.r4(col("n_hit").cast("double") / lit(10.0)).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  val q165Sql: String = {
+    def derived(sql: String) = "(" + sql.replace("\n", "\n  ") + ")"
+    s"""WITH a AS (SELECT qid, vec_id FROM ${derived(VectorQueries.q32Sql)} za),
+       |b AS (SELECT qid, vec_id FROM ${derived(VectorQueries.q34Sql)} zb)
+       |SELECT a.qid, count(*) AS n_hit,
+       |  ${Det.sqlR("CAST(count(*) AS DOUBLE) / 10.0", 4)} AS recall_at_10
+       |FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.qid = a.qid AND b.vec_id = a.vec_id)
+       |GROUP BY a.qid ORDER BY a.qid""".stripMargin
+  }
+
+  // -- q166: A/B two-proportion z-test ----------------------------------
+
+  /** Experiment analysis: users split into variants by id parity,
+    * conversion = any HIGH-VALUE purchase (> 480 — plain "any purchase"
+    * saturates to p = 1 on a 30-day window and the z denominator
+    * vanishes; the degenerate all-or-none case is additionally
+    * null-guarded identically on both engines). All counts are exact
+    * integers from one user-grain aggregation (map-side combinable); the
+    * z arithmetic is a deterministic function of four integers,
+    * r6-snapped. The significance flag compares the SNAPPED z so both
+    * engines branch on the same double.
+    */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val users = Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase" && col("value") > 480.0, 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val m = users
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val wide = m
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === 0, col("n"))).as("n0"),
+        sum(when(col("variant") === 0, col("conv"))).as("c0"),
+        sum(when(col("variant") === 1, col("n"))).as("n1"),
+        sum(when(col("variant") === 1, col("conv"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pPool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")).cast("double")
+    val z = when(col("c0") + col("c1") === 0 || col("c0") + col("c1") === col("n0") + col("n1"), lit(null))
+      .otherwise(
+        (p1 - p0) /
+          sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))))
+    wide.select(
+      col("n0"),
+      col("c0"),
+      col("n1"),
+      col("c1"),
+      Det.r6(p0).as("rate0"),
+      Det.r6(p1).as("rate1"),
+      Det.r6(z).as("z"),
+      (abs(Det.r6(z)) > lit(1.959964)).as("significant"))
+  }
+
+  val q166Sql: String = {
+    val p0 = "CAST(c0 AS DOUBLE)/CAST(n0 AS DOUBLE)"
+    val p1 = "CAST(c1 AS DOUBLE)/CAST(n1 AS DOUBLE)"
+    val pp = "CAST(c0+c1 AS DOUBLE)/CAST(n0+n1 AS DOUBLE)"
+    val z = s"CASE WHEN c0+c1 = 0 OR c0+c1 = n0+n1 THEN NULL ELSE (($p1) - ($p0)) / sqrt(($pp) * (1.0 - ($pp)) * (1.0/CAST(n0 AS DOUBLE) + 1.0/CAST(n1 AS DOUBLE))) END"
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS variant,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 480.0 THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+       |    sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c0,
+       |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+       |    sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c1
+       |  FROM u)
+       |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+       |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+       |  ${Det.sqlR(p0, 6)} AS rate0, ${Det.sqlR(p1, 6)} AS rate1,
+       |  ${Det.sqlR(z, 6)} AS z,
+       |  abs(${Det.sqlR(z, 6)}) > 1.959964 AS significant
+       |FROM m""".stripMargin
+  }
+
+  // -- q167: last-touch revenue attribution -----------------------------
+
+  /** Marketing attribution without a join: every purchase credits the
+    * user's most recent prior non-purchase touch within 7 days (else
+    * 'direct'). One `last(..., ignoreNulls)` window inside the per-user
+    * hash partitioning carries the previous touch's (time, channel)
+    * through the interleaved stream — the as-of join collapsed into the
+    * stream itself, zero extra shuffle. Revenue rides in integer
+    * micro-units.
+    */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val horizon = 7L * 86400000000L
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"))
+      .withColumn("touch_t", last(when(col("event_type") =!= "purchase", col("t")), ignoreNulls = true).over(w))
+      .withColumn("touch_ch", last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn(
+        "channel",
+        when(col("touch_t").isNotNull && col("touch_t") >= col("t") - lit(horizon), col("touch_ch"))
+          .otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(sum(col("vu")).as("revenue_u"), count(lit(1)).as("n_purchases"))
+      .orderBy(col("channel"))
+  }
+
+  val q167Sql: String =
+    """WITH pts AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+      |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+      |  FROM events),
+      |tch AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_t,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ch
+      |  FROM pts)
+      |SELECT CASE WHEN touch_t IS NOT NULL AND touch_t >= t - 604800000000 THEN touch_ch
+      |            ELSE 'direct' END AS channel,
+      |  sum(vu) AS revenue_u, count(*) AS n_purchases
+      |FROM tch WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q165_ann_recall" -> (q165 _),
+    "q166_ab_ztest" -> (q166 _),
+    "q167_last_touch_attribution" -> (q167 _),
     "q162_lttb_downsample" -> (q162 _),
     "q163_counter_increase" -> (q163 _),
     "q164_histogram_quantile" -> (q164 _),
@@ -787,6 +948,9 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q165_ann_recall" -> q165Sql,
+    "q166_ab_ztest" -> q166Sql,
+    "q167_last_touch_attribution" -> q167Sql,
     "q162_lttb_downsample" -> q162Sql,
     "q163_counter_increase" -> q163Sql,
     "q164_histogram_quantile" -> q164Sql,

@@ -198,6 +198,57 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q165 recall equals the brute-force list intersection and stays in [0,1]") {
+    val exact = VectorQueries
+      .q32(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val approx = VectorQueries
+      .q34(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    Frontier.q165(spark, sf).collect().foreach { r =>
+      val q = r.getAs[Long]("qid")
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit == (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong, s"qid $q")
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("q166 z-statistic matches the textbook formula on the exact counts") {
+    val r = Frontier.q166(spark, sf).collect().head
+    val (n0, c0, n1, c1) =
+      (r.getAs[Long]("n0"), r.getAs[Long]("c0"), r.getAs[Long]("n1"), r.getAs[Long]("c1"))
+    assert(n0 > 0 && n1 > 0)
+    if (c0 + c1 > 0 && c0 + c1 < n0 + n1) {
+      val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+      val pp = (c0 + c1).toDouble / (n0 + n1)
+      val want = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+      assert(math.abs(r.getAs[Double]("z") - want) < 1e-5)
+    }
+  }
+
+  test("q167 attribution conserves total purchase revenue") {
+    val rows = Frontier.q167(spark, sf).collect()
+    val attributed = rows.map(_.getAs[Long]("revenue_u")).sum
+    val nPurch = rows.map(_.getAs[Long]("n_purchases")).sum
+    val want = Tables
+      .events(spark, sf)
+      .selectExpr("CAST(floor(value*1000000.0+0.5) AS LONG) AS vu", "event_type")
+      .collect()
+      .filter(_.getString(1) == "purchase")
+    assert(attributed == want.map(_.getLong(0)).sum, "every purchase micro-unit lands in exactly one channel")
+    assert(nPurch == want.length.toLong)
+    // channels are real event types or 'direct'
+    val types = Set("view", "click", "error", "signup", "direct")
+    rows.foreach(r => assert(types.contains(r.getAs[String]("channel"))))
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
