@@ -271,6 +271,9 @@ object Frontier {
       .otherwise(1)
     val rho = when(length(stripped) === 0, lit(53))
       .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
+    // localCheckpoint: the register table (≤256 rows/type) feeds three
+    // consumers (per-type estimates, the type list, union registers) —
+    // without it each re-scans and re-aggregates the raw events
     val regs = Tables
       .events(s, d)
       .select(
@@ -279,6 +282,7 @@ object Frontier {
         rho.as("rho"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("r"))
+      .localCheckpoint()
     def grp(df: DataFrame, keys: Column*): DataFrame =
       df.groupBy(keys: _*)
         .agg(
@@ -555,6 +559,9 @@ object Frontier {
         "rn",
         row_number().over(Window.partitionBy(col("event_type")).orderBy(col("t"), col("vu"))))
       .withColumn("b", ((col("rn") - 1) / lit(bsz)).cast("long"))
+      // localCheckpoint: the ranked frame feeds both the bucket means and
+      // the selection join — without it the per-series rank sort runs twice
+      .localCheckpoint()
     val bm = pts
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("t")).as("st"), sum(col("vu")).as("sv"), count(lit(1)).as("n"))
@@ -718,6 +725,9 @@ object Frontier {
       .withColumn("total", sum(col("c")).over(Window.partitionBy(col("event_type"))))
       .withColumn("lo", coalesce(lag(col("le"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("le"))), lit(0.0)))
       .withColumn("cum_prev", coalesce(lag(col("cum"), 1).over(Window.partitionBy(col("event_type")).orderBy(col("le"))), lit(0L)))
+      // localCheckpoint: ≤10 bucket rows per series feed one filter per
+      // requested quantile — without it each quantile re-scans the data
+      .localCheckpoint()
     // q in {50, 90, 99} as integer percents: pick the first bucket where
     // 100*cum >= q*total, all integers
     val qs = Seq(50, 90, 99)
