@@ -69,6 +69,38 @@ object Aggregators {
       Encoders.kryo[Map[String, Long]]
   }
 
+  /** Bounded top-k: keeps the k largest (v, id) pairs, v descending with
+    * ascending-id tie-break. The buffer is a sorted list of ≤ k entries,
+    * so per-group aggregation state is O(k) REGARDLESS of group size and
+    * the aggregate is map-side combinable — the scale-safe alternative to
+    * rank-window top-k (which sorts every group's full row set) and to
+    * collect_list-then-slice (whose buffer is the whole group: the q68
+    * postings trap). Insert is O(k) per row, merge is a bounded sorted
+    * merge — a commutative, associative, idempotent-under-order monoid,
+    * so Catalyst runs it partial+final like a built-in sum.
+    */
+  case class TopItem(v: Long, id: Long)
+  case class TopBuf(items: List[TopItem])
+  class TopK(k: Int) extends Aggregator[TopItem, TopBuf, Seq[TopItem]] {
+    private def better(a: TopItem, b: TopItem): Boolean =
+      a.v > b.v || (a.v == b.v && a.id < b.id)
+    private def insert(items: List[TopItem], x: TopItem): List[TopItem] = {
+      val (pre, post) = items.span(better(_, x))
+      val merged = pre ::: (x :: post)
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, x: TopItem): TopBuf =
+      if (b.items.lengthCompare(k) == 0 && better(b.items.last, x) && b.items.last != x) b
+      else TopBuf(insert(b.items, x))
+    override def merge(a: TopBuf, b: TopBuf): TopBuf =
+      TopBuf(b.items.foldLeft(a.items)(insert))
+    override def finish(r: TopBuf): Seq[TopItem] = r.items
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[Seq[TopItem]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopItem]]()
+  }
+
   /** Last-write-wins merge: keeps the value with the max (ts, tie) — the
     * reference's upsert semantics (`internal/storage/hot.go:50-60`) as an
     * associative aggregate, usable for streaming state compaction.

@@ -942,7 +942,114 @@ object Frontier {
       |FROM tch WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q168: bounded-state grouped top-k --------------------------------
+
+  /** Top-3 purchases per user through the bounded
+    * [[graft.functions.Aggregators.TopK]] typed Aggregator: per-group
+    * aggregation state is THREE entries regardless of how many purchases
+    * a user has, and partials combine map-side — the scale-safe
+    * alternative to rank windows (which sort each group's full row set)
+    * for small k over huge skewed groups. Plan-asserted window-free in
+    * FrontierSpec; the oracle is the rank-window form, so the hash gate
+    * proves the two formulations equivalent.
+    */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(
+      new graft.functions.Aggregators.TopK(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Aggregators.TopItem])
+    Tables
+      .events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"),
+        col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(topk(col("vu"), col("event_id")).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(
+        col("user_id"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("event_id"),
+        col("col.v").as("vu"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  val q168Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(floor(value*1000000.0+0.5) AS BIGINT) AS vu,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY CAST(floor(value*1000000.0+0.5) AS BIGINT) DESC, event_id) AS rk
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(rk AS BIGINT) AS rk, event_id, vu
+      |FROM p WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
+
+  // -- q169: data-quality report ----------------------------------------
+
+  /** Expectations-style data-quality audit of lineitem as ONE pass plus
+    * one orphan check: null counts, domain violations (non-positive
+    * quantity, discount outside [0,1], negative price), duplicate
+    * primary keys, and referential orphans (l_orderkey ∉ orders) — the
+    * admission gate every ingest pipeline runs before publishing a
+    * partition. All row-level checks ride a single aggregation (one scan,
+    * map-side combinable conditional sums); the FK check is a left-anti
+    * join against the broadcast key side. Output is a tall (check,
+    * violations) table so downstream alerting is schema-stable as checks
+    * are added.
+    */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val wide = l
+      .groupBy()
+      .agg(
+        count(lit(1)).as("row_count"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_quantity"),
+        sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("nonpositive_quantity"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L).otherwise(0L)).as("discount_out_of_range"),
+        sum(when(col("l_extendedprice") < 0.0, 1L).otherwise(0L)).as("negative_price"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("duplicate_pk"))
+    val orphans = l
+      .join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orphan_orderkey").as("check"), col("v").as("violations"))
+    val checks = Seq(
+      "row_count", "null_orderkey", "null_quantity", "nonpositive_quantity",
+      "discount_out_of_range", "negative_price", "duplicate_pk")
+    val tall = wide
+      .select(
+        explode(
+          map(checks.flatMap(c => Seq(lit(c), col(c))): _*)))
+      .select(col("key").as("check"), col("value").as("violations"))
+    tall.unionByName(orphans).orderBy(col("check"))
+  }
+
+  val q169Sql: String =
+    """WITH wide AS (
+      |  SELECT count(*) AS row_count,
+      |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+      |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+      |    sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS nonpositive_quantity,
+      |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS discount_out_of_range,
+      |    sum(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END) AS negative_price,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS duplicate_pk
+      |  FROM lineitem),
+      |tall AS (
+      |  SELECT 'row_count' AS "check", CAST(row_count AS BIGINT) AS violations FROM wide
+      |  UNION ALL SELECT 'null_orderkey', CAST(null_orderkey AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'null_quantity', CAST(null_quantity AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'nonpositive_quantity', CAST(nonpositive_quantity AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'discount_out_of_range', CAST(discount_out_of_range AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'negative_price', CAST(negative_price AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'duplicate_pk', CAST(duplicate_pk AS BIGINT) FROM wide
+      |  UNION ALL SELECT 'orphan_orderkey',
+      |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     WHERE o.o_orderkey IS NULL))
+      |SELECT "check", violations FROM tall ORDER BY "check"""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q168_topk_aggregator" -> (q168 _),
+    "q169_dq_report" -> (q169 _),
     "q165_ann_recall" -> (q165 _),
     "q166_ab_ztest" -> (q166 _),
     "q167_last_touch_attribution" -> (q167 _),
@@ -958,6 +1065,8 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q168_topk_aggregator" -> q168Sql,
+    "q169_dq_report" -> q169Sql,
     "q165_ann_recall" -> q165Sql,
     "q166_ab_ztest" -> q166Sql,
     "q167_last_touch_attribution" -> q167Sql,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
@@ -165,6 +165,59 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Targeted row deletion (the GDPR/right-to-erasure operator) over a
+    * flat parquet layout, rewriting ONLY the files that contain matching
+    * rows — the copy-on-write delete a table format does, built on two
+    * engine primitives:
+    *   1. find affected files with a `_metadata.file_path` scan under the
+    *      delete predicate — parquet row-group statistics prune the scan,
+    *      so a well-clustered layout ([[compactParquet]] with sortCols /
+    *      [[writeZOrdered]]) touches footers, not data, for most files;
+    *   2. rewrite each affected file without its matching rows (temp file
+    *      + rename), delete it outright if nothing survives.
+    * Untouched files are never read past their footer and never
+    * rewritten — deleting one user from a 100 TB table costs a handful
+    * of file rewrites, not a table rewrite. Returns
+    * (affectedFiles, rowsDeleted).
+    *
+    * Concurrency note: like the reference's cold tier (and unlike a real
+    * table format's commit log), the swap is per-file atomic but the
+    * multi-file delete is not transactional — a concurrent reader can see
+    * some files rewritten before others.
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val affected = spark.read
+      .parquet(root)
+      .filter(predicate)
+      .select(input_file_name().as("f"))
+      .groupBy(col("f"))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { case (uri, _) =>
+      val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      val keep = spark.read.parquet(uri).filter(!predicate)
+      if (keep.isEmpty) {
+        fs.delete(filePath, false)
+      } else {
+        val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
+        keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+        val part = fs
+          .listStatus(tmpDir)
+          .map(_.getPath)
+          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
+        fs.delete(filePath, false)
+        fs.rename(part, filePath)
+        fs.delete(tmpDir, true)
+      }
+    }
+    (affected.length.toLong, affected.map(_._2).sum)
+  }
 
   /** Retention / TTL expiry over a partitioned layout: drop every
     * `col=value` partition directory whose value fails `keep` — the

@@ -249,6 +249,40 @@ class FrontierSpec extends SparkSpec {
     rows.foreach(r => assert(types.contains(r.getAs[String]("channel"))))
   }
 
+  test("q168 top-k plans as a bounded aggregate — no window, no per-group sort") {
+    val df = Frontier.q168(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan.take(1500))
+    // ranks are 1..3, values descending within each user
+    df.collect().groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length))
+      val vs = byRank.map(_.getAs[Long]("vu")).toSeq
+      assert(vs == vs.sorted(Ordering[Long].reverse), s"user $u not descending: $vs")
+    }
+  }
+
+  test("q169 dq report is internally consistent on the clean fixture") {
+    val m = Frontier
+      .q169(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violations"))
+      .toMap
+    val l = Tables.lineitem(spark, sf)
+    assert(m("row_count") == l.count())
+    // the synthetic fixture is referentially clean and fully populated…
+    Seq("null_orderkey", "null_quantity", "nonpositive_quantity",
+      "discount_out_of_range", "negative_price", "orphan_orderkey")
+      .foreach(c => assert(m(c) == 0L, s"$c = ${m(c)}"))
+    // …but (l_orderkey, l_linenumber) genuinely repeats in it — the report
+    // must agree with an independent computation, not with wishful zero
+    val wantDup = l.count() -
+      l.selectExpr("l_orderkey", "l_linenumber").distinct().count()
+    assert(m("duplicate_pk") == wantDup, s"duplicate_pk ${m("duplicate_pk")} vs $wantDup")
+    assert(wantDup > 0, "fixture is known to carry duplicate (orderkey, linenumber) pairs")
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)

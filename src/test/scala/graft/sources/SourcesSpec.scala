@@ -212,6 +212,39 @@ class SourcesSpec extends SparkSpec {
       s"z layout should touch materially fewer files: z=$zTouched vs x=$xTouched")
   }
 
+  test("deleteWhere rewrites only the files holding matching rows (stats-pruned targeted delete)") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("gdpr").toString
+    // range-clustered layout on user_id → disjoint per-file key ranges, so
+    // the delete predicate prunes to the one file holding the user
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write
+      .parquet(s"$dir/t")
+    val before = new java.io.File(s"$dir/t")
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length()))
+      .toMap
+    assert(before.size == 8)
+    val victim = ev.selectExpr("min(user_id)").collect().head.getLong(0)
+    val nVictim = ev.filter(col("user_id") === victim).count()
+    assert(nVictim > 0)
+    val (files, rows) = Sources.deleteWhere(spark, s"$dir/t", col("user_id") === victim)
+    assert(rows == nVictim)
+    assert(files == 1L, s"range-clustered layout should localize one user to one file, rewrote $files")
+    val after = new java.io.File(s"$dir/t")
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length()))
+      .toMap
+    // untouched files byte-identical in place
+    assert(after.count { case (n, st) => before.get(n).contains(st) } == 7)
+    val back = Sources.readParquet(spark, s"$dir/t")
+    assert(back.filter(col("user_id") === victim).count() == 0)
+    assert(back.count() == ev.count() - nVictim)
+  }
+
   test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
     val ev = graft.core.Tables
       .events(spark, sf)
