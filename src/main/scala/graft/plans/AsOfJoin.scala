@@ -91,6 +91,18 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
+  /** SQL metrics, surfaced in the Spark UI / `metrics` like any built-in
+    * join: output rows and how many of them actually carried a match —
+    * the observability a production as-of enrichment needs (a collapsing
+    * match rate is usually upstream data lag, visible here before it is
+    * visible in results).
+    */
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "output rows with an as-of match"))
+
   /** Hash-cluster both sides on the key: EnsureRequirements inserts the
     * exchanges; identical key values land in identical partition ids on
     * both sides (same hash function, same partition count). The partition
@@ -120,6 +132,8 @@ case class AsOfJoinExec(
     val rTsExpr = BindReferences.bindReference(rightTs: Expression, rOut)
     val keyType = leftKey.dataType
     val allOut = output
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
@@ -139,6 +153,7 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
+          outRows += 1
           val lkv = lKeyExpr.eval(l)
           val ltvBoxed = lTsExpr.eval(l)
           // null key or null ts on the left can never match anything
@@ -160,6 +175,7 @@ case class AsOfJoinExec(
             }
           }
           val matched = candidate != null && keyOrd.compare(candidateKey, lkv) == 0
+          if (matched) matchedRows += 1
           toUnsafe(joined(l, if (matched) candidate else nullRight))
         }
       }

@@ -1047,7 +1047,47 @@ object Frontier {
       |     WHERE o.o_orderkey IS NULL))
       |SELECT "check", violations FROM tall ORDER BY "check"""".stripMargin
 
+  // -- q170: rollup hierarchy reaggregation -----------------------------
+
+  /** The TSDB materialization hierarchy: daily stats computed FROM the
+    * hourly rollup's partials (sum-of-sums, min-of-mins, max-of-maxes)
+    * — never re-reading raw data — while the ORACLE computes the same
+    * daily stats directly from raw events. The hash gate therefore
+    * PROVES the reaggregability law (hour→day ≡ raw→day) that lets a
+    * store answer coarse-grain queries from fine-grain materializations:
+    * at 100 TB the daily rollup reads 24 rows per series-day instead of
+    * millions. All state is integer micro-units — sums re-associate
+    * exactly.
+    */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("svu"),
+        min(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("mnvu"),
+        max(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("mxvu"))
+    hourly
+      .groupBy(col("event_type"), to_date(col("hour")).as("day"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("svu")).as("sum_u"),
+        min(col("mnvu")).as("min_u"),
+        max(col("mxvu")).as("max_u"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q170Sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) AS n,
+      |  sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_u,
+      |  min(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS min_u,
+      |  max(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS max_u
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q170_rollup_reagg" -> (q170 _),
     "q168_topk_aggregator" -> (q168 _),
     "q169_dq_report" -> (q169 _),
     "q165_ann_recall" -> (q165 _),
@@ -1065,6 +1105,7 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q170_rollup_reagg" -> q170Sql,
     "q168_topk_aggregator" -> q168Sql,
     "q169_dq_report" -> q169Sql,
     "q165_ann_recall" -> q165Sql,

@@ -115,4 +115,29 @@ class AsOfJoinSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("exec reports SQL metrics: every left row emitted, match count exact") {
+    import spark.implicits._
+    val ev = graft.core.Tables.events(spark, sf)
+    val errors = ev.filter($"event_type" === "error").select("event_id", "user_id", "ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("p_ts"), $"event_id".as("p_eid"), $"value".as("pv"))
+    val joined = AsOfJoin.join(errors, purchases, "user_id", "p_uid", "ts", "p_ts", "p_eid")
+    val rows = joined.collect()
+    // AQE wraps materialized stages (incl. the result stage) in
+    // QueryStageExec leaves — collect() does not descend into them
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[AsOfJoinExec] = p match {
+      case e: AsOfJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    val exec = find(joined.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not in executed plan"))
+    assert(exec.metrics("numOutputRows").value == rows.length.toLong)
+    val wantMatched = rows.count(!_.isNullAt(rows.head.fieldIndex("p_eid"))).toLong
+    assert(exec.metrics("numMatched").value == wantMatched)
+    assert(wantMatched > 0 && wantMatched <= rows.length)
+  }
 }
