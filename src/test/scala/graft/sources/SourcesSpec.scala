@@ -243,6 +243,9 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.readParquet(spark, s"$dir/t")
     assert(back.filter(col("user_id") === victim).count() == 0)
     assert(back.count() == ev.count() - nVictim)
+    // no-match predicate: zero rewrites, layout untouched
+    val (f2, r2) = Sources.deleteWhere(spark, s"$dir/t", col("user_id") === -1L)
+    assert(f2 == 0L && r2 == 0L)
   }
 
   test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
