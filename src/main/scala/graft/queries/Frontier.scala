@@ -1086,7 +1086,171 @@ object Frontier {
       |  max(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS max_u
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q172: RFM segmentation -------------------------------------------
+
+  /** Recency/Frequency/Monetary customer segmentation: per-user metrics
+    * in one grain-change aggregation (map-side combinable, integer
+    * domain), then quintile assignment per dimension via ntile over a
+    * TOTAL order (metric, user_id — ties can't float between engines),
+    * rolled up to segment sizes. The per-dimension ntile windows are
+    * global sorts over USERS (the post-aggregation grain, not events) —
+    * at 100 TB of events that's still one row per user; for billions of
+    * users the quintile boundaries would come from [[q71]]-style
+    * deterministic sampling instead.
+    */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val users = Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(
+          when(
+            col("event_type") === "purchase",
+            floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L)).as("m"))
+    val globalMax = users.agg(max(col("last_day")).as("gmax"))
+    val scored = users
+      .crossJoin(broadcast(globalMax))
+      .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
+    def quint(metric: Column, asc: Boolean): Column =
+      ntile(5).over(
+        Window.orderBy(
+          (if (asc) metric.asc else metric.desc),
+          col("user_id").asc))
+    scored
+      .withColumn("rq", quint(col("r_days"), asc = true).cast("long"))
+      .withColumn("fq", quint(col("f"), asc = false).cast("long"))
+      .withColumn("mq", quint(col("m"), asc = false).cast("long"))
+      .groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("rq"), col("fq"), col("mq"))
+  }
+
+  val q172Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS f,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS m
+      |  FROM events GROUP BY 1),
+      |sc AS (
+      |  SELECT user_id, f, m,
+      |    CAST(date_diff('day', last_day, (SELECT max(last_day) FROM u)) AS BIGINT) AS r_days
+      |  FROM u),
+      |qs AS (
+      |  SELECT
+      |    CAST(ntile(5) OVER (ORDER BY r_days ASC, user_id ASC) AS BIGINT) AS rq,
+      |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id ASC) AS BIGINT) AS fq,
+      |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id ASC) AS BIGINT) AS mq
+      |  FROM sc)
+      |SELECT rq, fq, mq, count(*) AS n_users
+      |FROM qs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -- q173: Kaplan-Meier survival --------------------------------------
+
+  /** Kaplan-Meier time-to-conversion curves per experiment variant: the
+    * survival event is a user's FIRST PURCHASE after their first
+    * activity; users who never purchase are right-censored at the end of
+    * observation — the textbook censoring structure. The running product
+    * Π(1 − dᵢ/nᵢ) is computed as exp of the ORDERED cumulative sum of
+    * ln terms — a window running-sum accumulates left to right in frame
+    * order in both engines (the q57 EWMA portability argument), so the
+    * float product is bit-stable cross-engine and one r6 snap suffices.
+    * Risk sets come from a cumulative count-down, not a self-join. One
+    * shuffle to user grain, windows over the tiny (variant, day)
+    * event-time table.
+    */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    val users = Tables
+      .events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_day"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("conv_day"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val cut = users.agg(
+      max(greatest(col("first_day"), coalesce(col("conv_day"), col("first_day")))).as("gmax"))
+    val lt = users
+      .crossJoin(broadcast(cut))
+      .select(
+        col("variant"),
+        when(col("conv_day").isNotNull, datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("gmax"), col("first_day")))
+          .cast("long")
+          .as("life"),
+        col("conv_day").isNotNull.cast("long").as("churned"))
+    val grid = lt
+      .groupBy(col("variant"), col("life"))
+      .agg(count(lit(1)).as("leaving"), sum(col("churned")).as("d"))
+    val wOrd = Window.partitionBy(col("variant")).orderBy(col("life"))
+    val wAll = Window.partitionBy(col("variant"))
+    grid
+      .withColumn("total", sum(col("leaving")).over(wAll))
+      .withColumn(
+        "n_at_risk",
+        col("total") - coalesce(
+          sum(col("leaving")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      // d == n_at_risk (everyone remaining converts) sends S to exactly 0:
+      // handled as an explicit flag — DuckDB's ln(0) raises where the JVM
+      // returns -inf, so the log path must never see it on either engine
+      .withColumn(
+        "lnterm",
+        when(col("d") > 0 && col("d") < col("n_at_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "zeroed",
+        max((col("d") === col("n_at_risk")).cast("int"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn(
+        "survival",
+        when(col("zeroed") === 1, lit(0.0)).otherwise(
+          Det.r6(exp(sum(col("lnterm")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))))
+      .filter(col("d") > 0)
+      .select(col("variant"), col("life"), col("n_at_risk"), col("d"), col("survival"))
+      .orderBy(col("variant"), col("life"))
+  }
+
+  val q173Sql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS variant,
+       |    min(CAST(ts AS DATE)) AS first_day,
+       |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS conv_day
+       |  FROM events GROUP BY 1, 2),
+       |lt AS (
+       |  SELECT variant,
+       |    CAST(CASE WHEN conv_day IS NOT NULL THEN date_diff('day', first_day, conv_day)
+       |         ELSE date_diff('day', first_day,
+       |                        (SELECT max(greatest(first_day, coalesce(conv_day, first_day))) FROM u))
+       |         END AS BIGINT) AS life,
+       |    CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS churned
+       |  FROM u),
+       |grid AS (
+       |  SELECT variant, life, count(*) AS leaving, sum(churned) AS d
+       |  FROM lt GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT variant, life, leaving, d,
+       |    sum(leaving) OVER (PARTITION BY variant) -
+       |      coalesce(sum(leaving) OVER (PARTITION BY variant ORDER BY life
+       |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+       |  FROM grid),
+       |sv AS (
+       |  SELECT variant, life, n_at_risk, d,
+       |    max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY variant ORDER BY life
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed,
+       |    ${Det.sqlR(
+        "exp(sum(CASE WHEN d > 0 AND d < n_at_risk THEN ln(1.0 - CAST(d AS DOUBLE)/CAST(n_at_risk AS DOUBLE)) ELSE 0.0 END) OVER (PARTITION BY variant ORDER BY life ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+        6)} AS surv_raw
+       |  FROM rk)
+       |SELECT variant, life, CAST(n_at_risk AS BIGINT) AS n_at_risk, CAST(d AS BIGINT) AS d,
+       |  CASE WHEN zeroed = 1 THEN 0.0 ELSE surv_raw END AS survival
+       |FROM sv WHERE d > 0 ORDER BY variant, life""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q172_rfm_segments" -> (q172 _),
+    "q173_kaplan_meier" -> (q173 _),
     "q170_rollup_reagg" -> (q170 _),
     "q168_topk_aggregator" -> (q168 _),
     "q169_dq_report" -> (q169 _),
@@ -1105,6 +1269,8 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q172_rfm_segments" -> q172Sql,
+    "q173_kaplan_meier" -> q173Sql,
     "q170_rollup_reagg" -> q170Sql,
     "q168_topk_aggregator" -> q168Sql,
     "q169_dq_report" -> q169Sql,

@@ -283,6 +283,38 @@ class FrontierSpec extends SparkSpec {
     assert(wantDup > 0, "fixture is known to carry duplicate (orderkey, linenumber) pairs")
   }
 
+  test("q172 segments partition the user base into balanced quintile cells") {
+    val rows = Frontier.q172(spark, sf).collect()
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == totalUsers, "every user lands in exactly one segment")
+    rows.foreach { r =>
+      Seq("rq", "fq", "mq").foreach(c => assert((1L to 5L).contains(r.getAs[Long](c))))
+    }
+    // each dimension's quintiles are balanced to within one user
+    val perR = rows.groupBy(_.getAs[Long]("rq")).view.mapValues(_.map(_.getAs[Long]("n_users")).sum)
+    assert(perR.values.max - perR.values.min <= 1, s"unbalanced recency quintiles: $perR")
+  }
+
+  test("q173 survival curves are monotone non-increasing and equal the sequential product") {
+    val rows = Frontier
+      .q173(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("variant"), r.getAs[Long]("life"), r.getAs[Long]("n_at_risk"), r.getAs[Long]("d"), r.getAs[Double]("survival")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      val ordered = rs.sortBy(_._2)
+      var s = 1.0
+      var prev = 1.0
+      ordered.foreach { case (_, life, n, d, got) =>
+        assert(d > 0 && d <= n)
+        s *= 1.0 - d.toDouble / n
+        assert(math.abs(got - s) < 1e-5, s"variant $v life $life: $got vs $s")
+        assert(got <= prev + 1e-9, s"variant $v survival not monotone at $life")
+        prev = got
+      }
+    }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
