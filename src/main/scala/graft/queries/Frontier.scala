@@ -1248,7 +1248,163 @@ object Frontier {
        |  CASE WHEN zeroed = 1 THEN 0.0 ELSE surv_raw END AS survival
        |FROM sv WHERE d > 0 ORDER BY variant, life""".stripMargin
 
+  // -- q174: SAX symbolic approximation ---------------------------------
+
+  /** SAX (Symbolic Aggregate approXimation) of each event-type series:
+    * PAA segments are wall-clock hours (a hash agg, not the sliding
+    * frames of classic PAA — distributable and streaming-friendly),
+    * z-normalized per series and quantized against the standard N(0,1)
+    * breakpoints into a 4-letter alphabet. The symbol string is the
+    * series' INDEX KEY: motif search, similarity lower-bounding
+    * (MINDIST), and anomaly grammars run on the tiny symbol domain
+    * instead of raw points. Determinism: PAA means snap to integer
+    * micro-units (one double divide each), μ/σ come from exact integer
+    * moments, and z is r6-snapped BEFORE the breakpoint comparison so
+    * both engines bin identically.
+    */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("svu"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("event_type"),
+        col("hour"),
+        floor(col("svu").cast("double") / col("cnt").cast("double") + lit(0.5)).cast("long").as("paa"))
+      .localCheckpoint() // feeds the moment pass and the symbol pass
+    val dec = "decimal(38,0)"
+    val moments = hourly
+      .groupBy(col("event_type"))
+      // sxx accumulates in DECIMAL(38,0): paa² sums reach ~20% of the
+      // BIGINT range at sf0.1 already — a larger value scale would overflow
+      // Spark's ANSI long sum where DuckDB's HUGEINT keeps going
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("paa")).as("sx"),
+        sum(col("paa").cast(dec) * col("paa").cast(dec)).as("sxx"))
+      .select(
+        col("event_type"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        (sqrt(
+          (col("n").cast(dec) * col("sxx").cast(dec) - col("sx").cast(dec) * col("sx").cast(dec))
+            .cast("double")) / col("n").cast("double")).as("sigma"))
+    val z = Det.r6((col("paa").cast("double") - col("mu")) / col("sigma"))
+    val sym = when(z < lit(-0.6745), lit("a"))
+      .when(z < lit(0.0), lit("b"))
+      .when(z < lit(0.6745), lit("c"))
+      .otherwise(lit("d"))
+    hourly
+      .join(broadcast(moments), Seq("event_type"))
+      .select(col("event_type"), col("hour"), sym.as("symbol"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        concat_ws(
+          "",
+          transform(array_sort(collect_list(struct(col("hour"), col("symbol")))), x => x.getField("symbol")))
+          .as("sax"))
+      .orderBy(col("event_type"))
+  }
+
+  val q174Sql: String = {
+    val z = Det.sqlR("(CAST(paa AS DOUBLE) - mu) / sigma", 6)
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |    CAST(floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |               / count(*) + 0.5) AS BIGINT) AS paa
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type,
+       |    CAST(sum(paa) AS DOUBLE) / count(*) AS mu,
+       |    sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(paa AS HUGEINT) * paa)
+       |              - CAST(sum(paa) AS HUGEINT) * sum(paa) AS DOUBLE)) / count(*) AS sigma
+       |  FROM hourly GROUP BY 1),
+       |sy AS (
+       |  SELECT h.event_type, h.hour,
+       |    CASE WHEN $z < -0.6745 THEN 'a'
+       |         WHEN $z < 0.0 THEN 'b'
+       |         WHEN $z < 0.6745 THEN 'c'
+       |         ELSE 'd' END AS symbol
+       |  FROM hourly h JOIN m ON h.event_type = m.event_type)
+       |SELECT event_type, count(*) AS n_segments,
+       |  string_agg(symbol, '' ORDER BY hour) AS sax
+       |FROM sy GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // -- q175: rolling-origin forecast backtest ---------------------------
+
+  /** Forecast evaluation the way production capacity planning does it:
+    * walk forward through each daily series and score three forecasters
+    * at every origin — naive (yesterday), seasonal-naive (7 days ago),
+    * and the trailing-7-day mean — by MAE. Everything is lag/avg windows
+    * inside one hash partitioning by series and exact integer micro-unit
+    * arithmetic (the trailing mean is snapped per-origin), so the
+    * scoreboard is bit-stable. The analytics twin of q165's ANN recall:
+    * indexes get recall audits, forecasters get rolling-origin backtests.
+    */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("vu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val scored = daily
+      .withColumn("f_naive", lag(col("vu"), 1).over(w))
+      .withColumn("f_seasonal", lag(col("vu"), 7).over(w))
+      .withColumn(
+        "f_ma7",
+        floor(avg(col("vu")).over(w.rowsBetween(-7, -1)) + lit(0.5)).cast("long"))
+      .withColumn("n_prior", count(lit(1)).over(w.rowsBetween(-7, -1)))
+      // score only origins where EVERY forecaster has a full history, so
+      // the three MAEs average over the same evaluation set
+      .filter(col("f_seasonal").isNotNull && col("n_prior") === 7)
+    val methods = Seq("naive" -> "f_naive", "seasonal" -> "f_seasonal", "ma7" -> "f_ma7")
+    methods
+      .map { case (name, c) =>
+        scored.select(
+          col("event_type"),
+          lit(name).as("method"),
+          abs(col("vu") - col(c)).as("ae"))
+      }
+      .reduce(_.unionByName(_))
+      .groupBy(col("event_type"), col("method"))
+      .agg(count(lit(1)).as("n_evals"), sum(col("ae")).as("sum_ae_u"))
+      .select(
+        col("event_type"),
+        col("method"),
+        col("n_evals"),
+        Det.r6(col("sum_ae_u").cast("double") / col("n_evals").cast("double") / lit(1000000.0)).as("mae"))
+      .orderBy(col("event_type"), col("method"))
+  }
+
+  val q175Sql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS vu
+       |  FROM events GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT event_type, day, vu,
+       |    lag(vu, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive,
+       |    lag(vu, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_seasonal,
+       |    CAST(floor(avg(vu) OVER (PARTITION BY event_type ORDER BY day
+       |                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) + 0.5) AS BIGINT) AS f_ma7,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY day
+       |                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+       |  FROM daily),
+       |ok AS (SELECT * FROM sc WHERE f_seasonal IS NOT NULL AND n_prior = 7),
+       |long AS (
+       |  SELECT event_type, 'naive' AS method, abs(vu - f_naive) AS ae FROM ok
+       |  UNION ALL SELECT event_type, 'seasonal', abs(vu - f_seasonal) FROM ok
+       |  UNION ALL SELECT event_type, 'ma7', abs(vu - f_ma7) FROM ok)
+       |SELECT event_type, method, count(*) AS n_evals,
+       |  ${Det.sqlR("CAST(sum(ae) AS DOUBLE) / count(*) / 1000000.0", 6)} AS mae
+       |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q174_sax_symbols" -> (q174 _),
+    "q175_forecast_backtest" -> (q175 _),
     "q172_rfm_segments" -> (q172 _),
     "q173_kaplan_meier" -> (q173 _),
     "q170_rollup_reagg" -> (q170 _),
@@ -1269,6 +1425,8 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q174_sax_symbols" -> q174Sql,
+    "q175_forecast_backtest" -> q175Sql,
     "q172_rfm_segments" -> q172Sql,
     "q173_kaplan_meier" -> q173Sql,
     "q170_rollup_reagg" -> q170Sql,

@@ -315,6 +315,57 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q174 sax strings cover every hourly segment with a balanced-ish alphabet") {
+    val rows = Frontier.q174(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sax = r.getAs[String]("sax")
+      assert(sax.length.toLong == r.getAs[Long]("n_segments"))
+      assert(sax.forall("abcd".contains(_)))
+      // z-normalized quantization against N(0,1) breakpoints: every
+      // quartile symbol appears in a month-long series unless the series
+      // is pathologically flat
+      assert(sax.distinct.length >= 2, s"degenerate alphabet: $sax")
+    }
+  }
+
+  test("q175 backtest MAEs match a sequential walk-forward replay") {
+    val daily = Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "CAST(ts AS DATE) AS day",
+        "CAST(floor(value*1000000.0+0.5) AS LONG) AS vu")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum("vu").as("vu"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString, r.getAs[Long](2)))
+      .groupBy(_._1)
+    val got = Frontier
+      .q175(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[String]("method")) -> ((r.getAs[Long]("n_evals"), r.getAs[Double]("mae"))))
+      .toMap
+    daily.foreach { case (tpe, rs) =>
+      val series = rs.sortBy(_._2).map(_._3)
+      val aes = scala.collection.mutable.Map("naive" -> List.empty[Long], "seasonal" -> List.empty[Long], "ma7" -> List.empty[Long])
+      series.indices.foreach { i =>
+        if (i >= 7) { // full history for every forecaster
+          aes("naive") = math.abs(series(i) - series(i - 1)) :: aes("naive")
+          aes("seasonal") = math.abs(series(i) - series(i - 7)) :: aes("seasonal")
+          val ma = math.floor(series.slice(i - 7, i).sum.toDouble / 7 + 0.5).toLong
+          aes("ma7") = math.abs(series(i) - ma) :: aes("ma7")
+        }
+      }
+      aes.foreach { case (m, list) =>
+        val (n, mae) = got((tpe, m))
+        assert(n == list.length.toLong, s"$tpe/$m n")
+        val want = list.sum.toDouble / list.length / 1e6
+        assert(math.abs(mae - want) < 1e-5, s"$tpe/$m: $mae vs $want")
+      }
+    }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
