@@ -125,8 +125,14 @@ class FrontierSpec extends SparkSpec {
 
   test("q161 plans the native generator and conserves every event's 10 minutes") {
     val df = Frontier.q161(spark, sf)
-    // the Generate node prints the generator class, lowercased
-    assert(df.queryExecution.executedPlan.toString.toLowerCase.contains("hoursplitgenerator"))
+    // the Generate node prints the generator class, lowercased — and must
+    // carry the whole-stage-codegen star (the CollectionGenerator +
+    // static-call doGenCode path, not a CodegenFallback iterator)
+    df.collect() // materialize so AQE finalizes the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("hoursplitgenerator"), plan.take(1200))
+    assert("""\*\(\d+\) Generate hoursplitgenerator""".r.findFirstIn(plan).isDefined,
+      s"Generate not inside WholeStageCodegen:\n${plan.take(1200)}")
     val totalUs = df.collect().map(_.getAs[Long]("covered_us")).sum
     val nEvents = Tables.events(spark, sf).count()
     assert(totalUs == nEvents * 600000000L, s"$totalUs vs ${nEvents * 600000000L}")
