@@ -231,6 +231,39 @@ object Streaming {
       }
   }
 
+  case class SeriesPoint(event_type: String, t: Long, vu: Long)
+  case class IncOut(event_type: String, t: Long, vu: Long, inc: Long, reset: Boolean)
+
+  /** Streaming counter `increase()` — the online face of batch q163
+    * ([[graft.queries.Frontier.q163]]): per-series state is ONE long (the
+    * last counter sample), each arriving point emits its reset-aware
+    * delta. The canonical stateful-lag op a TSDB scraper runs at ingest;
+    * points inside a micro-batch fold in (t, vu) order and state carries
+    * across batches, so any batch split replays the batch semantics
+    * exactly (asserted in StreamingSpec).
+    */
+  def counterIncreases(points: Dataset[SeriesPoint]): Dataset[IncOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SeriesPoint], state: GroupState[Long]) =>
+          var prev: Option[Long] = state.getOption
+          val out = rows.toSeq.sortBy(p => (p.t, p.vu)).map { p =>
+            val (inc, reset) = prev match {
+              case None => (0L, false)
+              case Some(pv) if p.vu >= pv => (p.vu - pv, false)
+              case Some(_) => (p.vu, true)
+            }
+            prev = Some(p.vu)
+            IncOut(key, p.t, p.vu, inc, reset)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class BandClaim(doc_id: Long, band: Int, bandval: String, first: Boolean)
 
   /** Streaming NEAR-dup dedup — the streaming twin of the batch LSH

@@ -513,6 +513,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch.toSet, s"only-stream=${(got -- batch.toSet).take(3)} only-batch=${(batch.toSet -- got).take(3)}")
   }
 
+  test("streaming counter increases roll up to the batch q163 report across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pts = graft.core.Tables
+      .events(spark, sf)
+      .selectExpr(
+        "event_type",
+        "unix_micros(ts) AS t",
+        "CAST(floor(value*1000000.0+0.5) AS LONG) AS vu")
+      .as[Streaming.SeriesPoint]
+      .collect()
+      .sortBy(p => (p.t, p.vu))
+    val stream = MemoryStream[Streaming.SeriesPoint]
+    val q = Streaming
+      .counterIncreases(stream.toDS())
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory")
+      .queryName("ctr_stream")
+      .start()
+    val third = pts.length / 3
+    Seq(pts.take(third), pts.slice(third, 2 * third), pts.drop(2 * third)).foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark
+      .table("ctr_stream")
+      .selectExpr(
+        "event_type",
+        "CAST(make_date(year(timestamp_micros(t)), month(timestamp_micros(t)), day(timestamp_micros(t))) AS STRING) AS day",
+        "inc",
+        "CAST(reset AS LONG) AS r")
+      .groupBy("event_type", "day")
+      .agg(
+        org.apache.spark.sql.functions.sum($"inc").as("increase_u"),
+        org.apache.spark.sql.functions.sum($"r").as("n_resets"),
+        org.apache.spark.sql.functions.count($"inc").as("n_samples"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = graft.queries.Frontier
+      .q163(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        ((r.getAs[Long]("increase_u"), r.getAs[Long]("n_resets"), r.getAs[Long]("n_samples"))))
+      .toMap
+    assert(got == want, s"only-stream=${(got.toSet -- want.toSet).take(2)} only-batch=${(want.toSet -- got.toSet).take(2)}")
+  }
+
   test("streaming CDC snapshot matches the batch q111 changelog compaction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
