@@ -40,10 +40,14 @@ object Frontier {
     val p = Tables
       .part(s, d)
       .select(col("p_partkey"), col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+    // localCheckpoint: one row per distinct price feeds both the band
+    // maxima and the in-band windows — without it each consumer re-scans
+    // and re-aggregates the fact table
     val best = p
       .groupBy(col("price"))
       .agg(max(col("size")).as("best"))
       .withColumn("band", floor(col("price") / lit(10.0)).cast("long"))
+      .localCheckpoint()
     val bandMax = best.groupBy(col("band")).agg(max(col("best")).as("bmax"))
     // single-partition window is over one row PER BAND (tiny by design)
     val wB = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
