@@ -1406,7 +1406,87 @@ object Frontier {
        |  ${Det.sqlR("CAST(sum(ae) AS DOUBLE) / count(*) / 1000000.0", 6)} AS mae
        |FROM long GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q176: hard-negative mining ---------------------------------------
+
+  /** Contrastive-pair mining for embedding training: for each anchor,
+    * the nearest SAME-label neighbor (the positive) and the nearest
+    * DIFFERENT-label neighbor (the hard negative — the examples that
+    * actually move a contrastive loss), plus the margin between them.
+    * One broadcast of the anchor set against the corpus — the corpus is
+    * never shuffled, cosine runs in the codegen'd native expression, and
+    * the per-anchor argmax is a conditional max_by pair in ONE
+    * aggregation (no window, no second pass). Scale path: swap the
+    * brute-force scored frame for the q34 LSH candidates; the mining agg
+    * is unchanged.
+    */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("label").as("qlab"))
+    val scored = emb
+      .join(broadcast(anchors), col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("qlab"),
+        col("vec_id"),
+        col("label"),
+        Det.r4(graft.functions.Vectors.cosine(col("qe"), col("embedding"))).as("sim"))
+    // deterministic argmax via a single integer key: sim is r4-snapped, so
+    // floor(sim·1e4 + 0.5) recovers its exact integer form; scaling it
+    // above the id range and subtracting vec_id makes smaller ids win
+    // similarity ties — one BIGINT max_by both engines order identically
+    // (DuckDB's arg_max has no struct-ordered form)
+    def pick(condSql: String, out: String): Seq[Column] = Seq(
+      expr(s"max(CASE WHEN $condSql THEN sim END)").as(s"${out}_sim"),
+      expr(
+        s"max_by(vec_id, CASE WHEN $condSql THEN CAST(floor(sim*10000+0.5) AS BIGINT)*10000000000 - vec_id END)")
+        .as(s"${out}_id"))
+    val aggs = pick("label = qlab", "pos") ++ pick("label != qlab", "neg")
+    scored
+      .groupBy(col("qid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("qid"),
+        col("pos_id"),
+        col("pos_sim"),
+        col("neg_id"),
+        col("neg_sim"),
+        Det.r4(col("pos_sim") - col("neg_sim")).as("margin"))
+      .orderBy(col("qid"))
+  }
+
+  val q176Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+      |           FROM embeddings WHERE vec_id < 8),
+      |p AS (SELECT q.qid, q.qlab, e.vec_id, e.label, q.qe, e.embedding AS ve
+      |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |acc AS (
+      |  SELECT qid, qlab, vec_id, label,
+      |    sum(CAST(qe[i] AS DOUBLE) * ve[i]) AS dotp,
+      |    sum(CAST(qe[i] AS DOUBLE) * qe[i]) AS qn,
+      |    sum(CAST(ve[i] AS DOUBLE) * ve[i]) AS vn
+      |  FROM p, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY 1, 2, 3, 4),
+      |sims AS (
+      |  SELECT qid, qlab, vec_id, label,
+      |    floor(dotp / (sqrt(qn) * sqrt(vn)) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc),
+      |agg AS (
+      |  SELECT qid,
+      |    arg_max(vec_id, CASE WHEN label = qlab
+      |      THEN CAST(floor(sim*10000+0.5) AS BIGINT)*10000000000 - vec_id END) AS pos_id,
+      |    max(CASE WHEN label = qlab THEN sim END) AS pos_sim,
+      |    arg_max(vec_id, CASE WHEN label <> qlab
+      |      THEN CAST(floor(sim*10000+0.5) AS BIGINT)*10000000000 - vec_id END) AS neg_id,
+      |    max(CASE WHEN label <> qlab THEN sim END) AS neg_sim
+      |  FROM sims GROUP BY 1)
+      |SELECT qid, pos_id, pos_sim, neg_id, neg_sim,
+      |  floor((pos_sim - neg_sim) * 10000 + 0.5) / 10000 AS margin
+      |FROM agg ORDER BY qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_hard_negatives" -> (q176 _),
     "q174_sax_symbols" -> (q174 _),
     "q175_forecast_backtest" -> (q175 _),
     "q172_rfm_segments" -> (q172 _),
@@ -1429,6 +1509,7 @@ object Frontier {
     "q161_hour_attribution" -> (q161 _))
 
   val oracles: Map[String, String] = Map(
+    "q176_hard_negatives" -> q176Sql,
     "q174_sax_symbols" -> q174Sql,
     "q175_forecast_backtest" -> q175Sql,
     "q172_rfm_segments" -> q172Sql,

@@ -372,6 +372,33 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q176 hard negatives match a brute-force contrastive mining replay") {
+    val vecs = Tables
+      .embeddings(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray, r.getAs[Int]("label")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5) / 1e4
+    }
+    val got = Frontier.q176(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val (_, qe, qlab) = vecs.find(_._1 == qid).get
+      def best(sameLabel: Boolean): (Long, Double) =
+        vecs
+          .filter(v => v._1 != qid && (v._3 == qlab) == sameLabel)
+          .map(v => (v._1, cos(qe, v._2)))
+          .maxBy { case (id, s) => (s, -id) }
+      val (pid, psim) = best(sameLabel = true)
+      val (nid, nsim) = best(sameLabel = false)
+      assert(r.getAs[Long]("pos_id") == pid && r.getAs[Double]("pos_sim") == psim, s"qid $qid pos")
+      assert(r.getAs[Long]("neg_id") == nid && r.getAs[Double]("neg_sim") == nsim, s"qid $qid neg")
+    }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
