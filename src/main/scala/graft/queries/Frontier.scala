@@ -533,7 +533,7 @@ object Frontier {
       |    SELECT unnest(range(epoch_us(e.ts) // 3600000000,
       |                        (epoch_us(e.ts) + 600000000 - 1) // 3600000000 + 1)) AS h) h)
       |SELECT event_type, CAST(hour_idx % 24 AS BIGINT) AS hour_of_day,
-      |  sum(overlap_us) AS covered_us, count(*) AS n_segments
+      |  CAST(sum(overlap_us) AS BIGINT) AS covered_us, count(*) AS n_segments
       |FROM seg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -- q162: largest-triangle downsampling (LTOB) -----------------------
@@ -691,10 +691,10 @@ object Frontier {
       |    lag(vu) OVER (PARTITION BY event_type ORDER BY t, vu) AS prev
       |  FROM pts)
       |SELECT event_type, CAST(make_timestamp(t) AS DATE) AS day,
-      |  sum(CASE WHEN prev IS NULL THEN 0
+      |  CAST(sum(CASE WHEN prev IS NULL THEN 0
       |           WHEN vu >= prev THEN vu - prev
-      |           ELSE vu END) AS increase_u,
-      |  sum(CASE WHEN prev IS NOT NULL AND vu < prev THEN 1 ELSE 0 END) AS n_resets,
+      |           ELSE vu END) AS BIGINT) AS increase_u,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND vu < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
       |  count(*) AS n_samples
       |FROM lg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -942,7 +942,7 @@ object Frontier {
       |  FROM pts)
       |SELECT CASE WHEN touch_t IS NOT NULL AND touch_t >= t - 604800000000 THEN touch_ch
       |            ELSE 'direct' END AS channel,
-      |  sum(vu) AS revenue_u, count(*) AS n_purchases
+      |  CAST(sum(vu) AS BIGINT) AS revenue_u, count(*) AS n_purchases
       |FROM tch WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1085,7 +1085,7 @@ object Frontier {
   val q170Sql: String =
     """SELECT event_type, CAST(ts AS DATE) AS day,
       |  count(*) AS n,
-      |  sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_u,
+      |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u,
       |  min(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS min_u,
       |  max(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS max_u
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
