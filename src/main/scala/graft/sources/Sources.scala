@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Batch sources & sinks. The reference's entire I/O surface is whole-file
@@ -200,7 +200,10 @@ object Sources {
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.foreach { case (uri, _) =>
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
-      val keep = spark.read.parquet(uri).filter(!predicate)
+      // three-valued logic: a NULL predicate row must be KEPT (the delete
+      // didn't match it) — bare !predicate is NULL there and filter drops
+      // it, silently deleting rows a GDPR-style delete never targeted
+      val keep = spark.read.parquet(uri).filter(!coalesce(predicate, lit(false)))
       if (keep.isEmpty) {
         fs.delete(filePath, false)
       } else {

@@ -235,9 +235,10 @@ class KvScanBuilder(
 }
 
 /** Conjoined key bounds (tightest lower/upper + optional prefix), applied
-  * in the reader before any row leaves the scan. Bounds compare as plain
-  * Java strings — identical to UTF8 binary order on the engine's
-  * alphanumeric key space.
+  * in the reader before any row leaves the scan. Bounds compare in UTF-8
+  * binary order ([[KvKeyRange.u8cmp]]) — the same order Spark uses when it
+  * evaluates the corresponding filters, so foreign files with arbitrary
+  * unicode keys range-scan correctly.
   */
 case class KvKeyRange(
     lower: Option[(String, Boolean)], // (bound, inclusive)
@@ -247,7 +248,7 @@ case class KvKeyRange(
   def withLower(v: String, inclusive: Boolean): KvKeyRange = {
     val next = lower match {
       case Some((b, inc)) =>
-        val c = v.compareTo(b)
+        val c = KvKeyRange.u8cmp(v, b)
         if (c > 0 || (c == 0 && !inclusive)) (v, inclusive) else (b, inc)
       case None => (v, inclusive)
     }
@@ -256,7 +257,7 @@ case class KvKeyRange(
   def withUpper(v: String, inclusive: Boolean): KvKeyRange = {
     val next = upper match {
       case Some((b, inc)) =>
-        val c = v.compareTo(b)
+        val c = KvKeyRange.u8cmp(v, b)
         if (c < 0 || (c == 0 && !inclusive)) (v, inclusive) else (b, inc)
       case None => (v, inclusive)
     }
@@ -274,14 +275,37 @@ case class KvKeyRange(
   }
   def contains(key: String): Boolean = {
     if (key == null) return false
-    lower.forall { case (b, inc) => val c = key.compareTo(b); c > 0 || (inc && c == 0) } &&
-    upper.forall { case (b, inc) => val c = key.compareTo(b); c < 0 || (inc && c == 0) } &&
+    lower.forall { case (b, inc) => val c = KvKeyRange.u8cmp(key, b); c > 0 || (inc && c == 0) } &&
+    upper.forall { case (b, inc) => val c = KvKeyRange.u8cmp(key, b); c < 0 || (inc && c == 0) } &&
     prefix.forall(key.startsWith)
   }
 }
 
 object KvKeyRange {
   val all: KvKeyRange = KvKeyRange(None, None, None)
+
+  /** UTF-8 binary order (== Unicode code-point order) — what Spark's own
+    * evaluation of the pushed `GreaterThan`/`LessThan` filters uses
+    * (`UTF8String` byte compare). Java `String.compareTo` is UTF-16
+    * code-unit order, which sorts supplementary characters (surrogate
+    * pairs, \uD800-\uDFFF units) BELOW some BMP characters — a range scan
+    * over foreign files with such keys would silently drop or include the
+    * wrong rows, and the pushed filters are reported fully handled (no
+    * residual re-check to save us). Code-point comparison is
+    * allocation-free and byte-order-identical to UTF-8 compare.
+    */
+  def u8cmp(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 }
 
 /** Aggregated scan: COUNT(*) / MIN(key) / MAX(key) [GROUP BY collection]
@@ -333,8 +357,13 @@ case class KvStatsReaderFactory(root: String, grouped: Boolean, aggs: Seq[String
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvStatsPartition]
     new PartitionReader[InternalRow] {
-      private def minS(a: String, b: String): String = if (a == null) b else if (b == null) a else if (a <= b) a else b
-      private def maxS(a: String, b: String): String = if (a == null) b else if (b == null) a else if (a >= b) a else b
+      // UTF-8 binary order, matching both parquet's BINARY stats order and
+      // Spark's evaluation of MIN/MAX over strings (UTF8String compare) —
+      // java String <= is UTF-16 order, wrong for supplementary chars
+      private def minS(a: String, b: String): String =
+        if (a == null) b else if (b == null) a else if (KvKeyRange.u8cmp(a, b) <= 0) a else b
+      private def maxS(a: String, b: String): String =
+        if (a == null) b else if (b == null) a else if (KvKeyRange.u8cmp(a, b) >= 0) a else b
 
       /** (rows, minKey, maxKey) for one file — footer-only unless a chunk
         * with rows lacks statistics, then a key-column walk of that file.

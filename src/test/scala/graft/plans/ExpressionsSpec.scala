@@ -100,7 +100,15 @@ class ExpressionsSpec extends SparkSpec {
       ("crate", "trace", 0.7333333333333334, 0.7333333333333334),
       ("dwayne", "duane", 0.8222222222222223, 0.8400000000000001),
       ("abqqqqqq", "abzzzzzz", 0.5, 0.5), // below threshold: no boost despite prefix
-      ("aq", "az", 0.6666666666666666, 0.6666666666666666))
+      ("aq", "az", 0.6666666666666666, 0.6666666666666666),
+      // non-ASCII: DuckDB scores RAW UTF-8 BYTES (the CJK pair is three
+      // 3-byte codepoints = 9 byte units — char-level scoring would give
+      // 0.777…); these values were generated by DuckDB 1.0.0 directly
+      ("héllo", "hello", 0.8222222222222223, 0.8400000000000001),
+      ("müller", "mueller", 0.8095238095238096, 0.8285714285714287),
+      ("日本語", "日本誤", 0.9259259259259259, 0.9555555555555556),
+      ("crème brûlée", "creme brulee", 0.7462962962962963, 0.7970370370370371),
+      ("αβγδ", "αβγε", 0.9166666666666666, 0.95))
     val got = cases
       .map { case (a, b, _, _) => (a, b) }
       .toDF("a", "b")

@@ -154,6 +154,33 @@ class KvDsv2Spec extends SparkSpec {
     assert(table.filter("key > 'z'").collect().isEmpty)
   }
 
+  test("range scan and MIN/MAX order supplementary-plane keys like Spark (UTF-8 binary, not UTF-16)") {
+    import org.apache.spark.sql.functions.{max, min}
+    // U+1F600 (😀, a surrogate pair 😀) vs U+FF21 (fullwidth A):
+    // UTF-16 code-unit order puts the surrogate FIRST, UTF-8 binary order
+    // puts it LAST — exactly the divergence between String.compareTo and
+    // Spark's UTF8String compare. The pushed range filters are reported
+    // fully handled (no residual re-check), so the reader's order must be
+    // Spark's.
+    val emoji = "😀"
+    val fwA = "Ａ"
+    val wroot = Files.createTempDirectory("graftkv-unicode").toString
+    val eng = new KvEngine(spark, wroot, autoCreate = true)
+    eng.writeKey("u", "ascii", "1")
+    eng.writeKey("u", fwA, "2")
+    eng.writeKey("u", emoji, "3")
+    eng.flushAllCollections()
+    val t = spark.read.format("graft-kv").load(wroot)
+    // key > fullwidth-A must include the emoji (codepoint above) and it
+    // alone; under UTF-16 compare the reader would return nothing
+    assert(t.filter(t("key") > fwA).collect().map(_.getString(1)).toSeq == Seq(emoji))
+    assert(t.filter(t("key") < fwA).collect().map(_.getString(1)).toSeq == Seq("ascii"))
+    // MIN/MAX footer pushdown must agree with Spark's own agg semantics
+    val q = t.agg(min("key"), max("key"))
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKvStatsScan"))
+    assert(q.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("ascii", emoji)))
+  }
+
   test("aggregate pushdown is refused when a key RANGE is present (footer counts ignore filters)") {
     val q = table.filter("key >= 'c'").groupBy("collection").count()
     val plan = q.queryExecution.executedPlan.toString

@@ -248,6 +248,29 @@ class SourcesSpec extends SparkSpec {
     assert(f2 == 0L && r2 == 0L)
   }
 
+  test("deleteWhere keeps rows where the predicate is NULL (three-valued logic)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gdpr_null").toString
+    // user_id nullable: NULL rows must survive a delete on user_id === k —
+    // the predicate evaluates NULL there, which is "not matched", not TRUE
+    Seq(
+      (Some(1L), "a"),
+      (None: Option[Long], "keep-null-1"),
+      (Some(2L), "b"),
+      (None: Option[Long], "keep-null-2"),
+      (Some(1L), "c"))
+      .toDF("user_id", "payload")
+      .coalesce(1)
+      .write
+      .parquet(s"$dir/t")
+    val (files, rows) = Sources.deleteWhere(spark, s"$dir/t", col("user_id") === 1L)
+    assert(files == 1L && rows == 2L)
+    val back = Sources.readParquet(spark, s"$dir/t")
+    assert(back.count() == 3L)
+    assert(back.filter(col("user_id").isNull).count() == 2L, "NULL-predicate rows silently deleted")
+    assert(back.filter(col("payload").startsWith("keep-null")).count() == 2L)
+  }
+
   test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
     val ev = graft.core.Tables
       .events(spark, sf)
