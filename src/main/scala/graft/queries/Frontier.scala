@@ -1094,13 +1094,17 @@ object Frontier {
 
   /** Recency/Frequency/Monetary customer segmentation: per-user metrics
     * in one grain-change aggregation (map-side combinable, integer
-    * domain), then quintile assignment per dimension via ntile over a
-    * TOTAL order (metric, user_id — ties can't float between engines),
-    * rolled up to segment sizes. The per-dimension ntile windows are
-    * global sorts over USERS (the post-aggregation grain, not events) —
-    * at 100 TB of events that's still one row per user; for billions of
-    * users the quintile boundaries would come from [[q71]]-style
-    * deterministic sampling instead.
+    * domain), then quintile assignment per dimension over a TOTAL order
+    * (metric, user_id — ties can't float between engines), rolled up to
+    * segment sizes. Quintiles are NOT a global ntile window (one-reducer
+    * sort — the scale-killer at a billion users): each dimension runs the
+    * distributed sort-rank ([[graft.operators.Ranks.globalRowNumber]] —
+    * range-partition, local rank, broadcast per-partition offsets) and the
+    * tile comes from NTILE's bucket-size arithmetic against the four
+    * precomputed rank boundaries. The oracle keeps DuckDB's literal
+    * `ntile(5)`, so the hash gate proves the distributed form reproduces
+    * the window semantics exactly; FrontierSpec plan-asserts no
+    * partition-less Window survives.
     */
   def q172(s: SparkSession, d: String): DataFrame = {
     val users = Tables
@@ -1114,18 +1118,24 @@ object Frontier {
             col("event_type") === "purchase",
             floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L)).as("m"))
     val globalMax = users.agg(max(col("last_day")).as("gmax"))
+    // feeds three rank passes + a count: pin it once
     val scored = users
       .crossJoin(broadcast(globalMax))
       .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
-    def quint(metric: Column, asc: Boolean): Column =
-      ntile(5).over(
-        Window.orderBy(
-          (if (asc) metric.asc else metric.desc),
-          col("user_id").asc))
-    scored
-      .withColumn("rq", quint(col("r_days"), asc = true).cast("long"))
-      .withColumn("fq", quint(col("f"), asc = false).cast("long"))
-      .withColumn("mq", quint(col("m"), asc = false).cast("long"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m"))
+      .localCheckpoint()
+    val n = scored.count()
+    def tiles(metric: String, asc: Boolean, out: String): DataFrame = {
+      val ord =
+        if (asc) Seq(col(metric).asc, col("user_id").asc)
+        else Seq(col(metric).desc, col("user_id").asc)
+      graft.operators.Ranks
+        .globalRowNumber(scored.select(col("user_id"), col(metric)), ord, "__r")
+        .select(col("user_id"), graft.operators.Ranks.ntileOfRank(col("__r"), n, 5).as(out))
+    }
+    tiles("r_days", asc = true, "rq")
+      .join(tiles("f", asc = false, "fq"), "user_id")
+      .join(tiles("m", asc = false, "mq"), "user_id")
       .groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("rq"), col("fq"), col("mq"))

@@ -301,6 +301,16 @@ class FrontierSpec extends SparkSpec {
     assert(perR.values.max - perR.values.min <= 1, s"unbalanced recency quintiles: $perR")
   }
 
+  test("q172 plans no partition-less Window (quintiles come from the distributed sort-rank)") {
+    // a Window with an empty partition spec funnels every row through one
+    // reducer — the whole point of the Ranks rewrite is that none survives
+    val plan = Frontier.q172(spark, sf).queryExecution.optimizedPlan
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, s"unpartitioned Window in q172 plan:\n$plan")
+  }
+
   test("q173 survival curves are monotone non-increasing and equal the sequential product") {
     val rows = Frontier
       .q173(spark, sf)
