@@ -1090,6 +1090,52 @@ object Frontier {
       |  max(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS max_u
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q171: CUSUM drift-episode report ---------------------------------
+
+  /** The alerting monitor's threshold report — the batch twin of
+    * [[graft.streaming.Streaming.cusumAlerts]]: per series, how many days
+    * the [[q157]] CUSUM sat above its alarm threshold, how many distinct
+    * alarm EPISODES those days form (gaps-and-islands over the drift
+    * flag: an episode starts where drift is true and the previous day's
+    * wasn't), the first alarm day, and the peak statistic. Composes the
+    * q157 closed form (prefix sum − running min, hash-partitioned by
+    * series) with one more per-series lag window — same partitioning, no
+    * extra shuffle — then collapses to one row per series. Counts use
+    * count-FILTER (BIGINT on both engines), never sum-of-flags (HUGEINT
+    * hazard).
+    */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    q157(s, d)
+      .withColumn("prev_drift", lag(col("drift"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("drift"), lit(1))).as("drift_days"),
+        count(when(col("drift") && !coalesce(col("prev_drift"), lit(false)), lit(1)))
+          .as("episodes"),
+        min(when(col("drift"), col("day"))).as("first_drift_day"),
+        max(col("cusum")).as("max_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Wraps the q157 oracle as a CTE so the per-day CUSUM definition can
+    * never drift between the two queries.
+    */
+  val q171Sql: String =
+    s"""WITH per AS (
+       |${q157Sql}
+       |),
+       |lagd AS (
+       |  SELECT event_type, day, cusum, drift,
+       |    lag(drift) OVER (PARTITION BY event_type ORDER BY day) AS prev_drift
+       |  FROM per)
+       |SELECT event_type,
+       |  count(*) FILTER (WHERE drift) AS drift_days,
+       |  count(*) FILTER (WHERE drift AND NOT coalesce(prev_drift, false)) AS episodes,
+       |  min(day) FILTER (WHERE drift) AS first_drift_day,
+       |  max(cusum) AS max_cusum
+       |FROM lagd GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- q172: RFM segmentation -------------------------------------------
 
   /** Recency/Frequency/Monetary customer segmentation: per-user metrics
@@ -1502,6 +1548,7 @@ object Frontier {
     "q172_rfm_segments" -> (q172 _),
     "q173_kaplan_meier" -> (q173 _),
     "q170_rollup_reagg" -> (q170 _),
+    "q171_cusum_episodes" -> (q171 _),
     "q168_topk_aggregator" -> (q168 _),
     "q169_dq_report" -> (q169 _),
     "q165_ann_recall" -> (q165 _),
@@ -1525,6 +1572,7 @@ object Frontier {
     "q172_rfm_segments" -> q172Sql,
     "q173_kaplan_meier" -> q173Sql,
     "q170_rollup_reagg" -> q170Sql,
+    "q171_cusum_episodes" -> q171Sql,
     "q168_topk_aggregator" -> q168Sql,
     "q169_dq_report" -> q169Sql,
     "q165_ann_recall" -> q165Sql,

@@ -32,7 +32,15 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
-    assert(q.size >= 175)
+    assert(q.size >= 177)
+  }
+
+  test("query numbering is contiguous (a hole invites driver off-by-ones)") {
+    val nums = SparkEntry.queries.keySet
+      .map(n => "^q(\\d+)".r.findFirstMatchIn(n).get.group(1).toInt)
+    val expected = (1 to nums.max).toSet
+    val holes = expected -- nums
+    assert(holes.isEmpty, s"registry holes: ${holes.toSeq.sorted.mkString(", ")}")
   }
 
   test("query names follow the registry convention (qN..._snake)") {

@@ -409,6 +409,35 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("q171 episode report agrees with a sequential scan of the q157 series") {
+    val per = Frontier
+      .q157(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString, r.getAs[Boolean]("drift"), r.getAs[Long]("cusum")))
+    val want = per.groupBy(_._1).map { case (et, series) =>
+      val ordered = series.sortBy(_._2)
+      val driftDays = ordered.count(_._3).toLong
+      val episodes = ordered
+        .foldLeft((0L, false)) { case ((eps, prev), (_, _, d, _)) =>
+          (if (d && !prev) eps + 1 else eps, d)
+        }
+        ._1
+      val firstDay = ordered.collectFirst { case (_, day, true, _) => day }
+      (et, (driftDays, episodes, firstDay, ordered.map(_._4).max))
+    }
+    val got = Frontier
+      .q171(spark, sf)
+      .collect()
+      .map { r =>
+        val fd = Option(r.getAs[java.sql.Date]("first_drift_day")).map(_.toString)
+        (r.getAs[String]("event_type"),
+          (r.getAs[Long]("drift_days"), r.getAs[Long]("episodes"), fd, r.getAs[Long]("max_cusum")))
+      }
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (et, w) => assert(got(et) == w, s"series $et: got ${got(et)} want $w") }
+  }
+
   test("q157 closed-form cusum equals the sequential recursion") {
     val rows = Frontier
       .q157(spark, sf)
