@@ -33,6 +33,18 @@ object Bench {
     // first alphabetical query doesn't absorb ~4s of cold-start
     spark.range(1 << 20).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
+    // Calibration sentinel: a fixed CPU-bound query timed at start AND end
+    // of the run. Query plans don't change between rounds for this probe,
+    // so its timing measures only the box (contention, thermal, co-tenant
+    // load) — a reader can divide the per-query numbers by the sentinel
+    // drift to normalize cross-round comparisons. r5 postmortem: official
+    // totals swung 200.7s vs 133.5s purely on box contention.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(256L << 20).selectExpr("sum(id * 7 % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
     var errors = List.empty[String]
     // optional args: substrings selecting a subset of queries (local iteration)
     val selected =
@@ -93,8 +105,10 @@ object Bench {
       val good = ts.filter(_ >= 0)
       n -> (if (good.nonEmpty) good.min else ts.max)
     }
+    val calibEnd = calibrate()
     spark.stop()
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val calib = s""""calibration_s":{"start":${ms(calibStart)},"end":${ms(calibEnd)}}"""
     // Round-1 postmortem: the driver's stdout tail buffer (~2 KB) truncated
     // the HEAD of the 2.5 KB JSON line → "parsed": null. Keep the stdout
     // line comfortably under that budget by using the short qNN keys (the
@@ -113,11 +127,11 @@ object Bench {
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), // cwd = the sbt project root
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},"queries":$fullQs,"errors":$fullErr,"runs":$passes,"agg":"min","sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$fullQs,"errors":$fullErr,"runs":$passes,"agg":"min","sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},"queries":$qs,"errors":$errJson,"runs":$passes,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$qs,"errors":$errJson,"runs":$passes,"agg":"min","sf":"$sfDir"}""")
   }
 }
