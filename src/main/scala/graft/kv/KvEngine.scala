@@ -221,6 +221,32 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     hot(id).overlay(key) = value
   }
 
+  /** Distributed batch upsert: merge a DataFrame of (key, value) rows into
+    * the hot collection with last-write-wins semantics WITHOUT moving the
+    * rows through the driver — the streaming-sink write path
+    * ([[KvExactlyOnceSink]]). The current merged view (base ∪ overlay)
+    * loses to the batch on key collisions (the batch is the newest write),
+    * exactly as a sequence of `writeKey` calls would resolve, but the merge
+    * is a distributed anti-join ∪ union. The result is pinned with
+    * `localCheckpoint` so lineage stays O(1) across unbounded micro-batches
+    * (each batch's plan would otherwise stack on the last's), and becomes
+    * the new hot base with an empty overlay. Rows must have distinct keys
+    * (the foreachBatch contract: an aggregated upsert set); duplicate keys
+    * would resolve arbitrarily, same as unordered writeKey application.
+    */
+  def upsertBatch(id: String, rows: DataFrame): Unit = lock.synchronized {
+    loadCollectionIfNotPresent(id)
+    val h = hot(id)
+    val batch = rows
+      .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
+    val merged = materialize(h)
+      .join(batch.select(col("key")), Seq("key"), "left_anti")
+      .unionByName(batch)
+      .localCheckpoint() // eager: materializes on executors inside this call
+    h.base.foreach(_.unpersist())
+    hot(id) = Hot(Some(merged), mutable.LinkedHashMap.empty)
+  }
+
   def loadCollectionIfNotPresent(id: String): Unit = lock.synchronized {
     if (isHotTier(id)) return
     if (coldExists(id)) { loadCollection(id); return }

@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * journal also protects against a MISBEHAVING replay (same id, different
   * rows): the first committed content wins, asserted in KvStreamSpec.
   *
-  * The collect is bounded and deliberate: foreachBatch output here is an
-  * aggregated upsert set (distinct keys per micro-batch), and KvEngine's
-  * hot tier is a driver-side write buffer by design — the data plane stays
-  * in parquet/streams; this is the control-plane hand-off.
+  * The batch rows never move through the driver: application is
+  * [[KvEngine.upsertBatch]] — a distributed anti-join ∪ union merge into
+  * the hot base, pinned per batch so lineage stays O(1) across an
+  * unbounded stream. Only the journal write (one key per batch) is
+  * driver-side control plane.
   */
 final class KvExactlyOnceSink(
     engine: KvEngine,
@@ -52,10 +53,9 @@ final class KvExactlyOnceSink(
   def upsert(df: DataFrame, batchId: Long): Unit = {
     val batchKey = batchId.toString
     if (committed(batchKey)) return
-    val rows = df
-      .select(col(keyCol).cast("string").as("k"), col(valueCol).cast("string").as("v"))
-      .collect()
-    rows.foreach(r => engine.writeKey(collection, r.getString(0), r.getString(1)))
+    engine.upsertBatch(
+      collection,
+      df.select(col(keyCol).cast("string").as("key"), col(valueCol).cast("string").as("value")))
     engine.writeKey(journalId, batchKey, "committed")
   }
 }

@@ -90,6 +90,27 @@ class KvEngineSpec extends SparkSpec {
     assert(e.collection("c1").count() == 3)
   }
 
+  test("upsertBatch is last-write-wins over base AND overlay, stays queryable and flushable") {
+    import spark.implicits._
+    val e = freshEngine()
+    e.writeKey("c1", "k1", "v1")
+    e.flushCollection("c1") // k1 now in the cold base
+    e.writeKey("c1", "k2", "v2") // k2 in the overlay
+    // the batch beats both tiers on collision, adds new keys, drops nothing
+    e.upsertBatch("c1", Seq(("k1", "b1"), ("k2", "b2"), ("k3", "b3")).toDF("key", "value"))
+    assert(e.readKey("c1", "k1") == "b1")
+    assert(e.readKey("c1", "k2") == "b2")
+    assert(e.readKey("c1", "k3") == "b3")
+    assert(e.collection("c1").count() == 3)
+    // point writes after the batch still win (overlay over pinned base)
+    e.writeKey("c1", "k3", "p3")
+    assert(e.readKey("c1", "k3") == "p3")
+    e.flushCollection("c1")
+    assert(e.readKey("c1", "k1") == "b1")
+    assert(e.readKey("c1", "k3") == "p3")
+    assert(e.collection("c1").count() == 3)
+  }
+
   test("no acknowledged write is lost under concurrent writes and flushes") {
     val e = freshEngine()
     e.writeKey("conc", "seed", "0")
