@@ -1136,6 +1136,61 @@ object Frontier {
        |  max(cusum) AS max_cusum
        |FROM lagd GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q177: MERGE partition-overwrite upsert ---------------------------
+
+  /** The MERGE lifecycle loop, hash-proved: a v1 ingest of per-(day, user)
+    * event stats that MISSED purchase events is corrected by merging a CDC
+    * delta (full stats for every (day, user) pair that has a purchase)
+    * through [[graft.sources.Sources.mergeIntoPartitioned]] — matched
+    * keys update, unmatched insert (purchase-only users), untouched day
+    * partitions are never rewritten (byte-identical, proved in
+    * SourcesSpec). The merged table's per-day report must then equal the
+    * ORACLE's direct computation from raw events (users without purchases
+    * are already correct in v1), so the hash gate proves
+    * merge(v1, delta) ≡ recompute — the q170/q143 materialization-law
+    * pattern applied to the MERGE operator. The scratch table lives at a
+    * deterministic temp path rebuilt per run (same discipline as the
+    * merge's own staging dirs).
+    */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    def stats(df: DataFrame): DataFrame = df
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val ev = Tables.events(s, d)
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q177_${java.lang.Integer.toHexString(d.hashCode)}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    graft.sources.Sources
+      .writeParquet(stats(ev.filter(col("event_type") =!= "purchase")), root.toString, Seq("day"))
+    val purchasePairs = ev
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val delta = stats(ev).join(purchasePairs, Seq("day", "user_id"), "semi")
+    graft.sources.Sources.mergeIntoPartitioned(s, root.toString, delta, "day", Seq("user_id"))
+    s.read
+      .parquet(root.toString)
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        sum(col("sum_u")).as("sum_u"))
+      .orderBy(col("day"))
+  }
+
+  val q177Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, count(*) AS n_users,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sum_u) AS BIGINT) AS sum_u
+      |FROM per GROUP BY day ORDER BY day""".stripMargin
+
   // -- q172: RFM segmentation -------------------------------------------
 
   /** Recency/Frequency/Monetary customer segmentation: per-user metrics
@@ -1549,6 +1604,7 @@ object Frontier {
     "q173_kaplan_meier" -> (q173 _),
     "q170_rollup_reagg" -> (q170 _),
     "q171_cusum_episodes" -> (q171 _),
+    "q177_merge_upsert" -> (q177 _),
     "q168_topk_aggregator" -> (q168 _),
     "q169_dq_report" -> (q169 _),
     "q165_ann_recall" -> (q165 _),
@@ -1573,6 +1629,7 @@ object Frontier {
     "q173_kaplan_meier" -> q173Sql,
     "q170_rollup_reagg" -> q170Sql,
     "q171_cusum_episodes" -> q171Sql,
+    "q177_merge_upsert" -> q177Sql,
     "q168_topk_aggregator" -> q168Sql,
     "q169_dq_report" -> q169Sql,
     "q165_ann_recall" -> q165Sql,

@@ -222,6 +222,82 @@ object Sources {
     (affected.length.toLong, affected.map(_._2).sum)
   }
 
+  /** MERGE-style upsert into a hive-partitioned parquet table: apply a
+    * delta (new + changed rows, keyed by `keyCols` within `partitionCol`)
+    * by rewriting ONLY the partitions the delta touches — the
+    * copy-on-write MERGE a table format runs, built from engine
+    * primitives. Complements [[deleteWhere]] (file-level delete) and
+    * [[expirePartitions]] (metadata-level TTL) as the third lifecycle
+    * operator, and closes the loop on the q111 CDC snapshot: compact the
+    * changelog to a delta, merge the delta here, and the analytics table
+    * is current without a table rewrite.
+    *
+    *  1. affected partition values come from the delta itself (one
+    *     distinct over the delta — rows ∝ touched partitions);
+    *  2. ONE distributed job reads root filtered to those values (plain
+    *     partition pruning: unaffected partitions are never opened),
+    *     anti-joins existing rows against the delta's keys, unions the
+    *     delta (delta wins collisions — MERGE WHEN MATCHED THEN UPDATE,
+    *     WHEN NOT MATCHED THEN INSERT), and writes all rebuilt partitions
+    *     to a staging dir in one pass;
+    *  3. each affected `col=value` dir is swapped in via the
+    *     rename-aside protocol (old dir is renamed to a dot-prefixed
+    *     sibling first — hidden from Spark's file index, so a crash
+    *     leaves every partition readable at one of its two states, and
+    *     leftovers are invisible to readers).
+    *
+    * At 100 TB: merging a day's CDC delta rewrites the touched day
+    * partitions only; the job's shuffle is sized by those partitions,
+    * not the table. Returns the affected partition values, sorted.
+    */
+  def mergeIntoPartitioned(
+      spark: SparkSession,
+      root: String,
+      delta: DataFrame,
+      partitionCol: String,
+      keyCols: Seq[String]): Seq[String] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = delta
+      .select(col(partitionCol).cast("string").as("p"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    val existingDirs = affected
+      .map(v => new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v"))
+      .filter(fs.exists)
+    val stage = new org.apache.hadoop.fs.Path(hadoopPath, ".merge-stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val rebuilt = {
+      val d = delta
+      if (existingDirs.isEmpty) d
+      else {
+        val existing = spark.read
+          .option("basePath", root)
+          .parquet(existingDirs.map(_.toString): _*)
+          .select(d.columns.map(col): _*) // column order alignment
+        existing
+          .join(d.select((keyCols :+ partitionCol).map(col): _*), keyCols :+ partitionCol, "left_anti")
+          .unionByName(d)
+      }
+    }
+    rebuilt.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage.toString)
+    affected.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v")
+      val fresh = new org.apache.hadoop.fs.Path(stage, s"$partitionCol=$v")
+      val aside = new org.apache.hadoop.fs.Path(hadoopPath, s".merge-old-$partitionCol=$v")
+      if (fs.exists(aside)) fs.delete(aside, true) // leftover from an earlier crash
+      val hadLive = fs.exists(live)
+      if (hadLive) fs.rename(live, aside)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+      if (hadLive) fs.delete(aside, true)
+    }
+    fs.delete(stage, true)
+    affected
+  }
+
   /** Retention / TTL expiry over a partitioned layout: drop every
     * `col=value` partition directory whose value fails `keep` — the
     * data-lifecycle operator a time-series store needs (the reference's

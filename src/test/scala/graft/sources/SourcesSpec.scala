@@ -271,6 +271,47 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("payload").startsWith("keep-null")).count() == 2L)
   }
 
+  test("mergeIntoPartitioned rewrites only delta-touched partitions; the rest stay byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge").toString + "/t"
+    val base = Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base, dir, partitionCols = Seq("day"))
+    def fileBytes(day: String): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }
+    val before1 = fileBytes("2024-01-01")
+    val before3 = fileBytes("2024-01-03")
+    // delta: update id=3 (matched → update), insert id=5 into day 2
+    // (not matched → insert), and open a brand-new day-4 partition
+    val delta = Seq(
+      (3L, "2024-01-02", 99.0),
+      (5L, "2024-01-02", 21.0),
+      (6L, "2024-01-04", 40.0)).toDF("id", "day", "v")
+    val affected = Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    assert(affected == Seq("2024-01-02", "2024-01-04"))
+    // untouched partitions: the exact same files with the exact same bytes
+    assert(fileBytes("2024-01-01") == before1)
+    assert(fileBytes("2024-01-03") == before3)
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"day" === "2024-01-02").collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+      == Set((3L, 99.0), (5L, 21.0)))
+    assert(after.filter($"day" === "2024-01-04").collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet
+      == Set((6L, 40.0)))
+    assert(after.count() == 6)
+    // no staging leftovers visible to readers or the filesystem
+    assert(!new java.io.File(s"$dir/.merge-stage").exists())
+    // idempotent: re-merging the same delta changes nothing
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
   test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
     val ev = graft.core.Tables
       .events(spark, sf)
