@@ -53,6 +53,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.head.getDouble(0) == 70.0)
   }
 
+  test("asOfJoinTimeSplit equals plain asOfJoin on a hot series with bucket-spanning gaps") {
+    import spark.implicits._
+    // 90% of trades on series 0; quotes sparse enough that many time
+    // buckets hold NO quote (the carry-in correctness case) — seeded LCG
+    // so the fixture is deterministic
+    def lcg(s: Long): Long = s * 6364136223846793005L + 1442695040888963407L
+    var st = 42L
+    def next(n: Int): Int = { st = lcg(st); math.floorMod(st, n.toLong).toInt }
+    val trades = (1 to 4000).map { i =>
+      val k = if (next(10) < 9) 0L else (1L + next(5))
+      (i.toLong, k, next(100000).toLong)
+    }
+    val quotes = (1 to 120).map { j =>
+      val k = if (next(10) < 9) 0L else (1L + next(5))
+      // cluster quotes into the low half so the high-ts buckets are empty
+      (k, next(50000).toLong, j.toLong, next(1000).toDouble)
+    }
+    val l = trades.toDF("trade_id", "series", "t")
+    val r = quotes.toDF("series", "t", "qid", "px")
+    // no-match rows canon as None, NOT NaN: scala unboxes number pairs and
+    // NaN == NaN is false, which makes set equality silently fail on rows
+    // that actually agree
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"trade_id", $"px")
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toSet
+    def diff(a: Set[(Long, Option[Double])], b: Set[(Long, Option[Double])]): String =
+      s"only-split=${(a -- b).toSeq.sortBy(_._1).take(8)} only-plain=${(b -- a).toSeq.sortBy(_._1).take(8)}"
+    val plain = canon(TimeSeriesOps.asOfJoin(l, r, "series", "t", "t", "qid", Map("px" -> "px")))
+    val split = canon(TimeSeriesOps.asOfJoinTimeSplit(l, r, "series", "t", "t", "qid", Map("px" -> "px"), 8))
+    assert(split == plain, diff(split, plain))
+    // and with buckets ≫ quotes, so nearly every bucket rides its carry row
+    val split64 = canon(TimeSeriesOps.asOfJoinTimeSplit(l, r, "series", "t", "t", "qid", Map("px" -> "px"), 64))
+    assert(split64 == plain, diff(split64, plain))
+  }
+
   test("asOfJoinForward matches a brute-force oracle on the fixture events") {
     import spark.implicits._
     val ev = graft.core.Tables.events(spark, sf)
