@@ -401,6 +401,76 @@ object Streaming {
         "left")
       .select(clicks("event_id"), clicks("user_id"), clicks("ts"), dim("feature_value"))
 
+  /** One interleaved tick: side 0 = quote (state update), side 1 = trade
+    * (emit enriched). `tie` breaks equal-timestamp order (quote ids on the
+    * quote side; ignored for trades).
+    */
+  case class Tick(series: Long, ts: Long, side: Int, tie: Long, id: Long, px: Double)
+  case class LastQuote(ts: Long, tie: Long, qid: Long, px: Double)
+  case class EnrichedTrade(series: Long, trade_id: Long, ts: Long, qid: Option[Long], px: Option[Double])
+
+  /** Streaming as-of enrichment — the online face of the batch as-of join
+    * ([[graft.operators.TimeSeriesOps.asOfJoin]] / the native
+    * `AsOfJoinExec`, batch query q44): per series, state is ONE row — the
+    * latest quote seen — via `transformWithState`; each arriving trade
+    * emits itself enriched with that quote. This is the enrichment a
+    * ticker plant runs at ingest: O(1) state per series regardless of
+    * stream length, no buffering of trades.
+    *
+    * Order contract: within a micro-batch, ticks fold in
+    * (ts, side, tie) order — quotes before trades at equal ts, higher tie
+    * last — exactly the window order of the batch operator, so an
+    * equal-ts quote is visible to the trade beside it and the highest tie
+    * wins. Across batches, delivery must be chronological per series (the
+    * same in-order contract as [[cusumAlerts]]/[[counterIncreases]]); a
+    * stale quote arriving late is ignored by a monotone (ts, tie) guard
+    * rather than corrupting state. Under that contract, any micro-batch
+    * split of the interleaved tape replays the batch as-of join exactly
+    * (asserted in StreamingSpec against the fixture events).
+    */
+  class AsOfEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, EnrichedTrade] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[LastQuote] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      last = getHandle.getValueState[LastQuote](
+        "lastQuote",
+        org.apache.spark.sql.Encoders.product[LastQuote],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Tick],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[EnrichedTrade] = {
+      var st = Option(last.get())
+      val out = Seq.newBuilder[EnrichedTrade]
+      rows.toSeq.sortBy(t => (t.ts, t.side, t.tie)).foreach { t =>
+        if (t.side == 0) {
+          if (st.forall(s => (s.ts < t.ts) || (s.ts == t.ts && s.tie <= t.tie)))
+            st = Some(LastQuote(t.ts, t.tie, t.id, t.px))
+        } else {
+          out += EnrichedTrade(key, t.id, t.ts, st.map(_.qid), st.map(_.px))
+        }
+      }
+      st.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  def asOfEnrich(ticks: Dataset[Tick]): Dataset[EnrichedTrade] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.series)
+      .transformWithState(
+        new AsOfEnrichProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

@@ -376,6 +376,62 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming as-of enrichment replays the batch as-of join across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions.unix_millis
+      val ev = graft.core.Tables.events(spark, sf)
+      // quotes = purchases, trades = errors, keyed by user; ts in epoch ms
+      val quotes = ev
+        .filter($"event_type" === "purchase")
+        .select($"user_id".as("series"), unix_millis($"ts").as("t"), $"event_id".as("qid"), $"value".as("px"))
+      val trades = ev
+        .filter($"event_type" === "error")
+        .select($"event_id".as("trade_id"), $"user_id".as("series"), unix_millis($"ts").as("t"))
+      val want = graft.operators.TimeSeriesOps
+        .asOfJoin(trades, quotes, "series", "t", "t", "qid", Map("qid" -> "mqid", "px" -> "mpx"))
+        .collect()
+        .map(r => (r.getAs[Long]("trade_id"),
+          (if (r.isNullAt(r.fieldIndex("mqid"))) None else Some(r.getAs[Long]("mqid"))),
+          (if (r.isNullAt(r.fieldIndex("mpx"))) None else Some(r.getAs[Double]("mpx")))))
+        .toSet
+      // the interleaved tape in batch-window order, split into three
+      // chronological prefixes — state must carry the last quote across
+      // both boundaries
+      val tape = (quotes.collect().map(r => Streaming.Tick(r.getLong(0), r.getLong(1), 0, r.getLong(2), r.getLong(2), r.getDouble(3))) ++
+        trades.collect().map(r => Streaming.Tick(r.getLong(1), r.getLong(2), 1, Long.MaxValue, r.getLong(0), 0.0)))
+        .sortBy(t => (t.ts, t.side, t.tie))
+        .toSeq
+      val stream = MemoryStream[Streaming.Tick]
+      val q = Streaming
+        .asOfEnrich(stream.toDS())
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .format("memory")
+        .queryName("asof_stream")
+        .start()
+      val third = tape.length / 3
+      Seq(tape.take(third), tape.slice(third, 2 * third), tape.drop(2 * third)).foreach { b =>
+        stream.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark
+        .table("asof_stream")
+        .collect()
+        .map(r => (r.getAs[Long]("trade_id"),
+          Option(r.getAs[java.lang.Long]("qid")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)))
+        .toSet
+      assert(got.size == want.size)
+      assert(got == want, s"only-stream=${(got -- want).take(3)} only-batch=${(want -- got).take(3)}")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming LSH near-dup dedup matches the batch first-claim fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
