@@ -1191,6 +1191,89 @@ object Frontier {
       |  CAST(sum(sum_u) AS BIGINT) AS sum_u
       |FROM per GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q178: deterministic train/val/test split -------------------------
+
+  /** Reproducible eval-split assignment — the discipline every training
+    * corpus needs before anything else touches it: each document's split
+    * is a pure function of its STABLE identity (`hash60("split|"+doc_id)
+    * mod 100` → 80/10/10), independent of partitioning, ingest order, or
+    * cluster size, so re-running the pipeline (or running it on a
+    * different cluster) can never migrate a test document into train.
+    * Output is the per-(split, source) composition report (doc counts +
+    * char mass) that catches source skew in a split before training does.
+    * Pure map + one aggregation: no shuffle beyond the groupBy at any
+    * scale. Sums CAST to BIGINT on the oracle side (HUGEINT hazard).
+    */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(
+      graft.functions.Text.hash60(concat(lit("split|"), col("doc_id").cast("string"))),
+      lit(100L))
+    Tables
+      .documents(s, d)
+      .withColumn(
+        "split",
+        when(h < 80, lit("train")).when(h < 90, lit("val")).otherwise(lit("test")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val q178Sql: String =
+    """WITH a AS (
+      |  SELECT source, n_chars,
+      |    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+      |  source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- q179: cross-source contamination matrix --------------------------
+
+  /** Pairwise source-overlap matrix on word-trigram shingles — the
+    * corpus-composition diagnostic behind dedup priority and source
+    * weighting: which sources share content, and how much. Same scale
+    * shape as the q24 dedup family: distinct (source, shingle-HASH) pairs
+    * (8-byte keys, never shingle strings) are THE shuffle; the pair join
+    * blocks on the shared shingle, so fan-out per shingle is bounded by
+    * sources-containing-it² — sources number thousands at 100 TB, not
+    * billions (for extreme source counts, cap ubiquitous shingles like
+    * q24b's df cap). Size frames are one row per source → broadcast.
+    * Jaccard is one IEEE division of exact ints (portable, q24
+    * precedent).
+    */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables
+      .documents(s, d)
+      .select(col("source"), explode(graft.functions.Text.shingleHashes(col("text"), 3)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("nb"))), Seq("src_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q179Sql: String =
+    s"""WITH d AS (SELECT source, ${graft.functions.Text.sqlToks} AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   // -- q172: RFM segmentation -------------------------------------------
 
   /** Recency/Frequency/Monetary customer segmentation: per-user metrics
@@ -1605,6 +1688,8 @@ object Frontier {
     "q170_rollup_reagg" -> (q170 _),
     "q171_cusum_episodes" -> (q171 _),
     "q177_merge_upsert" -> (q177 _),
+    "q178_split_assign" -> (q178 _),
+    "q179_source_overlap" -> (q179 _),
     "q168_topk_aggregator" -> (q168 _),
     "q169_dq_report" -> (q169 _),
     "q165_ann_recall" -> (q165 _),
@@ -1630,6 +1715,8 @@ object Frontier {
     "q170_rollup_reagg" -> q170Sql,
     "q171_cusum_episodes" -> q171Sql,
     "q177_merge_upsert" -> q177Sql,
+    "q178_split_assign" -> q178Sql,
+    "q179_source_overlap" -> q179Sql,
     "q168_topk_aggregator" -> q168Sql,
     "q169_dq_report" -> q169Sql,
     "q165_ann_recall" -> q165Sql,

@@ -32,7 +32,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted.mkString(", ")}")
-    assert(q.size >= 178)
+    assert(q.size >= 180)
   }
 
   test("query numbering is contiguous (a hole invites driver off-by-ones)") {
