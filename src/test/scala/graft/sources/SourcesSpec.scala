@@ -312,6 +312,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 6)
   }
 
+  test("mergeIntoPartitioned: crash leftovers are invisible to readers and cleaned by the next merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergecrash").toString + "/t"
+    val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base, dir, partitionCols = Seq("day"))
+    // simulate a crash mid-swap: a stale aside dir and a stale staging dir
+    // (both dot-prefixed) survive from an interrupted earlier merge
+    val aside = new java.io.File(s"$dir/.merge-old-day=2024-01-02")
+    aside.mkdirs()
+    java.nio.file.Files.write(aside.toPath.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    val stage = new java.io.File(s"$dir/.merge-stage/day=2024-01-02")
+    stage.mkdirs()
+    java.nio.file.Files.write(stage.toPath.resolve("garbage.parquet"), Array[Byte](4, 5, 6))
+    // readers never see dot-prefixed dirs
+    assert(spark.read.parquet(dir).count() == 2)
+    // the next merge of that partition clears the leftovers and lands
+    val delta = Seq((2L, "2024-01-02", 99.0)).toDF("id", "day", "v")
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    assert(!aside.exists())
+    assert(!new java.io.File(s"$dir/.merge-stage").exists())
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"day" === "2024-01-02").collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toSet == Set((2L, 99.0)))
+    assert(after.count() == 2)
+  }
+
   test("expirePartitions drops whole day directories metadata-only and keeps the rest readable") {
     val ev = graft.core.Tables
       .events(spark, sf)
