@@ -33,9 +33,19 @@ def table_rows(tbl):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Second connection under a maximally-hostile session timezone (UTC+14):
+    # the driver's DuckDB inherits ITS box's TZ, so any oracle whose result
+    # depends on the session timezone (TIMESTAMPTZ -> DATE casts, now(),
+    # date_trunc over tz-aware values) would hash-differently there while
+    # passing here. Running every oracle under both TZs makes TZ-sensitivity
+    # a locally-failing class instead of a driver-only surprise (the r5
+    # gate-divergence lesson: the replica must be HARDER than the gate).
+    con_tz = duckdb.connect()
+    con_tz.sql("SET TimeZone='Pacific/Kiritimati'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con_tz.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(oracle):
@@ -63,6 +73,15 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = table_rows(got)
         ec, er = table_rows(exp)
+        try:
+            tzc, tzr = table_rows(con_tz.sql(oracle[name]).arrow())
+            if (tzc, [tuple(canon(x) for x in r) for r in tzr]) != \
+               (ec, [tuple(canon(x) for x in r) for r in er]):
+                results[name] = "TZ_SENSITIVE: oracle result differs under UTC+14"
+                continue
+        except Exception as e:
+            results[name] = f"TZ_ORACLE_ERROR: {e}"
+            continue
         # dtype note: exact pyarrow dtypes legitimately differ between the
         # engines (INT96 -> naive timestamp[ns] vs duckdb timestamp[us];
         # list element names/nullability) — values are what must match, so
