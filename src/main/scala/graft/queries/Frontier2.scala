@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Text
+
+/** Round-6 additions: format-interchange proof, embedding-quantization
+  * audit, k-anonymity governance report, and a distributed power-iteration
+  * principal component. Same registry contract as [[Frontier]].
+  */
+object Frontier2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- q180: ORC round-trip fidelity proof ------------------------------
+
+  /** Columnar-interchange law, hash-proved: the full `events` table is
+    * written to ORC (zstd, [[graft.sources.Sources.writeOrc]]), read
+    * back, and summarized per event type — counts, micro-unit value sums,
+    * epoch-microsecond timestamp extrema, exact-distinct users, and a
+    * 60-bit content hash over the `props` JSON strings (mod a prime so
+    * the sum stays in int64). The ORACLE computes the identical summary
+    * straight from the parquet fixture, so a hash match proves the ORC
+    * round trip preserved every long/timestamp/string/double bit that
+    * feeds the report. At 100 TB this is the format-migration smoke test:
+    * the same one-pass aggregate runs on either side of a
+    * parquet→ORC conversion and must agree.
+    */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q180_${java.lang.Integer.toHexString(d.hashCode)}")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    graft.sources.Sources.writeOrc(ev, root.toString)
+    graft.sources.Sources
+      .readOrc(s, root.toString)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("sum_vu"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"),
+        sum(Text.hash60(col("props")) % lit(1000000007L)).as("props_h"),
+        sum(col("event_id")).as("sum_ids"))
+      .orderBy(col("event_type"))
+  }
+
+  val q180Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  count(DISTINCT user_id) AS n_users,
+       |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vu,
+       |  min(epoch_us(ts)) AS min_ts_us,
+       |  max(epoch_us(ts)) AS max_ts_us,
+       |  CAST(sum(${Text.sqlHash60("props")} % 1000000007) AS BIGINT) AS props_h,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q181: int8 quantization distortion audit -------------------------
+
+  /** Is int8 ANN safe for this corpus? Every embedding is quantized the
+    * q79 way (per-vector max-abs scale, floor-snap to [-127, 127]) and
+    * scored against its own full-precision self: cosine(x, q) — the
+    * per-vector scale cancels, so this IS the reconstruction cosine. The
+    * full-precision side is micro-unit snapped first, making every dot
+    * and norm an exact int64 sum (max |term| ≈ 5.3e5·127·64 ≈ 4.3e9);
+    * only the final ratio is float, snapped to cos·1e6. Per label:
+    * vector count, summed / min / mean cosine in micro-units — the
+    * decision report for "ship int8 or keep fp32" per data slice.
+    * 100 TB shape: one narrow map over vectors (no join, no shuffle
+    * beyond the 10-group agg), same as any per-row scoring pass.
+    */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val xd = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    val scale = s"greatest(aggregate($xd, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), 1e-30)"
+    val qv = s"transform($xd, x -> CAST(floor(x / $scale * 127.0 + 0.5) AS BIGINT))"
+    val xu = s"transform($xd, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    Tables
+      .embeddings(s, d)
+      .select(
+        col("label").cast("long").as("label"),
+        expr(s"aggregate(zip_with($xu, $qv, (a, b) -> a * b), 0L, (acc, t) -> acc + t)").as("dotp"),
+        expr(s"aggregate($xu, 0L, (acc, x) -> acc + x * x)").as("xn"),
+        expr(s"aggregate($qv, 0L, (acc, x) -> acc + x * x)").as("qn"))
+      .select(
+        col("label"),
+        floor(
+          col("dotp").cast("double") /
+            greatest(sqrt(col("xn").cast("double")) * sqrt(col("qn").cast("double")), lit(1e-30)) *
+            lit(1000000.0) + lit(0.5)).cast("long").as("cos6"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("cos6")).as("sum_cos6"),
+        min(col("cos6")).as("min_cos6"))
+      .withColumn(
+        "mean_cos6",
+        floor(col("sum_cos6").cast("double") / col("n_vecs").cast("double") + lit(0.5)).cast("long"))
+      .orderBy(col("label"))
+  }
+
+  val q181Sql: String =
+    """WITH per AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, label,
+      |    list_transform(xd, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xu,
+      |    list_transform(xd, x -> CAST(floor(
+      |      x / greatest(list_max(list_transform(xd, y -> abs(y))), 1e-30) * 127.0 + 0.5)
+      |      AS BIGINT)) AS qv
+      |  FROM per),
+      |acc AS (
+      |  SELECT vec_id, label,
+      |    CAST(sum(xu[i] * qv[i]) AS BIGINT) AS dotp,
+      |    CAST(sum(xu[i] * xu[i]) AS BIGINT) AS xn,
+      |    CAST(sum(qv[i] * qv[i]) AS BIGINT) AS qn
+      |  FROM qz, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY vec_id, label),
+      |snapped AS (
+      |  SELECT label,
+      |    CAST(floor(CAST(dotp AS DOUBLE)
+      |      / greatest(sqrt(CAST(xn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE)), 1e-30)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS cos6
+      |  FROM acc)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(cos6) AS BIGINT) AS sum_cos6,
+      |  min(cos6) AS min_cos6,
+      |  CAST(floor(CAST(sum(cos6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_cos6
+      |FROM snapped GROUP BY label ORDER BY label""".stripMargin
+
+  // -- q182: k-anonymity audit ------------------------------------------
+
+  /** Re-identification risk report over the user behavioral profile — the
+    * governance gate that belongs next to the q83 PII scrub: each user is
+    * reduced to a quasi-identifier triple (dominant event type with
+    * count-desc/name-asc tie-break, event-count decade band, micro-value
+    * spend band), users are grouped into equivalence classes, and for
+    * each k in {2, 5, 10, 25} the report counts the classes and users
+    * whose class is smaller than k — the population that a k-anonymous
+    * release at that threshold would have to suppress or generalize.
+    * Everything is exact integer arithmetic over two hash-partitioned
+    * aggregations (user → profile, profile → class size); at 100 TB both
+    * shuffles key on user/profile and the report is 4 rows.
+    */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val perType = ev
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val dominant = perType
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("fav"))
+    val profile = ev
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).as("sum_vu"))
+      .join(dominant, Seq("user_id"))
+      .select(
+        col("user_id"),
+        col("fav"),
+        least(floor(col("n_events") / lit(10)).cast("long"), lit(9L)).as("n_band"),
+        least(floor(col("sum_vu") / lit(5000000000L)).cast("long"), lit(9L)).as("v_band"))
+    val classes = profile
+      .groupBy(col("fav"), col("n_band"), col("v_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val ks = s.range(0, 4).select(
+      element_at(array(lit(2L), lit(5L), lit(10L), lit(25L)), col("id").cast("int") + 1).as("k"))
+    classes
+      .crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < col("k"), lit(1L)).otherwise(lit(0L))).as("classes_below"),
+        sum(when(col("class_size") < col("k"), col("class_size")).otherwise(lit(0L))).as("users_below"))
+      .orderBy(col("k"))
+  }
+
+  val q182Sql: String =
+    """WITH pt AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY user_id, event_type),
+      |dom AS (
+      |  SELECT user_id, event_type AS fav FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+      |    FROM pt) WHERE rk = 1),
+      |prof AS (
+      |  SELECT e.user_id, d.fav,
+      |    least(CAST(floor(count(*) / 10.0) AS BIGINT), 9) AS n_band,
+      |    least(CAST(floor(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 5000000000.0) AS BIGINT), 9) AS v_band
+      |  FROM events e JOIN dom d ON d.user_id = e.user_id
+      |  GROUP BY e.user_id, d.fav),
+      |cls AS (
+      |  SELECT fav, n_band, v_band, count(*) AS class_size
+      |  FROM prof GROUP BY fav, n_band, v_band)
+      |SELECT k, count(*) AS n_classes,
+      |  CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+      |  CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT) AS users_below
+      |FROM cls, (SELECT unnest([2, 5, 10, 25]) AS k) kt
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // -- q183: top principal component by power iteration -----------------
+
+  /** Distributed PCA's first step — the top principal direction of the
+    * embedding corpus by three unrolled power iterations, every
+    * accumulation in exact integer arithmetic so both engines converge
+    * bit-identically: vectors are micro-unit snapped (xu ≤ 5.3e5), the
+    * direction lives in micro-units (v6 ≤ 1e6), per-vector projections
+    * `Σ xu·v6` stay below 3.5e13 and are floor-scaled to milli-units
+    * before the back-projection `Σ xu·dot_m` (≤ 1.2e13 summed), whose
+    * per-coordinate totals are floor-scaled again before the one float
+    * step per iteration (norm + renormalize, IEEE-identical on both
+    * engines). Uncentered PCA (the corpus is near-centered); v₀ is the
+    * exact uniform direction 1/8 = 0.125.
+    *
+    * 100 TB shape: each iteration is one broadcast of the 64-long
+    * direction and two hash aggregations (vec_id, then pos) over the
+    * posexploded corpus — the identical plan k-means (q49) and IVF
+    * training run; nothing driver-side between iterations, no lineage
+    * growth (the 64-row direction frame is the only loop state).
+    */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    // the exploded corpus is consumed twice per iteration (projection +
+    // back-projection) across three iterations — persist it once instead
+    // of re-exploding six times (Bench/Verify clearCache() releases it)
+    val xu = Tables
+      .embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"),
+        col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("xu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v: DataFrame = s
+      .range(0, 64)
+      .select(col("id").cast("int").as("pos"), lit(125000L).as("v6"))
+    for (_ <- 1 to 3) {
+      val dots = xu
+        .join(broadcast(v), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
+      val w = xu
+        .join(dots, Seq("vec_id"))
+        .groupBy(col("pos"))
+        .agg(floor(sum(col("xu") * col("dot_m")).cast("double") / lit(1e6)).cast("long").as("w3"))
+      val nrm = w.agg(
+        greatest(sqrt(sum(col("w3") * col("w3")).cast("double")), lit(1e-30)).as("nrm"))
+      v = w
+        .crossJoin(broadcast(nrm))
+        .select(
+          col("pos"),
+          floor(col("w3").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
+            .cast("long")
+            .as("v6"))
+    }
+    v.select(col("pos").cast("long").as("pos"), col("v6").as("loading_u")).orderBy(col("pos"))
+  }
+
+  val q183Sql: String = {
+    def iter(n: Int, prev: String): String =
+      s"""d$n AS (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(sum(xu.xu * $prev.v6) AS DOUBLE) / 1e9) AS BIGINT) AS dot_m
+         |  FROM xu JOIN $prev USING (i) GROUP BY vec_id),
+         |w$n AS (
+         |  SELECT i,
+         |    CAST(floor(CAST(sum(xu.xu * d$n.dot_m) AS DOUBLE) / 1e6) AS BIGINT) AS w3
+         |  FROM xu JOIN d$n USING (vec_id) GROUP BY i),
+         |n$n AS (SELECT greatest(sqrt(CAST(sum(w3 * w3) AS DOUBLE)), 1e-30) AS nrm FROM w$n),
+         |v$n AS (
+         |  SELECT i, CAST(floor(CAST(w3 AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT) AS v6
+         |  FROM w$n, n$n)""".stripMargin
+    s"""WITH xu AS (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xu
+       |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+       |v0 AS (SELECT unnest(range(1, 65)) AS i, CAST(125000 AS BIGINT) AS v6),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}
+       |SELECT CAST(i - 1 AS BIGINT) AS pos, v6 AS loading_u FROM v3 ORDER BY pos""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q180_orc_roundtrip" -> (q180 _),
+    "q181_quantization_audit" -> (q181 _),
+    "q182_k_anonymity" -> (q182 _),
+    "q183_pca_power" -> (q183 _))
+
+  val oracles: Map[String, String] = Map(
+    "q180_orc_roundtrip" -> q180Sql,
+    "q181_quantization_audit" -> q181Sql,
+    "q182_k_anonymity" -> q182Sql,
+    "q183_pca_power" -> q183Sql)
+}

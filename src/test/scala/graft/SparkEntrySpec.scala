@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite {
     Relational.queries, EventQueries.queries, TextQueries.queries,
     VectorQueries.queries, Extended.queries, Retrieval.queries,
     Corpus.queries, Analytics.queries, Pipeline.queries,
-    Advanced.queries, Frontier.queries)
+    Advanced.queries, Frontier.queries, Frontier2.queries)
 
   test("no query name collides across modules (++ would silently drop one)") {
     val perModule = moduleQueryMaps.map(_.size).sum

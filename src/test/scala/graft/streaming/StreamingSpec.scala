@@ -766,4 +766,64 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"), r.getAs[Double]("prev_max")))
     assert(got.sameElements(Array((2L, 5.0, 1.0), (4L, 7.0, 5.0))), got.mkString(", "))
   }
+
+  test("stateful checkpoint recovery: restarted query restores state and totals stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("ckptsrc").toString
+      val outDir = Files.createTempDirectory("ckptout").toString
+      // raw fixture rows (ts still long nanos) split in half by event_id
+      val raw = spark.read
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$sf/events.parquet")
+      val cut = raw.selectExpr("percentile(event_id, 0.5)").first().getDouble(0)
+      raw.filter(col("event_id") <= cut).write.mode("append").parquet(srcDir)
+
+      def start() = Streaming
+        .runningTotals(
+          spark.readStream
+            .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+            .parquet(srcDir)
+            .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+            .as[Event])
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streaming.UserTotals], id: Long) =>
+          df.toDF().withColumn("batch_id", lit(id)).write.mode("append").parquet(s"$outDir/data")
+        }
+        .start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1Batches = spark.read.parquet(s"$outDir/data").agg(max("batch_id")).first().getLong(0)
+
+      // half 2 arrives while the query is DOWN; the restart must restore
+      // per-user state from the checkpoint, not recount from scratch
+      raw.filter(col("event_id") > cut).write.mode("append").parquet(srcDir)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val out = spark.read.parquet(s"$outDir/data")
+      assert(out.agg(max("batch_id")).first().getLong(0) > phase1Batches, "restart emitted nothing")
+      val got = out
+        .groupBy("user_id")
+        .agg(max(struct($"batch_id", $"n", $"sum")).as("fin"))
+        .selectExpr("user_id", "fin.n AS n", "fin.sum AS sum")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), math.rint(r.getDouble(2) * 100) / 100)))
+        .toMap
+      val events = graft.core.Tables.events(spark, sf).as[Event].collect().toSeq
+      val want = events.groupBy(_.user_id).map { case (u, es) =>
+        u -> ((es.size.toLong, math.rint(es.map(_.value).sum * 100) / 100))
+      }
+      assert(got == want)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
