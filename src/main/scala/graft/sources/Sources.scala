@@ -33,6 +33,50 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Schema-evolved read: union the schemas of every file footer
+    * (`mergeSchema`) so a table whose writers gained columns over time
+    * reads as one relation — old files surface the new columns as null.
+    * The footer union is a metadata operation (no data scan); at 100 TB
+    * the cost is one footer read per file, the same listing the scan
+    * already does. Columns may only be ADDED, never retyped — an
+    * incompatible type across footers fails loudly at plan time, which is
+    * the behavior a lakehouse table wants (silent coercion hides writer
+    * bugs).
+    */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Exactly-once micro-batch append for plain parquet tables: batch `id`
+    * lands as partition dir `batch_id=<id>` via stage + atomic rename, and
+    * a replayed batch (streaming restarts re-offer the last uncommitted
+    * batch) is detected by the partition's existence and skipped. This is
+    * the [[graft.kv.KvStreamSink]] idempotence contract carried to the
+    * analytics-table sink: `foreachBatch { (df, id) =>
+    * idempotentBatchAppend(df, root, id) }` gives a crash-safe streaming
+    * parquet sink whose output never double-counts a batch. Readers see a
+    * batch only after its rename (dot-prefixed staging is invisible to
+    * Spark's file index). Returns true when the batch was written, false
+    * when it was already present (the replay case).
+    */
+  def idempotentBatchAppend(df: DataFrame, root: String, batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(rootPath, s"batch_id=$batchId")
+    if (fs.exists(live)) return false
+    val stage = new org.apache.hadoop.fs.Path(rootPath, s".batch-stage-$batchId")
+    if (fs.exists(stage)) fs.delete(stage, true) // crash leftover
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // the rename is the commit point: either the whole batch is visible
+    // under batch_id=<id> or none of it is
+    fs.mkdirs(rootPath)
+    if (fs.rename(stage, live)) true
+    else if (fs.exists(live)) { // a concurrent attempt committed first
+      fs.delete(stage, true)
+      false
+    } else sys.error(s"commit rename failed for batch $batchId")
+  }
+
   /** Bucketed catalog table: rows hash-bucketed by `bucketCol` at write
     * time, so later equi-joins/aggregations on that column read
     * co-located buckets and skip the shuffle entirely — the standard
