@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark runner: times every registered query on the sf dir given by
-  * SPARK_GRAFT_SF_DIR and prints ONE machine-parseable JSON line, last.
+  * SPARK_GRAFT_SF_DIR and prints the machine-parseable JSON last: the full
+  * per-query line, then a short totals-only trailer sized to survive a
+  * ~2 KB stdout tail capture.
   *
-  * Output discipline: the JSON line is the final stdout line before exit
+  * Output discipline: the JSON lines are the final stdout lines before exit
   * (after `spark.stop()` so no executor log can interleave), timings are
   * truncated to ms so the line stays well inside any tail-capture buffer,
   * and a query that throws is recorded with a negative sentinel (-elapsed)
@@ -133,5 +135,12 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$qs,"errors":$errJson,"runs":$passes,"agg":"min","sf":"$sfDir"}""")
+    // Round-6 postmortem: the per-query line above outgrew the driver's
+    // 2000-char stdout tail window (184 queries ≈ 2.6 KB), so the head —
+    // metric/value/calibration — was truncated and BENCH_r05/r06 recorded
+    // "parsed": null. Emit a short totals-only trailer LAST so the tail
+    // always retains one complete parseable JSON line regardless of how
+    // large the registry grows. Full per-query map: line above + BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"errors_n":${errors.distinct.size},"queries_n":${results.size},"runs":$passes,"agg":"min","sf":"$sfDir"}""")
   }
 }
