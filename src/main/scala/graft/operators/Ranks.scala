@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed global ranking without a single-partition sort.
@@ -23,42 +22,70 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Adds `rankCol` = 1-based global row_number under `order` (must be a
-    * total order) using range partitioning + per-partition offsets. The
-    * local rank window is partitioned by `spark_partition_id()` — never a
-    * global Window.
+    * total order) using range partitioning + per-partition offsets. Local
+    * ranks are decoded from `monotonically_increasing_id()` over the
+    * range-sorted partitions — no Window at all, so exactly ONE wide
+    * shuffle (the range partition) runs per call.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], rankCol: String, partitions: Int = 0): DataFrame = {
-    val n = if (partitions > 0) partitions else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    val spark = df.sparkSession
+    val n =
+      if (partitions > 0) partitions
+      else
+        // conf values like "auto" must not throw — fall back to the
+        // frame's own physical partition count
+        scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt).toOption
+          .filter(_ > 0)
+          .getOrElse(df.rdd.getNumPartitions.max(1))
+    // After repartitionByRange + sortWithinPartitions, each row's
+    // monotonically_increasing_id() IS (partitionId << 33) | indexInPartition
+    // assigned in iterator (= sorted) order — so the local rank and the
+    // partition id both come for free from one narrow projection, with NO
+    // Window and therefore no second hash shuffle + re-sort after the range
+    // shuffle. Bound: < 2^33 (8.5B) rows per range partition.
+    val sorted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      // consumed twice (counts + local ranks): pin the range shuffle so the
-      // second consumer doesn't recompute it — and so __pid can't shift
-      .localCheckpoint()
-    // local ranks: Window partitioned by the physical partition id — each
-    // group is one range partition, sorted; no global sort anywhere
-    val local = ranged.withColumn(
-      "__lrank",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
-    // per-partition counts → prefix offsets (numPartitions longs; metadata)
-    val counts = ranged
-      .groupBy(col("__pid"))
-      .count()
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    val offsets = counts
-      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-      .sliding(2)
-      .collect { case Array((_, off), (pid, _)) => (pid, off) }
-      .toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
+      .withColumn("__mid", monotonically_increasing_id())
+    val pidOf = shiftright(col("__mid"), 33).cast("int")
+    val lrankOf = col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L)
+    if (n == 1) {
+      // single range partition (caller sized it to a small frame): the only
+      // offset is 0, so the counts job, the cache, and the offset join all
+      // vanish — one shuffle, one consumer, rank = local rank
+      sorted.withColumn(rankCol, lrankOf.cast("long")).drop("__mid")
+    } else {
+      // consumed twice (counts + rank projection): cache the range shuffle
+      // so the second consumer doesn't recompute it — and so __mid can't
+      // shift. persist (not eager localCheckpoint): the counts action below
+      // materializes it, saving one full extra job, and lineage survives
+      // executor loss (recompute is deterministic: seeded range sampling
+      // over a total order).
+      val ranged = sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-partition counts → prefix offsets (numPartitions longs; metadata)
+      val counts = ranged
+        .groupBy(pidOf.as("__pid"))
+        .count()
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      val offsets: Seq[(Int, Long)] = counts
+        .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+        .sliding(2)
+        .collect { case Array((_, off), (pid, _)) => (pid, off) }
+        .toSeq
+      // apply offsets via a broadcast hash join against the tiny (pid, offset)
+      // frame — O(1) per row. The old fold of when/otherwise built an
+      // O(numPartitions)-deep expression tree: linear per-row cost and a
+      // codegen 64KB method-split hazard at high partition counts.
+      import spark.implicits._
+      val offDf = broadcast(offsets.toDF("__pid", "__off"))
+      ranged
+        .withColumn("__pid", pidOf)
+        .join(offDf, Seq("__pid"), "left")
+        .withColumn(rankCol, (lrankOf + coalesce(col("__off"), lit(0L))).cast("long"))
+        .drop("__pid", "__mid", "__off")
     }
-    local
-      .withColumn(rankCol, (col("__lrank") + offCol).cast("long"))
-      .drop("__pid", "__lrank")
   }
 
   /** SQL-standard `ntile(k)` tile for 1-based `rank` out of `total` rows,

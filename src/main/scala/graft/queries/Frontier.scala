@@ -1302,19 +1302,26 @@ object Frontier {
             col("event_type") === "purchase",
             floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")).otherwise(0L)).as("m"))
     val globalMax = users.agg(max(col("last_day")).as("gmax"))
-    // feeds three rank passes + a count: pin it once
+    // feeds three rank passes + a count: cache it once (the count() below
+    // materializes the cache — persist beats eager localCheckpoint here by
+    // one full job, and keeps lineage for executor-loss recompute)
     val scored = users
       .crossJoin(broadcast(globalMax))
       .withColumn("r_days", datediff(col("gmax"), col("last_day")).cast("long"))
       .select(col("user_id"), col("r_days"), col("f"), col("m"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
+    // size the rank's range partitions to the MATERIALIZED user count
+    // (~2M narrow rows ≈ 50 MB per partition): tiny frames take one task
+    // with near-zero shuffle overhead, a billion users fans out to ~500 —
+    // work per task stays bounded at any scale
+    val rankParts = math.max(1L, math.min(n / 2000000L + 1L, 10000L)).toInt
     def tiles(metric: String, asc: Boolean, out: String): DataFrame = {
       val ord =
         if (asc) Seq(col(metric).asc, col("user_id").asc)
         else Seq(col(metric).desc, col("user_id").asc)
       graft.operators.Ranks
-        .globalRowNumber(scored.select(col("user_id"), col(metric)), ord, "__r")
+        .globalRowNumber(scored.select(col("user_id"), col(metric)), ord, "__r", partitions = rankParts)
         .select(col("user_id"), graft.operators.Ranks.ntileOfRank(col("__r"), n, 5).as(out))
     }
     tiles("r_days", asc = true, "rq")

@@ -26,13 +26,17 @@ class RanksSpec extends SparkSpec {
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1))
         .toMap
-      val got = Ranks
-        .globalRowNumber(df, ord, "r", partitions = 5)
-        .select("id", "r")
-        .collect()
-        .map(r => r.getLong(0) -> r.getLong(1))
-        .toMap
-      assert(got == want, s"asc=$asc")
+      // partitions = 5 exercises the counts + offset-join path; 1 exercises
+      // the single-partition fast path (no counts job, rank = local rank)
+      for (parts <- Seq(5, 1)) {
+        val got = Ranks
+          .globalRowNumber(df, ord, "r", partitions = parts)
+          .select("id", "r")
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        assert(got == want, s"asc=$asc parts=$parts")
+      }
     }
   }
 
