@@ -1158,9 +1158,12 @@ object Frontier {
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
     val ev = Tables.events(s, d)
+    // keyed by data dir AND the Spark app id: concurrent runs over the same
+    // fixture (Verify + Bench on one box) must not race on delete-then-
+    // rewrite, and distinct data dirs must not collide via hashCode
     val root = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
-      s"graft_q177_${java.lang.Integer.toHexString(d.hashCode)}")
+      s"graft_q177_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     graft.sources.Sources

@@ -30,9 +30,12 @@ object Frontier2 {
     */
   def q180(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // keyed by data dir AND the Spark app id: concurrent runs over the same
+    // fixture (Verify + Bench on one box) must not race on delete-then-
+    // rewrite, and distinct data dirs must not collide via hashCode
     val root = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
-      s"graft_q180_${java.lang.Integer.toHexString(d.hashCode)}")
+      s"graft_q180_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     graft.sources.Sources.writeOrc(ev, root.toString)
