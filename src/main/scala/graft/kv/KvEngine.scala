@@ -69,6 +69,54 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     */
   private val idRe = "^[a-zA-Z0-9]+$".r
 
+  // ---- batch WAL (durability for upsertBatch) ----
+  // Every upsertBatch lands in `<dataDir>/<id>.wal/b<seq>` parquet BEFORE the
+  // call returns, so a caller that journals the batch as committed (the
+  // exactly-once sink) never records durability the engine doesn't have.
+  // The `.wal` suffix fails idRe, so cold listing ignores these dirs.
+
+  private def walPath(id: String): java.nio.file.Path = Paths.get(dataDir, id + ".wal")
+
+  private val walBatchRe = "^b\\d{8}$".r
+
+  /** Sorted committed WAL batch dirs (lexical order == sequence order). */
+  private def walBatches(id: String): Vector[java.nio.file.Path] = {
+    val p = walPath(id)
+    if (!Files.isDirectory(p)) Vector.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator.asScala
+        .filter(q => Files.isDirectory(q) && walBatchRe.matches(q.getFileName.toString))
+        .toVector
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+  }
+
+  private def walExists(id: String): Boolean = walBatches(id).nonEmpty
+
+  /** Durable (cold parquet ∪ WAL) last-write-wins view. Lineage reads ONLY
+    * durable files — recomputable after executor loss, unlike a
+    * localCheckpoint whose truncated-lineage blocks die with the executor.
+    * Later batches win via max(struct(seq, value)) per key: seqs are
+    * distinct per key (cold=0, batches 1..N), so the struct comparison
+    * never reaches the value field.
+    */
+  private def durableView(id: String): DataFrame = {
+    val cold =
+      if (coldExists(id)) Some(spark.read.schema(schema).parquet(coldPath(id).toString))
+      else None
+    val legs = cold.map(_.withColumn("__seq", lit(0L))).toVector ++
+      walBatches(id).zipWithIndex.map { case (p, i) =>
+        spark.read.schema(schema).parquet(p.toString).withColumn("__seq", lit(i + 1L))
+      }
+    legs
+      .reduce(_.unionByName(_))
+      .groupBy(col("key"))
+      .agg(max(struct(col("__seq"), col("value"))).as("__m"))
+      .select(col("key"), col("__m.value").as("value"))
+  }
+
   // ---- listing / existence (reference engine.go:39-98) ----
 
   /** Distinct union of hot and cold ids, sorted (the reference's map-order
@@ -82,9 +130,18 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
   private def listCold(): Seq[String] = {
     val s = Files.list(Paths.get(dataDir))
     try s.iterator.asScala
-      .filter(p => Files.isDirectory(p) && idRe.matches(p.getFileName.toString))
-      .map(_.getFileName.toString)
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (!Files.isDirectory(p)) None
+        else if (idRe.matches(n)) Some(n)
+        // a WAL with no flushed cold dir still IS the collection (crash
+        // between upsertBatch and first flush) — surface it
+        else if (n.endsWith(".wal") && idRe.matches(n.stripSuffix(".wal")) &&
+          walExists(n.stripSuffix(".wal"))) Some(n.stripSuffix(".wal"))
+        else None
+      }
       .toVector
+      .distinct
     finally s.close()
   }
 
@@ -97,12 +154,15 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
       finally s.close()
     }
 
-  def collectionExists(id: String): Boolean = isHotTier(id) || coldExists(id)
+  /** Durable = flushed cold parquet OR an unreplayed batch WAL. */
+  private def durableExists(id: String): Boolean = coldExists(id) || walExists(id)
+
+  def collectionExists(id: String): Boolean = isHotTier(id) || durableExists(id)
 
   /** Reference `IsHot` errors when the collection exists nowhere (`engine.go:85-98`). */
   def isHot(id: String): Boolean =
     if (isHotTier(id)) true
-    else if (coldExists(id)) false
+    else if (durableExists(id)) false
     else throw NoSuchCollectionException(id)
 
   // ---- tier movement (reference engine.go:100-137) ----
@@ -113,8 +173,12 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     */
   def loadCollection(id: String): Unit = lock.synchronized {
     if (hot.contains(id)) return // concurrent loader/writer won; keep its overlay
-    if (!coldExists(id)) throw NoSuchCollectionException(id)
-    val df = spark.read.schema(schema).parquet(coldPath(id).toString).cache()
+    if (!durableExists(id)) throw NoSuchCollectionException(id)
+    // WAL present ⇒ replay it over the cold base (crash recovery: batches
+    // journaled as committed are durable in the WAL even if never flushed)
+    val df =
+      (if (walExists(id)) durableView(id)
+       else spark.read.schema(schema).parquet(coldPath(id).toString)).cache()
     hot(id) = Hot(Some(df), mutable.LinkedHashMap.empty)
   }
 
