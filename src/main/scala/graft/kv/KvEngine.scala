@@ -95,6 +95,55 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
 
   private def walExists(id: String): Boolean = walBatches(id).nonEmpty
 
+  /** Batches-per-collection bound: when a collection accumulates more than
+    * this many committed WAL batches, [[upsertBatch]] compacts them into a
+    * single batch so recovery replay (`durableView`) stays a bounded union,
+    * not an O(batches) plan.
+    */
+  private val maxWalBatches = 8
+
+  /** Parse the numeric sequence of the last committed batch dir (0 if none). */
+  private def lastWalSeq(id: String): Int =
+    walBatches(id).lastOption.map(_.getFileName.toString.drop(1).toInt).getOrElse(0)
+
+  /** Commit a DataFrame as WAL batch `seq`: staged parquet write, then an
+    * atomic rename into the `b%08d` name. The staging name fails
+    * [[walBatchRe]], so a crash mid-write leaves an invisible partial dir
+    * that the next commit at the same seq overwrites.
+    */
+  private def commitWalBatch(id: String, seq: Int, df: DataFrame): java.nio.file.Path = {
+    Files.createDirectories(walPath(id))
+    val stage = walPath(id).resolve(f"tmpb$seq%08d")
+    if (Files.exists(stage)) deleteRec(stage)
+    df.coalesce(math.max(1, df.rdd.getNumPartitions / 8)).write.mode("overwrite").parquet(stage.toString)
+    val committed = walPath(id).resolve(f"b$seq%08d")
+    if (Files.exists(committed)) deleteRec(committed) // impossible unless seq reuse; be safe
+    Files.move(stage, committed)
+    committed
+  }
+
+  /** Fold the committed WAL batches (NOT the cold base) into one batch so
+    * the durable replay plan stays bounded. Crash-safe by construction: the
+    * compacted batch carries a sequence higher than every input batch and a
+    * superset of their keys, so under last-write-wins it shadows them
+    * completely — deleting the inputs afterwards is pure cleanup, and a
+    * crash between rename and cleanup leaves a state that reads identically.
+    */
+  private def compactWal(id: String): Unit = {
+    val batches = walBatches(id)
+    if (batches.size <= maxWalBatches) return
+    val legs = batches.zipWithIndex.map { case (p, i) =>
+      spark.read.schema(schema).parquet(p.toString).withColumn("__seq", lit(i.toLong))
+    }
+    val folded = legs
+      .reduce(_.unionByName(_))
+      .groupBy(col("key"))
+      .agg(max(struct(col("__seq"), col("value"))).as("__m"))
+      .select(col("key"), col("__m.value").as("value"))
+    commitWalBatch(id, lastWalSeq(id) + 1, folded)
+    batches.foreach(deleteRec)
+  }
+
   /** Durable (cold parquet ∪ WAL) last-write-wins view. Lineage reads ONLY
     * durable files — recomputable after executor loss, unlike a
     * localCheckpoint whose truncated-lineage blocks die with the executor.
@@ -209,6 +258,11 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     if (hadOld) Files.move(target, old)
     Files.move(Paths.get(tmp), target)
     if (hadOld) deleteRec(old)
+    // The flushed cold dir now contains every WAL batch's effect (the hot
+    // base folded them in as they committed), so the WAL is spent: truncate
+    // it under the same lock, or stale batches would shadow newer cold data
+    // on the next durable replay (cold carries seq 0, batches seq >= 1).
+    if (Files.isDirectory(walPath(id))) deleteRec(walPath(id))
     hot.remove(id).foreach(_.base.foreach(_.unpersist()))
   }
 
@@ -236,14 +290,19 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     }
   }
 
-  /** The collection as a DataFrame (any tier) — the engine's query surface. */
+  /** The collection as a DataFrame (any tier) — the engine's query surface.
+    * WAL-only and cold+WAL collections are served through the durable
+    * last-write-wins view, so every id [[listCollections]] surfaces is
+    * readable here (the existence surface is consistent across the API).
+    */
   def collection(id: String): DataFrame = {
     val inHot = lock.synchronized(hot.get(id))
     inHot match {
       case Some(h) => materialize(h)
       case None =>
-        if (!coldExists(id)) throw NoSuchCollectionException(id)
-        spark.read.schema(schema).parquet(coldPath(id).toString)
+        if (!durableExists(id)) throw NoSuchCollectionException(id)
+        if (walExists(id)) durableView(id)
+        else spark.read.schema(schema).parquet(coldPath(id).toString)
     }
   }
 
@@ -263,7 +322,8 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
             hc.base.flatMap(b => probe(b, key)).getOrElse(throw NoSuchKeyException(id, key))
         }
       case None =>
-        if (!coldExists(id)) throw NoSuchCollectionException(id)
+        // durable (cold OR WAL-only) — loadCollection replays the WAL
+        if (!durableExists(id)) throw NoSuchCollectionException(id)
         loadCollection(id) // read-through: install in hot like engine.go:157
         readKey(id, key)
     }
@@ -303,17 +363,29 @@ final class KvEngine(val spark: SparkSession, val dataDir: String, val autoCreat
     val h = hot(id)
     val batch = rows
       .select(col("key").cast("string").as("key"), col("value").cast("string").as("value"))
+    // Durability first: land the batch in the WAL *before* any engine state
+    // changes, so a caller that journals the batch as committed (the
+    // exactly-once sink) never records durability the engine doesn't have.
+    // A crash after this rename is recovered by loadCollection's WAL replay.
+    val committedDir = commitWalBatch(id, lastWalSeq(id) + 1, batch)
+    // The in-memory merge reads the batch BACK from its committed WAL
+    // parquet — the newest leg of the lineage rests on durable files. The
+    // localCheckpoint keeps lineage O(1) across unbounded micro-batches
+    // (it is an acceleration only: if its blocks are lost with an executor,
+    // evict + loadCollection rebuilds the identical state from cold ∪ WAL).
+    val committed = spark.read.schema(schema).parquet(committedDir.toString)
     val merged = materialize(h)
-      .join(batch.select(col("key")), Seq("key"), "left_anti")
-      .unionByName(batch)
+      .join(committed.select(col("key")), Seq("key"), "left_anti")
+      .unionByName(committed)
       .localCheckpoint() // eager: materializes on executors inside this call
     h.base.foreach(_.unpersist())
     hot(id) = Hot(Some(merged), mutable.LinkedHashMap.empty)
+    compactWal(id) // bound the replay plan at maxWalBatches legs
   }
 
   def loadCollectionIfNotPresent(id: String): Unit = lock.synchronized {
     if (isHotTier(id)) return
-    if (coldExists(id)) { loadCollection(id); return }
+    if (durableExists(id)) { loadCollection(id); return }
     if (!autoCreate) throw NoSuchCollectionException(id)
     createCollection(id)
   }

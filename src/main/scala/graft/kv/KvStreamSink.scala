@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   * The batch rows never move through the driver: application is
   * [[KvEngine.upsertBatch]] — a distributed anti-join ∪ union merge into
   * the hot base, pinned per batch so lineage stays O(1) across an
-  * unbounded stream. Only the journal write (one key per batch) is
-  * driver-side control plane.
+  * unbounded stream. The engine lands every batch in its parquet WAL
+  * before upsertBatch returns, so by the time the journal records an id
+  * the batch really is durable — an engine restart replays cold ∪ WAL to
+  * the exact committed state. Only the journal write (one key per batch)
+  * is driver-side control plane.
   */
 final class KvExactlyOnceSink(
     engine: KvEngine,

@@ -27,7 +27,19 @@ object Ranks {
     * range-sorted partitions — no Window at all, so exactly ONE wide
     * shuffle (the range partition) runs per call.
     */
-  def globalRowNumber(df: DataFrame, order: Seq[Column], rankCol: String, partitions: Int = 0): DataFrame = {
+  /** Optional `cleanup`: the internal range-shuffled persist is appended so
+    * the caller can `unpersist` it once the ranking has been consumed —
+    * `persist` pins blocks in the CacheManager until explicitly released
+    * (unlike localCheckpoint blocks, which the ContextCleaner reclaims on
+    * GC), so a caller that drops the handle would leak MEMORY_AND_DISK
+    * blocks per call across a long session.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      order: Seq[Column],
+      rankCol: String,
+      partitions: Int = 0,
+      cleanup: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     val spark = df.sparkSession
     val n =
       if (partitions > 0) partitions
@@ -62,6 +74,7 @@ object Ranks {
       // executor loss (recompute is deterministic: seeded range sampling
       // over a total order).
       val ranged = sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (cleanup != null) cleanup += ranged
       // per-partition counts → prefix offsets (numPartitions longs; metadata)
       val counts = ranged
         .groupBy(pidOf.as("__pid"))

@@ -1164,6 +1164,7 @@ object Frontier {
     val root = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_q177_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     graft.sources.Sources
@@ -1251,7 +1252,9 @@ object Frontier {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    sh.select(col("source").as("src_a"), col("h"))
+    // pin the sources² matrix (tiny) eagerly, then release the shingle
+    // cache — q172 discipline: no persisted block outlives the call
+    val matrix = sh.select(col("source").as("src_a"), col("h"))
       .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
@@ -1260,7 +1263,9 @@ object Frontier {
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("nb"))), Seq("src_b"))
       .withColumn("jaccard", col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
       .select(col("src_a"), col("src_b"), col("n_shared"), col("jaccard"))
-      .orderBy(col("src_a"), col("src_b"))
+      .localCheckpoint()
+    sh.unpersist(false)
+    matrix.orderBy(col("src_a"), col("src_b"))
   }
 
   val q179Sql: String =
@@ -1319,20 +1324,30 @@ object Frontier {
     // with near-zero shuffle overhead, a billion users fans out to ~500 —
     // work per task stays bounded at any scale
     val rankParts = math.max(1L, math.min(n / 2000000L + 1L, 10000L)).toInt
+    val caches = scala.collection.mutable.ListBuffer[DataFrame](scored)
     def tiles(metric: String, asc: Boolean, out: String): DataFrame = {
       val ord =
         if (asc) Seq(col(metric).asc, col("user_id").asc)
         else Seq(col(metric).desc, col("user_id").asc)
       graft.operators.Ranks
-        .globalRowNumber(scored.select(col("user_id"), col(metric)), ord, "__r", partitions = rankParts)
+        .globalRowNumber(
+          scored.select(col("user_id"), col(metric)), ord, "__r",
+          partitions = rankParts, cleanup = caches)
         .select(col("user_id"), graft.operators.Ranks.ntileOfRank(col("__r"), n, 5).as(out))
     }
-    tiles("r_days", asc = true, "rq")
+    // pin the 125-row segment table eagerly, then RELEASE every persisted
+    // intermediate (scored + the three rank shuffles) — persist pins blocks
+    // until unpersist, so returning while still holding them would leak
+    // MEMORY_AND_DISK blocks on every call (ContextCleaner only reclaims
+    // checkpoint blocks, not CacheManager entries)
+    val segments = tiles("r_days", asc = true, "rq")
       .join(tiles("f", asc = false, "fq"), "user_id")
       .join(tiles("m", asc = false, "mq"), "user_id")
       .groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("rq"), col("fq"), col("mq"))
+      .localCheckpoint()
+    caches.foreach(_.unpersist(false))
+    segments.orderBy(col("rq"), col("fq"), col("mq"))
   }
 
   val q172Sql: String =

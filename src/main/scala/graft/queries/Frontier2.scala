@@ -36,6 +36,7 @@ object Frontier2 {
     val root = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_q180_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     graft.sources.Sources.writeOrc(ev, root.toString)

@@ -2,6 +2,8 @@ package graft.kv
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** Reference-parity tests for the KV engine (SURVEY.md §2.1 semantics):
@@ -136,5 +138,75 @@ class KvEngineSpec extends SparkSpec {
     e.writeKey("b", "k", "v")
     assert(e.flushAllCollections().isEmpty)
     assert(!e.isHotTier("a") && !e.isHotTier("b"))
+  }
+
+  // ---- batch WAL durability ----
+
+  test("upsertBatch is durable before return: a fresh engine over the same dir replays the WAL") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kv").toString
+    val e = new KvEngine(spark, dir, autoCreate = true)
+    e.upsertBatch("wal1", Seq(("k1", "a"), ("k2", "b")).toDF("key", "value"))
+    e.upsertBatch("wal1", Seq(("k2", "b2"), ("k3", "c")).toDF("key", "value"))
+    // simulate a crash: all hot state (overlay, checkpoint blocks) is gone
+    val e2 = new KvEngine(spark, dir, autoCreate = true)
+    assert(e2.listCollections().contains("wal1"))
+    assert(e2.collectionExists("wal1"))
+    // last-write-wins across replayed batches, never-flushed collection
+    assert(e2.readKey("wal1", "k1") == "a")
+    assert(e2.readKey("wal1", "k2") == "b2")
+    assert(e2.readKey("wal1", "k3") == "c")
+    assert(e2.collection("wal1").count() == 3)
+  }
+
+  test("WAL-only collection is consistently visible across the whole API surface") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kv").toString
+    val e = new KvEngine(spark, dir, autoCreate = true)
+    e.upsertBatch("only", Seq(("k", "v")).toDF("key", "value"))
+    val e2 = new KvEngine(spark, dir, autoCreate = true)
+    // every listing/existence/read path agrees the collection exists
+    assert(e2.listCollections() == Seq("only"))
+    assert(e2.collectionExists("only"))
+    assert(!e2.isHot("only")) // durable, not hot — no exception
+    assert(e2.collection("only").count() == 1) // served without a cold dir
+    assert(e2.readKey("only", "k") == "v")
+    // and createCollection refuses to shadow it
+    intercept[CollectionExistsException](e2.createCollection("only"))
+  }
+
+  test("flush truncates the WAL: stale batches never shadow newer cold data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kv").toString
+    val e = new KvEngine(spark, dir, autoCreate = true)
+    e.upsertBatch("t", Seq(("k", "old")).toDF("key", "value"))
+    e.flushCollection("t") // cold now holds k=old; WAL must be gone
+    assert(!Files.isDirectory(java.nio.file.Paths.get(dir, "t.wal")) ||
+      !Files.list(java.nio.file.Paths.get(dir, "t.wal")).iterator().hasNext)
+    e.writeKey("t", "k", "new")
+    e.flushCollection("t")
+    // a fresh engine must see the newest flushed value, not a revived WAL batch
+    val e2 = new KvEngine(spark, dir, autoCreate = true)
+    assert(e2.readKey("t", "k") == "new")
+  }
+
+  test("WAL compaction bounds the replay plan and preserves state bit-for-bit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kv").toString
+    val e = new KvEngine(spark, dir, autoCreate = true)
+    // 12 batches: k is overwritten each time, ki accumulates
+    (1 to 12).foreach { i =>
+      e.upsertBatch("cmp", Seq(("k", s"v$i"), (s"k$i", s"x$i")).toDF("key", "value"))
+    }
+    // compaction (threshold 8) must have folded the tail: few batch dirs remain
+    val walDir = java.nio.file.Paths.get(dir, "cmp.wal")
+    val nBatches = Files.list(walDir).iterator().asScala.count(p =>
+      p.getFileName.toString.matches("^b\\d{8}$"))
+    assert(nBatches <= 9, s"WAL not compacted: $nBatches batch dirs")
+    // recovery state identical to the uncompacted history
+    val e2 = new KvEngine(spark, dir, autoCreate = true)
+    assert(e2.readKey("cmp", "k") == "v12")
+    (1 to 12).foreach(i => assert(e2.readKey("cmp", s"k$i") == s"x$i"))
+    assert(e2.collection("cmp").count() == 13)
   }
 }
