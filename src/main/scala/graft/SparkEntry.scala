@@ -64,7 +64,9 @@ object SparkEntry {
         "q74_ppm_features" -> ((s: SparkSession, d: String) =>
           graft.multimodal.Multimodal.ppmFeatureQuery(s, d)),
         "q132_image_ahash_dedup" -> ((s: SparkSession, d: String) =>
-          graft.multimodal.Multimodal.imageDedupQuery(s, d)))
+          graft.multimodal.Multimodal.imageDedupQuery(s, d)),
+        "q185_png_roundtrip" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.pngFeatureQuery(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -189,5 +191,20 @@ object SparkEntry {
             |gs AS (SELECT ahash_lo, ahash_hi, count(*) AS group_size FROM hh GROUP BY 1, 2)
             |SELECT h2.doc_id, h2.ahash_lo, h2.ahash_hi, gs.group_size
             |FROM hh h2 JOIN gs USING (ahash_lo, ahash_hi)
-            |ORDER BY doc_id""".stripMargin)
+            |ORDER BY doc_id""".stripMargin,
+        // q185: REAL PNG roundtrip — deflate-compressed truecolor PNG with
+        // per-row filter cycling (None/Sub/Up/Average/Paeth), decoded via
+        // CRC-checked chunk walk + inflate + unfilter. byte_len is NOT
+        // reported (a DEFLATE stream's length is not closed-form); the
+        // decode-derived columns must survive the compressed roundtrip.
+        "q185_png_roundtrip" ->
+          """WITH b AS (
+            |  SELECT doc_id, 8 + (doc_id % 17) AS w, 8 + (n_chars % 13) AS h,
+            |         text, length(text) AS len
+            |  FROM documents)
+            |SELECT doc_id, 'image/png' AS media_type,
+            |  CAST(list_sum(list_transform(range(0, 3 * w * h),
+            |       i -> unicode(text[CAST(i % len AS INT) + 1]))) AS BIGINT) AS checksum,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+            |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -78,10 +78,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = fact(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = fact(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
-    * (legacy.parquet.nanosAsLong) and we truncate to micros — identical to
-    * DuckDB's nanos→micros truncation, so oracle timestamps match exactly.
+  /** `events.ts` normalized to session-TZ TimestampType whatever the
+    * fixture generation wrote, so every downstream query sees one type:
+    *  - TIMESTAMP(NANOS) parquet: Spark reads long nanos
+    *    (legacy.parquet.nanosAsLong); truncate to micros — identical to
+    *    DuckDB's nanos→micros truncation, so oracle timestamps match.
+    *  - plain micros (TIMESTAMP_NTZ): cast — value-preserving under the
+    *    UTC session TZ ([[GraftSession.tune]]), matching DuckDB's naive
+    *    reading of the same parquet.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    fact(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = fact(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }

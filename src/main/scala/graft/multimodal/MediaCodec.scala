@@ -239,6 +239,185 @@ object MediaCodec {
     * averaging) and geometry-aware — operates on decoded rows/columns,
     * not the flat byte stream.
     */
+  // ---- PNG: 8-bit truecolor (color type 2), zlib IDAT ------------------
+  //
+  // Real PNG per the W3C spec: signature, CRC-checked chunks, IHDR,
+  // zlib-compressed scanlines (java.util.zip, which IS zlib), and all five
+  // row filters — None/Sub/Up/Average/Paeth — on both sides. The encoder
+  // cycles the filter type per row (y mod 5), so every decode path
+  // (including Paeth's three-way predictor) is exercised by any image of
+  // ≥5 rows; the decoder accepts arbitrary conforming files (e.g. via
+  // binaryFile ingestion), not just our encoder's output.
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte
+    b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte
+    b(off + 3) = (v & 0xff).toByte
+  }
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, chunkType: String, data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putBe32(len, 0, data.length)
+    out.write(len)
+    val tb = chunkType.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tb)
+    crc.update(data)
+    val c = new Array[Byte](4)
+    putBe32(c, 0, crc.getValue.toInt)
+    out.write(c)
+  }
+
+  /** Paeth predictor (PNG spec §9.4): nearest of left/above/upper-left to
+    * the linear estimate left + above − upper-left, ties left > above > UL.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode a logical top-down RGB raster as an 8-bit truecolor PNG.
+    * Row y uses filter type y mod 5 so the stream carries every filter.
+    */
+  def encodePng(r: Raster): Array[Byte] = {
+    require(r.pixels.length == r.width * r.height * 3, "pixel buffer size mismatch")
+    val bpr = r.width * 3
+    val raw = new Array[Byte]((bpr + 1) * r.height)
+    var y = 0
+    while (y < r.height) {
+      val f = y % 5
+      raw(y * (bpr + 1)) = f.toByte
+      var i = 0
+      while (i < bpr) {
+        val cur = r.pixels(y * bpr + i) & 0xff
+        val left = if (i >= 3) r.pixels(y * bpr + i - 3) & 0xff else 0
+        val up = if (y > 0) r.pixels((y - 1) * bpr + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) r.pixels((y - 1) * bpr + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (bpr + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, r.width)
+    putBe32(ihdr, 4, r.height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: truecolor
+    // ihdr(10..12): compression 0, filter 0, interlace 0
+    val out = new java.io.ByteArrayOutputStream
+    out.write(pngSig)
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zOut.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit truecolor non-interlaced PNG: CRC-checked chunk walk,
+    * zlib inflate, per-row unfilter (all five types). Ancillary chunks are
+    * skipped; multiple IDAT chunks concatenate per the spec.
+    */
+  def decodePng(b: Array[Byte]): Raster = {
+    require(b.length >= 8 + 25 + 12, "not a PNG: too short")
+    var i = 0
+    while (i < 8) { require(b(i) == pngSig(i), "not a PNG: bad signature"); i += 1 }
+    var off = 8
+    var width = -1
+    var height = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 8 <= b.length, "PNG: truncated chunk header")
+      val len = be32(b, off)
+      require(len >= 0 && off + 12L + len <= b.length, "PNG: truncated chunk")
+      val chunkType = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(b, off + 8 + len), s"PNG: CRC mismatch in $chunkType")
+      chunkType match {
+        case "IHDR" =>
+          require(len == 13, "PNG: bad IHDR length")
+          width = be32(b, off + 8)
+          height = be32(b, off + 12)
+          require(width > 0 && height > 0, "PNG: non-positive dimensions")
+          require(width <= 65536 && height <= 65536, "PNG: dimensions exceed supported maximum")
+          require(b(off + 16) == 8, "PNG: only bit depth 8 supported")
+          require(b(off + 17) == 2, "PNG: only truecolor (type 2) supported")
+          require(b(off + 18) == 0 && b(off + 19) == 0, "PNG: bad compression/filter method")
+          require(b(off + 20) == 0, "PNG: interlace not supported")
+        case "IDAT" =>
+          require(width > 0, "PNG: IDAT before IHDR")
+          idat.write(b, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary (tEXt, gAMA, …): CRC-checked, skipped
+      }
+      off += 12 + len
+    }
+    require(idat.size > 0, "PNG: no IDAT data")
+    val bpr = width * 3
+    val raw = new Array[Byte]((bpr + 1) * height)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "PNG: truncated or corrupt zlib stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, "PNG: scanline data size mismatch")
+    val pixels = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (bpr + 1)) & 0xff
+      require(f <= 4, s"PNG: unknown filter type $f")
+      var x = 0
+      while (x < bpr) {
+        val v = raw(y * (bpr + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) pixels(y * bpr + x - 3) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * bpr + x) & 0xff else 0
+        val ul = if (y > 0 && x >= 3) pixels((y - 1) * bpr + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        pixels(y * bpr + x) = ((v + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Raster(width, height, pixels)
+  }
+
   def downsample(r: Raster, factor: Int): Raster = {
     require(factor >= 1, "factor must be >= 1")
     val nw = math.max(1, r.width / factor)

@@ -120,6 +120,24 @@ object Multimodal {
     }
   }
 
+  /** documents → real compressed PNG payloads (8-bit truecolor, zlib
+    * IDAT, filter type cycling per row so decode exercises all five
+    * filters incl. Paeth). Dimensions are closed-form in (doc_id,
+    * n_chars): width = 8 + doc_id % 17, height = 8 + n_chars % 13.
+    */
+  def asPngMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docTriples(df).mapPartitions { rows =>
+      rows.map { case (id, text, nChars) =>
+        val w = (8 + id % 17).toInt
+        val h = (8 + nChars % 13).toInt
+        val px = cycleBytes(text.getBytes("UTF-8"), w * h * 3)
+        MediaRow(id, "image/png", MediaCodec.encodePng(MediaCodec.Raster(w, h, px)))
+      }
+    }
+  }
+
   /** documents → binary P6 PPM payloads: width = 4 + n_chars % 13,
     * height = 4 + doc_id % 11.
     */
@@ -167,6 +185,7 @@ object Multimodal {
       rows.map { r =>
         val raster = r.media_type match {
           case "image/bmp" => MediaCodec.decodeBmp(r.payload)
+          case "image/png" => MediaCodec.decodePng(r.payload)
           case "image/ppm" => MediaCodec.decodePpm(r.payload)
           case t => throw new IllegalArgumentException(s"not an image media_type: $t")
         }
@@ -350,6 +369,18 @@ object Multimodal {
   def featureQuery(spark: SparkSession, dir: String): DataFrame =
     imageFeatures(asBmpMedia(graft.core.Tables.documents(spark, dir)))
       .toDF()
+      .orderBy(col("doc_id"))
+
+  /** PNG roundtrip features. `byte_len` is dropped: a DEFLATE stream's
+    * length is not closed-form (it depends on the zlib implementation),
+    * so the oracle checks the decode-derived columns — which is the
+    * point: checksum/width/height surviving the compressed roundtrip
+    * proves the inflate + unfilter path bit-exact.
+    */
+  def pngFeatureQuery(spark: SparkSession, dir: String): DataFrame =
+    imageFeatures(asPngMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .drop("byte_len")
       .orderBy(col("doc_id"))
 
   def ppmFeatureQuery(spark: SparkSession, dir: String): DataFrame =

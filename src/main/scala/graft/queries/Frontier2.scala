@@ -298,15 +298,77 @@ object Frontier2 {
        |SELECT CAST(i - 1 AS BIGINT) AS pos, v6 AS loading_u FROM v3 ORDER BY pos""".stripMargin
   }
 
+  // -- q184: manifest-pinned time travel across a GDPR delete -----------
+
+  /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
+    * table is committed as manifest v1 ([[graft.sources.Snapshots]]),
+    * then a GDPR-style [[graft.sources.Sources.deleteWhere]] removes
+    * every `click` row — rewriting (or wholly archiving) a file in EVERY
+    * day partition and committing v2. The query reports each day twice:
+    * from the PINNED v1 snapshot (served mostly from archived files the
+    * live tree no longer lists) and from the latest manifest. The ORACLE
+    * recomputes both sides directly from raw events, so the hash match
+    * proves time travel is exact — v1 still shows the deleted rows
+    * bit-for-bit, v2 shows none. At 100 TB this is the table-format
+    * guarantee that makes maintenance safe to run under live readers:
+    * a reader's results depend only on its pinned manifest, never on
+    * maintenance timing; the snapshot scan is an explicit file list, so
+    * it costs no extra I/O over the directory read it replaces.
+    */
+  def q184(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    // keyed by data dir AND the Spark app id: concurrent runs over the same
+    // fixture (Verify + Bench on one box) must not race on delete-then-
+    // rewrite, and distinct data dirs must not collide via hashCode
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q184_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(stats, root.toString, Seq("day"))
+    val v1 = graft.sources.Snapshots.commit(s, root.toString)
+    graft.sources.Sources.deleteWhere(s, root.toString, col("event_type") === "click")
+    def perDay(df: DataFrame, nCol: String, uCol: String): DataFrame = df
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as(nCol), sum(col("sum_u")).as(uCol))
+    val pinned = perDay(graft.sources.Snapshots.readSnapshot(s, root.toString, v1), "n_v1", "u_v1")
+    val latest = perDay(graft.sources.Snapshots.readSnapshot(s, root.toString), "n_v2", "u_v2")
+    pinned
+      .join(latest, Seq("day"), "left") // a click-only day vanishes from v2
+      .select(
+        col("day"),
+        col("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        col("u_v1"),
+        coalesce(col("u_v2"), lit(0L)).as("u_v2"))
+      .orderBy(col("day"))
+  }
+
+  val q184Sql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  count(*) AS n_v1,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+      |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS u_v1,
+      |  CAST(sum(CASE WHEN event_type <> 'click'
+      |    THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS u_v2
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q180_orc_roundtrip" -> (q180 _),
     "q181_quantization_audit" -> (q181 _),
     "q182_k_anonymity" -> (q182 _),
-    "q183_pca_power" -> (q183 _))
+    "q183_pca_power" -> (q183 _),
+    "q184_time_travel" -> (q184 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
     "q181_quantization_audit" -> q181Sql,
     "q182_k_anonymity" -> q182Sql,
-    "q183_pca_power" -> q183Sql)
+    "q183_pca_power" -> q183Sql,
+    "q184_time_travel" -> q184Sql)
 }

@@ -126,6 +126,9 @@ object Sources {
         df.repartitionByRange(n, sc: _*).sortWithinPartitions(sc: _*)
       } else df.repartition(n)
     laid.write.mode(SaveMode.Overwrite).parquet(outPath)
+    // the compacted layout is a maintenance commit: give it a pinnable
+    // baseline manifest (the Overwrite wiped any prior history at outPath)
+    Snapshots.commit(spark, outPath)
     nFiles
   }
 
@@ -225,10 +228,13 @@ object Sources {
     * of file rewrites, not a table rewrite. Returns
     * (affectedFiles, rowsDeleted).
     *
-    * Concurrency note: like the reference's cold tier (and unlike a real
-    * table format's commit log), the swap is per-file atomic but the
-    * multi-file delete is not transactional — a concurrent reader can see
-    * some files rewritten before others.
+    * Concurrency note: the swap is per-file atomic but the multi-file
+    * delete is not transactional — a DIRECTORY-listing reader can see some
+    * files rewritten before others. Readers that need a consistent view
+    * pin a manifest ([[Snapshots.readSnapshot]]): replaced files are
+    * archived, never destroyed, so every committed manifest stays
+    * readable until [[Snapshots.vacuum]]. A baseline manifest is
+    * committed before the first mutation and a new one after the delete.
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
     import org.apache.spark.sql.functions.input_file_name
@@ -242,6 +248,7 @@ object Sources {
       .map(r => (r.getString(0), r.getLong(1)))
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
     affected.foreach { case (uri, _) =>
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
       // three-valued logic: a NULL predicate row must be KEPT (the delete
@@ -249,7 +256,7 @@ object Sources {
       // it, silently deleting rows a GDPR-style delete never targeted
       val keep = spark.read.parquet(uri).filter(!coalesce(predicate, lit(false)))
       if (keep.isEmpty) {
-        fs.delete(filePath, false)
+        Snapshots.archiveFile(fs, hadoopPath, filePath)
       } else {
         val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
         keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
@@ -258,11 +265,16 @@ object Sources {
           .map(_.getPath)
           .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
-        fs.delete(filePath, false)
-        fs.rename(part, filePath)
+        // archive the old file (atomic rename — becomes invisible to
+        // directory readers), then land the rewrite under the PART JOB'S
+        // OWN generated name: rel paths are never reused, so a pinned
+        // manifest entry denotes exactly one immutable file forever
+        Snapshots.archiveFile(fs, hadoopPath, filePath)
+        fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
         fs.delete(tmpDir, true)
       }
     }
+    if (affected.nonEmpty) Snapshots.commit(spark, root)
     (affected.length.toLong, affected.map(_._2).sum)
   }
 
@@ -309,6 +321,7 @@ object Sources {
       .map(_.getString(0))
       .sorted
       .toSeq
+    if (fs.exists(hadoopPath)) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
     val existingDirs = affected
       .map(v => new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v"))
       .filter(fs.exists)
@@ -332,13 +345,16 @@ object Sources {
       val live = new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v")
       val fresh = new org.apache.hadoop.fs.Path(stage, s"$partitionCol=$v")
       val aside = new org.apache.hadoop.fs.Path(hadoopPath, s".merge-old-$partitionCol=$v")
-      if (fs.exists(aside)) fs.delete(aside, true) // leftover from an earlier crash
+      // leftover aside from an earlier crash: its files belong to a
+      // then-committed manifest — archive them (never destroy)
+      Snapshots.archiveDirContents(fs, hadoopPath, aside, s"$partitionCol=$v")
       val hadLive = fs.exists(live)
       if (hadLive) fs.rename(live, aside)
       if (fs.exists(fresh)) fs.rename(fresh, live)
-      if (hadLive) fs.delete(aside, true)
+      if (hadLive) Snapshots.archiveDirContents(fs, hadoopPath, aside, s"$partitionCol=$v")
     }
     fs.delete(stage, true)
+    Snapshots.commit(spark, root)
     affected
   }
 
@@ -368,7 +384,13 @@ object Sources {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(st => st.getPath)
       .filter(p => !keep(p.getName.stripPrefix(prefix)))
-    expired.foreach(p => fs.delete(p, true))
+    if (expired.nonEmpty) {
+      Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+      // archive, don't destroy: still rename-only metadata ops, and every
+      // committed manifest keeps reading until Snapshots.vacuum
+      expired.foreach(p => Snapshots.archiveDirContents(fs, hadoopPath, p, p.getName))
+      Snapshots.commit(spark, root)
+    }
     expired.map(_.getName.stripPrefix(prefix)).sorted
   }
 }

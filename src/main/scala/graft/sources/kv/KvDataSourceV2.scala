@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -340,12 +341,20 @@ class KvStatsScan(root: String, collections: Option[Set[String]], grouped: Boole
     s"GraftKvStatsScan root=$root grouped=$grouped PushedAggregates: [${names.mkString(", ")}]"
   }
 
+  @volatile private var prunedCollections = 0L
+
   override def planInputPartitions(): Array[InputPartition] = {
     val all = KvDataSourceV2.listCollections(root)
     val selected = collections.fold(all)(want => all.filter(want))
+    prunedCollections = (all.size - selected.size).toLong
     if (grouped) selected.map(c => KvStatsPartition(Seq(c)): InputPartition).toArray
     else Array(KvStatsPartition(selected))
   }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = KvMetrics.statsMetrics
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    Array(KvMetrics.Task(KvMetrics.CollectionsPruned, prunedCollections))
 
   override def createReaderFactory(): PartitionReaderFactory = KvStatsReaderFactory(root, grouped, aggs)
 }
@@ -357,6 +366,10 @@ case class KvStatsReaderFactory(root: String, grouped: Boolean, aggs: Seq[String
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvStatsPartition]
     new PartitionReader[InternalRow] {
+      private var footerOnly = 0L
+
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(KvMetrics.Task(KvMetrics.FooterOnlyFiles, footerOnly))
       // UTF-8 binary order, matching both parquet's BINARY stats order and
       // Spark's evaluation of MIN/MAX over strings (UTF8String compare) —
       // java String <= is UTF-16 order, wrong for supplementary chars
@@ -391,7 +404,7 @@ case class KvStatsReaderFactory(root: String, grouped: Boolean, aggs: Seq[String
             }
             (n, mn, mx, ok)
           } finally r.close()
-        if (ok || n == 0) (n, mn, mx)
+        if (ok || n == 0) { footerOnly += 1; (n, mn, mx) }
         else { // fallback: walk this file's keys
           val rd = ParquetReader.builder(new GroupReadSupport(), new Path(f)).withConf(conf).build()
           try {
@@ -446,6 +459,40 @@ case class KvStatsReaderFactory(root: String, grouped: Boolean, aggs: Seq[String
   }
 }
 
+/** SQLMetrics for the graft-kv scans (VERDICT r6 #7): the connector's
+  * pushdown wins — collections pruned at planning, rows dropped inside the
+  * reader, footer-only answers — surface on the BatchScan node in the
+  * Spark UI / `executedPlan.metrics`, same as the built-in parquet
+  * source's `numFiles`/`pushedFilters`, so a 1000-executor run can SEE
+  * that a point probe opened one directory and shipped one row.
+  */
+private[sources] object KvMetrics {
+  final class Sum(metricName: String, metricDescription: String) extends CustomSumMetric {
+    override def name(): String = metricName
+    override def description(): String = metricDescription
+  }
+  final case class Task(metricName: String, metricValue: Long) extends CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
+
+  val FilesPlanned = "kvFilesPlanned"
+  val CollectionsPruned = "kvCollectionsPruned"
+  val RowsScanned = "kvRowsScanned"
+  val RowsEmitted = "kvRowsEmitted"
+  val FooterOnlyFiles = "kvFooterOnlyFiles"
+
+  def scanMetrics: Array[CustomMetric] = Array(
+    new Sum(FilesPlanned, "parquet files planned after collection pruning"),
+    new Sum(CollectionsPruned, "collections pruned at planning time"),
+    new Sum(RowsScanned, "rows walked in the parquet readers"),
+    new Sum(RowsEmitted, "rows emitted past pushed key predicates"))
+
+  def statsMetrics: Array[CustomMetric] = Array(
+    new Sum(FooterOnlyFiles, "files answered from parquet footer stats (no row read)"),
+    new Sum(CollectionsPruned, "collections pruned at planning time"))
+}
+
 class KvScan(
     root: String,
     required: StructType,
@@ -465,13 +512,27 @@ class KvScan(
     s"GraftKvScan root=$root PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
+  // populated by planInputPartitions (driver-side), reported after the
+  // batch is planned via reportDriverMetrics
+  @volatile private var plannedFiles = 0L
+  @volatile private var prunedCollections = 0L
+
   override def planInputPartitions(): Array[InputPartition] = {
     val all = KvDataSourceV2.listCollections(root)
     val selected = collections.fold(all)(want => all.filter(want)) // directory-level pruning
-    selected.flatMap { c =>
+    prunedCollections = (all.size - selected.size).toLong
+    val parts = selected.flatMap { c =>
       KvDataSourceV2.listParquetFiles(root, c).map(f => KvInputPartition(c, f): InputPartition)
     }.toArray
+    plannedFiles = parts.length.toLong
+    parts
   }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] = KvMetrics.scanMetrics
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] = Array(
+    KvMetrics.Task(KvMetrics.FilesPlanned, plannedFiles),
+    KvMetrics.Task(KvMetrics.CollectionsPruned, prunedCollections))
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvReaderFactory(required.fieldNames, keyEquals, limit, keyRange)
@@ -509,11 +570,17 @@ class KvPartitionReader(
     ParquetReader.builder(new GroupReadSupport(), new Path(file)).withConf(new Configuration()).build()
   private var row: InternalRow = _
   private var emitted = 0
+  private var scanned = 0L
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    KvMetrics.Task(KvMetrics.RowsScanned, scanned),
+    KvMetrics.Task(KvMetrics.RowsEmitted, emitted.toLong))
 
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false // pushed limit: stop the row walk early
     var g = reader.read()
     while (g != null) {
+      scanned += 1
       val key = if (g.getFieldRepetitionCount("key") > 0) g.getString("key", 0) else null
       if (keyEquals.forall(_ == key) && (keyRange.isAll || keyRange.contains(key))) {
         val value = if (g.getFieldRepetitionCount("value") > 0) g.getString("value", 0) else null

@@ -41,6 +41,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG roundtrips all widths; ≥5 rows exercises every filter incl. Paeth") {
+    for (w <- 1 to 9; h <- Seq(1, 6)) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 251).toByte)
+      val back = MediaCodec.decodePng(MediaCodec.encodePng(Raster(w, h, px)))
+      assert(back.width == w && back.height == h && back.pixels.sameElements(px),
+        s"roundtrip failed at ${w}x$h")
+    }
+    // worst case for Average/Paeth rounding: extreme byte values adjacent
+    val extremes = Array.tabulate[Byte](4 * 7 * 3)(i => (if (i % 2 == 0) 0 else 255).toByte)
+    val back = MediaCodec.decodePng(MediaCodec.encodePng(Raster(4, 7, extremes)))
+    assert(back.pixels.sameElements(extremes))
+  }
+
+  test("PNG is really compressed and decode skips ancillary chunks") {
+    // constant raster: DEFLATE must beat the raw size by a wide margin
+    val w = 64; val h = 32
+    val flat = Array.fill[Byte](w * h * 3)(42)
+    val png = MediaCodec.encodePng(Raster(w, h, flat))
+    assert(png.length < w * h * 3 / 4, s"png not compressed: ${png.length} bytes")
+    // splice a tEXt chunk (with a correct CRC) between IHDR and IDAT:
+    // a conforming decoder must CRC-check and skip it
+    val ihdrEnd = 8 + 12 + 13
+    val data = "comment".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put("tEXt".getBytes("US-ASCII")).put(data).putInt(crc.getValue.toInt)
+    val spliced = png.take(ihdrEnd) ++ bb.array() ++ png.drop(ihdrEnd)
+    assert(MediaCodec.decodePng(spliced).pixels.sameElements(flat))
+  }
+
+  test("PNG decode rejects malformed input") {
+    val good = MediaCodec.encodePng(Raster(3, 3, Array.tabulate[Byte](27)(_.toByte)))
+    intercept[IllegalArgumentException](MediaCodec.decodePng(Array[Byte](1, 2, 3)))
+    val badSig = good.clone(); badSig(0) = 'X'
+    intercept[IllegalArgumentException](MediaCodec.decodePng(badSig))
+    // flip one IDAT payload byte: the chunk CRC must catch it
+    val corrupt = good.clone()
+    corrupt(8 + 25 + 8 + 2) = (corrupt(8 + 25 + 8 + 2) ^ 0x40).toByte
+    intercept[IllegalArgumentException](MediaCodec.decodePng(corrupt))
+    intercept[IllegalArgumentException](MediaCodec.decodePng(good.dropRight(6))) // truncated
+  }
+
   test("BMP decode rejects malformed input") {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1, 2, 3)))
     val good = MediaCodec.encodeBmp(Raster(2, 2, new Array[Byte](12)))

@@ -266,6 +266,30 @@ class KvDsv2Spec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
   }
 
+  test("SQLMetrics: point probe reports files planned, collections pruned, rows scanned/emitted") {
+    val q = table.filter("collection = 'metrics' AND key = 'cpu'")
+    assert(q.collect().length == 1) // execute THIS plan (metrics are per-execution)
+    val scan = q.queryExecution.executedPlan
+      .collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .get
+    def m(name: String): Long = scan.metrics(name).value
+    assert(m(graft.sources.kv.KvMetrics.CollectionsPruned) == 1L, "logs dir must be pruned")
+    assert(m(graft.sources.kv.KvMetrics.FilesPlanned) >= 1L)
+    assert(m(graft.sources.kv.KvMetrics.RowsScanned) == 2L, "walks only the metrics files")
+    assert(m(graft.sources.kv.KvMetrics.RowsEmitted) == 1L, "only the probed key leaves the scan")
+  }
+
+  test("SQLMetrics: footer-only aggregate reports files answered without reading rows") {
+    val q = table.groupBy("collection").count()
+    assert(q.collect().length == 2)
+    val scan = q.queryExecution.executedPlan
+      .collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .get
+    assert(scan.metrics(graft.sources.kv.KvMetrics.FooterOnlyFiles).value >= 2L)
+  }
+
   test("robustness: empty root reads as empty, missing path option fails loudly") {
     val empty = Files.createTempDirectory("graftkv-empty").toString
     assert(spark.read.format("graft-kv").load(empty).collect().isEmpty)

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def table(dir: String): Unit = {
+    val base = Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+    // one file per partition dir: id=1 and id=2 share day=2024-01-01's
+    // file, so deleteWhere(id=2) exercises the REWRITE path (not the
+    // whole-file-archive path)
+    Sources.writeParquet(base.repartition(1), dir, partitionCols = Seq("day"))
+  }
+
+  test("a reader pinned to manifest v1 sees byte-identical results across a merge that writes v2") {
+    val dir = Files.createTempDirectory("snap_merge").toString + "/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir)
+    assert(v1 == 1L)
+    val pinnedBefore = Snapshots
+      .readSnapshot(spark, dir, v1)
+      .select($"id", $"day".cast("string").as("day"), $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    // the "concurrent reader" — resolve v1's files now, as a reader that
+    // planned its scan before the merge landed would have
+    val resolvedBefore = Snapshots.files(spark, dir, v1).map(rel => Snapshots.resolve(spark, dir, rel).toString)
+    val delta = Seq((3L, "2024-01-02", 99.0), (5L, "2024-01-02", 21.0)).toDF("id", "day", "v")
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // v1 re-read AFTER the merge: identical rows, even though day=2024-01-02
+    // was rewritten and its old file left the live tree
+    val pinnedAfter = Snapshots
+      .readSnapshot(spark, dir, v1)
+      .select($"id", $"day".cast("string").as("day"), $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(pinnedAfter == pinnedBefore)
+    assert(pinnedAfter.contains((3L, "2024-01-02", 20.0)), "v1 must show the PRE-merge value")
+    // the scan a pre-merge reader planned still resolves: every v1 file is
+    // live or archived, none destroyed
+    val resolvedAfter = Snapshots.files(spark, dir, v1).map(rel => Snapshots.resolve(spark, dir, rel).toString)
+    assert(resolvedAfter.size == resolvedBefore.size)
+    resolvedAfter.foreach(p => assert(new java.io.File(new java.net.URI(p).getPath).exists(), s"$p vanished"))
+    // the live table (latest manifest) shows the merged state
+    val live = Snapshots
+      .readSnapshot(spark, dir)
+      .filter($"day" === "2024-01-02")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("v")))
+      .toSet
+    assert(live == Set((3L, 99.0), (5L, 21.0)))
+    // and the directory read agrees with the latest manifest
+    assert(spark.read.parquet(dir).count() == Snapshots.readSnapshot(spark, dir).count())
+  }
+
+  test("deleteWhere: v1 pins the pre-delete rows; live and v2 lose them; rel paths never reused") {
+    val dir = Files.createTempDirectory("snap_del").toString + "/t"
+    table(dir)
+    // no explicit commit: deleteWhere's ensureBaseline must pin the pre-state
+    val (files, rows) = Sources.deleteWhere(spark, dir, $"id" === 2L)
+    assert(files == 1L && rows == 1L)
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    val v1 = Snapshots.readSnapshot(spark, dir, 1L)
+    assert(v1.count() == 4L)
+    assert(v1.filter($"id" === 2L).count() == 1L, "pre-delete snapshot lost the deleted row")
+    val v2 = Snapshots.readSnapshot(spark, dir, 2L)
+    assert(v2.count() == 3L && v2.filter($"id" === 2L).count() == 0L)
+    assert(spark.read.parquet(dir).count() == 3L)
+    // the rewritten file landed under a FRESH name: v1 and v2 share no
+    // rel path for the rewritten partition's data
+    val f1 = Snapshots.files(spark, dir, 1L).toSet
+    val f2 = Snapshots.files(spark, dir, 2L).toSet
+    assert((f2 -- f1).nonEmpty, "rewrite must mint a new rel path")
+    // partition-column inference survives for archived files
+    assert(v1.select($"day".cast("string")).distinct().count() == 3L)
+  }
+
+  test("vacuum keeps retained manifests readable and reclaims unreferenced archive files") {
+    val dir = Files.createTempDirectory("snap_vac").toString + "/t"
+    table(dir)
+    Sources.deleteWhere(spark, dir, $"id" === 1L) // v1 (baseline) + v2
+    Sources.deleteWhere(spark, dir, $"id" === 3L) // v3
+    assert(Snapshots.latestVersion(spark, dir) == 3L)
+    assert(Snapshots.readSnapshot(spark, dir, 1L).count() == 4L)
+    val reclaimed = Snapshots.vacuum(spark, dir, keepLast = 2)
+    assert(reclaimed.nonEmpty, "v1-only files should be reclaimed")
+    // v1 is gone; v2 and v3 still read exactly
+    intercept[RuntimeException](Snapshots.readSnapshot(spark, dir, 1L))
+    assert(Snapshots.readSnapshot(spark, dir, 2L).count() == 3L)
+    assert(Snapshots.readSnapshot(spark, dir, 3L).count() == 2L)
+    // vacuum to latest-only: archive fully reclaimed for this history
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.readSnapshot(spark, dir, 3L).count() == 2L)
+    assert(!new java.io.File(s"$dir/${Snapshots.ArchiveDirName}").exists, "archive should prune to nothing")
+  }
+
+  test("expirePartitions archives expired partitions; the pre-TTL snapshot still reads them") {
+    val dir = Files.createTempDirectory("snap_ttl").toString + "/t"
+    table(dir)
+    val expired = Sources.expirePartitions(spark, dir, "day", keep = _ >= "2024-01-02")
+    assert(expired == Seq("2024-01-01"))
+    assert(spark.read.parquet(dir).count() == 2L)
+    assert(Snapshots.readSnapshot(spark, dir).count() == 2L)
+    val v1 = Snapshots.readSnapshot(spark, dir, 1L)
+    assert(v1.count() == 4L)
+    assert(v1.filter($"day" === "2024-01-01").count() == 2L)
+  }
+
+  test("merge crash leftovers are archived, not destroyed") {
+    val dir = Files.createTempDirectory("snap_crash").toString + "/t"
+    val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base, dir, partitionCols = Seq("day"))
+    // a crashed earlier merge left the partition's OLD file renamed aside
+    val aside = new java.io.File(s"$dir/.merge-old-day=2024-01-02")
+    aside.mkdirs()
+    java.nio.file.Files.write(aside.toPath.resolve("stranded.parquet"), Array[Byte](1, 2, 3))
+    val delta = Seq((2L, "2024-01-02", 99.0)).toDF("id", "day", "v")
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    assert(!aside.exists())
+    val archived = new java.io.File(s"$dir/${Snapshots.ArchiveDirName}/day=2024-01-02/stranded.parquet")
+    assert(archived.exists(), "stranded pre-crash file must be archived for manifest readers")
+    assert(java.nio.file.Files.readAllBytes(archived.toPath).toSeq == Seq[Byte](1, 2, 3))
+  }
+}

@@ -19,15 +19,38 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  /** Streaming twin of [[graft.core.Tables.events]]'s normalization: the
+    * file-source needs an explicit schema, so probe the parquet's physical
+    * `ts` type batch-side first (long nanos in older fixture generations,
+    * plain micros TIMESTAMP_NTZ in current ones) and normalize to
+    * session-TZ TimestampType either way.
+    */
+  private def streamEvents(dir: String): org.apache.spark.sql.DataFrame = {
+    val phys = spark.read.parquet(dir).schema("ts").dataType
+    phys match {
+      case org.apache.spark.sql.types.LongType =>
+        spark.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+          .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ =>
+        spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .parquet(dir)
+    }
+  }
+
   test("file-source stream: windowed counts equal the batch answer") {
     import spark.implicits._
     val dir = stagedEventsDir()
     // stream side — nanos were written by the generator; read via the long
     // column then convert, same as the batch path
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = streamEvents(dir)
     val agg = Streaming.windowedCounts(raw, "1 hour", "10 minutes")
     val got = Streaming
       .runToMemory(spark, agg, "win_counts", OutputMode.Complete())
@@ -162,10 +185,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val srcDir = stagedEventsDir()
     val outDir = Files.createTempDirectory("evsink").toString
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = streamEvents(srcDir)
     val q = raw.writeStream
       .format("parquet")
       .option("path", s"$outDir/data")
@@ -723,10 +743,7 @@ class StreamingSpec extends SparkSpec {
   test("session windows produce bounded state output") {
     import spark.implicits._
     val dir = stagedEventsDir()
-    val raw = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = streamEvents(dir)
     val agg = Streaming.sessionCounts(raw, "30 minutes", "10 minutes")
     val out = Streaming.runToMemory(spark, agg, "sess_counts", OutputMode.Complete())
     assert(out.count() > 0)
@@ -776,19 +793,14 @@ class StreamingSpec extends SparkSpec {
     try {
       val srcDir = Files.createTempDirectory("ckptsrc").toString
       val outDir = Files.createTempDirectory("ckptout").toString
-      // raw fixture rows (ts still long nanos) split in half by event_id
-      val raw = spark.read
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$sf/events.parquet")
+      // raw fixture rows (physical ts type preserved) split in half by event_id
+      val raw = spark.read.parquet(s"$sf/events.parquet")
       val cut = raw.selectExpr("percentile(event_id, 0.5)").first().getDouble(0)
       raw.filter(col("event_id") <= cut).write.mode("append").parquet(srcDir)
 
       def start() = Streaming
         .runningTotals(
-          spark.readStream
-            .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-            .parquet(srcDir)
-            .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          streamEvents(srcDir)
             .as[Event])
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
