@@ -298,6 +298,148 @@ object Frontier2 {
        |SELECT CAST(i - 1 AS BIGINT) AS pos, v6 AS loading_u FROM v3 ORDER BY pos""".stripMargin
   }
 
+  // -- q186: top-3 principal components by power iteration + deflation --
+
+  /** Extends q183 to a top-k PCA (k = 3) by HOTELLING DEFLATION: after
+    * component c's direction v is estimated, every vector is replaced by
+    * its residual x − (x·v)v and the next component is power-iterated on
+    * the deflated corpus. Same exact-integer discipline as q183 (micro-
+    * unit vectors and directions, milli-unit projections, floor-scaled
+    * back-projections, one IEEE float normalize per iteration), so both
+    * engines walk bit-identical states; the deflation subtraction
+    * `xu − ⌊dot_m·v6/10³⌋` is itself exact integer arithmetic.
+    *
+    * 100 TB shape: identical to q183 per component — broadcast the 64-row
+    * direction, two keyed hash aggs per iteration; deflation adds one
+    * vec_id-keyed join per component. Loop state is only the 64-row
+    * direction; each deflated corpus is persisted and feeds the next
+    * component's 3 iterations (6 consumptions), then the law
+    * Frontier2Spec proves pairwise near-orthogonality of the results.
+    */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    def explodeMicro(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"),
+        col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("xu"))
+    def powerIterate(xu: DataFrame): DataFrame = {
+      var v: DataFrame = s
+        .range(0, 64)
+        .select(col("id").cast("int").as("pos"), lit(125000L).as("v6"))
+      for (_ <- 1 to 3) {
+        val dots = xu
+          .join(broadcast(v), Seq("pos"))
+          .groupBy(col("vec_id"))
+          .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
+        val w = xu
+          .join(dots, Seq("vec_id"))
+          .groupBy(col("pos"))
+          .agg(floor(sum(col("xu") * col("dot_m")).cast("double") / lit(1e6)).cast("long").as("w3"))
+        val nrm = w.agg(
+          greatest(sqrt(sum(col("w3") * col("w3")).cast("double")), lit(1e-30)).as("nrm"))
+        v = w
+          .crossJoin(broadcast(nrm))
+          .select(
+            col("pos"),
+            floor(col("w3").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
+              .cast("long")
+              .as("v6"))
+      }
+      v
+    }
+    def deflate(xu: DataFrame, v: DataFrame): DataFrame = {
+      val dots = xu
+        .join(broadcast(v), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
+      xu
+        .join(dots, Seq("vec_id"))
+        .join(broadcast(v), Seq("pos"))
+        .select(
+          col("vec_id"),
+          col("pos"),
+          (col("xu") - floor((col("dot_m") * col("v6")).cast("double") / lit(1e3)).cast("long"))
+            .as("xu"))
+    }
+    // A direction is a 64-row MODEL PARAMETER (k-means-centroid scale):
+    // collect it and restart the next stage from a literal frame. Without
+    // this the logical plan is exponential — v's plan references xu ~2×
+    // per iteration, deflation references v twice, and component 3's tree
+    // transitively re-inlines everything (measured: analyzer OOM).
+    def materialize(v: DataFrame): DataFrame = {
+      import s.implicits._
+      v.select(col("pos").cast("int"), col("v6"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .toSeq
+        .toDF("pos", "v6")
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var xu = explodeMicro(Tables.embeddings(s, d)).persist(lvl)
+    var out = List.empty[DataFrame]
+    for (c <- 1 to 3) {
+      val v = materialize(powerIterate(xu))
+      out ::= v.select(lit(c.toLong).as("component"), col("pos").cast("long").as("pos"), col("v6").as("loading_u"))
+      if (c < 3) xu = deflate(xu, v).persist(lvl)
+    }
+    out.reverse
+      .reduce(_.unionByName(_))
+      .orderBy(col("component"), col("pos"))
+  }
+
+  val q186Sql: String = {
+    // one power iteration over corpus `src`, reading direction `prev`,
+    // emitting direction v_c{c}i{n}
+    // every CTE MATERIALIZED: DuckDB's default inlining re-expands the
+    // multi-referenced corpus/direction CTEs into an exponential tree
+    // (measured: "Too many open files" on the parquet source)
+    def iter(c: Int, n: Int, prev: String, src: String): String =
+      s"""d_c${c}i$n AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(sum($src.xu * $prev.v6) AS DOUBLE) / 1e9) AS BIGINT) AS dot_m
+         |  FROM $src JOIN $prev USING (i) GROUP BY vec_id),
+         |w_c${c}i$n AS MATERIALIZED (
+         |  SELECT i,
+         |    CAST(floor(CAST(sum($src.xu * d_c${c}i$n.dot_m) AS DOUBLE) / 1e6) AS BIGINT) AS w3
+         |  FROM $src JOIN d_c${c}i$n USING (vec_id) GROUP BY i),
+         |n_c${c}i$n AS MATERIALIZED (SELECT greatest(sqrt(CAST(sum(w3 * w3) AS DOUBLE)), 1e-30) AS nrm FROM w_c${c}i$n),
+         |v_c${c}i$n AS MATERIALIZED (
+         |  SELECT i, CAST(floor(CAST(w3 AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT) AS v6
+         |  FROM w_c${c}i$n, n_c${c}i$n)""".stripMargin
+    def component(c: Int, src: String): String =
+      Seq(
+        s"v_c${c}i0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i, CAST(125000 AS BIGINT) AS v6)",
+        iter(c, 1, s"v_c${c}i0", src),
+        iter(c, 2, s"v_c${c}i1", src),
+        iter(c, 3, s"v_c${c}i2", src)).mkString(",\n")
+    def deflation(c: Int, src: String, v: String, dst: String): String =
+      s"""defl_c$c AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(sum($src.xu * $v.v6) AS DOUBLE) / 1e9) AS BIGINT) AS dot_m
+         |  FROM $src JOIN $v USING (i) GROUP BY vec_id),
+         |$dst AS MATERIALIZED (
+         |  SELECT $src.vec_id, $src.i,
+         |    $src.xu - CAST(floor(CAST(defl_c$c.dot_m * $v.v6 AS DOUBLE) / 1e3) AS BIGINT) AS xu
+         |  FROM $src JOIN defl_c$c USING (vec_id) JOIN $v USING (i))""".stripMargin
+    s"""WITH xu1 AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xu
+       |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+       |${component(1, "xu1")},
+       |${deflation(1, "xu1", "v_c1i3", "xu2")},
+       |${component(2, "xu2")},
+       |${deflation(2, "xu2", "v_c2i3", "xu3")},
+       |${component(3, "xu3")}
+       |SELECT component, pos, loading_u FROM (
+       |  SELECT CAST(1 AS BIGINT) AS component, CAST(i - 1 AS BIGINT) AS pos, v6 AS loading_u FROM v_c1i3
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), CAST(i - 1 AS BIGINT), v6 FROM v_c2i3
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), CAST(i - 1 AS BIGINT), v6 FROM v_c3i3)
+       |ORDER BY component, pos""".stripMargin
+  }
+
   // -- q184: manifest-pinned time travel across a GDPR delete -----------
 
   /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
@@ -363,12 +505,14 @@ object Frontier2 {
     "q181_quantization_audit" -> (q181 _),
     "q182_k_anonymity" -> (q182 _),
     "q183_pca_power" -> (q183 _),
-    "q184_time_travel" -> (q184 _))
+    "q184_time_travel" -> (q184 _),
+    "q186_pca_deflation" -> (q186 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
     "q181_quantization_audit" -> q181Sql,
     "q182_k_anonymity" -> q182Sql,
     "q183_pca_power" -> q183Sql,
-    "q184_time_travel" -> q184Sql)
+    "q184_time_travel" -> q184Sql,
+    "q186_pca_deflation" -> q186Sql)
 }

@@ -112,4 +112,33 @@ class Frontier2Spec extends SparkSpec {
     val plan = Frontier2.q183(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q186 components are near-unit-norm, pairwise near-orthogonal, and c1 equals q183") {
+    val rows = Frontier2.q186(spark, sf).collect()
+    assert(rows.length == 3 * 64)
+    val comps: Map[Long, Array[Double]] = rows
+      .groupBy(_.getAs[Long]("component"))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("loading_u").toDouble / 1e6)
+      }
+    // unit norm up to snap tolerance
+    comps.foreach { case (c, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"component $c norm $n")
+    }
+    // deflation law: 3-iteration estimates are near-orthogonal (exact
+    // orthogonality needs full convergence; the residual alignment is
+    // bounded by the power-iteration error)
+    for (a <- 1 to 3; b <- (a + 1) to 3) {
+      val cos = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(cos) < 0.05, s"cos(v$a, v$b) = $cos")
+    }
+    // component 1 IS q183's direction (identical integer path)
+    val q183v = Frontier2
+      .q183(spark, sf)
+      .collect()
+      .sortBy(_.getAs[Long]("pos"))
+      .map(_.getAs[Long]("loading_u"))
+    assert(q183v.sameElements(comps(1L).map(x => math.round(x * 1e6))))
+  }
 }
