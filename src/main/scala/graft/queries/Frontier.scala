@@ -1319,30 +1319,49 @@ object Frontier {
       .select(col("user_id"), col("r_days"), col("f"), col("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = scored.count()
-    // size the rank's range partitions to the MATERIALIZED user count
-    // (~2M narrow rows ≈ 50 MB per partition): tiny frames take one task
-    // with near-zero shuffle overhead, a billion users fans out to ~500 —
-    // work per task stays bounded at any scale
-    val rankParts = math.max(1L, math.min(n / 2000000L + 1L, 10000L)).toInt
     val caches = scala.collection.mutable.ListBuffer[DataFrame](scored)
-    def tiles(metric: String, asc: Boolean, out: String): DataFrame = {
-      val ord =
-        if (asc) Seq(col(metric).asc, col("user_id").asc)
-        else Seq(col(metric).desc, col("user_id").asc)
-      graft.operators.Ranks
-        .globalRowNumber(
-          scored.select(col("user_id"), col(metric)), ord, "__r",
-          partitions = rankParts, cleanup = caches)
-        .select(col("user_id"), graft.operators.Ranks.ntileOfRank(col("__r"), n, 5).as(out))
-    }
+    // All three metrics rank in ONE distributed sort-rank over the
+    // STACKED frame (tag, key, user_id), desc metrics negated into
+    // ascending keys — a single range shuffle of 3n narrow rows replaces
+    // the three per-metric range shuffles and the three per-user
+    // join-backs of the previous shape. Each tag block holds exactly n
+    // rows, so the per-metric row_number is pure arithmetic on the global
+    // rank, the quintile comes from NTILE's closed-form bucket bounds
+    // (Ranks.ntileOfRank), and one user-keyed pivot aggregation
+    // reassembles (rq, fq, mq). No Window anywhere; every shuffle is
+    // keyed (range on the stack, hash on user_id / segment).
+    val metrics = Seq(("r_days", true), ("f", false), ("m", false))
+    def keyed(metric: String, asc: Boolean): Column =
+      if (asc) col(metric) else -col(metric)
+    val stacked = metrics.zipWithIndex
+      .map { case ((metric, asc), tag) =>
+        scored.select(lit(tag).as("__tag"), keyed(metric, asc).as("__key"), col("user_id"))
+      }
+      .reduce(_.unionByName(_))
+    val ranked = graft.operators.Ranks
+      .globalRowNumber(
+        stacked,
+        Seq(col("__tag").asc, col("__key").asc, col("user_id").asc),
+        "__r",
+        // size by the STACKED row count (3n) — small frames stay on the
+        // single-partition fast path (no counts job, no internal persist)
+        partitions = math.max(1L, math.min(3 * n / 2000000L + 1L, 30000L)).toInt,
+        cleanup = caches)
+      // each tag block holds exactly n rows at global ranks t·n+1..(t+1)·n,
+      // so the in-tag rank (= the per-metric row_number) is __r − tag·n
+      .select(
+        col("user_id"),
+        col("__tag"),
+        graft.operators.Ranks.ntileOfRank(col("__r") - col("__tag") * n, n, 5).as("__tile"))
+    def tileOf(tag: Int): Column = max(when(col("__tag") === tag, col("__tile")))
     // pin the 125-row segment table eagerly, then RELEASE every persisted
-    // intermediate (scored + the three rank shuffles) — persist pins blocks
+    // intermediate (scored + any rank shuffle) — persist pins blocks
     // until unpersist, so returning while still holding them would leak
     // MEMORY_AND_DISK blocks on every call (ContextCleaner only reclaims
     // checkpoint blocks, not CacheManager entries)
-    val segments = tiles("r_days", asc = true, "rq")
-      .join(tiles("f", asc = false, "fq"), "user_id")
-      .join(tiles("m", asc = false, "mq"), "user_id")
+    val segments = ranked
+      .groupBy(col("user_id"))
+      .agg(tileOf(0).as("rq"), tileOf(1).as("fq"), tileOf(2).as("mq"))
       .groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_users"))
       .localCheckpoint()
