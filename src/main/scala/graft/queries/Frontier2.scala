@@ -440,6 +440,60 @@ object Frontier2 {
        |ORDER BY component, pos""".stripMargin
   }
 
+  // -- q187: exact global quantiles by distributed sort-rank ------------
+
+  /** Exact (not approximate) global price quantiles over the biggest
+    * fact table — the primitive `percentile` cannot provide at scale
+    * (its buffer collects every value into one aggregation state) and
+    * `approx_percentile` only approximates. [[graft.operators.Quantiles]]
+    * reuses the distributed sort-rank: range-partition on (cents, order,
+    * line), rank with per-partition offsets, keep the five rows whose
+    * global rank is ⌈p·n⌉. The ORACLE computes the same ranks with a
+    * literal row_number window, so the hash gate proves the distributed
+    * form reproduces discrete-quantile semantics exactly. At 100 TB:
+    * one range shuffle of narrow rows, partition count ∝ rows/2M, five
+    * rows out — no single-reducer sort, no per-group value buffering.
+    */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, d)
+      .select(
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+        col("l_orderkey"),
+        col("l_linenumber"))
+    val n = li.count()
+    val parts = math.max(1L, math.min(n / 2000000L + 1L, 10000L)).toInt
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val out = graft.operators.Quantiles
+      .exact(
+        li,
+        "cents",
+        Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        Seq(0.25, 0.50, 0.75, 0.90, 0.99),
+        n,
+        partitions = parts,
+        cleanup = caches)
+      .select(col("p_pct").cast("long").as("p_pct"), col("cents"))
+      .localCheckpoint() // 5 rows; pin before releasing the rank's cache
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
+  val q187Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |         l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (SELECT cents,
+      |        row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rk
+      |      FROM s),
+      |n AS (SELECT count(*) AS n FROM s)
+      |SELECT CAST(p.p_pct AS BIGINT) AS p_pct, r.cents
+      |FROM (VALUES (25, 0.25), (50, 0.50), (75, 0.75), (90, 0.90), (99, 0.99)) AS p(p_pct, f)
+      |JOIN n ON true
+      |JOIN r ON r.rk = greatest(1, CAST(ceil(f * n.n - 1e-9) AS BIGINT))
+      |ORDER BY p_pct""".stripMargin
+
   // -- q184: manifest-pinned time travel across a GDPR delete -----------
 
   /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
@@ -506,7 +560,8 @@ object Frontier2 {
     "q182_k_anonymity" -> (q182 _),
     "q183_pca_power" -> (q183 _),
     "q184_time_travel" -> (q184 _),
-    "q186_pca_deflation" -> (q186 _))
+    "q186_pca_deflation" -> (q186 _),
+    "q187_exact_quantiles" -> (q187 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -514,5 +569,6 @@ object Frontier2 {
     "q182_k_anonymity" -> q182Sql,
     "q183_pca_power" -> q183Sql,
     "q184_time_travel" -> q184Sql,
-    "q186_pca_deflation" -> q186Sql)
+    "q186_pca_deflation" -> q186Sql,
+    "q187_exact_quantiles" -> q187Sql)
 }
