@@ -247,30 +247,38 @@ object Frontier2 {
         col("vec_id"),
         col("pos"),
         floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("xu"))
+      // hash-partitioned by vec_id ONCE: the projection agg and the
+      // back-projection join both reuse this partitioning, so after this
+      // single shuffle the corpus never crosses the wire again
+      .repartition(col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var v: DataFrame = s
-      .range(0, 64)
-      .select(col("id").cast("int").as("pos"), lit(125000L).as("v6"))
+    import s.implicits._
+    var v: Seq[(Int, Long)] = (0 until 64).map(i => (i, 125000L))
     for (_ <- 1 to 3) {
       val dots = xu
-        .join(broadcast(v), Seq("pos"))
+        .join(broadcast(v.toDF("pos", "v6")), Seq("pos"))
         .groupBy(col("vec_id"))
         .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
       val w = xu
-        .join(dots, Seq("vec_id"))
+        // SHUFFLE_HASH: both sides already hash-partitioned on vec_id, so
+        // the hash join runs exchange-free AND sort-free (SMJ would add a
+        // per-iteration sort of the corpus; broadcast would not survive a
+        // billion-vector dots side)
+        .join(dots.hint("shuffle_hash"), Seq("vec_id"))
         .groupBy(col("pos"))
         .agg(floor(sum(col("xu") * col("dot_m")).cast("double") / lit(1e6)).cast("long").as("w3"))
-      val nrm = w.agg(
-        greatest(sqrt(sum(col("w3") * col("w3")).cast("double")), lit(1e-30)).as("nrm"))
-      v = w
-        .crossJoin(broadcast(nrm))
-        .select(
-          col("pos"),
-          floor(col("w3").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
-            .cast("long")
-            .as("v6"))
+        .collect()
+        .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("w3")))
+      // the direction is a 64-long model parameter: normalize on the
+      // driver (identical IEEE double ops to the SQL twin) instead of a
+      // two-stage agg + crossJoin per iteration — fewer serialized stages
+      // AND the next iteration starts from a literal (no lineage growth)
+      val nrm = math.max(math.sqrt(w.map { case (_, x) => x.toDouble * x.toDouble }.sum), 1e-30)
+      v = w.map { case (p, x) => (p, math.floor(x.toDouble / nrm * 1000000.0 + 0.5).toLong) }
     }
-    v.select(col("pos").cast("long").as("pos"), col("v6").as("loading_u")).orderBy(col("pos"))
+    v.toDF("pos", "loading_u")
+      .select(col("pos").cast("long").as("pos"), col("loading_u"))
+      .orderBy(col("pos"))
   }
 
   val q183Sql: String = {
@@ -323,28 +331,25 @@ object Frontier2 {
         col("vec_id"),
         col("pos"),
         floor(col("x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long").as("xu"))
-    def powerIterate(xu: DataFrame): DataFrame = {
-      var v: DataFrame = s
-        .range(0, 64)
-        .select(col("id").cast("int").as("pos"), lit(125000L).as("v6"))
+    import s.implicits._
+    def powerIterate(xu: DataFrame): Seq[(Int, Long)] = {
+      var v: Seq[(Int, Long)] = (0 until 64).map(i => (i, 125000L))
       for (_ <- 1 to 3) {
         val dots = xu
-          .join(broadcast(v), Seq("pos"))
+          .join(broadcast(v.toDF("pos", "v6")), Seq("pos"))
           .groupBy(col("vec_id"))
           .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
         val w = xu
-          .join(dots, Seq("vec_id"))
+          .join(dots.hint("shuffle_hash"), Seq("vec_id")) // exchange- and sort-free (q183 comment)
           .groupBy(col("pos"))
           .agg(floor(sum(col("xu") * col("dot_m")).cast("double") / lit(1e6)).cast("long").as("w3"))
-        val nrm = w.agg(
-          greatest(sqrt(sum(col("w3") * col("w3")).cast("double")), lit(1e-30)).as("nrm"))
-        v = w
-          .crossJoin(broadcast(nrm))
-          .select(
-            col("pos"),
-            floor(col("w3").cast("double") / col("nrm") * lit(1000000.0) + lit(0.5))
-              .cast("long")
-              .as("v6"))
+          .collect()
+          .map(r => (r.getAs[Int]("pos"), r.getAs[Long]("w3")))
+        // driver-side normalize of the 64-long direction (q183 comment):
+        // identical IEEE ops to the SQL twin, fewer serialized stages, and
+        // each iteration restarts from a literal (no plan growth)
+        val nrm = math.max(math.sqrt(w.map { case (_, x) => x.toDouble * x.toDouble }.sum), 1e-30)
+        v = w.map { case (p, x) => (p, math.floor(x.toDouble / nrm * 1000000.0 + 0.5).toLong) }
       }
       v
     }
@@ -354,7 +359,7 @@ object Frontier2 {
         .groupBy(col("vec_id"))
         .agg(floor(sum(col("xu") * col("v6")).cast("double") / lit(1e9)).cast("long").as("dot_m"))
       xu
-        .join(dots, Seq("vec_id"))
+        .join(dots.hint("shuffle_hash"), Seq("vec_id")) // exchange- and sort-free (q183 comment)
         .join(broadcast(v), Seq("pos"))
         .select(
           col("vec_id"),
@@ -362,29 +367,22 @@ object Frontier2 {
           (col("xu") - floor((col("dot_m") * col("v6")).cast("double") / lit(1e3)).cast("long"))
             .as("xu"))
     }
-    // A direction is a 64-row MODEL PARAMETER (k-means-centroid scale):
-    // collect it and restart the next stage from a literal frame. Without
-    // this the logical plan is exponential — v's plan references xu ~2×
-    // per iteration, deflation references v twice, and component 3's tree
-    // transitively re-inlines everything (measured: analyzer OOM).
-    def materialize(v: DataFrame): DataFrame = {
-      import s.implicits._
-      v.select(col("pos").cast("int"), col("v6"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)))
-        .toSeq
-        .toDF("pos", "v6")
-    }
+    // Each direction is a 64-row MODEL PARAMETER already materialized on
+    // the driver by powerIterate (lineage restart is what keeps the plan
+    // tree linear — without it component 3's tree transitively re-inlines
+    // everything; measured: analyzer OOM).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var xu = explodeMicro(Tables.embeddings(s, d)).persist(lvl)
-    var out = List.empty[DataFrame]
+    // one corpus shuffle total (q183 comment): vec_id partitioning is
+    // reused by every iteration and PRESERVED through deflation
+    var xu = explodeMicro(Tables.embeddings(s, d)).repartition(col("vec_id")).persist(lvl)
+    var out = List.empty[Seq[(Long, Long, Long)]]
     for (c <- 1 to 3) {
-      val v = materialize(powerIterate(xu))
-      out ::= v.select(lit(c.toLong).as("component"), col("pos").cast("long").as("pos"), col("v6").as("loading_u"))
-      if (c < 3) xu = deflate(xu, v).persist(lvl)
+      val v = powerIterate(xu)
+      out ::= v.map { case (p, l) => (c.toLong, p.toLong, l) }
+      if (c < 3) xu = deflate(xu, v.toDF("pos", "v6")).persist(lvl)
     }
-    out.reverse
-      .reduce(_.unionByName(_))
+    out.reverse.flatten
+      .toDF("component", "pos", "loading_u")
       .orderBy(col("component"), col("pos"))
   }
 
@@ -526,7 +524,10 @@ object Frontier2 {
     val stats = ev
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
-    graft.sources.Sources.writeParquet(stats, root.toString, Seq("day"))
+    // one file per day dir (a day's stats rows co-located): the GDPR
+    // delete below then touches exactly one file per partition instead of
+    // every scattered fragment
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), root.toString, Seq("day"))
     val v1 = graft.sources.Snapshots.commit(s, root.toString)
     graft.sources.Sources.deleteWhere(s, root.toString, col("event_type") === "click")
     def perDay(df: DataFrame, nCol: String, uCol: String): DataFrame = df

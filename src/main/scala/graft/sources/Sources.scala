@@ -249,15 +249,23 @@ object Sources {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
-    affected.foreach { case (uri, _) =>
+    def rewriteOne(uri: String, matching: Long): Unit = {
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
-      // three-valued logic: a NULL predicate row must be KEPT (the delete
-      // didn't match it) — bare !predicate is NULL there and filter drops
-      // it, silently deleting rows a GDPR-style delete never targeted
-      val keep = spark.read.parquet(uri).filter(!coalesce(predicate, lit(false)))
-      if (keep.isEmpty) {
+      // whole-file delete detected from the FOOTER row count (driver-side
+      // metadata, no Spark job) — the file dies iff every row matched
+      val footerRows = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(filePath, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount
+        finally r.close()
+      }
+      if (footerRows == matching) {
         Snapshots.archiveFile(fs, hadoopPath, filePath)
       } else {
+        // three-valued logic: a NULL predicate row must be KEPT (the delete
+        // didn't match it) — bare !predicate is NULL there and filter drops
+        // it, silently deleting rows a GDPR-style delete never targeted
+        val keep = spark.read.parquet(uri).filter(!coalesce(predicate, lit(false)))
         val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
         keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
         val part = fs
@@ -273,6 +281,22 @@ object Sources {
         fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
         fs.delete(tmpDir, true)
       }
+    }
+    // per-file rewrites are independent single-file jobs: submit them
+    // CONCURRENTLY so the wall clock is the slowest file, not the sum —
+    // driver-blocking job latency dominates small rewrites (measured:
+    // q184's 30 per-day rewrites serialized to seconds). Spark job
+    // submission is thread-safe; each touched path is distinct.
+    if (affected.length <= 1) affected.foreach { case (u, m) => rewriteOne(u, m) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(affected.length, 8))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.traverse(affected.toSeq) { case (u, m) =>
+          scala.concurrent.Future(rewriteOne(u, m))(ec)
+        }(implicitly, ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     if (affected.nonEmpty) Snapshots.commit(spark, root)
     (affected.length.toLong, affected.map(_._2).sum)
