@@ -230,11 +230,16 @@ object Frontier2 {
     * engines). Uncentered PCA (the corpus is near-centered); v₀ is the
     * exact uniform direction 1/8 = 0.125.
     *
-    * 100 TB shape: each iteration is one broadcast of the 64-long
-    * direction and two hash aggregations (vec_id, then pos) over the
-    * posexploded corpus — the identical plan k-means (q49) and IVF
-    * training run; nothing driver-side between iterations, no lineage
-    * growth (the 64-row direction frame is the only loop state).
+    * 100 TB shape: each iteration broadcasts the 64-long direction, runs
+    * two hash aggregations (vec_id, then pos) over the posexploded
+    * corpus — hash-partitioned by vec_id ONCE and then never re-shuffled
+    * (the back-projection joins the per-vector aggregate SHUFFLE_HASH on
+    * the reused partitioning; that side grows with the corpus, so
+    * broadcasting it would not survive a billion vectors) — and syncs 64
+    * longs to the driver for the normalize step, exactly the
+    * model-parameter sync every distributed ML training loop performs
+    * per step. No lineage growth: each iteration restarts from a literal
+    * direction.
     */
   def q183(s: SparkSession, d: String): DataFrame = {
     // the exploded corpus is consumed twice per iteration (projection +
