@@ -61,4 +61,49 @@ object Quantiles {
       .select(col("p_pct"), col(valueCol))
       .orderBy(col("p_pct"))
   }
+
+  /** Per-group exact discrete quantiles from ONE stacked sort-rank.
+    *
+    * `order` must lead with `groupCol` ascending, so each group occupies a
+    * contiguous global-rank block; the group's quantile ranks are then
+    * just blockOffset + ⌈p·n_g⌉, and a single broadcast join against the
+    * (|groups|·|ps|)-row boundary table picks the result rows. Scale: the
+    * data-side cost is exactly [[exact]]'s one range shuffle; per-group
+    * counts are a keyed aggregation collected to the driver (bounded by
+    * the number of GROUPS, not rows — the same driver-size class as a
+    * k-means centroid set). String group keys only (offsets must follow
+    * the range partitioner's UTF-8 binary order, see
+    * [[graft.sources.kv.KvKeyRange.u8cmp]]).
+    */
+  def exactGrouped(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      order: Seq[Column],
+      ps: Seq[Double],
+      partitions: Int = 0,
+      cleanup: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "fractions must be in (0, 1]")
+    val counts = df
+      .groupBy(col(groupCol))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      // Spark's string asc IS UTF-8 binary order; Scala's default String
+      // ordering is UTF-16 — diverges on supplementary-plane keys
+      .sortWith((a, b) => graft.sources.kv.KvKeyRange.u8cmp(a._1, b._1) < 0)
+    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }
+    // global quantile ranks are unique across groups (disjoint blocks), so
+    // the join key is the rank alone; the group column rides along
+    val wanted = counts.zip(offsets).flatMap { case ((_, n), off) =>
+      ps.map(p => (off + rankOf(p, n), math.round(p * 100)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Ranks
+      .globalRowNumber(df, order, "__r", partitions, cleanup)
+      .join(broadcast(wanted.toSeq.toDF("__r", "p_pct")), Seq("__r"))
+      .select(col(groupCol), col("p_pct"), col(valueCol))
+      .orderBy(col(groupCol), col("p_pct"))
+  }
 }

@@ -497,6 +497,57 @@ object Frontier2 {
       |JOIN r ON r.rk = greatest(1, CAST(ceil(f * n.n - 1e-9) AS BIGINT))
       |ORDER BY p_pct""".stripMargin
 
+  // -- q188: per-group exact quantiles, one stacked sort-rank -----------
+
+  /** q187's primitive generalized per group: exact micro-unit value
+    * quantiles PER EVENT TYPE from one stacked distributed sort-rank over
+    * (event_type, value_u, event_id) — each type occupies a contiguous
+    * global-rank block, so the five per-type quantile ranks are
+    * blockOffset + ⌈p·n_type⌉ and one broadcast join picks the 25 result
+    * rows ([[graft.operators.Quantiles.exactGrouped]]). The ORACLE is the
+    * literal per-partition row_number window. At 100 TB: the same single
+    * range shuffle as q187; per-group counts collected to the driver are
+    * bounded by the number of types, not rows — where Spark's exact
+    * `percentile` would buffer every value of a group in one aggregation
+    * state.
+    */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("event_type"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"),
+        col("event_id"))
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val out = graft.operators.Quantiles
+      .exactGrouped(
+        ev,
+        "event_type",
+        "vu",
+        Seq(col("event_type").asc, col("vu").asc, col("event_id").asc),
+        Seq(0.25, 0.50, 0.75, 0.90, 0.99),
+        cleanup = caches)
+      .select(col("event_type"), col("p_pct").cast("long").as("p_pct"), col("vu"))
+      .localCheckpoint() // 25 rows; pin before releasing the rank's cache
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
+  val q188Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu, event_id
+      |  FROM events),
+      |r AS (SELECT event_type, vu,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY vu, event_id) AS rk
+      |      FROM s),
+      |n AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1)
+      |SELECT r.event_type AS event_type, CAST(p.p_pct AS BIGINT) AS p_pct, r.vu
+      |FROM (VALUES (25, 0.25), (50, 0.50), (75, 0.75), (90, 0.90), (99, 0.99)) AS p(p_pct, f)
+      |JOIN n ON true
+      |JOIN r ON r.event_type = n.event_type
+      |      AND r.rk = greatest(1, CAST(ceil(f * n.n - 1e-9) AS BIGINT))
+      |ORDER BY r.event_type, p_pct""".stripMargin
+
   // -- q184: manifest-pinned time travel across a GDPR delete -----------
 
   /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
@@ -567,7 +618,8 @@ object Frontier2 {
     "q183_pca_power" -> (q183 _),
     "q184_time_travel" -> (q184 _),
     "q186_pca_deflation" -> (q186 _),
-    "q187_exact_quantiles" -> (q187 _))
+    "q187_exact_quantiles" -> (q187 _),
+    "q188_grouped_quantiles" -> (q188 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -576,5 +628,6 @@ object Frontier2 {
     "q183_pca_power" -> q183Sql,
     "q184_time_travel" -> q184Sql,
     "q186_pca_deflation" -> q186Sql,
-    "q187_exact_quantiles" -> q187Sql)
+    "q187_exact_quantiles" -> q187Sql,
+    "q188_grouped_quantiles" -> q188Sql)
 }

@@ -42,6 +42,27 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.rankOf(0.001, 5) == 1L)
   }
 
+  test("grouped quantiles equal per-group sorted-sequence indexing") {
+    val rows = for {
+      g <- Seq("a", "bb", "c")
+      i <- 1 to (g.length * 400 + 37) // uneven group sizes
+    } yield (g, ((i * 7919) % 251).toLong, i.toLong)
+    val df = rows.toDF("g", "v", "id")
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Quantiles
+      .exactGrouped(df, "g", "v", Seq(col("g").asc, col("v").asc, col("id").asc), ps, partitions = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("p_pct")) -> r.getAs[Long]("v"))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      ps.foreach { p =>
+        val want = sorted((Quantiles.rankOf(p, grp.size.toLong) - 1).toInt)
+        assert(got((g, math.round(p * 100))) == want, s"group $g p=$p")
+      }
+    }
+  }
+
   test("multi-partition path agrees with single-partition path") {
     val vals = (1 to 2000).map(i => ((i * 104729) % 997).toLong)
     val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
