@@ -206,6 +206,67 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outDir/data").count() == written.count())
   }
 
+  test("streaming CDC into a snapshot-versioned table: pinned reader immune to later merges; final state equals batch recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.{Snapshots, Sources}
+    val root = Files.createTempDirectory("snapstream").toString + "/t"
+    // base table: per-(day, user) event counts from the first half
+    val ev = graft.core.Tables
+      .events(spark, sf)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day", "user_id", "event_id")
+      .as[(String, Long, Long)]
+      .collect()
+      .toSeq
+      .sortBy(_._3)
+    val (baseRows, deltaRows) = ev.splitAt(ev.size / 2)
+    def stats(rows: Seq[(String, Long, Long)]) = rows
+      .groupBy(r => (r._1, r._2))
+      .map { case ((day, uid), rs) => (day, uid, rs.size.toLong) }
+      .toSeq
+      .toDF("day", "user_id", "n")
+    Sources.writeParquet(stats(baseRows).repartition(col("day")), root, Seq("day"))
+    val v1 = Snapshots.commit(spark, root)
+    val v1Total = Snapshots.readSnapshot(spark, root, v1).agg(sum("n")).head.getLong(0)
+    // stream the delta through foreachBatch; each micro-batch MERGEs the
+    // re-aggregated affected pairs and commits a new manifest version
+    val stream = MemoryStream[(String, Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long, Long)]]
+    val q = stream
+      .toDS()
+      .toDF("day", "user_id", "event_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        seen.synchronized { seen += rows }
+        val touched = seen.synchronized { seen.flatten.toSeq } // cumulative replay-safe delta
+        val affectedPairs = touched.map(t => (t._1, t._2)).toSet
+        val merged = stats(baseRows.filter(r => affectedPairs((r._1, r._2))) ++ touched)
+        Sources.mergeIntoPartitioned(spark, root, merged.repartition(col("day")), "day", Seq("user_id"))
+        ()
+      }
+      .start()
+    deltaRows.grouped(math.max(1, deltaRows.size / 3)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the pinned v1 reader still sees EXACTLY the pre-stream table
+    assert(Snapshots.readSnapshot(spark, root, v1).agg(sum("n")).head.getLong(0) == v1Total)
+    assert(Snapshots.latestVersion(spark, root) > v1)
+    // the latest snapshot equals the batch recompute over ALL events
+    val want = stats(ev).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Snapshots
+      .readSnapshot(spark, root)
+      .select(col("day").cast("string"), col("user_id"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
+
   test("foreachBatch incremental MV maintenance replays to exactly the batch q143 rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
