@@ -1168,7 +1168,10 @@ object Frontier {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     graft.sources.Sources
-      .writeParquet(stats(ev.filter(col("event_type") =!= "purchase")), root.toString, Seq("day"))
+      .writeParquet(
+        stats(ev.filter(col("event_type") =!= "purchase")).repartition(col("day")),
+        root.toString,
+        Seq("day")) // one file per day dir (q184 discipline)
     val purchasePairs = ev
       .filter(col("event_type") === "purchase")
       .select(to_date(col("ts")).as("day"), col("user_id"))

@@ -364,7 +364,16 @@ object Sources {
           .unionByName(d)
       }
     }
-    rebuilt.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(stage.toString)
+    rebuilt
+      // co-locate each partition's rows in one task before the dynamic
+      // write: without this every shuffle task writes a sliver into every
+      // affected dir (32 tasks × N dirs small files), tripling the
+      // downstream listing/open cost of the table this merge maintains
+      .repartition(col(partitionCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(stage.toString)
     affected.foreach { v =>
       val live = new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v")
       val fresh = new org.apache.hadoop.fs.Path(stage, s"$partitionCol=$v")
