@@ -548,6 +548,55 @@ object Frontier2 {
       |      AND r.rk = greatest(1, CAST(ceil(f * n.n - 1e-9) AS BIGINT))
       |ORDER BY r.event_type, p_pct""".stripMargin
 
+  // -- q189: in-place compaction is lossless (hash-proved) --------------
+
+  /** The OPTIMIZE lifecycle, hash-proved: per-(day, event_type) stats are
+    * written deliberately SCATTERED (no day co-location — every shuffle
+    * task slivers every day dir, the layout streaming ingest actually
+    * produces), then [[graft.sources.Sources.compactInPlace]] rewrites
+    * each multi-file day dir as one fresh-named file against the LIVE
+    * path (concurrent per-dir jobs; replaced files archived for pinned
+    * readers). The per-day report then reads the COMPACTED latest
+    * snapshot, and the ORACLE recomputes it from raw events — a hash
+    * match proves in-place compaction is bit-lossless. At 100 TB this is
+    * the maintenance pass every streaming-ingested table needs weekly;
+    * wall clock is the largest partition, untouched partitions are never
+    * opened.
+    */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q189_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(stats.repartition(8), root.toString, Seq("day"))
+    graft.sources.Sources.compactInPlace(s, root.toString)
+    graft.sources.Snapshots
+      .readSnapshot(s, root.toString)
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_events"),
+        sum(col("sum_u")).as("sum_u"))
+      .orderBy(col("day"))
+  }
+
+  val q189Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, count(*) AS n_types,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sum_u) AS BIGINT) AS sum_u
+      |FROM per GROUP BY day ORDER BY day""".stripMargin
+
   // -- q184: manifest-pinned time travel across a GDPR delete -----------
 
   /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
@@ -619,7 +668,8 @@ object Frontier2 {
     "q184_time_travel" -> (q184 _),
     "q186_pca_deflation" -> (q186 _),
     "q187_exact_quantiles" -> (q187 _),
-    "q188_grouped_quantiles" -> (q188 _))
+    "q188_grouped_quantiles" -> (q188 _),
+    "q189_compact_lossless" -> (q189 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -629,5 +679,6 @@ object Frontier2 {
     "q184_time_travel" -> q184Sql,
     "q186_pca_deflation" -> q186Sql,
     "q187_exact_quantiles" -> q187Sql,
-    "q188_grouped_quantiles" -> q188Sql)
+    "q188_grouped_quantiles" -> q188Sql,
+    "q189_compact_lossless" -> q189Sql)
 }

@@ -426,4 +426,75 @@ object Sources {
     }
     expired.map(_.getName.stripPrefix(prefix)).sorted
   }
+
+  /** In-place small-files compaction of a (possibly hive-partitioned)
+    * parquet table — the OPTIMIZE maintenance pass, made safe for
+    * concurrent readers by the [[Snapshots]] layer: each multi-file
+    * partition dir (or the root's own file set, when unpartitioned) is
+    * rewritten as ONE fresh-named file via stage + rename, the replaced
+    * files are ARCHIVED (never destroyed — every pinned manifest keeps
+    * reading), and a single new manifest commits the compacted layout.
+    * Returns (dirsCompacted, filesBefore, filesAfter-for-those-dirs).
+    *
+    * Scale: per-dir rewrites are independent single-dir Spark jobs,
+    * submitted concurrently (the [[deleteWhere]] discipline — wall clock
+    * is the largest dir, not the sum); untouched dirs are never read,
+    * listed cost is the listing the table scan already pays. Unlike
+    * [[compactParquet]] (whole-table rewrite to a NEW path), this runs
+    * against the live path a maintained table actually serves.
+    */
+  def compactInPlace(spark: SparkSession, root: String): (Long, Long, Long) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
+      .listStatus(dir)
+      .toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    val partDirs = fs
+      .listStatus(rootPath)
+      .toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath)
+    val targets = (if (partDirs.nonEmpty) partDirs else Seq(rootPath))
+      .map(d => d -> dataFiles(d))
+      .filter(_._2.length > 1)
+    if (targets.isEmpty) return (0L, 0L, 0L)
+    Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    def compactOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
+      // explicit file list, partition columns irrelevant (rows keep their
+      // dir, which IS the partition value)
+      spark.read
+        .parquet(files.map(_.toString): _*)
+        .coalesce(1)
+        .write
+        .mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+      val part = fs
+        .listStatus(stage)
+        .map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"compaction of $dir produced no part file"))
+      // land the compacted file FIRST (a directory lister sees old+new for
+      // a moment — duplicate-safe readers are the manifest readers, and
+      // the final state is committed below), then archive the originals
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName))
+      files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
+      fs.delete(stage, true)
+    }
+    if (targets.length == 1) compactOne(targets.head._1, targets.head._2)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.length, 8))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.traverse(targets) { case (d, fs2) =>
+          scala.concurrent.Future(compactOne(d, fs2))(ec)
+        }(implicitly, ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    Snapshots.commit(spark, root)
+    (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
+  }
 }

@@ -119,6 +119,34 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1.filter($"day" === "2024-01-01").count() == 2L)
   }
 
+  test("compactInPlace: one file per dir after, pinned pre-compaction snapshot identical, vacuum reclaims") {
+    val dir = Files.createTempDirectory("snap_compact").toString + "/t"
+    val rows = (1L to 400L).map(i => (i, s"2024-01-0${i % 3 + 1}", i * 1.5))
+    // deliberately scattered: many part files per day dir
+    Sources.writeParquet(rows.toDF("id", "day", "v").repartition(8), dir, partitionCols = Seq("day"))
+    val v1 = Snapshots.commit(spark, dir)
+    def liveFiles(day: String) = new java.io.File(s"$dir/day=$day")
+      .listFiles()
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(liveFiles("2024-01-01") > 1, "fixture must start scattered")
+    val before = Snapshots.readSnapshot(spark, dir, v1).collect().map(_.toString).sorted
+    val (dirs, filesBefore, filesAfter) = Sources.compactInPlace(spark, dir)
+    assert(dirs == 3L && filesBefore > 3L && filesAfter == 3L)
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach(d => assert(liveFiles(d) == 1, s"day $d"))
+    // pinned v1 (all archived now) reads byte-identical rows
+    val pinned = Snapshots.readSnapshot(spark, dir, v1).collect().map(_.toString).sorted
+    assert(pinned.sameElements(before))
+    // latest snapshot and directory read agree with the original data
+    assert(Snapshots.readSnapshot(spark, dir).count() == 400L)
+    assert(spark.read.parquet(dir).count() == 400L)
+    // idempotence: a second pass finds nothing to do
+    assert(Sources.compactInPlace(spark, dir) == ((0L, 0L, 0L)))
+    // vacuum to latest-only reclaims every archived pre-compaction file
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(!new java.io.File(s"$dir/${Snapshots.ArchiveDirName}").exists)
+    assert(Snapshots.readSnapshot(spark, dir).count() == 400L)
+  }
+
   test("merge crash leftovers are archived, not destroyed") {
     val dir = Files.createTempDirectory("snap_crash").toString + "/t"
     val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
