@@ -385,12 +385,19 @@ object MediaCodec {
     val inflater = new java.util.zip.Inflater
     inflater.setInput(idat.toByteArray)
     var got = 0
-    while (got < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, raw.length - got)
-      require(n > 0 || inflater.finished(), "PNG: truncated or corrupt zlib stream")
-      got += n
-    }
-    inflater.end()
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(), "PNG: truncated or corrupt zlib stream")
+        got += n
+      }
+    } catch {
+      // keep the decoder's single failure type: untrusted bytes (reachable
+      // via binaryFile ingestion) must fail as IllegalArgumentException,
+      // not a checked zlib exception
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG: corrupt zlib stream: ${e.getMessage}")
+    } finally inflater.end()
     require(got == raw.length, "PNG: scanline data size mismatch")
     val pixels = new Array[Byte](width * height * 3)
     var y = 0

@@ -72,6 +72,27 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.decodePng(spliced).pixels.sameElements(flat))
   }
 
+  test("PNG decode fuzz: arbitrary mutations fail as IllegalArgumentException, never anything else") {
+    val good = MediaCodec.encodePng(Raster(6, 6, Array.tabulate[Byte](108)(i => (i * 31).toByte)))
+    val rnd = new scala.util.Random(42)
+    var rejected = 0
+    for (_ <- 1 to 300) {
+      val mutated = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { MediaCodec.decodePng(mutated); () }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case e: Throwable => fail(s"non-contract failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    assert(rejected > 0, "CRC checks must catch most mutations")
+    // pure garbage and truncations at every prefix length
+    for (len <- 0 to 60) {
+      try { MediaCodec.decodePng(Array.fill[Byte](len)(0x41)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("PNG decode rejects malformed input") {
     val good = MediaCodec.encodePng(Raster(3, 3, Array.tabulate[Byte](27)(_.toByte)))
     intercept[IllegalArgumentException](MediaCodec.decodePng(Array[Byte](1, 2, 3)))
