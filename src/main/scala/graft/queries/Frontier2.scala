@@ -597,6 +597,48 @@ object Frontier2 {
       |  CAST(sum(sum_u) AS BIGINT) AS sum_u
       |FROM per GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q190: snapshot change feed across a delete (table_changes) -------
+
+  /** The change-feed law, hash-proved: the q184 lifecycle (stats table →
+    * manifest v1 → GDPR delete of the `click` class → v2) interrogated
+    * through [[graft.sources.Snapshots.diff]] — the `table_changes()`
+    * surface. The diff of (v1, v2) must be EXACTLY the per-day click
+    * stats rows tagged `removed` and nothing `added`, even though the
+    * delete REWROTE shared files: surviving rows appear identically in
+    * both snapshots and cancel under `exceptAll`'s multiset semantics.
+    * The ORACLE recomputes the click rows from raw events. At 100 TB
+    * this is CDC-from-storage: a consumer reconciles two manifests
+    * without any change log, cost = two snapshot scans + one
+    * hash-partitioned anti-diff.
+    */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q190_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), root.toString, Seq("day"))
+    val v1 = graft.sources.Snapshots.commit(s, root.toString)
+    graft.sources.Sources.deleteWhere(s, root.toString, col("event_type") === "click")
+    graft.sources.Snapshots
+      .diff(s, root.toString, v1)
+      .select(col("change"), col("day"), col("event_type"), col("n"), col("sum_u"))
+      .orderBy(col("change"), col("day"), col("event_type"))
+  }
+
+  val q190Sql: String =
+    """SELECT 'removed' AS change, CAST(ts AS DATE) AS day, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 2, 3 ORDER BY change, day, event_type""".stripMargin
+
   // -- q184: manifest-pinned time travel across a GDPR delete -----------
 
   /** Snapshot-isolation law, hash-proved: a per-(day, event_type) stats
@@ -669,7 +711,8 @@ object Frontier2 {
     "q186_pca_deflation" -> (q186 _),
     "q187_exact_quantiles" -> (q187 _),
     "q188_grouped_quantiles" -> (q188 _),
-    "q189_compact_lossless" -> (q189 _))
+    "q189_compact_lossless" -> (q189 _),
+    "q190_change_feed" -> (q190 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -680,5 +723,6 @@ object Frontier2 {
     "q186_pca_deflation" -> q186Sql,
     "q187_exact_quantiles" -> q187Sql,
     "q188_grouped_quantiles" -> q188Sql,
-    "q189_compact_lossless" -> q189Sql)
+    "q189_compact_lossless" -> q189Sql,
+    "q190_change_feed" -> q190Sql)
 }

@@ -172,6 +172,26 @@ object Snapshots {
     scans.reduce(_.unionByName(_))
   }
 
+  /** Row-level change feed between two pinned manifests — the
+    * `table_changes()` a lakehouse exposes, computed from the snapshots
+    * themselves: rows in `fromVersion` but not `toVersion` are tagged
+    * `removed`, the reverse `added` (multiset semantics via `exceptAll`,
+    * so duplicate rows diff by count). An UPDATE surfaces as its old row
+    * removed + its new row added. Scale: two snapshot scans + the
+    * hash-partitioned exceptAll pair — no state beyond the shuffle, and
+    * file-level pruning applies because unchanged files resolve to the
+    * SAME archived-or-live path on both sides.
+    */
+  def diff(spark: SparkSession, root: String, fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val from = readSnapshot(spark, root, fromVersion)
+    val to = readSnapshot(spark, root, toVersion)
+    import org.apache.spark.sql.functions.lit
+    from
+      .exceptAll(to)
+      .withColumn("change", lit("removed"))
+      .unionByName(to.exceptAll(from).withColumn("change", lit("added")))
+  }
+
   /** Move a replaced data file into the archive, preserving its relative
     * path. Called by the maintenance ops INSTEAD of delete.
     */

@@ -93,6 +93,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP/PPM/WAV decode fuzz: mutations fail as IllegalArgumentException, never anything else") {
+    val rnd = new scala.util.Random(7)
+    val goods = Seq(
+      MediaCodec.encodeBmp(Raster(5, 4, Array.tabulate[Byte](60)(i => (i * 17).toByte))),
+      MediaCodec.encodePpm(Raster(4, 5, Array.tabulate[Byte](60)(i => (i * 13).toByte))),
+      MediaCodec.encodeWav(MediaCodec.Clip(8000, Array.tabulate[Short](40)(i => (i * 321).toShort))))
+    val decoders: Seq[Array[Byte] => Any] =
+      Seq(MediaCodec.decodeBmp _, MediaCodec.decodePpm _, MediaCodec.decodeWav _)
+    goods.zip(decoders).foreach { case (good, dec) =>
+      for (_ <- 1 to 200) {
+        val m = good.clone()
+        for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        try { dec(m); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable => fail(s"non-contract failure ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      for (len <- 0 to 50) {
+        try { dec(good.take(len)); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable => fail(s"truncation len=$len: ${e.getClass.getName}")
+        }
+      }
+    }
+  }
+
   test("PNG decode rejects malformed input") {
     val good = MediaCodec.encodePng(Raster(3, 3, Array.tabulate[Byte](27)(_.toByte)))
     intercept[IllegalArgumentException](MediaCodec.decodePng(Array[Byte](1, 2, 3)))

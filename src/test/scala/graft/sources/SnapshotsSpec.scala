@@ -147,6 +147,24 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readSnapshot(spark, dir).count() == 400L)
   }
 
+  test("diff across a merge: update = removed old + added new, insert = added; untouched rows cancel") {
+    val dir = Files.createTempDirectory("snap_diff").toString + "/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir)
+    val delta = Seq((3L, "2024-01-02", 99.0), (5L, "2024-01-02", 21.0)).toDF("id", "day", "v")
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    val changes = Snapshots
+      .diff(spark, dir, v1)
+      .select($"change", $"id", $"day".cast("string").as("day"), $"v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(changes == Set(
+      ("removed", 3L, "2024-01-02", 20.0), // update: old image out
+      ("added", 3L, "2024-01-02", 99.0), //         new image in
+      ("added", 5L, "2024-01-02", 21.0))) // insert
+  }
+
   test("merge crash leftovers are archived, not destroyed") {
     val dir = Files.createTempDirectory("snap_crash").toString + "/t"
     val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
