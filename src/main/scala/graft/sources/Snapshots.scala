@@ -194,16 +194,53 @@ object Snapshots {
 
   /** Move a replaced data file into the archive, preserving its relative
     * path. Called by the maintenance ops INSTEAD of delete.
+    *
+    * A rel path denotes ONE immutable file forever, so an already-archived
+    * dst can only mean the live file is a [[restore]]d duplicate of the
+    * archived bytes — drop the duplicate (length-checked) instead of
+    * failing; any length mismatch still fails loudly (it would mean the
+    * never-reuse invariant broke).
     */
   def archiveFile(fs: FileSystem, root: Path, live: Path): Unit = {
     val rootUri = root.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
     val rel = rootUri.relativize(live.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath
     require(!rel.startsWith("/") && rel.nonEmpty, s"$live is not under $root")
     val dst = new Path(new Path(root, ArchiveDirName), rel)
-    if (fs.exists(dst))
-      sys.error(s"archive collision at $dst — relative data-file paths must never be reused")
-    fs.mkdirs(dst.getParent)
-    if (!fs.rename(live, dst)) sys.error(s"archive rename $live -> $dst failed")
+    if (fs.exists(dst)) {
+      if (fs.getFileStatus(dst).getLen != fs.getFileStatus(live).getLen)
+        sys.error(s"archive collision at $dst with DIFFERENT size — rel path reused, invariant broken")
+      fs.delete(live, false) // restored duplicate of immutable archived bytes
+    } else {
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(live, dst)) sys.error(s"archive rename $live -> $dst failed")
+    }
+  }
+
+  /** RESTORE the table to manifest `version` — the O(files) undo of a bad
+    * delete/merge/compaction. The LIVE tree is rewritten to exactly that
+    * manifest's file list: live files the target doesn't reference are
+    * archived, referenced files currently in the archive are copied back
+    * live (copy, not move — the archive keeps serving every other
+    * manifest), and the restored state commits as a NEW version, so
+    * history stays linear and every prior manifest remains readable.
+    * After restore, directory readers and manifest readers agree again.
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val target = files(spark, root, version).toSet
+    val live = listDataFiles(spark, root).toSet
+    (live -- target).toSeq.sorted.foreach { rel =>
+      archiveFile(fs, rootPath, new Path(rootPath, rel))
+    }
+    (target -- live).toSeq.sorted.foreach { rel =>
+      val src = new Path(new Path(rootPath, ArchiveDirName), rel)
+      require(fs.exists(src), s"restore: $rel is neither live nor archived (vacuumed?)")
+      val dst = new Path(rootPath, rel)
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+    }
+    commit(spark, root)
   }
 
   /** Archive every (non-hidden) file under `dir`, mapping it to the

@@ -165,6 +165,28 @@ class SnapshotsSpec extends SparkSpec {
       ("added", 5L, "2024-01-02", 21.0))) // insert
   }
 
+  test("restore rolls the live tree back to a pinned version; all manifests stay readable") {
+    val dir = Files.createTempDirectory("snap_restore").toString + "/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir)
+    Sources.deleteWhere(spark, dir, $"id" === 2L) // v2
+    assert(spark.read.parquet(dir).count() == 3L)
+    val v3 = Snapshots.restore(spark, dir, v1)
+    assert(v3 == 3L)
+    // DIRECTORY readers see the pre-delete table again — not just manifest readers
+    assert(spark.read.parquet(dir).count() == 4L)
+    assert(spark.read.parquet(dir).filter($"id" === 2L).count() == 1L)
+    // every version still reads: v1 == v3 == 4 rows, v2 (the delete) == 3
+    assert(Snapshots.readSnapshot(spark, dir, 1L).count() == 4L)
+    assert(Snapshots.readSnapshot(spark, dir, 2L).count() == 3L)
+    assert(Snapshots.readSnapshot(spark, dir, 3L).count() == 4L)
+    // the delete can be REPLAYED after the restore (re-archiving the
+    // restored duplicate must not collide)
+    Sources.deleteWhere(spark, dir, $"id" === 2L) // v4
+    assert(spark.read.parquet(dir).count() == 3L)
+    assert(Snapshots.readSnapshot(spark, dir, 3L).count() == 4L)
+  }
+
   test("merge crash leftovers are archived, not destroyed") {
     val dir = Files.createTempDirectory("snap_crash").toString + "/t"
     val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
