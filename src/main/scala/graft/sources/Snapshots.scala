@@ -56,6 +56,49 @@ object Snapshots {
   private def isHidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
+  /** Enforced single-writer: maintenance ops run under an exclusive table
+    * lock (create-exclusive `_graft_manifests/.lock`, atomic on every
+    * hadoop FS that supports atomic create — local FS and HDFS do; object
+    * stores would swap in a conditional PUT). The lock carries its epoch
+    * millis + owner tag; a lock older than `staleMs` is presumed crashed
+    * and broken. Readers never touch the lock — snapshot reads stay
+    * coordination-free at any concurrency.
+    */
+  def withTableLock[T](spark: SparkSession, root: String, staleMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    val dir = manifestDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val lock = new Path(dir, ".lock")
+    val tag = s"${System.currentTimeMillis()} ${spark.sparkContext.applicationId}"
+    var acquired = false
+    var attempts = 0
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // create-exclusive: the atomic acquire
+        try out.write(tag.getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val ageMs =
+            try {
+              val in = fs.open(lock)
+              val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+              System.currentTimeMillis() - txt.trim.split(" ").head.toLong
+            } catch { case _: Exception => 0L } // racing holder mid-write: treat as fresh
+          if (ageMs > staleMs) fs.delete(lock, false) // crashed holder: break and retry
+          else {
+            attempts += 1
+            if (attempts > 600) sys.error(s"table $root is locked by another writer (${lock})")
+            Thread.sleep(50)
+          }
+      }
+    }
+    try body
+    finally fs.delete(lock, false)
+  }
+
   /** Current data files of the table, as root-relative paths (sorted).
     * Skips hidden files/dirs at every level — manifests, archive, staging
     * and `_SUCCESS` markers are never data.
@@ -225,7 +268,7 @@ object Snapshots {
     * history stays linear and every prior manifest remains readable.
     * After restore, directory readers and manifest readers agree again.
     */
-  def restore(spark: SparkSession, root: String, version: Long): Long = {
+  def restore(spark: SparkSession, root: String, version: Long): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val target = files(spark, root, version).toSet

@@ -237,6 +237,7 @@ object Sources {
     * committed before the first mutation and a new one after the delete.
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
+    Snapshots.withTableLock(spark, root) {
     import org.apache.spark.sql.functions.input_file_name
     val affected = spark.read
       .parquet(root)
@@ -301,6 +302,7 @@ object Sources {
     if (affected.nonEmpty) Snapshots.commit(spark, root)
     (affected.length.toLong, affected.map(_._2).sum)
   }
+  }
 
   /** MERGE-style upsert into a hive-partitioned parquet table: apply a
     * delta (new + changed rows, keyed by `keyCols` within `partitionCol`)
@@ -336,6 +338,7 @@ object Sources {
       delta: DataFrame,
       partitionCol: String,
       keyCols: Seq[String]): Seq[String] = {
+    Snapshots.withTableLock(spark, root) {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val affected = delta
@@ -390,6 +393,7 @@ object Sources {
     Snapshots.commit(spark, root)
     affected
   }
+  }
 
   /** Retention / TTL expiry over a partitioned layout: drop every
     * `col=value` partition directory whose value fails `keep` — the
@@ -408,6 +412,7 @@ object Sources {
       root: String,
       partitionCol: String,
       keep: String => Boolean): Seq[String] = {
+    Snapshots.withTableLock(spark, root) {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"$partitionCol="
@@ -425,6 +430,7 @@ object Sources {
       Snapshots.commit(spark, root)
     }
     expired.map(_.getName.stripPrefix(prefix)).sorted
+  }
   }
 
   /** In-place small-files compaction of a (possibly hive-partitioned)
@@ -444,6 +450,7 @@ object Sources {
     * against the live path a maintained table actually serves.
     */
   def compactInPlace(spark: SparkSession, root: String): (Long, Long, Long) = {
+    Snapshots.withTableLock(spark, root) {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
@@ -496,5 +503,6 @@ object Sources {
     }
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
+  }
   }
 }

@@ -187,6 +187,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readSnapshot(spark, dir, 3L).count() == 4L)
   }
 
+  test("table lock serializes concurrent maintenance; a stale lock is broken") {
+    val dir = Files.createTempDirectory("snap_lock").toString + "/t"
+    table(dir)
+    // two concurrent deletes on the same table: the lock must serialize
+    // them and both must land (neither lost-updates the other's manifest)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(Sources.deleteWhere(spark, dir, $"id" === 1L))
+    val f2 = Future(Sources.deleteWhere(spark, dir, $"id" === 4L))
+    val (r1, r2) = (Await.result(f1, 2.minutes), Await.result(f2, 2.minutes))
+    assert(r1._2 == 1L && r2._2 == 1L)
+    assert(spark.read.parquet(dir).count() == 2L)
+    assert(Snapshots.readSnapshot(spark, dir).count() == 2L)
+    // stale lock (simulated crashed holder): the next op breaks it and runs
+    val lock = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/.lock")
+    java.nio.file.Files.write(lock.toPath, s"${System.currentTimeMillis() - 3600 * 1000L} dead-app".getBytes)
+    val (files3, rows3) = Sources.deleteWhere(spark, dir, $"id" === 2L)
+    assert(rows3 == 1L && !lock.exists())
+    assert(spark.read.parquet(dir).count() == 1L)
+  }
+
   test("merge crash leftovers are archived, not destroyed") {
     val dir = Files.createTempDirectory("snap_crash").toString + "/t"
     val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
