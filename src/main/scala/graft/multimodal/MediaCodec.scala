@@ -46,6 +46,21 @@ object MediaCodec {
 
   // ---- BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), 24bpp --------
 
+  /** Per-axis caps alone don't bound the PRODUCT: a 65536×65536 header
+    * wraps `width*height*3` (and the `(width*3+1)*height` scanline buffer)
+    * past Int range, turning the decoder's contract — untrusted bytes fail
+    * only as IllegalArgumentException — into ArrayIndexOutOfBounds /
+    * NegativeArraySize. Bound the total decoded footprint in Long before
+    * any allocation; 256 MiB is far above every legitimate fixture and far
+    * below the wrap point.
+    */
+  private val MaxDecodedBytes = 256L * 1024 * 1024
+
+  private def requireDecodedFits(width: Int, height: Int, fmt: String): Unit =
+    require(
+      width.toLong * height * 3 + height + 1 <= MaxDecodedBytes,
+      s"$fmt: decoded size ${width}x$height exceeds the ${MaxDecodedBytes} byte cap")
+
   /** Bytes per stored BMP row: 3·width rounded up to a 4-byte boundary. */
   def bmpStride(width: Int): Int = (3 * width + 3) & ~3
 
@@ -103,6 +118,7 @@ object MediaCodec {
     // crafted width/height can't overflow Int past the require and land in
     // ArrayIndexOutOfBounds instead of IllegalArgumentException.
     require(width <= 65536 && height <= 65536, "BMP: dimensions exceed supported maximum")
+    requireDecodedFits(width, height, "BMP")
     require(le16(b, 28) == 24, "BMP: only 24bpp supported")
     require(le32(b, 30) == 0, "BMP: only BI_RGB (uncompressed) supported")
     val stride = bmpStride(width)
@@ -159,9 +175,10 @@ object MediaCodec {
     val height = nextInt()
     val maxval = nextInt()
     require(width > 0 && height > 0, "PPM: non-positive dimensions")
+    requireDecodedFits(width, height, "PPM")
     require(maxval == 255, "PPM: only maxval 255 supported")
     pos += 1 // exactly one whitespace byte after maxval
-    require(b.length >= pos + width * height * 3, "PPM: truncated pixel data")
+    require(b.length.toLong >= pos.toLong + width.toLong * height * 3, "PPM: truncated pixel data")
     val pixels = java.util.Arrays.copyOfRange(b, pos, pos + width * height * 3)
     Raster(width, height, pixels)
   }
@@ -367,6 +384,7 @@ object MediaCodec {
           height = be32(b, off + 12)
           require(width > 0 && height > 0, "PNG: non-positive dimensions")
           require(width <= 65536 && height <= 65536, "PNG: dimensions exceed supported maximum")
+          requireDecodedFits(width, height, "PNG")
           require(b(off + 16) == 8, "PNG: only bit depth 8 supported")
           require(b(off + 17) == 2, "PNG: only truecolor (type 2) supported")
           require(b(off + 18) == 0 && b(off + 19) == 0, "PNG: bad compression/filter method")

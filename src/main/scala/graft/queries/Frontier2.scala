@@ -379,16 +379,27 @@ object Frontier2 {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // one corpus shuffle total (q183 comment): vec_id partitioning is
     // reused by every iteration and PRESERVED through deflation
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var xu = explodeMicro(Tables.embeddings(s, d)).repartition(col("vec_id")).persist(lvl)
+    caches += xu
     var out = List.empty[Seq[(Long, Long, Long)]]
     for (c <- 1 to 3) {
       val v = powerIterate(xu)
       out ::= v.map { case (p, l) => (c.toLong, p.toLong, l) }
-      if (c < 3) xu = deflate(xu, v.toDF("pos", "v6")).persist(lvl)
+      if (c < 3) {
+        xu = deflate(xu, v.toDF("pos", "v6")).persist(lvl)
+        caches += xu
+      }
     }
-    out.reverse.flatten
+    // every loading is already collected driver state — the result frame
+    // references NONE of the persisted corpora, so release all three now
+    // (CacheManager entries outlive the query otherwise: ContextCleaner
+    // only reclaims checkpoint blocks, the q172/q187/q188 discipline)
+    val res = out.reverse.flatten
       .toDF("component", "pos", "loading_u")
       .orderBy(col("component"), col("pos"))
+    caches.foreach(_.unpersist(false))
+    res
   }
 
   val q186Sql: String = {

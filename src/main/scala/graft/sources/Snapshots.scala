@@ -56,47 +56,132 @@ object Snapshots {
   private def isHidden(name: String): Boolean =
     name.startsWith(".") || name.startsWith("_")
 
+  /** Roots whose table lock the CURRENT THREAD already holds. Makes
+    * [[withTableLock]] reentrant, so the public [[commit]]/[[vacuum]] can
+    * take the lock themselves while remaining callable from inside locked
+    * maintenance ops (restore, deleteWhere, merge… all commit under their
+    * own lock).
+    */
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private def readLockTag(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: Exception => None } // vanished or unreadable mid-race
+
+  /** Lock-tag format: `graft-lock <createdMs> <heartbeatMs> <owner> <appId>`.
+    * Millis of the holder's LAST HEARTBEAT, or None for a tag that is
+    * malformed/truncated (a holder mid-write, or a concurrent heartbeat
+    * rewrite) — malformed reads as FRESH, never as stale: a partial read
+    * must not trigger a break of a live writer's lock.
+    */
+  private def heartbeatOf(tag: String): Option[Long] = {
+    val t = tag.split(" ")
+    if (t.length == 5 && t(0) == "graft-lock") scala.util.Try(t(2).toLong).toOption
+    else None
+  }
+
   /** Enforced single-writer: maintenance ops run under an exclusive table
     * lock (create-exclusive `_graft_manifests/.lock`, atomic on every
     * hadoop FS that supports atomic create — local FS and HDFS do; object
-    * stores would swap in a conditional PUT). The lock carries its epoch
-    * millis + owner tag; a lock older than `staleMs` is presumed crashed
-    * and broken. Readers never touch the lock — snapshot reads stay
-    * coordination-free at any concurrency.
+    * stores would swap in a conditional PUT). Liveness is judged by a
+    * HEARTBEAT: the holder rewrites the lock's timestamp every staleMs/5,
+    * so a slow-but-alive op (a compaction outliving staleMs) is never
+    * mistaken for a crashed one; only a lock whose heartbeat is older than
+    * `staleMs` is broken. The break itself is race-safe: the breaker
+    * RENAMES the lock to a name derived from the exact tag it observed
+    * (one rename wins among concurrent breakers; a delete-based break
+    * would let breaker B delete the fresh lock a new holder created after
+    * breaker A's delete), confirms the moved file still carries the dead
+    * tag, and restores it if a live holder slipped in. Release verifies
+    * ownership before deleting. Waiters are bounded by wall time
+    * (`maxWaitMs`), not attempt count, sized generously relative to real
+    * maintenance durations. Readers never touch the lock — snapshot reads
+    * stay coordination-free at any concurrency. Reentrant per thread.
     */
-  def withTableLock[T](spark: SparkSession, root: String, staleMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+  def withTableLock[T](
+      spark: SparkSession,
+      root: String,
+      staleMs: Long = 10 * 60 * 1000L,
+      maxWaitMs: Long = 30 * 60 * 1000L)(body: => T): T = {
     val dir = manifestDir(new Path(root))
     val fs = fsOf(spark, dir)
+    val key = dir.toString
+    if (heldLocks.get().contains(key)) return body // this thread already holds it
     fs.mkdirs(dir)
     val lock = new Path(dir, ".lock")
-    val tag = s"${System.currentTimeMillis()} ${spark.sparkContext.applicationId}"
+    val owner = java.util.UUID.randomUUID().toString
+    val createdMs = System.currentTimeMillis()
+    def tag(hbMs: Long) = s"graft-lock $createdMs $hbMs $owner ${spark.sparkContext.applicationId}"
+    val deadline = createdMs + maxWaitMs
     var acquired = false
-    var attempts = 0
     while (!acquired) {
       try {
         val out = fs.create(lock, false) // create-exclusive: the atomic acquire
-        try out.write(tag.getBytes("UTF-8"))
+        try out.write(tag(createdMs).getBytes("UTF-8"))
         finally out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          val ageMs =
-            try {
-              val in = fs.open(lock)
-              val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-              System.currentTimeMillis() - txt.trim.split(" ").head.toLong
-            } catch { case _: Exception => 0L } // racing holder mid-write: treat as fresh
-          if (ageMs > staleMs) fs.delete(lock, false) // crashed holder: break and retry
-          else {
-            attempts += 1
-            if (attempts > 600) sys.error(s"table $root is locked by another writer (${lock})")
-            Thread.sleep(50)
+          val seen = readLockTag(fs, lock)
+          val stale = seen.exists(t => heartbeatOf(t).exists(hb => System.currentTimeMillis() - hb > staleMs))
+          if (stale) {
+            // one grave name per OBSERVED tag: concurrent breakers that saw
+            // the same dead tag race to one rename, exactly one wins
+            val grave = new Path(dir, s".lock-broken-${Integer.toHexString(seen.get.hashCode)}")
+            val renamed = try fs.rename(lock, grave) catch { case _: java.io.IOException => false }
+            if (renamed) {
+              val got = readLockTag(fs, grave)
+              if (got.forall(_ == seen.get)) fs.delete(grave, false) // confirmed dead: broken
+              else if (!fs.rename(grave, lock)) // a fresh holder's lock was stolen: put it back
+                fs.delete(grave, false) // .lock reappeared meanwhile; victim re-asserts via heartbeat
+            }
+          } else {
+            if (System.currentTimeMillis() > deadline)
+              sys.error(s"table $root still locked by another writer after $maxWaitMs ms ($lock)")
+            Thread.sleep(100)
           }
       }
     }
+    heldLocks.set(heldLocks.get() + key)
+    val stopHb = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hbThread = new Thread(
+      () => {
+        val period = math.max(250L, staleMs / 5)
+        while (!stopHb.get()) {
+          try Thread.sleep(period)
+          catch { case _: InterruptedException => () }
+          if (!stopHb.get()) {
+            try if (readLockTag(fs, lock).exists(_.contains(owner))) {
+              // overwrite in place (truncate+rewrite): the path never
+              // vanishes, so no create-exclusive acquire can slip in; a
+              // reader catching the truncated window parses a malformed
+              // tag, which reads as fresh, never as stale
+              val out = fs.create(lock, true)
+              try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
+              finally out.close()
+            } catch { case _: Exception => () } // next beat retries
+          }
+        }
+      },
+      s"graft-lock-heartbeat-$owner")
+    hbThread.setDaemon(true)
+    hbThread.start()
     try body
-    finally fs.delete(lock, false)
+    finally {
+      stopHb.set(true)
+      hbThread.interrupt()
+      heldLocks.set(heldLocks.get() - key)
+      // release only if still ours: if a breaker wrongly presumed us dead
+      // and another writer holds the lock now, deleting it would unlock a
+      // THIRD writer on top of them
+      try if (readLockTag(fs, lock).exists(_.contains(owner))) fs.delete(lock, false)
+      catch { case _: Exception => () }
+    }
   }
 
   /** Current data files of the table, as root-relative paths (sorted).
@@ -133,9 +218,12 @@ object Snapshots {
   }
 
   /** Commit the table's CURRENT file set as the next manifest version.
-    * Atomic (temp write + rename); returns the committed version.
+    * Atomic (temp write + rename); returns the committed version. Runs
+    * under the table lock (reentrant when a maintenance op already holds
+    * it), so a direct commit can't interleave with a concurrent
+    * maintenance op's list-then-commit.
     */
-  def commit(spark: SparkSession, root: String): Long = {
+  def commit(spark: SparkSession, root: String): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val files = listDataFiles(spark, root)
@@ -319,34 +407,43 @@ object Snapshots {
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest manifest")
-    val rootPath = new Path(root)
-    val fs = fsOf(spark, rootPath)
-    val latest = latestVersion(spark, root)
-    if (latest == 0L) return Nil
-    val keepFrom = math.max(1L, latest - keepLast + 1L)
-    val referenced: Set[String] =
-      (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
-    (1L until keepFrom).foreach(v => fs.delete(manifestPath(rootPath, v), false))
-    val archiveRoot = new Path(rootPath, ArchiveDirName)
-    if (!fs.exists(archiveRoot)) return Nil
-    val archiveUri = archiveRoot.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
-    def walk(d: Path): Seq[Path] =
-      fs.listStatus(d).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+    // under the table lock: a vacuum racing a restore could otherwise
+    // delete an archived file between restore's exists-check and its copy
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val latest = latestVersion(spark, root)
+      val archiveRoot = new Path(rootPath, ArchiveDirName)
+      if (latest == 0L) Nil
+      else {
+        val keepFrom = math.max(1L, latest - keepLast + 1L)
+        val referenced: Set[String] =
+          (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
+        (1L until keepFrom).foreach(v => fs.delete(manifestPath(rootPath, v), false))
+        if (!fs.exists(archiveRoot)) Nil
+        else {
+          val archiveUri = archiveRoot.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+          def walk(d: Path): Seq[Path] =
+            fs.listStatus(d).toSeq.flatMap { st =>
+              if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+            }
+          val dead = walk(archiveRoot).filterNot { p =>
+            referenced.contains(
+              archiveUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath)
+          }
+          dead.foreach(p => fs.delete(p, false))
+          // prune now-empty archive subdirs (metadata-only tidy-up)
+          def prune(d: Path): Unit = {
+            fs.listStatus(d).foreach(st => if (st.isDirectory) prune(st.getPath))
+            if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+          }
+          prune(archiveRoot)
+          dead
+            .map(p =>
+              archiveUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath)
+            .sorted
+        }
       }
-    val dead = walk(archiveRoot).filterNot { p =>
-      referenced.contains(
-        archiveUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath)
     }
-    dead.foreach(p => fs.delete(p, false))
-    // prune now-empty archive subdirs (metadata-only tidy-up)
-    def prune(d: Path): Unit = {
-      fs.listStatus(d).foreach(st => if (st.isDirectory) prune(st.getPath))
-      if (fs.listStatus(d).isEmpty) fs.delete(d, false)
-    }
-    prune(archiveRoot)
-    dead
-      .map(p => archiveUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath)
-      .sorted
   }
 }

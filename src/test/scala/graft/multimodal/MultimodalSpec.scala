@@ -154,6 +154,33 @@ class MultimodalSpec extends SparkSpec {
     val hugeDim = good.clone()
     putLe32(hugeDim, 18, 1 << 20) // over the 65536 cap
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(hugeDim))
+    // both axes AT the per-axis cap: the product 65536*65536*3 wraps Int —
+    // the Long-domain footprint bound must reject it as IllegalArgument
+    val capSquared = good.clone()
+    putLe32(capSquared, 18, 65536)
+    putLe32(capSquared, 22, 65536)
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(capSquared))
+  }
+
+  test("PNG/PPM dimension products that wrap Int fail as IllegalArgumentException") {
+    // PNG: patch IHDR to 65536x65536 and fix the chunk CRC so the guard
+    // (not the CRC check) is what rejects it
+    val good = MediaCodec.encodePng(Raster(3, 3, Array.tabulate[Byte](27)(_.toByte)))
+    val p = good.clone()
+    def putBe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+      b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    putBe32(p, 16, 65536) // IHDR width (sig 8 + len 4 + type 4)
+    putBe32(p, 20, 65536) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(p, 12, 4 + 13) // chunk type + IHDR payload
+    putBe32(p, 12 + 4 + 13, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](MediaCodec.decodePng(p))
+    assert(e.getMessage.contains("byte cap"))
+    // PPM: header dims parse fine per-axis but the product wraps
+    intercept[IllegalArgumentException](
+      MediaCodec.decodePpm("P6\n46341 46341\n255\n".getBytes("US-ASCII")))
   }
 
   test("PPM roundtrips and parses multi-digit dimensions") {

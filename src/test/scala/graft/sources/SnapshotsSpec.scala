@@ -201,12 +201,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(r1._2 == 1L && r2._2 == 1L)
     assert(spark.read.parquet(dir).count() == 2L)
     assert(Snapshots.readSnapshot(spark, dir).count() == 2L)
-    // stale lock (simulated crashed holder): the next op breaks it and runs
+    // stale lock (simulated crashed holder, heartbeat an hour old): the
+    // next op breaks it and runs
     val lock = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/.lock")
-    java.nio.file.Files.write(lock.toPath, s"${System.currentTimeMillis() - 3600 * 1000L} dead-app".getBytes)
+    val dead = System.currentTimeMillis() - 3600 * 1000L
+    java.nio.file.Files.write(lock.toPath, s"graft-lock $dead $dead dead-owner dead-app".getBytes)
     val (files3, rows3) = Sources.deleteWhere(spark, dir, $"id" === 2L)
     assert(rows3 == 1L && !lock.exists())
     assert(spark.read.parquet(dir).count() == 1L)
+  }
+
+  test("a slow-but-alive holder heartbeats past staleMs and is NOT broken; a waiter queues behind it") {
+    val dir = Files.createTempDirectory("snap_hb").toString + "/t"
+    table(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val holderDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val waiterEntered = new java.util.concurrent.atomic.AtomicLong(0L)
+    // holder's body outlives staleMs by 4x — only the heartbeat keeps it alive
+    val holder = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) {
+      Thread.sleep(4000L)
+      holderDone.set(System.nanoTime())
+    })
+    Thread.sleep(500L) // let the holder acquire first
+    val waiter = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) {
+      waiterEntered.set(System.nanoTime())
+    })
+    Await.result(holder, 2.minutes)
+    Await.result(waiter, 2.minutes)
+    assert(holderDone.get() > 0L && waiterEntered.get() > 0L)
+    assert(
+      waiterEntered.get() > holderDone.get(),
+      "the waiter entered while the heartbeating holder was still inside its op — the lock was broken")
+  }
+
+  test("a crashed holder whose heartbeat stopped IS broken after staleMs") {
+    val dir = Files.createTempDirectory("snap_crashlock").toString + "/t"
+    table(dir)
+    val mdir = new java.io.File(s"$dir/${Snapshots.ManifestDirName}")
+    mdir.mkdirs()
+    val lock = new java.io.File(mdir, ".lock")
+    val t = System.currentTimeMillis() - 5000L // heartbeat 5s ago, never refreshed
+    java.nio.file.Files.write(lock.toPath, s"graft-lock $t $t crashed-owner crashed-app".getBytes)
+    val t0 = System.nanoTime()
+    Snapshots.withTableLock(spark, dir, staleMs = 1000L) { () }
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+    assert(!lock.exists())
   }
 
   test("merge crash leftovers are archived, not destroyed") {
