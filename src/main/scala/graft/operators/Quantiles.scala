@@ -62,18 +62,24 @@ object Quantiles {
       .orderBy(col("p_pct"))
   }
 
-  /** Per-group exact discrete quantiles from ONE stacked sort-rank.
+  /** Per-group exact discrete quantiles from ONE stacked sort-rank,
+    * group-count-UNBOUNDED: no per-group state ever reaches the driver.
     *
     * `order` must lead with `groupCol` ascending, so each group occupies a
     * contiguous global-rank block; the group's quantile ranks are then
-    * just blockOffset + ⌈p·n_g⌉, and a single broadcast join against the
-    * (|groups|·|ps|)-row boundary table picks the result rows. Scale: the
-    * data-side cost is exactly [[exact]]'s one range shuffle; per-group
-    * counts are a keyed aggregation collected to the driver (bounded by
-    * the number of GROUPS, not rows — the same driver-size class as a
-    * k-means centroid set). String group keys only (offsets must follow
-    * the range partitioner's UTF-8 binary order, see
-    * [[graft.sources.kv.KvKeyRange.u8cmp]]).
+    * just blockOffset + ⌈p·n_g⌉. Both block quantities come from ONE keyed
+    * aggregation over the ranked frame that STAYS distributed — the offset
+    * is `min(rank) − 1` (contiguity makes the prefix sum unnecessary) and
+    * the size is `count(*)` — and the |groups|·|ps|-row target-rank table
+    * joins back on the globally-unique rank. Scale: the data-side cost is
+    * exactly [[exact]]'s one range shuffle plus one #groups-sized hash agg
+    * and a rank-keyed join Spark broadcasts when the group count is small
+    * and shuffles when it is not; per-USER/per-SERIES quantiles over
+    * millions of groups never funnel through the driver (the earlier form
+    * collected a per-group count array and sorted it single-threaded).
+    * Any orderable group type works, null group keys included — group
+    * identity only ever feeds `groupBy` and rides along the ranked rows;
+    * nothing compares keys outside the engine.
     */
   def exactGrouped(
       df: DataFrame,
@@ -84,25 +90,25 @@ object Quantiles {
       partitions: Int = 0,
       cleanup: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "fractions must be in (0, 1]")
-    val counts = df
+    val ranked = Ranks.globalRowNumber(df, order, "__r", partitions, cleanup)
+    // one row per (group, fraction): the group's global target rank. The
+    // rankOf arithmetic is replayed in Column form: ⌈p·n − ε⌉ floored at 1.
+    val targets = ranked
       .groupBy(col(groupCol))
-      .count()
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      // Spark's string asc IS UTF-8 binary order; Scala's default String
-      // ordering is UTF-16 — diverges on supplementary-plane keys
-      .sortWith((a, b) => graft.sources.kv.KvKeyRange.u8cmp(a._1, b._1) < 0)
-    val offsets = counts.scanLeft(0L) { case (acc, (_, n)) => acc + n }
-    // global quantile ranks are unique across groups (disjoint blocks), so
-    // the join key is the rank alone; the group column rides along
-    val wanted = counts.zip(offsets).flatMap { case ((_, n), off) =>
-      ps.map(p => (off + rankOf(p, n), math.round(p * 100)))
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    Ranks
-      .globalRowNumber(df, order, "__r", partitions, cleanup)
-      .join(broadcast(wanted.toSeq.toDF("__r", "p_pct")), Seq("__r"))
+      .agg((min(col("__r")) - lit(1L)).as("__off"), count(lit(1)).as("__n"))
+      .select(
+        explode(array(ps.map { p =>
+          struct(
+            (col("__off") +
+              greatest(lit(1L), ceil(lit(p) * col("__n") - lit(1e-9)).cast("long"))).as("__r"),
+            lit(math.round(p * 100)).as("p_pct"))
+        }: _*)).as("__t"))
+      .select(col("__t.__r").as("__r"), col("__t.p_pct").as("p_pct"))
+    // ranks are globally unique (disjoint contiguous blocks), so the join
+    // key is the rank alone; the group column rides along on the ranked
+    // side — no key comparison, so nulls and any data type are fine
+    ranked
+      .join(targets, Seq("__r"))
       .select(col(groupCol), col("p_pct"), col(valueCol))
       .orderBy(col(groupCol), col("p_pct"))
   }

@@ -713,6 +713,57 @@ object Frontier2 {
       |    THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS u_v2
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q194: per-user exact quantiles, group-count-unbounded ------------
+
+  /** q188's primitive at its REALISTIC grain: exact per-USER value
+    * quantiles over events — 10× the group cardinality of the event-type
+    * grouping, and the stand-in for per-user/per-series quantiles over
+    * millions of groups in a production TSDB. Pins the round-9
+    * [[graft.operators.Quantiles.exactGrouped]] rework: block offsets and
+    * sizes now come from a distributed keyed agg over the ranked frame
+    * (offset = min(rank)−1 under the stacked order) joined back on the
+    * globally-unique rank — NO per-group array is ever collected, so group
+    * cardinality is bounded by cluster memory, not driver memory
+    * (QuantilesSpec proves the driver-fetch bound at 200k groups). Same
+    * single range shuffle as q187/q188.
+    */
+  def q194(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("vu"),
+        col("event_id"))
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val out = graft.operators.Quantiles
+      .exactGrouped(
+        ev,
+        "user_id",
+        "vu",
+        Seq(col("user_id").asc, col("vu").asc, col("event_id").asc),
+        Seq(0.50, 0.90, 0.99),
+        cleanup = caches)
+      .select(col("user_id"), col("p_pct").cast("long").as("p_pct"), col("vu"))
+      .localCheckpoint() // |users|·3 rows; pin before releasing the rank's cache
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
+  val q194Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu, event_id
+      |  FROM events),
+      |r AS (SELECT user_id, vu,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY vu, event_id) AS rk
+      |      FROM s),
+      |n AS (SELECT user_id, count(*) AS n FROM s GROUP BY 1)
+      |SELECT r.user_id AS user_id, CAST(p.p_pct AS BIGINT) AS p_pct, r.vu
+      |FROM (VALUES (50, 0.50), (90, 0.90), (99, 0.99)) AS p(p_pct, f)
+      |JOIN n ON true
+      |JOIN r ON r.user_id = n.user_id
+      |      AND r.rk = greatest(1, CAST(ceil(f * n.n - 1e-9) AS BIGINT))
+      |ORDER BY r.user_id, p_pct""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q180_orc_roundtrip" -> (q180 _),
     "q181_quantization_audit" -> (q181 _),
@@ -723,7 +774,8 @@ object Frontier2 {
     "q187_exact_quantiles" -> (q187 _),
     "q188_grouped_quantiles" -> (q188 _),
     "q189_compact_lossless" -> (q189 _),
-    "q190_change_feed" -> (q190 _))
+    "q190_change_feed" -> (q190 _),
+    "q194_user_quantiles" -> (q194 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -735,5 +787,6 @@ object Frontier2 {
     "q187_exact_quantiles" -> q187Sql,
     "q188_grouped_quantiles" -> q188Sql,
     "q189_compact_lossless" -> q189Sql,
-    "q190_change_feed" -> q190Sql)
+    "q190_change_feed" -> q190Sql,
+    "q194_user_quantiles" -> q194Sql)
 }

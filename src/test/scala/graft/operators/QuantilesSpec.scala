@@ -63,6 +63,79 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("grouped quantiles: a NULL group key is a legal group, not an NPE") {
+    val df = Seq(
+      (Option("a"), 1L, 1L),
+      (Option.empty[String], 5L, 2L),
+      (Option.empty[String], 7L, 3L),
+      (Option("a"), 3L, 4L)).toDF("g", "v", "id")
+    val got = Quantiles
+      .exactGrouped(df, "g", "v", Seq(col("g").asc, col("v").asc, col("id").asc), Seq(0.5, 1.0))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getAs[Long]("p_pct"), r.getAs[Long]("v")))
+      .toSet
+    assert(got == Set(
+      ("<null>", 50L, 5L), ("<null>", 100L, 7L),
+      ("a", 50L, 1L), ("a", 100L, 3L)))
+  }
+
+  test("200k groups (numeric keys): no stage returns a #groups-sized result to the driver") {
+    // per-user/per-series quantiles at scale: group count far beyond what a
+    // driver-side count array tolerates. The operator must keep every
+    // #groups-sized intermediate distributed — the only driver fetches are
+    // partition-count metadata (the Ranks offsets) and task-status overhead.
+    val nGroups = 200000L
+    val perGroup = 5L
+    val df = spark
+      .range(nGroups * perGroup)
+      .select(
+        (col("id") % nGroups).as("g"),
+        (col("id") * 7919 % 1000).as("v"),
+        col("id"))
+    val stageBytes = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val events = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        events.incrementAndGet()
+        if (te.taskMetrics != null)
+          stageBytes
+            .computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+            .addAndGet(te.taskMetrics.resultSize)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val caches = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+      val res = Quantiles.exactGrouped(
+        df, "g", "v", Seq(col("g").asc, col("v").asc, col("id").asc), Seq(0.5, 1.0),
+        partitions = 8, cleanup = caches)
+      assert(res.count() == nGroups * 2)
+      // spot-check two groups against the closed form
+      Seq(123L, 199987L).foreach { g =>
+        val vals = (0L until perGroup).map(k => (g + k * nGroups) * 7919 % 1000).sorted
+        val got = res
+          .filter(col("g") === g)
+          .collect()
+          .map(r => r.getAs[Long]("p_pct") -> r.getAs[Long]("v"))
+          .toMap
+        assert(got(50L) == vals((Quantiles.rankOf(0.5, perGroup) - 1).toInt), s"group $g p50")
+        assert(got(100L) == vals(perGroup.toInt - 1), s"group $g p100")
+      }
+      caches.foreach(_.unpersist(false))
+      // drain the async listener bus: poll until no new task events land
+      var last = -1L
+      var spins = 0
+      while (events.get() != last && spins < 40) { last = events.get(); Thread.sleep(250); spins += 1 }
+      import scala.jdk.CollectionConverters._
+      val worst = stageBytes.asScala.map { case (sid, b) => sid -> b.get() }.maxBy(_._2)
+      // a 200k-group driver collect serializes >10 MB; metadata + task-
+      // status overhead stays well under this bound
+      assert(
+        worst._2 < 4L * 1024 * 1024,
+        s"stage ${worst._1} shipped ${worst._2} bytes to the driver — a #groups-sized collect is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("multi-partition path agrees with single-partition path") {
     val vals = (1 to 2000).map(i => ((i * 104729) % 997).toLong)
     val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
