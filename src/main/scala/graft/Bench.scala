@@ -100,12 +100,28 @@ object Bench {
       if (ok) dt else -dt
     }
     val ordered = selected.sortBy(_._1)
-    val allPasses = (1 to passes).map(_ => ordered.map { case (n, fn) => n -> timeOne(n, fn) })
+    // Alternate direction between passes: BENCH_r08 postmortem — box
+    // contention early in the run inflated the alphabetically-FIRST
+    // queries in BOTH passes (q108-q110 read 5-6x high), so per-query
+    // min-of-2 couldn't cancel it. With pass 2 reversed, a contended
+    // window at either end of the run overlaps a different query prefix
+    // in each pass, so the min recovers the uncontended reading.
+    val allPasses = (1 to passes).map { p =>
+      val order = if (p % 2 == 1) ordered else ordered.reverse
+      order.map { case (n, fn) => n -> timeOne(n, fn) }
+    }
     // min of successful runs; a query only reports negative if EVERY pass failed
     val results = ordered.map { case (n, _) =>
       val ts = allPasses.map(_.find(_._1 == n).get._2)
       val good = ts.filter(_ >= 0)
       n -> (if (good.nonEmpty) good.min else ts.max)
+    }
+    // Per-query noise flag: a pass reading >3x the best pass means SOME
+    // window of the run was contended — the min is still trustworthy, but
+    // a reader comparing totals should know which entries carried noise.
+    val noisy = ordered.flatMap { case (n, _) =>
+      val good = allPasses.map(_.find(_._1 == n).get._2).filter(_ >= 0)
+      if (good.size >= 2 && good.min > 0.15 && good.max > 3.0 * good.min) Some(n) else None
     }
     val calibEnd = calibrate()
     spark.stop()
@@ -126,21 +142,22 @@ object Bench {
     val errJson = errors.reverse.distinct.map(e => "\"" + short(e) + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val fullErr = errors.reverse.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullNoisy = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), // cwd = the sbt project root
-        s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$fullQs,"errors":$fullErr,"runs":$passes,"agg":"min","sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$fullQs,"errors":$fullErr,"flagged_noisy":$fullNoisy,"runs":$passes,"agg":"min","order":"alternating","sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch {
       case e: Throwable => System.err.println(s"[bench] BENCH_LOCAL.json not written: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$qs,"errors":$errJson,"runs":$passes,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"queries":$qs,"errors":$errJson,"noisy_n":${noisy.size},"runs":$passes,"agg":"min","sf":"$sfDir"}""")
     // Round-6 postmortem: the per-query line above outgrew the driver's
     // 2000-char stdout tail window (184 queries ≈ 2.6 KB), so the head —
     // metric/value/calibration — was truncated and BENCH_r05/r06 recorded
     // "parsed": null. Emit a short totals-only trailer LAST so the tail
     // always retains one complete parseable JSON line regardless of how
     // large the registry grows. Full per-query map: line above + BENCH_LOCAL.json.
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"errors_n":${errors.distinct.size},"queries_n":${results.size},"runs":$passes,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","last_pass_total":${ms(lastPassTotal)},$calib,"errors_n":${errors.distinct.size},"queries_n":${results.size},"noisy_n":${noisy.size},"runs":$passes,"agg":"min","sf":"$sfDir"}""")
   }
 }
