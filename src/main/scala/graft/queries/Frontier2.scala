@@ -713,6 +713,62 @@ object Frontier2 {
       |    THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS u_v2
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q192: manifest-stats-pruned pinned read (zero-I/O planning) ------
+
+  /** File skipping from the MANIFEST alone, hash-proved: the q184-style
+    * per-(day, event_type) stats table commits a v2 manifest recording
+    * per-file min/max (here the hive `day=` path value + the `n` footer
+    * stat) and the table schema; a pinned day-range read then prunes the
+    * file list at PLAN time — no footer is opened for out-of-range days,
+    * where v1 manifests relied on parquet footers at scan time. The range
+    * is derived from the data (min day + 2 … + 5) so the ORACLE recomputes
+    * the identical window from raw events; the hash match proves
+    * stats-pruned reads are value-identical to filtering the full
+    * snapshot. SnapshotsSpec carries the plan-level assert that only the
+    * matching files are opened. At 100 TB: planning a day-range query
+    * against a million-file table costs one manifest read instead of a
+    * million footer opens — the Iceberg/Delta min-max-skipping economics,
+    * from one small file.
+    */
+  def q192(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q192_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), root.toString, Seq("day"))
+    val v1 = graft.sources.Snapshots.commit(s, root.toString, Seq("day", "n"))
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head.getDate(0).toLocalDate
+    val (lo, hi) = (m.plusDays(2).toString, m.plusDays(5).toString)
+    graft.sources.Snapshots
+      .readSnapshot(s, root.toString, v1, prune = Seq(("day", lo, hi)))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_events"),
+        sum(col("sum_u")).as("sum_u"))
+      .orderBy(col("day"))
+  }
+
+  val q192Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM per)
+      |SELECT day, count(*) AS n_types,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sum_u) AS BIGINT) AS sum_u
+      |FROM per, b
+      |WHERE day BETWEEN m + 2 AND m + 5
+      |GROUP BY day ORDER BY day""".stripMargin
+
   // -- q194: per-user exact quantiles, group-count-unbounded ------------
 
   /** q188's primitive at its REALISTIC grain: exact per-USER value
@@ -775,6 +831,7 @@ object Frontier2 {
     "q188_grouped_quantiles" -> (q188 _),
     "q189_compact_lossless" -> (q189 _),
     "q190_change_feed" -> (q190 _),
+    "q192_stats_pruned_read" -> (q192 _),
     "q194_user_quantiles" -> (q194 _))
 
   val oracles: Map[String, String] = Map(
@@ -788,5 +845,6 @@ object Frontier2 {
     "q188_grouped_quantiles" -> q188Sql,
     "q189_compact_lossless" -> q189Sql,
     "q190_change_feed" -> q190Sql,
+    "q192_stats_pruned_read" -> q192Sql,
     "q194_user_quantiles" -> q194Sql)
 }

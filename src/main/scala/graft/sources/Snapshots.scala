@@ -217,30 +217,197 @@ object Snapshots {
         .getOrElse(0L)
   }
 
+  /** Per-file column statistic recorded in a v2 manifest: `typ` is `l`
+    * (integer, compared as Long), `d` (floating, compared as Double) or
+    * `s` (string/date, compared lexicographically — ISO dates order
+    * correctly). Bounds are inclusive.
+    */
+  final case class ColStat(typ: String, min: String, max: String)
+
+  // hex-escape manifest stat fields so values can never collide with the
+  // line format's separators (tab between entries, colon inside one)
+  private def hex(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def unhex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+
+  private def mergeStat(a: ColStat, b: ColStat): ColStat = a.typ match {
+    case "l" =>
+      ColStat(
+        "l",
+        math.min(a.min.toLong, b.min.toLong).toString,
+        math.max(a.max.toLong, b.max.toLong).toString)
+    case "d" =>
+      ColStat(
+        "d",
+        math.min(a.min.toDouble, b.min.toDouble).toString,
+        math.max(a.max.toDouble, b.max.toDouble).toString)
+    case _ =>
+      ColStat(
+        "s",
+        if (a.min <= b.min) a.min else b.min,
+        if (a.max >= b.max) a.max else b.max)
+  }
+
+  /** Does the recorded [min, max] interval intersect the queried
+    * [lo, hi]? Types compare in the stat's own domain; a file is only
+    * SKIPPED on a definite miss, so pruning can never drop a matching row
+    * (null rows never match a range predicate, so all-null chunks are
+    * safe to skip too).
+    */
+  private def overlaps(cs: ColStat, lo: String, hi: String): Boolean = cs.typ match {
+    case "l" => !(cs.max.toLong < lo.toLong || cs.min.toLong > hi.toLong)
+    case "d" => !(cs.max.toDouble < lo.toDouble || cs.min.toDouble > hi.toDouble)
+    case _ => !(cs.max < lo || cs.min > hi)
+  }
+
+  /** Footer min/max of `cols` for one parquet file, merged across its row
+    * groups, plus the file's hive `k=v` partition-path values (a partition
+    * column's "stats" are exact: min = max = the dir value). Footer-only
+    * I/O — the bytes read are the same footer every scan task opens; doing
+    * it at COMMIT time moves file skipping from scan time (N footer opens
+    * per query) to plan time (zero opens: the manifest already knows).
+    */
+  private def fileColStats(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      rel: String,
+      cols: Seq[String]): Map[String, ColStat] = {
+    val fromPath: Map[String, ColStat] = rel
+      .split("/")
+      .dropRight(1)
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> ColStat("s", v, v)
+      }
+      .toMap
+    val want = cols.filterNot(fromPath.contains)
+    if (want.isEmpty) return fromPath.filter(kv => cols.contains(kv._1))
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val fromFooter =
+      try {
+        import scala.jdk.CollectionConverters._
+        val perChunk = for {
+          block <- reader.getFooter.getBlocks.asScala.toSeq
+          chunk <- block.getColumns.asScala
+          name = chunk.getPath.toDotString
+          if want.contains(name)
+          st = chunk.getStatistics
+          if st != null && st.hasNonNullValue
+          prim = chunk.getPrimitiveType
+          cs <- prim.getPrimitiveTypeName match {
+            case INT32 =>
+              val (mn, mx) =
+                (st.genericGetMin.asInstanceOf[Number].intValue(), st.genericGetMax.asInstanceOf[Number].intValue())
+              prim.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                  Some(ColStat(
+                    "s",
+                    java.time.LocalDate.ofEpochDay(mn.toLong).toString,
+                    java.time.LocalDate.ofEpochDay(mx.toLong).toString))
+                case _ => Some(ColStat("l", mn.toString, mx.toString))
+              }
+            case INT64 =>
+              Some(ColStat(
+                "l",
+                st.genericGetMin.asInstanceOf[Number].longValue().toString,
+                st.genericGetMax.asInstanceOf[Number].longValue().toString))
+            case FLOAT | DOUBLE =>
+              Some(ColStat(
+                "d",
+                st.genericGetMin.asInstanceOf[Number].doubleValue().toString,
+                st.genericGetMax.asInstanceOf[Number].doubleValue().toString))
+            case BINARY if prim.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              Some(ColStat(
+                "s",
+                st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+            case _ => None // unsupported physical type: no stat, file is never skipped
+          }
+        } yield name -> cs
+        // a column missing stats in ANY row group must drop out entirely:
+        // a partial interval could wrongly prune rows of the statless group
+        val grouped = perChunk.groupBy(_._1)
+        val rowGroups = reader.getFooter.getBlocks.size()
+        grouped.collect {
+          case (name, entries) if entries.size == rowGroups =>
+            name -> entries.map(_._2).reduce(mergeStat)
+        }
+      } finally reader.close()
+    fromPath.filter(kv => cols.contains(kv._1)) ++ fromFooter
+  }
+
   /** Commit the table's CURRENT file set as the next manifest version.
     * Atomic (temp write + rename); returns the committed version. Runs
     * under the table lock (reentrant when a maintenance op already holds
     * it), so a direct commit can't interleave with a concurrent
     * maintenance op's list-then-commit.
+    *
+    * With `statsCols` non-empty, a v2 manifest is written: it records the
+    * table SCHEMA (pinned reads become evolution-safe — a later
+    * column-adding write can't change what version v returns) and
+    * per-file min/max for the named columns (footer stats + hive
+    * partition-path values), so [[readSnapshot]] can prune the file list
+    * from the manifest ALONE — at 100 TB that is planning from one small
+    * file instead of opening N footers per query. v1 manifests (plain
+    * path-per-line) keep parsing unchanged.
     */
-  def commit(spark: SparkSession, root: String): Long = withTableLock(spark, root) {
-    val rootPath = new Path(root)
-    val fs = fsOf(spark, rootPath)
-    val files = listDataFiles(spark, root)
-    val version = latestVersion(spark, root) + 1L
-    val dir = manifestDir(rootPath)
-    fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = manifestPath(rootPath, version)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
+  def commit(spark: SparkSession, root: String): Long = commit(spark, root, Nil)
+
+  def commit(spark: SparkSession, root: String, statsCols: Seq[String]): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val files = listDataFiles(spark, root)
+      val version = latestVersion(spark, root) + 1L
+      val dir = manifestDir(rootPath)
+      fs.mkdirs(dir)
+      val body: Seq[String] =
+        if (statsCols.isEmpty) files
+        else {
+          val header = Seq(
+            "#graft-manifest 2",
+            s"#schema ${spark.read.parquet(root).schema.json}",
+            s"#statscols ${statsCols.mkString(",")}")
+          val conf = spark.sparkContext.hadoopConfiguration
+          // footer reads are independent metadata I/O: parallel on the
+          // driver, the deleteWhere/compactInPlace pool discipline
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(math.max(files.size, 1), 8))
+          val stats =
+            try {
+              implicit val ec: scala.concurrent.ExecutionContext =
+                scala.concurrent.ExecutionContext.fromExecutor(pool)
+              val futs = files.map { rel =>
+                scala.concurrent.Future(
+                  rel -> fileColStats(conf, new Path(rootPath, rel), rel, statsCols))
+              }
+              scala.concurrent.Await.result(
+                scala.concurrent.Future.sequence(futs),
+                scala.concurrent.duration.Duration.Inf)
+            } finally pool.shutdown()
+          header ++ stats.map { case (rel, st) =>
+            if (st.isEmpty) rel
+            else
+              rel + "\t" + statsCols.flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
+                .mkString("\t")
+          }
+        }
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, false)
+      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = manifestPath(rootPath, version)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
+      }
+      version
     }
-    version
-  }
 
   /** Commit a baseline manifest iff the table has none — called by the
     * maintenance ops so the PRE-maintenance state is always pinnable.
@@ -250,8 +417,7 @@ object Snapshots {
     if (v > 0L) v else commit(spark, root)
   }
 
-  /** The root-relative file list of manifest `version` (≤0 → latest). */
-  def files(spark: SparkSession, root: String, version: Long = -1L): Seq[String] = {
+  private def manifestLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val v = if (version > 0) version else latestVersion(spark, root)
     require(v > 0, s"no manifest committed under $root")
     val p = manifestPath(new Path(root), v)
@@ -263,6 +429,46 @@ object Snapshots {
       finally in.close()
     text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  /** The root-relative file list of manifest `version` (≤0 → latest).
+    * Both formats parse: v1 is one path per line; v2 prefixes `#` header
+    * lines and appends tab-separated per-file stats after the path.
+    */
+  def files(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith("#"))
+      .map(_.split("\t").head)
+
+  /** Per-file column stats of a v2 manifest (empty for v1 manifests or
+    * stat-less files).
+    */
+  def fileStats(
+      spark: SparkSession,
+      root: String,
+      version: Long = -1L): Map[String, Map[String, ColStat]] =
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith("#"))
+      .filter(_.contains("\t"))
+      .map { line =>
+        val parts = line.split("\t")
+        parts.head -> parts.tail.map { e =>
+          val Array(c, t, mn, mx) = e.split(":", 4)
+          unhex(c) -> ColStat(t, unhex(mn), unhex(mx))
+        }.toMap
+      }
+      .toMap
+
+  /** The table schema recorded by a v2 manifest commit (None for v1). */
+  def schemaOf(
+      spark: SparkSession,
+      root: String,
+      version: Long = -1L): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, root, version)
+      .find(_.startsWith("#schema "))
+      .map(l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema "))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Resolve a manifest entry to its current location: live path if the
     * file is still live, archive path if maintenance replaced it.
@@ -289,16 +495,46 @@ object Snapshots {
     * check on the extra `.snap-archive` segment), then unioned by name.
     * Still one job, two file sources — no shuffle, no extra I/O.
     */
-  def readSnapshot(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
-    val rels = files(spark, root, version)
-    require(rels.nonEmpty, s"manifest under $root lists no data files")
+  /** Optional `prune`: inclusive (column, lo, hi) ranges applied against
+    * the manifest's recorded per-file stats — files whose interval misses
+    * every range are dropped from the scan BEFORE any footer is opened
+    * (zero I/O planning; a v1 manifest or a stat-less column prunes
+    * nothing and stays correct). A v2 manifest's recorded schema is
+    * applied to the scan, so pinned reads keep their commit-time schema
+    * even after later schema-evolving writes.
+    */
+  def readSnapshot(
+      spark: SparkSession,
+      root: String,
+      version: Long = -1L,
+      prune: Seq[(String, String, String)] = Nil): DataFrame = {
+    val all = files(spark, root, version)
+    require(all.nonEmpty, s"manifest under $root lists no data files")
+    val schema = schemaOf(spark, root, version)
+    val rels =
+      if (prune.isEmpty) all
+      else {
+        val stats = fileStats(spark, root, version)
+        all.filter { rel =>
+          val st = stats.getOrElse(rel, Map.empty[String, ColStat])
+          prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) }
+        }
+      }
+    if (rels.isEmpty) {
+      // every file definitively missed the range: an empty frame in the
+      // manifest's recorded shape (v2 always records one when stats exist)
+      val s = schema.getOrElse(sys.error(s"prune removed every file and manifest records no schema"))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
     val (live, archived) = rels.map(rel => resolve(spark, root, rel)).partition { p =>
       !p.toString.contains(s"/$ArchiveDirName/")
     }
     val archiveBase = new Path(new Path(root), ArchiveDirName).toString
     val scans = Seq(root -> live, archiveBase -> archived).collect {
       case (base, ps) if ps.nonEmpty =>
-        spark.read.option("basePath", base).parquet(ps.map(_.toString): _*)
+        val rd = spark.read.option("basePath", base)
+        schema.foreach(rd.schema)
+        rd.parquet(ps.map(_.toString): _*)
     }
     scans.reduce(_.unionByName(_))
   }

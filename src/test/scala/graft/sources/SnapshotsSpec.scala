@@ -250,6 +250,73 @@ class SnapshotsSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  private def nScanned(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+
+  test("v2 manifest: a day-range pinned read opens ONLY the matching files (plan-asserted)") {
+    val dir = Files.createTempDirectory("snap_stats").toString + "/t"
+    table(dir) // 3 day dirs, one file each
+    val v = Snapshots.commit(spark, dir, Seq("day", "v"))
+    val pruned =
+      Snapshots.readSnapshot(spark, dir, v, prune = Seq(("day", "2024-01-02", "2024-01-03")))
+    assert(nScanned(pruned) == 2, "day range covers 2 of 3 partition files")
+    assert(pruned.select($"id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // unpruned pinned read still opens all three
+    assert(nScanned(Snapshots.readSnapshot(spark, dir, v)) == 3)
+    // a range that misses every file: empty frame in the RECORDED schema
+    val none =
+      Snapshots.readSnapshot(spark, dir, v, prune = Seq(("day", "2030-01-01", "2030-12-31")))
+    assert(none.count() == 0)
+    assert(none.schema == Snapshots.schemaOf(spark, dir, v).get)
+    // value identity: pruned read == unpruned read filtered to the range
+    val full = Snapshots
+      .readSnapshot(spark, dir, v)
+      .filter($"day" >= "2024-01-02" && $"day" <= "2024-01-03")
+      .select($"id", $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(pruned.select($"id", $"v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == full)
+  }
+
+  test("v2 manifest: footer min/max prunes an unpartitioned table down to one file") {
+    val dir = Files.createTempDirectory("snap_footer").toString + "/t"
+    spark
+      .range(0L, 400L)
+      .select($"id", ($"id" * 3).as("v"))
+      .repartitionByRange(4, $"id") // 4 files with disjoint tight id ranges
+      .write
+      .parquet(dir)
+    val v = Snapshots.commit(spark, dir, Seq("id"))
+    val stats = Snapshots.fileStats(spark, dir, v)
+    assert(stats.size == 4 && stats.values.forall(_.contains("id")))
+    val one = Snapshots.readSnapshot(spark, dir, v, prune = Seq(("id", "150", "150")))
+    assert(nScanned(one) == 1, "a point probe must open exactly the one file whose range covers it")
+    assert(one.filter($"id" === 150L).count() == 1L)
+    // v1 manifests (no stats) are unaffected: same call prunes nothing
+    val dir1 = Files.createTempDirectory("snap_footer_v1").toString + "/t"
+    spark.range(0L, 40L).toDF("id").repartition(2).write.parquet(dir1)
+    val v1 = Snapshots.commit(spark, dir1)
+    assert(nScanned(Snapshots.readSnapshot(spark, dir1, v1, prune = Seq(("id", "1", "1")))) == 2)
+  }
+
+  test("v2 pinned read keeps its commit-time schema across a column-adding write") {
+    val dir = Files.createTempDirectory("snap_schema").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.parquet(dir)
+    val v2 = Snapshots.commit(spark, dir, Seq("id"))
+    val before = Snapshots.readSnapshot(spark, dir, v2).schema.fieldNames.toSeq
+    // schema evolution: a later writer lands a file with an EXTRA column
+    Seq((3L, 30.0, "x")).toDF("id", "v", "tag").write.mode("append").parquet(dir)
+    Snapshots.commit(spark, dir)
+    // the pinned v2 read still returns its recorded two-column shape
+    val after = Snapshots.readSnapshot(spark, dir, v2)
+    assert(after.schema.fieldNames.toSeq == before && before == Seq("id", "v"))
+    assert(after.count() == 2L)
+  }
+
   test("merge crash leftovers are archived, not destroyed") {
     val dir = Files.createTempDirectory("snap_crash").toString + "/t"
     val base = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0)).toDF("id", "day", "v")
