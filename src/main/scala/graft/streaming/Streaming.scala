@@ -471,6 +471,59 @@ object Streaming {
         OutputMode.Append())
   }
 
+  /** Streaming CHANGE-FEED READER — the consumer half of the snapshot
+    * layer's CDC surface ([[graft.sources.Snapshots.diff]] is the batch
+    * half; the streaming CDC *writer* lands commits, this tails them).
+    * Completes the incremental-pipeline loop: table → feed → downstream
+    * table, with no external driver deciding "which versions are new".
+    *
+    * The manifest directory IS an append-only log of small files
+    * (`v0000000001.manifest`, …), so Spark's file stream source over it
+    * discovers each commit exactly once (file tracking lives in the
+    * checkpoint — a restart resumes at the first unseen commit). The
+    * stream itself carries only commit METADATA (one text row per listed
+    * data file); the row-level feed for each new version v is computed in
+    * `foreachBatch` as `diff(v−1, v)` — two pinned snapshot scans whose
+    * unchanged files resolve identically on both sides and cancel under
+    * `exceptAll`'s multiset semantics, so a compaction/restore commit
+    * (same rows, different files) emits NOTHING. v1 emits the full
+    * initial snapshot tagged `added` (the feed from the empty table).
+    *
+    * Exactly-once: versions are delivered in order, each exactly once per
+    * checkpoint lifetime; `emit` receives (version, feed) and should
+    * write idempotently per version (e.g. dynamic partition overwrite on
+    * a `commit_version=` column) for end-to-end exactly-once.
+    *
+    * Scale: the source lists one small directory per trigger; each feed
+    * costs two manifest-pinned scans + one hash-partitioned anti-diff —
+    * file-level pruning applies because unchanged files resolve to the
+    * SAME path on both sides. No state store at all.
+    */
+  def changeFeed(spark: SparkSession, root: String, checkpoint: String)(
+      emit: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Snapshots
+    def versionOf(path: String): Long =
+      path.split("/").last.stripPrefix("v").stripSuffix(".manifest").toLong
+    spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "v*.manifest")
+      .load(s"$root/${Snapshots.ManifestDirName}")
+      .select(col("_metadata.file_path").as("path"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val versions = batch.collect().map(r => versionOf(r.getString(0))).distinct.sorted
+        versions.foreach { v =>
+          val feed =
+            if (v == 1L)
+              Snapshots.readSnapshot(spark, root, 1L).withColumn("change", lit("added"))
+            else Snapshots.diff(spark, root, v - 1L, v)
+          emit(v, feed)
+        }
+      }
+      .start()
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

@@ -899,4 +899,74 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("change-feed reader tails commits; compaction emits nothing; folded feeds reproduce the final table") {
+    import graft.sources.{Snapshots, Sources}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("changefeed").toString + "/t"
+    val ckpt = Files.createTempDirectory("changefeed_ckpt").toString
+    val base = Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base.repartition(3), root) // scattered: compaction will have work
+    Snapshots.commit(spark, root) // v1
+    val feeds = scala.collection.mutable.Map.empty[Long, Seq[(String, Long, String, Double)]]
+    val q = Streaming.changeFeed(spark, root, ckpt) { (v, feed) =>
+      val rows = feed
+        .select(col("change"), col("id"), col("day"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+      feeds.synchronized { feeds(v) = rows }
+    }
+    try {
+      q.processAllAvailable()
+      Sources.deleteWhere(spark, root, col("id") === 2L) // v2: a delete
+      q.processAllAvailable()
+      Seq((5L, "2024-01-02", 21.0)).toDF("id", "day", "v").write.mode("append").parquet(root)
+      Snapshots.commit(spark, root) // v3: an append
+      q.processAllAvailable()
+      val (dirs, _, _) = Sources.compactInPlace(spark, root) // v4: files change, rows don't
+      assert(dirs > 0L, "fixture must leave the compactor real work")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(feeds.keySet == Set(1L, 2L, 3L, 4L))
+    assert(feeds(1L).size == 4 && feeds(1L).forall(_._1 == "added"), "v1 = initial snapshot, all added")
+    assert(feeds(2L) == Seq(("removed", 2L, "2024-01-01", 11.0)))
+    assert(feeds(3L) == Seq(("added", 5L, "2024-01-02", 21.0)))
+    assert(feeds(4L).isEmpty, "a compaction rewrites files, not rows — the feed must stay silent")
+    // multiset law: folding every per-commit feed (added − removed) equals
+    // diff(empty, latest), i.e. the live table itself
+    val folded = feeds.values.flatten
+      .foldLeft(Map.empty[(Long, String, Double), Int]) { case (m, (chg, id, day, v)) =>
+        val k = (id, day, v)
+        m + (k -> (m.getOrElse(k, 0) + (if (chg == "added") 1 else -1)))
+      }
+      .filter(_._2 != 0)
+    val want = Snapshots
+      .readSnapshot(spark, root)
+      .select(col("id"), col("day"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(identity)
+      .map { case (k, a) => k -> a.length }
+    assert(folded == want)
+    // restart from the same checkpoint: nothing re-emits (exactly-once per
+    // checkpoint lifetime), a NEW commit still flows
+    feeds.synchronized { feeds.clear() }
+    val q2 = Streaming.changeFeed(spark, root, ckpt) { (v, feed) =>
+      val n = feed.count()
+      feeds.synchronized { feeds(v) = Seq.fill(n.toInt)(("", 0L, "", 0.0)) }
+    }
+    try {
+      q2.processAllAvailable()
+      assert(feeds.isEmpty, "already-processed commits must not replay from the checkpoint")
+      Sources.deleteWhere(spark, root, col("id") === 4L) // v5
+      q2.processAllAvailable()
+      assert(feeds.keySet == Set(5L) && feeds(5L).size == 1)
+    } finally q2.stop()
+  }
 }
