@@ -125,14 +125,60 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cell"))
 
-  /** IVF search: probe the `nprobe` nearest cells per query, score only
-    * vectors in probed cells. With nprobe = k this degenerates to exact
-    * brute force; smaller nprobe trades recall for a 1/nprobe-ish scan.
+  /** The materialized IVF index: (cell, vec_id, embedding) — the rows a
+    * maintained ANN table persists between searches. One broadcast-
+    * centroid assignment pass over the corpus; nothing else.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, topK: Int, nprobe: Int): DataFrame = {
-    val corpusCells = assignCells(corpus, centroids)
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroids)
       .join(corpus, Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("embedding"))
+
+  /** INCREMENTAL index maintenance: encode ONLY the new slice against the
+    * FROZEN centroids and union it in — appending a day's embeddings to a
+    * billion-vector index costs one assignment pass over the slice, not a
+    * retrain (`ivfTrain`) or a full-corpus re-encode. Because cell
+    * assignment is per-vector against fixed centroids, append-then-search
+    * is EXACTLY retrain-free search over the union (law-tested in
+    * SimilaritySpec; oracle-proved by q193). Pair with [[ivfDriftReport]]
+    * to know when accumulated appends have drifted far enough from the
+    * frozen codebook that a real retrain is due.
+    */
+  def ivfAppend(index: DataFrame, slice: DataFrame, centroids: DataFrame): DataFrame =
+    index.unionByName(ivfIndex(slice, centroids))
+
+  /** Index-health report for incremental maintenance, per cell:
+    * occupancy before/after (`n_old`/`n_new` — growth skew says which
+    * cells are hot) and the drift metric — mean cosine of members to
+    * their assigned centroid, old members vs appended members (`sim_old`,
+    * `sim_new`, `drift` = old − new; a large positive drift means new
+    * data lands far from the frozen centroids and a retrain is due).
+    * Scale: two broadcast-centroid scoring passes + one #cells-sized agg;
+    * the corpus never shuffles.
+    */
+  def ivfDriftReport(oldIndex: DataFrame, sliceIndex: DataFrame, centroids: DataFrame): DataFrame = {
+    def meanSim(idx: DataFrame, nCol: String, simCol: String) = idx
+      .join(broadcast(centroids.select(col("cid").as("cell"), col("centroid"))), Seq("cell"))
+      .withColumn("sim", Det.r6(Vectors.cosine(col("embedding"), col("centroid"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as(nCol), Det.r6(avg(col("sim"))).as(simCol))
+    meanSim(oldIndex, "n_old", "sim_old")
+      .join(meanSim(sliceIndex, "n_new", "sim_new"), Seq("cell"), "full_outer")
+      .select(
+        col("cell").cast("long").as("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("sim_old"),
+        col("sim_new"),
+        Det.r6(coalesce(col("sim_old"), lit(0.0)) - coalesce(col("sim_new"), lit(0.0))).as("drift"))
+      .orderBy(col("cell"))
+  }
+
+  /** IVF search over a PREBUILT index ([[ivfIndex]] / [[ivfAppend]]):
+    * probe the `nprobe` nearest cells per query, score only vectors in
+    * probed cells.
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame, centroids: DataFrame, topK: Int, nprobe: Int): DataFrame = {
     val qScored = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids))
@@ -142,12 +188,19 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("cid").as("cell"))
-    val scored = corpusCells
+    val scored = index
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
     this.topK(scored, topK)
   }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, score only
+    * vectors in probed cells. With nprobe = k this degenerates to exact
+    * brute force; smaller nprobe trades recall for a 1/nprobe-ish scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame, topK: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(queries, ivfIndex(corpus, centroids), centroids, topK, nprobe)
 
   /** Symmetric int8 quantization of a float embedding column: per-vector
     * scale = max |x| / 127, elements snapped with the portable

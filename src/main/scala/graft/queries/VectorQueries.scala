@@ -142,14 +142,20 @@ object VectorQueries {
     * [[graft.llm.Similarity.ivfTrain]]/[[graft.llm.Similarity.assignCells]]
     * stage for stage, with the identical r6 snapping.
     */
-  private val ivfCellsCte: String = {
+  /** Same trajectory, parameterized by the TRAINING subset (`et`): q193
+    * trains on the pre-append corpus but assigns/searches the union —
+    * exactly [[graft.llm.Similarity.ivfAppend]]'s frozen-centroid
+    * semantics. `trainWhere` = TRUE reproduces the classic full-corpus
+    * form used by q49/q98.
+    */
+  private def ivfCellsCteOn(trainWhere: String): String = {
     def r6(e: String): String = graft.core.Det.sqlR(e, 6)
     // one Lloyd iteration: sims vs c{t-1} → argmax cell → element-wise mean
     def iter(t: Int): String =
       s"""cn$t AS (SELECT cid, sum(v * v) AS cn FROM c${t - 1} GROUP BY cid),
          |dp$t AS (
-         |  SELECT e.vec_id, c.cid, sum(CAST(e.embedding[c.i] AS DOUBLE) * c.v) AS dotp
-         |  FROM e, c${t - 1} c GROUP BY e.vec_id, c.cid),
+         |  SELECT et.vec_id, c.cid, sum(CAST(et.embedding[c.i] AS DOUBLE) * c.v) AS dotp
+         |  FROM et, c${t - 1} c GROUP BY et.vec_id, c.cid),
          |sim$t AS (
          |  SELECT d.vec_id, d.cid, ${r6("d.dotp / (sqrt(n.en) * sqrt(cn.cn))")} AS sim
          |  FROM dp$t d JOIN nrm n ON n.vec_id = d.vec_id JOIN cn$t cn ON cn.cid = d.cid),
@@ -164,21 +170,23 @@ object VectorQueries {
          |       LATERAL (SELECT unnest(range(1, 65)) AS i) t$t
          |  GROUP BY a.cell, i)""".stripMargin
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |et AS (SELECT vec_id, embedding FROM e WHERE $trainWhere),
        |nrm AS (
        |  SELECT vec_id, sum(CAST(embedding[i] AS DOUBLE) * embedding[i]) AS en
        |  FROM e, LATERAL (SELECT unnest(range(1, 65)) AS i) tn GROUP BY vec_id),
        |seed AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |         vec_id AS svid
-       |  FROM e ORDER BY vec_id LIMIT 8),
+       |  FROM et ORDER BY vec_id LIMIT 8),
        |c0 AS (
        |  SELECT s.cid, i, CAST(e.embedding[i] AS DOUBLE) AS v
        |  FROM seed s JOIN e ON e.vec_id = s.svid,
        |       LATERAL (SELECT unnest(range(1, 65)) AS i) t0),
        |${iter(1)},
        |${iter(2)},
-       |-- search phase against the trained (c2) centroids: sims for all
-       |-- vectors serve both the corpus assignment and the query probes
+       |-- search phase against the trained (c2) centroids: sims for ALL
+       |-- vectors (the union, not just the training set) serve both the
+       |-- corpus assignment and the query probes
        |cn3 AS (SELECT cid, sum(v * v) AS cn FROM c2 GROUP BY cid),
        |dp3 AS (
        |  SELECT e.vec_id, c.cid, sum(CAST(e.embedding[c.i] AS DOUBLE) * c.v) AS dotp
@@ -193,9 +201,14 @@ object VectorQueries {
        |    FROM sim3) s WHERE rn = 1)""".stripMargin
   }
 
-  val q49Sql: String =
-    s"""WITH $ivfCellsCte,
-       |probes AS (
+  private val ivfCellsCte: String = ivfCellsCteOn("TRUE")
+
+  /** The probe → candidate → score → rank tail shared by q49 and q193 —
+    * identical search semantics over whichever cell structure the CTE
+    * prefix built.
+    */
+  private val ivfSearchTail: String =
+    s"""probes AS (
        |  SELECT vec_id AS qid, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
@@ -219,6 +232,40 @@ object VectorQueries {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM sims)
        |SELECT qid, vec_id, sim, rk FROM rked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  val q49Sql: String =
+    s"""WITH $ivfCellsCte,
+       |$ivfSearchTail""".stripMargin
+
+  /** Incremental IVF maintenance, oracle-proved: centroids train on the
+    * PRE-APPEND corpus only (vec_id % 5 ≠ 0), the appended slice is
+    * encoded against those FROZEN centroids
+    * ([[graft.llm.Similarity.ivfAppend]]) and searched together with the
+    * old index. The ORACLE trains on the same subset but assigns and
+    * searches the UNION directly — so the hash match proves
+    * append-then-search ≡ retrain-free search over the union, the
+    * property that makes continuous embedding ingest safe without
+    * retraining. Drift accounting for the same append lives in
+    * [[graft.llm.Similarity.ivfDriftReport]] (law-tested in
+    * SimilaritySpec: growth sums to the slice, drift is the mean-sim
+    * gap). At 100 TB: appending a day's vectors costs one broadcast
+    * assignment pass over the slice; the existing index never recomputes,
+    * never shuffles.
+    */
+  def q193(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+    val centroids = Similarity.ivfTrain(old, k = 8, iters = 2)
+    val appended = Similarity.ivfAppend(Similarity.ivfIndex(old, centroids), slice, centroids)
+    Similarity
+      .ivfTopKIndexed(emb.filter(col("vec_id") < 5), appended, centroids, topK = 10, nprobe = 3)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q193Sql: String =
+    s"""WITH ${ivfCellsCteOn("vec_id % 5 <> 0")},
+       |$ivfSearchTail""".stripMargin
 
   /** SemDeDup: semantic dedup inside learned embedding clusters. The IVF
     * coarse quantizer (identical training to q49) provides the blocking —
@@ -469,7 +516,8 @@ object VectorQueries {
     "q98_semdedup" -> (q98 _),
     "q79_int8_cosine_topk" -> (q79 _),
     "q110_pq_adc_topk" -> (q110 _),
-    "q129_ivfpq_topk" -> (q129 _))
+    "q129_ivfpq_topk" -> (q129 _),
+    "q193_ivf_append" -> (q193 _))
 
   val oracles: Map[String, String] = Map(
     "q63_label_centroids" -> q63Sql,
@@ -480,5 +528,6 @@ object VectorQueries {
     "q98_semdedup" -> q98Sql,
     "q79_int8_cosine_topk" -> q79Sql,
     "q110_pq_adc_topk" -> q110Sql,
-    "q129_ivfpq_topk" -> q129Sql)
+    "q129_ivfpq_topk" -> q129Sql,
+    "q193_ivf_append" -> q193Sql)
 }

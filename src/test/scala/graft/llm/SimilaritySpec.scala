@@ -154,6 +154,47 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(bruteAll((r.getLong(0), r.getLong(1))) == r.getDouble(2)))
   }
 
+  test("ivfAppend: frozen-centroid append ≡ full re-encode; search and recall unchanged; drift accounted") {
+    import spark.implicits._
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val slice = emb.filter($"vec_id" % 5 === 0)
+    val centroids = Similarity.ivfTrain(old, k = 8, iters = 2)
+    val oldIdx = Similarity.ivfIndex(old, centroids)
+    val sliceIdx = Similarity.ivfIndex(slice, centroids)
+    val appended = Similarity.ivfAppend(oldIdx, slice, centroids)
+    // index identity: appending against frozen centroids lands every
+    // vector in the same cell a full re-encode would
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell").cast("long"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(cellsOf(appended) == cellsOf(Similarity.ivfIndex(emb, centroids)))
+    // search identity: append-then-search ≡ retrain-free search over union
+    val qs = emb.filter($"vec_id" < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaAppend = hits(Similarity.ivfTopKIndexed(qs, appended, centroids, topK = 10, nprobe = 3))
+    assert(viaAppend == hits(Similarity.ivfTopK(qs, emb, centroids, topK = 10, nprobe = 3)))
+    // recall vs exact stays in the ANN envelope (the q165-class floor):
+    // append introduced no extra approximation beyond nprobe
+    val exact = hits(Similarity.cosineTopK(qs, emb, 10)).map(t => (t._1, t._2))
+    val got = viaAppend.map(t => (t._1, t._2))
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, f"appended-index recall@10 $recall%.2f fell out of the ANN envelope")
+    // drift report: every member accounted once; drift is the r6 mean-sim gap
+    val rep = Similarity.ivfDriftReport(oldIdx, sliceIdx, centroids)
+    val tot = rep.agg(sum($"n_old"), sum($"n_new")).head()
+    assert(tot.getLong(0) == old.count() && tot.getLong(1) == slice.count())
+    rep.collect().foreach { r =>
+      (Option(r.getAs[java.lang.Double]("sim_old")), Option(r.getAs[java.lang.Double]("sim_new"))) match {
+        case (Some(o), Some(n)) =>
+          assert(math.abs(r.getAs[Double]("drift") - math.floor((o - n) * 1e6 + 0.5) / 1e6) < 1e-9)
+        case _ => () // one-sided cell: drift defined vs 0 baseline
+      }
+    }
+  }
+
   test("multi-probe LSH recall dominates single-probe against the brute-force top-1") {
     import spark.implicits._
     val queries = emb.filter($"vec_id" < 20)
