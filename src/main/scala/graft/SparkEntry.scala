@@ -66,7 +66,9 @@ object SparkEntry {
         "q132_image_ahash_dedup" -> ((s: SparkSession, d: String) =>
           graft.multimodal.Multimodal.imageDedupQuery(s, d)),
         "q185_png_roundtrip" -> ((s: SparkSession, d: String) =>
-          graft.multimodal.Multimodal.pngFeatureQuery(s, d)))
+          graft.multimodal.Multimodal.pngFeatureQuery(s, d)),
+        "q191_jpeg_roundtrip" -> ((s: SparkSession, d: String) =>
+          graft.multimodal.Multimodal.jpegFeatureQuery(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for genuinely non-SQL ops
@@ -197,6 +199,39 @@ object SparkEntry {
         // CRC-checked chunk walk + inflate + unfilter. byte_len is NOT
         // reported (a DEFLATE stream's length is not closed-form); the
         // decode-derived columns must survive the compressed roundtrip.
+        // q191: REAL baseline JPEG roundtrip — flat 16x16 MCUs synthesized
+        // in the YCbCr domain, so the LOSSY quantize→dequantize→IDCT→
+        // YCbCr→RGB chain is exact integer/dyadic arithmetic the oracle
+        // replays: DC quant (q0: lum 16 ⇒ /2, chr 17), dequant·(1/8), the
+        // JFIF color matrix with floor(x+0.5) and clamp. Every arithmetic
+        // step below mirrors the decoder's expression order exactly.
+        "q191_jpeg_roundtrip" ->
+          """WITH b AS (
+            |  SELECT doc_id, 16 * (1 + doc_id % 3) AS w, 16 * (1 + n_chars % 2) AS h,
+            |         text, length(text) AS len
+            |  FROM documents),
+            |v AS (
+            |  SELECT doc_id, w, h,
+            |    unicode(text[CAST(mi % len AS INT) + 1]) AS yv,
+            |    unicode(text[CAST((mi + 7) % len AS INT) + 1]) AS cbv,
+            |    unicode(text[CAST((mi + 13) % len AS INT) + 1]) AS crv
+            |  FROM b, LATERAL (SELECT unnest(range(0, (w // 16) * (h // 16))) AS mi) t),
+            |d AS (
+            |  SELECT doc_id, w, h,
+            |    least(255, greatest(0, 2 * CAST(floor((yv - 128) / 2.0 + 0.5) AS BIGINT) + 128)) AS yd,
+            |    least(255.0, greatest(0.0, floor(17 * floor(8 * (cbv - 128) / 17.0 + 0.5) / 8 + 128.5))) AS cbd,
+            |    least(255.0, greatest(0.0, floor(17 * floor(8 * (crv - 128) / 17.0 + 0.5) / 8 + 128.5))) AS crd
+            |  FROM v),
+            |rgb AS (
+            |  SELECT doc_id, w, h,
+            |    least(255, greatest(0, CAST(floor(yd + 1.402 * (crd - 128) + 0.5) AS BIGINT))) AS r,
+            |    least(255, greatest(0, CAST(floor(yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128) + 0.5) AS BIGINT))) AS g,
+            |    least(255, greatest(0, CAST(floor(yd + 1.772 * (cbd - 128) + 0.5) AS BIGINT))) AS bb
+            |  FROM d)
+            |SELECT doc_id, 'image/jpeg' AS media_type,
+            |  CAST(256 * sum(r + g + bb) AS BIGINT) AS checksum,
+            |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height
+            |FROM rgb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
         "q185_png_roundtrip" ->
           """WITH b AS (
             |  SELECT doc_id, 8 + (doc_id % 17) AS w, 8 + (n_chars % 13) AS h,

@@ -74,6 +74,8 @@ object Multimodal {
     val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
     val mediaType = when(ext === "bmp", lit("image/bmp"))
       .when(ext === "ppm", lit("image/ppm"))
+      .when(ext === "png", lit("image/png"))
+      .when(ext === "jpg" || ext === "jpeg", lit("image/jpeg"))
       .when(ext === "wav", lit("audio/wav"))
       .otherwise(concat(lit("application/"), ext))
     files.select(
@@ -138,6 +140,36 @@ object Multimodal {
     }
   }
 
+  /** documents → real baseline 4:2:0 JPEG payloads, synthesized in the
+    * YCbCr domain as FLAT 16×16 MCUs (Y constant per MCU, Cb/Cr constant
+    * per chroma block): a flat block's spectrum is DC-only, so the lossy
+    * quantize→dequantize→IDCT chain is exact integer-and-dyadic
+    * arithmetic a SQL oracle replays bit-for-bit — the PNG/q185
+    * discipline carried to a LOSSY codec. Dimensions are closed-form
+    * multiples of 16 (w = 16·(1 + doc_id % 3), h = 16·(1 + n_chars % 2));
+    * MCU m's plane values are text bytes at offsets m, m+7, m+13.
+    */
+  def asJpegMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    docTriples(df).mapPartitions { rows =>
+      rows.map { case (id, text, nChars) =>
+        val w = (16 * (1 + id % 3)).toInt
+        val h = (16 * (1 + nChars % 2)).toInt
+        val mcX = w / 16
+        val nMcu = mcX * (h / 16)
+        val src = text.getBytes("UTF-8")
+        def tb(i: Int): Int =
+          if (src.isEmpty) ' '.toInt else src(i % src.length) & 0xff
+        val yp = Array.tabulate(w * h)(i => tb(((i / w) / 16) * mcX + (i % w) / 16))
+        val cw = w / 2
+        val cb = Array.tabulate(cw * (h / 2))(i => tb(((i / cw) / 8) * mcX + (i % cw) / 8 + 7))
+        val cr = Array.tabulate(cw * (h / 2))(i => tb(((i / cw) / 8) * mcX + (i % cw) / 8 + 13))
+        MediaRow(id, "image/jpeg", MediaCodec.encodeJpegYcc(w, h, yp, cb, cr, quality = 50))
+      }
+    }
+  }
+
   /** documents → binary P6 PPM payloads: width = 4 + n_chars % 13,
     * height = 4 + doc_id % 11.
     */
@@ -187,6 +219,7 @@ object Multimodal {
           case "image/bmp" => MediaCodec.decodeBmp(r.payload)
           case "image/png" => MediaCodec.decodePng(r.payload)
           case "image/ppm" => MediaCodec.decodePpm(r.payload)
+          case "image/jpeg" => MediaCodec.decodeJpeg(r.payload)
           case t => throw new IllegalArgumentException(s"not an image media_type: $t")
         }
         var sum = 0L
@@ -379,6 +412,18 @@ object Multimodal {
     */
   def pngFeatureQuery(spark: SparkSession, dir: String): DataFrame =
     imageFeatures(asPngMedia(graft.core.Tables.documents(spark, dir)))
+      .toDF()
+      .drop("byte_len")
+      .orderBy(col("doc_id"))
+
+  /** JPEG roundtrip features. `byte_len` is dropped (an entropy-coded
+    * stream's length is not closed-form); checksum/width/height surviving
+    * a LOSSY encode→decode roundtrip proves huffman + dequant + IDCT +
+    * upsample + color conversion are bit-exact against the oracle's
+    * closed-form replay of the DC-only arithmetic.
+    */
+  def jpegFeatureQuery(spark: SparkSession, dir: String): DataFrame =
+    imageFeatures(asJpegMedia(graft.core.Tables.documents(spark, dir)))
       .toDF()
       .drop("byte_len")
       .orderBy(col("doc_id"))

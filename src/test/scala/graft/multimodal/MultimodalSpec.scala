@@ -183,6 +183,105 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decodePpm("P6\n46341 46341\n255\n".getBytes("US-ASCII")))
   }
 
+  test("JPEG flat-MCU image decodes to the exact closed form (the q191 oracle law)") {
+    // flat 16x16 MCUs: DC-only spectra -> every arithmetic step is integer
+    // or dyadic, so the decoded RGB is exactly computable outside the codec
+    val (w, h) = (48, 32)
+    val mcX = w / 16
+    val nMcu = mcX * (h / 16)
+    def tb(i: Int): Int = 32 + (i * 37) % 95 // ASCII-ish synthetic "text"
+    val yv = Array.tabulate(nMcu)(m => tb(m))
+    val cbv = Array.tabulate(nMcu)(m => tb(m + 7))
+    val crv = Array.tabulate(nMcu)(m => tb(m + 13))
+    val yp = Array.tabulate(w * h) { i => yv(((i / w) / 16) * mcX + (i % w) / 16) }
+    val cb = Array.tabulate((w / 2) * (h / 2)) { i => cbv(((i / (w / 2)) / 8) * mcX + (i % (w / 2)) / 8) }
+    val cr = Array.tabulate((w / 2) * (h / 2)) { i => crv(((i / (w / 2)) / 8) * mcX + (i % (w / 2)) / 8) }
+    val enc = MediaCodec.encodeJpegYcc(w, h, yp, cb, cr, quality = 50)
+    val dec = MediaCodec.decodeJpeg(enc)
+    assert(dec.width == w && dec.height == h)
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.floor(v).toInt))
+    for (m <- 0 until nMcu) {
+      // closed form: quantize DC with q0 (lum 16, chr 17), dequantize, /8, +128
+      val yd = math.max(0, math.min(255, 2 * math.floor((yv(m) - 128) / 2.0 + 0.5).toInt + 128))
+      val cbd = clamp(17.0 * math.floor(8 * (cbv(m) - 128) / 17.0 + 0.5) / 8 + 128 + 0.5)
+      val crd = clamp(17.0 * math.floor(8 * (crv(m) - 128) / 17.0 + 0.5) / 8 + 128 + 0.5)
+      val er = clamp(yd + 1.402 * (crd - 128) + 0.5)
+      val eg = clamp(yd - 0.344136 * (cbd - 128) - 0.714136 * (crd - 128) + 0.5)
+      val eb = clamp(yd + 1.772 * (cbd - 128) + 0.5)
+      val px = ((m / mcX) * 16 * w + (m % mcX) * 16) * 3 // top-left pixel of the MCU
+      assert(
+        (dec.pixels(px) & 0xff, dec.pixels(px + 1) & 0xff, dec.pixels(px + 2) & 0xff)
+          == ((er, eg, eb)),
+        s"MCU $m: y=${yv(m)} cb=${cbv(m)} cr=${crv(m)}")
+      // and the whole MCU is that constant color
+      for (dy <- 0 until 16; dx <- 0 until 16) {
+        val o = (((m / mcX) * 16 + dy) * w + (m % mcX) * 16 + dx) * 3
+        assert((dec.pixels(o) & 0xff) == er && (dec.pixels(o + 1) & 0xff) == eg
+          && (dec.pixels(o + 2) & 0xff) == eb)
+      }
+    }
+  }
+
+  test("JPEG lossy roundtrip on arbitrary pixels: dims exact, bounded error, odd sizes pad correctly") {
+    for ((w, h, q) <- Seq((24, 16, 90), (17, 13, 90), (8, 8, 75), (33, 9, 95))) {
+      val px = Array.tabulate[Byte](w * h * 3) { i =>
+        // smooth gradient + texture: representative JPEG content
+        val x = (i / 3) % w; val y = (i / 3) / w
+        ((x * 5 + y * 3 + (i % 3) * 20 + (x * y % 7)) % 256).toByte
+      }
+      val dec = MediaCodec.decodeJpeg(MediaCodec.encodeJpeg(MediaCodec.Raster(w, h, px), q))
+      assert(dec.width == w && dec.height == h, s"${w}x$h")
+      val mae = px.indices.map(i => math.abs((px(i) & 0xff) - (dec.pixels(i) & 0xff))).sum.toDouble / px.length
+      assert(mae < 12.0, f"${w}x$h q$q mean abs error $mae%.1f too high — DCT chain broken")
+    }
+  }
+
+  test("JPEG decode fuzz: mutations and truncations fail only as IllegalArgumentException") {
+    val yp = Array.tabulate(32 * 16)(i => (i * 7) % 256)
+    val cbcr = Array.tabulate(16 * 8)(i => (i * 11) % 256)
+    val good = MediaCodec.encodeJpegYcc(32, 16, yp, cbcr, cbcr, quality = 50)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 300) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { MediaCodec.decodeJpeg(m); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"non-contract failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    for (len <- 0 to 80) {
+      try { MediaCodec.decodeJpeg(good.take(len)); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"truncation len=$len: ${e.getClass.getName}")
+      }
+    }
+  }
+
+  test("JPEG decode rejects malformed markers with named reasons") {
+    val good = MediaCodec.encodeJpeg(MediaCodec.Raster(8, 8, Array.tabulate[Byte](192)(_.toByte)), 50)
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(Array[Byte](1, 2, 3)))
+    val badMagic = good.clone(); badMagic(1) = 0x00
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(badMagic))
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(good.dropRight(2))) // no EOI
+    // progressive SOF (0xC2 in place of 0xC0) must name the reason
+    val sofAt = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeJpeg(prog))
+    assert(e.getMessage.contains("progressive"))
+    // dimension product overflow caught by the Long-domain cap
+    val huge = good.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte // height 65535
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte // width 65535
+    val e2 = intercept[IllegalArgumentException](MediaCodec.decodeJpeg(huge))
+    assert(e2.getMessage.contains("byte cap"))
+  }
+
   test("PPM roundtrips and parses multi-digit dimensions") {
     for ((w, h) <- Seq((1, 1), (13, 7), (120, 3))) {
       val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 13 + 5) % 256).toByte)
