@@ -769,6 +769,52 @@ object Frontier2 {
       |WHERE day BETWEEN m + 2 AND m + 5
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q195: metadata-only COUNT from the manifest ----------------------
+
+  /** The dashboard query at its cheapest possible cost, hash-proved:
+    * `COUNT(*)` of a day-range over a committed stats table answered from
+    * the v2 MANIFEST alone ([[graft.sources.Snapshots.countRows]]) — the
+    * per-file row counts recorded at commit time (footer metadata) are
+    * summed after manifest-level day pruning; no Spark job runs, no file
+    * (not even a footer) is opened. The ORACLE recounts the same window
+    * from raw events, so the hash match proves the recorded counts and
+    * the pruning are exact. SnapshotsSpec asserts the zero-jobs property
+    * with a listener. At 100 TB: the count a dashboard fires every few
+    * seconds costs one small-file read instead of a cluster job — the
+    * same economics Iceberg/Delta get from manifest row counts.
+    */
+  def q195(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q195_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString) // reaped at JVM exit, not leaked
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    // one file per day dir: manifest-level day pruning is then file-exact,
+    // the precondition countRows documents
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), root.toString, Seq("day"))
+    val v1 = graft.sources.Snapshots.commit(s, root.toString, Seq("day"))
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head.getDate(0).toLocalDate
+    val n = graft.sources.Snapshots.countRows(
+      s,
+      root.toString,
+      v1,
+      prune = Seq(("day", m.plusDays(2).toString, m.plusDays(5).toString)))
+    import s.implicits._
+    Seq(n).toDF("n_rows")
+  }
+
+  val q195Sql: String =
+    """WITH per AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS m FROM per)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows
+      |FROM per, b WHERE day BETWEEN m + 2 AND m + 5""".stripMargin
+
   // -- q194: per-user exact quantiles, group-count-unbounded ------------
 
   /** q188's primitive at its REALISTIC grain: exact per-USER value
@@ -832,7 +878,8 @@ object Frontier2 {
     "q189_compact_lossless" -> (q189 _),
     "q190_change_feed" -> (q190 _),
     "q192_stats_pruned_read" -> (q192 _),
-    "q194_user_quantiles" -> (q194 _))
+    "q194_user_quantiles" -> (q194 _),
+    "q195_metadata_count" -> (q195 _))
 
   val oracles: Map[String, String] = Map(
     "q180_orc_roundtrip" -> q180Sql,
@@ -846,5 +893,6 @@ object Frontier2 {
     "q189_compact_lossless" -> q189Sql,
     "q190_change_feed" -> q190Sql,
     "q192_stats_pruned_read" -> q192Sql,
-    "q194_user_quantiles" -> q194Sql)
+    "q194_user_quantiles" -> q194Sql,
+    "q195_metadata_count" -> q195Sql)
 }

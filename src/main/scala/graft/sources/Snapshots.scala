@@ -261,12 +261,19 @@ object Snapshots {
     case _ => !(cs.max < lo || cs.min > hi)
   }
 
+  /** Pseudo-column under which a v2 manifest records each file's exact
+    * row count (footer metadata) — powers [[countRows]], the
+    * metadata-only COUNT(*) of a pinned snapshot.
+    */
+  val RowCountKey = "__rows"
+
   /** Footer min/max of `cols` for one parquet file, merged across its row
     * groups, plus the file's hive `k=v` partition-path values (a partition
-    * column's "stats" are exact: min = max = the dir value). Footer-only
-    * I/O — the bytes read are the same footer every scan task opens; doing
-    * it at COMMIT time moves file skipping from scan time (N footer opens
-    * per query) to plan time (zero opens: the manifest already knows).
+    * column's "stats" are exact: min = max = the dir value), plus the
+    * file's exact row count under [[RowCountKey]]. Footer-only I/O — the
+    * bytes read are the same footer every scan task opens; doing it at
+    * COMMIT time moves file skipping from scan time (N footer opens per
+    * query) to plan time (zero opens: the manifest already knows).
     */
   private def fileColStats(
       conf: org.apache.hadoop.conf.Configuration,
@@ -283,7 +290,6 @@ object Snapshots {
       }
       .toMap
     val want = cols.filterNot(fromPath.contains)
-    if (want.isEmpty) return fromPath.filter(kv => cols.contains(kv._1))
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -333,11 +339,16 @@ object Snapshots {
         // a column missing stats in ANY row group must drop out entirely:
         // a partial interval could wrongly prune rows of the statless group
         val grouped = perChunk.groupBy(_._1)
-        val rowGroups = reader.getFooter.getBlocks.size()
+        val blocks = reader.getFooter.getBlocks
+        val rowGroups = blocks.size()
+        val rows = {
+          import scala.jdk.CollectionConverters._
+          blocks.asScala.map(_.getRowCount).sum
+        }
         grouped.collect {
           case (name, entries) if entries.size == rowGroups =>
             name -> entries.map(_._2).reduce(mergeStat)
-        }
+        } ++ Map(RowCountKey -> ColStat("l", rows.toString, rows.toString))
       } finally reader.close()
     fromPath.filter(kv => cols.contains(kv._1)) ++ fromFooter
   }
@@ -393,7 +404,8 @@ object Snapshots {
           header ++ stats.map { case (rel, st) =>
             if (st.isEmpty) rel
             else
-              rel + "\t" + statsCols.flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
+              rel + "\t" + (statsCols :+ RowCountKey)
+                .flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
                 .mkString("\t")
           }
         }
@@ -537,6 +549,39 @@ object Snapshots {
         rd.parquet(ps.map(_.toString): _*)
     }
     scans.reduce(_.unionByName(_))
+  }
+
+  /** Metadata-only COUNT(*) of a pinned snapshot: sums the per-file row
+    * counts a v2 manifest records (optionally after stats pruning) — NO
+    * Spark job, no file opened, not even a footer. At 100 TB this is the
+    * `SELECT count(*) WHERE day BETWEEN …` a dashboard fires constantly,
+    * answered from one small manifest read. Fails loudly when the
+    * manifest predates row-count recording (commit with `statsCols` to
+    * enable); pruning is file-exact only when the pruned column
+    * one-to-one maps files to ranges (hive partition values) — a partial
+    * overlap would over-count, so callers pruning on a non-partition
+    * column should read-and-count instead.
+    */
+  def countRows(
+      spark: SparkSession,
+      root: String,
+      version: Long = -1L,
+      prune: Seq[(String, String, String)] = Nil): Long = {
+    val stats = fileStats(spark, root, version)
+    files(spark, root, version)
+      .filter { rel =>
+        val st = stats.getOrElse(rel, Map.empty[String, ColStat])
+        prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) }
+      }
+      .map { rel =>
+        stats
+          .get(rel)
+          .flatMap(_.get(RowCountKey))
+          .map(_.min.toLong)
+          .getOrElse(sys.error(
+            s"manifest records no row count for $rel — commit(root, statsCols) to enable metadata-only counts"))
+      }
+      .sum
   }
 
   /** Row-level change feed between two pinned manifests — the

@@ -303,6 +303,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(nScanned(Snapshots.readSnapshot(spark, dir1, v1, prune = Seq(("id", "1", "1")))) == 2)
   }
 
+  test("countRows: metadata-only COUNT of a pinned snapshot launches zero Spark jobs") {
+    val dir = Files.createTempDirectory("snap_count").toString + "/t"
+    table(dir)
+    val v = Snapshots.commit(spark, dir, Seq("day"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val total = Snapshots.countRows(spark, dir, v)
+      val windowed = Snapshots.countRows(spark, dir, v, prune = Seq(("day", "2024-01-02", "2024-01-03")))
+      Thread.sleep(500) // drain the async listener bus
+      assert(total == 4L && windowed == 2L)
+      assert(jobs.get() == 0, s"countRows launched ${jobs.get()} Spark jobs — must be metadata-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // agreement with the real scan, and a v1 manifest fails loudly rather
+    // than silently undercounting
+    assert(Snapshots.readSnapshot(spark, dir, v).count() == Snapshots.countRows(spark, dir, v))
+    val dir1 = Files.createTempDirectory("snap_count_v1").toString + "/t"
+    table(dir1)
+    Snapshots.commit(spark, dir1)
+    intercept[RuntimeException](Snapshots.countRows(spark, dir1))
+  }
+
   test("v2 pinned read keeps its commit-time schema across a column-adding write") {
     val dir = Files.createTempDirectory("snap_schema").toString + "/t"
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v").write.parquet(dir)
