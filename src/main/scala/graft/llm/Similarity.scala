@@ -170,7 +170,13 @@ object Similarity {
         coalesce(col("n_new"), lit(0L)).as("n_new"),
         col("sim_old"),
         col("sim_new"),
-        Det.r6(coalesce(col("sim_old"), lit(0.0)) - coalesce(col("sim_new"), lit(0.0))).as("drift"))
+        // drift is only evidence when BOTH sides exist: a cell with no
+        // appended members has nothing to drift (coalescing the missing
+        // side to 0 would make exactly the no-evidence cells read as the
+        // strongest retrain signals)
+        when(
+          col("sim_old").isNotNull && col("sim_new").isNotNull,
+          Det.r6(col("sim_old") - col("sim_new"))).as("drift"))
       .orderBy(col("cell"))
   }
 

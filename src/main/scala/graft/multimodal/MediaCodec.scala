@@ -701,6 +701,103 @@ object MediaCodec {
 
   private def magnitudeCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** Huffman-encode one quantized block (zigzag order): DC diff category +
+    * bits, AC run/size with ZRL and EOB. Returns the new DC predictor.
+    */
+  private def emitEntropyBlock(
+      bw: JpegBitWriter,
+      coefZ: Array[Int],
+      pred: Int,
+      dc: JpegHuff,
+      ac: JpegHuff): Int = {
+    val diff = coefZ(0) - pred
+    val s = if (diff == 0) 0 else magnitudeCat(diff)
+    bw.put(dc.codeOf(s), dc.sizeOf(s))
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var lastNz = 63
+    while (lastNz > 0 && coefZ(lastNz) == 0) lastNz -= 1
+    var k = 1
+    while (k <= lastNz) {
+      var run = 0
+      while (coefZ(k) == 0) { run += 1; k += 1 }
+      while (run >= 16) { bw.put(ac.codeOf(0xf0), ac.sizeOf(0xf0)); run -= 16 } // ZRL
+      val v = coefZ(k)
+      val sz = magnitudeCat(v)
+      val sym = (run << 4) | sz
+      bw.put(ac.codeOf(sym), ac.sizeOf(sym))
+      bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+      k += 1
+    }
+    if (lastNz < 63) bw.put(ac.codeOf(0x00), ac.sizeOf(0x00)) // EOB
+    coefZ(0)
+  }
+
+  /** Sample the 8x8 block at block coords (bx, by) from a plane, edge
+    * pixels replicated past the boundary.
+    */
+  private def sampleBlock(plane: Array[Int], pw: Int, ph: Int, bx: Int, by: Int): Array[Int] = {
+    val blk = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, pw - 1)
+        blk(y * 8 + x) = plane(sy * pw + sx)
+        x += 1
+      }
+      y += 1
+    }
+    blk
+  }
+
+  /** Grayscale (single-component) baseline JPEG: per T.81 A.2 the scan is
+    * non-interleaved — one data unit per MCU in block raster order, the
+    * declared sampling factors irrelevant. `yp` is width×height 0..255.
+    */
+  def encodeJpegGray(width: Int, height: Int, yp: Array[Int], quality: Int = 50): Array[Byte] = {
+    require(width > 0 && height > 0, "JPEG: non-positive dimensions")
+    require(yp.length == width * height, "JPEG: luma plane size mismatch")
+    val qLum = scaledQTable(BaseQLum, quality)
+    val dcL = new JpegHuff(DcLumBits, DcLumVals)
+    val acL = new JpegHuff(AcLumBits, AcLumVals)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Zigzag.map(qLum))
+    seg(
+      0xc0,
+      Array(8, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff, 1,
+        1, 0x11, 0))
+    seg(0xc4, 0x00 +: (DcLumBits ++ DcLumVals))
+    seg(0xc4, 0x10 +: (AcLumBits ++ AcLumVals))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    val bw = new JpegBitWriter()
+    val bxs = (width + 7) / 8
+    val bys = (height + 7) / 8
+    var pred = 0
+    var by = 0
+    while (by < bys) {
+      var bx = 0
+      while (bx < bxs) {
+        pred = emitEntropyBlock(bw, fdctQuant(sampleBlock(yp, width, height, bx, by), qLum), pred, dcL, acL)
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flushOnes()
+    bw.writeTo(out)
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Encode from explicit YCbCr planes: `yp` is width×height; `cb`/`cr`
     * are ceil(w/2)×ceil(h/2) (4:2:0). This is the natural internal entry —
     * [[encodeJpeg]] converts RGB and subsamples first — and the one the
@@ -751,44 +848,10 @@ object MediaCodec {
     dht(1, 1, AcChrBits, AcChrVals)
     seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
     val bw = new JpegBitWriter()
-    def emitBlock(coefZ: Array[Int], pred: Int, dc: JpegHuff, ac: JpegHuff): Int = {
-      val diff = coefZ(0) - pred
-      val s = if (diff == 0) 0 else magnitudeCat(diff)
-      bw.put(dc.codeOf(s), dc.sizeOf(s))
-      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-      var lastNz = 63
-      while (lastNz > 0 && coefZ(lastNz) == 0) lastNz -= 1
-      var k = 1
-      while (k <= lastNz) {
-        var run = 0
-        while (coefZ(k) == 0) { run += 1; k += 1 }
-        while (run >= 16) { bw.put(ac.codeOf(0xf0), ac.sizeOf(0xf0)); run -= 16 } // ZRL
-        val v = coefZ(k)
-        val sz = magnitudeCat(v)
-        val sym = (run << 4) | sz
-        bw.put(ac.codeOf(sym), ac.sizeOf(sym))
-        bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
-        k += 1
-      }
-      if (lastNz < 63) bw.put(ac.codeOf(0x00), ac.sizeOf(0x00)) // EOB
-      coefZ(0)
-    }
-    // sample an 8x8 block at (bx, by) blocks from a plane with edge clamp
-    def block(plane: Array[Int], pw: Int, ph: Int, bx: Int, by: Int): Array[Int] = {
-      val blk = new Array[Int](64)
-      var y = 0
-      while (y < 8) {
-        val sy = math.min(by * 8 + y, ph - 1)
-        var x = 0
-        while (x < 8) {
-          val sx = math.min(bx * 8 + x, pw - 1)
-          blk(y * 8 + x) = plane(sy * pw + sx)
-          x += 1
-        }
-        y += 1
-      }
-      blk
-    }
+    def emitBlock(coefZ: Array[Int], pred: Int, dc: JpegHuff, ac: JpegHuff): Int =
+      emitEntropyBlock(bw, coefZ, pred, dc, ac)
+    def block(plane: Array[Int], pw: Int, ph: Int, bx: Int, by: Int): Array[Int] =
+      sampleBlock(plane, pw, ph, bx, by)
     val mcusX = (width + 15) / 16
     val mcusY = (height + 15) / 16
     var predY = 0
@@ -996,12 +1059,18 @@ object MediaCodec {
       start: Int,
       width: Int,
       height: Int,
-      comps: Array[(Int, Int, Int, Int)],
+      frameComps: Array[(Int, Int, Int, Int)],
       scanTabs: Array[(Int, Int)],
       qt: Array[Array[Int]],
       dcTabs: Array[JpegHuff],
       acTabs: Array[JpegHuff],
       restartInterval: Int): Raster = {
+    // T.81 A.2: a SINGLE-component scan is non-interleaved — the MCU is
+    // one data unit and the frame's sampling factors do not apply (a
+    // grayscale SOF may legally declare 2x2); multi-component scans are
+    // interleaved with h×v blocks per component per MCU
+    val comps =
+      if (frameComps.length == 1) frameComps.map(c => (c._1, 1, 1, c._4)) else frameComps
     val maxH = comps.map(_._2).max
     val maxV = comps.map(_._3).max
     val mcusX = (width + 8 * maxH - 1) / (8 * maxH)

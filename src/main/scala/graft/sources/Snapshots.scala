@@ -82,6 +82,9 @@ object Snapshots {
   private def heartbeatOf(tag: String): Option[Long] = {
     val t = tag.split(" ")
     if (t.length == 5 && t(0) == "graft-lock") scala.util.Try(t(2).toLong).toOption
+    // pre-heartbeat format ("<ms> <appId>"): its timestamp still counts,
+    // or a crashed old-format holder could never be broken after upgrade
+    else if (t.length == 2) scala.util.Try(t(0).toLong).toOption
     else None
   }
 
@@ -122,7 +125,10 @@ object Snapshots {
     while (!acquired) {
       try {
         val out = fs.create(lock, false) // create-exclusive: the atomic acquire
-        try out.write(tag(createdMs).getBytes("UTF-8"))
+        // heartbeat = NOW, not createdMs: a writer that queued longer than
+        // staleMs would otherwise be born already-stale and instantly
+        // broken by the next waiter's poll
+        try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
         finally out.close()
         acquired = true
       } catch {
@@ -137,8 +143,14 @@ object Snapshots {
             if (renamed) {
               val got = readLockTag(fs, grave)
               if (got.forall(_ == seen.get)) fs.delete(grave, false) // confirmed dead: broken
-              else if (!fs.rename(grave, lock)) // a fresh holder's lock was stolen: put it back
-                fs.delete(grave, false) // .lock reappeared meanwhile; victim re-asserts via heartbeat
+              else if (!fs.rename(grave, lock)) {
+                // a fresh holder's lock was stolen AND a third writer
+                // already re-locked: park the grave as evidence (deleting
+                // it would hide the lease violation). This is the lease
+                // boundary every heartbeat lock has: a holder whose
+                // heartbeat could not be refreshed for >staleMs may lose
+                // the lock — operations are not fenced.
+              }
             }
           } else {
             if (System.currentTimeMillis() > deadline)
@@ -175,6 +187,11 @@ object Snapshots {
     finally {
       stopHb.set(true)
       hbThread.interrupt()
+      // join before deleting: an in-flight heartbeat could otherwise
+      // recreate the lock file AFTER the release below, leaving an orphan
+      // lock no process will ever delete (blocked writers until staleMs)
+      try hbThread.join(5000)
+      catch { case _: InterruptedException => () }
       heldLocks.set(heldLocks.get() - key)
       // release only if still ours: if a breaker wrongly presumed us dead
       // and another writer holds the lock now, deleting it would unlock a
@@ -286,7 +303,15 @@ object Snapshots {
       .filter(_.contains("="))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> ColStat("s", v, v)
+        // type the value the way Spark's partition inference would: a
+        // numeric partition value compared lexicographically would prune
+        // WRONG files ("9" > "10"), violating the never-drop-a-match
+        // contract
+        val typ =
+          if (scala.util.Try(v.toLong).isSuccess) "l"
+          else if (scala.util.Try(v.toDouble).isSuccess) "d"
+          else "s"
+        k -> ColStat(typ, v, v)
       }
       .toMap
     val want = cols.filterNot(fromPath.contains)

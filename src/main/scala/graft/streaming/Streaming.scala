@@ -489,10 +489,13 @@ object Streaming {
     * (same rows, different files) emits NOTHING. v1 emits the full
     * initial snapshot tagged `added` (the feed from the empty table).
     *
-    * Exactly-once: versions are delivered in order, each exactly once per
-    * checkpoint lifetime; `emit` receives (version, feed) and should
-    * write idempotently per version (e.g. dynamic partition overwrite on
-    * a `commit_version=` column) for end-to-end exactly-once.
+    * Delivery: versions arrive in order, at-least-once (foreachBatch
+    * replays an in-flight batch after a crash — the standard Structured
+    * Streaming contract); the checkpoint guarantees no already-COMMITTED
+    * batch replays. `emit` receives (version, feed) and should write
+    * idempotently per version (e.g. dynamic partition overwrite on a
+    * `commit_version=` column) — that composition is end-to-end
+    * exactly-once.
     *
     * Scale: the source lists one small directory per trigger; each feed
     * costs two manifest-pinned scans + one hash-partitioned anti-diff —
@@ -512,12 +515,28 @@ object Streaming {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val versions = batch.collect().map(r => versionOf(r.getString(0))).distinct.sorted
+        // dedup on the cluster: the text source yields one row per
+        // manifest LINE (per data file) — a large table's commit must not
+        // collect a million identical paths to the driver
+        val versions =
+          batch.dropDuplicates("path").collect().map(r => versionOf(r.getString(0))).sorted
         versions.foreach { v =>
+          def fullImage() =
+            Snapshots.readSnapshot(spark, root, v).withColumn("change", lit("added"))
           val feed =
-            if (v == 1L)
-              Snapshots.readSnapshot(spark, root, 1L).withColumn("change", lit("added"))
-            else Snapshots.diff(spark, root, v - 1L, v)
+            if (v == 1L) fullImage()
+            else {
+              // v-1 vacuumed (a fresh feed starting after history expiry,
+              // or a feed that fell behind a vacuum): re-image from the
+              // full snapshot — the standard CDC re-sync — instead of
+              // wedging the stream permanently on a missing manifest.
+              // Consumers must treat a re-image as a replace, not a delta;
+              // vacuuming inside a live feed's horizon is a caller error
+              // this downgrades from an outage to a re-sync.
+              val prevReadable =
+                scala.util.Try(Snapshots.files(spark, root, v - 1L)).isSuccess
+              if (prevReadable) Snapshots.diff(spark, root, v - 1L, v) else fullImage()
+            }
           emit(v, feed)
         }
       }

@@ -190,7 +190,10 @@ class SimilaritySpec extends SparkSpec {
       (Option(r.getAs[java.lang.Double]("sim_old")), Option(r.getAs[java.lang.Double]("sim_new"))) match {
         case (Some(o), Some(n)) =>
           assert(math.abs(r.getAs[Double]("drift") - math.floor((o - n) * 1e6 + 0.5) / 1e6) < 1e-9)
-        case _ => () // one-sided cell: drift defined vs 0 baseline
+        case _ =>
+          // one-sided cell: NO drift evidence — a null, never a spurious
+          // maximal signal from a coalesced 0 baseline
+          assert(r.isNullAt(r.fieldIndex("drift")))
       }
     }
   }

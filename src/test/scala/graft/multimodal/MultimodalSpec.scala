@@ -236,6 +236,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("grayscale JPEG: flat blocks exact; SOF sampling factors ignored for single-component scans") {
+    val (w, h) = (24, 16)
+    // flat 8x8 blocks: DC-only, exact closed form (lum q0 = 16 ⇒ /2 snap)
+    val bxs = w / 8
+    def tb(i: Int): Int = 40 + (i * 29) % 80
+    val yp = Array.tabulate(w * h)(i => tb(((i / w) / 8) * bxs + (i % w) / 8))
+    val enc = MediaCodec.encodeJpegGray(w, h, yp, quality = 50)
+    val dec = MediaCodec.decodeJpeg(enc)
+    assert(dec.width == w && dec.height == h)
+    for (bi <- 0 until bxs * (h / 8)) {
+      val expect = math.max(0, math.min(255, 2 * math.floor((tb(bi) - 128) / 2.0 + 0.5).toInt + 128))
+      val o = ((bi / bxs) * 8 * w + (bi % bxs) * 8) * 3
+      assert((dec.pixels(o) & 0xff) == expect && dec.pixels(o) == dec.pixels(o + 1)
+        && dec.pixels(o + 1) == dec.pixels(o + 2), s"block $bi")
+    }
+    // T.81 A.2: a grayscale SOF may declare ANY sampling factors — the
+    // single-component scan is non-interleaved regardless. Patch the SOF
+    // to 2x2; the entropy stream is unchanged and must decode identically.
+    val sofAt = {
+      var i = 2
+      while (!((enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val patched = enc.clone()
+    patched(sofAt + 11) = 0x22.toByte // component 1 sampling h=2, v=2
+    val dec2 = MediaCodec.decodeJpeg(patched)
+    assert(dec2.pixels.sameElements(dec.pixels), "sampling factors must not affect a 1-component scan")
+  }
+
   test("JPEG decode fuzz: mutations and truncations fail only as IllegalArgumentException") {
     val yp = Array.tabulate(32 * 16)(i => (i * 7) % 256)
     val cbcr = Array.tabulate(16 * 8)(i => (i * 11) % 256)

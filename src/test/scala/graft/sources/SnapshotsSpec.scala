@@ -303,6 +303,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(nScanned(Snapshots.readSnapshot(spark, dir1, v1, prune = Seq(("id", "1", "1")))) == 2)
   }
 
+  test("numeric partition values prune numerically, not lexicographically") {
+    val dir = Files.createTempDirectory("snap_numpart").toString + "/t"
+    val rows = Seq((1L, 2), (2L, 9), (3L, 10), (4L, 11)).toDF("id", "hour")
+    Sources.writeParquet(rows.repartition(1), dir, partitionCols = Seq("hour"))
+    val v = Snapshots.commit(spark, dir, Seq("hour"))
+    // lexicographic "9" > "10" would wrongly drop the hour=9 file
+    val pruned = Snapshots.readSnapshot(spark, dir, v, prune = Seq(("hour", "2", "10")))
+    assert(pruned.select($"id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(nScanned(pruned) == 3)
+    assert(Snapshots.countRows(spark, dir, v, prune = Seq(("hour", "2", "10"))) == 3L)
+  }
+
+  test("a writer that queued past staleMs acquires a FRESH lock, not an instantly-stale one") {
+    val dir = Files.createTempDirectory("snap_freshlock").toString + "/t"
+    table(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val holder = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) { Thread.sleep(2500L) })
+    Thread.sleep(300L) // the waiter queues for ~2.2s > staleMs before acquiring
+    val waiter = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) {
+      val lock = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/.lock")
+      val tag = new String(java.nio.file.Files.readAllBytes(lock.toPath), "UTF-8")
+      val hb = tag.split(" ")(2).toLong
+      // a tag stamped with the wait-start time would read as already
+      // stale here and invite an instant break by the next waiter
+      assert(System.currentTimeMillis() - hb < 1000L, s"acquired lock already stale: $tag")
+    })
+    Await.result(holder, 2.minutes)
+    Await.result(waiter, 2.minutes)
+  }
+
   test("countRows: metadata-only COUNT of a pinned snapshot launches zero Spark jobs") {
     val dir = Files.createTempDirectory("snap_count").toString + "/t"
     table(dir)

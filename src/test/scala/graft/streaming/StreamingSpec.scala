@@ -969,4 +969,33 @@ class StreamingSpec extends SparkSpec {
       assert(feeds.keySet == Set(5L) && feeds(5L).size == 1)
     } finally q2.stop()
   }
+
+  test("change-feed re-images instead of wedging when the previous manifest was vacuumed") {
+    import graft.sources.{Snapshots, Sources}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("changefeed_vac").toString + "/t"
+    val ckpt = Files.createTempDirectory("changefeed_vac_ckpt").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v").repartition(2).write.parquet(root)
+    Snapshots.commit(spark, root) // v1
+    Sources.deleteWhere(spark, root, col("id") === 2L) // v2
+    Seq((4L, 40.0)).toDF("id", "v").write.mode("append").parquet(root)
+    Snapshots.commit(spark, root) // v3
+    Snapshots.vacuum(spark, root, keepLast = 1) // v1, v2 manifests gone
+    // a FRESH feed discovers only v3; diff(v2, v3) is impossible — the
+    // feed must fall back to a full re-image, not crash the query
+    val feeds = scala.collection.mutable.Map.empty[Long, Set[(String, Long, Double)]]
+    val q = Streaming.changeFeed(spark, root, ckpt) { (v, feed) =>
+      val rows = feed
+        .select(col("change"), col("id"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      feeds.synchronized { feeds(v) = rows }
+    }
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(feeds.keySet == Set(3L))
+    assert(feeds(3L) == Set(("added", 1L, 10.0), ("added", 3L, 30.0), ("added", 4L, 40.0)))
+  }
 }
