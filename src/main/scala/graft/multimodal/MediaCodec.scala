@@ -755,9 +755,15 @@ object MediaCodec {
     * non-interleaved — one data unit per MCU in block raster order, the
     * declared sampling factors irrelevant. `yp` is width×height 0..255.
     */
-  def encodeJpegGray(width: Int, height: Int, yp: Array[Int], quality: Int = 50): Array[Byte] = {
+  def encodeJpegGray(
+      width: Int,
+      height: Int,
+      yp: Array[Int],
+      quality: Int = 50,
+      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0, "JPEG: non-positive dimensions")
     require(yp.length == width * height, "JPEG: luma plane size mismatch")
+    require(restartInterval >= 0, "JPEG: negative restart interval")
     val qLum = scaledQTable(BaseQLum, quality)
     val dcL = new JpegHuff(DcLumBits, DcLumVals)
     val acL = new JpegHuff(AcLumBits, AcLumVals)
@@ -778,16 +784,31 @@ object MediaCodec {
         1, 0x11, 0))
     seg(0xc4, 0x00 +: (DcLumBits ++ DcLumVals))
     seg(0xc4, 0x10 +: (AcLumBits ++ AcLumVals))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff)) // DRI
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
-    val bw = new JpegBitWriter()
+    var bw = new JpegBitWriter()
     val bxs = (width + 7) / 8
     val bys = (height + 7) / 8
     var pred = 0
+    var mcu = 0
+    var rstIdx = 0
     var by = 0
     while (by < bys) {
       var bx = 0
       while (bx < bxs) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // close the entropy segment: pad to a byte, emit RSTn, reset the
+          // DC predictor — exactly what the decoder's expectRestart undoes
+          bw.flushOnes()
+          bw.writeTo(out)
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          bw = new JpegBitWriter()
+          pred = 0
+        }
         pred = emitEntropyBlock(bw, fdctQuant(sampleBlock(yp, width, height, bx, by), qLum), pred, dcL, acL)
+        mcu += 1
         bx += 1
       }
       by += 1

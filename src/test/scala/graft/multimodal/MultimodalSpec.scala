@@ -265,6 +265,24 @@ class MultimodalSpec extends SparkSpec {
     assert(dec2.pixels.sameElements(dec.pixels), "sampling factors must not affect a 1-component scan")
   }
 
+  test("JPEG restart markers: DRI/RSTn streams decode identically to unsegmented ones") {
+    val (w, h) = (40, 24) // 15 blocks -> RST0..RST6 with interval 2
+    val px = Array.tabulate(w * h)(i => (i * 13 + (i / w) * 7) % 256)
+    val plain = MediaCodec.decodeJpeg(MediaCodec.encodeJpegGray(w, h, px, quality = 80))
+    val restarted = MediaCodec.encodeJpegGray(w, h, px, quality = 80, restartInterval = 2)
+    assert(restarted.containsSlice(Array(0xff.toByte, 0xd0.toByte)), "fixture must really emit RST0")
+    val dec = MediaCodec.decodeJpeg(restarted)
+    assert(dec.pixels.sameElements(plain.pixels), "restart segmentation must not change decoded pixels")
+    // a dropped restart marker is a hard failure, not silent desync
+    val idx = {
+      var i = 2
+      while (!((restarted(i) & 0xff) == 0xff && (restarted(i + 1) & 0xff) == 0xd0)) i += 1
+      i
+    }
+    val broken = restarted.take(idx) ++ restarted.drop(idx + 2)
+    intercept[IllegalArgumentException](MediaCodec.decodeJpeg(broken))
+  }
+
   test("JPEG decode fuzz: mutations and truncations fail only as IllegalArgumentException") {
     val yp = Array.tabulate(32 * 16)(i => (i * 7) % 256)
     val cbcr = Array.tabulate(16 * 8)(i => (i * 11) % 256)
