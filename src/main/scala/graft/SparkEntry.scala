@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Det, GraftSession, Tables}
-import graft.queries.{Advanced, Analytics, Corpus, EventQueries, Extended, Frontier, Frontier2, Pipeline, Relational, Retrieval, TextQueries, VectorQueries}
+import graft.queries.{Advanced, Analytics, Corpus, EventQueries, Extended, Frontier, Frontier2, Frontier3, Pipeline, Relational, Retrieval, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,7 @@ object SparkEntry {
       Advanced.queries ++
       Frontier.queries ++
       Frontier2.queries ++
+      Frontier3.queries ++
       Map(
         "q35_multimodal_features" -> ((s: SparkSession, d: String) =>
           graft.multimodal.Multimodal.featureQuery(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
       VectorQueries.oracles ++ Extended.oracles ++ Retrieval.oracles ++
       Corpus.oracles ++ Analytics.oracles ++ Pipeline.oracles ++
       Advanced.oracles ++ Frontier.oracles ++ Frontier2.oracles ++
+      Frontier3.oracles ++
       Map(
         // q35: REAL BMP decode. The media bytes are a 24-bit BMP encoded
         // from closed-form dimensions (w = 8 + doc_id % 24,

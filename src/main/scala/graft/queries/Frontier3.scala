@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Round-9 continuation registry: the SQL face of the snapshot table
+  * format ([[graft.sources.snap.GraftCatalog]]) — time travel, manifest
+  * pruning and metadata-only counts reachable from plain Spark SQL, each
+  * hash-proved against a DuckDB oracle recomputing from raw events.
+  */
+object Frontier3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One scratch snapshot table per (query, data dir, app): a per-(day,
+    * event_type) stats table partitioned by day, committed as a v2
+    * manifest (schema + day stats + row counts), registered in a
+    * query-private catalog.
+    */
+  private def statsTable(s: SparkSession, d: String, tag: String, statsCols: Seq[String]): (String, String) = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString) // reaped at JVM exit, not leaked
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), dir, Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, statsCols)
+    val cat = s"${tag}_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    (cat, dir)
+  }
+
+  // -- q196: SQL time travel through the snapshot catalog ---------------
+
+  /** The q184 snapshot-isolation law, now exercised through the SQL
+    * surface a downstream user would actually touch: the stats table
+    * commits v1, a GDPR delete of every `click` row commits v2, and ONE
+    * SQL statement reads both worlds — `VERSION AS OF 1` via
+    * [[graft.sources.snap.GraftCatalog]]'s `loadTable(ident, version)`
+    * against the bare table name for the live side. The ORACLE recomputes
+    * both sides from raw events, so the hash match proves SQL time travel
+    * is exact — no programmatic API in sight. At 100 TB this is what
+    * makes the format usable from BI tools and ad-hoc SQL: any client
+    * that can say `VERSION AS OF` gets manifest-pinned reads with no
+    * bespoke reader code.
+    */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq196", Seq("day"))
+    graft.sources.Sources.deleteWhere(s, dir, col("event_type") === "click") // commits v2
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, coalesce(v2.n, CAST(0 AS BIGINT)) AS n_v2,
+      |       v1.u AS u_v1, coalesce(v2.u, CAST(0 AS BIGINT)) AS u_v2
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q196Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+      |  CAST(sum(u) AS BIGINT) AS u_v1,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN u ELSE 0 END) AS BIGINT) AS u_v2
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q197: SQL COUNT(*) answered from the manifest alone --------------
+
+  /** q195's metadata-only count, through SQL: `SELECT count(*)` against a
+    * catalog table whose v2 manifest records per-file row counts —
+    * [[graft.sources.snap.SnapScanBuilder]] takes the aggregate as a
+    * COMPLETE pushdown and answers it from the manifest, so the query
+    * plans zero data-file opens (SnapCatalogSpec asserts the scan class;
+    * the oracle hash proves the recorded counts are exact). The day-range
+    * variant rides the same SQL surface: a pushed `WHERE day BETWEEN`
+    * prunes the file list from manifest stats before the (tiny) residual
+    * scan. At 100 TB: the dashboard count costs one manifest read; the
+    * range scan opens only the four matching day files out of the whole
+    * table.
+    */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq197", Seq("day"))
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+    val (lo, hi) = (m.plusDays(2).toString, m.plusDays(5).toString)
+    s.sql(s"""
+      |SELECT (SELECT count(*) FROM $cat.ev) AS n_rows,
+      |       (SELECT CAST(sum(n) AS BIGINT) FROM $cat.ev
+      |        WHERE day >= DATE'$lo' AND day <= DATE'$hi') AS n_window""".stripMargin)
+  }
+
+  val q197Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM per)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM per) AS n_rows,
+      |  (SELECT CAST(sum(n) AS BIGINT) FROM per, b
+      |   WHERE day BETWEEN m + 2 AND m + 5) AS n_window""".stripMargin
+
+  // -- q198: SQL INSERT INTO a snapshot table -----------------------------
+
+  /** The write half of the SQL surface, hash-proved: `INSERT INTO` a
+    * catalog table appends a sentinel row as a NEW data file and commits
+    * the next manifest version ([[graft.sources.snap.SnapWriteBuilder]] —
+    * append under the table lock, stats discipline carried forward, and
+    * since round 9 the commit reads ONLY the new file's footer, not
+    * O(table)). The query then reads per-type totals from the live table
+    * and LEFT-joins the pre-insert version: the sentinel row exists only
+    * on the live side, every real type is byte-identical on both — so the
+    * hash proves both that the append landed exactly once and that it
+    * could not perturb the pinned version. At 100 TB this is the
+    * incremental-ingest loop (hourly INSERT INTO the training table)
+    * priced at one footer read + one manifest write per commit.
+    */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq198", Seq("day"))
+    s.sql(s"""
+      |INSERT INTO $cat.ev
+      |VALUES ('__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), DATE'1999-12-31')""".stripMargin)
+    s.sql(s"""
+      |SELECT v2.event_type AS event_type,
+      |       v2.n AS n_live, coalesce(v1.n, CAST(0 AS BIGINT)) AS n_before,
+      |       v2.u AS u_live, coalesce(v1.u, CAST(0 AS BIGINT)) AS u_before
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |ON v2.event_type = v1.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q198Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, 1 AS n, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events
+      |  UNION ALL SELECT '__synthetic', 7, 42),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(n) AS BIGINT) AS n_live,
+      |    CAST(sum(CASE WHEN event_type <> '__synthetic' THEN n ELSE 0 END) AS BIGINT) AS n_before,
+      |    CAST(sum(u) AS BIGINT) AS u_live,
+      |    CAST(sum(CASE WHEN event_type <> '__synthetic' THEN u ELSE 0 END) AS BIGINT) AS u_before
+      |  FROM s GROUP BY event_type)
+      |SELECT event_type, n_live, n_before, u_live, u_before
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q196_sql_time_travel" -> (q196 _),
+    "q197_sql_metadata_count" -> (q197 _),
+    "q198_sql_insert_append" -> (q198 _))
+
+  val oracles: Map[String, String] = Map(
+    "q196_sql_time_travel" -> q196Sql,
+    "q197_sql_metadata_count" -> q197Sql,
+    "q198_sql_insert_append" -> q198Sql)
+}

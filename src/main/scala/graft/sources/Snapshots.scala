@@ -272,10 +272,23 @@ object Snapshots {
     * (null rows never match a range predicate, so all-null chunks are
     * safe to skip too).
     */
-  private def overlaps(cs: ColStat, lo: String, hi: String): Boolean = cs.typ match {
-    case "l" => !(cs.max.toLong < lo.toLong || cs.min.toLong > hi.toLong)
-    case "d" => !(cs.max.toDouble < lo.toDouble || cs.min.toDouble > hi.toDouble)
-    case _ => !(cs.max < lo || cs.min > hi)
+  private def overlaps(cs: ColStat, lo: String, hi: String): Boolean =
+    overlapsRange(cs, Some(lo), Some(hi))
+
+  /** One-sided-capable variant (None = unbounded on that side) — what a
+    * pushed `>=` / `<` filter needs; used by the SQL catalog's file
+    * pruning ([[graft.sources.snap.GraftCatalog]]).
+    */
+  private[sources] def overlapsRange(
+      cs: ColStat,
+      lo: Option[String],
+      hi: Option[String]): Boolean = cs.typ match {
+    case "l" =>
+      hi.forall(h => cs.min.toLong <= h.toLong) && lo.forall(l => cs.max.toLong >= l.toLong)
+    case "d" =>
+      hi.forall(h => cs.min.toDouble <= h.toDouble) && lo.forall(l => cs.max.toDouble >= l.toDouble)
+    case _ =>
+      hi.forall(h => cs.min <= h) && lo.forall(l => cs.max >= l)
   }
 
   /** Pseudo-column under which a v2 manifest records each file's exact
@@ -283,6 +296,15 @@ object Snapshots {
     * metadata-only COUNT(*) of a pinned snapshot.
     */
   val RowCountKey = "__rows"
+
+  /** Footer opens performed by the CALLING thread's last stats commit —
+    * observability for the incremental-commit contract (SnapshotsSpec
+    * asserts an append-commit reads only the NEW files' footers).
+    * Thread-local so concurrently-committing suites can't interfere.
+    */
+  private[sources] val lastCommitFooterReads: ThreadLocal[Long] = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
 
   /** Footer min/max of `cols` for one parquet file, merged across its row
     * groups, plus the file's hive `k=v` partition-path values (a partition
@@ -411,21 +433,41 @@ object Snapshots {
             s"#schema ${spark.read.parquet(root).schema.json}",
             s"#statscols ${statsCols.mkString(",")}")
           val conf = spark.sparkContext.hadoopConfiguration
+          // INCREMENTAL stats: a rel path names one immutable file forever
+          // (never reused — see the archive invariant), so the previous
+          // manifest's per-file stats are still exact for every file it
+          // lists; only files NEW since that manifest need a footer read.
+          // At 100 TB this turns the append-commit from O(table) footer
+          // opens into O(delta) — the difference between a million opens
+          // and one per appended file. Carried forward only when the
+          // stats-column set is unchanged (else recompute everything).
+          val prevStats: Map[String, Map[String, ColStat]] =
+            if (version > 1L && statsColsOf(spark, root, version - 1L) == statsCols)
+              fileStats(spark, root, version - 1L)
+            else Map.empty
           // footer reads are independent metadata I/O: parallel on the
           // driver, the deleteWhere/compactInPlace pool discipline
           val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(math.max(files.size, 1), 8))
+          val reads = new java.util.concurrent.atomic.AtomicLong(0L)
           val stats =
             try {
               implicit val ec: scala.concurrent.ExecutionContext =
                 scala.concurrent.ExecutionContext.fromExecutor(pool)
               val futs = files.map { rel =>
-                scala.concurrent.Future(
-                  rel -> fileColStats(conf, new Path(rootPath, rel), rel, statsCols))
+                prevStats.get(rel) match {
+                  case Some(st) if st.nonEmpty => scala.concurrent.Future.successful(rel -> st)
+                  case _ =>
+                    scala.concurrent.Future {
+                      reads.incrementAndGet()
+                      rel -> fileColStats(conf, new Path(rootPath, rel), rel, statsCols)
+                    }
+                }
               }
               scala.concurrent.Await.result(
                 scala.concurrent.Future.sequence(futs),
                 scala.concurrent.duration.Duration.Inf)
             } finally pool.shutdown()
+          lastCommitFooterReads.set(reads.get())
           header ++ stats.map { case (rel, st) =>
             if (st.isEmpty) rel
             else
@@ -445,6 +487,26 @@ object Snapshots {
       }
       version
     }
+
+  /** Committed manifest versions with their commit wall-clock (file mtime,
+    * epoch millis), ascending — the `TIMESTAMP AS OF` resolution surface:
+    * a timestamp pins the newest version committed at or before it.
+    */
+  def manifestVersions(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val dir = manifestDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir)
+        .toSeq
+        .collect {
+          case st if st.getPath.getName.startsWith("v") && st.getPath.getName.endsWith(".manifest") =>
+            (
+              st.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong,
+              st.getModificationTime)
+        }
+        .sortBy(_._1)
+  }
 
   /** Commit a baseline manifest iff the table has none — called by the
     * maintenance ops so the PRE-maintenance state is always pinnable.
@@ -494,6 +556,16 @@ object Snapshots {
         }.toMap
       }
       .toMap
+
+  /** The stats columns a v2 manifest was committed with (empty for v1) —
+    * lets an appender re-commit with the SAME stats discipline the table
+    * already has ([[graft.sources.snap.GraftCatalog]]'s INSERT path).
+    */
+  def statsColsOf(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
+    manifestLines(spark, root, version)
+      .find(_.startsWith("#statscols "))
+      .map(_.stripPrefix("#statscols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
 
   /** The table schema recorded by a v2 manifest commit (None for v1). */
   def schemaOf(
@@ -563,6 +635,19 @@ object Snapshots {
       val s = schema.getOrElse(sys.error(s"prune removed every file and manifest records no schema"))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
+    scanRels(spark, root, rels, schema)
+  }
+
+  /** Scan an explicit manifest-relative file list (live or archived) with
+    * an optional enforced schema — the core of [[readSnapshot]], shared
+    * with the SQL catalog's scan (which does its own filter-driven
+    * pruning before calling in). `rels` must be non-empty.
+    */
+  private[sources] def scanRels(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val (live, archived) = rels.map(rel => resolve(spark, root, rel)).partition { p =>
       !p.toString.contains(s"/$ArchiveDirName/")
     }

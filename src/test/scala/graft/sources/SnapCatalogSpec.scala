@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.snap.{GraftCatalog, SnapBatchScan, SnapCountScan}
+
+/** The SQL face of the snapshot format: identifiers, `VERSION AS OF` /
+  * `TIMESTAMP AS OF`, manifest-stats file pruning driven by pushed SQL
+  * filters, and the manifest-only COUNT(*) complete pushdown.
+  */
+class SnapCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Base dir holding one snapshot table `ev` (partitioned by day, v2
+    * manifest with day stats + row counts), registered as catalog `name`.
+    */
+  private def fixture(name: String): (String, String) = {
+    val base = Files.createTempDirectory("snapcat").toString
+    val dir = s"$base/ev"
+    val rows = Seq(
+      (1L, "2024-01-01", "click", 10.0),
+      (2L, "2024-01-01", "view", 11.0),
+      (3L, "2024-01-02", "click", 20.0),
+      (4L, "2024-01-03", "view", 30.0),
+      (5L, "2024-01-04", "view", 40.0)).toDF("id", "day", "event_type", "v")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", base)
+    (base, dir)
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.connector.read.Scan =
+    df.queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          // V1Scan-based scans plan as a V1ScanWrapper holding ours
+          if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+            r.scan.getClass
+              .getMethod("v1Scan")
+              .invoke(r.scan)
+              .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+          else r.scan
+      }
+      .headOption
+      .getOrElse(fail(s"no DSv2 scan in plan:\n${df.queryExecution.optimizedPlan}"))
+
+  test("SELECT with VERSION AS OF pins the pre-delete snapshot; latest sees the delete") {
+    val (_, dir) = fixture("snapc1")
+    Sources.deleteWhere(spark, dir, col("event_type") === "click") // commits v2
+    val v1 = spark.sql("SELECT id FROM snapc1.ev VERSION AS OF 1 ORDER BY id").as[Long].collect()
+    assert(v1.toSeq == Seq(1L, 2L, 3L, 4L, 5L), "v1 must still show deleted rows")
+    val live = spark.sql("SELECT id FROM snapc1.ev ORDER BY id").as[Long].collect()
+    assert(live.toSeq == Seq(2L, 4L, 5L))
+    // TIMESTAMP AS OF at v1's commit instant resolves to v1 (session tz is
+    // UTC; an ISO instant string parses unambiguously)
+    val ts = Snapshots.manifestVersions(spark, dir).head._2
+    val iso = java.time.Instant.ofEpochMilli(ts).toString
+    val asOf = spark
+      .sql(s"SELECT count(*) AS n FROM snapc1.ev TIMESTAMP AS OF '$iso' WHERE id >= 1")
+      .as[Long]
+      .head()
+    assert(asOf == 5L)
+  }
+
+  test("pushed day filters prune the manifest file list at plan time") {
+    val (_, _) = fixture("snapc2")
+    val one = spark.sql("SELECT id, v FROM snapc2.ev WHERE day = DATE'2024-01-02'")
+    assert(scanOf(one).description().contains("files=1/4"), scanOf(one).description())
+    assert(one.as[(Long, Double)].collect().toSeq == Seq((3L, 20.0)))
+    val range = spark.sql(
+      "SELECT sum(v) AS s FROM snapc2.ev WHERE day >= DATE'2024-01-02' AND day <= DATE'2024-01-03'")
+    assert(scanOf(range).description().contains("files=2/4"), scanOf(range).description())
+    assert(range.as[Double].head() == 50.0)
+    // a range matching nothing prunes every file and still answers correctly
+    val none = spark.sql("SELECT count(*) AS n FROM snapc2.ev WHERE day > DATE'2025-01-01'")
+    assert(scanOf(none).description().contains("files=0/4"), scanOf(none).description())
+    assert(none.as[Long].head() == 0L)
+  }
+
+  test("filter-free COUNT(*) is answered from the manifest alone (complete pushdown)") {
+    val (_, _) = fixture("snapc3")
+    val df = spark.sql("SELECT count(*) FROM snapc3.ev")
+    assert(scanOf(df).isInstanceOf[SnapCountScan], s"expected manifest count scan: ${scanOf(df)}")
+    assert(df.as[Long].head() == 5L)
+    // with a residual filter the aggregate must NOT push (sound fallback)
+    val filtered = spark.sql("SELECT count(*) FROM snapc3.ev WHERE event_type = 'view'")
+    assert(scanOf(filtered).isInstanceOf[SnapBatchScan])
+    assert(filtered.as[Long].head() == 3L)
+  }
+
+  test("scan reports manifest-derived statistics (rows + bytes) for join planning") {
+    val (_, _) = fixture("snapc4")
+    val scan = scanOf(spark.sql("SELECT * FROM snapc4.ev"))
+      .asInstanceOf[SnapBatchScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 5L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("SHOW TABLES lists snapshot tables; writes are refused; bad versions fail loudly") {
+    val (base, _) = fixture("snapc5")
+    val names = spark.sql("SHOW TABLES IN snapc5").select("tableName").as[String].collect().toSet
+    assert(names == Set("ev"))
+    val e = intercept[Exception](spark.sql("DROP TABLE snapc5.ev"))
+    assert(e.getMessage.contains("DDL is read-only"), e.getMessage)
+    val missing = intercept[Exception](spark.sql("SELECT * FROM snapc5.ev VERSION AS OF 99").collect())
+    assert(missing.getMessage.contains("no manifest version 99"), missing.getMessage)
+    val noTable = intercept[Exception](spark.sql("SELECT * FROM snapc5.nope").collect())
+    assert(noTable.getMessage.toLowerCase.contains("table"), noTable.getMessage)
+    // a plain directory of parquet (no manifests) is not a snapshot table
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$base/plain")
+    val notSnap = intercept[Exception](spark.sql("SELECT * FROM snapc5.plain").collect())
+    assert(notSnap.getMessage.toLowerCase.contains("table"), notSnap.getMessage)
+  }
+
+  test("a v1 manifest table (no recorded stats) reads correctly and count falls back to a scan") {
+    val base = Files.createTempDirectory("snapcat_v1").toString
+    val dir = s"$base/t"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.parquet(dir)
+    Snapshots.commit(spark, dir) // v1 manifest: no schema, no stats
+    spark.conf.set("spark.sql.catalog.snapc6", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc6.root", base)
+    val df = spark.sql("SELECT count(*) FROM snapc6.t")
+    assert(scanOf(df).isInstanceOf[SnapBatchScan], "no row counts in a v1 manifest: must scan")
+    assert(df.as[Long].head() == 2L)
+    assert(spark.sql("SELECT sum(v) FROM snapc6.t").as[Double].head() == 3.0)
+  }
+
+  test("INSERT INTO appends, commits the next version, and keeps metadata counts exact") {
+    val (_, dir) = fixture("snapc8")
+    spark.sql("INSERT INTO snapc8.ev VALUES (6, 'view', 60.0, DATE'2024-01-05')")
+    assert(Snapshots.latestVersion(spark, dir) == 2L, "insert must commit v2")
+    // v1 pins the pre-insert state
+    assert(spark.sql("SELECT count(*) FROM snapc8.ev VERSION AS OF 1").as[Long].head() == 5L)
+    // the committed manifest keeps the table's stats discipline: the
+    // filter-free count still answers from the manifest alone
+    val df = spark.sql("SELECT count(*) FROM snapc8.ev")
+    assert(scanOf(df).isInstanceOf[SnapCountScan], "append must preserve row-count stats")
+    assert(df.as[Long].head() == 6L)
+    // and day pruning still sees the new file's hive value
+    val newDay = spark.sql("SELECT id, v FROM snapc8.ev WHERE day = DATE'2024-01-05'")
+    assert(scanOf(newDay).description().contains("files=1/5"), scanOf(newDay).description())
+    assert(newDay.as[(Long, Double)].collect().toSeq == Seq((6L, 60.0)))
+  }
+
+  test("INSERT OVERWRITE archives the old files: latest is replaced, v1 still readable") {
+    val (_, dir) = fixture("snapc9")
+    spark.sql(
+      "INSERT OVERWRITE snapc9.ev VALUES (100, 'audit', 1.0, DATE'2024-02-01'), (101, 'audit', 2.0, DATE'2024-02-02')")
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    val live = spark.sql("SELECT id FROM snapc9.ev ORDER BY id").as[Long].collect()
+    assert(live.toSeq == Seq(100L, 101L))
+    // the overwritten state is a pinned version, not a casualty
+    val v1 = spark.sql("SELECT id FROM snapc9.ev VERSION AS OF 1 ORDER BY id").as[Long].collect()
+    assert(v1.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // and restore brings it back as v3
+    Snapshots.restore(spark, dir, 1L)
+    val restored = spark.sql("SELECT count(*) FROM snapc9.ev").as[Long].head()
+    assert(restored == 5L)
+  }
+
+  test("pinned SQL reads survive a concurrent rewrite (archive path through the catalog)") {
+    val (_, dir) = fixture("snapc7")
+    // rewrite day=2024-01-01's file (update id=1) and commit v2
+    val delta = Seq((1L, "2024-01-01", "click", 99.0)).toDF("id", "day", "event_type", "v")
+    Sources.mergeIntoPartitioned(spark, dir, delta, "day", Seq("id"))
+    val v1 = spark
+      .sql("SELECT id, v FROM snapc7.ev VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Double)]
+      .collect()
+    assert(v1.length == 5 && v1.head == ((1L, 10.0)), "v1 resolves through the archive")
+    val live = spark
+      .sql("SELECT v FROM snapc7.ev VERSION AS OF 2 WHERE id = 1")
+      .as[Double]
+      .head()
+    assert(live == 99.0)
+  }
+}

@@ -391,4 +391,35 @@ class SnapshotsSpec extends SparkSpec {
     assert(archived.exists(), "stranded pre-crash file must be archived for manifest readers")
     assert(java.nio.file.Files.readAllBytes(archived.toPath).toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("an append commit reads only the NEW files' footers (incremental stats carry-forward)") {
+    val dir = Files.createTempDirectory("snap_incr").toString + "/t"
+    table(dir) // 3 day partitions, one file each
+    Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    assert(Snapshots.lastCommitFooterReads.get() == 3L, "baseline commit reads every footer once")
+    // append one file in a NEW partition
+    Seq((5L, "2024-01-04", 50.0))
+      .toDF("id", "day", "v")
+      .write
+      .mode("append")
+      .partitionBy("day")
+      .parquet(dir)
+    val v2 = Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    assert(
+      Snapshots.lastCommitFooterReads.get() == 1L,
+      s"append commit must read ONLY the new file's footer, read ${Snapshots.lastCommitFooterReads.get()}")
+    // carried-forward stats are exact: metadata count and pruning unchanged
+    assert(Snapshots.countRows(spark, dir, v2) == 5L)
+    val pruned = Snapshots
+      .readSnapshot(spark, dir, v2, prune = Seq(("day", "2024-01-04", "2024-01-04")))
+      .select($"id")
+      .as[Long]
+      .collect()
+    assert(pruned.toSeq == Seq(5L))
+    // changing the stats-column set recomputes everything (no stale carry)
+    Snapshots.commit(spark, dir, statsCols = Seq("day", "v"))
+    assert(
+      Snapshots.lastCommitFooterReads.get() == 4L,
+      "a different stats-col set must recompute all files")
+  }
 }
