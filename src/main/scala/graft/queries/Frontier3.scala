@@ -166,13 +166,50 @@ object Frontier3 {
       |SELECT event_type, n_live, n_before, u_live, u_before
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // -- q199: snapshot history via the metadata table ----------------------
+
+  /** Operational introspection, hash-proved: `cat.t.snapshots` (the
+    * Iceberg-style metadata relation, [[graft.sources.snap.SnapMetaTable]])
+    * lists every committed version with its file and row counts straight
+    * from the manifests — zero data-file I/O. The lifecycle under test:
+    * the stats table commits v1, a GDPR delete commits v2 — and since the
+    * round-9 inheritance rule, the MAINTENANCE commit keeps the table's
+    * stats discipline, so v2's row counts exist without any explicit
+    * re-commit. The oracle recomputes both versions' file/row counts from
+    * raw events (files = one per day partition; a click-only day's file is
+    * wholly removed by the delete), proving the manifest bookkeeping is
+    * exact through a rewrite that archives, rewrites and drops files. At
+    * 100 TB this is the table-health dashboard (version growth, file
+    * counts, row deltas) priced at a manifest read.
+    */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq199", Seq("day"))
+    graft.sources.Sources.deleteWhere(s, dir, col("event_type") === "click") // commits v2
+    s.sql(s"""
+      |SELECT version, n_files, n_rows
+      |FROM $cat.ev.snapshots ORDER BY version""".stripMargin)
+  }
+
+  val q199Sql: String =
+    """WITH per AS (SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events)
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |       CAST((SELECT count(DISTINCT day) FROM per) AS BIGINT) AS n_files,
+      |       CAST((SELECT count(*) FROM per) AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT),
+      |       CAST((SELECT count(DISTINCT day) FROM per WHERE event_type <> 'click') AS BIGINT),
+      |       CAST((SELECT count(*) FROM per WHERE event_type <> 'click') AS BIGINT)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
-    "q198_sql_insert_append" -> (q198 _))
+    "q198_sql_insert_append" -> (q198 _),
+    "q199_snapshot_history" -> (q199 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
     "q197_sql_metadata_count" -> q197Sql,
-    "q198_sql_insert_append" -> q198Sql)
+    "q198_sql_insert_append" -> q198Sql,
+    "q199_snapshot_history" -> q199Sql)
 }

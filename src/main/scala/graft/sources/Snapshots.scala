@@ -415,7 +415,18 @@ object Snapshots {
     * file instead of opening N footers per query. v1 manifests (plain
     * path-per-line) keep parsing unchanged.
     */
-  def commit(spark: SparkSession, root: String): Long = commit(spark, root, Nil)
+  /** The no-args overload INHERITS the table's existing stats discipline:
+    * if the latest manifest was a stats commit, the new commit keeps the
+    * same stats columns (incrementally — unchanged files carry forward),
+    * so maintenance ops (delete/merge/compact/restore, which all end in
+    * this commit) can never silently degrade a stats table back to a
+    * plain file list. A table that never had stats commits plain.
+    */
+  def commit(spark: SparkSession, root: String): Long = {
+    val prev = latestVersion(spark, root)
+    val inherited = if (prev > 0L) statsColsOf(spark, root, prev) else Seq.empty
+    commit(spark, root, inherited)
+  }
 
   def commit(spark: SparkSession, root: String, statsCols: Seq[String]): Long =
     withTableLock(spark, root) {

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Snapshots
@@ -128,12 +128,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def load(ident: Identifier, version: Long): Table = {
     val dir = dirOf(ident)
-    if (!isSnapTable(dir)) throw new NoSuchTableException(ident)
-    val pinned = if (version > 0L) version else Snapshots.latestVersion(spark, dir)
-    if (version > 0L && !Snapshots.manifestVersions(spark, dir).exists(_._1 == version))
-      throw new IllegalArgumentException(
-        s"table $dir has no manifest version $version (vacuumed or never committed)")
-    new SnapTable(dir, pinned)
+    if (!isSnapTable(dir)) {
+      // metadata tables, Iceberg-style: `cat.t.snapshots` / `cat.t.files`
+      // (the extra name segment rides in as the identifier's last
+      // namespace element being the table dir)
+      metaTableOf(ident, version).getOrElse(throw new NoSuchTableException(ident))
+    } else {
+      val pinned = if (version > 0L) version else Snapshots.latestVersion(spark, dir)
+      if (version > 0L && !Snapshots.manifestVersions(spark, dir).exists(_._1 == version))
+        throw new IllegalArgumentException(
+          s"table $dir has no manifest version $version (vacuumed or never committed)")
+      new SnapTable(dir, pinned)
+    }
+  }
+
+  /** `SELECT * FROM cat.t.snapshots` — per-version commit history (files /
+    * rows / bytes per manifest); `… FROM cat.t.files` — the pinned file
+    * list with per-file rows/bytes/archive state (`VERSION AS OF` pins a
+    * historical list). The operational introspection a lakehouse exposes,
+    * answered from manifests on the driver — no data I/O.
+    */
+  private def metaTableOf(ident: Identifier, version: Long): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val tableDir = (rootDir +: ident.namespace().toSeq).mkString("/")
+    if (!isSnapTable(tableDir)) return None
+    ident.name() match {
+      case "snapshots" => Some(new SnapMetaTable(tableDir, version, "snapshots"))
+      case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
+      case _ => None
+    }
   }
 
   private def readOnly(): Nothing =
@@ -220,6 +243,100 @@ class SnapTable(dir: String, version: Long) extends Table with SupportsRead with
     new SnapScanBuilder(dir, version, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new SnapWriteBuilder(dir)
+}
+
+/** A snapshot table's metadata relation (`snapshots` or `files`),
+  * computed from manifests alone on the driver — zero data-file I/O.
+  *
+  *  - `snapshots`: one row per committed version — `(version,
+  *    committed_at, n_files, n_rows, n_bytes)`; `n_rows` is null for
+  *    versions whose manifest predates row-count stats, `n_bytes` null
+  *    when a file was vacuumed away.
+  *  - `files`: the pinned version's file list — `(rel, rows, bytes,
+  *    archived)`; `VERSION AS OF n` pins a historical list, `archived`
+  *    says whether maintenance has since moved the file to the archive.
+  */
+class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graft-snapshot:$dir#$kind"
+
+  private val tableSchema: StructType = kind match {
+    case "snapshots" =>
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("n_bytes", LongType, nullable = true)))
+    case _ =>
+      StructType(Seq(
+        StructField("rel", StringType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("bytes", LongType, nullable = true),
+        StructField("archived", BooleanType, nullable = false)))
+  }
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = () =>
+    new V1Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String = s"GraftSnapMetaScan $dir#$kind (manifest-only)"
+      override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+        new SnapMetaRelation(context, dir, version, kind, tableSchema).asInstanceOf[T]
+    }
+}
+
+class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String, val schema: StructType)
+    extends BaseRelation
+    with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  private def bytesOf(spark: SparkSession, rel: String): Option[Long] =
+    try {
+      val p = Snapshots.resolve(spark, dir, rel)
+      Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen)
+    } catch { case _: Exception => None } // vacuumed
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val rows: Seq[Row] = kind match {
+      case "snapshots" =>
+        Snapshots.manifestVersions(spark, dir).map { case (v, mtimeMs) =>
+          val rels = Snapshots.files(spark, dir, v)
+          val stats = Snapshots.fileStats(spark, dir, v)
+          val counts = rels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+          val nRows =
+            if (counts.nonEmpty && counts.forall(_.isDefined))
+              counts.map(_.get.min.toLong).sum.asInstanceOf[Any]
+            else null
+          val sizes = rels.map(bytesOf(spark, _))
+          val nBytes =
+            if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
+          Row(v, new java.sql.Timestamp(mtimeMs), rels.size.toLong, nRows, nBytes)
+        }
+      case _ =>
+        val stats = Snapshots.fileStats(spark, dir, version)
+        Snapshots.files(spark, dir, version).map { rel =>
+          val nRows = stats
+            .get(rel)
+            .flatMap(_.get(Snapshots.RowCountKey))
+            .map(_.min.toLong.asInstanceOf[Any])
+            .orNull
+          val rootPath = new Path(dir)
+          val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val archived = !fs.exists(new Path(rootPath, rel))
+          Row(rel, nRows, bytesOf(spark, rel).map(_.asInstanceOf[Any]).orNull, archived)
+        }
+    }
+    ctx.sparkContext.parallelize(rows, 1)
+  }
 }
 
 /** INSERT INTO / INSERT OVERWRITE for a snapshot table. Both paths end in

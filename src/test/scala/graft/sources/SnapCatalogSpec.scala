@@ -164,6 +164,33 @@ class SnapCatalogSpec extends SparkSpec {
     assert(restored == 5L)
   }
 
+  test("metadata tables: cat.t.snapshots lists versions, cat.t.files lists the pinned file set") {
+    val (_, dir) = fixture("snapc10")
+    Sources.deleteWhere(spark, dir, col("event_type") === "click") // commits v2 (stats inherited)
+    val snaps = spark
+      .sql("SELECT version, n_files, n_rows FROM snapc10.ev.snapshots ORDER BY version")
+      .as[(Long, Long, Option[Long])]
+      .collect()
+    // v1: 4 day files, 5 rows; v2: day1/day2 rewritten without clicks (day2
+    // was click-only so its file is wholly archived) -> 3 files, 3 rows
+    assert(snaps.toSeq == Seq((1L, 4L, Some(5L)), (2L, 3L, Some(3L))))
+    val files1 = spark
+      .sql("SELECT rel, rows, archived FROM snapc10.ev.files VERSION AS OF 1 ORDER BY rel")
+      .as[(String, Option[Long], Boolean)]
+      .collect()
+    assert(files1.length == 4)
+    assert(files1.forall(_._2.exists(_ >= 1L)), "every v1 file has a recorded row count")
+    // day=2024-01-01 (rewritten) and day=2024-01-02 (click-only, removed)
+    // are archived in v1's view; the untouched days are live
+    val archivedDays = files1.filter(_._3).map(_._1.split("/").head).toSet
+    assert(archivedDays == Set("day=2024-01-01", "day=2024-01-02"), archivedDays.toString)
+    // maintenance inherited the stats discipline: v2 still counts from the
+    // manifest alone
+    val cnt = spark.sql("SELECT count(*) FROM snapc10.ev")
+    assert(scanOf(cnt).isInstanceOf[SnapCountScan], "delete must not degrade stats commits")
+    assert(cnt.as[Long].head() == 3L)
+  }
+
   test("pinned SQL reads survive a concurrent rewrite (archive path through the catalog)") {
     val (_, dir) = fixture("snapc7")
     // rewrite day=2024-01-01's file (update id=1) and commit v2
