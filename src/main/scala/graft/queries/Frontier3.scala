@@ -201,15 +201,69 @@ object Frontier3 {
       |       CAST((SELECT count(*) FROM per WHERE event_type <> 'click') AS BIGINT)
       |ORDER BY version""".stripMargin
 
+  // -- q200: incremental dedup of an ingest slice vs corpus history -------
+
+  /** The daily-ingest capstone, hash-proved: a documents corpus (80% of
+    * the fixture) commits as snapshot v1 with row-count stats; an ingest
+    * slice appends — the held-out 20% plus re-identified COPIES of corpus
+    * texts (the crawl re-fetching what's already in the training set) —
+    * and commits v2. [[graft.llm.Dedup.incrementalAgainstSnapshot]] then
+    * cleans ONLY the added rows (manifest-level change feed) against the
+    * pinned v1 corpus via the broadcast-Bloom + exact-confirm path, with
+    * the Bloom sized from the MANIFEST's recorded row counts (zero jobs).
+    * The oracle anti-joins the same slice against the same corpus on raw
+    * text, so the hash proves the incremental path is bit-identical to
+    * the full rescan it replaces. At 100 TB: history is scanned once into
+    * bits-per-row, the new slice never shuffles except the ~1% Bloom
+    * suspects, and no job ever re-joins the historical corpus row-by-row.
+    */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq200_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "corpus").toString
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    graft.sources.Sources.writeParquet(corpus.repartition(4), dir)
+    val v1 = graft.sources.Snapshots.commit(s, dir, Seq("doc_id"))
+    // the ingest slice: fresh docs + re-identified copies of corpus texts
+    val fresh = docs.filter(col("doc_id") % 10 >= 8)
+    val copies = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 < 8)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    fresh.unionByName(copies).repartition(4).write.mode("append").parquet(dir)
+    graft.sources.Snapshots.commit(s, dir)
+    graft.llm.Dedup
+      .incrementalAgainstSnapshot(s, dir, v1, "text")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q200Sql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+      |news AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 10 < 8)
+      |SELECT n.doc_id FROM news n
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
     "q198_sql_insert_append" -> (q198 _),
-    "q199_snapshot_history" -> (q199 _))
+    "q199_snapshot_history" -> (q199 _),
+    "q200_incremental_dedup" -> (q200 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
     "q197_sql_metadata_count" -> q197Sql,
     "q198_sql_insert_append" -> q198Sql,
-    "q199_snapshot_history" -> q199Sql)
+    "q199_snapshot_history" -> q199Sql,
+    "q200_incremental_dedup" -> q200Sql)
 }

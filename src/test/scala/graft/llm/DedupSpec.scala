@@ -238,4 +238,39 @@ class DedupSpec extends SparkSpec {
       assert(agree >= 12, s"only $agree/16 components agree for pair ($a,$b)")
     }
   }
+
+  test("incrementalAgainstSnapshot equals the full anti-join rescan (snapshot-integrated dedup)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dedup_incr").toString
+    val dir = s"$base/corpus"
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    graft.sources.Sources.writeParquet(corpus.repartition(2), dir)
+    val v1 = graft.sources.Snapshots.commit(spark, dir, Seq("doc_id"))
+    val fresh = docs.filter($"doc_id" % 10 >= 8)
+    val copies = docs
+      .filter($"doc_id" % 7 === 0 && $"doc_id" % 10 < 8)
+      .withColumn("doc_id", $"doc_id" + lit(10000000L))
+    val slice = fresh.unionByName(copies)
+    slice.repartition(2).write.mode("append").parquet(dir)
+    graft.sources.Snapshots.commit(spark, dir)
+    val incr = Dedup
+      .incrementalAgainstSnapshot(spark, dir, v1, "text")
+      .select($"doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    val full = Dedup
+      .againstCorpus(slice, "text", corpus, "text")
+      .select($"doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(incr.toSeq == full.toSeq, "incremental path must be bit-identical to the rescan")
+    // every planted copy was dropped (fresh docs may also collide with
+    // corpus texts naturally — the fixture plants exact dupes — so the
+    // survivor count is bounded, not exact)
+    assert(incr.forall(_ < 10000000L), "all re-identified copies must be deduped away")
+    assert(incr.length <= slice.count() - copies.count())
+    assert(incr.nonEmpty)
+  }
 }
