@@ -299,18 +299,19 @@ object Dedup {
   /** Incremental decontamination against a SNAPSHOT table — the daily
     * ingest op at 100 TB: dedup only the rows ADDED since `fromVersion`
     * against the historical corpus, never rescanning-and-rejoining history
-    * row-by-row. The new slice comes from the manifest-level change feed
-    * ([[graft.sources.Snapshots.diff]] — appended files only, for an
-    * append workload), the historical side is the pinned `fromVersion`
-    * read, and the check is the Bloom-gated exact path
-    * ([[againstCorpusBloomExact]]): history is distilled into a broadcast
-    * Bloom filter (bits per row, one scan), cleared rows pass shuffle-free,
-    * and only the ~fpp sliver of suspects pays the exact digest anti-join.
-    * The Bloom's `expectedItems` sizing comes from the MANIFEST's recorded
-    * row counts when present ([[graft.sources.Snapshots.countRows]]) —
-    * zero jobs — falling back to a count. Result is bit-identical to the
-    * full `againstCorpus` anti-join (DedupSpec law), which is what makes
-    * it oracle-checkable.
+    * row-by-row. The new slice is the FILE-level manifest delta
+    * ([[graft.sources.Snapshots.readAddedSince]] — only the appended
+    * files are scanned, zero shuffle, zero history I/O; a rewrite history
+    * fails loudly there rather than silently miscounting), the historical
+    * side is the pinned `fromVersion` read, and the check is the
+    * Bloom-gated exact path ([[againstCorpusBloomExact]]): history is
+    * distilled into a broadcast Bloom filter in ONE scan (bits per row),
+    * cleared rows pass shuffle-free, and only the ~fpp sliver of suspects
+    * pays the exact digest anti-join. The Bloom's `expectedItems` sizing
+    * comes from the MANIFEST's recorded row counts when present
+    * ([[graft.sources.Snapshots.countRows]]) — zero jobs — falling back
+    * to a count. Result is bit-identical to the full `againstCorpus`
+    * anti-join (DedupSpec law), which is what makes it oracle-checkable.
     */
   def incrementalAgainstSnapshot(
       spark: org.apache.spark.sql.SparkSession,
@@ -319,10 +320,7 @@ object Dedup {
       textCol: String,
       fpp: Double = 0.01): DataFrame = {
     val hist = graft.sources.Snapshots.readSnapshot(spark, root, fromVersion)
-    val added = graft.sources.Snapshots
-      .diff(spark, root, fromVersion)
-      .filter(col("change") === "added")
-      .drop("change")
+    val added = graft.sources.Snapshots.readAddedSince(spark, root, fromVersion)
     val expected =
       try graft.sources.Snapshots.countRows(spark, root, fromVersion)
       catch { case _: Exception => hist.count() } // no manifest row counts: one scan

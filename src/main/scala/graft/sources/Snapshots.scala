@@ -297,6 +297,13 @@ object Snapshots {
     */
   val RowCountKey = "__rows"
 
+  /** Pseudo-column under which a v2 manifest records each file's byte
+    * length — lets scan statistics ([[graft.sources.snap.SnapBatchScan]])
+    * and the metadata tables answer size questions from the manifest
+    * alone instead of one getFileStatus RPC per file per planning pass.
+    */
+  val LengthKey = "__bytes"
+
   /** Footer opens performed by the CALLING thread's last stats commit —
     * observability for the incremental-commit contract (SnapshotsSpec
     * asserts an append-commit reads only the NEW files' footers).
@@ -397,7 +404,9 @@ object Snapshots {
             name -> entries.map(_._2).reduce(mergeStat)
         } ++ Map(RowCountKey -> ColStat("l", rows.toString, rows.toString))
       } finally reader.close()
-    fromPath.filter(kv => cols.contains(kv._1)) ++ fromFooter
+    val len = file.getFileSystem(conf).getFileStatus(file).getLen
+    fromPath.filter(kv => cols.contains(kv._1)) ++ fromFooter +
+      (LengthKey -> ColStat("l", len.toString, len.toString))
   }
 
   /** Commit the table's CURRENT file set as the next manifest version.
@@ -421,8 +430,11 @@ object Snapshots {
     * so maintenance ops (delete/merge/compact/restore, which all end in
     * this commit) can never silently degrade a stats table back to a
     * plain file list. A table that never had stats commits plain.
+    * The inheritance is resolved INSIDE the table lock (reentrant), so a
+    * concurrent stats commit landing while this writer queues can't be
+    * overridden by a stale pre-lock read.
     */
-  def commit(spark: SparkSession, root: String): Long = {
+  def commit(spark: SparkSession, root: String): Long = withTableLock(spark, root) {
     val prev = latestVersion(spark, root)
     val inherited = if (prev > 0L) statsColsOf(spark, root, prev) else Seq.empty
     commit(spark, root, inherited)
@@ -482,7 +494,7 @@ object Snapshots {
           header ++ stats.map { case (rel, st) =>
             if (st.isEmpty) rel
             else
-              rel + "\t" + (statsCols :+ RowCountKey)
+              rel + "\t" + (statsCols :+ RowCountKey :+ LengthKey)
                 .flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
                 .mkString("\t")
           }
@@ -540,24 +552,26 @@ object Snapshots {
     text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** The root-relative file list of manifest `version` (≤0 → latest).
-    * Both formats parse: v1 is one path per line; v2 prefixes `#` header
-    * lines and appends tab-separated per-file stats after the path.
+  /** One manifest, fully parsed in a single read: the metadata bundle a
+    * planner needs (file list, per-file stats, recorded schema, stats
+    * columns). The SQL catalog loads ONE of these per (table, version)
+    * per query instead of re-reading the manifest for each of schema /
+    * pruning / aggregation / statistics — on a large table the manifest
+    * is the big metadata object, so planning cost is one read, period.
     */
-  def files(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
-    manifestLines(spark, root, version)
-      .filterNot(_.startsWith("#"))
-      .map(_.split("\t").head)
+  final case class ManifestView(
+      version: Long,
+      rels: Seq[String],
+      stats: Map[String, Map[String, ColStat]],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsCols: Seq[String])
 
-  /** Per-file column stats of a v2 manifest (empty for v1 manifests or
-    * stat-less files).
-    */
-  def fileStats(
-      spark: SparkSession,
-      root: String,
-      version: Long = -1L): Map[String, Map[String, ColStat]] =
-    manifestLines(spark, root, version)
-      .filterNot(_.startsWith("#"))
+  def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
+    val v = if (version > 0) version else latestVersion(spark, root)
+    val lines = manifestLines(spark, root, v)
+    val body = lines.filterNot(_.startsWith("#"))
+    val rels = body.map(_.split("\t").head)
+    val stats = body
       .filter(_.contains("\t"))
       .map { line =>
         val parts = line.split("\t")
@@ -567,28 +581,48 @@ object Snapshots {
         }.toMap
       }
       .toMap
+    val schema = lines
+      .find(_.startsWith("#schema "))
+      .map(l =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema "))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val statsCols = lines
+      .find(_.startsWith("#statscols "))
+      .map(_.stripPrefix("#statscols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    ManifestView(v, rels, stats, schema, statsCols)
+  }
+
+  /** The root-relative file list of manifest `version` (≤0 → latest).
+    * Both formats parse: v1 is one path per line; v2 prefixes `#` header
+    * lines and appends tab-separated per-file stats after the path.
+    */
+  def files(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
+    manifestView(spark, root, version).rels
+
+  /** Per-file column stats of a v2 manifest (empty for v1 manifests or
+    * stat-less files).
+    */
+  def fileStats(
+      spark: SparkSession,
+      root: String,
+      version: Long = -1L): Map[String, Map[String, ColStat]] =
+    manifestView(spark, root, version).stats
 
   /** The stats columns a v2 manifest was committed with (empty for v1) —
     * lets an appender re-commit with the SAME stats discipline the table
     * already has ([[graft.sources.snap.GraftCatalog]]'s INSERT path).
     */
   def statsColsOf(spark: SparkSession, root: String, version: Long = -1L): Seq[String] =
-    manifestLines(spark, root, version)
-      .find(_.startsWith("#statscols "))
-      .map(_.stripPrefix("#statscols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
+    manifestView(spark, root, version).statsCols
 
   /** The table schema recorded by a v2 manifest commit (None for v1). */
   def schemaOf(
       spark: SparkSession,
       root: String,
       version: Long = -1L): Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(spark, root, version)
-      .find(_.startsWith("#schema "))
-      .map(l =>
-        org.apache.spark.sql.types.DataType
-          .fromJson(l.stripPrefix("#schema "))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    manifestView(spark, root, version).schema
 
   /** Resolve a manifest entry to its current location: live path if the
     * file is still live, archive path if maintenance replaced it.
@@ -703,6 +737,37 @@ object Snapshots {
             s"manifest records no row count for $rel — commit(root, statsCols) to enable metadata-only counts"))
       }
       .sum
+  }
+
+  /** The rows ADDED since `fromVersion`, at file granularity: scans ONLY
+    * the files the target manifest lists that `fromVersion` didn't — for
+    * an append-only workload (INSERT INTO, streaming appends) this is the
+    * exact row-level delta at zero shuffle and zero history I/O, which is
+    * what makes incremental consumers (ingest dedup, downstream refresh)
+    * O(delta) instead of O(table). Precondition: no file of `fromVersion`
+    * may have been removed/rewritten in between (that would mean rewrites
+    * whose surviving rows would wrongly count as "added") — violated ⇒
+    * loud error; use [[diff]] (the full multiset reconciliation) for
+    * rewrite histories.
+    */
+  def readAddedSince(
+      spark: SparkSession,
+      root: String,
+      fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val from = files(spark, root, fromVersion).toSet
+    val toRels = files(spark, root, toVersion)
+    val removed = from -- toRels.toSet
+    require(
+      removed.isEmpty,
+      s"readAddedSince($fromVersion): ${removed.size} file(s) of v$fromVersion were rewritten/removed " +
+        s"since — not an append-only history; use Snapshots.diff for the row-level reconciliation")
+    val added = toRels.filterNot(from)
+    val schema = schemaOf(spark, root, toVersion)
+    if (added.isEmpty) {
+      val s = schema.getOrElse(readSnapshot(spark, root, fromVersion).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else scanRels(spark, root, added, schema)
   }
 
   /** Row-level change feed between two pinned manifests — the

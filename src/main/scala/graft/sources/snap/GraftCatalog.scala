@@ -106,6 +106,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val v = scala.util.Try(version.toLong).getOrElse(
       throw new IllegalArgumentException(
         s"graft snapshot versions are numeric manifest versions; got '$version'"))
+    // a non-positive pin must not silently alias "latest" — time travel
+    // that quietly reads post-mutation data is worse than an error
+    if (v < 1L)
+      throw new IllegalArgumentException(
+        s"graft snapshot versions start at 1; got $v")
     load(ident, v)
   }
 
@@ -223,10 +228,13 @@ class SnapTable(dir: String, version: Long) extends Table with SupportsRead with
 
   override def name(): String = s"graft-snapshot:$dir@v$version"
 
+  // ONE manifest read serves schema, pruning, aggregation and statistics
+  // for every scan built from this table load — on a large table the
+  // manifest is the big metadata object, so planning cost is one read
+  private lazy val view: Snapshots.ManifestView = Snapshots.manifestView(spark, dir, version)
+
   private lazy val tableSchema: StructType =
-    Snapshots
-      .schemaOf(spark, dir, version)
-      .getOrElse(Snapshots.readSnapshot(spark, dir, version).schema)
+    view.schema.getOrElse(Snapshots.readSnapshot(spark, dir, version).schema)
 
   override def schema(): StructType = tableSchema
 
@@ -240,7 +248,7 @@ class SnapTable(dir: String, version: Long) extends Table with SupportsRead with
     Map("format" -> "graft-snapshot", "location" -> dir, "version" -> version.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(dir, version, tableSchema)
+    new SnapScanBuilder(dir, view, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new SnapWriteBuilder(dir)
 }
@@ -298,41 +306,51 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
 
   override def sqlContext: SQLContext = ctx
 
-  private def bytesOf(spark: SparkSession, rel: String): Option[Long] =
-    try {
-      val p = Snapshots.resolve(spark, dir, rel)
-      Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen)
-    } catch { case _: Exception => None } // vacuumed
+  /** Manifest-recorded byte length when present (zero I/O), else one
+    * getFileStatus (pre-LengthKey manifests), None if vacuumed.
+    */
+  private def bytesOf(
+      spark: SparkSession,
+      stats: Map[String, Map[String, Snapshots.ColStat]],
+      rel: String): Option[Long] =
+    stats.get(rel).flatMap(_.get(Snapshots.LengthKey)).map(_.min.toLong).orElse {
+      try {
+        val p = Snapshots.resolve(spark, dir, rel)
+        Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen)
+      } catch { case _: Exception => None } // vacuumed
+    }
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
     val rows: Seq[Row] = kind match {
       case "snapshots" =>
-        Snapshots.manifestVersions(spark, dir).map { case (v, mtimeMs) =>
-          val rels = Snapshots.files(spark, dir, v)
-          val stats = Snapshots.fileStats(spark, dir, v)
-          val counts = rels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+        // a version pin shows history AS OF that version, not beyond it
+        val all = Snapshots.manifestVersions(spark, dir)
+        val visible = if (version > 0L) all.filter(_._1 <= version) else all
+        visible.map { case (v, mtimeMs) =>
+          val mv = Snapshots.manifestView(spark, dir, v)
+          val counts = mv.rels.map(r => mv.stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
           val nRows =
             if (counts.nonEmpty && counts.forall(_.isDefined))
               counts.map(_.get.min.toLong).sum.asInstanceOf[Any]
             else null
-          val sizes = rels.map(bytesOf(spark, _))
+          val sizes = mv.rels.map(bytesOf(spark, mv.stats, _))
           val nBytes =
             if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
-          Row(v, new java.sql.Timestamp(mtimeMs), rels.size.toLong, nRows, nBytes)
+          Row(v, new java.sql.Timestamp(mtimeMs), mv.rels.size.toLong, nRows, nBytes)
         }
       case _ =>
-        val stats = Snapshots.fileStats(spark, dir, version)
-        Snapshots.files(spark, dir, version).map { rel =>
-          val nRows = stats
+        val mv = Snapshots.manifestView(spark, dir, version)
+        val rootPath = new Path(dir)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        mv.rels.map { rel =>
+          val nRows = mv.stats
             .get(rel)
             .flatMap(_.get(Snapshots.RowCountKey))
             .map(_.min.toLong.asInstanceOf[Any])
             .orNull
-          val rootPath = new Path(dir)
-          val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val archived = !fs.exists(new Path(rootPath, rel))
-          Row(rel, nRows, bytesOf(spark, rel).map(_.asInstanceOf[Any]).orNull, archived)
+          Row(rel, nRows, bytesOf(spark, mv.stats, rel).map(_.asInstanceOf[Any]).orNull, archived)
         }
     }
     ctx.sparkContext.parallelize(rows, 1)
@@ -372,9 +390,13 @@ object SnapWriteBuilder {
 
   private def doInsert(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
     val spark = data.sparkSession
-    val statsCols = Snapshots.statsColsOf(spark, dir)
-    val partCols = partitionColsOf(Snapshots.files(spark, dir))
     Snapshots.withTableLock(spark, dir) {
+      // resolve the table's layout + stats discipline INSIDE the lock: a
+      // maintenance commit landing while this writer queued must not leave
+      // it writing a stale partition layout or stale stats columns
+      val latest = Snapshots.manifestView(spark, dir)
+      val statsCols = latest.statsCols
+      val partCols = partitionColsOf(latest.rels)
       if (overwrite) {
         // archive every live file BEFORE the new data lands: pinned
         // readers keep resolving, and the pre-overwrite state stays
@@ -392,23 +414,10 @@ object SnapWriteBuilder {
   }
 }
 
-/** Pushdown surface of a snapshot scan. Filters prune the manifest's file
-  * list (manifest stats, zero I/O) and re-apply both inside the inner
-  * parquet scan and as Spark-side residuals; a filter-free COUNT(*) is
-  * answered entirely from the manifest's recorded row counts.
+/** Filter translations shared by the scan builder and the V1 relation —
+  * one implementation, and a function value that closes over nothing.
   */
-class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
-    extends ScanBuilder
-    with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
-
-  private def spark: SparkSession = SparkSession.active
-
-  private var required: StructType = tableSchema
-  private val translated = mutable.ArrayBuffer.empty[Filter]
-  private val pruneRanges = mutable.ArrayBuffer.empty[(String, Option[String], Option[String])]
-  private var countWidth: Option[Int] = None
+private[snap] object SnapFilters {
 
   /** A pushed value rendered in the manifest-stat string domain
     * ([[Snapshots.ColStat]]): integers as decimal, floating as double,
@@ -417,7 +426,7 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
     * their footer-stat encoding is representation-dependent, and a wrong
     * rendering here would wrongly DROP files.
     */
-  private def statString(v: Any): Option[String] = v match {
+  def statString(v: Any): Option[String] = v match {
     case null => None
     case b: Byte => Some(b.toString)
     case s: Short => Some(s.toString)
@@ -435,7 +444,7 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
     * (pushing it below the V1 boundary re-enables parquet row-group /
     * page skipping)? Nested fields (dotted names) are left to Spark.
     */
-  private def toColumn(f: Filter): Option[Column] = {
+  def toColumn(f: Filter): Option[Column] = {
     def ref(a: String): Option[Column] = if (a.contains(".")) None else Some(col(a))
     f match {
       case EqualTo(a, v) => ref(a).map(_ === lit(v))
@@ -461,7 +470,7 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
     * stats pruning — a SUPERSET of matching rows (strict bounds widen to
     * inclusive; rows are re-filtered downstream, so widening is sound).
     */
-  private def toRange(f: Filter): Seq[(String, Option[String], Option[String])] = f match {
+  def toRange(f: Filter): Seq[(String, Option[String], Option[String])] = f match {
     case EqualTo(a, v) => statString(v).toSeq.map(s => (a, Some(s), Some(s)))
     case EqualNullSafe(a, v) if v != null => statString(v).toSeq.map(s => (a, Some(s), Some(s)))
     case GreaterThan(a, v) => statString(v).toSeq.map(s => (a, Some(s), None))
@@ -471,11 +480,30 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
     case And(l, r) => toRange(l) ++ toRange(r)
     case _ => Seq.empty
   }
+}
+
+/** Pushdown surface of a snapshot scan. Filters prune the manifest's file
+  * list (manifest stats, zero I/O) and re-apply both inside the inner
+  * parquet scan and as Spark-side residuals; a filter-free COUNT(*) is
+  * answered entirely from the manifest's recorded row counts. All
+  * planning works off the ONE [[Snapshots.ManifestView]] the table
+  * loaded — no further manifest I/O here.
+  */
+class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = tableSchema
+  private val translated = mutable.ArrayBuffer.empty[Filter]
+  private val pruneRanges = mutable.ArrayBuffer.empty[(String, Option[String], Option[String])]
+  private var countWidth: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach { f =>
-      val ranges = toRange(f)
-      val inner = toColumn(f)
+      val ranges = SnapFilters.toRange(f)
+      val inner = SnapFilters.toColumn(f)
       if (ranges.nonEmpty || inner.isDefined) translated += f
       pruneRanges ++= ranges
     }
@@ -495,9 +523,7 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
     if (translated.nonEmpty || pruneRanges.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty || !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
       return None
-    val stats = Snapshots.fileStats(spark, dir, version)
-    val rels = Snapshots.files(spark, dir, version)
-    if (rels.forall(r => stats.get(r).exists(_.contains(Snapshots.RowCountKey))))
+    if (view.rels.forall(r => view.stats.get(r).exists(_.contains(Snapshots.RowCountKey))))
       Some(agg.aggregateExpressions.length)
     else None
   }
@@ -513,25 +539,27 @@ class SnapScanBuilder(dir: String, version: Long, tableSchema: StructType)
 
   override def build(): Scan = countWidth match {
     case Some(w) =>
-      val stats = Snapshots.fileStats(spark, dir, version)
-      val n = Snapshots
-        .files(spark, dir, version)
-        .map(r => stats(r)(Snapshots.RowCountKey).min.toLong)
-        .sum
-      new SnapCountScan(dir, version, n, w)
+      val n = view.rels.map(r => view.stats(r)(Snapshots.RowCountKey).min.toLong).sum
+      new SnapCountScan(dir, view.version, n, w)
     case None =>
-      val all = Snapshots.files(spark, dir, version)
-      val stats = Snapshots.fileStats(spark, dir, version)
       val kept =
-        if (pruneRanges.isEmpty) all
+        if (pruneRanges.isEmpty) view.rels
         else
-          all.filter { rel =>
-            val st = stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+          view.rels.filter { rel =>
+            val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))
             }
           }
-      new SnapBatchScan(dir, version, tableSchema, required, kept, all.size, translated.toSeq, stats)
+      new SnapBatchScan(
+        dir,
+        view.version,
+        tableSchema,
+        required,
+        kept,
+        view.rels.size,
+        translated.toSeq,
+        view.stats)
   }
 }
 
@@ -585,13 +613,21 @@ class SnapBatchScan(
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong = {
-      val spark = SparkSession.active
-      val root = new Path(dir)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        val total = keptRels.map(rel => fs.getFileStatus(Snapshots.resolve(spark, dir, rel)).getLen).sum
-        util.OptionalLong.of(math.max(total, 1L))
-      } catch { case _: Exception => util.OptionalLong.empty() }
+      // prefer the byte lengths the manifest recorded at commit time —
+      // zero I/O; fall back to getFileStatus only for pre-LengthKey
+      // manifests (one RPC per file, the old behavior)
+      val recorded = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.LengthKey)))
+      if (recorded.forall(_.isDefined))
+        util.OptionalLong.of(math.max(recorded.map(_.get.min.toLong).sum, 1L))
+      else {
+        val spark = SparkSession.active
+        try {
+          val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val total =
+            keptRels.map(rel => fs.getFileStatus(Snapshots.resolve(spark, dir, rel)).getLen).sum
+          util.OptionalLong.of(math.max(total, 1L))
+        } catch { case _: Exception => util.OptionalLong.empty() }
+      }
     }
     override def numRows(): util.OptionalLong = {
       val counts = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
@@ -601,31 +637,8 @@ class SnapBatchScan(
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new SnapRelation(context, dir, tableSchema, required, keptRels, filters, toColumnOf).asInstanceOf[T]
-
-  // re-derive the inner-filter translation here so the relation stays a
-  // plain serializable value (the builder's translator isn't reachable)
-  private def toColumnOf(f: Filter): Option[Column] = {
-    def ref(a: String): Option[Column] = if (a.contains(".")) None else Some(col(a))
-    f match {
-      case EqualTo(a, v) => ref(a).map(_ === lit(v))
-      case EqualNullSafe(a, v) => ref(a).map(_ <=> lit(v))
-      case GreaterThan(a, v) => ref(a).map(_ > lit(v))
-      case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
-      case LessThan(a, v) => ref(a).map(_ < lit(v))
-      case LessThanOrEqual(a, v) => ref(a).map(_ <= lit(v))
-      case In(a, vs) => ref(a).map(_.isInCollection(vs.toSeq))
-      case IsNull(a) => ref(a).map(_.isNull)
-      case IsNotNull(a) => ref(a).map(_.isNotNull)
-      case StringStartsWith(a, p) => ref(a).map(_.startsWith(p))
-      case StringEndsWith(a, p) => ref(a).map(_.endsWith(p))
-      case StringContains(a, p) => ref(a).map(_.contains(p))
-      case And(l, r) => for (cl <- toColumnOf(l); cr <- toColumnOf(r)) yield cl && cr
-      case Or(l, r) => for (cl <- toColumnOf(l); cr <- toColumnOf(r)) yield cl || cr
-      case Not(c) => toColumnOf(c).map(!_)
-      case _ => None
-    }
-  }
+    new SnapRelation(context, dir, tableSchema, required, keptRels, filters, SnapFilters.toColumn)
+      .asInstanceOf[T]
 }
 
 class SnapRelation(

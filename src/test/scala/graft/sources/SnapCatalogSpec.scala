@@ -110,6 +110,9 @@ class SnapCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("DDL is read-only"), e.getMessage)
     val missing = intercept[Exception](spark.sql("SELECT * FROM snapc5.ev VERSION AS OF 99").collect())
     assert(missing.getMessage.contains("no manifest version 99"), missing.getMessage)
+    // a non-positive pin must not silently alias "latest"
+    val zero = intercept[Exception](spark.sql("SELECT * FROM snapc5.ev VERSION AS OF 0").collect())
+    assert(zero.getMessage.contains("start at 1"), zero.getMessage)
     val noTable = intercept[Exception](spark.sql("SELECT * FROM snapc5.nope").collect())
     assert(noTable.getMessage.toLowerCase.contains("table"), noTable.getMessage)
     // a plain directory of parquet (no manifests) is not a snapshot table
@@ -189,6 +192,12 @@ class SnapCatalogSpec extends SparkSpec {
     val cnt = spark.sql("SELECT count(*) FROM snapc10.ev")
     assert(scanOf(cnt).isInstanceOf[SnapCountScan], "delete must not degrade stats commits")
     assert(cnt.as[Long].head() == 3L)
+    // a version pin on the history relation shows history AS OF that pin
+    val pinned = spark
+      .sql("SELECT version FROM snapc10.ev.snapshots VERSION AS OF 1")
+      .as[Long]
+      .collect()
+    assert(pinned.toSeq == Seq(1L), s"pinned history must stop at v1, got ${pinned.toSeq}")
   }
 
   test("pinned SQL reads survive a concurrent rewrite (archive path through the catalog)") {

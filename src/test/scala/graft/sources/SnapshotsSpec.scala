@@ -422,4 +422,30 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.lastCommitFooterReads.get() == 4L,
       "a different stats-col set must recompute all files")
   }
+
+  test("readAddedSince scans only appended files; a rewrite history fails loudly") {
+    val dir = Files.createTempDirectory("snap_added").toString + "/t"
+    table(dir) // 4 rows over 3 day partitions
+    val v1 = Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    // append two rows in one new file
+    Seq((5L, "2024-01-04", 50.0), (6L, "2024-01-04", 60.0))
+      .toDF("id", "day", "v")
+      .repartition(1)
+      .write
+      .mode("append")
+      .partitionBy("day")
+      .parquet(dir)
+    Snapshots.commit(spark, dir)
+    val added = Snapshots
+      .readAddedSince(spark, dir, v1)
+      .select($"id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(added.toSeq == Seq(5L, 6L), "exactly the appended rows, no history rows")
+    // a rewrite (deleteWhere) breaks the append-only precondition: loud error
+    Sources.deleteWhere(spark, dir, $"id" === 1L)
+    val e = intercept[Exception](Snapshots.readAddedSince(spark, dir, v1))
+    assert(e.getMessage.contains("not an append-only history"), e.getMessage)
+  }
 }
