@@ -253,17 +253,198 @@ object Frontier3 {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
       |ORDER BY doc_id""".stripMargin
 
+  // -- q201: SQL DELETE FROM through the snapshot catalog -----------------
+
+  /** The erasure half of the SQL DML surface, hash-proved: `DELETE FROM
+    * cat.ev WHERE event_type='click' AND day <= cutoff` goes through
+    * [[graft.sources.snap.SnapTable]]'s `SupportsDelete` — Spark translates
+    * the WHERE into pushed filters, the table re-expresses them as a Column
+    * and runs the same copy-on-write [[graft.sources.Sources.deleteWhere]]
+    * the programmatic API uses: only the files holding matching rows are
+    * rewritten (a whole-file match is archived from its footer count, no
+    * data read), and the commit inherits the table's stats discipline. The
+    * query then reads per-type totals from BOTH worlds in one statement —
+    * `VERSION AS OF 1` vs live — and the oracle recomputes them from raw
+    * events, so the hash proves the SQL delete removed exactly the
+    * predicate's rows and nothing else, while the pinned version kept every
+    * one. At 100 TB this is GDPR erasure issued from any SQL client: a
+    * day-bounded delete touches the affected day partitions only, and the
+    * pre-delete snapshot stays auditable until vacuum.
+    */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq201", Seq("day"))
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+    val cut = m.plusDays(2).toString
+    s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day <= DATE'$cut'")
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, coalesce(v2.n, CAST(0 AS BIGINT)) AS n_v2,
+      |       v1.u AS u_v1, coalesce(v2.u, CAST(0 AS BIGINT)) AS u_v2
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q201Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(sum(CASE WHEN NOT (event_type = 'click' AND day <= m + 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+      |  CAST(sum(u) AS BIGINT) AS u_v1,
+      |  CAST(sum(CASE WHEN NOT (event_type = 'click' AND day <= m + 2) THEN u ELSE 0 END) AS BIGINT) AS u_v2
+      |FROM s, b GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q202: clustering rewrite (OPTIMIZE … ORDER BY day) -----------------
+
+  /** The layout-maintenance capstone, hash-proved lossless: the per-(day,
+    * event_type) stats frame is written UNPARTITIONED as 8 round-robin
+    * files — the ingest-ordered worst case, every file spanning the whole
+    * day range, so a day-window predicate can prune nothing — committed as
+    * v1, then [[graft.sources.Sources.clusterInPlace]] rewrites it
+    * range-clustered on `day` (one range shuffle, stage → land → archive,
+    * commit v2 inheriting the day-stats discipline). ONE SQL statement then
+    * reads the same day window from BOTH worlds — `VERSION AS OF 1` (the
+    * pre-cluster layout, resolving through the archive) and live (the
+    * clustered files, planned off v2's now-narrow per-file day intervals) —
+    * and the oracle recomputes the window from raw events, so the hash
+    * proves the rewrite moved every row and changed none. The pruning
+    * payoff itself is plan-asserted in SnapshotsSpec (files=k/8 post-
+    * cluster vs 8/8 pre). At 100 TB this is the nightly OPTIMIZE that
+    * turns range-scan cost from O(table) into O(selectivity) — and it's
+    * restorable, because clustering archives rather than deletes.
+    */
+  def q202(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq202_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    stats.repartition(8).write.parquet(dir) // round-robin: no day locality
+    graft.sources.Snapshots.commit(s, dir, Seq("day")) // v1: every file spans all days
+    graft.sources.Sources.clusterInPlace(s, dir, col("day"), 8) // commits v2
+    val cat = s"snapq202_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val (lo, hi) = (m.plusDays(1).toString, m.plusDays(4).toString)
+    s.sql(s"""
+      |SELECT pre.event_type AS event_type,
+      |       pre.n AS n_pre, post.n AS n_post,
+      |       pre.u AS u_pre, post.u AS u_post
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1
+      |      WHERE day >= DATE'$lo' AND day <= DATE'$hi' GROUP BY event_type) pre
+      |JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev
+      |      WHERE day >= DATE'$lo' AND day <= DATE'$hi' GROUP BY event_type) post
+      |ON pre.event_type = post.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q202Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS su
+      |      FROM s, b WHERE day BETWEEN m + 1 AND m + 4 GROUP BY event_type)
+      |SELECT event_type, n AS n_pre, n AS n_post, su AS u_pre, su AS u_post
+      |FROM w ORDER BY event_type""".stripMargin
+
+  // -- q203: copy-on-write UPDATE … SET ----------------------------------
+
+  /** Row-level UPDATE with exact SQL semantics, hash-proved: on the
+    * day-partitioned stats table, [[graft.sources.Sources.updateWhere]]
+    * applies `SET n = n * 2, sum_u = sum_u + n` to click rows in the first
+    * three days — BOTH right-hand sides evaluate against the OLD row (one
+    * projection), so the `+ n` uses the pre-doubling count; the predicate
+    * mixes a data column with the hive PARTITION column, so only the
+    * matching days' files are rewritten (basePath read resolves `day` from
+    * the path). One SQL statement then reads v1 and live side by side and
+    * the oracle recomputes both from raw events: per event type, the live
+    * n gains exactly the matched raw-event count and the live sum gains the
+    * same (old-n semantics), while v1 keeps the original totals — a wrong
+    * evaluation order (updated n leaking into `sum_u + n`) would shift
+    * every click hash. At 100 TB this is the in-place correction op:
+    * fixing one mislabeled day rewrites that day's files, never the table.
+    */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq203", Seq("day"))
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+    val cut = m.plusDays(2).toString
+    graft.sources.Sources.updateWhere(
+      s,
+      dir,
+      col("event_type") === "click" && col("day") <= to_date(lit(cut)),
+      Map("n" -> (col("n") * lit(2L)), "sum_u" -> (col("sum_u") + col("n")))) // commits v2
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, v2.n AS n_live,
+      |       v1.u AS u_v1, v2.u AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q203Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |g AS (SELECT event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(u) AS BIGINT) AS su,
+      |        CAST(sum(CASE WHEN event_type = 'click' AND day <= m + 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      |      FROM s, b GROUP BY event_type)
+      |SELECT event_type, n AS n_v1, n + hit AS n_live, su AS u_v1, su + hit AS u_live
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
     "q198_sql_insert_append" -> (q198 _),
     "q199_snapshot_history" -> (q199 _),
-    "q200_incremental_dedup" -> (q200 _))
+    "q200_incremental_dedup" -> (q200 _),
+    "q201_sql_delete" -> (q201 _),
+    "q202_cluster_rewrite" -> (q202 _),
+    "q203_update_where" -> (q203 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
     "q197_sql_metadata_count" -> q197Sql,
     "q198_sql_insert_append" -> q198Sql,
     "q199_snapshot_history" -> q199Sql,
-    "q200_incremental_dedup" -> q200Sql)
+    "q200_incremental_dedup" -> q200Sql,
+    "q201_sql_delete" -> q201Sql,
+    "q202_cluster_rewrite" -> q202Sql,
+    "q203_update_where" -> q203Sql)
 }

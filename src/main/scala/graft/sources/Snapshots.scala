@@ -451,9 +451,19 @@ object Snapshots {
       val body: Seq[String] =
         if (statsCols.isEmpty) files
         else {
+          // a table truncated to zero live files has nothing to infer a
+          // schema from — carry the previous manifest's recorded schema
+          // forward so pinned reads of the empty version stay typed (the
+          // next append re-records the dir-inferred schema as usual)
+          val schemaJson: String =
+            if (files.nonEmpty) spark.read.parquet(root).schema.json
+            else
+              (if (version > 1L) schemaOf(spark, root, version - 1L) else None)
+                .map(_.json)
+                .getOrElse(new org.apache.spark.sql.types.StructType().json)
           val header = Seq(
             "#graft-manifest 2",
-            s"#schema ${spark.read.parquet(root).schema.json}",
+            s"#schema $schemaJson",
             s"#statscols ${statsCols.mkString(",")}")
           val conf = spark.sparkContext.hadoopConfiguration
           // INCREMENTAL stats: a rel path names one immutable file forever

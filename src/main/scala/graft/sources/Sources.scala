@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** Batch sources & sinks. The reference's entire I/O surface is whole-file
@@ -238,6 +238,7 @@ object Sources {
     */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
     Snapshots.withTableLock(spark, root) {
+    if (Snapshots.listDataFiles(spark, root).isEmpty) return (0L, 0L) // already empty
     import org.apache.spark.sql.functions.input_file_name
     val affected = spark.read
       .parquet(root)
@@ -265,8 +266,25 @@ object Sources {
       } else {
         // three-valued logic: a NULL predicate row must be KEPT (the delete
         // didn't match it) — bare !predicate is NULL there and filter drops
-        // it, silently deleting rows a GDPR-style delete never targeted
-        val keep = spark.read.parquet(uri).filter(!coalesce(predicate, lit(false)))
+        // it, silently deleting rows a GDPR-style delete never targeted.
+        // basePath read: the predicate may reference HIVE PARTITION columns
+        // (a day-bounded GDPR delete), which live in the file's dir path,
+        // not its bytes — read with the table root as basePath so they
+        // resolve with their inferred types, then drop them before the
+        // rewrite lands (hive data files never embed their partition cols)
+        val qualifiedRoot = fs.makeQualified(hadoopPath).toString
+        val partCols = filePath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(qualifiedRoot).toUri.getPath)
+          .split("/")
+          .filter(_.contains("="))
+          .map(_.split("=", 2)(0))
+          .toSeq
+          .distinct
+        val keep = spark.read
+          .option("basePath", qualifiedRoot)
+          .parquet(uri)
+          .filter(!coalesce(predicate, lit(false)))
+          .drop(partCols: _*)
         val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
         keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
         val part = fs
@@ -295,6 +313,103 @@ object Sources {
         val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
         val fut = scala.concurrent.Future.traverse(affected.toSeq) { case (u, m) =>
           scala.concurrent.Future(rewriteOne(u, m))(ec)
+        }(implicitly, ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    if (affected.nonEmpty) Snapshots.commit(spark, root)
+    (affected.length.toLong, affected.map(_._2).sum)
+  }
+  }
+
+  /** Copy-on-write UPDATE … SET — the third row-level DML next to
+    * [[deleteWhere]] (erasure) and [[mergeIntoPartitioned]] (upsert):
+    * apply `sets` (column → new-value expression) to every row matching
+    * `predicate`, rewriting ONLY the files that contain matched rows.
+    * SQL UPDATE semantics are kept exactly:
+    *  - every SET right-hand side AND the predicate evaluate against the
+    *    OLD row — all new values come from ONE projection over the source
+    *    frame, so `SET n = n * 2, u = u + n` uses the pre-update `n` in
+    *    both places (a fold of sequential `withColumn`s would leak the
+    *    updated value into later expressions);
+    *  - a NULL predicate row is NOT matched (kept unchanged), the same
+    *    three-valued rule [[deleteWhere]] applies;
+    *  - hive PARTITION columns are refused as SET targets — updating one
+    *    moves rows across directories, which is a MERGE
+    *    ([[mergeIntoPartitioned]]), not an in-place file rewrite. They may
+    *    still appear in the predicate (day-bounded updates prune to the
+    *    matching partitions' files).
+    * Untouched files are never read past their footer; replaced files are
+    * archived so every pinned manifest keeps resolving; the closing commit
+    * inherits the table's stats discipline. At 100 TB: correcting one
+    * mislabeled day costs that day's file rewrites, not a table pass.
+    * Returns (affectedFiles, rowsUpdated).
+    */
+  def updateWhere(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      sets: Map[String, Column]): (Long, Long) = {
+    require(sets.nonEmpty, "updateWhere needs at least one SET column")
+    Snapshots.withTableLock(spark, root) {
+    if (Snapshots.listDataFiles(spark, root).isEmpty) return (0L, 0L) // empty table
+    import org.apache.spark.sql.functions.input_file_name
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedRoot = fs.makeQualified(hadoopPath).toString
+    val affected = spark.read
+      .parquet(root)
+      .filter(predicate)
+      .select(input_file_name().as("f"))
+      .groupBy(col("f"))
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    def rewriteOne(uri: String): Unit = {
+      val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      val partCols = filePath.toUri.getPath
+        .stripPrefix(new org.apache.hadoop.fs.Path(qualifiedRoot).toUri.getPath)
+        .split("/")
+        .filter(_.contains("="))
+        .map(_.split("=", 2)(0))
+        .toSeq
+        .distinct
+      val illegal = partCols.filter(pc => sets.keys.exists(_.equalsIgnoreCase(pc)))
+      require(
+        illegal.isEmpty,
+        s"cannot SET hive partition column(s) ${illegal.mkString(", ")}: rows would change " +
+          "directories — rewrite partition membership with mergeIntoPartitioned instead")
+      val src = spark.read.option("basePath", qualifiedRoot).parquet(uri)
+      val hit = coalesce(predicate, lit(false))
+      // ONE projection: predicate + every SET expression see the old row
+      val updated = src
+        .select(src.columns.toIndexedSeq.map { c =>
+          sets
+            .collectFirst { case (k, e) if k.equalsIgnoreCase(c) => when(hit, e).otherwise(col(c)).as(c) }
+            .getOrElse(col(c))
+        }: _*)
+        .drop(partCols: _*)
+      val unknown = sets.keys.filterNot(k => src.columns.exists(_.equalsIgnoreCase(k)))
+      require(unknown.isEmpty, s"SET column(s) not in table: ${unknown.mkString(", ")}")
+      val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
+      updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+      val part = fs
+        .listStatus(tmpDir)
+        .map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
+      Snapshots.archiveFile(fs, hadoopPath, filePath)
+      fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
+      fs.delete(tmpDir, true)
+    }
+    if (affected.length <= 1) affected.foreach { case (u, _) => rewriteOne(u) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(affected.length, 8))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.traverse(affected.toSeq) { case (u, _) =>
+          scala.concurrent.Future(rewriteOne(u))(ec)
         }(implicitly, ec)
         scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
       } finally pool.shutdown()
@@ -503,6 +618,90 @@ object Sources {
     }
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
+  }
+  }
+
+  /** In-place CLUSTERING rewrite — the `OPTIMIZE … ZORDER BY` of the
+    * snapshot format: rewrite each scope's live data range-partitioned and
+    * sorted on `key` (a plain column for 1-D range clustering, a
+    * [[graft.functions.Layout.zorder2]] / `hilbert2` key for 2-D boxes) so
+    * every output file covers a NARROW key interval. The payoff is all in
+    * the v2 manifest stats the closing commit records: after clustering, a
+    * range predicate's (lo, hi) overlaps one or two file intervals instead
+    * of all of them, so manifest pruning — and the SQL catalog scans built
+    * on it — plan k-of-N file reads with zero footer opens. Ingest-ordered
+    * tables are the 100 TB norm (every file spans the full key range
+    * because data arrives round-robin); one clustering pass converts scan
+    * cost for range queries from O(table) to O(selectivity).
+    *
+    * Scopes are hive partition dirs when present (rows never change
+    * partition), else the whole table: ONE distributed range-shuffle per
+    * scope sized by `filesPerScope`, rewritten via the same stage → land →
+    * archive protocol as [[compactInPlace]] — replaced files are archived,
+    * never destroyed, so every pinned manifest keeps resolving and the
+    * pre-cluster state stays restorable. Runs under the table lock;
+    * the closing commit inherits the table's stats discipline. Returns
+    * (scopesRewritten, filesBefore).
+    */
+  def clusterInPlace(
+      spark: SparkSession,
+      root: String,
+      key: Column,
+      filesPerScope: Int): (Long, Long) = {
+    require(filesPerScope >= 1, s"filesPerScope must be >= 1, got $filesPerScope")
+    Snapshots.withTableLock(spark, root) {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
+      .listStatus(dir)
+      .toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    val partDirs = fs
+      .listStatus(rootPath)
+      .toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath)
+    val targets = (if (partDirs.nonEmpty) partDirs else Seq(rootPath))
+      .map(d => d -> dataFiles(d))
+      .filter(_._2.nonEmpty)
+    if (targets.isEmpty) return (0L, 0L)
+    Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    def clusterOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      val stage = new org.apache.hadoop.fs.Path(dir, s".cluster-${java.util.UUID.randomUUID().toString}")
+      spark.read
+        .parquet(files.map(_.toString): _*)
+        .repartitionByRange(filesPerScope, key)
+        .sortWithinPartitions(key)
+        .write
+        .mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+      val parts = fs
+        .listStatus(stage)
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      if (parts.isEmpty)
+        throw new IllegalStateException(s"clustering of $dir produced no part files")
+      // land the clustered files FIRST, then archive the originals — same
+      // momentary old+new window as compactInPlace; manifest readers are
+      // the consistency surface and the closing commit defines the result
+      parts.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+      files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
+      fs.delete(stage, true)
+    }
+    if (targets.length == 1) clusterOne(targets.head._1, targets.head._2)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.length, 8))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.traverse(targets) { case (d, fls) =>
+          scala.concurrent.Future(clusterOne(d, fls))(ec)
+        }(implicitly, ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    Snapshots.commit(spark, root)
+    (targets.length.toLong, targets.map(_._2.length.toLong).sum)
   }
   }
 }

@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
@@ -222,7 +222,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * is just another version, fully restorable. Writes always land on the
   * LIVE table state; the read-side version pin does not scope writes.
   */
-class SnapTable(dir: String, version: Long) extends Table with SupportsRead with SupportsWrite {
+class SnapTable(dir: String, version: Long)
+    extends Table
+    with SupportsRead
+    with SupportsWrite
+    with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -251,6 +255,34 @@ class SnapTable(dir: String, version: Long) extends Table with SupportsRead with
     new SnapScanBuilder(dir, view, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new SnapWriteBuilder(dir)
+
+  /** `DELETE FROM cat.t WHERE …` — the SQL face of the copy-on-write
+    * delete ([[graft.sources.Sources.deleteWhere]]): only files containing
+    * matching rows are rewritten (whole-file matches are ARCHIVED from the
+    * footer count alone, no data read), the pre-delete state stays pinned
+    * under every committed manifest, and the post-delete commit inherits
+    * the table's stats discipline — metadata-only COUNT(*) and stats
+    * pruning keep working across SQL deletes. A WHERE-less DELETE (or SQL
+    * TRUNCATE) archives every live file — restorable time travel, not
+    * destruction. `canDeleteWhere` accepts exactly the predicates our
+    * filter translation can re-express as a Column; Spark re-checks this
+    * before planning, so an untranslatable WHERE fails loudly at analysis
+    * rather than silently deleting the wrong rows.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => SnapFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters
+      .map(f =>
+        SnapFilters
+          .toColumn(f)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"cannot translate delete predicate $f — canDeleteWhere should have refused it")))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    graft.sources.Sources.deleteWhere(spark, dir, pred)
+  }
 }
 
 /** A snapshot table's metadata relation (`snapshots` or `files`),
@@ -462,6 +494,8 @@ private[snap] object SnapFilters {
       case And(l, r) => for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
       case Or(l, r) => for (cl <- toColumn(l); cr <- toColumn(r)) yield cl || cr
       case Not(c) => toColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true)) // WHERE-less DELETE / TRUNCATE
+      case AlwaysFalse() => Some(lit(false))
       case _ => None
     }
   }

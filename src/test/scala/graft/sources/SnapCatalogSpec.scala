@@ -216,4 +216,52 @@ class SnapCatalogSpec extends SparkSpec {
       .head()
     assert(live == 99.0)
   }
+
+  test("SQL DELETE FROM removes only matching rows; pinned version intact; COUNT stays manifest-only") {
+    val (_, _) = fixture("snapc11")
+    spark.sql("DELETE FROM snapc11.ev WHERE event_type = 'click'")
+    val live = spark.sql("SELECT id FROM snapc11.ev ORDER BY id").as[Long].collect()
+    assert(live.toSeq == Seq(2L, 4L, 5L), "click rows deleted via SQL")
+    val v1 = spark.sql("SELECT id FROM snapc11.ev VERSION AS OF 1 ORDER BY id").as[Long].collect()
+    assert(v1.toSeq == Seq(1L, 2L, 3L, 4L, 5L), "pre-delete snapshot unperturbed")
+    // the delete's commit inherited the stats discipline: filter-free
+    // COUNT(*) is still a complete manifest-only pushdown, and exact
+    val cnt = spark.sql("SELECT count(*) AS n FROM snapc11.ev")
+    assert(scanOf(cnt).isInstanceOf[SnapCountScan], scanOf(cnt).description())
+    assert(cnt.as[Long].head() == 3L)
+    // a day-bounded delete touches only the matching partition's file
+    spark.sql("DELETE FROM snapc11.ev WHERE day = DATE'2024-01-03'")
+    assert(
+      spark.sql("SELECT id FROM snapc11.ev ORDER BY id").as[Long].collect().toSeq == Seq(2L, 5L))
+  }
+
+  test("WHERE-less SQL DELETE truncates restorably: empty but typed, then restore brings v1 back") {
+    val (_, dir) = fixture("snapc12")
+    spark.sql("DELETE FROM snapc12.ev")
+    // empty, yet the recorded schema carried forward: reads stay typed and
+    // the metadata-only count answers 0 without touching a data file
+    val cnt = spark.sql("SELECT count(*) AS n FROM snapc12.ev")
+    assert(scanOf(cnt).isInstanceOf[SnapCountScan], scanOf(cnt).description())
+    assert(cnt.as[Long].head() == 0L)
+    assert(spark.sql("SELECT id, v FROM snapc12.ev").collect().isEmpty)
+    // not destruction: every file was archived, so v1 is still pinned-readable
+    assert(
+      spark.sql("SELECT id FROM snapc12.ev VERSION AS OF 1 ORDER BY id").as[Long].collect().length == 5)
+    // and the table restores to its pre-truncate state as a NEW version
+    Snapshots.restore(spark, dir, 1L)
+    val back = spark.sql("SELECT id FROM snapc12.ev ORDER BY id").as[Long].collect()
+    assert(back.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("an untranslatable DELETE predicate is refused loudly, not silently misapplied") {
+    val (_, _) = fixture("snapc13")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM snapc13.ev WHERE length(event_type) = 5")
+    }
+    assert(
+      e.getMessage != null,
+      "expected an analysis-time refusal for a predicate filters cannot express")
+    // nothing was deleted by the failed statement
+    assert(spark.sql("SELECT count(*) AS n FROM snapc13.ev").as[Long].head() == 5L)
+  }
 }

@@ -219,13 +219,15 @@ class SnapshotsSpec extends SparkSpec {
     import scala.concurrent.ExecutionContext.Implicits.global
     val holderDone = new java.util.concurrent.atomic.AtomicLong(0L)
     val waiterEntered = new java.util.concurrent.atomic.AtomicLong(0L)
-    // holder's body outlives staleMs by 4x — only the heartbeat keeps it alive
-    val holder = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) {
-      Thread.sleep(4000L)
+    // holder's body outlives staleMs by 2x — only the heartbeat keeps it
+    // alive. staleMs is generous (3s) relative to the heartbeat period
+    // (600ms) so a GC/IO stall under parallel-suite load cannot fake death.
+    val holder = Future(Snapshots.withTableLock(spark, dir, staleMs = 3000L) {
+      Thread.sleep(6000L)
       holderDone.set(System.nanoTime())
     })
     Thread.sleep(500L) // let the holder acquire first
-    val waiter = Future(Snapshots.withTableLock(spark, dir, staleMs = 1000L) {
+    val waiter = Future(Snapshots.withTableLock(spark, dir, staleMs = 3000L) {
       waiterEntered.set(System.nanoTime())
     })
     Await.result(holder, 2.minutes)
@@ -447,5 +449,37 @@ class SnapshotsSpec extends SparkSpec {
     Sources.deleteWhere(spark, dir, $"id" === 1L)
     val e = intercept[Exception](Snapshots.readAddedSince(spark, dir, v1))
     assert(e.getMessage.contains("not an append-only history"), e.getMessage)
+  }
+
+  test("clusterInPlace: range pruning goes from all-files to k-files; rewrite lossless; v1 restorable") {
+    val dir = Files.createTempDirectory("snap_cluster").toString + "/t"
+    // ingest-ordered worst case: 4 round-robin files, each spanning the
+    // whole id range — a range predicate can prune nothing
+    spark
+      .range(0L, 400L)
+      .select($"id", ($"id" % 7).as("v"))
+      .repartition(4)
+      .write
+      .parquet(dir)
+    val v1 = Snapshots.commit(spark, dir, Seq("id"))
+    val before = Snapshots.readSnapshot(spark, dir, v1, prune = Seq(("id", "100", "120")))
+    assert(nScanned(before) == 4, "round-robin layout: every file overlaps the range")
+    val (scopes, filesIn) = Sources.clusterInPlace(spark, dir, $"id", 4)
+    assert(scopes == 1L && filesIn == 4L)
+    val v2 = Snapshots.latestVersion(spark, dir)
+    assert(v2 == v1 + 1, "clustering commits exactly one new version")
+    // post-cluster: per-file id intervals are narrow — the same range
+    // overlaps 1 (maybe 2, straddling a boundary) of the 4 files
+    val after = Snapshots.readSnapshot(spark, dir, v2, prune = Seq(("id", "100", "120")))
+    assert(nScanned(after) <= 2, s"clustered layout must prune, scanned ${nScanned(after)}")
+    // lossless: the clustered table holds exactly the original rows
+    val live = Snapshots.readSnapshot(spark, dir, v2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pinned = Snapshots.readSnapshot(spark, dir, v1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == pinned && live.size == 400)
+    // metadata count discipline carried through the rewrite
+    assert(Snapshots.countRows(spark, dir, v2) == 400L)
+    // archived, not destroyed: v1 still resolves, and restore rolls back
+    Snapshots.restore(spark, dir, v1)
+    assert(Snapshots.readSnapshot(spark, dir).count() == 400L)
   }
 }

@@ -271,6 +271,66 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("payload").startsWith("keep-null")).count() == 2L)
   }
 
+  test("updateWhere: old-row SET semantics, NULL predicate rows untouched, only matching files rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("upd").toString + "/t"
+    // two files: ids 1-3 and 10-12; the update matches only the first
+    Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "n", "u")
+      .coalesce(1)
+      .write
+      .parquet(dir)
+    Seq((10L, 1L, 1L), (11L, 2L, 2L), (12L, 3L, 3L))
+      .toDF("id", "n", "u")
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(dir)
+    val before = new java.io.File(dir)
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length()))
+      .toMap
+    assert(before.size == 2)
+    // SET n = n*2, u = u + n: the `+ n` must use the OLD n
+    val (files, rows) = Sources.updateWhere(
+      spark,
+      dir,
+      col("id") <= 3L,
+      Map("n" -> (col("n") * 2), "u" -> (col("u") + col("n"))))
+    assert(files == 1L && rows == 3L)
+    val back = Sources
+      .readParquet(spark, dir)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(back.take(3).toSeq == Seq((1L, 20L, 110L), (2L, 40L, 220L), (3L, 60L, 330L)),
+      s"old-row semantics violated: ${back.take(3).toSeq}")
+    assert(back.drop(3).toSeq == Seq((10L, 1L, 1L), (11L, 2L, 2L), (12L, 3L, 3L)))
+    // the unmatched file was never rewritten
+    val after = new java.io.File(dir)
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length()))
+      .toMap
+    assert(after.count { case (n, st) => before.get(n).contains(st) } == 1)
+    // NULL predicate row is not matched; partition-column SET is refused
+    val pdir = Files.createTempDirectory("upd_p").toString + "/t"
+    Seq((Some(1L), "2024-01-01", 5L), (None: Option[Long], "2024-01-01", 7L))
+      .toDF("id", "day", "n")
+      .write
+      .partitionBy("day")
+      .parquet(pdir)
+    val (_, r2) = Sources.updateWhere(spark, pdir, col("id") === 1L, Map("n" -> (col("n") + 1)))
+    assert(r2 == 1L)
+    val rows2 = Sources.readParquet(spark, pdir).orderBy("n").select("n").as[Long].collect()
+    assert(rows2.toSeq == Seq(6L, 7L), "NULL-id row must be untouched")
+    val e = intercept[Exception] {
+      Sources.updateWhere(spark, pdir, col("n") > 0L, Map("day" -> lit("2024-02-02")))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("mergeIntoPartitioned rewrites only delta-touched partitions; the rest stay byte-identical") {
     import spark.implicits._
     val dir = Files.createTempDirectory("merge").toString + "/t"
