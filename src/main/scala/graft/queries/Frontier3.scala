@@ -428,6 +428,63 @@ object Frontier3 {
       |SELECT event_type, n AS n_v1, n + hit AS n_live, su AS u_v1, su + hit AS u_live
       |FROM g ORDER BY event_type""".stripMargin
 
+  // -- q204: bloom-sidecar point probe ------------------------------------
+
+  /** Manifest bloom filters — the point-lookup accelerator min/max stats
+    * cannot be ([[graft.sources.Snapshots]] bloom sidecars, the Iceberg-
+    * puffin idea): per-user totals land UNCLUSTERED in 8 round-robin files
+    * (every file's user_id interval spans the whole key space, so stats
+    * pruning is useless), committed with `bloomCols = user_id` — one
+    * immutable 1%-fpp bloom per file, keyed by the file's rel path so
+    * appends build only the new files' sidecars. Two SQL point probes
+    * (lowest and highest user) then plan through the catalog: the pushed
+    * equality consults each file's bloom and opens only the admitting
+    * file(s) — plan-asserted k-of-8 in the specs; here the DuckDB oracle
+    * recomputes both users' totals from raw events, proving the bloom
+    * prune never drops a holding file. At 100 TB this is `WHERE user_id =
+    * k` against an ingest-ordered table answered from one or two file
+    * opens instead of a full scan — no reclustering required.
+    */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq204_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "users").toString
+    val users = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("u"))
+    users.repartition(8).write.parquet(dir) // round-robin: stats can't prune a point
+    graft.sources.Snapshots.commit(s, dir, Seq("user_id"), Seq("user_id"))
+    val cat = s"snapq204_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val b = ev.agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    s.sql(s"""
+      |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(u AS BIGINT) AS u
+      |FROM $cat.users WHERE user_id = $lo
+      |UNION ALL
+      |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(u AS BIGINT) AS u
+      |FROM $cat.users WHERE user_id = $hi
+      |ORDER BY user_id""".stripMargin)
+  }
+
+  val q204Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS u
+      |      FROM s GROUP BY user_id)
+      |SELECT user_id, n, u FROM g
+      |WHERE user_id = (SELECT min(user_id) FROM s)
+      |   OR user_id = (SELECT max(user_id) FROM s)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
@@ -436,7 +493,8 @@ object Frontier3 {
     "q200_incremental_dedup" -> (q200 _),
     "q201_sql_delete" -> (q201 _),
     "q202_cluster_rewrite" -> (q202 _),
-    "q203_update_where" -> (q203 _))
+    "q203_update_where" -> (q203 _),
+    "q204_bloom_probe" -> (q204 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
@@ -446,5 +504,6 @@ object Frontier3 {
     "q200_incremental_dedup" -> q200Sql,
     "q201_sql_delete" -> q201Sql,
     "q202_cluster_rewrite" -> q202Sql,
-    "q203_update_where" -> q203Sql)
+    "q203_update_where" -> q203Sql,
+    "q204_bloom_probe" -> q204Sql)
 }

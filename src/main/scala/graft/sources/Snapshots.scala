@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -440,7 +442,18 @@ object Snapshots {
     commit(spark, root, inherited)
   }
 
+  /** Commit with stats columns, INHERITING the table's bloom discipline:
+    * a caller that re-states statsCols (the SQL INSERT path) must not
+    * silently degrade a bloom-indexed table to a stats-only one.
+    */
   def commit(spark: SparkSession, root: String, statsCols: Seq[String]): Long =
+    withTableLock(spark, root) {
+      val prev = latestVersion(spark, root)
+      val inheritedBlooms = if (prev > 0L) manifestView(spark, root, prev).bloomCols else Seq.empty
+      commit(spark, root, statsCols, inheritedBlooms)
+    }
+
+  def commit(spark: SparkSession, root: String, statsCols: Seq[String], bloomCols: Seq[String]): Long =
     withTableLock(spark, root) {
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
@@ -464,7 +477,8 @@ object Snapshots {
           val header = Seq(
             "#graft-manifest 2",
             s"#schema $schemaJson",
-            s"#statscols ${statsCols.mkString(",")}")
+            s"#statscols ${statsCols.mkString(",")}") ++
+            (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty)
           val conf = spark.sparkContext.hadoopConfiguration
           // INCREMENTAL stats: a rel path names one immutable file forever
           // (never reused — see the archive invariant), so the previous
@@ -509,6 +523,15 @@ object Snapshots {
                 .mkString("\t")
           }
         }
+      require(
+        bloomCols.isEmpty || statsCols.nonEmpty,
+        "bloom sidecars ride on a v2 stats commit — pass statsCols (at least the partition column)")
+      // bloom sidecars BEFORE the manifest lands: a reader of version N
+      // must never see its #bloomcols promise unfulfilled. A rel names one
+      // immutable file forever (archive invariant), so a sidecar keyed by
+      // (rel, col) is computed ONCE — commits only build the missing
+      // pairs, the same O(delta) discipline as the footer stats.
+      if (bloomCols.nonEmpty) buildBloomSidecars(spark, root, files, bloomCols)
       val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, false)
       try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -520,6 +543,117 @@ object Snapshots {
       }
       version
     }
+
+  /** Sidecar location for file `rel`'s bloom over `colName` — under the
+    * manifest dir (hidden from data listings), hex-keyed so any rel path
+    * or column name is filesystem-safe. Keyed by rel alone, NOT version:
+    * files are immutable, so one bloom serves every manifest listing the
+    * file.
+    */
+  private def bloomPath(root: Path, rel: String, colName: String): Path =
+    new Path(new Path(manifestDir(root), "bloom"), s"${hex(rel)}.${hex(colName)}")
+
+  /** Number of bloom sidecars read (possibly cached) by the most recent
+    * read-side probe on this thread — observability for specs.
+    */
+  val lastBloomReads: ThreadLocal[Long] = new ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
+  }
+
+  /** Build the MISSING (file, column) bloom sidecars. One small Spark job
+    * per new file (driver-pooled 8-wide, the footer-read discipline) puts
+    * every value of the column — rendered through `CAST(col AS STRING)`,
+    * the same string domain the manifest stats and pushed-filter values
+    * use — into a `BloomFilter` sized for the file's rows at 1% fpp,
+    * capped at 1 MiB of bits per sidecar (a bigger file degrades fpp
+    * instead of bloating metadata). Written temp + rename; a crash leaves
+    * at worst a missing sidecar, which reads as "cannot exclude".
+    */
+  private def buildBloomSidecars(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      bloomCols: Seq[String]): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    fs.mkdirs(new Path(manifestDir(rootPath), "bloom"))
+    val missing = for {
+      rel <- rels
+      c <- bloomCols
+      if !fs.exists(bloomPath(rootPath, rel, c))
+    } yield (rel, c)
+    if (missing.isEmpty) return
+    def buildOne(rel: String, c: String): Unit = {
+      val p = resolve(spark, root, rel)
+      val df = spark.read.parquet(p.toString)
+      require(
+        df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"bloom column '$c' is not a physical column of $rel — hive partition values " +
+          "prune exactly from the path; blooms are for data columns")
+      val n = df.count()
+      val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
+      val bf = df.stat.bloomFilter(
+        org.apache.spark.sql.functions.col(c).cast("string"),
+        math.max(n, 1L),
+        math.min(optimal, 8L * 1024 * 1024))
+      val target = bloomPath(rootPath, rel, c)
+      val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try bf.writeTo(out)
+      finally out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
+    }
+    if (missing.size == 1) missing.foreach { case (r, c) => buildOne(r, c) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(missing.size, 8))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.traverse(missing) { case (r, c) =>
+          scala.concurrent.Future(buildOne(r, c))(ec)
+        }(implicitly, ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
+
+  // decoded sidecars are immutable (rel names one file forever): cache
+  // them per JVM so a point-probe-heavy session reads each ONCE. Bounded:
+  // a 1 MiB-capped bloom × 256 entries ≤ 256 MiB worst case, far below
+  // driver heap; clears itself via LRU-ish random eviction.
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+
+  /** Can file `rel` possibly contain `value` in `colName`? `true` when the
+    * sidecar is absent/unreadable (cannot exclude — pruning must only ever
+    * skip DEFINITE misses); `false` is definitive. `value` is in the
+    * stats-string domain ([[graft.sources.snap.SnapFilters.statString]] /
+    * `CAST(col AS STRING)` — the same rendering the sidecar was built
+    * with).
+    */
+  def bloomMightContain(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      colName: String,
+      value: String): Boolean = {
+    val p = bloomPath(new Path(root), rel, colName)
+    val key = p.toString
+    var bf = bloomCache.get(key)
+    if (bf == null) {
+      lastBloomReads.set(lastBloomReads.get() + 1L)
+      val fs = fsOf(spark, p)
+      if (!fs.exists(p)) return true
+      val in = fs.open(p)
+      try bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      catch { case _: Exception => return true }
+      finally in.close()
+      if (bloomCache.size() >= 256)
+        bloomCache.keySet.iterator().asScala.take(64).foreach(bloomCache.remove)
+      bloomCache.put(key, bf)
+    }
+    bf.mightContainString(value)
+  }
 
   /** Committed manifest versions with their commit wall-clock (file mtime,
     * epoch millis), ascending — the `TIMESTAMP AS OF` resolution surface:
@@ -574,7 +708,8 @@ object Snapshots {
       rels: Seq[String],
       stats: Map[String, Map[String, ColStat]],
       schema: Option[org.apache.spark.sql.types.StructType],
-      statsCols: Seq[String])
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty)
 
   def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
     val v = if (version > 0) version else latestVersion(spark, root)
@@ -601,7 +736,11 @@ object Snapshots {
       .find(_.startsWith("#statscols "))
       .map(_.stripPrefix("#statscols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    ManifestView(v, rels, stats, schema, statsCols)
+    val bloomCols = lines
+      .find(_.startsWith("#bloomcols "))
+      .map(_.stripPrefix("#bloomcols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    ManifestView(v, rels, stats, schema, statsCols, bloomCols)
   }
 
   /** The root-relative file list of manifest `version` (≤0 → latest).
@@ -672,16 +811,26 @@ object Snapshots {
       root: String,
       version: Long = -1L,
       prune: Seq[(String, String, String)] = Nil): DataFrame = {
-    val all = files(spark, root, version)
+    val view = manifestView(spark, root, version)
+    val all = view.rels
     require(all.nonEmpty, s"manifest under $root lists no data files")
-    val schema = schemaOf(spark, root, version)
+    val schema = view.schema
     val rels =
       if (prune.isEmpty) all
       else {
-        val stats = fileStats(spark, root, version)
+        // point probes (lo == hi) on a bloom-indexed column additionally
+        // consult the file's bloom sidecar: stats say "the interval
+        // overlaps", the bloom says "the VALUE was never in this file" —
+        // at 100 TB that is the difference between opening every file of
+        // an unclustered table for `WHERE user_id = k` and opening the
+        // one or two files that genuinely hold the key
+        val probes = prune.collect {
+          case (c, lo, hi) if lo != null && lo == hi && view.bloomCols.contains(c) => (c, lo)
+        }
         all.filter { rel =>
-          val st = stats.getOrElse(rel, Map.empty[String, ColStat])
-          prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) }
+          val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+          prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) } &&
+          probes.forall { case (c, v) => bloomMightContain(spark, root, rel, c, v) }
         }
       }
     if (rels.isEmpty) {
@@ -897,6 +1046,17 @@ object Snapshots {
         val referenced: Set[String] =
           (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
         (1L until keepFrom).foreach(v => fs.delete(manifestPath(rootPath, v), false))
+        // bloom sidecars of files no retained manifest references are
+        // orphans — reap them with the manifests they served
+        val bloomDirPath = new Path(manifestDir(rootPath), "bloom")
+        if (fs.exists(bloomDirPath)) {
+          val referencedHex = referenced.map(hex)
+          fs.listStatus(bloomDirPath).foreach { st =>
+            val name = st.getPath.getName
+            if (!name.startsWith(".") && !referencedHex.contains(name.split("\\.")(0)))
+              fs.delete(st.getPath, false)
+          }
+        }
         if (!fs.exists(archiveRoot)) Nil
         else {
           val archiveUri = archiveRoot.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri

@@ -576,6 +576,12 @@ class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: St
       val n = view.rels.map(r => view.stats(r)(Snapshots.RowCountKey).min.toLong).sum
       new SnapCountScan(dir, view.version, n, w)
     case None =>
+      // equality probes on bloom-indexed columns prune past the stats:
+      // an unclustered 100 TB table answers `WHERE user_id = k` from the
+      // one or two files whose bloom admits the key, zero footer opens
+      val probes = pruneRanges.collect {
+        case (c, Some(lo), Some(hi)) if lo == hi && view.bloomCols.contains(c) => (c, lo)
+      }
       val kept =
         if (pruneRanges.isEmpty) view.rels
         else
@@ -583,6 +589,9 @@ class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: St
             val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))
+            } &&
+            probes.forall { case (c, v) =>
+              Snapshots.bloomMightContain(SparkSession.active, dir, rel, c, v)
             }
           }
       new SnapBatchScan(

@@ -253,6 +253,30 @@ class SnapCatalogSpec extends SparkSpec {
     assert(back.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("SQL equality probe on a bloom-indexed column plans k-of-N files; range stays stats-only") {
+    val base = Files.createTempDirectory("snapcat_bloom").toString
+    val dir = s"$base/t"
+    // unclustered: 8 round-robin files, stats useless for a point probe
+    spark
+      .range(0L, 800L)
+      .select($"id", ($"id" % 5).as("v"))
+      .repartition(8)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"), Seq("id"))
+    spark.conf.set("spark.sql.catalog.snapc14", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc14.root", base)
+    val df = spark.sql("SELECT v FROM snapc14.t WHERE id = 123")
+    val desc = scanOf(df).description()
+    val k = "files=(\\d+)/8".r.findFirstMatchIn(desc).map(_.group(1).toInt).getOrElse(fail(desc))
+    assert(k <= 2, s"bloom must prune the non-holding files: $desc")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    // a range predicate must NOT consult blooms (sound: stats only — all files)
+    val range = spark.sql("SELECT count(*) AS n FROM snapc14.t WHERE id >= 100 AND id <= 120")
+    assert(scanOf(range).description().contains("files=8/8"), scanOf(range).description())
+    assert(range.as[Long].head() == 21L)
+  }
+
   test("an untranslatable DELETE predicate is refused loudly, not silently misapplied") {
     val (_, _) = fixture("snapc13")
     val e = intercept[Exception] {

@@ -482,4 +482,53 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.restore(spark, dir, v1)
     assert(Snapshots.readSnapshot(spark, dir).count() == 400L)
   }
+
+  test("bloom sidecars: point probes open only admitting files; incremental build; inherited; vacuumed") {
+    val dir = Files.createTempDirectory("snap_bloom").toString + "/t"
+    // 8 round-robin files over the full id range: min/max stats are
+    // useless for a point probe — every file's interval covers every id
+    spark
+      .range(0L, 800L)
+      .select($"id", ($"id" % 5).as("v"))
+      .repartition(8)
+      .write
+      .parquet(dir)
+    val v1 = Snapshots.commit(spark, dir, Seq("id"), Seq("id"))
+    val bloomDir = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/bloom")
+    assert(bloomDir.listFiles().count(!_.getName.startsWith(".")) == 8, "one sidecar per file")
+    // stats alone admit all 8; the bloom prunes to the file(s) holding 123
+    val probe = Snapshots.readSnapshot(spark, dir, v1, prune = Seq(("id", "123", "123")))
+    assert(nScanned(probe) <= 2, s"bloom must exclude non-holding files, scanned ${nScanned(probe)}")
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((123L, 3L)))
+    // value identity vs the unpruned read
+    assert(
+      probe.filter($"id" === 123L).count() == 1L &&
+        Snapshots.readSnapshot(spark, dir, v1).filter($"id" === 123L).count() == 1L)
+    // a RANGE prune on the same column ignores blooms (sound: stats only)
+    assert(nScanned(Snapshots.readSnapshot(spark, dir, v1, prune = Seq(("id", "100", "120")))) == 8)
+    // append one file: the next commit builds exactly ONE new sidecar
+    spark.range(800L, 900L).select($"id", ($"id" % 5).as("v")).coalesce(1).write.mode("append").parquet(dir)
+    Snapshots.commit(spark, dir) // no-arg: inherits stats AND bloom discipline
+    assert(Snapshots.manifestView(spark, dir).bloomCols == Seq("id"), "bloom discipline inherited")
+    assert(bloomDir.listFiles().count(!_.getName.startsWith(".")) == 9, "only the new file built")
+    val probe2 = Snapshots.readSnapshot(spark, dir, prune = Seq(("id", "850", "850")))
+    assert(nScanned(probe2) <= 2)
+    assert(probe2.filter($"id" === 850L).count() == 1L)
+    // a missing sidecar reads as cannot-exclude, never as a wrong prune
+    bloomDir.listFiles().filterNot(_.getName.startsWith(".")).take(3).foreach(_.delete())
+    val probe3 = Snapshots.readSnapshot(spark, dir, prune = Seq(("id", "123", "123")))
+    assert(probe3.filter($"id" === 123L).count() == 1L)
+    // vacuum after a rewrite reaps the replaced file's orphaned sidecar
+    Sources.deleteWhere(spark, dir, $"id" === 123L)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    val refHex = Snapshots
+      .files(spark, dir)
+      .map(rel => rel.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString)
+      .toSet
+    assert(
+      bloomDir.listFiles().filterNot(_.getName.startsWith(".")).forall { f =>
+        refHex.contains(f.getName.split("\\.")(0))
+      },
+      "every surviving sidecar names a referenced file")
+  }
 }
