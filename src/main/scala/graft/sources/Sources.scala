@@ -236,12 +236,87 @@ object Sources {
     * readable until [[Snapshots.vacuum]]. A baseline manifest is
     * committed before the first mutation and a new one after the delete.
     */
+  /** Top-level equality conjuncts of a predicate, rendered in the
+    * stats-string domain the manifest blooms were built with
+    * (`CAST(col AS STRING)`): `user_id = 7 AND day <= d` yields
+    * `("user_id", "7")`. Only shapes whose rendering is exact are
+    * returned — anything else simply doesn't narrow.
+    */
+  private def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+    // ANALYZE the predicate against the real frame: the caller's Column is
+    // a lazy unresolved node tree; planning `df.filter(predicate)` (no
+    // execution) yields resolved catalyst expressions with typed literals
+    val cond: Option[Expression] =
+      try df
+        .filter(predicate)
+        .queryExecution
+        .analyzed
+        .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      catch { case _: Exception => None } // unanalyzable here → no narrowing
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def render(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
+      case org.apache.spark.sql.types.StringType => Option(v).map(_.toString)
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+        Option(v).map(_.toString)
+      case org.apache.spark.sql.types.DateType =>
+        Option(v).map(d => java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong).toString)
+      case _ => None
+    }
+    cond.toSeq.flatMap(conjuncts).collect {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if render(v, dt).isDefined =>
+        (a.name, render(v, dt).get)
+      case EqualTo(Literal(v, dt), a: AttributeReference) if render(v, dt).isDefined =>
+        (a.name, render(v, dt).get)
+    }
+  }
+
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
     Snapshots.withTableLock(spark, root) {
-    if (Snapshots.listDataFiles(spark, root).isEmpty) return (0L, 0L) // already empty
+    val liveFiles = Snapshots.listDataFiles(spark, root)
+    if (liveFiles.isEmpty) return (0L, 0L) // already empty
     import org.apache.spark.sql.functions.input_file_name
-    val affected = spark.read
-      .parquet(root)
+    // bloom-narrowed candidate scan: when the table's latest manifest
+    // carries bloom sidecars for a column the predicate pins by equality,
+    // only ADMITTING files (plus files newer than the manifest — no
+    // sidecar, cannot exclude) are scanned for matches. A point erasure
+    // (`user_id = k`, the GDPR shape) against an unclustered 100 TB table
+    // then reads one or two files instead of all of them — the bloom read
+    // replaces the full-table predicate scan, not just the rewrite.
+    val candidates: Seq[String] = {
+      val probes = equalityProbes(spark.read.parquet(root), predicate)
+      if (probes.isEmpty) liveFiles
+      else {
+        val view =
+          if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.manifestView(spark, root)
+          else Snapshots.ManifestView(0L, Seq.empty, Map.empty, None, Seq.empty)
+        val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
+        if (active.isEmpty) liveFiles
+        else {
+          val inManifest = view.rels.toSet
+          liveFiles.filter { rel =>
+            !inManifest.contains(rel) || // post-manifest file: cannot exclude
+            active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
+          }
+        }
+      }
+    }
+    if (candidates.isEmpty) return (0L, 0L)
+    val rootPathForScan = new org.apache.hadoop.fs.Path(root)
+    val fsForScan = rootPathForScan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scanBase = fsForScan.makeQualified(rootPathForScan).toString
+    val scan =
+      if (candidates.size == liveFiles.size) spark.read.parquet(root)
+      else
+        spark.read
+          .option("basePath", scanBase)
+          .parquet(candidates.map(rel => s"$scanBase/$rel"): _*)
+    val affected = scan
       .filter(predicate)
       .select(input_file_name().as("f"))
       .groupBy(col("f"))

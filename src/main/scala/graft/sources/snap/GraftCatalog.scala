@@ -578,12 +578,19 @@ class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: St
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
-      // one or two files whose bloom admits the key, zero footer opens
+      // one or two files whose bloom admits the key, zero footer opens.
+      // An IN-list keeps a file iff ANY listed value admits (a value that
+      // doesn't render stays "cannot exclude" for the whole file).
       val probes = pruneRanges.collect {
         case (c, Some(lo), Some(hi)) if lo == hi && view.bloomCols.contains(c) => (c, lo)
       }
+      val inProbes = translated.collect {
+        case In(a, vs) if view.bloomCols.contains(a) && vs.nonEmpty &&
+            vs.forall(v => SnapFilters.statString(v).isDefined) =>
+          (a, vs.toSeq.map(v => SnapFilters.statString(v).get))
+      }
       val kept =
-        if (pruneRanges.isEmpty) view.rels
+        if (pruneRanges.isEmpty && inProbes.isEmpty) view.rels
         else
           view.rels.filter { rel =>
             val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
@@ -592,6 +599,9 @@ class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: St
             } &&
             probes.forall { case (c, v) =>
               Snapshots.bloomMightContain(SparkSession.active, dir, rel, c, v)
+            } &&
+            inProbes.forall { case (c, vs) =>
+              vs.exists(v => Snapshots.bloomMightContain(SparkSession.active, dir, rel, c, v))
             }
           }
       new SnapBatchScan(

@@ -275,6 +275,12 @@ class SnapCatalogSpec extends SparkSpec {
     val range = spark.sql("SELECT count(*) AS n FROM snapc14.t WHERE id >= 100 AND id <= 120")
     assert(scanOf(range).description().contains("files=8/8"), scanOf(range).description())
     assert(range.as[Long].head() == 21L)
+    // an IN-list keeps a file iff ANY listed value admits — three keys
+    // land in at most 3 (+fp slack) of the 8 files, and all three return
+    val inq = spark.sql("SELECT id FROM snapc14.t WHERE id IN (7, 123, 456) ORDER BY id")
+    val ki = "files=(\\d+)/8".r.findFirstMatchIn(scanOf(inq).description()).map(_.group(1).toInt)
+    assert(ki.exists(_ <= 4), scanOf(inq).description())
+    assert(inq.as[Long].collect().toSeq == Seq(7L, 123L, 456L))
   }
 
   test("an untranslatable DELETE predicate is refused loudly, not silently misapplied") {

@@ -331,6 +331,42 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
+  test("deleteWhere narrows its match scan to bloom-admitting files on a bloom-indexed table") {
+    val dir = Files.createTempDirectory("gdpr_bloom").toString + "/t"
+    // 8 round-robin files over id 0..799: stats can't localize a point
+    spark
+      .range(0L, 800L)
+      .select(col("id"), (col("id") % 5).as("v"))
+      .repartition(8)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"), Seq("id"))
+    // count records read across the delete: with bloom narrowing the
+    // match scan touches 1-2 files (~100 rows each) plus the one-file
+    // rewrite; without it the scan alone reads all 800 rows
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (files, rows) = Sources.deleteWhere(spark, dir, col("id") === 123L)
+      assert(files == 1L && rows == 1L)
+      // drain the async listener bus: poll until no new task events land
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 40) { last = read.get(); Thread.sleep(250); spins += 1 }
+      assert(read.get() < 500L, s"match scan read ${read.get()} records — bloom narrowing inactive")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // correctness unchanged: the row is gone, everything else survives
+    val back = Sources.readParquet(spark, dir)
+    assert(back.count() == 799L && back.filter(col("id") === 123L).count() == 0L)
+    // a predicate no bloom can narrow (range) still deletes correctly
+    val (_, r2) = Sources.deleteWhere(spark, dir, col("id") >= 790L)
+    assert(r2 == 10L && Sources.readParquet(spark, dir).count() == 789L)
+  }
+
   test("mergeIntoPartitioned rewrites only delta-touched partitions; the rest stay byte-identical") {
     import spark.implicits._
     val dir = Files.createTempDirectory("merge").toString + "/t"
