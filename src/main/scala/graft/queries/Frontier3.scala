@@ -485,6 +485,118 @@ object Frontier3 {
       |   OR user_id = (SELECT max(user_id) FROM s)
       |ORDER BY user_id""".stripMargin
 
+  // -- q205: deep table clone ---------------------------------------------
+
+  /** Table CLONE, hash-proved: the stats table commits v1, a GDPR delete
+    * commits v2, and [[graft.sources.Snapshots.cloneSnapshot]] forks v1
+    * into a sibling root — copying the pinned files (the deleted rows'
+    * file resolves through the ARCHIVE) and the manifest itself, so the
+    * fork's v1 carries the source's recorded schema, stats and row counts
+    * without one footer read. ONE SQL statement then joins the fork (the
+    * pre-delete world, read as a first-class catalog table) against the
+    * live source (post-delete), and the oracle recomputes both from raw
+    * events: the hash proves the clone is exactly the pinned version and
+    * the live table exactly the mutated one — two independent tables, one
+    * history. At 100 TB this is the dev/test fork: price = one parallel
+    * copy of the pinned bytes, metadata cost = one small file copy, and
+    * source vacuum/rewrites can never reach into the fork.
+    */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq205", Seq("day"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent.toString
+    graft.sources.Sources.deleteWhere(s, dir, col("event_type") === "click") // commits v2
+    graft.sources.Snapshots.cloneSnapshot(s, dir, s"$base/fork", version = 1L)
+    s.sql(s"""
+      |SELECT f.event_type AS event_type,
+      |       f.n AS n_fork, coalesce(l.n, CAST(0 AS BIGINT)) AS n_live,
+      |       f.u AS u_fork, coalesce(l.u, CAST(0 AS BIGINT)) AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.fork GROUP BY event_type) f
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) l
+      |ON f.event_type = l.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q205Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_fork,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  CAST(sum(u) AS BIGINT) AS u_fork,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN u ELSE 0 END) AS BIGINT) AS u_live
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q206: SQL CALL maintenance -----------------------------------------
+
+  /** The SQL `CALL` face of table maintenance, hash-proved lossless: the
+    * stats table is built as TWO interleaved appends (every day partition
+    * gets two small files — the streaming-ingest fragmentation shape),
+    * then ONE SQL statement — `CALL cat.compact(table => 'ev')` through
+    * [[graft.sources.snap.GraftProcedures]] — rewrites each day to a
+    * single file under the same single-writer lock and archive discipline
+    * as the programmatic op, and `CALL cat.vacuum` reclaims the replaced
+    * files. The query reads per-type totals AFTER both calls plus the
+    * live file count from the `cat.ev.files` metadata table; the oracle
+    * recomputes totals from raw events and the file count as
+    * `count(DISTINCT day)` — so the hash proves the SQL-driven compaction
+    * moved every row, changed none, and actually collapsed the layout. At
+    * 100 TB this is the nightly OPTIMIZE issued by an orchestrator
+    * speaking only SQL.
+    */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq206_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    // two interleaved appends: every day dir ends up with two small files
+    graft.sources.Sources.writeParquet(
+      stats.filter(col("event_type").isin("click", "view", "error")).repartition(col("day")),
+      dir,
+      Seq("day"))
+    stats
+      .filter(!col("event_type").isin("click", "view", "error"))
+      .repartition(col("day"))
+      .write
+      .mode("append")
+      .partitionBy("day")
+      .parquet(dir)
+    graft.sources.Snapshots.commit(s, dir, Seq("day"))
+    val cat = s"snapq206_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"CALL $cat.compact(table => 'ev')").collect()
+    s.sql(s"CALL $cat.vacuum(table => 'ev', keep_last => 1)").collect()
+    s.sql(s"""
+      |SELECT t.event_type AS event_type,
+      |       t.n AS n, t.u AS u,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM $cat.ev.files) AS n_files
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) t
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q206Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(u) AS BIGINT) AS u,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM s) AS n_files
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
@@ -494,7 +606,9 @@ object Frontier3 {
     "q201_sql_delete" -> (q201 _),
     "q202_cluster_rewrite" -> (q202 _),
     "q203_update_where" -> (q203 _),
-    "q204_bloom_probe" -> (q204 _))
+    "q204_bloom_probe" -> (q204 _),
+    "q205_table_clone" -> (q205 _),
+    "q206_sql_maintenance" -> (q206 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
@@ -505,5 +619,7 @@ object Frontier3 {
     "q201_sql_delete" -> q201Sql,
     "q202_cluster_rewrite" -> q202Sql,
     "q203_update_where" -> q203Sql,
-    "q204_bloom_probe" -> q204Sql)
+    "q204_bloom_probe" -> q204Sql,
+    "q205_table_clone" -> q205Sql,
+    "q206_sql_maintenance" -> q206Sql)
 }

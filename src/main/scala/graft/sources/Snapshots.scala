@@ -655,6 +655,78 @@ object Snapshots {
     bf.mightContainString(value)
   }
 
+  /** Deep-clone one pinned version of a snapshot table into a fresh root —
+    * the CLONE a lakehouse offers for dev/test forks: the clone is a fully
+    * independent table (its own files, manifests, sidecars) whose v1 is
+    * byte-identical in METADATA to the source version, created WITHOUT a
+    * single footer read or Spark job:
+    *  - every data file the pinned manifest references resolves (live or
+    *    archived) and copies under its own rel path — rel paths carry over,
+    *    so the source's per-file stats lines stay exact;
+    *  - the manifest FILE ITSELF is copied as the clone's v1: recorded
+    *    schema, stats columns, bloom columns, per-file min/max/row counts
+    *    and byte lengths all carry — metadata-only COUNT, stats pruning and
+    *    time-travel discipline work on the clone from the first second;
+    *  - bloom sidecars copy with their files (keyed by rel, still valid).
+    * Runs under BOTH table locks (the source's so vacuum can't reap an
+    * archived file mid-copy; the destination's to claim it). The clone
+    * then evolves independently — source vacuum/rewrites never touch it.
+    * At 100 TB a deep clone is a one-time parallel file copy priced at the
+    * pinned version's bytes; the metadata cost is two small file copies.
+    * Returns the number of data files copied.
+    */
+  def cloneSnapshot(
+      spark: SparkSession,
+      srcRoot: String,
+      dstRoot: String,
+      version: Long = -1L): Long = {
+    val srcPath = new Path(srcRoot)
+    val dstPath = new Path(dstRoot)
+    val fs = fsOf(spark, srcPath)
+    withTableLock(spark, srcRoot) {
+      withTableLock(spark, dstRoot) {
+        require(
+          latestVersion(spark, dstRoot) == 0L && listDataFiles(spark, dstRoot).isEmpty,
+          s"clone destination $dstRoot must be empty (no manifests, no data files)")
+        val view = manifestView(spark, srcRoot, version)
+        require(view.rels.nonEmpty, s"source manifest v${view.version} lists no files")
+        val conf = spark.sparkContext.hadoopConfiguration
+        def copyOne(rel: String): Unit = {
+          val from = resolve(spark, srcRoot, rel)
+          val to = new Path(dstPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, false, conf))
+            sys.error(s"clone copy failed: $from -> $to")
+          view.bloomCols.foreach { c =>
+            val bs = bloomPath(srcPath, rel, c)
+            if (fs.exists(bs)) {
+              val bd = bloomPath(dstPath, rel, c)
+              fs.mkdirs(bd.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(fs, bs, fs, bd, false, false, conf)
+            }
+          }
+        }
+        if (view.rels.size <= 1) view.rels.foreach(copyOne)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(view.rels.size, 8))
+          try {
+            val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val fut = scala.concurrent.Future.traverse(view.rels) { r =>
+              scala.concurrent.Future(copyOne(r))(ec)
+            }(implicitly, ec)
+            scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+          } finally pool.shutdown()
+        }
+        // the source manifest IS the clone's v1 — copied verbatim AFTER the
+        // data so a reader never sees a manifest promising absent files
+        fs.mkdirs(manifestDir(dstPath))
+        org.apache.hadoop.fs.FileUtil
+          .copy(fs, manifestPath(srcPath, view.version), fs, manifestPath(dstPath, 1L), false, false, conf)
+        view.rels.size.toLong
+      }
+    }
+  }
+
   /** Committed manifest versions with their commit wall-clock (file mtime,
     * epoch millis), ascending — the `TIMESTAMP AS OF` resolution surface:
     * a timestamp pins the newest version committed at or before it.

@@ -64,7 +64,10 @@ import graft.sources.Snapshots
   * table IS a directory with committed manifests, created by
   * [[Snapshots.commit]] under the maintenance ops' single-writer lock.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog
+    extends TableCatalog
+    with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var rootDir: String = _
@@ -206,6 +209,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readOnly()
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = readOnly()
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = readOnly()
+
+  // -- SQL CALL surface for maintenance ops ([[GraftProcedures]]) --------
+
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures
+      .load(ident, rootDir)
+      .getOrElse(throw new RuntimeException(
+        s"catalog $catName has no procedure ${ident.namespace().mkString(".")}.${ident.name()}; " +
+          s"available: ${GraftProcedures.all(rootDir).map(_.name).mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty && namespace.toSeq != Seq("system")) Array.empty
+    else GraftProcedures.all(rootDir).map(p => Identifier.of(namespace, p.name)).toArray
 }
 
 /** One snapshot table pinned at manifest version `version`. Schema is the

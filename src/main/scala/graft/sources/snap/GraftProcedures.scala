@@ -1,0 +1,180 @@
+package graft.sources.snap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{Snapshots, Sources}
+
+/** SQL `CALL` surface for the snapshot format's maintenance operators —
+  * the lakehouse procedures (Iceberg's `CALL cat.system.rewrite_…` shape,
+  * Spark 4's DSv2 [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]]):
+  *
+  * {{{
+  * CALL cat.compact(table => 'events')                      -- small-files rewrite
+  * CALL cat.cluster(table => 'events', key => 'day', files => 16)
+  * CALL cat.vacuum(table => 'events', keep_last => 3)
+  * CALL cat.restore(table => 'events', version => 2)
+  * CALL cat.clone(source => 'events', dest => 'events_fork', version => 1)
+  * CALL cat.set_stats(table => 'events', stats_cols => 'day', bloom_cols => 'user_id')
+  * }}}
+  *
+  * Every procedure resolves its table name under the catalog root (no
+  * path escape — a table IS `root/ns/t`), runs the battle-tested
+  * programmatic op (single-writer lock, archive-not-delete, stats/bloom
+  * inheritance all intact), and returns its outcome as rows through a
+  * [[LocalScan]] so `CALL` results compose with SQL. At 100 TB this is
+  * what lets an orchestrator drive nightly OPTIMIZE/VACUUM from any SQL
+  * client, no JVM code on the caller's side.
+  */
+private[snap] object GraftProcedures {
+
+  /** A procedure that both binds and executes itself: parameters are
+    * statically typed here, so bind() is identity — Spark coerces the
+    * CALL's arguments to the declared parameter types.
+    */
+  private abstract class SnapProcedure(val name: String, rootDir: String)
+      extends UnboundProcedure
+      with BoundProcedure {
+
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def spark: SparkSession = SparkSession.active
+
+    /** `'ns.t'` → `root/ns/t`; refuses separators that would escape root. */
+    protected def dirOf(table: String): String = {
+      require(
+        table.nonEmpty && !table.contains("/") && !table.contains("..."),
+        s"table must be a dotted catalog name, got '$table'")
+      val parts = table.split("\\.").toSeq
+      require(parts.forall(p => p.nonEmpty && !p.contains("..")), s"bad table name '$table'")
+      (rootDir +: parts).mkString("/")
+    }
+
+    protected def in(n: String, dt: DataType): ProcedureParameter =
+      ProcedureParameter.in(n, dt).build()
+    protected def inDefault(n: String, dt: DataType, dflt: String): ProcedureParameter =
+      ProcedureParameter.in(n, dt).defaultValue(dflt).build()
+
+    protected def out(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, dt) => StructField(n, dt, nullable = false) })
+
+    protected def result(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] = {
+      val converted = row.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      }.toArray[Any]
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(new GenericInternalRow(converted))
+        override def readSchema(): StructType = schema
+        override def description(): String = s"GraftProcedureResult $name"
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private class Compact(rootDir: String) extends SnapProcedure("compact", rootDir) {
+    override def description: String = "rewrite multi-file scopes to one file each; commits a version"
+    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (dirs, before, after) = Sources.compactInPlace(spark, dirOf(input.getUTF8String(0).toString))
+      result(
+        out("dirs" -> LongType, "files_before" -> LongType, "files_after" -> LongType),
+        Seq(dirs, before, after))
+    }
+  }
+
+  private class Cluster(rootDir: String) extends SnapProcedure("cluster", rootDir) {
+    override def description: String =
+      "range-cluster each scope on a key column so manifest stats prune range scans; commits a version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("key", StringType), inDefault("files", IntegerType, "8"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (scopes, before) = Sources.clusterInPlace(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        col(input.getUTF8String(1).toString),
+        input.getInt(2))
+      result(out("scopes" -> LongType, "files_before" -> LongType), Seq(scopes, before))
+    }
+  }
+
+  private class Vacuum(rootDir: String) extends SnapProcedure("vacuum", rootDir) {
+    override def description: String =
+      "drop manifests older than keep_last and reclaim unreferenced archive files"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), inDefault("keep_last", IntegerType, "1"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val reclaimed =
+        Snapshots.vacuum(spark, dirOf(input.getUTF8String(0).toString), input.getInt(1))
+      result(out("reclaimed_files" -> LongType), Seq(reclaimed.size.toLong))
+    }
+  }
+
+  private class Restore(rootDir: String) extends SnapProcedure("restore", rootDir) {
+    override def description: String =
+      "roll the live tree back to a pinned version, committed as a NEW version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("version", LongType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = Snapshots.restore(spark, dirOf(input.getUTF8String(0).toString), input.getLong(1))
+      result(out("version" -> LongType), Seq(v))
+    }
+  }
+
+  private class Clone(rootDir: String) extends SnapProcedure("clone", rootDir) {
+    override def description: String =
+      "deep-fork a pinned version into a fresh table under this catalog; metadata carries verbatim"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(
+        in("source", StringType),
+        in("dest", StringType),
+        inDefault("version", LongType, "-1"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val copied = Snapshots.cloneSnapshot(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        dirOf(input.getUTF8String(1).toString),
+        input.getLong(2))
+      result(out("files_copied" -> LongType), Seq(copied))
+    }
+  }
+
+  private class SetStats(rootDir: String) extends SnapProcedure("set_stats", rootDir) {
+    override def description: String =
+      "commit a new version with the given stats/bloom column disciplines (comma-separated)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(
+        in("table", StringType),
+        in("stats_cols", StringType),
+        inDefault("bloom_cols", StringType, "''"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def split(s: String): Seq[String] = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val v = Snapshots.commit(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        split(input.getUTF8String(1).toString),
+        split(input.getUTF8String(2).toString))
+      result(out("version" -> LongType), Seq(v))
+    }
+  }
+
+  def all(rootDir: String): Seq[UnboundProcedure] = Seq(
+    new Compact(rootDir),
+    new Cluster(rootDir),
+    new Vacuum(rootDir),
+    new Restore(rootDir),
+    new Clone(rootDir),
+    new SetStats(rootDir))
+
+  def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =
+    if (ident.namespace().nonEmpty && ident.namespace().toSeq != Seq("system")) None
+    else all(rootDir).find(_.name == ident.name())
+}

@@ -283,6 +283,50 @@ class SnapCatalogSpec extends SparkSpec {
     assert(inq.as[Long].collect().toSeq == Seq(7L, 123L, 456L))
   }
 
+  test("CALL procedures drive the maintenance ops from SQL: compact, cluster, restore, vacuum, clone") {
+    val base = Files.createTempDirectory("snapcat_proc").toString
+    val dir = s"$base/t"
+    // 8 round-robin files, unpartitioned
+    spark
+      .range(0L, 800L)
+      .select($"id", ($"id" % 5).as("v"))
+      .repartition(8)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    spark.conf.set("spark.sql.catalog.snapc15", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc15.root", base)
+    // cluster on id: one scope, 8 files in
+    val cl = spark.sql("CALL snapc15.cluster(table => 't', key => 'id', files => 4)").collect()
+    assert(cl.head.getLong(0) == 1L && cl.head.getLong(1) == 8L, cl.toSeq.toString)
+    assert(spark.sql("SELECT count(*) FROM snapc15.t").as[Long].head() == 800L)
+    // compact to one file
+    val cp = spark.sql("CALL snapc15.compact(table => 't')").collect()
+    assert(cp.head.getLong(0) == 1L, cp.toSeq.toString)
+    assert(spark.sql("SELECT sum(id) FROM snapc15.t").as[Long].head() == 799L * 800L / 2L)
+    // restore to the original layout version
+    val rs = spark.sql("CALL snapc15.restore(table => 't', version => 1)").collect()
+    assert(rs.head.getLong(0) > 2L)
+    assert(spark.sql("SELECT count(*) FROM snapc15.t").as[Long].head() == 800L)
+    // clone the latest version into a sibling table, readable immediately
+    spark.sql("CALL snapc15.clone(source => 't', dest => 't2')").collect()
+    assert(spark.sql("SELECT count(*) FROM snapc15.t2").as[Long].head() == 800L)
+    // vacuum keeps the table readable and reports reclaimed files
+    val vc = spark.sql("CALL snapc15.vacuum(table => 't', keep_last => 1)").collect()
+    assert(vc.head.getLong(0) >= 0L)
+    assert(spark.sql("SELECT count(*) FROM snapc15.t").as[Long].head() == 800L)
+    // set_stats upgrades the discipline: blooms now prune a point probe
+    spark.sql("CALL snapc15.set_stats(table => 't2', stats_cols => 'id', bloom_cols => 'id')").collect()
+    val probe = spark.sql("SELECT v FROM snapc15.t2 WHERE id = 123")
+    val k = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanOf(probe).description()).map(_.group(1).toInt)
+    assert(k.exists(_ <= 2), scanOf(probe).description())
+    // unknown procedure and path-escaping table names fail loudly
+    val missing = intercept[Exception](spark.sql("CALL snapc15.nope(table => 't')").collect())
+    assert(missing.getMessage.contains("no procedure") || missing.getMessage.toLowerCase.contains("nope"))
+    val escape = intercept[Exception](spark.sql("CALL snapc15.compact(table => '../t')").collect())
+    assert(escape.getMessage != null)
+  }
+
   test("an untranslatable DELETE predicate is refused loudly, not silently misapplied") {
     val (_, _) = fixture("snapc13")
     val e = intercept[Exception] {

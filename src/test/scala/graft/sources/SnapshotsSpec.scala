@@ -531,4 +531,48 @@ class SnapshotsSpec extends SparkSpec {
       },
       "every surviving sidecar names a referenced file")
   }
+
+  test("cloneSnapshot: metadata-preserving deep fork, independent of source vacuum") {
+    val base = Files.createTempDirectory("snap_clone").toString
+    val src = s"$base/src"
+    spark
+      .range(0L, 800L)
+      .select($"id", ($"id" % 5).as("v"))
+      .repartition(8)
+      .write
+      .parquet(src)
+    Snapshots.commit(spark, src, Seq("id"), Seq("id")) // v1 with stats + blooms
+    Sources.deleteWhere(spark, src, $"id" === 123L) // v2: 123 gone from live
+    val dst = s"$base/dst"
+    val copied = Snapshots.cloneSnapshot(spark, src, dst, version = 1L)
+    assert(copied == 8L)
+    assert(Snapshots.latestVersion(spark, dst) == 1L)
+    // the clone is the PRE-delete world, fully readable
+    val rows = Snapshots.readSnapshot(spark, dst)
+    assert(rows.count() == 800L && rows.filter($"id" === 123L).count() == 1L)
+    // metadata carried verbatim: count answers with ZERO Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Snapshots.countRows(spark, dst) == 800L)
+      Thread.sleep(500)
+      assert(jobs.get() == 0L, s"metadata count launched ${jobs.get()} jobs on the clone")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(Snapshots.statsColsOf(spark, dst) == Seq("id"))
+    assert(Snapshots.manifestView(spark, dst).bloomCols == Seq("id"))
+    // bloom sidecars carried: a point probe on the clone prunes
+    val probe = Snapshots.readSnapshot(spark, dst, prune = Seq(("id", "123", "123")))
+    assert(nScanned(probe) <= 2, s"scanned ${nScanned(probe)}")
+    // fully independent: vacuuming the source reaps its archive, clone unaffected
+    Snapshots.vacuum(spark, src, keepLast = 1)
+    assert(Snapshots.readSnapshot(spark, dst).count() == 800L)
+    // and a clone into a non-empty destination is refused loudly
+    val e = intercept[Exception](Snapshots.cloneSnapshot(spark, src, dst))
+    assert(e.getMessage.contains("must be empty"), e.getMessage)
+  }
 }
