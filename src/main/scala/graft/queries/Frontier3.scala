@@ -597,6 +597,139 @@ object Frontier3 {
       |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM s) AS n_files
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Unpartitioned, day-range-clustered stats table (8 files with narrow
+    * day intervals) committed with day stats — the layout SQL row-level
+    * ops work against (hive-partitioned tables use the programmatic
+    * per-partition rewrites instead).
+    */
+  private def flatStatsTable(s: SparkSession, d: String, tag: String): (String, String) = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    stats
+      .repartitionByRange(8, col("day"))
+      .sortWithinPartitions(col("day"))
+      .write
+      .parquet(dir)
+    graft.sources.Snapshots.commit(s, dir, Seq("day"))
+    val cat = s"${tag}_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    (cat, dir)
+  }
+
+  // -- q207: SQL UPDATE through group-based row-level operations ----------
+
+  /** `UPDATE cat.ev SET n = n*2, sum_u = sum_u + n WHERE …` — q203's
+    * update, now issued as PLAIN SQL and executed by Spark's group-based
+    * row-level machinery over [[graft.sources.snap.SnapRowLevelOperation]]:
+    * the operation's scan prunes the day-clustered file list with the
+    * UPDATE's condition (manifest stats, zero footer opens), Spark computes
+    * the replacement rows (SET right-hand sides against the OLD row — SQL
+    * semantics for free), and the connector's DSv2 write lands them as
+    * parquet and archives exactly the scanned files under the table lock.
+    * The oracle is q203's: per type, live n gains exactly the matched raw
+    * count and live sum the same, v1 keeps the originals — so the hash
+    * proves SQL UPDATE ≡ the programmatic copy-on-write update. At 100 TB
+    * a day-bounded correction rewrites that day band's files only, issued
+    * from any SQL client.
+    */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = flatStatsTable(s, d, "snapq207")
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+    val cut = m.plusDays(2).toString
+    s.sql(s"""
+      |UPDATE $cat.ev SET n = n * 2, sum_u = sum_u + n
+      |WHERE event_type = 'click' AND day <= DATE'$cut'""".stripMargin)
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, v2.n AS n_live,
+      |       v1.u AS u_v1, v2.u AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  // -- q208: SQL MERGE INTO -----------------------------------------------
+
+  /** `MERGE INTO` through the same group-based machinery, hash-proved: the
+    * delta (recomputed from raw events, NOT from the target) carries
+    * doubled click stats for the first three days plus one brand-new
+    * `__synthetic` key; WHEN MATCHED updates, WHEN NOT MATCHED inserts.
+    * The result joins live vs `VERSION AS OF 1`: every real type matches
+    * q203's arithmetic (n gains the matched raw count, sum likewise), the
+    * synthetic key exists only live, and v1 is untouched — the oracle
+    * recomputes all of it from raw events. At 100 TB this is the CDC
+    * apply statement — one SQL MERGE, copy-on-write selective rewrite,
+    * time-travelable result.
+    */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = flatStatsTable(s, d, "snapq208")
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    val matchedDelta = ev
+      .filter(col("event_type") === "click" && to_date(col("ts")) <= to_date(lit(cut)))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        (count(lit(1)) * lit(2L)).as("n"),
+        (sum(micro) + count(lit(1))).as("sum_u"))
+    val delta = matchedDelta.unionByName(
+      s.sql("SELECT DATE'1999-12-31' AS day, '__synthetic' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u"))
+    delta.createOrReplaceTempView(s"${cat}_delta")
+    s.sql(s"""
+      |MERGE INTO $cat.ev AS t USING ${cat}_delta AS s
+      |ON t.day = s.day AND t.event_type = s.event_type
+      |WHEN MATCHED THEN UPDATE SET n = s.n, sum_u = s.sum_u
+      |WHEN NOT MATCHED THEN INSERT (day, event_type, n, sum_u) VALUES (s.day, s.event_type, s.n, s.sum_u)""".stripMargin)
+    s.sql(s"""
+      |SELECT v2.event_type AS event_type,
+      |       v2.n AS n_live, coalesce(v1.n, CAST(0 AS BIGINT)) AS n_before,
+      |       v2.u AS u_live, coalesce(v1.u, CAST(0 AS BIGINT)) AS u_before
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |ON v2.event_type = v1.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q208Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |g AS (SELECT event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(u) AS BIGINT) AS su,
+      |        CAST(sum(CASE WHEN event_type = 'click' AND day <= m + 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      |      FROM s, b GROUP BY event_type)
+      |SELECT event_type, n + hit AS n_live, n AS n_before, su + hit AS u_live, su AS u_before
+      |FROM g
+      |UNION ALL
+      |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
@@ -608,7 +741,9 @@ object Frontier3 {
     "q203_update_where" -> (q203 _),
     "q204_bloom_probe" -> (q204 _),
     "q205_table_clone" -> (q205 _),
-    "q206_sql_maintenance" -> (q206 _))
+    "q206_sql_maintenance" -> (q206 _),
+    "q207_sql_update" -> (q207 _),
+    "q208_sql_merge" -> (q208 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
@@ -621,5 +756,7 @@ object Frontier3 {
     "q203_update_where" -> q203Sql,
     "q204_bloom_probe" -> q204Sql,
     "q205_table_clone" -> q205Sql,
-    "q206_sql_maintenance" -> q206Sql)
+    "q206_sql_maintenance" -> q206Sql,
+    "q207_sql_update" -> q203Sql,
+    "q208_sql_merge" -> q208Sql)
 }

@@ -239,11 +239,28 @@ class GraftCatalog
   * is just another version, fully restorable. Writes always land on the
   * LIVE table state; the read-side version pin does not scope writes.
   */
+object SnapTable {
+  /** Metadata column: the source file of each row (absolute URI for live
+    * reads — the provenance a debugging `SELECT _file, count(*)` wants).
+    */
+  val FileMetaCol = "_file"
+}
+
 class SnapTable(dir: String, version: Long)
     extends Table
     with SupportsRead
     with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SnapTable.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "source data file of the row"
+    })
 
   private def spark: SparkSession = SparkSession.active
 
@@ -272,6 +289,19 @@ class SnapTable(dir: String, version: Long)
     new SnapScanBuilder(dir, view, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new SnapWriteBuilder(dir)
+
+  /** SQL `UPDATE` / `MERGE INTO` (and the rewrite path for un-pushable
+    * DELETEs) — group-based copy-on-write via [[SnapRowLevelBuilder]]:
+    * the operation's scan prunes to the files that can hold matches
+    * (manifest stats + blooms), and its write replaces exactly those
+    * files under the table lock, archiving the originals. Refused on
+    * hive-partitioned tables (replacement rows would embed partition
+    * values as data) — those use the programmatic per-partition ops.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    SnapRowLevelBuilder(dir, view, tableSchema, info)
 
   /** `DELETE FROM cat.t WHERE …` — the SQL face of the copy-on-write
     * delete ([[graft.sources.Sources.deleteWhere]]): only files containing
@@ -668,7 +698,7 @@ class SnapBatchScan(
     version: Long,
     tableSchema: StructType,
     required: StructType,
-    keptRels: Seq[String],
+    val keptRels: Seq[String],
     totalFiles: Int,
     filters: Seq[Filter],
     stats: Map[String, Map[String, Snapshots.ColStat]])
@@ -732,6 +762,11 @@ class SnapRelation(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
       else Snapshots.scanRels(spark, dir, keptRels, Some(tableSchema))
     filters.flatMap(toColumn).reduceOption(_ && _).foreach(c => df = df.filter(c))
+    // `_file` metadata column: provenance per row, from the scan itself
+    if (required.fieldNames.contains(SnapTable.FileMetaCol))
+      df = df.withColumn(
+        SnapTable.FileMetaCol,
+        org.apache.spark.sql.functions.input_file_name())
     df = df.select(required.fieldNames.toIndexedSeq.map(n => df(n)): _*)
     df.rdd
   }

@@ -29,4 +29,80 @@ object Bridge {
     */
   def selectedPartitionCount(scan: org.apache.spark.sql.execution.FileSourceScanExec): Int =
     scan.selectedPartitions.partitionCount
+
+  /** An executor-side parquet writer of InternalRow — the write half of
+    * the DSv2 row-level-operation path (SQL UPDATE/MERGE), where Spark
+    * hands the connector raw InternalRows and no V1 fallback exists.
+    * Reuses Spark's own `ParquetWriteSupport` (`private[sql]`, hence
+    * bridged) so the bytes written are identical to a DataFrame write:
+    * same logical-type mappings, same timestamp encoding, same codec.
+    */
+  def parquetRowWriter(
+      path: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    // the keys ParquetFileFormat would have set from the session — init()
+    // reads them unguarded, so defaults must be explicit here
+    c.setIfUnset(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.setIfUnset(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.setIfUnset(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.setIfUnset(SQLConf.SESSION_LOCAL_TIMEZONE.key, java.util.TimeZone.getDefault.getID)
+    c.setIfUnset(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    c.setIfUnset(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    c.setIfUnset(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    class B(p: org.apache.hadoop.fs.Path)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          org.apache.spark.sql.catalyst.InternalRow,
+          B](p) {
+      override def self(): B = this
+      override def getWriteSupport(config: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[org.apache.spark.sql.catalyst.InternalRow] =
+        new ParquetWriteSupport
+    }
+    new B(path)
+      .withConf(c)
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  /** An executor-side parquet reader of InternalRow — the read half of the
+    * row-level-operation path. Spark's own `ParquetReadSupport` does the
+    * schema clipping (missing columns null-fill, case-insensitive match),
+    * so evolution-safe reads behave exactly like a DataFrame scan.
+    */
+  def parquetRowReader(
+      path: org.apache.hadoop.fs.Path,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requiredSchema.json)
+    c.setIfUnset(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    c.setIfUnset(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    c.setIfUnset(SQLConf.CASE_SENSITIVE.key, "false")
+    c.setIfUnset(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
+    c.setIfUnset(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    c.setIfUnset(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new ParquetReadSupport(), path)
+      .withConf(c)
+      .build()
+  }
+
+  /** Serializable Hadoop Configuration for shipping to executors
+    * (`SerializableConfiguration` is `private[spark]`, so callers hold it
+    * as an opaque Serializable and unwrap through [[confOf]]).
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration): java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+
+  def confOf(s: java.io.Serializable): org.apache.hadoop.conf.Configuration =
+    s.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }

@@ -327,15 +327,97 @@ class SnapCatalogSpec extends SparkSpec {
     assert(escape.getMessage != null)
   }
 
-  test("an untranslatable DELETE predicate is refused loudly, not silently misapplied") {
+  test("an un-pushable DELETE predicate on a partitioned table is refused, never misapplied") {
     val (_, _) = fixture("snapc13")
+    // the metadata delete can't translate length(); the row-level rewrite
+    // fallback refuses hive-partitioned tables — so the statement fails
+    // loudly and the table is untouched
     val e = intercept[Exception] {
       spark.sql("DELETE FROM snapc13.ev WHERE length(event_type) = 5")
     }
-    assert(
-      e.getMessage != null,
-      "expected an analysis-time refusal for a predicate filters cannot express")
-    // nothing was deleted by the failed statement
+    assert(e.getMessage != null)
     assert(spark.sql("SELECT count(*) AS n FROM snapc13.ev").as[Long].head() == 5L)
+  }
+
+  /** Unpartitioned snapshot table registered as catalog `name`: 4
+    * range-clustered files over id 0..399 (disjoint id intervals — stats
+    * prune points), v2 manifest with id stats.
+    */
+  private def flatFixture(name: String): (String, String) = {
+    val base = Files.createTempDirectory("snapcat_flat").toString
+    val dir = s"$base/t"
+    spark
+      .range(0L, 400L)
+      .select($"id", ($"id" % 7).as("v"))
+      .repartitionByRange(4, $"id")
+      .sortWithinPartitions($"id")
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", base)
+    (base, dir)
+  }
+
+  private def dataFiles(dir: String): Map[String, (Long, Long)] =
+    new java.io.File(dir)
+      .listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.lastModified(), f.length()))
+      .toMap
+
+  test("SQL UPDATE rewrites only the files its condition prunes to; pinned version intact") {
+    val (_, dir) = flatFixture("snapc16")
+    val before = dataFiles(dir)
+    assert(before.size == 4)
+    spark.sql("UPDATE snapc16.t SET v = v + 1000 WHERE id = 150")
+    // stats pruning localized the rewrite: the three non-matching files
+    // were neither read nor replaced
+    val after = dataFiles(dir)
+    assert(after.count { case (n, st) => before.get(n).contains(st) } == 3, s"$before vs $after")
+    assert(spark.sql("SELECT v FROM snapc16.t WHERE id = 150").as[Long].head() == 150L % 7 + 1000L)
+    assert(spark.sql("SELECT count(*) FROM snapc16.t").as[Long].head() == 400L)
+    // the pre-update version still reads the original value
+    assert(
+      spark.sql("SELECT v FROM snapc16.t VERSION AS OF 1 WHERE id = 150").as[Long].head() == 150L % 7)
+    // stats discipline carried: COUNT is still manifest-only
+    val cnt = spark.sql("SELECT count(*) AS n FROM snapc16.t")
+    assert(scanOf(cnt).isInstanceOf[SnapCountScan], scanOf(cnt).description())
+  }
+
+  test("SQL MERGE INTO updates matches and inserts the rest; un-pushable DELETE falls back to rewrite") {
+    val (_, _) = flatFixture("snapc17")
+    Seq((50L, 999L), (1000L, 777L)).toDF("id", "v").createOrReplaceTempView("snapc17_delta")
+    spark.sql("""MERGE INTO snapc17.t AS t USING snapc17_delta AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(spark.sql("SELECT v FROM snapc17.t WHERE id = 50").as[Long].head() == 999L)
+    assert(spark.sql("SELECT v FROM snapc17.t WHERE id = 1000").as[Long].head() == 777L)
+    assert(spark.sql("SELECT count(*) FROM snapc17.t").as[Long].head() == 401L)
+    // v1 pins the pre-merge world
+    assert(
+      spark.sql("SELECT count(*) FROM snapc17.t VERSION AS OF 1").as[Long].head() == 400L)
+    // a DELETE the filter API cannot express runs as a row-level rewrite
+    spark.sql("DELETE FROM snapc17.t WHERE length(CAST(v AS STRING)) = 3")
+    assert(spark.sql("SELECT count(*) FROM snapc17.t").as[Long].head() == 399L)
+    assert(
+      spark.sql("SELECT count(*) FROM snapc17.t WHERE v IN (999, 777)").as[Long].head() == 0L)
+  }
+
+  test("the _file metadata column reports row provenance; row-level ops on partitioned tables refused") {
+    val (_, _) = flatFixture("snapc18")
+    val files = spark.sql("SELECT count(DISTINCT _file) AS n FROM snapc18.t").as[Long].head()
+    assert(files == 4L, s"4 data files expected, _file saw $files")
+    // per-file row counts through pure SQL
+    val per = spark
+      .sql("SELECT _file, count(*) AS n FROM snapc18.t GROUP BY _file ORDER BY _file")
+      .as[(String, Long)]
+      .collect()
+    assert(per.map(_._2).sum == 400L && per.forall(_._2 > 0L))
+    // partitioned tables refuse SQL row-level ops with a pointer to the
+    // programmatic per-partition rewrites
+    fixture("snapc19")
+    val e = intercept[Exception](spark.sql("UPDATE snapc19.ev SET v = v + 1 WHERE event_type = 'click'"))
+    assert(e.getMessage.contains("updateWhere") || e.getMessage.contains("partitioned"), e.getMessage)
   }
 }
