@@ -203,6 +203,29 @@ object Snapshots {
     }
   }
 
+  /** Driver-side parallel foreach (default 8-wide) over independent
+    * per-item work — single-file Spark jobs, footer reads, file copies:
+    * the shared scaffold of every maintenance op, extracted so failure
+    * semantics (first exception propagates, pool always shut down) are
+    * fixed in ONE place.
+    */
+  private[sources] def parEach[A](items: Seq[A], width: Int = 8)(f: A => Unit): Unit = {
+    if (items.isEmpty) ()
+    else if (items.size == 1) f(items.head)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(items.size, width))
+      try {
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut =
+          scala.concurrent.Future.traverse(items)(a => scala.concurrent.Future(f(a))(ec))(
+            implicitly,
+            ec)
+        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+        ()
+      } finally pool.shutdown()
+    }
+  }
+
   /** Current data files of the table, as root-relative paths (sorted).
     * Skips hidden files/dirs at every level — manifests, archive, staging
     * and `_SUCCESS` markers are never data.
@@ -591,7 +614,15 @@ object Snapshots {
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"bloom column '$c' is not a physical column of $rel — hive partition values " +
           "prune exactly from the path; blooms are for data columns")
-      val n = df.count()
+      // exact row count from the FOOTER (driver-side metadata) — sizing
+      // the filter must not cost a full-scan count() job per file
+      val n = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount
+        finally r.close()
+      }
       val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
       val bf = df.stat.bloomFilter(
         org.apache.spark.sql.functions.col(c).cast("string"),
@@ -604,17 +635,7 @@ object Snapshots {
       finally out.close()
       if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
     }
-    if (missing.size == 1) missing.foreach { case (r, c) => buildOne(r, c) }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(missing.size, 8))
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.traverse(missing) { case (r, c) =>
-          scala.concurrent.Future(buildOne(r, c))(ec)
-        }(implicitly, ec)
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    parEach(missing) { case (r, c) => buildOne(r, c) }
   }
 
   // decoded sidecars are immutable (rel names one file forever): cache
@@ -683,6 +704,7 @@ object Snapshots {
     val srcPath = new Path(srcRoot)
     val dstPath = new Path(dstRoot)
     val fs = fsOf(spark, srcPath)
+    val dstFs = fsOf(spark, dstPath) // dest may live on a DIFFERENT filesystem
     withTableLock(spark, srcRoot) {
       withTableLock(spark, dstRoot) {
         require(
@@ -694,34 +716,24 @@ object Snapshots {
         def copyOne(rel: String): Unit = {
           val from = resolve(spark, srcRoot, rel)
           val to = new Path(dstPath, rel)
-          fs.mkdirs(to.getParent)
-          if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, false, conf))
+          dstFs.mkdirs(to.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, dstFs, to, false, false, conf))
             sys.error(s"clone copy failed: $from -> $to")
           view.bloomCols.foreach { c =>
             val bs = bloomPath(srcPath, rel, c)
             if (fs.exists(bs)) {
               val bd = bloomPath(dstPath, rel, c)
-              fs.mkdirs(bd.getParent)
-              org.apache.hadoop.fs.FileUtil.copy(fs, bs, fs, bd, false, false, conf)
+              dstFs.mkdirs(bd.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(fs, bs, dstFs, bd, false, false, conf)
             }
           }
         }
-        if (view.rels.size <= 1) view.rels.foreach(copyOne)
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(view.rels.size, 8))
-          try {
-            val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-            val fut = scala.concurrent.Future.traverse(view.rels) { r =>
-              scala.concurrent.Future(copyOne(r))(ec)
-            }(implicitly, ec)
-            scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-          } finally pool.shutdown()
-        }
+        parEach(view.rels)(copyOne)
         // the source manifest IS the clone's v1 — copied verbatim AFTER the
         // data so a reader never sees a manifest promising absent files
-        fs.mkdirs(manifestDir(dstPath))
+        dstFs.mkdirs(manifestDir(dstPath))
         org.apache.hadoop.fs.FileUtil
-          .copy(fs, manifestPath(srcPath, view.version), fs, manifestPath(dstPath, 1L), false, false, conf)
+          .copy(fs, manifestPath(srcPath, view.version), dstFs, manifestPath(dstPath, 1L), false, false, conf)
         view.rels.size.toLong
       }
     }

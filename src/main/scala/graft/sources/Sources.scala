@@ -381,17 +381,7 @@ object Sources {
     // driver-blocking job latency dominates small rewrites (measured:
     // q184's 30 per-day rewrites serialized to seconds). Spark job
     // submission is thread-safe; each touched path is distinct.
-    if (affected.length <= 1) affected.foreach { case (u, m) => rewriteOne(u, m) }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(affected.length, 8))
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.traverse(affected.toSeq) { case (u, m) =>
-          scala.concurrent.Future(rewriteOne(u, m))(ec)
-        }(implicitly, ec)
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    Snapshots.parEach(affected.toSeq) { case (u, m) => rewriteOne(u, m) }
     if (affected.nonEmpty) Snapshots.commit(spark, root)
     (affected.length.toLong, affected.map(_._2).sum)
   }
@@ -432,6 +422,12 @@ object Sources {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedRoot = fs.makeQualified(hadoopPath).toString
+    // validate SET targets BEFORE any scan or rewrite: a mistyped column
+    // must fail loudly even when the predicate matches nothing (the
+    // per-file require alone would silently "succeed" on zero matches)
+    val tableCols = spark.read.parquet(root).columns
+    val unknownSet = sets.keys.filterNot(k => tableCols.exists(_.equalsIgnoreCase(k)))
+    require(unknownSet.isEmpty, s"SET column(s) not in table: ${unknownSet.mkString(", ")}")
     val affected = spark.read
       .parquet(root)
       .filter(predicate)
@@ -478,17 +474,7 @@ object Sources {
       fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
       fs.delete(tmpDir, true)
     }
-    if (affected.length <= 1) affected.foreach { case (u, _) => rewriteOne(u) }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(affected.length, 8))
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.traverse(affected.toSeq) { case (u, _) =>
-          scala.concurrent.Future(rewriteOne(u))(ec)
-        }(implicitly, ec)
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    Snapshots.parEach(affected.toSeq) { case (u, _) => rewriteOne(u) }
     if (affected.nonEmpty) Snapshots.commit(spark, root)
     (affected.length.toLong, affected.map(_._2).sum)
   }
@@ -680,17 +666,7 @@ object Sources {
       files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
       fs.delete(stage, true)
     }
-    if (targets.length == 1) compactOne(targets.head._1, targets.head._2)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.length, 8))
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.traverse(targets) { case (d, fs2) =>
-          scala.concurrent.Future(compactOne(d, fs2))(ec)
-        }(implicitly, ec)
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    Snapshots.parEach(targets) { case (d, fls) => compactOne(d, fls) }
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
   }
@@ -760,21 +736,14 @@ object Sources {
       // land the clustered files FIRST, then archive the originals — same
       // momentary old+new window as compactInPlace; manifest readers are
       // the consistency surface and the closing commit defines the result
-      parts.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+      parts.foreach { p =>
+        if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+          throw new IllegalStateException(s"clustering of $dir failed to land $p")
+      }
       files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
       fs.delete(stage, true)
     }
-    if (targets.length == 1) clusterOne(targets.head._1, targets.head._2)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(targets.length, 8))
-      try {
-        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.traverse(targets) { case (d, fls) =>
-          scala.concurrent.Future(clusterOne(d, fls))(ec)
-        }(implicitly, ec)
-        scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
-    }
+    Snapshots.parEach(targets) { case (d, fls) => clusterOne(d, fls) }
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum)
   }

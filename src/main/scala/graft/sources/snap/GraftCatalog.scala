@@ -472,10 +472,25 @@ object SnapWriteBuilder {
     Snapshots.withTableLock(spark, dir) {
       // resolve the table's layout + stats discipline INSIDE the lock: a
       // maintenance commit landing while this writer queued must not leave
-      // it writing a stale partition layout or stale stats columns
+      // it writing a stale partition layout or stale stats columns.
+      // A TRUNCATED table's latest manifest lists no files — walk back to
+      // the newest version that still has a file list, so an INSERT after
+      // a WHERE-less DELETE keeps the table's hive layout instead of
+      // silently flattening it.
       val latest = Snapshots.manifestView(spark, dir)
       val statsCols = latest.statsCols
-      val partCols = partitionColsOf(latest.rels)
+      val layoutRels: Seq[String] =
+        if (latest.rels.nonEmpty) latest.rels
+        else
+          Snapshots
+            .manifestVersions(spark, dir)
+            .map(_._1)
+            .sorted(Ordering[Long].reverse)
+            .iterator
+            .map(v => Snapshots.files(spark, dir, v))
+            .find(_.nonEmpty)
+            .getOrElse(Seq.empty)
+      val partCols = partitionColsOf(layoutRels)
       if (overwrite) {
         // archive every live file BEFORE the new data lands: pinned
         // readers keep resolving, and the pre-overwrite state stays
@@ -761,12 +776,15 @@ class SnapRelation(
       if (keptRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
       else Snapshots.scanRels(spark, dir, keptRels, Some(tableSchema))
-    filters.flatMap(toColumn).reduceOption(_ && _).foreach(c => df = df.filter(c))
-    // `_file` metadata column: provenance per row, from the scan itself
-    if (required.fieldNames.contains(SnapTable.FileMetaCol))
+    // `_file` metadata column BEFORE the filters: a pushed predicate may
+    // reference it (WHERE _file = '…' is the canonical provenance filter)
+    // even when the projection doesn't
+    if (required.fieldNames.contains(SnapTable.FileMetaCol) ||
+      filters.exists(_.references.contains(SnapTable.FileMetaCol)))
       df = df.withColumn(
         SnapTable.FileMetaCol,
         org.apache.spark.sql.functions.input_file_name())
+    filters.flatMap(toColumn).reduceOption(_ && _).foreach(c => df = df.filter(c))
     df = df.select(required.fieldNames.toIndexedSeq.map(n => df(n)): _*)
     df.rdd
   }

@@ -123,7 +123,7 @@ class SnapRowLevelOperation(
       new Write {
         override def description(): String = s"GraftSnapReplaceData $dir files=${scannedRels.size}"
         override def toBatch: BatchWrite =
-          new SnapReplaceBatchWrite(dir, scannedRels, info.schema())
+          new SnapReplaceBatchWrite(dir, scannedRels, info.schema(), view.version)
       }
     }
   }
@@ -152,8 +152,8 @@ class SnapRowLevelScan(dir: String, rels: Seq[String], required: StructType)
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     SnapParquetReadFactory(
       required.json,
-      org.apache.spark.sql.graft.Bridge
-        .serializableConf(SparkSession.active.sparkContext.hadoopConfiguration))
+      org.apache.spark.sql.graft.Bridge.serializableConf(
+        org.apache.spark.sql.graft.Bridge.sessionHadoopConf(SparkSession.active)))
 }
 
 case class SnapFileInput(path: String) extends org.apache.spark.sql.connector.read.InputPartition
@@ -211,7 +211,11 @@ case class SnapParquetReadFactory(schemaJson: String, conf: java.io.Serializable
 /** Commit message: one staged file written by one task. */
 case class SnapStagedFile(path: String, rows: Long) extends WriterCommitMessage
 
-class SnapReplaceBatchWrite(dir: String, replacedRels: Seq[String], schema: StructType)
+class SnapReplaceBatchWrite(
+    dir: String,
+    replacedRels: Seq[String],
+    schema: StructType,
+    scannedVersion: Long)
     extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -221,7 +225,10 @@ class SnapReplaceBatchWrite(dir: String, replacedRels: Seq[String], schema: Stru
   private val stage = s".replace-${java.util.UUID.randomUUID().toString}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    // the SESSION's hadoop conf (SQLConf entries included), so the staged
+    // parquet honors the session timezone / parquet write settings exactly
+    // like a DataFrame write would
+    val conf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
     val fs = new Path(dir).getFileSystem(conf)
     fs.mkdirs(new Path(new Path(dir), stage))
     SnapParquetWriterFactory(
@@ -234,7 +241,19 @@ class SnapReplaceBatchWrite(dir: String, replacedRels: Seq[String], schema: Stru
     val rootPath = new Path(dir)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Snapshots.withTableLock(spark, dir) {
-      Snapshots.ensureBaseline(spark, dir) // pre-state stays pinnable
+      // OPTIMISTIC CONCURRENCY: the rewrite read version `scannedVersion`;
+      // if anything committed since (another UPDATE, a compaction, an
+      // ingest), landing our replacement would duplicate or drop rows the
+      // other commit moved — fail loudly instead, the caller retries. The
+      // programmatic ops hold the lock across scan+rewrite+commit; the SQL
+      // row-level path scans outside the lock, so it must validate here.
+      val current = Snapshots.latestVersion(spark, dir)
+      if (current != scannedVersion) {
+        abort(messages)
+        sys.error(
+          s"concurrent update detected on $dir: row-level operation scanned manifest " +
+            s"v$scannedVersion but the table is now at v$current — retry the statement")
+      }
       // land the replacement files FIRST, then archive the replaced ones —
       // the compactInPlace window discipline; manifest readers are the
       // consistency surface and the closing commit defines the result

@@ -96,6 +96,16 @@ object Bridge {
       .build()
   }
 
+  /** The session's Hadoop conf WITH its SQLConf entries propagated
+    * (`sessionState` is `private[sql]`) — what `ParquetFileFormat` reads
+    * its settings from; engine-side parquet readers/writers must use this,
+    * not `sparkContext.hadoopConfiguration`, or session overrides (time
+    * zone, legacy format, timestamp type) silently revert to defaults.
+    */
+  def sessionHadoopConf(
+      spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()
+
   /** Serializable Hadoop Configuration for shipping to executors
     * (`SerializableConfiguration` is `private[spark]`, so callers hold it
     * as an opaque Serializable and unwrap through [[confOf]]).

@@ -419,5 +419,30 @@ class SnapCatalogSpec extends SparkSpec {
     fixture("snapc19")
     val e = intercept[Exception](spark.sql("UPDATE snapc19.ev SET v = v + 1 WHERE event_type = 'click'"))
     assert(e.getMessage.contains("updateWhere") || e.getMessage.contains("partitioned"), e.getMessage)
+    // and a pushed _file equality filters provenance without crashing
+    val one = spark
+      .sql("SELECT _file FROM snapc18.t LIMIT 1")
+      .as[String]
+      .head()
+    assert(
+      spark
+        .sql(s"SELECT count(*) AS n FROM snapc18.t WHERE _file = '$one'")
+        .as[Long]
+        .head() == 100L)
+  }
+
+  test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
+    val (_, dir) = flatFixture("snapc20")
+    // a write whose scan pinned v1; someone else commits v2 before it lands
+    val stale = new graft.sources.snap.SnapReplaceBatchWrite(
+      dir,
+      Seq.empty,
+      new org.apache.spark.sql.types.StructType(),
+      scannedVersion = 1L)
+    Snapshots.commit(spark, dir) // v2
+    val e = intercept[Exception](stale.commit(Array.empty))
+    assert(e.getMessage.contains("concurrent update"), e.getMessage)
+    // the table is exactly what the interloper committed — nothing landed
+    assert(spark.sql("SELECT count(*) FROM snapc20.t").as[Long].head() == 400L)
   }
 }
