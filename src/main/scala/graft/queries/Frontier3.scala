@@ -730,6 +730,96 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(0 AS BIGINT)
       |ORDER BY event_type""".stripMargin
 
+  // -- q209: streaming toTable into a snapshot table ----------------------
+
+  /** The native streaming sink, hash-proved: `writeStream.toTable` pushes
+    * the error-event stream into a snapshot catalog table through
+    * [[graft.sources.snap.SnapStreamingWrite]] — every epoch stages
+    * deterministically-named parquet, lands it and commits a manifest
+    * version under the table lock, then advances the per-query epoch
+    * high-water mark (a replayed epoch is a no-op; the spec proves it).
+    * The query then aggregates the SINK table per day and the oracle
+    * recomputes the same from raw events (plus the seed sentinel the
+    * table was created with), so the hash proves the streamed rows landed
+    * exactly once and stayed metadata-disciplined — the closing `n_rows`
+    * column is the manifest-only COUNT over the sink. At 100 TB this is
+    * the ingest topology: a streaming job appends versioned, time-travel-
+    * able, stats-complete commits with no foreachBatch glue.
+    */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq209_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "sink").toString
+    // seed: a snapshot table IS a dir with committed manifests — one
+    // sentinel row the oracle reproduces
+    s.sql("""SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'1999-12-31 00:00:00' AS ts,
+              CAST(-1 AS BIGINT) AS user_id, '__seed' AS event_type,
+              CAST(0.0 AS DOUBLE) AS value, '' AS props""")
+      .coalesce(1)
+      .write
+      .parquet(dir)
+    graft.sources.Snapshots.commit(s, dir, Seq("event_id"))
+    val cat = s"snapq209_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    // the file stream source needs a DIRECTORY: stage the events file into
+    // the scratch dir (a metadata-priced copy; at scale the ingest dir is
+    // a directory to begin with)
+    val inDir = new org.apache.hadoop.fs.Path(base, "in")
+    fs.mkdirs(inDir)
+    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    // the fixture is a single file at driver SFs and a directory of part
+    // files for synthesized scale-up dirs — flatten either shape into the
+    // stream's input dir (file sources don't recurse by default)
+    val srcFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src)
+          .toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(src)
+    srcFiles.zipWithIndex.foreach { case (p, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs,
+        p,
+        fs,
+        new org.apache.hadoop.fs.Path(inDir, f"events-$i%05d.parquet"),
+        false,
+        false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    val q = graft.streaming.Streaming
+      .readEventStream(s, inDir.toString)
+      .filter(col("event_type") === "error")
+      .writeStream
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "ckpt").toString)
+      .toTable(s"$cat.sink")
+    try q.processAllAvailable()
+    finally q.stop()
+    s.sql(s"""
+      |SELECT to_date(ts) AS day,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS u,
+      |       (SELECT count(*) FROM $cat.sink) AS n_rows
+      |FROM $cat.sink GROUP BY to_date(ts)
+      |ORDER BY day""".stripMargin)
+  }
+
+  val q209Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL SELECT DATE'1999-12-31', 0),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS u,
+      |       (SELECT total FROM t) AS n_rows
+      |FROM s GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
@@ -743,7 +833,8 @@ object Frontier3 {
     "q205_table_clone" -> (q205 _),
     "q206_sql_maintenance" -> (q206 _),
     "q207_sql_update" -> (q207 _),
-    "q208_sql_merge" -> (q208 _))
+    "q208_sql_merge" -> (q208 _),
+    "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
     "q196_sql_time_travel" -> q196Sql,
@@ -758,5 +849,6 @@ object Frontier3 {
     "q205_table_clone" -> q205Sql,
     "q206_sql_maintenance" -> q206Sql,
     "q207_sql_update" -> q203Sql,
-    "q208_sql_merge" -> q208Sql)
+    "q208_sql_merge" -> q208Sql,
+    "q209_stream_to_table" -> q209Sql)
 }

@@ -280,6 +280,7 @@ class SnapTable(dir: String, version: Long)
     util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
@@ -288,7 +289,8 @@ class SnapTable(dir: String, version: Long)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(dir, view, tableSchema)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new SnapWriteBuilder(dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapWriteBuilder(dir, info)
 
   /** SQL `UPDATE` / `MERGE INTO` (and the rewrite path for un-pushable
     * DELETEs) — group-based copy-on-write via [[SnapRowLevelBuilder]]:
@@ -442,7 +444,9 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
   * archives (never deletes) the replaced files, so every pinned manifest
   * stays readable and the overwrite is restorable.
   */
-class SnapWriteBuilder(dir: String) extends WriteBuilder with SupportsTruncate {
+class SnapWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder
+    with SupportsTruncate {
 
   private var overwrite = false
 
@@ -453,6 +457,10 @@ class SnapWriteBuilder(dir: String) extends WriteBuilder with SupportsTruncate {
       override def insert(data: DataFrame, ow: Boolean): Unit =
         SnapWriteBuilder.doInsert(dir, data, overwrite || ow)
     }
+    // `df.writeStream.toTable("cat.t")`: exactly-once epoch appends into
+    // the versioned table (see [[SnapStreamingWrite]])
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new SnapStreamingWrite(dir, info.queryId(), info.schema())
   }
 }
 

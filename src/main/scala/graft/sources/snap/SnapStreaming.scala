@@ -1,0 +1,125 @@
+package graft.sources.snap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Snapshots
+
+/** Exactly-once Structured Streaming sink for snapshot tables — the
+  * native `df.writeStream.toTable("cat.t")` path, closing the loop the
+  * repo previously served through `foreachBatch` + idempotent appends:
+  *
+  *  - each epoch's tasks stage parquet under
+  *    `.stream-<queryId>-<epochId>/` with DETERMINISTIC file names
+  *    (`stream-<queryId>-<epoch>-<partition>.parquet`) — a replayed epoch
+  *    rewrites the same names (parquet writer in OVERWRITE mode), so no
+  *    landing order can double a row;
+  *  - `commit(epoch)` runs under the table lock: a replay detected from
+  *    the per-query high-water file (`_graft_manifests/.epoch-<queryId>`)
+  *    cleans its staging and returns; a fresh epoch lands its files
+  *    (delete-then-rename onto the deterministic names — idempotent
+  *    across crash/replay), commits the next manifest version (stats and
+  *    bloom disciplines inherited), then advances the high-water mark.
+  *
+  * Crash analysis: a crash between landing and the manifest commit is
+  * replayed — the rewrite replaces the SAME file names with the same
+  * deterministic content, so even if an interleaved maintenance commit
+  * already listed the orphan files, no row duplicates. A crash between
+  * the manifest commit and the high-water write replays into an extra
+  * manifest version listing an identical file set — version churn, zero
+  * data change. The standard file-sink assumption applies: replayed
+  * epochs recompute the same rows (deterministic sources/operators).
+  *
+  * Hive-partitioned tables are refused (streamed files land flat); the
+  * foreachBatch + `mergeIntoPartitioned` path covers those.
+  */
+class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
+    extends StreamingWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def stageDir(epochId: Long) = s".stream-$queryId-$epochId"
+
+  private def epochMarker(root: Path) =
+    new Path(new Path(root, Snapshots.ManifestDirName), s".epoch-$queryId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
+    new Path(dir).getFileSystem(conf).mkdirs(new Path(dir))
+    SnapStreamWriterFactory(
+      dir,
+      queryId,
+      schema,
+      org.apache.spark.sql.graft.Bridge.serializableConf(conf))
+  }
+
+  private def lastCommitted(fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
+    val m = epochMarker(root)
+    if (!fs.exists(m)) -1L
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = new Path(dir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.withTableLock(spark, dir) {
+      val stage = new Path(rootPath, stageDir(epochId))
+      if (lastCommitted(fs, rootPath) >= epochId) {
+        fs.delete(stage, true) // replayed epoch: nothing to do
+        return
+      }
+      if (Snapshots.files(spark, dir).exists(_.contains("=")))
+        throw new UnsupportedOperationException(
+          "streaming into a hive-partitioned snapshot table is not supported — use " +
+            "foreachBatch with Sources.mergeIntoPartitioned / idempotentBatchAppend")
+      messages.foreach {
+        case SnapStagedFile(p, _) if p.nonEmpty =>
+          val from = new Path(p)
+          val to = new Path(rootPath, from.getName)
+          if (fs.exists(to)) fs.delete(to, false) // crash/replay leftover: same name, same rows
+          if (!fs.rename(from, to)) sys.error(s"stream epoch $epochId landing failed: $from")
+        case SnapStagedFile(_, _) => () // empty task
+        case other => sys.error(s"unexpected commit message $other")
+      }
+      fs.delete(stage, true)
+      Snapshots.commit(spark, dir) // inherits stats + bloom disciplines
+      val tmp = new Path(epochMarker(rootPath).getParent, s".epoch-tmp-$queryId")
+      val out = fs.create(tmp, true)
+      try out.write(epochId.toString.getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(epochMarker(rootPath), false)
+      if (!fs.rename(tmp, epochMarker(rootPath)))
+        sys.error(s"epoch high-water update failed for $queryId@$epochId")
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = new Path(dir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(rootPath, stageDir(epochId)), true)
+  }
+}
+
+case class SnapStreamWriterFactory(
+    dir: String,
+    queryId: String,
+    schema: StructType,
+    conf: java.io.Serializable)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SnapParquetDataWriter(
+      new Path(
+        s"$dir/.stream-$queryId-$epochId",
+        f"stream-$queryId-$epochId-$partitionId%05d.parquet"),
+      schema,
+      org.apache.spark.sql.graft.Bridge.confOf(conf))
+}

@@ -67,6 +67,9 @@ object Bridge {
     new B(path)
       .withConf(c)
       .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      // overwrite: batch writers name files uniquely (UUID), and streaming
+      // epoch REPLAYS must be able to rewrite their deterministic names
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .build()
   }
 

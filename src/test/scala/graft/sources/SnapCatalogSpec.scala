@@ -431,6 +431,87 @@ class SnapCatalogSpec extends SparkSpec {
         .head() == 100L)
   }
 
+  test("row-level rewrite round-trips every column shape: timestamp, date, decimal, bool, array, struct, map") {
+    val base = Files.createTempDirectory("snapcat_types").toString
+    val dir = s"$base/t"
+    val df = spark.sql("""
+      SELECT id,
+             CAST(id AS DOUBLE) / 4.0 AS d,
+             timestamp'2024-03-01 10:30:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+             date_add(DATE'2024-03-01', CAST(id AS INT)) AS day,
+             CAST(id AS DECIMAL(10,2)) / 3 AS dec,
+             id % 2 = 0 AS flag,
+             array(id, id * 2) AS arr,
+             named_struct('a', id, 'b', concat('s', CAST(id AS STRING))) AS st,
+             map(concat('k', CAST(id AS STRING)), id) AS m
+      FROM range(0, 50)""")
+    df.coalesce(2).write.parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    spark.conf.set("spark.sql.catalog.snapc21", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc21.root", base)
+    spark.sql("UPDATE snapc21.t SET d = d * 2 WHERE id >= 25")
+    // every row went through the DSv2 parquet read+write round trip; all
+    // columns must be byte-faithful, with d doubled on the matched half
+    val expect = df.withColumn("d", when(col("id") >= 25, col("d") * 2).otherwise(col("d")))
+    val back = spark.sql("SELECT * FROM snapc21.t")
+    assert(back.count() == 50L)
+    // set ops refuse MAP columns: compare maps as sorted entry arrays
+    def cmp(x: org.apache.spark.sql.DataFrame) = x.withColumn("m", map_entries(col("m")))
+    assert(
+      cmp(back).exceptAll(cmp(expect)).count() == 0L &&
+        cmp(expect).exceptAll(cmp(back)).count() == 0L)
+  }
+
+  test("writeStream.toTable appends exactly-once epochs; a replayed epoch commit is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("snapcat_stream").toString
+    val dir = s"$base/t"
+    // seed the table (a snapshot table IS a dir with committed manifests)
+    Seq((0L, 0L)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    spark.conf.set("spark.sql.catalog.snapc22", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc22.root", base)
+    val in = MemoryStream[(Long, Long)]
+    val q = in
+      .toDF()
+      .toDF("id", "v")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .toTable("snapc22.t")
+    try {
+      in.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      in.addData((3L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT id FROM snapc22.t ORDER BY id").as[Long].collect()
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L), rows.toSeq.toString)
+    // each epoch committed one manifest version (seed + 2 epochs), and the
+    // metadata count still answers from the manifest
+    assert(Snapshots.latestVersion(spark, dir) == 3L)
+    val cnt = spark.sql("SELECT count(*) AS n FROM snapc22.t")
+    assert(scanOf(cnt).isInstanceOf[SnapCountScan], scanOf(cnt).description())
+    assert(cnt.as[Long].head() == 4L)
+    // replayed epoch: re-committing an epoch at-or-below the high-water
+    // mark changes nothing (no rows, no version)
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    val sw = new graft.sources.snap.SnapStreamingWrite(
+      dir,
+      // the real query's id is the checkpoint's; read the marker name back
+      new java.io.File(s"$dir/${Snapshots.ManifestDirName}")
+        .listFiles()
+        .map(_.getName)
+        .find(_.startsWith(".epoch-"))
+        .map(_.stripPrefix(".epoch-"))
+        .getOrElse(fail("no epoch marker written")),
+      Seq((0L, 0L)).toDF("id", "v").schema)
+    sw.commit(0L, Array.empty)
+    sw.commit(1L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == vBefore, "replayed epochs must not commit")
+    assert(spark.sql("SELECT count(*) FROM snapc22.t").as[Long].head() == 4L)
+  }
+
   test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
     val (_, dir) = flatFixture("snapc20")
     // a write whose scan pinned v1; someone else commits v2 before it lands
