@@ -166,13 +166,31 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class Expire(rootDir: String) extends SnapProcedure("expire", rootDir) {
+    override def description: String =
+      "archive whole hive partitions whose value sorts strictly below `before` " +
+        "(ISO dates and zero-padded values compare correctly; the TTL sweep)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("col", StringType), in("before", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val before = input.getUTF8String(2).toString
+      val expired = Sources.expirePartitions(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        keep = v => v >= before)
+      result(out("expired_partitions" -> LongType), Seq(expired.size.toLong))
+    }
+  }
+
   def all(rootDir: String): Seq[UnboundProcedure] = Seq(
     new Compact(rootDir),
     new Cluster(rootDir),
     new Vacuum(rootDir),
     new Restore(rootDir),
     new Clone(rootDir),
-    new SetStats(rootDir))
+    new SetStats(rootDir),
+    new Expire(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =
     if (ident.namespace().nonEmpty && ident.namespace().toSeq != Seq("system")) None

@@ -325,6 +325,25 @@ class SnapCatalogSpec extends SparkSpec {
     assert(missing.getMessage.contains("no procedure") || missing.getMessage.toLowerCase.contains("nope"))
     val escape = intercept[Exception](spark.sql("CALL snapc15.compact(table => '../t')").collect())
     assert(escape.getMessage != null)
+    // the procedure surface is discoverable from SQL
+    val procs =
+      spark.sql("SHOW PROCEDURES IN snapc15").collect().map(r => r.get(r.length - 1).toString).toSet
+    assert(
+      Set("compact", "cluster", "vacuum", "restore", "clone", "set_stats", "expire")
+        .subsetOf(procs),
+      procs.toString)
+  }
+
+  test("CALL expire archives partitions below the cutoff; pre-TTL snapshot keeps them") {
+    val (_, dir) = fixture("snapc23")
+    val r = spark
+      .sql("CALL snapc23.expire(table => 'ev', col => 'day', before => '2024-01-03')")
+      .collect()
+    assert(r.head.getLong(0) == 2L, s"2024-01-01 and -02 expire: ${r.toSeq}")
+    assert(
+      spark.sql("SELECT id FROM snapc23.ev ORDER BY id").as[Long].collect().toSeq == Seq(4L, 5L))
+    // the pre-TTL version still reads the expired days (archive, not delete)
+    assert(spark.sql("SELECT count(*) FROM snapc23.ev VERSION AS OF 1").as[Long].head() == 5L)
   }
 
   test("an un-pushable DELETE predicate on a partitioned table is refused, never misapplied") {
