@@ -372,7 +372,8 @@ object Sources {
         // OWN generated name: rel paths are never reused, so a pinned
         // manifest entry denotes exactly one immutable file forever
         Snapshots.archiveFile(fs, hadoopPath, filePath)
-        fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
+          throw new IllegalStateException(s"delete rewrite of $uri failed to land $part")
         fs.delete(tmpDir, true)
       }
     }
@@ -423,13 +424,24 @@ object Sources {
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedRoot = fs.makeQualified(hadoopPath).toString
     // validate SET targets BEFORE any scan or rewrite: a mistyped column
-    // must fail loudly even when the predicate matches nothing (the
-    // per-file require alone would silently "succeed" on zero matches)
-    val tableCols = spark.read.parquet(root).columns
-    val unknownSet = sets.keys.filterNot(k => tableCols.exists(_.equalsIgnoreCase(k)))
+    // or a partition-column SET must fail loudly even when the predicate
+    // matches nothing (per-file checks alone would silently "succeed" on
+    // zero matches). ONE frame serves both validation and the match scan.
+    val table = spark.read.parquet(root)
+    val unknownSet = sets.keys.filterNot(k => table.columns.exists(_.equalsIgnoreCase(k)))
     require(unknownSet.isEmpty, s"SET column(s) not in table: ${unknownSet.mkString(", ")}")
-    val affected = spark.read
-      .parquet(root)
+    val tablePartCols = fs
+      .listStatus(hadoopPath)
+      .toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName.split("=", 2)(0))
+      .distinct
+    val illegalSet = tablePartCols.filter(pc => sets.keys.exists(_.equalsIgnoreCase(pc)))
+    require(
+      illegalSet.isEmpty,
+      s"cannot SET hive partition column(s) ${illegalSet.mkString(", ")}: rows would change " +
+        "directories — rewrite partition membership with mergeIntoPartitioned instead")
+    val affected = table
       .filter(predicate)
       .select(input_file_name().as("f"))
       .groupBy(col("f"))
@@ -446,11 +458,6 @@ object Sources {
         .map(_.split("=", 2)(0))
         .toSeq
         .distinct
-      val illegal = partCols.filter(pc => sets.keys.exists(_.equalsIgnoreCase(pc)))
-      require(
-        illegal.isEmpty,
-        s"cannot SET hive partition column(s) ${illegal.mkString(", ")}: rows would change " +
-          "directories — rewrite partition membership with mergeIntoPartitioned instead")
       val src = spark.read.option("basePath", qualifiedRoot).parquet(uri)
       val hit = coalesce(predicate, lit(false))
       // ONE projection: predicate + every SET expression see the old row
@@ -461,8 +468,6 @@ object Sources {
             .getOrElse(col(c))
         }: _*)
         .drop(partCols: _*)
-      val unknown = sets.keys.filterNot(k => src.columns.exists(_.equalsIgnoreCase(k)))
-      require(unknown.isEmpty, s"SET column(s) not in table: ${unknown.mkString(", ")}")
       val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
       updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
       val part = fs
@@ -471,7 +476,8 @@ object Sources {
         .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
       Snapshots.archiveFile(fs, hadoopPath, filePath)
-      fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName))
+      if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
+        throw new IllegalStateException(s"update rewrite of $uri failed to land $part")
       fs.delete(tmpDir, true)
     }
     Snapshots.parEach(affected.toSeq) { case (u, _) => rewriteOne(u) }
@@ -662,7 +668,8 @@ object Sources {
       // land the compacted file FIRST (a directory lister sees old+new for
       // a moment — duplicate-safe readers are the manifest readers, and
       // the final state is committed below), then archive the originals
-      fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName))
+      if (!fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName)))
+        throw new IllegalStateException(s"compaction of $dir failed to land $part")
       files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
       fs.delete(stage, true)
     }

@@ -458,9 +458,17 @@ class SnapWriteBuilder(dir: String, info: LogicalWriteInfo)
         SnapWriteBuilder.doInsert(dir, data, overwrite || ow)
     }
     // `df.writeStream.toTable("cat.t")`: exactly-once epoch appends into
-    // the versioned table (see [[SnapStreamingWrite]])
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    // the versioned table (see [[SnapStreamingWrite]]). Complete mode
+    // arrives as truncate() — replacing the table every epoch is not this
+    // sink's contract; refuse rather than silently append N copies.
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (overwrite)
+        throw new UnsupportedOperationException(
+          "snapshot streaming sink supports APPEND output mode only — Complete mode would " +
+            "re-land the whole result every epoch; aggregate downstream or use foreachBatch " +
+            "with INSERT OVERWRITE")
       new SnapStreamingWrite(dir, info.queryId(), info.schema())
+    }
   }
 }
 

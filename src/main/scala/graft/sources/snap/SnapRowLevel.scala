@@ -298,12 +298,17 @@ case class SnapParquetWriterFactory(
 
 /** One task's parquet writer: Spark's own row→parquet encoding (bridged
   * `ParquetWriteSupport`), snappy, one file per non-empty task. Empty
-  * tasks commit nothing — no empty-file litter.
+  * tasks commit nothing — no empty-file litter. When `finalName` is set
+  * (streaming epochs), the attempt writes under its OWN path and renames
+  * onto the deterministic name at task commit — the commit coordinator
+  * authorizes exactly one attempt per partition, so the rename is
+  * race-free while concurrent attempts never share bytes.
   */
 class SnapParquetDataWriter(
     path: Path,
     schema: StructType,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    finalName: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -323,7 +328,18 @@ class SnapParquetDataWriter(
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    if (rows == 0L) SnapStagedFile("", 0L) else SnapStagedFile(path.toString, rows)
+    if (rows == 0L) SnapStagedFile("", 0L)
+    else
+      finalName match {
+        case None => SnapStagedFile(path.toString, rows)
+        case Some(n) =>
+          val fs = path.getFileSystem(conf)
+          val target = new Path(path.getParent, n)
+          if (fs.exists(target)) fs.delete(target, false) // dead attempt's leftover
+          if (!fs.rename(path, target))
+            throw new java.io.IOException(s"task commit rename failed: $path -> $target")
+          SnapStagedFile(target.toString, rows)
+      }
   }
 
   override def abort(): Unit = {

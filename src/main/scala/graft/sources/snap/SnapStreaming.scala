@@ -76,21 +76,44 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
         fs.delete(stage, true) // replayed epoch: nothing to do
         return
       }
-      if (Snapshots.files(spark, dir).exists(_.contains("=")))
+      val committedRels = Snapshots.files(spark, dir).toSet
+      if (committedRels.exists(_.contains("=")))
         throw new UnsupportedOperationException(
           "streaming into a hive-partitioned snapshot table is not supported — use " +
             "foreachBatch with Sources.mergeIntoPartitioned / idempotentBatchAppend")
-      messages.foreach {
-        case SnapStagedFile(p, _) if p.nonEmpty =>
-          val from = new Path(p)
-          val to = new Path(rootPath, from.getName)
-          if (fs.exists(to)) fs.delete(to, false) // crash/replay leftover: same name, same rows
+      val staged = messages.collect {
+        case SnapStagedFile(p, _) if p.nonEmpty => new Path(p)
+        case other if !other.isInstanceOf[SnapStagedFile] =>
+          sys.error(s"unexpected commit message $other")
+      }
+      var landed = 0
+      staged.foreach { from =>
+        val to = new Path(rootPath, from.getName)
+        // replay safety — NEVER delete or re-land a name that already has a
+        // history here: a live file with this name is this epoch's own
+        // earlier landing (deterministic content — skipping is exact), and
+        // an ARCHIVED one means maintenance already moved the rows into a
+        // rewritten file (re-landing would duplicate every row of the
+        // epoch). Only a genuinely unseen name lands.
+        val archived = new Path(new Path(rootPath, Snapshots.ArchiveDirName), to.getName)
+        if (!fs.exists(to) && !fs.exists(archived)) {
           if (!fs.rename(from, to)) sys.error(s"stream epoch $epochId landing failed: $from")
-        case SnapStagedFile(_, _) => () // empty task
-        case other => sys.error(s"unexpected commit message $other")
+          landed += 1
+        }
       }
       fs.delete(stage, true)
-      Snapshots.commit(spark, dir) // inherits stats + bloom disciplines
+      // commit when this epoch changed the live tree: fresh landings, or a
+      // crash-before-commit replay whose files already sit live but
+      // UNCOMMITTED. An epoch that changed nothing (all-empty tasks, or a
+      // fully-committed replay) must not churn out an identical manifest
+      // version — a watermark-advance batch per trigger would otherwise
+      // grow history unboundedly.
+      val uncommittedLive = staged.exists { from =>
+        val name = from.getName
+        !committedRels.contains(name) && fs.exists(new Path(rootPath, name))
+      }
+      if (landed > 0 || uncommittedLive)
+        Snapshots.commit(spark, dir) // inherits stats + bloom disciplines
       val tmp = new Path(epochMarker(rootPath).getParent, s".epoch-tmp-$queryId")
       val out = fs.create(tmp, true)
       try out.write(epochId.toString.getBytes("UTF-8"))
@@ -116,10 +139,15 @@ case class SnapStreamWriterFactory(
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    // stage PER ATTEMPT (taskId-unique path): speculative or zombie
+    // attempts must never write the same bytes; the attempt that the
+    // commit coordinator authorizes renames its file onto the
+    // deterministic per-(epoch, partition) name at task commit
     new SnapParquetDataWriter(
       new Path(
         s"$dir/.stream-$queryId-$epochId",
-        f"stream-$queryId-$epochId-$partitionId%05d.parquet"),
+        f"attempt-$taskId-$partitionId%05d.parquet"),
       schema,
-      org.apache.spark.sql.graft.Bridge.confOf(conf))
+      org.apache.spark.sql.graft.Bridge.confOf(conf),
+      finalName = Some(f"stream-$queryId-$epochId-$partitionId%05d.parquet"))
 }
