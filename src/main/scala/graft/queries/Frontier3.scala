@@ -820,7 +820,240 @@ object Frontier3 {
       |       (SELECT total FROM t) AS n_rows
       |FROM s GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q210: SQL DDL — schema evolution lifecycle -----------------------
+
+  /** The ALTER TABLE story end-to-end, pure SQL: CTAS creates a snapshot
+    * table from the early event days ([[graft.sources.snap.GraftCatalog]]
+    * `createTable` + append), `ALTER TABLE … ADD COLUMNS (mx BIGINT)`
+    * commits a metadata-only schema version
+    * ([[graft.sources.Snapshots.addColumns]] — no data I/O, no rewrite),
+    * and the late days INSERT WITH the new column populated. The final
+    * read proves by-name evolution semantics value-exactly against a
+    * DuckDB oracle: pre-ALTER rows read NULL for `mx` (so `count(mx)`
+    * counts only post-ALTER rows), the post-INSERT commit's
+    * declared+inferred schema merge keeps the column even though most
+    * files predate it, and a `VERSION AS OF` pin from before the ALTER
+    * still answers (its schema has no `mx` — asserted structurally in
+    * SnapCatalogSpec; its row count rides the hash here). At 100 TB this
+    * is the schema-evolution economics that matter: adding a column to a
+    * million-file table costs one small manifest write, and NO reader —
+    * pinned or live — ever opens a file it wouldn't have anyway.
+    */
+  def q210(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq210_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(base)
+    val cat = s"snapq210_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    Tables.events(s, d).createOrReplaceTempView("graft_q210_events")
+    val cutoff = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+      .plusDays(4)
+      .toString
+    // v1: CREATE TABLE (empty, declared schema) + v2: the CTAS append
+    s.sql(s"""
+      |CREATE TABLE $cat.t AS
+      |SELECT to_date(ts) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM graft_q210_events WHERE to_date(ts) < DATE'$cutoff'
+      |GROUP BY to_date(ts), event_type""".stripMargin)
+    // v3: metadata-only ALTER; v4: the late slice lands WITH the column
+    s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (mx BIGINT)")
+    s.sql(s"""
+      |INSERT INTO $cat.t
+      |SELECT to_date(ts) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(max(floor(value * 1000000.0 + 0.5)) AS BIGINT) AS mx
+      |FROM graft_q210_events WHERE to_date(ts) >= DATE'$cutoff'
+      |GROUP BY to_date(ts), event_type""".stripMargin)
+    s.sql(s"""
+      |SELECT g.event_type AS event_type, g.n_events, g.mx_rows, g.mx_sum, p.v_pre
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |             CAST(count(mx) AS BIGINT) AS mx_rows,
+      |             CAST(sum(coalesce(mx, CAST(0 AS BIGINT))) AS BIGINT) AS mx_sum
+      |      FROM $cat.t GROUP BY event_type) g
+      |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS v_pre
+      |            FROM $cat.t VERSION AS OF 2) p
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q210Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |cut AS (SELECT CAST(min(day) AS DATE) + 4 AS c FROM s),
+      |agg AS (
+      |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CASE WHEN day >= (SELECT c FROM cut) THEN CAST(max(u) AS BIGINT) END AS mx
+      |  FROM s GROUP BY day, event_type),
+      |pre AS (SELECT CAST(count(*) AS BIGINT) AS v_pre FROM agg
+      |        WHERE day < (SELECT c FROM cut))
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(count(mx) AS BIGINT) AS mx_rows,
+      |       CAST(sum(coalesce(mx, 0)) AS BIGINT) AS mx_sum,
+      |       (SELECT v_pre FROM pre) AS v_pre
+      |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q211: SQL DDL — in-place type widening ---------------------------
+
+  /** `ALTER TABLE … ALTER COLUMN u TYPE BIGINT` with values only a BIGINT
+    * can hold landing AFTER the widen: the early files keep int32 pages,
+    * the late files write int64, and ONE declared schema reads both (the
+    * parquet readers' in-place widening,
+    * [[graft.sources.Snapshots.widenColumn]]) — no rewrite of the narrow
+    * files ever happens, which at 100 TB is the difference between a
+    * metadata commit and re-writing every historical file when a counter
+    * outgrows int. The post-widen commit's schema merge must also PREFER
+    * the declared wide type over the surviving narrow footers — the hash
+    * (sum over 3·10⁹-scaled late values + narrow early values) is only
+    * right if both read under one bigint column.
+    */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq211_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(base)
+    val cat = s"snapq211_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    Tables.events(s, d).createOrReplaceTempView("graft_q211_events")
+    val cutoff = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+      .plusDays(4)
+      .toString
+    s.sql(s"CREATE TABLE $cat.w (event_type STRING, u INT)")
+    s.sql(s"""
+      |INSERT INTO $cat.w
+      |SELECT event_type, CAST(count(*) AS INT) AS u
+      |FROM graft_q211_events WHERE to_date(ts) < DATE'$cutoff'
+      |GROUP BY event_type""".stripMargin)
+    s.sql(s"ALTER TABLE $cat.w ALTER COLUMN u TYPE BIGINT")
+    s.sql(s"""
+      |INSERT INTO $cat.w
+      |SELECT event_type, CAST(count(*) AS BIGINT) * CAST(3000000000 AS BIGINT) AS u
+      |FROM graft_q211_events WHERE to_date(ts) >= DATE'$cutoff'
+      |GROUP BY event_type""".stripMargin)
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(u) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+      |FROM $cat.w GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q211Sql: String =
+    """WITH s AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |cut AS (SELECT CAST(min(day) AS DATE) + 4 AS c FROM s),
+      |early AS (SELECT event_type, CAST(count(*) AS BIGINT) AS u FROM s
+      |          WHERE day < (SELECT c FROM cut) GROUP BY event_type),
+      |late AS (SELECT event_type, CAST(count(*) AS BIGINT) * 3000000000 AS u FROM s
+      |         WHERE day >= (SELECT c FROM cut) GROUP BY event_type),
+      |allr AS (SELECT * FROM early UNION ALL SELECT * FROM late)
+      |SELECT event_type, CAST(sum(u) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+      |FROM allr GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q212: streaming source → streaming sink, no external driver ------
+
+  /** The incremental loop CLOSED inside Spark: a snapshot table is the
+    * STREAMING SOURCE (`spark.readStream.table` →
+    * [[graft.sources.snap.SnapMicroBatchStream]], offsets ARE manifest
+    * versions, each batch is exactly the files a commit appended) and a
+    * second snapshot table is the exactly-once STREAMING SINK
+    * (`writeStream.toTable`, auto-created through the catalog's new
+    * `createTable`). The early event days commit v1; the late days land
+    * via SQL INSERT as v2; ONE streaming query replicates table →
+    * table — v1 as the initial-image batch, v2 as the delta — and the
+    * final read aggregates the REPLICA against a DuckDB oracle computing
+    * from raw events, plus the replica's own manifest row count (the
+    * metadata-only COUNT must hold over streamed epochs). At 100 TB this
+    * is the derived-table story with no external orchestrator: a commit
+    * on the upstream table costs downstream exactly the appended files,
+    * checkpoint-resumable, each epoch time-travelable on both sides.
+    */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq212_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    fs.mkdirs(base)
+    val cat = s"snapq212_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val ev = Tables.events(s, d)
+    val cutoff = ev
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+      .plusDays(4)
+      .toString
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val srcDir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    // v1: the early slice, committed with the day-stats discipline
+    graft.sources.Sources.writeParquet(
+      stats.filter(col("day") < lit(cutoff).cast("date")).repartition(col("day")),
+      srcDir,
+      Seq("day"))
+    graft.sources.Snapshots.commit(s, srcDir, Seq("day"))
+    // v2: the late slice lands through SQL INSERT (stats inherited)
+    stats.filter(col("day") >= lit(cutoff).cast("date")).createOrReplaceTempView("graft_q212_late")
+    s.sql(s"INSERT INTO $cat.ev SELECT event_type, n, sum_u, day FROM graft_q212_late")
+    // the replica is CREATEd with a stats discipline up front, so every
+    // streamed epoch's commit keeps metadata-only counts + day pruning
+    s.sql(s"""CREATE TABLE $cat.feed (event_type STRING, n BIGINT, sum_u BIGINT, day DATE)
+      |TBLPROPERTIES ('stats_cols'='day')""".stripMargin)
+    // ONE streaming query: manifest-log source → exactly-once toTable
+    // sink; v1 is the initial image batch, v2 the delta
+    val ckpt = new org.apache.hadoop.fs.Path(base, "ck").toString
+    val q = s.readStream
+      .table(s"$cat.ev")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(s"$cat.feed")
+    q.processAllAvailable()
+    q.stop()
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(sum(sum_u) AS BIGINT) AS u,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM $cat.feed) AS n_rows
+      |FROM $cat.feed GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q212Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(u) AS BIGINT) AS su
+      |        FROM s GROUP BY day, event_type),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM agg)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(sum(su) AS BIGINT) AS u,
+      |       (SELECT total FROM t) AS n_rows
+      |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q212_stream_source" -> (q212 _),
+    "q210_sql_ddl_evolution" -> (q210 _),
+    "q211_type_widening" -> (q211 _),
     "q196_sql_time_travel" -> (q196 _),
     "q197_sql_metadata_count" -> (q197 _),
     "q198_sql_insert_append" -> (q198 _),
@@ -837,6 +1070,9 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q212_stream_source" -> q212Sql,
+    "q210_sql_ddl_evolution" -> q210Sql,
+    "q211_type_widening" -> q211Sql,
     "q196_sql_time_travel" -> q196Sql,
     "q197_sql_metadata_count" -> q197Sql,
     "q198_sql_insert_append" -> q198Sql,

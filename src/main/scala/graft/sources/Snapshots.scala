@@ -4,6 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructField
 
 /** Manifest-pinned snapshot reads for maintained parquet tables — the
   * minimal table-format commit layer over [[Sources.deleteWhere]] /
@@ -476,7 +477,7 @@ object Snapshots {
       commit(spark, root, statsCols, inheritedBlooms)
     }
 
-  def commit(spark: SparkSession, root: String, statsCols: Seq[String], bloomCols: Seq[String]): Long =
+  def commit(spark: SparkSession, root: String, statsCols0: Seq[String], bloomCols0: Seq[String]): Long =
     withTableLock(spark, root) {
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
@@ -484,24 +485,72 @@ object Snapshots {
       val version = latestVersion(spark, root) + 1L
       val dir = manifestDir(rootPath)
       fs.mkdirs(dir)
+      val prevView: Option[ManifestView] =
+        if (version > 1L) Some(manifestView(spark, root, version - 1L)) else None
+      // DDL state carries forward on EVERY commit: dropped-column
+      // tombstones (a later inference must not resurrect a dropped
+      // column from old files) and the declared hive layout
+      val dropped = prevView.map(_.dropped).getOrElse(Seq.empty)
+      val partCols = prevView.map(_.partCols).getOrElse(Seq.empty)
+      // a stale caller re-stating a since-dropped stats/bloom column must
+      // not resurrect it in the table's discipline
+      val statsCols = statsCols0.filterNot(dropped.contains)
+      val bloomCols = bloomCols0.filterNot(dropped.contains)
+      val declared = prevView.flatMap(_.schema)
+      // once a table records schema metadata it never degrades back to a
+      // bare file list: created/evolved schemas, tombstones and layout
+      // must survive stats-less commits too
+      val v2 = statsCols.nonEmpty || declared.isDefined || dropped.nonEmpty || partCols.nonEmpty
       val body: Seq[String] =
-        if (statsCols.isEmpty) files
+        if (!v2) files
         else {
-          // a table truncated to zero live files has nothing to infer a
-          // schema from — carry the previous manifest's recorded schema
-          // forward so pinned reads of the empty version stay typed (the
-          // next append re-records the dir-inferred schema as usual)
-          val schemaJson: String =
-            if (files.nonEmpty) spark.read.parquet(root).schema.json
+          // The recorded schema is the DECLARED one evolved by what new
+          // data actually carries: start from the previous manifest's
+          // schema (keeps ALTER-added columns no file has yet, dropped
+          // tombstones, and declared widenings) and merge in the footer
+          // schemas of files NEW since that manifest — O(delta) I/O, the
+          // same incremental discipline as the footer stats. A table
+          // recording schema for the first time pays one full
+          // mergeSchema inference (same order as its first stats pass).
+          // A table truncated to zero live files carries the declared
+          // schema forward so pinned reads of the empty version stay
+          // typed.
+          val evolved: org.apache.spark.sql.types.StructType =
+            if (files.isEmpty)
+              declared.getOrElse(new org.apache.spark.sql.types.StructType())
             else
-              (if (version > 1L) schemaOf(spark, root, version - 1L) else None)
-                .map(_.json)
-                .getOrElse(new org.apache.spark.sql.types.StructType().json)
+              declared match {
+                case None =>
+                  spark.read.option("mergeSchema", "true").parquet(root).schema
+                case Some(base) =>
+                  val prevRels = prevView.map(_.rels.toSet).getOrElse(Set.empty[String])
+                  val newPaths =
+                    files.filterNot(prevRels).map(rel => new Path(rootPath, rel).toString)
+                  if (newPaths.isEmpty) base
+                  else
+                    mergeEvolved(
+                      base,
+                      spark.read
+                        .option("mergeSchema", "true")
+                        .option("basePath", root)
+                        .parquet(newPaths: _*)
+                        .schema,
+                      root,
+                      (if (partCols.nonEmpty) partCols else partitionColsFromRels(files)).toSet)
+              }
+          val schemaJson = org.apache.spark.sql.types
+            .StructType(evolved.filterNot(f => dropped.contains(f.name)))
+            .json
           val header = Seq(
             "#graft-manifest 2",
-            s"#schema $schemaJson",
-            s"#statscols ${statsCols.mkString(",")}") ++
-            (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty)
+            s"#schema $schemaJson") ++
+            (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
+            (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
+            (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
+            (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
+          if (statsCols.isEmpty) {
+            header ++ files
+          } else {
           val conf = spark.sparkContext.hadoopConfiguration
           // INCREMENTAL stats: a rel path names one immutable file forever
           // (never reused — see the archive invariant), so the previous
@@ -545,6 +594,7 @@ object Snapshots {
                 .flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
                 .mkString("\t")
           }
+          }
         }
       require(
         bloomCols.isEmpty || statsCols.nonEmpty,
@@ -565,6 +615,234 @@ object Snapshots {
         sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
       }
       version
+    }
+
+  // ---- schema evolution (DDL over the manifest-recorded schema) --------
+
+  /** Sanctioned in-place type widenings: Spark's parquet readers
+    * (vectorized included) read the narrow physical type as the wider
+    * declared one, so recording the wider type needs NO data rewrite —
+    * old files keep their int32/float pages, new files write the wide
+    * type, and one declared schema reads both.
+    */
+  private val widenings: Set[(org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType)] =
+    Set(
+      (org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType),
+      (org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType))
+
+  /** Merge the DECLARED schema with what newly-committed files carry:
+    * declared field order is preserved (ALTER-added columns no file has
+    * yet survive), a new file carrying the wider half of a sanctioned
+    * widening pair evolves the declared type, columns only new files know
+    * append at the end, and any other type conflict fails the COMMIT —
+    * loudly, before a wrong schema is ever recorded.
+    */
+  private[sources] def mergeEvolved(
+      declared: org.apache.spark.sql.types.StructType,
+      inferred: org.apache.spark.sql.types.StructType,
+      context: String,
+      partCols: Set[String] = Set.empty): org.apache.spark.sql.types.StructType = {
+    val byName = inferred.fields.map(f => f.name -> f).toMap
+    val kept = declared.fields.map { f =>
+      byName.get(f.name) match {
+        case None => f
+        case Some(g) if g.dataType == f.dataType => f
+        // a hive partition column's inferred type comes from PATH-string
+        // guessing (day=2024-01-01 reads back as DATE) — the declared
+        // type always wins; the scan casts path values to it
+        case Some(_) if partCols.contains(f.name) => f
+        case Some(g) if widenings((g.dataType, f.dataType)) => f // files still narrow
+        case Some(g) if widenings((f.dataType, g.dataType)) =>
+          f.copy(dataType = g.dataType) // data evolved wider via append
+        case Some(g) =>
+          sys.error(
+            s"schema evolution conflict on column '${f.name}' of $context: declared " +
+              s"${f.dataType.simpleString}, new files carry ${g.dataType.simpleString} — only " +
+              "int→bigint and float→double widen in place; anything else needs a rewrite")
+      }
+    }
+    val declaredNames = declared.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      kept.toSeq ++ inferred.fields.filterNot(f => declaredNames.contains(f.name)))
+  }
+
+  /** The table's hive partition columns as its file layout implies them
+    * (every data file shares one `k=v/...` dir structure).
+    */
+  private[sources] def partitionColsFromRels(rels: Seq[String]): Seq[String] =
+    rels.headOption
+      .map(_.split("/").dropRight(1).toSeq.filter(_.contains("=")).map(_.split("=", 2)(0)))
+      .getOrElse(Seq.empty)
+
+  /** A metadata-only commit: next manifest version with the previous
+    * version's file list and per-file stats carried VERBATIM (no data
+    * I/O, no footer opens — DDL touches metadata, period) under a new
+    * header. The engine of [[createTable]] / [[addColumns]] /
+    * [[dropColumn]] / [[widenColumn]].
+    */
+  private def commitDdl(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      dropped: Seq[String],
+      partCols: Seq[String],
+      statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = withTableLock(spark, root) {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val dir = manifestDir(rootPath)
+    fs.mkdirs(dir)
+    val version = latestVersion(spark, root) + 1L
+    val prevBody: Seq[String] =
+      if (version > 1L) manifestLines(spark, root, version - 1L).filterNot(_.startsWith("#"))
+      else Seq.empty
+    val header = Seq("#graft-manifest 2", s"#schema ${schema.json}") ++
+      (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
+      (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
+      (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
+      (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
+    val body = header ++ prevBody
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, false)
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = manifestPath(rootPath, version)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
+    }
+    version
+  }
+
+  /** Create an EMPTY snapshot table: directory + a v1 manifest recording
+    * the declared schema, hive partition layout, and stats/bloom
+    * discipline — so the first INSERT already writes the right layout and
+    * commits under the right discipline. Refuses a directory that already
+    * has manifests (the table exists) or loose data files (adopt those
+    * with [[commit]] instead — silently swallowing them under a fresh
+    * declared schema would mask a wrong path).
+    */
+  def createTable(
+      spark: SparkSession,
+      root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    require(schema.fields.nonEmpty, s"createTable($root): schema must have at least one column")
+    (partCols ++ statsCols ++ bloomCols).foreach(c =>
+      require(
+        schema.fieldNames.contains(c),
+        s"createTable($root): column '$c' is not in the declared schema"))
+    require(
+      bloomCols.isEmpty || statsCols.nonEmpty,
+      "bloom sidecars ride on a stats commit — pass statsCols (at least the partition column)")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    require(
+      latestVersion(spark, root) == 0L,
+      s"table $root already has committed manifests — it exists")
+    require(
+      !fs.exists(rootPath) || listDataFiles(spark, root).isEmpty,
+      s"directory $root already holds data files — adopt them with Snapshots.commit, " +
+        "don't shadow them under a fresh declared schema")
+    fs.mkdirs(rootPath)
+    commitDdl(spark, root, schema, Seq.empty, partCols, statsCols, bloomCols)
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS`: append nullable columns to the declared
+    * schema — metadata-only; every existing row reads NULL for them.
+    * Re-adding a previously DROPPED name is refused: by-name storage
+    * would resurrect the old values from old files (the classic by-name
+    * evolution trap; pick a new name).
+    */
+  def addColumns(spark: SparkSession, root: String, cols: Seq[StructField]): Long =
+    withTableLock(spark, root) {
+      require(cols.nonEmpty, "addColumns: no columns given")
+      val view = manifestView(spark, root)
+      val cur = view.schema.getOrElse(sys.error(
+        s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
+      cols.foreach { f =>
+        require(
+          f.nullable,
+          s"added column '${f.name}' must be nullable — existing rows have no value for it")
+        require(!f.name.contains("."), s"added column '${f.name}': nested paths are not supported")
+        require(
+          !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"column '${f.name}' already exists")
+        require(
+          !view.dropped.exists(_.equalsIgnoreCase(f.name)),
+          s"column '${f.name}' was previously dropped; re-adding the name would resurrect its " +
+            "old values from old files — pick a new name")
+      }
+      commitDdl(
+        spark,
+        root,
+        org.apache.spark.sql.types.StructType(cur.fields.toSeq ++ cols),
+        view.dropped,
+        view.partCols,
+        view.statsCols,
+        view.bloomCols)
+    }
+
+  /** `ALTER TABLE … DROP COLUMN`: remove the column from the declared
+    * schema and TOMBSTONE the name, so later commits' inference can never
+    * resurrect it from the old files that still physically carry it (the
+    * bytes go away when maintenance next rewrites those files — e.g.
+    * compaction). Also retires the column from the stats/bloom
+    * discipline. Hive partition columns are structural and refuse.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+    withTableLock(spark, root) {
+      val view = manifestView(spark, root)
+      val cur = view.schema.getOrElse(sys.error(
+        s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
+      require(cur.fieldNames.contains(name), s"table $root has no column '$name'")
+      require(cur.fields.length > 1, s"cannot drop '$name' — it is the table's only column")
+      val layout =
+        if (view.partCols.nonEmpty) view.partCols else partitionColsFromRels(view.rels)
+      require(
+        !layout.contains(name),
+        s"'$name' is a hive partition column — the table layout depends on it")
+      commitDdl(
+        spark,
+        root,
+        org.apache.spark.sql.types.StructType(cur.fields.toSeq.filterNot(_.name == name)),
+        view.dropped :+ name,
+        view.partCols,
+        view.statsCols.filterNot(_ == name),
+        view.bloomCols.filterNot(_ == name))
+    }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t`: record the wider type for a
+    * sanctioned widening pair (int→bigint, float→double) — metadata-only;
+    * old files keep narrow pages and read wide.
+    */
+  def widenColumn(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    withTableLock(spark, root) {
+      val view = manifestView(spark, root)
+      val cur = view.schema.getOrElse(sys.error(
+        s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
+      val f = cur.fields
+        .find(_.name == name)
+        .getOrElse(sys.error(s"table $root has no column '$name'"))
+      require(
+        widenings((f.dataType, to)),
+        s"cannot change '$name' from ${f.dataType.simpleString} to ${to.simpleString} in place — " +
+          "supported widenings: int→bigint, float→double; anything else needs a rewrite")
+      commitDdl(
+        spark,
+        root,
+        org.apache.spark.sql.types.StructType(
+          cur.fields.toSeq.map(x => if (x.name == name) x.copy(dataType = to) else x)),
+        view.dropped,
+        view.partCols,
+        view.statsCols,
+        view.bloomCols)
     }
 
   /** Sidecar location for file `rel`'s bloom over `colName` — under the
@@ -793,7 +1071,9 @@ object Snapshots {
       stats: Map[String, Map[String, ColStat]],
       schema: Option[org.apache.spark.sql.types.StructType],
       statsCols: Seq[String],
-      bloomCols: Seq[String] = Seq.empty)
+      bloomCols: Seq[String] = Seq.empty,
+      dropped: Seq[String] = Seq.empty,
+      partCols: Seq[String] = Seq.empty)
 
   def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
     val v = if (version > 0) version else latestVersion(spark, root)
@@ -824,7 +1104,17 @@ object Snapshots {
       .find(_.startsWith("#bloomcols "))
       .map(_.stripPrefix("#bloomcols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    ManifestView(v, rels, stats, schema, statsCols, bloomCols)
+    // dropped-column tombstones are hex-encoded (a column name may itself
+    // contain a comma); partition columns are plain (hive dir names can't)
+    val dropped = lines
+      .find(_.startsWith("#dropped "))
+      .map(_.stripPrefix("#dropped ").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(unhex))
+      .getOrElse(Seq.empty)
+    val partCols = lines
+      .find(_.startsWith("#partcols "))
+      .map(_.stripPrefix("#partcols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    ManifestView(v, rels, stats, schema, statsCols, bloomCols, dropped, partCols)
   }
 
   /** The root-relative file list of manifest `version` (≤0 → latest).

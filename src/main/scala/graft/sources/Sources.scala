@@ -242,6 +242,21 @@ object Sources {
     * `("user_id", "7")`. Only shapes whose rendering is exact are
     * returned — anything else simply doesn't narrow.
     */
+  /** The table's manifest-declared schema, when one is recorded — the
+    * maintenance ops enforce it on every MULTI-file read, so a table whose
+    * schema evolved (ALTER-added columns only some files carry, widened
+    * types, dropped tombstones) scans consistently no matter which file's
+    * footer Spark's inference would have picked. Single-file DELETE
+    * rewrites stay footer-faithful on purpose (a keep-filter must preserve
+    * exactly what the file holds); UPDATE rewrites enforce the declared
+    * schema instead, so `SET added_col = …` can backfill a column the old
+    * file predates — the post-ALTER workflow.
+    */
+  private def declaredSchemaOf(
+      spark: SparkSession,
+      root: String): Option[org.apache.spark.sql.types.StructType] =
+    if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.schemaOf(spark, root) else None
+
   private def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
     // ANALYZE the predicate against the real frame: the caller's Column is
@@ -288,8 +303,14 @@ object Sources {
     // (`user_id = k`, the GDPR shape) against an unclustered 100 TB table
     // then reads one or two files instead of all of them — the bloom read
     // replaces the full-table predicate scan, not just the rewrite.
+    val declared = declaredSchemaOf(spark, root)
+    def rootRead = {
+      val rd = spark.read
+      declared.foreach(rd.schema)
+      rd.parquet(root)
+    }
     val candidates: Seq[String] = {
-      val probes = equalityProbes(spark.read.parquet(root), predicate)
+      val probes = equalityProbes(rootRead, predicate)
       if (probes.isEmpty) liveFiles
       else {
         val view =
@@ -311,11 +332,12 @@ object Sources {
     val fsForScan = rootPathForScan.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scanBase = fsForScan.makeQualified(rootPathForScan).toString
     val scan =
-      if (candidates.size == liveFiles.size) spark.read.parquet(root)
-      else
-        spark.read
-          .option("basePath", scanBase)
-          .parquet(candidates.map(rel => s"$scanBase/$rel"): _*)
+      if (candidates.size == liveFiles.size) rootRead
+      else {
+        val rd = spark.read.option("basePath", scanBase)
+        declared.foreach(rd.schema)
+        rd.parquet(candidates.map(rel => s"$scanBase/$rel"): _*)
+      }
     val affected = scan
       .filter(predicate)
       .select(input_file_name().as("f"))
@@ -427,7 +449,12 @@ object Sources {
     // or a partition-column SET must fail loudly even when the predicate
     // matches nothing (per-file checks alone would silently "succeed" on
     // zero matches). ONE frame serves both validation and the match scan.
-    val table = spark.read.parquet(root)
+    val declared = declaredSchemaOf(spark, root)
+    val table = {
+      val rd = spark.read
+      declared.foreach(rd.schema)
+      rd.parquet(root)
+    }
     val unknownSet = sets.keys.filterNot(k => table.columns.exists(_.equalsIgnoreCase(k)))
     require(unknownSet.isEmpty, s"SET column(s) not in table: ${unknownSet.mkString(", ")}")
     val tablePartCols = fs
@@ -458,7 +485,14 @@ object Sources {
         .map(_.split("=", 2)(0))
         .toSeq
         .distinct
-      val src = spark.read.option("basePath", qualifiedRoot).parquet(uri)
+      val src = {
+        // declared schema enforced: the rewrite materializes ALTER-added
+        // columns (null where the old file predates them), so SET can
+        // backfill them — and purges dropped tombstoned columns
+        val rd = spark.read.option("basePath", qualifiedRoot)
+        declared.foreach(rd.schema)
+        rd.parquet(uri)
+      }
       val hit = coalesce(predicate, lit(false))
       // ONE projection: predicate + every SET expression see the old row
       val updated = src
@@ -650,12 +684,21 @@ object Sources {
       .filter(_._2.length > 1)
     if (targets.isEmpty) return (0L, 0L, 0L)
     Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    // declared DATA schema (partition cols live in the dir path, not the
+    // bytes): an evolved table compacts consistently — ALTER-added columns
+    // survive no matter which footer inference would have picked, dropped
+    // tombstoned columns are physically purged by the rewrite
+    val dataSchema = declaredSchemaOf(spark, root).map { s =>
+      val partCols = Snapshots.partitionColsFromRels(Snapshots.listDataFiles(spark, root)).toSet
+      org.apache.spark.sql.types.StructType(s.filterNot(f => partCols.contains(f.name)))
+    }
     def compactOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
       // explicit file list, partition columns irrelevant (rows keep their
       // dir, which IS the partition value)
-      spark.read
-        .parquet(files.map(_.toString): _*)
+      val rd = spark.read
+      dataSchema.foreach(rd.schema)
+      rd.parquet(files.map(_.toString): _*)
         .coalesce(1)
         .write
         .mode(SaveMode.Overwrite)
@@ -725,10 +768,16 @@ object Sources {
       .filter(_._2.nonEmpty)
     if (targets.isEmpty) return (0L, 0L)
     Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    // same declared-data-schema discipline as compactInPlace
+    val dataSchema = declaredSchemaOf(spark, root).map { s =>
+      val pcs = Snapshots.partitionColsFromRels(Snapshots.listDataFiles(spark, root)).toSet
+      org.apache.spark.sql.types.StructType(s.filterNot(f => pcs.contains(f.name)))
+    }
     def clusterOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".cluster-${java.util.UUID.randomUUID().toString}")
-      spark.read
-        .parquet(files.map(_.toString): _*)
+      val rd = spark.read
+      dataSchema.foreach(rd.schema)
+      rd.parquet(files.map(_.toString): _*)
         .repartitionByRange(filesPerScope, key)
         .sortWithinPartitions(key)
         .write

@@ -169,16 +169,94 @@ class GraftCatalog
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
-      "GraftCatalog DDL is read-only: a table IS a directory with committed manifests " +
-        "(Snapshots.commit creates one); SQL INSERT INTO / INSERT OVERWRITE are supported, " +
-        "other mutations go through graft.sources.Sources maintenance ops")
+      "GraftCatalog supports CREATE TABLE / CTAS / ALTER TABLE ADD|DROP|ALTER COLUMN and SQL " +
+        "DML, but not this operation: a table IS a directory with committed manifests — " +
+        "dropping or renaming one is a filesystem decision, not a catalog call")
 
+  /** `CREATE TABLE cat.ns.t (…) [PARTITIONED BY (c, …)] [TBLPROPERTIES
+    * ('stats_cols'='a,b', 'bloom_cols'='a')]` — an empty snapshot table:
+    * directory + v1 manifest recording the declared schema, hive layout
+    * and stats/bloom discipline ([[Snapshots.createTable]]), so the first
+    * INSERT (CTAS included — Spark drives it as create-then-append)
+    * already writes the right layout under the right discipline. Only
+    * identity partition transforms map to hive dirs; bucket/temporal
+    * transforms refuse.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly()
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly()
+      properties: util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references().length != 1 ||
+        t.references()(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"snapshot tables partition by hive directories — only identity transforms on " +
+            s"top-level columns are supported, got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    def propCols(key: String): Seq[String] =
+      Option(properties.get(key)).toSeq.flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val dir = dirOf(ident)
+    Snapshots.createTable(
+      spark,
+      dir,
+      schema,
+      partCols,
+      // the partition column is the default stats column: day-pruned scans
+      // and metadata COUNT(*) work out of the box on partitioned tables
+      if (propCols("stats_cols").nonEmpty) propCols("stats_cols") else partCols,
+      propCols("bloom_cols"))
+    new SnapTable(dir, 1L)
+  }
+
+  /** `ALTER TABLE cat.t ADD COLUMNS (…)` / `DROP COLUMN c` / `ALTER
+    * COLUMN c TYPE t` — metadata-only schema evolution on the manifest's
+    * declared schema ([[Snapshots.addColumns]] / [[Snapshots.dropColumn]]
+    * / [[Snapshots.widenColumn]]): each change commits a new version, so
+    * evolution itself is time-travelable — `VERSION AS OF` a pre-ALTER
+    * version reads the pre-ALTER schema. RENAME refuses: by-name storage
+    * would silently turn it into drop+add.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isSnapTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case ac: TableChange.AddColumn =>
+        if (ac.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column additions are not supported: ${ac.fieldNames().mkString(".")}")
+        if (ac.position() != null)
+          throw new UnsupportedOperationException(
+            "added columns append at the end of the schema — FIRST/AFTER positions are not supported")
+        if (!ac.isNullable)
+          throw new UnsupportedOperationException(
+            s"added column '${ac.fieldNames()(0)}' must be nullable — existing rows have no value")
+        Snapshots.addColumns(
+          spark,
+          dir,
+          Seq(StructField(ac.fieldNames()(0), ac.dataType(), nullable = true)))
+      case dc: TableChange.DeleteColumn =>
+        if (dc.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column drops are not supported: ${dc.fieldNames().mkString(".")}")
+        Snapshots.dropColumn(spark, dir, dc.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        if (ut.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"nested column type changes are not supported: ${ut.fieldNames().mkString(".")}")
+        Snapshots.widenColumn(spark, dir, ut.fieldNames()(0), ut.newDataType())
+      case rc: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"RENAME COLUMN '${rc.fieldNames().mkString(".")}' refused: snapshot files store " +
+            "columns BY NAME, so a rename would silently read as drop+add (old rows all-NULL); " +
+            "add a new column and backfill with UPDATE instead")
+      case other =>
+        throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
+
   override def dropTable(ident: Identifier): Boolean = readOnly()
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly()
 
@@ -205,8 +283,12 @@ class GraftCatalog
     util.Collections.emptyMap()
   }
 
-  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit =
-    readOnly()
+  /** `CREATE NAMESPACE cat.ns` — a namespace IS a directory under root. */
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val base = new Path((rootDir +: namespace.toSeq).mkString("/"))
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(base)
+    ()
+  }
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = readOnly()
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = readOnly()
 
@@ -279,6 +361,7 @@ class SnapTable(dir: String, version: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
@@ -287,7 +370,7 @@ class SnapTable(dir: String, version: Long)
     Map("format" -> "graft-snapshot", "location" -> dir, "version" -> version.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(dir, view, tableSchema)
+    new SnapScanBuilder(dir, view, tableSchema, options.asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapWriteBuilder(dir, info)
@@ -506,7 +589,11 @@ object SnapWriteBuilder {
             .map(v => Snapshots.files(spark, dir, v))
             .find(_.nonEmpty)
             .getOrElse(Seq.empty)
-      val partCols = partitionColsOf(layoutRels)
+      // the DECLARED layout wins (CREATE TABLE … PARTITIONED BY records
+      // it before any file exists); the rel-derived fallback serves
+      // tables adopted via Snapshots.commit, which never declared one
+      val partCols =
+        if (latest.partCols.nonEmpty) latest.partCols else partitionColsOf(layoutRels)
       if (overwrite) {
         // archive every live file BEFORE the new data lands: pinned
         // readers keep resolving, and the pre-overwrite state stays
@@ -601,7 +688,11 @@ private[snap] object SnapFilters {
   * planning works off the ONE [[Snapshots.ManifestView]] the table
   * loaded — no further manifest I/O here.
   */
-class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: StructType)
+class SnapScanBuilder(
+    dir: String,
+    view: Snapshots.ManifestView,
+    tableSchema: StructType,
+    options: Map[String, String] = Map.empty)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -690,7 +781,8 @@ class SnapScanBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: St
         kept,
         view.rels.size,
         translated.toSeq,
-        view.stats)
+        view.stats,
+        options)
   }
 }
 
@@ -732,11 +824,21 @@ class SnapBatchScan(
     val keptRels: Seq[String],
     totalFiles: Int,
     filters: Seq[Filter],
-    stats: Map[String, Map[String, Snapshots.ColStat]])
+    stats: Map[String, Map[String, Snapshots.ColStat]],
+    options: Map[String, String] = Map.empty)
     extends V1Scan
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("cat.t")` — the manifest-log streaming
+    * source ([[SnapMicroBatchStream]]); stats pruning and the version pin
+    * don't apply (the stream's own offsets are versions), but column
+    * pruning does — `required` carries through.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapMicroBatchStream(dir, required, tableSchema, options)
 
   override def description(): String =
     s"GraftSnapScan $dir v$version files=${keptRels.size}/$totalFiles " +

@@ -1,0 +1,301 @@
+package graft.sources.snap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Snapshots
+
+/** Native streaming SOURCE over a snapshot table's manifest log — the
+  * reader half of the incremental loop, at the SQL surface:
+  *
+  * {{{
+  * spark.readStream.table("cat.events")          // from version 1
+  *   .writeStream.toTable("cat.events_derived")  // exactly-once sink
+  * }}}
+  *
+  * Offsets ARE manifest versions: a micro-batch (v₁, v₂] streams the rows
+  * of every data file ADDED by commits v₁+1..v₂ — each version's added
+  * set is `files(v) − files(v−1)`, two manifest reads and no data I/O at
+  * planning time. Exactly-once comes from the offset log: versions are
+  * durable, the added-file set of a version is immutable (the archive
+  * invariant — a rel names one file forever, [[Snapshots.resolve]] finds
+  * it live or archived), so replanning a batch after restart yields the
+  * same rows.
+  *
+  * Commits that REMOVE files (delete / update / compaction / overwrite)
+  * are not append-shaped: their added files hold rewritten copies of old
+  * rows, which an insert-only stream must not re-emit. Default is to FAIL
+  * loudly with guidance; `.option("skipChangeCommits", "true")` skips
+  * them entirely (downstream sees inserts only — the Delta-style
+  * contract); the row-level exact alternative (deletes included,
+  * compaction cancels) is [[graft.streaming.Streaming.changeFeed]].
+  *
+  * `.option("startingVersion", n|"latest")` picks the start: `n` streams
+  * history from version n's commit (default 1 — the initial image is just
+  * the first batch), `latest` streams only commits after stream start.
+  * `.option("maxFilesPerTrigger", n)` bounds each batch to ~n files with
+  * FILE-granular offsets (an offset can stop inside a version's added
+  * set), so even the one-commit history of an adopted table pages
+  * through in bounded batches.
+  *
+  * Scale: planning cost per trigger is one directory listing + one small
+  * manifest read per new version; data cost is exactly the appended
+  * files. A 100 TB table with a steady append stream costs each trigger
+  * only its delta — the full-history scan never happens unless a fresh
+  * consumer explicitly starts at version 1. Partition values are spliced
+  * from the `k=v` path segments per file (cast to the declared schema on
+  * the executor), so hive-partitioned tables stream with their partition
+  * columns intact — no directory inference job, ever.
+  */
+class SnapMicroBatchStream(
+    dir: String,
+    required: StructType,
+    tableSchema: StructType,
+    options: Map[String, String])
+    extends MicroBatchStream
+    with SupportsAdmissionControl {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val skipChangeCommits =
+    options.get("skipchangecommits").exists(_.equalsIgnoreCase("true"))
+
+  /** `.option("maxFilesPerTrigger", n)` — admission control: a trigger
+    * advances through whole versions but stops once the batch holds ≥ n
+    * added files (always at least one version, or a huge commit could
+    * never be admitted). The fresh-consumer case this exists for: a
+    * stream STARTING at version 1 of a large table pages through history
+    * in bounded batches instead of planning the entire table as one.
+    */
+  private val maxFilesPerTrigger: Option[Int] =
+    options.get("maxfilespertrigger").map { s =>
+      val n = scala.util.Try(s.toInt).getOrElse(
+        throw new IllegalArgumentException(s"maxFilesPerTrigger must be a positive int, got '$s'"))
+      require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n")
+      n
+    }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = spark
+    val o = start.asInstanceOf[SnapVersionOffset]
+    val vMax = Snapshots.latestVersion(s, dir)
+    maxFilesPerTrigger match {
+      case None => SnapVersionOffset(vMax, 0)
+      case Some(cap) =>
+        // file-granular walk: offsets can stop INSIDE a version's added
+        // set, so even a one-commit adopted table (its whole history is
+        // version 1) pages through in bounded batches
+        var v = o.version
+        var k = o.index
+        var budget = cap
+        while (v < vMax && budget > 0) {
+          val (added, _) = addedOf(s, v + 1)
+          val remaining = added.size - k
+          if (remaining <= budget) { budget -= remaining; v += 1; k = 0 }
+          else { k += budget; budget = 0 }
+        }
+        SnapVersionOffset(v, k)
+    }
+  }
+
+  /** The ADDED file list of version v, in manifest order (a manifest is
+    * an immutable file, so slice indices are stable across replans —
+    * what makes the sub-version offset exactly-once). The removed count
+    * rides along for the rewrite-commit check.
+    */
+  private def addedOf(s: SparkSession, v: Long): (Seq[String], Int) = {
+    val cur = Snapshots.files(s, dir, v)
+    val prev: Set[String] =
+      if (v <= 1L) Set.empty else Snapshots.files(s, dir, v - 1L).toSet
+    (cur.filterNot(prev), (prev -- cur.toSet).size)
+  }
+
+  override def initialOffset(): Offset = options.get("startingversion") match {
+    case Some(s) if s.equalsIgnoreCase("latest") =>
+      SnapVersionOffset(Snapshots.latestVersion(spark, dir), 0)
+    case Some(s) =>
+      val v = scala.util.Try(s.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a manifest version or 'latest', got '$s'"))
+      require(v >= 1L, s"startingVersion starts at 1, got $v")
+      SnapVersionOffset(v - 1L, 0)
+    case None => SnapVersionOffset(0L, 0)
+  }
+
+  override def latestOffset(): Offset =
+    SnapVersionOffset(Snapshots.latestVersion(spark, dir), 0)
+
+  override def deserializeOffset(json: String): Offset = SnapVersionOffset.fromJson(json)
+
+  /** Emit the files between two offsets. An offset (v, k) means: versions
+    * ≤ v fully consumed, plus the first k added files of version v+1.
+    */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = spark
+    val o0 = start.asInstanceOf[SnapVersionOffset]
+    val o1 = end.asInstanceOf[SnapVersionOffset]
+    val lastV = if (o1.index > 0) o1.version + 1L else o1.version
+    val parts = Seq.newBuilder[InputPartition]
+    ((o0.version + 1L) to lastV).foreach { v =>
+      val (added, removedCount) = addedOf(s, v)
+      if (removedCount > 0 && !skipChangeCommits)
+        throw new UnsupportedOperationException(
+          s"snapshot stream over $dir hit version $v, which rewrote $removedCount file(s) " +
+            "(delete/update/compaction/overwrite) — an insert-only stream cannot represent it. " +
+            "Either .option(\"skipChangeCommits\", \"true\") to skip rewrite commits, or use " +
+            "graft.streaming.Streaming.changeFeed for the row-level feed with deletes.")
+      if (removedCount == 0) {
+        val lo = if (v == o0.version + 1L) o0.index else 0
+        val hi = if (v == o1.version + 1L) o1.index else added.size
+        added.slice(lo, hi).foreach { rel =>
+          val partVals = rel
+            .split("/")
+            .dropRight(1)
+            .filter(_.contains("="))
+            .map { seg =>
+              val Array(k, raw) = seg.split("=", 2)
+              k -> SnapMicroBatchStream.unescapePathName(raw)
+            }
+          parts += SnapStreamFileInput(Snapshots.resolve(s, dir, rel).toString, partVals)
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    SnapStreamReadFactory(
+      required.json,
+      tableSchema.json,
+      org.apache.spark.sql.graft.Bridge.serializableConf(
+        org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)),
+      spark.conf.get("spark.sql.session.timeZone"))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object SnapMicroBatchStream {
+  /** Undo Spark's hive-path escaping (`%XX` for chars illegal in a dir
+    * name). `__HIVE_DEFAULT_PARTITION__` reads as null upstream.
+    */
+  private[snap] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) {
+          sb.append(((hi << 4) | lo).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** Streaming offset (v, k): versions ≤ v fully processed, plus the first
+  * k files of version v+1's added set (manifest order — immutable, so the
+  * index is stable). k = 0 is the version-complete form.
+  */
+case class SnapVersionOffset(version: Long, index: Int) extends Offset {
+  override def json(): String = s"""{"version":$version,"index":$index}"""
+}
+
+object SnapVersionOffset {
+  private val Re = """\{"version":(\d+),"index":(\d+)\}""".r
+  def fromJson(json: String): SnapVersionOffset = json.trim match {
+    case Re(v, i) => SnapVersionOffset(v.toLong, i.toInt)
+    // pre-index checkpoints serialized the bare version number
+    case s if scala.util.Try(s.toLong).isSuccess => SnapVersionOffset(s.toLong, 0)
+    case other => throw new IllegalArgumentException(s"unparseable snapshot stream offset: $other")
+  }
+}
+
+/** One added data file + its hive partition (column → raw path value)
+  * pairs; `__HIVE_DEFAULT_PARTITION__` is the hive null sentinel.
+  */
+case class SnapStreamFileInput(path: String, partVals: Array[(String, String)])
+    extends InputPartition
+
+/** Reads one added parquet file as the REQUIRED schema: data columns come
+  * from the file via Spark's own `ParquetReadSupport` (bridged — schema
+  * clipping null-fills ALTER-added columns exactly like a DataFrame
+  * scan), hive partition columns are cast once per file from their path
+  * values to the declared types and spliced into every row, and `_file`
+  * (if requested) reports provenance, mirroring the batch scan.
+  */
+case class SnapStreamReadFactory(
+    requiredJson: String,
+    tableJson: String,
+    conf: java.io.Serializable,
+    zoneId: String)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val in = p.asInstanceOf[SnapStreamFileInput]
+    val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+    val table = DataType.fromJson(tableJson).asInstanceOf[StructType]
+    val partByName = in.partVals.toMap
+    // spliced slots: partition columns and _file; everything else reads
+    // from the parquet bytes
+    def spliced(name: String) = partByName.contains(name) || name == SnapTable.FileMetaCol
+    val dataSchema = StructType(required.fields.filterNot(f => spliced(f.name)))
+    val reader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+      new Path(in.path),
+      dataSchema,
+      org.apache.spark.sql.graft.Bridge.confOf(conf))
+    // one evaluated internal value per spliced slot, cast from the raw
+    // path string to the DECLARED column type (what directory inference
+    // would have produced, minus the inference guesswork)
+    val out = new Array[Any](required.length)
+    val dataIdx = Array.newBuilder[Int]
+    required.fields.zipWithIndex.foreach { case (f, i) =>
+      if (f.name == SnapTable.FileMetaCol) out(i) = UTF8String.fromString(in.path)
+      else if (partByName.contains(f.name)) {
+        val raw = partByName(f.name)
+        out(i) =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else {
+            val declared = table.fields.find(_.name == f.name).map(_.dataType).getOrElse(StringType)
+            org.apache.spark.sql.catalyst.expressions
+              .Cast(
+                org.apache.spark.sql.catalyst.expressions
+                  .Literal(UTF8String.fromString(raw), StringType),
+                declared,
+                Some(zoneId))
+              .eval(null)
+          }
+      } else dataIdx += i
+    }
+    val dataPositions = dataIdx.result()
+    val dataTypes = dataSchema.fields.map(_.dataType)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        val row = out.clone()
+        var i = 0
+        while (i < dataPositions.length) {
+          row(dataPositions(i)) = if (cur.isNullAt(i)) null else cur.get(i, dataTypes(i))
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -107,7 +109,7 @@ class SnapCatalogSpec extends SparkSpec {
     val names = spark.sql("SHOW TABLES IN snapc5").select("tableName").as[String].collect().toSet
     assert(names == Set("ev"))
     val e = intercept[Exception](spark.sql("DROP TABLE snapc5.ev"))
-    assert(e.getMessage.contains("DDL is read-only"), e.getMessage)
+    assert(e.getMessage.contains("filesystem decision"), e.getMessage)
     val missing = intercept[Exception](spark.sql("SELECT * FROM snapc5.ev VERSION AS OF 99").collect())
     assert(missing.getMessage.contains("no manifest version 99"), missing.getMessage)
     // a non-positive pin must not silently alias "latest"
@@ -544,5 +546,255 @@ class SnapCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent update"), e.getMessage)
     // the table is exactly what the interloper committed — nothing landed
     assert(spark.sql("SELECT count(*) FROM snapc20.t").as[Long].head() == 400L)
+  }
+
+  // ---- DDL: CREATE TABLE / CTAS / ALTER TABLE schema evolution ---------
+
+  /** An empty catalog rooted at a fresh temp dir. */
+  private def emptyCatalog(name: String): String = {
+    val base = Files.createTempDirectory("snapddl").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", base)
+    base
+  }
+
+  test("CREATE TABLE PARTITIONED BY: first INSERT writes the declared hive layout + discipline") {
+    val base = emptyCatalog("ddl1")
+    spark.sql(
+      "CREATE TABLE ddl1.ev (id BIGINT, day STRING, v DOUBLE) PARTITIONED BY (day) " +
+        "TBLPROPERTIES ('stats_cols'='day', 'bloom_cols'='')")
+    // empty table is SELECTable with the declared schema
+    assert(spark.sql("SELECT * FROM ddl1.ev").schema.fieldNames.toSeq == Seq("id", "day", "v"))
+    assert(spark.sql("SELECT count(*) FROM ddl1.ev").as[Long].head() == 0L)
+    spark.sql(
+      "INSERT INTO ddl1.ev VALUES (1, '2024-01-01', 1.5), (2, '2024-01-02', 2.5), (3, '2024-01-02', 3.5)")
+    // the declared layout landed as hive dirs even though no file existed
+    // to derive it from
+    val fs = new org.apache.hadoop.fs.Path(s"$base/ev")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayDirs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$base/ev"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName)
+      .sorted
+    assert(dayDirs.toSeq == Seq("day=2024-01-01", "day=2024-01-02"), dayDirs.toSeq)
+    // the stats_cols property took: day filters prune; COUNT is manifest-only
+    val one = spark.sql("SELECT id FROM ddl1.ev WHERE day = '2024-01-02' ORDER BY id")
+    val kept = "files=(\\d+)/(\\d+)".r
+      .findFirstMatchIn(scanOf(one).description())
+      .getOrElse(fail(scanOf(one).description()))
+    assert(kept.group(1).toInt < kept.group(2).toInt, "the day=2024-01-01 file must be pruned")
+    assert(one.as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(scanOf(spark.sql("SELECT count(*) FROM ddl1.ev")).isInstanceOf[SnapCountScan])
+  }
+
+  test("CTAS creates a snapshot table from a query; a second CREATE of the name refuses") {
+    emptyCatalog("ddl2")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ddl2_src")
+    spark.sql("CREATE TABLE ddl2.t AS SELECT id, s FROM ddl2_src")
+    assert(
+      spark.sql("SELECT id, s FROM ddl2.t ORDER BY id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    val e = intercept[Exception](spark.sql("CREATE TABLE ddl2.t (x INT)"))
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+  }
+
+  test("ALTER ADD COLUMN: old rows read NULL, pre-ALTER version keeps its schema, commits don't lose it") {
+    val (_, dir) = fixture("ddl3")
+    spark.sql("ALTER TABLE ddl3.ev ADD COLUMNS (score DOUBLE)")
+    // live reads null-fill; the pre-ALTER pin has no such column
+    assert(spark.table("ddl3.ev").schema.fieldNames.contains("score"))
+    assert(spark.sql("SELECT count(*) FROM ddl3.ev WHERE score IS NULL").as[Long].head() == 5L)
+    assert(
+      !spark.sql("SELECT * FROM ddl3.ev VERSION AS OF 1").schema.fieldNames.contains("score"),
+      "time travel must show the pre-ALTER schema")
+    // an INSERT carrying the new column lands it; a further stats commit
+    // (inference + declared merge) must NOT lose the column even though
+    // most files still predate it. Inferred schema order: data cols, then
+    // the hive partition col (day, typed DATE by path inference), then
+    // the ALTER-added score.
+    spark.sql(
+      "INSERT INTO ddl3.ev VALUES (6, 'click', 60.0, DATE'2024-01-05', 0.9)")
+    Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    assert(
+      Snapshots.schemaOf(spark, dir).get.fieldNames.contains("score"),
+      "commit inference must keep the ALTER-added column")
+    assert(
+      spark.sql("SELECT sum(score) FROM ddl3.ev").as[Double].head() == 0.9)
+    // UPDATE backfills the added column on files that predate it (the
+    // partitioned table uses the programmatic per-partition rewrite; the
+    // declared-schema read makes `score` resolvable in pre-ALTER files)
+    Sources.updateWhere(spark, dir, col("id") === 1, Map("score" -> lit(0.5)))
+    assert(
+      spark.sql("SELECT score FROM ddl3.ev WHERE id = 1").as[Double].head() == 0.5)
+  }
+
+  test("ALTER DROP COLUMN: tombstoned, never resurrected by commits; re-add refused; partition col refused") {
+    val (_, dir) = fixture("ddl4")
+    spark.sql("ALTER TABLE ddl4.ev DROP COLUMN v")
+    assert(!spark.table("ddl4.ev").schema.fieldNames.contains("v"))
+    // the files still physically hold v; a later commit's inference must
+    // not resurrect it
+    // the new file lands INSIDE an existing partition, so compaction has
+    // a >1-file scope to rewrite
+    spark.sql("INSERT INTO ddl4.ev VALUES (9, 'view', DATE'2024-01-01')")
+    Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    assert(!Snapshots.schemaOf(spark, dir).get.fieldNames.contains("v"), "tombstone must hold")
+    // compaction physically purges the dropped column from rewritten files
+    Sources.compactInPlace(spark, dir)
+    val rewritten = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-01/"))
+    assert(rewritten.nonEmpty)
+    val anyV = rewritten.exists { rel =>
+      spark.read.parquet(s"$dir/$rel").schema.fieldNames.contains("v")
+    }
+    assert(!anyV, "compacted files must not carry the dropped column")
+    // pre-drop pin still reads it
+    assert(spark.sql("SELECT sum(v) FROM ddl4.ev VERSION AS OF 1").as[Double].head() == 111.0)
+    val re = intercept[Exception](spark.sql("ALTER TABLE ddl4.ev ADD COLUMNS (v DOUBLE)"))
+    assert(re.getMessage.contains("previously dropped"), re.getMessage)
+    val pc = intercept[Exception](spark.sql("ALTER TABLE ddl4.ev DROP COLUMN day"))
+    assert(pc.getMessage.contains("partition"), pc.getMessage)
+  }
+
+  test("ALTER COLUMN TYPE widens int→bigint in place; narrowing and rename refuse") {
+    val base = emptyCatalog("ddl5")
+    spark.sql("CREATE TABLE ddl5.t (id INT, s STRING)")
+    spark.sql("INSERT INTO ddl5.t VALUES (7, 'a')")
+    spark.sql("ALTER TABLE ddl5.t ALTER COLUMN id TYPE BIGINT")
+    // the old int32 file reads as bigint; a value no int can hold lands
+    // beside it
+    spark.sql("INSERT INTO ddl5.t VALUES (3000000000, 'b')")
+    assert(
+      spark.sql("SELECT sum(id) FROM ddl5.t").as[Long].head() == 3000000007L,
+      "narrow and wide files must read under one bigint column")
+    assert(
+      spark.table("ddl5.t").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+    // a further commit keeps the widened type (merge prefers the declared
+    // wide side over old int32 footers)
+    Snapshots.commit(spark, s"$base/t", statsCols = Seq("id"))
+    assert(
+      Snapshots.schemaOf(spark, s"$base/t").get("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+    // Spark's analyzer already refuses the narrowing (canUpCast gate);
+    // Snapshots.widenColumn refuses too, defense-in-depth
+    val nr = intercept[Exception](spark.sql("ALTER TABLE ddl5.t ALTER COLUMN id TYPE INT"))
+    assert(nr.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), nr.getMessage)
+    val nr2 = intercept[Exception](
+      Snapshots.widenColumn(spark, s"$base/t", "id", org.apache.spark.sql.types.IntegerType))
+    assert(nr2.getMessage.contains("widen"), nr2.getMessage)
+    val rn = intercept[Exception](spark.sql("ALTER TABLE ddl5.t RENAME COLUMN s TO s2"))
+    assert(rn.getMessage.contains("BY NAME"), rn.getMessage)
+  }
+
+  // ---- streaming SOURCE over the manifest log --------------------------
+
+  test("readStream.table streams appends exactly-once with typed partition values; restart emits only new commits") {
+    fixture("snapst1")
+    val ckpt = Files.createTempDirectory("snapst1_ck").toString
+    // foreachBatch: the recoverable sink (the memory sink refuses
+    // checkpoint recovery) — collect (id, day) per batch
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, java.sql.Date)]()
+    def start() = spark.readStream
+      .table("snapst1.ev")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        assert(
+          batch.schema("day").dataType == org.apache.spark.sql.types.DateType,
+          "hive partition values must splice in under the declared type")
+        batch.select("id", "day").collect().foreach(r => got.add((r.getLong(0), r.getDate(1))))
+      }
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.size == 5, "the initial image is version 1's batch")
+    assert(got.asScala.map(_._1).sum == 15L)
+    // an INSERT lands version 2; a restart from the checkpoint must emit
+    // ONLY the new rows (committed offsets never replay)
+    spark.sql("INSERT INTO snapst1.ev VALUES (6, 'click', 60.0, DATE'2024-01-05')")
+    got.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(
+      got.asScala.toSeq == Seq((6L, java.sql.Date.valueOf("2024-01-05"))),
+      s"restart must emit exactly the new commit, got ${got.asScala.toSeq}")
+  }
+
+  test("a rewrite commit fails the insert-only stream by default; skipChangeCommits skips it") {
+    val (_, dir) = fixture("snapst2")
+    Sources.deleteWhere(spark, dir, col("id") === 2L) // v2: rewrites a file
+    val ckpt = Files.createTempDirectory("snapst2_ck").toString
+    val q = spark.readStream
+      .table("snapst2.ev")
+      .writeStream
+      .format("memory")
+      .queryName("snapst2_m1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("skipChangeCommits"), e.getMessage)
+    q.stop()
+    // skipping rewrite commits: the stream emits version 1's files (the
+    // deleted row included — insert-only semantics; v1's rewritten file
+    // resolves through the archive) and nothing for the delete commit
+    val q2 = spark.readStream
+      .option("skipChangeCommits", "true")
+      .table("snapst2.ev")
+      .writeStream
+      .format("memory")
+      .queryName("snapst2_m2")
+      .option("checkpointLocation", Files.createTempDirectory("snapst2_ck2").toString)
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(
+      spark.table("snapst2_m2").select("id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("startingVersion=latest streams only post-start commits; column pruning carries through") {
+    fixture("snapst3")
+    val ckpt = Files.createTempDirectory("snapst3_ck").toString
+    val q = spark.readStream
+      .option("startingVersion", "latest")
+      .table("snapst3.ev")
+      .select("id", "day") // pruned: the reader gets a 2-column required schema
+      .writeStream
+      .format("memory")
+      .queryName("snapst3_m")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("snapst3_m").count() == 0L, "history before stream start must not emit")
+    spark.sql("INSERT INTO snapst3.ev VALUES (7, 'view', 70.0, DATE'2024-01-06')")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snapst3_m").as[(Long, java.sql.Date)].collect().toSeq
+    assert(got == Seq((7L, java.sql.Date.valueOf("2024-01-06"))), got.toString)
+  }
+
+  test("maxFilesPerTrigger pages through a single large version in bounded batches, exactly-once") {
+    fixture("snapst4") // version 1 alone holds 4 files
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("snapst4.ev")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("snapst4_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) batches.incrementAndGet()
+        batch.select("id").collect().foreach(r => ids.add(r.getLong(0)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.get() >= 2, s"4 files at 2/trigger must take >= 2 batches, got ${batches.get()}")
+    assert(ids.asScala.toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L), ids.asScala.toSeq.sorted.toString)
   }
 }
