@@ -1050,7 +1050,285 @@ object Frontier3 {
       |       (SELECT total FROM t) AS n_rows
       |FROM agg GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q213: manifest-only MIN/MAX/COUNT(col) pushdown ------------------
+
+  /** The rest of the dashboard reflexes at q195/q197's economics, through
+    * PLAIN SQL: `MIN`, `MAX`, `COUNT(col)` and `COUNT(*)` over a
+    * committed snapshot table answer as a COMPLETE DSv2 aggregate
+    * pushdown ([[graft.sources.snap.SnapAggScan]]) — MIN/MAX fold the
+    * manifest's per-file value intervals, `COUNT(col)` subtracts the
+    * per-file null counts round 9 started recording, and no data file
+    * (not even a footer) opens. The table deliberately stresses the
+    * soundness edges: `cat` is NULL for every click (null counts must be
+    * exact), `day` extremes come from hive path values as DATEs, and the
+    * query REQUIRES the manifest-only plan shape — a silent fallback to a
+    * scan would hash-match, so the plan check is what makes the proof
+    * honest. The ORACLE recomputes all seven answers from raw events. At
+    * 100 TB: every one of these costs one small manifest read, no
+    * cluster job — the Iceberg/Delta stats-read economics, from any SQL
+    * client.
+    */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq213_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val rows = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type"))
+          .as("cat"))
+    graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
+    val cat = s"snapq213_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val df = s.sql(s"""
+      |SELECT min(user_id) AS min_uid, max(user_id) AS max_uid,
+      |       count(user_id) AS n_uid, count(cat) AS n_cat,
+      |       min(day) AS min_day, max(day) AS max_day,
+      |       count(*) AS n_rows
+      |FROM $cat.ev""".stripMargin)
+    // the point IS the plan: refuse to return a scanned answer
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass
+            .getMethod("v1Scan")
+            .invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+            .description()
+        else r.scan.description()
+    }
+    require(
+      scans.exists(_.contains("GraftSnapAggScan")),
+      s"aggregates did not push to the manifest: $scans")
+    df
+  }
+
+  val q213Sql: String =
+    """SELECT min(user_id) AS min_uid, max(user_id) AS max_uid,
+      |  CAST(count(user_id) AS BIGINT) AS n_uid,
+      |  CAST(count(CASE WHEN event_type <> 'click' THEN event_type END) AS BIGINT) AS n_cat,
+      |  min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM events""".stripMargin
+
+  /** Run `body` with session confs set, restoring previous values — the
+    * SPJ/DPP demos flip real Spark confs and must leave the shared
+    * Verify/Bench session exactly as found.
+    */
+  private def withConfs(s: SparkSession, pairs: (String, String)*)(body: => DataFrame): DataFrame = {
+    val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Materialize a DataFrame computed under temporary confs: the caller's
+    * plan ran (and was plan-checked) under those confs; the returned
+    * frame must not silently re-plan differently when the harness
+    * re-executes it after they are restored.
+    */
+  private def freeze(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
+  // -- q214: storage-partitioned join — co-partitioned tables, no shuffle
+
+  /** The 100 TB join story: two snapshot tables hive-partitioned on the
+    * same `day` key join with ZERO shuffles on either side. The v2 batch
+    * path ([[graft.sources.snap.SnapV2BatchScan]]) reports every file's
+    * typed partition key under a `KeyGroupedPartitioning(identity(day))`;
+    * Spark (v2 bucketing, default-on in Spark 4) groups same-key files
+    * into co-located input splits and satisfies the join's distribution
+    * requirement straight from storage — the plan REQUIRE proves no
+    * `ShuffleExchange` exists under the join, with broadcast disabled so
+    * the assertion can't be satisfied vacuously. At 100 TB this is the
+    * difference between moving both tables across the network and moving
+    * nothing: the daily-fact ⋈ daily-rollup join every pipeline runs,
+    * costed at local disk reads. The ORACLE recomputes both sides from
+    * raw events and joins them in DuckDB.
+    */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq214_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val cat = s"snapq214_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val byType = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val byUser = ev
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    graft.sources.Sources.writeParquet(
+      byType.repartition(col("day")),
+      new org.apache.hadoop.fs.Path(base, "by_type").toString,
+      Seq("day"))
+    graft.sources.Snapshots.commit(s, new org.apache.hadoop.fs.Path(base, "by_type").toString, Seq("day"))
+    graft.sources.Sources.writeParquet(
+      byUser.repartition(col("day")),
+      new org.apache.hadoop.fs.Path(base, "by_user").toString,
+      Seq("day"))
+    graft.sources.Snapshots.commit(s, new org.apache.hadoop.fs.Path(base, "by_user").toString, Seq("day"))
+    withConfs(
+      s,
+      "spark.graft.snapshot.batchscan" -> "v2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = s.sql(s"""
+        |SELECT t.day AS day,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(t.n) AS BIGINT) AS n_events_w,
+        |       CAST(sum(u.n_ev) AS BIGINT) AS n_events_u
+        |FROM $cat.by_type t JOIN $cat.by_user u ON t.day = u.day
+        |GROUP BY t.day ORDER BY t.day""".stripMargin)
+      // the point IS the plan: a shuffle under the join voids the demo
+      val joins = joined.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      require(joins.nonEmpty, s"expected a shuffle-family join:\n${joined.queryExecution.executedPlan}")
+      val shufflesUnderJoin = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(
+        shufflesUnderJoin.isEmpty,
+        s"storage-partitioned join must not shuffle either side:\n${joins.head}")
+      freeze(s, joined)
+    }
+  }
+
+  val q214Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, user_id,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |t AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s GROUP BY day, event_type),
+      |us AS (SELECT day, user_id, CAST(count(*) AS BIGINT) AS n_ev
+      |       FROM s GROUP BY day, user_id)
+      |SELECT t.day AS day, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(t.n) AS BIGINT) AS n_events_w,
+      |       CAST(sum(us.n_ev) AS BIGINT) AS n_events_u
+      |FROM t JOIN us ON t.day = us.day
+      |GROUP BY t.day ORDER BY t.day""".stripMargin
+
+  // -- q215: runtime join-key file pruning (the DPP path) ----------------
+
+  /** The selective-dimension join at manifest economics: the fact side is
+    * a day-partitioned snapshot table, the dim side keeps only a 4-day
+    * window, and Spark hands the fact scan the surviving join-key VALUES
+    * at runtime ([[graft.sources.snap.SnapV2BatchScan.filter]]) — files
+    * whose manifest day interval misses every value are dropped before
+    * any task launches. The REQUIRE proves the executed scan kept only
+    * the window's files (4 of ~10 day files); the ORACLE recomputes the
+    * joined aggregate from raw events. At 100 TB: `fact ⋈ σ(dim)` reads
+    * the matching partitions only, and the pruning decision costs zero
+    * file opens — it is a manifest-interval check against the broadcast
+    * result the join needed anyway.
+    */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq215_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val cat = s"snapq215_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val stats = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val factDir = new org.apache.hadoop.fs.Path(base, "fact").toString
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), factDir, Seq("day"))
+    graft.sources.Snapshots.commit(s, factDir, Seq("day"))
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head.getDate(0).toLocalDate
+    // dim TABLE (a folded local relation would not carry the selective
+    // Filter the pruning rule requires): every day, tagged; only the
+    // window keeps
+    ev.select(to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn(
+        "tag",
+        when(
+          col("day").between(
+            lit(m.plusDays(2).toString).cast("date"),
+            lit(m.plusDays(5).toString).cast("date")),
+          lit("keep")).otherwise(lit("drop")))
+      .write
+      .mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(base, "dim").toString)
+    s.read
+      .parquet(new org.apache.hadoop.fs.Path(base, "dim").toString)
+      .createOrReplaceTempView(s"graft_q215_dim")
+    withConfs(
+      s,
+      "spark.graft.snapshot.batchscan" -> "v2",
+      // fixture-scale stats would make the benefit estimator decline what
+      // it accepts at warehouse scale — bypass the estimate, not the path
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      val df = s.sql(s"""
+        |SELECT f.event_type AS event_type,
+        |       CAST(sum(f.n) AS BIGINT) AS n_events,
+        |       CAST(sum(f.sum_u) AS BIGINT) AS u
+        |FROM $cat.fact f JOIN graft_q215_dim dm ON f.day = dm.day
+        |WHERE dm.tag = 'keep'
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin)
+      val scans = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.snap.SnapV2BatchScan] =>
+          r.scan.asInstanceOf[graft.sources.snap.SnapV2BatchScan]
+      }
+      require(scans.size == 1, s"expected the v2 fact scan: ${df.queryExecution.optimizedPlan}")
+      val out = freeze(s, df) // executes THIS plan — runtime filter fires here
+      val kept = scans.head.currentRels
+      require(
+        kept.nonEmpty && kept.size < graft.sources.Snapshots.files(s, factDir).size,
+        s"runtime join-key filter must drop out-of-window day files, kept: $kept")
+      require(
+        kept.forall(_.matches(".*day=.*")),
+        s"kept rels must be day-partition files: $kept")
+      out
+    }
+  }
+
+  val q215Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(u) AS BIGINT) AS su FROM s GROUP BY day, event_type),
+      |b AS (SELECT min(day) AS m FROM s)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events, CAST(sum(su) AS BIGINT) AS u
+      |FROM agg, b WHERE day BETWEEN m + 2 AND m + 5
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q215_runtime_file_pruning" -> (q215 _),
+    "q214_storage_partitioned_join" -> (q214 _),
+    "q213_manifest_minmax" -> (q213 _),
     "q212_stream_source" -> (q212 _),
     "q210_sql_ddl_evolution" -> (q210 _),
     "q211_type_widening" -> (q211 _),
@@ -1070,6 +1348,9 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q215_runtime_file_pruning" -> q215Sql,
+    "q214_storage_partitioned_join" -> q214Sql,
+    "q213_manifest_minmax" -> q213Sql,
     "q212_stream_source" -> q212Sql,
     "q210_sql_ddl_evolution" -> q210Sql,
     "q211_type_widening" -> q211Sql,

@@ -1,5 +1,6 @@
 package graft.sources
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -330,6 +331,33 @@ object Snapshots {
     */
   val LengthKey = "__bytes"
 
+  /** Pseudo-column under which a v2 manifest records a stats column's
+    * exact per-file NULL count (footer `num_nulls`, summed across row
+    * groups; a column a file doesn't carry at all — ALTER-added, or the
+    * hive null-partition sentinel — counts every row). The NUL-character
+    * prefix can never collide with a real column name (hive and parquet
+    * both reject NUL in identifiers). Null counts power three things the
+    * min/max interval can't: `IS [NOT] NULL` file pruning, skipping
+    * all-null files under value predicates, and complete `COUNT(col)` /
+    * MIN/MAX aggregate pushdown (an all-null file provably contributes
+    * nothing to MIN/MAX even when it has no value interval).
+    */
+  def nullCountKey(col: String): String = "\u0000nulls:" + col
+
+  /** The recorded null count of `col` in one file's stat map, if the
+    * manifest carries it (pre-null-count manifests simply don't).
+    */
+  private[sources] def nullCountOf(st: Map[String, ColStat], col: String): Option[Long] =
+    st.get(nullCountKey(col)).map(_.min.toLong)
+
+  /** Provably all-null: recorded null count equals recorded row count.
+    * False on missing stats — callers may only SKIP work on `true`.
+    */
+  private[sources] def allNull(st: Map[String, ColStat], col: String): Boolean = {
+    val rows = st.get(RowCountKey).map(_.min.toLong)
+    nullCountOf(st, col).exists(n => rows.contains(n))
+  }
+
   /** Footer opens performed by the CALLING thread's last stats commit —
     * observability for the incremental-commit contract (SnapshotsSpec
     * asserts an append-commit reads only the NEW files' footers).
@@ -352,12 +380,22 @@ object Snapshots {
       file: Path,
       rel: String,
       cols: Seq[String]): Map[String, ColStat] = {
-    val fromPath: Map[String, ColStat] = rel
+    val partPairs: Seq[(String, String)] = rel
       .split("/")
       .dropRight(1)
       .filter(_.contains("="))
+      .toSeq
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }
+    // the hive null sentinel is NOT a value: recording it as a string
+    // interval would make MIN/MAX pushdown return the sentinel text; the
+    // null COUNT (= every row, recorded below) is the correct stat for
+    // that directory, and value predicates skip it via the all-null rule
+    val fromPath: Map[String, ColStat] = partPairs
+      .filterNot(_._2 == "__HIVE_DEFAULT_PARTITION__")
+      .map { case (k, v) =>
         // type the value the way Spark's partition inference would: a
         // numeric partition value compared lexicographically would prune
         // WRONG files ("9" > "10"), violating the never-drop-a-match
@@ -377,6 +415,29 @@ object Snapshots {
     val fromFooter =
       try {
         import scala.jdk.CollectionConverters._
+        // per-column bookkeeping beyond min/max: how many chunks carried
+        // stats at all, how many were provably all-null (no value but a
+        // set null count), and the exact null total — an all-null chunk
+        // must not void the file's value interval (the other chunks'
+        // bounds still cover every VALUE in the file)
+        val chunkCount = mutable.Map.empty[String, Int].withDefaultValue(0)
+        val allNullChunks = mutable.Map.empty[String, Int].withDefaultValue(0)
+        val nullSum = mutable.Map.empty[String, Long].withDefaultValue(0L)
+        val nullsKnown = mutable.Map.empty[String, Boolean].withDefaultValue(true)
+        for {
+          block <- reader.getFooter.getBlocks.asScala
+          chunk <- block.getColumns.asScala
+          name = chunk.getPath.toDotString
+          if want.contains(name)
+        } {
+          chunkCount(name) += 1
+          val st = chunk.getStatistics
+          if (st != null && st.isNumNullsSet) nullSum(name) += st.getNumNulls
+          else nullsKnown(name) = false
+          if (st != null && !st.hasNonNullValue && st.isNumNullsSet &&
+            st.getNumNulls == block.getRowCount)
+            allNullChunks(name) += 1
+        }
         val perChunk = for {
           block <- reader.getFooter.getBlocks.asScala.toSeq
           chunk <- block.getColumns.asScala
@@ -416,8 +477,10 @@ object Snapshots {
             case _ => None // unsupported physical type: no stat, file is never skipped
           }
         } yield name -> cs
-        // a column missing stats in ANY row group must drop out entirely:
-        // a partial interval could wrongly prune rows of the statless group
+        // a column missing stats in ANY row group must drop out entirely
+        // (a partial interval could wrongly prune rows of the statless
+        // group) — unless the statless groups are provably ALL-NULL, in
+        // which case the other groups' interval still bounds every value
         val grouped = perChunk.groupBy(_._1)
         val blocks = reader.getFooter.getBlocks
         val rowGroups = blocks.size()
@@ -425,13 +488,31 @@ object Snapshots {
           import scala.jdk.CollectionConverters._
           blocks.asScala.map(_.getRowCount).sum
         }
-        grouped.collect {
-          case (name, entries) if entries.size == rowGroups =>
+        val valueStats = grouped.collect {
+          case (name, entries) if entries.size + allNullChunks(name) == rowGroups =>
             name -> entries.map(_._2).reduce(mergeStat)
-        } ++ Map(RowCountKey -> ColStat("l", rows.toString, rows.toString))
+        }
+        // exact null counts: a column absent from the footer entirely
+        // (ALTER-added, or the hive null-partition sentinel) null-fills
+        // on read, so its count is every row
+        val nullStats = want.flatMap { c =>
+          if (chunkCount(c) == 0) Some(nullCountKey(c) -> ColStat("l", rows.toString, rows.toString))
+          else if (chunkCount(c) == rowGroups && nullsKnown(c)) {
+            val n = nullSum(c)
+            Some(nullCountKey(c) -> ColStat("l", n.toString, n.toString))
+          } else None
+        }
+        valueStats ++ nullStats ++ Map(RowCountKey -> ColStat("l", rows.toString, rows.toString))
       } finally reader.close()
     val len = file.getFileSystem(conf).getFileStatus(file).getLen
-    fromPath.filter(kv => cols.contains(kv._1)) ++ fromFooter +
+    // a non-sentinel hive partition value is present on every row of the
+    // file by construction — null count is exactly zero (the sentinel
+    // case fell through to the footer rule above: absent → all rows null)
+    val pathNulls: Map[String, ColStat] = partPairs.collect {
+      case (k, v) if cols.contains(k) && v != "__HIVE_DEFAULT_PARTITION__" =>
+        nullCountKey(k) -> ColStat("l", "0", "0")
+    }.toMap
+    fromPath.filter(kv => cols.contains(kv._1)) ++ pathNulls ++ fromFooter +
       (LengthKey -> ColStat("l", len.toString, len.toString))
   }
 
@@ -574,7 +655,12 @@ object Snapshots {
                 scala.concurrent.ExecutionContext.fromExecutor(pool)
               val futs = files.map { rel =>
                 prevStats.get(rel) match {
-                  case Some(st) if st.nonEmpty => scala.concurrent.Future.successful(rel -> st)
+                  // carried entries must also carry the null counts this
+                  // writer records — a pre-null-count entry re-reads its
+                  // footer ONCE and is carried forward thereafter
+                  case Some(st)
+                      if st.nonEmpty && statsCols.forall(c => st.contains(nullCountKey(c))) =>
+                    scala.concurrent.Future.successful(rel -> st)
                   case _ =>
                     scala.concurrent.Future {
                       reads.incrementAndGet()
@@ -590,7 +676,7 @@ object Snapshots {
           header ++ stats.map { case (rel, st) =>
             if (st.isEmpty) rel
             else
-              rel + "\t" + (statsCols :+ RowCountKey :+ LengthKey)
+              rel + "\t" + (statsCols ++ statsCols.map(nullCountKey) :+ RowCountKey :+ LengthKey)
                 .flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
                 .mkString("\t")
           }
@@ -1203,7 +1289,12 @@ object Snapshots {
         }
         all.filter { rel =>
           val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
-          prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) } &&
+          // a value range can't match a file whose column is provably
+          // all-null (sentinel partitions, pre-ALTER files) — the null
+          // count covers what the missing min/max interval can't
+          prune.forall { case (c, lo, hi) =>
+            st.get(c).forall(cs => overlaps(cs, lo, hi)) && !allNull(st, c)
+          } &&
           probes.forall { case (c, v) => bloomMightContain(spark, root, rel, c, v) }
         }
       }

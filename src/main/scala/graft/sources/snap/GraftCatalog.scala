@@ -10,13 +10,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.Snapshots
@@ -701,7 +701,7 @@ class SnapScanBuilder(
   private var required: StructType = tableSchema
   private val translated = mutable.ArrayBuffer.empty[Filter]
   private val pruneRanges = mutable.ArrayBuffer.empty[(String, Option[String], Option[String])]
-  private var countWidth: Option[Int] = None
+  private var pushedAgg: Option[Seq[SnapAggScan.Field]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach { f =>
@@ -717,33 +717,84 @@ class SnapScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  /** COUNT(*) (no grouping, no filters) from manifest row counts. Only
-    * complete pushdown, and only when EVERY pinned file carries a recorded
-    * row count (v2 stats commit) — else the scan falls back to reading.
+  /** COUNT(*) / COUNT(col) / MIN / MAX (no grouping, no filters) answered
+    * entirely from manifest stats. Only COMPLETE pushdown, and only when
+    * every pinned file carries the stat the answer needs — else the scan
+    * falls back to reading:
+    *
+    *  - COUNT(*): every file records a row count (v2 stats commit).
+    *  - COUNT(col): every file also records col's exact null count
+    *    (`count = Σ rows − nulls`, nulls excluded per SQL semantics).
+    *  - MIN/MAX(col): every file either records a value interval of the
+    *    type-correct stat domain or is provably all-null (contributes
+    *    nothing). Restricted to domains where the recorded interval
+    *    endpoints ARE the column's true extremes under Spark's ordering:
+    *    integral types (`l`), DATE (ISO strings — lexicographic =
+    *    chronological), and ASCII-only strings (UTF-16 and unsigned-byte
+    *    orderings agree on ASCII; a non-ASCII endpoint refuses pushdown
+    *    rather than risk a wrong answer). Floating point is excluded —
+    *    footer stats are NaN-unaware while Spark orders NaN greatest.
     */
-  private def countPlan(agg: Aggregation): Option[Int] = {
+  private def aggPlan(agg: Aggregation): Option[Seq[SnapAggScan.Field]] = {
     if (agg.groupByExpressions.nonEmpty) return None
     if (translated.nonEmpty || pruneRanges.nonEmpty) return None
-    if (agg.aggregateExpressions.isEmpty || !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
-      return None
-    if (view.rels.forall(r => view.stats.get(r).exists(_.contains(Snapshots.RowCountKey))))
-      Some(agg.aggregateExpressions.length)
-    else None
+    if (agg.aggregateExpressions.isEmpty) return None
+
+    def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+    def rowsKnown = view.rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
+    def nullsKnown(c: String) =
+      view.rels.forall { r =>
+        val st = stOf(r)
+        st.contains(Snapshots.nullCountKey(c)) && st.contains(Snapshots.RowCountKey)
+      }
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def isAscii(s: String) = s.forall(_ < 0x80)
+    def minMaxField(e: org.apache.spark.sql.connector.expressions.Expression, isMin: Boolean) =
+      for {
+        c <- colOf(e)
+        declared <- tableSchema.fields.find(_.name == c).map(_.dataType)
+        statTyp <- declared match {
+          case ByteType | ShortType | IntegerType | LongType => Some("l")
+          case DateType | StringType => Some("s")
+          case _ => None
+        }
+        if view.rels.forall { r =>
+          val st = stOf(r)
+          st.get(c) match {
+            case Some(cs) =>
+              cs.typ == statTyp && (declared != StringType || (isAscii(cs.min) && isAscii(cs.max)))
+            case None => Snapshots.allNull(st, c) // provably contributes nothing
+          }
+        }
+      } yield
+        if (isMin) SnapAggScan.MinF(c, declared) else SnapAggScan.MaxF(c, declared): SnapAggScan.Field
+
+    val fields = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar if rowsKnown => Some(SnapAggScan.CountStarF: SnapAggScan.Field)
+      case cnt: Count if !cnt.isDistinct =>
+        colOf(cnt.column).filter(nullsKnown).map(SnapAggScan.CountColF(_): SnapAggScan.Field)
+      case m: Min => minMaxField(m.column, isMin = true)
+      case m: Max => minMaxField(m.column, isMin = false)
+      case _ => None
+    }
+    if (fields.forall(_.isDefined)) Some(fields.map(_.get)) else None
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    countPlan(aggregation).isDefined
+    aggPlan(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    countPlan(aggregation) match {
-      case Some(w) => countWidth = Some(w); true
+    aggPlan(aggregation) match {
+      case Some(fields) => pushedAgg = Some(fields); true
       case None => false
     }
 
-  override def build(): Scan = countWidth match {
-    case Some(w) =>
-      val n = view.rels.map(r => view.stats(r)(Snapshots.RowCountKey).min.toLong).sum
-      new SnapCountScan(dir, view.version, n, w)
+  override def build(): Scan = pushedAgg match {
+    case Some(fields) => new SnapAggScan(dir, view, fields)
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
@@ -758,14 +809,25 @@ class SnapScanBuilder(
             vs.forall(v => SnapFilters.statString(v).isDefined) =>
           (a, vs.toSeq.map(v => SnapFilters.statString(v).get))
       }
+      // null-count pruning: a top-level pushed conjunct is a fact about
+      // every returned row, so IS NOT NULL (which Spark attaches to most
+      // value predicates) skips provably-all-null files, IS NULL skips
+      // zero-null files, and any value range skips all-null files even
+      // when the column has no min/max interval to test
+      val notNullCols = translated.collect { case IsNotNull(a) if !a.contains(".") => a }
+      val isNullCols = translated.collect { case IsNull(a) if !a.contains(".") => a }
       val kept =
-        if (pruneRanges.isEmpty && inProbes.isEmpty) view.rels
+        if (pruneRanges.isEmpty && inProbes.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
+          view.rels
         else
           view.rels.filter { rel =>
             val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
-              st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))
+              st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi)) &&
+              !Snapshots.allNull(st, c)
             } &&
+            notNullCols.forall(c => !Snapshots.allNull(st, c)) &&
+            isNullCols.forall(c => Snapshots.nullCountOf(st, c).forall(_ > 0L)) &&
             probes.forall { case (c, v) =>
               Snapshots.bloomMightContain(SparkSession.active, dir, rel, c, v)
             } &&
@@ -773,40 +835,156 @@ class SnapScanBuilder(
               vs.exists(v => Snapshots.bloomMightContain(SparkSession.active, dir, rel, c, v))
             }
           }
-      new SnapBatchScan(
-        dir,
-        view.version,
-        tableSchema,
-        required,
-        kept,
-        view.rels.size,
-        translated.toSeq,
-        view.stats,
-        options)
+      // the native v2 batch path (storage-partitioned joins + runtime
+      // file pruning) is an EXPLICIT opt-in: per-read option or the
+      // session-wide graft conf (for SQL-only clients that can't pass
+      // read options). NOT keyed on spark.sql.sources.v2.bucketing.enabled
+      // — that is default-TRUE on Spark 4, and the default scan path must
+      // stay the vectorized V1 bridge
+      val v2Requested =
+        options.get("batchscan").exists(_.equalsIgnoreCase("v2")) ||
+          SparkSession.active.conf
+            .getOption("spark.graft.snapshot.batchscan")
+            .exists(_.equalsIgnoreCase("v2"))
+      if (v2Requested)
+        new SnapV2BatchScan(dir, view, tableSchema, required, kept, translated.toSeq, options)
+      else
+        new SnapBatchScan(
+          dir,
+          view.version,
+          tableSchema,
+          required,
+          kept,
+          view.rels.size,
+          translated.toSeq,
+          view.stats,
+          options)
   }
 }
 
-/** Complete-pushdown COUNT(*): one partition, one row, straight from the
-  * manifest — the scan never lists, opens, or reads a data file.
+/** Manifest-derived scan statistics, shared by both batch paths: byte
+  * sizes from the recorded per-file lengths (zero I/O; one getFileStatus
+  * RPC per file only for pre-LengthKey manifests), row counts when every
+  * kept file records one — what lets join planning broadcast a small
+  * snapshot table without a hint.
   */
-class SnapCountScan(dir: String, version: Long, n: Long, width: Int) extends V1Scan {
-
-  override def readSchema(): StructType =
-    StructType((0 until width).map(i => StructField(s"count_star_$i", LongType, nullable = false)))
-
-  override def description(): String =
-    s"GraftSnapCountScan $dir v$version PushedAggregates: [COUNT(*)] rows=$n (manifest-only, zero file opens)"
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new SnapCountRelation(context, readSchema(), n, width).asInstanceOf[T]
+private[snap] object SnapScanStats {
+  def of(
+      spark: SparkSession,
+      dir: String,
+      keptRels: Seq[String],
+      stats: Map[String, Map[String, Snapshots.ColStat]]): Statistics = new Statistics {
+    override def sizeInBytes(): util.OptionalLong = {
+      val recorded = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.LengthKey)))
+      if (recorded.forall(_.isDefined))
+        util.OptionalLong.of(math.max(recorded.map(_.get.min.toLong).sum, 1L))
+      else {
+        try {
+          val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val total =
+            keptRels.map(rel => fs.getFileStatus(Snapshots.resolve(spark, dir, rel)).getLen).sum
+          util.OptionalLong.of(math.max(total, 1L))
+        } catch { case _: Exception => util.OptionalLong.empty() }
+      }
+    }
+    override def numRows(): util.OptionalLong = {
+      val counts = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+      if (counts.forall(_.isDefined)) util.OptionalLong.of(counts.map(_.get.min.toLong).sum)
+      else util.OptionalLong.empty()
+    }
+  }
 }
 
-class SnapCountRelation(ctx: SQLContext, val schema: StructType, n: Long, width: Int)
+/** Complete-pushdown aggregate scan: one partition, one row, straight
+  * from the manifest — COUNT(*) from recorded per-file row counts,
+  * COUNT(col) from row minus null counts, MIN/MAX folded over the
+  * recorded per-file value intervals (provably-all-null files contribute
+  * nothing). The scan never lists, opens, or reads a data file; at 100 TB
+  * these aggregates cost one manifest read no matter the table size.
+  * [[SnapScanBuilder.aggPlan]] is the gatekeeper — a field only reaches
+  * here when every pinned file carries the stat that makes it exact.
+  */
+class SnapAggScan(dir: String, view: Snapshots.ManifestView, fields: Seq[SnapAggScan.Field])
+    extends V1Scan {
+
+  import SnapAggScan._
+
+  override def readSchema(): StructType =
+    StructType(fields.zipWithIndex.map {
+      case (CountStarF, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (CountColF(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (MinF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
+      case (MaxF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
+    })
+
+  private def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+
+  /** The single answer row, computed from the manifest view alone. */
+  private[snap] lazy val values: Seq[Any] = fields.map {
+    case CountStarF => view.rels.map(r => stOf(r)(Snapshots.RowCountKey).min.toLong).sum
+    case CountColF(c) =>
+      view.rels.map { r =>
+        val st = stOf(r)
+        st(Snapshots.RowCountKey).min.toLong - st(Snapshots.nullCountKey(c)).min.toLong
+      }.sum
+    case MinF(c, t) => extreme(c, t, isMin = true)
+    case MaxF(c, t) => extreme(c, t, isMin = false)
+  }
+
+  /** SQL MIN/MAX ignore nulls: the extreme over files WITH a value
+    * interval (files without one were verified all-null by the planner);
+    * a table with no non-null value at all answers NULL, matching SQL.
+    */
+  private def extreme(c: String, t: DataType, isMin: Boolean): Any = {
+    val endpoints = view.rels.flatMap(r => stOf(r).get(c)).map(cs => if (isMin) cs.min else cs.max)
+    if (endpoints.isEmpty) null
+    else
+      t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val v = if (isMin) endpoints.map(_.toLong).min else endpoints.map(_.toLong).max
+          t match {
+            case ByteType => v.toByte
+            case ShortType => v.toShort
+            case IntegerType => v.toInt
+            case _ => v
+          }
+        case DateType => // ISO strings: lexicographic = chronological
+          java.sql.Date.valueOf(if (isMin) endpoints.min else endpoints.max)
+        case _ => // StringType — planner admitted ASCII-only endpoints
+          if (isMin) endpoints.min else endpoints.max
+      }
+  }
+
+  override def description(): String = {
+    val rendered = fields.map {
+      case CountStarF => "COUNT(*)"
+      case CountColF(c) => s"COUNT($c)"
+      case MinF(c, _) => s"MIN($c)"
+      case MaxF(c, _) => s"MAX($c)"
+    }
+    s"GraftSnapAggScan $dir v${view.version} PushedAggregates: " +
+      s"[${rendered.mkString(", ")}] (manifest-only, zero file opens)"
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new SnapAggRelation(context, readSchema(), values).asInstanceOf[T]
+}
+
+object SnapAggScan {
+  /** One pushed output slot of a complete manifest-only aggregation. */
+  sealed trait Field
+  case object CountStarF extends Field
+  final case class CountColF(col: String) extends Field
+  final case class MinF(col: String, typ: DataType) extends Field
+  final case class MaxF(col: String, typ: DataType) extends Field
+}
+
+class SnapAggRelation(ctx: SQLContext, val schema: StructType, values: Seq[Any])
     extends BaseRelation
     with TableScan {
   override def sqlContext: SQLContext = ctx
   override def buildScan(): RDD[Row] =
-    ctx.sparkContext.parallelize(Seq(Row(Seq.fill(width)(n): _*)), 1)
+    ctx.sparkContext.parallelize(Seq(Row(values: _*)), 1)
 }
 
 /** The pruned snapshot scan: delegates the data path to
@@ -844,30 +1022,8 @@ class SnapBatchScan(
     s"GraftSnapScan $dir v$version files=${keptRels.size}/$totalFiles " +
       s"PushedFilters: [${filters.mkString(", ")}], ReadSchema: ${required.simpleString}"
 
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): util.OptionalLong = {
-      // prefer the byte lengths the manifest recorded at commit time —
-      // zero I/O; fall back to getFileStatus only for pre-LengthKey
-      // manifests (one RPC per file, the old behavior)
-      val recorded = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.LengthKey)))
-      if (recorded.forall(_.isDefined))
-        util.OptionalLong.of(math.max(recorded.map(_.get.min.toLong).sum, 1L))
-      else {
-        val spark = SparkSession.active
-        try {
-          val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val total =
-            keptRels.map(rel => fs.getFileStatus(Snapshots.resolve(spark, dir, rel)).getLen).sum
-          util.OptionalLong.of(math.max(total, 1L))
-        } catch { case _: Exception => util.OptionalLong.empty() }
-      }
-    }
-    override def numRows(): util.OptionalLong = {
-      val counts = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
-      if (counts.forall(_.isDefined)) util.OptionalLong.of(counts.map(_.get.min.toLong).sum)
-      else util.OptionalLong.empty()
-    }
-  }
+  override def estimateStatistics(): Statistics =
+    SnapScanStats.of(SparkSession.active, dir, keptRels, stats)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new SnapRelation(context, dir, tableSchema, required, keptRels, filters, SnapFilters.toColumn)

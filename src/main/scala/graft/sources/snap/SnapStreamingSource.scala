@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,7 +41,12 @@ import graft.sources.Snapshots
   * `.option("maxFilesPerTrigger", n)` bounds each batch to ~n files with
   * FILE-granular offsets (an offset can stop inside a version's added
   * set), so even the one-commit history of an adopted table pages
-  * through in bounded batches.
+  * through in bounded batches; `.option("maxBytesPerTrigger", n)` bounds
+  * by the manifest's recorded file lengths instead (soft cap, ≥1 file) —
+  * bytes are the honest unit when commit sizes vary by orders of
+  * magnitude. `Trigger.AvailableNow` pins the end of history once at
+  * start and drains exactly that range in (capped) batches, then stops —
+  * the batch-backfill mode of the same source.
   *
   * Scale: planning cost per trigger is one directory listing + one small
   * manifest read per new version; data cost is exactly the appended
@@ -58,7 +63,8 @@ class SnapMicroBatchStream(
     tableSchema: StructType,
     options: Map[String, String])
     extends MicroBatchStream
-    with SupportsAdmissionControl {
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -80,29 +86,77 @@ class SnapMicroBatchStream(
       n
     }
 
+  /** `.option("maxBytesPerTrigger", n)` — byte-based admission: the walk
+    * stops once the batch's admitted files reach ~n bytes (soft cap:
+    * always at least one file, so a single over-sized file still
+    * streams). File sizes come from the manifest's recorded lengths — a
+    * pre-LengthKey manifest falls back to one getFileStatus per file at
+    * PLANNING time only. Bytes are the honest unit at 100 TB: commit
+    * sizes vary by orders of magnitude while file counts lie.
+    */
+  private val maxBytesPerTrigger: Option[Long] =
+    options.get("maxbytespertrigger").map { s =>
+      val n = scala.util.Try(s.toLong).getOrElse(
+        throw new IllegalArgumentException(s"maxBytesPerTrigger must be a positive long, got '$s'"))
+      require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n")
+      n
+    }
+
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** `Trigger.AvailableNow`: the end of history is pinned ONCE, here — a
+    * writer committing while the drain runs doesn't extend this run (its
+    * versions wait for the next one). The admission caps still page the
+    * pinned range, so available-now on a large backlog stays bounded
+    * per batch.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(Snapshots.latestVersion(spark, dir))
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = spark
     val o = start.asInstanceOf[SnapVersionOffset]
-    val vMax = Snapshots.latestVersion(s, dir)
-    maxFilesPerTrigger match {
-      case None => SnapVersionOffset(vMax, 0)
-      case Some(cap) =>
-        // file-granular walk: offsets can stop INSIDE a version's added
-        // set, so even a one-commit adopted table (its whole history is
-        // version 1) pages through in bounded batches
-        var v = o.version
-        var k = o.index
-        var budget = cap
-        while (v < vMax && budget > 0) {
-          val (added, _) = addedOf(s, v + 1)
-          val remaining = added.size - k
-          if (remaining <= budget) { budget -= remaining; v += 1; k = 0 }
-          else { k += budget; budget = 0 }
+    val vHead = Snapshots.latestVersion(s, dir)
+    val vMax = availableNowTarget.fold(vHead)(math.min(_, vHead))
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) SnapVersionOffset(vMax, 0)
+    else {
+      // file-granular walk: offsets can stop INSIDE a version's added
+      // set, so even a one-commit adopted table (its whole history is
+      // version 1) pages through in bounded batches. Bytes come from the
+      // manifest's recorded lengths (getFileStatus fallback for
+      // pre-LengthKey manifests); both caps are soft — at least one file
+      // is always admitted, so an over-sized file still streams.
+      var v = o.version
+      var k = o.index
+      var fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+      var byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+      var admitted = 0
+      var done = false
+      while (v < vMax && !done) {
+        val (added, _) = addedOf(s, v + 1)
+        lazy val lengths = Snapshots.fileStats(s, dir, v + 1)
+        def sizeOf(rel: String): Long =
+          lengths.get(rel).flatMap(_.get(Snapshots.LengthKey)).map(_.min.toLong).getOrElse {
+            val p = Snapshots.resolve(s, dir, rel)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+          }
+        while (k < added.size && !done) {
+          val sz = if (maxBytesPerTrigger.isDefined) sizeOf(added(k)) else 0L
+          if (admitted > 0 && (fileBudget <= 0L || byteBudget < sz)) done = true
+          else {
+            fileBudget -= 1L
+            byteBudget -= sz
+            admitted += 1
+            k += 1
+            if (fileBudget <= 0L || byteBudget <= 0L) done = true
+          }
         }
-        SnapVersionOffset(v, k)
+        if (k >= added.size) { v += 1; k = 0 }
+      }
+      SnapVersionOffset(v, k)
     }
   }
 
@@ -224,11 +278,18 @@ object SnapVersionOffset {
   }
 }
 
-/** One added data file + its hive partition (column → raw path value)
-  * pairs; `__HIVE_DEFAULT_PARTITION__` is the hive null sentinel.
+/** One snapshot data file + its hive partition (column → raw path value)
+  * pairs; `__HIVE_DEFAULT_PARTITION__` is the hive null sentinel. Shared
+  * by the streaming source and the v2 batch scan ([[SnapKeyedFileInput]])
+  * so both read through the same [[SnapStreamReadFactory]].
   */
+trait SnapSplicedFileInput extends InputPartition {
+  def path: String
+  def partVals: Array[(String, String)]
+}
+
 case class SnapStreamFileInput(path: String, partVals: Array[(String, String)])
-    extends InputPartition
+    extends SnapSplicedFileInput
 
 /** Reads one added parquet file as the REQUIRED schema: data columns come
   * from the file via Spark's own `ParquetReadSupport` (bridged — schema
@@ -246,7 +307,7 @@ case class SnapStreamReadFactory(
 
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val in = p.asInstanceOf[SnapStreamFileInput]
+    val in = p.asInstanceOf[SnapSplicedFileInput]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val table = DataType.fromJson(tableJson).asInstanceOf[StructType]
     val partByName = in.partVals.toMap
