@@ -1325,7 +1325,68 @@ object Frontier3 {
       |FROM agg, b WHERE day BETWEEN m + 2 AND m + 5
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q216: GROUP BY partition column, answered manifest-only ----------
+
+  /** q213's economics extended to the GROUPED dashboard query: `SELECT
+    * day, count(*), count(cat), min(user_id), max(user_id) GROUP BY day`
+    * pushes COMPLETE because every file belongs to exactly one `day`
+    * group by hive-layout construction — each group's answer is a union
+    * of whole files, folded from the manifest's per-file row counts, null
+    * counts and value intervals. No job, no file opens, any table size.
+    * The REQUIRE pins the grouped plan shape (`GroupBy: [day]` on the
+    * manifest agg scan); the ORACLE recomputes every per-day row from raw
+    * events. This is the per-partition stats panel every table UI shows,
+    * at one-manifest-read cost.
+    */
+  def q216(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq216_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val rows = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type"))
+          .as("cat"))
+    graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
+    val cat = s"snapq216_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val df = s.sql(s"""
+      |SELECT day, count(*) AS n_rows, count(cat) AS n_cat,
+      |       min(user_id) AS min_uid, max(user_id) AS max_uid
+      |FROM $cat.ev GROUP BY day ORDER BY day""".stripMargin)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass
+            .getMethod("v1Scan")
+            .invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+            .description()
+        else r.scan.description()
+    }
+    require(
+      scans.exists(s0 => s0.contains("GraftSnapAggScan") && s0.contains("GroupBy: [day]")),
+      s"grouped aggregates did not push to the manifest: $scans")
+    df
+  }
+
+  val q216Sql: String =
+    """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(CASE WHEN event_type <> 'click' THEN event_type END) AS BIGINT) AS n_cat,
+      |  min(user_id) AS min_uid, max(user_id) AS max_uid
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q216_grouped_manifest_agg" -> (q216 _),
     "q215_runtime_file_pruning" -> (q215 _),
     "q214_storage_partitioned_join" -> (q214 _),
     "q213_manifest_minmax" -> (q213 _),
@@ -1348,6 +1409,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q216_grouped_manifest_agg" -> q216Sql,
     "q215_runtime_file_pruning" -> q215Sql,
     "q214_storage_partitioned_join" -> q214Sql,
     "q213_manifest_minmax" -> q213Sql,

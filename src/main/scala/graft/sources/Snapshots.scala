@@ -261,6 +261,29 @@ object Snapshots {
         .getOrElse(0L)
   }
 
+  /** Undo Spark's hive-path escaping (`%XX` for characters illegal in a
+    * dir name): stats, partition keys and spliced read values must all
+    * see the TRUE column value — an escaped `a%3Ab` compared against a
+    * queried `a:b` would silently mis-prune.
+    */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi >= 0 && lo >= 0) {
+          sb.append(((hi << 4) | lo).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-file column statistic recorded in a v2 manifest: `typ` is `l`
     * (integer, compared as Long), `d` (floating, compared as Double) or
     * `s` (string/date, compared lexicographically — ISO dates order
@@ -387,7 +410,9 @@ object Snapshots {
       .toSeq
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> v
+        // record the TRUE value, not the dir encoding — pruning and
+        // aggregate pushdown compare against query-side values
+        k -> (if (v == "__HIVE_DEFAULT_PARTITION__") v else unescapePathName(v))
       }
     // the hive null sentinel is NOT a value: recording it as a string
     // interval would make MIN/MAX pushdown return the sentinel text; the

@@ -163,6 +163,7 @@ class GraftCatalog
     ident.name() match {
       case "snapshots" => Some(new SnapMetaTable(tableDir, version, "snapshots"))
       case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
+      case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
       case _ => None
     }
   }
@@ -442,6 +443,12 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("n_files", LongType, nullable = false),
         StructField("n_rows", LongType, nullable = true),
         StructField("n_bytes", LongType, nullable = true)))
+    case "partitions" =>
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("n_bytes", LongType, nullable = true)))
     case _ =>
       StructType(Seq(
         StructField("rel", StringType, nullable = false),
@@ -503,6 +510,25 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
             if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
           Row(v, new java.sql.Timestamp(mtimeMs), mv.rels.size.toLong, nRows, nBytes)
         }
+      case "partitions" =>
+        // per-partition rollup of the pinned file set: the stats panel a
+        // table UI shows, from one manifest read (an unpartitioned table
+        // rolls up under the empty partition string)
+        val mv = Snapshots.manifestView(spark, dir, version)
+        mv.rels
+          .groupBy(rel => rel.split("/").dropRight(1).filter(_.contains("=")).mkString("/"))
+          .toSeq
+          .sortBy(_._1)
+          .map { case (part, rels) =>
+            val counts = rels.map(r => mv.stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+            val nRows =
+              if (counts.forall(_.isDefined)) counts.map(_.get.min.toLong).sum.asInstanceOf[Any]
+              else null
+            val sizes = rels.map(bytesOf(spark, mv.stats, _))
+            val nBytes =
+              if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
+            Row(part, rels.size.toLong, nRows, nBytes)
+          }
       case _ =>
         val mv = Snapshots.manifestView(spark, dir, version)
         val rootPath = new Path(dir)
@@ -604,7 +630,16 @@ object SnapWriteBuilder {
           .listDataFiles(spark, dir)
           .foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
       }
-      val w = data.write.mode("append")
+      // cluster the incoming rows by the hive layout before writing: an
+      // arbitrary upstream partitioning would emit tasks×partition-values
+      // files per INSERT — the small-files death spiral at 100 TB. The
+      // AQE REBALANCE hint targets ~one advisory-sized file per partition
+      // value yet still SPLITS a skewed value across files (a plain
+      // repartition would serialize a hot day through one task). Without
+      // AQE the hint is a no-op and the write is merely what it was.
+      val clustered =
+        if (partCols.nonEmpty) data.hint("rebalance", partCols.map(col(_)): _*) else data
+      val w = clustered.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(dir)
       Snapshots.commit(spark, dir, statsCols)
     }
@@ -701,7 +736,7 @@ class SnapScanBuilder(
   private var required: StructType = tableSchema
   private val translated = mutable.ArrayBuffer.empty[Filter]
   private val pruneRanges = mutable.ArrayBuffer.empty[(String, Option[String], Option[String])]
-  private var pushedAgg: Option[Seq[SnapAggScan.Field]] = None
+  private var pushedAgg: Option[(Seq[(String, DataType)], Seq[SnapAggScan.Field])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach { f =>
@@ -735,8 +770,8 @@ class SnapScanBuilder(
     *    rather than risk a wrong answer). Floating point is excluded —
     *    footer stats are NaN-unaware while Spark orders NaN greatest.
     */
-  private def aggPlan(agg: Aggregation): Option[Seq[SnapAggScan.Field]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  private def aggPlan(
+      agg: Aggregation): Option[(Seq[(String, DataType)], Seq[SnapAggScan.Field])] = {
     if (translated.nonEmpty || pruneRanges.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
 
@@ -773,6 +808,27 @@ class SnapScanBuilder(
       } yield
         if (isMin) SnapAggScan.MinF(c, declared) else SnapAggScan.MaxF(c, declared): SnapAggScan.Field
 
+    // GROUP BY: every grouping expression must be a hive path column of
+    // EVERY pinned file (a mixed-layout file with no `c=` segment has no
+    // group, so the whole pushdown refuses), with an externally
+    // convertible declared type
+    val groupCols: Option[Seq[(String, DataType)]] = {
+      val names = agg.groupByExpressions.toSeq.map(colOf)
+      if (names.exists(_.isEmpty)) None
+      else {
+        val resolved = names.map(_.get).map { c =>
+          c -> tableSchema.fields.find(_.name == c).map(_.dataType)
+        }
+        val ok = resolved.forall { case (c, t) =>
+          t.exists(SnapAggScan.groupConvertible) &&
+          view.rels.forall(r =>
+            r.split("/").dropRight(1).exists(seg => seg.split("=", 2)(0) == c && seg.contains("=")))
+        }
+        if (ok) Some(resolved.map { case (c, t) => c -> t.get }) else None
+      }
+    }
+    if (groupCols.isEmpty) return None
+
     val fields = agg.aggregateExpressions.toSeq.map {
       case _: CountStar if rowsKnown => Some(SnapAggScan.CountStarF: SnapAggScan.Field)
       case cnt: Count if !cnt.isDistinct =>
@@ -781,7 +837,7 @@ class SnapScanBuilder(
       case m: Max => minMaxField(m.column, isMin = false)
       case _ => None
     }
-    if (fields.forall(_.isDefined)) Some(fields.map(_.get)) else None
+    if (fields.forall(_.isDefined)) Some((groupCols.get, fields.map(_.get))) else None
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -789,12 +845,12 @@ class SnapScanBuilder(
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     aggPlan(aggregation) match {
-      case Some(fields) => pushedAgg = Some(fields); true
+      case Some(plan) => pushedAgg = Some(plan); true
       case None => false
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some(fields) => new SnapAggScan(dir, view, fields)
+    case Some((groupCols, fields)) => new SnapAggScan(dir, view, groupCols, fields)
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
@@ -904,39 +960,78 @@ private[snap] object SnapScanStats {
   * [[SnapScanBuilder.aggPlan]] is the gatekeeper — a field only reaches
   * here when every pinned file carries the stat that makes it exact.
   */
-class SnapAggScan(dir: String, view: Snapshots.ManifestView, fields: Seq[SnapAggScan.Field])
+class SnapAggScan(
+    dir: String,
+    view: Snapshots.ManifestView,
+    groupCols: Seq[(String, DataType)],
+    fields: Seq[SnapAggScan.Field])
     extends V1Scan {
 
   import SnapAggScan._
 
   override def readSchema(): StructType =
-    StructType(fields.zipWithIndex.map {
-      case (CountStarF, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (CountColF(_), i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (MinF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
-      case (MaxF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
-    })
+    StructType(
+      groupCols.zipWithIndex.map { case ((_, t), i) =>
+        // nullable: the hive null-partition sentinel is a legal group
+        StructField(s"group_$i", t, nullable = true)
+      } ++
+        fields.zipWithIndex.map {
+          case (CountStarF, i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (CountColF(_), i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (MinF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
+          case (MaxF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
+        })
 
   private def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
 
-  /** The single answer row, computed from the manifest view alone. */
-  private[snap] lazy val values: Seq[Any] = fields.map {
-    case CountStarF => view.rels.map(r => stOf(r)(Snapshots.RowCountKey).min.toLong).sum
+  /** Raw (still-escaped-free) group key of one file: its hive path value
+    * per grouping column, in group order. The planner verified every file
+    * carries every grouping segment.
+    */
+  private def groupKeyOf(rel: String): Seq[String] = {
+    val byName = rel
+      .split("/")
+      .dropRight(1)
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }
+      .toMap
+    groupCols.map { case (c, _) => byName(c) }
+  }
+
+  /** The answer rows, computed from the manifest view alone: one row
+    * ungrouped, one row per distinct partition-value tuple grouped.
+    */
+  private[snap] lazy val rows: Seq[Seq[Any]] =
+    if (groupCols.isEmpty) Seq(aggRow(view.rels))
+    else
+      view.rels.groupBy(groupKeyOf).toSeq.map { case (key, rels) =>
+        val keyVals = key.zip(groupCols).map { case (raw, (_, t)) =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else external(Snapshots.unescapePathName(raw), t)
+        }
+        keyVals ++ aggRow(rels)
+      }
+
+  private def aggRow(rels: Seq[String]): Seq[Any] = fields.map {
+    case CountStarF => rels.map(r => stOf(r)(Snapshots.RowCountKey).min.toLong).sum
     case CountColF(c) =>
-      view.rels.map { r =>
+      rels.map { r =>
         val st = stOf(r)
         st(Snapshots.RowCountKey).min.toLong - st(Snapshots.nullCountKey(c)).min.toLong
       }.sum
-    case MinF(c, t) => extreme(c, t, isMin = true)
-    case MaxF(c, t) => extreme(c, t, isMin = false)
+    case MinF(c, t) => extreme(rels, c, t, isMin = true)
+    case MaxF(c, t) => extreme(rels, c, t, isMin = false)
   }
 
   /** SQL MIN/MAX ignore nulls: the extreme over files WITH a value
     * interval (files without one were verified all-null by the planner);
-    * a table with no non-null value at all answers NULL, matching SQL.
+    * a group with no non-null value at all answers NULL, matching SQL.
     */
-  private def extreme(c: String, t: DataType, isMin: Boolean): Any = {
-    val endpoints = view.rels.flatMap(r => stOf(r).get(c)).map(cs => if (isMin) cs.min else cs.max)
+  private def extreme(rels: Seq[String], c: String, t: DataType, isMin: Boolean): Any = {
+    val endpoints = rels.flatMap(r => stOf(r).get(c)).map(cs => if (isMin) cs.min else cs.max)
     if (endpoints.isEmpty) null
     else
       t match {
@@ -962,12 +1057,14 @@ class SnapAggScan(dir: String, view: Snapshots.ManifestView, fields: Seq[SnapAgg
       case MinF(c, _) => s"MIN($c)"
       case MaxF(c, _) => s"MAX($c)"
     }
+    val grouped =
+      if (groupCols.isEmpty) "" else s" GroupBy: [${groupCols.map(_._1).mkString(", ")}]"
     s"GraftSnapAggScan $dir v${view.version} PushedAggregates: " +
-      s"[${rendered.mkString(", ")}] (manifest-only, zero file opens)"
+      s"[${rendered.mkString(", ")}]$grouped (manifest-only, zero file opens)"
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new SnapAggRelation(context, readSchema(), values).asInstanceOf[T]
+    new SnapAggRelation(context, readSchema(), rows).asInstanceOf[T]
 }
 
 object SnapAggScan {
@@ -977,14 +1074,38 @@ object SnapAggScan {
   final case class CountColF(col: String) extends Field
   final case class MinF(col: String, typ: DataType) extends Field
   final case class MaxF(col: String, typ: DataType) extends Field
+
+  /** Declared types whose hive path rendering converts back to the exact
+    * external value — the set a grouping column may have.
+    */
+  def groupConvertible(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | StringType |
+        BooleanType =>
+      true
+    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+    case _ => false
+  }
+
+  /** Parse a hive path value as the declared external type. */
+  def external(raw: String, t: DataType): Any = t match {
+    case ByteType => raw.toByte
+    case ShortType => raw.toShort
+    case IntegerType => raw.toInt
+    case LongType => raw.toLong
+    case org.apache.spark.sql.types.FloatType => raw.toFloat
+    case org.apache.spark.sql.types.DoubleType => raw.toDouble
+    case BooleanType => raw.toBoolean
+    case DateType => java.sql.Date.valueOf(raw)
+    case _ => raw
+  }
 }
 
-class SnapAggRelation(ctx: SQLContext, val schema: StructType, values: Seq[Any])
+class SnapAggRelation(ctx: SQLContext, val schema: StructType, rows: Seq[Seq[Any]])
     extends BaseRelation
     with TableScan {
   override def sqlContext: SQLContext = ctx
   override def buildScan(): RDD[Row] =
-    ctx.sparkContext.parallelize(Seq(Row(values: _*)), 1)
+    ctx.sparkContext.parallelize(rows.map(vs => Row(vs: _*)), 1)
 }
 
 /** The pruned snapshot scan: delegates the data path to

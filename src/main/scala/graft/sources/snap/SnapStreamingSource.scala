@@ -37,7 +37,9 @@ import graft.sources.Snapshots
   *
   * `.option("startingVersion", n|"latest")` picks the start: `n` streams
   * history from version n's commit (default 1 — the initial image is just
-  * the first batch), `latest` streams only commits after stream start.
+  * the first batch), `latest` streams only commits after stream start;
+  * `.option("startingTimestamp", iso|millis)` starts from the first
+  * commit at-or-after the instant.
   * `.option("maxFilesPerTrigger", n)` bounds each batch to ~n files with
   * FILE-granular offsets (an offset can stop inside a version's added
   * set), so even the one-commit history of an adopted table pages
@@ -172,16 +174,37 @@ class SnapMicroBatchStream(
     (cur.filterNot(prev), (prev -- cur.toSet).size)
   }
 
-  override def initialOffset(): Offset = options.get("startingversion") match {
-    case Some(s) if s.equalsIgnoreCase("latest") =>
-      SnapVersionOffset(Snapshots.latestVersion(spark, dir), 0)
-    case Some(s) =>
-      val v = scala.util.Try(s.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"startingVersion must be a manifest version or 'latest', got '$s'"))
-      require(v >= 1L, s"startingVersion starts at 1, got $v")
-      SnapVersionOffset(v - 1L, 0)
-    case None => SnapVersionOffset(0L, 0)
+  override def initialOffset(): Offset = {
+    require(
+      !(options.contains("startingversion") && options.contains("startingtimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    options.get("startingversion") match {
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        SnapVersionOffset(Snapshots.latestVersion(spark, dir), 0)
+      case Some(s) =>
+        val v = scala.util.Try(s.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion must be a manifest version or 'latest', got '$s'"))
+        require(v >= 1L, s"startingVersion starts at 1, got $v")
+        SnapVersionOffset(v - 1L, 0)
+      case None =>
+        options.get("startingtimestamp") match {
+          case Some(tsStr) =>
+            // stream from the first commit AT or AFTER the instant (the
+            // Delta contract); an instant past all history streams only
+            // future commits. ISO-8601 instant or epoch millis.
+            val t = scala.util.Try(java.time.Instant.parse(tsStr).toEpochMilli)
+              .orElse(scala.util.Try(tsStr.toLong))
+              .getOrElse(throw new IllegalArgumentException(
+                s"startingTimestamp must be an ISO-8601 instant or epoch millis, got '$tsStr'"))
+            val versions = Snapshots.manifestVersions(spark, dir)
+            versions.find(_._2 >= t) match {
+              case Some((v, _)) => SnapVersionOffset(v - 1L, 0)
+              case None => SnapVersionOffset(Snapshots.latestVersion(spark, dir), 0)
+            }
+          case None => SnapVersionOffset(0L, 0)
+        }
+    }
   }
 
   override def latestOffset(): Offset =
@@ -238,26 +261,11 @@ class SnapMicroBatchStream(
 }
 
 object SnapMicroBatchStream {
-  /** Undo Spark's hive-path escaping (`%XX` for chars illegal in a dir
-    * name). `__HIVE_DEFAULT_PARTITION__` reads as null upstream.
+  /** Undo Spark's hive-path escaping — shared with the batch scans via
+    * [[Snapshots.unescapePathName]]. `__HIVE_DEFAULT_PARTITION__` reads
+    * as null upstream.
     */
-  private[snap] def unescapePathName(s: String): String = {
-    if (!s.contains('%')) return s
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hi = Character.digit(s.charAt(i + 1), 16)
-        val lo = Character.digit(s.charAt(i + 2), 16)
-        if (hi >= 0 && lo >= 0) {
-          sb.append(((hi << 4) | lo).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private[snap] def unescapePathName(s: String): String = Snapshots.unescapePathName(s)
 }
 
 /** Streaming offset (v, k): versions ≤ v fully processed, plus the first

@@ -869,6 +869,28 @@ class SnapCatalogSpec extends SparkSpec {
     assert(rng.as[Long].collect().toSeq == Seq(1L, 3L))
   }
 
+  test("GROUP BY a partition column pushes complete: per-day counts and extremes, manifest-only") {
+    aggFixture("snagg5")
+    val df = spark.sql(
+      "SELECT day, count(*) AS n, count(cat) AS nc, min(id) AS mn, max(id) AS mx " +
+        "FROM snagg5.t GROUP BY day ORDER BY day")
+    val scan = scanOf(df)
+    assert(scan.isInstanceOf[SnapAggScan], scan.description())
+    assert(scan.description().contains("GroupBy: [day]"), scan.description())
+    val rows = df.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(
+      rows.toSeq == Seq(
+        ("2024-01-01", 2L, 1L, 1L, 2L),
+        ("2024-01-02", 1L, 1L, 3L, 3L),
+        ("2024-01-03", 2L, 0L, 4L, 5L)),
+      rows.toSeq.toString)
+    // grouping on a non-path column must fall back to a real scan
+    val bad = spark.sql("SELECT cat, count(*) AS n FROM snagg5.t GROUP BY cat")
+    assert(scanOf(bad).isInstanceOf[SnapBatchScan], scanOf(bad).description())
+    assert(bad.count() == 3L) // alpha, omega, null groups — computed, not guessed
+  }
+
   test("aggregate pushdown on an empty created table: COUNT 0, MIN/MAX NULL, still manifest-only") {
     emptyCatalog("snagg4")
     spark.sql("CREATE TABLE snagg4.t (id BIGINT, s STRING) TBLPROPERTIES ('stats_cols'='id,s')")
@@ -1033,6 +1055,71 @@ class SnapCatalogSpec extends SparkSpec {
     q.stop()
     assert(batches.get() == 4, s"4 files at 1 byte/trigger must take exactly 4 batches, got ${batches.get()}")
     assert(ids.asScala.toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L), ids.asScala.toSeq.sorted.toString)
+  }
+
+  test("cat.t.partitions rolls up per-partition files/rows/bytes from the manifest") {
+    val (_, _) = fixture("snapmt1") // 4 day files: 2+1+1+1 rows
+    val rows = spark
+      .sql("SELECT partition, n_files, n_rows FROM snapmt1.ev.partitions ORDER BY partition")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(
+      rows.toSeq == Seq(
+        ("day=2024-01-01", 1L, 2L),
+        ("day=2024-01-02", 1L, 1L),
+        ("day=2024-01-03", 1L, 1L),
+        ("day=2024-01-04", 1L, 1L)),
+      rows.toSeq.toString)
+    val bytes = spark.sql("SELECT n_bytes FROM snapmt1.ev.partitions").collect()
+    assert(bytes.forall(r => !r.isNullAt(0) && r.getLong(0) > 0L), "recorded byte sizes")
+  }
+
+  test("INSERT clusters rows by the hive layout: files stay one-per-partition, not tasks x partitions") {
+    fixture("snaprb1")
+    val before = Snapshots.files(spark, spark.conf.get("spark.sql.catalog.snaprb1.root") + "/ev").toSet
+    // 60 rows over 2 NEW days, deliberately scattered over 8 upstream
+    // partitions — without clustering this would land up to 16 files
+    (0 until 60)
+      .map(i => (100L + i, if (i % 2 == 0) "2024-02-01" else "2024-02-02", "bulk", i * 1.0))
+      .toDF("id", "day", "event_type", "v")
+      .repartition(8)
+      .createOrReplaceTempView("snaprb1_src")
+    spark.sql(
+      "INSERT INTO snaprb1.ev SELECT id, event_type, v, CAST(day AS DATE) FROM snaprb1_src")
+    val dir = spark.conf.get("spark.sql.catalog.snaprb1.root") + "/ev"
+    val added = Snapshots.files(spark, dir).filterNot(before)
+    val byDay = added.groupBy(_.split("/").head)
+    assert(byDay.keySet == Set("day=2024-02-01", "day=2024-02-02"), byDay.keySet.toString)
+    assert(
+      byDay.values.forall(_.size == 1),
+      s"each inserted day must land as ONE file, got: $added")
+    assert(
+      spark.sql("SELECT count(*) FROM snaprb1.ev").as[Long].head() == 65L,
+      "5 fixture + 60 inserted rows")
+  }
+
+  test("startingTimestamp streams from the first commit at-or-after the instant") {
+    val (_, dir) = fixture("snapst7") // v1 at its commit mtime
+    Thread.sleep(1100) // manifest mtimes are second-granular on some filesystems
+    val cut = System.currentTimeMillis()
+    Seq((9L, "2024-01-09", "late", 90.0)).toDF("id", "day", "event_type", "v")
+      .createOrReplaceTempView("snapst7_more")
+    spark.sql("INSERT INTO snapst7.ev SELECT id, event_type, v, CAST(day AS DATE) FROM snapst7_more")
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .option("startingTimestamp", cut.toString)
+      .table("snapst7.ev")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("snapst7_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id").collect().foreach(r => ids.add(r.getLong(0)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(
+      ids.asScala.toSeq.sorted == Seq(9L),
+      s"only the post-cut commit's rows must stream, got ${ids.asScala.toSeq.sorted}")
   }
 
   test("Trigger.AvailableNow drains pinned history in bounded batches, then stops") {
