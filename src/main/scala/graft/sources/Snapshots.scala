@@ -332,14 +332,24 @@ object Snapshots {
   private[sources] def overlapsRange(
       cs: ColStat,
       lo: Option[String],
-      hi: Option[String]): Boolean = cs.typ match {
-    case "l" =>
-      hi.forall(h => cs.min.toLong <= h.toLong) && lo.forall(l => cs.max.toLong >= l.toLong)
-    case "d" =>
-      hi.forall(h => cs.min.toDouble <= h.toDouble) && lo.forall(l => cs.max.toDouble >= l.toDouble)
-    case _ =>
-      hi.forall(h => cs.min <= h) && lo.forall(l => cs.max >= l)
-  }
+      hi: Option[String]): Boolean =
+    try
+      cs.typ match {
+        case "l" =>
+          hi.forall(h => cs.min.toLong <= h.toLong) && lo.forall(l => cs.max.toLong >= l.toLong)
+        case "d" =>
+          hi.forall(h => cs.min.toDouble <= h.toDouble) &&
+          lo.forall(l => cs.max.toDouble >= l.toDouble)
+        case _ =>
+          hi.forall(h => cs.min <= h) && lo.forall(l => cs.max >= l)
+      }
+    catch {
+      // a probe value that doesn't parse in the stat's domain (a string
+      // filter against a numerically-typed interval, e.g. WHERE code =
+      // 'unknown' on a dir layout of numeric codes) can exclude nothing —
+      // pruning and runtime filtering may only SKIP work, never fail it
+      case _: NumberFormatException => true
+    }
 
   /** Pseudo-column under which a v2 manifest records each file's exact
     * row count (footer metadata) — powers [[countRows]], the
@@ -368,10 +378,12 @@ object Snapshots {
   def nullCountKey(col: String): String = "\u0000nulls:" + col
 
   /** The recorded null count of `col` in one file's stat map, if the
-    * manifest carries it (pre-null-count manifests simply don't).
+    * manifest carries a KNOWN one (pre-null-count manifests have no
+    * entry; a `u`-typed entry means the footer had no num_nulls — the key
+    * exists for the incremental-commit guard but carries no number).
     */
   private[sources] def nullCountOf(st: Map[String, ColStat], col: String): Option[Long] =
-    st.get(nullCountKey(col)).map(_.min.toLong)
+    st.get(nullCountKey(col)).filter(_.typ == "l").map(_.min.toLong)
 
   /** Provably all-null: recorded null count equals recorded row count.
     * False on missing stats — callers may only SKIP work on `true`.
@@ -520,12 +532,17 @@ object Snapshots {
         // exact null counts: a column absent from the footer entirely
         // (ALTER-added, or the hive null-partition sentinel) null-fills
         // on read, so its count is every row
-        val nullStats = want.flatMap { c =>
-          if (chunkCount(c) == 0) Some(nullCountKey(c) -> ColStat("l", rows.toString, rows.toString))
+        val nullStats = want.map { c =>
+          if (chunkCount(c) == 0) nullCountKey(c) -> ColStat("l", rows.toString, rows.toString)
           else if (chunkCount(c) == rowGroups && nullsKnown(c)) {
             val n = nullSum(c)
-            Some(nullCountKey(c) -> ColStat("l", n.toString, n.toString))
-          } else None
+            nullCountKey(c) -> ColStat("l", n.toString, n.toString)
+          } else
+            // footers without num_nulls: record UNKNOWN explicitly ('u')
+            // rather than omitting the key — the incremental-commit guard
+            // keys on the key's presence, and a permanently-absent key
+            // would re-read this footer on EVERY commit forever
+            nullCountKey(c) -> ColStat("u", "-1", "-1")
         }
         valueStats ++ nullStats ++ Map(RowCountKey -> ColStat("l", rows.toString, rows.toString))
       } finally reader.close()
@@ -868,33 +885,7 @@ object Snapshots {
     * evolution trap; pick a new name).
     */
   def addColumns(spark: SparkSession, root: String, cols: Seq[StructField]): Long =
-    withTableLock(spark, root) {
-      require(cols.nonEmpty, "addColumns: no columns given")
-      val view = manifestView(spark, root)
-      val cur = view.schema.getOrElse(sys.error(
-        s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
-      cols.foreach { f =>
-        require(
-          f.nullable,
-          s"added column '${f.name}' must be nullable — existing rows have no value for it")
-        require(!f.name.contains("."), s"added column '${f.name}': nested paths are not supported")
-        require(
-          !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-          s"column '${f.name}' already exists")
-        require(
-          !view.dropped.exists(_.equalsIgnoreCase(f.name)),
-          s"column '${f.name}' was previously dropped; re-adding the name would resurrect its " +
-            "old values from old files — pick a new name")
-      }
-      commitDdl(
-        spark,
-        root,
-        org.apache.spark.sql.types.StructType(cur.fields.toSeq ++ cols),
-        view.dropped,
-        view.partCols,
-        view.statsCols,
-        view.bloomCols)
-    }
+    alterSchema(spark, root, Seq(DdlChange.AddCols(cols)))
 
   /** `ALTER TABLE … DROP COLUMN`: remove the column from the declared
     * schema and TOMBSTONE the name, so later commits' inference can never
@@ -904,26 +895,7 @@ object Snapshots {
     * discipline. Hive partition columns are structural and refuse.
     */
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
-    withTableLock(spark, root) {
-      val view = manifestView(spark, root)
-      val cur = view.schema.getOrElse(sys.error(
-        s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
-      require(cur.fieldNames.contains(name), s"table $root has no column '$name'")
-      require(cur.fields.length > 1, s"cannot drop '$name' — it is the table's only column")
-      val layout =
-        if (view.partCols.nonEmpty) view.partCols else partitionColsFromRels(view.rels)
-      require(
-        !layout.contains(name),
-        s"'$name' is a hive partition column — the table layout depends on it")
-      commitDdl(
-        spark,
-        root,
-        org.apache.spark.sql.types.StructType(cur.fields.toSeq.filterNot(_.name == name)),
-        view.dropped :+ name,
-        view.partCols,
-        view.statsCols.filterNot(_ == name),
-        view.bloomCols.filterNot(_ == name))
-    }
+    alterSchema(spark, root, Seq(DdlChange.Drop(name)))
 
   /** `ALTER TABLE … ALTER COLUMN c TYPE t`: record the wider type for a
     * sanctioned widening pair (int→bigint, float→double) — metadata-only;
@@ -934,26 +906,76 @@ object Snapshots {
       root: String,
       name: String,
       to: org.apache.spark.sql.types.DataType): Long =
+    alterSchema(spark, root, Seq(DdlChange.Widen(name, to)))
+
+  /** One schema-evolution operation of an `ALTER TABLE` statement. */
+  sealed trait DdlChange
+  object DdlChange {
+    final case class AddCols(cols: Seq[StructField]) extends DdlChange
+    final case class Drop(name: String) extends DdlChange
+    final case class Widen(name: String, to: org.apache.spark.sql.types.DataType)
+        extends DdlChange
+  }
+
+  /** Apply every change of one ALTER statement ATOMICALLY: each change
+    * validates against the schema as evolved by the changes BEFORE it,
+    * and nothing commits until all of them validate — a failing later
+    * change can never leave earlier ones durably applied (`ALTER TABLE t
+    * ADD COLUMNS (a INT, b INT)` where `b` collides must not commit `a`).
+    * One manifest version records the combined result.
+    */
+  def alterSchema(spark: SparkSession, root: String, ops: Seq[DdlChange]): Long =
     withTableLock(spark, root) {
+      require(ops.nonEmpty, "alterSchema: no changes given")
       val view = manifestView(spark, root)
-      val cur = view.schema.getOrElse(sys.error(
+      var cur = view.schema.getOrElse(sys.error(
         s"table $root has no recorded schema — commit with statsCols (or createTable) before ALTER"))
-      val f = cur.fields
-        .find(_.name == name)
-        .getOrElse(sys.error(s"table $root has no column '$name'"))
-      require(
-        widenings((f.dataType, to)),
-        s"cannot change '$name' from ${f.dataType.simpleString} to ${to.simpleString} in place — " +
-          "supported widenings: int→bigint, float→double; anything else needs a rewrite")
-      commitDdl(
-        spark,
-        root,
-        org.apache.spark.sql.types.StructType(
-          cur.fields.toSeq.map(x => if (x.name == name) x.copy(dataType = to) else x)),
-        view.dropped,
-        view.partCols,
-        view.statsCols,
-        view.bloomCols)
+      var dropped = view.dropped
+      var statsCols = view.statsCols
+      var bloomCols = view.bloomCols
+      val layout =
+        if (view.partCols.nonEmpty) view.partCols else partitionColsFromRels(view.rels)
+      ops.foreach {
+        case DdlChange.AddCols(cols) =>
+          require(cols.nonEmpty, "addColumns: no columns given")
+          cols.foreach { f =>
+            require(
+              f.nullable,
+              s"added column '${f.name}' must be nullable — existing rows have no value for it")
+            require(
+              !f.name.contains("."),
+              s"added column '${f.name}': nested paths are not supported")
+            require(
+              !cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+              s"column '${f.name}' already exists")
+            require(
+              !dropped.exists(_.equalsIgnoreCase(f.name)),
+              s"column '${f.name}' was previously dropped; re-adding the name would resurrect " +
+                "its old values from old files — pick a new name")
+            cur = org.apache.spark.sql.types.StructType(cur.fields.toSeq :+ f)
+          }
+        case DdlChange.Drop(name) =>
+          require(cur.fieldNames.contains(name), s"table $root has no column '$name'")
+          require(cur.fields.length > 1, s"cannot drop '$name' — it is the table's only column")
+          require(
+            !layout.contains(name),
+            s"'$name' is a hive partition column — the table layout depends on it")
+          cur = org.apache.spark.sql.types.StructType(cur.fields.toSeq.filterNot(_.name == name))
+          dropped = dropped :+ name
+          statsCols = statsCols.filterNot(_ == name)
+          bloomCols = bloomCols.filterNot(_ == name)
+        case DdlChange.Widen(name, to) =>
+          val f = cur.fields
+            .find(_.name == name)
+            .getOrElse(sys.error(s"table $root has no column '$name'"))
+          require(
+            widenings((f.dataType, to)),
+            s"cannot change '$name' from ${f.dataType.simpleString} to ${to.simpleString} in " +
+              "place — supported widenings: int→bigint, float→double; anything else needs a rewrite")
+          cur = org.apache.spark.sql.types.StructType(
+            cur.fields.toSeq.map(x => if (x.name == name) x.copy(dataType = to) else x))
+      }
+      commitDdl(spark, root, cur, dropped, view.partCols, statsCols, bloomCols)
     }
 
   /** Sidecar location for file `rel`'s bloom over `colName` — under the

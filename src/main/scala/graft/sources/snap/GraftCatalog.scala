@@ -222,7 +222,11 @@ class GraftCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!isSnapTable(dir)) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // translate EVERY change before applying ANY: the whole statement
+    // lands as one atomic [[Snapshots.alterSchema]] commit, so a failing
+    // later change (name collision, unsupported shape) can never leave
+    // earlier changes durably applied by a statement that reported failure
+    val ops: Seq[Snapshots.DdlChange] = changes.toSeq.map {
       case ac: TableChange.AddColumn =>
         if (ac.fieldNames().length != 1)
           throw new UnsupportedOperationException(
@@ -233,20 +237,18 @@ class GraftCatalog
         if (!ac.isNullable)
           throw new UnsupportedOperationException(
             s"added column '${ac.fieldNames()(0)}' must be nullable — existing rows have no value")
-        Snapshots.addColumns(
-          spark,
-          dir,
+        Snapshots.DdlChange.AddCols(
           Seq(StructField(ac.fieldNames()(0), ac.dataType(), nullable = true)))
       case dc: TableChange.DeleteColumn =>
         if (dc.fieldNames().length != 1)
           throw new UnsupportedOperationException(
             s"nested column drops are not supported: ${dc.fieldNames().mkString(".")}")
-        Snapshots.dropColumn(spark, dir, dc.fieldNames()(0))
+        Snapshots.DdlChange.Drop(dc.fieldNames()(0))
       case ut: TableChange.UpdateColumnType =>
         if (ut.fieldNames().length != 1)
           throw new UnsupportedOperationException(
             s"nested column type changes are not supported: ${ut.fieldNames().mkString(".")}")
-        Snapshots.widenColumn(spark, dir, ut.fieldNames()(0), ut.newDataType())
+        Snapshots.DdlChange.Widen(ut.fieldNames()(0), ut.newDataType())
       case rc: TableChange.RenameColumn =>
         throw new UnsupportedOperationException(
           s"RENAME COLUMN '${rc.fieldNames().mkString(".")}' refused: snapshot files store " +
@@ -255,6 +257,7 @@ class GraftCatalog
       case other =>
         throw new UnsupportedOperationException(s"unsupported ALTER TABLE change: $other")
     }
+    Snapshots.alterSchema(spark, dir, ops)
     loadTable(ident)
   }
 
@@ -588,9 +591,7 @@ object SnapWriteBuilder {
     * `k=v/...` depth structure).
     */
   private def partitionColsOf(rels: Seq[String]): Seq[String] =
-    rels.headOption
-      .map(_.split("/").dropRight(1).toSeq.filter(_.contains("=")).map(_.split("=", 2)(0)))
-      .getOrElse(Seq.empty)
+    Snapshots.partitionColsFromRels(rels)
 
   private def doInsert(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
     val spark = data.sparkSession
@@ -780,7 +781,9 @@ class SnapScanBuilder(
     def nullsKnown(c: String) =
       view.rels.forall { r =>
         val st = stOf(r)
-        st.contains(Snapshots.nullCountKey(c)) && st.contains(Snapshots.RowCountKey)
+        // a KNOWN count, not just the key — 'u' (footer had no num_nulls)
+        // can gate the incremental commit but cannot answer COUNT(col)
+        Snapshots.nullCountOf(st, c).isDefined && st.contains(Snapshots.RowCountKey)
       }
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -801,7 +804,14 @@ class SnapScanBuilder(
           val st = stOf(r)
           st.get(c) match {
             case Some(cs) =>
-              cs.typ == statTyp && (declared != StringType || (isAscii(cs.min) && isAscii(cs.max)))
+              // the null-count key doubles as the post-upgrade watermark:
+              // older commits recorded hive values ESCAPED and the null
+              // sentinel as a string interval — endpoints from them are
+              // not trustworthy extremes, so their manifests (and pins of
+              // them) fall back to a real scan
+              st.contains(Snapshots.nullCountKey(c)) &&
+              cs.typ == statTyp && cs.min != "__HIVE_DEFAULT_PARTITION__" &&
+              (declared != StringType || (isAscii(cs.min) && isAscii(cs.max)))
             case None => Snapshots.allNull(st, c) // provably contributes nothing
           }
         }
@@ -1020,7 +1030,7 @@ class SnapAggScan(
     case CountColF(c) =>
       rels.map { r =>
         val st = stOf(r)
-        st(Snapshots.RowCountKey).min.toLong - st(Snapshots.nullCountKey(c)).min.toLong
+        st(Snapshots.RowCountKey).min.toLong - Snapshots.nullCountOf(st, c).get
       }.sum
     case MinF(c, t) => extreme(rels, c, t, isMin = true)
     case MaxF(c, t) => extreme(rels, c, t, isMin = false)

@@ -123,7 +123,14 @@ class SnapMicroBatchStream(
     val o = start.asInstanceOf[SnapVersionOffset]
     val vHead = Snapshots.latestVersion(s, dir)
     val vMax = availableNowTarget.fold(vHead)(math.min(_, vHead))
-    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) SnapVersionOffset(vMax, 0)
+    // never hand Spark an offset BELOW the start: a future startingVersion
+    // (table at v2, start pinned at v100) must not commit a backward
+    // offset that would later stream versions the user excluded
+    def floored(end: SnapVersionOffset): SnapVersionOffset =
+      if (end.version < o.version || (end.version == o.version && end.index < o.index)) o
+      else end
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      floored(SnapVersionOffset(vMax, 0))
     else {
       // file-granular walk: offsets can stop INSIDE a version's added
       // set, so even a one-commit adopted table (its whole history is

@@ -891,6 +891,84 @@ class SnapCatalogSpec extends SparkSpec {
     assert(bad.count() == 3L) // alpha, omega, null groups — computed, not guessed
   }
 
+  test("a NULL partition value groups as SQL NULL and never leaks the hive sentinel into MIN/MAX") {
+    val base = emptyCatalog("snaggnull")
+    val dir = s"$base/t"
+    val rows = Seq(
+      (1L, Option("2024-01-01")),
+      (2L, Option("2024-01-02")),
+      (3L, Option.empty[String])).toDF("id", "day")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, statsCols = Seq("day", "id"))
+    // MIN/MAX over the partition column: the all-null sentinel file has
+    // no value interval and provably contributes nothing
+    val mm = spark.sql("SELECT min(day) AS mn, max(day) AS mx, count(day) AS n FROM snaggnull.t")
+    assert(scanOf(mm).isInstanceOf[SnapAggScan], scanOf(mm).description())
+    val r = mm.head()
+    assert(r.getDate(0).toString == "2024-01-01" && r.getDate(1).toString == "2024-01-02", r)
+    assert(r.getLong(2) == 2L, "count(day) excludes the null-partition row")
+    // grouped: the sentinel is the SQL NULL group
+    val g = spark.sql("SELECT day, count(*) AS n FROM snaggnull.t GROUP BY day")
+    assert(scanOf(g).isInstanceOf[SnapAggScan], scanOf(g).description())
+    val groups = g.collect().map(r0 => (if (r0.isNullAt(0)) null else r0.getDate(0).toString, r0.getLong(1))).toMap
+    assert(groups == Map("2024-01-01" -> 1L, "2024-01-02" -> 1L, (null: String) -> 1L), groups.toString)
+  }
+
+  test("ALTER TABLE with a failing later change applies NOTHING (atomic statement)") {
+    val (_, dir) = fixture("ddlatomic")
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    val schemaBefore = spark.sql("SELECT * FROM ddlatomic.ev").schema.fieldNames.toSeq
+    // second ADD collides with an existing column — the first must not land
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE ddlatomic.ev ADD COLUMNS (brand_new DOUBLE, event_type STRING)"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, dir) == vBefore, "no manifest version may land")
+    assert(
+      spark.sql("SELECT * FROM ddlatomic.ev").schema.fieldNames.toSeq == schemaBefore,
+      "brand_new must not exist after the failed statement")
+  }
+
+  test("a filter value that doesn't parse in the stat's domain prunes nothing instead of failing") {
+    emptyCatalog("snagtyped")
+    // a DECLARED string column whose dir values are numeric-shaped:
+    // fileColStats types the interval 'l' by value shape, while the
+    // query side compares strings — the mismatch must prune nothing,
+    // never throw
+    spark.sql(
+      "CREATE TABLE snagtyped.t (id BIGINT, code STRING) PARTITIONED BY (code) " +
+        "TBLPROPERTIES ('stats_cols'='code')")
+    spark.sql("INSERT INTO snagtyped.t VALUES (1, '123'), (2, '456')")
+    val df = spark.sql("SELECT id FROM snagtyped.t WHERE code = 'unknown'")
+    assert(df.collect().isEmpty, "no rows match; the query must not throw")
+    val hit = spark.sql("SELECT id FROM snagtyped.t WHERE code = '123'")
+    assert(hit.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("startingVersion beyond current history never streams the versions below it") {
+    val (_, dir) = fixture("snapstfut")
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ck = Files.createTempDirectory("snapstfut_ck").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .option("startingVersion", "100")
+        .table("snapstfut.ev")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.select("id").collect().foreach(r => ids.add(r.getLong(0)))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run() // table is at v1 < 100: nothing may stream, offset must not regress
+    Seq((7L, "2024-01-07", "late", 70.0)).toDF("id", "day", "event_type", "v")
+      .createOrReplaceTempView("snapstfut_more")
+    spark.sql("INSERT INTO snapstfut.ev SELECT id, event_type, v, CAST(day AS DATE) FROM snapstfut_more")
+    run() // v2 < 100 still excluded
+    assert(ids.isEmpty, s"versions below the pinned start leaked: ${ids.asScala.toSeq}")
+  }
+
   test("aggregate pushdown on an empty created table: COUNT 0, MIN/MAX NULL, still manifest-only") {
     emptyCatalog("snagg4")
     spark.sql("CREATE TABLE snagg4.t (id BIGINT, s STRING) TBLPROPERTIES ('stats_cols'='id,s')")
