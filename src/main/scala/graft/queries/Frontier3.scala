@@ -1385,7 +1385,78 @@ object Frontier3 {
       |  min(user_id) AS min_uid, max(user_id) AS max_uid
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q217: filtered + grouped manifest aggregates ---------------------
+
+  /** The windowed dashboard panel at manifest economics: `WHERE day IN
+    * (…)` on the partition column is CONSUMED by the scan (a hive dir
+    * value is the value of every row in the file, so file-level pruning
+    * implements the predicate completely and no post-scan Filter is
+    * planned) — which is exactly what lets the grouped aggregate STILL
+    * push: `SELECT day, count(*), count(cat), min(user_id) … WHERE day IN
+    * (4-day window) GROUP BY day` answers from the manifest's per-file
+    * stats of just the window's files. No job, no file opens. The REQUIRE
+    * pins both halves of the plan shape (consumed filters + grouped agg
+    * scan); the ORACLE recomputes the window from raw events. At 100 TB:
+    * the date-picker dashboard refresh costs one manifest read regardless
+    * of table size or window position.
+    */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq217_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val ev = Tables.events(s, d)
+    val rows = ev.select(
+      col("user_id"),
+      to_date(col("ts")).as("day"),
+      when(col("event_type") === "click", lit(null).cast("string"))
+        .otherwise(col("event_type"))
+        .as("cat"))
+    graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
+    val cat = s"snapq217_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head.getDate(0).toLocalDate
+    val window = (2L to 5L).map(i => s"DATE'${m.plusDays(i)}'").mkString(", ")
+    val df = s.sql(s"""
+      |SELECT day, count(*) AS n_rows, count(cat) AS n_cat, min(user_id) AS min_uid
+      |FROM $cat.ev WHERE day IN ($window)
+      |GROUP BY day ORDER BY day""".stripMargin)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass
+            .getMethod("v1Scan")
+            .invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+            .description()
+        else r.scan.description()
+    }
+    require(
+      scans.exists(s0 =>
+        s0.contains("GraftSnapAggScan") && s0.contains("GroupBy: [day]") &&
+          s0.contains("ConsumedFilters:")),
+      s"windowed grouped aggregates did not push to the manifest: $scans")
+    df
+  }
+
+  val q217Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id,
+      |         CASE WHEN event_type <> 'click' THEN event_type END AS cat
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(cat) AS BIGINT) AS n_cat, min(user_id) AS min_uid
+      |FROM s, b WHERE day BETWEEN m + 2 AND m + 5
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q217_windowed_manifest_agg" -> (q217 _),
     "q216_grouped_manifest_agg" -> (q216 _),
     "q215_runtime_file_pruning" -> (q215 _),
     "q214_storage_partitioned_join" -> (q214 _),
@@ -1409,6 +1480,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q217_windowed_manifest_agg" -> q217Sql,
     "q216_grouped_manifest_agg" -> q216Sql,
     "q215_runtime_file_pruning" -> q215Sql,
     "q214_storage_partitioned_join" -> q214Sql,

@@ -715,6 +715,49 @@ private[snap] object SnapFilters {
     case And(l, r) => toRange(l) ++ toRange(r)
     case _ => Seq.empty
   }
+
+  /** Extract a filter's single column name, when it has exactly one. */
+  def soleColumn(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case EqualNullSafe(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case IsNull(a) => Some(a)
+    case IsNotNull(a) => Some(a)
+    case _ => None
+  }
+
+  /** The hive partition value of one manifest rel for column `c`:
+    * Some(true value) for a real dir value, None for the null sentinel
+    * or a missing segment.
+    */
+  def partValueOf(rel: String, c: String): Option[String] =
+    rel
+      .split("/")
+      .dropRight(1)
+      .filter(_.contains("="))
+      .collectFirst { case seg if seg.split("=", 2)(0) == c => seg.split("=", 2)(1) }
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      .map(Snapshots.unescapePathName)
+
+  /** Does a file EXACTLY satisfy a consumed partition filter — i.e. does
+    * every row of the file match? Sound because a hive dir value is the
+    * value of every row in the file (the sentinel dir is all-null).
+    * Callers only pass filters admitted by the builder's consumability
+    * gate (single path column, canonical-rendering type, every pinned
+    * file carries the segment).
+    */
+  def partitionExactKeep(rel: String, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => SnapFilters.statString(v).exists(s => partValueOf(rel, a).contains(s))
+    case EqualNullSafe(a, null) => partValueOf(rel, a).isEmpty
+    case EqualNullSafe(a, v) =>
+      SnapFilters.statString(v).exists(s => partValueOf(rel, a).contains(s))
+    case In(a, vs) =>
+      val rendered = vs.toSeq.flatMap(SnapFilters.statString)
+      partValueOf(rel, a).exists(rendered.contains)
+    case IsNull(a) => partValueOf(rel, a).isEmpty
+    case IsNotNull(a) => partValueOf(rel, a).isDefined
+    case _ => false // never admitted by the gate
+  }
 }
 
 /** Pushdown surface of a snapshot scan. Filters prune the manifest's file
@@ -736,20 +779,67 @@ class SnapScanBuilder(
 
   private var required: StructType = tableSchema
   private val translated = mutable.ArrayBuffer.empty[Filter]
+  private val consumed = mutable.ArrayBuffer.empty[Filter]
   private val pruneRanges = mutable.ArrayBuffer.empty[(String, Option[String], Option[String])]
   private var pushedAgg: Option[(Seq[(String, DataType)], Seq[SnapAggScan.Field])] = None
 
+  private lazy val pathCols: Seq[String] =
+    if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
+
+  /** Can the source CONSUME a filter on `c` — answer it exactly from the
+    * file list, no row-level re-check? Requires `c` to be a hive path
+    * column of EVERY pinned file (a dir value is the value of every row
+    * in the file) with a declared type whose canonical rendering makes
+    * exact string equality mean value equality (int family, DATE,
+    * STRING; float/double renderings are ambiguous and stay residual).
+    */
+  private def consumableCol(c: String): Boolean =
+    !c.contains(".") && pathCols.contains(c) &&
+    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+      case ByteType | ShortType | IntegerType | LongType | DateType | StringType => true
+      case _ => false
+    } &&
+    view.rels.forall(r =>
+      r.split("/").dropRight(1).exists(seg => seg.contains("=") && seg.split("=", 2)(0) == c))
+
+  private def isConsumable(f: Filter): Boolean =
+    SnapFilters.soleColumn(f).exists(consumableCol) && (f match {
+      case EqualTo(_, v) => SnapFilters.statString(v).isDefined
+      case EqualNullSafe(_, null) => true
+      case EqualNullSafe(_, v) => SnapFilters.statString(v).isDefined
+      case In(_, vs) => vs.nonEmpty && vs.forall(v => SnapFilters.statString(v).isDefined)
+      case IsNull(_) | IsNotNull(_) => true
+      case _ => false
+    })
+
+  /** Partition-exact filters are CONSUMED (not returned as residuals):
+    * file-level pruning implements them completely, so Spark plans no
+    * post-scan Filter — which is what lets an aggregate WITH a partition
+    * predicate still push to the manifest (`SELECT count(*) … WHERE day =
+    * X` stays zero-file-open). Everything else stays residual: stats
+    * pruning and the inner re-push only ever SKIP work.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach { f =>
+    val (consume, residual) = filters.partition(isConsumable)
+    consumed ++= consume
+    residual.foreach { f =>
       val ranges = SnapFilters.toRange(f)
       val inner = SnapFilters.toColumn(f)
       if (ranges.nonEmpty || inner.isDefined) translated += f
       pruneRanges ++= ranges
     }
-    filters // every filter stays a residual: pruning/inner re-push only ever SKIP work
+    residual
   }
 
-  override def pushedFilters(): Array[Filter] = translated.toArray
+  override def pushedFilters(): Array[Filter] = (translated ++ consumed).toArray
+
+  /** The pinned file list narrowed by the consumed partition filters —
+    * EXACT by construction, and the base set every later decision
+    * (aggregation validity, stats pruning, the scans) works from.
+    */
+  private lazy val consumedKept: Seq[String] =
+    if (consumed.isEmpty) view.rels
+    else view.rels.filter(r => consumed.forall(SnapFilters.partitionExactKeep(r, _)))
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
@@ -775,11 +865,14 @@ class SnapScanBuilder(
       agg: Aggregation): Option[(Seq[(String, DataType)], Seq[SnapAggScan.Field])] = {
     if (translated.nonEmpty || pruneRanges.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
+    // consumed partition filters narrowed the file list EXACTLY, so the
+    // aggregation is over precisely these files' rows
+    val rels = consumedKept
 
     def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
-    def rowsKnown = view.rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
+    def rowsKnown = rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
     def nullsKnown(c: String) =
-      view.rels.forall { r =>
+      rels.forall { r =>
         val st = stOf(r)
         // a KNOWN count, not just the key — 'u' (footer had no num_nulls)
         // can gate the incremental commit but cannot answer COUNT(col)
@@ -800,7 +893,7 @@ class SnapScanBuilder(
           case DateType | StringType => Some("s")
           case _ => None
         }
-        if view.rels.forall { r =>
+        if rels.forall { r =>
           val st = stOf(r)
           st.get(c) match {
             case Some(cs) =>
@@ -831,7 +924,7 @@ class SnapScanBuilder(
         }
         val ok = resolved.forall { case (c, t) =>
           t.exists(SnapAggScan.groupConvertible) &&
-          view.rels.forall(r =>
+          rels.forall(r =>
             r.split("/").dropRight(1).exists(seg => seg.split("=", 2)(0) == c && seg.contains("=")))
         }
         if (ok) Some(resolved.map { case (c, t) => c -> t.get }) else None
@@ -860,7 +953,8 @@ class SnapScanBuilder(
     }
 
   override def build(): Scan = pushedAgg match {
-    case Some((groupCols, fields)) => new SnapAggScan(dir, view, groupCols, fields)
+    case Some((groupCols, fields)) =>
+      new SnapAggScan(dir, view, consumedKept, consumed.toSeq, groupCols, fields)
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
@@ -884,9 +978,9 @@ class SnapScanBuilder(
       val isNullCols = translated.collect { case IsNull(a) if !a.contains(".") => a }
       val kept =
         if (pruneRanges.isEmpty && inProbes.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
-          view.rels
+          consumedKept
         else
-          view.rels.filter { rel =>
+          consumedKept.filter { rel =>
             val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi)) &&
@@ -913,7 +1007,17 @@ class SnapScanBuilder(
             .getOption("spark.graft.snapshot.batchscan")
             .exists(_.equalsIgnoreCase("v2"))
       if (v2Requested)
-        new SnapV2BatchScan(dir, view, tableSchema, required, kept, translated.toSeq, options)
+        // consumed filters ride along for display and (V1 path) harmless
+        // idempotent re-application — they were already file-exact
+        new SnapV2BatchScan(
+          dir,
+          view,
+          tableSchema,
+          required,
+          kept,
+          (translated ++ consumed).toSeq,
+          options,
+          consumed.toSeq)
       else
         new SnapBatchScan(
           dir,
@@ -922,9 +1026,10 @@ class SnapScanBuilder(
           required,
           kept,
           view.rels.size,
-          translated.toSeq,
+          (translated ++ consumed).toSeq,
           view.stats,
-          options)
+          options,
+          consumed.toSeq)
   }
 }
 
@@ -973,6 +1078,8 @@ private[snap] object SnapScanStats {
 class SnapAggScan(
     dir: String,
     view: Snapshots.ManifestView,
+    rels: Seq[String],
+    consumedFilters: Seq[Filter],
     groupCols: Seq[(String, DataType)],
     fields: Seq[SnapAggScan.Field])
     extends V1Scan {
@@ -1012,17 +1119,18 @@ class SnapAggScan(
   }
 
   /** The answer rows, computed from the manifest view alone: one row
-    * ungrouped, one row per distinct partition-value tuple grouped.
+    * ungrouped, one row per distinct partition-value tuple grouped —
+    * over the (possibly consumed-filter-narrowed) pinned file list.
     */
   private[snap] lazy val rows: Seq[Seq[Any]] =
-    if (groupCols.isEmpty) Seq(aggRow(view.rels))
+    if (groupCols.isEmpty) Seq(aggRow(rels))
     else
-      view.rels.groupBy(groupKeyOf).toSeq.map { case (key, rels) =>
+      rels.groupBy(groupKeyOf).toSeq.map { case (key, group) =>
         val keyVals = key.zip(groupCols).map { case (raw, (_, t)) =>
           if (raw == "__HIVE_DEFAULT_PARTITION__") null
           else external(Snapshots.unescapePathName(raw), t)
         }
-        keyVals ++ aggRow(rels)
+        keyVals ++ aggRow(group)
       }
 
   private def aggRow(rels: Seq[String]): Seq[Any] = fields.map {
@@ -1069,8 +1177,11 @@ class SnapAggScan(
     }
     val grouped =
       if (groupCols.isEmpty) "" else s" GroupBy: [${groupCols.map(_._1).mkString(", ")}]"
+    val filtered =
+      if (consumedFilters.isEmpty) ""
+      else s" ConsumedFilters: [${consumedFilters.mkString(", ")}] files=${rels.size}/${view.rels.size}"
     s"GraftSnapAggScan $dir v${view.version} PushedAggregates: " +
-      s"[${rendered.mkString(", ")}]$grouped (manifest-only, zero file opens)"
+      s"[${rendered.mkString(", ")}]$grouped$filtered (manifest-only, zero file opens)"
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
@@ -1134,7 +1245,8 @@ class SnapBatchScan(
     totalFiles: Int,
     filters: Seq[Filter],
     stats: Map[String, Map[String, Snapshots.ColStat]],
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    consumedFilters: Seq[Filter] = Seq.empty)
     extends V1Scan
     with SupportsReportStatistics {
 
@@ -1147,7 +1259,7 @@ class SnapBatchScan(
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapMicroBatchStream(dir, required, tableSchema, options)
+    new SnapMicroBatchStream(dir, required, tableSchema, options, consumedFilters)
 
   override def description(): String =
     s"GraftSnapScan $dir v$version files=${keptRels.size}/$totalFiles " +

@@ -53,7 +53,8 @@ class SnapV2BatchScan(
     required: StructType,
     initialRels: Seq[String],
     filters: Seq[Filter],
-    options: Map[String, String])
+    options: Map[String, String],
+    consumedFilters: Seq[Filter] = Seq.empty)
     extends Scan
     with Batch
     with SupportsReportPartitioning
@@ -91,7 +92,7 @@ class SnapV2BatchScan(
     */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapMicroBatchStream(dir, required, tableSchema, options)
+    new SnapMicroBatchStream(dir, required, tableSchema, options, consumedFilters)
 
   override def description(): String =
     s"GraftSnapV2Scan $dir v${view.version} files=${rels.size}/${view.rels.size} " +

@@ -108,6 +108,11 @@ class SnapRowLevelOperation(
             // bridge exists under ReplaceData): same pruned file list,
             // read through Spark's own parquet row materializer
             new SnapRowLevelScan(dir, b.keptRels, b.readSchema())
+          case v: SnapV2BatchScan =>
+            // a session opted into the v2 batch path: same file list,
+            // same row-level read shape
+            scannedRels = v.currentRels
+            new SnapRowLevelScan(dir, v.currentRels, v.readSchema())
           case s => s // count-style scans never appear under a row-level op
         }
       }

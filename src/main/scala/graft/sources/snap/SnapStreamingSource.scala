@@ -63,7 +63,8 @@ class SnapMicroBatchStream(
     dir: String,
     required: StructType,
     tableSchema: StructType,
-    options: Map[String, String])
+    options: Map[String, String],
+    consumedFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends MicroBatchStream
     with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -239,7 +240,13 @@ class SnapMicroBatchStream(
       if (removedCount == 0) {
         val lo = if (v == o0.version + 1L) o0.index else 0
         val hi = if (v == o1.version + 1L) o1.index else added.size
-        added.slice(lo, hi).foreach { rel =>
+        // a consumed partition filter is file-exact here too: the scan
+        // claimed it from the plan, so files whose dir value fails it
+        // must not stream (and need not — no matching rows exist in them)
+        val slice = added
+          .slice(lo, hi)
+          .filter(rel => consumedFilters.forall(SnapFilters.partitionExactKeep(rel, _)))
+        slice.foreach { rel =>
           val partVals = rel
             .split("/")
             .dropRight(1)

@@ -969,6 +969,97 @@ class SnapCatalogSpec extends SparkSpec {
     assert(ids.isEmpty, s"versions below the pinned start leaked: ${ids.asScala.toSeq}")
   }
 
+  test("partition values needing hive path escaping round-trip through stats, pruning and pushdown") {
+    val base = emptyCatalog("snagesc")
+    val dir = s"$base/t"
+    // ':' and '#' are escaped to %XX in hive dir names — the recorded
+    // stats, the pruned scan, the spliced read value and the pushed
+    // extremes must all see the TRUE value
+    val rows = Seq((1L, "a:1"), (2L, "b#2"), (3L, "plain")).toDF("id", "tag")
+    Sources.writeParquet(rows.repartition(col("tag")), dir, partitionCols = Seq("tag"))
+    Snapshots.commit(spark, dir, statsCols = Seq("tag"))
+    // equality prune keeps exactly the matching file and reads the true value
+    val one = spark.sql("SELECT id, tag FROM snagesc.t WHERE tag = 'a:1'")
+    assert(scanOf(one).description().contains("files=1/3"), scanOf(one).description())
+    assert(one.as[(Long, String)].collect().toSeq == Seq((1L, "a:1")))
+    // MIN/MAX pushdown returns unescaped endpoints
+    val mm = spark.sql("SELECT min(tag) AS mn, max(tag) AS mx FROM snagesc.t")
+    assert(scanOf(mm).isInstanceOf[SnapAggScan], scanOf(mm).description())
+    assert(mm.head() == org.apache.spark.sql.Row("a:1", "plain"), mm.head().toString)
+    // grouped pushdown groups by the true value
+    val g = spark.sql("SELECT tag, count(*) AS n FROM snagesc.t GROUP BY tag ORDER BY tag")
+    assert(scanOf(g).isInstanceOf[SnapAggScan], scanOf(g).description())
+    assert(
+      g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("a:1", 1L), ("b#2", 1L), ("plain", 1L)))
+    // the v2 batch path splices the true value too
+    val v2 = spark.read.option("batchscan", "v2").table("snagesc.t").orderBy("id")
+    assert(
+      v2.select("tag").as[String].collect().toSeq == Seq("a:1", "b#2", "plain"),
+      "spliced partition values must be unescaped")
+  }
+
+  test("partition-exact filters are consumed: filtered and grouped aggregates stay manifest-only") {
+    aggFixture("snagcf1")
+    // equality on the partition column: consumed, no post-scan Filter, so
+    // the aggregate still pushes — and only the matching day's files count
+    val one = spark.sql(
+      "SELECT count(*) AS n, count(cat) AS nc, min(id) AS mn FROM snagcf1.t " +
+        "WHERE day = DATE'2024-01-03'")
+    assert(scanOf(one).isInstanceOf[SnapAggScan], scanOf(one).description())
+    assert(scanOf(one).description().contains("files=1/3"), scanOf(one).description())
+    assert(one.head() == org.apache.spark.sql.Row(2L, 0L, 4L), one.head().toString)
+    // IN-list + GROUP BY: still manifest-only, subset only
+    val g = spark.sql(
+      "SELECT day, count(*) AS n FROM snagcf1.t " +
+        "WHERE day IN (DATE'2024-01-01', DATE'2024-01-03') GROUP BY day ORDER BY day")
+    assert(scanOf(g).isInstanceOf[SnapAggScan], scanOf(g).description())
+    assert(
+      g.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+        Seq(("2024-01-01", 2L), ("2024-01-03", 2L)))
+    // a no-match value answers empty/zero without touching a file
+    val none = spark.sql("SELECT count(*) AS n FROM snagcf1.t WHERE day = DATE'2030-01-01'")
+    assert(scanOf(none).isInstanceOf[SnapAggScan], scanOf(none).description())
+    assert(none.as[Long].head() == 0L)
+    // plain row reads with a consumed filter stay value-correct
+    val rowsRead = spark.sql("SELECT id FROM snagcf1.t WHERE day = DATE'2024-01-01' ORDER BY id")
+    assert(rowsRead.as[Long].collect().toSeq == Seq(1L, 2L))
+    // a filter on a NON-path column still blocks pushdown (sound fallback)
+    val res = spark.sql("SELECT count(*) AS n FROM snagcf1.t WHERE cat = 'alpha'")
+    assert(scanOf(res).isInstanceOf[SnapBatchScan], scanOf(res).description())
+    assert(res.as[Long].head() == 1L)
+  }
+
+  test("consumed filters stay exact on streams and null partitions") {
+    // IS NULL / IS NOT NULL on the partition column consume exactly
+    val base = emptyCatalog("snagcf2")
+    val dir = s"$base/t"
+    val rows = Seq((1L, Option("2024-01-01")), (2L, Option.empty[String]), (3L, Option("2024-01-02")))
+      .toDF("id", "day")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, statsCols = Seq("day", "id"))
+    val nn = spark.sql("SELECT count(*) AS n FROM snagcf2.t WHERE day IS NOT NULL")
+    assert(scanOf(nn).isInstanceOf[SnapAggScan], scanOf(nn).description())
+    assert(nn.as[Long].head() == 2L)
+    val isn = spark.sql("SELECT id FROM snagcf2.t WHERE day IS NULL")
+    assert(isn.as[Long].collect().toSeq == Seq(2L))
+    // a streaming read with a partition filter emits only matching rows
+    // whether or not the filter was pushed into the source
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .table("snagcf2.t")
+      .where(col("day") === lit("2024-01-02").cast("date"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("snagcf2_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id").collect().foreach(r => ids.add(r.getLong(0)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(ids.asScala.toSeq.sorted == Seq(3L), ids.asScala.toSeq.sorted.toString)
+  }
+
   test("aggregate pushdown on an empty created table: COUNT 0, MIN/MAX NULL, still manifest-only") {
     emptyCatalog("snagg4")
     spark.sql("CREATE TABLE snagg4.t (id BIGINT, s STRING) TBLPROPERTIES ('stats_cols'='id,s')")
