@@ -1068,10 +1068,15 @@ object Frontier3 {
     * cluster job — the Iceberg/Delta stats-read economics, from any SQL
     * client.
     */
-  def q213(s: SparkSession, d: String): DataFrame = {
+  /** Scratch day-partitioned events projection (user_id, day, cat —
+    * NULL for every click), committed with day/user_id/cat stats and
+    * registered as catalog `<tag>_<hash>` — the shared fixture of the
+    * manifest-aggregate queries q213/q216/q217.
+    */
+  private def eventsDayTable(s: SparkSession, d: String, tag: String): String = {
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
-      s"graft_snapq213_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+      s"graft_${tag}_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
     graft.core.Scratch.register(base.toString)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
@@ -1086,17 +1091,18 @@ object Frontier3 {
           .as("cat"))
     graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
     graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
-    val cat = s"snapq213_${java.lang.Integer.toHexString(d.hashCode)}"
+    val cat = s"${tag}_${java.lang.Integer.toHexString(d.hashCode)}"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
-    val df = s.sql(s"""
-      |SELECT min(user_id) AS min_uid, max(user_id) AS max_uid,
-      |       count(user_id) AS n_uid, count(cat) AS n_cat,
-      |       min(day) AS min_day, max(day) AS max_day,
-      |       count(*) AS n_rows
-      |FROM $cat.ev""".stripMargin)
-    // the point IS the plan: refuse to return a scanned answer
-    val scans = df.queryExecution.optimizedPlan.collect {
+    cat
+  }
+
+  /** Every DSv2 scan description in a frame's optimized plan (V1-bridged
+    * scans unwrapped) — what the manifest-aggregate queries REQUIRE their
+    * plan shape against.
+    */
+  private def scanDescriptions(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
           r.scan.getClass
@@ -1106,6 +1112,17 @@ object Frontier3 {
             .description()
         else r.scan.description()
     }
+
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val cat = eventsDayTable(s, d, "snapq213")
+    val df = s.sql(s"""
+      |SELECT min(user_id) AS min_uid, max(user_id) AS max_uid,
+      |       count(user_id) AS n_uid, count(cat) AS n_cat,
+      |       min(day) AS min_day, max(day) AS max_day,
+      |       count(*) AS n_rows
+      |FROM $cat.ev""".stripMargin)
+    // the point IS the plan: refuse to return a scanned answer
+    val scans = scanDescriptions(df)
     require(
       scans.exists(_.contains("GraftSnapAggScan")),
       s"aggregates did not push to the manifest: $scans")
@@ -1339,40 +1356,12 @@ object Frontier3 {
     * at one-manifest-read cost.
     */
   def q216(s: SparkSession, d: String): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_snapq216_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
-    graft.core.Scratch.register(base.toString)
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(base)) fs.delete(base, true)
-    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
-    val rows = Tables
-      .events(s, d)
-      .select(
-        col("user_id"),
-        to_date(col("ts")).as("day"),
-        when(col("event_type") === "click", lit(null).cast("string"))
-          .otherwise(col("event_type"))
-          .as("cat"))
-    graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
-    graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
-    val cat = s"snapq216_${java.lang.Integer.toHexString(d.hashCode)}"
-    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val cat = eventsDayTable(s, d, "snapq216")
     val df = s.sql(s"""
       |SELECT day, count(*) AS n_rows, count(cat) AS n_cat,
       |       min(user_id) AS min_uid, max(user_id) AS max_uid
       |FROM $cat.ev GROUP BY day ORDER BY day""".stripMargin)
-    val scans = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
-          r.scan.getClass
-            .getMethod("v1Scan")
-            .invoke(r.scan)
-            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
-            .description()
-        else r.scan.description()
-    }
+    val scans = scanDescriptions(df)
     require(
       scans.exists(s0 => s0.contains("GraftSnapAggScan") && s0.contains("GroupBy: [day]")),
       s"grouped aggregates did not push to the manifest: $scans")
@@ -1401,41 +1390,19 @@ object Frontier3 {
     * of table size or window position.
     */
   def q217(s: SparkSession, d: String): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_snapq217_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
-    graft.core.Scratch.register(base.toString)
-    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(base)) fs.delete(base, true)
-    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
-    val ev = Tables.events(s, d)
-    val rows = ev.select(
-      col("user_id"),
-      to_date(col("ts")).as("day"),
-      when(col("event_type") === "click", lit(null).cast("string"))
-        .otherwise(col("event_type"))
-        .as("cat"))
-    graft.sources.Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day"))
-    graft.sources.Snapshots.commit(s, dir, Seq("day", "user_id", "cat"))
-    val cat = s"snapq217_${java.lang.Integer.toHexString(d.hashCode)}"
-    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
-    val m = ev.agg(min(to_date(col("ts"))).as("m")).head.getDate(0).toLocalDate
+    val cat = eventsDayTable(s, d, "snapq217")
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head
+      .getDate(0)
+      .toLocalDate
     val window = (2L to 5L).map(i => s"DATE'${m.plusDays(i)}'").mkString(", ")
     val df = s.sql(s"""
       |SELECT day, count(*) AS n_rows, count(cat) AS n_cat, min(user_id) AS min_uid
       |FROM $cat.ev WHERE day IN ($window)
       |GROUP BY day ORDER BY day""".stripMargin)
-    val scans = df.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
-          r.scan.getClass
-            .getMethod("v1Scan")
-            .invoke(r.scan)
-            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
-            .description()
-        else r.scan.description()
-    }
+    val scans = scanDescriptions(df)
     require(
       scans.exists(s0 =>
         s0.contains("GraftSnapAggScan") && s0.contains("GroupBy: [day]") &&

@@ -716,47 +716,62 @@ private[snap] object SnapFilters {
     case _ => Seq.empty
   }
 
-  /** Extract a filter's single column name, when it has exactly one. */
-  def soleColumn(f: Filter): Option[String] = f match {
-    case EqualTo(a, _) => Some(a)
-    case EqualNullSafe(a, _) => Some(a)
-    case In(a, _) => Some(a)
-    case IsNull(a) => Some(a)
-    case IsNotNull(a) => Some(a)
-    case _ => None
-  }
-
-  /** The hive partition value of one manifest rel for column `c`:
-    * Some(true value) for a real dir value, None for the null sentinel
-    * or a missing segment.
+  /** One manifest rel's hive segments as `col -> RAW dir value` (sentinel
+    * included, still escaped) — parsed once per file, shared by every
+    * admission gate and matcher.
     */
-  def partValueOf(rel: String, c: String): Option[String] =
+  def partSegments(rel: String): Map[String, String] =
     rel
       .split("/")
       .dropRight(1)
       .filter(_.contains("="))
-      .collectFirst { case seg if seg.split("=", 2)(0) == c => seg.split("=", 2)(1) }
-      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
-      .map(Snapshots.unescapePathName)
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }
+      .toMap
 
-  /** Does a file EXACTLY satisfy a consumed partition filter — i.e. does
-    * every row of the file match? Sound because a hive dir value is the
-    * value of every row in the file (the sentinel dir is all-null).
-    * Callers only pass filters admitted by the builder's consumability
-    * gate (single path column, canonical-rendering type, every pinned
-    * file carries the segment).
+  /** A raw segment value as the TRUE column value: None for the null
+    * sentinel, unescaped otherwise.
     */
-  def partitionExactKeep(rel: String, f: Filter): Boolean = f match {
-    case EqualTo(a, v) => SnapFilters.statString(v).exists(s => partValueOf(rel, a).contains(s))
-    case EqualNullSafe(a, null) => partValueOf(rel, a).isEmpty
-    case EqualNullSafe(a, v) =>
-      SnapFilters.statString(v).exists(s => partValueOf(rel, a).contains(s))
-    case In(a, vs) =>
-      val rendered = vs.toSeq.flatMap(SnapFilters.statString)
-      partValueOf(rel, a).exists(rendered.contains)
-    case IsNull(a) => partValueOf(rel, a).isEmpty
-    case IsNotNull(a) => partValueOf(rel, a).isDefined
-    case _ => false // never admitted by the gate
+  def segValue(raw: String): Option[String] =
+    if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(Snapshots.unescapePathName(raw))
+
+  /** Is `raw` (unescaped, non-sentinel) the CANONICAL rendering of a value
+    * of type `t`? Exact string equality between a rendered filter value
+    * and a dir value means VALUE equality only on canonical forms — a
+    * zero-padded `hour=00` dir under an int-typed column renders 0 as
+    * "0", and matching strings there would silently drop every file.
+    */
+  def canonicalValue(raw: String, t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      scala.util.Try(raw.toLong.toString == raw).getOrElse(false)
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(raw).toString == raw).getOrElse(false)
+    case StringType => true
+    case _ => false
+  }
+
+  /** Precompiled evaluator for one consumed partition filter: `keep`
+    * takes the file's TRUE value for `col` (None = null sentinel) and
+    * answers whether EVERY row of such a file satisfies the filter —
+    * sound because a hive dir value is the value of every row in it.
+    */
+  final case class PartMatcher(col: String, keep: Option[String] => Boolean)
+
+  def partMatcher(f: Filter): Option[PartMatcher] = f match {
+    case EqualTo(a, v) => statString(v).map(s => PartMatcher(a, _.contains(s)))
+    case EqualNullSafe(a, null) => Some(PartMatcher(a, _.isEmpty))
+    case EqualNullSafe(a, v) => statString(v).map(s => PartMatcher(a, _.contains(s)))
+    case In(a, vs) if vs.nonEmpty =>
+      val rendered = vs.toSeq.map(statString)
+      if (rendered.forall(_.isDefined)) {
+        val set = rendered.map(_.get).toSet
+        Some(PartMatcher(a, _.exists(set.contains)))
+      } else None
+    case IsNull(a) => Some(PartMatcher(a, _.isEmpty))
+    case IsNotNull(a) => Some(PartMatcher(a, _.isDefined))
+    case _ => None
   }
 }
 
@@ -786,31 +801,45 @@ class SnapScanBuilder(
   private lazy val pathCols: Seq[String] =
     if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
 
+  /** Whether this builder may consume partition-exact filters at all —
+    * the row-level operation path overrides to false (its rewrite
+    * machinery documents and relies on every filter staying residual).
+    */
+  protected def allowConsumption: Boolean = true
+
   /** Can the source CONSUME a filter on `c` — answer it exactly from the
     * file list, no row-level re-check? Requires `c` to be a hive path
     * column of EVERY pinned file (a dir value is the value of every row
-    * in the file) with a declared type whose canonical rendering makes
+    * in the file), with a declared type whose canonical rendering makes
     * exact string equality mean value equality (int family, DATE,
-    * STRING; float/double renderings are ambiguous and stay residual).
+    * STRING; float/double renderings are ambiguous and stay residual),
+    * AND every pinned file's dir value to actually BE canonical — an
+    * adopted `hour=00` layout under an int column must stay residual, or
+    * `WHERE hour = 0` (rendered "0") would silently match nothing.
+    * Cached per column: the rel sweep is O(files) and Spark pushes
+    * several filters per column (IsNotNull rides along with equality).
     */
+  private val consumableColCache = mutable.Map.empty[String, Boolean]
   private def consumableCol(c: String): Boolean =
-    !c.contains(".") && pathCols.contains(c) &&
-    tableSchema.fields.find(_.name == c).map(_.dataType).exists {
-      case ByteType | ShortType | IntegerType | LongType | DateType | StringType => true
-      case _ => false
-    } &&
-    view.rels.forall(r =>
-      r.split("/").dropRight(1).exists(seg => seg.contains("=") && seg.split("=", 2)(0) == c))
+    consumableColCache.getOrElseUpdate(
+      c, {
+        !c.contains(".") && pathCols.contains(c) &&
+        tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+          case t @ (ByteType | ShortType | IntegerType | LongType | DateType | StringType) =>
+            view.rels.forall { r =>
+              SnapFilters.partSegments(r).get(c) match {
+                case Some(raw) =>
+                  SnapFilters.segValue(raw).forall(SnapFilters.canonicalValue(_, t))
+                case None => false
+              }
+            }
+          case _ => false
+        }
+      })
 
   private def isConsumable(f: Filter): Boolean =
-    SnapFilters.soleColumn(f).exists(consumableCol) && (f match {
-      case EqualTo(_, v) => SnapFilters.statString(v).isDefined
-      case EqualNullSafe(_, null) => true
-      case EqualNullSafe(_, v) => SnapFilters.statString(v).isDefined
-      case In(_, vs) => vs.nonEmpty && vs.forall(v => SnapFilters.statString(v).isDefined)
-      case IsNull(_) | IsNotNull(_) => true
-      case _ => false
-    })
+    allowConsumption &&
+    SnapFilters.partMatcher(f).exists(m => consumableCol(m.col))
 
   /** Partition-exact filters are CONSUMED (not returned as residuals):
     * file-level pruning implements them completely, so Spark plans no
@@ -839,7 +868,13 @@ class SnapScanBuilder(
     */
   private lazy val consumedKept: Seq[String] =
     if (consumed.isEmpty) view.rels
-    else view.rels.filter(r => consumed.forall(SnapFilters.partitionExactKeep(r, _)))
+    else {
+      val matchers = consumed.toSeq.flatMap(SnapFilters.partMatcher) // total: gate admitted them
+      view.rels.filter { r =>
+        val segs = SnapFilters.partSegments(r)
+        matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue)))
+      }
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 

@@ -100,6 +100,11 @@ class SnapRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(dir, view, tableSchema) {
+      // the rewrite machinery documents (and SnapRowLevelScan relies on)
+      // every pushed filter staying residual, so Spark re-applies the
+      // operation's condition row-level — partition-exact consumption
+      // must never strip that Filter here
+      override protected def allowConsumption: Boolean = false
       override def build(): Scan = {
         super.build() match {
           case b: SnapBatchScan =>

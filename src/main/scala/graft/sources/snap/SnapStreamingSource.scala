@@ -242,10 +242,36 @@ class SnapMicroBatchStream(
         val hi = if (v == o1.version + 1L) o1.index else added.size
         // a consumed partition filter is file-exact here too: the scan
         // claimed it from the plan, so files whose dir value fails it
-        // must not stream (and need not — no matching rows exist in them)
-        val slice = added
-          .slice(lo, hi)
-          .filter(rel => consumedFilters.forall(SnapFilters.partitionExactKeep(rel, _)))
+        // must not stream (and need not — no matching rows exist in
+        // them). But the plan-time gate vetted only the THEN-pinned file
+        // list: a future commit may add files that don't carry the
+        // column as a canonical path segment, and silently skipping (or
+        // keeping) those would corrupt the stream — fail loudly instead.
+        val matchers = consumedFilters.flatMap(SnapFilters.partMatcher)
+        val slice = added.slice(lo, hi).filter { rel =>
+          val segs = SnapFilters.partSegments(rel)
+          matchers.forall { m =>
+            val raw = segs.getOrElse(
+              m.col,
+              throw new UnsupportedOperationException(
+                s"snapshot stream over $dir: version $v added file $rel without a " +
+                  s"'${m.col}=' path segment, but the stream's pushed filter on '${m.col}' was " +
+                  "consumed at plan time (file-exact partition pruning). The layout changed " +
+                  "under the stream — restart it without the partition filter, or fix the layout."))
+            val value = SnapFilters.segValue(raw)
+            value.foreach { vStr =>
+              val declared =
+                tableSchema.fields.find(_.name == m.col).map(_.dataType).getOrElse(StringType)
+              if (!SnapFilters.canonicalValue(vStr, declared))
+                throw new UnsupportedOperationException(
+                  s"snapshot stream over $dir: version $v added file $rel whose '${m.col}=$vStr' " +
+                    "is not the canonical rendering of its declared type — the consumed " +
+                    "partition filter cannot be applied exactly. Restart the stream without " +
+                    "the partition filter, or rewrite the layout canonically.")
+            }
+            m.keep(value)
+          }
+        }
         slice.foreach { rel =>
           val partVals = rel
             .split("/")

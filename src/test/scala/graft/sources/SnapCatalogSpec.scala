@@ -1030,6 +1030,32 @@ class SnapCatalogSpec extends SparkSpec {
     assert(res.as[Long].head() == 1L)
   }
 
+  test("non-canonical dir renderings refuse consumption: zero-padded int dirs answer correctly") {
+    val base = emptyCatalog("snagpad")
+    val dir = s"$base/t"
+    // hand-built zero-padded layout: hour=00 / hour=07 under an int-typed
+    // column (adopted tables look like this). Consumption would compare
+    // "0" against "00" and silently answer zero — the gate must refuse
+    // and leave the filter residual.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("00", Seq(1L, 2L)), ("07", Seq(3L))).foreach { case (h, ids) =>
+      ids.toDF("id").write.mode("append").parquet(s"$dir/hour=$h")
+    }
+    Snapshots.commit(spark, dir, statsCols = Seq("hour"))
+    val schema = spark.sql("SELECT * FROM snagpad.t").schema
+    assert(
+      schema.fields.find(_.name == "hour").get.dataType ==
+        org.apache.spark.sql.types.IntegerType,
+      s"partition inference should type hour as int: $schema")
+    val n = spark.sql("SELECT count(*) AS n FROM snagpad.t WHERE hour = 0")
+    assert(
+      scanOf(n).isInstanceOf[SnapBatchScan],
+      s"non-canonical dirs must NOT consume: ${scanOf(n).description()}")
+    assert(n.as[Long].head() == 2L, "rows under hour=00 must still count")
+    assert(
+      spark.sql("SELECT id FROM snagpad.t WHERE hour = 7").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("consumed filters stay exact on streams and null partitions") {
     // IS NULL / IS NOT NULL on the partition column consume exactly
     val base = emptyCatalog("snagcf2")
