@@ -195,6 +195,40 @@ class SnapV2BatchScan(
 
   override def estimateStatistics(): Statistics =
     SnapScanStats.of(spark, dir, rels, view.stats)
+
+  // ---- observability: file-pruning outcome as Spark SQL metrics --------
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SnapV2BatchScan.FilesReadMetric, new SnapV2BatchScan.FilesPrunedMetric)
+
+  /** Reported when the batch plans its partitions — AFTER runtime
+    * filtering ran, so the UI shows what the join-key values actually
+    * bought: files read vs files pruned (manifest pruning + runtime).
+    */
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val read = rels.size.toLong
+    val prunedTotal = view.rels.size.toLong - read
+    Array(
+      SnapV2BatchScan.taskMetric("snapFilesRead", read),
+      SnapV2BatchScan.taskMetric("snapFilesPruned", prunedTotal))
+  }
+}
+
+object SnapV2BatchScan {
+  import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+  final class FilesReadMetric extends CustomSumMetric {
+    override def name(): String = "snapFilesRead"
+    override def description(): String = "snapshot files read"
+  }
+  final class FilesPrunedMetric extends CustomSumMetric {
+    override def name(): String = "snapFilesPruned"
+    override def description(): String = "snapshot files pruned (manifest + runtime)"
+  }
+  private[snap] def taskMetric(n: String, v: Long): CustomTaskMetric = new CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
 }
 
 /** One snapshot file carrying its typed partition key — what lets Spark

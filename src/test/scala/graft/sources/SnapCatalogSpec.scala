@@ -1209,6 +1209,21 @@ class SnapCatalogSpec extends SparkSpec {
       assert(
         v2.currentRels.size == 1,
         s"runtime filter must prune to the one matching day file, kept: ${v2.currentRels}")
+      // the pruning outcome is a first-class SQL metric on the scan node
+      // (descend through AQE stage boundaries — query stages are leaves
+      // to plain collect)
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case other => other.children.flatMap(allNodes)
+      })
+      val scanExec = allNodes(df.queryExecution.executedPlan)
+        .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+        .getOrElse(fail(s"no BatchScanExec in final plan:\n${df.queryExecution.executedPlan}"))
+      assert(scanExec.metrics("snapFilesRead").value == 1L, scanExec.metrics.toString)
+      assert(scanExec.metrics("snapFilesPruned").value == 5L, scanExec.metrics.toString)
     }
   }
 
