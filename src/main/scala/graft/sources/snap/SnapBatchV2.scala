@@ -143,7 +143,10 @@ class SnapV2BatchScan(
       tableSchema.json,
       org.apache.spark.sql.graft.Bridge.serializableConf(
         org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)),
-      spark.conf.get("spark.sql.session.timeZone"))
+      spark.conf.get("spark.sql.session.timeZone"),
+      // data-column residuals engage parquet row-group skipping in the
+      // executor reader (the factory drops spliced-column filters itself)
+      filters)
 
   // ---- runtime filtering (dynamic partition / join-key pruning) --------
 

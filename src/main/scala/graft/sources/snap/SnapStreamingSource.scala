@@ -344,13 +344,18 @@ case class SnapStreamFileInput(path: String, partVals: Array[(String, String)])
   * clipping null-fills ALTER-added columns exactly like a DataFrame
   * scan), hive partition columns are cast once per file from their path
   * values to the declared types and spliced into every row, and `_file`
-  * (if requested) reports provenance, mirroring the batch scan.
+  * (if requested) reports provenance, mirroring the batch scan. Pushed
+  * `filters` referencing only DATA columns engage parquet row-group /
+  * page skipping inside the file (translated per file against its footer
+  * schema — evolution-safe); spliced-column filters are dropped here and
+  * re-applied by Spark above.
   */
 case class SnapStreamReadFactory(
     requiredJson: String,
     tableJson: String,
     conf: java.io.Serializable,
-    zoneId: String)
+    zoneId: String,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
@@ -363,10 +368,14 @@ case class SnapStreamReadFactory(
     // from the parquet bytes
     def spliced(name: String) = partByName.contains(name) || name == SnapTable.FileMetaCol
     val dataSchema = StructType(required.fields.filterNot(f => spliced(f.name)))
+    // only data-column predicates reach the file reader: a spliced
+    // column's value is constant per file and was decided by file pruning
+    val pushable = filters.filter(_.references.forall(r => !spliced(r) && !r.contains(".")))
     val reader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
       new Path(in.path),
       dataSchema,
-      org.apache.spark.sql.graft.Bridge.confOf(conf))
+      org.apache.spark.sql.graft.Bridge.confOf(conf),
+      pushable)
     // one evaluated internal value per spliced slot, cast from the raw
     // path string to the DECLARED column type (what directory inference
     // would have produced, minus the inference guesswork)

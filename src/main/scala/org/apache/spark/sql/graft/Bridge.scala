@@ -77,11 +77,22 @@ object Bridge {
     * row-level-operation path. Spark's own `ParquetReadSupport` does the
     * schema clipping (missing columns null-fill, case-insensitive match),
     * so evolution-safe reads behave exactly like a DataFrame scan.
+    *
+    * With `filters` non-empty, the predicates are translated by Spark's
+    * own `ParquetFilters` against the FILE's footer schema and handed to
+    * parquet-mr — row groups (and pages, via column indexes) whose stats
+    * miss every predicate are skipped without decoding. Translation
+    * against the footer schema makes this evolution-safe for free: a
+    * filter on an ALTER-added column the file doesn't carry translates to
+    * nothing and the file reads unfiltered (the caller re-applies
+    * residuals row-level). Costs one extra footer open per file — noise
+    * next to the row groups it can skip.
     */
   def parquetRowReader(
       path: org.apache.hadoop.fs.Path,
       requiredSchema: org.apache.spark.sql.types.StructType,
-      conf: org.apache.hadoop.conf.Configuration)
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : org.apache.parquet.hadoop.ParquetReader[org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
     import org.apache.spark.sql.internal.SQLConf
@@ -93,10 +104,48 @@ object Bridge {
     c.setIfUnset(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "false")
     c.setIfUnset(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
     c.setIfUnset(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
-    org.apache.parquet.hadoop.ParquetReader
+    val builder = org.apache.parquet.hadoop.ParquetReader
       .builder(new ParquetReadSupport(), path)
       .withConf(c)
-      .build()
+    val withFilter =
+      if (filters.isEmpty) builder
+      else rowGroupFilter(path, c, filters).map(builder.withFilter).getOrElse(builder)
+    withFilter.build()
+  }
+
+  /** Translate pushed source filters into a parquet `FilterCompat` filter
+    * for ONE file, against that file's actual footer schema. Uses Spark's
+    * own `ParquetFilters` (the exact translation `FileSourceScanExec`
+    * uses), with string predicates and dictionary/stats pushdown on and
+    * CORRECTED date-time rebase (the files are written by this engine).
+    * None when no predicate survives translation.
+    */
+  def rowGroupFilter(
+      path: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = {
+    import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFilters
+    import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    val fileSchema =
+      try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val pf = new ParquetFilters(
+      fileSchema,
+      true, // pushDownDate
+      true, // pushDownTimestamp
+      true, // pushDownDecimal
+      true, // pushDownStringPredicate
+      10, // pushDownInFilterThreshold
+      false, // caseSensitive
+      RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+    filters
+      .flatMap(f => pf.createFilter(f))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)
+      .map(org.apache.parquet.filter2.compat.FilterCompat.get)
   }
 
   /** The session's Hadoop conf WITH its SQLConf entries propagated

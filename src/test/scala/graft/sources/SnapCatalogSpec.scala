@@ -1166,6 +1166,37 @@ class SnapCatalogSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("v2 reads push data-column predicates into the parquet reader, evolution-safe") {
+    val (_, _) = fixture("snagrg1")
+    spark.sql("ALTER TABLE snagrg1.ev ADD COLUMNS (score DOUBLE)")
+    Seq((8L, "2024-01-08", "late", 80.0, 0.9)).toDF("id", "day", "event_type", "v", "score")
+      .createOrReplaceTempView("snagrg1_more")
+    spark.sql(
+      "INSERT INTO snagrg1.ev SELECT id, event_type, v, CAST(day AS DATE), score FROM snagrg1_more")
+    // data-column predicates travel into the per-file parquet reader
+    val ids = spark.read
+      .option("batchscan", "v2")
+      .table("snagrg1.ev")
+      .filter(col("id") >= 3L && col("v") < 100.0)
+      .select("id")
+      .as[Long]
+      .collect()
+      .sorted
+    assert(ids.toSeq == Seq(3L, 4L, 5L, 8L), ids.toSeq.toString)
+    // a predicate on the ALTER-added column: pre-ALTER files don't carry
+    // it in their footers — the per-file translation must drop it there
+    // (their null-filled rows are excluded by Spark's residual) while the
+    // post-ALTER file applies it natively
+    val scored = spark.read
+      .option("batchscan", "v2")
+      .table("snagrg1.ev")
+      .filter(col("score") > 0.5)
+      .select("id")
+      .as[Long]
+      .collect()
+    assert(scored.toSeq == Seq(8L), scored.toSeq.toString)
+  }
+
   test("runtime join-key filtering prunes fact files from a selective dim at execution time") {
     val base = emptyCatalog("dpp1")
     val days = (1 to 6).map(i => f"2024-01-$i%02d")
