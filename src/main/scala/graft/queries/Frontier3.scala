@@ -1052,22 +1052,6 @@ object Frontier3 {
 
   // -- q213: manifest-only MIN/MAX/COUNT(col) pushdown ------------------
 
-  /** The rest of the dashboard reflexes at q195/q197's economics, through
-    * PLAIN SQL: `MIN`, `MAX`, `COUNT(col)` and `COUNT(*)` over a
-    * committed snapshot table answer as a COMPLETE DSv2 aggregate
-    * pushdown ([[graft.sources.snap.SnapAggScan]]) — MIN/MAX fold the
-    * manifest's per-file value intervals, `COUNT(col)` subtracts the
-    * per-file null counts round 9 started recording, and no data file
-    * (not even a footer) opens. The table deliberately stresses the
-    * soundness edges: `cat` is NULL for every click (null counts must be
-    * exact), `day` extremes come from hive path values as DATEs, and the
-    * query REQUIRES the manifest-only plan shape — a silent fallback to a
-    * scan would hash-match, so the plan check is what makes the proof
-    * honest. The ORACLE recomputes all seven answers from raw events. At
-    * 100 TB: every one of these costs one small manifest read, no
-    * cluster job — the Iceberg/Delta stats-read economics, from any SQL
-    * client.
-    */
   /** Scratch day-partitioned events projection (user_id, day, cat —
     * NULL for every click), committed with day/user_id/cat stats and
     * registered as catalog `<tag>_<hash>` — the shared fixture of the
@@ -1113,6 +1097,22 @@ object Frontier3 {
         else r.scan.description()
     }
 
+  /** The rest of the dashboard reflexes at q195/q197's economics, through
+    * PLAIN SQL: `MIN`, `MAX`, `COUNT(col)` and `COUNT(*)` over a
+    * committed snapshot table answer as a COMPLETE DSv2 aggregate
+    * pushdown ([[graft.sources.snap.SnapAggScan]]) — MIN/MAX fold the
+    * manifest's per-file value intervals, `COUNT(col)` subtracts the
+    * per-file null counts round 9 started recording, and no data file
+    * (not even a footer) opens. The table deliberately stresses the
+    * soundness edges: `cat` is NULL for every click (null counts must be
+    * exact), `day` extremes come from hive path values as DATEs, and the
+    * query REQUIRES the manifest-only plan shape — a silent fallback to a
+    * scan would hash-match, so the plan check is what makes the proof
+    * honest. The ORACLE recomputes all seven answers from raw events. At
+    * 100 TB: every one of these costs one small manifest read, no
+    * cluster job — the Iceberg/Delta stats-read economics, from any SQL
+    * client.
+    */
   def q213(s: SparkSession, d: String): DataFrame = {
     val cat = eventsDayTable(s, d, "snapq213")
     val df = s.sql(s"""

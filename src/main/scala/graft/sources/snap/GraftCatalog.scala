@@ -744,8 +744,14 @@ private[snap] object SnapFilters {
     * "0", and matching strings there would silently drop every file.
     */
   def canonicalValue(raw: String, t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      scala.util.Try(raw.toLong.toString == raw).getOrElse(false)
+    // exact parse in the DECLARED type: catches both non-canonical forms
+    // ("00", "+5") AND out-of-range values — a dir `uid=9999999999` under
+    // an int column splices as NULL on read, so string-matching it as a
+    // value would answer null-ness filters wrongly
+    case ByteType => scala.util.Try(raw.toByte.toString == raw).getOrElse(false)
+    case ShortType => scala.util.Try(raw.toShort.toString == raw).getOrElse(false)
+    case IntegerType => scala.util.Try(raw.toInt.toString == raw).getOrElse(false)
+    case LongType => scala.util.Try(raw.toLong.toString == raw).getOrElse(false)
     case DateType =>
       scala.util.Try(java.time.LocalDate.parse(raw).toString == raw).getOrElse(false)
     case StringType => true
@@ -755,7 +761,11 @@ private[snap] object SnapFilters {
   /** Precompiled evaluator for one consumed partition filter: `keep`
     * takes the file's TRUE value for `col` (None = null sentinel) and
     * answers whether EVERY row of such a file satisfies the filter —
-    * sound because a hive dir value is the value of every row in it.
+    * sound because a hive dir value is the value of every row in it —
+    * provided the value is the CANONICAL rendering of its declared type
+    * (the admission gate and the stream's per-batch vetting both enforce
+    * it, null-ness matchers included: a non-castable dir value splices to
+    * NULL rows while its segment is present).
     */
   final case class PartMatcher(col: String, keep: Option[String] => Boolean)
 
@@ -828,6 +838,10 @@ class SnapScanBuilder(
           case t @ (ByteType | ShortType | IntegerType | LongType | DateType | StringType) =>
             view.rels.forall { r =>
               SnapFilters.partSegments(r).get(c) match {
+                // canonical is required even for null-ness matchers: a
+                // non-castable dir value (`uid=x` under int) splices to
+                // NULL rows while its segment is present, so segment
+                // presence alone would answer IS [NOT] NULL wrongly
                 case Some(raw) =>
                   SnapFilters.segValue(raw).forall(SnapFilters.canonicalValue(_, t))
                 case None => false

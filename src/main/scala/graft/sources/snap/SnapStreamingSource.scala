@@ -247,10 +247,14 @@ class SnapMicroBatchStream(
         // list: a future commit may add files that don't carry the
         // column as a canonical path segment, and silently skipping (or
         // keeping) those would corrupt the stream — fail loudly instead.
-        val matchers = consumedFilters.flatMap(SnapFilters.partMatcher)
-        val slice = added.slice(lo, hi).filter { rel =>
+        // one matcher + declared-type resolution for the whole batch, one
+        // path parse per file — this runs every micro-batch planning cycle
+        val matchers = consumedFilters.flatMap(SnapFilters.partMatcher).map { m =>
+          (m, tableSchema.fields.find(_.name == m.col).map(_.dataType).getOrElse(StringType))
+        }
+        added.slice(lo, hi).foreach { rel =>
           val segs = SnapFilters.partSegments(rel)
-          matchers.forall { m =>
+          val keep = matchers.forall { case (m, declared) =>
             val raw = segs.getOrElse(
               m.col,
               throw new UnsupportedOperationException(
@@ -259,29 +263,25 @@ class SnapMicroBatchStream(
                   "consumed at plan time (file-exact partition pruning). The layout changed " +
                   "under the stream — restart it without the partition filter, or fix the layout."))
             val value = SnapFilters.segValue(raw)
+            // canonical rendering is required for EVERY matcher kind — a
+            // non-castable value splices to NULL rows while its segment
+            // is present, so even null-ness answers would be wrong
             value.foreach { vStr =>
-              val declared =
-                tableSchema.fields.find(_.name == m.col).map(_.dataType).getOrElse(StringType)
               if (!SnapFilters.canonicalValue(vStr, declared))
                 throw new UnsupportedOperationException(
-                  s"snapshot stream over $dir: version $v added file $rel whose '${m.col}=$vStr' " +
-                    "is not the canonical rendering of its declared type — the consumed " +
-                    "partition filter cannot be applied exactly. Restart the stream without " +
-                    "the partition filter, or rewrite the layout canonically.")
+                  s"snapshot stream over $dir: version $v added file $rel whose " +
+                    s"'${m.col}=$vStr' is not the canonical rendering of its declared type — " +
+                    "the consumed partition filter cannot be applied exactly. Restart the " +
+                    "stream without the partition filter, or rewrite the layout canonically.")
             }
             m.keep(value)
           }
-        }
-        slice.foreach { rel =>
-          val partVals = rel
-            .split("/")
-            .dropRight(1)
-            .filter(_.contains("="))
-            .map { seg =>
-              val Array(k, raw) = seg.split("=", 2)
+          if (keep) {
+            val partVals = segs.toArray.map { case (k, raw) =>
               k -> SnapMicroBatchStream.unescapePathName(raw)
             }
-          parts += SnapStreamFileInput(Snapshots.resolve(s, dir, rel).toString, partVals)
+            parts += SnapStreamFileInput(Snapshots.resolve(s, dir, rel).toString, partVals)
+          }
         }
       }
     }

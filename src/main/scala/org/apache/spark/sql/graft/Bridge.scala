@@ -125,14 +125,24 @@ object Bridge {
       conf: org.apache.hadoop.conf.Configuration,
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] = {
-    import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+    import org.apache.spark.sql.execution.datasources.DataSourceUtils
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFilters
-    import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+    import org.apache.spark.sql.internal.SQLConf
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-    val fileSchema =
-      try footer.getFooter.getFileMetaData.getSchema
-      finally footer.close()
+    val (fileSchema, fileMeta) =
+      try {
+        val md = footer.getFooter.getFileMetaData
+        (md.getSchema, md.getKeyValueMetaData)
+      } finally footer.close()
+    // the per-FILE rebase spec, exactly as Spark's own scan derives it —
+    // adopted legacy-writer files hold hybrid-calendar days and a
+    // CORRECTED-translated date predicate there would skip matching rows
+    val rebase = DataSourceUtils.datetimeRebaseSpec(
+      k => fileMeta.get(k),
+      conf.get(
+        SQLConf.PARQUET_REBASE_MODE_IN_READ.key,
+        SQLConf.PARQUET_REBASE_MODE_IN_READ.defaultValueString))
     val pf = new ParquetFilters(
       fileSchema,
       true, // pushDownDate
@@ -141,7 +151,7 @@ object Bridge {
       true, // pushDownStringPredicate
       10, // pushDownInFilterThreshold
       false, // caseSensitive
-      RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+      rebase)
     filters
       .flatMap(f => pf.createFilter(f))
       .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.and)

@@ -1054,6 +1054,12 @@ class SnapCatalogSpec extends SparkSpec {
     assert(n.as[Long].head() == 2L, "rows under hour=00 must still count")
     assert(
       spark.sql("SELECT id FROM snagpad.t WHERE hour = 7").as[Long].collect().toSeq == Seq(3L))
+    // null-ness filters refuse consumption on non-canonical layouts too:
+    // a non-castable dir value would splice to NULL rows while its
+    // segment is present, so segment presence cannot answer IS NOT NULL
+    val nn = spark.sql("SELECT count(*) AS n FROM snagpad.t WHERE hour IS NOT NULL")
+    assert(scanOf(nn).isInstanceOf[SnapBatchScan], scanOf(nn).description())
+    assert(nn.as[Long].head() == 3L)
   }
 
   test("consumed filters stay exact on streams and null partitions") {
