@@ -385,6 +385,20 @@ object Snapshots {
   private[sources] def nullCountOf(st: Map[String, ColStat], col: String): Option[Long] =
     st.get(nullCountKey(col)).filter(_.typ == "l").map(_.min.toLong)
 
+  /** Is file-level range pruning allowed to TRUST this column's recorded
+    * interval? Legacy v2 manifests (pre-null-count) recorded string
+    * partition stats path-ESCAPED (`a%3Ab` for `a:b`) and the hive null
+    * sentinel as a string interval — endpoints from that era compare
+    * wrong against true query values, so a `WHERE day = 'a:b'` would
+    * wrongly prune the file until a post-upgrade commit re-reads footers.
+    * The null-count key doubles as the post-upgrade watermark (it landed
+    * in the same commit discipline that fixed the escaping): a string
+    * interval without it reads as NO-STAT — keep the file. Numeric/date
+    * intervals never carried escaping and stay trusted.
+    */
+  private[sources] def intervalTrusted(st: Map[String, ColStat], col: String): Boolean =
+    st.get(col).forall(cs => cs.typ != "s" || st.contains(nullCountKey(col)))
+
   /** Provably all-null: recorded null count equals recorded row count.
     * False on missing stats — callers may only SKIP work on `true`.
     */
@@ -1340,7 +1354,8 @@ object Snapshots {
           // all-null (sentinel partitions, pre-ALTER files) — the null
           // count covers what the missing min/max interval can't
           prune.forall { case (c, lo, hi) =>
-            st.get(c).forall(cs => overlaps(cs, lo, hi)) && !allNull(st, c)
+            (!intervalTrusted(st, c) || st.get(c).forall(cs => overlaps(cs, lo, hi))) &&
+            !allNull(st, c)
           } &&
           probes.forall { case (c, v) => bloomMightContain(spark, root, rel, c, v) }
         }
@@ -1397,7 +1412,9 @@ object Snapshots {
     files(spark, root, version)
       .filter { rel =>
         val st = stats.getOrElse(rel, Map.empty[String, ColStat])
-        prune.forall { case (c, lo, hi) => st.get(c).forall(cs => overlaps(cs, lo, hi)) }
+        prune.forall { case (c, lo, hi) =>
+          !intervalTrusted(st, c) || st.get(c).forall(cs => overlaps(cs, lo, hi))
+        }
       }
       .map { rel =>
         stats

@@ -960,10 +960,13 @@ class SnapScanBuilder(
       } yield
         if (isMin) SnapAggScan.MinF(c, declared) else SnapAggScan.MaxF(c, declared): SnapAggScan.Field
 
-    // GROUP BY: every grouping expression must be a hive path column of
-    // EVERY pinned file (a mixed-layout file with no `c=` segment has no
-    // group, so the whole pushdown refuses), with an externally
-    // convertible declared type
+    // GROUP BY: every grouping expression must pass the SAME gate a
+    // consumable filter does — a hive path column of EVERY pinned file
+    // whose dir value is the CANONICAL rendering of the declared type
+    // (int family / DATE / STRING only). Anything weaker double-counts:
+    // `hour=0` and `hour=00` are ONE group, and a COMPLETE pushdown is
+    // never re-aggregated by Spark; a non-castable dir value (`uid=abc`
+    // under int) must refuse here, not throw at execution.
     val groupCols: Option[Seq[(String, DataType)]] = {
       val names = agg.groupByExpressions.toSeq.map(colOf)
       if (names.exists(_.isEmpty)) None
@@ -971,11 +974,7 @@ class SnapScanBuilder(
         val resolved = names.map(_.get).map { c =>
           c -> tableSchema.fields.find(_.name == c).map(_.dataType)
         }
-        val ok = resolved.forall { case (c, t) =>
-          t.exists(SnapAggScan.groupConvertible) &&
-          rels.forall(r =>
-            r.split("/").dropRight(1).exists(seg => seg.split("=", 2)(0) == c && seg.contains("=")))
-        }
+        val ok = resolved.forall { case (c, t) => t.isDefined && consumableCol(c) }
         if (ok) Some(resolved.map { case (c, t) => c -> t.get }) else None
       }
     }
@@ -1032,7 +1031,10 @@ class SnapScanBuilder(
           consumedKept.filter { rel =>
             val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
-              st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi)) &&
+              // escaped-era string intervals (no null-count watermark)
+              // read as no-stat — keep the file rather than trust them
+              (!Snapshots.intervalTrusted(st, c) ||
+                st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))) &&
               !Snapshots.allNull(st, c)
             } &&
             notNullCols.forall(c => !Snapshots.allNull(st, c)) &&
@@ -1150,21 +1152,17 @@ class SnapAggScan(
 
   private def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
 
-  /** Raw (still-escaped-free) group key of one file: its hive path value
-    * per grouping column, in group order. The planner verified every file
-    * carries every grouping segment.
+  /** Group key of one file: its TRUE hive path value (unescaped; None =
+    * null sentinel) per grouping column, in group order. Keyed on the
+    * UNESCAPED value, not the raw segment: two escapings of one string
+    * (`a%3Ab` vs `a%3ab`) are ONE group, and a COMPLETE pushdown is never
+    * re-aggregated by Spark. The planner ([[SnapScanBuilder.aggPlan]] via
+    * `consumableCol`) verified every file carries every grouping segment
+    * in the declared type's canonical rendering.
     */
-  private def groupKeyOf(rel: String): Seq[String] = {
-    val byName = rel
-      .split("/")
-      .dropRight(1)
-      .filter(_.contains("="))
-      .map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> v
-      }
-      .toMap
-    groupCols.map { case (c, _) => byName(c) }
+  private def groupKeyOf(rel: String): Seq[Option[String]] = {
+    val byName = SnapFilters.partSegments(rel)
+    groupCols.map { case (c, _) => SnapFilters.segValue(byName(c)) }
   }
 
   /** The answer rows, computed from the manifest view alone: one row
@@ -1175,9 +1173,8 @@ class SnapAggScan(
     if (groupCols.isEmpty) Seq(aggRow(rels))
     else
       rels.groupBy(groupKeyOf).toSeq.map { case (key, group) =>
-        val keyVals = key.zip(groupCols).map { case (raw, (_, t)) =>
-          if (raw == "__HIVE_DEFAULT_PARTITION__") null
-          else external(Snapshots.unescapePathName(raw), t)
+        val keyVals = key.zip(groupCols).map { case (v, (_, t)) =>
+          v.map(external(_, t)).orNull
         }
         keyVals ++ aggRow(group)
       }
@@ -1245,26 +1242,17 @@ object SnapAggScan {
   final case class MinF(col: String, typ: DataType) extends Field
   final case class MaxF(col: String, typ: DataType) extends Field
 
-  /** Declared types whose hive path rendering converts back to the exact
-    * external value — the set a grouping column may have.
+  /** Parse a hive path value as the declared external type. The planner's
+    * `consumableCol` gate restricts grouping columns to the int family,
+    * DATE and STRING — types whose canonical rendering round-trips
+    * exactly (float/double/boolean renderings are ambiguous: `0.5` vs
+    * `0.50`, `true` vs `True` would emit duplicate groups).
     */
-  def groupConvertible(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType | DateType | StringType |
-        BooleanType =>
-      true
-    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
-    case _ => false
-  }
-
-  /** Parse a hive path value as the declared external type. */
   def external(raw: String, t: DataType): Any = t match {
     case ByteType => raw.toByte
     case ShortType => raw.toShort
     case IntegerType => raw.toInt
     case LongType => raw.toLong
-    case org.apache.spark.sql.types.FloatType => raw.toFloat
-    case org.apache.spark.sql.types.DoubleType => raw.toDouble
-    case BooleanType => raw.toBoolean
     case DateType => java.sql.Date.valueOf(raw)
     case _ => raw
   }

@@ -121,7 +121,15 @@ class SnapV2BatchScan(
       else {
         val declared =
           tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
-        Cast(Literal(UTF8String.fromString(raw), StringType), declared, Some(zone)).eval(null)
+        // LEGACY eval mode: a non-castable dir value must splice NULL
+        // (PartitioningUtils.castPartValueToDesiredType semantics), not
+        // throw under Spark 4's default ANSI cast — and the reported key
+        // must agree with what the read-side splice produces
+        Cast(
+          Literal(UTF8String.fromString(raw), StringType),
+          declared,
+          Some(zone),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval(null)
       }
     }
     SnapKeyedFileInput(Snapshots.resolve(spark, dir, rel).toString, pairs, key)
@@ -184,6 +192,11 @@ class SnapV2BatchScan(
         valueSets.forall { case (c, vs) =>
           !Snapshots.allNull(st, c) &&
           (st.get(c) match {
+            // escaped-era string intervals (no null-count watermark) read
+            // as no-stat; the bloom still applies (built post-upgrade)
+            case Some(_) if !Snapshots.intervalTrusted(st, c) =>
+              !view.bloomCols.contains(c) ||
+              vs.exists(v => Snapshots.bloomMightContain(s, dir, rel, c, v))
             case Some(cs) =>
               vs.exists { v =>
                 Snapshots.overlapsRange(cs, Some(v), Some(v)) &&

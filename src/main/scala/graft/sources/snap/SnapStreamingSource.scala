@@ -146,25 +146,34 @@ class SnapMicroBatchStream(
       var admitted = 0
       var done = false
       while (v < vMax && !done) {
-        val (added, _) = addedOf(s, v + 1)
-        lazy val lengths = Snapshots.fileStats(s, dir, v + 1)
-        def sizeOf(rel: String): Long =
-          lengths.get(rel).flatMap(_.get(Snapshots.LengthKey)).map(_.min.toLong).getOrElse {
-            val p = Snapshots.resolve(s, dir, rel)
-            p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+        val (added, removedCount) = addedOf(s, v + 1)
+        if (skipChangeCommits && removedCount > 0) {
+          // planInputPartitions emits NOTHING for a skipped rewrite
+          // commit — charging its (rewritten-copy) files against the
+          // budget would drain a large compaction as a series of empty
+          // micro-batches. Advance whole-version, cost-free.
+          v += 1; k = 0
+        } else {
+          lazy val lengths = Snapshots.fileStats(s, dir, v + 1)
+          def sizeOf(rel: String): Long =
+            lengths.get(rel).flatMap(_.get(Snapshots.LengthKey)).map(_.min.toLong).getOrElse {
+              val p = Snapshots.resolve(s, dir, rel)
+              p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+            }
+          while (k < added.size && !done) {
+            val sz = if (maxBytesPerTrigger.isDefined) sizeOf(added(k)) else 0L
+            if (admitted > 0 && (fileBudget <= 0L || byteBudget < sz)) done = true
+            else {
+              fileBudget -= 1L
+              byteBudget -= sz
+              admitted += 1
+              k += 1
+              if (fileBudget <= 0L || byteBudget <= 0L) done = true
+            }
           }
-        while (k < added.size && !done) {
-          val sz = if (maxBytesPerTrigger.isDefined) sizeOf(added(k)) else 0L
-          if (admitted > 0 && (fileBudget <= 0L || byteBudget < sz)) done = true
-          else {
-            fileBudget -= 1L
-            byteBudget -= sz
-            admitted += 1
-            k += 1
-            if (fileBudget <= 0L || byteBudget <= 0L) done = true
-          }
+          if (k >= added.size) { v += 1; k = 0 } // version-complete form
+
         }
-        if (k >= added.size) { v += 1; k = 0 }
       }
       SnapVersionOffset(v, k)
     }
@@ -389,12 +398,18 @@ case class SnapStreamReadFactory(
           if (raw == "__HIVE_DEFAULT_PARTITION__") null
           else {
             val declared = table.fields.find(_.name == f.name).map(_.dataType).getOrElse(StringType)
+            // LEGACY eval mode, NOT the session default: Spark 4's default
+            // ANSI cast would THROW on a non-castable dir value (uid=abc
+            // under int) — Spark's own partition handling
+            // (PartitioningUtils.castPartValueToDesiredType) splices NULL,
+            // and the canonicalValue soundness argument assumes it
             org.apache.spark.sql.catalyst.expressions
               .Cast(
                 org.apache.spark.sql.catalyst.expressions
                   .Literal(UTF8String.fromString(raw), StringType),
                 declared,
-                Some(zoneId))
+                Some(zoneId),
+                org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
               .eval(null)
           }
       } else dataIdx += i

@@ -1391,4 +1391,72 @@ class SnapCatalogSpec extends SparkSpec {
     assert(batches.get() >= 3, s"5 files at 2/trigger must take >= 3 batches, got ${batches.get()}")
     assert(ids.asScala.toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L), ids.asScala.toSeq.sorted.toString)
   }
+
+  test("GROUP BY refuses complete pushdown on non-canonical dir renderings (no duplicate groups)") {
+    val base = emptyCatalog("snagpadg")
+    val dir = s"$base/t"
+    // hour=0 and hour=00 are ONE int value; a pushdown grouping by raw
+    // segment would emit two rows Spark never re-aggregates
+    Seq(("0", Seq(1L)), ("00", Seq(2L, 3L))).foreach { case (h, ids) =>
+      ids.toDF("id").write.mode("append").parquet(s"$dir/hour=$h")
+    }
+    Snapshots.commit(spark, dir, statsCols = Seq("hour"))
+    val g = spark.sql("SELECT hour, count(*) AS n FROM snagpadg.t GROUP BY hour")
+    assert(
+      scanOf(g).isInstanceOf[SnapBatchScan],
+      s"non-canonical dirs must refuse grouped pushdown: ${scanOf(g).description()}")
+    val rows = g.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows == Map(0 -> 3L), rows.toString)
+  }
+
+  test("a non-castable dir value splices NULL on the v2 path, not an ANSI cast error") {
+    val base = emptyCatalog("snaglegc")
+    spark.sql(
+      "CREATE TABLE snaglegc.t (id BIGINT, uid INT) PARTITIONED BY (uid) " +
+        "TBLPROPERTIES ('stats_cols'='id')")
+    spark.sql("INSERT INTO snaglegc.t VALUES (1, 7)")
+    val dir = s"$base/t"
+    // adopted dir whose value can't cast to the declared int type: Spark's
+    // own partition handling splices NULL (legacy cast), and the v2 scan's
+    // partition key + read-side splice must agree — never throw, even with
+    // the session's ANSI default
+    Seq(5L).toDF("id").write.mode("append").parquet(s"$dir/uid=abc")
+    Snapshots.commit(spark, dir)
+    withConfs("spark.sql.ansi.enabled" -> "true") {
+      val got = spark.read
+        .option("batchscan", "v2")
+        .table("snaglegc.t")
+        .select("id", "uid")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .toSet
+      assert(got == Set((1L, 7), (5L, -1)), got.toString)
+    }
+  }
+
+  test("skipChangeCommits charges no admission budget for a skipped rewrite commit") {
+    val (_, dir) = fixture("snapskip")
+    Sources.deleteWhere(spark, dir, col("id") === 2L) // v2: rewrite commit
+    spark.sql("INSERT INTO snapskip.ev VALUES (6, 'click', 60.0, DATE'2024-01-05')") // v3
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val empties = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("skipChangeCommits", "true")
+      .option("maxFilesPerTrigger", "1")
+      .table("snapskip.ev")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("snapskip_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (batch.isEmpty) { empties.incrementAndGet(); () }
+        else batch.select("id").collect().foreach(r => ids.add(r.getLong(0)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // insert-only view: v1's five rows (deleted row included) + v3's row
+    assert(ids.asScala.toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L), ids.asScala.toSeq.sorted.toString)
+    assert(
+      empties.get() == 0,
+      s"a skipped rewrite commit must advance cost-free, not drain as ${empties.get()} empty batch(es)")
+  }
 }

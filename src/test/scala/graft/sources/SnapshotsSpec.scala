@@ -575,4 +575,43 @@ class SnapshotsSpec extends SparkSpec {
     val e = intercept[Exception](Snapshots.cloneSnapshot(spark, src, dst))
     assert(e.getMessage.contains("must be empty"), e.getMessage)
   }
+
+  test("escaped-era string intervals (no null-count watermark) read as no-stat for pruning") {
+    val dir = Files.createTempDirectory("snap_legacy").toString + "/t"
+    val rows = Seq((1L, "a:b"), (2L, "zz")).toDF("id", "tag")
+    Sources.writeParquet(rows.repartition(col("tag")), dir, partitionCols = Seq("tag"))
+    Snapshots.commit(spark, dir, statsCols = Seq("tag"))
+    // forge the pre-upgrade manifest: stat endpoints as the path-ESCAPED
+    // dir value, null-count keys (the watermark) dropped — what a legacy
+    // v2 commit recorded for `tag=a%3Ab`
+    def hex(s: String) = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    def unhex(h: String) =
+      new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+    val mf = new java.io.File(s"$dir/_graft_manifests/v0000000001.manifest")
+    val forged = scala.io.Source.fromFile(mf, "UTF-8").getLines().toSeq.map { line =>
+      if (line.startsWith("#") || !line.contains("\t")) line
+      else {
+        val parts = line.split("\t")
+        val rel = parts.head
+        val rawSeg = rel.split("/").head.split("=", 2)(1) // still-escaped dir value
+        val kept = parts.tail.flatMap { e =>
+          val Array(c, t, _, _) = e.split(":", 4)
+          val name = unhex(c)
+          if (name.startsWith("\u0000nulls:")) None // drop the watermark
+          else if (name == "tag") Some(s"$c:$t:${hex(rawSeg)}:${hex(rawSeg)}")
+          else Some(e)
+        }
+        (rel +: kept).mkString("\t")
+      }
+    }
+    java.nio.file.Files.write(mf.toPath, forged.mkString("\n").getBytes("UTF-8"))
+    // the raw rewrite invalidates the local FS checksum sidecar — drop it
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    // WHERE tag = 'a:b' against the escaped interval [a%3Ab, a%3Ab] would
+    // wrongly prune the matching file — the era gate must keep it
+    val ids = Snapshots
+      .readSnapshot(spark, dir, prune = Seq(("tag", "a:b", "a:b")))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L), s"escaped-era stats must prune nothing, got $ids")
+  }
 }
