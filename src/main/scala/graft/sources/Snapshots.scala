@@ -49,6 +49,44 @@ object Snapshots {
   val ManifestDirName = "_graft_manifests"
   val ArchiveDirName = ".snap-archive"
 
+  /** Every Nth version is a FULL manifest (a checkpoint); the versions in
+    * between are per-commit DELTAS (`#delta <base>` header, `+rel`/`-rel`
+    * body lines) that record only what the commit changed. At a million
+    * files this is the difference between a ~100 MB manifest rewrite per
+    * commit — per streaming epoch on the `toTable` sink — and a few-KB
+    * append, the same O(delta) discipline the footer-stat pass already
+    * has; the periodic checkpoint bounds a reader's reconstruction chain
+    * (and vacuum's retention anchor) to < interval manifest reads, all
+    * served by the immutable-view cache. Override per session with
+    * `spark.graft.snapshot.checkpointInterval` (≤ 1 forces every commit
+    * full — the pre-delta behavior).
+    */
+  val DefaultCheckpointInterval = 20
+
+  private def checkpointEvery(spark: SparkSession): Int =
+    spark.conf
+      .getOption("spark.graft.snapshot.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(DefaultCheckpointInterval)
+
+  /** Is version `v` a checkpoint (full manifest) under the session's
+    * interval policy? v1 is always full — the chain base.
+    */
+  private def isCheckpointVersion(spark: SparkSession, v: Long): Boolean = {
+    val every = checkpointEvery(spark)
+    v == 1L || every <= 1 || v % every == 0L
+  }
+
+  /** Parsed-manifest cache, keyed by (qualified path, mtime, length): a
+    * committed manifest file is immutable (temp-write + rename, versions
+    * never reused), so a hit is always exact; the mtime/length key guards
+    * the one path-reuse case (a table deleted and recreated at the same
+    * root). Bounded — a view of a huge table is large, and planning only
+    * ever needs the handful of versions in flight.
+    */
+  private val viewCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), ManifestView]()
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -638,6 +676,7 @@ object Snapshots {
       // bare file list: created/evolved schemas, tombstones and layout
       // must survive stats-less commits too
       val v2 = statsCols.nonEmpty || declared.isDefined || dropped.nonEmpty || partCols.nonEmpty
+      val statsByRel = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
       val body: Seq[String] =
         if (!v2) files
         else {
@@ -729,6 +768,7 @@ object Snapshots {
                 scala.concurrent.duration.Duration.Inf)
             } finally pool.shutdown()
           lastCommitFooterReads.set(reads.get())
+          stats.foreach { case (rel, st) => statsByRel(rel) = st }
           header ++ stats.map { case (rel, st) =>
             if (st.isEmpty) rel
             else
@@ -747,17 +787,138 @@ object Snapshots {
       // (rel, col) is computed ONCE — commits only build the missing
       // pairs, the same O(delta) discipline as the footer stats.
       if (bloomCols.nonEmpty) buildBloomSidecars(spark, root, files, bloomCols)
-      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
-      val out = fs.create(tmp, false)
-      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      val target = manifestPath(rootPath, version)
-      if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
-      }
+      // DELTA vs checkpoint: off-interval v2 commits record only what
+      // changed vs the previous version — the manifest WRITE becomes
+      // O(delta) like the footer-stat pass (a million-file table's append
+      // commit writes a few lines, not ~100 MB). Falls back to the full
+      // body when the delta wouldn't be smaller (restore, stats-column
+      // change) or a rel collides with the +/- line prefixes.
+      val chosen: Seq[String] =
+        if (!v2 || isCheckpointVersion(spark, version) || prevView.isEmpty) body
+        else {
+          val prev = prevView.get
+          val header = body.filter(_.startsWith("#"))
+          val fileLines = body.filterNot(_.startsWith("#"))
+          val lineByRel = fileLines.map(l => l.split("\t").head -> l).toMap
+          val prevRels = prev.rels.toSet
+          val filesSet = files.toSet
+          val removed = prev.rels.filterNot(filesSet).sorted
+          val changedOrAdded = files.filter { rel =>
+            !prevRels.contains(rel) ||
+            prev.stats.getOrElse(rel, Map.empty) != statsByRel.getOrElse(rel, Map.empty)
+          }.sorted
+          val unsafe =
+            (removed ++ changedOrAdded).exists(r => r.startsWith("+") || r.startsWith("-"))
+          if (unsafe) body
+          else {
+            val deltaBody = header ++ Seq(s"#delta ${version - 1L}") ++
+              removed.map("-" + _) ++ changedOrAdded.map(rel => "+" + lineByRel(rel))
+            if (deltaBody.map(_.length + 1L).sum < body.map(_.length + 1L).sum) deltaBody
+            else body
+          }
+        }
+      writeManifest(fs, rootPath, version, chosen)
       version
     }
+
+  /** O(delta) append commit: record `addedRels` (root-relative paths of
+    * data files the caller ALREADY wrote under the table root) as the
+    * next version WITHOUT listing the directory — the writer knows what
+    * it added, so a million-file table's streaming epoch costs one
+    * manifest-chain read, the new files' footer stats, and a few-line
+    * delta write. The table's stats/bloom/DDL discipline carries forward;
+    * the recorded schema evolves by what the new files carry (same rules
+    * as [[commit]]). Rels already in the previous version are ignored
+    * (the exactly-once replay case); an empty fresh set returns the
+    * previous version unchanged — no empty manifest churn.
+    */
+  def commitAppend(spark: SparkSession, root: String, addedRels: Seq[String]): Long =
+    withTableLock(spark, root) {
+      val prevV = latestVersion(spark, root)
+      require(
+        prevV > 0L,
+        s"commitAppend($root): no manifest yet — adopt the table with commit() first")
+      val prev = manifestView(spark, root, prevV)
+      val prevRels = prev.rels.toSet
+      val fresh = addedRels.distinct.filterNot(prevRels).sorted
+      if (fresh.isEmpty) prevV
+      else {
+        val rootPath = new Path(root)
+        val fs = fsOf(spark, rootPath)
+        fresh.foreach(rel =>
+          require(
+            fs.exists(new Path(rootPath, rel)),
+            s"commitAppend($root): $rel is not a live file under the table root"))
+        val version = prevV + 1L
+        val conf = spark.sparkContext.hadoopConfiguration
+        val statsCols = prev.statsCols
+        // evolved schema: the declared base merged with what the new
+        // files carry — one O(delta) footer-schema read
+        val evolved = prev.schema.map { base =>
+          mergeEvolved(
+            base,
+            spark.read
+              .option("mergeSchema", "true")
+              .option("basePath", root)
+              .parquet(fresh.map(rel => new Path(rootPath, rel).toString): _*)
+              .schema,
+            root,
+            (if (prev.partCols.nonEmpty) prev.partCols
+             else partitionColsFromRels(prev.rels ++ fresh)).toSet)
+        }
+        val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+        if (statsCols.nonEmpty) {
+          val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+          parEach(fresh) { rel =>
+            reads.incrementAndGet()
+            newStats.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, statsCols))
+          }
+          lastCommitFooterReads.set(reads.get())
+        }
+        if (prev.bloomCols.nonEmpty) buildBloomSidecars(spark, root, fresh, prev.bloomCols)
+        def statOf(rel: String): Map[String, ColStat] =
+          Option(newStats.get(rel)).getOrElse(Map.empty)
+        val header = Seq("#graft-manifest 2") ++
+          evolved
+            .map(s =>
+              "#schema " + org.apache.spark.sql.types.StructType(
+                s.filterNot(f => prev.dropped.contains(f.name))).json)
+            .toSeq ++
+          (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
+          (if (prev.bloomCols.nonEmpty) Seq(s"#bloomcols ${prev.bloomCols.mkString(",")}")
+           else Seq.empty) ++
+          (if (prev.dropped.nonEmpty) Seq(s"#dropped ${prev.dropped.map(hex).mkString(",")}")
+           else Seq.empty) ++
+          (if (prev.partCols.nonEmpty) Seq(s"#partcols ${prev.partCols.mkString(",")}")
+           else Seq.empty)
+        val freshLines = fresh.map(rel => renderFileLine(rel, statOf(rel)))
+        val body =
+          if (isCheckpointVersion(spark, version) ||
+            fresh.exists(r => r.startsWith("+") || r.startsWith("-")))
+            header ++ (prev.rels.map(rel => rel -> prev.stats.getOrElse(rel, Map.empty)) ++
+              fresh.map(rel => rel -> statOf(rel)))
+              .sortBy(_._1)
+              .map { case (rel, st) => renderFileLine(rel, st) }
+          else header ++ Seq(s"#delta $prevV") ++ freshLines.map("+" + _)
+        writeManifest(fs, rootPath, version, body)
+        version
+      }
+    }
+
+  /** Atomic manifest write: temp + rename into the version slot. */
+  private def writeManifest(fs: FileSystem, rootPath: Path, version: Long, body: Seq[String]): Unit = {
+    val dir = manifestDir(rootPath)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, false)
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = manifestPath(rootPath, version)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
+    }
+  }
 
   // ---- schema evolution (DDL over the manifest-recorded schema) --------
 
@@ -832,27 +993,22 @@ object Snapshots {
       bloomCols: Seq[String]): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val dir = manifestDir(rootPath)
-    fs.mkdirs(dir)
     val version = latestVersion(spark, root) + 1L
-    val prevBody: Seq[String] =
-      if (version > 1L) manifestLines(spark, root, version - 1L).filterNot(_.startsWith("#"))
-      else Seq.empty
     val header = Seq("#graft-manifest 2", s"#schema ${schema.json}") ++
       (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
       (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
       (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
       (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
-    val body = header ++ prevBody
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, false)
-    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val target = manifestPath(rootPath, version)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
-    }
+    // DDL touches metadata only: off-checkpoint versions commit as a
+    // header-only DELTA (the file list + stats carry via the chain) — a
+    // metadata commit on a million-file table writes a few hundred bytes
+    val body =
+      if (version == 1L) header
+      else if (isCheckpointVersion(spark, version)) {
+        val prev = manifestView(spark, root, version - 1L)
+        header ++ prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
+      } else header ++ Seq(s"#delta ${version - 1L}")
+    writeManifest(fs, rootPath, version, body)
     version
   }
 
@@ -1220,48 +1376,120 @@ object Snapshots {
       statsCols: Seq[String],
       bloomCols: Seq[String] = Seq.empty,
       dropped: Seq[String] = Seq.empty,
-      partCols: Seq[String] = Seq.empty)
+      partCols: Seq[String] = Seq.empty,
+      /** Set when THIS version committed as a delta: (base version, rels
+        * added, rels removed) — the streaming source's per-version feed
+        * reads it directly instead of diffing two full reconstructions.
+        */
+      delta: Option[(Long, Seq[String], Seq[String])] = None)
+
+  /** One manifest body line → (rel, per-column stats). */
+  private def parseFileLine(line: String): (String, Map[String, ColStat]) =
+    if (!line.contains("\t")) (line, Map.empty)
+    else {
+      val parts = line.split("\t")
+      parts.head -> parts.tail.map { e =>
+        val Array(c, t, mn, mx) = e.split(":", 4)
+        unhex(c) -> ColStat(t, unhex(mn), unhex(mx))
+      }.toMap
+    }
+
+  /** (rel, stats) → one manifest body line. Entry order is by column name
+    * — parsing is order-independent, so a re-rendered line (checkpoint
+    * from a reconstructed view) carries identical information.
+    */
+  private def renderFileLine(rel: String, st: Map[String, ColStat]): String =
+    if (st.isEmpty) rel
+    else
+      rel + "\t" + st.toSeq
+        .sortBy(_._1)
+        .map { case (c, cs) => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}" }
+        .mkString("\t")
 
   def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
     val v = if (version > 0) version else latestVersion(spark, root)
-    val lines = manifestLines(spark, root, v)
-    val body = lines.filterNot(_.startsWith("#"))
-    val rels = body.map(_.split("\t").head)
-    val stats = body
-      .filter(_.contains("\t"))
-      .map { line =>
-        val parts = line.split("\t")
-        parts.head -> parts.tail.map { e =>
-          val Array(c, t, mn, mx) = e.split(":", 4)
-          unhex(c) -> ColStat(t, unhex(mn), unhex(mx))
-        }.toMap
+    require(v > 0, s"no manifest committed under $root")
+    val p = manifestPath(new Path(root), v)
+    val fs = fsOf(spark, p)
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          sys.error(s"manifest v$v does not exist under $root (vacuumed or never committed)")
       }
-      .toMap
-    val schema = lines
+    val key = (
+      p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString,
+      st.getModificationTime,
+      st.getLen)
+    val cached = viewCache.get(key)
+    if (cached != null) return cached
+    val view = parseView(spark, root, v)
+    if (viewCache.size() >= 32)
+      viewCache.keySet.iterator().asScala.take(8).foreach(viewCache.remove)
+    viewCache.put(key, view)
+    view
+  }
+
+  private def parseView(spark: SparkSession, root: String, v: Long): ManifestView = {
+    val lines = manifestLines(spark, root, v)
+    val header = lines.filter(_.startsWith("#"))
+    val body = lines.filterNot(_.startsWith("#"))
+    val schema = header
       .find(_.startsWith("#schema "))
       .map(l =>
         org.apache.spark.sql.types.DataType
           .fromJson(l.stripPrefix("#schema "))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val statsCols = lines
-      .find(_.startsWith("#statscols "))
-      .map(_.stripPrefix("#statscols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def csv(tag: String): Seq[String] = header
+      .find(_.startsWith(s"#$tag "))
+      .map(_.stripPrefix(s"#$tag ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    val bloomCols = lines
-      .find(_.startsWith("#bloomcols "))
-      .map(_.stripPrefix("#bloomcols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
+    val statsCols = csv("statscols")
+    val bloomCols = csv("bloomcols")
     // dropped-column tombstones are hex-encoded (a column name may itself
     // contain a comma); partition columns are plain (hive dir names can't)
-    val dropped = lines
-      .find(_.startsWith("#dropped "))
-      .map(_.stripPrefix("#dropped ").split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(unhex))
-      .getOrElse(Seq.empty)
-    val partCols = lines
-      .find(_.startsWith("#partcols "))
-      .map(_.stripPrefix("#partcols ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
-    ManifestView(v, rels, stats, schema, statsCols, bloomCols, dropped, partCols)
+    val dropped = csv("dropped").map(unhex)
+    val partCols = csv("partcols")
+    header.find(_.startsWith("#delta ")) match {
+      case None =>
+        val parsed = body.map(parseFileLine)
+        ManifestView(
+          v,
+          parsed.map(_._1),
+          parsed.filter(_._2.nonEmpty).toMap,
+          schema,
+          statsCols,
+          bloomCols,
+          dropped,
+          partCols)
+      case Some(d) =>
+        // DELTA manifest: file list + per-file stats reconstruct from the
+        // base version (recursion bottoms out at a checkpoint — bounded
+        // by the interval, each hop usually cache-served); header fields
+        // are THIS version's own (a DDL commit is a header-only delta)
+        val base = manifestView(spark, root, d.stripPrefix("#delta ").trim.toLong)
+        val removed = body.filter(_.startsWith("-")).map(_.substring(1))
+        val added = body.filter(_.startsWith("+")).map(l => parseFileLine(l.substring(1)))
+        val removedSet = removed.toSet ++ added.map(_._1) // re-add = replace
+        val rels = (base.rels.filterNot(removedSet) ++ added.map(_._1)).sorted
+        val stats = (base.stats -- removedSet) ++ added.filter(_._2.nonEmpty).toMap
+        // the recorded delta exposes TRUE file-set changes only: a `+rel`
+        // for a rel the base already lists is a stats REPLACEMENT (same
+        // rows — the streaming feed must not re-emit it), matching what a
+        // two-version diff of the reconstructions reports
+        val baseRels = base.rels.toSet
+        ManifestView(
+          v,
+          rels,
+          stats,
+          schema,
+          statsCols,
+          bloomCols,
+          dropped,
+          partCols,
+          delta =
+            Some((base.version, added.map(_._1).filterNot(baseRels).sorted, removed.sorted)))
+    }
   }
 
   /** The root-relative file list of manifest `version` (≤0 → latest).
@@ -1574,7 +1802,14 @@ object Snapshots {
         val keepFrom = math.max(1L, latest - keepLast + 1L)
         val referenced: Set[String] =
           (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
-        (1L until keepFrom).foreach(v => fs.delete(manifestPath(rootPath, v), false))
+        // a retained DELTA manifest reconstructs through its chain, so
+        // manifest deletion anchors at the newest checkpoint ≤ keepFrom
+        // (bounded by the checkpoint interval). Chain-only manifests
+        // below keepFrom stay on disk for reconstruction, but their DATA
+        // files are reclaimed like any expired version's.
+        var anchor = keepFrom
+        while (anchor > 1L && manifestView(spark, root, anchor).delta.isDefined) anchor -= 1L
+        (1L until anchor).foreach(v => fs.delete(manifestPath(rootPath, v), false))
         // bloom sidecars of files no retained manifest references are
         // orphans — reap them with the manifests they served
         val bloomDirPath = new Path(manifestDir(rootPath), "bloom")

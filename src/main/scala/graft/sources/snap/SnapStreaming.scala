@@ -113,7 +113,14 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
         !committedRels.contains(name) && fs.exists(new Path(rootPath, name))
       }
       if (landed > 0 || uncommittedLive)
-        Snapshots.commit(spark, dir) // inherits stats + bloom disciplines
+        // O(delta) epoch commit: the epoch knows exactly which rels it
+        // landed — no directory listing, and a few-line delta manifest
+        // instead of a full live-list rewrite per trigger (stats + bloom
+        // disciplines still inherited; checkpoint versions stay periodic)
+        Snapshots.commitAppend(
+          spark,
+          dir,
+          staged.map(_.getName).filter(n => fs.exists(new Path(rootPath, n))).toSeq)
       val tmp = new Path(epochMarker(rootPath).getParent, s".epoch-tmp-$queryId")
       val out = fs.create(tmp, true)
       try out.write(epochId.toString.getBytes("UTF-8"))

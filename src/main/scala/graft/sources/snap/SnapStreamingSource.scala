@@ -185,10 +185,19 @@ class SnapMicroBatchStream(
     * rides along for the rewrite-commit check.
     */
   private def addedOf(s: SparkSession, v: Long): (Seq[String], Int) = {
-    val cur = Snapshots.files(s, dir, v)
-    val prev: Set[String] =
-      if (v <= 1L) Set.empty else Snapshots.files(s, dir, v - 1L).toSet
-    (cur.filterNot(prev), (prev -- cur.toSet).size)
+    // a delta-committed version records its own added/removed sets —
+    // read them directly (no second reconstruction). Both paths yield
+    // the same SORTED added sequence, so sub-version offset indices are
+    // stable regardless of how the version was committed.
+    val view = Snapshots.manifestView(s, dir, v)
+    view.delta match {
+      case Some((base, added, removed)) if base == v - 1L => (added, removed.size)
+      case _ =>
+        val cur = view.rels
+        val prev: Set[String] =
+          if (v <= 1L) Set.empty else Snapshots.files(s, dir, v - 1L).toSet
+        (cur.filterNot(prev), (prev -- cur.toSet).size)
+    }
   }
 
   override def initialOffset(): Offset = {

@@ -511,6 +511,20 @@ class SnapCatalogSpec extends SparkSpec {
     // each epoch committed one manifest version (seed + 2 epochs), and the
     // metadata count still answers from the manifest
     assert(Snapshots.latestVersion(spark, dir) == 3L)
+    // epoch commit cost is O(delta): each epoch wrote a DELTA manifest
+    // listing only its own landed file — never a rewrite of the full live
+    // list (at a million files that rewrite would run per trigger)
+    Seq(2L, 3L).foreach { v =>
+      val lines = scala.io.Source
+        .fromFile(f"$dir/${Snapshots.ManifestDirName}/v$v%010d.manifest", "UTF-8")
+        .getLines()
+        .toSeq
+      assert(lines.exists(_.startsWith("#delta")), s"epoch manifest v$v must be a delta")
+      val adds = lines.filter(_.startsWith("+"))
+      assert(adds.size == 1, s"epoch v$v must list exactly its own landed file, got $adds")
+      assert(!lines.exists(l => !l.startsWith("#") && !l.startsWith("+") && !l.startsWith("-")),
+        s"epoch v$v must not carry the full live list")
+    }
     val cnt = spark.sql("SELECT count(*) AS n FROM snapc22.t")
     assert(scanOf(cnt).isInstanceOf[SnapAggScan], scanOf(cnt).description())
     assert(cnt.as[Long].head() == 4L)

@@ -576,6 +576,62 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("must be empty"), e.getMessage)
   }
 
+  test("delta-log manifests: append commits write O(delta) bytes; chains reconstruct exactly") {
+    val dir = Files.createTempDirectory("snap_deltalog").toString + "/t"
+    // 40 one-row files: enough that a full manifest rewrite is clearly
+    // bigger than a one-file delta
+    val rows = (1L to 40L).map(i => (i, f"2024-01-${i % 4 + 1}%02d", i * 1.0))
+    Sources.writeParquet(rows.toDF("id", "day", "v").repartition(40), dir, partitionCols = Seq("day"))
+    val v1 = Snapshots.commit(spark, dir, statsCols = Seq("day", "id"))
+    assert(v1 == 1L)
+    def manifestSize(v: Long): Long =
+      new java.io.File(f"$dir/_graft_manifests/v$v%010d.manifest").length()
+    val checkpointSize = manifestSize(1L)
+    // append ONE file → the commit must write a small delta, not rewrite
+    // the full live list (the O(table)-commit scale killer)
+    Seq((100L, "2024-01-01", 1.0)).toDF("id", "day", "v")
+      .write.mode("append").parquet(s"$dir/day=2024-01-01")
+    val v2 = Snapshots.commit(spark, dir)
+    assert(manifestSize(v2) < checkpointSize / 5,
+      s"append delta (${manifestSize(v2)} B) must be far under the checkpoint ($checkpointSize B)")
+    // the reconstructed view equals a from-scratch full read
+    assert(Snapshots.readSnapshot(spark, dir, v2).count() == 41L)
+    assert(Snapshots.countRows(spark, dir, v2) == 41L, "per-file stats must carry through the chain")
+    assert(Snapshots.readSnapshot(spark, dir, v1).count() == 40L, "pinned base still exact")
+    // DDL is a header-only delta: a few hundred bytes on any table size
+    val v3 = Snapshots.addColumns(
+      spark, dir, Seq(org.apache.spark.sql.types.StructField(
+        "note", org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(manifestSize(v3) < 2048, s"DDL commit wrote ${manifestSize(v3)} B — not header-only")
+    assert(Snapshots.schemaOf(spark, dir, v3).get.fieldNames.contains("note"))
+    assert(Snapshots.readSnapshot(spark, dir, v3).count() == 41L)
+    // a REWRITE commit (delete) through the delta path stays exact
+    Sources.deleteWhere(spark, dir, col("id") === 100L)
+    val v4 = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.readSnapshot(spark, dir, v4).count() == 40L)
+    assert(Snapshots.readSnapshot(spark, dir, v2).count() == 41L, "pre-delete pin still exact")
+    // checkpoint policy: force interval 5 → the 5th version is FULL again
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "5")
+    try {
+      Seq((101L, "2024-01-02", 1.0)).toDF("id", "day", "v")
+        .write.mode("append").parquet(s"$dir/day=2024-01-02")
+      val v5 = Snapshots.commit(spark, dir)
+      assert(v5 == 5L)
+      assert(manifestSize(5L) > checkpointSize / 2,
+        s"version 5 must be a full checkpoint, wrote ${manifestSize(5L)} B")
+      val lines = scala.io.Source.fromFile(f"$dir/_graft_manifests/v${5L}%010d.manifest", "UTF-8")
+        .getLines().toSeq
+      assert(!lines.exists(_.startsWith("#delta")), "checkpoint must not chain")
+      assert(Snapshots.readSnapshot(spark, dir, 5L).count() == 41L)
+      // vacuum keeps the chain reconstructable: retain last 2 (v4, v5) —
+      // v4 is a delta chaining to v1, so manifests 1-3 must survive as
+      // chain anchors while expired DATA is still reclaimed
+      Snapshots.vacuum(spark, dir, keepLast = 2)
+      assert(Snapshots.readSnapshot(spark, dir, 4L).count() == 40L, "retained delta must reconstruct")
+      assert(Snapshots.readSnapshot(spark, dir, 5L).count() == 41L)
+    } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
+  }
+
   test("escaped-era string intervals (no null-count watermark) read as no-stat for pruning") {
     val dir = Files.createTempDirectory("snap_legacy").toString + "/t"
     val rows = Seq((1L, "a:b"), (2L, "zz")).toDF("id", "tag")
