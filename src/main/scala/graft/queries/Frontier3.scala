@@ -766,34 +766,9 @@ object Frontier3 {
     val cat = s"snapq209_${java.lang.Integer.toHexString(d.hashCode)}"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
-    // the file stream source needs a DIRECTORY: stage the events file into
-    // the scratch dir (a metadata-priced copy; at scale the ingest dir is
-    // a directory to begin with)
-    val inDir = new org.apache.hadoop.fs.Path(base, "in")
-    fs.mkdirs(inDir)
-    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    // the fixture is a single file at driver SFs and a directory of part
-    // files for synthesized scale-up dirs — flatten either shape into the
-    // stream's input dir (file sources don't recurse by default)
-    val srcFiles: Seq[org.apache.hadoop.fs.Path] =
-      if (fs.getFileStatus(src).isDirectory)
-        fs.listStatus(src)
-          .toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
-      else Seq(src)
-    srcFiles.zipWithIndex.foreach { case (p, i) =>
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs,
-        p,
-        fs,
-        new org.apache.hadoop.fs.Path(inDir, f"events-$i%05d.parquet"),
-        false,
-        false,
-        s.sparkContext.hadoopConfiguration)
-    }
+    val inDir = stageEventsIn(s, d, base)
     val q = graft.streaming.Streaming
-      .readEventStream(s, inDir.toString)
+      .readEventStream(s, inDir)
       .filter(col("event_type") === "error")
       .writeStream
       .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "ckpt").toString)
@@ -1422,7 +1397,192 @@ object Frontier3 {
       |FROM s, b WHERE day BETWEEN m + 2 AND m + 5
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Stage the events fixture into a fresh `in/` dir a file-stream source
+    * can read: the file stream source needs a DIRECTORY, and the fixture
+    * is a single file at driver SFs but a directory of part files for
+    * synthesized scale-up dirs — flatten either shape (file sources don't
+    * recurse by default). A metadata-priced copy; at scale the ingest dir
+    * is a directory to begin with.
+    */
+  private def stageEventsIn(s: SparkSession, d: String, base: org.apache.hadoop.fs.Path): String = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inDir = new org.apache.hadoop.fs.Path(base, "in")
+    fs.mkdirs(inDir)
+    val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val srcFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src)
+          .toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(src)
+    srcFiles.zipWithIndex.foreach { case (p, i) =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs,
+        p,
+        fs,
+        new org.apache.hadoop.fs.Path(inDir, f"events-$i%05d.parquet"),
+        false,
+        false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    inDir.toString
+  }
+
+  // -- q218: SQL MERGE INTO a hive-partitioned table ---------------------
+
+  /** q208's CDC-apply MERGE, now against the DAY-PARTITIONED stats table —
+    * the 100 TB default layout the row-level path previously refused. The
+    * rewrite is partition-aware end to end: the operation's scan splices
+    * each file's `day=` path value into the replacement rows, the writer
+    * routes every row back to its partition directory by the row's OWN
+    * day (stripping the column from the file bytes — hive layout
+    * preserved), and the synthetic not-matched key lands in a brand-new
+    * `day=1999-12-31/` directory. The closing `n_day_dirs` column counts
+    * the table's partition directories from the manifest, so the hash
+    * proves the routing: distinct event days + exactly one new dir — a
+    * writer that flattened the layout or fan-out-duplicated directories
+    * would mismatch. v1 stays pinned (`VERSION AS OF 1` join, untouched
+    * `n_before`/`u_before` sides).
+    */
+  def q218(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq218", Seq("day"))
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    val matchedDelta = ev
+      .filter(col("event_type") === "click" && to_date(col("ts")) <= to_date(lit(cut)))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        (count(lit(1)) * lit(2L)).as("n"),
+        (sum(micro) + count(lit(1))).as("sum_u"))
+    val delta = matchedDelta.unionByName(
+      s.sql("SELECT DATE'1999-12-31' AS day, '__synthetic' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u"))
+    delta.createOrReplaceTempView(s"${cat}_delta")
+    s.sql(s"""
+      |MERGE INTO $cat.ev AS t USING ${cat}_delta AS s
+      |ON t.day = s.day AND t.event_type = s.event_type
+      |WHEN MATCHED THEN UPDATE SET n = s.n, sum_u = s.sum_u
+      |WHEN NOT MATCHED THEN INSERT (day, event_type, n, sum_u) VALUES (s.day, s.event_type, s.n, s.sum_u)""".stripMargin)
+    // layout proof from the manifest: one dir per day, plus the new one
+    val dayDirs = graft.sources.Snapshots
+      .files(s, dir)
+      .map(_.split("/").head)
+      .distinct
+      .count(_.startsWith("day="))
+    s.sql(s"""
+      |SELECT v2.event_type AS event_type,
+      |       v2.n AS n_live, coalesce(v1.n, CAST(0 AS BIGINT)) AS n_before,
+      |       v2.u AS u_live, coalesce(v1.u, CAST(0 AS BIGINT)) AS u_before
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |ON v2.event_type = v1.event_type
+      |ORDER BY event_type""".stripMargin)
+      .withColumn("n_day_dirs", lit(dayDirs.toLong))
+  }
+
+  val q218Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |dd AS (SELECT CAST(count(DISTINCT day) + 1 AS BIGINT) AS n_day_dirs FROM s),
+      |g AS (SELECT event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(u) AS BIGINT) AS su,
+      |        CAST(sum(CASE WHEN event_type = 'click' AND day <= m + 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      |      FROM s, b GROUP BY event_type)
+      |SELECT event_type, n + hit AS n_live, n AS n_before, su + hit AS u_live, su AS u_before,
+      |       (SELECT n_day_dirs FROM dd) AS n_day_dirs
+      |FROM g
+      |UNION ALL
+      |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(42 AS BIGINT), CAST(0 AS BIGINT),
+      |       (SELECT n_day_dirs FROM dd)
+      |ORDER BY event_type""".stripMargin
+
+  // -- q219: streaming toTable into a DAY-PARTITIONED table ---------------
+
+  /** q209's native streaming ingest, now landing in the hive-partitioned
+    * layout a 100 TB events table actually uses: the error-event stream
+    * carries its own `day = to_date(ts)` column, and every epoch's tasks
+    * route rows to `day=…/` directories with deterministic per-(query,
+    * epoch, task, partition-value) file names — the replay-overwrite
+    * exactly-once argument, per directory. The result aggregates the sink
+    * BY ITS PARTITION COLUMN (values spliced from the paths — a flattened
+    * or misrouted layout would mis-group), and `n_day_dirs` counts the
+    * partition directories from the manifest: distinct error days plus
+    * the seed's — hash-proof that the routing happened. At 100 TB this is
+    * the streaming ingest topology: day-partitioned versioned commits,
+    * each epoch an O(delta) manifest write, partition-pruned reads from
+    * the first trigger.
+    */
+  def q219(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq219_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "sink").toString
+    // seed: one sentinel row in its own day partition — the table's hive
+    // layout is established before the stream starts
+    s.sql("""SELECT CAST(-1 AS BIGINT) AS event_id, timestamp'1999-12-31 00:00:00' AS ts,
+              CAST(-1 AS BIGINT) AS user_id, '__seed' AS event_type,
+              CAST(0.0 AS DOUBLE) AS value, '' AS props, DATE'1999-12-31' AS day""")
+      .coalesce(1)
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "event_id"))
+    val cat = s"snapq219_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val inDir = stageEventsIn(s, d, base)
+    val q = graft.streaming.Streaming
+      .readEventStream(s, inDir)
+      .filter(col("event_type") === "error")
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "ckpt").toString)
+      .toTable(s"$cat.sink")
+    try q.processAllAvailable()
+    finally q.stop()
+    val dayDirs = graft.sources.Snapshots
+      .files(s, dir)
+      .map(_.split("/").head)
+      .distinct
+      .count(_.startsWith("day="))
+    s.sql(s"""
+      |SELECT day,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS u,
+      |       (SELECT count(*) FROM $cat.sink) AS n_rows
+      |FROM $cat.sink GROUP BY day
+      |ORDER BY day""".stripMargin)
+      .withColumn("n_day_dirs", lit(dayDirs.toLong))
+  }
+
+  val q219Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL SELECT DATE'1999-12-31', 0),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
+      |dd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_day_dirs FROM s)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS u,
+      |       (SELECT total FROM t) AS n_rows,
+      |       (SELECT n_day_dirs FROM dd) AS n_day_dirs
+      |FROM s GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q219_stream_partitioned_sink" -> (q219 _),
+    "q218_sql_merge_partitioned" -> (q218 _),
     "q217_windowed_manifest_agg" -> (q217 _),
     "q216_grouped_manifest_agg" -> (q216 _),
     "q215_runtime_file_pruning" -> (q215 _),
@@ -1447,6 +1607,8 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q219_stream_partitioned_sink" -> q219Sql,
+    "q218_sql_merge_partitioned" -> q218Sql,
     "q217_windowed_manifest_agg" -> q217Sql,
     "q216_grouped_manifest_agg" -> q216Sql,
     "q215_runtime_file_pruning" -> q215Sql,

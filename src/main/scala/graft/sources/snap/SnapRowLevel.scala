@@ -112,12 +112,12 @@ class SnapRowLevelOperation(
             // the row-level read path plans a true DSv2 Batch (no V1
             // bridge exists under ReplaceData): same pruned file list,
             // read through Spark's own parquet row materializer
-            new SnapRowLevelScan(dir, b.keptRels, b.readSchema())
+            new SnapRowLevelScan(dir, b.keptRels, b.readSchema(), tableSchema)
           case v: SnapV2BatchScan =>
             // a session opted into the v2 batch path: same file list,
             // same row-level read shape
             scannedRels = v.currentRels
-            new SnapRowLevelScan(dir, v.currentRels, v.readSchema())
+            new SnapRowLevelScan(dir, v.currentRels, v.readSchema(), tableSchema)
           case s => s // count-style scans never appear under a row-level op
         }
       }
@@ -125,15 +125,49 @@ class SnapRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
     override def build(): Write = {
-      if (view.rels.exists(_.contains("=")))
-        throw new UnsupportedOperationException(
-          s"row-level ${command()} on a hive-partitioned snapshot table is not supported " +
-            "through SQL — use graft.sources.Sources.updateWhere / mergeIntoPartitioned " +
-            "(per-partition selective rewrites) instead")
+      // hive-partitioned tables: replacement rows carry partition values
+      // as data columns, and the writer routes each row to its partition
+      // directory (partition columns stripped from the file bytes — the
+      // hive layout), so an UPDATE that moves a row across partitions
+      // lands it in its NEW directory. Requires a coherent layout and
+      // path-renderable partition types; anything else refuses loudly.
+      val partCols =
+        if (view.partCols.nonEmpty) view.partCols
+        else Snapshots.partitionColsFromRels(view.rels)
+      if (partCols.nonEmpty) {
+        val incoherent = view.rels.filterNot { r =>
+          val segs = SnapFilters.partSegments(r)
+          partCols.forall(segs.contains)
+        }
+        if (incoherent.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"row-level ${command()} on $dir: ${incoherent.size} file(s) lack the " +
+              s"[${partCols.mkString(", ")}] hive layout — a mixed layout cannot be " +
+              "rewritten partition-aware; compact the table to one layout first")
+        partCols.foreach { c =>
+          val t = tableSchema.fields
+            .find(_.name == c)
+            .map(_.dataType)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"partition column '$c' is not in the table schema"))
+          t match {
+            case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+                org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+                org.apache.spark.sql.types.BooleanType =>
+              ()
+            case other =>
+              throw new UnsupportedOperationException(
+                s"row-level ${command()} on $dir: partition column '$c' of type " +
+                  s"${other.simpleString} has no canonical path rendering — use the " +
+                  "programmatic per-partition rewrites instead")
+          }
+        }
+      }
       new Write {
         override def description(): String = s"GraftSnapReplaceData $dir files=${scannedRels.size}"
         override def toBatch: BatchWrite =
-          new SnapReplaceBatchWrite(dir, scannedRels, info.schema(), view.version)
+          new SnapReplaceBatchWrite(dir, scannedRels, info.schema(), view.version, partCols)
       }
     }
   }
@@ -141,12 +175,20 @@ class SnapRowLevelOperation(
 
 /** The row-level operation's read side: the pruned file list as a true
   * DSv2 [[org.apache.spark.sql.connector.read.Batch]] — one input
-  * partition per file, rows materialized by Spark's own parquet
-  * `ReadSupport` (evolution-safe: missing columns null-fill). All pushed
-  * filters stay residual (the scan builder never claims them), so Spark
-  * re-applies the operation's condition row-level above this scan.
+  * partition per file, rows materialized through the SAME spliced reader
+  * the streaming source and v2 batch path use
+  * ([[SnapStreamReadFactory]]): data columns from the parquet bytes
+  * (evolution-safe null-fill), hive partition columns cast once per file
+  * from their `k=v` path values (legacy-mode — a non-castable value
+  * splices NULL), `_file` provenance spliced. All pushed filters stay
+  * residual (the scan builder never claims them), so Spark re-applies
+  * the operation's condition row-level above this scan.
   */
-class SnapRowLevelScan(dir: String, rels: Seq[String], required: StructType)
+class SnapRowLevelScan(
+    dir: String,
+    rels: Seq[String],
+    required: StructType,
+    tableSchema: StructType)
     extends Scan
     with org.apache.spark.sql.connector.read.Batch {
 
@@ -156,14 +198,30 @@ class SnapRowLevelScan(dir: String, rels: Seq[String], required: StructType)
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val spark = SparkSession.active
-    rels.map(rel => SnapFileInput(Snapshots.resolve(spark, dir, rel).toString): org.apache.spark.sql.connector.read.InputPartition).toArray
+    rels.map { rel =>
+      val partVals = rel
+        .split("/")
+        .dropRight(1)
+        .filter(_.contains("="))
+        .map { seg =>
+          val Array(k, raw) = seg.split("=", 2)
+          k -> Snapshots.unescapePathName(raw)
+        }
+      SnapStreamFileInput(
+        Snapshots.resolve(spark, dir, rel).toString,
+        partVals): org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
   }
 
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    SnapParquetReadFactory(
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val spark = SparkSession.active
+    SnapStreamReadFactory(
       required.json,
+      tableSchema.json,
       org.apache.spark.sql.graft.Bridge.serializableConf(
-        org.apache.spark.sql.graft.Bridge.sessionHadoopConf(SparkSession.active)))
+        org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)),
+      spark.conf.get("spark.sql.session.timeZone"))
+  }
 }
 
 case class SnapFileInput(path: String) extends org.apache.spark.sql.connector.read.InputPartition
@@ -221,11 +279,18 @@ case class SnapParquetReadFactory(schemaJson: String, conf: java.io.Serializable
 /** Commit message: one staged file written by one task. */
 case class SnapStagedFile(path: String, rows: Long) extends WriterCommitMessage
 
+/** Commit message of a hive-partitioned rewrite task: one staged file per
+  * partition value the task saw, stage-relative so the landing preserves
+  * the `k=v` directory structure.
+  */
+case class SnapStagedPartFiles(rels: Seq[String], rows: Long) extends WriterCommitMessage
+
 class SnapReplaceBatchWrite(
     dir: String,
     replacedRels: Seq[String],
     schema: StructType,
-    scannedVersion: Long)
+    scannedVersion: Long,
+    partCols: Seq[String] = Seq.empty)
     extends BatchWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -241,10 +306,17 @@ class SnapReplaceBatchWrite(
     val conf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
     val fs = new Path(dir).getFileSystem(conf)
     fs.mkdirs(new Path(new Path(dir), stage))
-    SnapParquetWriterFactory(
-      s"$dir/$stage",
-      schema,
-      org.apache.spark.sql.graft.Bridge.serializableConf(conf))
+    if (partCols.isEmpty)
+      SnapParquetWriterFactory(
+        s"$dir/$stage",
+        schema,
+        org.apache.spark.sql.graft.Bridge.serializableConf(conf))
+    else
+      SnapHivePartWriterFactory(
+        s"$dir/$stage",
+        schema,
+        partCols,
+        org.apache.spark.sql.graft.Bridge.serializableConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -267,19 +339,24 @@ class SnapReplaceBatchWrite(
       // land the replacement files FIRST, then archive the replaced ones —
       // the compactInPlace window discipline; manifest readers are the
       // consistency surface and the closing commit defines the result
+      val stagePath = new Path(rootPath, stage)
+      def land(stageRel: String): Unit = {
+        val from = new Path(stagePath, stageRel)
+        val to = new Path(rootPath, stageRel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(from, to)) sys.error(s"replace-data landing failed: $from")
+      }
       messages.foreach {
-        case SnapStagedFile(p, _) if p.nonEmpty =>
-          val from = new Path(p)
-          if (!fs.rename(from, new Path(rootPath, from.getName)))
-            sys.error(s"replace-data landing failed: $from")
+        case SnapStagedFile(p, _) if p.nonEmpty => land(new Path(p).getName)
         case SnapStagedFile(_, _) => () // empty task: nothing staged
+        case SnapStagedPartFiles(rels, _) => rels.foreach(land)
         case other => sys.error(s"unexpected commit message $other")
       }
       replacedRels.foreach { rel =>
         val live = new Path(rootPath, rel)
         if (fs.exists(live)) Snapshots.archiveFile(fs, rootPath, live)
       }
-      fs.delete(new Path(rootPath, stage), true)
+      fs.delete(stagePath, true)
       Snapshots.commit(spark, dir) // inherits the table's stats + bloom discipline
     }
   }
@@ -304,6 +381,132 @@ case class SnapParquetWriterFactory(
         f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString}.parquet"),
       schema,
       org.apache.spark.sql.graft.Bridge.confOf(conf))
+}
+
+case class SnapHivePartWriterFactory(
+    stageDir: String,
+    schema: StructType,
+    partCols: Seq[String],
+    conf: java.io.Serializable)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapHivePartitionedDataWriter(
+      stageDir,
+      schema,
+      partCols,
+      org.apache.spark.sql.graft.Bridge.confOf(conf),
+      f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString}.parquet")
+}
+
+/** Dynamic hive-partitioned staging writer: routes each replacement row
+  * to its partition directory by the row's OWN partition-column values
+  * (so an UPDATE that changes a partition value moves the row), strips
+  * the partition columns from the file bytes (the hive layout — readers
+  * splice them back from the path), and renders directory names with
+  * Spark's own escaping so rewritten partitions land in exactly the
+  * directories the table already uses. One open writer per partition
+  * value seen by the task — the rewrite scan is file-per-partition-dir,
+  * so a task normally sees one.
+  */
+class SnapHivePartitionedDataWriter(
+    stageDir: String,
+    schema: StructType,
+    partCols: Seq[String],
+    conf: org.apache.hadoop.conf.Configuration,
+    fileName: String,
+    /** Streaming epochs: each partition dir's attempt file renames onto
+      * this deterministic name at task commit (the [[SnapParquetDataWriter]]
+      * replay-overwrite discipline, per partition value).
+      */
+    finalName: Option[String] = None)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx: Array[Int] = partCols.map(c => schema.fieldNames.indexOf(c)).toArray
+  private val dataIdx: Array[Int] =
+    schema.fieldNames.zipWithIndex.collect {
+      case (n, i) if !partCols.contains(n) => i
+    }
+  private val dataSchema = StructType(dataIdx.map(schema.fields(_)).toIndexedSeq)
+  private val dataTypes = dataSchema.fields.map(_.dataType)
+
+  private val writers =
+    scala.collection.mutable.Map.empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  private var rows = 0L
+
+  /** One partition value as its canonical hive path string — the same
+    * rendering Spark's own partitioned writer produces, so the directory
+    * matches what partition inference (and the manifest's path stats)
+    * will read back.
+    */
+  private def render(row: InternalRow, i: Int): String = {
+    import org.apache.spark.sql.types._
+    if (row.isNullAt(i)) null
+    else
+      schema.fields(i).dataType match {
+        case ByteType => row.getByte(i).toString
+        case ShortType => row.getShort(i).toString
+        case IntegerType => row.getInt(i).toString
+        case LongType => row.getLong(i).toString
+        case BooleanType => row.getBoolean(i).toString
+        case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+        case _ => row.getUTF8String(i).toString
+      }
+  }
+
+  private def dirOf(row: InternalRow): String =
+    partCols.zip(partIdx.toSeq).map { case (c, i) =>
+      val v = render(row, i)
+      val rendered =
+        if (v == null) "__HIVE_DEFAULT_PARTITION__"
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+      s"$c=$rendered"
+    }.mkString("/")
+
+  override def write(metadata: InternalRow, record: InternalRow): Unit = write(record)
+
+  override def write(record: InternalRow): Unit = {
+    val dir = dirOf(record)
+    val w = writers.getOrElseUpdate(
+      dir,
+      org.apache.spark.sql.graft.Bridge
+        .parquetRowWriter(new Path(s"$stageDir/$dir", fileName), dataSchema, conf))
+    // project the data columns out (partition values live in the path)
+    val out = new Array[Any](dataIdx.length)
+    var i = 0
+    while (i < dataIdx.length) {
+      out(i) = if (record.isNullAt(dataIdx(i))) null else record.get(dataIdx(i), dataTypes(i))
+      i += 1
+    }
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out))
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    finalName match {
+      case None =>
+        SnapStagedPartFiles(writers.keys.toSeq.sorted.map(d => s"$d/$fileName"), rows)
+      case Some(n) =>
+        val fs = new Path(stageDir).getFileSystem(conf)
+        writers.keys.foreach { d =>
+          val from = new Path(s"$stageDir/$d", fileName)
+          val target = new Path(s"$stageDir/$d", n)
+          if (fs.exists(target)) fs.delete(target, false) // dead attempt's leftover
+          if (!fs.rename(from, target))
+            throw new java.io.IOException(s"task commit rename failed: $from -> $target")
+        }
+        SnapStagedPartFiles(writers.keys.toSeq.sorted.map(d => s"$d/$n"), rows)
+    }
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => scala.util.Try(w.close()))
+    val fs = new Path(stageDir).getFileSystem(conf)
+    writers.keys.foreach(d => scala.util.Try(fs.delete(new Path(s"$stageDir/$d", fileName), false)))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** One task's parquet writer: Spark's own row→parquet encoding (bridged

@@ -34,8 +34,12 @@ import graft.sources.Snapshots
   * data change. The standard file-sink assumption applies: replayed
   * epochs recompute the same rows (deterministic sources/operators).
   *
-  * Hive-partitioned tables are refused (streamed files land flat); the
-  * foreachBatch + `mergeIntoPartitioned` path covers those.
+  * Hive-partitioned tables stream too: each task routes rows to their
+  * partition directory by the row's own partition values (the
+  * [[SnapHivePartitionedDataWriter]] machinery) and renames onto
+  * deterministic per-(query, epoch, task, partition-value) names at task
+  * commit — the same replay-overwrite argument, now per directory; the
+  * epoch's manifest delta lists the partition-qualified rels.
   */
 class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
     extends StreamingWrite {
@@ -47,6 +51,38 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
   private def epochMarker(root: Path) =
     new Path(new Path(root, Snapshots.ManifestDirName), s".epoch-$queryId")
 
+  /** The table's hive layout, resolved ONCE at query start (driver):
+    * declared partition columns win; an adopted table derives them from
+    * its file paths. Empty = flat table (the original sink shape).
+    */
+  private lazy val partCols: Seq[String] =
+    if (Snapshots.latestVersion(spark, dir) == 0L) Seq.empty
+    else {
+      val view = Snapshots.manifestView(spark, dir)
+      val cols =
+        if (view.partCols.nonEmpty) view.partCols
+        else Snapshots.partitionColsFromRels(view.rels)
+      cols.foreach { c =>
+        val t = schema.fields
+          .find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"streaming into $dir: partition column '$c' is missing from the stream schema"))
+        t match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.BooleanType =>
+            ()
+          case other =>
+            throw new UnsupportedOperationException(
+              s"streaming into $dir: partition column '$c' of type ${other.simpleString} " +
+                "has no canonical path rendering — use foreachBatch instead")
+        }
+      }
+      cols
+    }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val conf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
     new Path(dir).getFileSystem(conf).mkdirs(new Path(dir))
@@ -54,7 +90,8 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
       dir,
       queryId,
       schema,
-      org.apache.spark.sql.graft.Bridge.serializableConf(conf))
+      org.apache.spark.sql.graft.Bridge.serializableConf(conf),
+      partCols)
   }
 
   private def lastCommitted(fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
@@ -77,26 +114,28 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
         return
       }
       val committedRels = Snapshots.files(spark, dir).toSet
-      if (committedRels.exists(_.contains("=")))
-        throw new UnsupportedOperationException(
-          "streaming into a hive-partitioned snapshot table is not supported — use " +
-            "foreachBatch with Sources.mergeIntoPartitioned / idempotentBatchAppend")
-      val staged = messages.collect {
-        case SnapStagedFile(p, _) if p.nonEmpty => new Path(p)
-        case other if !other.isInstanceOf[SnapStagedFile] =>
-          sys.error(s"unexpected commit message $other")
+      // stage-relative rels of everything this epoch's tasks committed:
+      // flat tasks stage one root-level file, partitioned tasks one file
+      // per `k=v/` dir they saw — the rel IS the landing location
+      val stagedRels: Seq[String] = messages.toSeq.flatMap {
+        case SnapStagedFile(p, _) if p.nonEmpty => Seq(new Path(p).getName)
+        case SnapStagedFile(_, _) => Seq.empty
+        case SnapStagedPartFiles(rels, _) => rels
+        case other => sys.error(s"unexpected commit message $other")
       }
       var landed = 0
-      staged.foreach { from =>
-        val to = new Path(rootPath, from.getName)
-        // replay safety — NEVER delete or re-land a name that already has a
-        // history here: a live file with this name is this epoch's own
+      stagedRels.foreach { rel =>
+        val from = new Path(stage, rel)
+        val to = new Path(rootPath, rel)
+        // replay safety — NEVER delete or re-land a rel that already has a
+        // history here: a live file with this rel is this epoch's own
         // earlier landing (deterministic content — skipping is exact), and
         // an ARCHIVED one means maintenance already moved the rows into a
         // rewritten file (re-landing would duplicate every row of the
-        // epoch). Only a genuinely unseen name lands.
-        val archived = new Path(new Path(rootPath, Snapshots.ArchiveDirName), to.getName)
+        // epoch). Only a genuinely unseen rel lands.
+        val archived = new Path(new Path(rootPath, Snapshots.ArchiveDirName), rel)
         if (!fs.exists(to) && !fs.exists(archived)) {
+          fs.mkdirs(to.getParent)
           if (!fs.rename(from, to)) sys.error(s"stream epoch $epochId landing failed: $from")
           landed += 1
         }
@@ -108,9 +147,8 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
       // fully-committed replay) must not churn out an identical manifest
       // version — a watermark-advance batch per trigger would otherwise
       // grow history unboundedly.
-      val uncommittedLive = staged.exists { from =>
-        val name = from.getName
-        !committedRels.contains(name) && fs.exists(new Path(rootPath, name))
+      val uncommittedLive = stagedRels.exists { rel =>
+        !committedRels.contains(rel) && fs.exists(new Path(rootPath, rel))
       }
       if (landed > 0 || uncommittedLive)
         // O(delta) epoch commit: the epoch knows exactly which rels it
@@ -120,7 +158,7 @@ class SnapStreamingWrite(dir: String, queryId: String, schema: StructType)
         Snapshots.commitAppend(
           spark,
           dir,
-          staged.map(_.getName).filter(n => fs.exists(new Path(rootPath, n))).toSeq)
+          stagedRels.filter(rel => fs.exists(new Path(rootPath, rel))))
       val tmp = new Path(epochMarker(rootPath).getParent, s".epoch-tmp-$queryId")
       val out = fs.create(tmp, true)
       try out.write(epochId.toString.getBytes("UTF-8"))
@@ -142,19 +180,32 @@ case class SnapStreamWriterFactory(
     dir: String,
     queryId: String,
     schema: StructType,
-    conf: java.io.Serializable)
+    conf: java.io.Serializable,
+    partCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
 
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    // stage PER ATTEMPT (taskId-unique path): speculative or zombie
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    // stage PER ATTEMPT (taskId-unique path/name): speculative or zombie
     // attempts must never write the same bytes; the attempt that the
-    // commit coordinator authorizes renames its file onto the
-    // deterministic per-(epoch, partition) name at task commit
-    new SnapParquetDataWriter(
-      new Path(
+    // commit coordinator authorizes renames its file(s) onto the
+    // deterministic per-(epoch, partition[, partition-value]) name at
+    // task commit
+    val finalName = f"stream-$queryId-$epochId-$partitionId%05d.parquet"
+    if (partCols.isEmpty)
+      new SnapParquetDataWriter(
+        new Path(
+          s"$dir/.stream-$queryId-$epochId",
+          f"attempt-$taskId-$partitionId%05d.parquet"),
+        schema,
+        org.apache.spark.sql.graft.Bridge.confOf(conf),
+        finalName = Some(finalName))
+    else
+      new SnapHivePartitionedDataWriter(
         s"$dir/.stream-$queryId-$epochId",
-        f"attempt-$taskId-$partitionId%05d.parquet"),
-      schema,
-      org.apache.spark.sql.graft.Bridge.confOf(conf),
-      finalName = Some(f"stream-$queryId-$epochId-$partitionId%05d.parquet"))
+        schema,
+        partCols,
+        org.apache.spark.sql.graft.Bridge.confOf(conf),
+        f"attempt-$taskId-$partitionId%05d.parquet",
+        finalName = Some(finalName))
+  }
 }

@@ -348,16 +348,18 @@ class SnapCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snapc23.ev VERSION AS OF 1").as[Long].head() == 5L)
   }
 
-  test("an un-pushable DELETE predicate on a partitioned table is refused, never misapplied") {
-    val (_, _) = fixture("snapc13")
+  test("an un-pushable DELETE predicate on a partitioned table falls back to the rewrite") {
+    val (_, dir) = fixture("snapc13")
     // the metadata delete can't translate length(); the row-level rewrite
-    // fallback refuses hive-partitioned tables — so the statement fails
-    // loudly and the table is untouched
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM snapc13.ev WHERE length(event_type) = 5")
-    }
-    assert(e.getMessage != null)
-    assert(spark.sql("SELECT count(*) AS n FROM snapc13.ev").as[Long].head() == 5L)
+    // fallback is now partition-aware, so the statement executes exactly
+    spark.sql("DELETE FROM snapc13.ev WHERE length(event_type) = 5")
+    assert(
+      spark.sql("SELECT id FROM snapc13.ev ORDER BY id").as[Long].collect().toSeq ==
+        Seq(2L, 4L, 5L),
+      "only the 'click' rows (length 5) may be deleted")
+    // the rewrite preserved the hive layout and the pre-delete pin
+    assert(Snapshots.files(spark, dir).forall(_.startsWith("day=")))
+    assert(spark.sql("SELECT count(*) FROM snapc13.ev VERSION AS OF 1").as[Long].head() == 5L)
   }
 
   /** Unpartitioned snapshot table registered as catalog `name`: 4
@@ -425,7 +427,7 @@ class SnapCatalogSpec extends SparkSpec {
       spark.sql("SELECT count(*) FROM snapc17.t WHERE v IN (999, 777)").as[Long].head() == 0L)
   }
 
-  test("the _file metadata column reports row provenance; row-level ops on partitioned tables refused") {
+  test("the _file metadata column reports row provenance; partitioned UPDATE without a pruning filter") {
     val (_, _) = flatFixture("snapc18")
     val files = spark.sql("SELECT count(DISTINCT _file) AS n FROM snapc18.t").as[Long].head()
     assert(files == 4L, s"4 data files expected, _file saw $files")
@@ -435,11 +437,13 @@ class SnapCatalogSpec extends SparkSpec {
       .as[(String, Long)]
       .collect()
     assert(per.map(_._2).sum == 400L && per.forall(_._2 > 0L))
-    // partitioned tables refuse SQL row-level ops with a pointer to the
-    // programmatic per-partition rewrites
+    // a partitioned UPDATE whose predicate prunes NO partitions still
+    // executes exactly (whole-table copy-on-write, layout preserved)
     fixture("snapc19")
-    val e = intercept[Exception](spark.sql("UPDATE snapc19.ev SET v = v + 1 WHERE event_type = 'click'"))
-    assert(e.getMessage.contains("updateWhere") || e.getMessage.contains("partitioned"), e.getMessage)
+    spark.sql("UPDATE snapc19.ev SET v = v + 1 WHERE event_type = 'click'")
+    val vs = spark.sql("SELECT id, v FROM snapc19.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(vs == Seq((1L, 11.0), (2L, 11.0), (3L, 21.0), (4L, 30.0), (5L, 40.0)), vs.toString)
     // and a pushed _file equality filters provenance without crashing
     val one = spark
       .sql("SELECT _file FROM snapc18.t LIMIT 1")
@@ -545,6 +549,68 @@ class SnapCatalogSpec extends SparkSpec {
     sw.commit(1L, Array.empty)
     assert(Snapshots.latestVersion(spark, dir) == vBefore, "replayed epochs must not commit")
     assert(spark.sql("SELECT count(*) FROM snapc22.t").as[Long].head() == 4L)
+  }
+
+  test("writeStream.toTable into a day-partitioned table routes rows; replayed epochs are no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("snapcat_pstream").toString
+    val dir = s"$base/t"
+    Seq((0L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "day")
+      .coalesce(1).write.partitionBy("day").parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"))
+    spark.conf.set("spark.sql.catalog.snapc24", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc24.root", base)
+    val in = MemoryStream[(Long, java.sql.Date)]
+    val q = in
+      .toDF()
+      .toDF("id", "day")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .toTable("snapc24.t")
+    try {
+      in.addData(
+        (1L, java.sql.Date.valueOf("2024-01-01")),
+        (2L, java.sql.Date.valueOf("2024-01-02")))
+      q.processAllAvailable()
+      in.addData((3L, java.sql.Date.valueOf("2024-01-02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // rows landed, partition values splice back from the path
+    val got = spark.sql("SELECT id, day FROM snapc24.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+    assert(
+      got == Seq(
+        (0L, "2024-01-01"), (1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02")),
+      got.toString)
+    // files landed in their partition DIRECTORIES (hive layout preserved),
+    // with the day column stripped from the bytes
+    val rels = Snapshots.files(spark, dir)
+    assert(rels.forall(_.startsWith("day=")), rels.toString)
+    val streamed = rels.filter(_.contains("stream-"))
+    assert(streamed.nonEmpty, rels.toString)
+    streamed.foreach { rel =>
+      assert(!spark.read.parquet(s"$dir/$rel").columns.contains("day"), rel)
+    }
+    // a filtered read prunes to the one matching partition via the
+    // manifest stats the epoch commits recorded
+    val one = spark.sql("SELECT count(*) AS n FROM snapc24.t WHERE day = DATE'2024-01-02'")
+    assert(one.as[Long].head() == 2L)
+    // replayed epochs at-or-below the high-water mark change nothing
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    val sw = new graft.sources.snap.SnapStreamingWrite(
+      dir,
+      new java.io.File(s"$dir/${Snapshots.ManifestDirName}")
+        .listFiles()
+        .map(_.getName)
+        .find(_.startsWith(".epoch-"))
+        .map(_.stripPrefix(".epoch-"))
+        .getOrElse(fail("no epoch marker written")),
+      Seq((0L, java.sql.Date.valueOf("2024-01-01"))).toDF("id", "day").schema)
+    sw.commit(0L, Array.empty)
+    sw.commit(1L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == vBefore, "replayed epochs must not commit")
+    assert(spark.sql("SELECT count(*) FROM snapc24.t").as[Long].head() == 4L)
   }
 
   test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
@@ -1404,6 +1470,64 @@ class SnapCatalogSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "available-now query must terminate on its own")
     assert(batches.get() >= 3, s"5 files at 2/trigger must take >= 3 batches, got ${batches.get()}")
     assert(ids.asScala.toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L, 6L), ids.asScala.toSeq.sorted.toString)
+  }
+
+  test("SQL UPDATE and MERGE work on hive-partitioned tables; untouched partitions stay byte-identical") {
+    val (_, dir) = fixture("snappdml") // day-partitioned: 4 day dirs, 5 rows
+    def filesByDay: Map[String, Seq[(String, Long)]] =
+      Snapshots.files(spark, dir).map { rel =>
+        val day = rel.split("/").head
+        day -> (rel -> new java.io.File(s"$dir/$rel").length())
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val before = filesByDay
+    // UPDATE narrowed to one day: only that day's file may be rewritten
+    spark.sql("UPDATE snappdml.ev SET v = v + 100 WHERE day = DATE'2024-01-02'")
+    val afterUpdate = filesByDay
+    before.keySet.filterNot(_ == "day=2024-01-02").foreach { d =>
+      assert(afterUpdate(d) == before(d), s"untouched partition $d was rewritten")
+    }
+    assert(afterUpdate("day=2024-01-02") != before("day=2024-01-02"), "target partition must rewrite")
+    val got = spark.sql("SELECT id, v FROM snappdml.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 11.0), (3L, 120.0), (4L, 30.0), (5L, 40.0)), got.toString)
+    // partition values still splice from the path (files must NOT carry a
+    // day column — the hive layout survived the rewrite)
+    val rewritten = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-02"))
+    assert(rewritten.size == 1, rewritten.toString)
+    assert(
+      !spark.read.parquet(s"$dir/${rewritten.head}").columns.contains("day"),
+      "rewritten file must not embed the partition column")
+    // MERGE: update one day, insert a row into a NEW day — routed by the
+    // row's own partition value
+    Seq((3L, "2024-01-02", "click", 999.0), (9L, "2024-01-09", "view", 90.0))
+      .toDF("id", "day", "event_type", "v")
+      .createOrReplaceTempView("snappdml_src")
+    spark.sql(
+      "MERGE INTO snappdml.ev t USING " +
+        "(SELECT id, event_type, v, CAST(day AS DATE) AS day FROM snappdml_src) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val merged = spark.sql("SELECT id, v, day FROM snappdml.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDate(2).toString)).toSeq
+    assert(
+      merged == Seq(
+        (1L, 10.0, "2024-01-01"), (2L, 11.0, "2024-01-01"), (3L, 999.0, "2024-01-02"),
+        (4L, 30.0, "2024-01-03"), (5L, 40.0, "2024-01-04"), (9L, 90.0, "2024-01-09")),
+      merged.toString)
+    assert(
+      Snapshots.files(spark, dir).exists(_.startsWith("day=2024-01-09")),
+      "inserted row must land in its own partition directory")
+    // UPDATE that MOVES a row across partitions: the row lands in its new
+    // day's directory and vanishes from the old one
+    spark.sql("UPDATE snappdml.ev SET day = DATE'2024-01-05' WHERE id = 5")
+    assert(
+      spark.sql("SELECT day FROM snappdml.ev WHERE id = 5").head().getDate(0).toString ==
+        "2024-01-05")
+    assert(Snapshots.files(spark, dir).exists(_.startsWith("day=2024-01-05")))
+    assert(!Snapshots.files(spark, dir).exists(_.startsWith("day=2024-01-04")))
+    // time travel still pins the pre-DML state
+    assert(spark.sql("SELECT count(*) FROM snappdml.ev VERSION AS OF 1").as[Long].head() == 5L)
   }
 
   test("GROUP BY refuses complete pushdown on non-canonical dir renderings (no duplicate groups)") {
