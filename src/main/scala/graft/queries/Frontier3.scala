@@ -1580,7 +1580,65 @@ object Frontier3 {
       |       (SELECT n_day_dirs FROM dd) AS n_day_dirs
       |FROM s GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q220: SQL change feed (cat.t.changes) -----------------------------
+
+  /** The row-level change feed as a queryable SQL table — `cat.t.changes`
+    * ([[graft.sources.snap.SnapChangesTable]], the `table_changes()` /
+    * Delta-CDF surface). The lifecycle: a partitioned DELETE rewrite
+    * (un-pushable predicate), a compaction, and an UPDATE land on the
+    * day-partitioned stats table; the query then aggregates the ENTIRE
+    * feed after the creation image. Hash-proof of the CDF contract:
+    * deleted rows surface as `delete`, the UPDATE as its delete+insert
+    * pair with the post-image values, and the compaction contributes
+    * NOTHING (its file-level rewrite nets to zero in the hash-sliced
+    * multiset cancellation) — an extra or missing change row anywhere in
+    * history would break the hash. At 100 TB this is how downstream
+    * tables subscribe to DML without scanning snapshots: per version the
+    * feed reads only the changed files, shuffle-free, memory bounded by
+    * the planner's slice count.
+    */
+  def q220(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq220", Seq("day"))
+    val ev = Tables.events(s, d)
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    // v2: DELETE with a non-partition conjunct — the partitioned rewrite
+    s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day <= DATE'$cut'")
+    // v3: compaction — MUST net to zero in the feed
+    graft.sources.Sources.compactInPlace(s, dir)
+    // v4: UPDATE — delete+insert pairs with doubled post-image n
+    s.sql(s"UPDATE $cat.ev SET n = n * 2 WHERE event_type = 'view'")
+    s.sql(s"""
+      |SELECT _change_type AS change, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_changes,
+      |       CAST(sum(n) AS BIGINT) AS sum_n
+      |FROM $cat.ev.changes
+      |WHERE _commit_version > 1
+      |GROUP BY _change_type, event_type
+      |ORDER BY change, event_type""".stripMargin)
+  }
+
+  val q220Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |g AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM s GROUP BY day, event_type)
+      |SELECT * FROM (
+      |  SELECT 'delete' AS change, 'click' AS event_type,
+      |         CAST(count(*) AS BIGINT) AS n_changes, CAST(sum(n) AS BIGINT) AS sum_n
+      |  FROM g, b WHERE event_type = 'click' AND day <= m + 2
+      |  UNION ALL
+      |  SELECT 'delete', 'view', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+      |  FROM g WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT 'insert', 'view', CAST(count(*) AS BIGINT), CAST(sum(2 * n) AS BIGINT)
+      |  FROM g WHERE event_type = 'view'
+      |) WHERE n_changes > 0
+      |ORDER BY change, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q220_sql_change_feed" -> (q220 _),
     "q219_stream_partitioned_sink" -> (q219 _),
     "q218_sql_merge_partitioned" -> (q218 _),
     "q217_windowed_manifest_agg" -> (q217 _),
@@ -1607,6 +1665,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q220_sql_change_feed" -> q220Sql,
     "q219_stream_partitioned_sink" -> q219Sql,
     "q218_sql_merge_partitioned" -> q218Sql,
     "q217_windowed_manifest_agg" -> q217Sql,

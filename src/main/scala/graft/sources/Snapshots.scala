@@ -654,6 +654,29 @@ object Snapshots {
 
   def commit(spark: SparkSession, root: String, statsCols0: Seq[String], bloomCols0: Seq[String]): Long =
     withTableLock(spark, root) {
+      // the table lock serializes maintenance writers, but LOCK-FREE
+      // concurrent appenders ([[commitAppend]]) claim version slots by
+      // atomic rename — a lost slot means one slipped in, so re-run the
+      // whole attempt (re-list: the appender's file must not read as
+      // removed in our manifest; carried-forward stats keep the retry
+      // O(delta))
+      var attempts = 0
+      var res: Option[Long] = None
+      while (res.isEmpty) {
+        attempts += 1
+        res = commitOnce(spark, root, statsCols0, bloomCols0)
+        if (res.isEmpty && attempts >= 20)
+          sys.error(s"commit on $root lost the version-slot race $attempts times — giving up")
+        if (res.isEmpty) Thread.sleep(100) // let a mid-write claimant's manifest land
+      }
+      res.get
+    }
+
+  private def commitOnce(
+      spark: SparkSession,
+      root: String,
+      statsCols0: Seq[String],
+      bloomCols0: Seq[String]): Option[Long] = {
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
       val files = listDataFiles(spark, root)
@@ -817,8 +840,7 @@ object Snapshots {
             else body
           }
         }
-      writeManifest(fs, rootPath, version, chosen)
-      version
+      if (tryWriteManifest(fs, rootPath, version, chosen)) Some(version) else None
     }
 
   /** O(delta) append commit: record `addedRels` (root-relative paths of
@@ -831,26 +853,51 @@ object Snapshots {
     * as [[commit]]). Rels already in the previous version are ignored
     * (the exactly-once replay case); an empty fresh set returns the
     * previous version unchanged — no empty manifest churn.
+    *
+    * CONCURRENCY: append commits are LOCK-FREE optimistic — pure file
+    * additions never conflict with each other, so two appenders don't
+    * serialize on the table lock (the Iceberg/Delta concurrent-append
+    * path). The atomic version-slot claim ([[tryWriteManifest]]'s
+    * rename) decides races: a loser re-reads the new latest version,
+    * REBASES its delta on it (per-file stats are immutable and cached
+    * across attempts — the retry is metadata-only), and claims the next
+    * slot, bounded times. Safe against concurrent maintenance too: the
+    * locked [[commit]] path re-lists and retries when an appender takes
+    * its slot, so neither side ever publishes a manifest that drops the
+    * other's files.
     */
-  def commitAppend(spark: SparkSession, root: String, addedRels: Seq[String]): Long =
-    withTableLock(spark, root) {
+  def commitAppend(spark: SparkSession, root: String, addedRels: Seq[String]): Long = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // per-rel stats and blooms are attempt-invariant (a rel names one
+    // immutable file): computed once, reused across rebase attempts
+    val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+    var bloomsBuilt = false
+    var attempts = 0
+    var result = -1L
+    while (result < 0L) {
+      attempts += 1
       val prevV = latestVersion(spark, root)
       require(
         prevV > 0L,
         s"commitAppend($root): no manifest yet — adopt the table with commit() first")
       val prev = manifestView(spark, root, prevV)
       val prevRels = prev.rels.toSet
-      val fresh = addedRels.distinct.filterNot(prevRels).sorted
-      if (fresh.isEmpty) prevV
+      val candidates = addedRels.distinct.filterNot(prevRels).sorted
+      // a candidate that is neither in the previous manifest nor live can
+      // only be ARCHIVED — a concurrent maintenance commit adopted it from
+      // the live tree and already rewrote it; its rows are in the table,
+      // nothing left to add. Anything else is a caller error.
+      val fresh = candidates.filter { rel =>
+        if (fs.exists(new Path(rootPath, rel))) true
+        else if (fs.exists(new Path(new Path(rootPath, ArchiveDirName), rel))) false
+        else
+          sys.error(s"commitAppend($root): $rel is not a live file under the table root")
+      }
+      if (fresh.isEmpty) result = prevV
       else {
-        val rootPath = new Path(root)
-        val fs = fsOf(spark, rootPath)
-        fresh.foreach(rel =>
-          require(
-            fs.exists(new Path(rootPath, rel)),
-            s"commitAppend($root): $rel is not a live file under the table root"))
         val version = prevV + 1L
-        val conf = spark.sparkContext.hadoopConfiguration
         val statsCols = prev.statsCols
         // evolved schema: the declared base merged with what the new
         // files carry — one O(delta) footer-schema read
@@ -866,16 +913,19 @@ object Snapshots {
             (if (prev.partCols.nonEmpty) prev.partCols
              else partitionColsFromRels(prev.rels ++ fresh)).toSet)
         }
-        val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
         if (statsCols.nonEmpty) {
+          val missing = fresh.filterNot(newStats.containsKey)
           val reads = new java.util.concurrent.atomic.AtomicLong(0L)
-          parEach(fresh) { rel =>
+          parEach(missing) { rel =>
             reads.incrementAndGet()
             newStats.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, statsCols))
           }
           lastCommitFooterReads.set(reads.get())
         }
-        if (prev.bloomCols.nonEmpty) buildBloomSidecars(spark, root, fresh, prev.bloomCols)
+        if (prev.bloomCols.nonEmpty && !bloomsBuilt) {
+          buildBloomSidecars(spark, root, fresh, prev.bloomCols)
+          bloomsBuilt = true
+        }
         def statOf(rel: String): Map[String, ColStat] =
           Option(newStats.get(rel)).getOrElse(Map.empty)
         val header = Seq("#graft-manifest 2") ++
@@ -900,24 +950,109 @@ object Snapshots {
               .sortBy(_._1)
               .map { case (rel, st) => renderFileLine(rel, st) }
           else header ++ Seq(s"#delta $prevV") ++ freshLines.map("+" + _)
-        writeManifest(fs, rootPath, version, body)
-        version
+        if (tryWriteManifest(fs, rootPath, version, body)) result = version
+        else if (attempts >= 20)
+          sys.error(
+            s"commitAppend on $root lost the version-slot race $attempts times — giving up")
+        else Thread.sleep(100) // another writer claimed the slot: rebase and retry
       }
     }
+    result
+  }
 
-  /** Atomic manifest write: temp + rename into the version slot. */
-  private def writeManifest(fs: FileSystem, rootPath: Path, version: Long, body: Seq[String]): Unit = {
+  /** Atomic version-slot CLAIM + manifest write — the primitive both the
+    * locked commits and the lock-free concurrent appenders build on.
+    *
+    * The claim is a CREATE-EXCLUSIVE `.claim-v…` marker (atomic on local
+    * FS and HDFS; an object store would swap in a conditional PUT) — NOT
+    * a rename onto the target: hadoop's local rename REPLACES an existing
+    * destination (POSIX rename(2)), so two racers renaming onto one slot
+    * would tear the file. Only the claim winner temp+renames the real
+    * manifest (uncontended), then releases the claim. A loser whose
+    * claimant CRASHED mid-write (claim older than 60 s, no manifest) can
+    * break the claim with the same rename-to-grave discipline the table
+    * lock uses. `false` = slot lost — the caller rebases and retries.
+    */
+  /** Same-JVM slot claims: `create(claim, false)` is check-then-act on
+    * the local filesystem (HDFS's create is server-side atomic), so two
+    * THREADS of one driver could both win it — the realistic contention
+    * mode on local[*]. A putIfAbsent here makes in-process claims truly
+    * atomic; cross-process local-FS writers carry the same best-effort
+    * caveat the table lock documents.
+    */
+  private val jvmClaims = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tryWriteManifest(
+      fs: FileSystem,
+      rootPath: Path,
+      version: Long,
+      body: Seq[String]): Boolean = {
     val dir = manifestDir(rootPath)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
-    val out = fs.create(tmp, false)
-    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
     val target = manifestPath(rootPath, version)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      sys.error(s"manifest commit race at $target — Snapshots is single-writer per table")
-    }
+    if (fs.exists(target)) return false
+    val claim = new Path(dir, f".claim-v$version%010d")
+    val owner = java.util.UUID.randomUUID().toString
+    val claimKey = claim.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    if (jvmClaims.putIfAbsent(claimKey, owner) != null) return false
+    try tryWriteManifestClaimed(fs, dir, target, claim, owner, body)
+    finally jvmClaims.remove(claimKey)
+  }
+
+  private def tryWriteManifestClaimed(
+      fs: FileSystem,
+      dir: Path,
+      target: Path,
+      claim: Path,
+      owner: String,
+      body: Seq[String]): Boolean = {
+    val acquired =
+      try {
+        val out = fs.create(claim, false) // create-exclusive: the atomic claim
+        try out.write(s"$owner ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException =>
+          // an existing claim whose writer died (old timestamp, manifest
+          // never landed) must not wedge the slot forever: break it via
+          // rename-to-grave (one concurrent breaker wins the rename),
+          // confirm the moved file carries the observed dead tag, then
+          // retry the claim on the NEXT attempt
+          val seen = readLockTag(fs, claim)
+          val stale = seen.exists { t =>
+            t.split(" ").lift(1).flatMap(x => scala.util.Try(x.toLong).toOption).exists(ms =>
+              System.currentTimeMillis() - ms > 60000L)
+          } && !fs.exists(target)
+          if (stale) {
+            val grave = new Path(dir, s".claim-broken-${Integer.toHexString(seen.get.hashCode)}")
+            val renamed = try fs.rename(claim, grave) catch { case _: java.io.IOException => false }
+            if (renamed) {
+              if (readLockTag(fs, grave).forall(_ == seen.get)) fs.delete(grave, false)
+              else fs.rename(grave, claim) // a live claimant slipped in: restore
+            }
+          }
+          false
+      }
+    if (!acquired) false
+    else
+      try {
+        if (fs.exists(target)) false // paranoia: a stale manifest landed anyway
+        else {
+          val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString}")
+          val out = fs.create(tmp, false)
+          try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, target)) {
+            fs.delete(tmp, false)
+            sys.error(s"claimed manifest slot at $target but the rename failed")
+          }
+          true
+        }
+      } finally {
+        try if (readLockTag(fs, claim).exists(_.startsWith(owner))) fs.delete(claim, false)
+        catch { case _: Exception => () }
+      }
   }
 
   // ---- schema evolution (DDL over the manifest-recorded schema) --------
@@ -993,7 +1128,6 @@ object Snapshots {
       bloomCols: Seq[String]): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val version = latestVersion(spark, root) + 1L
     val header = Seq("#graft-manifest 2", s"#schema ${schema.json}") ++
       (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
       (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
@@ -1001,15 +1135,26 @@ object Snapshots {
       (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
     // DDL touches metadata only: off-checkpoint versions commit as a
     // header-only DELTA (the file list + stats carry via the chain) — a
-    // metadata commit on a million-file table writes a few hundred bytes
-    val body =
-      if (version == 1L) header
-      else if (isCheckpointVersion(spark, version)) {
-        val prev = manifestView(spark, root, version - 1L)
-        header ++ prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
-      } else header ++ Seq(s"#delta ${version - 1L}")
-    writeManifest(fs, rootPath, version, body)
-    version
+    // metadata commit on a million-file table writes a few hundred bytes.
+    // A lost version slot means a lock-free appender slipped in: rebase
+    // on its version and retry, bounded.
+    var attempts = 0
+    var result = -1L
+    while (result < 0L) {
+      attempts += 1
+      val version = latestVersion(spark, root) + 1L
+      val body =
+        if (version == 1L) header
+        else if (isCheckpointVersion(spark, version)) {
+          val prev = manifestView(spark, root, version - 1L)
+          header ++ prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
+        } else header ++ Seq(s"#delta ${version - 1L}")
+      if (tryWriteManifest(fs, rootPath, version, body)) result = version
+      else if (attempts >= 20)
+        sys.error(s"DDL commit on $root lost the version-slot race $attempts times — giving up")
+      else Thread.sleep(100)
+    }
+    result
   }
 
   /** Create an EMPTY snapshot table: directory + a v1 manifest recording

@@ -164,6 +164,7 @@ class GraftCatalog
       case "snapshots" => Some(new SnapMetaTable(tableDir, version, "snapshots"))
       case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
       case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
+      case "changes" => Some(new SnapChangesTable(tableDir))
       case _ => None
     }
   }

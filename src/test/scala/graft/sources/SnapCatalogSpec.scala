@@ -613,6 +613,60 @@ class SnapCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snapc24.t").as[Long].head() == 4L)
   }
 
+  test("cat.t.changes: batch and streaming CDC match Snapshots.diff across delete/compaction/append") {
+    val (_, dir) = fixture("snapcdc") // v1: 4 day files, 5 rows
+    Sources.deleteWhere(spark, dir, col("id") === 2L) // v2: DELETE (rewrite of day 01)
+    spark.sql("INSERT INTO snapcdc.ev VALUES (8, 'click', 80.0, DATE'2024-01-01')") // v3
+    Sources.compactInPlace(spark, dir) // v4: day 01 has 2 files — pure rewrite, net zero
+    spark.sql("INSERT INTO snapcdc.ev VALUES (6, 'click', 60.0, DATE'2024-01-05')") // v5
+    spark.sql("UPDATE snapcdc.ev SET v = 99.0 WHERE id = 3") // v6: delete+insert pair
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("v"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))
+    // batch CDF vs the ground-truth multiset diff, per version
+    (2L to 6L).foreach { v =>
+      val expect = Snapshots
+        .diff(spark, dir, v - 1L, v)
+        .withColumn("_change_type",
+          when(col("change") === "added", "insert").otherwise("delete"))
+        .withColumn("_commit_version", lit(v))
+        .drop("change")
+        .collect().map(key).toSeq.sorted
+      val got = spark.read
+        .option("startingVersion", v).option("endingVersion", v)
+        .table("snapcdc.ev.changes")
+        .collect().map(key).toSeq.sorted
+      assert(got == expect, s"v$v: got $got expected $expect")
+    }
+    // compaction (v4) nets to NOTHING — the Delta-CDF contract
+    assert(
+      spark.read.option("startingVersion", 4).option("endingVersion", 4)
+        .table("snapcdc.ev.changes").count() == 0L,
+      "a pure rewrite must emit no changes")
+    // full history via SQL: v1 image + every later net change
+    val full = spark.sql("SELECT * FROM snapcdc.ev.changes").collect().map(key).toSeq
+    assert(full.count(_._4 == 1L) == 5L, "v1 is the 5-row creation image")
+    assert(full.count(_._3 == "delete") == 2L, full.sorted.toString) // id=2 deleted, id=3 preimage
+    // STREAMING parity: the live feed replays the same history
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String, Long)]()
+    val q = spark.readStream
+      .table("snapcdc.ev.changes")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("snapcdc_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => got.add(key(r)))
+      }
+      .start()
+    q.processAllAvailable()
+    // a post-start commit streams its delta too
+    spark.sql("INSERT INTO snapcdc.ev VALUES (7, 'view', 70.0, DATE'2024-01-06')") // v7
+    q.processAllAvailable()
+    q.stop()
+    val streamed = got.asScala.toSeq.sorted
+    val batchAll = spark.read.table("snapcdc.ev.changes").collect().map(key).toSeq.sorted
+    assert(streamed == batchAll, s"stream/batch divergence:\n$streamed\nvs\n$batchAll")
+  }
+
   test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
     val (_, dir) = flatFixture("snapc20")
     // a write whose scan pinned v1; someone else commits v2 before it lands

@@ -632,6 +632,64 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
   }
 
+  test("concurrent lock-free appenders: all commits land, no lost files, linear history") {
+    val dir = Files.createTempDirectory("snap_occ").toString + "/t"
+    Seq((0L, 0.0)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Snapshots.commit(spark, dir, statsCols = Seq("id"))
+    val n = 6
+    // each appender writes its OWN file then commits it — no coordination
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(n))
+    val results = Await.result(
+      Future.sequence((1 to n).map { i =>
+        Future {
+          val sub = s".occ-stage-$i"
+          Seq((i.toLong, i * 1.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/$sub")
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val part = fs
+            .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+            .map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .get
+          val rel = s"occ-$i-${part.getName}"
+          fs.rename(part, new org.apache.hadoop.fs.Path(dir, rel))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
+          Snapshots.commitAppend(spark, dir, Seq(rel)) -> rel
+        }
+      }),
+      5.minutes)
+    // every appender landed a DISTINCT version — linear history, no loss
+    assert(results.map(_._1).distinct.size == n, results.map(_._1).sorted.toString)
+    assert(Snapshots.latestVersion(spark, dir) == 1L + n)
+    val finalRels = Snapshots.files(spark, dir).toSet
+    results.foreach { case (_, rel) => assert(finalRels.contains(rel), s"$rel lost") }
+    assert(Snapshots.readSnapshot(spark, dir).count() == 1L + n)
+    assert(Snapshots.countRows(spark, dir) == 1L + n, "per-file stats rebased through every race")
+    // appenders do NOT serialize on the table lock: with the lock held by
+    // a (simulated) long maintenance op on this thread, an append from
+    // another thread still lands promptly
+    Snapshots.withTableLock(spark, dir) {
+      val f = Future {
+        Seq((99L, 99.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/.occ-stage-x")
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val part = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$dir/.occ-stage-x"))
+          .map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .get
+        fs.rename(part, new org.apache.hadoop.fs.Path(dir, s"occ-x-${part.getName}"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.occ-stage-x"), true)
+        Snapshots.commitAppend(spark, dir, Seq(s"occ-x-${part.getName}"))
+      }
+      assert(Await.result(f, 60.seconds) == 2L + n, "append must land while the lock is held")
+    }
+  }
+
   test("escaped-era string intervals (no null-count watermark) read as no-stat for pruning") {
     val dir = Files.createTempDirectory("snap_legacy").toString + "/t"
     val rows = Seq((1L, "a:b"), (2L, "zz")).toDF("id", "tag")
