@@ -409,6 +409,149 @@ object Similarity {
     * flips recovers them at `probes`× the candidate volume, without
     * growing the corpus-side state at all).
     */
+  // ---- navigable k-NN graph ANN (NSW / HNSW family, Spark-first) -------
+
+  /** Build a bounded-degree k-NN GRAPH over the corpus — the navigable-
+    * graph ANN family (HNSW/NSW), re-expressed for Spark's execution
+    * model. HNSW's sequential insert is driver-bound by construction; the
+    * distributed equivalent is NN-DESCENT (Dong et al., WWW'11): seed
+    * each node's neighbor list from its LSH bucket (deterministic
+    * hyperplanes — close vectors meet immediately), then iterate the
+    * NN-descent observation "a neighbor of my neighbor is probably my
+    * neighbor": per round, candidates are the current edges plus
+    * neighbor-of-neighbor pairs over the UNDIRECTED edge set (reverse
+    * edges carry the who-points-at-me candidates), scored and cut to the
+    * best `degree` per node. Each round is a self-join + two vector
+    * fetches + one window — a fixed number of shuffles regardless of
+    * corpus size, candidate volume bounded by ~4·degree² per node.
+    * Deterministic end to end (LSH seeding, r4-snapped sims, id
+    * tie-breaks), so the recall of a search over it is a STABLE number.
+    * Returns (node, nbr, sim) with ≤ degree rows per node; the caller
+    * persists it across search batches.
+    */
+  def knnGraph(emb: DataFrame, degree: Int, rounds: Int, planes: Int, dims: Int): DataFrame = {
+    val c = emb.select(col("vec_id"), col("embedding"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(c.select(col("vec_id").as("node"), col("embedding").as("ne")), Seq("node"))
+        .join(c.select(col("vec_id").as("nbr"), col("embedding").as("be")), Seq("nbr"))
+        .withColumn("sim", Det.r4(Vectors.cosine(col("ne"), col("be"))))
+        .select(col("node"), col("nbr"), col("sim"))
+    def keep(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("node")).orderBy(col("sim").desc, col("nbr"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= degree).drop("rk")
+    }
+    val bucketed = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("node"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("nbr"))
+    // localCheckpoint per round (the Dedup.connectedComponents loop
+    // discipline): an iterative plan that references the previous round
+    // TWICE doubles in size per round, and analysis/codegen — not data —
+    // becomes the cost; checkpointing keeps every round's plan constant
+    var graph = keep(
+      score(
+        a.join(b, Seq("bucket"))
+          .filter(col("node") =!= col("nbr"))
+          .select(col("node"), col("nbr"))
+          .dropDuplicates("node", "nbr"))).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val fwd = graph.select(col("node"), col("nbr"))
+      val und = fwd.unionByName(graph.select(col("nbr").as("node"), col("node").as("nbr")))
+      val cand = und
+        .as("x")
+        .join(und.as("y"), col("x.nbr") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.nbr").as("nbr"))
+        .filter(col("node") =!= col("nbr"))
+        .unionByName(fwd)
+        .dropDuplicates("node", "nbr")
+      graph = keep(score(cand)).localCheckpoint()
+    }
+    graph
+  }
+
+  /** Beam search over a [[knnGraph]]: per query, the entry set is the
+    * query's own LSH bucket (the same deterministic seeding the build
+    * used) plus the corpus-wide smallest `beam` ids (a fixed global entry
+    * point, so an empty bucket can't strand a query); each of `steps`
+    * hops expands the current per-query beam's graph neighbors, scores
+    * only the NEWLY visited nodes against the query, and re-cuts the beam.
+    * Queries broadcast at every step; the corpus is touched only to fetch
+    * candidate vectors (hash join on vec_id) — never scanned per hop.
+    * Returns every (qid, vec_id, sim) VISITED, distinct: `topK` of it is
+    * the search result, its per-qid count the visited-work measure a
+    * recall/latency evaluation reports. Fixed step count keeps the result
+    * deterministic.
+    */
+  def graphSearchScored(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      beam: Int,
+      steps: Int,
+      planes: Int,
+      dims: Int,
+      probes: Int = 1): DataFrame = {
+    // multi-probe entries: the query's own LSH bucket plus its 1-bit-flip
+    // neighbors — near-misses of the hyperplane signature are the most
+    // likely true-neighbor buckets (the lshTopK probing argument), and a
+    // richer entry set is the cheapest recall lever a beam search has
+    val qBase = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("bucket0", Vectors.lshBucket(col("qe"), planes, dims))
+    val nFlips = math.min(planes, math.max(0, probes - 1))
+    val flipped =
+      array((col("bucket0") +: (0 until nFlips).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
+    val q = qBase.select(
+      col("qid"),
+      col("qe"),
+      col("bucket0").as("bucket"),
+      explode(flipped).as("probe"))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val cb = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
+    val qVecs = q.select(col("qid"), col("qe")).dropDuplicates("qid")
+    def scoreCand(cand: DataFrame): DataFrame =
+      cand
+        .join(c, Seq("vec_id"))
+        .join(broadcast(qVecs), Seq("qid"))
+        .withColumn("sim", Det.r4(Vectors.cosine(col("qe"), col("embedding"))))
+        .select(col("qid"), col("vec_id"), col("sim"))
+    def topBeam(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= beam).drop("rk")
+    }
+    val bucketEntries = cb
+      .join(
+        broadcast(q.select(col("qid"), col("probe").as("bucket")).dropDuplicates("qid", "bucket")),
+        Seq("bucket"))
+      .select(col("qid"), col("vec_id"))
+    val globalEntries = broadcast(qVecs.select(col("qid")))
+      .crossJoin(c.orderBy(col("vec_id")).limit(beam).select(col("vec_id")))
+    // localCheckpoint per hop: `visited` appears twice per step (frontier
+    // + anti-join), so an uncheckpointed loop doubles the plan per hop
+    var visited = scoreCand(
+      bucketEntries
+        .unionByName(globalEntries)
+        .filter(col("vec_id") =!= col("qid"))
+        .dropDuplicates("qid", "vec_id")).localCheckpoint()
+    (1 to steps).foreach { _ =>
+      val frontier = topBeam(visited)
+      val expand = frontier
+        .select(col("qid"), col("vec_id").as("node"))
+        .join(graph.select(col("node"), col("nbr")), Seq("node"))
+        .select(col("qid"), col("nbr").as("vec_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .dropDuplicates("qid", "vec_id")
+        .join(visited.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+      visited = visited.unionByName(scoreCand(expand)).localCheckpoint()
+    }
+    visited
+  }
+
+  /** The (qid, vec_id, sim, rk) top-k of a [[graphSearchScored]] result —
+    * the same ranking semantics every other search variant uses.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = topK(scored, k)
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int, dims: Int, probes: Int = 1): DataFrame = {
     val qBase = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -320,4 +320,57 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("navigable k-NN graph: bounded degree, deterministic build, beam-search recall laws") {
+    val c = emb.select(col("vec_id"), col("embedding"))
+    val n = c.count()
+    val planes = 4
+    val graph = Similarity.knnGraph(c, degree = 12, rounds = 3, planes = planes, dims = 64)
+    // structural laws: bounded out-degree, no self-loops, every node present
+    val deg = graph.groupBy("node").count()
+    assert(deg.filter(col("count") > 12).count() == 0, "degree bound violated")
+    assert(deg.count() == n, "every node must have a neighbor list")
+    assert(graph.filter(col("node") === col("nbr")).count() == 0, "self-loop")
+    // deterministic: a rebuild is edge-identical
+    val graph2 = Similarity.knnGraph(c, degree = 12, rounds = 3, planes = planes, dims = 64)
+    assert(graph.exceptAll(graph2).count() == 0 && graph2.exceptAll(graph).count() == 0)
+    // search: recall@10 against the exact baseline on a 16-query panel —
+    // structureless gaussian data is the navigable-graph worst case, so
+    // the floors are deliberately honest: per-query ≥ 0.2, mean ≥ 0.5,
+    // and strictly better than chance by orders of magnitude
+    val queries = c.filter(col("vec_id") < 16)
+    val beam = math.max(48, (n / 16).toInt)
+    val visited =
+      Similarity.graphSearchScored(c, c, queries, beam, steps = 0, planes, 64) // steps=0: entries only
+    val visitedFull =
+      Similarity.graphSearchScored(graph, c, queries, beam, steps = 4, planes, 64, probes = planes + 1)
+    val approx = Similarity.rankTopK(visitedFull.select(col("qid"), col("vec_id"), col("sim")), 10)
+    val exact = Similarity.cosineTopK(queries, c, 10)
+    val hits = exact
+      .select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hit"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L until 16L).foreach { q =>
+      assert(hits.getOrElse(q, 0L) >= 2L, s"query $q recall@10 below floor: ${hits.get(q)}")
+    }
+    val mean = hits.values.sum.toDouble / (16 * 10)
+    assert(mean >= 0.5, s"panel mean recall@10 $mean below 0.5")
+    // hops help: the full walk recalls at least as much as entries alone
+    val entryHits = exact
+      .select(col("qid"), col("vec_id"))
+      .join(
+        Similarity.rankTopK(visited.select(col("qid"), col("vec_id"), col("sim")), 10)
+          .select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"),
+        "left_semi")
+      .count()
+    assert(hits.values.sum >= entryHits, "beam hops must not lose recall vs entries alone")
+    // the walk stays sublinear-shaped: nobody visited (nearly) everything
+    val maxVisited = visitedFull.groupBy("qid").count().agg(max("count")).head().getLong(0)
+    assert(maxVisited <= 3L * n / 4, s"a query visited $maxVisited of $n")
+  }
 }
