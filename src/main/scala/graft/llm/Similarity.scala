@@ -409,6 +409,16 @@ object Similarity {
     * flips recovers them at `probes`× the candidate volume, without
     * growing the corpus-side state at all).
     */
+  /** A signature bucket plus its 1-bit-flip neighbors (multi-probe LSH):
+    * near-misses of the hyperplane signature are the most likely
+    * true-neighbor buckets. Shared by [[lshTopK]] and the graph search so
+    * build-side and search-side probing can never silently diverge.
+    */
+  private def probeBuckets(bucket: Column, planes: Int, probes: Int): Column = {
+    val nFlips = math.min(planes, math.max(0, probes - 1))
+    array((bucket +: (0 until nFlips).map(b => bucket.bitwiseXOR(lit(1L << b)))): _*)
+  }
+
   // ---- navigable k-NN graph ANN (NSW / HNSW family, Spark-first) -------
 
   /** Build a bounded-degree k-NN GRAPH over the corpus — the navigable-
@@ -441,19 +451,25 @@ object Similarity {
       val w = Window.partitionBy(col("node")).orderBy(col("sim").desc, col("nbr"))
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= degree).drop("rk")
     }
-    val bucketed = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("node"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("nbr"))
+    // seed from TWO bucketings: the LSH signature (quality — close
+    // vectors meet immediately) unioned with id-hash cover buckets of
+    // the same granularity (coverage — a vector alone in its LSH bucket
+    // would otherwise start edgeless, and NN-descent can only ever reach
+    // nodes that have edges)
+    val lshB = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
+    val coverB = c.withColumn("bucket", pmod(hash(col("vec_id")), lit(1 << planes)).cast("long"))
+    def pairsOf(bk: DataFrame): DataFrame =
+      bk.select(col("bucket"), col("vec_id").as("node"))
+        .join(bk.select(col("bucket"), col("vec_id").as("nbr")), Seq("bucket"))
+        .filter(col("node") =!= col("nbr"))
+        .select(col("node"), col("nbr"))
     // localCheckpoint per round (the Dedup.connectedComponents loop
     // discipline): an iterative plan that references the previous round
     // TWICE doubles in size per round, and analysis/codegen — not data —
     // becomes the cost; checkpointing keeps every round's plan constant
     var graph = keep(
-      score(
-        a.join(b, Seq("bucket"))
-          .filter(col("node") =!= col("nbr"))
-          .select(col("node"), col("nbr"))
-          .dropDuplicates("node", "nbr"))).localCheckpoint()
+      score(pairsOf(lshB).unionByName(pairsOf(coverB)).dropDuplicates("node", "nbr")))
+      .localCheckpoint()
     (1 to rounds).foreach { _ =>
       val fwd = graph.select(col("node"), col("nbr"))
       val und = fwd.unionByName(graph.select(col("nbr").as("node"), col("node").as("nbr")))
@@ -466,7 +482,18 @@ object Similarity {
         .dropDuplicates("node", "nbr")
       graph = keep(score(cand)).localCheckpoint()
     }
-    graph
+    // deterministic orphan repair: a node BOTH bucketings left solitary
+    // (possible at tiny n or pathological hashing) still must appear —
+    // connect it to the corpus's smallest ids so the degree/coverage law
+    // holds unconditionally. Expected-empty anti-join; costs nothing when
+    // there are no orphans.
+    val orphans = c
+      .select(col("vec_id").as("node"))
+      .join(graph.select(col("node")).distinct(), Seq("node"), "left_anti")
+    val anchors = c.orderBy(col("vec_id")).limit(degree + 1).select(col("vec_id").as("nbr"))
+    val repaired = keep(
+      score(orphans.crossJoin(anchors).filter(col("node") =!= col("nbr"))))
+    graph.unionByName(repaired)
   }
 
   /** Beam search over a [[knnGraph]]: per query, the entry set is the
@@ -492,20 +519,15 @@ object Similarity {
       dims: Int,
       probes: Int = 1): DataFrame = {
     // multi-probe entries: the query's own LSH bucket plus its 1-bit-flip
-    // neighbors — near-misses of the hyperplane signature are the most
-    // likely true-neighbor buckets (the lshTopK probing argument), and a
-    // richer entry set is the cheapest recall lever a beam search has
+    // neighbors ([[probeBuckets]] — shared with lshTopK); a richer entry
+    // set is the cheapest recall lever a beam search has
     val qBase = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("bucket0", Vectors.lshBucket(col("qe"), planes, dims))
-    val nFlips = math.min(planes, math.max(0, probes - 1))
-    val flipped =
-      array((col("bucket0") +: (0 until nFlips).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
     val q = qBase.select(
       col("qid"),
       col("qe"),
-      col("bucket0").as("bucket"),
-      explode(flipped).as("probe"))
+      explode(probeBuckets(col("bucket0"), planes, probes)).as("probe"))
     val c = corpus.select(col("vec_id"), col("embedding"))
     val cb = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
     val qVecs = q.select(col("qid"), col("qe")).dropDuplicates("qid")
@@ -557,10 +579,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .withColumn("bucket0", Vectors.lshBucket(col("qe"), planes, dims))
     val nFlips = math.min(planes, math.max(0, probes - 1))
-    val flips =
-      array((col("bucket0") +: (0 until nFlips).map(b => col("bucket0").bitwiseXOR(lit(1L << b)))): _*)
     val q = qBase
-      .select(col("qid"), col("qe"), explode(flips).as("bucket"))
+      .select(col("qid"), col("qe"), explode(probeBuckets(col("bucket0"), planes, probes)).as("bucket"))
     val c = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))

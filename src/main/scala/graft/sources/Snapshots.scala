@@ -655,22 +655,32 @@ object Snapshots {
   def commit(spark: SparkSession, root: String, statsCols0: Seq[String], bloomCols0: Seq[String]): Long =
     withTableLock(spark, root) {
       // the table lock serializes maintenance writers, but LOCK-FREE
-      // concurrent appenders ([[commitAppend]]) claim version slots by
-      // atomic rename — a lost slot means one slipped in, so re-run the
-      // whole attempt (re-list: the appender's file must not read as
-      // removed in our manifest; carried-forward stats keep the retry
-      // O(delta))
-      var attempts = 0
+      // concurrent appenders ([[commitAppend]]) claim version slots — a
+      // lost slot means one slipped in, so re-run the whole attempt
+      // (re-list: the appender's file must not read as removed in our
+      // manifest; carried-forward stats keep the retry O(delta)). The
+      // bound is WALL TIME, not attempts: a crashed claimant's slot only
+      // frees via the 60 s staleness breaker, which a short attempt
+      // budget could never reach.
+      val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
       var res: Option[Long] = None
       while (res.isEmpty) {
-        attempts += 1
         res = commitOnce(spark, root, statsCols0, bloomCols0)
-        if (res.isEmpty && attempts >= 20)
-          sys.error(s"commit on $root lost the version-slot race $attempts times — giving up")
-        if (res.isEmpty) Thread.sleep(100) // let a mid-write claimant's manifest land
+        if (res.isEmpty) {
+          if (System.currentTimeMillis() > deadline)
+            sys.error(
+              s"commit on $root could not win a version slot within ${SlotRaceDeadlineMs} ms — giving up")
+          Thread.sleep(100) // let a mid-write claimant's manifest land
+        }
       }
       res.get
     }
+
+  /** How long a writer keeps retrying lost version-slot races before
+    * failing: must exceed the stale-claim threshold (60 s) with margin so
+    * a crashed claimant's slot can actually be broken and retried.
+    */
+  private val SlotRaceDeadlineMs = 150000L
 
   private def commitOnce(
       spark: SparkSession,
@@ -679,8 +689,17 @@ object Snapshots {
       bloomCols0: Seq[String]): Option[Long] = {
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
-      val files = listDataFiles(spark, root)
+      // version BEFORE the listing — the ordering is load-bearing: a
+      // lock-free commitAppend landing DURING a (slow) directory walk
+      // must not have its file recorded as removed. With the version read
+      // first, an appender that commits mid-listing claims OUR slot, our
+      // claim fails, and the retry re-lists; an appender whose file made
+      // the listing but whose commit hasn't landed is simply adopted
+      // (its own commit then finds nothing fresh). Listing-first would
+      // let the appender commit into version-1 and this commit publish a
+      // manifest that silently drops the appended file.
       val version = latestVersion(spark, root) + 1L
+      val files = listDataFiles(spark, root)
       val dir = manifestDir(rootPath)
       fs.mkdirs(dir)
       val prevView: Option[ManifestView] =
@@ -874,10 +893,14 @@ object Snapshots {
     // immutable file): computed once, reused across rebase attempts
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
-    var attempts = 0
+    // the fresh files' merged footer schema is attempt-invariant unless a
+    // concurrent DDL changes the declared base — cache it keyed by that
+    // base so a rebase retry is metadata-only (like the stats and blooms)
+    var evolvedCache: Option[(Option[org.apache.spark.sql.types.StructType],
+      Option[org.apache.spark.sql.types.StructType])] = None
+    val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
     var result = -1L
     while (result < 0L) {
-      attempts += 1
       val prevV = latestVersion(spark, root)
       require(
         prevV > 0L,
@@ -900,18 +923,26 @@ object Snapshots {
         val version = prevV + 1L
         val statsCols = prev.statsCols
         // evolved schema: the declared base merged with what the new
-        // files carry — one O(delta) footer-schema read
-        val evolved = prev.schema.map { base =>
-          mergeEvolved(
-            base,
-            spark.read
-              .option("mergeSchema", "true")
-              .option("basePath", root)
-              .parquet(fresh.map(rel => new Path(rootPath, rel).toString): _*)
-              .schema,
-            root,
-            (if (prev.partCols.nonEmpty) prev.partCols
-             else partitionColsFromRels(prev.rels ++ fresh)).toSet)
+        // files carry — one O(delta) footer-schema read, computed once
+        // and reused across rebase attempts (recomputed only if a
+        // concurrent DDL changed the declared base)
+        val evolved = evolvedCache match {
+          case Some((base, result0)) if base == prev.schema => result0
+          case _ =>
+            val computed = prev.schema.map { base =>
+              mergeEvolved(
+                base,
+                spark.read
+                  .option("mergeSchema", "true")
+                  .option("basePath", root)
+                  .parquet(fresh.map(rel => new Path(rootPath, rel).toString): _*)
+                  .schema,
+                root,
+                (if (prev.partCols.nonEmpty) prev.partCols
+                 else partitionColsFromRels(prev.rels ++ fresh)).toSet)
+            }
+            evolvedCache = Some((prev.schema, computed))
+            computed
         }
         if (statsCols.nonEmpty) {
           val missing = fresh.filterNot(newStats.containsKey)
@@ -951,9 +982,9 @@ object Snapshots {
               .map { case (rel, st) => renderFileLine(rel, st) }
           else header ++ Seq(s"#delta $prevV") ++ freshLines.map("+" + _)
         if (tryWriteManifest(fs, rootPath, version, body)) result = version
-        else if (attempts >= 20)
+        else if (System.currentTimeMillis() > deadline)
           sys.error(
-            s"commitAppend on $root lost the version-slot race $attempts times — giving up")
+            s"commitAppend on $root could not win a version slot within ${SlotRaceDeadlineMs} ms — giving up")
         else Thread.sleep(100) // another writer claimed the slot: rebase and retry
       }
     }
@@ -1138,10 +1169,9 @@ object Snapshots {
     // metadata commit on a million-file table writes a few hundred bytes.
     // A lost version slot means a lock-free appender slipped in: rebase
     // on its version and retry, bounded.
-    var attempts = 0
+    val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
     var result = -1L
     while (result < 0L) {
-      attempts += 1
       val version = latestVersion(spark, root) + 1L
       val body =
         if (version == 1L) header
@@ -1150,8 +1180,9 @@ object Snapshots {
           header ++ prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
         } else header ++ Seq(s"#delta ${version - 1L}")
       if (tryWriteManifest(fs, rootPath, version, body)) result = version
-      else if (attempts >= 20)
-        sys.error(s"DDL commit on $root lost the version-slot race $attempts times — giving up")
+      else if (System.currentTimeMillis() > deadline)
+        sys.error(
+          s"DDL commit on $root could not win a version slot within ${SlotRaceDeadlineMs} ms — giving up")
       else Thread.sleep(100)
     }
     result

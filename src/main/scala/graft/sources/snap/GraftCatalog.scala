@@ -164,7 +164,7 @@ class GraftCatalog
       case "snapshots" => Some(new SnapMetaTable(tableDir, version, "snapshots"))
       case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
       case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
-      case "changes" => Some(new SnapChangesTable(tableDir))
+      case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }
   }
@@ -737,6 +737,21 @@ private[snap] object SnapFilters {
     */
   def segValue(raw: String): Option[String] =
     if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(Snapshots.unescapePathName(raw))
+
+  /** One manifest rel's hive `(col, value)` pairs in PATH ORDER, values
+    * unescaped with the null sentinel kept verbatim (readers splice it to
+    * NULL) — the ONE parser every spliced read path shares (streaming
+    * source, v2 batch keys, row-level scan, change feed).
+    */
+  def partValsOf(rel: String): Array[(String, String)] =
+    rel
+      .split("/")
+      .dropRight(1)
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, raw) = seg.split("=", 2)
+        k -> Snapshots.unescapePathName(raw)
+      }
 
   /** Is `raw` (unescaped, non-sentinel) the CANONICAL rendering of a value
     * of type `t`? Exact string equality between a rendered filter value

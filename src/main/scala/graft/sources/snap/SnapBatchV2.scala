@@ -105,14 +105,7 @@ class SnapV2BatchScan(
     * key always agrees with the rows).
     */
   private def keyedInput(rel: String): SnapKeyedFileInput = {
-    val pairs: Array[(String, String)] = rel
-      .split("/")
-      .dropRight(1)
-      .filter(_.contains("="))
-      .map { seg =>
-        val Array(k, raw) = seg.split("=", 2)
-        k -> SnapMicroBatchStream.unescapePathName(raw)
-      }
+    val pairs: Array[(String, String)] = SnapFilters.partValsOf(rel)
     val byName = pairs.toMap
     val zone = spark.conf.get("spark.sql.session.timeZone")
     val key: Array[Any] = partCols.toArray.map { c =>

@@ -28,8 +28,8 @@ import graft.sources.Snapshots
   * }}}
   *
   * Semantics are EXACTLY [[Snapshots.diff]] per version — the NET row
-  * changes: version 1 (or the starting version) is the initial image as
-  * `insert` rows; an append emits its added rows as `insert`; a DELETE
+  * changes: version 1 (the creation — no predecessor) is the initial
+  * image as `insert` rows; an append emits its added rows as `insert`; a DELETE
   * emits the deleted rows as `delete`; an UPDATE emits old-row `delete` +
   * new-row `insert`; a COMPACTION (pure rewrite) emits NOTHING. Each row
   * carries `_change_type` (insert|delete) and `_commit_version`.
@@ -53,7 +53,7 @@ import graft.sources.Snapshots
   * (plan-time error — re-sync from a snapshot read instead, the
   * [[graft.streaming.Streaming.changeFeed]] helper's downgrade).
   */
-class SnapChangesTable(dir: String) extends Table with SupportsRead {
+class SnapChangesTable(dir: String, pinnedVersion: Long = -1L) extends Table with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -71,7 +71,20 @@ class SnapChangesTable(dir: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asCaseSensitiveMap().asScala.toMap.map { case (k, v) => k.toLowerCase -> v }
-    () => new SnapChangesScan(dir, dataSchema, opts)
+    // `VERSION AS OF v` on the changes table pins the END of history —
+    // the feed as it stood at v; an explicit endingVersion may narrow
+    // further but never see past the pin
+    val pinned =
+      if (pinnedVersion > 0L) {
+        opts.get("endingversion").foreach { e =>
+          require(
+            e.toLong <= pinnedVersion,
+            s"endingVersion $e conflicts with VERSION AS OF $pinnedVersion")
+        }
+        if (opts.contains("endingversion")) opts
+        else opts + ("endingversion" -> pinnedVersion.toString)
+      } else opts
+    () => new SnapChangesScan(dir, dataSchema, pinned)
   }
 }
 
@@ -92,30 +105,23 @@ object SnapChanges {
   val DefaultSliceBytes: Long = 256L * 1024 * 1024
   val MaxSlices = 64
 
-  private[snap] def partValsOf(rel: String): Array[(String, String)] =
-    rel
-      .split("/")
-      .dropRight(1)
-      .filter(_.contains("="))
-      .map { seg =>
-        val Array(k, raw) = seg.split("=", 2)
-        k -> Snapshots.unescapePathName(raw)
-      }
-
-  /** The input partitions of one version's change feed. `imageOnly` plans
-    * the version's FULL file list as inserts (the initial image).
+  /** The input partitions of one version's change feed. Version 1 (no
+    * predecessor) plans its full file list as inserts — the creation
+    * image; every later version is its own delta (the Delta-CDF
+    * contract: a startingVersion mid-history begins with that version's
+    * CHANGES — a consumer re-syncing after vacuum reads the snapshot
+    * image itself and subscribes from the next version).
     */
   private[snap] def planVersion(
       spark: SparkSession,
       dir: String,
       v: Long,
-      sliceBytes: Long,
-      imageOnly: Boolean): Seq[InputPartition] = {
+      sliceBytes: Long): Seq[InputPartition] = {
     val view = Snapshots.manifestView(spark, dir, v)
     def fileOf(rel: String) =
-      SnapCdcFile(Snapshots.resolve(spark, dir, rel).toString, partValsOf(rel))
+      SnapCdcFile(Snapshots.resolve(spark, dir, rel).toString, SnapFilters.partValsOf(rel))
     val (added, removed) =
-      if (imageOnly || v == 1L) (view.rels, Seq.empty[String])
+      if (v == 1L) (view.rels, Seq.empty[String])
       else
         view.delta match {
           case Some((base, a, r)) if base == v - 1L => (a, r)
@@ -174,18 +180,17 @@ class SnapChangesScan(dir: String, dataSchema: StructType, options: Map[String, 
 
   override def toBatch: Batch = this
 
-  /** Batch range: `startingVersion` (default 1 — history from the start;
-    * the starting version itself emits as the initial IMAGE) through
-    * `endingVersion` (default latest).
+  /** Batch range: `startingVersion` (default 1 — history from the
+    * start) through `endingVersion` (default latest; a `VERSION AS OF`
+    * pin lowers it). The starting version emits as its own delta except
+    * version 1, the creation image.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val latest = Snapshots.latestVersion(spark, dir)
     val from = options.get("startingversion").map(_.toLong).getOrElse(1L)
     val to = options.get("endingversion").map(_.toLong).getOrElse(latest)
     require(from >= 1L && from <= to && to <= latest, s"changes range [$from, $to] out of history")
-    // the starting version emits as its own DELTA (the Delta-CDF
-    // contract); only version 1 — no predecessor — is the creation image
-    (from to to).flatMap(v => SnapChanges.planVersion(spark, dir, v, sliceBytes, imageOnly = false)).toArray
+    (from to to).flatMap(v => SnapChanges.planVersion(spark, dir, v, sliceBytes)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = cdcFactory()
@@ -203,9 +208,10 @@ class SnapChangesScan(dir: String, dataSchema: StructType, options: Map[String, 
 
 /** Streaming half: offsets are whole manifest versions (a version's net
   * change set is atomic — CDC consumers see complete commits). The first
-  * batch from a cold start at version 1 is the initial image; a
-  * `startingVersion` pin starts the feed mid-history (that version
-  * emitted as an image), `latest` streams only post-start commits.
+  * batch from a cold start is version 1's creation image followed by
+  * each version's delta; a `startingVersion` pin starts the feed
+  * mid-history with that version's own delta, `latest` streams only
+  * post-start commits.
   */
 class SnapChangesMicroBatchStream(
     dir: String,
@@ -238,9 +244,7 @@ class SnapChangesMicroBatchStream(
     val o0 = start.asInstanceOf[SnapVersionOffset].version
     val o1 = end.asInstanceOf[SnapVersionOffset].version
     ((o0 + 1L) to o1).flatMap { v =>
-      // every version is its own delta; version 1 (no predecessor) is
-      // the creation image — planVersion handles it
-      SnapChanges.planVersion(s, dir, v, sliceBytes, imageOnly = false)
+      SnapChanges.planVersion(s, dir, v, sliceBytes)
     }.toArray
   }
 

@@ -199,17 +199,9 @@ class SnapRowLevelScan(
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val spark = SparkSession.active
     rels.map { rel =>
-      val partVals = rel
-        .split("/")
-        .dropRight(1)
-        .filter(_.contains("="))
-        .map { seg =>
-          val Array(k, raw) = seg.split("=", 2)
-          k -> Snapshots.unescapePathName(raw)
-        }
       SnapStreamFileInput(
         Snapshots.resolve(spark, dir, rel).toString,
-        partVals): org.apache.spark.sql.connector.read.InputPartition
+        SnapFilters.partValsOf(rel)): org.apache.spark.sql.connector.read.InputPartition
     }.toArray
   }
 
@@ -430,9 +422,27 @@ class SnapHivePartitionedDataWriter(
   private val dataSchema = StructType(dataIdx.map(schema.fields(_)).toIndexedSeq)
   private val dataTypes = dataSchema.fields.map(_.dataType)
 
-  private val writers =
-    scala.collection.mutable.Map.empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  // LinkedHashMap as an LRU (remove + re-put on access): each open
+  // parquet writer buffers a row group, so the OPEN set — not the
+  // partition count — is what bounds task memory
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[String, org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  // per-dir rotation count: an evicted-then-reopened partition writes a
+  // NEW file (parquet files don't reopen) with a `-r<n>` suffix
+  private val rotations = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+  private val closedRels = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rows = 0L
+
+  /** Concurrently-open writer cap. Batch rewrites EVICT on overflow
+    * (close + rotate on reopen — safe: batch staging is attempt-unique).
+    * Streaming epochs REFUSE instead: rotation order there would depend
+    * on row arrival order, and a replay with a different order would
+    * split the same rows differently across the deterministic names,
+    * breaking the skip-if-exists exactly-once argument — so a stream
+    * whose tasks fan out over too many partition values must repartition
+    * by the partition columns upstream.
+    */
+  private val maxOpen = 16
 
   /** One partition value as its canonical hive path string — the same
     * rendering Spark's own partitioned writer produces, so the directory
@@ -463,14 +473,33 @@ class SnapHivePartitionedDataWriter(
       s"$c=$rendered"
     }.mkString("/")
 
+  private def fileFor(rot: Int): String =
+    if (rot == 0) fileName
+    else fileName.stripSuffix(".parquet") + s"-r$rot.parquet"
+
   override def write(metadata: InternalRow, record: InternalRow): Unit = write(record)
 
   override def write(record: InternalRow): Unit = {
     val dir = dirOf(record)
-    val w = writers.getOrElseUpdate(
-      dir,
-      org.apache.spark.sql.graft.Bridge
-        .parquetRowWriter(new Path(s"$stageDir/$dir", fileName), dataSchema, conf))
+    val w = writers.remove(dir) match {
+      case Some(open) => open
+      case None =>
+        if (writers.size >= maxOpen) {
+          if (finalName.isDefined)
+            throw new IllegalStateException(
+              s"streaming epoch task saw more than $maxOpen distinct partition values — " +
+                "repartition the stream by the table's partition columns before writeStream " +
+                "(per-task partition fan-out bounds both memory and file counts)")
+          val (lruDir, lruW) = writers.head
+          writers.remove(lruDir)
+          lruW.close()
+          closedRels += s"$lruDir/${fileFor(rotations(lruDir))}"
+          rotations(lruDir) += 1
+        }
+        org.apache.spark.sql.graft.Bridge
+          .parquetRowWriter(new Path(s"$stageDir/$dir", fileFor(rotations(dir))), dataSchema, conf)
+    }
+    writers.put(dir, w) // most-recently-used at the tail
     // project the data columns out (partition values live in the path)
     val out = new Array[Any](dataIdx.length)
     var i = 0
@@ -484,26 +513,30 @@ class SnapHivePartitionedDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
+    val openRels = writers.keys.toSeq.map(d => d -> s"$d/${fileFor(rotations(d))}")
     finalName match {
       case None =>
-        SnapStagedPartFiles(writers.keys.toSeq.sorted.map(d => s"$d/$fileName"), rows)
+        SnapStagedPartFiles((closedRels.toSeq ++ openRels.map(_._2)).sorted, rows)
       case Some(n) =>
+        // streaming never rotates (overflow refuses), so every dir has
+        // exactly its attempt file to rename onto the deterministic name
         val fs = new Path(stageDir).getFileSystem(conf)
-        writers.keys.foreach { d =>
-          val from = new Path(s"$stageDir/$d", fileName)
+        openRels.foreach { case (d, rel) =>
+          val from = new Path(s"$stageDir/$rel")
           val target = new Path(s"$stageDir/$d", n)
           if (fs.exists(target)) fs.delete(target, false) // dead attempt's leftover
           if (!fs.rename(from, target))
             throw new java.io.IOException(s"task commit rename failed: $from -> $target")
         }
-        SnapStagedPartFiles(writers.keys.toSeq.sorted.map(d => s"$d/$n"), rows)
+        SnapStagedPartFiles(openRels.map(_._1).sorted.map(d => s"$d/$n"), rows)
     }
   }
 
   override def abort(): Unit = {
     writers.values.foreach(w => scala.util.Try(w.close()))
     val fs = new Path(stageDir).getFileSystem(conf)
-    writers.keys.foreach(d => scala.util.Try(fs.delete(new Path(s"$stageDir/$d", fileName), false)))
+    (closedRels.toSeq ++ writers.keys.toSeq.map(d => s"$d/${fileFor(rotations(d))}"))
+      .foreach(rel => scala.util.Try(fs.delete(new Path(s"$stageDir/$rel"), false)))
   }
 
   override def close(): Unit = ()

@@ -294,12 +294,10 @@ class SnapMicroBatchStream(
             }
             m.keep(value)
           }
-          if (keep) {
-            val partVals = segs.toArray.map { case (k, raw) =>
-              k -> SnapMicroBatchStream.unescapePathName(raw)
-            }
-            parts += SnapStreamFileInput(Snapshots.resolve(s, dir, rel).toString, partVals)
-          }
+          if (keep)
+            parts += SnapStreamFileInput(
+              Snapshots.resolve(s, dir, rel).toString,
+              SnapFilters.partValsOf(rel))
         }
       }
     }
@@ -316,14 +314,6 @@ class SnapMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-}
-
-object SnapMicroBatchStream {
-  /** Undo Spark's hive-path escaping — shared with the batch scans via
-    * [[Snapshots.unescapePathName]]. `__HIVE_DEFAULT_PARTITION__` reads
-    * as null upstream.
-    */
-  private[snap] def unescapePathName(s: String): String = Snapshots.unescapePathName(s)
 }
 
 /** Streaming offset (v, k): versions ≤ v fully processed, plus the first

@@ -370,7 +370,10 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(hits.values.sum >= entryHits, "beam hops must not lose recall vs entries alone")
     // the walk stays sublinear-shaped: nobody visited (nearly) everything
+    // the q221 budget bound: visits never exceed the search's own fixed
+    // (corpus-independent) budget — the sublinearity claim at scale
     val maxVisited = visitedFull.groupBy("qid").count().agg(max("count")).head().getLong(0)
-    assert(maxVisited <= 3L * n / 4, s"a query visited $maxVisited of $n")
+    val budget = (planes + 1).toLong * 64L + beam.toLong + 4L * beam.toLong * 12L
+    assert(maxVisited <= budget, s"a query visited $maxVisited > budget $budget (n=$n)")
   }
 }

@@ -665,6 +665,50 @@ class SnapCatalogSpec extends SparkSpec {
     val streamed = got.asScala.toSeq.sorted
     val batchAll = spark.read.table("snapcdc.ev.changes").collect().map(key).toSeq.sorted
     assert(streamed == batchAll, s"stream/batch divergence:\n$streamed\nvs\n$batchAll")
+    // VERSION AS OF pins the END of the feed's history: v1 image (5) +
+    // v2 delete (1) + v3 insert (1) = 7 rows, nothing from v4+
+    val pinned = spark.sql("SELECT * FROM snapcdc.ev.changes VERSION AS OF 3").collect().map(key)
+    assert(pinned.length == 7, pinned.toSeq.sorted.toString)
+    assert(pinned.forall(_._4 <= 3L), "pinned feed leaked post-pin versions")
+  }
+
+  test("partitioned staging writer: batch rotates past the open-writer cap; streaming refuses") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val stage = Files.createTempDirectory("snap_rot").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("day", StringType)))
+    val conf = spark.sessionState.newHadoopConf()
+    val w = new graft.sources.snap.SnapHivePartitionedDataWriter(
+      stage, schema, Seq("day"), conf, "part-00000-x.parquet")
+    // 40 partitions, interleaved twice: every partition is evicted by the
+    // 16-writer cap and reopened — memory stays bounded, files rotate
+    (0 until 2).foreach { pass =>
+      (0 until 40).foreach { d =>
+        w.write(new GenericInternalRow(
+          Array[Any](pass * 40L + d, UTF8String.fromString(f"2024-$d%02d"))))
+      }
+    }
+    val msg = w.commit().asInstanceOf[graft.sources.snap.SnapStagedPartFiles]
+    assert(msg.rows == 80L)
+    assert(msg.rels.size >= 40, s"expected at least one file per partition: ${msg.rels.size}")
+    val back = spark.read
+      .schema(StructType(Seq(StructField("id", LongType))))
+      .parquet(msg.rels.map(r => s"$stage/$r"): _*)
+    assert(back.count() == 80L, "no staged row may be lost across rotations")
+    // streaming mode (deterministic finalName) must REFUSE fan-out past
+    // the cap instead of rotating (rotation order would break replay)
+    val sw = new graft.sources.snap.SnapHivePartitionedDataWriter(
+      stage, schema, Seq("day"), conf, "attempt-1-00000.parquet",
+      finalName = Some("stream-q-1-00000.parquet"))
+    val e = intercept[IllegalStateException] {
+      (0 until 20).foreach { d =>
+        sw.write(new GenericInternalRow(
+          Array[Any](d.toLong, UTF8String.fromString(f"2025-$d%02d"))))
+      }
+    }
+    assert(e.getMessage.contains("repartition"), e.getMessage)
+    sw.abort()
   }
 
   test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
