@@ -1547,6 +1547,11 @@ object Frontier3 {
       .readEventStream(s, inDir)
       .filter(col("event_type") === "error")
       .withColumn("day", to_date(col("ts")))
+      // cluster by the sink's partition column: each epoch task then sees
+      // ~one day, so files land one-per-day-per-epoch instead of
+      // days x tasks (the small-files discipline the INSERT path's
+      // REBALANCE hint applies — this is its streaming analog)
+      .repartition(col("day"))
       .writeStream
       .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "ckpt").toString)
       .toTable(s"$cat.sink")

@@ -282,22 +282,79 @@ object Snapshots {
     walk(rootPath).sorted
   }
 
-  /** Latest committed manifest version, or 0 if none. */
+  /** Latest committed manifest version, or 0 if none.
+    *
+    * The hot metadata call (every read plan, every commit, every
+    * streaming trigger), so it must not pay an O(versions) directory
+    * listing — a streaming sink committing an epoch per trigger grows
+    * the manifest dir into the tens of thousands of files within days.
+    * A best-effort `.latest-hint` file (written after every commit)
+    * gives a starting point; the answer is then PROBED forward with
+    * exists() calls until the next version is absent — exact by
+    * construction because versions are dense (every writer claims
+    * latest+1): never an undercount (the probe walks past the hint) and
+    * never an overcount (the hinted version itself is verified, a
+    * stale-ahead or corrupt hint falls back to the listing). Cost:
+    * O(commits since the hint) exists() probes, amortized O(1).
+    */
   def latestVersion(spark: SparkSession, root: String): Long = {
-    val dir = manifestDir(new Path(root))
+    val rootPath = new Path(root)
+    val dir = manifestDir(rootPath)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) 0L
-    else
-      fs.listStatus(dir)
-        .toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toLong
-        }
-        .sorted
-        .lastOption
-        .getOrElse(0L)
+    if (!fs.exists(dir)) return 0L
+    val hinted = readLatestHint(fs, rootPath).filter(v => fs.exists(manifestPath(rootPath, v)))
+    hinted match {
+      case Some(h) =>
+        var v = h
+        while (fs.exists(manifestPath(rootPath, v + 1L))) v += 1L
+        v
+      case None => listLatestVersion(fs, dir)
+    }
   }
+
+  private def latestHintPath(root: Path) = new Path(manifestDir(root), ".latest-hint")
+
+  private def readLatestHint(fs: FileSystem, root: Path): Option[Long] =
+    try {
+      val p = latestHintPath(root)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      }
+    } catch { case _: Exception => None } // racing hint writer: fall back
+
+  /** Best-effort hint refresh after a commit — losing a race or failing
+    * outright only costs later readers extra forward probes (or one
+    * listing), never a wrong answer.
+    */
+  private def writeLatestHint(fs: FileSystem, root: Path, version: Long): Unit =
+    try {
+      val p = latestHintPath(root)
+      val tmp = new Path(manifestDir(root), s".hint-tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8"))
+      finally out.close()
+      // local rename replaces the destination atomically; concurrent
+      // writers race benignly (any committed version is a valid hint)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      }
+    } catch { case _: Exception => () }
+
+  private def listLatestVersion(fs: FileSystem, dir: Path): Long =
+    fs.listStatus(dir)
+      .toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong
+      }
+      .sorted
+      .lastOption
+      .getOrElse(0L)
 
   /** Undo Spark's hive-path escaping (`%XX` for characters illegal in a
     * dir name): stats, partition keys and spliced read values must all
@@ -1026,8 +1083,11 @@ object Snapshots {
     val owner = java.util.UUID.randomUUID().toString
     val claimKey = claim.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
     if (jvmClaims.putIfAbsent(claimKey, owner) != null) return false
-    try tryWriteManifestClaimed(fs, dir, target, claim, owner, body)
-    finally jvmClaims.remove(claimKey)
+    try {
+      val ok = tryWriteManifestClaimed(fs, dir, target, claim, owner, body)
+      if (ok) writeLatestHint(fs, rootPath, version) // best-effort
+      ok
+    } finally jvmClaims.remove(claimKey)
   }
 
   private def tryWriteManifestClaimed(

@@ -44,10 +44,12 @@ import graft.sources.Snapshots
   *     resolving; the op is time-travelable and restorable), commit the
   *     next manifest version inheriting the table's stats/bloom columns.
   *
-  * Restriction: hive-partitioned tables are refused — replacement rows
-  * carry partition values as DATA columns, which would corrupt a hive
-  * layout; partitioned tables use `Sources.updateWhere` /
-  * `mergeIntoPartitioned` (per-partition selective rewrites) instead.
+  * Hive-partitioned tables work too: the scan splices partition values
+  * from each file's path, and [[SnapHivePartitionedDataWriter]] routes
+  * replacement rows back to partition directories by the rows' own
+  * values (stripping the columns from the file bytes), so cross-
+  * partition row moves land correctly. Mixed layouts and partition
+  * types without a canonical path rendering refuse at write-build time.
   */
 class SnapRowLevelBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: StructType)
     extends RowLevelOperationBuilder {
@@ -439,10 +441,14 @@ class SnapHivePartitionedDataWriter(
     * on row arrival order, and a replay with a different order would
     * split the same rows differently across the deterministic names,
     * breaking the skip-if-exists exactly-once argument — so a stream
-    * whose tasks fan out over too many partition values must repartition
-    * by the partition columns upstream.
+    * whose tasks fan out past the (higher) streaming cap must
+    * repartition by the partition columns upstream. The streaming cap is
+    * a memory bound on parquet row-group buffering, sized to cover a
+    * month-grain backfill without clustering; clustering the stream by
+    * the partition columns is still the right call (one file per value
+    * per epoch instead of values x tasks).
     */
-  private val maxOpen = 16
+  private val maxOpen = if (finalName.isDefined) 128 else 16
 
   /** One partition value as its canonical hive path string — the same
     * rendering Spark's own partitioned writer produces, so the directory

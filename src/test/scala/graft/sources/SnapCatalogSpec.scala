@@ -697,14 +697,15 @@ class SnapCatalogSpec extends SparkSpec {
       .parquet(msg.rels.map(r => s"$stage/$r"): _*)
     assert(back.count() == 80L, "no staged row may be lost across rotations")
     // streaming mode (deterministic finalName) must REFUSE fan-out past
-    // the cap instead of rotating (rotation order would break replay)
+    // its (higher, 128) cap instead of rotating — rotation order would
+    // break replay determinism
     val sw = new graft.sources.snap.SnapHivePartitionedDataWriter(
       stage, schema, Seq("day"), conf, "attempt-1-00000.parquet",
       finalName = Some("stream-q-1-00000.parquet"))
     val e = intercept[IllegalStateException] {
-      (0 until 20).foreach { d =>
+      (0 until 130).foreach { d =>
         sw.write(new GenericInternalRow(
-          Array[Any](d.toLong, UTF8String.fromString(f"2025-$d%02d"))))
+          Array[Any](d.toLong, UTF8String.fromString(f"2025-x-$d%03d"))))
       }
     }
     assert(e.getMessage.contains("repartition"), e.getMessage)

@@ -690,6 +690,37 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("latestVersion hint: stale, missing, corrupt and ahead hints all stay exact") {
+    val dir = Files.createTempDirectory("snap_hint").toString + "/t"
+    table(dir)
+    Snapshots.commit(spark, dir, statsCols = Seq("day"))
+    Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v")
+      .write.mode("append").parquet(s"$dir/day=2024-01-09")
+    Snapshots.commit(spark, dir) // v2
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    val hint = new java.io.File(s"$dir/_graft_manifests/.latest-hint")
+    def crc(): Unit =
+      new java.io.File(hint.getParentFile, s".${hint.getName}.crc").delete()
+    // STALE-BEHIND hint: the probe walks forward to the true latest
+    java.nio.file.Files.write(hint.toPath, "1".getBytes); crc()
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // MISSING hint: listing fallback
+    hint.delete(); crc()
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // CORRUPT hint: parse failure falls back to the listing
+    java.nio.file.Files.write(hint.toPath, "not-a-number".getBytes); crc()
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // AHEAD hint (points past history): verified-then-rejected, listing
+    java.nio.file.Files.write(hint.toPath, "99".getBytes); crc()
+    assert(Snapshots.latestVersion(spark, dir) == 2L)
+    // the next commit repairs the hint
+    Seq((10L, "2024-01-10", 100.0)).toDF("id", "day", "v")
+      .write.mode("append").parquet(s"$dir/day=2024-01-10")
+    Snapshots.commit(spark, dir) // v3
+    assert(Snapshots.latestVersion(spark, dir) == 3L)
+    assert(new String(java.nio.file.Files.readAllBytes(hint.toPath)).trim == "3")
+  }
+
   test("escaped-era string intervals (no null-count watermark) read as no-stat for pruning") {
     val dir = Files.createTempDirectory("snap_legacy").toString + "/t"
     val rows = Seq((1L, "a:b"), (2L, "zz")).toDF("id", "tag")
