@@ -1743,7 +1743,68 @@ object Frontier3 {
       |       true AS recall_ok, true AS visited_ok, true AS mean_recall_ok
       |FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
 
+  // -- q222: dynamic partition overwrite -----------------------------------
+
+  /** The nightly re-materialization op, pure SQL: the first three days'
+    * stats are RECOMPUTED (doubled counts — late data arrived) and landed
+    * with `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` — only the
+    * partitions PRESENT in the incoming frame replace
+    * ([[graft.sources.snap.SnapDynamicOverwriteWrite]]: tasks route rows
+    * to partition dirs, the commit archives exactly the dirs the tasks
+    * wrote). The result joins live vs `VERSION AS OF 1` per event type:
+    * the doubled window shows through the live sums, the untouched days
+    * keep their v1 contributions, and v1 itself still answers — the hash
+    * proves partition-scoped replacement, not truncate-and-reload. At
+    * 100 TB this is how a backfill repairs three days of a
+    * thousand-day table: three directories of I/O, one delta-manifest
+    * commit, full time travel.
+    */
+  def q222(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq222", Seq("day"))
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    ev.filter(to_date(col("ts")) <= to_date(lit(cut)))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        (count(lit(1)) * lit(2L)).as("n"),
+        (sum(micro) + count(lit(1))).as("sum_u"))
+      .createOrReplaceTempView(s"${cat}_recomputed")
+    withConfs(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      s.sql(s"""
+        |INSERT OVERWRITE $cat.ev
+        |SELECT event_type, n, sum_u, day FROM ${cat}_recomputed""".stripMargin)
+    }
+    s.sql(s"""
+      |SELECT v2.event_type AS event_type,
+      |       v2.n AS n_live, v1.n AS n_before,
+      |       v2.u AS u_live, v1.u AS u_before
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev GROUP BY event_type) v2
+      |JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |ON v2.event_type = v1.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q222Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT min(day) AS m FROM s),
+      |g AS (SELECT event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(u) AS BIGINT) AS su,
+      |        CAST(sum(CASE WHEN day <= m + 2 THEN 1 ELSE 0 END) AS BIGINT) AS hit
+      |      FROM s, b GROUP BY event_type)
+      |SELECT event_type, n + hit AS n_live, n AS n_before, su + hit AS u_live, su AS u_before
+      |FROM g ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q222_dynamic_overwrite" -> (q222 _),
     "q221_graph_ann" -> (q221 _),
     "q220_sql_change_feed" -> (q220 _),
     "q219_stream_partitioned_sink" -> (q219 _),
@@ -1772,6 +1833,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q222_dynamic_overwrite" -> q222Sql,
     "q221_graph_ann" -> q221Sql,
     "q220_sql_change_feed" -> q220Sql,
     "q219_stream_partitioned_sink" -> q219Sql,

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Supp
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampType}
@@ -369,7 +369,26 @@ class SnapTable(dir: String, version: Long)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      // dynamic overwrite has NO V1 fallback in Spark: it runs as a true
+      // DSv2 batch write ([[SnapDynamicOverwriteWrite]]), so the table
+      // declares plain BATCH_WRITE too (append/static-overwrite keep the
+      // V1 path — build() returns a V1Write for them)
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  /** The hive layout as DSv2 identity transforms — what lets the analyzer
+    * accept `INSERT OVERWRITE … PARTITION (day = X)` and dynamic
+    * partition overwrite against this table (declared layout wins;
+    * adopted tables derive it from their file paths).
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols =
+      if (view.partCols.nonEmpty) view.partCols
+      else Snapshots.partitionColsFromRels(view.rels)
+    cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  }
 
   override def properties(): util.Map[String, String] =
     Map("format" -> "graft-snapshot", "location" -> dir, "version" -> version.toString).asJava
@@ -556,26 +575,61 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
   * same single-writer commit discipline as the maintenance ops; overwrite
   * archives (never deletes) the replaced files, so every pinned manifest
   * stays readable and the overwrite is restorable.
+  *
+  * Overwrite comes in all three SQL shapes:
+  *  - `INSERT OVERWRITE t SELECT …` — truncate-then-append (replace all);
+  *  - `INSERT OVERWRITE t PARTITION (day = X) SELECT …` — Spark pushes
+  *    the partition spec as filters ([[SupportsOverwrite]]); only the
+  *    matching partitions' files archive. Filters must be partition-exact
+  *    over a canonically-rendered layout (the consumable-filter gate) —
+  *    anything else refuses loudly rather than over- or under-archiving;
+  *  - `SET spark.sql.sources.partitionOverwriteMode=dynamic;
+  *    INSERT OVERWRITE t SELECT …` — [[SupportsDynamicOverwrite]]: only
+  *    the partitions PRESENT IN THE INCOMING DATA are replaced (the
+  *    nightly re-materialization op: recompute two days, touch two days).
   */
 class SnapWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsOverwrite
+    with SupportsDynamicOverwrite {
 
-  private var overwrite = false
+  private var owFilters: Option[Array[Filter]] = None
+  private var dynamic = false
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    owFilters = Some(filters)
+    this
+  }
 
-  override def build(): Write = new V1Write {
+  override def overwriteDynamicPartitions(): WriteBuilder = { dynamic = true; this }
+
+  override def build(): Write = if (dynamic) {
+    // dynamic partition overwrite: a true DSv2 batch write — tasks route
+    // rows to partition dirs, the commit archives exactly the partitions
+    // the tasks touched (no V1 fallback exists for this plan shape)
+    val view = Snapshots.manifestView(SparkSession.active, dir)
+    val partCols =
+      if (view.partCols.nonEmpty) view.partCols
+      else Snapshots.partitionColsFromRels(view.rels)
+    require(
+      partCols.nonEmpty,
+      s"dynamic partition overwrite on $dir: the table has no partition columns")
+    new SnapDynamicOverwriteWrite(dir, info.schema(), partCols)
+  } else new V1Write {
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ow: Boolean): Unit =
-        SnapWriteBuilder.doInsert(dir, data, overwrite || ow)
+        SnapWriteBuilder.doInsert(
+          dir,
+          data,
+          if (ow && owFilters.isEmpty) Some(Array(AlwaysTrue(): Filter))
+          else owFilters)
     }
     // `df.writeStream.toTable("cat.t")`: exactly-once epoch appends into
     // the versioned table (see [[SnapStreamingWrite]]). Complete mode
     // arrives as truncate() — replacing the table every epoch is not this
     // sink's contract; refuse rather than silently append N copies.
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      if (overwrite)
+      if (owFilters.isDefined || dynamic)
         throw new UnsupportedOperationException(
           "snapshot streaming sink supports APPEND output mode only — Complete mode would " +
             "re-land the whole result every epoch; aggregate downstream or use foreachBatch " +
@@ -594,7 +648,10 @@ object SnapWriteBuilder {
   private def partitionColsOf(rels: Seq[String]): Seq[String] =
     Snapshots.partitionColsFromRels(rels)
 
-  private def doInsert(dir: String, data: DataFrame, overwrite: Boolean): Unit = {
+  private def doInsert(
+      dir: String,
+      data: DataFrame,
+      owFilters: Option[Array[Filter]]): Unit = {
     val spark = data.sparkSession
     Snapshots.withTableLock(spark, dir) {
       // resolve the table's layout + stats discipline INSIDE the lock: a
@@ -622,15 +679,63 @@ object SnapWriteBuilder {
       // tables adopted via Snapshots.commit, which never declared one
       val partCols =
         if (latest.partCols.nonEmpty) latest.partCols else partitionColsOf(layoutRels)
-      if (overwrite) {
-        // archive every live file BEFORE the new data lands: pinned
+      if (owFilters.isDefined) {
+        // archive the REPLACED files BEFORE the new data lands: pinned
         // readers keep resolving, and the pre-overwrite state stays
-        // restorable — an overwrite is a new version, not a destruction
+        // restorable — an overwrite is a new version, not a destruction.
+        // Which files count as replaced:
+        //  - plain OVERWRITE (AlwaysTrue): everything;
+        //  - a pushed partition spec: files whose dir values match every
+        //    filter — requires partition-exact filters over canonically-
+        //    rendered dirs (over- OR under-archiving corrupts semantics,
+        //    so anything weaker refuses);
+        // (dynamic mode runs through [[SnapDynamicOverwriteWrite]], the
+        // DSv2 batch write — the partitions the tasks actually wrote.)
         val rootPath = new Path(dir)
         val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Snapshots
-          .listDataFiles(spark, dir)
-          .foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
+        val live = Snapshots.listDataFiles(spark, dir)
+        val tableSchema = latest.schema.getOrElse(data.schema)
+        def declaredType(c: String): org.apache.spark.sql.types.DataType =
+          tableSchema.fields
+            .find(_.name == c)
+            .map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+        def requireCanonicalLayout(cols: Seq[String]): Unit =
+          cols.foreach { c =>
+            require(partCols.contains(c), s"'$c' is not a partition column of $dir")
+            live.foreach { rel =>
+              val segs = SnapFilters.partSegments(rel)
+              val raw = segs.getOrElse(
+                c,
+                throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE on $dir: file $rel lacks a '$c=' segment — a mixed " +
+                    "layout cannot be partition-overwritten"))
+              SnapFilters.segValue(raw).foreach { v =>
+                if (!SnapFilters.canonicalValue(v, declaredType(c)))
+                  throw new UnsupportedOperationException(
+                    s"INSERT OVERWRITE on $dir: '$c=$v' in $rel is not the canonical " +
+                      "rendering of its declared type — partition matching would be unsound")
+              }
+            }
+          }
+        val replaced: Seq[String] =
+          if (owFilters.get.exists(_.isInstanceOf[AlwaysTrue])) live
+          else {
+            val matchers = owFilters.get.toSeq.map { f =>
+              SnapFilters
+                .partMatcher(f)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE on $dir: filter $f is not a partition-exact predicate — " +
+                    "only partition-spec overwrites (and full overwrites) are supported; use " +
+                    "DELETE + INSERT for row-level replacement"))
+            }
+            requireCanonicalLayout(matchers.map(_.col).distinct)
+            live.filter { rel =>
+              val segs = SnapFilters.partSegments(rel)
+              matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue)))
+            }
+          }
+        replaced.foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
       }
       // cluster the incoming rows by the hive layout before writing: an
       // arbitrary upstream partitioning would emit tasks×partition-values

@@ -601,3 +601,75 @@ class SnapParquetDataWriter(
 
   override def close(): Unit = ()
 }
+
+/** Dynamic partition overwrite as a true DSv2 batch write (Spark plans
+  * `OverwritePartitionsDynamic` with no V1 fallback): each task routes
+  * its rows to partition directories under a hidden staging tree
+  * ([[SnapHivePartitionedDataWriter]] — canonical hive rendering, columns
+  * stripped from the bytes), and the commit, under the table lock,
+  * archives exactly the live files of the partitions the tasks ACTUALLY
+  * WROTE (no separate distinct-partitions job — the staged rels carry the
+  * touched set), lands the staged files, and commits the next manifest
+  * version under the table's inherited stats/bloom discipline. Untouched
+  * partitions are never read, written, or archived; every pre-overwrite
+  * version stays pinned-readable.
+  */
+class SnapDynamicOverwriteWrite(dir: String, schema: StructType, partCols: Seq[String])
+    extends Write {
+
+  override def description(): String = s"GraftSnapDynamicOverwrite $dir by=[${partCols.mkString(",")}]"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark: SparkSession = SparkSession.active
+    private val stage = s".dynover-${java.util.UUID.randomUUID().toString}"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val conf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
+      val fs = new Path(dir).getFileSystem(conf)
+      fs.mkdirs(new Path(new Path(dir), stage))
+      SnapHivePartWriterFactory(
+        s"$dir/$stage",
+        schema,
+        partCols,
+        org.apache.spark.sql.graft.Bridge.serializableConf(conf))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val rootPath = new Path(dir)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Snapshots.withTableLock(spark, dir) {
+        val stagedRels: Seq[String] = messages.toSeq.flatMap {
+          case SnapStagedPartFiles(rels, _) => rels
+          case SnapStagedFile(p, _) if p.isEmpty => Seq.empty
+          case other => sys.error(s"unexpected commit message $other")
+        }
+        // the touched partitions ARE the staged dirs — replaced files are
+        // the live files under exactly those directories
+        val touched: Set[String] =
+          stagedRels.map(rel => rel.substring(0, rel.lastIndexOf('/'))).toSet
+        val replaced = Snapshots
+          .listDataFiles(spark, dir)
+          .filter { rel =>
+            val cut = rel.lastIndexOf('/')
+            cut > 0 && touched.contains(rel.substring(0, cut))
+          }
+        replaced.foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
+        val stagePath = new Path(rootPath, stage)
+        stagedRels.foreach { rel =>
+          val to = new Path(rootPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(new Path(stagePath, rel), to))
+            sys.error(s"dynamic overwrite landing failed: $rel")
+        }
+        fs.delete(stagePath, true)
+        Snapshots.commit(spark, dir) // inherits the table's stats + bloom discipline
+      }
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val rootPath = new Path(dir)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(rootPath, stage), true)
+    }
+  }
+}

@@ -712,6 +712,47 @@ class SnapCatalogSpec extends SparkSpec {
     sw.abort()
   }
 
+  test("INSERT OVERWRITE: partition-spec and dynamic modes replace only the matching partitions") {
+    val (_, dir) = fixture("snapow") // 4 day dirs, 5 rows
+    def fileOf(day: String) = Snapshots.files(spark, dir).filter(_.startsWith(s"day=$day"))
+    val before03 = fileOf("2024-01-03")
+    // static partition spec: only day 01's files archive
+    spark.sql(
+      "INSERT OVERWRITE snapow.ev PARTITION (day = DATE'2024-01-01') " +
+        "SELECT CAST(100 AS BIGINT) AS id, 'bulk' AS event_type, CAST(1.0 AS DOUBLE) AS v")
+    val got = spark.sql("SELECT id FROM snapow.ev ORDER BY id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 4L, 5L, 100L), got.toString)
+    assert(fileOf("2024-01-03") == before03, "untouched partition rewritten")
+    assert(spark.sql("SELECT count(*) FROM snapow.ev VERSION AS OF 1").as[Long].head() == 5L)
+    // dynamic mode: only the partitions PRESENT in the data replace —
+    // day 02 re-materializes, day 05 is new, everything else untouched
+    withConfs("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      Seq((200L, "view", 2.0, "2024-01-02"), (201L, "view", 2.0, "2024-01-05"))
+        .toDF("id", "event_type", "v", "day")
+        .createOrReplaceTempView("snapow_src")
+      spark.sql(
+        "INSERT OVERWRITE snapow.ev SELECT id, event_type, v, CAST(day AS DATE) FROM snapow_src")
+    }
+    val got2 = spark.sql("SELECT id, day FROM snapow.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+    assert(
+      got2 == Seq(
+        (4L, "2024-01-03"), (5L, "2024-01-04"), (100L, "2024-01-01"),
+        (200L, "2024-01-02"), (201L, "2024-01-05")),
+      got2.toString)
+    assert(fileOf("2024-01-03") == before03, "dynamic overwrite touched an absent partition")
+    // every pre-overwrite version stays pinned-readable (archive, not delete)
+    assert(spark.sql("SELECT count(*) FROM snapow.ev VERSION AS OF 2").as[Long].head() == 4L)
+    // a non-partition overwrite predicate refuses loudly (no silent
+    // row-level replacement through the partition machinery)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO snapow.ev REPLACE WHERE id = 100 VALUES (7, 'x', 0.5, DATE'2024-01-01')"))
+    assert(
+      e.getMessage.contains("not a partition column") ||
+        e.getMessage.contains("partition-exact"),
+      e.getMessage)
+  }
+
   test("row-level commit detects a concurrent version change and aborts instead of duplicating") {
     val (_, dir) = flatFixture("snapc20")
     // a write whose scan pinned v1; someone else commits v2 before it lands
