@@ -439,6 +439,27 @@ object Similarity {
     * Returns (node, nbr, sim) with ≤ degree rows per node; the caller
     * persists it across search batches.
     */
+  /** Capped bucket self-join: the (node, nbr) seed pairs of one bucketing
+    * with each bucket's NEIGHBOR side bounded at `cap` by deterministic
+    * hash-rank (`row_number` over `hash(vec_id)`, vec_id tie-break — the
+    * same rows on every run). Every node of a bucket of size b yields
+    * min(b−1, ~cap) pairs, so a bucketing over n vectors seeds O(n·cap)
+    * pairs NO MATTER how skewed the buckets are — the law SimilaritySpec
+    * pins on an all-one-bucket corpus. Package-visible for that spec.
+    */
+  private[llm] def seedPairs(bk: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(hash(col("vec_id")), col("vec_id"))
+    val capped = bk
+      .select(col("bucket"), col("vec_id"))
+      .withColumn("srk", row_number().over(w))
+      .filter(col("srk") <= cap)
+      .select(col("bucket"), col("vec_id").as("nbr"))
+    bk.select(col("bucket"), col("vec_id").as("node"))
+      .join(capped, Seq("bucket"))
+      .filter(col("node") =!= col("nbr"))
+      .select(col("node"), col("nbr"))
+  }
+
   def knnGraph(emb: DataFrame, degree: Int, rounds: Int, planes: Int, dims: Int): DataFrame = {
     val c = emb.select(col("vec_id"), col("embedding"))
     def score(pairs: DataFrame): DataFrame =
@@ -458,11 +479,19 @@ object Similarity {
     // nodes that have edges)
     val lshB = c.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
     val coverB = c.withColumn("bucket", pmod(hash(col("vec_id")), lit(1 << planes)).cast("long"))
-    def pairsOf(bk: DataFrame): DataFrame =
-      bk.select(col("bucket"), col("vec_id").as("node"))
-        .join(bk.select(col("bucket"), col("vec_id").as("nbr")), Seq("bucket"))
-        .filter(col("node") =!= col("nbr"))
-        .select(col("node"), col("nbr"))
+    // per-bucket NBR-SIDE cap before the self-join: real embedding corpora
+    // are clustered (that is WHY graph indexes work), so hot LSH buckets
+    // are the expected case, and an uncapped bucket self-join is O(|b|²)
+    // — a million-vector bucket would seed 10¹² pairs before the degree
+    // cut ever ran. Capping only the neighbor side (deterministic
+    // hash-rank, the Dedup df-cap discipline) keeps EVERY node seeded —
+    // each gets edges to ≤ seedCap in-bucket representatives — while
+    // bounding the bucket's pairs at |b|·cap: seeding is O(n·cap) total,
+    // corpus-independent per node. cap = 4·degree gives the first degree
+    // cut real candidates to choose from; NN-descent rounds then repair
+    // any quality the cap cost. Buckets at or under the cap (the healthy
+    // regime the `planes` sizing targets) are byte-identical to uncapped.
+    def pairsOf(bk: DataFrame): DataFrame = seedPairs(bk, 4 * degree)
     // localCheckpoint per round (the Dedup.connectedComponents loop
     // discipline): an iterative plan that references the previous round
     // TWICE doubles in size per round, and analysis/codegen — not data —
@@ -494,6 +523,104 @@ object Similarity {
     val repaired = keep(
       score(orphans.crossJoin(anchors).filter(col("node") =!= col("nbr"))))
     graph.unionByName(repaired)
+  }
+
+  /** Incrementally extend a [[knnGraph]] with a freshly-ingested slice —
+    * the `ivfAppend` story for the graph index: a day's embeddings join
+    * the index WITHOUT rebuilding it. Work is bounded by the SLICE, never
+    * the corpus:
+    *
+    *  1. SEED: new vectors meet their LSH bucket's members (old and new,
+    *     per-bucket capped — the [[seedPairs]] discipline) plus id-hash
+    *     cover buckets, so every new node starts with candidates even
+    *     when its LSH bucket is otherwise empty; O(|slice|·cap) pairs.
+    *  2. REFINE: NN-descent rounds restricted to the NEW-node frontier —
+    *     candidates are each new node's neighbors' neighbors through the
+    *     UNION graph (old edges + the new ones, undirected), so new nodes
+    *     navigate INTO the old graph's neighborhoods; the old graph is
+    *     read, never recomputed. ≤ ~4·degree² candidates per new node per
+    *     round, `localCheckpoint` per round (the loop discipline).
+    *  3. BACK-LINK: an old node named by a new edge adopts the new node
+    *     into its candidate list and re-cuts to `degree` (cosine is
+    *     symmetric — the reversed edge carries the same sim), so searches
+    *     entering through old nodes can REACH the slice; old nodes no new
+    *     edge touches carry over verbatim — zero work for the untouched
+    *     99.99 % of a 100 TB corpus.
+    *
+    * Same orphan repair and determinism guarantees as the build; returns
+    * the extended (node, nbr, sim) graph covering corpus ∪ fresh.
+    */
+  def knnGraphAppend(
+      graph: DataFrame,
+      corpus: DataFrame,
+      fresh: DataFrame,
+      degree: Int,
+      rounds: Int,
+      planes: Int,
+      dims: Int): DataFrame = {
+    val all = corpus
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(fresh.select(col("vec_id"), col("embedding")))
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(all.select(col("vec_id").as("node"), col("embedding").as("ne")), Seq("node"))
+        .join(all.select(col("vec_id").as("nbr"), col("embedding").as("be")), Seq("nbr"))
+        .withColumn("sim", Det.r4(Vectors.cosine(col("ne"), col("be"))))
+        .select(col("node"), col("nbr"), col("sim"))
+    def keep(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("node")).orderBy(col("sim").desc, col("nbr"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= degree).drop("rk")
+    }
+    val newIds = fresh.select(col("vec_id"))
+    val lshAll = all.withColumn("bucket", Vectors.lshBucket(col("embedding"), planes, dims))
+    val coverAll =
+      all.withColumn("bucket", pmod(hash(col("vec_id")), lit(1 << planes)).cast("long"))
+    def newSeeds(bk: DataFrame): DataFrame =
+      seedPairs(bk, 4 * degree)
+        .join(newIds.select(col("vec_id").as("node")), Seq("node"), "left_semi")
+    var newEdges = keep(
+      score(newSeeds(lshAll).unionByName(newSeeds(coverAll)).dropDuplicates("node", "nbr")))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val union = graph.unionByName(newEdges)
+      val und = union
+        .select(col("node"), col("nbr"))
+        .unionByName(union.select(col("nbr").as("node"), col("node").as("nbr")))
+      val fwd = newEdges.select(col("node"), col("nbr"))
+      val cand = fwd
+        .as("x")
+        .join(und.as("y"), col("x.nbr") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.nbr").as("nbr"))
+        // reverse candidates INTO new nodes (who points at me) — the
+        // NN-descent observation needs both directions
+        .unionByName(
+          und.join(newIds.select(col("vec_id").as("node")), Seq("node"), "left_semi"))
+        .unionByName(fwd)
+        .filter(col("node") =!= col("nbr"))
+        .dropDuplicates("node", "nbr")
+      newEdges = keep(score(cand)).localCheckpoint()
+    }
+    // back-links: reverse each new→old edge (sim symmetric, carried) and
+    // re-cut ONLY the old nodes those edges touch
+    val incoming = newEdges
+      .join(newIds.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti")
+      .select(col("nbr").as("node"), col("node").as("nbr"), col("sim"))
+    val touched = incoming.select(col("node")).distinct()
+    val recut = keep(
+      graph
+        .join(touched, Seq("node"), "left_semi")
+        .unionByName(incoming)
+        .dropDuplicates("node", "nbr"))
+    val untouched = graph.join(touched, Seq("node"), "left_anti")
+    // orphan repair for new nodes both bucketings left solitary — the
+    // build's unconditional-coverage law, now over the union corpus
+    val orphans = newIds
+      .select(col("vec_id").as("node"))
+      .join(newEdges.select(col("node")).distinct(), Seq("node"), "left_anti")
+    val anchors = all.orderBy(col("vec_id")).limit(degree + 1).select(col("vec_id").as("nbr"))
+    val repaired = keep(
+      score(orphans.crossJoin(anchors).filter(col("node") =!= col("nbr"))))
+    untouched.unionByName(recut).unionByName(newEdges).unionByName(repaired)
   }
 
   /** Beam search over a [[knnGraph]]: per query, the entry set is the

@@ -1613,6 +1613,18 @@ object Frontier3 {
     graft.sources.Sources.compactInPlace(s, dir)
     // v4: UPDATE — delete+insert pairs with doubled post-image n
     s.sql(s"UPDATE $cat.ev SET n = n * 2 WHERE event_type = 'view'")
+    // `_commit_timestamp` parity: every change row's commit wall clock is
+    // EXACTLY its version's `snapshots.committed_at` — consumers can
+    // window the feed by time without a join; wall clock itself can't be
+    // hashed, so the proof ships as a boolean
+    val tsOk = s
+      .sql(s"""
+        |SELECT coalesce(bool_and(c.ts = sn.committed_at), false)
+        |FROM (SELECT DISTINCT _commit_version AS v, _commit_timestamp AS ts
+        |      FROM $cat.ev.changes) c
+        |JOIN $cat.ev.snapshots sn ON sn.version = c.v""".stripMargin)
+      .head()
+      .getBoolean(0)
     s.sql(s"""
       |SELECT _change_type AS change, event_type,
       |       CAST(count(*) AS BIGINT) AS n_changes,
@@ -1621,6 +1633,7 @@ object Frontier3 {
       |WHERE _commit_version > 1
       |GROUP BY _change_type, event_type
       |ORDER BY change, event_type""".stripMargin)
+      .withColumn("ts_ok", lit(tsOk))
   }
 
   val q220Sql: String =
@@ -1629,7 +1642,7 @@ object Frontier3 {
       |b AS (SELECT min(day) AS m FROM s),
       |g AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
       |      FROM s GROUP BY day, event_type)
-      |SELECT * FROM (
+      |SELECT *, true AS ts_ok FROM (
       |  SELECT 'delete' AS change, 'click' AS event_type,
       |         CAST(count(*) AS BIGINT) AS n_changes, CAST(sum(n) AS BIGINT) AS sum_n
       |  FROM g, b WHERE event_type = 'click' AND day <= m + 2
@@ -1743,6 +1756,102 @@ object Frontier3 {
       |       true AS recall_ok, true AS visited_ok, true AS mean_recall_ok
       |FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
 
+  // -- q223: graph-ANN incremental append ----------------------------------
+
+  /** q221's navigable graph, now with the DAILY-INGEST path q193 gave the
+    * IVF index: the graph is built on the PRE-APPEND corpus (vec_id % 5 ≠
+    * 0), the appended slice joins it via
+    * [[graft.llm.Similarity.knnGraphAppend]] — LSH-capped seeds, NN-descent
+    * rounds restricted to the new-node frontier, back-links re-cutting
+    * only the old nodes the new edges touch — and the search runs over
+    * the union WITHOUT a rebuild. The hash pins the parity law the query
+    * is named for: per query the exact brute-force top-1 (oracle-
+    * recomputed), a per-query recall@10 floor on the APPENDED graph, a
+    * coverage/degree bound over the union (`covered_ok` — an append that
+    * dropped nodes or blew the degree budget would flip it), and
+    * `parity_ok`: the appended graph's panel recall clears the absolute
+    * navigability floor AND lands within 0.15 mean of a FULL REBUILD
+    * searched identically — append-then-search ≡ rebuild-then-search, up
+    * to the ANN envelope. At 100 TB: a day's vectors cost O(slice) seed +
+    * refine work and O(touched) re-cuts; the other 99.99 % of the graph
+    * is read, never recomputed — the rebuild the parity check runs is
+    * exactly the cost this operator exists to avoid.
+    */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val planes = math.max(4, (math.log(math.max(n / 32.0, 2.0)) / math.log(2.0)).ceil.toInt)
+    val degree = 12
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val slice = emb.filter(col("vec_id") % 5 === 0)
+    val base = Similarity.knnGraph(old, degree, rounds = 2, planes = planes, dims = 64)
+    val appended =
+      Similarity.knnGraphAppend(base, old, slice, degree, rounds = 2, planes = planes, dims = 64)
+    val rebuilt = Similarity.knnGraph(emb, degree, rounds = 2, planes = planes, dims = 64)
+    val queries = emb.filter(col("vec_id") < 16)
+    val beam = math.max(48, (n / 16).toInt)
+    val exact = Similarity.cosineTopK(queries, emb, 10)
+    def hitsOver(g: DataFrame): DataFrame = {
+      val visited = Similarity
+        .graphSearchScored(g, emb, queries, beam, steps = 4, planes, 64, probes = planes + 1)
+      val approx = Similarity.rankTopK(visited.select(col("qid"), col("vec_id"), col("sim")), 10)
+      exact
+        .select(col("qid"), col("vec_id"))
+        .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_hit"))
+    }
+    val appendHits = hitsOver(appended)
+    val rebuildHits = hitsOver(rebuilt)
+    val covered = appended
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+      .agg(((count(lit(1)) === lit(n)) && (max(col("deg")) <= lit(degree.toLong)))
+        .as("covered_ok"))
+    val parity = appendHits
+      .agg(sum(col("n_hit")).as("ah"))
+      .crossJoin(rebuildHits.agg(sum(col("n_hit")).as("rh")))
+      // absolute navigability floor (mean recall ≥ 0.5 over 16×10) AND
+      // rebuild parity within 0.15 mean (= 24 of 160 panel hits)
+      .select((col("ah") >= lit(80L) && col("ah") >= col("rh") - lit(24L)).as("parity_ok"))
+    val out = exact
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("top1_id"), col("sim").as("top1_sim"))
+      .join(appendHits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        col("top1_id"),
+        col("top1_sim"),
+        (coalesce(col("n_hit"), lit(0L)) >= 2).as("recall_ok"))
+      .crossJoin(broadcast(covered))
+      .crossJoin(broadcast(parity))
+      .orderBy(col("qid"))
+    freeze(s, out)
+  }
+
+  val q223Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
+      |p AS (SELECT q.qid, e.vec_id, q.qe, e.embedding AS ve
+      |      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+      |acc AS (
+      |  SELECT qid, vec_id,
+      |    sum(CAST(qe[i] AS DOUBLE) * ve[i]) AS dotp,
+      |    sum(CAST(qe[i] AS DOUBLE) * qe[i]) AS qn,
+      |    sum(CAST(ve[i] AS DOUBLE) * ve[i]) AS vn
+      |  FROM p, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      |  GROUP BY qid, vec_id),
+      |sims AS (
+      |  SELECT qid, vec_id, floor(dotp / (sqrt(qn) * sqrt(vn)) * 10000 + 0.5) / 10000 AS sim
+      |  FROM acc),
+      |best AS (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+      |  FROM sims)
+      |SELECT qid, vec_id AS top1_id, sim AS top1_sim,
+      |       true AS recall_ok, true AS covered_ok, true AS parity_ok
+      |FROM best WHERE rk = 1 ORDER BY qid""".stripMargin
+
   // -- q222: dynamic partition overwrite -----------------------------------
 
   /** The nightly re-materialization op, pure SQL: the first three days'
@@ -1804,6 +1913,7 @@ object Frontier3 {
       |FROM g ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q223_graph_ann_append" -> (q223 _),
     "q222_dynamic_overwrite" -> (q222 _),
     "q221_graph_ann" -> (q221 _),
     "q220_sql_change_feed" -> (q220 _),
@@ -1833,6 +1943,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q223_graph_ann_append" -> q223Sql,
     "q222_dynamic_overwrite" -> q222Sql,
     "q221_graph_ann" -> q221Sql,
     "q220_sql_change_feed" -> q220Sql,

@@ -965,15 +965,31 @@ object Snapshots {
       val prev = manifestView(spark, root, prevV)
       val prevRels = prev.rels.toSet
       val candidates = addedRels.distinct.filterNot(prevRels).sorted
-      // a candidate that is neither in the previous manifest nor live can
-      // only be ARCHIVED — a concurrent maintenance commit adopted it from
-      // the live tree and already rewrote it; its rows are in the table,
-      // nothing left to add. Anything else is a caller error.
+      // a candidate that is neither in the previous manifest nor live was
+      // ARCHIVED by a concurrent writer — but archived does NOT always
+      // mean adopted: a maintenance commit that LISTED the file archives
+      // it after rewriting its rows (they are in the table — skip), while
+      // an INSERT OVERWRITE archives every live file of its partitions
+      // WITHOUT adopting rows that were never committed. Silently
+      // skipping the second case would drop acknowledged rows, so the
+      // skip is allowed only when some committed manifest provably listed
+      // the rel; otherwise this is a real write conflict — fail loudly so
+      // the appender rewrites its data and retries.
       val fresh = candidates.filter { rel =>
         if (fs.exists(new Path(rootPath, rel))) true
-        else if (fs.exists(new Path(new Path(rootPath, ArchiveDirName), rel))) false
-        else
-          sys.error(s"commitAppend($root): $rel is not a live file under the table root")
+        else {
+          val arch = new Path(new Path(rootPath, ArchiveDirName), rel)
+          if (fs.exists(arch)) {
+            if (relEverCommitted(spark, root, rel, fs.getFileStatus(arch).getModificationTime))
+              false // adopted and rewritten by maintenance: rows are in the table
+            else
+              sys.error(
+                s"commitAppend($root): $rel was archived by a concurrent overwrite before this " +
+                  "append committed — its rows were never adopted by any manifest; rewrite the " +
+                  "data files and retry the append")
+          } else
+            sys.error(s"commitAppend($root): $rel is not a live file under the table root")
+        }
       }
       if (fresh.isEmpty) result = prevV
       else {
@@ -1048,6 +1064,32 @@ object Snapshots {
     result
   }
 
+  /** Was `rel` ever listed by a committed manifest? Walks versions
+    * newest-first, reading each version's own contribution (a delta's
+    * added list, a checkpoint's full list), and stops below manifests
+    * committed before the file existed (`sinceMs`, with a 2 s mtime-
+    * granularity margin) — a manifest committed before the file was
+    * created cannot have adopted it, so the walk is O(commits since the
+    * file landed), cache-served. Only consulted on the rare
+    * archived-candidate path of [[commitAppend]].
+    */
+  private def relEverCommitted(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      sinceMs: Long): Boolean =
+    manifestVersions(spark, root)
+      .filter { case (_, ms) => ms >= sinceMs - 2000L }
+      .map(_._1)
+      .sorted(Ordering[Long].reverse)
+      .exists { v =>
+        val view = manifestView(spark, root, v)
+        view.delta match {
+          case Some((_, added, _)) => added.contains(rel)
+          case None => view.rels.contains(rel)
+        }
+      }
+
   /** Atomic version-slot CLAIM + manifest write — the primitive both the
     * locked commits and the lock-free concurrent appenders build on.
     *
@@ -1070,7 +1112,7 @@ object Snapshots {
     */
   private val jvmClaims = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def tryWriteManifest(
+  private[sources] def tryWriteManifest(
       fs: FileSystem,
       rootPath: Path,
       version: Long,
@@ -1078,8 +1120,18 @@ object Snapshots {
     val dir = manifestDir(rootPath)
     fs.mkdirs(dir)
     val target = manifestPath(rootPath, version)
-    if (fs.exists(target)) return false
-    val claim = new Path(dir, f".claim-v$version%010d")
+    val claim0 = new Path(dir, f".claim-v$version%010d")
+    if (fs.exists(target)) {
+      // the slot is decided forever (versions never reused) — reap the
+      // orphan claim a winner that crashed between its target rename and
+      // claim delete left behind (the staleness breaker can't: it
+      // requires target ABSENCE). Best-effort; the winner's own release
+      // is ownership-checked and tolerates the file vanishing.
+      try if (fs.exists(claim0)) fs.delete(claim0, false)
+      catch { case _: Exception => () }
+      return false
+    }
+    val claim = claim0
     val owner = java.util.UUID.randomUUID().toString
     val claimKey = claim.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
     if (jvmClaims.putIfAbsent(claimKey, owner) != null) return false
@@ -1090,7 +1142,212 @@ object Snapshots {
     } finally jvmClaims.remove(claimKey)
   }
 
-  private def tryWriteManifestClaimed(
+  // ---- partition-indexed checkpoints (O(selected-partitions) planning) --
+
+  /** Sidecar path of a checkpoint's partition index. */
+  private def pidxPath(target: Path) = new Path(target.getParent, target.getName + ".pidx")
+
+  /** Bytes of manifest text read by the CALLING thread's last pruned or
+    * full view load — observability for the O(selected) planning spec.
+    */
+  private[sources] val lastManifestBytesRead: ThreadLocal[Long] = new ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
+  }
+
+  /** One contiguous run of file lines sharing a hive partition directory:
+    * byte range [start, end) inside the manifest file.
+    */
+  private final case class PidxGroup(dir: String, start: Long, end: Long)
+
+  /** Write the partition-index sidecar of a FULL manifest: after the
+    * header's byte length, one `(partition-dir, start, end)` byte range
+    * per contiguous run of file lines sharing a hive directory — body
+    * lines are sorted by rel, so each directory's files are one run. A
+    * reader with a partition predicate then positioned-reads ONLY the
+    * selected runs: planning cost goes from O(table files) manifest
+    * parsing to O(selected partitions) — the Iceberg manifest-list idea
+    * in one sidecar. BEST-EFFORT: written after the manifest lands,
+    * validated by total byte length on read; absent/stale/corrupt
+    * sidecars fall back to the full parse, never to a wrong answer.
+    */
+  private def writePartitionIndex(fs: FileSystem, target: Path, body: Seq[String]): Unit =
+    try {
+      if (body.exists(_.startsWith("#delta "))) return // deltas are already O(delta)
+      val lens = body.map(_.getBytes("UTF-8").length.toLong + 1L) // + newline
+      val total = lens.sum
+      var off = 0L
+      var headerEnd = 0L
+      val groups = mutable.ArrayBuffer.empty[PidxGroup]
+      body.zip(lens).foreach { case (line, len) =>
+        if (line.startsWith("#")) {
+          require(groups.isEmpty && headerEnd == off, "header lines must lead the manifest")
+          headerEnd = off + len
+        } else {
+          val rel = line.split("\t").head
+          val cut = rel.lastIndexOf('/')
+          val dir = if (cut < 0) "" else rel.substring(0, cut)
+          groups.lastOption match {
+            case Some(g) if g.dir == dir && g.end == off =>
+              groups(groups.length - 1) = g.copy(end = off + len)
+            case _ => groups += PidxGroup(dir, off, off + len)
+          }
+        }
+        off += len
+      }
+      if (groups.size < 2) return // one group (or none): nothing to prune
+      val lines = Seq(s"#graft-pidx 1 $total $headerEnd") ++
+        groups.map(g => s"${hex(g.dir)}:${g.start}:${g.end}")
+      val tmp = new Path(target.getParent, s".pidx-tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, pidxPath(target))) fs.delete(tmp, false)
+    } catch { case _: Exception => () } // sidecars are an optimization only
+
+  /** Parse a checkpoint's partition index, validated against the manifest
+    * file's CURRENT byte length (a stale or torn sidecar reads as
+    * absent). Returns (headerEnd, groups).
+    */
+  private def readPartitionIndex(
+      fs: FileSystem,
+      target: Path): Option[(Long, Seq[PidxGroup])] =
+    try {
+      val p = pidxPath(target)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        val head = lines.head.split(" ")
+        if (head.length != 4 || head(0) != "#graft-pidx" || head(1) != "1") None
+        else if (head(2).toLong != fs.getFileStatus(target).getLen) None // stale
+        else {
+          val headerEnd = head(3).toLong
+          val groups = lines.tail.map { l =>
+            val Array(d, s, e) = l.split(":", 3)
+            PidxGroup(unhex(d), s.toLong, e.toLong)
+          }
+          Some((headerEnd, groups))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Would a file under hive directory `dir` DEFINITELY miss every prune
+    * range? Mirrors [[fileColStats]]' path-value typing so group
+    * selection is always a superset of the per-file stats selection;
+    * the hive null sentinel never matches a value range.
+    */
+  private def groupSelected(dir: String, prune: Seq[(String, String, String)]): Boolean = {
+    if (dir.isEmpty) return true
+    val segs = dir
+      .split("/")
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }
+      .toMap
+    prune.forall { case (c, lo, hi) =>
+      segs.get(c) match {
+        case None => true // not a partition column at this level: can't exclude
+        case Some("__HIVE_DEFAULT_PARTITION__") => false // null never matches a range
+        case Some(raw) =>
+          val v = unescapePathName(raw)
+          val typ =
+            if (scala.util.Try(v.toLong).isSuccess) "l"
+            else if (scala.util.Try(v.toDouble).isSuccess) "d"
+            else "s"
+          overlapsRange(ColStat(typ, v, v), Option(lo), Option(hi))
+      }
+    }
+  }
+
+  /** The (rels, stats) of manifest `version` RESTRICTED to partition
+    * groups a prune range can't exclude, plus the header fields — parsing
+    * only the selected byte ranges of the bottom checkpoint when its
+    * partition index exists (deltas on top parse fully; they are small by
+    * construction). Returns None when any chain level lacks an index or
+    * is otherwise unreadable — the caller falls back to the full view.
+    * Never caches: the result is query-specific, and its whole point is
+    * that re-reading it costs O(selected).
+    */
+  private def prunedChainView(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      prune: Seq[(String, String, String)]): Option[ManifestView] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, manifestDir(rootPath))
+    var levels = List.empty[Seq[String]] // delta levels, deepest first
+    var cur = version
+    var bottom: Option[(Long, Seq[String], Long, Seq[PidxGroup])] = None
+    var bytes = 0L
+    while (bottom.isEmpty) {
+      val p = manifestPath(rootPath, cur)
+      if (!fs.exists(p)) return None
+      val lines = manifestLines(spark, root, cur)
+      lines.find(_.startsWith("#delta ")) match {
+        case Some(d) =>
+          bytes += lines.map(_.getBytes("UTF-8").length.toLong + 1L).sum
+          levels = lines :: levels
+          cur = d.stripPrefix("#delta ").trim.toLong
+        case None =>
+          readPartitionIndex(fs, p) match {
+            case None => return None // no index: full parse is the right plan
+            case Some((headerEnd, groups)) => bottom = Some((cur, lines, headerEnd, groups))
+          }
+      }
+    }
+    // the bottom checkpoint: header + ONLY the selected groups' bytes.
+    // (`lines` above was a full read for the delta check — re-reading
+    // positioned keeps the accounting honest and the code single-path;
+    // the full read is discarded, its bytes not counted.)
+    val (bottomV, _, headerEnd, groups) = bottom.get
+    val target = manifestPath(rootPath, bottomV)
+    val in = fs.open(target)
+    val (headerLines, groupLines) =
+      try {
+        def readRange(start: Long, end: Long): Seq[String] = {
+          val buf = new Array[Byte]((end - start).toInt)
+          in.readFully(start, buf)
+          bytes += buf.length.toLong
+          new String(buf, "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+        val h = readRange(0L, headerEnd)
+        val sel = groups.filter(g => groupSelected(g.dir, prune))
+        (h, sel.flatMap(g => readRange(g.start, g.end)))
+      } finally in.close()
+    lastManifestBytesRead.set(bytes)
+    val (schema, statsCols, bloomCols, dropped, partCols) = parseHeader(headerLines)
+    var view = {
+      val parsed = groupLines.map(parseFileLine)
+      ManifestView(
+        bottomV,
+        parsed.map(_._1),
+        parsed.filter(_._2.nonEmpty).toMap,
+        schema,
+        statsCols,
+        bloomCols,
+        dropped,
+        partCols)
+    }
+    // fold the delta levels up, keeping only additions the prune can't
+    // exclude (removals of unselected rels no-op against the pruned base)
+    levels.foreach { lines =>
+      val applied = applyDelta(view, version, lines)
+      val kept = applied.rels.filter { rel =>
+        val cut = rel.lastIndexOf('/')
+        groupSelected(if (cut < 0) "" else rel.substring(0, cut), prune)
+      }
+      view = applied.copy(rels = kept, stats = applied.stats.filter(kv => kept.contains(kv._1)))
+    }
+    lastManifestBytesRead.set(bytes)
+    Some(view)
+  }
+
+  private[sources] def tryWriteManifestClaimed(
       fs: FileSystem,
       dir: Path,
       target: Path,
@@ -1105,6 +1362,17 @@ object Snapshots {
         true
       } catch {
         case _: java.io.IOException =>
+          if (fs.exists(target)) {
+            // the slot is DECIDED (versions are never reused), so any
+            // claim still parked on it is an orphan — a winner that
+            // crashed between its target rename and claim delete, which
+            // the staleness breaker can never reap (staleness requires
+            // target absence). Delete it; a live winner's own release is
+            // ownership-checked against a now-missing file and no-ops.
+            try fs.delete(claim, false)
+            catch { case _: Exception => () }
+            return false
+          }
           // an existing claim whose writer died (old timestamp, manifest
           // never landed) must not wedge the slot forever: break it via
           // rename-to-grave (one concurrent breaker wins the rename),
@@ -1134,11 +1402,24 @@ object Snapshots {
           val out = fs.create(tmp, false)
           try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
           finally out.close()
-          if (!fs.rename(tmp, target)) {
+          // FENCE immediately before the publishing rename: a claimant
+          // stalled past the 60 s staleness window (GC pause, slow FS
+          // writing a large checkpoint) may have had its claim broken and
+          // the slot re-won — its rename would REPLACE the new winner's
+          // committed manifest (local rename overwrites, POSIX
+          // rename(2)). Re-verify the claim still carries OUR tag and the
+          // target is still absent; losing the fence aborts the attempt
+          // (the caller rebases) — it never overwrites a committed body.
+          if (!readLockTag(fs, claim).exists(_.startsWith(owner)) || fs.exists(target)) {
             fs.delete(tmp, false)
-            sys.error(s"claimed manifest slot at $target but the rename failed")
+            false
+          } else {
+            if (!fs.rename(tmp, target)) {
+              fs.delete(tmp, false)
+              sys.error(s"claimed manifest slot at $target but the rename failed")
+            }
+            true
           }
-          true
         }
       } finally {
         try if (readLockTag(fs, claim).exists(_.startsWith(owner))) fs.delete(claim, false)
@@ -1576,6 +1857,21 @@ object Snapshots {
         .sortBy(_._1)
   }
 
+  /** Wall clock of one version's commit (the manifest file's mtime — the
+    * same instant the `snapshots` metadata table's `committed_at`
+    * reports, and the `TIMESTAMP AS OF` resolution base). One
+    * getFileStatus; errors if the manifest was vacuumed.
+    */
+  def commitTimeMs(spark: SparkSession, root: String, version: Long): Long = {
+    val p = manifestPath(new Path(root), version)
+    val fs = fsOf(spark, p)
+    try fs.getFileStatus(p).getModificationTime
+    catch {
+      case _: java.io.FileNotFoundException =>
+        sys.error(s"manifest v$version does not exist under $root (vacuumed or never committed)")
+    }
+  }
+
   /** Commit a baseline manifest iff the table has none — called by the
     * maintenance ops so the PRE-maintenance state is always pinnable.
     */
@@ -1642,9 +1938,13 @@ object Snapshots {
         .map { case (c, cs) => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}" }
         .mkString("\t")
 
-  def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
-    val v = if (version > 0) version else latestVersion(spark, root)
-    require(v > 0, s"no manifest committed under $root")
+  /** Cache lookup keyed by the manifest file's identity; errors (like the
+    * old direct read) when the manifest file is gone.
+    */
+  private def cachedView(spark: SparkSession, root: String, v: Long): Option[ManifestView] =
+    Option(viewCache.get(viewKey(spark, root, v)))
+
+  private def viewKey(spark: SparkSession, root: String, v: Long): (String, Long, Long) = {
     val p = manifestPath(new Path(root), v)
     val fs = fsOf(spark, p)
     val st =
@@ -1653,23 +1953,66 @@ object Snapshots {
         case _: java.io.FileNotFoundException =>
           sys.error(s"manifest v$v does not exist under $root (vacuumed or never committed)")
       }
-    val key = (
+    (
       p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString,
       st.getModificationTime,
       st.getLen)
-    val cached = viewCache.get(key)
-    if (cached != null) return cached
-    val view = parseView(spark, root, v)
+  }
+
+  private def cachePut(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      view: ManifestView): ManifestView = {
     if (viewCache.size() >= 32)
       viewCache.keySet.iterator().asScala.take(8).foreach(viewCache.remove)
-    viewCache.put(key, view)
+    viewCache.put(viewKey(spark, root, v), view)
     view
   }
 
-  private def parseView(spark: SparkSession, root: String, v: Long): ManifestView = {
-    val lines = manifestLines(spark, root, v)
+  def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
+    val v = if (version > 0) version else latestVersion(spark, root)
+    require(v > 0, s"no manifest committed under $root")
+    cachedView(spark, root, v).getOrElse {
+      // ITERATIVE delta-chain reconstruction: walk DOWN the recorded
+      // bases collecting unparsed delta levels until a cached view or a
+      // full manifest, then fold UP applying each delta, caching every
+      // level — what the old recursion did via the call stack, without
+      // it: a user-set `spark.graft.snapshot.checkpointInterval` in the
+      // thousands (a per-trigger streaming sink) must neither overflow
+      // the stack nor re-read the chain uncached on the next lookup.
+      var levels = List.empty[(Long, Seq[String])] // deepest level first
+      var cur = v
+      var base: Option[ManifestView] = None
+      while (base.isEmpty) {
+        val lines = manifestLines(spark, root, cur)
+        lines.find(_.startsWith("#delta ")) match {
+          case Some(d) =>
+            val b = d.stripPrefix("#delta ").trim.toLong
+            levels = (cur, lines) :: levels
+            base = cachedView(spark, root, b)
+            cur = b
+          case None =>
+            base = Some(cachePut(spark, root, cur, parseFull(cur, lines)))
+        }
+      }
+      levels.foldLeft(base.get) { case (acc, (vv, lines)) =>
+        cachePut(spark, root, vv, applyDelta(acc, vv, lines))
+      }
+    }
+  }
+
+  /** Shared header parse: (schema, statsCols, bloomCols, dropped,
+    * partCols) — a delta manifest's header fields are ITS OWN (a DDL
+    * commit is a header-only delta).
+    */
+  private def parseHeader(lines: Seq[String]): (
+      Option[org.apache.spark.sql.types.StructType],
+      Seq[String],
+      Seq[String],
+      Seq[String],
+      Seq[String]) = {
     val header = lines.filter(_.startsWith("#"))
-    val body = lines.filterNot(_.startsWith("#"))
     val schema = header
       .find(_.startsWith("#schema "))
       .map(l =>
@@ -1680,52 +2023,51 @@ object Snapshots {
       .find(_.startsWith(s"#$tag "))
       .map(_.stripPrefix(s"#$tag ").split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    val statsCols = csv("statscols")
-    val bloomCols = csv("bloomcols")
     // dropped-column tombstones are hex-encoded (a column name may itself
     // contain a comma); partition columns are plain (hive dir names can't)
-    val dropped = csv("dropped").map(unhex)
-    val partCols = csv("partcols")
-    header.find(_.startsWith("#delta ")) match {
-      case None =>
-        val parsed = body.map(parseFileLine)
-        ManifestView(
-          v,
-          parsed.map(_._1),
-          parsed.filter(_._2.nonEmpty).toMap,
-          schema,
-          statsCols,
-          bloomCols,
-          dropped,
-          partCols)
-      case Some(d) =>
-        // DELTA manifest: file list + per-file stats reconstruct from the
-        // base version (recursion bottoms out at a checkpoint — bounded
-        // by the interval, each hop usually cache-served); header fields
-        // are THIS version's own (a DDL commit is a header-only delta)
-        val base = manifestView(spark, root, d.stripPrefix("#delta ").trim.toLong)
-        val removed = body.filter(_.startsWith("-")).map(_.substring(1))
-        val added = body.filter(_.startsWith("+")).map(l => parseFileLine(l.substring(1)))
-        val removedSet = removed.toSet ++ added.map(_._1) // re-add = replace
-        val rels = (base.rels.filterNot(removedSet) ++ added.map(_._1)).sorted
-        val stats = (base.stats -- removedSet) ++ added.filter(_._2.nonEmpty).toMap
-        // the recorded delta exposes TRUE file-set changes only: a `+rel`
-        // for a rel the base already lists is a stats REPLACEMENT (same
-        // rows — the streaming feed must not re-emit it), matching what a
-        // two-version diff of the reconstructions reports
-        val baseRels = base.rels.toSet
-        ManifestView(
-          v,
-          rels,
-          stats,
-          schema,
-          statsCols,
-          bloomCols,
-          dropped,
-          partCols,
-          delta =
-            Some((base.version, added.map(_._1).filterNot(baseRels).sorted, removed.sorted)))
-    }
+    (schema, csv("statscols"), csv("bloomcols"), csv("dropped").map(unhex), csv("partcols"))
+  }
+
+  private def parseFull(v: Long, lines: Seq[String]): ManifestView = {
+    val (schema, statsCols, bloomCols, dropped, partCols) = parseHeader(lines)
+    val parsed = lines.filterNot(_.startsWith("#")).map(parseFileLine)
+    ManifestView(
+      v,
+      parsed.map(_._1),
+      parsed.filter(_._2.nonEmpty).toMap,
+      schema,
+      statsCols,
+      bloomCols,
+      dropped,
+      partCols)
+  }
+
+  /** DELTA manifest applied over its reconstructed base: file list +
+    * per-file stats evolve by the `+`/`-` body lines.
+    */
+  private def applyDelta(base: ManifestView, v: Long, lines: Seq[String]): ManifestView = {
+    val (schema, statsCols, bloomCols, dropped, partCols) = parseHeader(lines)
+    val body = lines.filterNot(_.startsWith("#"))
+    val removed = body.filter(_.startsWith("-")).map(_.substring(1))
+    val added = body.filter(_.startsWith("+")).map(l => parseFileLine(l.substring(1)))
+    val removedSet = removed.toSet ++ added.map(_._1) // re-add = replace
+    val rels = (base.rels.filterNot(removedSet) ++ added.map(_._1)).sorted
+    val stats = (base.stats -- removedSet) ++ added.filter(_._2.nonEmpty).toMap
+    // the recorded delta exposes TRUE file-set changes only: a `+rel`
+    // for a rel the base already lists is a stats REPLACEMENT (same
+    // rows — the streaming feed must not re-emit it), matching what a
+    // two-version diff of the reconstructions reports
+    val baseRels = base.rels.toSet
+    ManifestView(
+      v,
+      rels,
+      stats,
+      schema,
+      statsCols,
+      bloomCols,
+      dropped,
+      partCols,
+      delta = Some((base.version, added.map(_._1).filterNot(baseRels).sorted, removed.sorted)))
   }
 
   /** The root-relative file list of manifest `version` (≤0 → latest).
@@ -2038,13 +2380,22 @@ object Snapshots {
         val keepFrom = math.max(1L, latest - keepLast + 1L)
         val referenced: Set[String] =
           (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
-        // a retained DELTA manifest reconstructs through its chain, so
-        // manifest deletion anchors at the newest checkpoint ≤ keepFrom
-        // (bounded by the checkpoint interval). Chain-only manifests
-        // below keepFrom stay on disk for reconstruction, but their DATA
-        // files are reclaimed like any expired version's.
-        var anchor = keepFrom
-        while (anchor > 1L && manifestView(spark, root, anchor).delta.isDefined) anchor -= 1L
+        // a retained DELTA manifest reconstructs through its RECORDED
+        // chain — follow each retained version's actual `#delta <base>`
+        // hops (parseView tolerates non-adjacent bases, so vacuum must
+        // too) down to its full manifest; the deletion anchor is the
+        // deepest manifest ANY retained chain needs. Every intermediate
+        // hop is ≥ its chain's final base, so deleting strictly below the
+        // minimum base can never orphan a hop. Chain-only manifests below
+        // keepFrom stay on disk for reconstruction, but their DATA files
+        // are reclaimed like any expired version's.
+        def chainBase(v0: Long): Long = {
+          var v = v0
+          var d = manifestView(spark, root, v).delta
+          while (d.isDefined) { v = d.get._1; d = manifestView(spark, root, v).delta }
+          v
+        }
+        val anchor = (keepFrom to latest).map(chainBase).min
         (1L until anchor).foreach(v => fs.delete(manifestPath(rootPath, v), false))
         // bloom sidecars of files no retained manifest references are
         // orphans — reap them with the manifests they served

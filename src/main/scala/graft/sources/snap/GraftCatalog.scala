@@ -615,7 +615,63 @@ class SnapWriteBuilder(dir: String, info: LogicalWriteInfo)
       partCols.nonEmpty,
       s"dynamic partition overwrite on $dir: the table has no partition columns")
     new SnapDynamicOverwriteWrite(dir, info.schema(), partCols)
-  } else new V1Write {
+  } else new V1Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** The table's hive layout at write-build time (empty = flat table or
+      * no manifest yet). Drives the required CLUSTERED distribution below.
+      */
+    private lazy val distCols: Seq[String] =
+      try {
+        val spark = SparkSession.active
+        if (Snapshots.latestVersion(spark, dir) == 0L) Seq.empty
+        else {
+          val view = Snapshots.manifestView(spark, dir)
+          val cols =
+            if (view.partCols.nonEmpty) view.partCols
+            else Snapshots.partitionColsFromRels(view.rels)
+          // only columns the incoming schema actually carries can cluster
+          cols.filter(c => info.schema().fieldNames.contains(c))
+        }
+      } catch { case _: Exception => Seq.empty }
+
+    /** Cluster incoming rows by the table's partition columns — the
+      * INSERT path's REBALANCE discipline, DECLARED so Spark applies it
+      * inside the STREAMING epoch too ([[DistributionAndOrderingUtils]]
+      * plans the exchange for micro-batch writes): each epoch task then
+      * sees few distinct partition values, so a year-grain backfill
+      * through `toTable` stays under the partitioned writer's open-writer
+      * cap (which remains as the loud post-rebalance backstop) and lands
+      * ~one file per value per epoch instead of values × tasks. The hash
+      * clustering is a deterministic row→task mapping, so the
+      * replay-overwrite exactly-once argument is unchanged. On the batch
+      * INSERT side the exchange collapses with [[doInsert]]'s own
+      * REBALANCE hint (CollapseRepartition) — one shuffle either way.
+      */
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      if (distCols.isEmpty) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          distCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+    /** Sort each task's rows by the partition columns (within-partition
+      * sort, planned ABOVE the clustered exchange, so it holds even after
+      * AQE coalesces small shuffle partitions into one task — the case
+      * where clustering alone still leaves a task holding every value).
+      * Contiguity is what the streaming writer needs: it closes a value's
+      * file the moment the next value starts, so open-writer memory is
+      * O(1) and a backfill's partition-value fan-out is unbounded while
+      * each (task, value) still lands exactly one deterministically-named
+      * file.
+      */
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      distCols.map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
+
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, ow: Boolean): Unit =
         SnapWriteBuilder.doInsert(

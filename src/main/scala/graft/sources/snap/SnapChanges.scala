@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProj
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,11 +92,35 @@ object SnapChanges {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Wall clock of the version's manifest commit (the same instant
+    * `cat.t.snapshots.committed_at` reports) — what a consumer windowing
+    * by commit time (retention, SLA lag monitors) needs without a join.
+    * Caveat (the Delta-CDF one too): the timestamp is of the COMMIT, not
+    * the data — a RESTORE's re-inserted rows carry the restore's commit
+    * time, and a CLONE's v1 carries the clone's.
+    */
+  val CommitTimestampCol = "_commit_timestamp"
+
   def outSchema(dataSchema: StructType): StructType =
     StructType(
       dataSchema.fields.toSeq ++ Seq(
         StructField(ChangeTypeCol, StringType, nullable = false),
-        StructField(CommitVersionCol, LongType, nullable = false)))
+        StructField(CommitVersionCol, LongType, nullable = false),
+        StructField(CommitTimestampCol, TimestampType, nullable = false)))
+
+  /** Does the type (recursively) contain a map? Map key order has no
+    * canonical physical encoding, so [[UnsafeRow]]-byte cancellation
+    * can't be trusted across a rewrite (a pure compaction could emit
+    * phantom delete+insert pairs) — rewrite versions refuse map-typed
+    * tables at PLAN time; append-only versions (file-level inserts, no
+    * cancellation) stay fine.
+    */
+  private[snap] def containsMap(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
 
   /** Parquet bytes one CDC slice may own (pre-decode); rewrite versions
     * get `ceil(changedBytes / this)` slices, capped. Small enough that a
@@ -116,8 +140,10 @@ object SnapChanges {
       spark: SparkSession,
       dir: String,
       v: Long,
-      sliceBytes: Long): Seq[InputPartition] = {
+      sliceBytes: Long,
+      mapTyped: Boolean = false): Seq[InputPartition] = {
     val view = Snapshots.manifestView(spark, dir, v)
+    val tsMicros = Snapshots.commitTimeMs(spark, dir, v) * 1000L
     def fileOf(rel: String) =
       SnapCdcFile(Snapshots.resolve(spark, dir, rel).toString, SnapFilters.partValsOf(rel))
     val (added, removed) =
@@ -131,8 +157,15 @@ object SnapChanges {
         }
     if (removed.isEmpty)
       // append-only (or image) version: lazy one-task-per-file inserts
-      added.map(rel => SnapCdcInput(v, 0, 1, Seq.empty, Seq(fileOf(rel))): InputPartition)
+      added.map(rel =>
+        SnapCdcInput(v, tsMicros, 0, 1, Seq.empty, Seq(fileOf(rel))): InputPartition)
     else {
+      if (mapTyped)
+        throw new UnsupportedOperationException(
+          s"changes feed of $dir at v$v: the version rewrites files and the table carries a " +
+            "map-typed column — map key order has no canonical physical encoding, so the " +
+            "multiset cancellation could emit phantom change pairs; drop or restructure the " +
+            "map column (struct/array keep canonical bytes), or consume snapshots directly")
       val bytes = (added ++ removed).map { rel =>
         view.stats
           .get(rel)
@@ -147,7 +180,7 @@ object SnapChanges {
         math.min(MaxSlices.toLong, math.max(1L, (bytes + sliceBytes - 1L) / sliceBytes)).toInt
       val rm = removed.map(fileOf)
       val ad = added.map(fileOf)
-      (0 until slices).map(i => SnapCdcInput(v, i, slices, rm, ad): InputPartition)
+      (0 until slices).map(i => SnapCdcInput(v, tsMicros, i, slices, rm, ad): InputPartition)
     }
   }
 }
@@ -155,10 +188,12 @@ object SnapChanges {
 case class SnapCdcFile(path: String, partVals: Array[(String, String)])
 
 /** One CDC task: slice `slice` of `slices` over version `version`'s
-  * changed-file multiset difference.
+  * changed-file multiset difference. `commitTsMicros` is the version's
+  * commit wall clock, spliced into every emitted row.
   */
 case class SnapCdcInput(
     version: Long,
+    commitTsMicros: Long,
     slice: Int,
     slices: Int,
     removed: Seq[SnapCdcFile],
@@ -190,7 +225,8 @@ class SnapChangesScan(dir: String, dataSchema: StructType, options: Map[String, 
     val from = options.get("startingversion").map(_.toLong).getOrElse(1L)
     val to = options.get("endingversion").map(_.toLong).getOrElse(latest)
     require(from >= 1L && from <= to && to <= latest, s"changes range [$from, $to] out of history")
-    (from to to).flatMap(v => SnapChanges.planVersion(spark, dir, v, sliceBytes)).toArray
+    val mapTyped = dataSchema.fields.exists(f => SnapChanges.containsMap(f.dataType))
+    (from to to).flatMap(v => SnapChanges.planVersion(spark, dir, v, sliceBytes, mapTyped)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = cdcFactory()
@@ -243,8 +279,9 @@ class SnapChangesMicroBatchStream(
     val s = spark
     val o0 = start.asInstanceOf[SnapVersionOffset].version
     val o1 = end.asInstanceOf[SnapVersionOffset].version
+    val mapTyped = dataSchema.fields.exists(f => SnapChanges.containsMap(f.dataType))
     ((o0 + 1L) to o1).flatMap { v =>
-      SnapChanges.planVersion(s, dir, v, sliceBytes)
+      SnapChanges.planVersion(s, dir, v, sliceBytes, mapTyped)
     }.toArray
   }
 
@@ -273,7 +310,7 @@ case class SnapCdcReadFactory(dataJson: String, conf: java.io.Serializable, zone
       finally r.close()
     }
     def outRow(u: UnsafeRow, tag: String): InternalRow = {
-      val out = new Array[Any](n + 2)
+      val out = new Array[Any](n + 3)
       var i = 0
       while (i < n) {
         out(i) = if (u.isNullAt(i)) null else u.get(i, dataSchema.fields(i).dataType)
@@ -281,6 +318,7 @@ case class SnapCdcReadFactory(dataJson: String, conf: java.io.Serializable, zone
       }
       out(n) = UTF8String.fromString(tag)
       out(n + 1) = in.version
+      out(n + 2) = in.commitTsMicros
       new GenericInternalRow(out)
     }
     val proj = UnsafeProjection.create(dataSchema.fields.map(_.dataType))

@@ -433,20 +433,25 @@ class SnapHivePartitionedDataWriter(
   // NEW file (parquet files don't reopen) with a `-r<n>` suffix
   private val rotations = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
   private val closedRels = scala.collection.mutable.ArrayBuffer.empty[String]
+  // streaming only: values whose single file is already closed (dir ->
+  // attempt rel, renamed onto the deterministic name at task commit)
+  private val streamClosed = scala.collection.mutable.LinkedHashMap.empty[String, String]
   private var rows = 0L
 
-  /** Concurrently-open writer cap. Batch rewrites EVICT on overflow
+  /** Concurrently-open writer cap — a memory bound on parquet row-group
+    * buffering, NOT a fan-out bound. Batch rewrites EVICT on overflow
     * (close + rotate on reopen — safe: batch staging is attempt-unique).
-    * Streaming epochs REFUSE instead: rotation order there would depend
-    * on row arrival order, and a replay with a different order would
-    * split the same rows differently across the deterministic names,
-    * breaking the skip-if-exists exactly-once argument — so a stream
-    * whose tasks fan out past the (higher) streaming cap must
-    * repartition by the partition columns upstream. The streaming cap is
-    * a memory bound on parquet row-group buffering, sized to cover a
-    * month-grain backfill without clustering; clustering the stream by
-    * the partition columns is still the right call (one file per value
-    * per epoch instead of values x tasks).
+    * Streaming epochs close the least-recently-used value PERMANENTLY
+    * instead: the catalog Write declares a within-task sort by the
+    * partition columns ([[SnapWriteBuilder]]'s `requiredOrdering`), so a
+    * value's rows are contiguous and the evicted value is finished — its
+    * one deterministically-named file per (task, value) is unchanged by
+    * replay order, keeping the skip-if-exists exactly-once argument. A
+    * closed value REAPPEARING means the input was not sorted (a non-
+    * catalog path skipped the declared ordering); rotation there would
+    * make replays split rows nondeterministically across the
+    * deterministic names, so the writer refuses loudly — repartition +
+    * sort the stream by the table's partition columns upstream.
     */
   private val maxOpen = if (finalName.isDefined) 128 else 16
 
@@ -490,17 +495,24 @@ class SnapHivePartitionedDataWriter(
     val w = writers.remove(dir) match {
       case Some(open) => open
       case None =>
+        if (finalName.isDefined && streamClosed.contains(dir))
+          throw new IllegalStateException(
+            s"streaming epoch task saw partition value '$dir' again after closing its file — " +
+              "rows are not sorted by the table's partition columns (a write path skipped the " +
+              "catalog's declared ordering); sort the stream by the partition columns so each " +
+              "value's single deterministic file per task survives replay")
         if (writers.size >= maxOpen) {
-          if (finalName.isDefined)
-            throw new IllegalStateException(
-              s"streaming epoch task saw more than $maxOpen distinct partition values — " +
-                "repartition the stream by the table's partition columns before writeStream " +
-                "(per-task partition fan-out bounds both memory and file counts)")
           val (lruDir, lruW) = writers.head
           writers.remove(lruDir)
           lruW.close()
-          closedRels += s"$lruDir/${fileFor(rotations(lruDir))}"
-          rotations(lruDir) += 1
+          if (finalName.isDefined) {
+            // sorted input: the LRU value is finished — close-for-good,
+            // one file per (task, value), replay-order independent
+            streamClosed(lruDir) = s"$lruDir/${fileFor(0)}"
+          } else {
+            closedRels += s"$lruDir/${fileFor(rotations(lruDir))}"
+            rotations(lruDir) += 1
+          }
         }
         org.apache.spark.sql.graft.Bridge
           .parquetRowWriter(new Path(s"$stageDir/$dir", fileFor(rotations(dir))), dataSchema, conf)
@@ -524,24 +536,27 @@ class SnapHivePartitionedDataWriter(
       case None =>
         SnapStagedPartFiles((closedRels.toSeq ++ openRels.map(_._2)).sorted, rows)
       case Some(n) =>
-        // streaming never rotates (overflow refuses), so every dir has
-        // exactly its attempt file to rename onto the deterministic name
+        // streaming never rotates (a closed value reappearing refuses), so
+        // every dir — still-open or closed-on-overflow — has exactly its
+        // attempt file to rename onto the deterministic name
         val fs = new Path(stageDir).getFileSystem(conf)
-        openRels.foreach { case (d, rel) =>
+        val allRels = streamClosed.toSeq ++ openRels
+        allRels.foreach { case (d, rel) =>
           val from = new Path(s"$stageDir/$rel")
           val target = new Path(s"$stageDir/$d", n)
           if (fs.exists(target)) fs.delete(target, false) // dead attempt's leftover
           if (!fs.rename(from, target))
             throw new java.io.IOException(s"task commit rename failed: $from -> $target")
         }
-        SnapStagedPartFiles(openRels.map(_._1).sorted.map(d => s"$d/$n"), rows)
+        SnapStagedPartFiles(allRels.map(_._1).sorted.map(d => s"$d/$n"), rows)
     }
   }
 
   override def abort(): Unit = {
     writers.values.foreach(w => scala.util.Try(w.close()))
     val fs = new Path(stageDir).getFileSystem(conf)
-    (closedRels.toSeq ++ writers.keys.toSeq.map(d => s"$d/${fileFor(rotations(d))}"))
+    (closedRels.toSeq ++ streamClosed.values.toSeq ++
+      writers.keys.toSeq.map(d => s"$d/${fileFor(rotations(d))}"))
       .foreach(rel => scala.util.Try(fs.delete(new Path(s"$stageDir/$rel"), false)))
   }
 

@@ -321,6 +321,89 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graph seeding skew law: an all-one-bucket corpus seeds O(n·cap) pairs, never O(n²)") {
+    import spark.implicits._
+    // the adversarial shape: every vector hashed into ONE bucket (real
+    // embedding corpora are clustered — hot buckets are the expected
+    // case, not the corner). The per-bucket nbr-side cap must bound the
+    // self-join at n·cap pairs; uncapped it would be n·(n−1).
+    val n = 500L
+    val cap = 48 // 4 × the q221 degree
+    val bk = spark.range(n).select(lit(0L).as("bucket"), $"id".as("vec_id"))
+    val pairs = Similarity.seedPairs(bk, cap)
+    val count = pairs.count()
+    // node side uncapped (every node keeps seeds), nbr side capped: each
+    // of the n nodes pairs with the cap representatives, minus the cap
+    // self-pairs — exactly n·cap − cap
+    assert(count == n * cap - cap, s"seeded $count pairs, expected ${n * cap - cap}")
+    assert(count < n * (n - 1) / 4, "seeding must stay far below the quadratic")
+    // every node still gets seeded — the cap bounds the NEIGHBOR side only
+    assert(pairs.select("node").distinct().count() == n)
+    // deterministic: the capped representative set is hash-rank-stable
+    assert(pairs.exceptAll(Similarity.seedPairs(bk, cap)).count() == 0)
+  }
+
+  test("knnGraphAppend: coverage, degree bound, untouched nodes verbatim, recall parity with rebuild") {
+    val c = emb.select(col("vec_id"), col("embedding"))
+    val n = c.count()
+    val planes = 4
+    val old = c.filter(col("vec_id") % 5 =!= 0)
+    val slice = c.filter(col("vec_id") % 5 === 0)
+    val base = Similarity.knnGraph(old, degree = 12, rounds = 3, planes = planes, dims = 64)
+    val appended =
+      Similarity.knnGraphAppend(base, old, slice, degree = 12, rounds = 2, planes = planes, dims = 64)
+    // structural laws over the UNION corpus: every node listed, bounded
+    // degree, no self-loops — the build's unconditional-coverage law
+    val deg = appended.groupBy("node").count()
+    assert(deg.count() == n, "append must cover old and new nodes")
+    assert(deg.filter(col("count") > 12).count() == 0, "degree bound violated by append")
+    assert(appended.filter(col("node") === col("nbr")).count() == 0, "self-loop")
+    // old nodes NO new edge touched carry over verbatim — the O(slice)
+    // work argument, checked literally
+    val newIds = slice.select(col("vec_id"))
+    val touched = appended
+      .join(newIds.select(col("vec_id").as("nbr")), Seq("nbr"), "left_semi")
+      .select(col("node"))
+      .distinct()
+    val untouchedNow = appended
+      .join(newIds.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+      .join(touched, Seq("node"), "left_anti")
+    val untouchedBefore = base
+      .join(touched, Seq("node"), "left_anti")
+    assert(
+      untouchedNow.exceptAll(untouchedBefore).count() == 0 &&
+        untouchedBefore.exceptAll(untouchedNow).count() == 0,
+      "an old node no new edge touched must keep its list verbatim")
+    // deterministic: a re-append is edge-identical
+    val again =
+      Similarity.knnGraphAppend(base, old, slice, degree = 12, rounds = 2, planes = planes, dims = 64)
+    assert(appended.exceptAll(again).count() == 0 && again.exceptAll(appended).count() == 0)
+    // recall parity: beam search over the appended graph tracks a FULL
+    // REBUILD over the union within the ANN envelope (the q193 law, graph
+    // edition) — everything deterministic, so these are fixed numbers
+    val rebuilt = Similarity.knnGraph(c, degree = 12, rounds = 3, planes = planes, dims = 64)
+    val queries = c.filter(col("vec_id") < 16)
+    val beam = math.max(48, (n / 16).toInt)
+    def meanRecall(g: org.apache.spark.sql.DataFrame): Double = {
+      val visited =
+        Similarity.graphSearchScored(g, c, queries, beam, steps = 4, planes, 64, probes = planes + 1)
+      val approx = Similarity.rankTopK(visited.select(col("qid"), col("vec_id"), col("sim")), 10)
+      Similarity
+        .cosineTopK(queries, c, 10)
+        .select(col("qid"), col("vec_id"))
+        .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+        .count()
+        .toDouble / (16 * 10)
+    }
+    val viaAppend = meanRecall(appended)
+    val viaRebuild = meanRecall(rebuilt)
+    info(f"append recall $viaAppend%.3f vs rebuild $viaRebuild%.3f")
+    assert(viaAppend >= 0.5, f"appended-graph mean recall $viaAppend%.2f below the navigability floor")
+    assert(
+      viaAppend >= viaRebuild - 0.15,
+      f"append recall $viaAppend%.2f fell more than 0.15 below rebuild $viaRebuild%.2f")
+  }
+
   test("navigable k-NN graph: bounded degree, deterministic build, beam-search recall laws") {
     val c = emb.select(col("vec_id"), col("embedding"))
     val n = c.count()

@@ -613,6 +613,62 @@ class SnapCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snapc24.t").as[Long].head() == 4L)
   }
 
+  test("streaming toTable: a year-grain backfill (400 partition values in one epoch) lands via the declared clustering") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("snapcat_year").toString
+    val dir = s"$base/t"
+    Seq((0L, java.sql.Date.valueOf("2019-12-31"))).toDF("id", "day")
+      .coalesce(1).write.partitionBy("day").parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"))
+    spark.conf.set("spark.sql.catalog.snapc25", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc25.root", base)
+    // 400 distinct days in ONE epoch — more than the 128 open-writer cap,
+    // so without the Write's declared clustered distribution (the INSERT
+    // path's REBALANCE discipline applied inside the streaming epoch)
+    // some task would see >128 values and hit the loud backstop
+    val days = (0 until 400).map { i =>
+      (i.toLong + 1L, java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)))
+    }
+    val in = MemoryStream[(Long, java.sql.Date)]
+    val q = in
+      .toDF()
+      .toDF("id", "day")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .toTable("snapc25.t")
+    try {
+      in.addData(days: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM snapc25.t").as[Long].head() == 401L)
+    // every value landed in ITS hive directory, clustering bounded the
+    // file count at ~one per value per epoch (not values × tasks)
+    val rels = Snapshots.files(spark, dir)
+    val dayDirs = rels.map(_.split("/").head).distinct
+    assert(dayDirs.length == 401, s"${dayDirs.length} day dirs")
+    assert(rels.length <= 401 + 32, s"small-files discipline broke: ${rels.length} files")
+    // partition-pruned read through the epoch-committed manifest stats
+    assert(
+      spark.sql("SELECT count(*) AS n FROM snapc25.t WHERE day = DATE'2020-06-01'")
+        .as[Long].head() == 1L)
+    // exactly-once replay: re-committing at-or-below the high-water mark
+    // changes nothing even for the wide epoch
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    val sw = new graft.sources.snap.SnapStreamingWrite(
+      dir,
+      new java.io.File(s"$dir/${Snapshots.ManifestDirName}")
+        .listFiles()
+        .map(_.getName)
+        .find(_.startsWith(".epoch-"))
+        .map(_.stripPrefix(".epoch-"))
+        .getOrElse(fail("no epoch marker written")),
+      Seq((0L, java.sql.Date.valueOf("2020-01-01"))).toDF("id", "day").schema)
+    sw.commit(0L, Array.empty)
+    assert(Snapshots.latestVersion(spark, dir) == vBefore, "replayed epoch must not commit")
+    assert(spark.sql("SELECT count(*) FROM snapc25.t").as[Long].head() == 401L)
+  }
+
   test("cat.t.changes: batch and streaming CDC match Snapshots.diff across delete/compaction/append") {
     val (_, dir) = fixture("snapcdc") // v1: 4 day files, 5 rows
     Sources.deleteWhere(spark, dir, col("id") === 2L) // v2: DELETE (rewrite of day 01)
@@ -670,6 +726,56 @@ class SnapCatalogSpec extends SparkSpec {
     val pinned = spark.sql("SELECT * FROM snapcdc.ev.changes VERSION AS OF 3").collect().map(key)
     assert(pinned.length == 7, pinned.toSeq.sorted.toString)
     assert(pinned.forall(_._4 <= 3L), "pinned feed leaked post-pin versions")
+    // _commit_timestamp parity: every change row's commit wall clock is
+    // EXACTLY its version's `snapshots.committed_at` (both read the
+    // manifest's mtime); batch and streaming plan through the same
+    // planVersion, so the batch check covers both. The caveat is the
+    // CDF-standard one: the timestamp is of the COMMIT, not the data.
+    val tsByV = spark.read
+      .table("snapcdc.ev.changes")
+      .select(col("_commit_version"), col("_commit_timestamp"))
+      .distinct()
+      .collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1))
+    assert(tsByV.map(_._1).distinct.length == tsByV.length, "one timestamp per version")
+    val committedAt = spark
+      .sql("SELECT version, committed_at FROM snapcdc.ev.snapshots")
+      .collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1))
+      .toMap
+    tsByV.foreach { case (v, ts) =>
+      assert(committedAt(v) == ts, s"v$v: _commit_timestamp $ts != committed_at ${committedAt(v)}")
+    }
+  }
+
+  test("cat.t.changes: map-typed tables feed append-only versions but refuse rewrite versions") {
+    val base = Files.createTempDirectory("snapcat_map").toString
+    val dir = s"$base/m"
+    Seq((1L, Map("a" -> 1L)), (2L, Map("b" -> 2L)))
+      .toDF("id", "props")
+      .coalesce(1)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, statsCols = Seq("id")) // v1 image
+    spark.conf.set("spark.sql.catalog.snapcmap", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapcmap.root", base)
+    // append-only history: fine — file-level inserts never cancel bytes
+    spark.sql("INSERT INTO snapcmap.m VALUES (3, map('c', CAST(3 AS BIGINT)))") // v2
+    assert(spark.read.table("snapcmap.m.changes").count() == 3L)
+    // a REWRITE version: UnsafeRow-byte cancellation can't canonicalize
+    // map key order across files, so the feed must refuse at PLAN time
+    // (phantom delete+insert pairs from a pure compaction otherwise)
+    Sources.deleteWhere(spark, dir, col("id") === 1L) // v3 rewrites the 2-row file
+    val e = intercept[Exception] {
+      spark.read
+        .option("startingVersion", 3)
+        .option("endingVersion", 3)
+        .table("snapcmap.m.changes")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("map-typed")), msgs(e).mkString("; "))
   }
 
   test("partitioned staging writer: batch rotates past the open-writer cap; streaming refuses") {
@@ -696,20 +802,36 @@ class SnapCatalogSpec extends SparkSpec {
       .schema(StructType(Seq(StructField("id", LongType))))
       .parquet(msg.rels.map(r => s"$stage/$r"): _*)
     assert(back.count() == 80L, "no staged row may be lost across rotations")
-    // streaming mode (deterministic finalName) must REFUSE fan-out past
-    // its (higher, 128) cap instead of rotating — rotation order would
-    // break replay determinism
+    // streaming mode (deterministic finalName): SORTED fan-out past the
+    // 128 cap closes finished values instead of refusing — one file per
+    // (task, value), unbounded value count, O(cap) memory
     val sw = new graft.sources.snap.SnapHivePartitionedDataWriter(
       stage, schema, Seq("day"), conf, "attempt-1-00000.parquet",
       finalName = Some("stream-q-1-00000.parquet"))
-    val e = intercept[IllegalStateException] {
-      (0 until 130).foreach { d =>
-        sw.write(new GenericInternalRow(
-          Array[Any](d.toLong, UTF8String.fromString(f"2025-x-$d%03d"))))
-      }
+    (0 until 130).foreach { d =>
+      sw.write(new GenericInternalRow(
+        Array[Any](d.toLong, UTF8String.fromString(f"2025-x-$d%03d"))))
     }
-    assert(e.getMessage.contains("repartition"), e.getMessage)
-    sw.abort()
+    val smsg = sw.commit().asInstanceOf[graft.sources.snap.SnapStagedPartFiles]
+    assert(smsg.rows == 130L)
+    assert(smsg.rels.size == 130, s"one deterministic file per value: ${smsg.rels.size}")
+    assert(smsg.rels.forall(_.endsWith("/stream-q-1-00000.parquet")), smsg.rels.take(3).toString)
+    // ...but a value REAPPEARING after its file closed (unsorted input —
+    // a path that skipped the catalog's declared ordering) must refuse:
+    // rotation order would break replay determinism
+    val sw2 = new graft.sources.snap.SnapHivePartitionedDataWriter(
+      stage, schema, Seq("day"), conf, "attempt-2-00000.parquet",
+      finalName = Some("stream-q-2-00000.parquet"))
+    val e = intercept[IllegalStateException] {
+      (0 until 129).foreach { d =>
+        sw2.write(new GenericInternalRow(
+          Array[Any](d.toLong, UTF8String.fromString(f"2026-x-$d%03d"))))
+      }
+      sw2.write(new GenericInternalRow( // value 000 reappears after close
+        Array[Any](999L, UTF8String.fromString("2026-x-000"))))
+    }
+    assert(e.getMessage.contains("sorted"), e.getMessage)
+    sw2.abort()
   }
 
   test("INSERT OVERWRITE: partition-spec and dynamic modes replace only the matching partitions") {

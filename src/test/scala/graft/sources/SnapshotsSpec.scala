@@ -690,6 +690,147 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  private def landLooseFile(dir: String, tag: String, id: Long): String = {
+    val fs =
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sub = s".stage-$tag"
+    Seq((id, id * 1.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/$sub")
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    val rel = s"$tag-${part.getName}"
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, rel))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
+    rel
+  }
+
+  test("commitAppend: a maintenance-adopted archived rel skips; an overwrite-archived one conflicts") {
+    val dir = Files.createTempDirectory("snap_archconf").toString + "/t"
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Snapshots.commit(spark, dir, statsCols = Seq("id")) // v1
+    val fs =
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ADOPTED: the file lands, a maintenance commit LISTS it, a compaction
+    // rewrites+archives it — its rows are in the table, so a late
+    // commitAppend of the same rel is the exactly-once replay case: skip,
+    // version unchanged, no duplicate rows
+    val adopted = landLooseFile(dir, "adopt", 2L)
+    Snapshots.commit(spark, dir) // adopts from the live listing
+    Sources.compactInPlace(spark, dir) // rewrites; the adopted file archives
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, adopted)),
+      "precondition: compaction must archive the adopted file")
+    val vNow = Snapshots.latestVersion(spark, dir)
+    assert(Snapshots.commitAppend(spark, dir, Seq(adopted)) == vNow)
+    assert(Snapshots.readSnapshot(spark, dir).filter(col("id") === 2L).count() == 1L)
+    // OVERWRITE-ARCHIVED: the file lands but is archived before ANY commit
+    // listed it (a concurrent INSERT OVERWRITE's listing window) —
+    // skipping would silently drop acknowledged rows; must conflict loudly
+    val orphan = landLooseFile(dir, "orphan", 3L)
+    Snapshots.archiveFile(
+      fs,
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir, orphan))
+    val e = intercept[RuntimeException](Snapshots.commitAppend(spark, dir, Seq(orphan)))
+    assert(e.getMessage.contains("never adopted"), e.getMessage)
+    assert(Snapshots.readSnapshot(spark, dir).filter(col("id") === 3L).count() == 0L)
+  }
+
+  test("version-slot claims: orphan on a decided slot reaped; fresh foreign claim loses; stale breaks") {
+    val dir = Files.createTempDirectory("snap_claims").toString + "/t"
+    Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.parquet(dir)
+    Snapshots.commit(spark, dir) // v1
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}")
+    def putClaim(v: Long, tag: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(mdir, f".claim-v$v%010d")
+      val out = fs.create(p, true)
+      try out.write(tag.getBytes("UTF-8"))
+      finally out.close()
+      p
+    }
+    // a winner that crashed between its target rename and claim delete
+    // leaves a claim the staleness breaker can never reap (staleness
+    // requires target ABSENCE) — probing the decided slot must reap it
+    val orphan = putClaim(1L, s"dead-owner ${System.currentTimeMillis()}")
+    assert(!Snapshots.tryWriteManifest(fs, rootPath, 1L, Seq("poison")))
+    assert(!fs.exists(orphan), "orphan claim on a decided slot must be reaped")
+    assert(Snapshots.files(spark, dir, 1L).nonEmpty, "v1 manifest body untouched")
+    // a FRESH foreign claim on an undecided slot: lost, body NOT broken
+    val fresh = putClaim(2L, s"live-owner ${System.currentTimeMillis()}")
+    assert(!Snapshots.tryWriteManifest(fs, rootPath, 2L, Seq("mine")))
+    assert(fs.exists(fresh), "a live claim must not be broken")
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    // a STALE claim (>60 s, no manifest) breaks; the next attempt wins
+    putClaim(2L, s"dead-owner ${System.currentTimeMillis() - 120000L}")
+    assert(!Snapshots.tryWriteManifest(fs, rootPath, 2L, Seq("mine"))) // breaks, loses this attempt
+    assert(Snapshots.tryWriteManifest(fs, rootPath, 2L, Seq("rel-after-break")))
+    assert(Snapshots.files(spark, dir, 2L) == Seq("rel-after-break"))
+  }
+
+  test("vacuum follows recorded delta bases, not version-minus-one adjacency") {
+    val dir = Files.createTempDirectory("snap_vacchain").toString + "/t"
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "2")
+    try {
+      table(dir)
+      Snapshots.commit(spark, dir, statsCols = Seq("day")) // v1 full
+      Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v")
+        .write.mode("append").parquet(s"$dir/day=2024-01-09")
+      Snapshots.commit(spark, dir) // v2: a CHECKPOINT under interval 2
+      // v3: a delta recording a NON-ADJACENT base (v1) — parseView
+      // tolerates arbitrary `#delta <base>` headers, so vacuum must walk
+      // the recorded chain; the old version-minus-one walk would anchor at
+      // the v2 checkpoint and delete v1, breaking v3's reconstruction
+      val v1head = scala.io.Source
+        .fromFile(f"$dir/${Snapshots.ManifestDirName}/v${1L}%010d.manifest", "UTF-8")
+        .getLines()
+        .filter(_.startsWith("#"))
+        .toSeq
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/${Snapshots.ManifestDirName}/v${3L}%010d.manifest"),
+        ((v1head :+ "#delta 1").mkString("\n") + "\n").getBytes("UTF-8"))
+      assert(
+        Snapshots.files(spark, dir, 3L).toSet == Snapshots.files(spark, dir, 1L).toSet,
+        "precondition: v3 reconstructs from base v1")
+      Snapshots.vacuum(spark, dir, keepLast = 1)
+      assert(
+        Snapshots.readSnapshot(spark, dir, 3L).count() == 4L,
+        "retained v3 must stay reconstructable after vacuum — its recorded base survived")
+    } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
+  }
+
+  test("a multi-thousand-delta chain reconstructs iteratively (no recursion, stats carried)") {
+    val dir = Files.createTempDirectory("snap_deepchain").toString + "/t"
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "1000000")
+    try {
+      Seq((1L, 1.0)).toDF("id", "v").coalesce(1).write.parquet(dir)
+      Snapshots.commit(spark, dir, statsCols = Seq("id")) // v1 full
+      val head = scala.io.Source
+        .fromFile(f"$dir/${Snapshots.ManifestDirName}/v${1L}%010d.manifest", "UTF-8")
+        .getLines()
+        .filter(l => l.startsWith("#") && !l.startsWith("#delta"))
+        .toSeq
+      val depth = 3000L
+      // per-trigger streaming sinks with a misconfigured interval produce
+      // exactly this shape: thousands of header-only deltas, no checkpoint
+      (2L to depth).foreach { v =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$dir/${Snapshots.ManifestDirName}/v$v%010d.manifest"),
+          ((head :+ s"#delta ${v - 1L}").mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+      val view = Snapshots.manifestView(spark, dir, depth)
+      assert(view.rels == Snapshots.files(spark, dir, 1L))
+      assert(view.delta.contains((depth - 1L, Seq.empty[String], Seq.empty[String])))
+      assert(Snapshots.countRows(spark, dir, depth) == 1L, "per-file stats must survive the chain")
+      // the fold cached intermediate levels: a second deep lookup is served
+      // without re-walking to v1 (timing-free proxy: it simply succeeds)
+      assert(Snapshots.manifestView(spark, dir, depth - 1L).rels == view.rels)
+    } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
+  }
+
   test("latestVersion hint: stale, missing, corrupt and ahead hints all stay exact") {
     val dir = Files.createTempDirectory("snap_hint").toString + "/t"
     table(dir)
