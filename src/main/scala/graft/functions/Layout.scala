@@ -88,4 +88,108 @@ object Layout {
     val side = 1 << order
     Array.tabulate(side * side)(i => hilbertIndex(order, (i / side).toLong, (i % side).toLong))
   }
+
+  // ---- k-dimensional keys (real training-table clustering is 3+-dim:
+  // (source, day, length)-shaped boxes) --------------------------------
+
+  /** Morton (Z-order) interleave of the low `bits` bits of k non-negative
+    * long columns: bit i of column j lands at position k·i + j. Pure
+    * codegen'd bit arithmetic — the expression is a flat sum of k·bits
+    * shift terms (linear growth, no UDF, no shuffle). `bits`·k must fit a
+    * long's 63 value bits.
+    */
+  def zorderN(cols: Seq[Column], bits: Int = 16): Column = {
+    val k = cols.length
+    require(k >= 2, s"zorderN needs at least 2 columns, got $k")
+    require(bits >= 1 && bits * k <= 63, s"zorderN($k cols, $bits bits) overflows a long")
+    (for { i <- 0 until bits; j <- 0 until k } yield
+      shiftleft(shiftright(cols(j), i).bitwiseAND(lit(1L)), k * i + j))
+      .reduce(_ + _)
+      .cast("long")
+  }
+
+  /** DuckDB twin of [[zorderN]] (same parenthesization discipline as
+    * [[sqlZorder2]]).
+    */
+  def sqlZorderN(cols: Seq[String], bits: Int = 16): String = {
+    val k = cols.length
+    val terms = cols.zipWithIndex
+      .map { case (c, j) => s"(((($c) >> i) & 1) << (${k}*i + $j))" }
+      .mkString(" + ")
+    s"CAST(list_sum(list_transform(range(0, $bits), i -> $terms)) AS BIGINT)"
+  }
+
+  /** k-dimensional Hilbert index via Skilling's transpose construction
+    * (J. Skilling, "Programming the Hilbert Curve", AIP Conf. Proc. 707,
+    * 2004): axes → transpose (inverse-undo + Gray decode), then
+    * bit-interleave the transpose into one scalar. MUTATES `x` (the
+    * codegen hot path reuses one scratch buffer per task); public callers
+    * wanting value semantics use [[hilbertIndexN]].
+    */
+  def hilbertIndexInPlace(order: Int, x: Array[Long]): Long = {
+    val n = x.length
+    val m = 1L << (order - 1)
+    // inverse undo: top-down quadrant reflection/exchange
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray decode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(n - 1) & q) != 0L) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transpose: bit b of x(j) → index bit b·n + (n-1-j)
+    var d = 0L
+    var b = order - 1
+    while (b >= 0) {
+      var j = 0
+      while (j < n) {
+        d = (d << 1) | ((x(j) >> b) & 1L)
+        j += 1
+      }
+      b -= 1
+    }
+    d
+  }
+
+  /** Value-semantics wrapper of [[hilbertIndexInPlace]]. */
+  def hilbertIndexN(order: Int, coords: Array[Long]): Long =
+    hilbertIndexInPlace(order, coords.clone())
+
+  /** [[hilbertIndexN]] as a codegen'd column: a native Expression with a
+    * real loop ([[graft.plans.HilbertNExpr]]) — the k·order-level unroll
+    * that [[hilbert2]] uses would grow the `when`-tree exponentially in
+    * k, exactly the move the hilbert2 Scaladoc anticipated.
+    */
+  def hilbertN(cols: Seq[Column], order: Int): Column =
+    graft.plans.LayoutExpressions.hilbertN(cols, order)
+
+  /** The full coords→d table at (`order`, `dims`) as a flat array in
+    * row-major coordinate order (index = Σ coordᵢ · side^(dims-1-i)), for
+    * oracle SQL splicing and property tests. side^dims entries — callers
+    * keep (order·dims) small.
+    */
+  def hilbertTableN(order: Int, dims: Int): Array[Long] = {
+    val side = 1 << order
+    val total = math.pow(side.toDouble, dims.toDouble).toLong
+    require(total <= (1 << 20), s"hilbertTableN($order, $dims): $total entries is too big to splice")
+    Array.tabulate(total.toInt) { idx =>
+      val coords = new Array[Long](dims)
+      var rem = idx.toLong
+      var i = dims - 1
+      while (i >= 0) { coords(i) = rem % side; rem /= side; i -= 1 }
+      hilbertIndexInPlace(order, coords)
+    }
+  }
 }

@@ -1912,7 +1912,82 @@ object Frontier3 {
       |SELECT event_type, n + hit AS n_live, n AS n_before, su + hit AS u_live, su AS u_before
       |FROM g ORDER BY event_type""".stripMargin
 
+  // -- q224: 3-D Hilbert layout key + box-query file pruning ---------------
+
+  /** Multi-dimensional clustering, hash-proved end to end: orders rows map
+    * to a 32³ grid over (custkey, order-day, orderkey) — the
+    * (source, day, shard) shape real training tables cluster by — and
+    * land laid out by the k-dim Hilbert key
+    * ([[graft.functions.Layout.hilbertN]], Skilling's transpose construction
+    * as a native codegen'd Expression), one file per aligned 8×8×8 curve
+    * subcube (`hkey div 512` — Hilbert visits each octant subcube
+    * completely before leaving it, so every file's (x,y,z) bounding box is
+    * EXACTLY that cube). A 3-D box predicate then prunes through the
+    * manifest's per-file stats: `pruned_ok` pins kept·2 ≤ total files, and
+    * the hash pins value parity with the oracle's raw recomputation. The
+    * `hsum` column additionally cross-checks the Hilbert expression itself
+    * against a DuckDB-spliced order-3 lookup table, so the curve math is
+    * oracle-verified, not just self-consistent. At 100 TB: a single-column
+    * sort prunes one dimension of a box query and scans everything else;
+    * this layout answers (customer × date × length) boxes from the ~2 % of
+    * files whose cubes the box touches.
+    */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Layout
+    val root = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q224_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(root.toString)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val dims = Tables
+      .orders(s, d)
+      .select(
+        (col("o_custkey") % 32).cast("long").as("x"),
+        (datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))) % 32)
+          .cast("long")
+          .as("y"),
+        (col("o_orderkey") % 32).cast("long").as("z"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("u"))
+      .withColumn("hkey", Layout.hilbertN(Seq(col("x"), col("y"), col("z")), 5))
+      .withColumn("bucket", (col("hkey") / lit(512L)).cast("long"))
+    graft.sources.Sources
+      .writeParquet(dims.repartition(col("bucket")), root.toString, Seq("bucket"))
+    val v1 = graft.sources.Snapshots.commit(s, root.toString, Seq("x", "y", "z"))
+    val box = Seq(("x", "4", "9"), ("y", "10", "19"), ("z", "2", "13"))
+    val prunedScan = graft.sources.Snapshots.readSnapshot(s, root.toString, v1, prune = box)
+    val kept = prunedScan.inputFiles.length
+    val total = graft.sources.Snapshots.files(s, root.toString, v1).size
+    prunedScan
+      .filter(
+        col("x").between(4, 9) && col("y").between(10, 19) && col("z").between(2, 13))
+      .groupBy(col("x"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(Layout.hilbertN(Seq(col("x") % 8, col("y") % 8, col("z") % 8), 3)).as("hsum"))
+      .withColumn("pruned_ok", lit(kept >= 1 && kept * 2 <= total))
+      .orderBy(col("x"))
+  }
+
+  val q224Sql: String = {
+    val table = graft.functions.Layout.hilbertTableN(3, 3).mkString("[", ", ", "]")
+    s"""WITH s AS (
+       |  SELECT o_custkey % 32 AS x,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 32 AS y,
+       |    o_orderkey % 32 AS z,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS u
+       |  FROM orders),
+       |f AS (SELECT * FROM s
+       |      WHERE x BETWEEN 4 AND 9 AND y BETWEEN 10 AND 19 AND z BETWEEN 2 AND 13)
+       |SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS sum_u,
+       |  CAST(sum(list_extract($table, CAST((x % 8) * 64 + (y % 8) * 8 + (z % 8) AS INTEGER) + 1)) AS BIGINT) AS hsum,
+       |  true AS pruned_ok
+       |FROM f GROUP BY x ORDER BY x""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_layout3d_box_prune" -> (q224 _),
     "q223_graph_ann_append" -> (q223 _),
     "q222_dynamic_overwrite" -> (q222 _),
     "q221_graph_ann" -> (q221 _),
@@ -1943,6 +2018,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q224_layout3d_box_prune" -> q224Sql,
     "q223_graph_ann_append" -> q223Sql,
     "q222_dynamic_overwrite" -> q222Sql,
     "q221_graph_ann" -> q221Sql,

@@ -1282,29 +1282,29 @@ object Snapshots {
     val fs = fsOf(spark, manifestDir(rootPath))
     var levels = List.empty[Seq[String]] // delta levels, deepest first
     var cur = version
-    var bottom: Option[(Long, Seq[String], Long, Seq[PidxGroup])] = None
+    var bottom: Option[(Long, Long, Seq[PidxGroup])] = None
     var bytes = 0L
     while (bottom.isEmpty) {
       val p = manifestPath(rootPath, cur)
       if (!fs.exists(p)) return None
-      val lines = manifestLines(spark, root, cur)
-      lines.find(_.startsWith("#delta ")) match {
-        case Some(d) =>
-          bytes += lines.map(_.getBytes("UTF-8").length.toLong + 1L).sum
-          levels = lines :: levels
-          cur = d.stripPrefix("#delta ").trim.toLong
+      // probe the sidecar BEFORE touching the manifest: deltas never
+      // write one, so a validated index both identifies the checkpoint
+      // and spares the O(table-files) full read this path exists to avoid
+      readPartitionIndex(fs, p) match {
+        case Some((headerEnd, groups)) => bottom = Some((cur, headerEnd, groups))
         case None =>
-          readPartitionIndex(fs, p) match {
-            case None => return None // no index: full parse is the right plan
-            case Some((headerEnd, groups)) => bottom = Some((cur, lines, headerEnd, groups))
+          val lines = manifestLines(spark, root, cur)
+          lines.find(_.startsWith("#delta ")) match {
+            case Some(d) =>
+              bytes += lines.map(_.getBytes("UTF-8").length.toLong + 1L).sum
+              levels = lines :: levels
+              cur = d.stripPrefix("#delta ").trim.toLong
+            case None => return None // unindexed checkpoint: full parse is the right plan
           }
       }
     }
-    // the bottom checkpoint: header + ONLY the selected groups' bytes.
-    // (`lines` above was a full read for the delta check — re-reading
-    // positioned keeps the accounting honest and the code single-path;
-    // the full read is discarded, its bytes not counted.)
-    val (bottomV, _, headerEnd, groups) = bottom.get
+    // the bottom checkpoint: header + ONLY the selected groups' bytes
+    val (bottomV, headerEnd, groups) = bottom.get
     val target = manifestPath(rootPath, bottomV)
     val in = fs.open(target)
     val (headerLines, groupLines) =
@@ -1418,6 +1418,7 @@ object Snapshots {
               fs.delete(tmp, false)
               sys.error(s"claimed manifest slot at $target but the rename failed")
             }
+            writePartitionIndex(fs, target, body) // best-effort, checkpoint-only
             true
           }
         }
@@ -2138,9 +2139,24 @@ object Snapshots {
       root: String,
       version: Long = -1L,
       prune: Seq[(String, String, String)] = Nil): DataFrame = {
-    val view = manifestView(spark, root, version)
+    // a pruned read against an indexed checkpoint parses only the
+    // selected partition groups' byte ranges — planning I/O is
+    // O(selected partitions), not O(table files); the group selection is
+    // a superset of the per-file stats selection below, so the final rel
+    // set (and the scan) is identical either way
+    val pruned =
+      if (prune.isEmpty) None
+      else {
+        val v = if (version > 0) version else latestVersion(spark, root)
+        if (v > 0) prunedChainView(spark, root, v, prune) else None
+      }
+    val view = pruned.getOrElse(manifestView(spark, root, version))
     val all = view.rels
-    require(all.nonEmpty, s"manifest under $root lists no data files")
+    // a pruned view with no surviving rels can't distinguish "empty
+    // table" from "everything pruned" — the (rare) full view decides
+    require(
+      all.nonEmpty || (pruned.isDefined && manifestView(spark, root, version).rels.nonEmpty),
+      s"manifest under $root lists no data files")
     val schema = view.schema
     val rels =
       if (prune.isEmpty) all

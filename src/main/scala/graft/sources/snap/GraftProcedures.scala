@@ -93,16 +93,52 @@ private[snap] object GraftProcedures {
 
   private class Cluster(rootDir: String) extends SnapProcedure("cluster", rootDir) {
     override def description: String =
-      "range-cluster each scope on a key column so manifest stats prune range scans; commits a version"
+      "range-cluster each scope on a key column or a multi-dim layout key " +
+        "(zorder(c1,c2,…[,bits=N]) / hilbert(c1,c2,…[,order=N])) so manifest stats " +
+        "prune range and box scans; commits a version"
     override def parameters(): Array[ProcedureParameter] =
       Array(in("table", StringType), in("key", StringType), inDefault("files", IntegerType, "8"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (scopes, before) = Sources.clusterInPlace(
         spark,
         dirOf(input.getUTF8String(0).toString),
-        col(input.getUTF8String(1).toString),
+        GraftProcedures.clusterKey(input.getUTF8String(1).toString),
         input.getInt(2))
       result(out("scopes" -> LongType, "files_before" -> LongType), Seq(scopes, before))
+    }
+  }
+
+  /** Parse a CALL cluster key spec: a plain column name, or a multi-dim
+    * space-filling-curve key — `zorder(a, b, c)` / `zorder(a, b, bits=12)`
+    * / `hilbert(a, b, c, order=10)` — so SQL-only orchestrators can
+    * z-order a table without JVM code. Columns are cast to long (the
+    * layout keys are defined over non-negative integer grids; a DATE or
+    * int column's ordinal casts cleanly).
+    */
+  private[snap] def clusterKey(spec: String): org.apache.spark.sql.Column = {
+    val fn = "(?i)^\\s*(zorder|hilbert)\\s*\\((.*)\\)\\s*$".r
+    spec match {
+      case fn(which, argList) =>
+        val parts = argList.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val (opts, cols) = parts.partition(_.contains("="))
+        val optMap = opts.map { o =>
+          val Array(k, v) = o.split("=", 2)
+          val n = scala.util.Try(v.trim.toInt).getOrElse(
+            throw new IllegalArgumentException(s"cluster key option '$o' is not an integer"))
+          k.trim.toLowerCase -> n
+        }.toMap
+        require(cols.length >= 2, s"layout key needs at least 2 columns: '$spec'")
+        require(
+          cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+          s"layout key columns must be plain identifiers: '$spec'")
+        val longCols = cols.map(c => col(c).cast("long"))
+        val badOpts = optMap.keySet -- Set(if (which.toLowerCase == "zorder") "bits" else "order")
+        require(badOpts.isEmpty, s"unknown cluster key option(s) $badOpts in '$spec'")
+        if (which.toLowerCase == "zorder")
+          graft.functions.Layout.zorderN(longCols, optMap.getOrElse("bits", 63 / cols.length))
+        else
+          graft.functions.Layout.hilbertN(longCols, optMap.getOrElse("order", 63 / cols.length))
+      case _ => col(spec.trim)
     }
   }
 

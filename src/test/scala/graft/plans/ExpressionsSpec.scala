@@ -23,6 +23,71 @@ class ExpressionsSpec extends SparkSpec {
     assert(ediff.count() == 0)
   }
 
+  test("hilbert_n: bijective unit-step curve in 3-D; expression matches the driver walk; zorderN interleaves") {
+    import spark.implicits._
+    import graft.functions.Layout
+    val order = 3
+    val side = 1 << order // 8^3 = 512-cell grid
+    val table = Layout.hilbertTableN(order, 3)
+    // bijection onto 0..511
+    assert(table.toSet == (0 until 512).map(_.toLong).toSet)
+    // adjacency law, generalized: consecutive keys differ by ONE unit step
+    // in exactly one dimension — the locality property box pruning buys
+    val bydist = table.zipWithIndex
+      .map { case (dv, i) => dv -> (i / (side * side), i / side % side, i % side) }
+      .sortBy(_._1)
+      .map(_._2)
+    bydist.toSeq.sliding(2).foreach {
+      case Seq((x1, y1, z1), (x2, y2, z2)) =>
+        assert(
+          math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+          s"jump between d=($x1,$y1,$z1) and ($x2,$y2,$z2)")
+      case _ => ()
+    }
+    // expression ≡ driver walk over the full grid, 2 uses in ONE projection
+    // (scratch-buffer collision case), plus null propagation
+    val grid = spark
+      .range(side.toLong * side * side)
+      .select(
+        (col("id") / (side * side)).cast("long").as("x"),
+        (col("id") / side % side).cast("long").as("y"),
+        (col("id") % side).as("z"))
+    val got = grid
+      .select(
+        col("x"),
+        col("y"),
+        col("z"),
+        Layout.hilbertN(Seq(col("x"), col("y"), col("z")), order).as("h1"),
+        Layout.hilbertN(Seq(col("z"), col("y"), col("x")), order).as("h2"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == table((x * side * side + y * side + z).toInt), s"h($x,$y,$z)")
+      assert(r.getLong(4) == table((z * side * side + y * side + x).toInt), s"h-rev($x,$y,$z)")
+    }
+    val nulls = Seq((Some(1L), None: Option[Long])).toDF("a", "b")
+    assert(
+      nulls.select(Layout.hilbertN(Seq(col("a"), col("b")), 4).as("h")).head().isNullAt(0),
+      "null coordinate must null the key")
+    // zorderN: k-way interleave against a scala reference, k = 3
+    def zref(xs: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; j <- xs.indices } yield ((xs(j) >> i) & 1L) << (3 * i + j)).sum
+    val probe = Seq((0L, 0L, 0L), (1L, 2L, 4L), (31L, 17L, 5L), (1023L, 511L, 255L))
+    val zgot = probe
+      .toDF("a", "b", "c")
+      .select(
+        col("a"),
+        col("b"),
+        col("c"),
+        Layout.zorderN(Seq(col("a"), col("b"), col("c")), 12).as("zv"))
+      .collect()
+    zgot.foreach { r =>
+      assert(
+        r.getLong(3) == zref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 12),
+        s"zorderN(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+    }
+  }
+
   test("native expressions survive whole-stage codegen paths") {
     // force evaluation through a grouped aggregate (codegen'd hash agg)
     val sig = graft.llm.Dedup.minhashSignatures(graft.core.Tables.documents(spark, sf), "doc_id", "text", 3)
@@ -76,6 +141,14 @@ class ExpressionsSpec extends SparkSpec {
         StringSimExprs.jaro(col("text"), col("source")).as("j1"),
         StringSimExprs.jaroWinkler(col("text"), col("source")).as("j2"))
       assert(jw.filter(col("j1") > col("j2")).count() == 0) // winkler never decreases
+      // HilbertNExpr twice in ONE projection (scratch-buffer freshness)
+      val hb = spark
+        .range(64)
+        .select((col("id") / 8).cast("long").as("x"), (col("id") % 8).as("y"))
+        .select(
+          graft.functions.Layout.hilbertN(Seq(col("x"), col("y")), 3).as("h1"),
+          graft.functions.Layout.hilbertN(Seq(col("x"), col("y")), 3).as("h2"))
+      assert(hb.filter(col("h1") =!= col("h2")).count() == 0)
     } finally {
       prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
         spark.conf.set("spark.sql.codegen.factoryMode", v))

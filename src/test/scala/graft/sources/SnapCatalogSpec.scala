@@ -336,6 +336,59 @@ class SnapCatalogSpec extends SparkSpec {
       procs.toString)
   }
 
+  test("CALL cluster with a multi-dim layout key flips box queries from all-files to few-files, SQL only") {
+    val base = Files.createTempDirectory("snapcat_zclu").toString
+    val dir = s"$base/t"
+    // one row per cell of a 16^3 grid, 8 round-robin files: every file
+    // spans the full range of every dimension — stats prune nothing
+    spark
+      .range(0L, 4096L)
+      .select(
+        ($"id" % 16).as("x"),
+        (($"id" / 16) % 16).cast("long").as("y"),
+        (($"id" / 256) % 16).cast("long").as("z"),
+        $"id".as("payload"))
+      .repartition(8)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("x", "y", "z"))
+    spark.conf.set("spark.sql.catalog.snapc26", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc26.root", base)
+    val box = "SELECT count(*) AS n FROM snapc26.t " +
+      "WHERE x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 5 AND z BETWEEN 2 AND 5"
+    val before = spark.sql(box)
+    assert(scanOf(before).description().contains("files=8/8"), scanOf(before).description())
+    assert(before.as[Long].head() == 64L)
+    // 3-D z-order via SQL alone — no JVM code on the orchestrator's side
+    val cl = spark
+      .sql("CALL snapc26.cluster(table => 't', key => 'zorder(x, y, z, bits=4)', files => 16)")
+      .collect()
+    assert(cl.head.getLong(0) == 1L && cl.head.getLong(1) == 8L, cl.toSeq.toString)
+    val after = spark.sql(box)
+    val k = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanOf(after).description())
+    assert(
+      k.exists(m => m.group(1).toInt * 2 <= m.group(2).toInt),
+      s"z-ordered box query must prune: ${scanOf(after).description()}")
+    assert(after.as[Long].head() == 64L, "clustering must not change results")
+    // the Hilbert key spec parses and prunes as well
+    spark
+      .sql("CALL snapc26.cluster(table => 't', key => 'hilbert(x, y, z, order=4)', files => 16)")
+      .collect()
+    val after2 = spark.sql(box)
+    val k2 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanOf(after2).description())
+    assert(
+      k2.exists(m => m.group(1).toInt * 2 <= m.group(2).toInt),
+      s"hilbert-ordered box query must prune: ${scanOf(after2).description()}")
+    assert(after2.as[Long].head() == 64L)
+    // malformed key specs refuse loudly instead of clustering on garbage
+    val e1 = intercept[Exception](
+      spark.sql("CALL snapc26.cluster(table => 't', key => 'zorder(x)')").collect())
+    assert(e1.getMessage.contains("at least 2"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("CALL snapc26.cluster(table => 't', key => 'zorder(x, y; drop)')").collect())
+    assert(e2.getMessage != null)
+  }
+
   test("CALL expire archives partitions below the cutoff; pre-TTL snapshot keeps them") {
     val (_, dir) = fixture("snapc23")
     val r = spark

@@ -900,4 +900,52 @@ class SnapshotsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq.sorted
     assert(ids == Seq(1L, 2L), s"escaped-era stats must prune nothing, got $ids")
   }
+
+  test("partition-indexed checkpoint: a pruned read parses <10% of checkpoint bytes, same plan inputs") {
+    val dir = Files.createTempDirectory("snap_pidx").toString + "/t"
+    // 120 single-file string-day partitions, 2 rows each
+    val df = (0 until 240)
+      .map(i => (i.toLong, f"day-${i % 120}%03d", i * 1.0))
+      .toDF("id", "day", "v")
+    Sources.writeParquet(df.repartition(col("day")), dir, partitionCols = Seq("day"))
+    val v1 = Snapshots.commit(spark, dir, Seq("id", "v"))
+    assert(v1 == 1L)
+    val mf = new java.io.File(f"$dir/_graft_manifests/v$v1%010d.manifest")
+    val pidx = new java.io.File(mf.getParentFile, mf.getName + ".pidx")
+    assert(pidx.exists(), "checkpoint commit must write the partition-index sidecar")
+    val ckptBytes = mf.length()
+    def prunedIds(day: String): Seq[Long] = {
+      Snapshots.lastManifestBytesRead.set(0L)
+      Snapshots
+        .readSnapshot(spark, dir, prune = Seq(("day", day, day)))
+        .filter(col("day") === day)
+        .select("id").as[Long].collect().toSeq.sorted
+    }
+    val expect = (0 until 240).filter(_ % 120 == 5).map(_.toLong).sorted
+    assert(prunedIds("day-005") == expect)
+    val read = Snapshots.lastManifestBytesRead.get()
+    assert(read > 0L, "pruned plan must go through the indexed path")
+    assert(read < ckptBytes / 10, s"pruned plan parsed $read of $ckptBytes checkpoint bytes")
+    // delta chain on top: the bottom checkpoint stays positioned-read,
+    // deltas (small by construction) parse fully
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "1000000")
+    try {
+      Seq((900L, 9.0)).toDF("id", "v")
+        .write.mode("append").parquet(s"$dir/day=day-005")
+      val v2 = Snapshots.commit(spark, dir, Seq("id", "v"))
+      assert(v2 == 2L)
+      assert(prunedIds("day-005") == (expect :+ 900L).sorted)
+      val read2 = Snapshots.lastManifestBytesRead.get()
+      assert(read2 > 0L && read2 < ckptBytes / 10, s"chained pruned plan parsed $read2 B")
+      // everything-pruned: empty frame in the recorded schema, no error
+      assert(prunedIds("zzz-999").isEmpty)
+    } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
+    // a corrupt sidecar reads as absent: full parse, identical rows
+    java.nio.file.Files.write(pidx.toPath, "#graft-pidx 1 999 0\ngarbage".getBytes("UTF-8"))
+    new java.io.File(pidx.getParentFile, s".${pidx.getName}.crc").delete()
+    assert(prunedIds("day-005") == (expect :+ 900L).sorted)
+    assert(
+      Snapshots.lastManifestBytesRead.get() == 0L,
+      "corrupt sidecar must fall back to the full (uncounted) parse")
+  }
 }
