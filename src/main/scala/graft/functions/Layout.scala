@@ -171,6 +171,12 @@ object Layout {
     * real loop ([[graft.plans.HilbertNExpr]]) — the k·order-level unroll
     * that [[hilbert2]] uses would grow the `when`-tree exponentially in
     * k, exactly the move the hilbert2 Scaladoc anticipated.
+    *
+    * CONTRACT: coordinates must be non-negative and < 2^order. Unlike
+    * [[zorderN]] (which cleanly truncates to the low bits), Skilling's
+    * Gray-decode mixes high bits into low ones, so an out-of-range
+    * coordinate ALIASES to an unrelated cell — mod/clamp upstream
+    * (`col % (1 << order)`), as the registered queries do.
     */
   def hilbertN(cols: Seq[Column], order: Int): Column =
     graft.plans.LayoutExpressions.hilbertN(cols, order)

@@ -338,6 +338,31 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
         JaroWinklerSimExpr(args(0), args(1))
+      }),
+    (
+      "graft_hilbert",
+      "graft_hilbert(order, c1, c2, ...) - k-dim Hilbert curve index of non-negative long coordinates (< 2^order each)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_hilbert(order, c1, c2, ...) takes an order plus >= 2 coordinates")
+        HilbertNExpr(args.tail, intArg(args.head, "order"))
+      }),
+    (
+      "graft_zorder",
+      "graft_zorder(bits, c1, c2, ...) - k-way Morton interleave of the low `bits` bits of long columns",
+      (args: Seq[Expression]) => {
+        require(args.length >= 3, "graft_zorder(bits, c1, c2, ...) takes a bit width plus >= 2 columns")
+        // raw catalyst nodes, not a Column composition: a registry builder's
+        // result embeds directly in the plan, where a ColumnNodeExpression
+        // is unevaluable — same flat shift-term sum as Layout.zorderN
+        import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Literal, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        val bits = intArg(args.head, "bits")
+        val cols = args.tail.map(c => Cast(c, LongType))
+        val k = cols.length
+        require(bits >= 1 && bits * k <= 63, s"graft_zorder($k cols, $bits bits) overflows a long")
+        val terms = for { i <- 0 until bits; j <- 0 until k } yield
+          ShiftLeft(BitwiseAnd(ShiftRight(cols(j), Literal(i)), Literal(1L)), Literal(k * i + j))
+        terms.reduceLeft[Expression]((a, b) => Add(a, b))
       }))
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {

@@ -84,7 +84,7 @@ object Snapshots {
     * root). Bounded — a view of a huge table is large, and planning only
     * ever needs the handful of versions in flight.
     */
-  private val viewCache =
+  private[sources] val viewCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), ManifestView]()
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -816,13 +816,29 @@ object Snapshots {
           val schemaJson = org.apache.spark.sql.types
             .StructType(evolved.filterNot(f => dropped.contains(f.name)))
             .json
+          // which hive path columns are canonically rendered in EVERY
+          // file — recorded so a cold planner can consume partition
+          // filters without sweeping the list (this commit path is
+          // already O(table): it listed the directory)
+          val pathColsEff = if (partCols.nonEmpty) partCols else partitionColsFromRels(files)
           val header = Seq(
             "#graft-manifest 2",
             s"#schema $schemaJson") ++
             (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
             (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
             (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
-            (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
+            (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty) ++
+            (if (pathColsEff.nonEmpty && files.nonEmpty)
+               Seq(partCanonLine(canonicalPathCols(
+                 files,
+                 pathColsEff,
+                 Some(org.apache.spark.sql.types
+                   .StructType(evolved.filterNot(f => dropped.contains(f.name)))))))
+             else Seq.empty) ++
+            Seq(s"#nfiles ${files.size}") ++
+            (if (files.nonEmpty)
+               Seq(s"#pathcols ${if (pathColsEff.isEmpty) "-" else pathColsEff.mkString(",")}")
+             else Seq.empty)
           if (statsCols.isEmpty) {
             header ++ files
           } else {
@@ -1044,7 +1060,21 @@ object Snapshots {
           (if (prev.dropped.nonEmpty) Seq(s"#dropped ${prev.dropped.map(hex).mkString(",")}")
            else Seq.empty) ++
           (if (prev.partCols.nonEmpty) Seq(s"#partcols ${prev.partCols.mkString(",")}")
-           else Seq.empty)
+           else Seq.empty) ++
+          // canonicality carries O(delta): the previous version's recorded
+          // set intersected with what THIS slice's paths render canonically
+          // (an unknown — pre-partcanon — base stays unknown)
+          headerView(spark, root, prevV)
+            .flatMap(_.partCanon)
+            .map(pc =>
+              partCanonLine(canonicalPathCols(fresh, pc, evolved.orElse(prev.schema))))
+            .toSeq ++
+          Seq(s"#nfiles ${prev.rels.size + fresh.size}") ++ {
+            val eff =
+              if (prev.partCols.nonEmpty) prev.partCols
+              else partitionColsFromRels(prev.rels ++ fresh)
+            Seq(s"#pathcols ${if (eff.isEmpty) "-" else eff.mkString(",")}")
+          }
         val freshLines = fresh.map(rel => renderFileLine(rel, statOf(rel)))
         val body =
           if (isCheckpointVersion(spark, version) ||
@@ -1144,6 +1174,118 @@ object Snapshots {
 
   // ---- partition-indexed checkpoints (O(selected-partitions) planning) --
 
+  /** The leading `#` lines of manifest `version` parsed into the fields a
+    * planner needs before it knows which files it wants — ONE buffered
+    * read that stops at the first body line, so it costs O(header) at any
+    * table size (the header sits at the top of both checkpoints and
+    * deltas, and a delta's header fields are authoritative for its
+    * version). None for v1 manifests (no header to read).
+    */
+  final case class HeaderView(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsCols: Seq[String],
+      bloomCols: Seq[String],
+      dropped: Seq[String],
+      partCols: Seq[String],
+      /** Some(cols) = the commit RECORDED which hive path columns are
+        * canonically rendered in every file (possibly empty); None = an
+        * older manifest that didn't — the reader must sweep the file list
+        * to decide filter consumption.
+        */
+      partCanon: Option[Seq[String]],
+      /** The version's full live-file count as the commit recorded it —
+        * what lets a pruned plan report `kept/total` without the list.
+        */
+      nFiles: Option[Long],
+      /** The EFFECTIVE hive layout (declared `#partcols`, or derived from
+        * the file paths at commit time — adopted tables have the latter
+        * only). Some(empty) = recorded flat; None = not recorded.
+        */
+      pathCols: Option[Seq[String]],
+      deltaBase: Option[Long])
+
+  def headerView(spark: SparkSession, root: String, version: Long = -1L): Option[HeaderView] = {
+    val v = if (version > 0) version else latestVersion(spark, root)
+    if (v <= 0) return None
+    val p = manifestPath(new Path(root), v)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val header = mutable.ArrayBuffer.empty[String]
+    try {
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      var line = rd.readLine()
+      while (line != null && line.startsWith("#")) {
+        header += line.trim
+        line = rd.readLine()
+      }
+    } finally in.close()
+    if (!header.headOption.exists(_.startsWith("#graft-manifest"))) None
+    else {
+      val (schema, statsCols, bloomCols, dropped, partCols) = parseHeader(header.toSeq)
+      val canon = header.find(_.startsWith("#partcanon")).map { l =>
+        l.stripPrefix("#partcanon").trim match {
+          case "-" | "" => Seq.empty[String]
+          case cols => cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+      }
+      val nFiles = header
+        .find(_.startsWith("#nfiles "))
+        .flatMap(l => scala.util.Try(l.stripPrefix("#nfiles ").trim.toLong).toOption)
+      val pathCols = header.find(_.startsWith("#pathcols")).map { l =>
+        l.stripPrefix("#pathcols").trim match {
+          case "-" | "" => Seq.empty[String]
+          case cols => cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        }
+      }
+      val base = header
+        .find(_.startsWith("#delta "))
+        .map(_.stripPrefix("#delta ").trim.toLong)
+      Some(HeaderView(schema, statsCols, bloomCols, dropped, partCols, canon, nFiles, pathCols, base))
+    }
+  }
+
+  /** The hive path columns whose value in EVERY given rel is the canonical
+    * rendering of the declared type (missing segments disqualify; the null
+    * sentinel is fine — null-ness matchers handle it). This is exactly the
+    * sweep the catalog's filter-consumption gate does per query; recording
+    * its result as `#partcanon` at commit time (O(table) commit paths pay
+    * it once; append commits intersect with their O(delta) slice) lets a
+    * cold planner consume partition filters without parsing the file list.
+    */
+  private def canonicalPathCols(
+      rels: Seq[String],
+      pathCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
+    schema
+      .map { s =>
+        pathCols.filter { c =>
+          s.fields.find(_.name == c).map(_.dataType).exists { t =>
+            // the canonical-rendering domains (exactly the catalog gate's
+            // whitelist) — checked explicitly so the vacuous truth over an
+            // EMPTY table never admits a float/double partition column
+            (t match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType =>
+                true
+              case _ => false
+            }) &&
+            rels.forall { r =>
+              snap.SnapFilters.partSegments(r).get(c) match {
+                case Some(raw) =>
+                  snap.SnapFilters.segValue(raw).forall(v => snap.SnapFilters.canonicalValue(v, t))
+                case None => false
+              }
+            }
+          }
+        }
+      }
+      .getOrElse(Seq.empty)
+
+  private def partCanonLine(canon: Seq[String]): String =
+    s"#partcanon ${if (canon.isEmpty) "-" else canon.mkString(",")}"
+
   /** Sidecar path of a checkpoint's partition index. */
   private def pidxPath(target: Path) = new Path(target.getParent, target.getName + ".pidx")
 
@@ -1195,7 +1337,8 @@ object Snapshots {
         off += len
       }
       if (groups.size < 2) return // one group (or none): nothing to prune
-      val lines = Seq(s"#graft-pidx 1 $total $headerEnd") ++
+      val nFiles = body.count(!_.startsWith("#"))
+      val lines = Seq(s"#graft-pidx 1 $total $headerEnd $nFiles") ++
         groups.map(g => s"${hex(g.dir)}:${g.start}:${g.end}")
       val tmp = new Path(target.getParent, s".pidx-tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
@@ -1206,11 +1349,11 @@ object Snapshots {
 
   /** Parse a checkpoint's partition index, validated against the manifest
     * file's CURRENT byte length (a stale or torn sidecar reads as
-    * absent). Returns (headerEnd, groups).
+    * absent). Returns (headerEnd, totalFileLines, groups).
     */
   private def readPartitionIndex(
       fs: FileSystem,
-      target: Path): Option[(Long, Seq[PidxGroup])] =
+      target: Path): Option[(Long, Long, Seq[PidxGroup])] =
     try {
       val p = pidxPath(target)
       if (!fs.exists(p)) None
@@ -1221,15 +1364,16 @@ object Snapshots {
           finally in.close()
         val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
         val head = lines.head.split(" ")
-        if (head.length != 4 || head(0) != "#graft-pidx" || head(1) != "1") None
+        if (head.length != 5 || head(0) != "#graft-pidx" || head(1) != "1") None
         else if (head(2).toLong != fs.getFileStatus(target).getLen) None // stale
         else {
           val headerEnd = head(3).toLong
+          val nFiles = head(4).toLong
           val groups = lines.tail.map { l =>
             val Array(d, s, e) = l.split(":", 3)
             PidxGroup(unhex(d), s.toLong, e.toLong)
           }
-          Some((headerEnd, groups))
+          Some((headerEnd, nFiles, groups))
         }
       }
     } catch { case _: Exception => None }
@@ -1277,12 +1421,29 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       version: Long,
-      prune: Seq[(String, String, String)]): Option[ManifestView] = {
+      prune: Seq[(String, String, String)]): Option[ManifestView] =
+    prunedViewByDir(spark, root, version, dir => groupSelected(dir, prune)).map(_._1)
+
+  /** The generalized pruned-chain read: manifest `version` RESTRICTED to
+    * hive directories `dirKeep` admits, parsing only the selected byte
+    * ranges of the bottom indexed checkpoint (deltas on top parse fully —
+    * they are small by construction). Returns (pruned view, TOTAL file
+    * count of the bottom checkpoint + net delta adjustments) so callers
+    * can report `kept/total` without the full list; None when any chain
+    * level lacks a valid index — the caller falls back to the full view.
+    * `dirKeep` must be a SUPERSET test of whatever per-file decision the
+    * caller applies afterwards (it sees the directory only).
+    */
+  private[sources] def prunedViewByDir(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      dirKeep: String => Boolean): Option[(ManifestView, Long)] = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, manifestDir(rootPath))
     var levels = List.empty[Seq[String]] // delta levels, deepest first
     var cur = version
-    var bottom: Option[(Long, Long, Seq[PidxGroup])] = None
+    var bottom: Option[(Long, Long, Long, Seq[PidxGroup])] = None
     var bytes = 0L
     while (bottom.isEmpty) {
       val p = manifestPath(rootPath, cur)
@@ -1291,7 +1452,7 @@ object Snapshots {
       // write one, so a validated index both identifies the checkpoint
       // and spares the O(table-files) full read this path exists to avoid
       readPartitionIndex(fs, p) match {
-        case Some((headerEnd, groups)) => bottom = Some((cur, headerEnd, groups))
+        case Some((headerEnd, nFiles, groups)) => bottom = Some((cur, headerEnd, nFiles, groups))
         case None =>
           val lines = manifestLines(spark, root, cur)
           lines.find(_.startsWith("#delta ")) match {
@@ -1304,7 +1465,7 @@ object Snapshots {
       }
     }
     // the bottom checkpoint: header + ONLY the selected groups' bytes
-    val (bottomV, headerEnd, groups) = bottom.get
+    val (bottomV, headerEnd, nFilesBottom, groups) = bottom.get
     val target = manifestPath(rootPath, bottomV)
     val in = fs.open(target)
     val (headerLines, groupLines) =
@@ -1316,10 +1477,9 @@ object Snapshots {
           new String(buf, "UTF-8").split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
         }
         val h = readRange(0L, headerEnd)
-        val sel = groups.filter(g => groupSelected(g.dir, prune))
+        val sel = groups.filter(g => dirKeep(g.dir))
         (h, sel.flatMap(g => readRange(g.start, g.end)))
       } finally in.close()
-    lastManifestBytesRead.set(bytes)
     val (schema, statsCols, bloomCols, dropped, partCols) = parseHeader(headerLines)
     var view = {
       val parsed = groupLines.map(parseFileLine)
@@ -1333,18 +1493,26 @@ object Snapshots {
         dropped,
         partCols)
     }
-    // fold the delta levels up, keeping only additions the prune can't
+    // fold the delta levels up, keeping only additions the filter can't
     // exclude (removals of unselected rels no-op against the pruned base)
     levels.foreach { lines =>
       val applied = applyDelta(view, version, lines)
       val kept = applied.rels.filter { rel =>
         val cut = rel.lastIndexOf('/')
-        groupSelected(if (cut < 0) "" else rel.substring(0, cut), prune)
+        dirKeep(if (cut < 0) "" else rel.substring(0, cut))
       }
       view = applied.copy(rels = kept, stats = applied.stats.filter(kv => kept.contains(kv._1)))
     }
+    // the full live-file count comes from the TARGET version's own header
+    // (`#nfiles`, recorded by every commit path) when the chain had
+    // deltas; a chain that bottomed out AT the target reads it from the
+    // sidecar. -1 = the header predates the field — callers that need
+    // `kept/total` fall back to the full view.
+    val total =
+      if (levels.isEmpty) nFilesBottom
+      else headerView(spark, root, version).flatMap(_.nFiles).getOrElse(-1L)
     lastManifestBytesRead.set(bytes)
-    Some(view)
+    Some((view, total))
   }
 
   private[sources] def tryWriteManifestClaimed(
@@ -1515,12 +1683,46 @@ object Snapshots {
     var result = -1L
     while (result < 0L) {
       val version = latestVersion(spark, root) + 1L
+      // canonicality carries through DDL: dropped columns leave the set;
+      // sanctioned widenings (int→long) render identically so the set is
+      // still exact. A fresh table records the layout's canonical-domain
+      // columns (vacuously true over zero files; the first data commit
+      // recomputes from the real listing).
+      val canonLine =
+        if (version == 1L)
+          (if (partCols.nonEmpty)
+             Seq(partCanonLine(canonicalPathCols(Seq.empty, partCols, Some(schema))))
+           else Seq.empty)
+        else
+          headerView(spark, root, version - 1L)
+            .flatMap(_.partCanon)
+            .map(pc => partCanonLine(pc.filterNot(dropped.contains)))
+            .toSeq
+      def pathColsLine(eff: Seq[String]): Seq[String] =
+        Seq(s"#pathcols ${if (eff.isEmpty) "-" else eff.mkString(",")}")
       val body =
-        if (version == 1L) header
+        if (version == 1L)
+          header ++ canonLine ++ Seq("#nfiles 0") ++ pathColsLine(partCols)
         else if (isCheckpointVersion(spark, version)) {
           val prev = manifestView(spark, root, version - 1L)
-          header ++ prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
-        } else header ++ Seq(s"#delta ${version - 1L}")
+          val eff = if (partCols.nonEmpty) partCols else partitionColsFromRels(prev.rels)
+          header ++ canonLine ++ Seq(s"#nfiles ${prev.rels.size}") ++ pathColsLine(eff) ++
+            prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
+        } else {
+          // header-only delta: file count and effective layout are the
+          // previous version's, carried from its header (or the cached
+          // view for pre-#nfiles manifests)
+          val prevHdr = headerView(spark, root, version - 1L)
+          val prevN = prevHdr
+            .flatMap(_.nFiles)
+            .getOrElse(manifestView(spark, root, version - 1L).rels.size.toLong)
+          val eff = prevHdr.flatMap(_.pathCols).getOrElse {
+            if (partCols.nonEmpty) partCols
+            else partitionColsFromRels(manifestView(spark, root, version - 1L).rels)
+          }
+          header ++ canonLine ++ Seq(s"#nfiles $prevN") ++ pathColsLine(eff) ++
+            Seq(s"#delta ${version - 1L}")
+        }
       if (tryWriteManifest(fs, rootPath, version, body)) result = version
       else if (System.currentTimeMillis() > deadline)
         sys.error(
@@ -1971,10 +2173,17 @@ object Snapshots {
     view
   }
 
+  /** Count of cache-missed FULL view reconstructions — observability for
+    * the O(selected)-planning specs (a cold pruned catalog plan must not
+    * increment it).
+    */
+  private[sources] val fullViewParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
     val v = if (version > 0) version else latestVersion(spark, root)
     require(v > 0, s"no manifest committed under $root")
     cachedView(spark, root, v).getOrElse {
+      fullViewParses.incrementAndGet()
       // ITERATIVE delta-chain reconstruction: walk DOWN the recorded
       // bases collecting unparsed delta levels until a cached view or a
       // full manifest, then fold UP applying each delta, caching every

@@ -353,13 +353,28 @@ class SnapTable(dir: String, version: Long)
 
   override def name(): String = s"graft-snapshot:$dir@v$version"
 
-  // ONE manifest read serves schema, pruning, aggregation and statistics
-  // for every scan built from this table load — on a large table the
-  // manifest is the big metadata object, so planning cost is one read
-  private lazy val view: Snapshots.ManifestView = Snapshots.manifestView(spark, dir, version)
+  // Schema/layout resolve from the manifest HEADER alone (one buffered
+  // read that stops at the first body line — O(header) at any table
+  // size); the FULL view parses lazily, only when a decision genuinely
+  // needs the file list (pre-#partcanon manifests, unindexed pruning,
+  // row-level ops). On a million-file table this is what lets a cold
+  // partition-pruned plan never read the full list at all.
+  // one version resolution per table load: header, full view and the
+  // scan builder's pruned reads all pin the SAME version even when the
+  // load asked for "latest" and commits land concurrently
+  private lazy val resolvedVersion: Long =
+    if (version > 0) version else Snapshots.latestVersion(spark, dir)
+
+  private lazy val header: Option[Snapshots.HeaderView] =
+    Snapshots.headerView(spark, dir, resolvedVersion)
+
+  private lazy val view: Snapshots.ManifestView =
+    Snapshots.manifestView(spark, dir, resolvedVersion)
 
   private lazy val tableSchema: StructType =
-    view.schema.getOrElse(Snapshots.readSnapshot(spark, dir, version).schema)
+    header
+      .flatMap(_.schema)
+      .getOrElse(view.schema.getOrElse(Snapshots.readSnapshot(spark, dir, version).schema))
 
   override def schema(): StructType = tableSchema
 
@@ -384,9 +399,15 @@ class SnapTable(dir: String, version: Long)
     * adopted tables derive it from their file paths).
     */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    val cols =
-      if (view.partCols.nonEmpty) view.partCols
-      else Snapshots.partitionColsFromRels(view.rels)
+    // declared layout wins; adopted tables use the commit-recorded
+    // effective layout (`#pathcols`), and only pre-#pathcols manifests
+    // still pay the full-list derivation
+    val cols = header
+      .flatMap(h => if (h.partCols.nonEmpty) Some(h.partCols) else h.pathCols)
+      .getOrElse {
+        if (view.partCols.nonEmpty) view.partCols
+        else Snapshots.partitionColsFromRels(view.rels)
+      }
     cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   }
 
@@ -394,7 +415,7 @@ class SnapTable(dir: String, version: Long)
     Map("format" -> "graft-snapshot", "location" -> dir, "version" -> version.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(dir, view, tableSchema, options.asScala.toMap)
+    new SnapScanBuilder(dir, view, tableSchema, options.asScala.toMap, header, resolvedVersion)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapWriteBuilder(dir, info)
@@ -812,7 +833,7 @@ object SnapWriteBuilder {
 /** Filter translations shared by the scan builder and the V1 relation —
   * one implementation, and a function value that closes over nothing.
   */
-private[snap] object SnapFilters {
+private[sources] object SnapFilters {
 
   /** A pushed value rendered in the manifest-stat string domain
     * ([[Snapshots.ColStat]]): integers as decimal, floating as double,
@@ -971,13 +992,20 @@ private[snap] object SnapFilters {
   */
 class SnapScanBuilder(
     dir: String,
-    view: Snapshots.ManifestView,
+    viewThunk: => Snapshots.ManifestView,
     tableSchema: StructType,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty,
+    header: Option[Snapshots.HeaderView] = None,
+    pinnedVersion: Long = -1L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
+
+  /** The FULL manifest view — forced lazily, so a plan the header +
+    * partition index can answer never parses the file list at all.
+    */
+  private lazy val view: Snapshots.ManifestView = viewThunk
 
   private var required: StructType = tableSchema
   private val translated = mutable.ArrayBuffer.empty[Filter]
@@ -986,7 +1014,9 @@ class SnapScanBuilder(
   private var pushedAgg: Option[(Seq[(String, DataType)], Seq[SnapAggScan.Field])] = None
 
   private lazy val pathCols: Seq[String] =
-    if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
+    header.flatMap(_.pathCols).getOrElse {
+      if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
+    }
 
   /** Whether this builder may consume partition-exact filters at all —
     * the row-level operation path overrides to false (its rewrite
@@ -1011,21 +1041,34 @@ class SnapScanBuilder(
     consumableColCache.getOrElseUpdate(
       c, {
         !c.contains(".") && pathCols.contains(c) &&
-        tableSchema.fields.find(_.name == c).map(_.dataType).exists {
-          case t @ (ByteType | ShortType | IntegerType | LongType | DateType | StringType) =>
-            view.rels.forall { r =>
-              SnapFilters.partSegments(r).get(c) match {
-                // canonical is required even for null-ness matchers: a
-                // non-castable dir value (`uid=x` under int) splices to
-                // NULL rows while its segment is present, so segment
-                // presence alone would answer IS [NOT] NULL wrongly
-                case Some(raw) =>
-                  SnapFilters.segValue(raw).forall(SnapFilters.canonicalValue(_, t))
-                case None => false
-              }
+        (header.flatMap(_.partCanon) match {
+          // the commit RECORDED the canonical sweep's result — a cold
+          // planner decides consumption from the header alone, no file
+          // list. The recorded set was computed against the same declared
+          // types this schema carries (widenings render identically).
+          case Some(canon) =>
+            canon.contains(c) &&
+            tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+              case ByteType | ShortType | IntegerType | LongType | DateType | StringType => true
+              case _ => false
             }
-          case _ => false
-        }
+          case None =>
+            tableSchema.fields.find(_.name == c).map(_.dataType).exists {
+              case t @ (ByteType | ShortType | IntegerType | LongType | DateType | StringType) =>
+                view.rels.forall { r =>
+                  SnapFilters.partSegments(r).get(c) match {
+                    // canonical is required even for null-ness matchers: a
+                    // non-castable dir value (`uid=x` under int) splices to
+                    // NULL rows while its segment is present, so segment
+                    // presence alone would answer IS [NOT] NULL wrongly
+                    case Some(raw) =>
+                      SnapFilters.segValue(raw).forall(SnapFilters.canonicalValue(_, t))
+                    case None => false
+                  }
+                }
+              case _ => false
+            }
+        })
       })
 
   private def isConsumable(f: Filter): Boolean =
@@ -1053,15 +1096,47 @@ class SnapScanBuilder(
 
   override def pushedFilters(): Array[Filter] = (translated ++ consumed).toArray
 
+  /** The manifest view PLANNING works from, with the version's true total
+    * file count: when partition filters were consumed and the bottom
+    * checkpoint carries a partition index, only the selected directories'
+    * byte ranges parse — a cold one-partition plan against a million-file
+    * table reads KBs — and the recorded `#nfiles` still reports exact
+    * `kept/total`. Any missing piece (no header, no index, no recorded
+    * total, no consumed filter) falls back to the full view; the final
+    * kept set is IDENTICAL either way (dir-level selection is exactly the
+    * consumed matchers' semantics, and every later per-file decision sees
+    * the same surviving entries).
+    */
+  private lazy val planViewAndTotal: (Snapshots.ManifestView, Long) = {
+    val pruned =
+      if (consumed.isEmpty || header.isEmpty || pinnedVersion <= 0) None
+      else {
+        val matchers = consumed.toSeq.flatMap(SnapFilters.partMatcher)
+        def dirKeep(d: String): Boolean = {
+          // partSegments expects a rel (it drops the filename segment)
+          val segs = SnapFilters.partSegments(if (d.isEmpty) "f" else s"$d/f")
+          matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue)))
+        }
+        Snapshots
+          .prunedViewByDir(SparkSession.active, dir, pinnedVersion, dirKeep)
+          .filter(_._2 >= 0L) // exact kept/total needs the recorded count
+      }
+    pruned.getOrElse((view, view.rels.size.toLong))
+  }
+  private def planView: Snapshots.ManifestView = planViewAndTotal._1
+  private def totalFiles: Long = planViewAndTotal._2
+
   /** The pinned file list narrowed by the consumed partition filters —
     * EXACT by construction, and the base set every later decision
     * (aggregation validity, stats pruning, the scans) works from.
     */
   private lazy val consumedKept: Seq[String] =
-    if (consumed.isEmpty) view.rels
+    if (consumed.isEmpty) planView.rels
     else {
       val matchers = consumed.toSeq.flatMap(SnapFilters.partMatcher) // total: gate admitted them
-      view.rels.filter { r =>
+      // idempotent on the dir-pruned view — kept stays identical to the
+      // full-list filter
+      planView.rels.filter { r =>
         val segs = SnapFilters.partSegments(r)
         matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue)))
       }
@@ -1095,7 +1170,7 @@ class SnapScanBuilder(
     // aggregation is over precisely these files' rows
     val rels = consumedKept
 
-    def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+    def stOf(rel: String) = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
     def rowsKnown = rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
     def nullsKnown(c: String) =
       rels.forall { r =>
@@ -1179,18 +1254,19 @@ class SnapScanBuilder(
 
   override def build(): Scan = pushedAgg match {
     case Some((groupCols, fields)) =>
-      new SnapAggScan(dir, view, consumedKept, consumed.toSeq, groupCols, fields)
+      new SnapAggScan(dir, planView, consumedKept, consumed.toSeq, groupCols, fields, totalFiles)
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
       // one or two files whose bloom admits the key, zero footer opens.
       // An IN-list keeps a file iff ANY listed value admits (a value that
       // doesn't render stays "cannot exclude" for the whole file).
+      val bloomCols = header.map(_.bloomCols).getOrElse(planView.bloomCols)
       val probes = pruneRanges.collect {
-        case (c, Some(lo), Some(hi)) if lo == hi && view.bloomCols.contains(c) => (c, lo)
+        case (c, Some(lo), Some(hi)) if lo == hi && bloomCols.contains(c) => (c, lo)
       }
       val inProbes = translated.collect {
-        case In(a, vs) if view.bloomCols.contains(a) && vs.nonEmpty &&
+        case In(a, vs) if bloomCols.contains(a) && vs.nonEmpty &&
             vs.forall(v => SnapFilters.statString(v).isDefined) =>
           (a, vs.toSeq.map(v => SnapFilters.statString(v).get))
       }
@@ -1206,7 +1282,7 @@ class SnapScanBuilder(
           consumedKept
         else
           consumedKept.filter { rel =>
-            val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+            val st = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               // escaped-era string intervals (no null-count watermark)
               // read as no-stat — keep the file rather than trust them
@@ -1249,13 +1325,13 @@ class SnapScanBuilder(
       else
         new SnapBatchScan(
           dir,
-          view.version,
+          planView.version,
           tableSchema,
           required,
           kept,
-          view.rels.size,
+          totalFiles.toInt,
           (translated ++ consumed).toSeq,
-          view.stats,
+          planView.stats,
           options,
           consumed.toSeq)
   }
@@ -1309,7 +1385,9 @@ class SnapAggScan(
     rels: Seq[String],
     consumedFilters: Seq[Filter],
     groupCols: Seq[(String, DataType)],
-    fields: Seq[SnapAggScan.Field])
+    fields: Seq[SnapAggScan.Field],
+    /** The version's FULL live-file count (the view may be dir-pruned). */
+    totalFiles: Long = -1L)
     extends V1Scan {
 
   import SnapAggScan._
@@ -1402,7 +1480,10 @@ class SnapAggScan(
       if (groupCols.isEmpty) "" else s" GroupBy: [${groupCols.map(_._1).mkString(", ")}]"
     val filtered =
       if (consumedFilters.isEmpty) ""
-      else s" ConsumedFilters: [${consumedFilters.mkString(", ")}] files=${rels.size}/${view.rels.size}"
+      else {
+        val total = if (totalFiles >= 0L) totalFiles else view.rels.size.toLong
+        s" ConsumedFilters: [${consumedFilters.mkString(", ")}] files=${rels.size}/$total"
+      }
     s"GraftSnapAggScan $dir v${view.version} PushedAggregates: " +
       s"[${rendered.mkString(", ")}]$grouped$filtered (manifest-only, zero file opens)"
   }

@@ -322,6 +322,25 @@ class ExpressionsSpec extends SparkSpec {
         .sql("SELECT max(h) FROM (SELECT explode(graft_shingle_hashes(text, 3)) AS h FROM docs_ext)")
         .head()
       assert(sqlSh.getLong(0) > 0)
+      // the k-dim Hilbert key from raw SQL == the driver-side curve
+      val table3 = graft.functions.Layout.hilbertTableN(2, 3)
+      val sqlHil = s2
+        .sql(
+          "SELECT x, y, z, graft_hilbert(2, x, y, z) AS h FROM " +
+            "(SELECT CAST(id / 16 AS BIGINT) AS x, CAST(id / 4 AS BIGINT) % 4 AS y, " +
+            "id % 4 AS z FROM range(64))")
+        .collect()
+      sqlHil.foreach { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(r.getLong(3) == table3((x * 16 + y * 4 + z).toInt), s"graft_hilbert($x,$y,$z)")
+      }
+      // graft_zorder from SQL == the Scala column composition
+      val zres = s2
+        .sql("SELECT graft_zorder(4, CAST(5 AS BIGINT), CAST(9 AS BIGINT)) AS zv")
+        .head()
+        .getLong(0)
+      val zexp = (0 until 4).map(i => (((5L >> i) & 1L) << (2 * i)) + (((9L >> i) & 1L) << (2 * i + 1))).sum
+      assert(zres == zexp, s"graft_zorder: $zres != $zexp")
     } finally {
       // restore the suite-shared session; the context stays alive
       org.apache.spark.sql.SparkSession.setDefaultSession(old)

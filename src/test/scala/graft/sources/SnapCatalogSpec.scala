@@ -336,6 +336,48 @@ class SnapCatalogSpec extends SparkSpec {
       procs.toString)
   }
 
+  test("cold catalog plan with a partition predicate parses O(selected) bytes and never the full list") {
+    val base = Files.createTempDirectory("snapcat_cold").toString
+    val dir = s"$base/t"
+    // 120 single-file day partitions, stats + canonical layout recorded
+    val df = (0 until 240)
+      .map(i => (i.toLong, f"day-${i % 120}%03d", i * 1.0))
+      .toDF("id", "day", "v")
+    Sources.writeParquet(df.repartition(col("day")), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, Seq("id", "v"))
+    spark.conf.set("spark.sql.catalog.snapc27", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapc27.root", base)
+    val mf = new java.io.File(f"$dir/_graft_manifests/v${1L}%010d.manifest")
+    val ckptBytes = mf.length()
+    // simulate a FRESH driver: no parsed view in memory — schema must come
+    // from the header read, the file list from the partition index only
+    Snapshots.viewCache.clear()
+    val parses0 = Snapshots.fullViewParses.get()
+    Snapshots.lastManifestBytesRead.set(0L)
+    val q = spark.sql("SELECT id FROM snapc27.t WHERE day = 'day-005' ORDER BY id")
+    val desc = scanOf(q).description()
+    assert(q.as[Long].collect().toSeq == Seq(5L, 125L))
+    assert(desc.contains("files=1/120"), desc)
+    val bytes = Snapshots.lastManifestBytesRead.get()
+    assert(bytes > 0L, "pruned catalog plan must go through the indexed path")
+    assert(bytes < ckptBytes / 10, s"cold plan parsed $bytes of $ckptBytes manifest bytes")
+    assert(
+      Snapshots.fullViewParses.get() == parses0,
+      "a partition-pruned cold plan must never reconstruct the full file list")
+    // manifest-only aggregate through the same cold path: consumed day
+    // filter + COUNT(*) from the pruned groups' recorded row counts
+    Snapshots.viewCache.clear()
+    val parses1 = Snapshots.fullViewParses.get()
+    val n = spark.sql("SELECT count(*) FROM snapc27.t WHERE day = 'day-007'").as[Long].head()
+    assert(n == 2L)
+    assert(
+      Snapshots.fullViewParses.get() == parses1,
+      "a pruned manifest-only aggregate must not reconstruct the full list either")
+    // an UNPRUNED plan still answers (full parse is the right plan there)
+    Snapshots.viewCache.clear()
+    assert(spark.sql("SELECT count(*) FROM snapc27.t").as[Long].head() == 240L)
+  }
+
   test("CALL cluster with a multi-dim layout key flips box queries from all-files to few-files, SQL only") {
     val base = Files.createTempDirectory("snapcat_zclu").toString
     val dir = s"$base/t"

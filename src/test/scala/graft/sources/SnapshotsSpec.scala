@@ -901,6 +901,52 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), s"escaped-era stats must prune nothing, got $ids")
   }
 
+  test("manifest header records nfiles/pathcols/partcanon; appends intersect canonicality O(delta)") {
+    val dir = Files.createTempDirectory("snap_hdr").toString + "/t"
+    Seq((1L, 0, 1.0), (2L, 1, 2.0))
+      .toDF("id", "h", "v")
+      .repartition(1)
+      .write
+      .partitionBy("h")
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    val h1 = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+    assert(h1.nFiles.contains(2L), h1.toString)
+    assert(h1.pathCols.contains(Seq("h")), h1.toString)
+    assert(h1.partCanon.contains(Seq("h")), s"int dirs 0/1 are canonical: $h1")
+    // a canonical append keeps the recorded set and bumps the count
+    Seq((3L, 9.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/h=2")
+    val rel2 = new java.io.File(s"$dir/h=2")
+      .listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"h=2/${f.getName}")
+      .head
+    Snapshots.commitAppend(spark, dir, Seq(rel2))
+    val h2 = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+    assert(h2.nFiles.contains(3L) && h2.partCanon.contains(Seq("h")), h2.toString)
+    // a NON-canonical append (zero-padded dir under the int column) drops
+    // the column from the recorded set — a cold planner then refuses
+    // consumption exactly like the full sweep would
+    Seq((4L, 4.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dir/h=03")
+    val rel3 = new java.io.File(s"$dir/h=03")
+      .listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"h=03/${f.getName}")
+      .head
+    Snapshots.commitAppend(spark, dir, Seq(rel3))
+    val h3 = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+    assert(h3.nFiles.contains(4L), h3.toString)
+    assert(h3.partCanon.contains(Seq.empty), s"zero-padded dir must drop 'h': $h3")
+    // DDL carries the recorded fields (and the count) forward
+    Snapshots.addColumns(
+      spark,
+      dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType))))
+    val h4 = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+    assert(h4.nFiles.contains(4L) && h4.partCanon.contains(Seq.empty), h4.toString)
+  }
+
   test("partition-indexed checkpoint: a pruned read parses <10% of checkpoint bytes, same plan inputs") {
     val dir = Files.createTempDirectory("snap_pidx").toString + "/t"
     // 120 single-file string-day partitions, 2 rows each
