@@ -2030,11 +2030,44 @@ object Snapshots {
           }
         }
         parEach(view.rels)(copyOne)
-        // the source manifest IS the clone's v1 — copied verbatim AFTER the
-        // data so a reader never sees a manifest promising absent files
+        // the reconstructed view re-renders as the clone's FULL v1 —
+        // written AFTER the data so a reader never sees a manifest
+        // promising absent files. A verbatim copy would be wrong when the
+        // pinned version committed as a DELTA (its `#delta <base>` chain
+        // doesn't exist at the destination); re-rendering carries the
+        // exact same metadata (header fields, per-file stats), records
+        // the clone's own #nfiles/#pathcols (+ #partcanon carried from
+        // the source header — the file set is identical), and the normal
+        // write path regenerates the partition-index sidecar, so the
+        // clone plans O(selected) from its first query.
         dstFs.mkdirs(manifestDir(dstPath))
-        org.apache.hadoop.fs.FileUtil
-          .copy(fs, manifestPath(srcPath, view.version), dstFs, manifestPath(dstPath, 1L), false, false, conf)
+        val pathColsEff =
+          if (view.partCols.nonEmpty) view.partCols else partitionColsFromRels(view.rels)
+        val header = Seq("#graft-manifest 2") ++
+          view.schema.map(s => s"#schema ${s.json}").toSeq ++
+          (if (view.statsCols.nonEmpty) Seq(s"#statscols ${view.statsCols.mkString(",")}")
+           else Seq.empty) ++
+          (if (view.bloomCols.nonEmpty) Seq(s"#bloomcols ${view.bloomCols.mkString(",")}")
+           else Seq.empty) ++
+          (if (view.dropped.nonEmpty) Seq(s"#dropped ${view.dropped.map(hex).mkString(",")}")
+           else Seq.empty) ++
+          (if (view.partCols.nonEmpty) Seq(s"#partcols ${view.partCols.mkString(",")}")
+           else Seq.empty) ++
+          headerView(spark, srcRoot, view.version).flatMap(_.partCanon).map(partCanonLine).toSeq ++
+          Seq(s"#nfiles ${view.rels.size}") ++
+          (if (view.rels.nonEmpty)
+             Seq(s"#pathcols ${if (pathColsEff.isEmpty) "-" else pathColsEff.mkString(",")}")
+           else Seq.empty)
+        val body = header ++
+          view.rels.map(rel => renderFileLine(rel, view.stats.getOrElse(rel, Map.empty)))
+        // a v1 manifest source (no header) clones as a plain v1 file list
+        val rendered = if (view.schema.isEmpty && view.statsCols.isEmpty &&
+            view.bloomCols.isEmpty && view.partCols.isEmpty && view.dropped.isEmpty)
+          view.rels
+        else body
+        require(
+          tryWriteManifest(dstFs, dstPath, 1L, rendered),
+          s"clone could not write the destination manifest under $dstRoot")
         view.rels.size.toLong
       }
     }
@@ -2621,7 +2654,12 @@ object Snapshots {
           v
         }
         val anchor = (keepFrom to latest).map(chainBase).min
-        (1L until anchor).foreach(v => fs.delete(manifestPath(rootPath, v), false))
+        (1L until anchor).foreach { v =>
+          val mp = manifestPath(rootPath, v)
+          fs.delete(mp, false)
+          // the partition-index sidecar dies with its manifest
+          fs.delete(new Path(mp.getParent, mp.getName + ".pidx"), false)
+        }
         // bloom sidecars of files no retained manifest references are
         // orphans — reap them with the manifests they served
         val bloomDirPath = new Path(manifestDir(rootPath), "bloom")

@@ -576,6 +576,50 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("must be empty"), e.getMessage)
   }
 
+  test("cloneSnapshot from a DELTA version re-renders a self-contained full v1 (index included)") {
+    val base = Files.createTempDirectory("snap_clone_delta").toString
+    val src = s"$base/src"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "day", "v")
+      .repartition(1)
+      .write
+      .partitionBy("day")
+      .parquet(src)
+    Snapshots.commit(spark, src, Seq("id")) // v1 checkpoint
+    Seq((3L, 3.0)).toDF("id", "v").coalesce(1).write.parquet(s"$src/day=c")
+    val v2 = Snapshots.commit(spark, src, Seq("id")) // v2: off-interval DELTA
+    val mf2 = scala.io.Source.fromFile(f"$src/_graft_manifests/v$v2%010d.manifest").mkString
+    assert(mf2.contains("#delta"), "precondition: v2 must be a delta manifest")
+    val dst = s"$base/dst"
+    Snapshots.cloneSnapshot(spark, src, dst, version = v2)
+    // the clone reconstructs WITHOUT the source's chain: self-contained v1
+    val mf1 = scala.io.Source.fromFile(f"$dst/_graft_manifests/v${1L}%010d.manifest").mkString
+    assert(!mf1.contains("#delta"), "clone v1 must not chain into the source")
+    assert(
+      Snapshots.readSnapshot(spark, dst).select($"id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+    assert(Snapshots.countRows(spark, dst) == 3L, "per-file stats must carry through the re-render")
+    // header fields carried: layout, canonicality, exact count
+    val h = Snapshots.headerView(spark, dst).getOrElse(fail("clone has no header"))
+    assert(h.nFiles.contains(3L) && h.pathCols.contains(Seq("day")), h.toString)
+    // the clone got its own partition index and plans O(selected)
+    Snapshots.lastManifestBytesRead.set(0L)
+    val pruned = Snapshots
+      .readSnapshot(spark, dst, prune = Seq(("day", "b", "b")))
+      .filter($"day" === "b")
+    assert(pruned.select($"id").as[Long].collect().toSeq == Seq(2L))
+    assert(Snapshots.lastManifestBytesRead.get() > 0L, "clone must carry a usable pidx")
+    // vacuum reaps the sidecar with its manifest
+    Seq((4L, 4.0)).toDF("id", "v").coalesce(1).write.parquet(s"$dst/day=d")
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "1")
+    try Snapshots.commit(spark, dst, Seq("id")) // v2 full checkpoint (new anchor)
+    finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
+    Snapshots.vacuum(spark, dst, keepLast = 1)
+    assert(
+      !new java.io.File(f"$dst/_graft_manifests/v${1L}%010d.manifest.pidx").exists(),
+      "vacuum must reap the dead manifest's sidecar")
+  }
+
   test("delta-log manifests: append commits write O(delta) bytes; chains reconstruct exactly") {
     val dir = Files.createTempDirectory("snap_deltalog").toString + "/t"
     // 40 one-row files: enough that a full manifest rewrite is clearly
