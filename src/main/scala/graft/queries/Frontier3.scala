@@ -1912,6 +1912,71 @@ object Frontier3 {
       |SELECT event_type, n + hit AS n_live, n AS n_before, su + hit AS u_live, su AS u_before
       |FROM g ORDER BY event_type""".stripMargin
 
+  // -- q225: cold-driver O(selected) catalog planning ----------------------
+
+  /** The fresh-driver planning cost a 100 TB table actually charges,
+    * hash-proved: the per-(day, event_type) stats table commits with the
+    * round-11 header fields (`#nfiles`/`#pathcols`/`#partcanon`) and a
+    * partition-index sidecar; the parsed-view cache is then CLEARED (the
+    * fresh-driver simulation) and a day-windowed SQL aggregate plans —
+    * schema from the header's leading lines, filter consumption from the
+    * recorded canonical set, the file list from ONLY the selected index
+    * groups. `cold_ok` pins the machinery: the full file list was NEVER
+    * reconstructed ([[graft.sources.Snapshots.fullViewParses]] unchanged)
+    * and the plan parsed under 25 % of the manifest's bytes. The row
+    * values hash against the oracle recomputing the same window from raw
+    * events. At a million files this is the difference between a cold
+    * dashboard query parsing ~100 MB of manifest and parsing a few KB.
+    */
+  def q225(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq225", Seq("day", "n"))
+    val m = Tables
+      .events(s, d)
+      .agg(min(to_date(col("ts"))).as("m"))
+      .head()
+      .getDate(0)
+      .toLocalDate
+    val (lo, hi) = (m.plusDays(2).toString, m.plusDays(5).toString)
+    val mfBytes = new java.io.File(
+      new java.io.File(dir, "_graft_manifests"),
+      f"v${1L}%010d.manifest").length()
+    graft.sources.Snapshots.dropViewCache() // the fresh-driver simulation
+    val parses0 = graft.sources.Snapshots.fullViewParseCount
+    graft.sources.Snapshots.resetPlanManifestBytes()
+    val out = s
+      .sql(s"""
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(sum(sum_u) AS BIGINT) AS sum_u
+        |FROM $cat.ev
+        |WHERE day BETWEEN DATE'$lo' AND DATE'$hi'
+        |GROUP BY day ORDER BY day""".stripMargin)
+      .collect()
+    val bytes = graft.sources.Snapshots.lastPlanManifestBytes
+    val coldOk = graft.sources.Snapshots.fullViewParseCount == parses0 &&
+      bytes > 0L && bytes * 4 < mfBytes
+    import s.implicits._
+    out.toSeq
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("day", "n_types", "n_events", "sum_u")
+      .withColumn("cold_ok", lit(coldOk))
+      .orderBy(col("day"))
+  }
+
+  val q225Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM per)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(sum_u) AS BIGINT) AS sum_u,
+      |  true AS cold_ok
+      |FROM per, b
+      |WHERE day BETWEEN m + 2 AND m + 5
+      |GROUP BY day ORDER BY day""".stripMargin
+
   // -- q224: 3-D Hilbert layout key + box-query file pruning ---------------
 
   /** Multi-dimensional clustering, hash-proved end to end: orders rows map
@@ -1987,6 +2052,7 @@ object Frontier3 {
   }
 
   val queries: Map[String, Q] = Map(
+    "q225_cold_plan_pruned" -> (q225 _),
     "q224_layout3d_box_prune" -> (q224 _),
     "q223_graph_ann_append" -> (q223 _),
     "q222_dynamic_overwrite" -> (q222 _),
@@ -2018,6 +2084,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q225_cold_plan_pruned" -> q225Sql,
     "q224_layout3d_box_prune" -> q224Sql,
     "q223_graph_ann_append" -> q223Sql,
     "q222_dynamic_overwrite" -> q222Sql,

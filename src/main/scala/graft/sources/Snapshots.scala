@@ -1378,6 +1378,13 @@ object Snapshots {
       }
     } catch { case _: Exception => None }
 
+  /** [[groupSelected]] for external callers (the catalog's range-pruned
+    * plan path): may a file under hive directory `dir` survive the
+    * ranges? Always a superset of the per-file stats decision.
+    */
+  private[sources] def dirAdmitsRanges(dir: String, prune: Seq[(String, String, String)]): Boolean =
+    groupSelected(dir, prune)
+
   /** Would a file under hive directory `dir` DEFINITELY miss every prune
     * range? Mirrors [[fileColStats]]' path-value typing so group
     * selection is always a superset of the per-file stats selection;
@@ -2211,6 +2218,14 @@ object Snapshots {
     * increment it).
     */
   private[sources] val fullViewParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // public observability facade for cold-planning proofs (registered
+  // query q225 + specs): simulate a fresh driver, then check no full
+  // list was reconstructed and how many manifest bytes the plan read
+  def dropViewCache(): Unit = viewCache.clear()
+  def fullViewParseCount: Long = fullViewParses.get()
+  def resetPlanManifestBytes(): Unit = lastManifestBytesRead.set(0L)
+  def lastPlanManifestBytes: Long = lastManifestBytesRead.get()
 
   def manifestView(spark: SparkSession, root: String, version: Long = -1L): ManifestView = {
     val v = if (version > 0) version else latestVersion(spark, root)

@@ -1108,14 +1108,25 @@ class SnapScanBuilder(
     * the same surviving entries).
     */
   private lazy val planViewAndTotal: (Snapshots.ManifestView, Long) = {
+    // engage when some pushed predicate can exclude whole directories:
+    // consumed partition-exact filters, or value RANGES naming a path
+    // column (the day-window dashboard shape) — range selection at group
+    // level is the same superset test the per-file stats pruning refines
+    val ranges = pruneRanges.toSeq.map { case (c, lo, hi) => (c, lo.orNull, hi.orNull) }
+    // the recorded layout only — the pathCols fallback would force the
+    // full view, which is the cost this path exists to avoid
+    val recordedLayout = header.flatMap(_.pathCols).getOrElse(Seq.empty)
+    val engage = header.isDefined && pinnedVersion > 0 &&
+      (consumed.nonEmpty || ranges.exists(r => recordedLayout.contains(r._1)))
     val pruned =
-      if (consumed.isEmpty || header.isEmpty || pinnedVersion <= 0) None
+      if (!engage) None
       else {
         val matchers = consumed.toSeq.flatMap(SnapFilters.partMatcher)
         def dirKeep(d: String): Boolean = {
           // partSegments expects a rel (it drops the filename segment)
           val segs = SnapFilters.partSegments(if (d.isEmpty) "f" else s"$d/f")
-          matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue)))
+          matchers.forall(m => m.keep(segs.get(m.col).flatMap(SnapFilters.segValue))) &&
+          Snapshots.dirAdmitsRanges(d, ranges)
         }
         Snapshots
           .prunedViewByDir(SparkSession.active, dir, pinnedVersion, dirKeep)

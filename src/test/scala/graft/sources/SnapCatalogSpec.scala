@@ -373,6 +373,21 @@ class SnapCatalogSpec extends SparkSpec {
     assert(
       Snapshots.fullViewParses.get() == parses1,
       "a pruned manifest-only aggregate must not reconstruct the full list either")
+    // a RANGE window on the layout column engages the same cold path
+    // (the day-window dashboard shape — BETWEEN is not consumable, but
+    // group-level range selection is the same superset test the
+    // per-file stats refine)
+    Snapshots.viewCache.clear()
+    val parses2 = Snapshots.fullViewParses.get()
+    Snapshots.lastManifestBytesRead.set(0L)
+    val w = spark.sql(
+      "SELECT count(*) AS n FROM snapc27.t WHERE day BETWEEN 'day-003' AND 'day-006'")
+    assert(w.as[Long].head() == 8L)
+    val wb = Snapshots.lastManifestBytesRead.get()
+    assert(wb > 0L && wb < ckptBytes / 10, s"range window parsed $wb of $ckptBytes bytes")
+    assert(
+      Snapshots.fullViewParses.get() == parses2,
+      "a range-windowed cold plan must not reconstruct the full list")
     // an UNPRUNED plan still answers (full parse is the right plan there)
     Snapshots.viewCache.clear()
     assert(spark.sql("SELECT count(*) FROM snapc27.t").as[Long].head() == 240L)
