@@ -344,7 +344,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       "graft_hilbert(order, c1, c2, ...) - k-dim Hilbert curve index of non-negative long coordinates (< 2^order each)",
       (args: Seq[Expression]) => {
         require(args.length >= 3, "graft_hilbert(order, c1, c2, ...) takes an order plus >= 2 coordinates")
-        HilbertNExpr(args.tail, intArg(args.head, "order"))
+        // cast coordinates to long like the Scala wrapper does — the
+        // expression's eval unboxes Long, so an int column would succeed
+        // under codegen (implicit widening) but CCE in interpreted mode
+        HilbertNExpr(
+          args.tail.map(c =>
+            org.apache.spark.sql.catalyst.expressions
+              .Cast(c, org.apache.spark.sql.types.LongType)),
+          intArg(args.head, "order"))
       }),
     (
       "graft_zorder",

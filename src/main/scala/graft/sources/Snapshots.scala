@@ -1107,18 +1107,25 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       rel: String,
-      sinceMs: Long): Boolean =
-    manifestVersions(spark, root)
-      .filter { case (_, ms) => ms >= sinceMs - 2000L }
-      .map(_._1)
-      .sorted(Ordering[Long].reverse)
-      .exists { v =>
-        val view = manifestView(spark, root, v)
-        view.delta match {
-          case Some((_, added, _)) => added.contains(rel)
-          case None => view.rels.contains(rel)
-        }
+      sinceMs: Long): Boolean = {
+    def listedBy(v: Long): Boolean = {
+      val view = manifestView(spark, root, v)
+      view.delta match {
+        case Some((_, added, _)) => added.contains(rel)
+        case None => view.rels.contains(rel)
       }
+    }
+    val all = manifestVersions(spark, root)
+    val (recent, older) = all.partition { case (_, ms) => ms >= sinceMs - 2000L }
+    recent.map(_._1).sorted(Ordering[Long].reverse).exists(listedBy) ||
+    // the `sinceMs` cutoff assumes the archive rename preserved the
+    // file's mtime (true on local FS and HDFS); a copy-based archival
+    // (object-store connectors) stamps the ARCHIVE instant instead and
+    // would wrongly exclude the adopting manifest — so before declaring
+    // a write CONFLICT, fall back to the full (cache-served) walk.
+    // Correct-but-slower beats a spurious hard failure on the rare path.
+    older.map(_._1).sorted(Ordering[Long].reverse).exists(listedBy)
+  }
 
   /** Atomic version-slot CLAIM + manifest write — the primitive both the
     * locked commits and the lock-free concurrent appenders build on.
@@ -1392,25 +1399,23 @@ object Snapshots {
     */
   private def groupSelected(dir: String, prune: Seq[(String, String, String)]): Boolean = {
     if (dir.isEmpty) return true
-    val segs = dir
-      .split("/")
-      .filter(_.contains("="))
-      .map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> v
-      }
-      .toMap
+    // ONE hive-segment parser for the whole engine: SnapFilters owns the
+    // split/unescape/sentinel rules (partSegments expects a rel, so a
+    // filename placeholder is appended)
+    val segs = snap.SnapFilters.partSegments(s"$dir/f")
     prune.forall { case (c, lo, hi) =>
       segs.get(c) match {
         case None => true // not a partition column at this level: can't exclude
-        case Some("__HIVE_DEFAULT_PARTITION__") => false // null never matches a range
         case Some(raw) =>
-          val v = unescapePathName(raw)
-          val typ =
-            if (scala.util.Try(v.toLong).isSuccess) "l"
-            else if (scala.util.Try(v.toDouble).isSuccess) "d"
-            else "s"
-          overlapsRange(ColStat(typ, v, v), Option(lo), Option(hi))
+          snap.SnapFilters.segValue(raw) match {
+            case None => false // the null sentinel never matches a value range
+            case Some(v) =>
+              val typ =
+                if (scala.util.Try(v.toLong).isSuccess) "l"
+                else if (scala.util.Try(v.toDouble).isSuccess) "d"
+                else "s"
+              overlapsRange(ColStat(typ, v, v), Option(lo), Option(hi))
+          }
       }
     }
   }
@@ -1508,7 +1513,8 @@ object Snapshots {
         val cut = rel.lastIndexOf('/')
         dirKeep(if (cut < 0) "" else rel.substring(0, cut))
       }
-      view = applied.copy(rels = kept, stats = applied.stats.filter(kv => kept.contains(kv._1)))
+      val keptSet = kept.toSet // Seq.contains would be O(kept) per stat entry
+      view = applied.copy(rels = kept, stats = applied.stats.filter(kv => keptSet(kv._1)))
     }
     // the full live-file count comes from the TARGET version's own header
     // (`#nfiles`, recorded by every commit path) when the chain had
@@ -1584,7 +1590,14 @@ object Snapshots {
           // committed manifest (local rename overwrites, POSIX
           // rename(2)). Re-verify the claim still carries OUR tag and the
           // target is still absent; losing the fence aborts the attempt
-          // (the caller rebases) — it never overwrites a committed body.
+          // (the caller rebases). This SHRINKS the overwrite window to
+          // the instruction gap between the fence and the rename — a
+          // stall of >60 s landing in exactly those microseconds is the
+          // residual race; CLOSING it needs an atomic existence-
+          // arbitrated publish, which local rename cannot express (HDFS
+          // rename and an object store's if-none-match PUT both can —
+          // swap the rename there). Same-JVM racers are fully safe via
+          // the jvmClaims putIfAbsent.
           if (!readLockTag(fs, claim).exists(_.startsWith(owner)) || fs.exists(target)) {
             fs.delete(tmp, false)
             false

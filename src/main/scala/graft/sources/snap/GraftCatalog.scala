@@ -374,7 +374,8 @@ class SnapTable(dir: String, version: Long)
   private lazy val tableSchema: StructType =
     header
       .flatMap(_.schema)
-      .getOrElse(view.schema.getOrElse(Snapshots.readSnapshot(spark, dir, version).schema))
+      .getOrElse(
+        view.schema.getOrElse(Snapshots.readSnapshot(spark, dir, resolvedVersion).schema))
 
   override def schema(): StructType = tableSchema
 
@@ -645,16 +646,30 @@ class SnapWriteBuilder(dir: String, info: LogicalWriteInfo)
     private lazy val distCols: Seq[String] =
       try {
         val spark = SparkSession.active
-        if (Snapshots.latestVersion(spark, dir) == 0L) Seq.empty
-        else {
-          val view = Snapshots.manifestView(spark, dir)
-          val cols =
+        // the header answers the layout in O(header) — a cold-driver
+        // INSERT / first streaming epoch must not parse a million-file
+        // list just to learn the partition columns; pre-#pathcols
+        // manifests fall back to the full (cached) view
+        val cols = Snapshots.headerView(spark, dir) match {
+          case Some(h) if h.partCols.nonEmpty => h.partCols
+          case Some(h) if h.pathCols.isDefined => h.pathCols.get
+          case Some(_) =>
+            val view = Snapshots.manifestView(spark, dir)
             if (view.partCols.nonEmpty) view.partCols
             else Snapshots.partitionColsFromRels(view.rels)
-          // only columns the incoming schema actually carries can cluster
-          cols.filter(c => info.schema().fieldNames.contains(c))
+          case None if Snapshots.latestVersion(spark, dir) > 0L =>
+            // v1 plain-list manifest: derive the layout from the rels
+            Snapshots.partitionColsFromRels(Snapshots.manifestView(spark, dir).rels)
+          case None => Seq.empty // no manifest yet: flat write
         }
-      } catch { case _: Exception => Seq.empty }
+        // only columns the incoming schema actually carries can cluster
+        cols.filter(c => info.schema().fieldNames.contains(c))
+      } catch {
+        // last-resort only: an unreadable manifest here degrades to an
+        // unclustered write, whose failure mode (the writer's fan-out
+        // backstop) is loud — never silently wrong data
+        case _: Exception => Seq.empty
+      }
 
     /** Cluster incoming rows by the table's partition columns — the
       * INSERT path's REBALANCE discipline, DECLARED so Spark applies it

@@ -322,11 +322,13 @@ class ExpressionsSpec extends SparkSpec {
         .sql("SELECT max(h) FROM (SELECT explode(graft_shingle_hashes(text, 3)) AS h FROM docs_ext)")
         .head()
       assert(sqlSh.getLong(0) > 0)
-      // the k-dim Hilbert key from raw SQL == the driver-side curve
+      // the k-dim Hilbert key from raw SQL == the driver-side curve;
+      // INT-typed coordinates exercise the registry's Cast (an uncast int
+      // would CCE in interpreted mode while succeeding under codegen)
       val table3 = graft.functions.Layout.hilbertTableN(2, 3)
       val sqlHil = s2
         .sql(
-          "SELECT x, y, z, graft_hilbert(2, x, y, z) AS h FROM " +
+          "SELECT x, y, z, graft_hilbert(2, CAST(x AS INT), CAST(y AS INT), CAST(z AS INT)) AS h FROM " +
             "(SELECT CAST(id / 16 AS BIGINT) AS x, CAST(id / 4 AS BIGINT) % 4 AS y, " +
             "id % 4 AS z FROM range(64))")
         .collect()
