@@ -1029,6 +1029,23 @@ class SnapshotsSpec extends SparkSpec {
       assert(read2 > 0L && read2 < ckptBytes / 10, s"chained pruned plan parsed $read2 B")
       // everything-pruned: empty frame in the recorded schema, no error
       assert(prunedIds("zzz-999").isEmpty)
+      // a DDL delta on top: header fields are PER-VERSION authoritative,
+      // so the pruned read must surface the evolved schema while still
+      // positioned-reading only the bottom checkpoint's selected groups
+      Snapshots.addColumns(
+        spark,
+        dir,
+        org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types
+          .StructField("note", org.apache.spark.sql.types.StringType))))
+      Snapshots.lastManifestBytesRead.set(0L)
+      val evolved = Snapshots
+        .readSnapshot(spark, dir, prune = Seq(("day", "day-005", "day-005")))
+      assert(evolved.schema.fieldNames.contains("note"), evolved.schema.treeString)
+      assert(
+        evolved.filter(col("day") === "day-005").select("id").as[Long].collect().sorted.toSeq
+          == (expect :+ 900L).sorted)
+      val read3 = Snapshots.lastManifestBytesRead.get()
+      assert(read3 > 0L && read3 < ckptBytes / 10, s"evolved pruned plan parsed $read3 B")
     } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
     // a corrupt sidecar reads as absent: full parse, identical rows
     java.nio.file.Files.write(pidx.toPath, "#graft-pidx 1 999 0\ngarbage".getBytes("UTF-8"))
