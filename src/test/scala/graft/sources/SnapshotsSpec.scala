@@ -713,6 +713,10 @@ class SnapshotsSpec extends SparkSpec {
     results.foreach { case (_, rel) => assert(finalRels.contains(rel), s"$rel lost") }
     assert(Snapshots.readSnapshot(spark, dir).count() == 1L + n)
     assert(Snapshots.countRows(spark, dir) == 1L + n, "per-file stats rebased through every race")
+    // the recorded header metadata stays exact through every rebase: each
+    // attempt recomputes #nfiles from the version it actually rebased on
+    val hdr = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+    assert(hdr.nFiles.contains(1L + n.toLong), s"raced #nfiles drifted: $hdr")
     // appenders do NOT serialize on the table lock: with the lock held by
     // a (simulated) long maintenance op on this thread, an append from
     // another thread still lands promptly
