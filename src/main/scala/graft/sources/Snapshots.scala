@@ -813,32 +813,25 @@ object Snapshots {
                       root,
                       (if (partCols.nonEmpty) partCols else partitionColsFromRels(files)).toSet)
               }
-          val schemaJson = org.apache.spark.sql.types
-            .StructType(evolved.filterNot(f => dropped.contains(f.name)))
-            .json
+          val schemaRec =
+            org.apache.spark.sql.types.StructType(evolved.filterNot(f => dropped.contains(f.name)))
           // which hive path columns are canonically rendered in EVERY
           // file — recorded so a cold planner can consume partition
           // filters without sweeping the list (this commit path is
           // already O(table): it listed the directory)
           val pathColsEff = if (partCols.nonEmpty) partCols else partitionColsFromRels(files)
-          val header = Seq(
-            "#graft-manifest 2",
-            s"#schema $schemaJson") ++
-            (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
-            (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
-            (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
-            (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty) ++
-            (if (pathColsEff.nonEmpty && files.nonEmpty)
-               Seq(partCanonLine(canonicalPathCols(
-                 files,
-                 pathColsEff,
-                 Some(org.apache.spark.sql.types
-                   .StructType(evolved.filterNot(f => dropped.contains(f.name)))))))
-             else Seq.empty) ++
-            Seq(s"#nfiles ${files.size}") ++
-            (if (files.nonEmpty)
-               Seq(s"#pathcols ${if (pathColsEff.isEmpty) "-" else pathColsEff.mkString(",")}")
-             else Seq.empty)
+          val header = renderHeader(
+            Some(schemaRec),
+            statsCols,
+            bloomCols,
+            dropped,
+            partCols,
+            partCanon =
+              if (pathColsEff.nonEmpty && files.nonEmpty)
+                Some(canonicalPathCols(files, pathColsEff, Some(schemaRec)))
+              else None,
+            nFiles = Some(files.size.toLong),
+            pathCols = if (files.nonEmpty) Some(pathColsEff) else None)
           if (statsCols.isEmpty) {
             header ++ files
           } else {
@@ -1048,33 +1041,24 @@ object Snapshots {
         }
         def statOf(rel: String): Map[String, ColStat] =
           Option(newStats.get(rel)).getOrElse(Map.empty)
-        val header = Seq("#graft-manifest 2") ++
-          evolved
-            .map(s =>
-              "#schema " + org.apache.spark.sql.types.StructType(
-                s.filterNot(f => prev.dropped.contains(f.name))).json)
-            .toSeq ++
-          (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
-          (if (prev.bloomCols.nonEmpty) Seq(s"#bloomcols ${prev.bloomCols.mkString(",")}")
-           else Seq.empty) ++
-          (if (prev.dropped.nonEmpty) Seq(s"#dropped ${prev.dropped.map(hex).mkString(",")}")
-           else Seq.empty) ++
-          (if (prev.partCols.nonEmpty) Seq(s"#partcols ${prev.partCols.mkString(",")}")
-           else Seq.empty) ++
+        val header = renderHeader(
+          evolved.map(s =>
+            org.apache.spark.sql.types
+              .StructType(s.filterNot(f => prev.dropped.contains(f.name)))),
+          statsCols,
+          prev.bloomCols,
+          prev.dropped,
+          prev.partCols,
           // canonicality carries O(delta): the previous version's recorded
           // set intersected with what THIS slice's paths render canonically
           // (an unknown — pre-partcanon — base stays unknown)
-          headerView(spark, root, prevV)
+          partCanon = headerView(spark, root, prevV)
             .flatMap(_.partCanon)
-            .map(pc =>
-              partCanonLine(canonicalPathCols(fresh, pc, evolved.orElse(prev.schema))))
-            .toSeq ++
-          Seq(s"#nfiles ${prev.rels.size + fresh.size}") ++ {
-            val eff =
-              if (prev.partCols.nonEmpty) prev.partCols
-              else partitionColsFromRels(prev.rels ++ fresh)
-            Seq(s"#pathcols ${if (eff.isEmpty) "-" else eff.mkString(",")}")
-          }
+            .map(pc => canonicalPathCols(fresh, pc, evolved.orElse(prev.schema))),
+          nFiles = Some((prev.rels.size + fresh.size).toLong),
+          pathCols = Some(
+            if (prev.partCols.nonEmpty) prev.partCols
+            else partitionColsFromRels(prev.rels ++ fresh)))
         val freshLines = fresh.map(rel => renderFileLine(rel, statOf(rel)))
         val body =
           if (isCheckpointVersion(spark, version) ||
@@ -1260,7 +1244,7 @@ object Snapshots {
     * it once; append commits intersect with their O(delta) slice) lets a
     * cold planner consume partition filters without parsing the file list.
     */
-  private def canonicalPathCols(
+  private[sources] def canonicalPathCols(
       rels: Seq[String],
       pathCols: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
@@ -1292,6 +1276,32 @@ object Snapshots {
 
   private def partCanonLine(canon: Seq[String]): String =
     s"#partcanon ${if (canon.isEmpty) "-" else canon.mkString(",")}"
+
+  /** THE one manifest-header renderer — every commit path (full commit,
+    * lock-free append, DDL, clone) funnels through it, so the header
+    * format is one function and a new field can never be half-adopted
+    * (this round's clone bug was exactly a header site drifting from the
+    * others). `pathCols = Some(Seq.empty)` renders the known-flat
+    * sentinel; None omits the line (unknown).
+    */
+  private def renderHeader(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsCols: Seq[String],
+      bloomCols: Seq[String],
+      dropped: Seq[String],
+      partCols: Seq[String],
+      partCanon: Option[Seq[String]],
+      nFiles: Option[Long],
+      pathCols: Option[Seq[String]]): Seq[String] =
+    Seq("#graft-manifest 2") ++
+      schema.map(s => s"#schema ${s.json}").toSeq ++
+      (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
+      (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
+      (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
+      (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty) ++
+      partCanon.map(partCanonLine).toSeq ++
+      nFiles.map(n => s"#nfiles $n").toSeq ++
+      pathCols.map(eff => s"#pathcols ${if (eff.isEmpty) "-" else eff.mkString(",")}").toSeq
 
   /** Sidecar path of a checkpoint's partition index. */
   private def pidxPath(target: Path) = new Path(target.getParent, target.getName + ".pidx")
@@ -1469,9 +1479,13 @@ object Snapshots {
           val lines = manifestLines(spark, root, cur)
           lines.find(_.startsWith("#delta ")) match {
             case Some(d) =>
+              val b = d.stripPrefix("#delta ").trim.toLong
+              require(
+                b > 0L && b < cur,
+                s"manifest v$cur under $root records a non-decreasing delta base $b — corrupt chain")
               bytes += lines.map(_.getBytes("UTF-8").length.toLong + 1L).sum
               levels = lines :: levels
-              cur = d.stripPrefix("#delta ").trim.toLong
+              cur = b
             case None => return None // unindexed checkpoint: full parse is the right plan
           }
       }
@@ -1689,11 +1703,6 @@ object Snapshots {
       bloomCols: Seq[String]): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val header = Seq("#graft-manifest 2", s"#schema ${schema.json}") ++
-      (if (statsCols.nonEmpty) Seq(s"#statscols ${statsCols.mkString(",")}") else Seq.empty) ++
-      (if (bloomCols.nonEmpty) Seq(s"#bloomcols ${bloomCols.mkString(",")}") else Seq.empty) ++
-      (if (dropped.nonEmpty) Seq(s"#dropped ${dropped.map(hex).mkString(",")}") else Seq.empty) ++
-      (if (partCols.nonEmpty) Seq(s"#partcols ${partCols.mkString(",")}") else Seq.empty)
     // DDL touches metadata only: off-checkpoint versions commit as a
     // header-only DELTA (the file list + stats carry via the chain) — a
     // metadata commit on a million-file table writes a few hundred bytes.
@@ -1708,25 +1717,23 @@ object Snapshots {
       // still exact. A fresh table records the layout's canonical-domain
       // columns (vacuously true over zero files; the first data commit
       // recomputes from the real listing).
-      val canonLine =
+      val canon =
         if (version == 1L)
-          (if (partCols.nonEmpty)
-             Seq(partCanonLine(canonicalPathCols(Seq.empty, partCols, Some(schema))))
-           else Seq.empty)
+          (if (partCols.nonEmpty) Some(canonicalPathCols(Seq.empty, partCols, Some(schema)))
+           else None)
         else
           headerView(spark, root, version - 1L)
             .flatMap(_.partCanon)
-            .map(pc => partCanonLine(pc.filterNot(dropped.contains)))
-            .toSeq
-      def pathColsLine(eff: Seq[String]): Seq[String] =
-        Seq(s"#pathcols ${if (eff.isEmpty) "-" else eff.mkString(",")}")
+            .map(_.filterNot(dropped.contains))
+      def hdr(n: Long, eff: Seq[String]): Seq[String] =
+        renderHeader(
+          Some(schema), statsCols, bloomCols, dropped, partCols, canon, Some(n), Some(eff))
       val body =
-        if (version == 1L)
-          header ++ canonLine ++ Seq("#nfiles 0") ++ pathColsLine(partCols)
+        if (version == 1L) hdr(0L, partCols)
         else if (isCheckpointVersion(spark, version)) {
           val prev = manifestView(spark, root, version - 1L)
           val eff = if (partCols.nonEmpty) partCols else partitionColsFromRels(prev.rels)
-          header ++ canonLine ++ Seq(s"#nfiles ${prev.rels.size}") ++ pathColsLine(eff) ++
+          hdr(prev.rels.size.toLong, eff) ++
             prev.rels.map(rel => renderFileLine(rel, prev.stats.getOrElse(rel, Map.empty)))
         } else {
           // header-only delta: file count and effective layout are the
@@ -1740,8 +1747,7 @@ object Snapshots {
             if (partCols.nonEmpty) partCols
             else partitionColsFromRels(manifestView(spark, root, version - 1L).rels)
           }
-          header ++ canonLine ++ Seq(s"#nfiles $prevN") ++ pathColsLine(eff) ++
-            Seq(s"#delta ${version - 1L}")
+          hdr(prevN, eff) ++ Seq(s"#delta ${version - 1L}")
         }
       if (tryWriteManifest(fs, rootPath, version, body)) result = version
       else if (System.currentTimeMillis() > deadline)
@@ -2063,21 +2069,15 @@ object Snapshots {
         dstFs.mkdirs(manifestDir(dstPath))
         val pathColsEff =
           if (view.partCols.nonEmpty) view.partCols else partitionColsFromRels(view.rels)
-        val header = Seq("#graft-manifest 2") ++
-          view.schema.map(s => s"#schema ${s.json}").toSeq ++
-          (if (view.statsCols.nonEmpty) Seq(s"#statscols ${view.statsCols.mkString(",")}")
-           else Seq.empty) ++
-          (if (view.bloomCols.nonEmpty) Seq(s"#bloomcols ${view.bloomCols.mkString(",")}")
-           else Seq.empty) ++
-          (if (view.dropped.nonEmpty) Seq(s"#dropped ${view.dropped.map(hex).mkString(",")}")
-           else Seq.empty) ++
-          (if (view.partCols.nonEmpty) Seq(s"#partcols ${view.partCols.mkString(",")}")
-           else Seq.empty) ++
-          headerView(spark, srcRoot, view.version).flatMap(_.partCanon).map(partCanonLine).toSeq ++
-          Seq(s"#nfiles ${view.rels.size}") ++
-          (if (view.rels.nonEmpty)
-             Seq(s"#pathcols ${if (pathColsEff.isEmpty) "-" else pathColsEff.mkString(",")}")
-           else Seq.empty)
+        val header = renderHeader(
+          view.schema,
+          view.statsCols,
+          view.bloomCols,
+          view.dropped,
+          view.partCols,
+          partCanon = headerView(spark, srcRoot, view.version).flatMap(_.partCanon),
+          nFiles = Some(view.rels.size.toLong),
+          pathCols = if (view.rels.nonEmpty) Some(pathColsEff) else None)
         val body = header ++
           view.rels.map(rel => renderFileLine(rel, view.stats.getOrElse(rel, Map.empty)))
         // a v1 manifest source (no header) clones as a plain v1 file list
@@ -2260,6 +2260,12 @@ object Snapshots {
         lines.find(_.startsWith("#delta ")) match {
           case Some(d) =>
             val b = d.stripPrefix("#delta ").trim.toLong
+            // every legitimate commit records a STRICTLY LOWER base — a
+            // corrupt/hand-edited chain that didn't would loop this walk
+            // forever (the old recursion at least blew the stack loudly)
+            require(
+              b > 0L && b < cur,
+              s"manifest v$cur under $root records a non-decreasing delta base $b — corrupt chain")
             levels = (cur, lines) :: levels
             base = cachedView(spark, root, b)
             cur = b

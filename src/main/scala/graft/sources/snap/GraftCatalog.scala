@@ -1068,21 +1068,13 @@ class SnapScanBuilder(
               case _ => false
             }
           case None =>
-            tableSchema.fields.find(_.name == c).map(_.dataType).exists {
-              case t @ (ByteType | ShortType | IntegerType | LongType | DateType | StringType) =>
-                view.rels.forall { r =>
-                  SnapFilters.partSegments(r).get(c) match {
-                    // canonical is required even for null-ness matchers: a
-                    // non-castable dir value (`uid=x` under int) splices to
-                    // NULL rows while its segment is present, so segment
-                    // presence alone would answer IS [NOT] NULL wrongly
-                    case Some(raw) =>
-                      SnapFilters.segValue(raw).forall(SnapFilters.canonicalValue(_, t))
-                    case None => false
-                  }
-                }
-              case _ => false
-            }
+            // pre-#partcanon manifests: run the SAME sweep the commit
+            // would have recorded — one shared implementation, so the
+            // recorded-set and swept-set semantics can never drift.
+            // (Canonical is required even for null-ness matchers: a
+            // non-castable dir value under int splices to NULL rows while
+            // its segment is present.)
+            Snapshots.canonicalPathCols(view.rels, Seq(c), Some(tableSchema)).nonEmpty
         })
       })
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -131,13 +131,21 @@ private[snap] object GraftProcedures {
         require(
           cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
           s"layout key columns must be plain identifiers: '$spec'")
-        val longCols = cols.map(c => col(c).cast("long"))
         val badOpts = optMap.keySet -- Set(if (which.toLowerCase == "zorder") "bits" else "order")
         require(badOpts.isEmpty, s"unknown cluster key option(s) $badOpts in '$spec'")
+        val width = optMap.getOrElse(if (which.toLowerCase == "zorder") "bits" else "order", 63 / cols.length)
+        // map every coordinate into the curve's domain [0, 2^width):
+        // hilbertN's Gray-decode ALIASES out-of-range values to unrelated
+        // cells (its documented contract), and negatives would break
+        // zorder locality too — pmod is the identity on in-range values
+        // and a deterministic fold for the rest, so the procedure never
+        // silently produces a locality-free layout
+        val domainCols =
+          cols.map(c => org.apache.spark.sql.functions.pmod(col(c).cast("long"), lit(1L << width)))
         if (which.toLowerCase == "zorder")
-          graft.functions.Layout.zorderN(longCols, optMap.getOrElse("bits", 63 / cols.length))
+          graft.functions.Layout.zorderN(domainCols, width)
         else
-          graft.functions.Layout.hilbertN(longCols, optMap.getOrElse("order", 63 / cols.length))
+          graft.functions.Layout.hilbertN(domainCols, width)
       case _ => col(spec.trim)
     }
   }

@@ -44,6 +44,34 @@ class ExpressionsSpec extends SparkSpec {
           s"jump between d=($x1,$y1,$z1) and ($x2,$y2,$z2)")
       case _ => ()
     }
+    // the SAME laws at higher order and dimension (driver-side — the
+    // q224 DuckDB splice proves cross-engine EVALUATION parity; THESE
+    // properties are what pin the curve itself): order-6 3-D (262k
+    // cells, the CALL-default territory) and order-4 4-D
+    for ((ord, dims) <- Seq((6, 3), (4, 4))) {
+      val side2 = 1 << ord
+      val t = graft.functions.Layout.hilbertTableN(ord, dims)
+      assert(t.toSet.size == t.length, s"order-$ord ${dims}D: not a bijection")
+      assert(t.min == 0L && t.max == t.length - 1L, s"order-$ord ${dims}D: range hole")
+      val coordsOf = Array.tabulate(t.length) { idx =>
+        val c = new Array[Int](dims)
+        var rem = idx
+        var i = dims - 1
+        while (i >= 0) { c(i) = rem % side2; rem /= side2; i -= 1 }
+        c
+      }
+      val byD = new Array[Array[Int]](t.length)
+      t.indices.foreach(i => byD(t(i).toInt) = coordsOf(i))
+      var i = 1
+      while (i < byD.length) {
+        val a = byD(i - 1); val b = byD(i)
+        var dist = 0
+        var j = 0
+        while (j < dims) { dist += math.abs(a(j) - b(j)); j += 1 }
+        assert(dist == 1, s"order-$ord ${dims}D: non-unit step at d=$i")
+        i += 1
+      }
+    }
     // expression ≡ driver walk over the full grid, 2 uses in ONE projection
     // (scratch-buffer collision case), plus null propagation
     val grid = spark
