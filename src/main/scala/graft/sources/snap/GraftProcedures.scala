@@ -227,6 +227,29 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class Checkpoint(rootDir: String) extends SnapProcedure("checkpoint", rootDir) {
+    override def description: String =
+      "force the next commit to be a FULL manifest checkpoint: bounds the delta " +
+        "reconstruction chain, (re)writes the partition-index sidecar and refreshes " +
+        "the recorded canonicality/layout/count header fields — the ops lever to pull " +
+        "before heavy cold-read load or after adopting pre-index manifests"
+    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input.getUTF8String(0).toString)
+      // the same statement Snapshots.commit issues on-interval, forced:
+      // interval ≤ 1 makes THIS commit full regardless of version number
+      val prev = spark.conf.getOption("spark.graft.snapshot.checkpointInterval")
+      spark.conf.set("spark.graft.snapshot.checkpointInterval", "1")
+      val v =
+        try Snapshots.commit(spark, dir) // inherits stats + bloom discipline
+        finally prev.fold(spark.conf.unset("spark.graft.snapshot.checkpointInterval"))(p =>
+          spark.conf.set("spark.graft.snapshot.checkpointInterval", p))
+      result(
+        out("version" -> LongType, "files" -> LongType),
+        Seq(v, Snapshots.files(spark, dir, v).size.toLong))
+    }
+  }
+
   def all(rootDir: String): Seq[UnboundProcedure] = Seq(
     new Compact(rootDir),
     new Cluster(rootDir),
@@ -234,7 +257,8 @@ private[snap] object GraftProcedures {
     new Restore(rootDir),
     new Clone(rootDir),
     new SetStats(rootDir),
-    new Expire(rootDir))
+    new Expire(rootDir),
+    new Checkpoint(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =
     if (ident.namespace().nonEmpty && ident.namespace().toSeq != Seq("system")) None

@@ -327,11 +327,28 @@ class SnapCatalogSpec extends SparkSpec {
     assert(missing.getMessage.contains("no procedure") || missing.getMessage.toLowerCase.contains("nope"))
     val escape = intercept[Exception](spark.sql("CALL snapc15.compact(table => '../t')").collect())
     assert(escape.getMessage != null)
+    // CALL checkpoint: forces a FULL manifest off-interval — chain
+    // bounded, partition index + header fields regenerated on demand
+    Seq((900L, 9L)).toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$dir")
+    spark.conf.set("spark.graft.snapshot.checkpointInterval", "1000000")
+    try {
+      val before = Snapshots.latestVersion(spark, dir)
+      val cp2 = spark.sql("CALL snapc15.checkpoint(table => 't')").collect()
+      val vNew = cp2.head.getLong(0)
+      assert(vNew == before + 1L, cp2.toSeq.toString)
+      val mf = scala.io.Source
+        .fromFile(f"$dir/_graft_manifests/v$vNew%010d.manifest", "UTF-8")
+        .mkString
+      assert(!mf.contains("#delta"), "CALL checkpoint must write a FULL manifest")
+      val hdr = Snapshots.headerView(spark, dir).getOrElse(fail("no header"))
+      assert(hdr.nFiles.contains(cp2.head.getLong(1)), hdr.toString)
+      assert(spark.sql("SELECT count(*) FROM snapc15.t").as[Long].head() == 801L)
+    } finally spark.conf.unset("spark.graft.snapshot.checkpointInterval")
     // the procedure surface is discoverable from SQL
     val procs =
       spark.sql("SHOW PROCEDURES IN snapc15").collect().map(r => r.get(r.length - 1).toString).toSet
     assert(
-      Set("compact", "cluster", "vacuum", "restore", "clone", "set_stats", "expire")
+      Set("compact", "cluster", "vacuum", "restore", "clone", "set_stats", "expire", "checkpoint")
         .subsetOf(procs),
       procs.toString)
   }
