@@ -69,12 +69,35 @@ object Snapshots {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(DefaultCheckpointInterval)
 
+  /** Set for the duration of [[checkpoint]]'s commit on ITS thread only —
+    * forcing a full manifest without mutating session-shared conf (a conf
+    * flip would race concurrent callers and silently force every
+    * concurrent commit full during the window).
+    */
+  private val forceFullCheckpoint: ThreadLocal[Boolean] = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Commit a FULL manifest checkpoint NOW (next version, file list +
+    * stats re-rendered complete, off-interval): bounds the delta
+    * reconstruction chain, (re)writes the partition-index sidecar and
+    * refreshes the recorded canonicality/layout/count header fields.
+    * Stats + bloom discipline inherit. The ops lever before heavy
+    * cold-read load, or to upgrade a table adopted from pre-index
+    * manifests.
+    */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    forceFullCheckpoint.set(true)
+    try commit(spark, root)
+    finally forceFullCheckpoint.remove()
+  }
+
   /** Is version `v` a checkpoint (full manifest) under the session's
     * interval policy? v1 is always full — the chain base.
     */
   private def isCheckpointVersion(spark: SparkSession, v: Long): Boolean = {
     val every = checkpointEvery(spark)
-    v == 1L || every <= 1 || v % every == 0L
+    v == 1L || every <= 1 || v % every == 0L || forceFullCheckpoint.get()
   }
 
   /** Parsed-manifest cache, keyed by (qualified path, mtime, length): a

@@ -229,24 +229,21 @@ private[snap] object GraftProcedures {
 
   private class Checkpoint(rootDir: String) extends SnapProcedure("checkpoint", rootDir) {
     override def description: String =
-      "force the next commit to be a FULL manifest checkpoint: bounds the delta " +
-        "reconstruction chain, (re)writes the partition-index sidecar and refreshes " +
+      "commit a FULL manifest checkpoint NOW (a new version, off-interval): bounds the " +
+        "delta reconstruction chain, (re)writes the partition-index sidecar and refreshes " +
         "the recorded canonicality/layout/count header fields — the ops lever to pull " +
         "before heavy cold-read load or after adopting pre-index manifests"
     override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = dirOf(input.getUTF8String(0).toString)
-      // the same statement Snapshots.commit issues on-interval, forced:
-      // interval ≤ 1 makes THIS commit full regardless of version number
-      val prev = spark.conf.getOption("spark.graft.snapshot.checkpointInterval")
-      spark.conf.set("spark.graft.snapshot.checkpointInterval", "1")
-      val v =
-        try Snapshots.commit(spark, dir) // inherits stats + bloom discipline
-        finally prev.fold(spark.conf.unset("spark.graft.snapshot.checkpointInterval"))(p =>
-          spark.conf.set("spark.graft.snapshot.checkpointInterval", p))
-      result(
-        out("version" -> LongType, "files" -> LongType),
-        Seq(v, Snapshots.files(spark, dir, v).size.toLong))
+      val v = Snapshots.checkpoint(spark, dir) // inherits stats + bloom discipline
+      // the file count comes from the header this commit just wrote — no
+      // second full parse of the manifest we only just rendered
+      val n = Snapshots
+        .headerView(spark, dir, v)
+        .flatMap(_.nFiles)
+        .getOrElse(Snapshots.files(spark, dir, v).size.toLong)
+      result(out("version" -> LongType, "files" -> LongType), Seq(v, n))
     }
   }
 
