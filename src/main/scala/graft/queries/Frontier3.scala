@@ -2051,7 +2051,234 @@ object Frontier3 {
        |FROM f GROUP BY x ORDER BY x""".stripMargin
   }
 
+  // -- q226: merge-on-read DELETE (deletion vectors) ----------------------
+
+  /** SQL DELETE priced as METADATA, not data: with
+    * `spark.graft.delete.mode=mor` the catalog routes `DELETE FROM` to
+    * [[graft.sources.DeleteVectors.deleteWhere]] — matched row POSITIONS
+    * land in hidden sidecars, the manifest delta re-states the touched
+    * files' DV pointers, and not one data file is rewritten. The hash
+    * proves all of it: per-type totals show the deleted types gone from
+    * the live side while `VERSION AS OF 1` still reads them
+    * (snapshot-isolated, time-travelable); `zero_rewrite` certifies the
+    * live FILE LIST is byte-identical across BOTH deletes — including the
+    * second one issued WITHOUT the conf (MoR is sticky once a table
+    * carries a DV: the copy-on-write path reads raw files and must not
+    * run); `dv_files` counts the pointers. At 100 TB this is the GDPR
+    * erasure that costs the match scan plus kilobytes of sidecar instead
+    * of rewriting every touched multi-GB file.
+    */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq226", Seq("day"))
+    val files1 = graft.sources.Snapshots.files(s, dir).toSet
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+    }
+    // sticky MoR: no conf this time — the table already carries DVs
+    s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'view'")
+    val files3 = graft.sources.Snapshots.files(s, dir).toSet
+    val nDv = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir)).size
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, coalesce(v2.n, CAST(0 AS BIGINT)) AS n_live,
+      |       v1.u AS u_v1, coalesce(v2.u, CAST(0 AS BIGINT)) AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+      .withColumn("zero_rewrite", lit(files3 == files1))
+      .withColumn("dv_files_ok", lit(nDv > 0))
+  }
+
+  val q226Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(sum(CASE WHEN event_type NOT IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  CAST(sum(u) AS BIGINT) AS u_v1,
+      |  CAST(sum(CASE WHEN event_type NOT IN ('click', 'view') THEN u ELSE 0 END) AS BIGINT) AS u_live,
+      |  true AS zero_rewrite, true AS dv_files_ok
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q227: aggregate pushdown stays SOUND under deletion vectors --------
+
+  /** The stats-consumer soundness matrix of merge-on-read deletes, plan-
+    * REQUIRED: after two OVERLAPPING MoR deletes (the second's positions
+    * merge into the first's sidecars — counts must not double), a
+    * metadata-only `COUNT(*)` still pushes to the manifest
+    * (`GraftSnapAggScan` in the plan — zero file opens) because the DV
+    * commit recorded the exact deleted count to subtract; `MIN`/`MAX` on
+    * the same table REFUSE the pushdown (the deleted rows' extremes are
+    * unknown — a recorded interval is only an upper bound now) and fall
+    * back to a real scan whose answer the oracle verifies. A wrong
+    * subtraction, a double-counted overlap, or a MIN/MAX that trusted a
+    * DV'd interval all break the hash; a MIN/MAX that still pushed breaks
+    * the `require`.
+    */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq227", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day <= DATE'$cut'")
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'") // superset: overlap merges
+    }
+    val cnt = s.sql(s"SELECT count(*) AS n_rows FROM $cat.ev")
+    require(
+      scanDescriptions(cnt).exists(_.contains("GraftSnapAggScan")),
+      "COUNT(*) must stay manifest-only under deletion vectors (exact subtraction)")
+    val nRows = cnt.head().getLong(0)
+    val mm = s.sql(s"SELECT min(n) AS min_n, max(n) AS max_n FROM $cat.ev")
+    require(
+      !scanDescriptions(mm).exists(_.contains("GraftSnapAggScan")),
+      "MIN/MAX must refuse manifest pushdown on DV'd files (extremes may be deleted)")
+    val row = mm.head()
+    s.sql(s"""
+      |SELECT CAST(${nRows} AS BIGINT) AS n_rows,
+      |       CAST(${row.getLong(0)} AS BIGINT) AS min_n,
+      |       CAST(${row.getLong(1)} AS BIGINT) AS max_n""".stripMargin)
+  }
+
+  val q227Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM per WHERE event_type <> 'click') AS n_rows,
+      |  (SELECT min(n) FROM per WHERE event_type <> 'click') AS min_n,
+      |  (SELECT max(n) FROM per WHERE event_type <> 'click') AS max_n""".stripMargin
+
+  // -- q228: copy-on-write UPDATE over deletion vectors (no resurrection) -
+
+  /** The MIXED-DML hazard, hash-proved: a MoR delete leaves deleted rows
+    * physically PRESENT in the data files; the SQL UPDATE that follows is
+    * a copy-on-write rewrite of every file holding a match — if its
+    * row-level scan read the raw bytes, the rewrite would RESURRECT the
+    * deleted rows into the replacement files. The row-level reader
+    * subtracts each scanned file's DV ([[graft.sources.snap
+    * .SnapRowLevelScan]] → the position-skipping reader), so the rewrite
+    * materializes the vectors as a side effect: clicks stay gone, views
+    * double, and the replacement files carry no pointers. `VERSION AS OF
+    * 1` still reads the original world.
+    */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq228", Seq("day"))
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+    }
+    s.sql(s"UPDATE $cat.ev SET n = n * 2 WHERE event_type = 'view'")
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, coalesce(v2.n, CAST(0 AS BIGINT)) AS n_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+      |           FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q228Sql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(CASE WHEN event_type = 'click' THEN 0
+      |            WHEN event_type = 'view' THEN 2 * count(*)
+      |            ELSE count(*) END AS BIGINT) AS n_live
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q229: precise delete CDC from deletion vectors ---------------------
+
+  /** `cat.t.changes` under merge-on-read deletes: a DV commit changes no
+    * file, yet the feed must emit exactly the NEWLY-dead rows — the
+    * planner diffs each restated file's old and new position sets
+    * ([[graft.sources.Snapshots.dvChangedRels]]) and one bounded task per
+    * file streams just those ordinals as `delete` rows (no multiset
+    * cancellation, no shuffle). Two deletes prove PRECISION: v2 kills
+    * clicks through the cutoff, v3's superset predicate must emit ONLY
+    * the remaining clicks — re-emitting v2's positions (the naive "read
+    * the new DV" bug) breaks the hash.
+    */
+  def q229(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = statsTable(s, d, "snapq229", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day <= DATE'$cut'")
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+    }
+    s.sql(s"""
+      |SELECT _commit_version AS v, _change_type AS change,
+      |       CAST(count(*) AS BIGINT) AS n_changes, CAST(sum(n) AS BIGINT) AS sum_n
+      |FROM $cat.ev.changes
+      |WHERE _commit_version > 1
+      |GROUP BY _commit_version, _change_type
+      |ORDER BY v, change""".stripMargin)
+  }
+
+  val q229Sql: String =
+    """WITH g AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (SELECT min(day) AS m FROM (SELECT CAST(ts AS DATE) AS day FROM events))
+      |SELECT CAST(2 AS BIGINT) AS v, 'delete' AS change,
+      |       CAST(count(*) AS BIGINT) AS n_changes, CAST(sum(n) AS BIGINT) AS sum_n
+      |FROM g, b WHERE day <= m + 2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+      |FROM g, b WHERE day > m + 2
+      |ORDER BY v, change""".stripMargin
+
+  // -- q230: CALL dv_materialize — folding the vectors back in ------------
+
+  /** The compaction that ENDS the merge-on-read era, SQL-only: `CALL
+    * cat.dv_materialize(table => 'ev')` rewrites each DV'd file without
+    * its deleted positions and commits — after it, pointers are gone, a
+    * RAW directory read agrees with the snapshot read (the deleted rows
+    * are physically absent, not just subtracted), and the rewritten
+    * count is exactly the number of day files that held a click (each
+    * day is one file). The hash pins totals, the per-file rewrite count,
+    * and both physical-agreement proofs.
+    */
+  def q230(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq230", Seq("day"))
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+    }
+    val rewritten =
+      s.sql(s"CALL $cat.dv_materialize(table => 'ev')").head().getLong(0)
+    val nDv = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir)).size
+    val rawAgrees =
+      s.read.parquet(dir).count() == graft.sources.Snapshots.readSnapshot(s, dir).count()
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(count(*) AS BIGINT) AS n_groups
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("n_rewritten", lit(rewritten))
+      .withColumn("dv_gone", lit(nDv == 0))
+      .withColumn("raw_agrees", lit(rawAgrees))
+  }
+
+  val q230Sql: String =
+    """WITH s AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+      |rw AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n
+      |       FROM s WHERE event_type = 'click')
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS n_groups,
+      |  (SELECT n FROM rw) AS n_rewritten,
+      |  true AS dv_gone, true AS raw_agrees
+      |FROM s WHERE event_type <> 'click'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q230_dv_materialize" -> (q230 _),
+    "q229_dv_change_feed" -> (q229 _),
+    "q228_dv_cow_update" -> (q228 _),
+    "q227_dv_agg_soundness" -> (q227 _),
+    "q226_mor_delete" -> (q226 _),
     "q225_cold_plan_pruned" -> (q225 _),
     "q224_layout3d_box_prune" -> (q224 _),
     "q223_graph_ann_append" -> (q223 _),
@@ -2084,6 +2311,11 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q230_dv_materialize" -> q230Sql,
+    "q229_dv_change_feed" -> q229Sql,
+    "q228_dv_cow_update" -> q228Sql,
+    "q227_dv_agg_soundness" -> q227Sql,
+    "q226_mor_delete" -> q226Sql,
     "q225_cold_plan_pruned" -> q225Sql,
     "q224_layout3d_box_prune" -> q224Sql,
     "q223_graph_ann_append" -> q223Sql,

@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.Snapshots.ColStat
+
+/** Merge-on-read DELETE for snapshot tables — deletion vectors.
+  *
+  * The copy-on-write delete ([[Sources.deleteWhere]]) prices a deletion at
+  * the size of every file holding a match: correct, but exactly the wrong
+  * cost model for the common 100 TB case — deleting 0.01 % of rows (a GDPR
+  * erasure, a bad-record purge) from files of a million rows each rewrites
+  * a million rows per file to remove a hundred. The lakehouse answer
+  * (Delta's deletion vectors, Iceberg's position deletes) is MERGE-ON-READ:
+  * record WHICH row positions died and subtract them at scan time; rewrite
+  * nothing until a compaction ([[materialize]]) folds the vectors in.
+  *
+  * Representation here:
+  *  - One sidecar parquet file of `(rel, pos)` rows per DV'd data file,
+  *    under the hidden `<root>/.snap-dv/` tree ([[Snapshots.DvDirName]]).
+  *    `pos` is the file-row ordinal — Spark's `_metadata.row_index`
+  *    domain, the same coordinate system the scan recovers, so positions
+  *    survive row-group skipping and any reader parallelism. Positions
+  *    are sorted and distinct; `rel` rides INSIDE the sidecar so the
+  *    read-side anti-join needs no per-file bookkeeping.
+  *  - The manifest's per-file stats map carries the pointer
+  *    ([[Snapshots.DvPathKey]] → sidecar rel, [[Snapshots.DvCountKey]] →
+  *    exact deleted count) — so DV state flows through delta commits,
+  *    checkpoints, partition-index groups, clone re-rendering and the
+  *    stats-carry of every other commit with no new manifest machinery.
+  *  - A file accrues deletes from MANY deletes but always points at ONE
+  *    sidecar: a later delete merges the previous positions into its new
+  *    sidecar (cost: O(existing DV) per touched file, never O(data)).
+  *    Old sidecars keep serving pinned versions until [[Snapshots.vacuum]].
+  *
+  * Scale shape of [[deleteWhere]]: one pruned snapshot scan to find
+  * matches (manifest stats + bloom narrowing, same as the COW path), one
+  * shuffle of the MATCHED (rel, pos) pairs only — not the data — a
+  * distributed sidecar write, and an O(touched-files) manifest delta. No
+  * data file is read past the match scan and none is written. Reads pay a
+  * broadcast anti-join on the deleted positions until materialization.
+  *
+  * Semantics: snapshot-isolated (the delete applies to the version its
+  * scan pinned), time-travelable (pre-delete versions keep reading the
+  * undeleted rows through their own manifests' DV state), restorable
+  * ([[Snapshots.restore]] restores the target version's DV pointers), and
+  * CDC-precise (`cat.t.changes` emits exactly the newly-dead rows as
+  * `delete` — see [[graft.sources.snap.SnapChanges]]).
+  */
+object DeleteVectors {
+
+  /** Broadcast threshold for the read-side anti-join, as a recorded
+    * deleted-position count (≈16 bytes each → ~64 MB at the cap).
+    */
+  val BroadcastMaxPositions = 4000000L
+
+  private val sidecarSchema = StructType(
+    Seq(StructField("rel", StringType, nullable = false), StructField("pos", LongType, nullable = false)))
+
+  /** Merge-on-read DELETE: record the positions of rows matching
+    * `predicate` as deletion vectors and commit the pointer update — no
+    * data file is rewritten. Returns (files touched, rows newly deleted).
+    *
+    * NULL-predicate rows are NOT matched (kept), the same three-valued
+    * rule as the COW delete. Rows already deleted by an earlier DV are
+    * never double-counted: the new sidecar is the DISTINCT union of old
+    * and new positions and the recorded count is exact.
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) =
+    Snapshots.withTableLock(spark, root) {
+      val version = Snapshots.latestVersion(spark, root)
+      require(
+        version > 0L,
+        s"merge-on-read delete on $root needs a committed manifest — Snapshots.commit / createTable first")
+      val view = Snapshots.manifestView(spark, root, version)
+      require(
+        view.schema.isDefined,
+        s"merge-on-read delete on $root needs a v2 manifest (recorded schema) — " +
+          "commit with statsCols to upgrade")
+      if (view.rels.isEmpty) return (0L, 0L)
+
+      // candidate narrowing, same discipline as the COW delete: skip
+      // provably-fully-deleted files, then bloom-narrow equality probes
+      val alive = view.rels.filterNot(r =>
+        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+      if (alive.isEmpty) return (0L, 0L)
+      val probes = Sources.equalityProbes(
+        Snapshots.scanRels(spark, root, alive.take(1), view.schema),
+        predicate)
+      val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
+      val candidates =
+        if (active.isEmpty) alive
+        else
+          alive.filter { rel =>
+            active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
+          }
+      if (candidates.isEmpty) return (0L, 0L)
+
+      // the match scan: RAW rows (existing DVs not applied — re-matching
+      // an already-deleted row is harmless, the union dedups) with each
+      // row's (rel, pos) provenance
+      val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
+      val matches = scan
+        .filter(coalesce(predicate, lit(false)))
+        .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
+
+      val oldDvByRel: Map[String, String] = candidates.flatMap { rel =>
+        Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
+      }.toMap
+      val commitTag = java.util.UUID.randomUUID().toString.take(8)
+      val written = writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+      if (written.isEmpty) return (0L, 0L)
+
+      var newlyDeleted = 0L
+      val updates: Map[String, Map[String, ColStat]] = written.map {
+        case (rel, dvRel, cnt) =>
+          val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+          val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+          newlyDeleted += cnt - oldCnt
+          rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
+            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
+            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString)))
+      }.toMap
+      // a predicate that only re-matched already-deleted rows changes no
+      // pointer — commit nothing (count-equal means position-set-equal:
+      // the new set is a SUPERSET of the old by construction)
+      val changed = updates.filter { case (rel, st) =>
+        Snapshots.dvOf(st) != Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty))
+      }
+      if (changed.isEmpty) return (0L, 0L)
+      Snapshots.commitRestated(spark, root, changed)
+      (changed.size.toLong, newlyDeleted)
+    }
+
+  /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,
+    * one partition stream per hash bucket, each task writing one sidecar
+    * per rel it owns (positions sorted-distinct, previous sidecar's
+    * positions merge-deduped in — a streaming merge of two sorted runs,
+    * O(1) memory). Returns (rel, sidecar rel, total positions) per rel —
+    * O(touched files) driver metadata, the same footprint as the COW
+    * delete's affected-file list. Task-attempt-unique sidecar names keep
+    * retries safe: only the winning attempt's names are committed,
+    * orphans die in vacuum.
+    */
+  private def writeSidecars(
+      spark: SparkSession,
+      root: String,
+      matches: DataFrame,
+      oldDvByRel: Map[String, String],
+      commitTag: String): Seq[(String, String, Long)] = {
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.Bridge.serializableConf(
+      org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark))
+    val rootStr = root
+    val dvDir = Snapshots.DvDirName
+    val schema = sidecarSchema
+    matches
+      .select(col("rel").as("_1"), col("pos").as("_2"))
+      .as[(String, Long)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        val hconf = org.apache.spark.sql.graft.Bridge.confOf(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.partitionId()}-${tc.taskAttemptId()}")
+          .getOrElse("0-0")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // the input is sorted by (rel, pos): consume one rel's run at a
+        // time, merging the old sidecar's sorted positions in
+        val rows = it.buffered
+        while (rows.hasNext) {
+          val rel = rows.head._1
+          val dvRel = s"$dvDir/$rel.dv-$commitTag-$attempt.parquet"
+          val target = new Path(new Path(rootStr), dvRel)
+          val old: Iterator[Long] = oldDvByRel.get(rel) match {
+            case None => Iterator.empty
+            case Some(oldRel) =>
+              val r = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+                new Path(new Path(rootStr), oldRel),
+                StructType(Seq(StructField("pos", LongType, nullable = false))),
+                hconf)
+              new Iterator[Long] {
+                private var cur = r.read()
+                override def hasNext: Boolean = cur != null
+                override def next(): Long = {
+                  val v = cur.getLong(0)
+                  cur = r.read()
+                  if (cur == null) r.close()
+                  v
+                }
+              }
+          }
+          val fresh: Iterator[Long] = new Iterator[Long] {
+            override def hasNext: Boolean = rows.hasNext && rows.head._1 == rel
+            override def next(): Long = rows.next()._2
+          }
+          val w = org.apache.spark.sql.graft.Bridge.parquetRowWriter(target, schema, hconf)
+          val relU = org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+          var n = 0L
+          var last = Long.MinValue
+          // streaming sorted-merge with dedup: both runs ascending
+          val a = old.buffered
+          val b = fresh.buffered
+          while (a.hasNext || b.hasNext) {
+            val v =
+              if (!a.hasNext) b.next()
+              else if (!b.hasNext) a.next()
+              else if (a.head <= b.head) a.next()
+              else b.next()
+            if (v != last || n == 0L) {
+              w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](relU, v)))
+              n += 1L
+              last = v
+            }
+          }
+          w.close()
+          out += ((rel, dvRel, n))
+        }
+        out.iterator
+      }
+      .collect()
+      .toSeq
+  }
+
+  /** Fold every deletion vector into its data file — the compaction that
+    * ends the merge-on-read era: each DV'd file rewrites WITHOUT its
+    * deleted positions (provably-empty files just archive), originals
+    * archive (pinned manifests keep resolving), and the closing commit
+    * drops the pointers. Returns (files rewritten-or-archived, positions
+    * folded). After this, raw-reading maintenance ops (compaction,
+    * COW delete/update/merge) accept the table again.
+    */
+  def materialize(spark: SparkSession, root: String): (Long, Long) =
+    Snapshots.withTableLock(spark, root) {
+      val version = Snapshots.latestVersion(spark, root)
+      if (version == 0L) return (0L, 0L)
+      val view = Snapshots.manifestView(spark, root, version)
+      val dvd = Snapshots.dvByRel(view)
+      if (dvd.isEmpty) return (0L, 0L)
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Snapshots.parEach(dvd.toSeq) { case (rel, (dvRel, _)) =>
+        val live = new Path(rootPath, rel)
+        require(fs.exists(live), s"materialize: $rel is not live under $root")
+        val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+        if (Snapshots.fullyDeleted(st)) {
+          // every recorded row is deleted: nothing survives — archive only
+          Snapshots.archiveFile(fs, rootPath, live)
+        } else {
+          val positions = spark.read
+            .parquet(new Path(rootPath, dvRel).toString)
+            .select(col("pos"))
+          // the file's OWN physical schema (no enforced table schema, no
+          // partition splice) — a materialization rewrites bytes in place
+          val data = spark.read
+            .parquet(live.toString)
+            .withColumn("__graft_dv_pos__", col("_metadata.row_index"))
+          val keep = data
+            .join(broadcast(positions), data("__graft_dv_pos__") === positions("pos"), "left_anti")
+            .drop("__graft_dv_pos__")
+          val tmpDir = new Path(live.getParent, s".dv-materialize-${live.getName}")
+          keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir.toString)
+          val part = fs
+            .listStatus(tmpDir)
+            .map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"materialize of $rel produced no part file"))
+          // archive the original, land the rewrite under the part job's
+          // own generated name (rel paths are never reused)
+          Snapshots.archiveFile(fs, rootPath, live)
+          if (!fs.rename(part, new Path(live.getParent, part.getName)))
+            throw new IllegalStateException(s"materialize of $rel failed to land $part")
+          fs.delete(tmpDir, true)
+        }
+      }
+      Snapshots.commit(spark, root) // rewritten files get fresh stats; pointers die with the rels
+      (dvd.size.toLong, dvd.values.map(_._2).sum)
+    }
+}

@@ -78,6 +78,17 @@ object Snapshots {
     override def initialValue(): Boolean = false
   }
 
+  /** Deletion-vector pointers the NEXT [[commit]] on this thread must
+    * record per rel, INSTEAD of carrying the previous version's — set by
+    * [[restore]] (the restored state's DV pointers are the TARGET
+    * version's, which may differ from — or be absent relative to — the
+    * latest version's that a plain carry would propagate).
+    */
+  private val dvCarryOverride: ThreadLocal[Option[Map[String, Map[String, ColStat]]]] =
+    new ThreadLocal[Option[Map[String, Map[String, ColStat]]]] {
+      override def initialValue(): Option[Map[String, Map[String, ColStat]]] = None
+    }
+
   /** Commit a FULL manifest checkpoint NOW (next version, file list +
     * stats re-rendered complete, off-interval): bounds the delta
     * reconstruction chain, (re)writes the partition-index sidecar and
@@ -525,6 +536,82 @@ object Snapshots {
     nullCountOf(st, col).exists(n => rows.contains(n))
   }
 
+  // ---- deletion vectors (merge-on-read DELETE) --------------------------
+
+  /** Hidden directory holding deletion-vector sidecars: one small parquet
+    * file of `(rel, pos)` rows per DV'd data file — the positions (file
+    * row ordinals, the `_metadata.row_index` domain) a merge-on-read
+    * DELETE removed WITHOUT rewriting the data file. Dot-prefixed →
+    * invisible to directory listers and manifests, like the archive.
+    */
+  val DvDirName = ".snap-dv"
+
+  /** Internal stat-key prefix for deletion-vector metadata. The NUL
+    * prefix can never collide with a real column (same argument as
+    * [[nullCountKey]]); riding the per-file stats map means DV pointers
+    * flow through delta commits, checkpoints, partition-index groups and
+    * clone re-rendering with no extra machinery.
+    */
+  val DvKeyPrefix = "\u0000dv:"
+
+  /** `s`-typed stat whose min = max = the sidecar's root-relative path. */
+  val DvPathKey: String = DvKeyPrefix + "path"
+
+  /** `l`-typed stat whose value = the file's deleted-position count —
+    * what lets COUNT(*) pushdown and scan statistics stay EXACT on a
+    * DV'd file (logical rows = recorded rows − this).
+    */
+  val DvCountKey: String = DvKeyPrefix + "cnt"
+
+  private[sources] def isDvKey(k: String): Boolean = k.startsWith(DvKeyPrefix)
+
+  private[sources] def dvEntries(st: Map[String, ColStat]): Map[String, ColStat] =
+    st.filter(e => isDvKey(e._1))
+
+  /** The file's deletion vector, if any: (sidecar rel, deleted count). */
+  def dvOf(st: Map[String, ColStat]): Option[(String, Long)] =
+    for {
+      p <- st.get(DvPathKey).map(_.min)
+      n <- st.get(DvCountKey).map(_.min.toLong)
+    } yield (p, n)
+
+  def hasDv(st: Map[String, ColStat]): Boolean = st.contains(DvPathKey)
+
+  /** rel → (sidecar rel, deleted count) for every DV'd file of a view —
+    * the map every DV-aware read path plans from.
+    */
+  def dvByRel(view: ManifestView): Map[String, (String, Long)] =
+    view.stats.flatMap { case (rel, st) => dvOf(st).map(rel -> _) }
+
+  /** Logical row count of one file: recorded rows minus recorded deleted
+    * positions. None when the manifest predates row counts.
+    */
+  private[sources] def logicalRowsOf(st: Map[String, ColStat]): Option[Long] =
+    st.get(RowCountKey).map(_.min.toLong - dvOf(st).map(_._2).getOrElse(0L))
+
+  /** Provably empty after deletes: every recorded row is deleted. Such a
+    * file can be DROPPED from any scan plan — the whole-file analogue of
+    * stats pruning. False on missing stats; callers may only skip on true.
+    */
+  private[sources] def fullyDeleted(st: Map[String, ColStat]): Boolean =
+    logicalRowsOf(st).contains(0L) && hasDv(st)
+
+  /** Loud guard for maintenance ops that read data files RAW (compaction,
+    * copy-on-write delete/update/merge): rewriting a DV'd file from its
+    * raw bytes would resurrect the deleted rows. Those ops refuse until
+    * the DVs are materialized ([[graft.sources.DeleteVectors.materialize]]
+    * / `CALL cat.dv_materialize`).
+    */
+  private[sources] def requireNoDv(spark: SparkSession, root: String, op: String): Unit =
+    if (latestVersion(spark, root) > 0L) {
+      val dvd = manifestView(spark, root).stats.count { case (_, st) => hasDv(st) }
+      if (dvd > 0)
+        sys.error(
+          s"$op on $root reads data files directly, but $dvd file(s) carry deletion vectors — " +
+            "rewriting them raw would resurrect deleted rows. Run " +
+            "DeleteVectors.materialize (SQL: CALL cat.dv_materialize(table => …)) first.")
+    }
+
   /** Footer opens performed by the CALLING thread's last stats commit —
     * observability for the incremental-commit contract (SnapshotsSpec
     * asserts an append-commit reads only the NEW files' footers).
@@ -798,6 +885,21 @@ object Snapshots {
       // bare file list: created/evolved schemas, tombstones and layout
       // must survive stats-less commits too
       val v2 = statsCols.nonEmpty || declared.isDefined || dropped.nonEmpty || partCols.nonEmpty
+      // Deletion-vector pointers are COMMIT-LAYER state, not footer state:
+      // a full recompute (new stats columns, adopted table) reads footers
+      // that know nothing of them, so every surviving rel's DV entries
+      // carry from the previous version (or the restore override) — a
+      // commit that silently dropped a DV pointer would resurrect the
+      // deleted rows on the next read.
+      val dvSource: Map[String, Map[String, ColStat]] =
+        dvCarryOverride
+          .get()
+          .getOrElse(prevView.map(_.stats).getOrElse(Map.empty[String, Map[String, ColStat]]))
+      def withDv(rel: String, st: Map[String, ColStat]): Map[String, ColStat] = {
+        val dv = dvSource.get(rel).map(dvEntries).getOrElse(Map.empty[String, ColStat])
+        if (dvCarryOverride.get().isDefined) st.filterNot(e => isDvKey(e._1)) ++ dv
+        else st ++ dv // carried entries keep their own; fresh footer reads gain prev's
+      }
       val statsByRel = scala.collection.mutable.Map.empty[String, Map[String, ColStat]]
       val body: Seq[String] =
         if (!v2) files
@@ -856,7 +958,10 @@ object Snapshots {
             nFiles = Some(files.size.toLong),
             pathCols = if (files.nonEmpty) Some(pathColsEff) else None)
           if (statsCols.isEmpty) {
-            header ++ files
+            // stat-less v2 commit: lines are bare rels EXCEPT where a DV
+            // pointer must carry (dropping it would resurrect deleted rows)
+            files.foreach(rel => statsByRel(rel) = withDv(rel, Map.empty))
+            header ++ files.map(rel => renderFileLine(rel, statsByRel(rel)))
           } else {
           val conf = spark.sparkContext.hadoopConfiguration
           // INCREMENTAL stats: a rel path names one immutable file forever
@@ -899,11 +1004,13 @@ object Snapshots {
                 scala.concurrent.duration.Duration.Inf)
             } finally pool.shutdown()
           lastCommitFooterReads.set(reads.get())
-          stats.foreach { case (rel, st) => statsByRel(rel) = st }
-          header ++ stats.map { case (rel, st) =>
+          stats.foreach { case (rel, st) => statsByRel(rel) = withDv(rel, st) }
+          header ++ stats.map { case (rel, _) =>
+            val st = statsByRel(rel)
             if (st.isEmpty) rel
             else
-              rel + "\t" + (statsCols ++ statsCols.map(nullCountKey) :+ RowCountKey :+ LengthKey)
+              rel + "\t" + ((statsCols ++ statsCols.map(nullCountKey) :+ RowCountKey :+ LengthKey) ++
+                st.keys.filter(isDvKey).toSeq.sorted)
                 .flatMap(c => st.get(c).map(cs => s"${hex(c)}:${cs.typ}:${hex(cs.min)}:${hex(cs.max)}"))
                 .mkString("\t")
           }
@@ -1132,6 +1239,88 @@ object Snapshots {
     // a write CONFLICT, fall back to the full (cache-served) walk.
     // Correct-but-slower beats a spurious hard failure on the rare path.
     older.map(_._1).sorted(Ordering[Long].reverse).exists(listedBy)
+  }
+
+  /** Commit a new version that RE-STATES the per-file stats of existing
+    * rels — same file list, same bytes, changed metadata (the
+    * deletion-vector commit: a merge-on-read DELETE updates the touched
+    * files' DV pointers and nothing else). O(restated) delta write on
+    * off-checkpoint versions, like [[commitAppend]]. Caller holds the
+    * table lock (DV commits are maintenance — they must serialize with
+    * other row-removing ops); lock-free APPENDS may still take version
+    * slots mid-flight, which is safe (an append never touches an existing
+    * rel's stats) — the slot-claim loop rebases like every other commit.
+    */
+  private[sources] def commitRestated(
+      spark: SparkSession,
+      root: String,
+      restated: Map[String, Map[String, ColStat]]): Long = withTableLock(spark, root) {
+    require(restated.nonEmpty, "commitRestated: nothing to restate")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
+    var result = -1L
+    while (result < 0L) {
+      val prevV = latestVersion(spark, root)
+      require(prevV > 0L, s"commitRestated($root): no manifest committed yet")
+      val prev = manifestView(spark, root, prevV)
+      val missing = restated.keys.filterNot(prev.rels.toSet)
+      require(
+        missing.isEmpty,
+        s"commitRestated($root): rel(s) not in v$prevV: ${missing.take(3).mkString(", ")}")
+      val version = prevV + 1L
+      val header = renderHeader(
+        prev.schema,
+        prev.statsCols,
+        prev.bloomCols,
+        prev.dropped,
+        prev.partCols,
+        partCanon = headerView(spark, root, prevV).flatMap(_.partCanon),
+        nFiles = Some(prev.rels.size.toLong),
+        pathCols = Some(
+          if (prev.partCols.nonEmpty) prev.partCols else partitionColsFromRels(prev.rels)))
+      val unsafe = restated.keys.exists(r => r.startsWith("+") || r.startsWith("-"))
+      val body =
+        if (isCheckpointVersion(spark, version) || unsafe)
+          header ++ prev.rels.map(rel =>
+            renderFileLine(rel, restated.getOrElse(rel, prev.stats.getOrElse(rel, Map.empty))))
+        else
+          header ++ Seq(s"#delta $prevV") ++
+            restated.toSeq.sortBy(_._1).map { case (rel, st) => "+" + renderFileLine(rel, st) }
+      if (tryWriteManifest(fs, rootPath, version, body)) result = version
+      else if (System.currentTimeMillis() > deadline)
+        sys.error(
+          s"commitRestated on $root could not win a version slot within ${SlotRaceDeadlineMs} ms")
+      else Thread.sleep(100)
+    }
+    result
+  }
+
+  /** Rels whose deletion-vector pointer CHANGED at version `v` relative
+    * to v−1, with the old and new (sidecar rel, count): what the change
+    * feed and the streaming source's change-commit detection key on. A
+    * delta version only needs its restated rels compared; a full
+    * (checkpoint/restore) version compares the common rels — in-memory
+    * map lookups over cached views.
+    */
+  def dvChangedRels(
+      spark: SparkSession,
+      root: String,
+      v: Long): Seq[(String, Option[(String, Long)], Option[(String, Long)])] = {
+    if (v <= 1L) return Seq.empty
+    val view = manifestView(spark, root, v)
+    val prev = manifestView(spark, root, v - 1L)
+    val candidates = view.delta match {
+      case Some(_) => view.restated
+      case None =>
+        val prevSet = prev.rels.toSet
+        view.rels.filter(prevSet)
+    }
+    candidates.flatMap { rel =>
+      val old = dvOf(prev.stats.getOrElse(rel, Map.empty))
+      val now = dvOf(view.stats.getOrElse(rel, Map.empty))
+      if (old != now) Some((rel, old, now)) else None
+    }
   }
 
   /** Atomic version-slot CLAIM + manifest write — the primitive both the
@@ -2077,6 +2266,17 @@ object Snapshots {
               org.apache.hadoop.fs.FileUtil.copy(fs, bs, dstFs, bd, false, false, conf)
             }
           }
+          // the file's deletion-vector sidecar carries with it — the
+          // re-rendered manifest line keeps the pointer (rel-relative, so
+          // it stays exact under the new root)
+          dvOf(view.stats.getOrElse(rel, Map.empty)).foreach { case (dvRel, _) =>
+            val ds = new Path(srcPath, dvRel)
+            require(fs.exists(ds), s"clone: deletion-vector sidecar $dvRel is gone (vacuumed?)")
+            val dd = new Path(dstPath, dvRel)
+            dstFs.mkdirs(dd.getParent)
+            if (!org.apache.hadoop.fs.FileUtil.copy(fs, ds, dstFs, dd, false, false, conf))
+              sys.error(s"clone copy failed: $ds -> $dd")
+          }
         }
         parEach(view.rels)(copyOne)
         // the reconstructed view re-renders as the clone's FULL v1 —
@@ -2192,7 +2392,13 @@ object Snapshots {
         * added, rels removed) — the streaming source's per-version feed
         * reads it directly instead of diffing two full reconstructions.
         */
-      delta: Option[(Long, Seq[String], Seq[String])] = None)
+      delta: Option[(Long, Seq[String], Seq[String])] = None,
+      /** Rels a delta RE-STATED (a `+rel` the base already listed): a
+        * stats replacement — same file, same bytes, possibly a changed
+        * deletion-vector pointer. What [[dvChangedRels]] narrows its
+        * comparison to on delta versions.
+        */
+      restated: Seq[String] = Seq.empty)
 
   /** One manifest body line → (rel, per-column stats). */
   private def parseFileLine(line: String): (String, Map[String, ColStat]) =
@@ -2367,7 +2573,8 @@ object Snapshots {
       bloomCols,
       dropped,
       partCols,
-      delta = Some((base.version, added.map(_._1).filterNot(baseRels).sorted, removed.sorted)))
+      delta = Some((base.version, added.map(_._1).filterNot(baseRels).sorted, removed.sorted)),
+      restated = added.map(_._1).filter(baseRels).sorted)
   }
 
   /** The root-relative file list of manifest `version` (≤0 → latest).
@@ -2457,8 +2664,13 @@ object Snapshots {
       all.nonEmpty || (pruned.isDefined && manifestView(spark, root, version).rels.nonEmpty),
       s"manifest under $root lists no data files")
     val schema = view.schema
+    // merge-on-read file pruning: a file whose every recorded row is
+    // deleted contributes nothing — drop it before any I/O (the whole-file
+    // analogue of stats pruning; sound because the DV commit records the
+    // exact distinct-position count)
+    val all0 = all.filterNot(rel => fullyDeleted(view.stats.getOrElse(rel, Map.empty)))
     val rels =
-      if (prune.isEmpty) all
+      if (prune.isEmpty) all0
       else {
         // point probes (lo == hi) on a bloom-indexed column additionally
         // consult the file's bloom sidecar: stats say "the interval
@@ -2469,7 +2681,7 @@ object Snapshots {
         val probes = prune.collect {
           case (c, lo, hi) if lo != null && lo == hi && view.bloomCols.contains(c) => (c, lo)
         }
-        all.filter { rel =>
+        all0.filter { rel =>
           val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
           // a value range can't match a file whose column is provably
           // all-null (sentinel partitions, pre-ALTER files) — the null
@@ -2482,20 +2694,87 @@ object Snapshots {
         }
       }
     if (rels.isEmpty) {
-      // every file definitively missed the range: an empty frame in the
-      // manifest's recorded shape (v2 always records one when stats exist)
+      // every file definitively missed the range (or is fully deleted):
+      // an empty frame in the manifest's recorded shape
       val s = schema.getOrElse(sys.error(s"prune removed every file and manifest records no schema"))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    scanRels(spark, root, rels, schema)
+    scanRels(spark, root, rels, schema, dvByRel(view))
   }
 
   /** Scan an explicit manifest-relative file list (live or archived) with
     * an optional enforced schema — the core of [[readSnapshot]], shared
     * with the SQL catalog's scan (which does its own filter-driven
     * pruning before calling in). `rels` must be non-empty.
+    *
+    * `dv`: rel → (deletion-vector sidecar rel, deleted count) for files
+    * with merge-on-read deletes. DV'd files scan with their file-row
+    * ordinals (`_metadata.row_index` — the exact domain the DV recorded)
+    * and ANTI-JOIN the deleted positions; clean files scan untouched and
+    * union below. The join broadcasts whenever the manifest-recorded
+    * total deleted count is small (the expected case — large DV fractions
+    * are what [[graft.sources.DeleteVectors.materialize]] is for), so the
+    * data side never shuffles; past the threshold it degrades to a real
+    * join rather than an executor-OOM broadcast.
     */
   private[sources] def scanRels(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dv: Map[String, (String, Long)] = Map.empty): DataFrame = {
+    def scanOf(subset: Seq[String], withMeta: Boolean): DataFrame =
+      if (withMeta) scanRelsWithPos(spark, root, subset, schema)
+      else {
+        val (live, archived) = subset.map(rel => resolve(spark, root, rel)).partition { p =>
+          !p.toString.contains(s"/$ArchiveDirName/")
+        }
+        val archiveBase = new Path(new Path(root), ArchiveDirName).toString
+        val scans = Seq(root -> live, archiveBase -> archived).collect {
+          case (base, ps) if ps.nonEmpty =>
+            val rd = spark.read.option("basePath", base)
+            schema.foreach(rd.schema)
+            rd.parquet(ps.map(_.toString): _*)
+        }
+        scans.reduce(_.unionByName(_))
+      }
+    val (dvRels, cleanRels) = rels.partition(dv.contains)
+    val cleanDf = if (cleanRels.nonEmpty) Some(scanOf(cleanRels, withMeta = false)) else None
+    val dvDf =
+      if (dvRels.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val sidecars = dvRels.map(r => new Path(new Path(root), dv(r)._1).toString).distinct
+        val positions = spark.read
+          .parquet(sidecars: _*)
+          .select(col("rel").as("__dv_rel__"), col("pos").as("__dv_pos__"))
+        // broadcast only when the RECORDED deleted total says it's small;
+        // a huge DV set falls back to a regular join (AQE may still
+        // broadcast by measured size)
+        val totalDeleted = dvRels.map(r => dv(r)._2).sum
+        val right = if (totalDeleted <= 4000000L) broadcast(positions) else positions
+        val base = scanOf(dvRels, withMeta = true)
+        Some(
+          base
+            .join(
+              right,
+              base("__graft_dv_rel__") === right("__dv_rel__") &&
+                base("__graft_dv_pos__") === right("__dv_pos__"),
+              "left_anti")
+            .drop("__graft_dv_rel__", "__graft_dv_pos__"))
+      }
+    (cleanDf.toSeq ++ dvDf.toSeq).reduce(_.unionByName(_))
+  }
+
+  /** The explicit-file-list scan PLUS each row's provenance in the DV
+    * coordinate system: `__graft_dv_rel__` (the file's root-relative
+    * path, recovered from the scan's own `_metadata.file_path` — scheme-
+    * independent) and `__graft_dv_pos__` (`_metadata.row_index`, the
+    * file-row ordinal a deletion vector records). Shared by the DV-aware
+    * read ([[scanRels]]' anti-join side) and the merge-on-read DELETE's
+    * match scan ([[graft.sources.DeleteVectors]]).
+    */
+  private[sources] def scanRelsWithPos(
       spark: SparkSession,
       root: String,
       rels: Seq[String],
@@ -2504,11 +2783,28 @@ object Snapshots {
       !p.toString.contains(s"/$ArchiveDirName/")
     }
     val archiveBase = new Path(new Path(root), ArchiveDirName).toString
+    val rootPart = java.util.regex.Pattern.quote(
+      new Path(root)
+        .makeQualified(
+          fsOf(spark, new Path(root)).getUri,
+          fsOf(spark, new Path(root)).getWorkingDirectory)
+        .toUri
+        .getPath)
+    val arch = java.util.regex.Pattern.quote(s"$ArchiveDirName/")
     val scans = Seq(root -> live, archiveBase -> archived).collect {
       case (base, ps) if ps.nonEmpty =>
         val rd = spark.read.option("basePath", base)
         schema.foreach(rd.schema)
         rd.parquet(ps.map(_.toString): _*)
+          .withColumn(
+            "__graft_dv_rel__",
+            org.apache.spark.sql.functions.regexp_extract(
+              org.apache.spark.sql.functions.col("_metadata.file_path"),
+              s".*$rootPart/(?:$arch)?(.*)$$",
+              1))
+          .withColumn(
+            "__graft_dv_pos__",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
     }
     scans.reduce(_.unionByName(_))
   }
@@ -2538,12 +2834,12 @@ object Snapshots {
         }
       }
       .map { rel =>
-        stats
-          .get(rel)
-          .flatMap(_.get(RowCountKey))
-          .map(_.min.toLong)
-          .getOrElse(sys.error(
-            s"manifest records no row count for $rel — commit(root, statsCols) to enable metadata-only counts"))
+        val st = stats.getOrElse(rel, Map.empty[String, ColStat])
+        // LOGICAL rows: recorded count minus merge-on-read deletions —
+        // exact, because the DV commit recorded the distinct-position
+        // count alongside the pointer
+        logicalRowsOf(st).getOrElse(sys.error(
+          s"manifest records no row count for $rel — commit(root, statsCols) to enable metadata-only counts"))
       }
       .sum
   }
@@ -2564,19 +2860,36 @@ object Snapshots {
       root: String,
       fromVersion: Long,
       toVersion: Long = -1L): DataFrame = {
-    val from = files(spark, root, fromVersion).toSet
-    val toRels = files(spark, root, toVersion)
+    val fromView = manifestView(spark, root, fromVersion)
+    val toView = manifestView(spark, root, toVersion)
+    val from = fromView.rels.toSet
+    val toRels = toView.rels
     val removed = from -- toRels.toSet
     require(
       removed.isEmpty,
       s"readAddedSince($fromVersion): ${removed.size} file(s) of v$fromVersion were rewritten/removed " +
         s"since — not an append-only history; use Snapshots.diff for the row-level reconciliation")
-    val added = toRels.filterNot(from)
-    val schema = schemaOf(spark, root, toVersion)
+    // a deletion vector growing on a COMMON file means rows were REMOVED
+    // in the range — equally not append-only (the file list alone can't
+    // see it, so check the pointers)
+    val dvChangedCommon = toRels.count { rel =>
+      from.contains(rel) &&
+      dvOf(fromView.stats.getOrElse(rel, Map.empty)) != dvOf(toView.stats.getOrElse(rel, Map.empty))
+    }
+    require(
+      dvChangedCommon == 0,
+      s"readAddedSince($fromVersion): $dvChangedCommon file(s) changed deletion vectors since — " +
+        "rows were removed, not an append-only history; use Snapshots.diff")
+    // a file added AND MoR-deleted-from within the range nets to its
+    // surviving rows: apply the TO version's DVs to the added slice
+    val added = toRels
+      .filterNot(from)
+      .filterNot(rel => fullyDeleted(toView.stats.getOrElse(rel, Map.empty)))
+    val schema = toView.schema
     if (added.isEmpty) {
       val s = schema.getOrElse(readSnapshot(spark, root, fromVersion).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else scanRels(spark, root, added, schema)
+    } else scanRels(spark, root, added, schema, dvByRel(toView))
   }
 
   /** Row-level change feed between two pinned manifests — the
@@ -2635,8 +2948,22 @@ object Snapshots {
   def restore(spark: SparkSession, root: String, version: Long): Long = withTableLock(spark, root) {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val target = files(spark, root, version).toSet
+    val targetView = manifestView(spark, root, version)
+    val target = targetView.rels.toSet
     val live = listDataFiles(spark, root).toSet
+    // the restored state's deletion vectors are the TARGET version's: a
+    // plain commit would carry the LATEST version's pointers (resurrecting
+    // nothing but keeping deletes the target never had — or dropping
+    // deletes the target did have). Sidecars referenced by any retained
+    // manifest survive vacuum, but verify before promising them.
+    val targetDv = targetView.stats.collect {
+      case (rel, st) if dvEntries(st).nonEmpty => rel -> st
+    }
+    targetDv.values.flatMap(dvOf(_)).foreach { case (dvRel, _) =>
+      require(
+        fs.exists(new Path(rootPath, dvRel)),
+        s"restore: deletion-vector sidecar $dvRel of v$version is gone (vacuumed?)")
+    }
     (live -- target).toSeq.sorted.foreach { rel =>
       archiveFile(fs, rootPath, new Path(rootPath, rel))
     }
@@ -2647,7 +2974,9 @@ object Snapshots {
       fs.mkdirs(dst.getParent)
       org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, spark.sparkContext.hadoopConfiguration)
     }
-    commit(spark, root)
+    dvCarryOverride.set(Some(targetDv))
+    try commit(spark, root)
+    finally dvCarryOverride.remove()
   }
 
   /** Archive every (non-hidden) file under `dir`, mapping it to the
@@ -2727,6 +3056,33 @@ object Snapshots {
             if (!name.startsWith(".") && !referencedHex.contains(name.split("\\.")(0)))
               fs.delete(st.getPath, false)
           }
+        }
+        // deletion-vector sidecars: keep exactly those some RETAINED
+        // manifest's stats point at (a pinned read — or a restore — of a
+        // retained version needs its version of each file's DV); every
+        // other .snap-dv file is an expired version's and dies here
+        val dvRoot = new Path(rootPath, DvDirName)
+        if (fs.exists(dvRoot)) {
+          val referencedDv: Set[String] =
+            (keepFrom to latest)
+              .flatMap(v =>
+                manifestView(spark, root, v).stats.values.flatMap(st => dvOf(st).map(_._1)))
+              .toSet
+          val dvUri = rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+          def walkDv(d: Path): Seq[Path] =
+            fs.listStatus(d).toSeq.flatMap { st =>
+              if (st.isDirectory) walkDv(st.getPath) else Seq(st.getPath)
+            }
+          walkDv(dvRoot).foreach { p =>
+            val rel =
+              dvUri.relativize(p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri).getPath
+            if (!referencedDv.contains(rel)) fs.delete(p, false)
+          }
+          def pruneDv(d: Path): Unit = {
+            fs.listStatus(d).foreach(st => if (st.isDirectory) pruneDv(st.getPath))
+            if (fs.listStatus(d).isEmpty && d != dvRoot) fs.delete(d, false)
+          }
+          pruneDv(dvRoot)
         }
         if (!fs.exists(archiveRoot)) Nil
         else {

@@ -114,6 +114,7 @@ object Sources {
     require(
       java.nio.file.Paths.get(inPath).normalize() != java.nio.file.Paths.get(outPath).normalize(),
       "compactParquet cannot rewrite in place: Spark reads lazily while overwriting — use a new path and swap")
+    Snapshots.requireNoDv(spark, inPath, "compactParquet") // raw dir read would resurrect MoR deletes
     val df = spark.read.parquet(inPath)
     val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1L, (inputBytes / BigInt(targetBytes)).toLong +
@@ -257,7 +258,7 @@ object Sources {
       root: String): Option[org.apache.spark.sql.types.StructType] =
     if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.schemaOf(spark, root) else None
 
-  private def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
+  private[sources] def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
     // ANALYZE the predicate against the real frame: the caller's Column is
     // a lazy unresolved node tree; planning `df.filter(predicate)` (no
@@ -293,6 +294,7 @@ object Sources {
 
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
     Snapshots.withTableLock(spark, root) {
+    Snapshots.requireNoDv(spark, root, "copy-on-write deleteWhere")
     val liveFiles = Snapshots.listDataFiles(spark, root)
     if (liveFiles.isEmpty) return (0L, 0L) // already empty
     import org.apache.spark.sql.functions.input_file_name
@@ -440,6 +442,7 @@ object Sources {
       sets: Map[String, Column]): (Long, Long) = {
     require(sets.nonEmpty, "updateWhere needs at least one SET column")
     Snapshots.withTableLock(spark, root) {
+    Snapshots.requireNoDv(spark, root, "copy-on-write updateWhere")
     if (Snapshots.listDataFiles(spark, root).isEmpty) return (0L, 0L) // empty table
     import org.apache.spark.sql.functions.input_file_name
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
@@ -555,6 +558,7 @@ object Sources {
       partitionCol: String,
       keyCols: Seq[String]): Seq[String] = {
     Snapshots.withTableLock(spark, root) {
+    Snapshots.requireNoDv(spark, root, "mergeIntoPartitioned")
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val affected = delta
@@ -667,6 +671,7 @@ object Sources {
     */
   def compactInPlace(spark: SparkSession, root: String): (Long, Long, Long) = {
     Snapshots.withTableLock(spark, root) {
+    Snapshots.requireNoDv(spark, root, "compactInPlace")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
@@ -751,6 +756,7 @@ object Sources {
       filesPerScope: Int): (Long, Long) = {
     require(filesPerScope >= 1, s"filesPerScope must be >= 1, got $filesPerScope")
     Snapshots.withTableLock(spark, root) {
+    Snapshots.requireNoDv(spark, root, "clusterInPlace")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: org.apache.hadoop.fs.Path) = fs

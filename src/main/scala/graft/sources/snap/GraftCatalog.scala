@@ -450,6 +450,13 @@ class SnapTable(dir: String, version: Long)
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => SnapFilters.toColumn(f).isDefined)
 
+  /** Delete mode: `spark.graft.delete.mode=mor` opts the session into
+    * merge-on-read (record deletion vectors, rewrite nothing); the default
+    * stays copy-on-write. STICKY per table: once any file carries a DV,
+    * later SQL deletes stay MoR regardless of the conf (the COW path reads
+    * raw files and must not run on a DV'd table) until
+    * `CALL cat.dv_materialize` folds the vectors in.
+    */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val pred = filters
       .map(f =>
@@ -459,7 +466,13 @@ class SnapTable(dir: String, version: Long)
             s"cannot translate delete predicate $f — canDeleteWhere should have refused it")))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-    graft.sources.Sources.deleteWhere(spark, dir, pred)
+    val morConf = spark.conf
+      .getOption("spark.graft.delete.mode")
+      .exists(_.equalsIgnoreCase("mor"))
+    val hasDvAlready = Snapshots.latestVersion(spark, dir) > 0L &&
+      Snapshots.manifestView(spark, dir).stats.values.exists(Snapshots.hasDv)
+    if (morConf || hasDvAlready) graft.sources.DeleteVectors.deleteWhere(spark, dir, pred)
+    else graft.sources.Sources.deleteWhere(spark, dir, pred)
   }
 }
 
@@ -545,10 +558,11 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
         val visible = if (version > 0L) all.filter(_._1 <= version) else all
         visible.map { case (v, mtimeMs) =>
           val mv = Snapshots.manifestView(spark, dir, v)
-          val counts = mv.rels.map(r => mv.stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+          // logical rows at the version: deletion vectors subtracted
+          val counts = mv.rels.map(r => mv.stats.get(r).flatMap(Snapshots.logicalRowsOf))
           val nRows =
             if (counts.nonEmpty && counts.forall(_.isDefined))
-              counts.map(_.get.min.toLong).sum.asInstanceOf[Any]
+              counts.map(_.get).sum.asInstanceOf[Any]
             else null
           val sizes = mv.rels.map(bytesOf(spark, mv.stats, _))
           val nBytes =
@@ -565,9 +579,9 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
           .toSeq
           .sortBy(_._1)
           .map { case (part, rels) =>
-            val counts = rels.map(r => mv.stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
+            val counts = rels.map(r => mv.stats.get(r).flatMap(Snapshots.logicalRowsOf))
             val nRows =
-              if (counts.forall(_.isDefined)) counts.map(_.get.min.toLong).sum.asInstanceOf[Any]
+              if (counts.forall(_.isDefined)) counts.map(_.get).sum.asInstanceOf[Any]
               else null
             val sizes = rels.map(bytesOf(spark, mv.stats, _))
             val nBytes =
@@ -581,8 +595,8 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
         mv.rels.map { rel =>
           val nRows = mv.stats
             .get(rel)
-            .flatMap(_.get(Snapshots.RowCountKey))
-            .map(_.min.toLong.asInstanceOf[Any])
+            .flatMap(Snapshots.logicalRowsOf)
+            .map(_.asInstanceOf[Any])
             .orNull
           val archived = !fs.exists(new Path(rootPath, rel))
           Row(rel, nRows, bytesOf(spark, mv.stats, rel).map(_.asInstanceOf[Any]).orNull, archived)
@@ -1190,8 +1204,13 @@ class SnapScanBuilder(
 
     def stOf(rel: String) = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
     def rowsKnown = rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
+    // a deletion vector makes per-column footer stats UPPER bounds only:
+    // the deleted rows' nulls and extremes are unknown, so COUNT(col) and
+    // MIN/MAX refuse on any DV'd file (COUNT(*) stays exact — the DV
+    // commit records the precise deleted count to subtract)
+    def noDv = rels.forall(r => !Snapshots.hasDv(stOf(r)))
     def nullsKnown(c: String) =
-      rels.forall { r =>
+      noDv && rels.forall { r =>
         val st = stOf(r)
         // a KNOWN count, not just the key — 'u' (footer had no num_nulls)
         // can gate the incremental commit but cannot answer COUNT(col)
@@ -1212,6 +1231,7 @@ class SnapScanBuilder(
           case DateType | StringType => Some("s")
           case _ => None
         }
+        if noDv
         if rels.forall { r =>
           val st = stOf(r)
           st.get(c) match {
@@ -1295,11 +1315,15 @@ class SnapScanBuilder(
       // when the column has no min/max interval to test
       val notNullCols = translated.collect { case IsNotNull(a) if !a.contains(".") => a }
       val isNullCols = translated.collect { case IsNull(a) if !a.contains(".") => a }
+      // merge-on-read whole-file pruning: a file whose every recorded row
+      // is deleted contributes nothing to any scan
+      val alive = consumedKept.filterNot(rel =>
+        Snapshots.fullyDeleted(planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])))
       val kept =
         if (pruneRanges.isEmpty && inProbes.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
-          consumedKept
+          alive
         else
-          consumedKept.filter { rel =>
+          alive.filter { rel =>
             val st = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               // escaped-era string intervals (no null-count watermark)
@@ -1381,8 +1405,11 @@ private[snap] object SnapScanStats {
       }
     }
     override def numRows(): util.OptionalLong = {
-      val counts = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.RowCountKey)))
-      if (counts.forall(_.isDefined)) util.OptionalLong.of(counts.map(_.get.min.toLong).sum)
+      // logical rows (deletion vectors subtracted) — what join planning
+      // should size broadcasts by
+      val counts =
+        keptRels.map(r => stats.get(r).flatMap(st => Snapshots.logicalRowsOf(st)))
+      if (counts.forall(_.isDefined)) util.OptionalLong.of(counts.map(_.get).sum)
       else util.OptionalLong.empty()
     }
   }
@@ -1453,7 +1480,10 @@ class SnapAggScan(
       }
 
   private def aggRow(rels: Seq[String]): Seq[Any] = fields.map {
-    case CountStarF => rels.map(r => stOf(r)(Snapshots.RowCountKey).min.toLong).sum
+    case CountStarF =>
+      // LOGICAL rows: recorded minus deletion-vector counts — exact, the
+      // DV commit recorded the distinct deleted-position total per file
+      rels.map(r => Snapshots.logicalRowsOf(stOf(r)).get).sum
     case CountColF(c) =>
       rels.map { r =>
         val st = stOf(r)
@@ -1581,9 +1611,14 @@ class SnapBatchScan(
   override def estimateStatistics(): Statistics =
     SnapScanStats.of(SparkSession.active, dir, keptRels, stats)
 
-  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new SnapRelation(context, dir, tableSchema, required, keptRels, filters, SnapFilters.toColumn)
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
+    // rel → (sidecar rel, deleted count) of the kept files: the relation
+    // applies merge-on-read deletes via scanRels' anti-join
+    val dv: Map[String, (String, Long)] =
+      keptRels.flatMap(r => stats.get(r).flatMap(Snapshots.dvOf).map(r -> _)).toMap
+    new SnapRelation(context, dir, tableSchema, required, keptRels, filters, SnapFilters.toColumn, dv)
       .asInstanceOf[T]
+  }
 }
 
 class SnapRelation(
@@ -1593,7 +1628,8 @@ class SnapRelation(
     required: StructType,
     keptRels: Seq[String],
     filters: Seq[Filter],
-    toColumn: Filter => Option[Column])
+    toColumn: Filter => Option[Column],
+    dv: Map[String, (String, Long)] = Map.empty)
     extends BaseRelation
     with TableScan {
 
@@ -1605,7 +1641,7 @@ class SnapRelation(
     var df: DataFrame =
       if (keptRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-      else Snapshots.scanRels(spark, dir, keptRels, Some(tableSchema))
+      else Snapshots.scanRels(spark, dir, keptRels, Some(tableSchema), dv)
     // `_file` metadata column BEFORE the filters: a pushed predicate may
     // reference it (WHERE _file = '…' is the canonical provenance filter)
     // even when the projection doesn't

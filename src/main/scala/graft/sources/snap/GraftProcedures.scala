@@ -247,6 +247,21 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class DvMaterialize(rootDir: String) extends SnapProcedure("dv_materialize", rootDir) {
+    override def description: String =
+      "fold every deletion vector into its data file (rewrite without the deleted positions; " +
+        "provably-empty files archive) and commit — ends the merge-on-read era so raw-reading " +
+        "maintenance ops (compact/cluster/COW delete) accept the table again"
+    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (files, positions) =
+        graft.sources.DeleteVectors.materialize(spark, dirOf(input.getUTF8String(0).toString))
+      result(
+        out("files_rewritten" -> LongType, "positions_folded" -> LongType),
+        Seq(files, positions))
+    }
+  }
+
   def all(rootDir: String): Seq[UnboundProcedure] = Seq(
     new Compact(rootDir),
     new Cluster(rootDir),
@@ -255,7 +270,8 @@ private[snap] object GraftProcedures {
     new Clone(rootDir),
     new SetStats(rootDir),
     new Expire(rootDir),
-    new Checkpoint(rootDir))
+    new Checkpoint(rootDir),
+    new DvMaterialize(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =
     if (ident.namespace().nonEmpty && ident.namespace().toSeq != Seq("system")) None

@@ -125,7 +125,15 @@ class SnapV2BatchScan(
           org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval(null)
       }
     }
-    SnapKeyedFileInput(Snapshots.resolve(spark, dir, rel).toString, pairs, key)
+    SnapKeyedFileInput(
+      Snapshots.resolve(spark, dir, rel).toString,
+      pairs,
+      key,
+      // merge-on-read deletes: the reader subtracts the file's recorded
+      // deletion-vector positions
+      Snapshots
+        .dvOf(view.stats.getOrElse(rel, Map.empty))
+        .map(d => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), d._1).toString))
   }
 
   override def outputPartitioning(): Partitioning =
@@ -247,7 +255,8 @@ object SnapV2BatchScan {
 case class SnapKeyedFileInput(
     path: String,
     partVals: Array[(String, String)],
-    key: Array[Any])
+    key: Array[Any],
+    override val dvPath: Option[String] = None)
     extends SnapSplicedFileInput
     with HasPartitionKey {
   override def partitionKey(): InternalRow = new GenericInternalRow(key)

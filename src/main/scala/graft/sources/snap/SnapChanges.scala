@@ -144,8 +144,18 @@ object SnapChanges {
       mapTyped: Boolean = false): Seq[InputPartition] = {
     val view = Snapshots.manifestView(spark, dir, v)
     val tsMicros = Snapshots.commitTimeMs(spark, dir, v) * 1000L
-    def fileOf(rel: String) =
-      SnapCdcFile(Snapshots.resolve(spark, dir, rel).toString, SnapFilters.partValsOf(rel))
+    def dvAbs(dvRel: String): String =
+      new Path(new Path(dir), dvRel).toString
+    // each side of the version reads with ITS OWN deletion-vector state:
+    // a removed file's already-MoR-deleted rows were never live at v−1
+    // (they must not cancel — or worse, emit as deletes — here), and an
+    // added file with a DV (clone/restore histories) inserts only its
+    // surviving rows
+    def fileOf(rel: String, stats: Map[String, Map[String, Snapshots.ColStat]]) =
+      SnapCdcFile(
+        Snapshots.resolve(spark, dir, rel).toString,
+        SnapFilters.partValsOf(rel),
+        Snapshots.dvOf(stats.getOrElse(rel, Map.empty)).map(d => dvAbs(d._1)))
     val (added, removed) =
       if (v == 1L) (view.rels, Seq.empty[String])
       else
@@ -155,10 +165,28 @@ object SnapChanges {
             val prev = Snapshots.files(spark, dir, v - 1L).toSet
             (view.rels.filterNot(prev), (prev -- view.rels.toSet).toSeq.sorted)
         }
+    // merge-on-read deletes: a version that changed a still-present
+    // file's DV pointer emits the NEWLY-dead positions' rows as
+    // `delete` (and, on a restore that shrank a DV, the revived
+    // positions as `insert`) — one bounded task per changed file, zero
+    // shuffle, positions compared exactly. Independent of the
+    // add/remove cancellation below, and map-safe (no byte keying).
+    val dvParts: Seq[InputPartition] =
+      if (v <= 1L) Seq.empty
+      else
+        Snapshots.dvChangedRels(spark, dir, v).map { case (rel, oldDv, newDv) =>
+          SnapCdcDvInput(
+            v,
+            tsMicros,
+            Snapshots.resolve(spark, dir, rel).toString,
+            SnapFilters.partValsOf(rel),
+            oldDv.map(d => dvAbs(d._1)),
+            newDv.map(d => dvAbs(d._1))): InputPartition
+        }
     if (removed.isEmpty)
       // append-only (or image) version: lazy one-task-per-file inserts
-      added.map(rel =>
-        SnapCdcInput(v, tsMicros, 0, 1, Seq.empty, Seq(fileOf(rel))): InputPartition)
+      dvParts ++ added.map(rel =>
+        SnapCdcInput(v, tsMicros, 0, 1, Seq.empty, Seq(fileOf(rel, view.stats))): InputPartition)
     else {
       if (mapTyped)
         throw new UnsupportedOperationException(
@@ -178,14 +206,34 @@ object SnapChanges {
       }.sum
       val slices =
         math.min(MaxSlices.toLong, math.max(1L, (bytes + sliceBytes - 1L) / sliceBytes)).toInt
-      val rm = removed.map(fileOf)
-      val ad = added.map(fileOf)
-      (0 until slices).map(i => SnapCdcInput(v, tsMicros, i, slices, rm, ad): InputPartition)
+      val prevStats = Snapshots.manifestView(spark, dir, v - 1L).stats
+      val rm = removed.map(fileOf(_, prevStats))
+      val ad = added.map(fileOf(_, view.stats))
+      dvParts ++
+        (0 until slices).map(i => SnapCdcInput(v, tsMicros, i, slices, rm, ad): InputPartition)
     }
   }
 }
 
-case class SnapCdcFile(path: String, partVals: Array[(String, String)])
+case class SnapCdcFile(
+    path: String,
+    partVals: Array[(String, String)],
+    dvPath: Option[String] = None)
+
+/** One merge-on-read delete's CDC task: the rows of `path` whose file-row
+  * ordinal is in the NEW deletion vector but not the OLD emit as
+  * `delete`; ordinals only in the old (a restore shrank the vector) emit
+  * as `insert`. Positions are exact — no multiset cancellation, no
+  * canonical-byte keying, so map-typed tables are fine here.
+  */
+case class SnapCdcDvInput(
+    version: Long,
+    commitTsMicros: Long,
+    path: String,
+    partVals: Array[(String, String)],
+    oldDvPath: Option[String],
+    newDvPath: Option[String])
+    extends InputPartition
 
 /** One CDC task: slice `slice` of `slices` over version `version`'s
   * changed-file multiset difference. `commitTsMicros` is the version's
@@ -300,16 +348,14 @@ case class SnapCdcReadFactory(dataJson: String, conf: java.io.Serializable, zone
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val in = p.asInstanceOf[SnapCdcInput]
     val dataSchema = DataType.fromJson(dataJson).asInstanceOf[StructType]
     val n = dataSchema.length
     val inner = SnapStreamReadFactory(dataJson, dataJson, conf, zoneId)
-    def rowsOf(f: SnapCdcFile)(use: InternalRow => Unit): Unit = {
-      val r = inner.createReader(SnapStreamFileInput(f.path, f.partVals))
-      try while (r.next()) use(r.get())
-      finally r.close()
+    val (version, commitTsMicros) = p match {
+      case d: SnapCdcDvInput => (d.version, d.commitTsMicros)
+      case c: SnapCdcInput => (c.version, c.commitTsMicros)
     }
-    def outRow(u: UnsafeRow, tag: String): InternalRow = {
+    def outRow(u: InternalRow, tag: String): InternalRow = {
       val out = new Array[Any](n + 3)
       var i = 0
       while (i < n) {
@@ -317,15 +363,26 @@ case class SnapCdcReadFactory(dataJson: String, conf: java.io.Serializable, zone
         i += 1
       }
       out(n) = UTF8String.fromString(tag)
-      out(n + 1) = in.version
-      out(n + 2) = in.commitTsMicros
+      out(n + 1) = version
+      out(n + 2) = commitTsMicros
       new GenericInternalRow(out)
+    }
+    p match {
+      case dv: SnapCdcDvInput => return createDvReader(dv, inner, outRow)
+      case _ => ()
+    }
+    val in = p.asInstanceOf[SnapCdcInput]
+    def rowsOf(f: SnapCdcFile)(use: InternalRow => Unit): Unit = {
+      val r = inner.createReader(SnapStreamFileInput(f.path, f.partVals, f.dvPath))
+      try while (r.next()) use(r.get())
+      finally r.close()
     }
     val proj = UnsafeProjection.create(dataSchema.fields.map(_.dataType))
     if (in.removed.isEmpty && in.slices == 1) {
       // append-only fast path: stream one file lazily, no state
       require(in.added.size == 1)
-      val r = inner.createReader(SnapStreamFileInput(in.added.head.path, in.added.head.partVals))
+      val f = in.added.head
+      val r = inner.createReader(SnapStreamFileInput(f.path, f.partVals, f.dvPath))
       new PartitionReader[InternalRow] {
         private var cur: InternalRow = _
         override def next(): Boolean = { cur = if (r.next()) r.get() else null; cur != null }
@@ -355,6 +412,45 @@ case class SnapCdcReadFactory(dataJson: String, conf: java.io.Serializable, zone
         override def get(): InternalRow = cur
         override def close(): Unit = ()
       }
+    }
+  }
+
+  /** Merge-on-read delete task: stream the data file RAW with a file-row
+    * ordinal counter (no parquet pushdown, no DV applied — both position
+    * sets index the raw ordinals), tag ordinals in new∖old as `delete`
+    * and old∖new as `insert`, skip the rest. Lazy, O(deleted) memory.
+    */
+  private def createDvReader(
+      in: SnapCdcDvInput,
+      inner: SnapStreamReadFactory,
+      outRow: (InternalRow, String) => InternalRow): PartitionReader[InternalRow] = {
+    val hconf = org.apache.spark.sql.graft.Bridge.confOf(conf)
+    val oldPos = in.oldDvPath.map(SnapStreamReadFactory.readDvPositions(_, hconf))
+      .getOrElse(Array.emptyLongArray)
+    val newPos = in.newDvPath.map(SnapStreamReadFactory.readDvPositions(_, hconf))
+      .getOrElse(Array.emptyLongArray)
+    val r = inner.createReader(SnapStreamFileInput(in.path, in.partVals))
+    new PartitionReader[InternalRow] {
+      private var ordinal = -1L
+      private var oldC = 0
+      private var newC = 0
+      private var cur: InternalRow = _
+      private var tag: String = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          ordinal += 1L
+          while (oldC < oldPos.length && oldPos(oldC) < ordinal) oldC += 1
+          while (newC < newPos.length && newPos(newC) < ordinal) newC += 1
+          val inOld = oldC < oldPos.length && oldPos(oldC) == ordinal
+          val inNew = newC < newPos.length && newPos(newC) == ordinal
+          if (inNew && !inOld) { cur = r.get(); tag = "delete"; return true }
+          if (inOld && !inNew) { cur = r.get(); tag = "insert"; return true }
+        }
+        cur = null
+        false
+      }
+      override def get(): InternalRow = outRow(cur, tag)
+      override def close(): Unit = r.close()
     }
   }
 }

@@ -108,18 +108,25 @@ class SnapRowLevelOperation(
       // must never strip that Filter here
       override protected def allowConsumption: Boolean = false
       override def build(): Scan = {
+        // the rewrite must NOT copy rows a merge-on-read delete already
+        // removed: the row-level reader subtracts each scanned file's
+        // deletion vector (and the replacement file, having materialized
+        // them, carries no pointer — the commit's stats carry only
+        // applies to surviving rels)
+        val dvByRel: Map[String, String] =
+          view.stats.flatMap { case (rel, st) => Snapshots.dvOf(st).map(d => rel -> d._1) }
         super.build() match {
           case b: SnapBatchScan =>
             scannedRels = b.keptRels
             // the row-level read path plans a true DSv2 Batch (no V1
             // bridge exists under ReplaceData): same pruned file list,
             // read through Spark's own parquet row materializer
-            new SnapRowLevelScan(dir, b.keptRels, b.readSchema(), tableSchema)
+            new SnapRowLevelScan(dir, b.keptRels, b.readSchema(), tableSchema, dvByRel)
           case v: SnapV2BatchScan =>
             // a session opted into the v2 batch path: same file list,
             // same row-level read shape
             scannedRels = v.currentRels
-            new SnapRowLevelScan(dir, v.currentRels, v.readSchema(), tableSchema)
+            new SnapRowLevelScan(dir, v.currentRels, v.readSchema(), tableSchema, dvByRel)
           case s => s // count-style scans never appear under a row-level op
         }
       }
@@ -190,7 +197,8 @@ class SnapRowLevelScan(
     dir: String,
     rels: Seq[String],
     required: StructType,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    dvByRel: Map[String, String] = Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.Batch {
 
@@ -203,7 +211,9 @@ class SnapRowLevelScan(
     rels.map { rel =>
       SnapStreamFileInput(
         Snapshots.resolve(spark, dir, rel).toString,
-        SnapFilters.partValsOf(rel)): org.apache.spark.sql.connector.read.InputPartition
+        SnapFilters.partValsOf(rel),
+        dvByRel.get(rel).map(d => new Path(new Path(dir), d).toString))
+        : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
   }
 

@@ -188,15 +188,20 @@ class SnapMicroBatchStream(
     // a delta-committed version records its own added/removed sets —
     // read them directly (no second reconstruction). Both paths yield
     // the same SORTED added sequence, so sub-version offset indices are
-    // stable regardless of how the version was committed.
+    // stable regardless of how the version was committed. A version that
+    // changes DELETION VECTORS (merge-on-read DELETE, or a restore moving
+    // pointers) removed ROWS without removing files — it counts as a
+    // change commit exactly like a rewrite, or an insert-only stream
+    // would silently miss the deletes.
     val view = Snapshots.manifestView(s, dir, v)
+    val dvChanged = if (v <= 1L) 0 else Snapshots.dvChangedRels(s, dir, v).size
     view.delta match {
-      case Some((base, added, removed)) if base == v - 1L => (added, removed.size)
+      case Some((base, added, removed)) if base == v - 1L => (added, removed.size + dvChanged)
       case _ =>
         val cur = view.rels
         val prev: Set[String] =
           if (v <= 1L) Set.empty else Snapshots.files(s, dir, v - 1L).toSet
-        (cur.filterNot(prev), (prev -- cur.toSet).size)
+        (cur.filterNot(prev), (prev -- cur.toSet).size + dvChanged)
     }
   }
 
@@ -251,10 +256,10 @@ class SnapMicroBatchStream(
       val (added, removedCount) = addedOf(s, v)
       if (removedCount > 0 && !skipChangeCommits)
         throw new UnsupportedOperationException(
-          s"snapshot stream over $dir hit version $v, which rewrote $removedCount file(s) " +
-            "(delete/update/compaction/overwrite) — an insert-only stream cannot represent it. " +
-            "Either .option(\"skipChangeCommits\", \"true\") to skip rewrite commits, or use " +
-            "graft.streaming.Streaming.changeFeed for the row-level feed with deletes.")
+          s"snapshot stream over $dir hit version $v, which rewrote or deleted from $removedCount " +
+            "file(s) (delete/update/compaction/overwrite/merge-on-read delete) — an insert-only " +
+            "stream cannot represent it. Either .option(\"skipChangeCommits\", \"true\") to skip " +
+            "change commits, or read cat.t.changes (the row-level feed with deletes).")
       if (removedCount == 0) {
         val lo = if (v == o0.version + 1L) o0.index else 0
         val hi = if (v == o1.version + 1L) o1.index else added.size
@@ -294,10 +299,18 @@ class SnapMicroBatchStream(
             }
             m.keep(value)
           }
-          if (keep)
+          if (keep) {
+            // an added file normally has no DV at its own version (appends
+            // add, DV commits restate) — but a restored/cloned history can
+            // list one: honor it so the insert feed emits surviving rows
+            val dv = Snapshots
+              .dvOf(Snapshots.manifestView(s, dir, v).stats.getOrElse(rel, Map.empty))
+              .map(d => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), d._1).toString)
             parts += SnapStreamFileInput(
               Snapshots.resolve(s, dir, rel).toString,
-              SnapFilters.partValsOf(rel))
+              SnapFilters.partValsOf(rel),
+              dv)
+          }
         }
       }
     }
@@ -342,9 +355,18 @@ object SnapVersionOffset {
 trait SnapSplicedFileInput extends InputPartition {
   def path: String
   def partVals: Array[(String, String)]
+
+  /** Absolute path of the file's deletion-vector sidecar, when the pinned
+    * manifest records one: the reader subtracts those file-row ordinals.
+    * None (the default) reads every row — appended files and clean tables.
+    */
+  def dvPath: Option[String] = None
 }
 
-case class SnapStreamFileInput(path: String, partVals: Array[(String, String)])
+case class SnapStreamFileInput(
+    path: String,
+    partVals: Array[(String, String)],
+    override val dvPath: Option[String] = None)
     extends SnapSplicedFileInput
 
 /** Reads one added parquet file as the REQUIRED schema: data columns come
@@ -377,13 +399,31 @@ case class SnapStreamReadFactory(
     def spliced(name: String) = partByName.contains(name) || name == SnapTable.FileMetaCol
     val dataSchema = StructType(required.fields.filterNot(f => spliced(f.name)))
     // only data-column predicates reach the file reader: a spliced
-    // column's value is constant per file and was decided by file pruning
-    val pushable = filters.filter(_.references.forall(r => !spliced(r) && !r.contains(".")))
-    val reader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+    // column's value is constant per file and was decided by file pruning.
+    // A DV'd file additionally DISABLES parquet-level predicate pushdown:
+    // the position skip below counts rows sequentially, which is only the
+    // `row_index` domain when no row group is skipped — Spark re-applies
+    // every residual predicate above this reader, so dropping the
+    // in-file skipping costs I/O, never correctness.
+    val pushable =
+      if (in.dvPath.isDefined) Nil
+      else filters.filter(_.references.forall(r => !spliced(r) && !r.contains(".")))
+    val rawReader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
       new Path(in.path),
       dataSchema,
       org.apache.spark.sql.graft.Bridge.confOf(conf),
       pushable)
+    // sorted deleted positions + a cursor over the sequential read: O(1)
+    // per row, O(deleted) memory — the per-file DV is the small object by
+    // construction (large deleted fractions are what materialize is for)
+    val reader = new SnapDvSkippingReader(
+      rawReader,
+      in.dvPath
+        .map(dv =>
+          SnapStreamReadFactory.readDvPositions(
+            dv,
+            org.apache.spark.sql.graft.Bridge.confOf(conf)))
+        .getOrElse(Array.emptyLongArray))
     // one evaluated internal value per spliced slot, cast from the raw
     // path string to the DECLARED column type (what directory inference
     // would have produced, minus the inference guesswork)
@@ -430,4 +470,66 @@ case class SnapStreamReadFactory(
       override def close(): Unit = reader.close()
     }
   }
+}
+
+object SnapStreamReadFactory {
+
+  /** One sidecar's deleted positions as a sorted long array — executor-
+    * side, through the same bridged parquet reader (schema clipping
+    * projects `pos` out of the `(rel, pos)` sidecar). Sidecars are written
+    * sorted-distinct; the defensive sort keeps the skip cursor sound even
+    * against a hand-written sidecar.
+    */
+  private[snap] def readDvPositions(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "pos",
+        org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val r = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+      new Path(path),
+      schema,
+      conf)
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    try {
+      var row = r.read()
+      while (row != null) {
+        buf += row.getLong(0)
+        row = r.read()
+      }
+    } finally r.close()
+    val out = buf.result()
+    java.util.Arrays.sort(out)
+    out
+  }
+}
+
+/** Sequential parquet read minus a sorted set of file-row ordinals — the
+  * executor half of a deletion vector. The ordinal counter equals
+  * `_metadata.row_index` (the DV's coordinate system) exactly because the
+  * wrapped reader never skips a row group (DV'd files read with parquet
+  * predicate pushdown disabled).
+  */
+private[snap] final class SnapDvSkippingReader(
+    inner: org.apache.parquet.hadoop.ParquetReader[InternalRow],
+    positions: Array[Long]) {
+
+  private var ordinal = 0L
+  private var cursor = 0
+
+  def read(): InternalRow = {
+    while (true) {
+      val row = inner.read()
+      if (row == null) return null
+      while (cursor < positions.length && positions(cursor) < ordinal) cursor += 1
+      val deleted = cursor < positions.length && positions(cursor) == ordinal
+      ordinal += 1L
+      if (!deleted) return row
+    }
+    null // unreachable
+  }
+
+  def close(): Unit = inner.close()
 }

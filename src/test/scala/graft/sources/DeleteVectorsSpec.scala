@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read deletion vectors: commit shape, read correctness across
+  * every path (programmatic, SQL, row-level ops, CDC, streaming),
+  * soundness gates on stats consumers, and lifecycle (materialize,
+  * vacuum, clone, restore).
+  */
+class DeleteVectorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** day-partitioned 4-row table with stats (day) — the SnapshotsSpec
+    * fixture: day=2024-01-01 holds ids 1,2 in ONE file, so a delete of
+    * id=2 exercises the partial-file path.
+    */
+  private def table(dir: String): Long = {
+    val base = Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+    Sources.writeParquet(base.repartition(1), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, Seq("day", "id"))
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.select($"id", $"day".cast("string"), $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+
+  test("MoR delete removes rows without touching a data file; pre-delete version pins") {
+    val dir = Files.createTempDirectory("dv_basic").toString + "/t"
+    val v1 = table(dir)
+    val filesBefore = Snapshots.listDataFiles(spark, dir)
+    val (files, rows) = DeleteVectors.deleteWhere(spark, dir, $"id" % 2 === 0)
+    assert(files == 2L && rows == 2L) // id=2 (day 01) and id=4 (day 03)
+    // ZERO data-file churn: same live files, byte-identical
+    assert(Snapshots.listDataFiles(spark, dir) == filesBefore)
+    assert(Snapshots.latestVersion(spark, dir) == v1 + 1L)
+    // live read subtracts; the pinned pre-delete version does not
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) ==
+      Set((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 20.0)))
+    assert(rowSet(Snapshots.readSnapshot(spark, dir, v1)).size == 4)
+    // metadata-only count is logical
+    assert(Snapshots.countRows(spark, dir) == 2L)
+    assert(Snapshots.countRows(spark, dir, v1) == 4L)
+    // sidecars live under the hidden .snap-dv tree, invisible to listers
+    val dv = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    assert(dv.size == 2 && dv.values.forall(_._1.startsWith(Snapshots.DvDirName + "/")))
+    assert(dv.values.map(_._2).toSeq.sorted == Seq(1L, 1L))
+  }
+
+  test("overlapping second delete merges positions into one sidecar, counts stay exact") {
+    val dir = Files.createTempDirectory("dv_merge").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 1L)
+    val (f2, r2) = DeleteVectors.deleteWhere(spark, dir, $"id" <= 2L) // id=1 again + id=2
+    assert(f2 == 1L && r2 == 1L, s"only id=2 is NEW, got ($f2, $r2)")
+    val dv = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    assert(dv.size == 1, "one file touched → one pointer")
+    assert(dv.values.head._2 == 2L, "sidecar holds the union of both deletes")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) ==
+      Set((3L, "2024-01-02", 20.0), (4L, "2024-01-03", 30.0)))
+    assert(Snapshots.countRows(spark, dir) == 2L)
+    // a delete matching ONLY already-deleted rows commits nothing
+    val before = Snapshots.latestVersion(spark, dir)
+    assert(DeleteVectors.deleteWhere(spark, dir, $"id" === 1L) == ((0L, 0L)))
+    assert(Snapshots.latestVersion(spark, dir) == before)
+  }
+
+  test("a fully-deleted file is pruned from scans but stays listed and restorable") {
+    val dir = Files.createTempDirectory("dv_full").toString + "/t"
+    val v1 = table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-02") // the whole file of id=3
+    val view = Snapshots.manifestView(spark, dir)
+    assert(view.rels.size == 3, "the file stays listed (pinned versions need it)")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 2L, 4L))
+    // pruned read of just that partition: empty, not an error
+    assert(Snapshots.readSnapshot(spark, dir, prune = Seq(("day", "2024-01-02", "2024-01-02"))).count() == 0L)
+    assert(Snapshots.countRows(spark, dir) == 3L)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir, v1)).size == 4)
+  }
+
+  test("raw-reading maintenance ops refuse on a DV'd table; materialize unblocks them") {
+    val dir = Files.createTempDirectory("dv_guard").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    val e1 = intercept[RuntimeException](Sources.deleteWhere(spark, dir, $"id" === 1L))
+    assert(e1.getMessage.contains("deletion vectors"))
+    val e2 = intercept[RuntimeException](Sources.updateWhere(spark, dir, $"id" === 1L, Map("v" -> lit(0.0))))
+    assert(e2.getMessage.contains("deletion vectors"))
+    val e3 = intercept[RuntimeException](Sources.compactInPlace(spark, dir))
+    assert(e3.getMessage.contains("deletion vectors"))
+    // materialize folds the vector in: reads unchanged, pointers gone,
+    // COW ops accepted again
+    val liveBefore = rowSet(Snapshots.readSnapshot(spark, dir))
+    val (mf, mp) = DeleteVectors.materialize(spark, dir)
+    assert(mf == 1L && mp == 1L)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == liveBefore)
+    // physical agreement: a raw directory read now matches too
+    assert(spark.read.parquet(dir).count() == 3L)
+    val (df2, dr2) = Sources.deleteWhere(spark, dir, $"id" === 1L)
+    assert(df2 == 1L && dr2 == 1L)
+  }
+
+  test("materialize archives a fully-deleted file instead of writing an empty rewrite") {
+    val dir = Files.createTempDirectory("dv_matfull").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-02")
+    val (mf, _) = DeleteVectors.materialize(spark, dir)
+    assert(mf == 1L)
+    val view = Snapshots.manifestView(spark, dir)
+    assert(view.rels.size == 2, "the empty file left the live set")
+    assert(Snapshots.readSnapshot(spark, dir).count() == 3L)
+  }
+
+  test("readAddedSince refuses across a DV change (rows were removed)") {
+    val dir = Files.createTempDirectory("dv_added").toString + "/t"
+    val v1 = table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    val e = intercept[IllegalArgumentException](Snapshots.readAddedSince(spark, dir, v1).count())
+    assert(e.getMessage.contains("deletion vectors"))
+    // diff (the full reconciliation) reports exactly the deleted row
+    val d = Snapshots.diff(spark, dir, v1).collect()
+    assert(d.length == 1 && d.head.getAs[String]("change") == "removed" && d.head.getAs[Long]("id") == 2L)
+  }
+
+  test("restore to the pre-delete version drops the pointers and revives the rows") {
+    val dir = Files.createTempDirectory("dv_restore").toString + "/t"
+    val v1 = table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" <= 2L)
+    assert(Snapshots.countRows(spark, dir) == 2L)
+    val v3 = Snapshots.restore(spark, dir, v1)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir, v3)).isEmpty)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).size == 4)
+    assert(Snapshots.countRows(spark, dir) == 4L)
+    // the DV'd middle version still pins
+    assert(Snapshots.countRows(spark, dir, v1 + 1L) == 2L)
+  }
+
+  test("clone carries DV sidecars and pointers; the fork reads identically and evolves alone") {
+    val dir = Files.createTempDirectory("dv_clone").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    val dst = Files.createTempDirectory("dv_clone_dst").toString + "/t"
+    Snapshots.cloneSnapshot(spark, dir, dst)
+    assert(rowSet(Snapshots.readSnapshot(spark, dst)) == rowSet(Snapshots.readSnapshot(spark, dir)))
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dst)).size == 1)
+    assert(Snapshots.countRows(spark, dst) == 3L)
+    // fork evolves alone: materializing the clone leaves the source DV'd
+    DeleteVectors.materialize(spark, dst)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dst)).isEmpty)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 1)
+  }
+
+  test("vacuum reaps superseded sidecars, keeps the ones retained manifests reference") {
+    val dir = Files.createTempDirectory("dv_vacuum").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 1L) // sidecar A (v2)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // sidecar B supersedes A (v3)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvFiles(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir, Snapshots.DvDirName)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+          fs.listStatus(d).toSeq.flatMap(st =>
+            if (st.isDirectory) walk(st.getPath) else Seq(st.getPath.getName))
+        walk(p)
+      }
+    }
+    assert(dvFiles().size == 2)
+    // keep both DV versions: nothing reaped (v2's sidecar still referenced)
+    Snapshots.vacuum(spark, dir, keepLast = 2)
+    assert(dvFiles().size == 2)
+    // keep only the latest: sidecar A is an expired version's — reaped
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(dvFiles().size == 1)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(3L, 4L))
+    // after materialize, the last sidecar becomes unreferenced history
+    DeleteVectors.materialize(spark, dir)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(dvFiles().isEmpty)
+  }
+
+  test("positions are exact across multiple row groups (not first-group-relative)") {
+    val dir = Files.createTempDirectory("dv_rowgroups").toString + "/t"
+    // tiny row groups force several per file: positions past the first
+    // group catch any reader that resets its ordinal per group
+    val n = 50000
+    spark
+      .range(n.toLong)
+      .select($"id", ($"id" % 97).cast("double").as("v"))
+      .repartition(1)
+      .write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .option("parquet.page.size", (8 * 1024).toString)
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    val (files, rows) = DeleteVectors.deleteWhere(spark, dir, $"id" % 1000 === 7)
+    assert(files == 1L && rows == n / 1000L)
+    val live = Snapshots.readSnapshot(spark, dir)
+    assert(live.count() == n - n / 1000L)
+    assert(live.filter($"id" % 1000 === 7).count() == 0L)
+    // spot-check survivors around the holes — including deep in the file
+    assert(live.filter($"id".isin(6L, 8L, 1006L, 49006L, 49008L)).count() == 5L)
+    assert(live.filter($"id" === 49007L).count() == 0L, "a hole past the first row group")
+  }
+
+  /** Catalog fixture: `ev` under a fresh catalog name, MoR-ready. */
+  private def catalogTable(name: String): (String, String) = {
+    val base = Files.createTempDirectory("dv_cat").toString
+    val dir = s"$base/ev"
+    table(dir)
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", base)
+    (base, dir)
+  }
+
+  test("v2 batch scan (SPJ/DPP path) applies deletion vectors too") {
+    val (_, dir) = catalogTable("dvv2")
+    DeleteVectors.deleteWhere(spark, dir, $"id" % 2 === 0)
+    val v1 = spark.sql("SELECT id, v FROM dvv2.ev ORDER BY id").collect().map(_.getLong(0)).toSeq
+    val v2 = spark.read
+      .option("batchscan", "v2")
+      .table("dvv2.ev")
+      .select($"id")
+      .orderBy($"id")
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    assert(v1 == Seq(1L, 3L) && v2 == v1, s"v1=$v1 v2=$v2")
+  }
+
+  test("insert-only stream: a DV commit is a change commit — fails loudly, skippable") {
+    val (_, dir) = catalogTable("dvstream")
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(skip: Boolean): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val rd = spark.readStream
+      val q = (if (skip) rd.option("skipChangeCommits", "true") else rd)
+        .table("dvstream.ev")
+        .writeStream
+        .option("checkpointLocation", Files.createTempDirectory("dv_ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => got.add(r.getAs[Long]("id")))
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq.sorted
+    }
+    assert(drain(skip = false) == Seq(1L, 2L, 3L, 4L), "pre-delete history streams")
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2: a MoR change commit
+    // recorded schema is (id, v, day): partition col appended by inference
+    spark.sql("INSERT INTO dvstream.ev VALUES (9, 90.0, DATE'2024-01-09')") // v3: append
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain(skip = false))
+    assert(
+      e.getCause != null && e.getCause.getMessage.contains("merge-on-read"),
+      s"unexpected failure: ${e.getCause}")
+    // skipChangeCommits: the DV commit skips wholesale, appends still flow
+    assert(drain(skip = true) == Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("streaming changes feed emits the MoR delete and matches batch") {
+    val (_, dir) = catalogTable("dvcdc")
+    DeleteVectors.deleteWhere(spark, dir, $"id" <= 2L)
+    import org.apache.spark.sql.streaming.Trigger
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream
+      .table("dvcdc.ev.changes")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("dv_cdc_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r =>
+          got.add((r.getAs[Long]("id"), r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))))
+      }
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(got).asScala.toSeq.sorted
+    val batch = spark.read
+      .table("dvcdc.ev.changes")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .toSeq
+      .sorted
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\nvs\n$batch")
+    assert(streamed.filter(_._2 == "delete") == Seq((1L, "delete", 2L), (2L, "delete", 2L)))
+  }
+
+  test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
+    val (_, dir) = catalogTable("dvrevive")
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
+    Snapshots.restore(spark, dir, 1L) // v3: pointer reverts to none
+    val v3 = spark.read
+      .option("startingVersion", 3)
+      .option("endingVersion", 3)
+      .table("dvrevive.ev.changes")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+      .toSeq
+      .sorted
+    assert(v3 == Seq((2L, "insert")), s"got $v3")
+  }
+}
