@@ -52,11 +52,6 @@ import graft.sources.Snapshots.ColStat
   */
 object DeleteVectors {
 
-  /** Broadcast threshold for the read-side anti-join, as a recorded
-    * deleted-position count (≈16 bytes each → ~64 MB at the cap).
-    */
-  val BroadcastMaxPositions = 4000000L
-
   private val sidecarSchema = StructType(
     Seq(StructField("rel", StringType, nullable = false), StructField("pos", LongType, nullable = false)))
 
@@ -114,22 +109,26 @@ object DeleteVectors {
       val written = writeSidecars(spark, root, matches, oldDvByRel, commitTag)
       if (written.isEmpty) return (0L, 0L)
 
+      // a file whose new position set equals its old one must NOT be
+      // restated (COUNT equality is set equality here — the new set is a
+      // superset of the old by construction). The sidecar name always
+      // carries a fresh tag, so comparing pointers-with-paths would make
+      // every re-match look changed, committing spurious versions that
+      // read as change commits downstream (stream refusals, readAddedSince
+      // errors). Same-count sidecars become orphans; vacuum reaps them.
       var newlyDeleted = 0L
-      val updates: Map[String, Map[String, ColStat]] = written.map {
+      val changed: Map[String, Map[String, ColStat]] = written.flatMap {
         case (rel, dvRel, cnt) =>
           val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
           val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-          newlyDeleted += cnt - oldCnt
-          rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
-            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
-            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString)))
+          if (cnt == oldCnt) None
+          else {
+            newlyDeleted += cnt - oldCnt
+            Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
+              Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
+              Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
+          }
       }.toMap
-      // a predicate that only re-matched already-deleted rows changes no
-      // pointer — commit nothing (count-equal means position-set-equal:
-      // the new set is a SUPERSET of the old by construction)
-      val changed = updates.filter { case (rel, st) =>
-        Snapshots.dvOf(st) != Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty))
-      }
       if (changed.isEmpty) return (0L, 0L)
       Snapshots.commitRestated(spark, root, changed)
       (changed.size.toLong, newlyDeleted)

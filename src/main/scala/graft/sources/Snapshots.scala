@@ -2717,29 +2717,29 @@ object Snapshots {
     * data side never shuffles; past the threshold it degrades to a real
     * join rather than an executor-OOM broadcast.
     */
+  /** Broadcast threshold for the DV anti-join, as a recorded deleted-
+    * position count (≈16 bytes each → ~64 MB at the cap). Past it the
+    * join degrades to a real join rather than an executor-OOM broadcast
+    * (AQE may still broadcast by measured size).
+    */
+  val DvBroadcastMaxPositions = 4000000L
+
   private[sources] def scanRels(
       spark: SparkSession,
       root: String,
       rels: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dv: Map[String, (String, Long)] = Map.empty): DataFrame = {
-    def scanOf(subset: Seq[String], withMeta: Boolean): DataFrame =
-      if (withMeta) scanRelsWithPos(spark, root, subset, schema)
-      else {
-        val (live, archived) = subset.map(rel => resolve(spark, root, rel)).partition { p =>
-          !p.toString.contains(s"/$ArchiveDirName/")
-        }
-        val archiveBase = new Path(new Path(root), ArchiveDirName).toString
-        val scans = Seq(root -> live, archiveBase -> archived).collect {
-          case (base, ps) if ps.nonEmpty =>
-            val rd = spark.read.option("basePath", base)
-            schema.foreach(rd.schema)
-            rd.parquet(ps.map(_.toString): _*)
-        }
-        scans.reduce(_.unionByName(_))
-      }
+      dv: Map[String, (String, Long)] = Map.empty,
+      fileCol: Option[String] = None): DataFrame = {
     val (dvRels, cleanRels) = rels.partition(dv.contains)
-    val cleanDf = if (cleanRels.nonEmpty) Some(scanOf(cleanRels, withMeta = false)) else None
+    val cleanDf =
+      if (cleanRels.isEmpty) None
+      else {
+        val df = scanRelsBase(spark, root, cleanRels, schema, withMeta = false)
+        // scan-local provenance: safe, no exchange between scan and projection
+        Some(fileCol.fold(df)(c =>
+          df.withColumn(c, org.apache.spark.sql.functions.input_file_name())))
+      }
     val dvDf =
       if (dvRels.isEmpty) None
       else {
@@ -2748,12 +2748,16 @@ object Snapshots {
         val positions = spark.read
           .parquet(sidecars: _*)
           .select(col("rel").as("__dv_rel__"), col("pos").as("__dv_pos__"))
-        // broadcast only when the RECORDED deleted total says it's small;
-        // a huge DV set falls back to a regular join (AQE may still
-        // broadcast by measured size)
+        // broadcast only when the RECORDED deleted total says it's small
         val totalDeleted = dvRels.map(r => dv(r)._2).sum
-        val right = if (totalDeleted <= 4000000L) broadcast(positions) else positions
-        val base = scanOf(dvRels, withMeta = true)
+        val right =
+          if (totalDeleted <= DvBroadcastMaxPositions) broadcast(positions) else positions
+        val base0 = scanRelsBase(spark, root, dvRels, schema, withMeta = true)
+        // provenance BEFORE the join, from the scan's own metadata column:
+        // input_file_name() above a non-broadcast (shuffling) anti-join
+        // evaluates post-exchange and silently yields "" — the metadata
+        // value projects through any join shape
+        val base = fileCol.fold(base0)(c => base0.withColumn(c, col("_metadata.file_path")))
         Some(
           base
             .join(
@@ -2768,43 +2772,64 @@ object Snapshots {
 
   /** The explicit-file-list scan PLUS each row's provenance in the DV
     * coordinate system: `__graft_dv_rel__` (the file's root-relative
-    * path, recovered from the scan's own `_metadata.file_path` — scheme-
-    * independent) and `__graft_dv_pos__` (`_metadata.row_index`, the
-    * file-row ordinal a deletion vector records). Shared by the DV-aware
-    * read ([[scanRels]]' anti-join side) and the merge-on-read DELETE's
-    * match scan ([[graft.sources.DeleteVectors]]).
+    * path, recovered from the scan's own `_metadata.file_path`) and
+    * `__graft_dv_pos__` (`_metadata.row_index`, the file-row ordinal a
+    * deletion vector records). Shared by the DV-aware read ([[scanRels]]'
+    * anti-join side) and the merge-on-read DELETE's match scan
+    * ([[graft.sources.DeleteVectors]]).
     */
   private[sources] def scanRelsWithPos(
       spark: SparkSession,
       root: String,
       rels: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    scanRelsBase(spark, root, rels, schema, withMeta = true)
+
+  /** One shared live/archive two-base union scan. With `withMeta`, the
+    * rel recovery works in the ENCODED domain: `_metadata.file_path` is
+    * URI-rendered (space → %20, %% → %25; '+' stays literal — probed, and
+    * the hive-escaped on-disk dir `k=c%25d` reads back double-encoded as
+    * `k=c%2525d`), so the match prefix is the root's RAW (encoded) URI
+    * path and the extracted remainder URI-decodes back to the on-disk
+    * rel the manifest records. The '+'-protection before `url_decode`
+    * matters: URLDecoder turns bare '+' into space, but a URI path's '+'
+    * is literal.
+    */
+  private def scanRelsBase(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      withMeta: Boolean): DataFrame = {
     val (live, archived) = rels.map(rel => resolve(spark, root, rel)).partition { p =>
       !p.toString.contains(s"/$ArchiveDirName/")
     }
     val archiveBase = new Path(new Path(root), ArchiveDirName).toString
-    val rootPart = java.util.regex.Pattern.quote(
+    lazy val rootPart = java.util.regex.Pattern.quote(
       new Path(root)
         .makeQualified(
           fsOf(spark, new Path(root)).getUri,
           fsOf(spark, new Path(root)).getWorkingDirectory)
         .toUri
-        .getPath)
-    val arch = java.util.regex.Pattern.quote(s"$ArchiveDirName/")
+        .getRawPath)
+    lazy val arch = java.util.regex.Pattern.quote(s"$ArchiveDirName/")
     val scans = Seq(root -> live, archiveBase -> archived).collect {
       case (base, ps) if ps.nonEmpty =>
         val rd = spark.read.option("basePath", base)
         schema.foreach(rd.schema)
-        rd.parquet(ps.map(_.toString): _*)
-          .withColumn(
+        val df = rd.parquet(ps.map(_.toString): _*)
+        if (!withMeta) df
+        else {
+          import org.apache.spark.sql.functions.{col, regexp_extract, regexp_replace, url_decode}
+          df.withColumn(
             "__graft_dv_rel__",
-            org.apache.spark.sql.functions.regexp_extract(
-              org.apache.spark.sql.functions.col("_metadata.file_path"),
-              s".*$rootPart/(?:$arch)?(.*)$$",
-              1))
-          .withColumn(
-            "__graft_dv_pos__",
-            org.apache.spark.sql.functions.col("_metadata.row_index"))
+            url_decode(
+              regexp_replace(
+                regexp_extract(col("_metadata.file_path"), s".*$rootPart/(?:$arch)?(.*)$$", 1),
+                "\\+",
+                "%2B")))
+            .withColumn("__graft_dv_pos__", col("_metadata.row_index"))
+        }
     }
     scans.reduce(_.unionByName(_))
   }

@@ -1158,6 +1158,18 @@ class SnapScanBuilder(
   private def planView: Snapshots.ManifestView = planViewAndTotal._1
   private def totalFiles: Long = planViewAndTotal._2
 
+  /** [[consumedKept]] minus provably-fully-deleted files — the rel set
+    * AGGREGATE pushdown answers over. The filter is load-bearing for
+    * grouped COUNT(*): a group whose every file is fully deleted must
+    * emit NO row (the empty-group SQL semantics the fallback scan path
+    * produces), not a zero row — and excluding such files from the
+    * MIN/MAX gates is sound too (their logical rows are zero, they
+    * contribute nothing).
+    */
+  private lazy val aggRels: Seq[String] =
+    consumedKept.filterNot(rel =>
+      Snapshots.fullyDeleted(planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])))
+
   /** The pinned file list narrowed by the consumed partition filters —
     * EXACT by construction, and the base set every later decision
     * (aggregation validity, stats pruning, the scans) works from.
@@ -1199,8 +1211,10 @@ class SnapScanBuilder(
     if (translated.nonEmpty || pruneRanges.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
     // consumed partition filters narrowed the file list EXACTLY, so the
-    // aggregation is over precisely these files' rows
-    val rels = consumedKept
+    // aggregation is over precisely these files' rows (minus files whose
+    // every row is MoR-deleted — they contribute nothing, and a fully-
+    // deleted GROUP must emit no row)
+    val rels = aggRels
 
     def stOf(rel: String) = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
     def rowsKnown = rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
@@ -1292,7 +1306,7 @@ class SnapScanBuilder(
 
   override def build(): Scan = pushedAgg match {
     case Some((groupCols, fields)) =>
-      new SnapAggScan(dir, planView, consumedKept, consumed.toSeq, groupCols, fields, totalFiles)
+      new SnapAggScan(dir, planView, aggRels, consumed.toSeq, groupCols, fields, totalFiles)
     case None =>
       // equality probes on bloom-indexed columns prune past the stats:
       // an unclustered 100 TB table answers `WHERE user_id = k` from the
@@ -1316,14 +1330,13 @@ class SnapScanBuilder(
       val notNullCols = translated.collect { case IsNotNull(a) if !a.contains(".") => a }
       val isNullCols = translated.collect { case IsNull(a) if !a.contains(".") => a }
       // merge-on-read whole-file pruning: a file whose every recorded row
-      // is deleted contributes nothing to any scan
-      val alive = consumedKept.filterNot(rel =>
-        Snapshots.fullyDeleted(planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])))
+      // is deleted contributes nothing to any scan (aggRels = consumedKept
+      // minus fully-deleted)
       val kept =
         if (pruneRanges.isEmpty && inProbes.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty)
-          alive
+          aggRels
         else
-          alive.filter { rel =>
+          aggRels.filter { rel =>
             val st = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
             pruneRanges.forall { case (c, lo, hi) =>
               // escaped-era string intervals (no null-count watermark)
@@ -1638,15 +1651,25 @@ class SnapRelation(
 
   override def buildScan(): RDD[Row] = {
     val spark = ctx.sparkSession
+    // `_file` provenance is produced INSIDE scanRels (scan-local
+    // input_file_name on clean files; the metadata column on DV'd files,
+    // where a post-anti-join input_file_name would evaluate post-exchange
+    // and yield "") — needed whenever a pushed predicate references it,
+    // even if the projection doesn't
+    val needFile = required.fieldNames.contains(SnapTable.FileMetaCol) ||
+      filters.exists(_.references.contains(SnapTable.FileMetaCol))
     var df: DataFrame =
       if (keptRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
-      else Snapshots.scanRels(spark, dir, keptRels, Some(tableSchema), dv)
-    // `_file` metadata column BEFORE the filters: a pushed predicate may
-    // reference it (WHERE _file = '…' is the canonical provenance filter)
-    // even when the projection doesn't
-    if (required.fieldNames.contains(SnapTable.FileMetaCol) ||
-      filters.exists(_.references.contains(SnapTable.FileMetaCol)))
+      else
+        Snapshots.scanRels(
+          spark,
+          dir,
+          keptRels,
+          Some(tableSchema),
+          dv,
+          fileCol = if (needFile) Some(SnapTable.FileMetaCol) else None)
+    if (needFile && keptRels.isEmpty)
       df = df.withColumn(
         SnapTable.FileMetaCol,
         org.apache.spark.sql.functions.input_file_name())

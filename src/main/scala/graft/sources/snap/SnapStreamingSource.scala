@@ -275,6 +275,9 @@ class SnapMicroBatchStream(
         val matchers = consumedFilters.flatMap(SnapFilters.partMatcher).map { m =>
           (m, tableSchema.fields.find(_.name == m.col).map(_.dataType).getOrElse(StringType))
         }
+        // one stats lookup per VERSION, not per file: manifestView pays a
+        // getFileStatus for its cache key even on a hit
+        val versionStats = Snapshots.manifestView(s, dir, v).stats
         added.slice(lo, hi).foreach { rel =>
           val segs = SnapFilters.partSegments(rel)
           val keep = matchers.forall { case (m, declared) =>
@@ -304,7 +307,7 @@ class SnapMicroBatchStream(
             // add, DV commits restate) — but a restored/cloned history can
             // list one: honor it so the insert feed emits surviving rows
             val dv = Snapshots
-              .dvOf(Snapshots.manifestView(s, dir, v).stats.getOrElse(rel, Map.empty))
+              .dvOf(versionStats.getOrElse(rel, Map.empty))
               .map(d => new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), d._1).toString)
             parts += SnapStreamFileInput(
               Snapshots.resolve(s, dir, rel).toString,

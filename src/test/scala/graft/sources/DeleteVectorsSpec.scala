@@ -299,6 +299,54 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(streamed.filter(_._2 == "delete") == Seq((1L, "delete", 2L), (2L, "delete", 2L)))
   }
 
+  test("re-deleting already-deleted rows of a PARTIALLY deleted file commits nothing") {
+    val dir = Files.createTempDirectory("dv_redelete").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 1L) // day=01 file keeps id=2
+    val v = Snapshots.latestVersion(spark, dir)
+    val dvBefore = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    // same predicate again: the file is NOT fully deleted (so it stays a
+    // candidate and re-matches the raw row), yet the position set is
+    // unchanged — no version, no pointer churn, no spurious change commit
+    assert(DeleteVectors.deleteWhere(spark, dir, $"id" === 1L) == ((0L, 0L)))
+    assert(Snapshots.latestVersion(spark, dir) == v)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)) == dvBefore)
+    assert(Snapshots.dvChangedRels(spark, dir, v).nonEmpty) // the real delete
+  }
+
+  test("grouped COUNT(*) pushdown emits NO row for a fully-deleted group") {
+    val (_, dir) = catalogTable("dvgrp")
+    DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-02") // kills that day's only file
+    val df = spark.sql("SELECT day, count(*) AS n FROM dvgrp.ev GROUP BY day ORDER BY day")
+    val descs = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass.getMethod("v1Scan").invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan].description()
+        else r.scan.description()
+    }
+    assert(descs.exists(_.contains("GraftSnapAggScan")), s"expected pushdown, got $descs")
+    val rows = df.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(
+      rows == Seq(("2024-01-01", 2L), ("2024-01-03", 1L)),
+      s"a fully-deleted group must vanish, got $rows")
+  }
+
+  test("MoR delete and reads survive URI-special characters in root and partition values") {
+    val base = Files.createTempDirectory("dv sp%ace").toString
+    val dir = s"$base/t t"
+    val rows = Seq(
+      (1L, "a b", 1.0), (2L, "a b", 2.0),
+      (3L, "c%d", 3.0), (4L, "e+f", 4.0)).toDF("id", "k", "v")
+    Sources.writeParquet(rows.repartition(1), dir, partitionCols = Seq("k"))
+    Snapshots.commit(spark, dir, Seq("id"))
+    val (files, deleted) = DeleteVectors.deleteWhere(spark, dir, $"id".isin(1L, 3L, 4L))
+    assert(files == 3L && deleted == 3L, s"got ($files, $deleted)")
+    val live = Snapshots.readSnapshot(spark, dir)
+    assert(live.select($"id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Snapshots.countRows(spark, dir) == 1L)
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
