@@ -77,19 +77,35 @@ object DeleteVectors {
           "commit with statsCols to upgrade")
       if (view.rels.isEmpty) return (0L, 0L)
 
-      // candidate narrowing, same discipline as the COW delete: skip
-      // provably-fully-deleted files, then bloom-narrow equality probes
+      // candidate narrowing BEFORE any data I/O: skip provably-fully-
+      // deleted files, stats-prune the predicate's top-level range
+      // conjuncts against the manifest's per-file intervals (the
+      // `DELETE WHERE day = X` shape opens only that day's files at any
+      // table size), then bloom-narrow equality probes — the same three
+      // disciplines the read path applies, because a MoR delete IS a
+      // read plus a sidecar write
       val alive = view.rels.filterNot(r =>
         Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
       if (alive.isEmpty) return (0L, 0L)
-      val probes = Sources.equalityProbes(
-        Snapshots.scanRels(spark, root, alive.take(1), view.schema),
-        predicate)
-      val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
-      val candidates =
-        if (active.isEmpty) alive
+      val probeFrame = Snapshots.scanRels(spark, root, alive.take(1), view.schema)
+      val ranges = Sources.rangeProbes(probeFrame, predicate)
+      val statsPruned =
+        if (ranges.isEmpty) alive
         else
           alive.filter { rel =>
+            val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+            ranges.forall { case (c, lo, hi) =>
+              (!Snapshots.intervalTrusted(st, c) ||
+                st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))) &&
+              !Snapshots.allNull(st, c)
+            }
+          }
+      val probes = Sources.equalityProbes(probeFrame, predicate)
+      val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
+      val candidates =
+        if (active.isEmpty) statsPruned
+        else
+          statsPruned.filter { rel =>
             active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
           }
       if (candidates.isEmpty) return (0L, 0L)

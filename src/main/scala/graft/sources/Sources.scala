@@ -258,11 +258,15 @@ object Sources {
       root: String): Option[org.apache.spark.sql.types.StructType] =
     if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.schemaOf(spark, root) else None
 
-  private[sources] def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
-    // ANALYZE the predicate against the real frame: the caller's Column is
-    // a lazy unresolved node tree; planning `df.filter(predicate)` (no
-    // execution) yields resolved catalyst expressions with typed literals
+  /** The resolved top-level conjuncts of `predicate` against `df`'s real
+    * schema: the caller's Column is a lazy unresolved node tree; planning
+    * `df.filter(predicate)` (no execution) yields resolved catalyst
+    * expressions with typed literals.
+    */
+  private def resolvedConjuncts(
+      df: DataFrame,
+      predicate: Column): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     val cond: Option[Expression] =
       try df
         .filter(predicate)
@@ -274,7 +278,20 @@ object Sources {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def render(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = dt match {
+    cond.toSeq.flatMap(conjuncts)
+  }
+
+  /** A FOLDABLE expression (a literal, or a cast/function of literals —
+    * the analyzed plan hasn't constant-folded yet) rendered in the
+    * manifest-stat string domain (the same rendering `fileColStats`
+    * records), or None for non-constant sides and ambiguous types.
+    */
+  private def statRenderExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = {
+    if (!e.foldable) return None
+    val v = try e.eval(null)
+    catch { case _: Exception => return None } // a throwing fold can't narrow
+    e.dataType match {
       case org.apache.spark.sql.types.StringType => Option(v).map(_.toString)
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -284,11 +301,58 @@ object Sources {
         Option(v).map(d => java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong).toString)
       case _ => None
     }
-    cond.toSeq.flatMap(conjuncts).collect {
-      case EqualTo(a: AttributeReference, Literal(v, dt)) if render(v, dt).isDefined =>
-        (a.name, render(v, dt).get)
-      case EqualTo(Literal(v, dt), a: AttributeReference) if render(v, dt).isDefined =>
-        (a.name, render(v, dt).get)
+  }
+
+  private[sources] def equalityProbes(df: DataFrame, predicate: Column): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    resolvedConjuncts(df, predicate).flatMap {
+      case EqualTo(a: AttributeReference, e) => statRenderExpr(e).map((a.name, _))
+      case EqualTo(e, a: AttributeReference) => statRenderExpr(e).map((a.name, _))
+      case _ => None
+    }
+  }
+
+  /** Top-level range conjuncts of `predicate` as inclusive
+    * (column, lo, hi) probes for manifest-stats file pruning — what lets
+    * a predicate-bounded DELETE/scan skip whole files before any footer
+    * opens. Strict comparisons WIDEN to inclusive bounds (pruning may
+    * only SKIP on a definite miss, and an inclusive superset never
+    * excludes a match); non-constant or unrenderable conjuncts
+    * contribute nothing.
+    */
+  private[sources] def rangeProbes(
+      df: DataFrame,
+      predicate: Column): Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference,
+      EqualTo,
+      GreaterThan,
+      GreaterThanOrEqual,
+      LessThan,
+      LessThanOrEqual
+    }
+    resolvedConjuncts(df, predicate).flatMap {
+      case EqualTo(a: AttributeReference, e) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), Some(s)))
+      case EqualTo(e, a: AttributeReference) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), Some(s)))
+      case GreaterThanOrEqual(a: AttributeReference, e) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), None))
+      case GreaterThan(a: AttributeReference, e) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), None))
+      case LessThanOrEqual(a: AttributeReference, e) =>
+        statRenderExpr(e).map(s => (a.name, None, Some(s)))
+      case LessThan(a: AttributeReference, e) =>
+        statRenderExpr(e).map(s => (a.name, None, Some(s)))
+      case GreaterThanOrEqual(e, a: AttributeReference) =>
+        statRenderExpr(e).map(s => (a.name, None, Some(s)))
+      case GreaterThan(e, a: AttributeReference) =>
+        statRenderExpr(e).map(s => (a.name, None, Some(s)))
+      case LessThanOrEqual(e, a: AttributeReference) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), None))
+      case LessThan(e, a: AttributeReference) =>
+        statRenderExpr(e).map(s => (a.name, Some(s), None))
+      case _ => None
     }
   }
 
@@ -298,13 +362,13 @@ object Sources {
     val liveFiles = Snapshots.listDataFiles(spark, root)
     if (liveFiles.isEmpty) return (0L, 0L) // already empty
     import org.apache.spark.sql.functions.input_file_name
-    // bloom-narrowed candidate scan: when the table's latest manifest
-    // carries bloom sidecars for a column the predicate pins by equality,
-    // only ADMITTING files (plus files newer than the manifest — no
-    // sidecar, cannot exclude) are scanned for matches. A point erasure
-    // (`user_id = k`, the GDPR shape) against an unclustered 100 TB table
-    // then reads one or two files instead of all of them — the bloom read
-    // replaces the full-table predicate scan, not just the rewrite.
+    // manifest-narrowed candidate scan: the predicate's top-level range
+    // conjuncts prune files by recorded per-file intervals (zero I/O — a
+    // day-bounded delete opens only that day's files), and equality
+    // probes on bloom-indexed columns prune further (a point erasure —
+    // `user_id = k`, the GDPR shape — against an unclustered 100 TB
+    // table reads one or two files). Files newer than the manifest have
+    // no stats and cannot be excluded.
     val declared = declaredSchemaOf(spark, root)
     def rootRead = {
       val rd = spark.read
@@ -312,18 +376,25 @@ object Sources {
       rd.parquet(root)
     }
     val candidates: Seq[String] = {
+      val view =
+        if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.manifestView(spark, root)
+        else Snapshots.ManifestView(0L, Seq.empty, Map.empty, None, Seq.empty)
+      val ranges = rangeProbes(rootRead, predicate)
       val probes = equalityProbes(rootRead, predicate)
-      if (probes.isEmpty) liveFiles
+      val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
+      if (ranges.isEmpty && active.isEmpty) liveFiles
       else {
-        val view =
-          if (Snapshots.latestVersion(spark, root) > 0L) Snapshots.manifestView(spark, root)
-          else Snapshots.ManifestView(0L, Seq.empty, Map.empty, None, Seq.empty)
-        val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
-        if (active.isEmpty) liveFiles
-        else {
-          val inManifest = view.rels.toSet
-          liveFiles.filter { rel =>
-            !inManifest.contains(rel) || // post-manifest file: cannot exclude
+        val inManifest = view.rels.toSet
+        liveFiles.filter { rel =>
+          !inManifest.contains(rel) || { // post-manifest file: cannot exclude
+            // manifest range pruning first (zero I/O), blooms second
+            // (one sidecar read per surviving equality-probed file)
+            val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+            ranges.forall { case (c, lo, hi) =>
+              (!Snapshots.intervalTrusted(st, c) ||
+                st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))) &&
+              !Snapshots.allNull(st, c)
+            } &&
             active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
           }
         }

@@ -347,6 +347,26 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(Snapshots.countRows(spark, dir) == 1L)
   }
 
+  test("MoR delete stats-prunes its match scan: non-matching files are never opened") {
+    val dir = Files.createTempDirectory("dv_prune").toString + "/t"
+    table(dir)
+    // corrupt the day=2024-01-03 data file IN PLACE (manifest entry kept,
+    // checksum sidecar removed): any scan that opens it now fails — so a
+    // green day-bounded delete PROVES the pruning skipped the file
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = Snapshots.files(spark, dir).find(_.startsWith("day=2024-01-03/")).get
+    val vPath = new org.apache.hadoop.fs.Path(dir, victim)
+    val crc = new org.apache.hadoop.fs.Path(vPath.getParent, s".${vPath.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(vPath, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    val (files, rows) = DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-01")
+    assert(files == 1L && rows == 2L)
+    // and the un-pruned shape would indeed have failed
+    intercept[Throwable](DeleteVectors.deleteWhere(spark, dir, $"v" > 100.0))
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
