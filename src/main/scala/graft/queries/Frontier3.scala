@@ -2273,7 +2273,106 @@ object Frontier3 {
       |FROM s WHERE event_type <> 'click'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q231: merge-on-read SQL UPDATE (delta-based row-level op) ----------
+
+  /** `UPDATE` priced like the data it CHANGES, not the files it touches:
+    * with `spark.graft.rowlevel.mode=mor` the catalog plans Spark's
+    * delta-based row-level operation ([[graft.sources.snap
+    * .SnapDeltaRowLevelOperation]], `SupportsDelta` with rowId
+    * `(_file, _pos)`) — matched rows' old images become deletion-vector
+    * positions, their new images land in APPENDED files, and ONE manifest
+    * commit covers both. The hash proves: view totals doubled live while
+    * `VERSION AS OF 1` reads the original world; `originals_kept`
+    * certifies every pre-update file is STILL LISTED live (nothing
+    * rewritten or archived — the group-based path would have replaced
+    * every file holding a view row); `dv_files_ok` pins the vectors. At
+    * 100 TB: updating 0.01 % of rows writes 0.01 % of the bytes.
+    */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq231", Seq("day"))
+    val files1 = graft.sources.Snapshots.files(s, dir).toSet
+    withConfs(s, "spark.graft.rowlevel.mode" -> "mor") {
+      s.sql(s"UPDATE $cat.ev SET n = n * 2 WHERE event_type = 'view'")
+    }
+    val files2 = graft.sources.Snapshots.files(s, dir).toSet
+    val nDv = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir)).size
+    s.sql(s"""
+      |SELECT v1.event_type AS event_type,
+      |       v1.n AS n_v1, coalesce(v2.n, CAST(0 AS BIGINT)) AS n_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+      |      FROM $cat.ev VERSION AS OF 1 GROUP BY event_type) v1
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+      |           FROM $cat.ev GROUP BY event_type) v2
+      |ON v1.event_type = v2.event_type
+      |ORDER BY event_type""".stripMargin)
+      .withColumn("originals_kept", lit(files1.subsetOf(files2)))
+      .withColumn("new_files_ok", lit((files2 -- files1).nonEmpty))
+      .withColumn("dv_files_ok", lit(nDv > 0))
+  }
+
+  val q231Sql: String =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(CASE WHEN event_type = 'view' THEN 2 * count(*) ELSE count(*) END AS BIGINT) AS n_live,
+      |  true AS originals_kept, true AS new_files_ok, true AS dv_files_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q232: merge-on-read SQL MERGE — update + delete + insert, one commit
+
+  /** The full three-clause `MERGE` through the delta path: matched
+    * deletes become vector positions, matched updates become
+    * delete+insert pairs (`representUpdateAsDeleteAndInsert`), not-matched
+    * inserts land in a brand-new partition directory routed by the row's
+    * own day — all in ONE atomic version (`one_commit`), nothing
+    * rewritten (`originals_kept`). This is the nightly CDC-apply shape at
+    * 100 TB: the cost is the matched rows and the new rows, not the
+    * files that hold them.
+    */
+  def q232(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq232", Seq("day"))
+    val files1 = graft.sources.Snapshots.files(s, dir).toSet
+    val v1 = graft.sources.Snapshots.latestVersion(s, dir)
+    val ev = Tables.events(s, d)
+    val src = ev
+      .filter(col("event_type").isin("click", "view"))
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .withColumn("op", when(col("event_type") === "click", lit("del")).otherwise(lit("upd")))
+      .unionByName(s.sql(
+        "SELECT DATE'1999-12-31' AS day, '__synthetic' AS event_type, 'ins' AS op"))
+    src.createOrReplaceTempView(s"${cat}_msrc")
+    withConfs(s, "spark.graft.rowlevel.mode" -> "mor") {
+      s.sql(s"""
+        |MERGE INTO $cat.ev t USING ${cat}_msrc s
+        |ON t.day = s.day AND t.event_type = s.event_type
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n = t.n * 3
+        |WHEN NOT MATCHED THEN INSERT (day, event_type, n, sum_u)
+        |  VALUES (s.day, s.event_type, CAST(7 AS BIGINT), CAST(42 AS BIGINT))""".stripMargin)
+    }
+    val files2 = graft.sources.Snapshots.files(s, dir).toSet
+    val v2 = graft.sources.Snapshots.latestVersion(s, dir)
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("originals_kept", lit(files1.subsetOf(files2)))
+      .withColumn("one_commit", lit(v2 == v1 + 1L))
+  }
+
+  val q232Sql: String =
+    """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY event_type)
+      |SELECT event_type,
+      |  CAST(CASE WHEN event_type = 'view' THEN 3 * n ELSE n END AS BIGINT) AS n_live,
+      |  true AS originals_kept, true AS one_commit
+      |FROM g WHERE event_type <> 'click'
+      |UNION ALL
+      |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q232_mor_sql_merge" -> (q232 _),
+    "q231_mor_sql_update" -> (q231 _),
     "q230_dv_materialize" -> (q230 _),
     "q229_dv_change_feed" -> (q229 _),
     "q228_dv_cow_update" -> (q228 _),
@@ -2311,6 +2410,8 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q232_mor_sql_merge" -> q232Sql,
+    "q231_mor_sql_update" -> q231Sql,
     "q230_dv_materialize" -> q230Sql,
     "q229_dv_change_feed" -> q229Sql,
     "q228_dv_cow_update" -> q228Sql,

@@ -160,7 +160,7 @@ object DeleteVectors {
     * retries safe: only the winning attempt's names are committed,
     * orphans die in vacuum.
     */
-  private def writeSidecars(
+  private[sources] def writeSidecars(
       spark: SparkSession,
       root: String,
       matches: DataFrame,

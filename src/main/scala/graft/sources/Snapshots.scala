@@ -1251,13 +1251,24 @@ object Snapshots {
     * slots mid-flight, which is safe (an append never touches an existing
     * rel's stats) — the slot-claim loop rebases like every other commit.
     */
+  /** `addedRels`: data files the caller already landed under the root to
+    * record in the SAME version (the merge-on-read UPDATE/MERGE shape —
+    * deletes restate pointers, reinserted rows arrive as new files, ONE
+    * atomic commit covers both). Their footer stats and bloom sidecars
+    * follow the table's discipline, computed once across retry attempts.
+    */
   private[sources] def commitRestated(
       spark: SparkSession,
       root: String,
-      restated: Map[String, Map[String, ColStat]]): Long = withTableLock(spark, root) {
-    require(restated.nonEmpty, "commitRestated: nothing to restate")
+      restated: Map[String, Map[String, ColStat]],
+      addedRels: Seq[String] = Seq.empty): Long = withTableLock(spark, root) {
+    require(restated.nonEmpty || addedRels.nonEmpty, "commitRestated: nothing to commit")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val added = addedRels.distinct.sorted
+    val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+    var bloomsBuilt = false
     val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
     var result = -1L
     while (result < 0L) {
@@ -1268,6 +1279,22 @@ object Snapshots {
       require(
         missing.isEmpty,
         s"commitRestated($root): rel(s) not in v$prevV: ${missing.take(3).mkString(", ")}")
+      val dupes = added.filter(prev.rels.toSet)
+      require(
+        dupes.isEmpty,
+        s"commitRestated($root): added rel(s) already in v$prevV: ${dupes.take(3).mkString(", ")}")
+      if (prev.statsCols.nonEmpty) {
+        val missingStats = added.filterNot(newStats.containsKey)
+        parEach(missingStats) { rel =>
+          newStats.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, prev.statsCols))
+        }
+      }
+      if (prev.bloomCols.nonEmpty && added.nonEmpty && !bloomsBuilt) {
+        buildBloomSidecars(spark, root, added, prev.bloomCols)
+        bloomsBuilt = true
+      }
+      def statOf(rel: String): Map[String, ColStat] =
+        Option(newStats.get(rel)).getOrElse(Map.empty)
       val version = prevV + 1L
       val header = renderHeader(
         prev.schema,
@@ -1275,18 +1302,28 @@ object Snapshots {
         prev.bloomCols,
         prev.dropped,
         prev.partCols,
-        partCanon = headerView(spark, root, prevV).flatMap(_.partCanon),
-        nFiles = Some(prev.rels.size.toLong),
+        partCanon = headerView(spark, root, prevV)
+          .flatMap(_.partCanon)
+          .map(pc =>
+            if (added.isEmpty) pc
+            else canonicalPathCols(added, pc, prev.schema)),
+        nFiles = Some((prev.rels.size + added.size).toLong),
         pathCols = Some(
-          if (prev.partCols.nonEmpty) prev.partCols else partitionColsFromRels(prev.rels)))
-      val unsafe = restated.keys.exists(r => r.startsWith("+") || r.startsWith("-"))
+          if (prev.partCols.nonEmpty) prev.partCols
+          else partitionColsFromRels(prev.rels ++ added)))
+      val unsafe =
+        (restated.keys ++ added).exists(r => r.startsWith("+") || r.startsWith("-"))
       val body =
         if (isCheckpointVersion(spark, version) || unsafe)
-          header ++ prev.rels.map(rel =>
-            renderFileLine(rel, restated.getOrElse(rel, prev.stats.getOrElse(rel, Map.empty))))
+          header ++ (prev.rels.map(rel =>
+            rel -> restated.getOrElse(rel, prev.stats.getOrElse(rel, Map.empty))) ++
+            added.map(rel => rel -> statOf(rel)))
+            .sortBy(_._1)
+            .map { case (rel, st) => renderFileLine(rel, st) }
         else
           header ++ Seq(s"#delta $prevV") ++
-            restated.toSeq.sortBy(_._1).map { case (rel, st) => "+" + renderFileLine(rel, st) }
+            (restated.toSeq.sortBy(_._1) ++ added.map(rel => rel -> statOf(rel)))
+              .map { case (rel, st) => "+" + renderFileLine(rel, st) }
       if (tryWriteManifest(fs, rootPath, version, body)) result = version
       else if (System.currentTimeMillis() > deadline)
         sys.error(
@@ -2730,15 +2767,18 @@ object Snapshots {
       rels: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       dv: Map[String, (String, Long)] = Map.empty,
-      fileCol: Option[String] = None): DataFrame = {
+      fileCol: Option[String] = None,
+      posCol: Option[String] = None): DataFrame = {
     val (dvRels, cleanRels) = rels.partition(dv.contains)
     val cleanDf =
       if (cleanRels.isEmpty) None
       else {
-        val df = scanRelsBase(spark, root, cleanRels, schema, withMeta = false)
+        val df0 = scanRelsBase(spark, root, cleanRels, schema, withMeta = false)
         // scan-local provenance: safe, no exchange between scan and projection
-        Some(fileCol.fold(df)(c =>
-          df.withColumn(c, org.apache.spark.sql.functions.input_file_name())))
+        val df1 = fileCol.fold(df0)(c =>
+          df0.withColumn(c, org.apache.spark.sql.functions.input_file_name()))
+        Some(posCol.fold(df1)(c =>
+          df1.withColumn(c, org.apache.spark.sql.functions.col("_metadata.row_index"))))
       }
     val dvDf =
       if (dvRels.isEmpty) None
@@ -2757,7 +2797,8 @@ object Snapshots {
         // input_file_name() above a non-broadcast (shuffling) anti-join
         // evaluates post-exchange and silently yields "" — the metadata
         // value projects through any join shape
-        val base = fileCol.fold(base0)(c => base0.withColumn(c, col("_metadata.file_path")))
+        val base1 = fileCol.fold(base0)(c => base0.withColumn(c, col("_metadata.file_path")))
+        val base = posCol.fold(base1)(c => base1.withColumn(c, col("__graft_dv_pos__")))
         Some(
           base
             .join(

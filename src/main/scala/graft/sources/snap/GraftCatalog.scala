@@ -331,6 +331,14 @@ object SnapTable {
     * reads — the provenance a debugging `SELECT _file, count(*)` wants).
     */
   val FileMetaCol = "_file"
+
+  /** Metadata column: the row's file-row ordinal (`_metadata.row_index`
+    * — the deletion-vector coordinate). `(_file, _pos)` together are the
+    * table's stable row identity: the delta-based row-level operations'
+    * rowId, and the provenance pair a `SELECT _file, _pos` debug query
+    * reads.
+    */
+  val PosMetaCol = "_pos"
 }
 
 class SnapTable(dir: String, version: Long)
@@ -342,12 +350,21 @@ class SnapTable(dir: String, version: Long)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = SnapTable.FileMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "source data file of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = SnapTable.FileMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "source data file of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = SnapTable.PosMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "file-row ordinal of the row (the deletion-vector coordinate)"
+      })
 
   private def spark: SparkSession = SparkSession.active
 
@@ -466,9 +483,10 @@ class SnapTable(dir: String, version: Long)
             s"cannot translate delete predicate $f — canDeleteWhere should have refused it")))
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-    val morConf = spark.conf
-      .getOption("spark.graft.delete.mode")
-      .exists(_.equalsIgnoreCase("mor"))
+    // either MoR switch flips this path too — the pushable DELETE must
+    // not silently rewrite files while UPDATE/MERGE run merge-on-read
+    val morConf = Seq("spark.graft.delete.mode", "spark.graft.rowlevel.mode").exists(k =>
+      spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
     val hasDvAlready = Snapshots.latestVersion(spark, dir) > 0L &&
       Snapshots.manifestView(spark, dir).stats.values.exists(Snapshots.hasDv)
     if (morConf || hasDvAlready) graft.sources.DeleteVectors.deleteWhere(spark, dir, pred)
@@ -1658,6 +1676,8 @@ class SnapRelation(
     // even if the projection doesn't
     val needFile = required.fieldNames.contains(SnapTable.FileMetaCol) ||
       filters.exists(_.references.contains(SnapTable.FileMetaCol))
+    val needPos = required.fieldNames.contains(SnapTable.PosMetaCol) ||
+      filters.exists(_.references.contains(SnapTable.PosMetaCol))
     var df: DataFrame =
       if (keptRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
@@ -1668,11 +1688,14 @@ class SnapRelation(
           keptRels,
           Some(tableSchema),
           dv,
-          fileCol = if (needFile) Some(SnapTable.FileMetaCol) else None)
+          fileCol = if (needFile) Some(SnapTable.FileMetaCol) else None,
+          posCol = if (needPos) Some(SnapTable.PosMetaCol) else None)
     if (needFile && keptRels.isEmpty)
       df = df.withColumn(
         SnapTable.FileMetaCol,
         org.apache.spark.sql.functions.input_file_name())
+    if (needPos && keptRels.isEmpty)
+      df = df.withColumn(SnapTable.PosMetaCol, org.apache.spark.sql.functions.lit(0L))
     filters.flatMap(toColumn).reduceOption(_ && _).foreach(c => df = df.filter(c))
     df = df.select(required.fieldNames.toIndexedSeq.map(n => df(n)): _*)
     df.rdd

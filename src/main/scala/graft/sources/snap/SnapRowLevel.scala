@@ -53,7 +53,19 @@ import graft.sources.Snapshots
   */
 class SnapRowLevelBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: StructType)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation = new SnapRowLevelOperation(dir, view, tableSchema, this)
+  override def build(): RowLevelOperation = {
+    // merge-on-read opt-in: `spark.graft.rowlevel.mode=mor` (or the
+    // delete-mode switch — one conf flips the whole DML surface) plans
+    // Spark's DELTA-BASED operation instead of the group-based rewrite:
+    // deletes become deletion-vector positions, inserts become appended
+    // files, one atomic commit ([[SnapDeltaRowLevelOperation]])
+    val mor = Seq("spark.graft.rowlevel.mode", "spark.graft.delete.mode").exists(k =>
+      org.apache.spark.sql.SparkSession.active.conf
+        .getOption(k)
+        .exists(_.equalsIgnoreCase("mor")))
+    if (mor) new SnapDeltaRowLevelOperation(dir, view, tableSchema, cmd)
+    else new SnapRowLevelOperation(dir, view, tableSchema, this)
+  }
   private[snap] var cmd: RowLevelOperation.Command = _
 }
 

@@ -397,19 +397,22 @@ case class SnapStreamReadFactory(
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val table = DataType.fromJson(tableJson).asInstanceOf[StructType]
     val partByName = in.partVals.toMap
-    // spliced slots: partition columns and _file; everything else reads
-    // from the parquet bytes
-    def spliced(name: String) = partByName.contains(name) || name == SnapTable.FileMetaCol
+    // spliced slots: partition columns, _file, and _pos (the file-row
+    // ordinal — the deletion-vector coordinate, and the second half of
+    // the delta row-level rowId); everything else reads from the bytes
+    def spliced(name: String) =
+      partByName.contains(name) || name == SnapTable.FileMetaCol || name == SnapTable.PosMetaCol
     val dataSchema = StructType(required.fields.filterNot(f => spliced(f.name)))
+    val posRequested = required.fieldNames.contains(SnapTable.PosMetaCol)
     // only data-column predicates reach the file reader: a spliced
     // column's value is constant per file and was decided by file pruning.
-    // A DV'd file additionally DISABLES parquet-level predicate pushdown:
-    // the position skip below counts rows sequentially, which is only the
-    // `row_index` domain when no row group is skipped — Spark re-applies
-    // every residual predicate above this reader, so dropping the
-    // in-file skipping costs I/O, never correctness.
+    // A DV'd file (or a _pos request) additionally DISABLES parquet-level
+    // predicate pushdown: the ordinal counter below equals `row_index`
+    // only when no row group is skipped — Spark re-applies every residual
+    // predicate above this reader, so dropping the in-file skipping costs
+    // I/O, never correctness.
     val pushable =
-      if (in.dvPath.isDefined) Nil
+      if (in.dvPath.isDefined || posRequested) Nil
       else filters.filter(_.references.forall(r => !spliced(r) && !r.contains(".")))
     val rawReader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
       new Path(in.path),
@@ -431,9 +434,11 @@ case class SnapStreamReadFactory(
     // path string to the DECLARED column type (what directory inference
     // would have produced, minus the inference guesswork)
     val out = new Array[Any](required.length)
+    val posIdx = required.fieldNames.indexOf(SnapTable.PosMetaCol)
     val dataIdx = Array.newBuilder[Int]
     required.fields.zipWithIndex.foreach { case (f, i) =>
       if (f.name == SnapTable.FileMetaCol) out(i) = UTF8String.fromString(in.path)
+      else if (f.name == SnapTable.PosMetaCol) () // per-row, filled in get()
       else if (partByName.contains(f.name)) {
         val raw = partByName(f.name)
         out(i) =
@@ -463,6 +468,7 @@ case class SnapStreamReadFactory(
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow = {
         val row = out.clone()
+        if (posIdx >= 0) row(posIdx) = reader.currentOrdinal
         var i = 0
         while (i < dataPositions.length) {
           row(dataPositions(i)) = if (cur.isNullAt(i)) null else cur.get(i, dataTypes(i))
@@ -521,6 +527,11 @@ private[snap] final class SnapDvSkippingReader(
 
   private var ordinal = 0L
   private var cursor = 0
+
+  /** File-row ordinal of the row the LAST `read()` returned — the `_pos`
+    * value of the current row (undefined before the first read).
+    */
+  def currentOrdinal: Long = ordinal - 1L
 
   def read(): InternalRow = {
     while (true) {
