@@ -2773,12 +2773,17 @@ object Snapshots {
     val cleanDf =
       if (cleanRels.isEmpty) None
       else {
-        val df0 = scanRelsBase(spark, root, cleanRels, schema, withMeta = false)
-        // scan-local provenance: safe, no exchange between scan and projection
-        val df1 = fileCol.fold(df0)(c =>
-          df0.withColumn(c, org.apache.spark.sql.functions.input_file_name()))
-        Some(posCol.fold(df1)(c =>
-          df1.withColumn(c, org.apache.spark.sql.functions.col("_metadata.row_index"))))
+        // `_metadata` columns resolve only ON a file scan, not above the
+        // live/archive union (Union propagates no metadata output) — a
+        // _pos request takes the withMeta base, which attaches the
+        // ordinal per scan BEFORE unioning
+        val df0 = scanRelsBase(spark, root, cleanRels, schema, withMeta = posCol.isDefined)
+        val df1 = posCol.fold(df0)(c =>
+          df0.withColumnRenamed("__graft_dv_pos__", c).drop("__graft_dv_rel__"))
+        // scan-local provenance: input_file_name() evaluates per task on
+        // the scan side of any later operator — safe above the union
+        Some(fileCol.fold(df1)(c =>
+          df1.withColumn(c, org.apache.spark.sql.functions.input_file_name())))
       }
     val dvDf =
       if (dvRels.isEmpty) None

@@ -339,6 +339,16 @@ object SnapTable {
     * reads.
     */
   val PosMetaCol = "_pos"
+
+  /** THE merge-on-read switch, one predicate for the whole DML surface:
+    * either conf flips SQL DELETE (the pushable SupportsDelete path) AND
+    * UPDATE/MERGE/un-pushable DELETE (the delta-based row-level path) to
+    * MoR together — a split surface (deletes rewriting files while
+    * updates write vectors) would be incoherent.
+    */
+  def morEnabled(spark: SparkSession): Boolean =
+    Seq("spark.graft.rowlevel.mode", "spark.graft.delete.mode").exists(k =>
+      spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
 }
 
 class SnapTable(dir: String, version: Long)
@@ -485,8 +495,7 @@ class SnapTable(dir: String, version: Long)
       .getOrElse(lit(true))
     // either MoR switch flips this path too — the pushable DELETE must
     // not silently rewrite files while UPDATE/MERGE run merge-on-read
-    val morConf = Seq("spark.graft.delete.mode", "spark.graft.rowlevel.mode").exists(k =>
-      spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
+    val morConf = SnapTable.morEnabled(spark)
     val hasDvAlready = Snapshots.latestVersion(spark, dir) > 0L &&
       Snapshots.manifestView(spark, dir).stats.values.exists(Snapshots.hasDv)
     if (morConf || hasDvAlready) graft.sources.DeleteVectors.deleteWhere(spark, dir, pred)

@@ -98,21 +98,11 @@ class SnapDeltaRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
-        val partCols =
-          if (view.partCols.nonEmpty) view.partCols
-          else Snapshots.partitionColsFromRels(view.rels)
         // the insert side routes rows by their own partition values —
-        // same coherence requirements as the group-based writer
-        if (partCols.nonEmpty) {
-          val incoherent = view.rels.filterNot { r =>
-            val segs = SnapFilters.partSegments(r)
-            partCols.forall(segs.contains)
-          }
-          if (incoherent.nonEmpty)
-            throw new UnsupportedOperationException(
-              s"merge-on-read $cmd on $dir: ${incoherent.size} file(s) lack the " +
-                s"[${partCols.mkString(", ")}] hive layout — compact to one layout first")
-        }
+        // SAME validation as the group-based writer (layout coherence
+        // AND path-renderable partition types)
+        val partCols =
+          SnapRowLevelWriteChecks.validatedPartCols(dir, view, tableSchema, cmd)
         new DeltaWrite {
           override def description(): String = s"GraftSnapDeltaWrite $dir"
           override def toBatch: DeltaBatchWrite =
@@ -178,18 +168,29 @@ class SnapDeltaBatchWrite(
       val results = messages.toSeq.collect { case r: SnapDeltaTaskResult => r }
       val insertStagePath = new Path(rootPath, insertStage)
       val dvStagePath = new Path(rootPath, dvStage)
+      val addedRels = results.flatMap(_.insertedRels).sorted
+      var landed = List.empty[Path]
       try {
-        // 1. land the inserted files (new rels under their hive dirs)
-        val addedRels = results.flatMap(_.insertedRels).sorted
+        // 1. land the inserted files (new rels under their hive dirs) —
+        //    footer stats are read at their final paths, so landing must
+        //    precede the manifest write; a commit failure rolls them back
+        //    below (an orphan left in a LIVE dir would be silently
+        //    ADOPTED by the next listing-based commit as phantom rows)
         addedRels.foreach { rel =>
           val to = new Path(rootPath, rel)
           fs.mkdirs(to.getParent)
           if (!fs.rename(new Path(insertStagePath, rel), to))
             sys.error(s"merge-on-read insert landing failed: $rel")
+          landed ::= to
         }
-        // 2. fold the DV fragments (all tasks, all files) with any
-        //    existing sidecars into one new sidecar per touched file —
-        //    the same distributed sorted-merge the MoR DELETE uses
+        // 2. fold the DV fragments with any existing sidecars into one
+        //    new sidecar per touched file — the same distributed
+        //    sorted-merge the MoR DELETE uses. ONLY the fragment files
+        //    the committed task messages name are read: a dead task
+        //    attempt's orphan fragment in the stage dir could cover a rel
+        //    no message lists, and merging it WITHOUT that rel's old
+        //    sidecar would shrink the vector — resurrecting deleted rows.
+        val fragPaths = results.flatMap(_.fragments.map(f => new Path(dvStagePath, f._2).toString))
         val touched = results.flatMap(_.fragments.map(_._1)).distinct
         val restated: Map[String, Map[String, Snapshots.ColStat]] =
           if (touched.isEmpty) Map.empty
@@ -199,7 +200,7 @@ class SnapDeltaBatchWrite(
               Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map(d => rel -> d._1)
             }.toMap
             val fragments = spark.read
-              .parquet(dvStagePath.toString)
+              .parquet(fragPaths: _*)
               .select(
                 org.apache.spark.sql.functions.col("rel"),
                 org.apache.spark.sql.functions.col("pos"))
@@ -218,6 +219,13 @@ class SnapDeltaBatchWrite(
         //    the insert atomically or not at all
         if (restated.nonEmpty || addedRels.nonEmpty)
           Snapshots.commitRestated(spark, dir, restated, addedRels)
+      } catch {
+        case t: Throwable =>
+          // roll the landed files back out of the live tree (no manifest
+          // references them — the commit did not happen); best-effort,
+          // the statement is failing with `t` either way
+          landed.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+          throw t
       } finally {
         fs.delete(insertStagePath, true)
         fs.delete(dvStagePath, true)

@@ -54,19 +54,68 @@ import graft.sources.Snapshots
 class SnapRowLevelBuilder(dir: String, view: Snapshots.ManifestView, tableSchema: StructType)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = {
-    // merge-on-read opt-in: `spark.graft.rowlevel.mode=mor` (or the
-    // delete-mode switch — one conf flips the whole DML surface) plans
-    // Spark's DELTA-BASED operation instead of the group-based rewrite:
-    // deletes become deletion-vector positions, inserts become appended
-    // files, one atomic commit ([[SnapDeltaRowLevelOperation]])
-    val mor = Seq("spark.graft.rowlevel.mode", "spark.graft.delete.mode").exists(k =>
-      org.apache.spark.sql.SparkSession.active.conf
-        .getOption(k)
-        .exists(_.equalsIgnoreCase("mor")))
-    if (mor) new SnapDeltaRowLevelOperation(dir, view, tableSchema, cmd)
+    // merge-on-read opt-in: [[SnapTable.morEnabled]] (one predicate for
+    // the whole DML surface) plans Spark's DELTA-BASED operation instead
+    // of the group-based rewrite: deletes become deletion-vector
+    // positions, inserts become appended files, one atomic commit
+    // ([[SnapDeltaRowLevelOperation]])
+    if (SnapTable.morEnabled(org.apache.spark.sql.SparkSession.active))
+      new SnapDeltaRowLevelOperation(dir, view, tableSchema, cmd)
     else new SnapRowLevelOperation(dir, view, tableSchema, this)
   }
   private[snap] var cmd: RowLevelOperation.Command = _
+}
+
+private[snap] object SnapRowLevelWriteChecks {
+
+  /** Shared write-build validation for BOTH row-level paths (group-based
+    * rewrite and delta-based merge-on-read): a hive-partitioned table
+    * must have a coherent layout (every file carries every partition
+    * segment) and path-renderable partition types — the writers route
+    * replacement/inserted rows to directories by the rows' OWN values,
+    * and a non-renderable type would silently corrupt directory names.
+    * Returns the effective partition columns.
+    */
+  def validatedPartCols(
+      dir: String,
+      view: Snapshots.ManifestView,
+      tableSchema: StructType,
+      cmd: RowLevelOperation.Command): Seq[String] = {
+    val partCols =
+      if (view.partCols.nonEmpty) view.partCols
+      else Snapshots.partitionColsFromRels(view.rels)
+    if (partCols.nonEmpty) {
+      val incoherent = view.rels.filterNot { r =>
+        val segs = SnapFilters.partSegments(r)
+        partCols.forall(segs.contains)
+      }
+      if (incoherent.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"row-level $cmd on $dir: ${incoherent.size} file(s) lack the " +
+            s"[${partCols.mkString(", ")}] hive layout — a mixed layout cannot be " +
+            "rewritten partition-aware; compact the table to one layout first")
+      partCols.foreach { c =>
+        val t = tableSchema.fields
+          .find(_.name == c)
+          .map(_.dataType)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"partition column '$c' is not in the table schema"))
+        t match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.BooleanType =>
+            ()
+          case other =>
+            throw new UnsupportedOperationException(
+              s"row-level $cmd on $dir: partition column '$c' of type " +
+                s"${other.simpleString} has no canonical path rendering — use the " +
+                "programmatic per-partition rewrites instead")
+        }
+      }
+    }
+    partCols
+  }
 }
 
 object SnapRowLevelBuilder {
@@ -153,38 +202,7 @@ class SnapRowLevelOperation(
       // lands it in its NEW directory. Requires a coherent layout and
       // path-renderable partition types; anything else refuses loudly.
       val partCols =
-        if (view.partCols.nonEmpty) view.partCols
-        else Snapshots.partitionColsFromRels(view.rels)
-      if (partCols.nonEmpty) {
-        val incoherent = view.rels.filterNot { r =>
-          val segs = SnapFilters.partSegments(r)
-          partCols.forall(segs.contains)
-        }
-        if (incoherent.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"row-level ${command()} on $dir: ${incoherent.size} file(s) lack the " +
-              s"[${partCols.mkString(", ")}] hive layout — a mixed layout cannot be " +
-              "rewritten partition-aware; compact the table to one layout first")
-        partCols.foreach { c =>
-          val t = tableSchema.fields
-            .find(_.name == c)
-            .map(_.dataType)
-            .getOrElse(throw new UnsupportedOperationException(
-              s"partition column '$c' is not in the table schema"))
-          t match {
-            case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-                org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-                org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
-                org.apache.spark.sql.types.BooleanType =>
-              ()
-            case other =>
-              throw new UnsupportedOperationException(
-                s"row-level ${command()} on $dir: partition column '$c' of type " +
-                  s"${other.simpleString} has no canonical path rendering — use the " +
-                  "programmatic per-partition rewrites instead")
-          }
-        }
-      }
+        SnapRowLevelWriteChecks.validatedPartCols(dir, view, tableSchema, command())
       new Write {
         override def description(): String = s"GraftSnapReplaceData $dir files=${scannedRels.size}"
         override def toBatch: BatchWrite =

@@ -140,6 +140,40 @@ class SnapDeltaRowLevelSpec extends SparkSpec {
     assert(changes == Set((3L, 20.0, "delete"), (3L, 111.0, "insert")), changes.toString)
   }
 
+  test("_pos resolves over a MIXED live/archived pinned read (metadata attaches per scan)") {
+    val (_, dir) = fixture("mord8")
+    // COW update archives day=2024-01-01's file; v1 now reads a mix of
+    // archived (that file) and live (the untouched days) — _pos must
+    // still resolve (Union propagates no metadata output, so the ordinal
+    // has to attach below the union)
+    spark.sql("UPDATE mord8.ev SET v = 0.0 WHERE id = 1")
+    val pinned = spark
+      .sql("SELECT id, _pos FROM mord8.ev VERSION AS OF 1 ORDER BY id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(pinned == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L)), pinned.toString)
+  }
+
+  test("MoR write-build refuses a partition type with no canonical path rendering") {
+    val base = Files.createTempDirectory("morbadpart").toString
+    val dir = s"$base/t"
+    Sources.writeParquet(
+      Seq((1L, 0.5, 10.0), (2L, 1.5, 20.0)).toDF("id", "bucket", "v").repartition(1),
+      dir,
+      partitionCols = Seq("bucket"))
+    Snapshots.commit(spark, dir, Seq("id"))
+    spark.conf.set(s"spark.sql.catalog.morbad", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.morbad.root", base)
+    val e = intercept[Exception](
+      withMor(spark.sql("UPDATE morbad.t SET v = 0.0 WHERE id = 1")))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(
+      messages(e).exists(_.contains("no canonical path rendering")),
+      s"expected the loud type refusal, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("copy-on-write remains the default: no conf, UPDATE rewrites and leaves no vectors") {
     val (_, dir) = fixture("mord7")
     spark.sql("UPDATE mord7.ev SET v = v + 1.0 WHERE id = 1")
