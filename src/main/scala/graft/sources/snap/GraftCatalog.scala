@@ -164,6 +164,7 @@ class GraftCatalog
       case "snapshots" => Some(new SnapMetaTable(tableDir, version, "snapshots"))
       case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
       case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
+      case "dvs" => Some(new SnapMetaTable(tableDir, version, "dvs"))
       case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }
@@ -534,6 +535,16 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("n_files", LongType, nullable = false),
         StructField("n_rows", LongType, nullable = true),
         StructField("n_bytes", LongType, nullable = true)))
+    case "dvs" =>
+      // per-file deletion-vector state of the pinned version: the MoR-era
+      // observability panel (how much is deleted where; what
+      // dv_materialize would fold) — manifest-only, zero data I/O
+      StructType(Seq(
+        StructField("rel", StringType, nullable = false),
+        StructField("sidecar", StringType, nullable = false),
+        StructField("n_deleted", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true),
+        StructField("fully_deleted", BooleanType, nullable = false)))
     case _ =>
       StructType(Seq(
         StructField("rel", StringType, nullable = false),
@@ -615,6 +626,20 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
               if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
             Row(part, rels.size.toLong, nRows, nBytes)
           }
+      case "dvs" =>
+        val mv = Snapshots.manifestView(spark, dir, version)
+        mv.rels.flatMap { rel =>
+          val st = mv.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+          Snapshots.dvOf(st).map { case (sidecar, n) =>
+            val rows = st.get(Snapshots.RowCountKey).map(_.min.toLong)
+            Row(
+              rel,
+              sidecar,
+              n,
+              rows.map(_.asInstanceOf[Any]).orNull,
+              rows.contains(n))
+          }
+        }
       case _ =>
         val mv = Snapshots.manifestView(spark, dir, version)
         val rootPath = new Path(dir)

@@ -367,6 +367,26 @@ class DeleteVectorsSpec extends SparkSpec {
     intercept[Throwable](DeleteVectors.deleteWhere(spark, dir, $"v" > 100.0))
   }
 
+  test("cat.t.dvs metadata table reports per-file vector state, manifest-only") {
+    val (_, dir) = catalogTable("dvmeta")
+    DeleteVectors.deleteWhere(spark, dir, $"id" <= 2L) // both rows of day=01's file
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 3L) // one of day=02's
+    val rows = spark
+      .sql("SELECT rel, n_deleted, n_rows, fully_deleted FROM dvmeta.ev.dvs ORDER BY rel")
+      .collect()
+      .map(r => (r.getString(0).split("/").head, r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(
+      rows == Seq(("day=2024-01-01", 2L, 2L, true), ("day=2024-01-02", 1L, 1L, true)),
+      rows.toString)
+    // a version pin shows the DV state AS OF that version
+    assert(spark.sql("SELECT * FROM dvmeta.ev.dvs VERSION AS OF 2").count() == 1L)
+    assert(spark.sql("SELECT * FROM dvmeta.ev.dvs VERSION AS OF 1").count() == 0L)
+    // after materialize the table is empty again
+    DeleteVectors.materialize(spark, dir)
+    assert(spark.sql("SELECT * FROM dvmeta.ev.dvs").count() == 0L)
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
