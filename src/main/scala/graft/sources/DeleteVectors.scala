@@ -55,6 +55,25 @@ object DeleteVectors {
   private val sidecarSchema = StructType(
     Seq(StructField("rel", StringType, nullable = false), StructField("pos", LongType, nullable = false)))
 
+  /** Bounded merge-on-read: when a delete pushes a file's deleted
+    * fraction STRICTLY above `spark.graft.dv.maxDeletedFraction`
+    * (default 0.9) — and survivors remain — the file is REWRITTEN in the
+    * same commit instead of pointed at. Unbounded vector growth is the
+    * known MoR failure mode (every read of a 95 %-deleted file decodes
+    * 20× the surviving rows); the threshold caps read amplification at
+    * `1/(1−threshold)` while keeping the common small-delete case
+    * rewrite-free. Provably-empty files stay as pointers (they cost
+    * nothing: every plan prunes them). Set the conf to 1.0 to never
+    * auto-rewrite, lower it for read-heavy tables.
+    */
+  val DefaultMaxDeletedFraction = 0.9
+
+  private def maxDeletedFraction(spark: SparkSession): Double =
+    spark.conf
+      .getOption("spark.graft.dv.maxDeletedFraction")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(DefaultMaxDeletedFraction)
+
   /** Merge-on-read DELETE: record the positions of rows matching
     * `predicate` as deletion vectors and commit the pointer update — no
     * data file is rewritten. Returns (files touched, rows newly deleted).
@@ -146,9 +165,68 @@ object DeleteVectors {
           }
       }.toMap
       if (changed.isEmpty) return (0L, 0L)
-      Snapshots.commitRestated(spark, root, changed)
+      // bounded MoR: files whose deleted fraction crossed the threshold
+      // (with survivors) rewrite NOW, in the same commit — pointer
+      // updates, removals and replacements land as one atomic version
+      val threshold = maxDeletedFraction(spark)
+      val (rewriteNow, pointerUpdates) = changed.partition { case (_, st) =>
+        val rows = st.get(Snapshots.RowCountKey).map(_.min.toLong)
+        val cnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+        rows.exists(r => cnt < r && cnt.toDouble > threshold * r.toDouble)
+      }
+      val replaced = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      Snapshots.parEach(rewriteNow.toSeq) { case (rel, st) =>
+        val (dvRel, _) = Snapshots.dvOf(st).get
+        replaced.add(rel -> rewriteSansPositions(spark, root, rel, dvRel))
+      }
+      import scala.jdk.CollectionConverters._
+      val pairs = replaced.asScala.toSeq
+      Snapshots.commitRestated(
+        spark,
+        root,
+        pointerUpdates,
+        addedRels = pairs.map(_._2),
+        removedRels = pairs.map(_._1))
       (changed.size.toLong, newlyDeleted)
     }
+
+  /** Rewrite one data file WITHOUT its sidecar's positions: replacement
+    * lands in the same directory under a fresh name, the original
+    * archives (pinned manifests keep resolving). Returns the replacement
+    * rel. Shared by [[materialize]] and the threshold rewrite.
+    */
+  private def rewriteSansPositions(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      dvRel: String): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(rootPath, rel)
+    require(fs.exists(live), s"rewrite: $rel is not live under $root")
+    val positions = spark.read.parquet(new Path(rootPath, dvRel).toString).select(col("pos"))
+    // the file's OWN physical schema (no enforced table schema, no
+    // partition splice) — this rewrites bytes in place
+    val data = spark.read
+      .parquet(live.toString)
+      .withColumn("__graft_dv_pos__", col("_metadata.row_index"))
+    val keep = data
+      .join(broadcast(positions), data("__graft_dv_pos__") === positions("pos"), "left_anti")
+      .drop("__graft_dv_pos__")
+    val tmpDir = new Path(live.getParent, s".dv-materialize-${live.getName}")
+    keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir.toString)
+    val part = fs
+      .listStatus(tmpDir)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"rewrite of $rel produced no part file"))
+    Snapshots.archiveFile(fs, rootPath, live)
+    if (!fs.rename(part, new Path(live.getParent, part.getName)))
+      throw new IllegalStateException(s"rewrite of $rel failed to land $part")
+    fs.delete(tmpDir, true)
+    val cut = rel.lastIndexOf('/')
+    if (cut < 0) part.getName else rel.substring(0, cut + 1) + part.getName
+  }
 
   /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,
     * one partition stream per hash bucket, each task writing one sidecar
@@ -259,38 +337,13 @@ object DeleteVectors {
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       Snapshots.parEach(dvd.toSeq) { case (rel, (dvRel, _)) =>
-        val live = new Path(rootPath, rel)
-        require(fs.exists(live), s"materialize: $rel is not live under $root")
         val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
         if (Snapshots.fullyDeleted(st)) {
           // every recorded row is deleted: nothing survives — archive only
+          val live = new Path(rootPath, rel)
+          require(fs.exists(live), s"materialize: $rel is not live under $root")
           Snapshots.archiveFile(fs, rootPath, live)
-        } else {
-          val positions = spark.read
-            .parquet(new Path(rootPath, dvRel).toString)
-            .select(col("pos"))
-          // the file's OWN physical schema (no enforced table schema, no
-          // partition splice) — a materialization rewrites bytes in place
-          val data = spark.read
-            .parquet(live.toString)
-            .withColumn("__graft_dv_pos__", col("_metadata.row_index"))
-          val keep = data
-            .join(broadcast(positions), data("__graft_dv_pos__") === positions("pos"), "left_anti")
-            .drop("__graft_dv_pos__")
-          val tmpDir = new Path(live.getParent, s".dv-materialize-${live.getName}")
-          keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir.toString)
-          val part = fs
-            .listStatus(tmpDir)
-            .map(_.getPath)
-            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"materialize of $rel produced no part file"))
-          // archive the original, land the rewrite under the part job's
-          // own generated name (rel paths are never reused)
-          Snapshots.archiveFile(fs, rootPath, live)
-          if (!fs.rename(part, new Path(live.getParent, part.getName)))
-            throw new IllegalStateException(s"materialize of $rel failed to land $part")
-          fs.delete(tmpDir, true)
-        }
+        } else rewriteSansPositions(spark, root, rel, dvRel)
       }
       Snapshots.commit(spark, root) // rewritten files get fresh stats; pointers die with the rels
       (dvd.size.toLong, dvd.values.map(_._2).sum)

@@ -1256,17 +1256,30 @@ object Snapshots {
     * deletes restate pointers, reinserted rows arrive as new files, ONE
     * atomic commit covers both). Their footer stats and bloom sidecars
     * follow the table's discipline, computed once across retry attempts.
+    * `removedRels`: rels the caller already ARCHIVED to drop from the
+    * manifest (the bounded-MoR rewrite: a file whose deleted fraction
+    * crossed the threshold is replaced instead of pointed at).
     */
   private[sources] def commitRestated(
       spark: SparkSession,
       root: String,
       restated: Map[String, Map[String, ColStat]],
-      addedRels: Seq[String] = Seq.empty): Long = withTableLock(spark, root) {
-    require(restated.nonEmpty || addedRels.nonEmpty, "commitRestated: nothing to commit")
+      addedRels: Seq[String] = Seq.empty,
+      removedRels: Seq[String] = Seq.empty): Long = withTableLock(spark, root) {
+    require(
+      restated.nonEmpty || addedRels.nonEmpty || removedRels.nonEmpty,
+      "commitRestated: nothing to commit")
+    require(
+      removedRels.toSet.intersect(restated.keySet).isEmpty,
+      "commitRestated: a rel cannot be both restated and removed")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val added = addedRels.distinct.sorted
+    val removed = removedRels.distinct.sorted
+    require(
+      removed.toSet.intersect(added.toSet).isEmpty,
+      "commitRestated: a rel cannot be both added and removed")
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
     val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
@@ -1275,7 +1288,7 @@ object Snapshots {
       val prevV = latestVersion(spark, root)
       require(prevV > 0L, s"commitRestated($root): no manifest committed yet")
       val prev = manifestView(spark, root, prevV)
-      val missing = restated.keys.filterNot(prev.rels.toSet)
+      val missing = (restated.keys ++ removed).filterNot(prev.rels.toSet)
       require(
         missing.isEmpty,
         s"commitRestated($root): rel(s) not in v$prevV: ${missing.take(3).mkString(", ")}")
@@ -1296,6 +1309,7 @@ object Snapshots {
       def statOf(rel: String): Map[String, ColStat] =
         Option(newStats.get(rel)).getOrElse(Map.empty)
       val version = prevV + 1L
+      val removedSet = removed.toSet
       val header = renderHeader(
         prev.schema,
         prev.statsCols,
@@ -1307,21 +1321,21 @@ object Snapshots {
           .map(pc =>
             if (added.isEmpty) pc
             else canonicalPathCols(added, pc, prev.schema)),
-        nFiles = Some((prev.rels.size + added.size).toLong),
+        nFiles = Some((prev.rels.size - removed.size + added.size).toLong),
         pathCols = Some(
           if (prev.partCols.nonEmpty) prev.partCols
-          else partitionColsFromRels(prev.rels ++ added)))
+          else partitionColsFromRels(prev.rels.filterNot(removedSet) ++ added)))
       val unsafe =
-        (restated.keys ++ added).exists(r => r.startsWith("+") || r.startsWith("-"))
+        (restated.keys ++ added ++ removed).exists(r => r.startsWith("+") || r.startsWith("-"))
       val body =
         if (isCheckpointVersion(spark, version) || unsafe)
-          header ++ (prev.rels.map(rel =>
+          header ++ (prev.rels.filterNot(removedSet).map(rel =>
             rel -> restated.getOrElse(rel, prev.stats.getOrElse(rel, Map.empty))) ++
             added.map(rel => rel -> statOf(rel)))
             .sortBy(_._1)
             .map { case (rel, st) => renderFileLine(rel, st) }
         else
-          header ++ Seq(s"#delta $prevV") ++
+          header ++ Seq(s"#delta $prevV") ++ removed.map("-" + _) ++
             (restated.toSeq.sortBy(_._1) ++ added.map(rel => rel -> statOf(rel)))
               .map { case (rel, st) => "+" + renderFileLine(rel, st) }
       if (tryWriteManifest(fs, rootPath, version, body)) result = version

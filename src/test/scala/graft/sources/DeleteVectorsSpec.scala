@@ -387,6 +387,76 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM dvmeta.ev.dvs").count() == 0L)
   }
 
+  test("a lock-free append racing the DV commit: both land, neither is lost") {
+    val dir = Files.createTempDirectory("dv_race").toString + "/t"
+    table(dir)
+    // claim the DV commit's version slot out from under it ONCE: the
+    // restated commit must rebase onto the appender's version and retry
+    // (the appender's file untouched, the pointers landing on top)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extraRel = "day=2024-01-09/part-race-append.parquet"
+    val extra = Seq((9L, 90.0)).toDF("id", "v")
+    val tmp = Files.createTempDirectory("dv_race_extra").toString + "/out"
+    extra.repartition(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "day=2024-01-09"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, extraRel))
+    val appended = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val racer = new Thread(() => {
+      // wait until the delete's match scan is plausibly underway, then
+      // take the next slot lock-free
+      Thread.sleep(300)
+      appended.set(Snapshots.commitAppend(spark, dir, Seq(extraRel)))
+    })
+    racer.start()
+    val (files, rows) = DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    racer.join(30000)
+    assert(files == 1L && rows == 1L)
+    val latest = Snapshots.manifestView(spark, dir)
+    assert(latest.rels.contains(extraRel), "the racer's append must survive the DV commit")
+    assert(Snapshots.dvByRel(latest).size == 1, "the DV pointer must survive the append")
+    val ids = Snapshots.readSnapshot(spark, dir).select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 9L), ids.toString)
+  }
+
+  test("bounded MoR: crossing the deleted-fraction threshold rewrites the file in the same commit") {
+    val (_, dir) = catalogTable("dvbound")
+    spark.conf.set("spark.graft.dv.maxDeletedFraction", "0.4")
+    try {
+      // day=01's file holds ids 1,2 — deleting one is a 0.5 fraction,
+      // strictly above the 0.4 threshold with a survivor: the file must
+      // REWRITE (no pointer), atomically with the commit
+      val v1 = Snapshots.latestVersion(spark, dir)
+      val day01Before = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-01/"))
+      val (files, rows) = DeleteVectors.deleteWhere(spark, dir, $"id" === 1L)
+      assert(files == 1L && rows == 1L)
+      assert(Snapshots.latestVersion(spark, dir) == v1 + 1L, "one atomic version")
+      val view = Snapshots.manifestView(spark, dir)
+      assert(Snapshots.dvByRel(view).isEmpty, "above-threshold file must not keep a pointer")
+      val day01After = view.rels.filter(_.startsWith("day=2024-01-01/"))
+      assert(day01After.size == 1 && day01After != day01Before, "replacement under a fresh name")
+      assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(2L, 3L, 4L))
+      assert(rowSet(Snapshots.readSnapshot(spark, dir, v1)).size == 4, "pre-delete version pins")
+      // CDC nets exactly the deleted row across the rewrite
+      val ch = spark.read
+        .option("startingVersion", v1 + 1L)
+        .table("dvbound.ev.changes")
+        .select($"id", $"_change_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .toSeq
+      assert(ch == Seq((1L, "delete")), ch.toString)
+      // BELOW the threshold (or provably empty) files still take pointers:
+      // deleting day=02's only row is a 1.0 fraction but zero survivors
+      DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-02")
+      assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 1)
+    } finally spark.conf.unset("spark.graft.dv.maxDeletedFraction")
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
