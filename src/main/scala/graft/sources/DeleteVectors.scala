@@ -69,10 +69,18 @@ object DeleteVectors {
   val DefaultMaxDeletedFraction = 0.9
 
   private def maxDeletedFraction(spark: SparkSession): Double =
-    spark.conf
-      .getOption("spark.graft.dv.maxDeletedFraction")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .getOrElse(DefaultMaxDeletedFraction)
+    spark.conf.getOption("spark.graft.dv.maxDeletedFraction") match {
+      case None => DefaultMaxDeletedFraction
+      case Some(s) =>
+        // refuse loudly: a silently-swallowed typo would re-enable (or a
+        // NaN would silently disable) auto-rewrites
+        val t = scala.util.Try(s.toDouble).getOrElse(sys.error(
+          s"spark.graft.dv.maxDeletedFraction must be a number in [0, 1], got '$s'"))
+        require(
+          !t.isNaN && t >= 0.0 && t <= 1.0,
+          s"spark.graft.dv.maxDeletedFraction must be in [0, 1], got '$s'")
+        t
+    }
 
   /** Merge-on-read DELETE: record the positions of rows matching
     * `predicate` as deletion vectors and commit the pointer update — no
@@ -143,63 +151,128 @@ object DeleteVectors {
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
       val written = writeSidecars(spark, root, matches, oldDvByRel, commitTag)
       if (written.isEmpty) return (0L, 0L)
+      boundedCommit(spark, root, view, written)
+    }
 
-      // a file whose new position set equals its old one must NOT be
-      // restated (COUNT equality is set equality here — the new set is a
-      // superset of the old by construction). The sidecar name always
-      // carries a fresh tag, so comparing pointers-with-paths would make
-      // every re-match look changed, committing spurious versions that
-      // read as change commits downstream (stream refusals, readAddedSince
-      // errors). Same-count sidecars become orphans; vacuum reaps them.
-      var newlyDeleted = 0L
-      val changed: Map[String, Map[String, ColStat]] = written.flatMap {
-        case (rel, dvRel, cnt) =>
-          val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
-          val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-          if (cnt == oldCnt) None
-          else {
-            newlyDeleted += cnt - oldCnt
-            Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
-              Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
-              Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
-          }
-      }.toMap
-      if (changed.isEmpty) return (0L, 0L)
-      // bounded MoR: files whose deleted fraction crossed the threshold
-      // (with survivors) rewrite NOW, in the same commit — pointer
-      // updates, removals and replacements land as one atomic version
-      val threshold = maxDeletedFraction(spark)
-      val (rewriteNow, pointerUpdates) = changed.partition { case (_, st) =>
-        val rows = st.get(Snapshots.RowCountKey).map(_.min.toLong)
-        val cnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-        rows.exists(r => cnt < r && cnt.toDouble > threshold * r.toDouble)
+  /** Apply a batch of freshly-written sidecar results as ONE commit,
+    * under the bounded-MoR policy — the shared back half of the MoR
+    * DELETE and the delta-based UPDATE/MERGE write:
+    *
+    *  - a file whose new position set equals its old one is NOT restated
+    *    (count equality IS set equality — the merged set is a superset of
+    *    the old; the fresh sidecar becomes an orphan vacuum reaps) — a
+    *    spurious restate would read as a change commit downstream;
+    *  - files whose deleted fraction crossed
+    *    `spark.graft.dv.maxDeletedFraction` (with survivors) REWRITE in
+    *    the same commit instead of pointing: replacements stage first
+    *    (no live-tree mutation), then archive+land+commit runs with a
+    *    rollback — a failed commit restores the originals and removes the
+    *    landed replacements, so a failed statement stays a clean no-op
+    *    that no later listing-based commit can half-adopt;
+    *  - map-typed tables never auto-rewrite: the change feed's multiset
+    *    cancellation cannot byte-key map values across a rewrite, and DV
+    *    pointer updates are the feed's map-safe representation.
+    *
+    * `addedRels`: files the caller already landed (the delta DML's
+    * inserts) to record in the same version. Returns (files with changed
+    * pointers or rewrites, newly deleted rows).
+    */
+  private[sources] def boundedCommit(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      written: Seq[(String, String, Long)],
+      addedRels: Seq[String] = Seq.empty): (Long, Long) = {
+    var newlyDeleted = 0L
+    val changed: Map[String, Map[String, ColStat]] = written.flatMap {
+      case (rel, dvRel, cnt) =>
+        val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+        val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+        if (cnt == oldCnt) None
+        else {
+          newlyDeleted += cnt - oldCnt
+          Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
+            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
+            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
+        }
+    }.toMap
+    if (changed.isEmpty && addedRels.isEmpty) return (0L, 0L)
+    val mapTyped =
+      view.schema.exists(s => s.fields.exists(f => Snapshots.containsMapType(f.dataType)))
+    val threshold = maxDeletedFraction(spark)
+    val (rewriteNow, pointerUpdates) =
+      if (mapTyped) (Map.empty[String, Map[String, ColStat]], changed)
+      else
+        changed.partition { case (_, st) =>
+          val rows = st.get(Snapshots.RowCountKey).map(_.min.toLong)
+          val cnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+          rows.exists(r => cnt < r && cnt.toDouble > threshold * r.toDouble)
+        }
+    if (rewriteNow.isEmpty) {
+      Snapshots.commitRestated(spark, root, pointerUpdates, addedRels)
+      return (changed.size.toLong, newlyDeleted)
+    }
+    // phase A — stage every replacement with NO live-tree mutation
+    val staged = new java.util.concurrent.ConcurrentLinkedQueue[(String, Path, String)]()
+    Snapshots.parEach(rewriteNow.toSeq) { case (rel, st) =>
+      val (dvRel, _) = Snapshots.dvOf(st).get
+      staged.add(stageRewrite(spark, root, rel, dvRel))
+    }
+    import scala.jdk.CollectionConverters._
+    val stagedSeq = staged.asScala.toSeq
+    // phase B — archive originals, land replacements, ONE commit; any
+    // failure rolls the live tree back to exactly the pre-statement state
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var landed = List.empty[Path]
+    var archived = List.empty[String]
+    try {
+      stagedSeq.foreach { case (rel, part, newRel) =>
+        Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel))
+        archived ::= rel
+        val to = new Path(rootPath, newRel)
+        if (!fs.rename(part, to)) sys.error(s"bounded rewrite failed to land $newRel")
+        landed ::= to
       }
-      val replaced = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
-      Snapshots.parEach(rewriteNow.toSeq) { case (rel, st) =>
-        val (dvRel, _) = Snapshots.dvOf(st).get
-        replaced.add(rel -> rewriteSansPositions(spark, root, rel, dvRel))
-      }
-      import scala.jdk.CollectionConverters._
-      val pairs = replaced.asScala.toSeq
       Snapshots.commitRestated(
         spark,
         root,
         pointerUpdates,
-        addedRels = pairs.map(_._2),
-        removedRels = pairs.map(_._1))
-      (changed.size.toLong, newlyDeleted)
+        addedRels = addedRels ++ stagedSeq.map(_._3),
+        removedRels = stagedSeq.map(_._1))
+    } catch {
+      case t: Throwable =>
+        landed.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        // restore by COPY from the archive (never rename back out: the
+        // archived bytes may also serve OLDER pinned manifests)
+        archived.foreach { rel =>
+          try {
+            val live = new Path(rootPath, rel)
+            val arch = new Path(new Path(rootPath, Snapshots.ArchiveDirName), rel)
+            if (!fs.exists(live) && fs.exists(arch))
+              org.apache.hadoop.fs.FileUtil
+                .copy(fs, arch, fs, live, false, spark.sparkContext.hadoopConfiguration)
+          } catch { case _: Exception => () }
+        }
+        throw t
+    } finally {
+      stagedSeq.foreach { case (_, part, _) =>
+        try fs.delete(part.getParent, true) catch { case _: Exception => () }
+      }
     }
+    (changed.size.toLong, newlyDeleted)
+  }
 
-  /** Rewrite one data file WITHOUT its sidecar's positions: replacement
-    * lands in the same directory under a fresh name, the original
-    * archives (pinned manifests keep resolving). Returns the replacement
-    * rel. Shared by [[materialize]] and the threshold rewrite.
+  /** Phase A of a per-file rewrite: write the file's survivors (minus its
+    * sidecar's positions) into a hidden temp dir NEXT TO it — no
+    * live-tree mutation. Returns (rel, staged part path, replacement
+    * rel); the caller archives + lands (and can roll back).
     */
-  private def rewriteSansPositions(
+  private def stageRewrite(
       spark: SparkSession,
       root: String,
       rel: String,
-      dvRel: String): String = {
+      dvRel: String): (String, Path, String) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(rootPath, rel)
@@ -220,12 +293,28 @@ object DeleteVectors {
       .map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"rewrite of $rel produced no part file"))
-    Snapshots.archiveFile(fs, rootPath, live)
-    if (!fs.rename(part, new Path(live.getParent, part.getName)))
-      throw new IllegalStateException(s"rewrite of $rel failed to land $part")
-    fs.delete(tmpDir, true)
     val cut = rel.lastIndexOf('/')
-    if (cut < 0) part.getName else rel.substring(0, cut + 1) + part.getName
+    val newRel = if (cut < 0) part.getName else rel.substring(0, cut + 1) + part.getName
+    (rel, part, newRel)
+  }
+
+  /** Stage + archive + land in one step — [[materialize]]'s shape, where
+    * the closing listing-based commit immediately follows under the same
+    * lock. Returns the replacement rel.
+    */
+  private def rewriteSansPositions(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      dvRel: String): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, part, newRel) = stageRewrite(spark, root, rel, dvRel)
+    Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel))
+    if (!fs.rename(part, new Path(rootPath, newRel)))
+      throw new IllegalStateException(s"rewrite of $rel failed to land $part")
+    fs.delete(part.getParent, true)
+    newRel
   }
 
   /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,

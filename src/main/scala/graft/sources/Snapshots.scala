@@ -583,6 +583,21 @@ object Snapshots {
   def dvByRel(view: ManifestView): Map[String, (String, Long)] =
     view.stats.flatMap { case (rel, st) => dvOf(st).map(rel -> _) }
 
+  /** Does the type (recursively) contain a map? Map key order has no
+    * canonical physical encoding, so byte-keyed machinery (the change
+    * feed's multiset cancellation) cannot trust rewrites of map-typed
+    * tables — which is why the bounded-MoR threshold must not rewrite
+    * them either.
+    */
+  private[sources] def containsMapType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => containsMapType(a.elementType)
+      case _ => false
+    }
+
   /** Logical row count of one file: recorded rows minus recorded deleted
     * positions. None when the manifest predates row counts.
     */

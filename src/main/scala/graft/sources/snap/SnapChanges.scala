@@ -115,12 +115,7 @@ object SnapChanges {
     * tables at PLAN time; append-only versions (file-level inserts, no
     * cancellation) stay fine.
     */
-  private[snap] def containsMap(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => true
-    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
-    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
-    case _ => false
-  }
+  private[snap] def containsMap(dt: DataType): Boolean = Snapshots.containsMapType(dt)
 
   /** Parquet bytes one CDC slice may own (pre-decode); rewrite versions
     * get `ceil(changedBytes / this)` slices, capped. Small enough that a

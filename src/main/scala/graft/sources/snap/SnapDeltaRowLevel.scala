@@ -192,10 +192,10 @@ class SnapDeltaBatchWrite(
         //    sidecar would shrink the vector — resurrecting deleted rows.
         val fragPaths = results.flatMap(_.fragments.map(f => new Path(dvStagePath, f._2).toString))
         val touched = results.flatMap(_.fragments.map(_._1)).distinct
-        val restated: Map[String, Map[String, Snapshots.ColStat]] =
-          if (touched.isEmpty) Map.empty
+        val view = Snapshots.manifestView(spark, dir, scannedVersion)
+        val written: Seq[(String, String, Long)] =
+          if (touched.isEmpty) Seq.empty
           else {
-            val view = Snapshots.manifestView(spark, dir, scannedVersion)
             val oldDvByRel = touched.flatMap { rel =>
               Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map(d => rel -> d._1)
             }.toMap
@@ -204,21 +204,16 @@ class SnapDeltaBatchWrite(
               .select(
                 org.apache.spark.sql.functions.col("rel"),
                 org.apache.spark.sql.functions.col("pos"))
-            val written = DeleteVectors.writeSidecars(spark, dir, fragments, oldDvByRel, tag)
-            written.flatMap { case (rel, dvRel, cnt) =>
-              val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
-              val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-              if (cnt == oldCnt) None // replay/no-op fragment: pointer unchanged
-              else
-                Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
-                  Snapshots.DvPathKey -> Snapshots.ColStat("s", dvRel, dvRel),
-                  Snapshots.DvCountKey -> Snapshots.ColStat("l", cnt.toString, cnt.toString))))
-            }.toMap
+            DeleteVectors.writeSidecars(spark, dir, fragments, oldDvByRel, tag)
           }
         // 3. ONE commit covers both sides — readers see the delete and
-        //    the insert atomically or not at all
-        if (restated.nonEmpty || addedRels.nonEmpty)
-          Snapshots.commitRestated(spark, dir, restated, addedRels)
+        //    the insert atomically or not at all. boundedCommit applies
+        //    the deleted-fraction threshold here too: a MERGE/UPDATE that
+        //    pushes a file past it rewrites that file in the same commit
+        //    (the README's "MoR is bounded" claim holds for the whole DML
+        //    surface, not just pushable DELETEs).
+        if (written.nonEmpty || addedRels.nonEmpty)
+          DeleteVectors.boundedCommit(spark, dir, view, written, addedRels)
       } catch {
         case t: Throwable =>
           // roll the landed files back out of the live tree (no manifest

@@ -174,6 +174,33 @@ class SnapDeltaRowLevelSpec extends SparkSpec {
       s"expected the loud type refusal, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("the deleted-fraction bound applies to delta DML too: an over-threshold UPDATE rewrites") {
+    val (_, dir) = fixture("mord9")
+    spark.conf.set("spark.graft.dv.maxDeletedFraction", "0.4")
+    try {
+      val v1 = Snapshots.latestVersion(spark, dir)
+      val day01Before = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-01/"))
+      // deletes 1 of day=01's 2 rows: fraction 0.5 > 0.4 with a survivor
+      withMor(spark.sql("UPDATE mord9.ev SET v = 111.0 WHERE id = 1"))
+      assert(Snapshots.latestVersion(spark, dir) == v1 + 1L, "one atomic version")
+      val view = Snapshots.manifestView(spark, dir)
+      assert(Snapshots.dvByRel(view).isEmpty, "over-threshold file must rewrite, not point")
+      assert(
+        !view.rels.exists(day01Before.contains),
+        "the original over-threshold file must leave the manifest")
+      assert(liveIdV(dir) == Set((1L, 111.0), (2L, 11.0), (3L, 20.0), (4L, 30.0)))
+      // CDC still nets the exact update pair across the rewrite
+      val ch = spark.read
+        .option("startingVersion", v1 + 1L)
+        .table("mord9.ev.changes")
+        .select($"id", $"v", $"_change_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .toSet
+      assert(ch == Set((1L, 10.0, "delete"), (1L, 111.0, "insert")), ch.toString)
+    } finally spark.conf.unset("spark.graft.dv.maxDeletedFraction")
+  }
+
   test("copy-on-write remains the default: no conf, UPDATE rewrites and leaves no vectors") {
     val (_, dir) = fixture("mord7")
     spark.sql("UPDATE mord7.ev SET v = v + 1.0 WHERE id = 1")
