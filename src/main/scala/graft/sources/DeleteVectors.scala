@@ -119,14 +119,8 @@ object DeleteVectors {
       val statsPruned =
         if (ranges.isEmpty) alive
         else
-          alive.filter { rel =>
-            val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
-            ranges.forall { case (c, lo, hi) =>
-              (!Snapshots.intervalTrusted(st, c) ||
-                st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))) &&
-              !Snapshots.allNull(st, c)
-            }
-          }
+          alive.filter(rel =>
+            Snapshots.fileMatchesRanges(view.stats.getOrElse(rel, Map.empty), ranges))
       val probes = Sources.equalityProbes(probeFrame, predicate)
       val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
       val candidates =
@@ -213,7 +207,7 @@ object DeleteVectors {
       return (changed.size.toLong, newlyDeleted)
     }
     // phase A — stage every replacement with NO live-tree mutation
-    val staged = new java.util.concurrent.ConcurrentLinkedQueue[(String, Path, String)]()
+    val staged = new java.util.concurrent.ConcurrentLinkedQueue[(String, Path, String, Long)]()
     Snapshots.parEach(rewriteNow.toSeq) { case (rel, st) =>
       val (dvRel, _) = Snapshots.dvOf(st).get
       staged.add(stageRewrite(spark, root, rel, dvRel))
@@ -227,18 +221,23 @@ object DeleteVectors {
     var landed = List.empty[Path]
     var archived = List.empty[String]
     try {
-      stagedSeq.foreach { case (rel, part, newRel) =>
+      stagedSeq.foreach { case (rel, part, newRel, survivors) =>
         Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel))
         archived ::= rel
-        val to = new Path(rootPath, newRel)
-        if (!fs.rename(part, to)) sys.error(s"bounded rewrite failed to land $newRel")
-        landed ::= to
+        // zero-survivor replacements never land (row-count-less manifests
+        // can't detect full deletion up front; the staged footer can) —
+        // the original's removal alone is the correct commit
+        if (survivors > 0L) {
+          val to = new Path(rootPath, newRel)
+          if (!fs.rename(part, to)) sys.error(s"bounded rewrite failed to land $newRel")
+          landed ::= to
+        }
       }
       Snapshots.commitRestated(
         spark,
         root,
         pointerUpdates,
-        addedRels = addedRels ++ stagedSeq.map(_._3),
+        addedRels = addedRels ++ stagedSeq.collect { case (_, _, nr, s) if s > 0L => nr },
         removedRels = stagedSeq.map(_._1))
     } catch {
       case t: Throwable =>
@@ -256,7 +255,7 @@ object DeleteVectors {
         }
         throw t
     } finally {
-      stagedSeq.foreach { case (_, part, _) =>
+      stagedSeq.foreach { case (_, part, _, _) =>
         try fs.delete(part.getParent, true) catch { case _: Exception => () }
       }
     }
@@ -265,14 +264,18 @@ object DeleteVectors {
 
   /** Phase A of a per-file rewrite: write the file's survivors (minus its
     * sidecar's positions) into a hidden temp dir NEXT TO it — no
-    * live-tree mutation. Returns (rel, staged part path, replacement
-    * rel); the caller archives + lands (and can roll back).
+    * live-tree mutation. Returns (rel, staged part path, replacement rel,
+    * surviving rows); the caller archives + lands (and can roll back) —
+    * and must NOT land a zero-survivor replacement (a table whose
+    * manifest predates row counts can't detect full deletion up front,
+    * so the staged footer is the authority: committing an empty file
+    * would make every future scan open it for nothing).
     */
   private def stageRewrite(
       spark: SparkSession,
       root: String,
       rel: String,
-      dvRel: String): (String, Path, String) = {
+      dvRel: String): (String, Path, String, Long) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(rootPath, rel)
@@ -295,26 +298,34 @@ object DeleteVectors {
       .getOrElse(throw new IllegalStateException(s"rewrite of $rel produced no part file"))
     val cut = rel.lastIndexOf('/')
     val newRel = if (cut < 0) part.getName else rel.substring(0, cut + 1) + part.getName
-    (rel, part, newRel)
+    val survivors = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(part, spark.sparkContext.hadoopConfiguration))
+      try r.getRecordCount
+      finally r.close()
+    }
+    (rel, part, newRel, survivors)
   }
 
   /** Stage + archive + land in one step — [[materialize]]'s shape, where
     * the closing listing-based commit immediately follows under the same
-    * lock. Returns the replacement rel.
+    * lock. A zero-survivor staged file archives the original WITHOUT
+    * landing (the no-row-count-manifest case full deletion can't detect
+    * up front).
     */
   private def rewriteSansPositions(
       spark: SparkSession,
       root: String,
       rel: String,
-      dvRel: String): String = {
+      dvRel: String): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, part, newRel) = stageRewrite(spark, root, rel, dvRel)
+    val (_, part, newRel, survivors) = stageRewrite(spark, root, rel, dvRel)
     Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel))
-    if (!fs.rename(part, new Path(rootPath, newRel)))
+    if (survivors > 0L && !fs.rename(part, new Path(rootPath, newRel)))
       throw new IllegalStateException(s"rewrite of $rel failed to land $part")
     fs.delete(part.getParent, true)
-    newRel
   }
 
   /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,

@@ -583,6 +583,25 @@ object Snapshots {
   def dvByRel(view: ManifestView): Map[String, (String, Long)] =
     view.stats.flatMap { case (rel, st) => dvOf(st).map(rel -> _) }
 
+  /** rel → sidecar rel only — what the per-file readers need. */
+  def dvPathByRel(view: ManifestView): Map[String, String] =
+    dvByRel(view).map { case (rel, (p, _)) => rel -> p }
+
+  /** Does one file's recorded stats admit every inclusive (col, lo, hi)
+    * probe? The shared three-clause test of manifest range pruning —
+    * distrust escaped-era string intervals, test the overlap, and skip
+    * provably-all-null files under value predicates. Used by the read
+    * path and BOTH delete paths; may only ever exclude on a definite
+    * miss.
+    */
+  private[sources] def fileMatchesRanges(
+      st: Map[String, ColStat],
+      ranges: Seq[(String, Option[String], Option[String])]): Boolean =
+    ranges.forall { case (c, lo, hi) =>
+      (!intervalTrusted(st, c) || st.get(c).forall(cs => overlapsRange(cs, lo, hi))) &&
+      !allNull(st, c)
+    }
+
   /** Does the type (recursively) contain a map? Map key order has no
     * canonical physical encoding, so byte-keyed machinery (the change
     * feed's multiset cancellation) cannot trust rewrites of map-typed

@@ -389,12 +389,7 @@ object Sources {
           !inManifest.contains(rel) || { // post-manifest file: cannot exclude
             // manifest range pruning first (zero I/O), blooms second
             // (one sidecar read per surviving equality-probed file)
-            val st = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
-            ranges.forall { case (c, lo, hi) =>
-              (!Snapshots.intervalTrusted(st, c) ||
-                st.get(c).forall(cs => Snapshots.overlapsRange(cs, lo, hi))) &&
-              !Snapshots.allNull(st, c)
-            } &&
+            Snapshots.fileMatchesRanges(view.stats.getOrElse(rel, Map.empty), ranges) &&
             active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
           }
         }

@@ -497,7 +497,9 @@ class SnapTable(dir: String, version: Long)
     // either MoR switch flips this path too — the pushable DELETE must
     // not silently rewrite files while UPDATE/MERGE run merge-on-read
     val morConf = SnapTable.morEnabled(spark)
-    val hasDvAlready = Snapshots.latestVersion(spark, dir) > 0L &&
+    // short-circuit: the O(files) stat sweep only runs when the conf
+    // alone doesn't already decide the route
+    def hasDvAlready = Snapshots.latestVersion(spark, dir) > 0L &&
       Snapshots.manifestView(spark, dir).stats.values.exists(Snapshots.hasDv)
     if (morConf || hasDvAlready) graft.sources.DeleteVectors.deleteWhere(spark, dir, pred)
     else graft.sources.Sources.deleteWhere(spark, dir, pred)

@@ -83,8 +83,7 @@ class SnapDeltaRowLevelOperation(
       // scan to files that can hold matches
       override protected def allowConsumption: Boolean = false
       override def build(): Scan = {
-        val dvByRel: Map[String, String] =
-          view.stats.flatMap { case (rel, st) => Snapshots.dvOf(st).map(d => rel -> d._1) }
+        val dvByRel: Map[String, String] = Snapshots.dvPathByRel(view)
         super.build() match {
           case b: SnapBatchScan =>
             new SnapRowLevelScan(dir, b.keptRels, b.readSchema(), tableSchema, dvByRel)

@@ -174,8 +174,7 @@ class SnapRowLevelOperation(
         // deletion vector (and the replacement file, having materialized
         // them, carries no pointer — the commit's stats carry only
         // applies to surviving rels)
-        val dvByRel: Map[String, String] =
-          view.stats.flatMap { case (rel, st) => Snapshots.dvOf(st).map(d => rel -> d._1) }
+        val dvByRel: Map[String, String] = Snapshots.dvPathByRel(view)
         super.build() match {
           case b: SnapBatchScan =>
             scannedRels = b.keptRels

@@ -457,6 +457,43 @@ class DeleteVectorsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dv.maxDeletedFraction")
   }
 
+  test("materialize on a row-count-less manifest archives fully-deleted files, lands no empty rewrite") {
+    // schema recorded but NO stats columns: fullyDeleted can't be decided
+    // from the manifest, so the staged footer must be the authority
+    val base = Files.createTempDirectory("dv_nostats").toString
+    val dir = s"$base/t"
+    Snapshots.createTable(
+      spark,
+      dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType))),
+      partCols = Seq("day"))
+    spark.conf.set(s"spark.sql.catalog.dvns", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.dvns.root", base)
+    spark.sql(
+      "INSERT INTO dvns.t VALUES (1, 10.0, DATE'2024-01-01'), (2, 11.0, DATE'2024-01-01'), " +
+        "(3, 20.0, DATE'2024-01-02')")
+    assert(
+      Snapshots.manifestView(spark, dir).stats.values
+        .forall(st => !st.contains(Snapshots.RowCountKey)),
+      "fixture must have no recorded row counts")
+    DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-01") // kills that file entirely
+    DeleteVectors.materialize(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = Snapshots.files(spark, dir)
+    live.foreach { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir, rel),
+          spark.sparkContext.hadoopConfiguration))
+      try assert(r.getRecordCount > 0L, s"$rel committed as an empty file")
+      finally r.close()
+    }
+    assert(spark.sql("SELECT id FROM dvns.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
