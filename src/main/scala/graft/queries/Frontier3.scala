@@ -2370,7 +2370,73 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q233: compaction FOLDS deletion vectors, scope by scope ------------
+
+  /** The DV-aware OPTIMIZE: compaction no longer refuses a merge-on-read
+    * table — a rewritten scope's deleted positions are SUBTRACTED during
+    * the rewrite (the Delta-OPTIMIZE fold), while scopes the pass never
+    * touches keep their pointers. The lifecycle: two MoR deletes land
+    * vectors in two different days, an INSERT makes the first day a
+    * two-file compaction target, and `CALL compact` rewrites exactly that
+    * day. The hash then proves all four invariants at once: per-type
+    * totals match the oracle (nothing resurrected, nothing lost);
+    * `fold_scoped_ok` pins that the rewritten day's pointer died while
+    * the other day's survived; `raw_agrees` reads the compacted
+    * directory's bytes raw — the deleted rows are physically absent; and
+    * `cdc_net_zero` certifies the compaction version emits NOTHING on the
+    * change feed (each removed file cancels through its OWN vector state,
+    * so a folding rewrite is a pure rewrite). At 100 TB this is what keeps
+    * one partition's GDPR delete from suspending the nightly OPTIMIZE of
+    * every other partition — the round-11 interlock, dissolved.
+    */
+  def q233(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq233", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val cut = m.plusDays(2).toString
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day = DATE'$m'") // v2
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'view' AND day = DATE'$cut'") // v3
+    }
+    // a second file in day=m: the dir becomes a compaction target
+    s.sql(s"INSERT INTO $cat.ev VALUES ('__extra', CAST(7 AS BIGINT), CAST(42 AS BIGINT), DATE'$m')") // v4
+    val dvBefore = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir))
+    val compacted = s.sql(s"CALL $cat.compact(table => 'ev')").head().getLong(0)
+    val v5 = graft.sources.Snapshots.latestVersion(s, dir)
+    val dvAfter = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir))
+    val foldScoped = dvBefore.size == 2 && compacted == 1L &&
+      dvAfter.keySet.map(_.split("/").head) == Set(s"day=$cut")
+    val cdcNetZero = s.read
+      .option("startingVersion", v5)
+      .option("endingVersion", v5)
+      .table(s"$cat.ev.changes")
+      .count() == 0L
+    // physical proof: the compacted day's raw bytes no longer hold clicks
+    val raw = s.read.parquet(s"$dir/day=$m")
+    val rawAgrees = raw.filter(col("event_type") === "click").count() == 0L &&
+      raw.filter(col("event_type") === "__extra").count() == 1L
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(count(*) AS BIGINT) AS n_groups
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("fold_scoped_ok", lit(foldScoped))
+      .withColumn("cdc_net_zero", lit(cdcNetZero))
+      .withColumn("raw_agrees", lit(rawAgrees))
+  }
+
+  val q233Sql: String =
+    """WITH s AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s),
+      |live AS (
+      |  SELECT s.* FROM s, b
+      |  WHERE NOT (event_type = 'click' AND day = m)
+      |    AND NOT (event_type = 'view' AND day = m + 2)
+      |  UNION ALL SELECT (SELECT m FROM b), '__extra', 7)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(count(*) AS BIGINT) AS n_groups,
+      |  true AS fold_scoped_ok, true AS cdc_net_zero, true AS raw_agrees
+      |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q233_dv_compaction_fold" -> (q233 _),
     "q232_mor_sql_merge" -> (q232 _),
     "q231_mor_sql_update" -> (q231 _),
     "q230_dv_materialize" -> (q230 _),
@@ -2410,6 +2476,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q233_dv_compaction_fold" -> q233Sql,
     "q232_mor_sql_merge" -> q232Sql,
     "q231_mor_sql_update" -> q231Sql,
     "q230_dv_materialize" -> q230Sql,

@@ -209,8 +209,8 @@ object DeleteVectors {
     // phase A — stage every replacement with NO live-tree mutation
     val staged = new java.util.concurrent.ConcurrentLinkedQueue[(String, Path, String, Long)]()
     Snapshots.parEach(rewriteNow.toSeq) { case (rel, st) =>
-      val (dvRel, _) = Snapshots.dvOf(st).get
-      staged.add(stageRewrite(spark, root, rel, dvRel))
+      val (dvRel, dvCnt) = Snapshots.dvOf(st).get
+      staged.add(stageRewrite(spark, root, rel, dvRel, dvCnt))
     }
     import scala.jdk.CollectionConverters._
     val stagedSeq = staged.asScala.toSeq
@@ -275,19 +275,26 @@ object DeleteVectors {
       spark: SparkSession,
       root: String,
       rel: String,
-      dvRel: String): (String, Path, String, Long) = {
+      dvRel: String,
+      dvCount: Long): (String, Path, String, Long) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(rootPath, rel)
     require(fs.exists(live), s"rewrite: $rel is not live under $root")
-    val positions = spark.read.parquet(new Path(rootPath, dvRel).toString).select(col("pos"))
+    val positions0 = spark.read.parquet(new Path(rootPath, dvRel).toString).select(col("pos"))
+    // broadcast only below the recorded-count threshold — the scan path's
+    // discipline ([[Snapshots.DvBroadcastMaxPositions]]): a near-threshold
+    // multi-million-position vector must not ship tens of MB to every
+    // rewrite task when a real join prices the same anti-join correctly
+    val positions =
+      if (dvCount <= Snapshots.DvBroadcastMaxPositions) broadcast(positions0) else positions0
     // the file's OWN physical schema (no enforced table schema, no
     // partition splice) — this rewrites bytes in place
     val data = spark.read
       .parquet(live.toString)
       .withColumn("__graft_dv_pos__", col("_metadata.row_index"))
     val keep = data
-      .join(broadcast(positions), data("__graft_dv_pos__") === positions("pos"), "left_anti")
+      .join(positions, data("__graft_dv_pos__") === positions("pos"), "left_anti")
       .drop("__graft_dv_pos__")
     val tmpDir = new Path(live.getParent, s".dv-materialize-${live.getName}")
     keep.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir.toString)
@@ -318,10 +325,11 @@ object DeleteVectors {
       spark: SparkSession,
       root: String,
       rel: String,
-      dvRel: String): Unit = {
+      dvRel: String,
+      dvCount: Long): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, part, newRel, survivors) = stageRewrite(spark, root, rel, dvRel)
+    val (_, part, newRel, survivors) = stageRewrite(spark, root, rel, dvRel, dvCount)
     Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel))
     if (survivors > 0L && !fs.rename(part, new Path(rootPath, newRel)))
       throw new IllegalStateException(s"rewrite of $rel failed to land $part")
@@ -419,33 +427,102 @@ object DeleteVectors {
       .toSeq
   }
 
-  /** Fold every deletion vector into its data file — the compaction that
-    * ends the merge-on-read era: each DV'd file rewrites WITHOUT its
-    * deleted positions (provably-empty files just archive), originals
-    * archive (pinned manifests keep resolving), and the closing commit
-    * drops the pointers. Returns (files rewritten-or-archived, positions
-    * folded). After this, raw-reading maintenance ops (compaction,
-    * COW delete/update/merge) accept the table again.
+  /** Fold deletion vectors into their data files — the compaction that
+    * ends (or, scoped, shrinks) the merge-on-read era: each in-scope DV'd
+    * file rewrites WITHOUT its deleted positions (provably-empty files
+    * just archive), originals archive (pinned manifests keep resolving),
+    * and the closing commit drops the folded pointers while out-of-scope
+    * vectors carry forward untouched. Returns (files rewritten-or-
+    * archived, positions folded).
+    *
+    * `where`: an optional scope over the table's HIVE PARTITION columns —
+    * `materialize(spark, root, Some(col("day") === "2024-01-03"))` folds
+    * only that day's vectors. At 100 TB this is what keeps one partition's
+    * GDPR delete from pricing a whole-table rewrite before the next
+    * scoped OPTIMIZE: fold where you're about to do maintenance, leave the
+    * rest pointed. The predicate is evaluated per FILE against its typed
+    * partition-path values (mis-renderable values fall conservatively out
+    * of scope); it cannot reference data columns — position-level scoping
+    * below a partition is what the vectors themselves already are.
+    * Unscoped (`where = None`) folds everything; after that, raw-reading
+    * maintenance ops accept the whole table again.
     */
-  def materialize(spark: SparkSession, root: String): (Long, Long) =
+  def materialize(
+      spark: SparkSession,
+      root: String,
+      where: Option[Column] = None): (Long, Long) =
     Snapshots.withTableLock(spark, root) {
       val version = Snapshots.latestVersion(spark, root)
       if (version == 0L) return (0L, 0L)
       val view = Snapshots.manifestView(spark, root, version)
-      val dvd = Snapshots.dvByRel(view)
+      val all = Snapshots.dvByRel(view)
+      val dvd = where match {
+        case None => all
+        case Some(pred) =>
+          val kept = scopeByPartitions(spark, view, all.keys.toSeq, pred)
+          all.filter { case (rel, _) => kept(rel) }
+      }
       if (dvd.isEmpty) return (0L, 0L)
       val rootPath = new Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Snapshots.parEach(dvd.toSeq) { case (rel, (dvRel, _)) =>
+      Snapshots.parEach(dvd.toSeq) { case (rel, (dvRel, dvCnt)) =>
         val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
         if (Snapshots.fullyDeleted(st)) {
           // every recorded row is deleted: nothing survives — archive only
           val live = new Path(rootPath, rel)
           require(fs.exists(live), s"materialize: $rel is not live under $root")
           Snapshots.archiveFile(fs, rootPath, live)
-        } else rewriteSansPositions(spark, root, rel, dvRel)
+        } else rewriteSansPositions(spark, root, rel, dvRel, dvCnt)
       }
       Snapshots.commit(spark, root) // rewritten files get fresh stats; pointers die with the rels
       (dvd.size.toLong, dvd.values.map(_._2).sum)
     }
+
+  /** Which of `rels` satisfy `pred` over their hive partition-path values?
+    * Exact, not pruning: each file's segments parse as the DECLARED
+    * partition-column types (`try_cast` — a value the type can't render
+    * reads NULL, so it conservatively falls out of any value predicate)
+    * and the predicate evaluates per file in one tiny local Spark job —
+    * full Column expressiveness (IN lists, ranges, date arithmetic) with
+    * O(DV'd files) driver metadata, never a data read.
+    */
+  private def scopeByPartitions(
+      spark: SparkSession,
+      view: Snapshots.ManifestView,
+      rels: Seq[String],
+      pred: Column): Set[String] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val partCols =
+      if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
+    require(
+      partCols.nonEmpty,
+      "scoped materialize needs a hive-partitioned table — omit `where` to fold everything")
+    val rows = rels.map { rel =>
+      val segs = graft.sources.snap.SnapFilters.partSegments(rel)
+      Row.fromSeq(
+        rel +: partCols.map(c =>
+          segs.get(c).flatMap(graft.sources.snap.SnapFilters.segValue).orNull))
+    }
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(
+        StructField("__graft_scope_rel__", StringType, nullable = false) +:
+          partCols.map(c => StructField(c, StringType, nullable = true))))
+    val typed = partCols.foldLeft(raw) { (df, c) =>
+      view.schema.flatMap(_.fields.find(_.name == c)) match {
+        case Some(f) =>
+          df.withColumn(
+            c,
+            org.apache.spark.sql.functions.expr(s"try_cast(`$c` AS ${f.dataType.sql})"))
+        case None => df
+      }
+    }
+    typed
+      .filter(pred)
+      .select(col("__graft_scope_rel__"))
+      .collect()
+      .map(_.getString(0))
+      .toSet
+  }
 }

@@ -646,6 +646,30 @@ object Snapshots {
             "DeleteVectors.materialize (SQL: CALL cat.dv_materialize(table => …)) first.")
     }
 
+  /** The SCOPED form of [[requireNoDv]]: refuse only when a deletion-
+    * vectored file is in the OP'S OWN file set (the files a copy-on-write
+    * DML will actually rewrite). One day's MoR delete must not suspend
+    * maintenance of every other partition — a COW delete/update/merge
+    * whose candidates never touch a DV'd file is exactly as safe as on a
+    * clean table (untouched files' pointers carry through the closing
+    * commit). `rels` are manifest-relative paths.
+    */
+  private[sources] def requireNoDvIn(
+      spark: SparkSession,
+      root: String,
+      op: String,
+      rels: Iterable[String]): Unit =
+    if (latestVersion(spark, root) > 0L) {
+      val stats = manifestView(spark, root).stats
+      val dvd = rels.filter(r => stats.get(r).exists(hasDv)).toSeq.sorted
+      if (dvd.nonEmpty)
+        sys.error(
+          s"$op on $root would rewrite ${dvd.size} file(s) carrying deletion vectors " +
+            s"(e.g. ${dvd.head}) from their raw bytes — that would resurrect deleted rows. " +
+            "Narrow the operation away from the DV'd files, or fold their vectors first: " +
+            "DeleteVectors.materialize (SQL: CALL cat.dv_materialize(table => …, where => …)).")
+    }
+
   /** Footer opens performed by the CALLING thread's last stats commit —
     * observability for the incremental-commit contract (SnapshotsSpec
     * asserts an append-commit reads only the NEW files' footers).

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, split, when}
 import org.apache.spark.sql.types.StructType
 
 /** Batch sources & sinks. The reference's entire I/O surface is whole-file
@@ -356,9 +356,21 @@ object Sources {
     }
   }
 
+  /** Root-relative rel of a file URI as reported by `input_file_name()`
+    * (URI-encoded): `java.net.URI.getPath` decodes the escapes back to the
+    * on-disk path the manifest records. Shared by the scoped DV guards of
+    * the copy-on-write DML ops.
+    */
+  private def relOfFileUri(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path,
+      uri: String): String = {
+    val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+    new java.net.URI(uri).getPath.stripPrefix(rootUriPath).stripPrefix("/")
+  }
+
   def deleteWhere(spark: SparkSession, root: String, predicate: Column): (Long, Long) = {
     Snapshots.withTableLock(spark, root) {
-    Snapshots.requireNoDv(spark, root, "copy-on-write deleteWhere")
     val liveFiles = Snapshots.listDataFiles(spark, root)
     if (liveFiles.isEmpty) return (0L, 0L) // already empty
     import org.apache.spark.sql.functions.input_file_name
@@ -415,6 +427,17 @@ object Sources {
       .map(r => (r.getString(0), r.getLong(1)))
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SCOPED merge-on-read guard: only the files this delete will actually
+    // rewrite matter — a DV'd file elsewhere in the table is never read
+    // past the match scan and its pointer carries through the closing
+    // commit untouched. (The match scan reads raw bytes, so a DV'd file
+    // whose only matches are already-deleted rows still refuses — loud
+    // and conservative, never silent resurrection.)
+    Snapshots.requireNoDvIn(
+      spark,
+      root,
+      "copy-on-write deleteWhere",
+      affected.map { case (u, _) => relOfFileUri(fs, hadoopPath, u) })
     if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
     def rewriteOne(uri: String, matching: Long): Unit = {
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
@@ -508,7 +531,6 @@ object Sources {
       sets: Map[String, Column]): (Long, Long) = {
     require(sets.nonEmpty, "updateWhere needs at least one SET column")
     Snapshots.withTableLock(spark, root) {
-    Snapshots.requireNoDv(spark, root, "copy-on-write updateWhere")
     if (Snapshots.listDataFiles(spark, root).isEmpty) return (0L, 0L) // empty table
     import org.apache.spark.sql.functions.input_file_name
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
@@ -544,6 +566,14 @@ object Sources {
       .count()
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    // SCOPED merge-on-read guard (the deleteWhere discipline): refuse only
+    // when a file this update will rewrite carries a deletion vector —
+    // updates bounded away from the DV'd files run untouched
+    Snapshots.requireNoDvIn(
+      spark,
+      root,
+      "copy-on-write updateWhere",
+      affected.map { case (u, _) => relOfFileUri(fs, hadoopPath, u) })
     if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
     def rewriteOne(uri: String): Unit = {
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
@@ -624,7 +654,6 @@ object Sources {
       partitionCol: String,
       keyCols: Seq[String]): Seq[String] = {
     Snapshots.withTableLock(spark, root) {
-    Snapshots.requireNoDv(spark, root, "mergeIntoPartitioned")
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val affected = delta
@@ -634,6 +663,24 @@ object Sources {
       .map(_.getString(0))
       .sorted
       .toSeq
+    // SCOPED merge-on-read guard: the merge rebuilds exactly the delta's
+    // partition dirs — refuse only when a DV'd file lives in one of them;
+    // vectors in untouched partitions carry through the closing commit
+    if (Snapshots.latestVersion(spark, root) > 0L) {
+      val affectedSet = affected.toSet
+      val inScope = Snapshots
+        .dvByRel(Snapshots.manifestView(spark, root))
+        .keys
+        .filter { rel =>
+          val seg = rel.split("/").head
+          seg.startsWith(s"$partitionCol=") && {
+            val raw = seg.substring(partitionCol.length + 1)
+            raw != "__HIVE_DEFAULT_PARTITION__" &&
+            affectedSet.contains(Snapshots.unescapePathName(raw))
+          }
+        }
+      Snapshots.requireNoDvIn(spark, root, "mergeIntoPartitioned", inScope.toSeq)
+    }
     if (fs.exists(hadoopPath)) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
     val existingDirs = affected
       .map(v => new org.apache.hadoop.fs.Path(hadoopPath, s"$partitionCol=$v"))
@@ -737,7 +784,6 @@ object Sources {
     */
   def compactInPlace(spark: SparkSession, root: String): (Long, Long, Long) = {
     Snapshots.withTableLock(spark, root) {
-    Snapshots.requireNoDv(spark, root, "compactInPlace")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
@@ -755,6 +801,16 @@ object Sources {
       .filter(_._2.length > 1)
     if (targets.isEmpty) return (0L, 0L, 0L)
     Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    // merge-on-read deletes FOLD during the rewrite (the Delta-OPTIMIZE
+    // discipline): a rewritten file's deleted positions are subtracted, so
+    // its replacement carries no pointer — while DV'd files in scopes this
+    // pass never touches (single-file dirs here) keep their vectors
+    // through the closing commit. One day's MoR delete no longer suspends
+    // the nightly OPTIMIZE of every other partition.
+    val dvView =
+      if (Snapshots.latestVersion(spark, root) > 0L) Some(Snapshots.manifestView(spark, root))
+      else None
+    val dv = dvView.map(Snapshots.dvByRel).getOrElse(Map.empty)
     // declared DATA schema (partition cols live in the dir path, not the
     // bytes): an evolved table compacts consistently — ALTER-added columns
     // survive no matter which footer inference would have picked, dropped
@@ -765,25 +821,34 @@ object Sources {
     }
     def compactOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
-      // explicit file list, partition columns irrelevant (rows keep their
-      // dir, which IS the partition value)
-      val rd = spark.read
-      dataSchema.foreach(rd.schema)
-      rd.parquet(files.map(_.toString): _*)
-        .coalesce(1)
-        .write
-        .mode(SaveMode.Overwrite)
-        .parquet(stage.toString)
-      val part = fs
-        .listStatus(stage)
-        .map(_.getPath)
-        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"compaction of $dir produced no part file"))
-      // land the compacted file FIRST (a directory lister sees old+new for
-      // a moment — duplicate-safe readers are the manifest readers, and
-      // the final state is committed below), then archive the originals
-      if (!fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName)))
-        throw new IllegalStateException(s"compaction of $dir failed to land $part")
+      // provably-empty files (every recorded row MoR-deleted) contribute
+      // nothing: archive without reading a byte
+      val (dead, live) = files.partition { f =>
+        dvView.exists(v =>
+          Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
+      }
+      if (live.nonEmpty) {
+        // explicit file list, partition columns irrelevant (rows keep their
+        // dir, which IS the partition value)
+        val rd = spark.read
+        dataSchema.foreach(rd.schema)
+        val base = rd.parquet(live.map(_.toString): _*)
+        foldDvPositions(spark, rootPath, base, live.map(relOf(fs, rootPath, _)), dv)
+          .coalesce(1)
+          .write
+          .mode(SaveMode.Overwrite)
+          .parquet(stage.toString)
+        val part = fs
+          .listStatus(stage)
+          .map(_.getPath)
+          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"compaction of $dir produced no part file"))
+        // land the compacted file FIRST (a directory lister sees old+new for
+        // a moment — duplicate-safe readers are the manifest readers, and
+        // the final state is committed below), then archive the originals
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName)))
+          throw new IllegalStateException(s"compaction of $dir failed to land $part")
+      }
       files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
       fs.delete(stage, true)
     }
@@ -791,6 +856,58 @@ object Sources {
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
   }
+  }
+
+  /** Root-relative rel of a live file path (driver-side string op on the
+    * DECODED path domain — Hadoop [[org.apache.hadoop.fs.Path]] stores
+    * paths unencoded, so no URI round-trip is involved).
+    */
+  private def relOf(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path,
+      file: org.apache.hadoop.fs.Path): String = {
+    val rootUriPath = fs.makeQualified(rootPath).toUri.getPath
+    fs.makeQualified(file).toUri.getPath.stripPrefix(rootUriPath).stripPrefix("/")
+  }
+
+  /** Subtract merge-on-read deleted positions from a raw multi-file read
+    * during an in-place rewrite — the fold that lets compaction/clustering
+    * run on DV'd scopes instead of refusing. Rows are matched to their
+    * vector by (file NAME, `_metadata.row_index`): all of one directory's
+    * files are rewritten together, names are unique within a directory and
+    * Spark-generated (`part-…parquet`, ASCII-safe — `_metadata.file_path`'s
+    * URI encoding cannot corrupt them), and the read pushes no parquet
+    * predicates so the row ordinal is exactly the DV's recorded domain.
+    * The positions side broadcasts only below the recorded-count threshold
+    * ([[Snapshots.DvBroadcastMaxPositions]]) — the scan-path discipline.
+    */
+  private def foldDvPositions(
+      spark: SparkSession,
+      rootPath: org.apache.hadoop.fs.Path,
+      base: DataFrame,
+      rels: Seq[String],
+      dv: Map[String, (String, Long)]): DataFrame = {
+    val dvd = rels.filter(dv.contains)
+    if (dvd.isEmpty) return base
+    val sidecars =
+      dvd.map(r => new org.apache.hadoop.fs.Path(rootPath, dv(r)._1).toString).distinct
+    val positions = spark.read
+      .parquet(sidecars: _*)
+      .select(
+        element_at(split(col("rel"), "/"), -1).as("__dv_name__"),
+        col("pos").as("__dv_pos__"))
+    val total = dvd.map(r => dv(r)._2).sum
+    val right = if (total <= Snapshots.DvBroadcastMaxPositions) broadcast(positions) else positions
+    val withMeta = base
+      .withColumn("__graft_fold_name__", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_fold_pos__", col("_metadata.row_index"))
+    withMeta
+      .join(
+        right,
+        withMeta("__graft_fold_name__") === right("__dv_name__") &&
+          withMeta("__graft_fold_pos__") === right("__dv_pos__"),
+        "left_anti")
+      .drop("__graft_fold_name__", "__graft_fold_pos__")
   }
 
   /** In-place CLUSTERING rewrite — the `OPTIMIZE … ZORDER BY` of the
@@ -822,7 +939,6 @@ object Sources {
       filesPerScope: Int): (Long, Long) = {
     require(filesPerScope >= 1, s"filesPerScope must be >= 1, got $filesPerScope")
     Snapshots.withTableLock(spark, root) {
-    Snapshots.requireNoDv(spark, root, "clusterInPlace")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
@@ -840,6 +956,13 @@ object Sources {
       .filter(_._2.nonEmpty)
     if (targets.isEmpty) return (0L, 0L)
     Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    // clustering rewrites EVERY scope, so a clustering pass folds every
+    // deletion vector it meets (compactInPlace discipline) — the rewritten
+    // layout carries no pointers
+    val dvView =
+      if (Snapshots.latestVersion(spark, root) > 0L) Some(Snapshots.manifestView(spark, root))
+      else None
+    val dv = dvView.map(Snapshots.dvByRel).getOrElse(Map.empty)
     // same declared-data-schema discipline as compactInPlace
     val dataSchema = declaredSchemaOf(spark, root).map { s =>
       val pcs = Snapshots.partitionColsFromRels(Snapshots.listDataFiles(spark, root)).toSet
@@ -847,26 +970,33 @@ object Sources {
     }
     def clusterOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".cluster-${java.util.UUID.randomUUID().toString}")
-      val rd = spark.read
-      dataSchema.foreach(rd.schema)
-      rd.parquet(files.map(_.toString): _*)
-        .repartitionByRange(filesPerScope, key)
-        .sortWithinPartitions(key)
-        .write
-        .mode(SaveMode.Overwrite)
-        .parquet(stage.toString)
-      val parts = fs
-        .listStatus(stage)
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      if (parts.isEmpty)
-        throw new IllegalStateException(s"clustering of $dir produced no part files")
-      // land the clustered files FIRST, then archive the originals — same
-      // momentary old+new window as compactInPlace; manifest readers are
-      // the consistency surface and the closing commit defines the result
-      parts.foreach { p =>
-        if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
-          throw new IllegalStateException(s"clustering of $dir failed to land $p")
+      val (dead, live) = files.partition { f =>
+        dvView.exists(v =>
+          Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
+      }
+      if (live.nonEmpty) {
+        val rd = spark.read
+        dataSchema.foreach(rd.schema)
+        val base = rd.parquet(live.map(_.toString): _*)
+        foldDvPositions(spark, rootPath, base, live.map(relOf(fs, rootPath, _)), dv)
+          .repartitionByRange(filesPerScope, key)
+          .sortWithinPartitions(key)
+          .write
+          .mode(SaveMode.Overwrite)
+          .parquet(stage.toString)
+        val parts = fs
+          .listStatus(stage)
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"clustering of $dir produced no part files")
+        // land the clustered files FIRST, then archive the originals — same
+        // momentary old+new window as compactInPlace; manifest readers are
+        // the consistency surface and the closing commit defines the result
+        parts.foreach { p =>
+          if (!fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+            throw new IllegalStateException(s"clustering of $dir failed to land $p")
+        }
       }
       files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
       fs.delete(stage, true)

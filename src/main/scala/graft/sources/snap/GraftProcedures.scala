@@ -249,13 +249,20 @@ private[snap] object GraftProcedures {
 
   private class DvMaterialize(rootDir: String) extends SnapProcedure("dv_materialize", rootDir) {
     override def description: String =
-      "fold every deletion vector into its data file (rewrite without the deleted positions; " +
-        "provably-empty files archive) and commit — ends the merge-on-read era so raw-reading " +
-        "maintenance ops (compact/cluster/COW delete) accept the table again"
-    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+      "fold deletion vectors into their data files (rewrite without the deleted positions; " +
+        "provably-empty files archive) and commit. An optional `where` over the table's hive " +
+        "partition columns scopes the fold (e.g. where => \"day = DATE'2024-01-03'\") — " +
+        "out-of-scope vectors carry forward; unscoped, it ends the merge-on-read era so " +
+        "raw-reading maintenance ops (COW delete/update/merge) accept the whole table again"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), inDefault("where", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (files, positions) =
-        graft.sources.DeleteVectors.materialize(spark, dirOf(input.getUTF8String(0).toString))
+      val whereStr = input.getUTF8String(1).toString.trim
+      val scope =
+        if (whereStr.isEmpty) None
+        else Some(org.apache.spark.sql.functions.expr(whereStr))
+      val (files, positions) = graft.sources.DeleteVectors
+        .materialize(spark, dirOf(input.getUTF8String(0).toString), scope)
       result(
         out("files_rewritten" -> LongType, "positions_folded" -> LongType),
         Seq(files, positions))

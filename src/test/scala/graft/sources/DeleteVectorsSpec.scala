@@ -88,18 +88,33 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(rowSet(Snapshots.readSnapshot(spark, dir, v1)).size == 4)
   }
 
-  test("raw-reading maintenance ops refuse on a DV'd table; materialize unblocks them") {
+  test("COW DML guards are SCOPED: ops touching a DV'd file refuse, ops bounded away run") {
     val dir = Files.createTempDirectory("dv_guard").toString + "/t"
     table(dir)
-    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // DV on day=01's file
+    // touching the DV'd file refuses loudly (raw rewrite would resurrect)
     val e1 = intercept[RuntimeException](Sources.deleteWhere(spark, dir, $"id" === 1L))
     assert(e1.getMessage.contains("deletion vectors"))
     val e2 = intercept[RuntimeException](Sources.updateWhere(spark, dir, $"id" === 1L, Map("v" -> lit(0.0))))
     assert(e2.getMessage.contains("deletion vectors"))
-    val e3 = intercept[RuntimeException](Sources.compactInPlace(spark, dir))
+    // bounded away from the DV'd file, the same ops run — and the vector
+    // carries through their commits untouched
+    val (df0, dr0) = Sources.deleteWhere(spark, dir, $"id" === 4L) // day=03's clean file
+    assert(df0 == 1L && dr0 == 1L)
+    val (uf0, ur0) = Sources.updateWhere(spark, dir, $"id" === 3L, Map("v" -> lit(21.0)))
+    assert(uf0 == 1L && ur0 == 1L)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 1)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) ==
+      Set((1L, "2024-01-01", 10.0), (3L, "2024-01-02", 21.0)))
+    // a partitioned MERGE into an un-DV'd partition runs; into the DV'd one refuses
+    val e3 = intercept[RuntimeException](Sources.mergeIntoPartitioned(
+      spark, dir, Seq((9L, "2024-01-01", 90.0)).toDF("id", "day", "v"), "day", Seq("id")))
     assert(e3.getMessage.contains("deletion vectors"))
-    // materialize folds the vector in: reads unchanged, pointers gone,
-    // COW ops accepted again
+    Sources.mergeIntoPartitioned(
+      spark, dir, Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v"), "day", Seq("id"))
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 1)
+    // materialize folds the vector in: reads unchanged (plus the merge row),
+    // pointers gone, COW ops on the formerly-DV'd file accepted again
     val liveBefore = rowSet(Snapshots.readSnapshot(spark, dir))
     val (mf, mp) = DeleteVectors.materialize(spark, dir)
     assert(mf == 1L && mp == 1L)
@@ -109,6 +124,77 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 3L)
     val (df2, dr2) = Sources.deleteWhere(spark, dir, $"id" === 1L)
     assert(df2 == 1L && dr2 == 1L)
+  }
+
+  test("compactInPlace FOLDS the rewritten scope's vectors and leaves other scopes pointed") {
+    val (_, dir) = catalogTable("dvfold")
+    // a second file in day=01 so the dir is a compaction target
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = Files.createTempDirectory("dv_fold_extra").toString + "/out"
+    Seq((10L, 100.0)).toDF("id", "v").repartition(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "day=2024-01-01/part-extra-fold.parquet"))
+    Snapshots.commit(spark, dir) // v2
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v3: DV in day=01
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 3L) // v4: DV in day=02 (fully deleted)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 2)
+    val (dirs, before, after) = Sources.compactInPlace(spark, dir) // v5
+    assert(dirs == 1L && before == 2L && after == 1L)
+    val v5 = Snapshots.latestVersion(spark, dir)
+    val dv = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    assert(
+      dv.keySet.map(_.split("/").head) == Set("day=2024-01-02"),
+      s"day=01's vector must fold, day=02's must survive: $dv")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 10L, 4L))
+    // physical proof: the compacted day=01 dir no longer holds the deleted row
+    val raw01 = spark.read.parquet(s"$dir/day=2024-01-01").select($"id")
+      .collect().map(_.getLong(0)).toSet
+    assert(raw01 == Set(1L, 10L), s"folded rewrite must drop id=2, got $raw01")
+    // CDC: a folding compaction is a PURE rewrite — the version nets nothing
+    val net = spark.read
+      .option("startingVersion", v5)
+      .option("endingVersion", v5)
+      .table("dvfold.ev.changes")
+      .count()
+    assert(net == 0L, s"compaction version must net zero changes, got $net")
+  }
+
+  test("clusterInPlace folds vectors too (every scope rewrites)") {
+    val dir = Files.createTempDirectory("dv_cluster").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    val (scopes, before) = Sources.clusterInPlace(spark, dir, $"id", filesPerScope = 1)
+    assert(scopes == 3L && before == 3L)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 3L, 4L))
+    assert(spark.read.parquet(dir).count() == 3L, "raw read agrees after the fold")
+  }
+
+  test("scoped materialize folds only the matching partitions' vectors") {
+    val dir = Files.createTempDirectory("dv_scoped_mat").toString + "/t"
+    table(dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // day=01
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 4L) // day=03
+    val (mf, mp) = DeleteVectors.materialize(spark, dir, Some($"day" === "2024-01-03"))
+    assert(mf == 1L && mp == 1L, s"got ($mf, $mp)")
+    val dv = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    assert(dv.keySet.map(_.split("/").head) == Set("day=2024-01-01"), dv.toString)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 3L))
+    // the folded partition accepts COW DML again; the pointed one refuses
+    val (uf, ur) = Sources.updateWhere(spark, dir, $"day" === "2024-01-03", Map("v" -> lit(0.0)))
+    assert(uf == 0L && ur == 0L, "day=03's only row was deleted — nothing to update")
+    intercept[RuntimeException](Sources.deleteWhere(spark, dir, $"id" === 1L))
+    // an unscoped pass finishes the job
+    val (mf2, _) = DeleteVectors.materialize(spark, dir)
+    assert(mf2 == 1L)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
+    // a scope on a NON-partition column refuses loudly rather than guessing
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 1L)
+    intercept[Exception](DeleteVectors.materialize(spark, dir, Some($"v" > 0.0)))
   }
 
   test("materialize archives a fully-deleted file instead of writing an empty rewrite") {
