@@ -2110,14 +2110,17 @@ object Frontier3 {
     * REQUIRED: after two OVERLAPPING MoR deletes (the second's positions
     * merge into the first's sidecars — counts must not double), a
     * metadata-only `COUNT(*)` still pushes to the manifest
-    * (`GraftSnapAggScan` in the plan — zero file opens) because the DV
-    * commit recorded the exact deleted count to subtract; `MIN`/`MAX` on
-    * the same table REFUSE the pushdown (the deleted rows' extremes are
-    * unknown — a recorded interval is only an upper bound now) and fall
-    * back to a real scan whose answer the oracle verifies. A wrong
-    * subtraction, a double-counted overlap, or a MIN/MAX that trusted a
-    * DV'd interval all break the hash; a MIN/MAX that still pushed breaks
-    * the `require`.
+    * (`GraftSnapAggScan`, zero file opens) because the DV commit recorded
+    * the exact deleted count to subtract; `MIN`/`MAX` on the same table
+    * push as the HYBRID aggregate (round 12): a recorded interval on a
+    * DV'd file is only an upper bound, so the scan answers clean files
+    * from the manifest and SCANS only the DV'd ones, folding the two —
+    * here every file carries a vector (every day has clicks), so the
+    * plan must say `hybrid` and its values must still hash-match the
+    * oracle. A wrong subtraction, a double-counted overlap, or a MIN/MAX
+    * that trusted a DV'd interval all break the hash; a MIN/MAX plan
+    * without the hybrid marker breaks the `require` (q234 pins the
+    * only-DV'd-files-open discipline physically).
     */
   def q227(s: SparkSession, d: String): DataFrame = {
     val (cat, dir) = statsTable(s, d, "snapq227", Seq("day"))
@@ -2129,13 +2132,15 @@ object Frontier3 {
     }
     val cnt = s.sql(s"SELECT count(*) AS n_rows FROM $cat.ev")
     require(
-      scanDescriptions(cnt).exists(_.contains("GraftSnapAggScan")),
+      scanDescriptions(cnt).exists(d0 =>
+        d0.contains("GraftSnapAggScan") && d0.contains("manifest-only, zero file opens")),
       "COUNT(*) must stay manifest-only under deletion vectors (exact subtraction)")
     val nRows = cnt.head().getLong(0)
     val mm = s.sql(s"SELECT min(n) AS min_n, max(n) AS max_n FROM $cat.ev")
     require(
-      !scanDescriptions(mm).exists(_.contains("GraftSnapAggScan")),
-      "MIN/MAX must refuse manifest pushdown on DV'd files (extremes may be deleted)")
+      scanDescriptions(mm).exists(d0 =>
+        d0.contains("GraftSnapAggScan") && d0.contains("hybrid:")),
+      "MIN/MAX on a DV'd table must push as the hybrid aggregate (DV'd files scanned, folded)")
     val row = mm.head()
     s.sql(s"""
       |SELECT CAST(${nRows} AS BIGINT) AS n_rows,
@@ -2370,6 +2375,79 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q234: HYBRID manifest aggregate pushdown on a partially-DV'd table -
+
+  /** A 0.1 %-deleted table must not pay a 100 % scan for `MIN(x)` — the
+    * round-11 refusal, replaced by the hybrid plan: one day's MoR delete
+    * leaves ONE file carrying a vector, and `COUNT(col)`/`MIN`/`MAX` still
+    * push to [[graft.sources.snap.SnapAggScan]], which answers every
+    * clean file from its manifest line and runs one bounded job over ONLY
+    * the DV'd file, folding the two. The proof is PHYSICAL, not just
+    * plan-text: a clean file is corrupted in place after its stats were
+    * committed — any plan that opened more than the DV'd file dies on it,
+    * so the green hash certifies the 1-of-N open count. The epilogue
+    * exercises the scoped fold from SQL: `CALL dv_materialize(where =>
+    * day-of-the-vector)` rewrites exactly that file, after which the same
+    * aggregate is manifest-only again (zero opens — the corrupt file is
+    * still never read) with identical values.
+    */
+  def q234(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq234", Seq("day", "n"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day = DATE'$m'")
+    }
+    // corrupt a CLEAN day's data file (crc sidecar removed, bytes junked):
+    // its manifest stats still answer, but any read of it now fails — the
+    // canary that proves only the DV'd file is opened
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val victimDay = m.plusDays(3).toString
+    val victim = graft.sources.Snapshots.files(s, dir).find(_.startsWith(s"day=$victimDay/")).get
+    val vPath = new org.apache.hadoop.fs.Path(dir, victim)
+    val crc = new org.apache.hadoop.fs.Path(vPath.getParent, s".${vPath.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(vPath, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    def agg() = s.sql(s"""
+      |SELECT count(*) AS n_rows, count(n) AS n_vals,
+      |       min(n) AS min_n, max(n) AS max_n FROM $cat.ev""".stripMargin)
+    val hybrid = agg()
+    val hybridOk = scanDescriptions(hybrid).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("hybrid: 1/"))
+    require(hybridOk, "expected a hybrid pushdown scanning exactly the one DV'd file")
+    val row1 = hybrid.head()
+    // scoped fold from SQL: exactly the vectored day rewrites
+    val folded = s
+      .sql(s"CALL $cat.dv_materialize(table => 'ev', where => \"day = DATE'$m'\")")
+      .head()
+      .getLong(0)
+    val after = agg()
+    val manifestOnly = scanDescriptions(after).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("manifest-only, zero file opens"))
+    require(manifestOnly, "after the scoped fold the aggregate must be manifest-only again")
+    val row2 = after.head()
+    s.sql(s"""
+      |SELECT CAST(${row1.getLong(0)} AS BIGINT) AS n_rows,
+      |       CAST(${row1.getLong(1)} AS BIGINT) AS n_vals,
+      |       CAST(${row1.getLong(2)} AS BIGINT) AS min_n,
+      |       CAST(${row1.getLong(3)} AS BIGINT) AS max_n""".stripMargin)
+      .withColumn("hybrid_ok", lit(hybridOk))
+      .withColumn("folded_files", lit(folded))
+      .withColumn("stable_after_fold", lit(row2 == row1 && manifestOnly))
+  }
+
+  val q234Sql: String =
+    """WITH per AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM per),
+      |live AS (SELECT per.* FROM per, b WHERE NOT (event_type = 'click' AND day = m))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(n) AS BIGINT) AS n_vals,
+      |       min(n) AS min_n, max(n) AS max_n,
+      |       true AS hybrid_ok, CAST(1 AS BIGINT) AS folded_files, true AS stable_after_fold
+      |FROM live""".stripMargin
+
   // -- q233: compaction FOLDS deletion vectors, scope by scope ------------
 
   /** The DV-aware OPTIMIZE: compaction no longer refuses a merge-on-read
@@ -2436,6 +2514,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q234_dv_hybrid_agg" -> (q234 _),
     "q233_dv_compaction_fold" -> (q233 _),
     "q232_mor_sql_merge" -> (q232 _),
     "q231_mor_sql_update" -> (q231 _),
@@ -2476,6 +2555,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q234_dv_hybrid_agg" -> q234Sql,
     "q233_dv_compaction_fold" -> q233Sql,
     "q232_mor_sql_merge" -> q232Sql,
     "q231_mor_sql_update" -> q231Sql,

@@ -1273,12 +1273,20 @@ class SnapScanBuilder(
     def stOf(rel: String) = planView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
     def rowsKnown = rels.forall(r => stOf(r).contains(Snapshots.RowCountKey))
     // a deletion vector makes per-column footer stats UPPER bounds only:
-    // the deleted rows' nulls and extremes are unknown, so COUNT(col) and
-    // MIN/MAX refuse on any DV'd file (COUNT(*) stays exact — the DV
-    // commit records the precise deleted count to subtract)
-    def noDv = rels.forall(r => !Snapshots.hasDv(stOf(r)))
+    // the deleted rows' nulls and extremes are unknown. The HYBRID plan:
+    // clean files answer COUNT(col)/MIN/MAX from the manifest as before,
+    // DV'd files — and ONLY them — are scanned (vectors applied) at
+    // execution and folded in ([[SnapAggScan.scanned]]), so a
+    // 0.1 %-deleted table answers MIN(x) by opening 0.1 % of its files.
+    // COUNT(*) needs no scan at all — the DV commit records the precise
+    // deleted count to subtract. The per-file stat gates below therefore
+    // apply to CLEAN files only; the DV'd side just needs a recorded
+    // schema to scan with (a DV implies a v2 manifest, so this only
+    // refuses defensively).
+    val cleanRels = rels.filter(r => !Snapshots.hasDv(stOf(r)))
+    def dvdScannable = cleanRels.length == rels.length || planView.schema.isDefined
     def nullsKnown(c: String) =
-      noDv && rels.forall { r =>
+      dvdScannable && cleanRels.forall { r =>
         val st = stOf(r)
         // a KNOWN count, not just the key — 'u' (footer had no num_nulls)
         // can gate the incremental commit but cannot answer COUNT(col)
@@ -1299,8 +1307,8 @@ class SnapScanBuilder(
           case DateType | StringType => Some("s")
           case _ => None
         }
-        if noDv
-        if rels.forall { r =>
+        if dvdScannable
+        if cleanRels.forall { r =>
           val st = stOf(r)
           st.get(c) match {
             case Some(cs) =>
@@ -1532,32 +1540,89 @@ class SnapAggScan(
     groupCols.map { case (c, _) => SnapFilters.segValue(byName(c)) }
   }
 
-  /** The answer rows, computed from the manifest view alone: one row
-    * ungrouped, one row per distinct partition-value tuple grouped —
-    * over the (possibly consumed-filter-narrowed) pinned file list.
+  /** Which of the scan's files carry a deletion vector (fully-deleted
+    * files were already dropped upstream): the HYBRID split — clean files
+    * answer from the manifest, these are scanned with their vectors
+    * applied and folded in. COUNT(*)-only plans never scan (the recorded
+    * deleted counts subtract exactly).
+    */
+  private lazy val dvdRels: Seq[String] = rels.filter(r => Snapshots.hasDv(stOf(r)))
+
+  private def needsScan: Boolean =
+    dvdRels.nonEmpty && fields.exists {
+      case CountStarF => false
+      case _ => true
+    }
+
+  /** The DV'd files' exact per-group contributions, from ONE Spark job
+    * over ONLY those files (vectors applied by [[Snapshots.scanRels]]'
+    * anti-join). Group keys come back as the partition columns' canonical
+    * string renderings — the planner's `consumableCol` gate guarantees
+    * every file path value IS that rendering, so the keys align with
+    * [[groupKeyOf]] exactly. O(groups) driver memory, never O(rows).
+    */
+  private lazy val scanned: Map[Seq[Option[String]], Array[Any]] =
+    if (!needsScan) Map.empty
+    else {
+      val spark = SparkSession.active
+      val schema = view.schema.getOrElse(
+        sys.error(s"hybrid aggregate pushdown on $dir needs a recorded schema"))
+      val dv = Snapshots.dvByRel(view)
+      val df = Snapshots.scanRels(spark, dir, dvdRels, Some(schema), dv)
+      import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin}
+      val aggCols = fields.zipWithIndex.map {
+        case (CountStarF, i) => count(lit(1)).as(s"a_$i") // folded from the manifest, not here
+        case (CountColF(c), i) => count(col(c)).as(s"a_$i")
+        case (MinF(c, _), i) => smin(col(c)).as(s"a_$i")
+        case (MaxF(c, _), i) => smax(col(c)).as(s"a_$i")
+      }
+      val keyCols = groupCols.zipWithIndex.map { case ((c, _), i) =>
+        col(c).cast("string").as(s"k_$i")
+      }
+      val out =
+        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*).collect()
+        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*).collect()
+      out.map { row =>
+        val key = groupCols.indices.map(i => Option(row.getAs[String](s"k_$i")))
+        key -> fields.indices.map(i => row.get(row.fieldIndex(s"a_$i"))).toArray
+      }.toMap
+    }
+
+  /** The answer rows: one row ungrouped, one row per distinct partition-
+    * value tuple grouped — clean files folded from the manifest view
+    * alone, DV'd files from [[scanned]].
     */
   private[snap] lazy val rows: Seq[Seq[Any]] =
-    if (groupCols.isEmpty) Seq(aggRow(rels))
+    if (groupCols.isEmpty) Seq(aggRow(Seq.empty, rels))
     else
       rels.groupBy(groupKeyOf).toSeq.map { case (key, group) =>
         val keyVals = key.zip(groupCols).map { case (v, (_, t)) =>
           v.map(external(_, t)).orNull
         }
-        keyVals ++ aggRow(group)
+        keyVals ++ aggRow(key, group)
       }
 
-  private def aggRow(rels: Seq[String]): Seq[Any] = fields.map {
-    case CountStarF =>
-      // LOGICAL rows: recorded minus deletion-vector counts — exact, the
-      // DV commit recorded the distinct deleted-position total per file
-      rels.map(r => Snapshots.logicalRowsOf(stOf(r)).get).sum
-    case CountColF(c) =>
-      rels.map { r =>
-        val st = stOf(r)
-        st(Snapshots.RowCountKey).min.toLong - Snapshots.nullCountOf(st, c).get
-      }.sum
-    case MinF(c, t) => extreme(rels, c, t, isMin = true)
-    case MaxF(c, t) => extreme(rels, c, t, isMin = false)
+  private def aggRow(key: Seq[Option[String]], rels: Seq[String]): Seq[Any] = {
+    val clean = rels.filter(r => !Snapshots.hasDv(stOf(r)))
+    def scannedVal(i: Int): Any = scanned.get(key).map(_(i)).orNull
+    fields.zipWithIndex.map {
+      case (CountStarF, _) =>
+        // LOGICAL rows: recorded minus deletion-vector counts — exact, the
+        // DV commit recorded the distinct deleted-position total per file
+        rels.map(r => Snapshots.logicalRowsOf(stOf(r)).get).sum
+      case (CountColF(c), i) =>
+        val manifestSide = clean.map { r =>
+          val st = stOf(r)
+          st(Snapshots.RowCountKey).min.toLong - Snapshots.nullCountOf(st, c).get
+        }.sum
+        manifestSide + (scannedVal(i) match {
+          case null => 0L
+          case n: java.lang.Long => n.longValue()
+          case other => other.toString.toLong
+        })
+      case (MinF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = true), scannedVal(i), t, isMin = true)
+      case (MaxF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = false), scannedVal(i), t, isMin = false)
+    }
   }
 
   /** SQL MIN/MAX ignore nulls: the extreme over files WITH a value
@@ -1584,6 +1649,35 @@ class SnapAggScan(
       }
   }
 
+  /** Fold a manifest-side extreme with a scanned one. Integral values
+    * widen to long and re-narrow; dates compare chronologically; strings
+    * compare as Java strings, which agrees with Spark's UTF8 (code-point)
+    * ordering here because the MANIFEST side is planner-verified ASCII —
+    * at the first differing position one side's char is < 0x80, and both
+    * orderings put it below any non-ASCII unit.
+    */
+  private def foldExtreme(a: Any, b: Any, t: DataType, isMin: Boolean): Any =
+    if (a == null) b
+    else if (b == null) a
+    else
+      t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          def toL(x: Any): Long = x.asInstanceOf[Number].longValue()
+          val v = if (isMin) math.min(toL(a), toL(b)) else math.max(toL(a), toL(b))
+          t match {
+            case ByteType => v.toByte
+            case ShortType => v.toShort
+            case IntegerType => v.toInt
+            case _ => v
+          }
+        case DateType =>
+          val (x, y) = (a.asInstanceOf[java.sql.Date], b.asInstanceOf[java.sql.Date])
+          if ((x.compareTo(y) <= 0) == isMin) x else y
+        case _ =>
+          val (x, y) = (a.asInstanceOf[String], b.asInstanceOf[String])
+          if ((x.compareTo(y) <= 0) == isMin) x else y
+      }
+
   override def description(): String = {
     val rendered = fields.map {
       case CountStarF => "COUNT(*)"
@@ -1599,8 +1693,11 @@ class SnapAggScan(
         val total = if (totalFiles >= 0L) totalFiles else view.rels.size.toLong
         s" ConsumedFilters: [${consumedFilters.mkString(", ")}] files=${rels.size}/$total"
       }
+    val mode =
+      if (!needsScan) " (manifest-only, zero file opens)"
+      else s" (hybrid: ${dvdRels.size}/${rels.size} DV'd files scanned, rest manifest-only)"
     s"GraftSnapAggScan $dir v${view.version} PushedAggregates: " +
-      s"[${rendered.mkString(", ")}]$grouped$filtered (manifest-only, zero file opens)"
+      s"[${rendered.mkString(", ")}]$grouped$filtered$mode"
   }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =

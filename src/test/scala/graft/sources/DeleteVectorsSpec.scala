@@ -400,6 +400,55 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(Snapshots.dvChangedRels(spark, dir, v).nonEmpty) // the real delete
   }
 
+  test("hybrid grouped aggregate pushdown folds manifest + scanned sides per group") {
+    val (_, dir) = catalogTable("dvhyb")
+    // a second, CLEAN file in day=01 so that group mixes both sides
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = Files.createTempDirectory("dv_hyb_extra").toString + "/out"
+    Seq((10L, 100.0)).toDF("id", "v").repartition(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "day=2024-01-01/part-extra-hyb.parquet"))
+    Snapshots.commit(spark, dir)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // vector in day=01's FIRST file
+    val df = spark.sql(
+      "SELECT day, count(*) AS n, count(id) AS ni, min(id) AS mn, max(id) AS mx " +
+        "FROM dvhyb.ev GROUP BY day ORDER BY day")
+    val descs = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass.getMethod("v1Scan").invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan].description()
+        else r.scan.description()
+    }
+    assert(
+      descs.exists(d => d.contains("GraftSnapAggScan") && d.contains("hybrid: 1/4")),
+      s"expected a hybrid pushdown over 1 DV'd of 4 files, got $descs")
+    val rows = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(
+      rows == Seq(
+        ("2024-01-01", 2L, 2L, 1L, 10L), // clean extreme 10 folded with scanned survivor 1
+        ("2024-01-02", 1L, 1L, 3L, 3L),
+        ("2024-01-03", 1L, 1L, 4L, 4L)),
+      rows.toString)
+    // COUNT(*) alone never scans — manifest-only even with the vector live
+    val cnt = spark.sql("SELECT count(*) AS n FROM dvhyb.ev")
+    val cntDescs = cnt.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass.getMethod("v1Scan").invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan].description()
+        else r.scan.description()
+    }
+    assert(cntDescs.exists(_.contains("manifest-only, zero file opens")), cntDescs.toString)
+    assert(cnt.head().getLong(0) == 4L)
+  }
+
   test("grouped COUNT(*) pushdown emits NO row for a fully-deleted group") {
     val (_, dir) = catalogTable("dvgrp")
     DeleteVectors.deleteWhere(spark, dir, $"day" === "2024-01-02") // kills that day's only file
