@@ -2375,6 +2375,114 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q235: streaming merge-on-read upsert ≡ batch MERGE ------------------
+
+  /** Streaming upserts priced like the batch MoR DML — the round-11 gap
+    * (foreachBatch upserts paid copy-on-write partition rewrites every
+    * epoch) closed by [[graft.streaming.Streaming.upsertMorSink]]: a REAL
+    * two-epoch file stream applies view-tripling updates plus a synthetic
+    * insert, each epoch landing as deletion vectors + appended files in
+    * ONE commit. The twin table takes the SAME changes through SQL
+    * `MERGE` (the `SupportsDelta` path), and the hash pins the per-type
+    * totals while `stream_eq_batch` certifies full-content equality both
+    * ways. `originals_kept` proves no epoch rewrote a file,
+    * `epochs_committed` pins one version per epoch, `dv_files_ok` the
+    * vectors. At 100 TB this is the continuously-maintained training
+    * table: a day of streaming CDC costs the changed rows, not the
+    * touched partitions, and a re-run of either path converges to the
+    * same bytes.
+    */
+  def q235(s: SparkSession, d: String): DataFrame = {
+    val (catA, dirA) = statsTable(s, d, "snapq235a", Seq("day"))
+    val (catB, _) = statsTable(s, d, "snapq235b", Seq("day"))
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val updates = ev
+      .filter(col("event_type") === "view")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((count(lit(1)) * 3).cast("long").as("n"), sum(micro).as("sum_u"))
+    val inserts = s.sql(
+      "SELECT DATE'1999-12-31' AS day, '__synthetic' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u")
+    val src = updates.unionByName(inserts)
+    // STREAM side: two epochs, split deterministically by day parity
+    // (disjoint keys — epoch order cannot matter), delivered through a
+    // real file-source stream with one file per trigger
+    val base = new org.apache.hadoop.fs.Path(dirA).getParent
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inDir = new org.apache.hadoop.fs.Path(base, "upsert_in")
+    fs.mkdirs(inDir)
+    Seq(0, 1).foreach { parity =>
+      val tmp = new org.apache.hadoop.fs.Path(base, s".upsert_stage_$parity")
+      src
+        .filter(dayofmonth(col("day")) % 2 === parity)
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"upsert-$parity%02d.parquet"))
+      fs.delete(tmp, true)
+    }
+    val filesBefore = graft.sources.Snapshots.files(s, dirA).toSet
+    val vBefore = graft.sources.Snapshots.latestVersion(s, dirA)
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_u", org.apache.spark.sql.types.LongType)))
+    val q = s.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .writeStream
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "upsert_ck").toString)
+      .foreachBatch(graft.streaming.Streaming
+        .upsertMorSink(dirA, Seq("day", "event_type"), tag = "q235"))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val filesAfter = graft.sources.Snapshots.files(s, dirA).toSet
+    val vAfter = graft.sources.Snapshots.latestVersion(s, dirA)
+    val nDv = graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dirA)).size
+    // BATCH twin: the same changes as ONE SQL MERGE through the delta path
+    src.createOrReplaceTempView(s"${catB}_usrc")
+    withConfs(s, "spark.graft.rowlevel.mode" -> "mor") {
+      s.sql(s"""
+        |MERGE INTO $catB.ev t USING ${catB}_usrc s
+        |ON t.day = s.day AND t.event_type = s.event_type
+        |WHEN MATCHED THEN UPDATE SET n = s.n, sum_u = s.sum_u
+        |WHEN NOT MATCHED THEN INSERT (day, event_type, n, sum_u)
+        |  VALUES (s.day, s.event_type, s.n, s.sum_u)""".stripMargin)
+    }
+    val a = s.sql(s"SELECT day, event_type, n, sum_u FROM $catA.ev")
+    val b = s.sql(s"SELECT day, event_type, n, sum_u FROM $catB.ev")
+    val streamEqBatch = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(sum_u) AS BIGINT) AS u_live
+      |FROM $catA.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("stream_eq_batch", lit(streamEqBatch))
+      .withColumn("originals_kept", lit(filesBefore.subsetOf(filesAfter)))
+      .withColumn("epochs_committed", lit(vAfter - vBefore))
+      .withColumn("dv_files_ok", lit(nDv > 0))
+  }
+
+  val q235Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS us
+      |      FROM s GROUP BY event_type)
+      |SELECT event_type,
+      |  CAST(CASE WHEN event_type = 'view' THEN 3 * n ELSE n END AS BIGINT) AS n_live,
+      |  us AS u_live,
+      |  true AS stream_eq_batch, true AS originals_kept,
+      |  CAST(2 AS BIGINT) AS epochs_committed, true AS dv_files_ok
+      |FROM g
+      |UNION ALL
+      |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
+      |ORDER BY event_type""".stripMargin
+
   // -- q234: HYBRID manifest aggregate pushdown on a partially-DV'd table -
 
   /** A 0.1 %-deleted table must not pay a 100 % scan for `MIN(x)` — the
@@ -2514,6 +2622,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q235_stream_mor_upsert" -> (q235 _),
     "q234_dv_hybrid_agg" -> (q234 _),
     "q233_dv_compaction_fold" -> (q233 _),
     "q232_mor_sql_merge" -> (q232 _),
@@ -2555,6 +2664,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q235_stream_mor_upsert" -> q235Sql,
     "q234_dv_hybrid_agg" -> q234Sql,
     "q233_dv_compaction_fold" -> q233Sql,
     "q232_mor_sql_merge" -> q232Sql,

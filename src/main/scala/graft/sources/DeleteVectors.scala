@@ -478,6 +478,188 @@ object DeleteVectors {
       (dvd.size.toLong, dvd.values.map(_._2).sum)
     }
 
+  /** Merge-on-read UPSERT — the streaming-CDC-apply primitive: every
+    * source row lands in APPENDED files, and table rows matching a source
+    * row's key become deletion-vector positions, ONE atomic commit
+    * covering both ([[boundedCommit]], so the threshold-rewrite policy
+    * applies here too). Nothing is rewritten: at 100 TB an epoch's upsert
+    * is priced at (match scan over candidate files) + (the epoch's own
+    * bytes) + O(touched files) manifest delta — never partition rewrites.
+    *
+    * Match semantics are MERGE's: a table row matches when EVERY
+    * `keyCols` value equals a source row's (null keys never match). The
+    * caller supplies full replacement rows keyed uniquely per statement —
+    * the same contract SQL MERGE enforces. When the table's partition
+    * columns are all key columns (the CDC shape: keyed by (day, id)),
+    * the match scan prunes to the source's own partitions exactly;
+    * otherwise every live file is a candidate.
+    *
+    * Streaming exactly-once: pass (`streamTag`, `epochId`) from
+    * `foreachBatch` — a replayed epoch at-or-below the per-tag high-water
+    * marker is skipped whole. The marker advances AFTER the commit, so a
+    * crash in between replays the epoch; that replay is LOGICALLY
+    * idempotent (the epoch's earlier copies match their own keys and die
+    * as vectors, the fresh copies land — same logical table, the change
+    * feed shows the churn), the standard foreachBatch-upsert contract.
+    *
+    * Returns (files with changed pointers or rewrites, rows newly
+    * deleted); appended files ride the same commit.
+    */
+  def upsert(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      streamTag: String = "",
+      epochId: Long = -1L): (Long, Long) =
+    Snapshots.withTableLock(spark, root) {
+      require(keyCols.nonEmpty, "upsert needs at least one key column")
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (streamTag.nonEmpty && epochId >= 0L &&
+        lastUpsertEpoch(fs, rootPath, streamTag) >= epochId) return (0L, 0L)
+      val version = Snapshots.latestVersion(spark, root)
+      require(
+        version > 0L,
+        s"merge-on-read upsert on $root needs a committed manifest — Snapshots.commit / createTable first")
+      val view = Snapshots.manifestView(spark, root, version)
+      val schema = view.schema.getOrElse(
+        sys.error(s"merge-on-read upsert on $root needs a v2 manifest (recorded schema)"))
+      keyCols.foreach(k =>
+        require(schema.fieldNames.contains(k), s"upsert key column '$k' is not in the table schema"))
+      schema.fieldNames.foreach(c =>
+        require(
+          source.columns.contains(c),
+          s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
+      // aligned to the recorded schema: order and types (a malformed value
+      // fails loudly here, never lands half-cast)
+      val aligned = source.select(
+        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val partCols =
+        if (view.partCols.nonEmpty) view.partCols
+        else Snapshots.partitionColsFromRels(view.rels)
+
+      val alive = view.rels.filterNot(r =>
+        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+      // partition-exact candidate narrowing: keys ⊇ partition columns ⇒ a
+      // match shares the source row's partition values. Compared in the
+      // TYPED domain (the same per-file parse [[scopeByPartitions]] uses):
+      // a non-canonically rendered dir value still matches, and a value
+      // the declared type can't parse reads NULL on BOTH the narrow and
+      // the scan splice — consistently unmatched, never silently missed.
+      val candidates =
+        if (partCols.nonEmpty && partCols.forall(keyCols.contains) && alive.nonEmpty) {
+          val relDf = partitionValuesDf(spark, view, alive, partCols)
+          val touched = aligned.select(partCols.map(col): _*).distinct()
+          relDf
+            .join(broadcast(touched), partCols.toSeq, "left_semi")
+            .select(col("__graft_scope_rel__"))
+            .collect()
+            .map(_.getString(0))
+            .toSeq
+        } else alive
+
+      val commitTag = java.util.UUID.randomUUID().toString.take(8)
+      val written: Seq[(String, String, Long)] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
+          val keys = aligned.select(keyCols.map(col): _*).distinct()
+          val matches = scan
+            .join(broadcast(keys), keyCols, "left_semi")
+            .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
+          val oldDvByRel = candidates.flatMap { rel =>
+            Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
+          }.toMap
+          writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+        }
+
+      val addedRels = landAppend(spark, fs, rootPath, aligned, partCols, commitTag)
+      if (written.isEmpty && addedRels.isEmpty) return (0L, 0L)
+      val res =
+        try boundedCommit(spark, root, view, written, addedRels)
+        catch {
+          case t: Throwable =>
+            // a failed commit must not leave landed files for a later
+            // listing-based commit to adopt
+            addedRels.foreach(rel =>
+              try fs.delete(new Path(rootPath, rel), false) catch { case _: Exception => () })
+            throw t
+        }
+      if (streamTag.nonEmpty && epochId >= 0L) writeUpsertEpoch(fs, rootPath, streamTag, epochId)
+      res
+    }
+
+  /** Write `df` into the table's hive layout via a hidden stage dir and
+    * land each part file under the table root (fresh Spark-generated
+    * names — never reused, the archive invariant's requirement). Returns
+    * the landed rels; the caller commits them.
+    */
+  private def landAppend(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      df: DataFrame,
+      partCols: Seq[String],
+      tag: String): Seq[String] = {
+    val stage = new Path(rootPath, s".mor-upsert-$tag")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val writer =
+      if (partCols.nonEmpty)
+        // co-locate each partition's rows (the mergeIntoPartitioned
+        // small-files discipline): ~one file per touched partition value
+        df.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
+      else df.coalesce(1).write
+    writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+    val parts = walk(stage).filter(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val stageUri = fs.makeQualified(stage).toUri.getPath
+    val rels = parts.map { p =>
+      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      val to = new Path(rootPath, rel)
+      fs.mkdirs(to.getParent)
+      if (!fs.rename(p, to)) sys.error(s"upsert failed to land $rel")
+      rel
+    }
+    fs.delete(stage, true)
+    rels
+  }
+
+  private def upsertMarker(rootPath: Path, tag: String): Path =
+    new Path(
+      new Path(rootPath, Snapshots.ManifestDirName),
+      s".mor-epoch-${java.net.URLEncoder.encode(tag, "UTF-8")}")
+
+  private def lastUpsertEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      tag: String): Long = {
+    val m = upsertMarker(rootPath, tag)
+    if (!fs.exists(m)) -1L
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeUpsertEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      tag: String,
+      epochId: Long): Unit = {
+    val m = upsertMarker(rootPath, tag)
+    fs.mkdirs(m.getParent)
+    val tmp = new Path(m.getParent, s".mor-epoch-tmp-${java.net.URLEncoder.encode(tag, "UTF-8")}")
+    val out = fs.create(tmp, true)
+    try out.write(epochId.toString.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(m, false)
+    if (!fs.rename(tmp, m)) sys.error(s"upsert epoch high-water update failed for $tag@$epochId")
+  }
+
   /** Which of `rels` satisfy `pred` over their hive partition-path values?
     * Exact, not pruning: each file's segments parse as the DECLARED
     * partition-column types (`try_cast` — a value the type can't render
@@ -491,13 +673,31 @@ object DeleteVectors {
       view: Snapshots.ManifestView,
       rels: Seq[String],
       pred: Column): Set[String] = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val partCols =
       if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
     require(
       partCols.nonEmpty,
       "scoped materialize needs a hive-partitioned table — omit `where` to fold everything")
+    partitionValuesDf(spark, view, rels, partCols)
+      .filter(pred)
+      .select(col("__graft_scope_rel__"))
+      .collect()
+      .map(_.getString(0))
+      .toSet
+  }
+
+  /** One row per rel with its hive partition-path values parsed as the
+    * DECLARED column types (`try_cast`: an unparseable dir value reads
+    * NULL — the same value the scan splice would produce). The per-file
+    * partition-domain the scoped fold and the upsert narrowing share.
+    */
+  private def partitionValuesDf(
+      spark: SparkSession,
+      view: Snapshots.ManifestView,
+      rels: Seq[String],
+      partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val rows = rels.map { rel =>
       val segs = graft.sources.snap.SnapFilters.partSegments(rel)
       Row.fromSeq(
@@ -509,7 +709,7 @@ object DeleteVectors {
       StructType(
         StructField("__graft_scope_rel__", StringType, nullable = false) +:
           partCols.map(c => StructField(c, StringType, nullable = true))))
-    val typed = partCols.foldLeft(raw) { (df, c) =>
+    partCols.foldLeft(raw) { (df, c) =>
       view.schema.flatMap(_.fields.find(_.name == c)) match {
         case Some(f) =>
           df.withColumn(
@@ -518,11 +718,5 @@ object DeleteVectors {
         case None => df
       }
     }
-    typed
-      .filter(pred)
-      .select(col("__graft_scope_rel__"))
-      .collect()
-      .map(_.getString(0))
-      .toSet
   }
 }

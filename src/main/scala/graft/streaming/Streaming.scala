@@ -543,6 +543,37 @@ object Streaming {
       .start()
   }
 
+  /** Streaming MERGE-on-read upsert sink — the `foreachBatch` body that
+    * prices a streaming CDC-apply like the batch MoR DML: each micro-
+    * batch's matched table rows become deletion-vector positions and the
+    * batch's rows land as appended files, ONE manifest commit per epoch
+    * ([[graft.sources.DeleteVectors.upsert]]) — never a partition
+    * rewrite. Exactly-once: the per-query epoch high-water marker skips
+    * replayed epochs; the crash window between commit and marker falls
+    * back to the upsert's logical idempotence (full replacement rows
+    * keyed by `keyCols`). Usage:
+    *
+    * {{{
+    * df.writeStream
+    *   .foreachBatch(Streaming.upsertMorSink(root, Seq("day", "event_type")))
+    *   .start()
+    * }}}
+    */
+  def upsertMorSink(
+      root: String,
+      keyCols: Seq[String],
+      tag: String = "upsert"): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, epochId) => {
+      graft.sources.DeleteVectors.upsert(
+        batch.sparkSession,
+        root,
+        batch.toDF(),
+        keyCols,
+        streamTag = tag,
+        epochId = epochId)
+      ()
+    }
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

@@ -629,6 +629,84 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(spark.sql("SELECT id FROM dvns.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("MoR upsert: matched rows become vectors, source rows append, ONE commit") {
+    val dir = Files.createTempDirectory("dv_upsert").toString + "/t"
+    val v1 = table(dir)
+    val filesBefore = Snapshots.files(spark, dir).toSet
+    val src = Seq((2L, "2024-01-01", 110.0), (9L, "2024-01-09", 90.0)).toDF("id", "day", "v")
+    val (touched, deleted) = DeleteVectors.upsert(spark, dir, src, Seq("day", "id"))
+    assert(touched == 1L && deleted == 1L, s"got ($touched, $deleted)")
+    assert(Snapshots.latestVersion(spark, dir) == v1 + 1L, "one atomic version")
+    val filesAfter = Snapshots.files(spark, dir).toSet
+    assert(filesBefore.subsetOf(filesAfter), "nothing rewritten or archived")
+    assert((filesAfter -- filesBefore).nonEmpty, "the epoch's rows landed as new files")
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).size == 1)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == Set(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 110.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 90.0)))
+    assert(Snapshots.countRows(spark, dir) == 5L, "metadata count stays exact")
+    // snapshot isolation: the pre-upsert version still reads the old row
+    assert(rowSet(Snapshots.readSnapshot(spark, dir, v1))
+      .contains((2L, "2024-01-01", 11.0)))
+    // insert-only epoch: no matches, still one commit, no pointer churn
+    val (t2, d2) =
+      DeleteVectors.upsert(spark, dir, Seq((7L, "2024-01-07", 70.0)).toDF("id", "day", "v"), Seq("day", "id"))
+    assert(t2 == 0L && d2 == 0L)
+    assert(Snapshots.countRows(spark, dir) == 6L)
+  }
+
+  test("MoR upsert epochs: high-water replay skip; two streamed epochs ≡ one batch apply") {
+    val a = Files.createTempDirectory("dv_ups_a").toString + "/t"
+    val b = Files.createTempDirectory("dv_ups_b").toString + "/t"
+    table(a); table(b)
+    val e0 = Seq((2L, "2024-01-01", 110.0), (9L, "2024-01-09", 90.0)).toDF("id", "day", "v")
+    val e1 = Seq((9L, "2024-01-09", 91.0), (3L, "2024-01-02", 21.0)).toDF("id", "day", "v")
+    DeleteVectors.upsert(spark, a, e0, Seq("day", "id"), streamTag = "q", epochId = 0L)
+    val vAfter0 = Snapshots.latestVersion(spark, a)
+    // replayed epoch: skipped whole — no version, no vectors, no files
+    assert(DeleteVectors.upsert(spark, a, e0, Seq("day", "id"), streamTag = "q", epochId = 0L) == ((0L, 0L)))
+    assert(Snapshots.latestVersion(spark, a) == vAfter0)
+    DeleteVectors.upsert(spark, a, e1, Seq("day", "id"), streamTag = "q", epochId = 1L)
+    // the batch twin applies both epochs in order, un-tagged
+    DeleteVectors.upsert(spark, b, e0, Seq("day", "id"))
+    DeleteVectors.upsert(spark, b, e1, Seq("day", "id"))
+    assert(rowSet(Snapshots.readSnapshot(spark, a)) == rowSet(Snapshots.readSnapshot(spark, b)))
+    assert(rowSet(Snapshots.readSnapshot(spark, a)).contains((9L, "2024-01-09", 91.0)),
+      "epoch 1's update wins over epoch 0's insert")
+  }
+
+  test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {
+    val dir = Files.createTempDirectory("dv_ups_stream").toString + "/t"
+    table(dir)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = stream
+      .toDF()
+      .toDF("id", "day", "v")
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("dv_ups_ck").toString)
+      .foreachBatch(graft.streaming.Streaming.upsertMorSink(dir, Seq("day", "id"), tag = "s1"))
+      .start()
+    try {
+      stream.addData((2L, "2024-01-01", 110.0))
+      q.processAllAvailable()
+      stream.addData((2L, "2024-01-01", 120.0), (9L, "2024-01-09", 90.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == Set(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 120.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 90.0)))
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).nonEmpty)
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2
