@@ -2375,6 +2375,68 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q236: zero-copy branch/tag refs -------------------------------------
+
+  /** The zero-copy fork: `CALL create_ref` pins a version under a name in
+    * O(1) metadata — against a 100 TB table it writes ten bytes, copies
+    * nothing (`zero_copy` hashes the live file set across the CALL), and
+    * `VERSION AS OF 'prelaunch'` reads the pinned world from any SQL
+    * client. The lifecycle then attacks the pin from every side: a MoR
+    * DELETE kills the clicks, an INSERT adds a synthetic row, and an
+    * aggressive `CALL vacuum(keep_last => 1)` expires all unpinned
+    * history — the branch read in the FINAL SELECT happens after all of
+    * it, so the hash match against the oracle's full-events recomputation
+    * IS the retention proof (without the ref, vacuum would have reaped
+    * the pre-delete state). `ref_ok` pins the `cat.ev.refs` metadata
+    * table. Refs are immutable tags — the divergent-write fork remains
+    * `CALL clone` — and dev/test forks of production training tables stop
+    * costing a table copy.
+    */
+  def q236(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq236", Seq("day"))
+    val filesBefore = graft.sources.Snapshots.files(s, dir).toSet
+    val pinnedV =
+      s.sql(s"CALL $cat.create_ref(table => 'ev', name => 'prelaunch')").head().getLong(0)
+    val zeroCopy = graft.sources.Snapshots.files(s, dir).toSet == filesBefore
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'") // v2
+    }
+    s.sql(s"""
+      |INSERT INTO $cat.ev
+      |VALUES ('__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), DATE'1999-12-31')""".stripMargin) // v3
+    s.sql(s"CALL $cat.vacuum(table => 'ev', keep_last => 1)")
+    val refRows = s
+      .sql(s"SELECT name, version FROM $cat.ev.refs")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val refOk = refRows == Seq(("prelaunch", pinnedV))
+    s.sql(s"""
+      |SELECT b.event_type AS event_type,
+      |       b.n AS n_branch, coalesce(l.n, CAST(0 AS BIGINT)) AS n_live,
+      |       b.u AS u_branch, coalesce(l.u, CAST(0 AS BIGINT)) AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 'prelaunch' GROUP BY event_type) b
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) l
+      |ON b.event_type = l.event_type
+      |ORDER BY event_type""".stripMargin)
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("ref_ok", lit(refOk))
+  }
+
+  val q236Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_branch,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  CAST(sum(u) AS BIGINT) AS u_branch,
+      |  CAST(sum(CASE WHEN event_type <> 'click' THEN u ELSE 0 END) AS BIGINT) AS u_live,
+      |  true AS zero_copy, true AS ref_ok
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- q235: streaming merge-on-read upsert ≡ batch MERGE ------------------
 
   /** Streaming upserts priced like the batch MoR DML — the round-11 gap
@@ -2622,6 +2684,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q236_branch_tag_refs" -> (q236 _),
     "q235_stream_mor_upsert" -> (q235 _),
     "q234_dv_hybrid_agg" -> (q234 _),
     "q233_dv_compaction_fold" -> (q233 _),
@@ -2664,6 +2727,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q236_branch_tag_refs" -> q236Sql,
     "q235_stream_mor_upsert" -> q235Sql,
     "q234_dv_hybrid_agg" -> q234Sql,
     "q233_dv_compaction_fold" -> q233Sql,

@@ -3147,11 +3147,94 @@ object Snapshots {
     }
   }
 
-  /** Expire history: keep the latest `keepLast` manifests, delete older
-    * manifest files, and delete every ARCHIVED file no retained manifest
-    * references. Live files are never touched (the latest manifest —
-    * always retained — references the live set). Returns the deleted
-    * archive-relative paths, sorted.
+  // ---- zero-copy branch/tag refs ----------------------------------------
+
+  /** Refs: NAMED manifest pointers (`_graft_manifests/refs/<name>`, one
+    * small file holding a version number) — the Iceberg-style zero-copy
+    * fork. Where [[cloneSnapshot]] deep-copies a pinned version's data
+    * files into an independent table, a ref shares everything: creating
+    * one is O(1) metadata at ANY table size (one ~10-byte file — no data
+    * read, no manifest parse), reads resolve through the pinned manifest
+    * (`VERSION AS OF 'name'` in SQL, [[refVersion]] + pinned reads
+    * programmatically), and [[vacuum]] retains the pinned version's
+    * manifest chain, data files and sidecars for as long as the ref
+    * lives. Refs are IMMUTABLE pins (tags): writes always target the live
+    * table and never move a ref — a fork that must diverge in content is
+    * what [[cloneSnapshot]] is for. At 100 TB this is the dev/test fork
+    * and the audit/reproducibility pin: `training_run_2024_08` costs ten
+    * bytes and survives every later compaction, delete and vacuum until
+    * dropped.
+    */
+  private def refsDir(root: Path): Path = new Path(manifestDir(root), "refs")
+
+  private def refPath(root: Path, name: String): Path = {
+    require(
+      name.matches("[A-Za-z][A-Za-z0-9._-]*") && !name.contains(".."),
+      s"ref name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    new Path(refsDir(root), name)
+  }
+
+  /** Pin `version` (default: latest) under `name`. Refuses an existing
+    * name (refs are immutable — drop first to repoint) and a version with
+    * no manifest. Returns the pinned version.
+    */
+  def createRef(spark: SparkSession, root: String, name: String, version: Long = -1L): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val latest = latestVersion(spark, root)
+      require(latest > 0L, s"createRef on $root needs a committed manifest")
+      val v = if (version <= 0L) latest else version
+      require(
+        manifestVersions(spark, root).exists(_._1 == v),
+        s"table $root has no manifest version $v (vacuumed or never committed)")
+      val p = refPath(rootPath, name)
+      require(!fs.exists(p), s"ref '$name' already exists on $root — refs are immutable pins")
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent, s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"ref '$name' creation raced") }
+      v
+    }
+
+  /** All refs of the table: name → pinned version. */
+  def refs(spark: SparkSession, root: String): Map[String, Long] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val d = refsDir(rootPath)
+    if (!fs.exists(d)) Map.empty
+    else
+      fs.listStatus(d)
+        .toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          scala.util.Try(txt.toLong).toOption.map(st.getPath.getName -> _)
+        }
+        .toMap
+  }
+
+  def refVersion(spark: SparkSession, root: String, name: String): Option[Long] =
+    refs(spark, root).get(name)
+
+  /** Drop a ref. The pinned version's files become ordinary history — the
+    * next [[vacuum]] may reclaim them. Returns whether the ref existed.
+    */
+  def dropRef(spark: SparkSession, root: String, name: String): Boolean =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      fsOf(spark, rootPath).delete(refPath(rootPath, name), false)
+    }
+
+  /** Expire history: keep the latest `keepLast` manifests plus every
+    * ref-pinned version, delete older manifest files, and delete every
+    * ARCHIVED file no retained manifest references. Live files are never
+    * touched (the latest manifest — always retained — references the live
+    * set). Returns the deleted archive-relative paths, sorted.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Seq[String] = {
     require(keepLast >= 1, "must retain at least the latest manifest")
@@ -3165,8 +3248,15 @@ object Snapshots {
       if (latest == 0L) Nil
       else {
         val keepFrom = math.max(1L, latest - keepLast + 1L)
+        // ref-pinned versions are retained EXACTLY like recent ones: their
+        // manifests (and delta chains), data files, bloom and DV sidecars
+        // all survive for as long as the ref lives — the zero-copy-fork
+        // retention contract
+        val keptVersions: Seq[Long] =
+          ((keepFrom to latest) ++
+            refs(spark, root).values.filter(v => v >= 1L && v < keepFrom)).distinct.sorted
         val referenced: Set[String] =
-          (keepFrom to latest).flatMap(v => files(spark, root, v)).toSet
+          keptVersions.flatMap(v => files(spark, root, v)).toSet
         // a retained DELTA manifest reconstructs through its RECORDED
         // chain — follow each retained version's actual `#delta <base>`
         // hops (parseView tolerates non-adjacent bases, so vacuum must
@@ -3182,7 +3272,7 @@ object Snapshots {
           while (d.isDefined) { v = d.get._1; d = manifestView(spark, root, v).delta }
           v
         }
-        val anchor = (keepFrom to latest).map(chainBase).min
+        val anchor = keptVersions.map(chainBase).min
         (1L until anchor).foreach { v =>
           val mp = manifestPath(rootPath, v)
           fs.delete(mp, false)
@@ -3207,7 +3297,7 @@ object Snapshots {
         val dvRoot = new Path(rootPath, DvDirName)
         if (fs.exists(dvRoot)) {
           val referencedDv: Set[String] =
-            (keepFrom to latest)
+            keptVersions
               .flatMap(v =>
                 manifestView(spark, root, v).stats.values.flatMap(st => dvOf(st).map(_._1)))
               .toSet

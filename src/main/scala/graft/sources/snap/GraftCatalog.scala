@@ -104,18 +104,30 @@ class GraftCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, -1L)
 
-  /** `VERSION AS OF n` — pin manifest version n. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft snapshot versions are numeric manifest versions; got '$version'"))
-    // a non-positive pin must not silently alias "latest" — time travel
-    // that quietly reads post-mutation data is worse than an error
-    if (v < 1L)
-      throw new IllegalArgumentException(
-        s"graft snapshot versions start at 1; got $v")
-    load(ident, v)
-  }
+  /** `VERSION AS OF n` — pin manifest version n; `VERSION AS OF 'name'` —
+    * resolve a branch/tag ref ([[Snapshots.refs]]) to its pinned version.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    scala.util.Try(version.toLong).toOption match {
+      case Some(v) =>
+        // a non-positive pin must not silently alias "latest" — time travel
+        // that quietly reads post-mutation data is worse than an error
+        if (v < 1L)
+          throw new IllegalArgumentException(
+            s"graft snapshot versions start at 1; got $v")
+        load(ident, v)
+      case None =>
+        val dir = dirOf(ident)
+        if (!isSnapTable(dir))
+          throw new IllegalArgumentException(
+            s"named refs pin TABLES — '$version' cannot pin metadata relation ${ident.name()}; " +
+              "resolve the ref's version first and pin numerically")
+        val v = Snapshots
+          .refVersion(spark, dir, version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"table $dir has no branch/tag ref '$version' — CALL create_ref to pin one"))
+        load(ident, v)
+    }
 
   /** `TIMESTAMP AS OF t` (micros since epoch) — pin the newest version
     * committed at or before t.
@@ -165,6 +177,7 @@ class GraftCatalog
       case "files" => Some(new SnapMetaTable(tableDir, version, "files"))
       case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
       case "dvs" => Some(new SnapMetaTable(tableDir, version, "dvs"))
+      case "refs" => Some(new SnapMetaTable(tableDir, version, "refs"))
       case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }
@@ -547,6 +560,11 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("n_deleted", LongType, nullable = false),
         StructField("n_rows", LongType, nullable = true),
         StructField("fully_deleted", BooleanType, nullable = false)))
+    case "refs" =>
+      // the table's branch/tag pins: (name, version) — metadata-only
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false)))
     case _ =>
       StructType(Seq(
         StructField("rel", StringType, nullable = false),
@@ -628,6 +646,8 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
               if (sizes.forall(_.isDefined)) sizes.flatten.sum.asInstanceOf[Any] else null
             Row(part, rels.size.toLong, nRows, nBytes)
           }
+      case "refs" =>
+        Snapshots.refs(spark, dir).toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
       case "dvs" =>
         val mv = Snapshots.manifestView(spark, dir, version)
         mv.rels.flatMap { rel =>

@@ -269,6 +269,37 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class CreateRef(rootDir: String) extends SnapProcedure("create_ref", rootDir) {
+    override def description: String =
+      "pin a version (default: latest) under a named branch/tag ref — a zero-copy fork: " +
+        "O(1) metadata at any table size, readable via VERSION AS OF 'name', retained by " +
+        "vacuum until dropped. Refs are immutable pins; writes always target the live table"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType), inDefault("version", LongType, "-1"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = Snapshots.createRef(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        input.getLong(2))
+      result(out("version" -> LongType), Seq(v))
+    }
+  }
+
+  private class DropRef(rootDir: String) extends SnapProcedure("drop_ref", rootDir) {
+    override def description: String =
+      "drop a branch/tag ref — the pinned version becomes ordinary history the next vacuum may reclaim"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val existed = Snapshots.dropRef(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("existed" -> org.apache.spark.sql.types.BooleanType), Seq(existed))
+    }
+  }
+
   def all(rootDir: String): Seq[UnboundProcedure] = Seq(
     new Compact(rootDir),
     new Cluster(rootDir),
@@ -278,7 +309,9 @@ private[snap] object GraftProcedures {
     new SetStats(rootDir),
     new Expire(rootDir),
     new Checkpoint(rootDir),
-    new DvMaterialize(rootDir))
+    new DvMaterialize(rootDir),
+    new CreateRef(rootDir),
+    new DropRef(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =
     if (ident.namespace().nonEmpty && ident.namespace().toSeq != Seq("system")) None

@@ -88,6 +88,79 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1.select($"day".cast("string")).distinct().count() == 3L)
   }
 
+  test("branch/tag refs: O(1) create, vacuum retention, byte-stable fork reads, SQL surface") {
+    val base = Files.createTempDirectory("snap_refs").toString
+    val dir = s"$base/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir, Seq("day", "id"))
+    val filesBefore = Snapshots.files(spark, dir).toSet
+    // create is metadata-only: no data file appears, dropped or copied
+    val pinned = Snapshots.createRef(spark, dir, "audit_v1")
+    assert(pinned == v1)
+    assert(Snapshots.files(spark, dir).toSet == filesBefore)
+    assert(Snapshots.refs(spark, dir) == Map("audit_v1" -> v1))
+    // refs are immutable pins
+    intercept[IllegalArgumentException](Snapshots.createRef(spark, dir, "audit_v1"))
+    intercept[IllegalArgumentException](Snapshots.createRef(spark, dir, "../escape"))
+    intercept[IllegalArgumentException](Snapshots.createRef(spark, dir, "nope", version = 99L))
+    // mutate past the pin: COW delete rewrites day=01's file (v2), then an
+    // aggressive vacuum — WITHOUT the ref, v1's archived file would die
+    val before = Snapshots
+      .readSnapshot(spark, dir, v1)
+      .select($"id", $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    Sources.deleteWhere(spark, dir, $"id" === 2L)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    val after = Snapshots
+      .readSnapshot(spark, dir, v1)
+      .select($"id", $"v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet
+    assert(after == before && after.size == 4, "the ref-pinned version must survive vacuum")
+    // SQL: VERSION AS OF 'name' + the refs metadata table + CALL surface
+    spark.conf.set("spark.sql.catalog.refcat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.refcat.root", base)
+    assert(
+      spark.sql("SELECT count(*) FROM refcat.t VERSION AS OF 'audit_v1'").head().getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM refcat.t").head().getLong(0) == 3L)
+    assert(
+      spark.sql("SELECT name, version FROM refcat.t.refs").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq == Seq(("audit_v1", v1)))
+    intercept[Exception](spark.sql("SELECT * FROM refcat.t VERSION AS OF 'no_such'").collect())
+    assert(
+      spark.sql("CALL refcat.create_ref(table => 't', name => 'head2')").head().getLong(0) == 2L)
+    assert(spark.sql("CALL refcat.drop_ref(table => 't', name => 'head2')").head().getBoolean(0))
+    // dropping the ref releases retention: the next vacuum reaps v1's file
+    assert(Snapshots.dropRef(spark, dir, "audit_v1"))
+    assert(Snapshots.refs(spark, dir).isEmpty)
+    val reclaimed = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(reclaimed.nonEmpty, "dropping the ref must release the pinned files to vacuum")
+    intercept[Exception](Snapshots.readSnapshot(spark, dir, v1).collect())
+  }
+
+  test("vacuum keeps ref-pinned DELTA chains and deletion-vector sidecars alive") {
+    val dir = Files.createTempDirectory("snap_refs_dv").toString + "/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id")) // v1 (full)
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2 (delta, DV pointer)
+    Snapshots.createRef(spark, dir, "mor_era", version = 2L)
+    // march history forward past v2: materialize (v3) then more commits
+    DeleteVectors.materialize(spark, dir) // v3
+    Sources.deleteWhere(spark, dir, $"id" === 4L) // v4
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    // the pinned version still reads THROUGH its delta chain and its DV
+    val ids = Snapshots
+      .readSnapshot(spark, dir, 2L)
+      .select($"id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(ids == Set(1L, 3L, 4L), s"ref-pinned MoR version must keep its sidecar, got $ids")
+  }
+
   test("vacuum keeps retained manifests readable and reclaims unreferenced archive files") {
     val dir = Files.createTempDirectory("snap_vac").toString + "/t"
     table(dir)
