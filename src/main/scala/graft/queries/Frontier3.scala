@@ -2375,6 +2375,101 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q237: manifest NDV sketches — approx COUNT(DISTINCT), zero opens ----
+
+  /** Per-(file, column) HyperLogLog register sidecars ride the bloom
+    * discipline ([[graft.sources.Snapshots.approxCountDistinct]]): every
+    * commit builds 256-byte register sketches for its NEW files only, and
+    * a table-level approximate `COUNT(DISTINCT user_id)` merges them by
+    * elementwise max — driver metadata I/O, ZERO data-file opens, at any
+    * table size. Three proofs ride one hash: the table is built in TWO
+    * commits with interleaved halves, so the estimate matching the
+    * oracle's SINGLE-pass recomputation over all of events IS the
+    * merge-invariance law; the sketch scheme is deliberately portable
+    * (the q48 md5-bucket/hex-rho/integer-sum HLL), so DuckDB reproduces
+    * the estimate BIT-FOR-BIT — `ndv_est` is value-compared, not
+    * tolerance-checked; and a data file is corrupted before the estimate
+    * runs — the zero-opens canary. `ndv_exact` (computed pre-corruption)
+    * pins the true cardinality next to it. This is the join-size
+    * estimation surface: the same merged registers feed the DSv2 scan's
+    * per-column `distinctCount`.
+    */
+  def q237(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq237_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val ev = Tables
+      .events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"), col("event_id"))
+    // two commits with interleaved halves: the merged estimate must equal
+    // a single pass over everything
+    graft.sources.Sources.writeParquet(
+      ev.filter(col("event_id") % 2 === 0).repartition(col("day")),
+      dir,
+      Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, Seq("day"), Seq("user_id"))
+    ev.filter(col("event_id") % 2 === 1)
+      .repartition(col("day"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("day")
+      .parquet(dir)
+    graft.sources.Snapshots.commit(s, dir, Seq("day"), Seq("user_id"))
+    val exact = graft.sources.Snapshots
+      .readSnapshot(s, dir)
+      .agg(countDistinct(col("user_id")).as("n"))
+      .head()
+      .getLong(0)
+    // zero-opens canary: junk one data file; the estimate must not notice
+    val victim = graft.sources.Snapshots.files(s, dir).head
+    val vPath = new org.apache.hadoop.fs.Path(dir, victim)
+    val crc = new org.apache.hadoop.fs.Path(vPath.getParent, s".${vPath.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(vPath, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    val est = graft.sources.Snapshots
+      .approxCountDistinct(s, dir, "user_id")
+      .getOrElse(sys.error("NDV sidecars missing — the commit discipline did not build them"))
+    val estR4 = math.floor(est * 10000.0 + 0.5) / 10000.0
+    s.sql(s"""
+      |SELECT CAST($estR4 AS DOUBLE) AS ndv_est,
+      |       CAST($exact AS BIGINT) AS ndv_exact""".stripMargin)
+      .withColumn("sidecars_only", lit(true))
+      .withColumn("sane", lit(math.abs(est - exact.toDouble) / math.max(exact.toDouble, 1.0) < 0.25))
+  }
+
+  val q237Sql: String = {
+    val alphaM2 = (0.7213 / (1 + 1.079 / 256) * 256 * 256).toString
+    val hexE = "md5(CAST(user_id AS VARCHAR))"
+    val raw = s"$alphaM2 / (CAST(sp + (256 - nz) * 9007199254740992 AS DOUBLE) / 9007199254740992.0)"
+    s"""WITH rows_h AS (
+       |  SELECT CAST(('0x' || substr($hexE, 14, 2)) AS BIGINT) AS bucket,
+       |    ltrim(substr($hexE, 1, 13), '0') AS stripped
+       |  FROM events),
+       |regs AS (
+       |  SELECT bucket,
+       |    max(CASE WHEN length(stripped) = 0 THEN 53
+       |        ELSE 4 * (13 - length(stripped))
+       |          + (4 - (CASE WHEN substr(stripped, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 4
+       |                       WHEN substr(stripped, 1, 1) IN ('4','5','6','7') THEN 3
+       |                       WHEN substr(stripped, 1, 1) IN ('2','3') THEN 2
+       |                       ELSE 1 END)) + 1 END) AS r
+       |  FROM rows_h GROUP BY bucket),
+       |grp AS (
+       |  SELECT count(*) AS nz, sum(CAST(power(2.0, 53 - r) AS BIGINT)) AS sp
+       |  FROM regs)
+       |SELECT
+       |  ${graft.core.Det.sqlR(s"CASE WHEN $raw <= 640.0 AND nz < 256 THEN 256.0 * ln(256.0 / (256 - nz)) ELSE $raw END", 4)} AS ndv_est,
+       |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS ndv_exact,
+       |  true AS sidecars_only, true AS sane
+       |FROM grp""".stripMargin
+  }
+
   // -- q236: zero-copy branch/tag refs -------------------------------------
 
   /** The zero-copy fork: `CALL create_ref` pins a version under a name in
@@ -2684,6 +2779,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q237_manifest_ndv" -> (q237 _),
     "q236_branch_tag_refs" -> (q236 _),
     "q235_stream_mor_upsert" -> (q235 _),
     "q234_dv_hybrid_agg" -> (q234 _),
@@ -2727,6 +2823,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q237_manifest_ndv" -> q237Sql,
     "q236_branch_tag_refs" -> q236Sql,
     "q235_stream_mor_upsert" -> q235Sql,
     "q234_dv_hybrid_agg" -> q234Sql,

@@ -2249,41 +2249,196 @@ object Snapshots {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(new Path(manifestDir(rootPath), "bloom"))
+    fs.mkdirs(new Path(manifestDir(rootPath), "ndv"))
+    // the bloom discipline IS the NDV discipline: both are per-(file,
+    // column) value-index sidecars built once at commit time (O(delta) —
+    // a rel names one immutable file forever), so one declared column set
+    // governs both
     val missing = for {
       rel <- rels
       c <- bloomCols
-      if !fs.exists(bloomPath(rootPath, rel, c))
-    } yield (rel, c)
+      needBloom = !fs.exists(bloomPath(rootPath, rel, c))
+      needNdv = !fs.exists(ndvPath(rootPath, rel, c))
+      if needBloom || needNdv
+    } yield (rel, c, needBloom, needNdv)
     if (missing.isEmpty) return
-    def buildOne(rel: String, c: String): Unit = {
+    def buildOne(rel: String, c: String, needBloom: Boolean, needNdv: Boolean): Unit = {
       val p = resolve(spark, root, rel)
       val df = spark.read.parquet(p.toString)
       require(
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"bloom column '$c' is not a physical column of $rel — hive partition values " +
           "prune exactly from the path; blooms are for data columns")
-      // exact row count from the FOOTER (driver-side metadata) — sizing
-      // the filter must not cost a full-scan count() job per file
-      val n = {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, spark.sparkContext.hadoopConfiguration))
-        try r.getRecordCount
-        finally r.close()
+      if (needBloom) {
+        // exact row count from the FOOTER (driver-side metadata) — sizing
+        // the filter must not cost a full-scan count() job per file
+        val n = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, spark.sparkContext.hadoopConfiguration))
+          try r.getRecordCount
+          finally r.close()
+        }
+        val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
+        val bf = df.stat.bloomFilter(
+          org.apache.spark.sql.functions.col(c).cast("string"),
+          math.max(n, 1L),
+          math.min(optimal, 8L * 1024 * 1024))
+        val target = bloomPath(rootPath, rel, c)
+        val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+        val out = fs.create(tmp, true)
+        try bf.writeTo(out)
+        finally out.close()
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
       }
-      val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
-      val bf = df.stat.bloomFilter(
-        org.apache.spark.sql.functions.col(c).cast("string"),
-        math.max(n, 1L),
-        math.min(optimal, 8L * 1024 * 1024))
-      val target = bloomPath(rootPath, rel, c)
-      val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
-      val out = fs.create(tmp, true)
-      try bf.writeTo(out)
-      finally out.close()
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
+      if (needNdv) {
+        val reg = ndvRegistersOf(df, c)
+        val target = ndvPath(rootPath, rel, c)
+        val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+        val out = fs.create(tmp, true)
+        try out.write(reg)
+        finally out.close()
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+      }
     }
-    parEach(missing) { case (r, c) => buildOne(r, c) }
+    parEach(missing) { case (r, c, nb, nn) => buildOne(r, c, nb, nn) }
+  }
+
+  // ---- NDV register sidecars (portable HyperLogLog) -----------------------
+
+  /** Registers per (file, column) NDV sketch: 256 — the q48 scheme, kept
+    * deliberately PORTABLE (md5-derived buckets and rho read off the hex
+    * string, integer-domain register sums) so a DuckDB oracle recomputes
+    * the merged estimate bit-for-bit. One sidecar is 256 bytes; merging
+    * is elementwise max — associative, commutative, idempotent, so any
+    * partition of history into commits yields the same table-level
+    * estimate as a single pass (merge invariance).
+    */
+  val NdvRegisters = 256
+
+  private def ndvPath(root: Path, rel: String, colName: String): Path =
+    new Path(new Path(manifestDir(root), "ndv"), s"${hex(rel)}.${hex(colName)}")
+
+  /** One small Spark job: the file's 256 HLL registers for `c` (max rho
+    * per md5-derived bucket; nulls excluded — `count(DISTINCT c)`'s own
+    * rule). rho ≤ 53 fits a byte; absent buckets stay 0.
+    */
+  private def ndvRegistersOf(df: org.apache.spark.sql.DataFrame, c: String): Array[Byte] = {
+    import org.apache.spark.sql.functions.{col, conv, length, lit, ltrim, max, md5, substring, when}
+    val hexCol = md5(col(c).cast("string"))
+    val stripped = ltrim(substring(hexCol, 1, 13), "0")
+    val firstDigit = substring(stripped, 1, 1)
+    val bits = when(firstDigit.isin("8", "9", "a", "b", "c", "d", "e", "f"), 4)
+      .when(firstDigit.isin("4", "5", "6", "7"), 3)
+      .when(firstDigit.isin("2", "3"), 2)
+      .otherwise(1)
+    val rho = when(length(stripped) === 0, lit(53))
+      .otherwise(lit(4) * (lit(13) - length(stripped)) + (lit(4) - bits) + lit(1))
+    val rows = df
+      .filter(col(c).isNotNull)
+      .select(conv(substring(hexCol, 14, 2), 16, 10).cast("int").as("b"), rho.as("r"))
+      .groupBy(col("b"))
+      .agg(max(col("r")).as("r"))
+      .collect()
+    val reg = new Array[Byte](NdvRegisters)
+    rows.foreach(r => reg(r.getInt(0)) = r.getInt(1).toByte)
+    reg
+  }
+
+  // decoded register sidecars are immutable and tiny (256 B): cache per
+  // JVM like blooms, bounded
+  private val ndvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  /** The file's NDV registers for `colName`, None when the sidecar is
+    * absent/unreadable (callers must fall back, never guess).
+    */
+  def ndvRegisters(spark: SparkSession, root: String, rel: String, colName: String): Option[Array[Byte]] = {
+    val p = ndvPath(new Path(root), rel, colName)
+    val key = p.toString
+    val cached = ndvCache.get(key)
+    if (cached != null) return Some(cached)
+    val fs = fsOf(spark, p)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val buf =
+        try {
+          val b = new Array[Byte](NdvRegisters)
+          org.apache.hadoop.io.IOUtils.readFully(in, b, 0, NdvRegisters)
+          b
+        } finally in.close()
+      if (ndvCache.size() >= 4096)
+        ndvCache.keySet.iterator().asScala.take(1024).foreach(ndvCache.remove)
+      ndvCache.put(key, buf)
+      Some(buf)
+    } catch { case _: Exception => None }
+  }
+
+  /** The q48 HyperLogLog estimate from merged registers: integer-domain
+    * register sum (aggregation order cannot perturb it), absent buckets
+    * contribute 2^53, linear counting below 2.5·m — the exact arithmetic
+    * a DuckDB oracle reproduces.
+    */
+  def ndvEstimate(reg: Array[Byte]): Double = {
+    val m = reg.length
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    val two53 = 9007199254740992L // 2^53
+    var nz = 0L
+    var sp = 0L
+    var i = 0
+    while (i < m) {
+      val r = reg(i).toInt
+      if (r > 0) { nz += 1L; sp += (1L << (53 - r)) }
+      i += 1
+    }
+    val raw = alphaM2 / ((sp + (m - nz) * two53).toDouble / two53.toDouble)
+    if (raw <= 2.5 * m && nz < m) m.toDouble * math.log(m.toDouble / (m - nz)) else raw
+  }
+
+  /** Manifest-only approximate COUNT(DISTINCT col): merge every pinned
+    * file's register sidecar (driver metadata I/O — 256 bytes per file,
+    * cached; ZERO data-file opens) and estimate. None when any pinned
+    * file lacks a sidecar (pre-NDV commits, non-indexed columns) — the
+    * caller falls back to a real scan rather than undercounting.
+    *
+    * Deletion vectors make this an UPPER estimate (registers are
+    * insert-time sketches; deletes don't shrink them) — the same
+    * direction a planner wants for join sizing. Fully-deleted files still
+    * contribute for the same reason.
+    */
+  def approxCountDistinct(
+      spark: SparkSession,
+      root: String,
+      colName: String,
+      version: Long = -1L): Option[Double] = {
+    val view = manifestView(spark, root, version)
+    if (view.rels.isEmpty) return Some(0.0)
+    mergedNdvEstimate(spark, root, view.rels, colName)
+  }
+
+  /** Merge an explicit file list's register sidecars into one estimate —
+    * the planner-facing form ([[graft.sources.snap.SnapScanStats]] reports
+    * it as the scan's per-column `distinctCount`). None when any listed
+    * file lacks a sidecar.
+    */
+  private[sources] def mergedNdvEstimate(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      colName: String): Option[Double] = {
+    if (rels.isEmpty) return Some(0.0)
+    val regs = rels.map(rel => ndvRegisters(spark, root, rel, colName))
+    if (regs.exists(_.isEmpty)) return None
+    val merged = new Array[Byte](NdvRegisters)
+    regs.flatten.foreach { r =>
+      var i = 0
+      while (i < NdvRegisters) {
+        if (r(i) > merged(i)) merged(i) = r(i)
+        i += 1
+      }
+    }
+    Some(ndvEstimate(merged))
   }
 
   // decoded sidecars are immutable (rel names one file forever): cache
@@ -2373,6 +2528,14 @@ object Snapshots {
               val bd = bloomPath(dstPath, rel, c)
               dstFs.mkdirs(bd.getParent)
               org.apache.hadoop.fs.FileUtil.copy(fs, bs, dstFs, bd, false, false, conf)
+            }
+            // the NDV register sidecar rides the same discipline (keyed by
+            // rel — still valid under the new root)
+            val ns = ndvPath(srcPath, rel, c)
+            if (fs.exists(ns)) {
+              val nd = ndvPath(dstPath, rel, c)
+              dstFs.mkdirs(nd.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(fs, ns, dstFs, nd, false, false, conf)
             }
           }
           // the file's deletion-vector sidecar carries with it — the
@@ -3279,15 +3442,17 @@ object Snapshots {
           // the partition-index sidecar dies with its manifest
           fs.delete(new Path(mp.getParent, mp.getName + ".pidx"), false)
         }
-        // bloom sidecars of files no retained manifest references are
-        // orphans — reap them with the manifests they served
-        val bloomDirPath = new Path(manifestDir(rootPath), "bloom")
-        if (fs.exists(bloomDirPath)) {
-          val referencedHex = referenced.map(hex)
-          fs.listStatus(bloomDirPath).foreach { st =>
-            val name = st.getPath.getName
-            if (!name.startsWith(".") && !referencedHex.contains(name.split("\\.")(0)))
-              fs.delete(st.getPath, false)
+        // bloom and NDV-register sidecars of files no retained manifest
+        // references are orphans — reap them with the manifests they served
+        val referencedHex = referenced.map(hex)
+        Seq("bloom", "ndv").foreach { kind =>
+          val d = new Path(manifestDir(rootPath), kind)
+          if (fs.exists(d)) {
+            fs.listStatus(d).foreach { st =>
+              val name = st.getPath.getName
+              if (!name.startsWith(".") && !referencedHex.contains(name.split("\\.")(0)))
+                fs.delete(st.getPath, false)
+            }
           }
         }
         // deletion-vector sidecars: keep exactly those some RETAINED

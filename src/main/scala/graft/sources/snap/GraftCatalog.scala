@@ -1486,6 +1486,37 @@ private[snap] object SnapScanStats {
       dir: String,
       keptRels: Seq[String],
       stats: Map[String, Map[String, Snapshots.ColStat]]): Statistics = new Statistics {
+
+    /** Per-column NDV from the manifest's register sidecars (the bloom/NDV
+      * discipline columns), merged over exactly the KEPT files — what CBO
+      * join-size estimation asks a DSv2 scan for. Lazy: computed only when
+      * Spark requests column stats; absent sidecars report no entry
+      * (never a guess). Deletion vectors make these upper estimates — the
+      * safe direction for sizing.
+      */
+    override def columnStats(): util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val cols =
+        if (Snapshots.latestVersion(spark, dir) > 0L)
+          Snapshots.manifestView(spark, dir).bloomCols
+        else Seq.empty
+      cols.foreach { c =>
+        Snapshots.mergedNdvEstimate(spark, dir, keptRels, c).foreach { est =>
+          val n = math.max(0L, math.round(est))
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): util.OptionalLong = util.OptionalLong.of(n)
+            })
+        }
+      }
+      out
+    }
+
     override def sizeInBytes(): util.OptionalLong = {
       val recorded = keptRels.map(r => stats.get(r).flatMap(_.get(Snapshots.LengthKey)))
       if (recorded.forall(_.isDefined))

@@ -88,6 +88,70 @@ class SnapshotsSpec extends SparkSpec {
     assert(v1.select($"day".cast("string")).distinct().count() == 3L)
   }
 
+  test("NDV register sidecars: merge-invariant estimates, clone carry, scan column stats, vacuum reaping") {
+    val baseA = Files.createTempDirectory("ndv_a").toString
+    val dirA = s"$baseA/t"
+    val df = spark.range(2000L).select(($"id" % 700L).as("k"), $"id".as("id"))
+    df.repartition(1).write.parquet(dirA)
+    Snapshots.commit(spark, dirA, Seq("id"), Seq("k"))
+    // the SAME rows split across five files must estimate IDENTICALLY —
+    // register merge is max, so any partition of the data is equivalent
+    val dirB = Files.createTempDirectory("ndv_b").toString + "/t"
+    df.repartition(5).write.parquet(dirB)
+    Snapshots.commit(spark, dirB, Seq("id"), Seq("k"))
+    val ea = Snapshots.approxCountDistinct(spark, dirA, "k")
+    val eb = Snapshots.approxCountDistinct(spark, dirB, "k")
+    assert(ea.isDefined && ea == eb, s"merge invariance: $ea vs $eb")
+    assert(math.abs(ea.get - 700.0) / 700.0 < 0.25, s"estimate ${ea.get} far from 700")
+    assert(Snapshots.approxCountDistinct(spark, dirA, "id").isEmpty,
+      "a column without the sidecar discipline must refuse, not guess")
+    // incremental: an appended commit builds only the new file's sidecar,
+    // and new values move the estimate up
+    val before = ea.get
+    spark.range(9000L, 9200L).select($"id".as("k"), $"id".as("id"))
+      .repartition(1).write.mode("append").parquet(dirA)
+    Snapshots.commit(spark, dirA, Seq("id"), Seq("k"))
+    val after = Snapshots.approxCountDistinct(spark, dirA, "k").get
+    assert(after > before, s"estimate must grow: $before -> $after")
+    // clone carries the register sidecars — identical estimate, no rebuild
+    val dst = Files.createTempDirectory("ndv_clone").toString + "/t"
+    Snapshots.cloneSnapshot(spark, dirA, dst)
+    assert(Snapshots.approxCountDistinct(spark, dst, "k").contains(after))
+    // the DSv2 scan reports the merged estimate as per-column NDV
+    spark.conf.set("spark.sql.catalog.ndvcat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ndvcat.root", baseA)
+    val scans = spark.table("ndvcat.t").queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        if (r.scan.getClass.getSimpleName == "V1ScanWrapper")
+          r.scan.getClass.getMethod("v1Scan").invoke(r.scan)
+            .asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+        else r.scan
+    }
+    val reported = scans.collectFirst {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics().columnStats()
+    }.get
+    import scala.jdk.CollectionConverters._
+    val kStat = reported.asScala.collectFirst {
+      case (ref, cs) if ref.fieldNames().toSeq == Seq("k") => cs.distinctCount()
+    }
+    assert(kStat.exists(_.getAsLong == math.round(after)), s"scan NDV: $kStat vs $after")
+    // vacuum reaps sidecars of files no retained manifest references
+    Sources.deleteWhere(spark, dirB, $"k" === 3L) // rewrites the files holding k=3
+    Snapshots.vacuum(spark, dirB, keepLast = 1)
+    val fs = new org.apache.hadoop.fs.Path(dirB).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ndvDir = new org.apache.hadoop.fs.Path(s"$dirB/${Snapshots.ManifestDirName}/ndv")
+    def hexOf(s: String): String = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val liveRelPrefixes = Snapshots.files(spark, dirB).map(hexOf).toSet
+    fs.listStatus(ndvDir).foreach { st =>
+      assert(
+        liveRelPrefixes.contains(st.getPath.getName.split("\\.")(0)),
+        s"orphan NDV sidecar survived vacuum: ${st.getPath.getName}")
+    }
+    // and the rewritten table still answers (fresh sidecars at the commit)
+    assert(Snapshots.approxCountDistinct(spark, dirB, "k").isDefined)
+  }
+
   test("branch/tag refs: O(1) create, vacuum retention, byte-stable fork reads, SQL surface") {
     val base = Files.createTempDirectory("snap_refs").toString
     val dir = s"$base/t"
