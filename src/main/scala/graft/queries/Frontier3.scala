@@ -1116,6 +1116,22 @@ object Frontier3 {
     * SPJ/DPP demos flip real Spark confs and must leave the shared
     * Verify/Bench session exactly as found.
     */
+  /** Corrupt a committed data file in place (checksum sidecar removed so
+    * the junk bytes are readable as bytes, unreadable as parquet): the
+    * zero-opens canary — any plan that opens the file dies loudly, so a
+    * green query PROVES the file was never read. Shared by q234/q237.
+    */
+  private def corruptFile(
+      s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      file: org.apache.hadoop.fs.Path): Unit = {
+    val crc = new org.apache.hadoop.fs.Path(file.getParent, s".${file.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(file, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   private def withConfs(s: SparkSession, pairs: (String, String)*)(body: => DataFrame): DataFrame = {
     val prev = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
     pairs.foreach { case (k, v) => s.conf.set(k, v) }
@@ -2426,12 +2442,7 @@ object Frontier3 {
       .getLong(0)
     // zero-opens canary: junk one data file; the estimate must not notice
     val victim = graft.sources.Snapshots.files(s, dir).head
-    val vPath = new org.apache.hadoop.fs.Path(dir, victim)
-    val crc = new org.apache.hadoop.fs.Path(vPath.getParent, s".${vPath.getName}.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    val out = fs.create(vPath, true)
-    try out.write("not parquet".getBytes("UTF-8"))
-    finally out.close()
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
     val est = graft.sources.Snapshots
       .approxCountDistinct(s, dir, "user_id")
       .getOrElse(sys.error("NDV sidecars missing — the commit discipline did not build them"))
@@ -2450,7 +2461,7 @@ object Frontier3 {
     s"""WITH rows_h AS (
        |  SELECT CAST(('0x' || substr($hexE, 14, 2)) AS BIGINT) AS bucket,
        |    ltrim(substr($hexE, 1, 13), '0') AS stripped
-       |  FROM events),
+       |  FROM events WHERE user_id IS NOT NULL),
        |regs AS (
        |  SELECT bucket,
        |    max(CASE WHEN length(stripped) = 0 THEN 53
@@ -2668,12 +2679,7 @@ object Frontier3 {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     val victimDay = m.plusDays(3).toString
     val victim = graft.sources.Snapshots.files(s, dir).find(_.startsWith(s"day=$victimDay/")).get
-    val vPath = new org.apache.hadoop.fs.Path(dir, victim)
-    val crc = new org.apache.hadoop.fs.Path(vPath.getParent, s".${vPath.getName}.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    val out = fs.create(vPath, true)
-    try out.write("not parquet".getBytes("UTF-8"))
-    finally out.close()
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
     def agg() = s.sql(s"""
       |SELECT count(*) AS n_rows, count(n) AS n_vals,
       |       min(n) AS min_n, max(n) AS max_n FROM $cat.ev""".stripMargin)

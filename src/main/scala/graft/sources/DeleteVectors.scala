@@ -564,17 +564,28 @@ object DeleteVectors {
         if (candidates.isEmpty) Seq.empty
         else {
           val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
-          val keys = aligned.select(keyCols.map(col): _*).distinct()
+          // broadcast the key set only when it is provably small — the
+          // stageRewrite/scan-path discipline: a backfill epoch carrying
+          // tens of millions of keys must take a real join, not an OOM
+          val keys0 = aligned.select(keyCols.map(col): _*).distinct().persist()
+          val keys =
+            if (keys0.count() <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
           val matches = scan
-            .join(broadcast(keys), keyCols, "left_semi")
+            .join(keys, keyCols, "left_semi")
             .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
           val oldDvByRel = candidates.flatMap { rel =>
             Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
           }.toMap
-          writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+          try writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+          finally keys0.unpersist()
         }
 
-      val addedRels = landAppend(spark, fs, rootPath, aligned, partCols, commitTag)
+      val epochPrefix =
+        if (streamTag.nonEmpty && epochId >= 0L)
+          s"mor-${java.net.URLEncoder.encode(streamTag, "UTF-8")}-$epochId-"
+        else s"mor-adhoc-$commitTag-"
+      val addedRels =
+        landAppend(spark, fs, rootPath, aligned, partCols, commitTag, epochPrefix, view.rels.toSet)
       if (written.isEmpty && addedRels.isEmpty) return (0L, 0L)
       val res =
         try boundedCommit(spark, root, view, written, addedRels)
@@ -591,9 +602,20 @@ object DeleteVectors {
     }
 
   /** Write `df` into the table's hive layout via a hidden stage dir and
-    * land each part file under the table root (fresh Spark-generated
-    * names — never reused, the archive invariant's requirement). Returns
-    * the landed rels; the caller commits them.
+    * land each part file under the table root, prefixed `epochPrefix` so
+    * a crashed attempt's leftovers are DISCOVERABLE. Two orphan defenses
+    * (a listing-based commit would otherwise silently adopt strays as
+    * duplicate rows):
+    *  - before landing, every target directory is swept for uncommitted
+    *    files carrying this epoch's prefix — a prior attempt that crashed
+    *    between landing and commit — and they are deleted (bounded by the
+    *    batch's own partitions, not the table);
+    *  - a landing failure rolls back the files this attempt already
+    *    landed before rethrowing.
+    * The part names keep their Spark-generated uniqueness under the
+    * prefix, so rels are never reused (the archive invariant). Returns
+    * the landed rels; the caller commits them (and deletes them if the
+    * commit itself fails).
     */
   private def landAppend(
       spark: SparkSession,
@@ -601,7 +623,9 @@ object DeleteVectors {
       rootPath: Path,
       df: DataFrame,
       partCols: Seq[String],
-      tag: String): Seq[String] = {
+      tag: String,
+      epochPrefix: String,
+      committedRels: Set[String]): Seq[String] = {
     val stage = new Path(rootPath, s".mor-upsert-$tag")
     if (fs.exists(stage)) fs.delete(stage, true)
     val writer =
@@ -616,13 +640,43 @@ object DeleteVectors {
     val parts = walk(stage).filter(p =>
       p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
     val stageUri = fs.makeQualified(stage).toUri.getPath
-    val rels = parts.map { p =>
-      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
-      val to = new Path(rootPath, rel)
-      fs.mkdirs(to.getParent)
-      if (!fs.rename(p, to)) sys.error(s"upsert failed to land $rel")
-      rel
+    val rootUri = fs.makeQualified(rootPath).toUri.getPath
+    val targets = parts.map { p =>
+      val stageRel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      val cut = stageRel.lastIndexOf('/')
+      val rel =
+        if (cut < 0) epochPrefix + stageRel
+        else stageRel.substring(0, cut + 1) + epochPrefix + stageRel.substring(cut + 1)
+      (p, rel)
     }
+    // sweep crashed-attempt leftovers from exactly the dirs this batch
+    // lands into: same epoch prefix, present on disk, absent from the
+    // committed manifest
+    targets.map(t => new Path(rootPath, t._2).getParent).distinct.foreach { dir =>
+      if (fs.exists(dir)) {
+        fs.listStatus(dir).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith(epochPrefix)) {
+            val rel = fs.makeQualified(st.getPath).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            if (!committedRels.contains(rel)) fs.delete(st.getPath, false)
+          }
+        }
+      }
+    }
+    var landed = List.empty[Path]
+    val rels =
+      try
+        targets.map { case (p, rel) =>
+          val to = new Path(rootPath, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(p, to)) sys.error(s"upsert failed to land $rel")
+          landed ::= to
+          rel
+        }
+      catch {
+        case t: Throwable =>
+          landed.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+          throw t
+      }
     fs.delete(stage, true)
     rels
   }

@@ -2269,37 +2269,45 @@ object Snapshots {
         df.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"bloom column '$c' is not a physical column of $rel — hive partition values " +
           "prune exactly from the path; blooms are for data columns")
-      if (needBloom) {
-        // exact row count from the FOOTER (driver-side metadata) — sizing
-        // the filter must not cost a full-scan count() job per file
-        val n = {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(p, spark.sparkContext.hadoopConfiguration))
-          try r.getRecordCount
-          finally r.close()
+      // both sketches consume the SAME `CAST(col AS STRING)` value domain:
+      // when both are missing, ONE cached single-column pass feeds the two
+      // jobs instead of reading the file twice
+      val vals =
+        df.select(org.apache.spark.sql.functions.col(c).cast("string").as("v"))
+      val shared = if (needBloom && needNdv) vals.persist() else vals
+      try {
+        if (needBloom) {
+          // exact row count from the FOOTER (driver-side metadata) — sizing
+          // the filter must not cost a full-scan count() job per file
+          val n = {
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(p, spark.sparkContext.hadoopConfiguration))
+            try r.getRecordCount
+            finally r.close()
+          }
+          val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
+          val bf = shared.stat.bloomFilter(
+            org.apache.spark.sql.functions.col("v"),
+            math.max(n, 1L),
+            math.min(optimal, 8L * 1024 * 1024))
+          val target = bloomPath(rootPath, rel, c)
+          val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+          val out = fs.create(tmp, true)
+          try bf.writeTo(out)
+          finally out.close()
+          if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
         }
-        val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
-        val bf = df.stat.bloomFilter(
-          org.apache.spark.sql.functions.col(c).cast("string"),
-          math.max(n, 1L),
-          math.min(optimal, 8L * 1024 * 1024))
-        val target = bloomPath(rootPath, rel, c)
-        val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
-        val out = fs.create(tmp, true)
-        try bf.writeTo(out)
-        finally out.close()
-        if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
-      }
-      if (needNdv) {
-        val reg = ndvRegistersOf(df, c)
-        val target = ndvPath(rootPath, rel, c)
-        val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
-        val out = fs.create(tmp, true)
-        try out.write(reg)
-        finally out.close()
-        if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
-      }
+        if (needNdv) {
+          val reg = ndvRegistersOf(shared, "v")
+          val target = ndvPath(rootPath, rel, c)
+          val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+          val out = fs.create(tmp, true)
+          try out.write(reg)
+          finally out.close()
+          if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+        }
+      } finally if (needBloom && needNdv) shared.unpersist()
     }
     parEach(missing) { case (r, c, nb, nn) => buildOne(r, c, nb, nn) }
   }
@@ -2321,7 +2329,9 @@ object Snapshots {
 
   /** One small Spark job: the file's 256 HLL registers for `c` (max rho
     * per md5-derived bucket; nulls excluded — `count(DISTINCT c)`'s own
-    * rule). rho ≤ 53 fits a byte; absent buckets stay 0.
+    * rule). `c` arrives pre-cast to the string domain from [[
+    * buildBloomSidecars]]'s shared pass (the inner cast is then a no-op).
+    * rho ≤ 53 fits a byte; absent buckets stay 0.
     */
   private def ndvRegistersOf(df: org.apache.spark.sql.DataFrame, c: String): Array[Byte] = {
     import org.apache.spark.sql.functions.{col, conv, length, lit, ltrim, max, md5, substring, when}
@@ -3338,8 +3348,13 @@ object Snapshots {
   }
 
   /** Pin `version` (default: latest) under `name`. Refuses an existing
-    * name (refs are immutable — drop first to repoint) and a version with
-    * no manifest. Returns the pinned version.
+    * name (refs are immutable — drop first to repoint), a version with no
+    * manifest, and a HISTORICAL version whose data files vacuum already
+    * reclaimed (a manifest can survive purely as a delta-chain hop — a
+    * pin on it would be permanently unreadable, and no later vacuum could
+    * bring the bytes back). Pinning the latest version stays O(1); an
+    * explicit historical pin pays one existence probe per listed file —
+    * metadata RPCs, zero data I/O. Returns the pinned version.
     */
   def createRef(spark: SparkSession, root: String, name: String, version: Long = -1L): Long =
     withTableLock(spark, root) {
@@ -3351,6 +3366,18 @@ object Snapshots {
       require(
         manifestVersions(spark, root).exists(_._1 == v),
         s"table $root has no manifest version $v (vacuumed or never committed)")
+      if (v != latest) {
+        val missing = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        parEach(manifestView(spark, root, v).rels) { rel =>
+          // resolve errors on a neither-live-nor-archived rel — exactly
+          // the vacuumed case this guard exists for
+          if (scala.util.Try(resolve(spark, root, rel)).isFailure) missing.add(rel)
+        }
+        require(
+          missing.isEmpty,
+          s"cannot pin v$v of $root: ${missing.size()} of its data file(s) were vacuumed " +
+            s"(e.g. ${missing.peek()}) — the pin would be permanently unreadable")
+      }
       val p = refPath(rootPath, name)
       require(!fs.exists(p), s"ref '$name' already exists on $root — refs are immutable pins")
       fs.mkdirs(p.getParent)

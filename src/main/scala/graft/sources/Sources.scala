@@ -823,7 +823,7 @@ object Sources {
       val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
       // provably-empty files (every recorded row MoR-deleted) contribute
       // nothing: archive without reading a byte
-      val (dead, live) = files.partition { f =>
+      val live = files.filterNot { f =>
         dvView.exists(v =>
           Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
       }
@@ -970,7 +970,7 @@ object Sources {
     }
     def clusterOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".cluster-${java.util.UUID.randomUUID().toString}")
-      val (dead, live) = files.partition { f =>
+      val live = files.filterNot { f =>
         dvView.exists(v =>
           Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
       }

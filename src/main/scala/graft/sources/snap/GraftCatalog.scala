@@ -1470,7 +1470,8 @@ class SnapScanBuilder(
           (translated ++ consumed).toSeq,
           planView.stats,
           options,
-          consumed.toSeq)
+          consumed.toSeq,
+          ndvCols = bloomCols)
   }
 }
 
@@ -1485,14 +1486,17 @@ private[snap] object SnapScanStats {
       spark: SparkSession,
       dir: String,
       keptRels: Seq[String],
-      stats: Map[String, Map[String, Snapshots.ColStat]]): Statistics = new Statistics {
+      stats: Map[String, Map[String, Snapshots.ColStat]],
+      ndvCols: Seq[String] = Seq.empty): Statistics = new Statistics {
 
-    /** Per-column NDV from the manifest's register sidecars (the bloom/NDV
-      * discipline columns), merged over exactly the KEPT files — what CBO
-      * join-size estimation asks a DSv2 scan for. Lazy: computed only when
-      * Spark requests column stats; absent sidecars report no entry
-      * (never a guess). Deletion vectors make these upper estimates — the
-      * safe direction for sizing.
+    /** Per-column NDV from the manifest's register sidecars, merged over
+      * exactly the KEPT files — what CBO join-size estimation asks a DSv2
+      * scan for. `ndvCols` is the PLAN-PINNED view's bloom/NDV discipline
+      * (not the latest version's — a time-travel scan reports the columns
+      * its own version declared, and no redundant manifest re-read per
+      * stats call). Lazy: computed only when Spark requests column stats;
+      * absent sidecars report no entry (never a guess). Deletion vectors
+      * make these upper estimates — the safe direction for sizing.
       */
     override def columnStats(): util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
@@ -1500,11 +1504,7 @@ private[snap] object SnapScanStats {
       val out = new util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      val cols =
-        if (Snapshots.latestVersion(spark, dir) > 0L)
-          Snapshots.manifestView(spark, dir).bloomCols
-        else Seq.empty
-      cols.foreach { c =>
+      ndvCols.foreach { c =>
         Snapshots.mergedNdvEstimate(spark, dir, keptRels, c).foreach { est =>
           val n = math.max(0L, math.round(est))
           out.put(
@@ -1622,7 +1622,9 @@ class SnapAggScan(
       val df = Snapshots.scanRels(spark, dir, dvdRels, Some(schema), dv)
       import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin}
       val aggCols = fields.zipWithIndex.map {
-        case (CountStarF, i) => count(lit(1)).as(s"a_$i") // folded from the manifest, not here
+        // COUNT(*) folds from the manifest, never from here — a constant
+        // keeps the output slot aligned without per-row work
+        case (CountStarF, i) => smax(lit(0L)).as(s"a_$i")
         case (CountColF(c), i) => count(col(c)).as(s"a_$i")
         case (MinF(c, _), i) => smin(col(c)).as(s"a_$i")
         case (MaxF(c, _), i) => smax(col(c)).as(s"a_$i")
@@ -1722,8 +1724,15 @@ class SnapAggScan(
             case _ => v
           }
         case DateType =>
-          val (x, y) = (a.asInstanceOf[java.sql.Date], b.asInstanceOf[java.sql.Date])
-          if ((x.compareTo(y) <= 0) == isMin) x else y
+          // the scanned side is java.sql.Date by default but
+          // java.time.LocalDate under spark.sql.datetime.java8API.enabled
+          // — compare chronologically, return the winner's own object
+          def epochDay(x: Any): Long = x match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+            case other => sys.error(s"unexpected date external type: ${other.getClass}")
+          }
+          if ((epochDay(a) <= epochDay(b)) == isMin) a else b
         case _ =>
           val (x, y) = (a.asInstanceOf[String], b.asInstanceOf[String])
           if ((x.compareTo(y) <= 0) == isMin) x else y
@@ -1804,7 +1813,8 @@ class SnapBatchScan(
     filters: Seq[Filter],
     stats: Map[String, Map[String, Snapshots.ColStat]],
     options: Map[String, String] = Map.empty,
-    consumedFilters: Seq[Filter] = Seq.empty)
+    consumedFilters: Seq[Filter] = Seq.empty,
+    ndvCols: Seq[String] = Seq.empty)
     extends V1Scan
     with SupportsReportStatistics {
 
@@ -1824,7 +1834,7 @@ class SnapBatchScan(
       s"PushedFilters: [${filters.mkString(", ")}], ReadSchema: ${required.simpleString}"
 
   override def estimateStatistics(): Statistics =
-    SnapScanStats.of(SparkSession.active, dir, keptRels, stats)
+    SnapScanStats.of(SparkSession.active, dir, keptRels, stats, ndvCols)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T = {
     // rel → (sidecar rel, deleted count) of the kept files: the relation

@@ -211,7 +211,7 @@ class SnapV2BatchScan(
   }
 
   override def estimateStatistics(): Statistics =
-    SnapScanStats.of(spark, dir, rels, view.stats)
+    SnapScanStats.of(spark, dir, rels, view.stats, ndvCols = view.bloomCols)
 
   // ---- observability: file-pruning outcome as Spark SQL metrics --------
 

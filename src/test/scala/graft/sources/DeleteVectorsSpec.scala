@@ -436,6 +436,17 @@ class DeleteVectorsSpec extends SparkSpec {
         ("2024-01-02", 1L, 1L, 3L, 3L),
         ("2024-01-03", 1L, 1L, 4L, 4L)),
       rows.toString)
+    // DATE extremes fold too — and under java8API the scanned side comes
+    // back as LocalDate, which the fold must compare chronologically
+    val mmd = spark.sql("SELECT min(day) AS mnd, max(day) AS mxd FROM dvhyb.ev").head()
+    assert(mmd.getDate(0).toString == "2024-01-01" && mmd.getDate(1).toString == "2024-01-03")
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val r8 = spark.sql("SELECT min(day) AS mnd, max(day) AS mxd FROM dvhyb.ev").head()
+      assert(
+        r8.getAs[java.time.LocalDate](0).toString == "2024-01-01" &&
+          r8.getAs[java.time.LocalDate](1).toString == "2024-01-03")
+    } finally spark.conf.unset("spark.sql.datetime.java8API.enabled")
     // COUNT(*) alone never scans — manifest-only even with the vector live
     val cnt = spark.sql("SELECT count(*) AS n FROM dvhyb.ev")
     val cntDescs = cnt.queryExecution.optimizedPlan.collect {
@@ -676,6 +687,34 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(rowSet(Snapshots.readSnapshot(spark, a)) == rowSet(Snapshots.readSnapshot(spark, b)))
     assert(rowSet(Snapshots.readSnapshot(spark, a)).contains((9L, "2024-01-09", 91.0)),
       "epoch 1's update wins over epoch 0's insert")
+  }
+
+  test("a crashed epoch's landed-but-uncommitted files are swept before the retry lands") {
+    val dir = Files.createTempDirectory("dv_ups_crash").toString + "/t"
+    table(dir)
+    // simulate a crash between landing and commit: a file with THIS
+    // epoch's prefix sits live and uncommitted in a dir the retry lands
+    // into — a listing-based commit would adopt it as duplicate rows
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = Files.createTempDirectory("dv_ups_leftover").toString + "/out"
+    Seq((999L, 999.0)).toDF("id", "v").repartition(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    val leftover = new org.apache.hadoop.fs.Path(dir, "day=2024-01-01/mor-q-0-part-leftover.parquet")
+    fs.rename(part, leftover)
+    DeleteVectors.upsert(
+      spark,
+      dir,
+      Seq((2L, "2024-01-01", 110.0)).toDF("id", "day", "v"),
+      Seq("day", "id"),
+      streamTag = "q",
+      epochId = 0L)
+    assert(!fs.exists(leftover), "the retry must sweep the crashed attempt's leftover")
+    assert(Snapshots.readSnapshot(spark, dir).filter($"id" === 999L).count() == 0L)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).contains((2L, "2024-01-01", 110.0)))
   }
 
   test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {

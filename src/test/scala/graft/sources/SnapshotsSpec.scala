@@ -203,6 +203,12 @@ class SnapshotsSpec extends SparkSpec {
     val reclaimed = Snapshots.vacuum(spark, dir, keepLast = 1)
     assert(reclaimed.nonEmpty, "dropping the ref must release the pinned files to vacuum")
     intercept[Exception](Snapshots.readSnapshot(spark, dir, v1).collect())
+    // a pin on the now-data-less version must refuse at CREATE time (its
+    // manifest may survive as a delta-chain hop, but the pin would be
+    // permanently unreadable)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.createRef(spark, dir, "late_pin", version = v1))
+    assert(e.getMessage.contains("vacuumed"))
   }
 
   test("vacuum keeps ref-pinned DELTA chains and deletion-vector sidecars alive") {
