@@ -2391,6 +2391,103 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), true, true
       |ORDER BY event_type""".stripMargin
 
+  // -- q238: streaming CDC-apply (upserts + deletes) ≡ batch MERGE ---------
+
+  /** The COMPLETE streaming CDC sink: a Debezium-style (op, key, image)
+    * feed — deletes, updates and inserts interleaved — applies through
+    * [[graft.streaming.Streaming.applyChangesMorSink]] in two real
+    * epochs, each landing as ONE merge-on-read commit: delete rows kill
+    * their keys as vector positions (no appended image — physically
+    * asserted), update/insert rows append. The twin table takes the SAME
+    * feed as one three-clause SQL `MERGE` (`WHEN MATCHED AND op='d' THEN
+    * DELETE`), and `stream_eq_batch` pins full-content equality both
+    * ways. This closes the CDC loop q235 opened: not just upserts — the
+    * whole change-op algebra at epoch prices, with `originals_kept`
+    * certifying that two epochs of deletes+updates rewrote NOTHING.
+    */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    val (catA, dirA) = statsTable(s, d, "snapq238a", Seq("day"))
+    val (catB, _) = statsTable(s, d, "snapq238b", Seq("day"))
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val perDay = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(micro).as("sum_u"))
+    val changes = perDay
+      .filter(col("event_type") === "click")
+      .select(lit("d").as("op"), col("day"), col("event_type"), col("n"), col("sum_u"))
+      .unionByName(perDay
+        .filter(col("event_type") === "view")
+        .select(lit("u").as("op"), col("day"), col("event_type"),
+          (col("n") * 3).as("n"), col("sum_u")))
+      .unionByName(s.sql(
+        "SELECT 'i' AS op, DATE'1999-12-31' AS day, '__synthetic' AS event_type, " +
+          "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u"))
+    val base = new org.apache.hadoop.fs.Path(dirA).getParent
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inDir = new org.apache.hadoop.fs.Path(base, "cdc_in")
+    fs.mkdirs(inDir)
+    Seq(0, 1).foreach { parity =>
+      val tmp = new org.apache.hadoop.fs.Path(base, s".cdc_stage_$parity")
+      changes
+        .filter(dayofmonth(col("day")) % 2 === parity)
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"cdc-$parity%02d.parquet"))
+      fs.delete(tmp, true)
+    }
+    val filesBefore = graft.sources.Snapshots.files(s, dirA).toSet
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_u", org.apache.spark.sql.types.LongType)))
+    val q = s.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .writeStream
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "cdc_ck").toString)
+      .foreachBatch(graft.streaming.Streaming
+        .applyChangesMorSink(dirA, Seq("day", "event_type"), opCol = "op", tag = "q238"))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val filesAfter = graft.sources.Snapshots.files(s, dirA).toSet
+    changes.createOrReplaceTempView(s"${catB}_csrc")
+    withConfs(s, "spark.graft.rowlevel.mode" -> "mor") {
+      s.sql(s"""
+        |MERGE INTO $catB.ev t USING ${catB}_csrc s
+        |ON t.day = s.day AND t.event_type = s.event_type
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n = s.n, sum_u = s.sum_u
+        |WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (day, event_type, n, sum_u)
+        |  VALUES (s.day, s.event_type, s.n, s.sum_u)""".stripMargin)
+    }
+    val a = s.sql(s"SELECT day, event_type, n, sum_u FROM $catA.ev")
+    val b = s.sql(s"SELECT day, event_type, n, sum_u FROM $catB.ev")
+    val streamEqBatch = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(count(*) AS BIGINT) AS n_groups
+      |FROM $catA.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("stream_eq_batch", lit(streamEqBatch))
+      .withColumn("originals_kept", lit(filesBefore.subsetOf(filesAfter)))
+  }
+
+  val q238Sql: String =
+    """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |live AS (
+      |  SELECT day, event_type, CASE WHEN event_type = 'view' THEN 3 * n ELSE n END AS n
+      |  FROM g WHERE event_type <> 'click'
+      |  UNION ALL SELECT DATE '1999-12-31', '__synthetic', 7)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(count(*) AS BIGINT) AS n_groups,
+      |  true AS stream_eq_batch, true AS originals_kept
+      |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- q237: manifest NDV sketches — approx COUNT(DISTINCT), zero opens ----
 
   /** Per-(file, column) HyperLogLog register sidecars ride the bloom
@@ -2785,6 +2882,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q238_stream_cdc_apply" -> (q238 _),
     "q237_manifest_ndv" -> (q237 _),
     "q236_branch_tag_refs" -> (q236 _),
     "q235_stream_mor_upsert" -> (q235 _),
@@ -2829,6 +2927,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q238_stream_cdc_apply" -> q238Sql,
     "q237_manifest_ndv" -> q237Sql,
     "q236_branch_tag_refs" -> q236Sql,
     "q235_stream_mor_upsert" -> q235Sql,

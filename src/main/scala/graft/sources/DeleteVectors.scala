@@ -512,6 +512,53 @@ object DeleteVectors {
       keyCols: Seq[String],
       streamTag: String = "",
       epochId: Long = -1L): (Long, Long) =
+    applyInternal(spark, root, source, source, keyCols, streamTag, epochId)
+
+  /** Full CDC-apply — [[upsert]] plus DELETES in the same atomic epoch:
+    * `changes` rows whose `opCol` value is in `deleteOps` remove their key
+    * (matched table rows become vector positions, nothing appends); every
+    * other row is an upsert (matched rows die, the new image appends).
+    * One commit covers the whole batch. Same contracts as [[upsert]]
+    * (full replacement rows on the non-delete side, one op per key per
+    * batch, the exactly-once epoch marker); delete rows only need their
+    * KEY columns populated. This is the end-to-end CDC sink: a Debezium-
+    * style (op, key, image) feed applies at merge-on-read prices.
+    */
+  def applyChanges(
+      spark: SparkSession,
+      root: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      deleteOps: Set[String] = Set("d", "delete"),
+      streamTag: String = "",
+      epochId: Long = -1L): (Long, Long) = {
+    require(
+      changes.columns.contains(opCol),
+      s"applyChanges needs the op column '$opCol' in the change feed")
+    val isDelete = col(opCol).isin(deleteOps.toSeq: _*)
+    applyInternal(
+      spark,
+      root,
+      keySource = changes,
+      appendSource = changes.filter(!coalesce(isDelete, lit(false))).drop(opCol),
+      keyCols = keyCols,
+      streamTag = streamTag,
+      epochId = epochId)
+  }
+
+  /** The shared apply core: table rows matching ANY `keySource` key die
+    * as deletion vectors; `appendSource` rows (full table rows) land as
+    * appended files; one [[boundedCommit]].
+    */
+  private def applyInternal(
+      spark: SparkSession,
+      root: String,
+      keySource: DataFrame,
+      appendSource: DataFrame,
+      keyCols: Seq[String],
+      streamTag: String,
+      epochId: Long): (Long, Long) =
     Snapshots.withTableLock(spark, root) {
       require(keyCols.nonEmpty, "upsert needs at least one key column")
       val rootPath = new Path(root)
@@ -526,15 +573,21 @@ object DeleteVectors {
       val schema = view.schema.getOrElse(
         sys.error(s"merge-on-read upsert on $root needs a v2 manifest (recorded schema)"))
       keyCols.foreach(k =>
-        require(schema.fieldNames.contains(k), s"upsert key column '$k' is not in the table schema"))
+        require(
+          schema.fieldNames.contains(k) && keySource.columns.contains(k),
+          s"upsert key column '$k' is not in both the table schema and the source"))
       schema.fieldNames.foreach(c =>
         require(
-          source.columns.contains(c),
+          appendSource.columns.contains(c),
           s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
       // aligned to the recorded schema: order and types (a malformed value
-      // fails loudly here, never lands half-cast)
-      val aligned = source.select(
+      // fails loudly here, never lands half-cast). Keys cast to the
+      // TABLE's key types so the match join compares in one domain.
+      val aligned = appendSource.select(
         schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val keyFields = keyCols.map(k => schema.fields.find(_.name == k).get)
+      val sourceKeys = keySource.select(
+        keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val partCols =
         if (view.partCols.nonEmpty) view.partCols
         else Snapshots.partitionColsFromRels(view.rels)
@@ -550,7 +603,7 @@ object DeleteVectors {
       val candidates =
         if (partCols.nonEmpty && partCols.forall(keyCols.contains) && alive.nonEmpty) {
           val relDf = partitionValuesDf(spark, view, alive, partCols)
-          val touched = aligned.select(partCols.map(col): _*).distinct()
+          val touched = sourceKeys.select(partCols.map(col): _*).distinct()
           relDf
             .join(broadcast(touched), partCols.toSeq, "left_semi")
             .select(col("__graft_scope_rel__"))
@@ -567,7 +620,7 @@ object DeleteVectors {
           // broadcast the key set only when it is provably small — the
           // stageRewrite/scan-path discipline: a backfill epoch carrying
           // tens of millions of keys must take a real join, not an OOM
-          val keys0 = aligned.select(keyCols.map(col): _*).distinct().persist()
+          val keys0 = sourceKeys.distinct().persist()
           val keys =
             if (keys0.count() <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
           val matches = scan

@@ -574,6 +574,31 @@ object Streaming {
       ()
     }
 
+  /** The full streaming CDC-apply sink — [[upsertMorSink]] plus DELETES:
+    * rows whose `opCol` value is in `deleteOps` remove their key (vectors
+    * only, nothing appends); the rest upsert. One atomic commit per
+    * epoch, same exactly-once marker discipline. A Debezium-style
+    * (op, key, image) feed applies at merge-on-read prices.
+    */
+  def applyChangesMorSink(
+      root: String,
+      keyCols: Seq[String],
+      opCol: String,
+      deleteOps: Set[String] = Set("d", "delete"),
+      tag: String = "cdc-apply"): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, epochId) => {
+      graft.sources.DeleteVectors.applyChanges(
+        batch.sparkSession,
+        root,
+        batch.toDF(),
+        keyCols,
+        opCol,
+        deleteOps,
+        streamTag = tag,
+        epochId = epochId)
+      ()
+    }
+
   /** Run a streaming query over `srcDir` into an in-memory sink until all
     * available data is processed (test/driver harness path).
     */

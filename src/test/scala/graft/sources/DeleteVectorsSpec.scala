@@ -689,6 +689,33 @@ class DeleteVectorsSpec extends SparkSpec {
       "epoch 1's update wins over epoch 0's insert")
   }
 
+  test("applyChanges: deletes become vectors only, upserts append, ONE commit") {
+    val dir = Files.createTempDirectory("dv_cdc_apply").toString + "/t"
+    val v1 = table(dir)
+    val filesBefore = Snapshots.files(spark, dir).toSet
+    val changes = Seq(
+      ("d", 2L, "2024-01-01", 0.0), // delete: only the key matters
+      ("u", 3L, "2024-01-02", 21.0), // update: full replacement row
+      ("i", 9L, "2024-01-09", 90.0) // insert: no match
+    ).toDF("op", "id", "day", "v")
+    val (touched, deleted) =
+      DeleteVectors.applyChanges(spark, dir, changes, Seq("day", "id"), "op")
+    assert(touched == 2L && deleted == 2L, s"got ($touched, $deleted)")
+    assert(Snapshots.latestVersion(spark, dir) == v1 + 1L, "one atomic version")
+    assert(filesBefore.subsetOf(Snapshots.files(spark, dir).toSet), "nothing rewritten")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == Set(
+      (1L, "2024-01-01", 10.0),
+      (3L, "2024-01-02", 21.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 90.0)))
+    // the deleted key left NO appended copy: day=01 gained no file
+    assert(
+      (Snapshots.files(spark, dir).toSet -- filesBefore)
+        .forall(r => !r.startsWith("day=2024-01-01/")),
+      "a delete row must not land an appended image")
+    assert(Snapshots.countRows(spark, dir) == 4L)
+  }
+
   test("a crashed epoch's landed-but-uncommitted files are swept before the retry lands") {
     val dir = Files.createTempDirectory("dv_ups_crash").toString + "/t"
     table(dir)
