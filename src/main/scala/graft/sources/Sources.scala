@@ -782,7 +782,10 @@ object Sources {
     * [[compactParquet]] (whole-table rewrite to a NEW path), this runs
     * against the live path a maintained table actually serves.
     */
-  def compactInPlace(spark: SparkSession, root: String): (Long, Long, Long) = {
+  def compactInPlace(
+      spark: SparkSession,
+      root: String,
+      where: Option[Column] = None): (Long, Long, Long) = {
     Snapshots.withTableLock(spark, root) {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -796,7 +799,14 @@ object Sources {
       .toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath)
-    val targets = (if (partDirs.nonEmpty) partDirs else Seq(rootPath))
+    // partition-scoped OPTIMIZE: at 100 TB the nightly pass compacts the
+    // day that just closed, not the table — `where` narrows the scopes by
+    // their typed partition values (the scoped-materialize discipline)
+    val scoped = where match {
+      case None => partDirs
+      case Some(pred) => scopeDirs(spark, root, partDirs, pred)
+    }
+    val targets = (if (partDirs.nonEmpty) scoped else Seq(rootPath))
       .map(d => d -> dataFiles(d))
       .filter(_._2.length > 1)
     if (targets.isEmpty) return (0L, 0L, 0L)
@@ -856,6 +866,58 @@ object Sources {
     Snapshots.commit(spark, root)
     (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
   }
+  }
+
+  /** Which single-level hive partition dirs satisfy `pred` over their
+    * TYPED partition values — the per-dir twin of the scoped
+    * materialize's per-file evaluation: segment values parse as the
+    * declared column type via `try_cast` (an unparseable or sentinel
+    * value reads NULL and falls conservatively out of any value
+    * predicate), and the predicate evaluates in one tiny local job.
+    */
+  private def scopeDirs(
+      spark: SparkSession,
+      root: String,
+      dirs: Seq[org.apache.hadoop.fs.Path],
+      pred: Column): Seq[org.apache.hadoop.fs.Path] = {
+    require(
+      dirs.nonEmpty,
+      "scoped maintenance needs a hive-partitioned table — omit `where` for the whole table")
+    val parsed = dirs.map { d =>
+      val Array(k, raw) = d.getName.split("=", 2)
+      val v =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null else Snapshots.unescapePathName(raw)
+      (d, k, v)
+    }
+    val partCol = {
+      val cols = parsed.map(_._2).distinct
+      require(cols.size == 1, s"mixed partition columns at one level: $cols")
+      cols.head
+    }
+    val declared = declaredSchemaOf(spark, root).flatMap(_.fields.find(_.name == partCol))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        parsed.zipWithIndex.map { case ((_, _, v), i) => Row(i.toLong, v) },
+        1),
+      StructType(Seq(
+        StructField("__graft_scope_idx__", LongType, nullable = false),
+        StructField(partCol, StringType, nullable = true))))
+    val typed = declared match {
+      case Some(f) =>
+        raw.withColumn(
+          partCol,
+          org.apache.spark.sql.functions.expr(s"try_cast(`$partCol` AS ${f.dataType.sql})"))
+      case None => raw
+    }
+    val kept = typed
+      .filter(pred)
+      .select(col("__graft_scope_idx__"))
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    parsed.zipWithIndex.collect { case ((d, _, _), i) if kept(i.toLong) => d }
   }
 
   /** Root-relative rel of a live file path (driver-side string op on the
@@ -936,7 +998,8 @@ object Sources {
       spark: SparkSession,
       root: String,
       key: Column,
-      filesPerScope: Int): (Long, Long) = {
+      filesPerScope: Int,
+      where: Option[Column] = None): (Long, Long) = {
     require(filesPerScope >= 1, s"filesPerScope must be >= 1, got $filesPerScope")
     Snapshots.withTableLock(spark, root) {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -951,7 +1014,13 @@ object Sources {
       .toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath)
-    val targets = (if (partDirs.nonEmpty) partDirs else Seq(rootPath))
+    // partition-scoped clustering (the compactInPlace discipline): only
+    // the matching scopes range-rewrite; the rest keep their layout
+    val scoped = where match {
+      case None => partDirs
+      case Some(pred) => scopeDirs(spark, root, partDirs, pred)
+    }
+    val targets = (if (partDirs.nonEmpty) scoped else Seq(rootPath))
       .map(d => d -> dataFiles(d))
       .filter(_._2.nonEmpty)
     if (targets.isEmpty) return (0L, 0L)

@@ -81,10 +81,18 @@ private[snap] object GraftProcedures {
   }
 
   private class Compact(rootDir: String) extends SnapProcedure("compact", rootDir) {
-    override def description: String = "rewrite multi-file scopes to one file each; commits a version"
-    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+    override def description: String =
+      "rewrite multi-file scopes to one file each (merge-on-read vectors fold during the " +
+        "rewrite); an optional `where` over the partition column scopes the pass " +
+        "(e.g. where => \"day = DATE'2024-01-03'\" — the nightly close-of-day OPTIMIZE); " +
+        "commits a version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), inDefault("where", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val (dirs, before, after) = Sources.compactInPlace(spark, dirOf(input.getUTF8String(0).toString))
+      val (dirs, before, after) = Sources.compactInPlace(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        GraftProcedures.whereOf(input.getUTF8String(1).toString))
       result(
         out("dirs" -> LongType, "files_before" -> LongType, "files_after" -> LongType),
         Seq(dirs, before, after))
@@ -95,17 +103,29 @@ private[snap] object GraftProcedures {
     override def description: String =
       "range-cluster each scope on a key column or a multi-dim layout key " +
         "(zorder(c1,c2,…[,bits=N]) / hilbert(c1,c2,…[,order=N])) so manifest stats " +
-        "prune range and box scans; commits a version"
+        "prune range and box scans; an optional `where` over the partition column " +
+        "scopes the pass; commits a version"
     override def parameters(): Array[ProcedureParameter] =
-      Array(in("table", StringType), in("key", StringType), inDefault("files", IntegerType, "8"))
+      Array(
+        in("table", StringType),
+        in("key", StringType),
+        inDefault("files", IntegerType, "8"),
+        inDefault("where", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val (scopes, before) = Sources.clusterInPlace(
         spark,
         dirOf(input.getUTF8String(0).toString),
         GraftProcedures.clusterKey(input.getUTF8String(1).toString),
-        input.getInt(2))
+        input.getInt(2),
+        GraftProcedures.whereOf(input.getUTF8String(3).toString))
       result(out("scopes" -> LongType, "files_before" -> LongType), Seq(scopes, before))
     }
+  }
+
+  /** Parse an optional `where` CALL argument: empty string → None. */
+  private[snap] def whereOf(s: String): Option[org.apache.spark.sql.Column] = {
+    val t = s.trim
+    if (t.isEmpty) None else Some(org.apache.spark.sql.functions.expr(t))
   }
 
   /** Parse a CALL cluster key spec: a plain column name, or a multi-dim
@@ -257,12 +277,10 @@ private[snap] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] =
       Array(in("table", StringType), inDefault("where", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val whereStr = input.getUTF8String(1).toString.trim
-      val scope =
-        if (whereStr.isEmpty) None
-        else Some(org.apache.spark.sql.functions.expr(whereStr))
-      val (files, positions) = graft.sources.DeleteVectors
-        .materialize(spark, dirOf(input.getUTF8String(0).toString), scope)
+      val (files, positions) = graft.sources.DeleteVectors.materialize(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        GraftProcedures.whereOf(input.getUTF8String(1).toString))
       result(
         out("files_rewritten" -> LongType, "positions_folded" -> LongType),
         Seq(files, positions))

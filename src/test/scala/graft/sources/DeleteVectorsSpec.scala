@@ -163,6 +163,46 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(net == 0L, s"compaction version must net zero changes, got $net")
   }
 
+  test("partition-scoped compact/cluster: only matching dirs rewrite; predicates are typed") {
+    val dir = Files.createTempDirectory("dv_scoped_opt").toString + "/t"
+    table(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two extra files so BOTH day=01 and day=02 are compaction targets
+    Seq(("2024-01-01", 10L), ("2024-01-02", 20L)).foreach { case (day, id) =>
+      val tmp = Files.createTempDirectory(s"dv_opt_$id").toString + "/out"
+      Seq((id, 100.0)).toDF("id", "v").repartition(1).write.parquet(tmp)
+      val part = fs
+        .listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .get
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, s"day=$day/part-extra-$id.parquet"))
+    }
+    Snapshots.commit(spark, dir)
+    val day01Before = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-01/")).toSet
+    // typed predicate (day inferred as DATE): only day=02 compacts
+    val (dirs, before, after) =
+      Sources.compactInPlace(spark, dir, Some($"day" === "2024-01-02"))
+    assert(dirs == 1L && before == 2L && after == 1L, s"got ($dirs, $before, $after)")
+    assert(
+      Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-01/")).toSet == day01Before,
+      "the out-of-scope dir must keep its files")
+    assert(Snapshots.files(spark, dir).count(_.startsWith("day=2024-01-02/")) == 1)
+    // scoped clustering: only day=01 rewrites
+    val files03 = Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-03/")).toSet
+    val (scopes, _) =
+      Sources.clusterInPlace(spark, dir, $"id", filesPerScope = 1, Some($"day" < "2024-01-02"))
+    assert(scopes == 1L)
+    assert(Snapshots.files(spark, dir).filter(_.startsWith("day=2024-01-03/")).toSet == files03)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 2L, 3L, 4L, 10L, 20L))
+    // unpartitioned scope refuses loudly
+    val flat = Files.createTempDirectory("dv_opt_flat").toString + "/t"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").repartition(2).write.parquet(flat)
+    Snapshots.commit(spark, flat)
+    intercept[IllegalArgumentException](
+      Sources.compactInPlace(spark, flat, Some($"id" === 1L)))
+  }
+
   test("clusterInPlace folds vectors too (every scope rewrites)") {
     val dir = Files.createTempDirectory("dv_cluster").toString + "/t"
     table(dir)
