@@ -2435,7 +2435,9 @@ object Frontier3 {
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"cdc-$parity%02d.parquet"))
+      require(
+        fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"cdc-$parity%02d.parquet")),
+        s"staging epoch $parity failed to land") // a silent false would drop a whole epoch
       fs.delete(tmp, true)
     }
     val filesBefore = graft.sources.Snapshots.files(s, dirA).toSet
@@ -2686,7 +2688,9 @@ object Frontier3 {
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"upsert-$parity%02d.parquet"))
+      require(
+        fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"upsert-$parity%02d.parquet")),
+        s"staging epoch $parity failed to land") // a silent false would drop a whole epoch
       fs.delete(tmp, true)
     }
     val filesBefore = graft.sources.Snapshots.files(s, dirA).toSet

@@ -829,6 +829,7 @@ object Sources {
       val partCols = Snapshots.partitionColsFromRels(Snapshots.listDataFiles(spark, root)).toSet
       org.apache.spark.sql.types.StructType(s.filterNot(f => partCols.contains(f.name)))
     }
+    val landedDirs = new java.util.concurrent.atomic.AtomicLong(0L)
     def compactOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
       // provably-empty files (every recorded row MoR-deleted) contribute
@@ -838,6 +839,7 @@ object Sources {
           Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
       }
       if (live.nonEmpty) {
+        landedDirs.incrementAndGet()
         // explicit file list, partition columns irrelevant (rows keep their
         // dir, which IS the partition value)
         val rd = spark.read
@@ -864,7 +866,9 @@ object Sources {
     }
     Snapshots.parEach(targets) { case (d, fls) => compactOne(d, fls) }
     Snapshots.commit(spark, root)
-    (targets.length.toLong, targets.map(_._2.length.toLong).sum, targets.length.toLong)
+    // filesAfter counts LANDED replacements only — a dir whose every file
+    // was provably fully-deleted archives all and lands nothing
+    (targets.length.toLong, targets.map(_._2.length.toLong).sum, landedDirs.get())
   }
   }
 
@@ -885,9 +889,9 @@ object Sources {
       "scoped maintenance needs a hive-partitioned table — omit `where` for the whole table")
     val parsed = dirs.map { d =>
       val Array(k, raw) = d.getName.split("=", 2)
-      val v =
-        if (raw == "__HIVE_DEFAULT_PARTITION__") null else Snapshots.unescapePathName(raw)
-      (d, k, v)
+      // ONE decode discipline across scoped materialize / upsert
+      // narrowing / scoped maintenance: segValue's sentinel + unescape
+      (d, k, graft.sources.snap.SnapFilters.segValue(raw).orNull)
     }
     val partCol = {
       val cols = parsed.map(_._2).distinct
