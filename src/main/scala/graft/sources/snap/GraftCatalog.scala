@@ -178,6 +178,7 @@ class GraftCatalog
       case "partitions" => Some(new SnapMetaTable(tableDir, version, "partitions"))
       case "dvs" => Some(new SnapMetaTable(tableDir, version, "dvs"))
       case "refs" => Some(new SnapMetaTable(tableDir, version, "refs"))
+      case "ndv" => Some(new SnapMetaTable(tableDir, version, "ndv"))
       case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }
@@ -565,6 +566,13 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("version", LongType, nullable = false)))
+    case "ndv" =>
+      // per-column approximate COUNT(DISTINCT) of the pinned version from
+      // the merged register sidecars — zero data opens at any table size;
+      // a column whose sidecars are incomplete is omitted (never a guess)
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("ndv_estimate", org.apache.spark.sql.types.DoubleType, nullable = false)))
     case _ =>
       StructType(Seq(
         StructField("rel", StringType, nullable = false),
@@ -648,6 +656,11 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
           }
       case "refs" =>
         Snapshots.refs(spark, dir).toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
+      case "ndv" =>
+        val mv = Snapshots.manifestView(spark, dir, version)
+        mv.bloomCols.sorted.flatMap { c =>
+          Snapshots.mergedNdvEstimate(spark, dir, mv.rels, c).map(est => Row(c, est))
+        }
       case "dvs" =>
         val mv = Snapshots.manifestView(spark, dir, version)
         mv.rels.flatMap { rel =>

@@ -136,6 +136,13 @@ class SnapshotsSpec extends SparkSpec {
       case (ref, cs) if ref.fieldNames().toSeq == Seq("k") => cs.distinctCount()
     }
     assert(kStat.exists(_.getAsLong == math.round(after)), s"scan NDV: $kStat vs $after")
+    // and the SQL face: cat.t.ndv lists the same merged estimate
+    val ndvRows = spark.sql("SELECT column, ndv_estimate FROM ndvcat.t.ndv")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(ndvRows == Seq(("k", after)), s"ndv metadata table: $ndvRows vs $after")
+    // version pin shows the PRE-append estimate
+    assert(
+      spark.sql("SELECT ndv_estimate FROM ndvcat.t.ndv VERSION AS OF 1").head().getDouble(0) == before)
     // vacuum reaps sidecars of files no retained manifest references
     Sources.deleteWhere(spark, dirB, $"k" === 3L) // rewrites the files holding k=3
     Snapshots.vacuum(spark, dirB, keepLast = 1)
