@@ -630,23 +630,7 @@ object Snapshots {
   private[sources] def fullyDeleted(st: Map[String, ColStat]): Boolean =
     logicalRowsOf(st).contains(0L) && hasDv(st)
 
-  /** Loud guard for maintenance ops that read data files RAW (compaction,
-    * copy-on-write delete/update/merge): rewriting a DV'd file from its
-    * raw bytes would resurrect the deleted rows. Those ops refuse until
-    * the DVs are materialized ([[graft.sources.DeleteVectors.materialize]]
-    * / `CALL cat.dv_materialize`).
-    */
-  private[sources] def requireNoDv(spark: SparkSession, root: String, op: String): Unit =
-    if (latestVersion(spark, root) > 0L) {
-      val dvd = manifestView(spark, root).stats.count { case (_, st) => hasDv(st) }
-      if (dvd > 0)
-        sys.error(
-          s"$op on $root reads data files directly, but $dvd file(s) carry deletion vectors — " +
-            "rewriting them raw would resurrect deleted rows. Run " +
-            "DeleteVectors.materialize (SQL: CALL cat.dv_materialize(table => …)) first.")
-    }
-
-  /** The SCOPED form of [[requireNoDv]]: refuse only when a deletion-
+  /** Loud guard for copy-on-write DML: refuse only when a deletion-
     * vectored file is in the OP'S OWN file set (the files a copy-on-write
     * DML will actually rewrite). One day's MoR delete must not suspend
     * maintenance of every other partition — a COW delete/update/merge

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, split, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, element_at, lit, regexp_extract, regexp_replace, split, url_decode, when}
 import org.apache.spark.sql.types.StructType
 
 /** Batch sources & sinks. The reference's entire I/O surface is whole-file
@@ -114,9 +114,40 @@ object Sources {
     require(
       java.nio.file.Paths.get(inPath).normalize() != java.nio.file.Paths.get(outPath).normalize(),
       "compactParquet cannot rewrite in place: Spark reads lazily while overwriting — use a new path and swap")
-    Snapshots.requireNoDv(spark, inPath, "compactParquet") // raw dir read would resurrect MoR deletes
-    val df = spark.read.parquet(inPath)
-    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // merge-on-read deletes FOLD through the rewrite (the compactInPlace
+    // discipline, r12's requireNoDv refusal retired): provably-empty files
+    // are never read, DV'd files rewrite without their deleted positions —
+    // matched by FULL decoded rel, because this whole-table read spans
+    // directories and one partitioned job reuses a part NAME across dirs.
+    // A raw dir with no committed manifest has no vectors by construction.
+    val inRoot = new org.apache.hadoop.fs.Path(inPath)
+    val fs = inRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dv =
+      if (Snapshots.latestVersion(spark, inPath) > 0L)
+        Snapshots.dvByRel(Snapshots.manifestView(spark, inPath))
+      else Map.empty[String, (String, Long)]
+    val df =
+      if (dv.isEmpty) spark.read.parquet(inPath)
+      else {
+        val stats = Snapshots.manifestView(spark, inPath).stats
+        val live = Snapshots
+          .listDataFiles(spark, inPath)
+          .filterNot(rel => Snapshots.fullyDeleted(stats.getOrElse(rel, Map.empty)))
+        require(live.nonEmpty, s"compactParquet: every row of $inPath is MoR-deleted — nothing to rewrite")
+        val base = {
+          val rd = spark.read.option("basePath", inPath)
+          rd.parquet(live.map(r => new org.apache.hadoop.fs.Path(inRoot, r).toString): _*)
+        }
+        foldDvPositions(spark, inRoot, base, live, dv, byFullRel = true)
+      }
+    // output file count from the input's ON-DISK bytes (compressed domain —
+    // the same domain targetBytes is stated in); the optimizer's estimate
+    // of a DV-folded anti-join is not a byte count
+    val inputBytes = BigInt(
+      Snapshots
+        .listDataFiles(spark, inPath)
+        .map(rel => fs.getFileStatus(new org.apache.hadoop.fs.Path(inRoot, rel)).getLen)
+        .sum)
     val nFiles = math.max(1L, (inputBytes / BigInt(targetBytes)).toLong +
       (if (inputBytes % BigInt(targetBytes) > 0) 1L else 0L))
     val n = math.min(nFiles, Int.MaxValue.toLong).toInt
@@ -132,6 +163,46 @@ object Sources {
     Snapshots.commit(spark, outPath)
     nFiles
   }
+
+  /** Target on-disk bytes per output file for the IN-PLACE rewrite paths
+    * ([[compactInPlace]], [[deleteWhere]], [[updateWhere]]) —
+    * `spark.graft.rewrite.targetBytes`, default 128 MiB (the
+    * [[compactParquet]] default). A 100 TB table's hot partition can hold
+    * hundreds of GB: rewriting it as ONE task producing ONE file destroys
+    * both rewrite parallelism and the file-size discipline every scan
+    * depends on, so each rewrite sizes its output from the live bytes it
+    * is about to rewrite with the same arithmetic `compactParquet` uses.
+    */
+  val DefaultRewriteTargetBytes: Long = 128L * 1024 * 1024
+
+  private[sources] def rewriteTargetBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.rewrite.targetBytes") match {
+      case None => DefaultRewriteTargetBytes
+      case Some(s) =>
+        // refuse loudly — a silently-swallowed typo would quietly restore
+        // the single-monster-file behavior this conf exists to prevent
+        val t = scala.util.Try(s.toLong).getOrElse(
+          sys.error(s"spark.graft.rewrite.targetBytes must be a positive long, got '$s'"))
+        require(t > 0L, s"spark.graft.rewrite.targetBytes must be positive, got '$s'")
+        t
+    }
+
+  /** ceil(liveBytes / targetBytes), floored at one file. */
+  private[sources] def rewriteFileCount(liveBytes: Long, targetBytes: Long): Int = {
+    val n = math.max(1L, liveBytes / targetBytes + (if (liveBytes % targetBytes > 0L) 1L else 0L))
+    math.min(n, Int.MaxValue.toLong).toInt
+  }
+
+  /** Lay a rewrite out as `n` output files. The common fits-the-target
+    * case keeps the shuffle-free `coalesce(1)`; an OVERSIZED rewrite
+    * takes one round-robin shuffle of just this rewrite's rows —
+    * `coalesce(n)` cannot SPLIT (the scan may pack many small inputs into
+    * fewer partitions than n), and under-delivering here is exactly the
+    * single-monster-file failure this sizing exists to prevent. The
+    * shuffle is confined to the oversized scope, never the table.
+    */
+  private def sizedLayout(df: DataFrame, n: Int): DataFrame =
+    if (n <= 1) df.coalesce(1) else df.repartition(n)
 
   /** Dynamic partition overwrite: replace ONLY the partitions present in
     * `df`, leaving every other partition untouched — the partition-level
@@ -439,6 +510,7 @@ object Sources {
       "copy-on-write deleteWhere",
       affected.map { case (u, _) => relOfFileUri(fs, hadoopPath, u) })
     if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    val targetBytes = rewriteTargetBytes(spark)
     def rewriteOne(uri: String, matching: Long): Unit = {
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
       // whole-file delete detected from the FOOTER row count (driver-side
@@ -474,19 +546,28 @@ object Sources {
           .filter(!coalesce(predicate, lit(false)))
           .drop(partCols: _*)
         val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
-        keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-        val part = fs
+        // size the rewrite from the SOURCE file's on-disk bytes (the
+        // survivors are a subset, so this can only over-provision): an
+        // oversized input rewrites in parallel to ~targetBytes files
+        // instead of one unbounded single-task file. coalesce never
+        // shuffles — it merges (or keeps) the scan's own splits.
+        val n = rewriteFileCount(fs.getFileStatus(filePath).getLen, targetBytes)
+        sizedLayout(keep, n).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+        val parts = fs
           .listStatus(tmpDir)
           .map(_.getPath)
-          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"rewrite of $uri produced no part file")
         // archive the old file (atomic rename — becomes invisible to
         // directory readers), then land the rewrite under the PART JOB'S
-        // OWN generated name: rel paths are never reused, so a pinned
+        // OWN generated names: rel paths are never reused, so a pinned
         // manifest entry denotes exactly one immutable file forever
         Snapshots.archiveFile(fs, hadoopPath, filePath)
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
-          throw new IllegalStateException(s"delete rewrite of $uri failed to land $part")
+        parts.foreach { part =>
+          if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
+            throw new IllegalStateException(s"delete rewrite of $uri failed to land $part")
+        }
         fs.delete(tmpDir, true)
       }
     }
@@ -575,6 +656,7 @@ object Sources {
       "copy-on-write updateWhere",
       affected.map { case (u, _) => relOfFileUri(fs, hadoopPath, u) })
     if (affected.nonEmpty) Snapshots.ensureBaseline(spark, root) // pre-state stays pinnable
+    val targetBytes = rewriteTargetBytes(spark)
     def rewriteOne(uri: String): Unit = {
       val filePath = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
       val partCols = filePath.toUri.getPath
@@ -602,15 +684,22 @@ object Sources {
         }: _*)
         .drop(partCols: _*)
       val tmpDir = new org.apache.hadoop.fs.Path(filePath.getParent, s".rewrite-${filePath.getName}")
-      updated.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
-      val part = fs
+      // UPDATE preserves row count, so the source file's on-disk bytes are
+      // the right size estimate — same parallel-rewrite discipline as
+      // deleteWhere (one oversized file must not rewrite as one task)
+      val n = rewriteFileCount(fs.getFileStatus(filePath).getLen, targetBytes)
+      sizedLayout(updated, n).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+      val parts = fs
         .listStatus(tmpDir)
         .map(_.getPath)
-        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"rewrite of $uri produced no part file"))
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      if (parts.isEmpty)
+        throw new IllegalStateException(s"rewrite of $uri produced no part file")
       Snapshots.archiveFile(fs, hadoopPath, filePath)
-      if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
-        throw new IllegalStateException(s"update rewrite of $uri failed to land $part")
+      parts.foreach { part =>
+        if (!fs.rename(part, new org.apache.hadoop.fs.Path(filePath.getParent, part.getName)))
+          throw new IllegalStateException(s"update rewrite of $uri failed to land $part")
+      }
       fs.delete(tmpDir, true)
     }
     Snapshots.parEach(affected.toSeq) { case (u, _) => rewriteOne(u) }
@@ -770,9 +859,11 @@ object Sources {
     * parquet table — the OPTIMIZE maintenance pass, made safe for
     * concurrent readers by the [[Snapshots]] layer: each multi-file
     * partition dir (or the root's own file set, when unpartitioned) is
-    * rewritten as ONE fresh-named file via stage + rename, the replaced
-    * files are ARCHIVED (never destroyed — every pinned manifest keeps
-    * reading), and a single new manifest commits the compacted layout.
+    * rewritten as ~`spark.graft.rewrite.targetBytes`-sized fresh-named
+    * files via stage + rename (one file when the scope fits the target),
+    * the replaced files are ARCHIVED (never destroyed — every pinned
+    * manifest keeps reading), and a single new manifest commits the
+    * compacted layout.
     * Returns (dirsCompacted, filesBefore, filesAfter-for-those-dirs).
     *
     * Scale: per-dir rewrites are independent single-dir Spark jobs,
@@ -789,11 +880,13 @@ object Sources {
     Snapshots.withTableLock(spark, root) {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: org.apache.hadoop.fs.Path) = fs
+    // keep the byte lengths from the one listing the scan already pays:
+    // they size each scope's rewrite below (no extra getFileStatus RPCs)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[(org.apache.hadoop.fs.Path, Long)] = fs
       .listStatus(dir)
       .toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
-      .map(_.getPath)
+      .map(st => st.getPath -> st.getLen)
     val partDirs = fs
       .listStatus(rootPath)
       .toSeq
@@ -829,46 +922,62 @@ object Sources {
       val partCols = Snapshots.partitionColsFromRels(Snapshots.listDataFiles(spark, root)).toSet
       org.apache.spark.sql.types.StructType(s.filterNot(f => partCols.contains(f.name)))
     }
-    val landedDirs = new java.util.concurrent.atomic.AtomicLong(0L)
-    def compactOne(dir: org.apache.hadoop.fs.Path, files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    val targetBytes = rewriteTargetBytes(spark)
+    val landedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+    def compactOne(
+        dir: org.apache.hadoop.fs.Path,
+        files: Seq[(org.apache.hadoop.fs.Path, Long)]): Unit = {
       val stage = new org.apache.hadoop.fs.Path(dir, s".compact-${java.util.UUID.randomUUID().toString}")
       // provably-empty files (every recorded row MoR-deleted) contribute
       // nothing: archive without reading a byte
-      val live = files.filterNot { f =>
+      val live = files.filterNot { case (f, _) =>
         dvView.exists(v =>
           Snapshots.fullyDeleted(v.stats.getOrElse(relOf(fs, rootPath, f), Map.empty)))
       }
       if (live.nonEmpty) {
-        landedDirs.incrementAndGet()
         // explicit file list, partition columns irrelevant (rows keep their
         // dir, which IS the partition value)
         val rd = spark.read
         dataSchema.foreach(rd.schema)
-        val base = rd.parquet(live.map(_.toString): _*)
-        foldDvPositions(spark, rootPath, base, live.map(relOf(fs, rootPath, _)), dv)
-          .coalesce(1)
+        val base = rd.parquet(live.map(_._1.toString): _*)
+        // output sized from the scope's LIVE on-disk bytes (already in hand
+        // from the listing): a hundreds-of-GB partition rewrites in
+        // parallel to ~targetBytes files, never as one single-task monster
+        // — the compactParquet arithmetic applied in place. coalesce keeps
+        // the scan's own splits (no shuffle); small scopes still land one
+        // file, so prior layouts (and their query hashes) are unchanged.
+        val n = rewriteFileCount(live.map(_._2).sum, targetBytes)
+        sizedLayout(
+          foldDvPositions(spark, rootPath, base, live.map(f => relOf(fs, rootPath, f._1)), dv),
+          n)
           .write
           .mode(SaveMode.Overwrite)
           .parquet(stage.toString)
-        val part = fs
+        val parts = fs
           .listStatus(stage)
           .map(_.getPath)
-          .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"compaction of $dir produced no part file"))
-        // land the compacted file FIRST (a directory lister sees old+new for
-        // a moment — duplicate-safe readers are the manifest readers, and
-        // the final state is committed below), then archive the originals
-        if (!fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName)))
-          throw new IllegalStateException(s"compaction of $dir failed to land $part")
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        if (parts.isEmpty)
+          throw new IllegalStateException(s"compaction of $dir produced no part file")
+        landedFiles.addAndGet(parts.length.toLong)
+        // land the compacted files FIRST (a directory lister sees old+new
+        // for a moment — duplicate-safe readers are the manifest readers,
+        // and the final state is committed below), then archive the
+        // originals
+        parts.foreach { part =>
+          if (!fs.rename(part, new org.apache.hadoop.fs.Path(dir, part.getName)))
+            throw new IllegalStateException(s"compaction of $dir failed to land $part")
+        }
       }
-      files.foreach(f => Snapshots.archiveFile(fs, rootPath, f))
+      files.foreach { case (f, _) => Snapshots.archiveFile(fs, rootPath, f) }
       fs.delete(stage, true)
     }
     Snapshots.parEach(targets) { case (d, fls) => compactOne(d, fls) }
     Snapshots.commit(spark, root)
-    // filesAfter counts LANDED replacements only — a dir whose every file
-    // was provably fully-deleted archives all and lands nothing
-    (targets.length.toLong, targets.map(_._2.length.toLong).sum, landedDirs.get())
+    // filesAfter counts LANDED replacement files only — a dir whose every
+    // file was provably fully-deleted archives all and lands nothing; an
+    // oversized scope lands several ~targetBytes files
+    (targets.length.toLong, targets.map(_._2.length.toLong).sum, landedFiles.get())
   }
   }
 
@@ -946,34 +1055,54 @@ object Sources {
     * predicates so the row ordinal is exactly the DV's recorded domain.
     * The positions side broadcasts only below the recorded-count threshold
     * ([[Snapshots.DvBroadcastMaxPositions]]) — the scan-path discipline.
+    *
+    * `byFullRel`: match on the DECODED root-relative rel instead of the
+    * file name — required when one fold spans directories ([[
+    * compactParquet]]'s whole-table read): a single partitioned write job
+    * reuses its part file NAMES across partition dirs, so name-only
+    * matching could subtract one file's positions from its namesake.
+    * The decode is the scan-path discipline (`_metadata.file_path` is
+    * URI-rendered; '+' is literal and must survive `url_decode`).
     */
   private def foldDvPositions(
       spark: SparkSession,
       rootPath: org.apache.hadoop.fs.Path,
       base: DataFrame,
       rels: Seq[String],
-      dv: Map[String, (String, Long)]): DataFrame = {
+      dv: Map[String, (String, Long)],
+      byFullRel: Boolean = false): DataFrame = {
     val dvd = rels.filter(dv.contains)
     if (dvd.isEmpty) return base
     val sidecars =
       dvd.map(r => new org.apache.hadoop.fs.Path(rootPath, dv(r)._1).toString).distinct
+    val keyOfRel =
+      if (byFullRel) col("rel") else element_at(split(col("rel"), "/"), -1)
     val positions = spark.read
       .parquet(sidecars: _*)
-      .select(
-        element_at(split(col("rel"), "/"), -1).as("__dv_name__"),
-        col("pos").as("__dv_pos__"))
+      .select(keyOfRel.as("__dv_key__"), col("pos").as("__dv_pos__"))
     val total = dvd.map(r => dv(r)._2).sum
     val right = if (total <= Snapshots.DvBroadcastMaxPositions) broadcast(positions) else positions
+    val keyOfRow =
+      if (byFullRel) {
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootRaw = java.util.regex.Pattern.quote(
+          rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri.getRawPath)
+        url_decode(
+          regexp_replace(
+            regexp_extract(col("_metadata.file_path"), s".*$rootRaw/(.*)$$", 1),
+            "\\+",
+            "%2B"))
+      } else element_at(split(col("_metadata.file_path"), "/"), -1)
     val withMeta = base
-      .withColumn("__graft_fold_name__", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_fold_key__", keyOfRow)
       .withColumn("__graft_fold_pos__", col("_metadata.row_index"))
     withMeta
       .join(
         right,
-        withMeta("__graft_fold_name__") === right("__dv_name__") &&
+        withMeta("__graft_fold_key__") === right("__dv_key__") &&
           withMeta("__graft_fold_pos__") === right("__dv_pos__"),
         "left_anti")
-      .drop("__graft_fold_name__", "__graft_fold_pos__")
+      .drop("__graft_fold_key__", "__graft_fold_pos__")
   }
 
   /** In-place CLUSTERING rewrite — the `OPTIMIZE … ZORDER BY` of the

@@ -521,4 +521,95 @@ class SourcesSpec extends SparkSpec {
     // idempotent: nothing left to expire
     assert(Sources.expirePartitions(spark, s"$dir/by_day", "day", _ >= cutoff).isEmpty)
   }
+
+  test("compactInPlace sizes oversized scopes: multi-file output near targetBytes, data intact") {
+    val ev = graft.core.Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"), (col("event_id") % 2).as("p"))
+    val dir = Files.createTempDirectory("sizedcompact").toString + "/t"
+    Sources.writeParquet(ev.repartition(8), dir, Seq("p"))
+    def landed(): Array[java.io.File] = new java.io.File(dir)
+      .listFiles()
+      .filter(_.isDirectory)
+      .filter(_.getName.startsWith("p="))
+      .flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    val before = landed()
+    assert(before.length == 16)
+    val perDirBytes = before.map(_.length()).sum / 2
+    // a target well below each dir's live bytes forces the oversized path
+    val target = math.max(1024L, perDirBytes / 4)
+    spark.conf.set("spark.graft.rewrite.targetBytes", target.toString)
+    try {
+      val (dirs, nBefore, nAfter) = Sources.compactInPlace(spark, dir)
+      assert(dirs == 2L && nBefore == 16L)
+      assert(nAfter > 2L, s"oversized scopes must land multiple files, got $nAfter")
+      val after = landed()
+      assert(after.length.toLong == nAfter)
+      // the size discipline held: no landed file wildly above target
+      after.foreach(f =>
+        assert(f.length() < 3 * target, s"${f.getName} is ${f.length()} B vs target $target"))
+      val back = spark.read.parquet(dir)
+      assert(back.count() == ev.count())
+      assert(back.agg(sum("event_id")).head.getLong(0) == ev.agg(sum("event_id")).head.getLong(0))
+    } finally spark.conf.unset("spark.graft.rewrite.targetBytes")
+  }
+
+  test("deleteWhere/updateWhere rewrite an oversized file in parallel to sized files") {
+    val ev = graft.core.Tables
+      .events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dir = Files.createTempDirectory("sizeddel").toString + "/t"
+    ev.coalesce(1).write.parquet(dir) // ONE oversized file
+    def files(): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files().length == 1)
+    val target = math.max(1024L, files().head.length() / 4)
+    spark.conf.set("spark.graft.rewrite.targetBytes", target.toString)
+    try {
+      val (f1, r1) = Sources.deleteWhere(spark, dir, col("event_id") % 100 === 0)
+      assert(f1 == 1L && r1 > 0L)
+      assert(files().length > 1, "the delete rewrite must land multiple sized files")
+      val n1 = spark.read.parquet(dir).count()
+      assert(n1 == ev.filter(!(col("event_id") % 100 === 0)).count())
+      val (f2, r2) = Sources.updateWhere(spark, dir, col("event_id") % 7 === 0, Map("value" -> lit(0.0)))
+      assert(f2 >= 1L && r2 > 0L)
+      assert(spark.read.parquet(dir).count() == n1, "UPDATE preserves row count")
+      assert(
+        spark.read.parquet(dir).filter(col("event_id") % 7 === 0 && col("value") =!= 0.0).count() == 0L)
+    } finally spark.conf.unset("spark.graft.rewrite.targetBytes")
+  }
+
+  test("compactParquet FOLDS merge-on-read vectors; fully-deleted files are never read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compactfold").toString + "/t"
+    val out = Files.createTempDirectory("compactfold").toString + "/out"
+    Seq(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 11.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0)).toDF("id", "day", "v")
+      .repartition(col("day"))
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day"))
+    DeleteVectors.deleteWhere(spark, dir, col("id") === 2L) // partial DV on day=01
+    DeleteVectors.deleteWhere(spark, dir, col("day") === "2024-01-02") // full DV on day=02
+    // canary: the fully-deleted file must never be opened by the rewrite
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val view = Snapshots.manifestView(spark, dir)
+    val deadRel = view.rels.find(r => Snapshots.dvByRel(view).contains(r) && r.contains("day=2024-01-02")).get
+    val deadPath = new org.apache.hadoop.fs.Path(dir, deadRel)
+    val o = fs.create(deadPath, true)
+    o.write("not parquet".getBytes("UTF-8")); o.close()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, deadRel + ".crc"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(deadPath.getParent, "." + deadPath.getName + ".crc"), false)
+    Sources.compactParquet(spark, dir, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2L, "folded output holds exactly the surviving rows")
+    assert(
+      back.select("id").as[Long].collect().toSet == Set(1L, 4L),
+      "deleted positions folded, fully-deleted file contributed nothing")
+  }
 }
