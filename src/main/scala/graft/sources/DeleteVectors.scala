@@ -594,49 +594,70 @@ object DeleteVectors {
 
       val alive = view.rels.filterNot(r =>
         Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
-      // partition-exact candidate narrowing: keys ⊇ partition columns ⇒ a
-      // match shares the source row's partition values. Compared in the
-      // TYPED domain (the same per-file parse [[scopeByPartitions]] uses):
-      // a non-canonically rendered dir value still matches, and a value
-      // the declared type can't parse reads NULL on BOTH the narrow and
-      // the scan splice — consistently unmatched, never silently missed.
-      val candidates =
-        if (partCols.nonEmpty && partCols.forall(keyCols.contains) && alive.nonEmpty) {
-          val relDf = partitionValuesDf(spark, view, alive, partCols)
-          val touched = sourceKeys.select(partCols.map(col): _*).distinct()
-          relDf
-            .join(broadcast(touched), partCols.toSeq, "left_semi")
-            .select(col("__graft_scope_rel__"))
-            .collect()
-            .map(_.getString(0))
-            .toSeq
-        } else alive
-
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
-      val written: Seq[(String, String, Long)] =
-        if (candidates.isEmpty) Seq.empty
-        else {
-          val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
-          // broadcast the key set only when it is provably small — the
-          // stageRewrite/scan-path discipline: a backfill epoch carrying
-          // tens of millions of keys must take a real join, not an OOM
-          val keys0 = sourceKeys.distinct().persist()
-          val keys =
-            if (keys0.count() <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
-          val matches = scan
-            .join(keys, keyCols, "left_semi")
-            .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
-          val oldDvByRel = candidates.flatMap { rel =>
-            Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
-          }.toMap
-          try writeSidecars(spark, root, matches, oldDvByRel, commitTag)
-          finally keys0.unpersist()
-        }
+      // the distinct key set is computed ONCE, before narrowing: the same
+      // frame feeds the range probes, the bloom probes, the broadcast
+      // decision and the match join
+      val keys0 = sourceKeys.distinct().persist()
+      val (candidates, written) =
+        try {
+          val keyCount = keys0.count()
+          // partition-exact candidate narrowing: keys ⊇ partition columns
+          // ⇒ a match shares the source row's partition values. Compared
+          // in the TYPED domain (the same per-file parse
+          // [[scopeByPartitions]] uses): a non-canonically rendered dir
+          // value still matches, and a value the declared type can't
+          // parse reads NULL on BOTH the narrow and the scan splice —
+          // consistently unmatched, never silently missed. When the keys
+          // do NOT cover the partition columns, [[narrowByKeyStats]]
+          // applies the batch deleteWhere discipline instead (epoch key
+          // min/max vs per-file intervals, then bloom probes) — a
+          // non-partition-keyed CDC stream must not scan a 100 TB table
+          // every epoch.
+          val candidates =
+            if (alive.isEmpty) Seq.empty
+            else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
+              val relDf = partitionValuesDf(spark, view, alive, partCols)
+              val touched = keys0.select(partCols.map(col): _*).distinct()
+              relDf
+                .join(broadcast(touched), partCols.toSeq, "left_semi")
+                .select(col("__graft_scope_rel__"))
+                .collect()
+                .map(_.getString(0))
+                .toSeq
+            } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
+          val written: Seq[(String, String, Long)] =
+            if (candidates.isEmpty) Seq.empty
+            else {
+              val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
+              // broadcast the key set only when it is provably small — the
+              // stageRewrite/scan-path discipline: a backfill epoch carrying
+              // tens of millions of keys must take a real join, not an OOM
+              val keys =
+                if (keyCount <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
+              val matches = scan
+                .join(keys, keyCols, "left_semi")
+                .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
+              val oldDvByRel = candidates.flatMap { rel =>
+                Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
+              }.toMap
+              writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+            }
+          (candidates, written)
+        } finally keys0.unpersist()
 
+      lastUpsertCandidateFiles.set(candidates.size.toLong)
+      // the ad-hoc prefix is CONSTANT on purpose: the crashed-attempt
+      // sweep in [[landAppend]] keys on the prefix, and a per-attempt
+      // random tag could never match a PRIOR attempt's leftovers — a hard
+      // crash between landing and commit would leave live uncommitted
+      // files for the next listing-based commit to adopt as duplicates.
+      // All upserts serialize on the table lock, so sweeping every
+      // uncommitted `mor-adhoc-` file in the target dirs is safe.
       val epochPrefix =
         if (streamTag.nonEmpty && epochId >= 0L)
           s"mor-${java.net.URLEncoder.encode(streamTag, "UTF-8")}-$epochId-"
-        else s"mor-adhoc-$commitTag-"
+        else "mor-adhoc-"
       val addedRels =
         landAppend(spark, fs, rootPath, aligned, partCols, commitTag, epochPrefix, view.rels.toSet)
       if (written.isEmpty && addedRels.isEmpty) return (0L, 0L)
@@ -653,6 +674,90 @@ object DeleteVectors {
       if (streamTag.nonEmpty && epochId >= 0L) writeUpsertEpoch(fs, rootPath, streamTag, epochId)
       res
     }
+
+  /** Candidate files the most recent upsert/CDC-apply on this thread
+    * match-scanned — observability for the narrowing laws (a spec must be
+    * able to assert an epoch touching one day's keys did not scan other
+    * days' files). The [[Snapshots.lastCommitFooterReads]] discipline.
+    */
+  private[sources] val lastUpsertCandidateFiles: ThreadLocal[Long] = new ThreadLocal[Long] {
+    override def initialValue(): Long = -1L
+  }
+
+  /** Past this many distinct keys an epoch skips per-file BLOOM probing
+    * (the range stage still applies): tuple probes cost
+    * keys × bloom-cols bitset tests per candidate file, and a backfill
+    * epoch carrying millions of keys matches most files anyway — the
+    * probe would be pure overhead on top of the real join that decides.
+    */
+  val BloomProbeMaxKeys = 4096L
+
+  /** Candidate narrowing when the MERGE keys do NOT cover the partition
+    * columns — the batch [[deleteWhere]] three-stage discipline ported to
+    * the epoch shape (stage 1, fully-deleted skip, already ran in the
+    * caller's `alive`):
+    *
+    *  2. RANGE: one tiny agg over the epoch's distinct keys computes each
+    *     key column's min/max, rendered through `CAST(… AS STRING)` (the
+    *     manifest-stat string domain); files whose recorded interval
+    *     misses any key column's range are dropped with zero I/O — a
+    *     day's worth of keys against a day-clustered 100 TB table keeps
+    *     that day's files only. A key column with NO non-null value in
+    *     the batch matches nothing at all (null keys never match), so
+    *     the epoch short-circuits to zero candidates.
+    *  3. BLOOM: when the epoch is small enough to enumerate
+    *     ([[BloomProbeMaxKeys]]), each surviving file must admit at least
+    *     one key TUPLE through every bloom-indexed key column's sidecar —
+    *     the point-erasure discipline, tuple-accurate (a file admitting
+    *     k1 of one tuple and k2 of another but no whole tuple is
+    *     dropped).
+    *
+    * Both stages may only EXCLUDE on a definite miss (unrenderable
+    * values, absent stats and absent sidecars all keep the file), so the
+    * match join below sees a superset of the true match set — exactly
+    * the read path's pruning contract.
+    */
+  private def narrowByKeyStats(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      alive: Seq[String],
+      keys: DataFrame,
+      keyCount: Long,
+      keyFields: Seq[StructField]): Seq[String] = {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    if (keyCount == 0L) return Seq.empty
+    val aggCols = keyFields.flatMap(f =>
+      Seq(
+        smin(col(f.name)).cast("string").as(s"lo_${f.name}"),
+        smax(col(f.name)).cast("string").as(s"hi_${f.name}")))
+    val row = keys.agg(aggCols.head, aggCols.tail: _*).head()
+    val ranges: Seq[(String, Option[String], Option[String])] = keyFields.map { f =>
+      (f.name, Option(row.getAs[String](s"lo_${f.name}")), Option(row.getAs[String](s"hi_${f.name}")))
+    }
+    // a key column that is null on EVERY source row can never equal a
+    // table value — the epoch provably matches nothing
+    if (ranges.exists { case (_, lo, hi) => lo.isEmpty && hi.isEmpty }) return Seq.empty
+    val statsPruned = alive.filter(rel =>
+      Snapshots.fileMatchesRanges(view.stats.getOrElse(rel, Map.empty), ranges))
+    val bloomKeyCols = keyFields.map(_.name).filter(view.bloomCols.contains)
+    if (bloomKeyCols.isEmpty || statsPruned.isEmpty || keyCount > BloomProbeMaxKeys)
+      return statsPruned
+    // tuples with a null in any bloom-probed key column can't match and
+    // must not vacuously admit files
+    val tuples: Array[Seq[String]] = keys
+      .select(bloomKeyCols.map(c => col(c).cast("string")): _*)
+      .collect()
+      .map(r => bloomKeyCols.indices.map(i => r.getString(i)): Seq[String])
+      .filter(_.forall(_ != null))
+    if (tuples.isEmpty) return Seq.empty
+    statsPruned.filter { rel =>
+      tuples.exists(t =>
+        bloomKeyCols.zip(t).forall { case (c, v) =>
+          Snapshots.bloomMightContain(spark, root, rel, c, v)
+        })
+    }
+  }
 
   /** Write `df` into the table's hive layout via a hidden stage dir and
     * land each part file under the table root, prefixed `epochPrefix` so
@@ -690,8 +795,21 @@ object DeleteVectors {
     writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
-    val parts = walk(stage).filter(p =>
-      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    // zero-row parts never land: the unpartitioned single-dir writer
+    // creates its part file eagerly even for an empty frame (a pure-delete
+    // CDC epoch), and committing one would bloat the manifest with a file
+    // every future scan opens for nothing. Footer record counts are
+    // driver-side metadata, bounded by the batch's own partitions; the
+    // skipped files die with the stage dir below.
+    val parts = walk(stage)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .filter { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount > 0L
+        finally r.close()
+      }
     val stageUri = fs.makeQualified(stage).toUri.getPath
     val rootUri = fs.makeQualified(rootPath).toUri.getPath
     val targets = parts.map { p =>

@@ -2271,10 +2271,20 @@ object Snapshots {
             finally r.close()
           }
           val optimal = BloomFilter.optimalNumOfBits(math.max(n, 1L), 0.01)
-          val bf = shared.stat.bloomFilter(
-            org.apache.spark.sql.functions.col("v"),
-            math.max(n, 1L),
-            math.min(optimal, 8L * 1024 * 1024))
+          val bits = math.min(optimal, 8L * 1024 * 1024)
+          // the bloom's value domain is NON-NULL values only (probes are
+          // equality values; SQL equality never matches null) — and a file
+          // whose column is ENTIRELY null gets an explicit empty filter:
+          // `stat.bloomFilter` over zero rows returns a null buffer (NPE),
+          // while an empty filter correctly excludes every probe
+          val nonNull =
+            shared.filter(org.apache.spark.sql.functions.col("v").isNotNull)
+          val bf =
+            if (nonNull.isEmpty) BloomFilter.create(math.max(n, 1L), bits)
+            else nonNull.stat.bloomFilter(
+              org.apache.spark.sql.functions.col("v"),
+              math.max(n, 1L),
+              bits)
           val target = bloomPath(rootPath, rel, c)
           val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
           val out = fs.create(tmp, true)

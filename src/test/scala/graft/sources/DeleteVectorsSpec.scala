@@ -784,6 +784,98 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(rowSet(Snapshots.readSnapshot(spark, dir)).contains((2L, "2024-01-01", 110.0)))
   }
 
+  test("non-partition-keyed upsert narrows candidates by key min/max, then blooms") {
+    val dir = Files.createTempDirectory("dv_ups_narrow").toString + "/t"
+    // day=01 holds ids {1,3}, day=02 ids {2,4}: the value RANGES overlap,
+    // so only the bloom stage can tell the files apart for a point key
+    Seq(
+      (1L, "2024-01-01", 10.0),
+      (3L, "2024-01-01", 30.0),
+      (2L, "2024-01-02", 20.0),
+      (4L, "2024-01-02", 40.0)).toDF("id", "day", "v")
+      .repartition(1)
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id"))
+    // keys = (id) only — NOT covering the partition column: before r13
+    // this scanned every live file per epoch
+    val (t1, d1) = DeleteVectors.upsert(
+      spark, dir, Seq((4L, "2024-01-02", 44.0)).toDF("id", "day", "v"), Seq("id"))
+    assert(t1 == 1L && d1 == 1L)
+    assert(
+      DeleteVectors.lastUpsertCandidateFiles.get() == 1L,
+      s"range stage must keep only day=02's file (id∈[2,4]), " +
+        s"got ${DeleteVectors.lastUpsertCandidateFiles.get()}")
+    // a point key inside BOTH ranges: the bloom stage must still exclude
+    // the file that never held the value (id=2 matches [1,3] by range but
+    // not by bloom — and it is now DV'd in day=02, which is fine: the
+    // match scan reads raw and re-matching dead rows dedups)
+    val (t2, _) = DeleteVectors.upsert(
+      spark, dir, Seq((2L, "2024-01-02", 22.0)).toDF("id", "day", "v"), Seq("id"))
+    assert(t2 == 1L)
+    assert(
+      DeleteVectors.lastUpsertCandidateFiles.get() == 1L,
+      s"bloom stage must drop the range-overlapping file that never held id=2, " +
+        s"got ${DeleteVectors.lastUpsertCandidateFiles.get()}")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == Set(
+      (1L, "2024-01-01", 10.0),
+      (3L, "2024-01-01", 30.0),
+      (2L, "2024-01-02", 22.0),
+      (4L, "2024-01-02", 44.0)))
+    // an all-null key batch provably matches nothing and scans nothing
+    val nullKeys = Seq(("2024-01-02", 1.0)).toDF("day", "v")
+      .withColumn("id", lit(null).cast("long"))
+    val (t3, d3) = DeleteVectors.upsert(spark, dir, nullKeys, Seq("id"))
+    assert(t3 == 0L && d3 == 0L)
+    assert(DeleteVectors.lastUpsertCandidateFiles.get() == 0L)
+  }
+
+  test("ad-hoc upsert sweeps a crashed PRIOR attempt's leftovers (constant prefix)") {
+    val dir = Files.createTempDirectory("dv_adhoc_crash").toString + "/t"
+    table(dir)
+    // a prior ad-hoc upsert crashed between landing and commit: its file
+    // sits live, uncommitted, under the ad-hoc prefix — with a
+    // per-attempt random tag the retry could never recognize it
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = Files.createTempDirectory("dv_adhoc_leftover").toString + "/out"
+    Seq((999L, 999.0)).toDF("id", "v").repartition(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .get
+    val leftover = new org.apache.hadoop.fs.Path(dir, "day=2024-01-01/mor-adhoc-part-crash.parquet")
+    fs.rename(part, leftover)
+    DeleteVectors.upsert(
+      spark, dir, Seq((2L, "2024-01-01", 110.0)).toDF("id", "day", "v"), Seq("day", "id"))
+    assert(!fs.exists(leftover), "the ad-hoc sweep must remove the crashed attempt's leftover")
+    assert(Snapshots.readSnapshot(spark, dir).filter($"id" === 999L).count() == 0L)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).contains((2L, "2024-01-01", 110.0)))
+  }
+
+  test("a delete-only CDC epoch on an unpartitioned table lands NO zero-row file") {
+    val dir = Files.createTempDirectory("dv_del_only").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+      .repartition(1)
+      .write
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    val filesBefore = Snapshots.files(spark, dir)
+    val changes = Seq(("d", 2L, 0.0)).toDF("op", "id", "v")
+    val (touched, deleted) =
+      DeleteVectors.applyChanges(spark, dir, changes, Seq("id"), "op")
+    assert(touched == 1L && deleted == 1L)
+    assert(
+      Snapshots.files(spark, dir) == filesBefore,
+      "a pure-delete epoch must not append an empty parquet file")
+    assert(Snapshots.countRows(spark, dir) == 2L)
+    assert(rowSet2(Snapshots.readSnapshot(spark, dir)) == Set((1L, 10.0), (3L, 30.0)))
+  }
+
+  private def rowSet2(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
+    df.select($"id", $"v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
   test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {
     val dir = Files.createTempDirectory("dv_ups_stream").toString + "/t"
     table(dir)
