@@ -2228,7 +2228,8 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       rels: Seq[String],
-      bloomCols: Seq[String]): Unit = {
+      bloomCols: Seq[String],
+      backfill: Boolean = false): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -2237,12 +2238,16 @@ object Snapshots {
     // the bloom discipline IS the NDV discipline: both are per-(file,
     // column) value-index sidecars built once at commit time (O(delta) —
     // a rel names one immutable file forever), so one declared column set
-    // governs both
+    // governs both. NDV rides the bloom build for files that are MISSING
+    // THEIR BLOOM (i.e. genuinely new): an existing bloom'd table's first
+    // commit after the NDV feature landed must NOT re-read the whole
+    // table inside a routine commit — upgrading old files is an explicit
+    // choice ([[backfillNdv]] / `CALL ndv_backfill`), not a commit tax.
     val missing = for {
       rel <- rels
       c <- bloomCols
       needBloom = !fs.exists(bloomPath(rootPath, rel, c))
-      needNdv = !fs.exists(ndvPath(rootPath, rel, c))
+      needNdv = (needBloom || backfill) && !fs.exists(ndvPath(rootPath, rel, c))
       if needBloom || needNdv
     } yield (rel, c, needBloom, needNdv)
     if (missing.isEmpty) return
@@ -2300,11 +2305,36 @@ object Snapshots {
           try out.write(reg)
           finally out.close()
           if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+          ndvMissCache.remove(target.toString) // the sidecar exists now
         }
       } finally if (needBloom && needNdv) shared.unpersist()
     }
     parEach(missing) { case (r, c, nb, nn) => buildOne(r, c, nb, nn) }
   }
+
+  /** Build the MISSING NDV register sidecars for every pinned file of the
+    * latest manifest — the explicit upgrade pass for tables whose bloom
+    * sidecars predate the NDV feature (a routine commit deliberately
+    * skips them; see [[buildBloomSidecars]]). One bounded data-reading
+    * pass over exactly the files that lack a sidecar; returns how many
+    * (file, column) sidecars were built. SQL: `CALL cat.ndv_backfill`.
+    */
+  def backfillNdv(spark: SparkSession, root: String): Long =
+    withTableLock(spark, root) {
+      val version = latestVersion(spark, root)
+      if (version == 0L) return 0L
+      val view = manifestView(spark, root, version)
+      if (view.bloomCols.isEmpty) return 0L
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val missing = (for {
+        rel <- view.rels
+        c <- view.bloomCols
+        if !fs.exists(ndvPath(rootPath, rel, c))
+      } yield (rel, c)).size.toLong
+      buildBloomSidecars(spark, root, view.rels, view.bloomCols, backfill = true)
+      missing
+    }
 
   // ---- NDV register sidecars (portable HyperLogLog) -----------------------
 
@@ -2354,6 +2384,13 @@ object Snapshots {
   private val ndvCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
+  // ABSENCE is cached too: a pre-NDV or partially-sidecar'd table would
+  // otherwise pay O(kept rels × ndv cols) fs.exists RPCs on EVERY stats
+  // estimation (columnStats runs per plan). Entries are invalidated by
+  // the one writer that can create a sidecar (buildBloomSidecars).
+  private val ndvMissCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** The file's NDV registers for `colName`, None when the sidecar is
     * absent/unreadable (callers must fall back, never guess).
     */
@@ -2362,9 +2399,15 @@ object Snapshots {
     val key = p.toString
     val cached = ndvCache.get(key)
     if (cached != null) return Some(cached)
+    if (ndvMissCache.containsKey(key)) return None
     val fs = fsOf(spark, p)
     try {
-      if (!fs.exists(p)) return None
+      if (!fs.exists(p)) {
+        if (ndvMissCache.size() >= 65536)
+          ndvMissCache.keySet.iterator().asScala.take(16384).foreach(ndvMissCache.remove)
+        ndvMissCache.put(key, java.lang.Boolean.TRUE)
+        return None
+      }
       val in = fs.open(p)
       val buf =
         try {
@@ -2432,14 +2475,20 @@ object Snapshots {
       rels: Seq[String],
       colName: String): Option[Double] = {
     if (rels.isEmpty) return Some(0.0)
-    val regs = rels.map(rel => ndvRegisters(spark, root, rel, colName))
-    if (regs.exists(_.isEmpty)) return None
+    // short-circuit on the FIRST missing sidecar and merge into one
+    // accumulator: a partially-sidecar'd table must not probe (or hold)
+    // every remaining register array after the answer is already None
     val merged = new Array[Byte](NdvRegisters)
-    regs.flatten.foreach { r =>
-      var i = 0
-      while (i < NdvRegisters) {
-        if (r(i) > merged(i)) merged(i) = r(i)
-        i += 1
+    val it = rels.iterator
+    while (it.hasNext) {
+      ndvRegisters(spark, root, it.next(), colName) match {
+        case None => return None
+        case Some(r) =>
+          var i = 0
+          while (i < NdvRegisters) {
+            if (r(i) > merged(i)) merged(i) = r(i)
+            i += 1
+          }
       }
     }
     Some(ndvEstimate(merged))
@@ -3393,11 +3442,17 @@ object Snapshots {
       fs.listStatus(d)
         .toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
-        .flatMap { st =>
+        .map { st =>
           val in = fs.open(st.getPath)
           val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-          scala.util.Try(txt.toLong).toOption.map(st.getPath.getName -> _)
+          // fail LOUDLY on garbage: vacuum computes its retention set from
+          // this map, so silently dropping an unparsable ref would let the
+          // next vacuum reclaim a pinned version's manifests and data —
+          // silent data loss in the one feature whose contract is retention
+          st.getPath.getName -> scala.util.Try(txt.toLong).getOrElse(sys.error(
+            s"ref file ${st.getPath} holds unparsable content '$txt' — fix or delete it " +
+              "(refusing to treat the pin as absent: vacuum retention derives from refs)"))
         }
         .toMap
   }

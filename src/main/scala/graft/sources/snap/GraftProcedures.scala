@@ -287,6 +287,18 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class NdvBackfill(rootDir: String) extends SnapProcedure("ndv_backfill", rootDir) {
+    override def description: String =
+      "build the MISSING NDV register sidecars for every pinned file (one bounded " +
+        "data-reading pass over exactly those files) — the explicit upgrade for tables " +
+        "whose bloom sidecars predate the NDV feature; routine commits deliberately skip them"
+    override def parameters(): Array[ProcedureParameter] = Array(in("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val built = Snapshots.backfillNdv(spark, dirOf(input.getUTF8String(0).toString))
+      result(out("sidecars_built" -> LongType), Seq(built))
+    }
+  }
+
   private class CreateRef(rootDir: String) extends SnapProcedure("create_ref", rootDir) {
     override def description: String =
       "pin a version (default: latest) under a named branch/tag ref — a zero-copy fork: " +
@@ -328,6 +340,7 @@ private[snap] object GraftProcedures {
     new Expire(rootDir),
     new Checkpoint(rootDir),
     new DvMaterialize(rootDir),
+    new NdvBackfill(rootDir),
     new CreateRef(rootDir),
     new DropRef(rootDir))
 

@@ -159,6 +159,63 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.approxCountDistinct(spark, dirB, "k").isDefined)
   }
 
+  test("NDV upgrade: routine commits skip pre-NDV files; ndv_backfill upgrades explicitly") {
+    val base = Files.createTempDirectory("ndv_up").toString
+    val dir = s"$base/t"
+    spark.range(500L).select(($"id" % 97L).as("k"), $"id".as("id"))
+      .repartition(1).write.parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"), Seq("k"))
+    // simulate a table whose bloom sidecars PREDATE the NDV feature: reap
+    // the register sidecars (nothing has read them yet, so no cache holds
+    // them), keep the blooms
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ndvDir = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}/ndv")
+    fs.delete(ndvDir, true)
+    // a ROUTINE append commit must not turn into an O(table) re-read: it
+    // builds sidecars for its NEW file only (which lacks a bloom), never
+    // for the old bloom'd file
+    spark.range(500L, 600L).select(($"id" % 97L).as("k"), $"id".as("id"))
+      .repartition(1).write.mode("append").parquet(dir)
+    Snapshots.commit(spark, dir, Seq("id"), Seq("k"))
+    assert(fs.listStatus(ndvDir).count(!_.getPath.getName.startsWith(".")) == 1,
+      "the commit must build NDV for the new file only, not backfill the table")
+    assert(Snapshots.approxCountDistinct(spark, dir, "k").isEmpty,
+      "a partially-sidecar'd table must refuse to estimate, never guess")
+    // the explicit upgrade pass reads exactly the missing files — and the
+    // estimate becomes available (the negative lookup cache must have been
+    // invalidated by the build)
+    assert(Snapshots.backfillNdv(spark, dir) == 1L)
+    val est = Snapshots.approxCountDistinct(spark, dir, "k")
+    assert(est.isDefined && math.abs(est.get - 97.0) / 97.0 < 0.3, s"estimate $est far from 97")
+    assert(Snapshots.backfillNdv(spark, dir) == 0L, "idempotent: nothing left to build")
+    // SQL surface
+    spark.conf.set("spark.sql.catalog.ndvbf", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ndvbf.root", base)
+    assert(spark.sql("CALL ndvbf.ndv_backfill(table => 't')").head().getLong(0) == 0L)
+  }
+
+  test("an unparsable ref file fails loudly instead of silently unpinning") {
+    val dir = Files.createTempDirectory("refs_loud").toString + "/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir, Seq("day", "id"))
+    Snapshots.createRef(spark, dir, "good")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corrupt = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}/refs/corrupt")
+    val out = fs.create(corrupt, true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    // refs() (and therefore vacuum, whose retention set derives from it)
+    // must refuse — treating the pin as absent would let vacuum reclaim a
+    // pinned version's manifests and data
+    val e = intercept[RuntimeException](Snapshots.refs(spark, dir))
+    assert(e.getMessage.contains("unparsable"))
+    intercept[RuntimeException](Snapshots.vacuum(spark, dir, keepLast = 1))
+    // fixed (deleted), everything proceeds and the good pin is intact
+    fs.delete(corrupt, false)
+    assert(Snapshots.refs(spark, dir) == Map("good" -> v1))
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.readSnapshot(spark, dir, v1).count() == 4L)
+  }
+
   test("branch/tag refs: O(1) create, vacuum retention, byte-stable fork reads, SQL surface") {
     val base = Files.createTempDirectory("snap_refs").toString
     val dir = s"$base/t"
