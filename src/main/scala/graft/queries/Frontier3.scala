@@ -2752,6 +2752,78 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
       |ORDER BY event_type""".stripMargin
 
+  // -- q239: manifest-only SUM/AVG from per-file sum sidecars --------------
+
+  /** Parquet footers never carry sums, so r12's pushdown stopped at
+    * COUNT/MIN/MAX; the commit's pooled sidecar pass (the data read that
+    * already builds blooms + NDV registers) now records each new file's
+    * EXACT integral-column sums, and `SUM(x)` / `AVG(x)` (Spark rewrites
+    * AVG to SUM/COUNT) push complete to
+    * [[graft.sources.snap.SnapAggScan]] — BigInt folds, so aggregation
+    * order cannot perturb the total. The proof is q234's, physical: a
+    * clean file is CORRUPTED before the aggregates run, so the green
+    * hash certifies zero data-file opens (`zero_opens_ok` pins the
+    * plan marker too). A MoR delete then vectors one day and the same
+    * SUM goes HYBRID — clean files fold from their sidecars, exactly the
+    * one DV'd file is scanned (`hybrid_ok` pins `hybrid: 1/N`; the
+    * corrupt file would kill any wider plan). At 100 TB the dashboard's
+    * `SELECT sum(revenue)` is one manifest read + one tiny sidecar read
+    * per file — no scan, at any table size.
+    */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq239", Seq("day", "n", "sum_u"))
+    // second commit declares the bloom discipline: the sidecar pass runs
+    // here and records every file's sums (all files are bloom-new)
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "n", "sum_u"), Seq("event_type"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    // the zero-opens canary BEFORE any aggregate runs (the q234 proof)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val victimDay = m.plusDays(3).toString
+    val victim = graft.sources.Snapshots.files(s, dir).find(_.startsWith(s"day=$victimDay/")).get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val clean = s.sql(s"""
+      |SELECT sum(n) AS sum_all, sum(sum_u) AS sum_u_all,
+      |       avg(n) AS avg_all, count(*) AS n_groups FROM $cat.ev""".stripMargin)
+    val zeroOpens = scanDescriptions(clean).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("SUM(n)") &&
+        d0.contains("manifest-only, zero file opens"))
+    require(zeroOpens, "SUM/AVG must push complete with zero file opens on a clean table")
+    val row1 = clean.head()
+    // merge-on-read: vector one day's clicks, the same SUM goes hybrid —
+    // sidecar folds for every clean file, ONE bounded scan of the DV'd one
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day = DATE'$m'")
+    }
+    val hybrid = s.sql(s"SELECT sum(n) AS sum_after FROM $cat.ev")
+    val hybridOk = scanDescriptions(hybrid).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("SUM(n)") && d0.contains("hybrid: 1/"))
+    require(hybridOk, "after one day's MoR delete, SUM must scan exactly the one DV'd file")
+    val sumAfter = hybrid.head().getLong(0)
+    s.sql(s"""
+      |SELECT CAST(${row1.getLong(0)} AS BIGINT) AS sum_all,
+      |       CAST(${row1.getLong(1)} AS BIGINT) AS sum_u_all,
+      |       CAST(${math.floor(row1.getDouble(2) * 10000.0 + 0.5) / 10000.0} AS DOUBLE) AS avg_all,
+      |       CAST(${row1.getLong(3)} AS BIGINT) AS n_groups,
+      |       CAST($sumAfter AS BIGINT) AS sum_after""".stripMargin)
+      .withColumn("zero_opens_ok", lit(zeroOpens))
+      .withColumn("hybrid_ok", lit(hybridOk))
+  }
+
+  val q239Sql: String =
+    s"""WITH s AS (
+       |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS m FROM s)
+       |SELECT CAST(sum(n) AS BIGINT) AS sum_all,
+       |       CAST(sum(su) AS BIGINT) AS sum_u_all,
+       |       ${graft.core.Det.sqlR("avg(n)", 4)} AS avg_all,
+       |       CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(sum(CASE WHEN event_type = 'click' AND day = (SELECT m FROM b)
+       |                     THEN 0 ELSE n END) AS BIGINT) AS sum_after,
+       |       true AS zero_opens_ok, true AS hybrid_ok
+       |FROM s""".stripMargin
+
   // -- q234: HYBRID manifest aggregate pushdown on a partially-DV'd table -
 
   /** A 0.1 %-deleted table must not pay a 100 % scan for `MIN(x)` — the
@@ -2886,6 +2958,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q239_manifest_sum_avg" -> (q239 _),
     "q238_stream_cdc_apply" -> (q238 _),
     "q237_manifest_ndv" -> (q237 _),
     "q236_branch_tag_refs" -> (q236 _),
@@ -2931,6 +3004,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q239_manifest_sum_avg" -> q239Sql,
     "q238_stream_cdc_apply" -> q238Sql,
     "q237_manifest_ndv" -> q237Sql,
     "q236_branch_tag_refs" -> q236Sql,

@@ -1066,7 +1066,8 @@ object Snapshots {
       // immutable file forever (archive invariant), so a sidecar keyed by
       // (rel, col) is computed ONCE — commits only build the missing
       // pairs, the same O(delta) discipline as the footer stats.
-      if (bloomCols.nonEmpty) buildBloomSidecars(spark, root, files, bloomCols)
+      if (bloomCols.nonEmpty)
+        buildBloomSidecars(spark, root, files, bloomCols, statsCols = statsCols)
       // DELTA vs checkpoint: off-interval v2 commits record only what
       // changed vs the previous version — the manifest WRITE becomes
       // O(delta) like the footer-stat pass (a million-file table's append
@@ -1208,7 +1209,7 @@ object Snapshots {
           lastCommitFooterReads.set(reads.get())
         }
         if (prev.bloomCols.nonEmpty && !bloomsBuilt) {
-          buildBloomSidecars(spark, root, fresh, prev.bloomCols)
+          buildBloomSidecars(spark, root, fresh, prev.bloomCols, statsCols = statsCols)
           bloomsBuilt = true
         }
         def statOf(rel: String): Map[String, ColStat] =
@@ -1345,7 +1346,7 @@ object Snapshots {
         }
       }
       if (prev.bloomCols.nonEmpty && added.nonEmpty && !bloomsBuilt) {
-        buildBloomSidecars(spark, root, added, prev.bloomCols)
+        buildBloomSidecars(spark, root, added, prev.bloomCols, statsCols = prev.statsCols)
         bloomsBuilt = true
       }
       def statOf(rel: String): Map[String, ColStat] =
@@ -2229,7 +2230,8 @@ object Snapshots {
       root: String,
       rels: Seq[String],
       bloomCols: Seq[String],
-      backfill: Boolean = false): Unit = {
+      backfill: Boolean = false,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -2250,6 +2252,15 @@ object Snapshots {
       needNdv = (needBloom || backfill) && !fs.exists(ndvPath(rootPath, rel, c))
       if needBloom || needNdv
     } yield (rel, c, needBloom, needNdv)
+    // SUM sidecars ride the same pass under the same upgrade gate: new
+    // files (missing a bloom) — or an explicit backfill — get their
+    // integral stats columns' exact sums recorded while the data is
+    // being read anyway; pre-feature files are never re-read by a
+    // routine commit
+    val freshRels =
+      if (backfill) rels.distinct
+      else missing.collect { case (r, _, nb, _) if nb => r }.distinct
+    buildSumSidecars(spark, root, freshRels, statsCols)
     if (missing.isEmpty) return
     def buildOne(rel: String, c: String, needBloom: Boolean, needNdv: Boolean): Unit = {
       val p = resolve(spark, root, rel)
@@ -2312,12 +2323,13 @@ object Snapshots {
     parEach(missing) { case (r, c, nb, nn) => buildOne(r, c, nb, nn) }
   }
 
-  /** Build the MISSING NDV register sidecars for every pinned file of the
-    * latest manifest — the explicit upgrade pass for tables whose bloom
-    * sidecars predate the NDV feature (a routine commit deliberately
-    * skips them; see [[buildBloomSidecars]]). One bounded data-reading
-    * pass over exactly the files that lack a sidecar; returns how many
-    * (file, column) sidecars were built. SQL: `CALL cat.ndv_backfill`.
+  /** Build the MISSING NDV register AND SUM sidecars for every pinned
+    * file of the latest manifest — the explicit upgrade pass for tables
+    * whose bloom sidecars predate those features (a routine commit
+    * deliberately skips them; see [[buildBloomSidecars]]). One bounded
+    * data-reading pass over exactly the files that lack a sidecar;
+    * returns how many NDV (file, column) sidecars were built.
+    * SQL: `CALL cat.ndv_backfill`.
     */
   def backfillNdv(spark: SparkSession, root: String): Long =
     withTableLock(spark, root) {
@@ -2332,9 +2344,130 @@ object Snapshots {
         c <- view.bloomCols
         if !fs.exists(ndvPath(rootPath, rel, c))
       } yield (rel, c)).size.toLong
-      buildBloomSidecars(spark, root, view.rels, view.bloomCols, backfill = true)
+      buildBloomSidecars(
+        spark, root, view.rels, view.bloomCols, backfill = true, statsCols = view.statsCols)
       missing
     }
+
+  // ---- per-file SUM sidecars (manifest-only SUM/AVG pushdown) -------------
+
+  /** Parquet footers carry min/max/null counts but never SUMS, so exact
+    * `SUM(x)` / `AVG(x)` pushdown needs one number the commit's pooled
+    * data-reading pass (bloom + NDV sidecars) can record at near-zero
+    * marginal cost: the file's exact sum of each INTEGRAL stats column,
+    * one tiny sidecar per (file, column) under `_graft_manifests/sum/`.
+    * Sums fold exactly (BigInt — no order sensitivity, no overflow), so
+    * a clean table answers `SUM(x)` with zero file opens and a DV'd one
+    * scans only its DV'd files — the hybrid MIN/MAX discipline.
+    * Non-integral and hive-partition stats columns record the `na`
+    * sentinel ONCE so later commits never re-probe them (floating sums
+    * are order-sensitive — folding them would not reproduce Spark's
+    * result bit-for-bit). Files whose blooms predate this feature are
+    * upgraded by [[backfillNdv]], never by a routine commit.
+    */
+  private def sumPath(root: Path, rel: String, colName: String): Path =
+    new Path(new Path(manifestDir(root), "sum"), s"${hex(rel)}.${hex(colName)}")
+
+  private val SumNa = "na"
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  // sidecars are immutable and tiny: cache decoded values (None = the
+  // `na` sentinel), plus absence (the ndvMissCache discipline)
+  private val sumCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[BigInt]]()
+  private val sumMissCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The file's recorded exact sum of `colName`'s non-null values (0 when
+    * all null — the manifest null count disambiguates), or None when the
+    * sidecar is absent or `na`: callers must fall back to scanning, never
+    * guess.
+    */
+  private[sources] def fileSumOf(
+      spark: SparkSession,
+      root: String,
+      rel: String,
+      colName: String): Option[BigInt] = {
+    val p = sumPath(new Path(root), rel, colName)
+    val key = p.toString
+    val cached = sumCache.get(key)
+    if (cached != null) return cached
+    if (sumMissCache.containsKey(key)) return None
+    val fs = fsOf(spark, p)
+    try {
+      if (!fs.exists(p)) {
+        if (sumMissCache.size() >= 65536)
+          sumMissCache.keySet.iterator().asScala.take(16384).foreach(sumMissCache.remove)
+        sumMissCache.put(key, java.lang.Boolean.TRUE)
+        return None
+      }
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val v = if (txt == SumNa) None else Some(BigInt(txt))
+      if (sumCache.size() >= 65536)
+        sumCache.keySet.iterator().asScala.take(16384).foreach(sumCache.remove)
+      sumCache.put(key, v)
+      v
+    } catch { case _: Exception => None }
+  }
+
+  /** Build the missing SUM sidecars for `rels` (already restricted by the
+    * caller to genuinely new — or explicitly backfilled — files): one
+    * pooled job per file covering ALL its missing columns, exact in the
+    * decimal domain, `na` for columns the file cannot sum (non-integral,
+    * or hive path columns that aren't physical). Temp + rename like every
+    * sidecar; a crash leaves at worst a missing sidecar (= fall back).
+    */
+  private def buildSumSidecars(
+      spark: SparkSession,
+      root: String,
+      rels: Seq[String],
+      statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    fs.mkdirs(new Path(manifestDir(rootPath), "sum"))
+    val work = rels
+      .map(rel => rel -> statsCols.filter(c => !fs.exists(sumPath(rootPath, rel, c))))
+      .filter(_._2.nonEmpty)
+    if (work.isEmpty) return
+    def writeOne(rel: String, c: String, content: String): Unit = {
+      val target = sumPath(rootPath, rel, c)
+      val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+      sumMissCache.remove(target.toString)
+    }
+    parEach(work) { case (rel, want) =>
+      val p = resolve(spark, root, rel)
+      val df = spark.read.parquet(p.toString)
+      val (summable, na) = want.partition(c =>
+        df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) && isIntegral(f.dataType)))
+      na.foreach(c => writeOne(rel, c, SumNa))
+      if (summable.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, sum}
+        val aggs = summable.map(c =>
+          sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        summable.zipWithIndex.foreach { case (c, i) =>
+          val v = row.get(i)
+          // SUM over an all-null file is null; 0 is the correct FOLD
+          // contribution (the read side emits NULL iff no file in the
+          // group has a non-null value, via the recorded null counts)
+          writeOne(rel, c, if (v == null) "0" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+        }
+      }
+    }
+  }
 
   // ---- NDV register sidecars (portable HyperLogLog) -----------------------
 
@@ -2589,6 +2722,15 @@ object Snapshots {
               val nd = ndvPath(dstPath, rel, c)
               dstFs.mkdirs(nd.getParent)
               org.apache.hadoop.fs.FileUtil.copy(fs, ns, dstFs, nd, false, false, conf)
+            }
+          }
+          // SUM sidecars carry too (keyed by rel, exact under any root)
+          view.statsCols.foreach { c =>
+            val ss = sumPath(srcPath, rel, c)
+            if (fs.exists(ss)) {
+              val sd = sumPath(dstPath, rel, c)
+              dstFs.mkdirs(sd.getParent)
+              org.apache.hadoop.fs.FileUtil.copy(fs, ss, dstFs, sd, false, false, conf)
             }
           }
           // the file's deletion-vector sidecar carries with it — the
@@ -3518,10 +3660,10 @@ object Snapshots {
           // the partition-index sidecar dies with its manifest
           fs.delete(new Path(mp.getParent, mp.getName + ".pidx"), false)
         }
-        // bloom and NDV-register sidecars of files no retained manifest
+        // bloom / NDV-register / SUM sidecars of files no retained manifest
         // references are orphans — reap them with the manifests they served
         val referencedHex = referenced.map(hex)
-        Seq("bloom", "ndv").foreach { kind =>
+        Seq("bloom", "ndv", "sum").foreach { kind =>
           val d = new Path(manifestDir(rootPath), kind)
           if (fs.exists(d)) {
             fs.listStatus(d).foreach { st =>

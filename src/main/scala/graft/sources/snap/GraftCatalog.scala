@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -1379,12 +1379,33 @@ class SnapScanBuilder(
     }
     if (groupCols.isEmpty) return None
 
+    // exact SUM from the per-file sum sidecars (the pooled bloom-pass
+    // recording): pushable when the column is INTEGRAL (floating sums are
+    // order-sensitive — a fold would not reproduce Spark's result) and
+    // every CLEAN file carries a sidecar with known null counts (the
+    // SQL NULL-iff-no-non-null rule needs them). DV'd files scan — the
+    // hybrid discipline; files predating the sum sidecars fall back to a
+    // real scan until CALL ndv_backfill upgrades them. AVG needs no case
+    // of its own: Spark rewrites it to SUM/COUNT when complete pushdown
+    // of the Avg form is unsupported.
+    def sumField(e: org.apache.spark.sql.connector.expressions.Expression) =
+      for {
+        c <- colOf(e)
+        declared <- tableSchema.fields.find(_.name == c).map(_.dataType)
+        if declared == ByteType || declared == ShortType ||
+          declared == IntegerType || declared == LongType
+        if nullsKnown(c) // implies dvdScannable
+        if cleanRels.forall(r =>
+          Snapshots.fileSumOf(SparkSession.active, dir, r, c).isDefined)
+      } yield SnapAggScan.SumF(c): SnapAggScan.Field
+
     val fields = agg.aggregateExpressions.toSeq.map {
       case _: CountStar if rowsKnown => Some(SnapAggScan.CountStarF: SnapAggScan.Field)
       case cnt: Count if !cnt.isDistinct =>
         colOf(cnt.column).filter(nullsKnown).map(SnapAggScan.CountColF(_): SnapAggScan.Field)
       case m: Min => minMaxField(m.column, isMin = true)
       case m: Max => minMaxField(m.column, isMin = false)
+      case s: Sum if !s.isDistinct => sumField(s.column)
       case _ => None
     }
     if (fields.forall(_.isDefined)) Some((groupCols.get, fields.map(_.get))) else None
@@ -1587,6 +1608,8 @@ class SnapAggScan(
           case (CountColF(_), i) => StructField(s"agg_$i", LongType, nullable = false)
           case (MinF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
           case (MaxF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
+          // Spark's Sum over any integral input answers BIGINT
+          case (SumF(_), i) => StructField(s"agg_$i", LongType, nullable = true)
         })
 
   private def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
@@ -1633,7 +1656,7 @@ class SnapAggScan(
         sys.error(s"hybrid aggregate pushdown on $dir needs a recorded schema"))
       val dv = Snapshots.dvByRel(view)
       val df = Snapshots.scanRels(spark, dir, dvdRels, Some(schema), dv)
-      import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin}
+      import org.apache.spark.sql.functions.{col, count, lit, max => smax, min => smin, sum => ssum}
       val aggCols = fields.zipWithIndex.map {
         // COUNT(*) folds from the manifest, never from here — a constant
         // keeps the output slot aligned without per-row work
@@ -1641,6 +1664,7 @@ class SnapAggScan(
         case (CountColF(c), i) => count(col(c)).as(s"a_$i")
         case (MinF(c, _), i) => smin(col(c)).as(s"a_$i")
         case (MaxF(c, _), i) => smax(col(c)).as(s"a_$i")
+        case (SumF(c), i) => ssum(col(c)).as(s"a_$i")
       }
       val keyCols = groupCols.zipWithIndex.map { case ((c, _), i) =>
         col(c).cast("string").as(s"k_$i")
@@ -1688,6 +1712,29 @@ class SnapAggScan(
         })
       case (MinF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = true), scannedVal(i), t, isMin = true)
       case (MaxF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = false), scannedVal(i), t, isMin = false)
+      case (SumF(c), i) =>
+        // exact integer fold: per-file sums are BigInt, so aggregation
+        // order cannot perturb the total and intermediate overflow is
+        // impossible; SQL answers NULL iff NO contributing row was
+        // non-null (the recorded null counts decide for the clean side)
+        val spark = SparkSession.active
+        val cleanNonNull = clean.map { r =>
+          val st = stOf(r)
+          st(Snapshots.RowCountKey).min.toLong - Snapshots.nullCountOf(st, c).get
+        }.sum
+        val manifestSide = clean
+          .map(r => Snapshots.fileSumOf(spark, dir, r, c).getOrElse(sys.error(
+            s"sum sidecar for $r.$c vanished between planning and execution")))
+          .sum
+        val scanSide = scannedVal(i) // null when no DV'd file (or no non-null row) contributed
+        if (cleanNonNull == 0L && scanSide == null) null
+        else {
+          val total = manifestSide +
+            (if (scanSide == null) BigInt(0) else BigInt(scanSide.asInstanceOf[Number].longValue()))
+          if (!total.isValidLong)
+            sys.error(s"SUM($c) overflows BIGINT — the ANSI overflow contract")
+          java.lang.Long.valueOf(total.toLong)
+        }
     }
   }
 
@@ -1757,6 +1804,7 @@ class SnapAggScan(
       case CountColF(c) => s"COUNT($c)"
       case MinF(c, _) => s"MIN($c)"
       case MaxF(c, _) => s"MAX($c)"
+      case SumF(c) => s"SUM($c)"
     }
     val grouped =
       if (groupCols.isEmpty) "" else s" GroupBy: [${groupCols.map(_._1).mkString(", ")}]"
@@ -1784,6 +1832,12 @@ object SnapAggScan {
   final case class CountColF(col: String) extends Field
   final case class MinF(col: String, typ: DataType) extends Field
   final case class MaxF(col: String, typ: DataType) extends Field
+
+  /** Exact SUM of an integral column from per-file sum sidecars (clean
+    * files) + the hybrid scan (DV'd files). Result is BIGINT, Spark's Sum
+    * type for every integral input.
+    */
+  final case class SumF(col: String) extends Field
 
   /** Parse a hive path value as the declared external type. The planner's
     * `consumableCol` gate restricts grouping columns to the int family,

@@ -1360,6 +1360,61 @@ class SnapCatalogSpec extends SparkSpec {
     assert(bad.count() == 3L) // alpha, omega, null groups — computed, not guessed
   }
 
+  test("SUM/AVG push complete from sum sidecars: manifest-only clean, hybrid DV'd, honest fallbacks") {
+    val base = emptyCatalog("snsum")
+    val dir = s"$base/t"
+    val rows = Seq(
+      (1L, "2024-01-01", Option(10L), 1.5),
+      (2L, "2024-01-01", Option.empty[Long], 2.5),
+      (3L, "2024-01-02", Option(30L), 3.5),
+      (4L, "2024-01-03", Option(40L), 4.5),
+      (5L, "2024-01-03", Option(2L), 5.5),
+      (6L, "2024-01-04", Option.empty[Long], 6.5)).toDF("id", "day", "m", "score")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    // blooms present → the pooled sidecar pass records per-file sums too
+    Snapshots.commit(spark, dir, Seq("day", "id", "m", "score"), Seq("id"))
+    val df = spark.sql("SELECT sum(m) AS sm, sum(id) AS si, count(*) AS n FROM snsum.t")
+    val scan = scanOf(df)
+    assert(scan.isInstanceOf[SnapAggScan], scan.description())
+    assert(scan.description().contains("SUM(m)"), scan.description())
+    assert(scan.description().contains("manifest-only"), scan.description())
+    val r = df.head()
+    assert(r.getLong(0) == 82L && r.getLong(1) == 21L && r.getLong(2) == 6L, r.toString)
+    // AVG: Spark rewrites it to SUM/COUNT — both push, still zero opens
+    val avg = spark.sql("SELECT avg(m) AS am FROM snsum.t")
+    assert(scanOf(avg).isInstanceOf[SnapAggScan], scanOf(avg).description())
+    assert(scanOf(avg).description().contains("SUM(m)"), scanOf(avg).description())
+    assert(avg.head().getDouble(0) == 82.0 / 4.0, "AVG ignores the two null rows")
+    // grouped by the partition column; an all-null group answers SQL NULL
+    val g = spark.sql("SELECT day, sum(m) AS sm FROM snsum.t GROUP BY day ORDER BY day")
+    assert(scanOf(g).isInstanceOf[SnapAggScan], scanOf(g).description())
+    val gs = g.collect().map(r0 => (r0.getDate(0).toString, if (r0.isNullAt(1)) null else r0.getLong(1)))
+    assert(gs.toSeq == Seq(
+      ("2024-01-01", 10L), ("2024-01-02", 30L), ("2024-01-03", 42L), ("2024-01-04", null)), gs.toSeq)
+    // honest fallbacks BEFORE the canary (they read data): floating sums
+    // are order-sensitive and DISTINCT sums have no per-file fold
+    assert(scanOf(spark.sql("SELECT sum(score) AS s FROM snsum.t")).isInstanceOf[SnapBatchScan])
+    assert(scanOf(spark.sql("SELECT sum(DISTINCT m) AS s FROM snsum.t")).isInstanceOf[SnapBatchScan])
+    // zero-opens canary: physically junk a clean file — the pushed SUM
+    // must not notice
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victimRel = Snapshots.files(spark, dir).find(_.startsWith("day=2024-01-02/")).get
+    val victim = new org.apache.hadoop.fs.Path(dir, victimRel)
+    val out = fs.create(victim, true)
+    out.write("not parquet".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(victim.getParent, "." + victim.getName + ".crc"), false)
+    val again = spark.sql("SELECT sum(m) AS sm FROM snsum.t")
+    assert(scanOf(again).description().contains("manifest-only"), scanOf(again).description())
+    assert(again.head().getLong(0) == 82L, "SUM must answer with zero file opens")
+    // merge-on-read: delete id=5 (day=03's file) — SUM goes HYBRID,
+    // scanning exactly the one DV'd file (the corrupted day=02 file stays
+    // folded from the manifest, proving the split physically)
+    DeleteVectors.deleteWhere(spark, dir, col("id") === 5L)
+    val h = spark.sql("SELECT sum(m) AS sm FROM snsum.t")
+    assert(scanOf(h).description().contains("hybrid: 1/"), scanOf(h).description())
+    assert(h.head().getLong(0) == 80L, "the deleted row's 2 must vanish from the total")
+  }
+
   test("a NULL partition value groups as SQL NULL and never leaks the hive sentinel into MIN/MAX") {
     val base = emptyCatalog("snaggnull")
     val dir = s"$base/t"
