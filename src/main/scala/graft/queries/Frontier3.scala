@@ -2752,6 +2752,97 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
       |ORDER BY event_type""".stripMargin
 
+  // -- q240: WRITABLE branch refs — append, fast-forward, diverge ----------
+
+  /** q236's zero-copy refs, made WRITABLE — the r12 scope cut closed: a
+    * branch forks in O(1) metadata like a tag, but owns a branch-private
+    * manifest line, so appends land on the branch (under the hidden
+    * `.branch/` tree — the live line cannot see them) and
+    * `VERSION AS OF '<branch>'` reads fork + branch appends from any SQL
+    * client. The full lifecycle in one hash: `CALL create_branch` + a
+    * branch append + `CALL fast_forward` adopt a staged row into the live
+    * line (files MOVE with their sidecars — one O(delta) commit, no
+    * rewrite, `ff_ok`); a second branch then diverges from a live MoR
+    * DELETE — the branch keeps reading the clicks the live line lost
+    * (`n_branch` vs `n_live`), `fast_forward` REFUSES loudly
+    * (`diverge_refused`), an aggressive `vacuum(keep_last => 1)` runs
+    * between the fork and the final read so the hash match IS the
+    * retention proof (q236's law, extended to branch lines), and the
+    * refs metadata table reports the kind (`ref_ok`). At 100 TB this is
+    * the dev/test fork a training pipeline actually needs: ten bytes to
+    * create, writable, adoptable, and never a table copy.
+    */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq240", Seq("day"))
+    val v1 = graft.sources.Snapshots.latestVersion(s, dir)
+    // phase 1: stage a row on a branch, live untouched, then adopt it
+    s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'staging')")
+    graft.sources.Snapshots.appendToBranch(
+      s, dir, "staging",
+      s.sql("SELECT DATE'1998-01-01' AS day, '__ff' AS event_type, " +
+        "CAST(1 AS BIGINT) AS n, CAST(10 AS BIGINT) AS sum_u"))
+    val liveUntouched = graft.sources.Snapshots.latestVersion(s, dir) == v1
+    val v2 = s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'staging')").head().getLong(0)
+    val ffOk = liveUntouched && v2 == v1 + 1L &&
+      graft.sources.Snapshots.branches(s, dir).isEmpty &&
+      graft.sources.Snapshots.listDataFiles(s, dir)
+        .forall(!_.startsWith(graft.sources.Snapshots.BranchDataDirName))
+    // phase 2: fork a dev branch, append a synthetic row, then DIVERGE the
+    // live line with a MoR delete of every click
+    val forkV =
+      s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'dev')").head().getLong(0)
+    graft.sources.Snapshots.appendToBranch(
+      s, dir, "dev",
+      s.sql("SELECT DATE'1999-12-31' AS day, '__branch' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u"))
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click'")
+    }
+    val divergeRefused = scala.util
+      .Try(s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'dev')").collect())
+      .isFailure
+    // the aggressive vacuum between fork and final read: the hash match
+    // below is the branch-retention proof
+    s.sql(s"CALL $cat.vacuum(table => 'ev', keep_last => 1)")
+    val refOk = s
+      .sql(s"SELECT name, version, kind FROM $cat.ev.refs")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq == Seq(("dev", forkV, "branch"))
+    s.sql(s"""
+      |SELECT b.event_type AS event_type,
+      |       b.n AS n_branch, coalesce(l.n, CAST(0 AS BIGINT)) AS n_live,
+      |       b.u AS u_branch, coalesce(l.u, CAST(0 AS BIGINT)) AS u_live
+      |FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |      FROM $cat.ev VERSION AS OF 'dev' GROUP BY event_type) b
+      |LEFT JOIN (SELECT event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sum_u) AS BIGINT) AS u
+      |           FROM $cat.ev GROUP BY event_type) l
+      |ON b.event_type = l.event_type
+      |ORDER BY event_type""".stripMargin)
+      .withColumn("ff_ok", lit(ffOk))
+      .withColumn("diverge_refused", lit(divergeRefused))
+      .withColumn("ref_ok", lit(refOk))
+  }
+
+  val q240Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS us
+      |      FROM s GROUP BY event_type)
+      |SELECT event_type,
+      |  n AS n_branch,
+      |  CAST(CASE WHEN event_type = 'click' THEN 0 ELSE n END AS BIGINT) AS n_live,
+      |  us AS u_branch,
+      |  CAST(CASE WHEN event_type = 'click' THEN 0 ELSE us END AS BIGINT) AS u_live,
+      |  true AS ff_ok, true AS diverge_refused, true AS ref_ok
+      |FROM g
+      |UNION ALL SELECT '__ff', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |  CAST(10 AS BIGINT), CAST(10 AS BIGINT), true, true, true
+      |UNION ALL SELECT '__branch', CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(42 AS BIGINT), CAST(0 AS BIGINT), true, true, true
+      |ORDER BY event_type""".stripMargin
+
   // -- q239: manifest-only SUM/AVG from per-file sum sidecars --------------
 
   /** Parquet footers never carry sums, so r12's pushdown stopped at
@@ -2958,6 +3049,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q240_writable_branches" -> (q240 _),
     "q239_manifest_sum_avg" -> (q239 _),
     "q238_stream_cdc_apply" -> (q238 _),
     "q237_manifest_ndv" -> (q237 _),
@@ -3004,6 +3096,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q240_writable_branches" -> q240Sql,
     "q239_manifest_sum_avg" -> q239Sql,
     "q238_stream_cdc_apply" -> q238Sql,
     "q237_manifest_ndv" -> q237Sql,

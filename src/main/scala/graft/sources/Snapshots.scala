@@ -3277,10 +3277,24 @@ object Snapshots {
       rels: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       withMeta: Boolean): DataFrame = {
-    val (live, archived) = rels.map(rel => resolve(spark, root, rel)).partition { p =>
-      !p.toString.contains(s"/$ArchiveDirName/")
-    }
     val archiveBase = new Path(new Path(root), ArchiveDirName).toString
+    // ONE scan per effective base dir: live main files under the root,
+    // archived files under the archive, and each branch's private files
+    // under THEIR base (`.branch/<name>`) — hive partition inference
+    // refuses mixed base depths in a single scan (CONFLICTING_DIRECTORY_
+    // STRUCTURES), and per-base scans infer identical partition columns,
+    // so the union below is still one job over k file sources.
+    def baseOf(rel: String, p: Path): String =
+      if (p.toString.contains(s"/$ArchiveDirName/")) archiveBase
+      else if (rel.startsWith(BranchDataDirName + "/"))
+        new Path(new Path(root), rel.split("/").take(2).mkString("/")).toString
+      else root
+    val grouped = rels
+      .map(rel => rel -> resolve(spark, root, rel))
+      .groupBy { case (rel, p) => baseOf(rel, p) }
+      .toSeq
+      .sortBy(_._1)
+      .map { case (base, rps) => base -> rps.map(_._2) }
     lazy val rootPart = java.util.regex.Pattern.quote(
       new Path(root)
         .makeQualified(
@@ -3289,7 +3303,7 @@ object Snapshots {
         .toUri
         .getRawPath)
     lazy val arch = java.util.regex.Pattern.quote(s"$ArchiveDirName/")
-    val scans = Seq(root -> live, archiveBase -> archived).collect {
+    val scans = grouped.collect {
       case (base, ps) if ps.nonEmpty =>
         val rd = spark.read.option("basePath", base)
         schema.foreach(rd.schema)
@@ -3604,11 +3618,294 @@ object Snapshots {
 
   /** Drop a ref. The pinned version's files become ordinary history — the
     * next [[vacuum]] may reclaim them. Returns whether the ref existed.
+    * Dropping a BRANCH ref drops the whole branch (its manifests and
+    * private data files die with the pin — leaving either behind would
+    * orphan unreachable state).
     */
   def dropRef(spark: SparkSession, root: String, name: String): Boolean =
     withTableLock(spark, root) {
       val rootPath = new Path(root)
-      fsOf(spark, rootPath).delete(refPath(rootPath, name), false)
+      val fs = fsOf(spark, rootPath)
+      if (fs.exists(branchDir(rootPath, name))) dropBranch(spark, root, name)
+      else fs.delete(refPath(rootPath, name), false)
+    }
+
+  // ---- writable branch refs ----------------------------------------------
+
+  /** Hidden top-level dir holding each branch's PRIVATE data files
+    * (`<root>/.branch/<name>/<hive dirs>/part-…`): dot-prefixed, so main
+    * readers, directory listers and listing-based commits never see
+    * them — a branch write can never leak into the live line.
+    */
+  val BranchDataDirName = ".branch"
+
+  private def branchesDir(root: Path): Path = new Path(manifestDir(root), "branches")
+
+  private def branchDir(root: Path, name: String): Path = {
+    refPath(root, name) // reuse the ref-name gate (filesystem-safe by construction)
+    new Path(branchesDir(root), name)
+  }
+
+  private def branchDataDir(root: Path, name: String): Path =
+    new Path(new Path(root, BranchDataDirName), name)
+
+  private def branchManifestPath(root: Path, name: String, v: Long): Path =
+    new Path(branchDir(root, name), f"v$v%010d.manifest")
+
+  private def branchVersions(fs: FileSystem, bdir: Path): Seq[Long] =
+    if (!fs.exists(bdir)) Seq.empty
+    else
+      fs.listStatus(bdir)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong
+        }
+        .sorted
+
+  /** Is `name` a WRITABLE branch (vs an immutable tag)? */
+  def isBranch(spark: SparkSession, root: String, name: String): Boolean =
+    fsOf(spark, new Path(root)).exists(branchDir(new Path(root), name))
+
+  /** All writable branches of the table, sorted. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val d = branchesDir(new Path(root))
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) Seq.empty
+    else
+      fs.listStatus(d)
+        .toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName)
+        .sorted
+  }
+
+  /** Create a WRITABLE branch at `version` (default: latest) — the
+    * zero-copy fork that can also diverge: the branch starts as a pin of
+    * the fork version (same O(1) metadata, same vacuum retention as a
+    * tag) plus a branch-private manifest line under
+    * `_graft_manifests/branches/<name>/`. [[appendToBranch]] appends on
+    * the branch (data lands under the hidden `.branch/<name>/` tree —
+    * the live line never sees it), [[readBranch]] / SQL
+    * `VERSION AS OF '<name>'` read fork + branch appends, and
+    * [[fastForward]] adopts the branch into the live line when main
+    * hasn't diverged. At 100 TB the dev/test fork of a training table is
+    * ten bytes AND writable — the round-12 gap (refs were read-only pins;
+    * divergence needed a deep clone) closed. Returns the fork version.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String, version: Long = -1L): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val v = createRef(spark, root, name, version)
+      fsOf(spark, rootPath).mkdirs(branchDir(rootPath, name))
+      v
+    }
+
+  /** The branch's CURRENT view: the fork version's manifest view evolved
+    * by every branch delta, in order. O(fork view + branch commits) —
+    * branch lines are short-lived by design (they end in [[fastForward]]
+    * or [[dropBranch]]).
+    */
+  def branchView(spark: SparkSession, root: String, name: String): ManifestView = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val fork = refVersion(spark, root, name).getOrElse(
+      sys.error(s"no branch or tag '$name' under $root"))
+    require(
+      fs.exists(branchDir(rootPath, name)),
+      s"'$name' on $root is an immutable tag, not a branch — createBranch for a writable fork")
+    branchVersions(fs, branchDir(rootPath, name)).foldLeft(manifestView(spark, root, fork)) {
+      (acc, bv) =>
+        val in = fs.open(branchManifestPath(rootPath, name, bv))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+            .map(_.trim).filter(_.nonEmpty)
+          finally in.close()
+        applyDelta(acc, bv, lines)
+    }
+  }
+
+  /** Read the branch: fork state + branch appends, deletion vectors of
+    * the fork applied, fully-deleted files pruned — [[readSnapshot]]'s
+    * semantics on the branch's own line.
+    */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    val bv = branchView(spark, root, name)
+    val live = bv.rels.filterNot(rel => fullyDeleted(bv.stats.getOrElse(rel, Map.empty)))
+    require(live.nonEmpty, s"branch '$name' of $root lists no live data files")
+    scanRels(spark, root, live, bv.schema, dvByRel(bv))
+  }
+
+  /** Append `df` to the branch — the live line is untouched. One
+    * branch-local delta manifest records the landed files with the same
+    * footer stats (and bloom/NDV/SUM sidecars) a main-line commit would,
+    * so branch reads prune and pushdown-fold exactly like main reads.
+    * Priced O(epoch): the appended bytes + their footer reads + one small
+    * manifest write. Returns the branch-local version.
+    */
+  def appendToBranch(spark: SparkSession, root: String, name: String, df: DataFrame): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val bdir = branchDir(rootPath, name)
+      require(
+        fs.exists(bdir),
+        s"no branch '$name' under $root — createBranch first (tags are immutable)")
+      val bv = branchView(spark, root, name)
+      val schema = bv.schema.getOrElse(
+        sys.error(s"branch writes on $root need a v2 manifest (recorded schema) at the fork"))
+      import org.apache.spark.sql.functions.col
+      // aligned to the recorded schema — order and types (the MoR-upsert
+      // discipline: a malformed value fails loudly, never lands half-cast)
+      val aligned = df.select(
+        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val partCols = if (bv.partCols.nonEmpty) bv.partCols else partitionColsFromRels(bv.rels)
+      val dataDir = branchDataDir(rootPath, name)
+      val stage = new Path(dataDir, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      val writer =
+        if (partCols.nonEmpty)
+          aligned.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
+        else aligned.coalesce(1).write
+      writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
+      def walk(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+      val conf = spark.sparkContext.hadoopConfiguration
+      // zero-row parts never land (the landAppend discipline)
+      val parts = walk(stage)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .filter { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+          try r.getRecordCount > 0L
+          finally r.close()
+        }
+      val stageUri = fs.makeQualified(stage).toUri.getPath
+      val rels = parts.map { p =>
+        val stageRel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        val rel = s"$BranchDataDirName/$name/$stageRel"
+        val to = new Path(rootPath, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(p, to)) sys.error(s"branch append failed to land $rel")
+        rel
+      }
+      fs.delete(stage, true)
+      val prevB = branchVersions(fs, bdir).lastOption.getOrElse(0L)
+      if (rels.isEmpty) return prevB // an empty epoch commits nothing
+      // the main commit's stats discipline, branch-locally: footer stats
+      // per new file (pooled), value-index sidecars when the table has them
+      val statsByRel = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+      parEach(rels) { rel =>
+        statsByRel.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, bv.statsCols))
+      }
+      if (bv.bloomCols.nonEmpty)
+        buildBloomSidecars(spark, root, rels, bv.bloomCols, statsCols = bv.statsCols)
+      val header = renderHeader(
+        bv.schema,
+        bv.statsCols,
+        bv.bloomCols,
+        bv.dropped,
+        bv.partCols,
+        partCanon = None,
+        nFiles = Some(bv.rels.size.toLong + rels.size.toLong),
+        pathCols = None)
+      // `#delta 0` = "the fork view"; branch reconstruction applies the
+      // line's manifests in version order, so the base pointer is
+      // informational (and validated: versions are dense by construction)
+      val body = header ++ Seq(s"#delta $prevB") ++
+        rels.sorted.map(rel => "+" + renderFileLine(rel, statsByRel.get(rel)))
+      val target = branchManifestPath(rootPath, name, prevB + 1L)
+      val tmp = new Path(bdir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"branch commit raced on $target") }
+      prevB + 1L
+    }
+
+  /** Adopt the branch into the LIVE line — allowed exactly when main has
+    * not advanced past the fork (the git fast-forward contract; a
+    * diverged main refuses loudly: re-apply or clone instead). The
+    * branch's private files MOVE to their natural table paths (their
+    * bloom/NDV/SUM sidecars rename with them — content depends only on
+    * the file bytes, so nothing recomputes), one O(delta) append commit
+    * records them on main, and the branch is dropped. Returns the new
+    * main version.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      require(
+        fs.exists(branchDir(rootPath, name)),
+        s"no branch '$name' under $root (tags cannot fast-forward)")
+      val fork = refVersion(spark, root, name).getOrElse(
+        sys.error(s"branch '$name' has no fork pin — corrupt branch state"))
+      val latest = latestVersion(spark, root)
+      require(
+        latest == fork,
+        s"cannot fast-forward '$name' into $root: the live line advanced past the fork " +
+          s"(v$fork -> v$latest) — the lines diverged; re-apply the branch's appends or clone")
+      val bv = branchView(spark, root, name)
+      val forkRels = manifestView(spark, root, fork).rels.toSet
+      val prefix = s"$BranchDataDirName/$name/"
+      val branchRels = bv.rels.filterNot(forkRels).sorted
+      var moved = List.empty[(Path, Path)]
+      try {
+        val targets = branchRels.map { rel =>
+          require(rel.startsWith(prefix), s"unexpected non-branch rel $rel on branch '$name'")
+          val target = rel.stripPrefix(prefix)
+          val from = new Path(rootPath, rel)
+          val to = new Path(rootPath, target)
+          require(!fs.exists(to), s"fast-forward target $target already exists — rel reuse")
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(from, to)) sys.error(s"fast-forward failed to move $rel")
+          moved ::= (to, from)
+          // sidecars are keyed by rel but their CONTENT is a pure function
+          // of the file bytes — rename instead of recomputing
+          (bv.bloomCols.map(c => (bloomPath(rootPath, rel, c), bloomPath(rootPath, target, c))) ++
+            bv.bloomCols.map(c => (ndvPath(rootPath, rel, c), ndvPath(rootPath, target, c))) ++
+            bv.statsCols.map(c => (sumPath(rootPath, rel, c), sumPath(rootPath, target, c))))
+            .foreach { case (f, t) =>
+              if (fs.exists(f)) {
+                fs.rename(f, t)
+                ndvMissCache.remove(t.toString)
+                sumMissCache.remove(t.toString)
+              }
+            }
+          target
+        }
+        val v = if (targets.isEmpty) latest else commitAppend(spark, root, targets)
+        fs.delete(branchDir(rootPath, name), true)
+        fs.delete(branchDataDir(rootPath, name), true)
+        fs.delete(refPath(rootPath, name), false)
+        v
+      } catch {
+        case t: Throwable =>
+          // a half-moved branch must not leave uncommitted files in the
+          // live tree for a listing-based commit to adopt
+          moved.foreach { case (to, from) =>
+            try if (fs.exists(to)) fs.rename(to, from)
+            catch { case _: Exception => () }
+          }
+          throw t
+      }
+    }
+
+  /** Drop the branch whole: its manifests, its private data files and its
+    * fork pin. The fork version becomes ordinary history. Returns whether
+    * the branch existed.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val existed = fs.exists(branchDir(rootPath, name))
+      fs.delete(branchDir(rootPath, name), true)
+      fs.delete(branchDataDir(rootPath, name), true)
+      fs.delete(refPath(rootPath, name), false)
+      existed
     }
 
   /** Expire history: keep the latest `keepLast` manifests plus every
@@ -3661,8 +3958,14 @@ object Snapshots {
           fs.delete(new Path(mp.getParent, mp.getName + ".pidx"), false)
         }
         // bloom / NDV-register / SUM sidecars of files no retained manifest
-        // references are orphans — reap them with the manifests they served
-        val referencedHex = referenced.map(hex)
+        // references are orphans — reap them with the manifests they served.
+        // Branch-private files' sidecars are referenced by the BRANCH line
+        // (not any main manifest) and must survive for as long as the
+        // branch lives; a corrupt branch fails this loudly — retention
+        // must never silently shrink.
+        val branchRelsHex: Set[String] =
+          branches(spark, root).flatMap(n => branchView(spark, root, n).rels).map(hex).toSet
+        val referencedHex = referenced.map(hex) ++ branchRelsHex
         Seq("bloom", "ndv", "sum").foreach { kind =>
           val d = new Path(manifestDir(rootPath), kind)
           if (fs.exists(d)) {

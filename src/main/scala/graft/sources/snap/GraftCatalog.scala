@@ -126,7 +126,10 @@ class GraftCatalog
           .refVersion(spark, dir, version)
           .getOrElse(throw new IllegalArgumentException(
             s"table $dir has no branch/tag ref '$version' — CALL create_ref to pin one"))
-        load(ident, v)
+        // a WRITABLE branch reads its own line (fork + branch appends); a
+        // tag is a plain numeric pin
+        if (Snapshots.isBranch(spark, dir, version)) new SnapTable(dir, v, Some(version))
+        else load(ident, v)
     }
 
   /** `TIMESTAMP AS OF t` (micros since epoch) — pin the newest version
@@ -366,7 +369,7 @@ object SnapTable {
       spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
 }
 
-class SnapTable(dir: String, version: Long)
+class SnapTable(dir: String, version: Long, branch: Option[String] = None)
     extends Table
     with SupportsRead
     with SupportsWrite
@@ -393,7 +396,11 @@ class SnapTable(dir: String, version: Long)
 
   private def spark: SparkSession = SparkSession.active
 
-  override def name(): String = s"graft-snapshot:$dir@v$version"
+  override def name(): String =
+    branch match {
+      case Some(b) => s"graft-snapshot:$dir@branch:$b"
+      case None => s"graft-snapshot:$dir@v$version"
+    }
 
   // Schema/layout resolve from the manifest HEADER alone (one buffered
   // read that stops at the first body line — O(header) at any table
@@ -407,11 +414,17 @@ class SnapTable(dir: String, version: Long)
   private lazy val resolvedVersion: Long =
     if (version > 0) version else Snapshots.latestVersion(spark, dir)
 
+  // a BRANCH read resolves through the branch's own manifest line: no
+  // main-line header shortcut (the cold-planning path indexes main
+  // manifests), the view is fork + branch deltas
   private lazy val header: Option[Snapshots.HeaderView] =
-    Snapshots.headerView(spark, dir, resolvedVersion)
+    if (branch.isDefined) None else Snapshots.headerView(spark, dir, resolvedVersion)
 
   private lazy val view: Snapshots.ManifestView =
-    Snapshots.manifestView(spark, dir, resolvedVersion)
+    branch match {
+      case Some(b) => Snapshots.branchView(spark, dir, b)
+      case None => Snapshots.manifestView(spark, dir, resolvedVersion)
+    }
 
   private lazy val tableSchema: StructType =
     header
@@ -562,10 +575,12 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("n_rows", LongType, nullable = true),
         StructField("fully_deleted", BooleanType, nullable = false)))
     case "refs" =>
-      // the table's branch/tag pins: (name, version) — metadata-only
+      // the table's branch/tag pins: (name, version, kind) — metadata-only;
+      // version is the pinned/fork version, kind says tag vs writable branch
       StructType(Seq(
         StructField("name", StringType, nullable = false),
-        StructField("version", LongType, nullable = false)))
+        StructField("version", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false)))
     case "ndv" =>
       // per-column approximate COUNT(DISTINCT) of the pinned version from
       // the merged register sidecars — zero data opens at any table size;
@@ -655,7 +670,9 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
             Row(part, rels.size.toLong, nRows, nBytes)
           }
       case "refs" =>
-        Snapshots.refs(spark, dir).toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
+        Snapshots.refs(spark, dir).toSeq.sortBy(_._1).map { case (n, v) =>
+          Row(n, v, if (Snapshots.isBranch(spark, dir, n)) "branch" else "tag")
+        }
       case "ndv" =>
         val mv = Snapshots.manifestView(spark, dir, version)
         mv.bloomCols.sorted.flatMap { c =>

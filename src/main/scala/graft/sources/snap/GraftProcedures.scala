@@ -316,6 +316,55 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class CreateBranch(rootDir: String) extends SnapProcedure("create_branch", rootDir) {
+    override def description: String =
+      "fork a WRITABLE branch at a version (default: latest) — zero-copy like a tag, plus a " +
+        "branch-private manifest line: appends land on the branch (Snapshots.appendToBranch), " +
+        "reads via VERSION AS OF '<name>' see fork + branch appends, the live line never " +
+        "changes, and CALL fast_forward adopts the branch when main hasn't diverged"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType), inDefault("version", LongType, "-1"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = Snapshots.createBranch(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        input.getLong(2))
+      result(out("fork_version" -> LongType), Seq(v))
+    }
+  }
+
+  private class FastForward(rootDir: String) extends SnapProcedure("fast_forward", rootDir) {
+    override def description: String =
+      "adopt a branch into the live line (allowed iff main hasn't advanced past the fork): " +
+        "branch files MOVE to their table paths with their sidecars, one O(delta) append " +
+        "commit records them, the branch is dropped; returns the new main version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = Snapshots.fastForward(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("version" -> LongType), Seq(v))
+    }
+  }
+
+  private class DropBranch(rootDir: String) extends SnapProcedure("drop_branch", rootDir) {
+    override def description: String =
+      "drop a branch whole: its manifest line, its private data files and its fork pin — " +
+        "the fork version becomes ordinary history the next vacuum may reclaim"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val existed = Snapshots.dropBranch(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("existed" -> org.apache.spark.sql.types.BooleanType), Seq(existed))
+    }
+  }
+
   private class DropRef(rootDir: String) extends SnapProcedure("drop_ref", rootDir) {
     override def description: String =
       "drop a branch/tag ref — the pinned version becomes ordinary history the next vacuum may reclaim"
@@ -342,6 +391,9 @@ private[snap] object GraftProcedures {
     new DvMaterialize(rootDir),
     new NdvBackfill(rootDir),
     new CreateRef(rootDir),
+    new CreateBranch(rootDir),
+    new FastForward(rootDir),
+    new DropBranch(rootDir),
     new DropRef(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =

@@ -275,6 +275,95 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"id").as[Long].collect().toSet
+
+  test("writable branches: branch appends never touch the live line; fast-forward adopts; divergence refuses") {
+    val base = Files.createTempDirectory("snap_branch").toString
+    val dir = s"$base/t"
+    table(dir)
+    val v1 = Snapshots.commit(spark, dir, Seq("day", "id"))
+    val liveFiles = Snapshots.listDataFiles(spark, dir)
+    // fork a writable branch and append on it
+    assert(Snapshots.createBranch(spark, dir, "dev") == v1)
+    assert(Snapshots.isBranch(spark, dir, "dev") && Snapshots.branches(spark, dir) == Seq("dev"))
+    val b1 = Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v"))
+    assert(b1 == 1L)
+    // the LIVE line is untouched: no new visible file, no new version
+    assert(Snapshots.listDataFiles(spark, dir) == liveFiles)
+    assert(Snapshots.latestVersion(spark, dir) == v1)
+    assert(Snapshots.readSnapshot(spark, dir).count() == 4L)
+    // the branch reads fork + append; a second epoch stacks
+    assert(idsOf(Snapshots.readBranch(spark, dir, "dev")) == Set(1L, 2L, 3L, 4L, 9L))
+    assert(Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((10L, "2024-01-10", 100.0)).toDF("id", "day", "v")) == 2L)
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 6L)
+    // SQL face: VERSION AS OF '<branch>' reads the branch line; refs meta
+    // reports the kind
+    spark.conf.set("spark.sql.catalog.brcat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.brcat.root", base)
+    assert(spark.sql("SELECT count(*) FROM brcat.t VERSION AS OF 'dev'").head().getLong(0) == 6L)
+    assert(
+      spark.sql("SELECT name, version, kind FROM brcat.t.refs").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).toSeq == Seq(("dev", v1, "branch")))
+    // an aggressive vacuum keeps the fork pinned (the tag retention
+    // contract extends to branches)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 6L)
+    // fast-forward: main hasn't advanced, so the branch adopts — files
+    // move to their natural paths, one append commit, branch gone
+    val v2 = Snapshots.fastForward(spark, dir, "dev")
+    assert(v2 == v1 + 1L)
+    assert(idsOf(Snapshots.readSnapshot(spark, dir)) == Set(1L, 2L, 3L, 4L, 9L, 10L))
+    assert(Snapshots.refs(spark, dir).isEmpty && Snapshots.branches(spark, dir).isEmpty)
+    assert(
+      Snapshots.listDataFiles(spark, dir).forall(!_.startsWith(Snapshots.BranchDataDirName)),
+      "adopted files live at their natural table paths")
+    // divergence: a branch forked, then the live line advances — the
+    // fast-forward must refuse loudly (re-apply or clone, never guess)
+    Snapshots.createBranch(spark, dir, "dev2")
+    Snapshots.appendToBranch(
+      spark, dir, "dev2", Seq((11L, "2024-01-11", 110.0)).toDF("id", "day", "v"))
+    Sources.deleteWhere(spark, dir, $"id" === 9L) // live advances
+    val e = intercept[Exception](Snapshots.fastForward(spark, dir, "dev2"))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // the branch still reads its own world (fork had id=9 alive)
+    assert(idsOf(Snapshots.readBranch(spark, dir, "dev2")).contains(9L))
+    // tags stay immutable: appending to one refuses
+    Snapshots.createRef(spark, dir, "just_a_tag")
+    val e2 = intercept[Exception](Snapshots.appendToBranch(
+      spark, dir, "just_a_tag", Seq((12L, "2024-01-12", 120.0)).toDF("id", "day", "v")))
+    assert(e2.getMessage.contains("createBranch"), e2.getMessage)
+    // dropping the branch removes its line, its private files and its pin
+    assert(Snapshots.dropBranch(spark, dir, "dev2"))
+    assert(Snapshots.refs(spark, dir) == Map("just_a_tag" -> Snapshots.latestVersion(spark, dir)))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, Snapshots.BranchDataDirName + "/dev2")))
+  }
+
+  test("branch appends carry the stats discipline: pruned branch reads, fast-forwarded sidecars survive") {
+    val base = Files.createTempDirectory("snap_branch_stats").toString
+    val dir = s"$base/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id")) // blooms + NDV + sums
+    Snapshots.createBranch(spark, dir, "dev")
+    Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v"))
+    // the branch view carries per-file stats for the appended file: a
+    // day-bounded read of the branch prunes to it
+    val bv = Snapshots.branchView(spark, dir, "dev")
+    val newRel = bv.rels.find(_.startsWith(Snapshots.BranchDataDirName)).get
+    assert(bv.stats(newRel).contains(Snapshots.RowCountKey), "branch lines carry footer stats")
+    // fast-forward renames the sidecars with the files: the NDV estimate
+    // is available immediately, with no rebuild (no data read)
+    val v = Snapshots.fastForward(spark, dir, "dev")
+    assert(Snapshots.latestVersion(spark, dir) == v)
+    val est = Snapshots.approxCountDistinct(spark, dir, "id")
+    assert(est.isDefined && est.get > 4.0, s"post-ff estimate must cover the appended key: $est")
+    assert(Snapshots.countRows(spark, dir) == 5L)
+  }
+
   test("vacuum keeps ref-pinned DELTA chains and deletion-vector sidecars alive") {
     val dir = Files.createTempDirectory("snap_refs_dv").toString + "/t"
     table(dir)
