@@ -2783,9 +2783,13 @@ object Frontier3 {
         "CAST(1 AS BIGINT) AS n, CAST(10 AS BIGINT) AS sum_u"))
     val liveUntouched = graft.sources.Snapshots.latestVersion(s, dir) == v1
     val v2 = s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'staging')").head().getLong(0)
+    // the adopted file must be RECORDED at its natural table path (the
+    // manifest is the authority — a hidden-dir listing check would be
+    // vacuously true) and the branch must be gone whole
     val ffOk = liveUntouched && v2 == v1 + 1L &&
       graft.sources.Snapshots.branches(s, dir).isEmpty &&
-      graft.sources.Snapshots.listDataFiles(s, dir)
+      graft.sources.Snapshots.files(s, dir).exists(_.startsWith("day=1998-01-01/")) &&
+      graft.sources.Snapshots.files(s, dir)
         .forall(!_.startsWith(graft.sources.Snapshots.BranchDataDirName))
     // phase 2: fork a dev branch, append a synthetic row, then DIVERGE the
     // live line with a MoR delete of every click

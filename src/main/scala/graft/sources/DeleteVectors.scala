@@ -793,27 +793,11 @@ object DeleteVectors {
         df.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
       else df.coalesce(1).write
     writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
-    def walk(p: Path): Seq[Path] =
-      fs.listStatus(p).toSeq.flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
-    // zero-row parts never land: the unpartitioned single-dir writer
-    // creates its part file eagerly even for an empty frame (a pure-delete
-    // CDC epoch), and committing one would bloat the manifest with a file
-    // every future scan opens for nothing. Footer record counts are
-    // driver-side metadata, bounded by the batch's own partitions; the
-    // skipped files die with the stage dir below.
-    val parts = walk(stage)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .filter { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, spark.sparkContext.hadoopConfiguration))
-        try r.getRecordCount > 0L
-        finally r.close()
-      }
-    val stageUri = fs.makeQualified(stage).toUri.getPath
+    // shared landing discipline ([[Snapshots.stagedParts]]): zero-row
+    // parts never land — a pure-delete CDC epoch must not commit an empty
+    // parquet file — and footer checks run in the driver pool
     val rootUri = fs.makeQualified(rootPath).toUri.getPath
-    val targets = parts.map { p =>
-      val stageRel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+    val targets = Snapshots.stagedParts(spark, fs, stage).map { case (p, stageRel) =>
       val cut = stageRel.lastIndexOf('/')
       val rel =
         if (cut < 0) epochPrefix + stageRel
@@ -833,21 +817,7 @@ object DeleteVectors {
         }
       }
     }
-    var landed = List.empty[Path]
-    val rels =
-      try
-        targets.map { case (p, rel) =>
-          val to = new Path(rootPath, rel)
-          fs.mkdirs(to.getParent)
-          if (!fs.rename(p, to)) sys.error(s"upsert failed to land $rel")
-          landed ::= to
-          rel
-        }
-      catch {
-        case t: Throwable =>
-          landed.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
-          throw t
-      }
+    val rels = Snapshots.landParts(fs, rootPath, targets)
     fs.delete(stage, true)
     rels
   }

@@ -2276,6 +2276,23 @@ object Snapshots {
         df.select(org.apache.spark.sql.functions.col(c).cast("string").as("v"))
       val shared = if (needBloom && needNdv) vals.persist() else vals
       try {
+        // CRASH-ORDER INVARIANT: the NDV sidecar writes BEFORE the bloom.
+        // The commit gate keys "is this file new?" on bloom ABSENCE, so
+        // bloom-present must imply ndv-present for post-feature builds —
+        // a crash between the two leaves ndv-only, and the next commit
+        // (seeing the missing bloom) rebuilds the pair; the reverse order
+        // would strand a bloom'd file whose NDV no routine commit would
+        // ever heal.
+        if (needNdv) {
+          val reg = ndvRegistersOf(shared, "v")
+          val target = ndvPath(rootPath, rel, c)
+          val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
+          val out = fs.create(tmp, true)
+          try out.write(reg)
+          finally out.close()
+          if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+          ndvMissCache.remove(target.toString) // the sidecar exists now
+        }
         if (needBloom) {
           // exact row count from the FOOTER (driver-side metadata) — sizing
           // the filter must not cost a full-scan count() job per file
@@ -2307,16 +2324,6 @@ object Snapshots {
           try bf.writeTo(out)
           finally out.close()
           if (!fs.rename(tmp, target)) fs.delete(tmp, false) // lost a benign race: identical content
-        }
-        if (needNdv) {
-          val reg = ndvRegistersOf(shared, "v")
-          val target = ndvPath(rootPath, rel, c)
-          val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID().toString}")
-          val out = fs.create(tmp, true)
-          try out.write(reg)
-          finally out.close()
-          if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
-          ndvMissCache.remove(target.toString) // the sidecar exists now
         }
       } finally if (needBloom && needNdv) shared.unpersist()
     }
@@ -3613,8 +3620,25 @@ object Snapshots {
         .toMap
   }
 
-  def refVersion(spark: SparkSession, root: String, name: String): Option[Long] =
-    refs(spark, root).get(name)
+  /** One NAMED ref's pinned version. Reads only that ref's file — a
+    * corrupt UNRELATED ref must not take down reads of a healthy one
+    * (refs() stays loud for the consumers that need the complete map:
+    * vacuum retention and the listing). The named file itself failing to
+    * parse is still a loud error.
+    */
+  def refVersion(spark: SparkSession, root: String, name: String): Option[Long] = {
+    val p = refPath(new Path(root), name)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(scala.util.Try(txt.toLong).getOrElse(sys.error(
+        s"ref file $p holds unparsable content '$txt' — fix or delete it")))
+    }
+  }
 
   /** Drop a ref. The pinned version's files become ordinary history — the
     * next [[vacuum]] may reclaim them. Returns whether the ref existed.
@@ -3662,6 +3686,65 @@ object Snapshots {
           n.stripPrefix("v").stripSuffix(".manifest").toLong
         }
         .sorted
+
+  /** Walk a finished stage dir and return its non-empty part files as
+    * (path, stage-relative rel). Zero-row parts are dropped HERE — the
+    * unpartitioned single-dir writer creates its part file eagerly even
+    * for an empty frame, and committing one would bloat the manifest
+    * with a file every future scan opens for nothing. Footer record
+    * counts are driver metadata, read in PARALLEL (the footer-pool
+    * discipline — a K-partition epoch must not pay K sequential
+    * round-trips). Shared by the MoR upsert landing and branch appends.
+    */
+  private[sources] def stagedParts(
+      spark: SparkSession,
+      fs: FileSystem,
+      stage: Path): Seq[(Path, String)] = {
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap(st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val all = walk(stage).filter(p =>
+      p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    val nonEmpty = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+    parEach(all) { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val n =
+        try r.getRecordCount
+        finally r.close()
+      if (n > 0L) nonEmpty.add(p)
+    }
+    val stageUri = fs.makeQualified(stage).toUri.getPath
+    all.filter(nonEmpty.contains).map { p =>
+      p -> fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+    }
+  }
+
+  /** Land (path → root-relative rel) pairs with a rollback: a mid-loop
+    * rename failure deletes THIS attempt's already-landed files before
+    * rethrowing, so no later listing-based commit can adopt a partial
+    * landing. Returns the landed rels.
+    */
+  private[sources] def landParts(
+      fs: FileSystem,
+      rootPath: Path,
+      targets: Seq[(Path, String)]): Seq[String] = {
+    var landed = List.empty[Path]
+    try
+      targets.map { case (p, rel) =>
+        val to = new Path(rootPath, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(p, to)) sys.error(s"failed to land $rel")
+        landed ::= to
+        rel
+      }
+    catch {
+      case t: Throwable =>
+        landed.foreach(p => try fs.delete(p, false) catch { case _: Exception => () })
+        throw t
+    }
+  }
 
   /** Is `name` a WRITABLE branch (vs an immutable tag)? */
   def isBranch(spark: SparkSession, root: String, name: String): Boolean =
@@ -3714,8 +3797,16 @@ object Snapshots {
     require(
       fs.exists(branchDir(rootPath, name)),
       s"'$name' on $root is an immutable tag, not a branch — createBranch for a writable fork")
-    branchVersions(fs, branchDir(rootPath, name)).foldLeft(manifestView(spark, root, fork)) {
-      (acc, bv) =>
+    val versions = branchVersions(fs, branchDir(rootPath, name))
+    // versions are dense by construction (each append writes prev+1 under
+    // the table lock) — a GAP means a branch manifest was lost or
+    // deleted, and silently folding around it would drop that epoch's
+    // rows from every branch read. Refuse, never guess.
+    require(
+      versions == (1L to versions.length.toLong),
+      s"branch '$name' of $root has a broken manifest chain (found $versions) — " +
+        "a branch manifest is missing or corrupt; refusing to read around the gap")
+    versions.foldLeft(manifestView(spark, root, fork)) { (acc, bv) =>
         val in = fs.open(branchManifestPath(rootPath, name, bv))
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
@@ -3768,28 +3859,15 @@ object Snapshots {
           aligned.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
         else aligned.coalesce(1).write
       writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
-      def walk(p: Path): Seq[Path] =
-        fs.listStatus(p).toSeq.flatMap(st =>
-          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
       val conf = spark.sparkContext.hadoopConfiguration
-      // zero-row parts never land (the landAppend discipline)
-      val parts = walk(stage)
-        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .filter { p =>
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-          try r.getRecordCount > 0L
-          finally r.close()
-        }
-      val stageUri = fs.makeQualified(stage).toUri.getPath
-      val rels = parts.map { p =>
-        val stageRel = fs.makeQualified(p).toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
-        val rel = s"$BranchDataDirName/$name/$stageRel"
-        val to = new Path(rootPath, rel)
-        fs.mkdirs(to.getParent)
-        if (!fs.rename(p, to)) sys.error(s"branch append failed to land $rel")
-        rel
-      }
+      // shared landing discipline (zero-row drop + rollback on a partial
+      // landing): a mid-loop failure leaves no orphans under .branch/
+      val rels = landParts(
+        fs,
+        rootPath,
+        stagedParts(spark, fs, stage).map { case (p, stageRel) =>
+          p -> s"$BranchDataDirName/$name/$stageRel"
+        })
       fs.delete(stage, true)
       val prevB = branchVersions(fs, bdir).lastOption.getOrElse(0L)
       if (rels.isEmpty) return prevB // an empty epoch commits nothing
@@ -3852,45 +3930,55 @@ object Snapshots {
       val prefix = s"$BranchDataDirName/$name/"
       val branchRels = bv.rels.filterNot(forkRels).sorted
       var moved = List.empty[(Path, Path)]
-      try {
-        val targets = branchRels.map { rel =>
-          require(rel.startsWith(prefix), s"unexpected non-branch rel $rel on branch '$name'")
-          val target = rel.stripPrefix(prefix)
-          val from = new Path(rootPath, rel)
-          val to = new Path(rootPath, target)
-          require(!fs.exists(to), s"fast-forward target $target already exists — rel reuse")
-          fs.mkdirs(to.getParent)
-          if (!fs.rename(from, to)) sys.error(s"fast-forward failed to move $rel")
-          moved ::= (to, from)
-          // sidecars are keyed by rel but their CONTENT is a pure function
-          // of the file bytes — rename instead of recomputing
-          (bv.bloomCols.map(c => (bloomPath(rootPath, rel, c), bloomPath(rootPath, target, c))) ++
-            bv.bloomCols.map(c => (ndvPath(rootPath, rel, c), ndvPath(rootPath, target, c))) ++
-            bv.statsCols.map(c => (sumPath(rootPath, rel, c), sumPath(rootPath, target, c))))
-            .foreach { case (f, t) =>
-              if (fs.exists(f)) {
-                fs.rename(f, t)
-                ndvMissCache.remove(t.toString)
-                sumMissCache.remove(t.toString)
+      val v =
+        try {
+          val targets = branchRels.map { rel =>
+            require(rel.startsWith(prefix), s"unexpected non-branch rel $rel on branch '$name'")
+            val target = rel.stripPrefix(prefix)
+            val from = new Path(rootPath, rel)
+            val to = new Path(rootPath, target)
+            require(!fs.exists(to), s"fast-forward target $target already exists — rel reuse")
+            fs.mkdirs(to.getParent)
+            if (!fs.rename(from, to)) sys.error(s"fast-forward failed to move $rel")
+            moved ::= (to, from)
+            // sidecars are keyed by rel but their CONTENT is a pure function
+            // of the file bytes — rename instead of recomputing
+            (bv.bloomCols.map(c => (bloomPath(rootPath, rel, c), bloomPath(rootPath, target, c))) ++
+              bv.bloomCols.map(c => (ndvPath(rootPath, rel, c), ndvPath(rootPath, target, c))) ++
+              bv.statsCols.map(c => (sumPath(rootPath, rel, c), sumPath(rootPath, target, c))))
+              .foreach { case (f, t) =>
+                if (fs.exists(f)) {
+                  fs.rename(f, t)
+                  ndvMissCache.remove(t.toString)
+                  sumMissCache.remove(t.toString)
+                }
               }
+            target
+          }
+          if (targets.isEmpty) latest else commitAppend(spark, root, targets)
+        } catch {
+          case t: Throwable =>
+            // rollback is PRE-COMMIT only: a half-moved branch must not
+            // leave uncommitted files in the live tree for a listing-based
+            // commit to adopt. (Once commitAppend lands, the manifest
+            // references the moved files — moving them back would be the
+            // corruption.)
+            moved.foreach { case (to, from) =>
+              try if (fs.exists(to)) fs.rename(to, from)
+              catch { case _: Exception => () }
             }
-          target
+            throw t
         }
-        val v = if (targets.isEmpty) latest else commitAppend(spark, root, targets)
+      // post-commit cleanup is BEST-EFFORT: the adoption is already
+      // durable, so a transient delete failure must not trigger any
+      // rollback — at worst a dropped-branch husk lingers (harmless: its
+      // data files have moved out, and dropBranch removes the rest)
+      try {
         fs.delete(branchDir(rootPath, name), true)
         fs.delete(branchDataDir(rootPath, name), true)
         fs.delete(refPath(rootPath, name), false)
-        v
-      } catch {
-        case t: Throwable =>
-          // a half-moved branch must not leave uncommitted files in the
-          // live tree for a listing-based commit to adopt
-          moved.foreach { case (to, from) =>
-            try if (fs.exists(to)) fs.rename(to, from)
-            catch { case _: Exception => () }
-          }
-          throw t
-      }
+      } catch { case _: Exception => () }
+      v
     }
 
   /** Drop the branch whole: its manifests, its private data files and its

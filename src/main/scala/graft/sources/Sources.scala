@@ -122,32 +122,39 @@ object Sources {
     // A raw dir with no committed manifest has no vectors by construction.
     val inRoot = new org.apache.hadoop.fs.Path(inPath)
     val fs = inRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dv =
-      if (Snapshots.latestVersion(spark, inPath) > 0L)
-        Snapshots.dvByRel(Snapshots.manifestView(spark, inPath))
-      else Map.empty[String, (String, Long)]
+    // ONE recursive walk serves everything below: the live (rel, bytes)
+    // list feeds the fold's file set AND the output sizing (no second
+    // listing, no per-file getFileStatus — on an object store those are
+    // real driver latency); ONE manifest view serves stats and DV map
+    val rootUri = fs.makeQualified(inRoot).toUri
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(".") || nm.startsWith("_")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(rootUri.relativize(st.getPath.toUri).getPath -> st.getLen)
+      }
+    val allFiles = walk(inRoot)
+    val view =
+      if (Snapshots.latestVersion(spark, inPath) > 0L) Some(Snapshots.manifestView(spark, inPath))
+      else None
+    val dv = view.map(Snapshots.dvByRel).getOrElse(Map.empty[String, (String, Long)])
+    val live = allFiles.filterNot { case (rel, _) =>
+      view.exists(v => Snapshots.fullyDeleted(v.stats.getOrElse(rel, Map.empty)))
+    }
+    require(live.nonEmpty, s"compactParquet: every row of $inPath is MoR-deleted — nothing to rewrite")
     val df =
       if (dv.isEmpty) spark.read.parquet(inPath)
       else {
-        val stats = Snapshots.manifestView(spark, inPath).stats
-        val live = Snapshots
-          .listDataFiles(spark, inPath)
-          .filterNot(rel => Snapshots.fullyDeleted(stats.getOrElse(rel, Map.empty)))
-        require(live.nonEmpty, s"compactParquet: every row of $inPath is MoR-deleted — nothing to rewrite")
-        val base = {
-          val rd = spark.read.option("basePath", inPath)
-          rd.parquet(live.map(r => new org.apache.hadoop.fs.Path(inRoot, r).toString): _*)
-        }
-        foldDvPositions(spark, inRoot, base, live, dv, byFullRel = true)
+        val base = spark.read
+          .option("basePath", inPath)
+          .parquet(live.map(r => new org.apache.hadoop.fs.Path(inRoot, r._1).toString): _*)
+        foldDvPositions(spark, inRoot, base, live.map(_._1), dv, byFullRel = true)
       }
-    // output file count from the input's ON-DISK bytes (compressed domain —
-    // the same domain targetBytes is stated in); the optimizer's estimate
-    // of a DV-folded anti-join is not a byte count
-    val inputBytes = BigInt(
-      Snapshots
-        .listDataFiles(spark, inPath)
-        .map(rel => fs.getFileStatus(new org.apache.hadoop.fs.Path(inRoot, rel)).getLen)
-        .sum)
+    // output file count from the LIVE input's ON-DISK bytes (compressed
+    // domain — the same domain targetBytes is stated in); the optimizer's
+    // estimate of a DV-folded anti-join is not a byte count
+    val inputBytes = BigInt(live.map(_._2).sum)
     val nFiles = math.max(1L, (inputBytes / BigInt(targetBytes)).toLong +
       (if (inputBytes % BigInt(targetBytes) > 0) 1L else 0L))
     val n = math.min(nFiles, Int.MaxValue.toLong).toInt

@@ -317,9 +317,13 @@ class SnapshotsSpec extends SparkSpec {
     assert(v2 == v1 + 1L)
     assert(idsOf(Snapshots.readSnapshot(spark, dir)) == Set(1L, 2L, 3L, 4L, 9L, 10L))
     assert(Snapshots.refs(spark, dir).isEmpty && Snapshots.branches(spark, dir).isEmpty)
-    assert(
-      Snapshots.listDataFiles(spark, dir).forall(!_.startsWith(Snapshots.BranchDataDirName)),
-      "adopted files live at their natural table paths")
+    // the MANIFEST is the authority (a listing check would be vacuous —
+    // dot-prefixed dirs are invisible to listers either way): the adopted
+    // files are recorded at natural paths and resolve there
+    val adopted = Snapshots.files(spark, dir)
+    assert(adopted.forall(!_.startsWith(Snapshots.BranchDataDirName)))
+    assert(adopted.exists(_.startsWith("day=2024-01-09/")) &&
+      adopted.exists(_.startsWith("day=2024-01-10/")))
     // divergence: a branch forked, then the live line advances — the
     // fast-forward must refuse loudly (re-apply or clone, never guess)
     Snapshots.createBranch(spark, dir, "dev2")
