@@ -2752,6 +2752,65 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
       |ORDER BY event_type""".stripMargin
 
+  // -- q241: branch MoR DELETE — the staged bulk delete --------------------
+
+  /** Branch DML: the risky bulk delete STAGED on a branch. `CALL
+    * branch_delete` runs a merge-on-read DELETE against the branch's file
+    * set — matched positions become deletion vectors recorded by a
+    * branch-delta restate, so `VERSION AS OF 'riskydel'` shows the
+    * post-delete world while EVERY live read keeps the rows
+    * (`live_intact` pins version and content). After validation,
+    * `CALL fast_forward` adopts the pointers into the live line — ONE
+    * restate commit, zero files moved or rewritten (`no_rewrite` hashes
+    * the live file set across the adoption; `vectors_carried` pins the
+    * pointers) — and the final per-type totals hash against the oracle's
+    * recomputation. At 100 TB this is how a GDPR-scale delete ships:
+    * stage on a ten-byte fork, diff the branch read, adopt at
+    * metadata cost — and a wrong predicate is a `drop_branch`, not a
+    * restore.
+    */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq241", Seq("day"))
+    val v1 = graft.sources.Snapshots.latestVersion(s, dir)
+    val filesBefore = graft.sources.Snapshots.files(s, dir).toSet
+    s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'riskydel')")
+    val (bf, br) = (s
+      .sql(s"CALL $cat.branch_delete(table => 'ev', name => 'riskydel', " +
+        "where => \"event_type = 'click'\")")
+      .head() match { case r => (r.getLong(0), r.getLong(1)) })
+    // the staged world: the branch has no clicks, the live line still does
+    val branchClicks = s
+      .sql(s"SELECT count(*) AS n FROM $cat.ev VERSION AS OF 'riskydel' WHERE event_type = 'click'")
+      .head().getLong(0)
+    val liveClicks = s
+      .sql(s"SELECT count(*) AS n FROM $cat.ev WHERE event_type = 'click'")
+      .head().getLong(0)
+    val stagedOk = bf > 0L && br > 0L && branchClicks == 0L && liveClicks > 0L
+    val liveIntact = graft.sources.Snapshots.latestVersion(s, dir) == v1
+    // adopt: one restate commit, nothing moves, nothing rewrites
+    s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'riskydel')")
+    val noRewrite = graft.sources.Snapshots.files(s, dir).toSet == filesBefore
+    val vectorsCarried =
+      graft.sources.Snapshots.dvByRel(graft.sources.Snapshots.manifestView(s, dir)).nonEmpty
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(sum_u) AS BIGINT) AS u_live
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("staged_ok", lit(stagedOk))
+      .withColumn("live_intact", lit(liveIntact))
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("vectors_carried", lit(vectorsCarried))
+  }
+
+  val q241Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events WHERE event_type <> 'click')
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(sum(u) AS BIGINT) AS u_live,
+      |  true AS staged_ok, true AS live_intact, true AS no_rewrite, true AS vectors_carried
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // -- q240: WRITABLE branch refs — append, fast-forward, diverge ----------
 
   /** q236's zero-copy refs, made WRITABLE — the r12 scope cut closed: a
@@ -3053,6 +3112,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q241_branch_mor_delete" -> (q241 _),
     "q240_writable_branches" -> (q240 _),
     "q239_manifest_sum_avg" -> (q239 _),
     "q238_stream_cdc_apply" -> (q238 _),
@@ -3100,6 +3160,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q241_branch_mor_delete" -> q241Sql,
     "q240_writable_branches" -> q240Sql,
     "q239_manifest_sum_avg" -> q239Sql,
     "q238_stream_cdc_apply" -> q238Sql,

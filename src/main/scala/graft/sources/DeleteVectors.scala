@@ -103,49 +103,101 @@ object DeleteVectors {
         s"merge-on-read delete on $root needs a v2 manifest (recorded schema) — " +
           "commit with statsCols to upgrade")
       if (view.rels.isEmpty) return (0L, 0L)
-
-      // candidate narrowing BEFORE any data I/O: skip provably-fully-
-      // deleted files, stats-prune the predicate's top-level range
-      // conjuncts against the manifest's per-file intervals (the
-      // `DELETE WHERE day = X` shape opens only that day's files at any
-      // table size), then bloom-narrow equality probes — the same three
-      // disciplines the read path applies, because a MoR delete IS a
-      // read plus a sidecar write
-      val alive = view.rels.filterNot(r =>
-        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
-      if (alive.isEmpty) return (0L, 0L)
-      val probeFrame = Snapshots.scanRels(spark, root, alive.take(1), view.schema)
-      val ranges = Sources.rangeProbes(probeFrame, predicate)
-      val statsPruned =
-        if (ranges.isEmpty) alive
-        else
-          alive.filter(rel =>
-            Snapshots.fileMatchesRanges(view.stats.getOrElse(rel, Map.empty), ranges))
-      val probes = Sources.equalityProbes(probeFrame, predicate)
-      val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
-      val candidates =
-        if (active.isEmpty) statsPruned
-        else
-          statsPruned.filter { rel =>
-            active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
-          }
-      if (candidates.isEmpty) return (0L, 0L)
-
-      // the match scan: RAW rows (existing DVs not applied — re-matching
-      // an already-deleted row is harmless, the union dedups) with each
-      // row's (rel, pos) provenance
-      val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
-      val matches = scan
-        .filter(coalesce(predicate, lit(false)))
-        .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
-
-      val oldDvByRel: Map[String, String] = candidates.flatMap { rel =>
-        Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
-      }.toMap
-      val commitTag = java.util.UUID.randomUUID().toString.take(8)
-      val written = writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+      val written = matchDeletes(spark, root, view, predicate)
       if (written.isEmpty) return (0L, 0L)
       boundedCommit(spark, root, view, written)
+    }
+
+  /** The MoR delete's match core over one VIEW's files (main line or a
+    * branch): candidate narrowing BEFORE any data I/O — skip provably-
+    * fully-deleted files, stats-prune the predicate's top-level range
+    * conjuncts against the manifest's per-file intervals (the
+    * `DELETE WHERE day = X` shape opens only that day's files at any
+    * table size), then bloom-narrow equality probes — then ONE match
+    * scan of the candidates (RAW rows: re-matching an already-deleted
+    * row is harmless, the sidecar union dedups) and the distributed
+    * sidecar write. Returns (rel, new sidecar rel, merged count) per
+    * touched file; the caller commits (main: [[boundedCommit]]; branch:
+    * a branch-delta restate).
+    */
+  private def matchDeletes(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      predicate: Column): Seq[(String, String, Long)] = {
+    val alive = view.rels.filterNot(r =>
+      Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+    if (alive.isEmpty) return Seq.empty
+    val probeFrame = Snapshots.scanRels(spark, root, alive.take(1), view.schema)
+    val ranges = Sources.rangeProbes(probeFrame, predicate)
+    val statsPruned =
+      if (ranges.isEmpty) alive
+      else
+        alive.filter(rel =>
+          Snapshots.fileMatchesRanges(view.stats.getOrElse(rel, Map.empty), ranges))
+    val probes = Sources.equalityProbes(probeFrame, predicate)
+    val active = probes.filter { case (c, _) => view.bloomCols.contains(c) }
+    val candidates =
+      if (active.isEmpty) statsPruned
+      else
+        statsPruned.filter { rel =>
+          active.forall { case (c, v) => Snapshots.bloomMightContain(spark, root, rel, c, v) }
+        }
+    if (candidates.isEmpty) return Seq.empty
+    val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
+    val matches = scan
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
+    val oldDvByRel: Map[String, String] = candidates.flatMap { rel =>
+      Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
+    }.toMap
+    val commitTag = java.util.UUID.randomUUID().toString.take(8)
+    writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+  }
+
+  /** Merge-on-read DELETE on a WRITABLE BRANCH — the live line is
+    * untouched: matched positions (over the BRANCH's file set, fork files
+    * and branch appends alike) become deletion vectors recorded by a
+    * branch-delta restate, so `readBranch` / `VERSION AS OF '<branch>'`
+    * subtract them while every main read keeps the rows. Combined with
+    * [[Snapshots.fastForward]] — which carries the branch's pointer
+    * changes into the live line when main hasn't diverged — a branch is
+    * the STAGING AREA for a risky bulk delete: run it on the fork,
+    * validate the branch read, then adopt (or drop) it, all without a
+    * byte of data rewrite. Same narrowing as [[deleteWhere]]; no
+    * threshold rewrite on branches (vectors fold on the main line after
+    * adoption, by the ordinary maintenance passes). Returns
+    * (files touched, rows newly deleted).
+    */
+  def deleteOnBranch(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      predicate: Column): (Long, Long) =
+    Snapshots.withTableLock(spark, root) {
+      val bv = Snapshots.branchView(spark, root, name)
+      require(
+        bv.schema.isDefined,
+        s"merge-on-read branch delete on $root needs a v2 manifest (recorded schema)")
+      val written = matchDeletes(spark, root, bv, predicate)
+      var newlyDeleted = 0L
+      val changed = written.flatMap { case (rel, dvRel, cnt) =>
+        val st = bv.stats.getOrElse(rel, Map.empty[String, ColStat])
+        val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+        // count equality IS set equality (the merged sidecar is a
+        // superset of the old) — a spurious restate would read as a
+        // change; the fresh sidecar becomes an orphan vacuum reaps
+        if (cnt == oldCnt) None
+        else {
+          newlyDeleted += cnt - oldCnt
+          Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
+            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
+            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
+        }
+      }.toMap
+      if (changed.isEmpty) return (0L, 0L)
+      Snapshots.restateOnBranch(spark, root, name, changed)
+      (changed.size.toLong, newlyDeleted)
     }
 
   /** Apply a batch of freshly-written sidecar results as ONE commit,
@@ -334,6 +386,45 @@ object DeleteVectors {
     if (survivors > 0L && !fs.rename(part, new Path(rootPath, newRel)))
       throw new IllegalStateException(s"rewrite of $rel failed to land $part")
     fs.delete(part.getParent, true)
+  }
+
+  /** Re-home one DV sidecar after its data file MOVED to a new rel (the
+    * branch fast-forward): the sidecar's rows embed the data file's rel —
+    * the read-side anti-join matches on it — so a moved file needs a
+    * fresh sidecar carrying the NEW rel with the same positions. One
+    * driver-side streaming copy (sidecars are small by construction); the
+    * orphaned old sidecar dies in vacuum. Returns the new sidecar rel.
+    */
+  private[sources] def rehomeSidecar(
+      spark: SparkSession,
+      root: String,
+      oldDvRel: String,
+      newDataRel: String): String = {
+    val rootPath = new Path(root)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val newDvRel =
+      s"${Snapshots.DvDirName}/$newDataRel.dv-ff-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    val r = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+      new Path(rootPath, oldDvRel),
+      StructType(Seq(StructField("pos", LongType, nullable = false))),
+      hconf)
+    val w = org.apache.spark.sql.graft.Bridge.parquetRowWriter(
+      new Path(rootPath, newDvRel),
+      sidecarSchema,
+      hconf)
+    val relU = org.apache.spark.unsafe.types.UTF8String.fromString(newDataRel)
+    try {
+      var row = r.read()
+      while (row != null) {
+        w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](relU, row.getLong(0))))
+        row = r.read()
+      }
+    } finally {
+      r.close()
+      w.close()
+    }
+    newDvRel
   }
 
   /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,

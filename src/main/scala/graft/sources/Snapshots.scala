@@ -1303,12 +1303,18 @@ object Snapshots {
     * manifest (the bounded-MoR rewrite: a file whose deleted fraction
     * crossed the threshold is replaced instead of pointed at).
     */
+  /** `addedDv`: deletion-vector stat entries to merge onto an added
+    * rel's freshly-computed footer stats — what a branch fast-forward
+    * needs when an adopted file already carries a vector (footer reads
+    * know nothing of DV state).
+    */
   private[sources] def commitRestated(
       spark: SparkSession,
       root: String,
       restated: Map[String, Map[String, ColStat]],
       addedRels: Seq[String] = Seq.empty,
-      removedRels: Seq[String] = Seq.empty): Long = withTableLock(spark, root) {
+      removedRels: Seq[String] = Seq.empty,
+      addedDv: Map[String, Map[String, ColStat]] = Map.empty): Long = withTableLock(spark, root) {
     require(
       restated.nonEmpty || addedRels.nonEmpty || removedRels.nonEmpty,
       "commitRestated: nothing to commit")
@@ -1350,7 +1356,8 @@ object Snapshots {
         bloomsBuilt = true
       }
       def statOf(rel: String): Map[String, ColStat] =
-        Option(newStats.get(rel)).getOrElse(Map.empty)
+        Option(newStats.get(rel)).getOrElse(Map.empty[String, ColStat]) ++
+          addedDv.getOrElse(rel, Map.empty[String, ColStat])
       val version = prevV + 1L
       val removedSet = removed.toSet
       val header = renderHeader(
@@ -3869,8 +3876,8 @@ object Snapshots {
           p -> s"$BranchDataDirName/$name/$stageRel"
         })
       fs.delete(stage, true)
-      val prevB = branchVersions(fs, bdir).lastOption.getOrElse(0L)
-      if (rels.isEmpty) return prevB // an empty epoch commits nothing
+      if (rels.isEmpty) // an empty epoch commits nothing
+        return branchVersions(fs, bdir).lastOption.getOrElse(0L)
       // the main commit's stats discipline, branch-locally: footer stats
       // per new file (pooled), value-index sidecars when the table has them
       val statsByRel = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
@@ -3879,28 +3886,67 @@ object Snapshots {
       }
       if (bv.bloomCols.nonEmpty)
         buildBloomSidecars(spark, root, rels, bv.bloomCols, statsCols = bv.statsCols)
-      val header = renderHeader(
-        bv.schema,
-        bv.statsCols,
-        bv.bloomCols,
-        bv.dropped,
-        bv.partCols,
-        partCanon = None,
-        nFiles = Some(bv.rels.size.toLong + rels.size.toLong),
-        pathCols = None)
-      // `#delta 0` = "the fork view"; branch reconstruction applies the
-      // line's manifests in version order, so the base pointer is
-      // informational (and validated: versions are dense by construction)
-      val body = header ++ Seq(s"#delta $prevB") ++
-        rels.sorted.map(rel => "+" + renderFileLine(rel, statsByRel.get(rel)))
-      val target = branchManifestPath(rootPath, name, prevB + 1L)
-      val tmp = new Path(bdir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"branch commit raced on $target") }
-      prevB + 1L
+      commitBranchDelta(spark, root, name, bv, rels.sorted.map(rel => rel -> statsByRel.get(rel)))
     }
+
+  /** Write the branch's next delta manifest recording `plus` as `+` lines
+    * — appends (new rels) or RESTATES (a re-added rel is a stats
+    * replacement under [[applyDelta]], which is how a branch MoR delete
+    * records its deletion-vector pointers). Caller holds the table lock.
+    * Returns the branch-local version.
+    */
+  private[sources] def commitBranchDelta(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      bv: ManifestView,
+      plus: Seq[(String, Map[String, ColStat])]): Long = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val bdir = branchDir(rootPath, name)
+    val prevB = branchVersions(fs, bdir).lastOption.getOrElse(0L)
+    val baseRels = bv.rels.toSet
+    val newRels = plus.map(_._1).filterNot(baseRels)
+    val header = renderHeader(
+      bv.schema,
+      bv.statsCols,
+      bv.bloomCols,
+      bv.dropped,
+      bv.partCols,
+      partCanon = None,
+      nFiles = Some(bv.rels.size.toLong + newRels.size.toLong),
+      pathCols = None)
+    // `#delta 0` = "the fork view"; branch reconstruction applies the
+    // line's manifests in version order, so the base pointer is
+    // informational (the chain's density is validated on read)
+    val body = header ++ Seq(s"#delta $prevB") ++
+      plus.sortBy(_._1).map { case (rel, st) => "+" + renderFileLine(rel, st) }
+    val target = branchManifestPath(rootPath, name, prevB + 1L)
+    val tmp = new Path(bdir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false); sys.error(s"branch commit raced on $target") }
+    prevB + 1L
+  }
+
+  /** Restate existing branch rels' stats (the branch MoR delete's commit
+    * face): one branch-delta manifest whose `+` lines replace the rels'
+    * stats — deletion-vector pointers ride the stats map exactly as on
+    * the main line. Caller holds the table lock.
+    */
+  private[sources] def restateOnBranch(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      restated: Map[String, Map[String, ColStat]]): Long = {
+    val bv = branchView(spark, root, name)
+    val missing = restated.keys.filterNot(bv.rels.toSet)
+    require(
+      missing.isEmpty,
+      s"restateOnBranch('$name'): rel(s) not on the branch: ${missing.take(3).mkString(", ")}")
+    commitBranchDelta(spark, root, name, bv, restated.toSeq)
+  }
 
   /** Adopt the branch into the LIVE line — allowed exactly when main has
     * not advanced past the fork (the git fast-forward contract; a
@@ -3926,9 +3972,19 @@ object Snapshots {
         s"cannot fast-forward '$name' into $root: the live line advanced past the fork " +
           s"(v$fork -> v$latest) — the lines diverged; re-apply the branch's appends or clone")
       val bv = branchView(spark, root, name)
-      val forkRels = manifestView(spark, root, fork).rels.toSet
+      val forkView = manifestView(spark, root, fork)
+      val forkRels = forkView.rels.toSet
       val prefix = s"$BranchDataDirName/$name/"
       val branchRels = bv.rels.filterNot(forkRels).sorted
+      // a branch MoR delete on a FORK file changed its pointer on the
+      // branch line only — adoption restates the branch's stats (original
+      // footer stats + the new DV keys; the sidecar's embedded rel is the
+      // fork rel, unchanged by adoption) on the main line
+      val pointerUpdates: Map[String, Map[String, ColStat]] = forkView.rels.flatMap { rel =>
+        val oldDv = dvOf(forkView.stats.getOrElse(rel, Map.empty))
+        val newDv = dvOf(bv.stats.getOrElse(rel, Map.empty))
+        if (oldDv == newDv) None else Some(rel -> bv.stats.getOrElse(rel, Map.empty))
+      }.toMap
       var moved = List.empty[(Path, Path)]
       val v =
         try {
@@ -3953,9 +4009,32 @@ object Snapshots {
                   sumMissCache.remove(t.toString)
                 }
               }
-            target
+            rel -> target
           }
-          if (targets.isEmpty) latest else commitAppend(spark, root, targets)
+          // a MOVED file carrying a vector (a branch delete hit a branch
+          // append): the DV sidecar embeds the data file's rel, which just
+          // changed — REHOME the sidecar (rewrite its rel column) so the
+          // read-side anti-join keeps matching; the orphaned old sidecar
+          // dies in vacuum
+          val addedDv: Map[String, Map[String, ColStat]] = targets.flatMap { case (rel, target) =>
+            dvOf(bv.stats.getOrElse(rel, Map.empty)).map { case (dvRel, cnt) =>
+              val newDvRel = DeleteVectors.rehomeSidecar(spark, root, dvRel, target)
+              target -> Map(
+                DvPathKey -> ColStat("s", newDvRel, newDvRel),
+                DvCountKey -> ColStat("l", cnt.toString, cnt.toString))
+            }
+          }.toMap
+          if (targets.isEmpty && pointerUpdates.isEmpty) latest
+          else if (pointerUpdates.isEmpty && addedDv.isEmpty)
+            commitAppend(spark, root, targets.map(_._2))
+          else
+            commitRestated(
+              spark,
+              root,
+              pointerUpdates,
+              addedRels = targets.map(_._2),
+              removedRels = Seq.empty,
+              addedDv = addedDv)
         } catch {
           case t: Throwable =>
             // rollback is PRE-COMMIT only: a half-moved branch must not
@@ -4071,9 +4150,14 @@ object Snapshots {
         val dvRoot = new Path(rootPath, DvDirName)
         if (fs.exists(dvRoot)) {
           val referencedDv: Set[String] =
-            keptVersions
+            (keptVersions
               .flatMap(v =>
-                manifestView(spark, root, v).stats.values.flatMap(st => dvOf(st).map(_._1)))
+                manifestView(spark, root, v).stats.values.flatMap(st => dvOf(st).map(_._1))) ++
+              // a BRANCH line's vectors (branch MoR deletes) live only in
+              // branch manifests — they must survive for as long as the
+              // branch does
+              branches(spark, root).flatMap(n =>
+                branchView(spark, root, n).stats.values.flatMap(st => dvOf(st).map(_._1))))
               .toSet
           val dvUri = rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
           def walkDv(d: Path): Seq[Path] =

@@ -350,6 +350,28 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class BranchDelete(rootDir: String) extends SnapProcedure("branch_delete", rootDir) {
+    override def description: String =
+      "merge-on-read DELETE on a writable branch: matched positions become deletion vectors " +
+        "recorded by a branch-delta restate — the live line is untouched until " +
+        "CALL fast_forward adopts the pointers (or drop_branch discards them); the staging " +
+        "area for a risky bulk delete"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType), in("where", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val pred = GraftProcedures
+        .whereOf(input.getUTF8String(2).toString)
+        .getOrElse(throw new IllegalArgumentException(
+          "branch_delete needs a non-empty `where` — a WHERE-less branch delete would vector every row"))
+      val (files, rows) = graft.sources.DeleteVectors.deleteOnBranch(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        pred)
+      result(out("files_touched" -> LongType, "rows_deleted" -> LongType), Seq(files, rows))
+    }
+  }
+
   private class DropBranch(rootDir: String) extends SnapProcedure("drop_branch", rootDir) {
     override def description: String =
       "drop a branch whole: its manifest line, its private data files and its fork pin — " +
@@ -393,6 +415,7 @@ private[snap] object GraftProcedures {
     new CreateRef(rootDir),
     new CreateBranch(rootDir),
     new FastForward(rootDir),
+    new BranchDelete(rootDir),
     new DropBranch(rootDir),
     new DropRef(rootDir))
 

@@ -876,6 +876,49 @@ class DeleteVectorsSpec extends SparkSpec {
   private def rowSet2(df: org.apache.spark.sql.DataFrame): Set[(Long, Double)] =
     df.select($"id", $"v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
 
+  test("branch MoR delete: branch reads subtract, live untouched, fast-forward carries the vectors") {
+    val dir = Files.createTempDirectory("dv_branch_del").toString + "/t"
+    table(dir) // day=01 holds ids 1,2 in ONE file; day=02 id 3; day=03 id 4
+    Snapshots.createBranch(spark, dir, "dev")
+    // a branch APPEND first, so the delete can also hit a branch-private file
+    Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0), (10L, "2024-01-09", 100.0)).toDF("id", "day", "v"))
+    // delete id=2 (a FORK file's row) and id=10 (a BRANCH file's row) — on the branch
+    val (f1, r1) = DeleteVectors.deleteOnBranch(spark, dir, "dev", $"id" === 2L || $"id" === 10L)
+    assert(f1 == 2L && r1 == 2L, s"got ($f1, $r1)")
+    // the LIVE line is byte-for-byte untouched: no version, no pointers
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).map(_._1) == Set(1L, 2L, 3L, 4L))
+    // the branch subtracts both
+    assert(idsOf2(Snapshots.readBranch(spark, dir, "dev")) == Set(1L, 3L, 4L, 9L))
+    // idempotence: re-deleting already-deleted rows commits nothing
+    assert(DeleteVectors.deleteOnBranch(spark, dir, "dev", $"id" === 2L) == ((0L, 0L)))
+    // vacuum keeps branch-line DV sidecars alive (they live only in
+    // branch manifests)
+    Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(idsOf2(Snapshots.readBranch(spark, dir, "dev")) == Set(1L, 3L, 4L, 9L))
+    // fast-forward adopts BOTH vector kinds: the fork file's pointer
+    // restates on main (same sidecar — its embedded rel didn't move), the
+    // moved branch file's sidecar is REHOMED to the new rel
+    val v = Snapshots.fastForward(spark, dir, "dev")
+    assert(v == 2L)
+    assert(idsOf2(Snapshots.readSnapshot(spark, dir)) == Set(1L, 3L, 4L, 9L))
+    assert(Snapshots.countRows(spark, dir) == 4L, "metadata count subtracts the adopted vectors")
+    val dv = Snapshots.dvByRel(Snapshots.manifestView(spark, dir))
+    assert(dv.size == 2, s"both adopted files carry pointers: $dv")
+    assert(dv.keySet.forall(!_.startsWith(Snapshots.BranchDataDirName)), dv.keySet.toString)
+    // the rehomed sidecar's embedded rel matches its moved file (the
+    // anti-join would silently resurrect id=10 otherwise — the read above
+    // already proved it, this pins the mechanism)
+    val movedRel = dv.keySet.find(_.startsWith("day=2024-01-09/")).get
+    val sidecar = spark.read.parquet(s"$dir/${dv(movedRel)._1}")
+    assert(sidecar.select($"rel").as[String].collect().toSet == Set(movedRel))
+  }
+
+  private def idsOf2(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"id").as[Long].collect().toSet
+
   test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {
     val dir = Files.createTempDirectory("dv_ups_stream").toString + "/t"
     table(dir)
