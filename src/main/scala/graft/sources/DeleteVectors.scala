@@ -180,23 +180,11 @@ object DeleteVectors {
         bv.schema.isDefined,
         s"merge-on-read branch delete on $root needs a v2 manifest (recorded schema)")
       val written = matchDeletes(spark, root, bv, predicate)
-      var newlyDeleted = 0L
-      val changed = written.flatMap { case (rel, dvRel, cnt) =>
-        val st = bv.stats.getOrElse(rel, Map.empty[String, ColStat])
-        val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-        // count equality IS set equality (the merged sidecar is a
-        // superset of the old) — a spurious restate would read as a
-        // change; the fresh sidecar becomes an orphan vacuum reaps
-        if (cnt == oldCnt) None
-        else {
-          newlyDeleted += cnt - oldCnt
-          Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
-            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
-            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
-        }
-      }.toMap
+      val (changed, newlyDeleted) = pointerUpdatesOf(bv, written)
       if (changed.isEmpty) return (0L, 0L)
-      Snapshots.restateOnBranch(spark, root, name, changed)
+      // the view was built under THIS table lock — pass it through, no
+      // second branch-chain read
+      Snapshots.restateOnBranch(spark, root, name, bv, changed)
       (changed.size.toLong, newlyDeleted)
     }
 
@@ -229,19 +217,7 @@ object DeleteVectors {
       view: Snapshots.ManifestView,
       written: Seq[(String, String, Long)],
       addedRels: Seq[String] = Seq.empty): (Long, Long) = {
-    var newlyDeleted = 0L
-    val changed: Map[String, Map[String, ColStat]] = written.flatMap {
-      case (rel, dvRel, cnt) =>
-        val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
-        val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
-        if (cnt == oldCnt) None
-        else {
-          newlyDeleted += cnt - oldCnt
-          Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
-            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
-            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
-        }
-    }.toMap
+    val (changed, newlyDeleted) = pointerUpdatesOf(view, written)
     if (changed.isEmpty && addedRels.isEmpty) return (0L, 0L)
     val mapTyped =
       view.schema.exists(s => s.fields.exists(f => Snapshots.containsMapType(f.dataType)))
@@ -312,6 +288,33 @@ object DeleteVectors {
       }
     }
     (changed.size.toLong, newlyDeleted)
+  }
+
+  /** Fresh-sidecar results folded into per-file POINTER UPDATES — the one
+    * encoding of DV state both commit faces share (main-line
+    * [[boundedCommit]] and the branch restate): a file whose merged count
+    * equals its old one is a NO-OP (count equality IS set equality — the
+    * merged sidecar is a superset; the fresh sidecar becomes an orphan
+    * vacuum reaps), every other file's stats are re-stated with the new
+    * pointer. Returns (rel → new stats, rows newly deleted).
+    */
+  private def pointerUpdatesOf(
+      view: Snapshots.ManifestView,
+      written: Seq[(String, String, Long)]): (Map[String, Map[String, ColStat]], Long) = {
+    var newlyDeleted = 0L
+    val changed: Map[String, Map[String, ColStat]] = written.flatMap {
+      case (rel, dvRel, cnt) =>
+        val st = view.stats.getOrElse(rel, Map.empty[String, ColStat])
+        val oldCnt = Snapshots.dvOf(st).map(_._2).getOrElse(0L)
+        if (cnt == oldCnt) None
+        else {
+          newlyDeleted += cnt - oldCnt
+          Some(rel -> (st.filterNot(e => Snapshots.isDvKey(e._1)) ++ Map(
+            Snapshots.DvPathKey -> ColStat("s", dvRel, dvRel),
+            Snapshots.DvCountKey -> ColStat("l", cnt.toString, cnt.toString))))
+        }
+    }.toMap
+    (changed, newlyDeleted)
   }
 
   /** Phase A of a per-file rewrite: write the file's survivors (minus its
@@ -401,7 +404,10 @@ object DeleteVectors {
       oldDvRel: String,
       newDataRel: String): String = {
     val rootPath = new Path(root)
-    val hconf = spark.sparkContext.hadoopConfiguration
+    // the SESSION conf, like every other engine-side parquet I/O path —
+    // sparkContext.hadoopConfiguration would silently drop session
+    // overrides (Bridge.sessionHadoopConf's documented contract)
+    val hconf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
     val newDvRel =
       s"${Snapshots.DvDirName}/$newDataRel.dv-ff-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
     val r = org.apache.spark.sql.graft.Bridge.parquetRowReader(
@@ -421,8 +427,8 @@ object DeleteVectors {
         row = r.read()
       }
     } finally {
-      r.close()
-      w.close()
+      try r.close()
+      finally w.close() // each closes even if the other throws
     }
     newDvRel
   }

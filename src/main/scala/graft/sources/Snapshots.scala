@@ -3939,8 +3939,8 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       name: String,
+      bv: ManifestView,
       restated: Map[String, Map[String, ColStat]]): Long = {
-    val bv = branchView(spark, root, name)
     val missing = restated.keys.filterNot(bv.rels.toSet)
     require(
       missing.isEmpty,
@@ -4015,15 +4015,24 @@ object Snapshots {
           // append): the DV sidecar embeds the data file's rel, which just
           // changed — REHOME the sidecar (rewrite its rel column) so the
           // read-side anti-join keeps matching; the orphaned old sidecar
-          // dies in vacuum
-          val addedDv: Map[String, Map[String, ColStat]] = targets.flatMap { case (rel, target) =>
+          // dies in vacuum. Pooled like every per-file driver I/O —
+          // adoption latency is O(max sidecar), not O(sum)
+          val dvMoved = targets.flatMap { case (rel, target) =>
             dvOf(bv.stats.getOrElse(rel, Map.empty)).map { case (dvRel, cnt) =>
-              val newDvRel = DeleteVectors.rehomeSidecar(spark, root, dvRel, target)
-              target -> Map(
-                DvPathKey -> ColStat("s", newDvRel, newDvRel),
-                DvCountKey -> ColStat("l", cnt.toString, cnt.toString))
+              (rel, target, dvRel, cnt)
             }
-          }.toMap
+          }
+          val rehomed =
+            new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+          parEach(dvMoved) { case (_, target, dvRel, cnt) =>
+            val newDvRel = DeleteVectors.rehomeSidecar(spark, root, dvRel, target)
+            rehomed.put(
+              target,
+              Map(
+                DvPathKey -> ColStat("s", newDvRel, newDvRel),
+                DvCountKey -> ColStat("l", cnt.toString, cnt.toString)))
+          }
+          val addedDv: Map[String, Map[String, ColStat]] = rehomed.asScala.toMap
           if (targets.isEmpty && pointerUpdates.isEmpty) latest
           else if (pointerUpdates.isEmpty && addedDv.isEmpty)
             commitAppend(spark, root, targets.map(_._2))
@@ -4130,8 +4139,12 @@ object Snapshots {
         // (not any main manifest) and must survive for as long as the
         // branch lives; a corrupt branch fails this loudly — retention
         // must never silently shrink.
-        val branchRelsHex: Set[String] =
-          branches(spark, root).flatMap(n => branchView(spark, root, n).rels).map(hex).toSet
+        // ONE branch-chain reconstruction serves BOTH retention sets
+        // below (sidecar hex and DV sidecars) — branchView re-reads the
+        // chain from the filesystem on every call
+        val branchViews: Seq[ManifestView] =
+          branches(spark, root).map(n => branchView(spark, root, n))
+        val branchRelsHex: Set[String] = branchViews.flatMap(_.rels).map(hex).toSet
         val referencedHex = referenced.map(hex) ++ branchRelsHex
         Seq("bloom", "ndv", "sum").foreach { kind =>
           val d = new Path(manifestDir(rootPath), kind)
@@ -4156,8 +4169,7 @@ object Snapshots {
               // a BRANCH line's vectors (branch MoR deletes) live only in
               // branch manifests — they must survive for as long as the
               // branch does
-              branches(spark, root).flatMap(n =>
-                branchView(spark, root, n).stats.values.flatMap(st => dvOf(st).map(_._1))))
+              branchViews.flatMap(_.stats.values.flatMap(st => dvOf(st).map(_._1))))
               .toSet
           val dvUri = rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
           def walkDv(d: Path): Seq[Path] =
