@@ -692,58 +692,8 @@ object DeleteVectors {
       val alive = view.rels.filterNot(r =>
         Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
-      // the distinct key set is computed ONCE, before narrowing: the same
-      // frame feeds the range probes, the bloom probes, the broadcast
-      // decision and the match join
-      val keys0 = sourceKeys.distinct().persist()
-      val (candidates, written) =
-        try {
-          val keyCount = keys0.count()
-          // partition-exact candidate narrowing: keys ⊇ partition columns
-          // ⇒ a match shares the source row's partition values. Compared
-          // in the TYPED domain (the same per-file parse
-          // [[scopeByPartitions]] uses): a non-canonically rendered dir
-          // value still matches, and a value the declared type can't
-          // parse reads NULL on BOTH the narrow and the scan splice —
-          // consistently unmatched, never silently missed. When the keys
-          // do NOT cover the partition columns, [[narrowByKeyStats]]
-          // applies the batch deleteWhere discipline instead (epoch key
-          // min/max vs per-file intervals, then bloom probes) — a
-          // non-partition-keyed CDC stream must not scan a 100 TB table
-          // every epoch.
-          val candidates =
-            if (alive.isEmpty) Seq.empty
-            else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
-              val relDf = partitionValuesDf(spark, view, alive, partCols)
-              val touched = keys0.select(partCols.map(col): _*).distinct()
-              relDf
-                .join(broadcast(touched), partCols.toSeq, "left_semi")
-                .select(col("__graft_scope_rel__"))
-                .collect()
-                .map(_.getString(0))
-                .toSeq
-            } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
-          val written: Seq[(String, String, Long)] =
-            if (candidates.isEmpty) Seq.empty
-            else {
-              val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
-              // broadcast the key set only when it is provably small — the
-              // stageRewrite/scan-path discipline: a backfill epoch carrying
-              // tens of millions of keys must take a real join, not an OOM
-              val keys =
-                if (keyCount <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
-              val matches = scan
-                .join(keys, keyCols, "left_semi")
-                .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
-              val oldDvByRel = candidates.flatMap { rel =>
-                Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
-              }.toMap
-              writeSidecars(spark, root, matches, oldDvByRel, commitTag)
-            }
-          (candidates, written)
-        } finally keys0.unpersist()
-
-      lastUpsertCandidateFiles.set(candidates.size.toLong)
+      val written =
+        matchKeyUpserts(spark, root, view, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
       // the ad-hoc prefix is CONSTANT on purpose: the crashed-attempt
       // sweep in [[landAppend]] keys on the prefix, and a per-attempt
       // random tag could never match a PRIOR attempt's leftovers — a hard
@@ -770,6 +720,121 @@ object DeleteVectors {
         }
       if (streamTag.nonEmpty && epochId >= 0L) writeUpsertEpoch(fs, rootPath, streamTag, epochId)
       res
+    }
+
+  /** The key-match core shared by the main-line upsert/CDC-apply and the
+    * branch upsert: ONE distinct-key frame feeds the range probes, the
+    * bloom probes, the broadcast decision and the match join.
+    *
+    * Candidate narrowing: keys ⊇ partition columns ⇒ partition-exact in
+    * the TYPED domain (the same per-file parse [[scopeByPartitions]]
+    * uses — a non-canonically rendered dir value still matches, an
+    * unparseable one reads NULL on BOTH the narrow and the scan splice:
+    * consistently unmatched, never silently missed); otherwise
+    * [[narrowByKeyStats]] applies the batch deleteWhere discipline
+    * (epoch key min/max vs per-file intervals, then tuple bloom probes)
+    * — a non-partition-keyed CDC stream must not scan a 100 TB table
+    * every epoch. The key set broadcasts only when provably small (a
+    * backfill epoch carrying tens of millions of keys takes a real join,
+    * not an OOM). Sets [[lastUpsertCandidateFiles]].
+    */
+  private def matchKeyUpserts(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      alive: Seq[String],
+      sourceKeys: DataFrame,
+      keyCols: Seq[String],
+      keyFields: Seq[StructField],
+      partCols: Seq[String],
+      commitTag: String): Seq[(String, String, Long)] = {
+    val keys0 = sourceKeys.distinct().persist()
+    val (candidates, written) =
+      try {
+        val keyCount = keys0.count()
+        val candidates =
+          if (alive.isEmpty) Seq.empty
+          else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
+            val relDf = partitionValuesDf(spark, view, alive, partCols)
+            val touched = keys0.select(partCols.map(col): _*).distinct()
+            relDf
+              .join(broadcast(touched), partCols.toSeq, "left_semi")
+              .select(col("__graft_scope_rel__"))
+              .collect()
+              .map(_.getString(0))
+              .toSeq
+          } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
+        val written: Seq[(String, String, Long)] =
+          if (candidates.isEmpty) Seq.empty
+          else {
+            val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
+            val keys =
+              if (keyCount <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
+            val matches = scan
+              .join(keys, keyCols, "left_semi")
+              .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
+            val oldDvByRel = candidates.flatMap { rel =>
+              Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
+            }.toMap
+            writeSidecars(spark, root, matches, oldDvByRel, commitTag)
+          }
+        (candidates, written)
+      } finally keys0.unpersist()
+    lastUpsertCandidateFiles.set(candidates.size.toLong)
+    written
+  }
+
+  /** Merge-on-read UPSERT on a WRITABLE BRANCH — [[upsert]]'s semantics
+    * on the branch line, ONE branch-local version: branch rows (fork
+    * files and branch appends alike) matching a source row's key become
+    * deletion-vector positions recorded by restate lines, the source's
+    * full replacement rows land as branch-private appended files, and a
+    * single branch delta commits both. The live line never changes until
+    * [[Snapshots.fastForward]] adopts the branch — whose machinery
+    * already carries BOTH sides (fork-file pointers restate; appended
+    * files move with their sidecars, vectors rehomed). With
+    * [[deleteOnBranch]] this completes branch DML: replay a day's CDC
+    * onto a ten-byte fork, validate the branch read, adopt or drop.
+    * Ad-hoc only (no epoch markers — streaming sinks target the live
+    * line). Returns (files with changed pointers, rows newly deleted);
+    * appended files ride the same branch version.
+    */
+  def upsertOnBranch(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      source: DataFrame,
+      keyCols: Seq[String]): (Long, Long) =
+    Snapshots.withTableLock(spark, root) {
+      require(keyCols.nonEmpty, "upsert needs at least one key column")
+      val bv = Snapshots.branchView(spark, root, name)
+      val schema = bv.schema.getOrElse(
+        sys.error(s"merge-on-read branch upsert on $root needs a v2 manifest (recorded schema)"))
+      keyCols.foreach(k =>
+        require(
+          schema.fieldNames.contains(k) && source.columns.contains(k),
+          s"upsert key column '$k' is not in both the table schema and the source"))
+      schema.fieldNames.foreach(c =>
+        require(
+          source.columns.contains(c),
+          s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
+      val aligned = source.select(
+        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val keyFields = keyCols.map(k => schema.fields.find(_.name == k).get)
+      val sourceKeys = source.select(
+        keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val partCols =
+        if (bv.partCols.nonEmpty) bv.partCols else Snapshots.partitionColsFromRels(bv.rels)
+      val alive = bv.rels.filterNot(r =>
+        Snapshots.fullyDeleted(bv.stats.getOrElse(r, Map.empty)))
+      val commitTag = java.util.UUID.randomUUID().toString.take(8)
+      val written =
+        matchKeyUpserts(spark, root, bv, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
+      val (changed, newlyDeleted) = pointerUpdatesOf(bv, written)
+      val added = Snapshots.landOnBranch(spark, root, name, bv, aligned)
+      if (changed.isEmpty && added.isEmpty) return (0L, 0L)
+      Snapshots.commitBranchDelta(spark, root, name, bv, changed.toSeq ++ added)
+      (changed.size.toLong, newlyDeleted)
     }
 
   /** Candidate files the most recent upsert/CDC-apply on this thread

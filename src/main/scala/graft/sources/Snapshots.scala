@@ -3850,44 +3850,63 @@ object Snapshots {
         fs.exists(bdir),
         s"no branch '$name' under $root — createBranch first (tags are immutable)")
       val bv = branchView(spark, root, name)
-      val schema = bv.schema.getOrElse(
-        sys.error(s"branch writes on $root need a v2 manifest (recorded schema) at the fork"))
-      import org.apache.spark.sql.functions.col
-      // aligned to the recorded schema — order and types (the MoR-upsert
-      // discipline: a malformed value fails loudly, never lands half-cast)
-      val aligned = df.select(
-        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val partCols = if (bv.partCols.nonEmpty) bv.partCols else partitionColsFromRels(bv.rels)
-      val dataDir = branchDataDir(rootPath, name)
-      val stage = new Path(dataDir, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
-      if (fs.exists(stage)) fs.delete(stage, true)
-      val writer =
-        if (partCols.nonEmpty)
-          aligned.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
-        else aligned.coalesce(1).write
-      writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
-      val conf = spark.sparkContext.hadoopConfiguration
-      // shared landing discipline (zero-row drop + rollback on a partial
-      // landing): a mid-loop failure leaves no orphans under .branch/
-      val rels = landParts(
-        fs,
-        rootPath,
-        stagedParts(spark, fs, stage).map { case (p, stageRel) =>
-          p -> s"$BranchDataDirName/$name/$stageRel"
-        })
-      fs.delete(stage, true)
-      if (rels.isEmpty) // an empty epoch commits nothing
+      val added = landOnBranch(spark, root, name, bv, df)
+      if (added.isEmpty) // an empty epoch commits nothing
         return branchVersions(fs, bdir).lastOption.getOrElse(0L)
-      // the main commit's stats discipline, branch-locally: footer stats
-      // per new file (pooled), value-index sidecars when the table has them
-      val statsByRel = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
-      parEach(rels) { rel =>
-        statsByRel.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, bv.statsCols))
-      }
-      if (bv.bloomCols.nonEmpty)
-        buildBloomSidecars(spark, root, rels, bv.bloomCols, statsCols = bv.statsCols)
-      commitBranchDelta(spark, root, name, bv, rels.sorted.map(rel => rel -> statsByRel.get(rel)))
+      commitBranchDelta(spark, root, name, bv, added)
     }
+
+  /** Land `df` under the branch's private data tree and return the landed
+    * rels WITH their footer stats (value-index sidecars built when the
+    * table has them) — the landing half shared by [[appendToBranch]] and
+    * the branch MoR upsert, which commits appends and pointer restates in
+    * ONE branch delta. Caller holds the table lock.
+    */
+  private[sources] def landOnBranch(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      bv: ManifestView,
+      df: DataFrame): Seq[(String, Map[String, ColStat])] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val schema = bv.schema.getOrElse(
+      sys.error(s"branch writes on $root need a v2 manifest (recorded schema) at the fork"))
+    import org.apache.spark.sql.functions.col
+    // aligned to the recorded schema — order and types (the MoR-upsert
+    // discipline: a malformed value fails loudly, never lands half-cast)
+    val aligned = df.select(
+      schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val partCols = if (bv.partCols.nonEmpty) bv.partCols else partitionColsFromRels(bv.rels)
+    val dataDir = branchDataDir(rootPath, name)
+    val stage = new Path(dataDir, s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val writer =
+      if (partCols.nonEmpty)
+        aligned.repartition(partCols.map(col): _*).write.partitionBy(partCols: _*)
+      else aligned.coalesce(1).write
+    writer.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // shared landing discipline (zero-row drop + rollback on a partial
+    // landing): a mid-loop failure leaves no orphans under .branch/
+    val rels = landParts(
+      fs,
+      rootPath,
+      stagedParts(spark, fs, stage).map { case (p, stageRel) =>
+        p -> s"$BranchDataDirName/$name/$stageRel"
+      })
+    fs.delete(stage, true)
+    if (rels.isEmpty) return Seq.empty
+    // the main commit's stats discipline, branch-locally: footer stats
+    // per new file (pooled), value-index sidecars when the table has them
+    val statsByRel = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
+    parEach(rels) { rel =>
+      statsByRel.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, bv.statsCols))
+    }
+    if (bv.bloomCols.nonEmpty)
+      buildBloomSidecars(spark, root, rels, bv.bloomCols, statsCols = bv.statsCols)
+    rels.sorted.map(rel => rel -> statsByRel.get(rel))
+  }
 
   /** Write the branch's next delta manifest recording `plus` as `+` lines
     * — appends (new rels) or RESTATES (a re-added rel is a stats

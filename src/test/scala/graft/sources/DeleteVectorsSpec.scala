@@ -919,6 +919,46 @@ class DeleteVectorsSpec extends SparkSpec {
   private def idsOf2(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select($"id").as[Long].collect().toSet
 
+  test("branch MoR upsert: matched rows vector + rows append in ONE branch version; adoption carries both") {
+    val dir = Files.createTempDirectory("dv_branch_ups").toString + "/t"
+    val v1 = table(dir)
+    Snapshots.createBranch(spark, dir, "dev")
+    Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v")) // branch v1
+    // the upsert updates a FORK row (id=2), a BRANCH-APPENDED row (id=9)
+    // and inserts a new one (id=11) — one statement, one branch version
+    val src = Seq(
+      (2L, "2024-01-01", 110.0),
+      (9L, "2024-01-09", 91.0),
+      (11L, "2024-01-11", 111.0)).toDF("id", "day", "v")
+    val (touched, deleted) = DeleteVectors.upsertOnBranch(spark, dir, "dev", src, Seq("day", "id"))
+    assert(touched == 2L && deleted == 2L, s"got ($touched, $deleted)")
+    assert(rowSet(Snapshots.readBranch(spark, dir, "dev")) == Set(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 110.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 91.0),
+      (11L, "2024-01-11", 111.0)))
+    // the LIVE line never changed: no version, no vectors, old content
+    assert(Snapshots.latestVersion(spark, dir) == v1)
+    assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)).contains((2L, "2024-01-01", 11.0)))
+    // adoption carries both sides: the fork pointer restates, the moved
+    // branch files' vectors rehome, the new rows arrive
+    Snapshots.fastForward(spark, dir, "dev")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == Set(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 110.0),
+      (3L, "2024-01-02", 20.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 91.0),
+      (11L, "2024-01-11", 111.0)))
+    assert(Snapshots.countRows(spark, dir) == 6L)
+    // an upsert matching nothing new commits nothing
+    assert(Snapshots.branches(spark, dir).isEmpty)
+  }
+
   test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {
     val dir = Files.createTempDirectory("dv_ups_stream").toString + "/t"
     table(dir)
