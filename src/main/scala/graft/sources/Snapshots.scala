@@ -2562,8 +2562,11 @@ object Snapshots {
           org.apache.hadoop.io.IOUtils.readFully(in, b, 0, NdvRegisters)
           b
         } finally in.close()
-      if (ndvCache.size() >= 4096)
-        ndvCache.keySet.iterator().asScala.take(1024).foreach(ndvCache.remove)
+      // 256 B per entry ⇒ ~16 MB at the cap: a table with tens of
+      // thousands of files estimates without evicting mid-merge (the old
+      // 4096 cap thrashed — every eviction is a sidecar re-read)
+      if (ndvCache.size() >= 65536)
+        ndvCache.keySet.iterator().asScala.take(16384).foreach(ndvCache.remove)
       ndvCache.put(key, buf)
       Some(buf)
     } catch { case _: Exception => None }
