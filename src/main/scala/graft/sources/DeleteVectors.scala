@@ -667,30 +667,13 @@ object DeleteVectors {
         version > 0L,
         s"merge-on-read upsert on $root needs a committed manifest — Snapshots.commit / createTable first")
       val view = Snapshots.manifestView(spark, root, version)
-      val schema = view.schema.getOrElse(
-        sys.error(s"merge-on-read upsert on $root needs a v2 manifest (recorded schema)"))
-      keyCols.foreach(k =>
-        require(
-          schema.fieldNames.contains(k) && keySource.columns.contains(k),
-          s"upsert key column '$k' is not in both the table schema and the source"))
-      schema.fieldNames.foreach(c =>
-        require(
-          appendSource.columns.contains(c),
-          s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
+      val (keyFields, sourceKeys, partCols, alive) =
+        upsertInputs(view, root, keySource, appendSource, keyCols)
       // aligned to the recorded schema: order and types (a malformed value
-      // fails loudly here, never lands half-cast). Keys cast to the
-      // TABLE's key types so the match join compares in one domain.
+      // fails loudly here, never lands half-cast)
+      val schema = view.schema.get // upsertInputs verified it
       val aligned = appendSource.select(
         schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val keyFields = keyCols.map(k => schema.fields.find(_.name == k).get)
-      val sourceKeys = keySource.select(
-        keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val partCols =
-        if (view.partCols.nonEmpty) view.partCols
-        else Snapshots.partitionColsFromRels(view.rels)
-
-      val alive = view.rels.filterNot(r =>
-        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
       val written =
         matchKeyUpserts(spark, root, view, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
@@ -806,36 +789,65 @@ object DeleteVectors {
       source: DataFrame,
       keyCols: Seq[String]): (Long, Long) =
     Snapshots.withTableLock(spark, root) {
-      require(keyCols.nonEmpty, "upsert needs at least one key column")
       val bv = Snapshots.branchView(spark, root, name)
-      val schema = bv.schema.getOrElse(
-        sys.error(s"merge-on-read branch upsert on $root needs a v2 manifest (recorded schema)"))
-      keyCols.foreach(k =>
-        require(
-          schema.fieldNames.contains(k) && source.columns.contains(k),
-          s"upsert key column '$k' is not in both the table schema and the source"))
-      schema.fieldNames.foreach(c =>
-        require(
-          source.columns.contains(c),
-          s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
-      val aligned = source.select(
-        schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val keyFields = keyCols.map(k => schema.fields.find(_.name == k).get)
-      val sourceKeys = source.select(
-        keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      val partCols =
-        if (bv.partCols.nonEmpty) bv.partCols else Snapshots.partitionColsFromRels(bv.rels)
-      val alive = bv.rels.filterNot(r =>
-        Snapshots.fullyDeleted(bv.stats.getOrElse(r, Map.empty)))
+      val (keyFields, sourceKeys, partCols, alive) =
+        upsertInputs(bv, root, source, source, keyCols)
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
       val written =
         matchKeyUpserts(spark, root, bv, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
       val (changed, newlyDeleted) = pointerUpdatesOf(bv, written)
-      val added = Snapshots.landOnBranch(spark, root, name, bv, aligned)
+      // landOnBranch aligns `source` to the recorded schema itself
+      val added = Snapshots.landOnBranch(spark, root, name, bv, source)
       if (changed.isEmpty && added.isEmpty) return (0L, 0L)
-      Snapshots.commitBranchDelta(spark, root, name, bv, changed.toSeq ++ added)
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try Snapshots.commitBranchDelta(spark, root, name, bv, changed.toSeq ++ added)
+      catch {
+        case t: Throwable =>
+          // a failed branch commit must be a clean no-op like the main
+          // line's: remove this statement's landed files (the orphaned DV
+          // sidecars are vacuum-reapable, the same contract as
+          // applyInternal's failure path)
+          added.foreach { case (rel, _) =>
+            try fs.delete(new Path(rootPath, rel), false) catch { case _: Exception => () }
+          }
+          throw t
+      }
       (changed.size.toLong, newlyDeleted)
     }
+
+  /** Shared validation + alignment prologue of the upsert faces
+    * ([[applyInternal]] and [[upsertOnBranch]]): key columns must exist
+    * on both sides, sources carry FULL replacement rows, keys cast to
+    * the TABLE's key types so the match join compares in one domain.
+    * Returns (keyFields, sourceKeys, partCols, alive).
+    */
+  private def upsertInputs(
+      view: Snapshots.ManifestView,
+      root: String,
+      keySource: DataFrame,
+      appendSource: DataFrame,
+      keyCols: Seq[String]): (Seq[StructField], DataFrame, Seq[String], Seq[String]) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val schema = view.schema.getOrElse(
+      sys.error(s"merge-on-read upsert on $root needs a v2 manifest (recorded schema)"))
+    keyCols.foreach(k =>
+      require(
+        schema.fieldNames.contains(k) && keySource.columns.contains(k),
+        s"upsert key column '$k' is not in both the table schema and the source"))
+    schema.fieldNames.foreach(c =>
+      require(
+        appendSource.columns.contains(c),
+        s"upsert source is missing table column '$c' — sources carry FULL replacement rows"))
+    val keyFields = keyCols.map(k => schema.fields.find(_.name == k).get)
+    val sourceKeys = keySource.select(
+      keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val partCols =
+      if (view.partCols.nonEmpty) view.partCols else Snapshots.partitionColsFromRels(view.rels)
+    val alive = view.rels.filterNot(r =>
+      Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+    (keyFields, sourceKeys, partCols, alive)
+  }
 
   /** Candidate files the most recent upsert/CDC-apply on this thread
     * match-scanned — observability for the narrowing laws (a spec must be

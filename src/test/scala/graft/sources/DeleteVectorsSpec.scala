@@ -944,6 +944,12 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) == v1)
     assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).isEmpty)
     assert(rowSet(Snapshots.readSnapshot(spark, dir)).contains((2L, "2024-01-01", 11.0)))
+    // a NO-OP upsert (empty source) returns (0, 0), commits no branch
+    // version and changes nothing
+    val branchBefore = rowSet(Snapshots.readBranch(spark, dir, "dev"))
+    assert(DeleteVectors.upsertOnBranch(spark, dir, "dev", src.limit(0), Seq("day", "id")) ==
+      ((0L, 0L)))
+    assert(rowSet(Snapshots.readBranch(spark, dir, "dev")) == branchBefore)
     // adoption carries both sides: the fork pointer restates, the moved
     // branch files' vectors rehome, the new rows arrive
     Snapshots.fastForward(spark, dir, "dev")
@@ -955,8 +961,7 @@ class DeleteVectorsSpec extends SparkSpec {
       (9L, "2024-01-09", 91.0),
       (11L, "2024-01-11", 111.0)))
     assert(Snapshots.countRows(spark, dir) == 6L)
-    // an upsert matching nothing new commits nothing
-    assert(Snapshots.branches(spark, dir).isEmpty)
+    assert(Snapshots.branches(spark, dir).isEmpty, "adoption drops the branch whole")
   }
 
   test("upsertMorSink: a real stream lands per-epoch MoR upserts, exactly once") {
