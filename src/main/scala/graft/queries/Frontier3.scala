@@ -2752,6 +2752,107 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
       |ORDER BY event_type""".stripMargin
 
+  // -- q242: DECIMAL SUM/AVG from unscaled-BigInt sum sidecars -------------
+
+  /** q239 closed manifest-only SUM/AVG for integrals; this closes it for
+    * the single most common SUM target in analytics — a `DECIMAL(20,2)`
+    * revenue column. The commit's pooled sidecar pass records each file's
+    * exact sum as the UNSCALED BigInt (a fixed-scale decimal sum is
+    * exactly as order-insensitive as an integer's), and `SUM(rev)` /
+    * `AVG(rev)` push complete to [[graft.sources.snap.SnapAggScan]],
+    * typed DECIMAL(30,2) exactly as Spark's own Sum would answer. The
+    * proof is q239's, physical: a clean file is corrupted BEFORE the
+    * aggregates run (`zero_opens_ok` pins the manifest-only marker; the
+    * green hash certifies zero data opens), a MoR delete then vectors one
+    * day and the same SUM goes hybrid over exactly that one file
+    * (`hybrid_ok`), and the pushed AVG must equal the exact
+    * cents-arithmetic recomputation (`avg_ok`). The hash itself rides
+    * BIGINT cents — exact at any scale, immune to decimal rendering. At
+    * 100 TB the dashboard's `SELECT sum(price)` no longer pays a full
+    * scan forever just because the column is DECIMAL.
+    */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq242_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    // rev = micro-cents × 0.01, EXACT in the decimal domain (never a
+    // double): sum(rev) * 100 == sum(micro) by construction — the oracle
+    // hashes integer cents
+    val stats = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+      .withColumn(
+        "rev",
+        (col("sum_u").cast(org.apache.spark.sql.types.DecimalType(24, 0)) *
+          lit(new java.math.BigDecimal("0.01")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+      .drop("sum_u")
+    graft.sources.Sources.writeParquet(stats.repartition(col("day")), dir, Seq("day"))
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "n", "rev"), Seq("event_type"))
+    val cat = s"snapq242_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    val m = ev.agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    // the zero-opens canary BEFORE any aggregate runs (the q239 proof)
+    val victimDay = m.plusDays(3).toString
+    val victim = graft.sources.Snapshots.files(s, dir).find(_.startsWith(s"day=$victimDay/")).get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val clean = s.sql(s"""
+      |SELECT sum(rev) AS rev_all, avg(rev) AS avg_rev,
+      |       sum(n) AS n_all, count(*) AS n_groups FROM $cat.ev""".stripMargin)
+    val zeroOpens = scanDescriptions(clean).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("SUM(rev)") &&
+        d0.contains("manifest-only, zero file opens"))
+    require(zeroOpens, "DECIMAL SUM/AVG must push complete with zero file opens on a clean table")
+    val row1 = clean.head()
+    val revCents = row1.getDecimal(0).movePointRight(2).longValueExact()
+    val nGroups = row1.getLong(3)
+    // the pushed AVG must agree with exact cents arithmetic (Spark's own
+    // Avg semantics: sum/count in the decimal domain, here recomputed)
+    val avgOk = row1.getDecimal(1).compareTo(
+      new java.math.BigDecimal(revCents)
+        .movePointLeft(2)
+        .divide(new java.math.BigDecimal(nGroups), 6, java.math.RoundingMode.HALF_UP)) == 0
+    // merge-on-read: vector one day's clicks — the same SUM goes hybrid,
+    // scanning exactly the one DV'd file (the corrupt file stays folded)
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'click' AND day = DATE'$m'")
+    }
+    val hybrid = s.sql(s"SELECT sum(rev) AS rev_after FROM $cat.ev")
+    val hybridOk = scanDescriptions(hybrid).exists(d0 =>
+      d0.contains("GraftSnapAggScan") && d0.contains("SUM(rev)") && d0.contains("hybrid: 1/"))
+    require(hybridOk, "after one day's MoR delete, DECIMAL SUM must scan exactly the DV'd file")
+    val afterCents = hybrid.head().getDecimal(0).movePointRight(2).longValueExact()
+    s.sql(s"""
+      |SELECT CAST($revCents AS BIGINT) AS rev_cents,
+      |       CAST($nGroups AS BIGINT) AS n_groups,
+      |       CAST(${row1.getLong(2)} AS BIGINT) AS n_all,
+      |       CAST($afterCents AS BIGINT) AS after_cents""".stripMargin)
+      .withColumn("zero_opens_ok", lit(zeroOpens))
+      .withColumn("hybrid_ok", lit(hybridOk))
+      .withColumn("avg_ok", lit(avgOk))
+  }
+
+  val q242Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s)
+      |SELECT CAST(sum(su) AS BIGINT) AS rev_cents,
+      |       CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(sum(n) AS BIGINT) AS n_all,
+      |       CAST(sum(CASE WHEN event_type = 'click' AND day = (SELECT m FROM b)
+      |                     THEN 0 ELSE su END) AS BIGINT) AS after_cents,
+      |       true AS zero_opens_ok, true AS hybrid_ok, true AS avg_ok
+      |FROM s""".stripMargin
+
   // -- q241: branch MoR DELETE — the staged bulk delete --------------------
 
   /** Branch DML: the risky bulk delete STAGED on a branch. `CALL
@@ -3112,6 +3213,7 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q242_decimal_sum_pushdown" -> (q242 _),
     "q241_branch_mor_delete" -> (q241 _),
     "q240_writable_branches" -> (q240 _),
     "q239_manifest_sum_avg" -> (q239 _),
@@ -3160,6 +3262,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q242_decimal_sum_pushdown" -> q242Sql,
     "q241_branch_mor_delete" -> q241Sql,
     "q240_writable_branches" -> q240Sql,
     "q239_manifest_sum_avg" -> q239Sql,

@@ -901,10 +901,21 @@ object DeleteVectors {
       keyFields: Seq[StructField]): Seq[String] = {
     import org.apache.spark.sql.functions.{max => smax, min => smin}
     if (keyCount == 0L) return Seq.empty
-    val aggCols = keyFields.flatMap(f =>
+    val aggCols = keyFields.flatMap { f =>
+      // FLOAT stats were recorded through Number.doubleValue() (0.1f →
+      // "0.10000000149011612"), while CAST(float AS STRING) renders the
+      // shortest FLOAT decimal ("0.1") — compared as doubles those
+      // differ, so a key equal to a file's boundary value would be
+      // wrongly excluded. Widen the probe through the SAME JVM
+      // float→double path the stats used before rendering.
+      val probe = f.dataType match {
+        case org.apache.spark.sql.types.FloatType => col(f.name).cast("double")
+        case _ => col(f.name)
+      }
       Seq(
-        smin(col(f.name)).cast("string").as(s"lo_${f.name}"),
-        smax(col(f.name)).cast("string").as(s"hi_${f.name}")))
+        smin(probe).cast("string").as(s"lo_${f.name}"),
+        smax(probe).cast("string").as(s"hi_${f.name}"))
+    }
     val row = keys.agg(aggCols.head, aggCols.tail: _*).head()
     val ranges: Seq[(String, Option[String], Option[String])] = keyFields.map { f =>
       (f.name, Option(row.getAs[String](s"lo_${f.name}")), Option(row.getAs[String](s"hi_${f.name}")))

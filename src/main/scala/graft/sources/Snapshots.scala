@@ -1066,7 +1066,9 @@ object Snapshots {
       // immutable file forever (archive invariant), so a sidecar keyed by
       // (rel, col) is computed ONCE — commits only build the missing
       // pairs, the same O(delta) discipline as the footer stats.
-      if (bloomCols.nonEmpty)
+      // SUM sidecars ride the pass even on a bloom-less stats table —
+      // manifest-only SUM/AVG must not silently require declared blooms
+      if (bloomCols.nonEmpty || statsCols.nonEmpty)
         buildBloomSidecars(spark, root, files, bloomCols, statsCols = statsCols)
       // DELTA vs checkpoint: off-interval v2 commits record only what
       // changed vs the previous version — the manifest WRITE becomes
@@ -1208,7 +1210,7 @@ object Snapshots {
           }
           lastCommitFooterReads.set(reads.get())
         }
-        if (prev.bloomCols.nonEmpty && !bloomsBuilt) {
+        if ((prev.bloomCols.nonEmpty || statsCols.nonEmpty) && !bloomsBuilt) {
           buildBloomSidecars(spark, root, fresh, prev.bloomCols, statsCols = statsCols)
           bloomsBuilt = true
         }
@@ -1351,7 +1353,7 @@ object Snapshots {
           newStats.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, prev.statsCols))
         }
       }
-      if (prev.bloomCols.nonEmpty && added.nonEmpty && !bloomsBuilt) {
+      if ((prev.bloomCols.nonEmpty || prev.statsCols.nonEmpty) && added.nonEmpty && !bloomsBuilt) {
         buildBloomSidecars(spark, root, added, prev.bloomCols, statsCols = prev.statsCols)
         bloomsBuilt = true
       }
@@ -2264,8 +2266,11 @@ object Snapshots {
     // integral stats columns' exact sums recorded while the data is
     // being read anyway; pre-feature files are never re-read by a
     // routine commit
+    // a bloom-less stats table has no "missing bloom" signal for newness:
+    // pass every rel the caller scoped (fresh/added for delta commits) —
+    // buildSumSidecars itself skips (rel, col) pairs whose sidecar exists
     val freshRels =
-      if (backfill) rels.distinct
+      if (backfill || bloomCols.isEmpty) rels.distinct
       else missing.collect { case (r, _, nb, _) if nb => r }.distinct
     buildSumSidecars(spark, root, freshRels, statsCols)
     if (missing.isEmpty) return
@@ -2350,7 +2355,13 @@ object Snapshots {
       val version = latestVersion(spark, root)
       if (version == 0L) return 0L
       val view = manifestView(spark, root, version)
-      if (view.bloomCols.isEmpty) return 0L
+      if (view.bloomCols.isEmpty) {
+        // no blooms means no NDV registers — but a bloom-less stats table
+        // still deserves the SUM upgrade path (the backfill is the only
+        // way pre-feature files ever get manifest-only SUM/AVG)
+        buildSumSidecars(spark, root, view.rels, view.statsCols)
+        return 0L
+      }
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
       val missing = (for {
@@ -2368,12 +2379,14 @@ object Snapshots {
   /** Parquet footers carry min/max/null counts but never SUMS, so exact
     * `SUM(x)` / `AVG(x)` pushdown needs one number the commit's pooled
     * data-reading pass (bloom + NDV sidecars) can record at near-zero
-    * marginal cost: the file's exact sum of each INTEGRAL stats column,
+    * marginal cost: the file's exact sum of each SUMMABLE stats column —
+    * integrals AND fixed-scale DECIMALs (recorded as the UNSCALED BigInt;
+    * the scale is the column's, known from the schema) —
     * one tiny sidecar per (file, column) under `_graft_manifests/sum/`.
     * Sums fold exactly (BigInt — no order sensitivity, no overflow), so
     * a clean table answers `SUM(x)` with zero file opens and a DV'd one
     * scans only its DV'd files — the hybrid MIN/MAX discipline.
-    * Non-integral and hive-partition stats columns record the `na`
+    * Non-summable and hive-partition stats columns record the `na`
     * sentinel ONCE so later commits never re-probe them (floating sums
     * are order-sensitive — folding them would not reproduce Spark's
     * result bit-for-bit). Files whose blooms predate this feature are
@@ -2390,12 +2403,52 @@ object Snapshots {
     case _ => false
   }
 
+  /** Can a column's per-file sum be recorded exactly? Integrals and
+    * fixed-scale DECIMALs — a decimal sum is exactly as order-insensitive
+    * as an integer's (the sidecar records the UNSCALED BigInt; the scale
+    * is the column's, known from the schema). Floats stay excluded:
+    * their sums are order-sensitive, a fold would not reproduce Spark's
+    * result bit-for-bit.
+    */
+  private def isSummable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    isIntegral(dt) || dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+
   // sidecars are immutable and tiny: cache decoded values (None = the
   // `na` sentinel), plus absence (the ndvMissCache discipline)
   private val sumCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[BigInt]]()
   private val sumMissCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  // per-(table, column) "sums incomplete" memo: the SUM planning gate
+  // probes one sidecar per clean rel per SUM expression per planning
+  // pass; a pre-feature table with more files than the bounded miss
+  // cache holds would re-pay O(files) driver fs.exists RPCs on EVERY
+  // pass. One negative memo bounds that to a single probe run, and is
+  // invalidated the moment a real (non-`na`) sum sidecar for the pair is
+  // written — commit, branch land or backfill alike.
+  private val sumIncompleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def sumMemoKey(root: String, colName: String): String =
+    new Path(root).toString + "\u0000" + colName
+
+  /** Does EVERY rel in `rels` carry a decodable (non-`na`) sum sidecar
+    * for `colName`? The SUM pushdown planning gate — lazily
+    * short-circuits on the first miss and memoizes the negative per
+    * (table, column) so repeated planning against an un-backfilled table
+    * costs one containsKey, not one filesystem probe per file.
+    */
+  private[sources] def allSumsPresent(
+      spark: SparkSession,
+      root: String,
+      colName: String,
+      rels: Seq[String]): Boolean = {
+    val key = sumMemoKey(root, colName)
+    if (sumIncompleteCache.containsKey(key)) return false
+    val ok = rels.forall(r => fileSumOf(spark, root, r, colName).isDefined)
+    if (!ok) sumIncompleteCache.put(key, java.lang.Boolean.TRUE)
+    ok
+  }
 
   /** The file's recorded exact sum of `colName`'s non-null values (0 when
     * all null — the manifest null count disambiguates), or None when the
@@ -2460,24 +2513,46 @@ object Snapshots {
       finally out.close()
       if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
       sumMissCache.remove(target.toString)
+      // a real sum landed: the table MAY be complete for this column now —
+      // let the next planning pass re-probe (an `na` changes nothing)
+      if (content != SumNa) sumIncompleteCache.remove(sumMemoKey(root, c))
     }
     parEach(work) { case (rel, want) =>
       val p = resolve(spark, root, rel)
       val df = spark.read.parquet(p.toString)
-      val (summable, na) = want.partition(c =>
-        df.schema.fields.exists(f => f.name.equalsIgnoreCase(c) && isIntegral(f.dataType)))
+      def fieldOf(c: String) = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+      val (summable, na) = want.partition(c => fieldOf(c).exists(f => isSummable(f.dataType)))
       na.foreach(c => writeOne(rel, c, SumNa))
       if (summable.nonEmpty) {
-        import org.apache.spark.sql.functions.{col, sum}
-        val aggs = summable.map(c =>
-          sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(c))
+        import org.apache.spark.sql.functions.{col, count, sum}
+        val scaleOf: Map[String, Int] = summable.map { c =>
+          c -> (fieldOf(c).get.dataType match {
+            case d: org.apache.spark.sql.types.DecimalType => d.scale
+            case _ => 0
+          })
+        }.toMap
+        val aggs = summable.flatMap { c =>
+          // widen to precision 38 AT THE COLUMN'S SCALE: the sum is exact
+          // (a single file would need ~10^(38-p) rows to overflow), and
+          // the recorded value is the UNSCALED BigInt either way
+          Seq(
+            sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, scaleOf(c)))).as(s"s_$c"),
+            count(col(c)).as(s"c_$c"))
+        }
         val row = df.agg(aggs.head, aggs.tail: _*).head()
-        summable.zipWithIndex.foreach { case (c, i) =>
-          val v = row.get(i)
+        summable.foreach { c =>
+          val v = row.getAs[java.math.BigDecimal](s"s_$c")
+          val nonNull = row.getAs[Long](s"c_$c")
           // SUM over an all-null file is null; 0 is the correct FOLD
           // contribution (the read side emits NULL iff no file in the
-          // group has a non-null value, via the recorded null counts)
-          writeOne(rel, c, if (v == null) "0" else v.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+          // group has a non-null value, via the recorded null counts).
+          // Null WITH non-null rows is a 38-digit overflow: record `na` —
+          // fall back to scanning forever rather than fold a wrong number.
+          val content =
+            if (v == null && nonNull == 0L) "0"
+            else if (v == null) SumNa
+            else v.setScale(scaleOf(c)).unscaledValue().toString
+          writeOne(rel, c, content)
         }
       }
     }
@@ -2645,11 +2720,38 @@ object Snapshots {
   }
 
   // decoded sidecars are immutable (rel names one file forever): cache
-  // them per JVM so a point-probe-heavy session reads each ONCE. Bounded:
-  // a 1 MiB-capped bloom × 256 entries ≤ 256 MiB worst case, far below
-  // driver heap; clears itself via LRU-ish random eviction.
+  // them per JVM so a point-probe-heavy session reads each ONCE. Byte-
+  // budgeted LRU (the d12771d NDV-cache lesson): sizing by ENTRY count
+  // thrashed — 256 mostly-tiny filters is a few MiB, yet a table with
+  // >256 live (rel, col) sidecars re-read up to 1 MiB from the FS on
+  // every narrowing epoch past the cap. Budget the actual bytes instead
+  // and evict least-recently-USED, never random.
+  private val BloomCacheBudgetBytes: Long = 256L * 1024 * 1024
+  private var bloomCacheBytes: Long = 0L
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+    new java.util.LinkedHashMap[String, (org.apache.spark.util.sketch.BloomFilter, Long)](
+      1024, 0.75f, /* accessOrder = */ true)
+
+  private def bloomCacheGet(key: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.synchronized {
+      val e = bloomCache.get(key) // get() refreshes LRU order
+      if (e == null) null else e._1
+    }
+
+  private def bloomCachePut(key: String, bf: org.apache.spark.util.sketch.BloomFilter): Unit =
+    bloomCache.synchronized {
+      if (!bloomCache.containsKey(key)) {
+        val bytes = math.max(bf.bitSize() / 8L, 64L) // object floor, honest enough
+        bloomCache.put(key, (bf, bytes))
+        bloomCacheBytes += bytes
+        val it = bloomCache.entrySet().iterator()
+        while (bloomCacheBytes > BloomCacheBudgetBytes && bloomCache.size() > 1) {
+          val eldest = it.next()
+          bloomCacheBytes -= eldest.getValue._2
+          it.remove()
+        }
+      }
+    }
 
   /** Can file `rel` possibly contain `value` in `colName`? `true` when the
     * sidecar is absent/unreadable (cannot exclude — pruning must only ever
@@ -2666,7 +2768,7 @@ object Snapshots {
       value: String): Boolean = {
     val p = bloomPath(new Path(root), rel, colName)
     val key = p.toString
-    var bf = bloomCache.get(key)
+    var bf = bloomCacheGet(key)
     if (bf == null) {
       lastBloomReads.set(lastBloomReads.get() + 1L)
       val fs = fsOf(spark, p)
@@ -2675,9 +2777,7 @@ object Snapshots {
       try bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
       catch { case _: Exception => return true }
       finally in.close()
-      if (bloomCache.size() >= 256)
-        bloomCache.keySet.iterator().asScala.take(64).foreach(bloomCache.remove)
-      bloomCache.put(key, bf)
+      bloomCachePut(key, bf)
     }
     bf.mightContainString(value)
   }
@@ -3906,7 +4006,7 @@ object Snapshots {
     parEach(rels) { rel =>
       statsByRel.put(rel, fileColStats(conf, new Path(rootPath, rel), rel, bv.statsCols))
     }
-    if (bv.bloomCols.nonEmpty)
+    if (bv.bloomCols.nonEmpty || bv.statsCols.nonEmpty)
       buildBloomSidecars(spark, root, rels, bv.bloomCols, statsCols = bv.statsCols)
     rels.sorted.map(rel => rel -> statsByRel.get(rel))
   }
@@ -4008,6 +4108,12 @@ object Snapshots {
         if (oldDv == newDv) None else Some(rel -> bv.stats.getOrElse(rel, Map.empty))
       }.toMap
       var moved = List.empty[(Path, Path)]
+      // sidecar renames roll back with their data files: leaving them
+      // keyed under the never-committed target rels would orphan them
+      // (the next vacuum reaps unreferenced sidecars) and silently
+      // degrade the surviving branch's bloom/NDV/SUM probes to the
+      // no-sidecar fallback
+      var movedSidecars = List.empty[(Path, Path)]
       val v =
         try {
           val targets = branchRels.map { rel =>
@@ -4027,6 +4133,7 @@ object Snapshots {
               .foreach { case (f, t) =>
                 if (fs.exists(f)) {
                   fs.rename(f, t)
+                  movedSidecars ::= (t, f)
                   ndvMissCache.remove(t.toString)
                   sumMissCache.remove(t.toString)
                 }
@@ -4075,6 +4182,21 @@ object Snapshots {
             // corruption.)
             moved.foreach { case (to, from) =>
               try if (fs.exists(to)) fs.rename(to, from)
+              catch { case _: Exception => () }
+            }
+            movedSidecars.foreach { case (to, from) =>
+              try
+                if (fs.exists(to)) {
+                  fs.rename(to, from)
+                  // the value/miss caches may have learned the target key
+                  // between rename and rollback — forget both renderings
+                  sumCache.remove(to.toString)
+                  sumMissCache.remove(to.toString)
+                  ndvMissCache.remove(to.toString)
+                  sumCache.remove(from.toString)
+                  sumMissCache.remove(from.toString)
+                  ndvMissCache.remove(from.toString)
+                }
               catch { case _: Exception => () }
             }
             throw t

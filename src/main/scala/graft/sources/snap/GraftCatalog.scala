@@ -1409,12 +1409,17 @@ class SnapScanBuilder(
       for {
         c <- colOf(e)
         declared <- tableSchema.fields.find(_.name == c).map(_.dataType)
+        // integrals AND fixed-scale decimals fold exactly (the sidecar
+        // records the unscaled BigInt); floats stay scan-only
         if declared == ByteType || declared == ShortType ||
-          declared == IntegerType || declared == LongType
+          declared == IntegerType || declared == LongType ||
+          declared.isInstanceOf[org.apache.spark.sql.types.DecimalType]
         if nullsKnown(c) // implies dvdScannable
-        if cleanRels.forall(r =>
-          Snapshots.fileSumOf(SparkSession.active, dir, r, c).isDefined)
-      } yield SnapAggScan.SumF(c): SnapAggScan.Field
+        // short-circuits on the first missing sidecar AND memoizes the
+        // negative per (table, column) — a pre-feature table must not
+        // re-pay O(files) driver probes on every planning pass
+        if Snapshots.allSumsPresent(SparkSession.active, dir, c, cleanRels)
+      } yield SnapAggScan.SumF(c, declared): SnapAggScan.Field
 
     val fields = agg.aggregateExpressions.toSeq.map {
       case _: CountStar if rowsKnown => Some(SnapAggScan.CountStarF: SnapAggScan.Field)
@@ -1625,8 +1630,9 @@ class SnapAggScan(
           case (CountColF(_), i) => StructField(s"agg_$i", LongType, nullable = false)
           case (MinF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
           case (MaxF(_, t), i) => StructField(s"agg_$i", t, nullable = true)
-          // Spark's Sum over any integral input answers BIGINT
-          case (SumF(_), i) => StructField(s"agg_$i", LongType, nullable = true)
+          // Spark's Sum answers BIGINT for integrals, DECIMAL(min(38,
+          // p+10), s) for decimals — the pushed slot must match exactly
+          case (SumF(_, t), i) => StructField(s"agg_$i", sumResultType(t), nullable = true)
         })
 
   private def stOf(rel: String) = view.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
@@ -1681,7 +1687,7 @@ class SnapAggScan(
         case (CountColF(c), i) => count(col(c)).as(s"a_$i")
         case (MinF(c, _), i) => smin(col(c)).as(s"a_$i")
         case (MaxF(c, _), i) => smax(col(c)).as(s"a_$i")
-        case (SumF(c), i) => ssum(col(c)).as(s"a_$i")
+        case (SumF(c, _), i) => ssum(col(c)).as(s"a_$i")
       }
       val keyCols = groupCols.zipWithIndex.map { case ((c, _), i) =>
         col(c).cast("string").as(s"k_$i")
@@ -1729,8 +1735,8 @@ class SnapAggScan(
         })
       case (MinF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = true), scannedVal(i), t, isMin = true)
       case (MaxF(c, t), i) => foldExtreme(extreme(clean, c, t, isMin = false), scannedVal(i), t, isMin = false)
-      case (SumF(c), i) =>
-        // exact integer fold: per-file sums are BigInt, so aggregation
+      case (SumF(c, t), i) =>
+        // exact fold: per-file sums are unscaled BigInt, so aggregation
         // order cannot perturb the total and intermediate overflow is
         // impossible; SQL answers NULL iff NO contributing row was
         // non-null (the recorded null counts decide for the clean side)
@@ -1745,13 +1751,38 @@ class SnapAggScan(
           .sum
         val scanSide = scannedVal(i) // null when no DV'd file (or no non-null row) contributed
         if (cleanNonNull == 0L && scanSide == null) null
-        else {
-          val total = manifestSide +
-            (if (scanSide == null) BigInt(0) else BigInt(scanSide.asInstanceOf[Number].longValue()))
-          if (!total.isValidLong)
-            sys.error(s"SUM($c) overflows BIGINT — the ANSI overflow contract")
-          java.lang.Long.valueOf(total.toLong)
-        }
+        else
+          t match {
+            case d: org.apache.spark.sql.types.DecimalType =>
+              // the hybrid side came back as DECIMAL(min(38, p+10), s) —
+              // fold in the unscaled-BigInt domain, re-scale once
+              val scanUnscaled =
+                if (scanSide == null) BigInt(0)
+                else
+                  BigInt(
+                    scanSide.asInstanceOf[java.math.BigDecimal].setScale(d.scale).unscaledValue())
+              val total = new java.math.BigDecimal((manifestSide + scanUnscaled).bigInteger, d.scale)
+              val resultPrecision = math.min(38, d.precision + 10)
+              if (total.precision > resultPrecision) {
+                // Spark's own decimal SUM: error under ANSI, NULL without
+                if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+                  sys.error(s"SUM($c) overflows DECIMAL($resultPrecision,${d.scale}) — " +
+                    "the ANSI overflow contract")
+                else null
+              } else total
+            case _ =>
+              val total = manifestSide +
+                (if (scanSide == null) BigInt(0)
+                 else BigInt(scanSide.asInstanceOf[Number].longValue()))
+              if (!total.isValidLong) {
+                // match Spark's own SUM overflow contract EXACTLY: error
+                // under ANSI, silent 64-bit wrap otherwise — the same query
+                // must not change behavior with pushdown applied
+                if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+                  sys.error(s"SUM($c) overflows BIGINT — the ANSI overflow contract")
+                else java.lang.Long.valueOf(total.longValue)
+              } else java.lang.Long.valueOf(total.toLong)
+          }
     }
   }
 
@@ -1821,7 +1852,7 @@ class SnapAggScan(
       case CountColF(c) => s"COUNT($c)"
       case MinF(c, _) => s"MIN($c)"
       case MaxF(c, _) => s"MAX($c)"
-      case SumF(c) => s"SUM($c)"
+      case SumF(c, _) => s"SUM($c)"
     }
     val grouped =
       if (groupCols.isEmpty) "" else s" GroupBy: [${groupCols.map(_._1).mkString(", ")}]"
@@ -1850,11 +1881,21 @@ object SnapAggScan {
   final case class MinF(col: String, typ: DataType) extends Field
   final case class MaxF(col: String, typ: DataType) extends Field
 
-  /** Exact SUM of an integral column from per-file sum sidecars (clean
-    * files) + the hybrid scan (DV'd files). Result is BIGINT, Spark's Sum
-    * type for every integral input.
+  /** Exact SUM of a summable column (integral or fixed-scale DECIMAL)
+    * from per-file sum sidecars (clean files) + the hybrid scan (DV'd
+    * files). Result is [[sumResultType]] of the declared input type.
     */
-  final case class SumF(col: String) extends Field
+  final case class SumF(col: String, typ: DataType) extends Field
+
+  /** Spark's Sum result type for a pushable input: BIGINT for every
+    * integral, DECIMAL(min(38, p+10), s) for a DECIMAL(p, s) — the
+    * pushed slot must agree or the complete pushdown would mis-type.
+    */
+  def sumResultType(t: DataType): DataType = t match {
+    case d: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
+  }
 
   /** Parse a hive path value as the declared external type. The planner's
     * `consumableCol` gate restricts grouping columns to the int family,

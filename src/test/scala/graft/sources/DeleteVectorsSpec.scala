@@ -831,6 +831,60 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(DeleteVectors.lastUpsertCandidateFiles.get() == 0L)
   }
 
+  test("FLOAT-keyed upsert: range narrowing widens probes through the stats' double domain") {
+    val dir = Files.createTempDirectory("dv_ups_float").toString + "/t"
+    // 0.1f's manifest stat is the WIDENED double ("0.10000000149011612");
+    // a probe rendered by CAST(float AS STRING) reads "0.1" — compared as
+    // doubles the file's interval would wrongly miss its own boundary
+    // value, the matched row would never vector, and the upsert would
+    // land a duplicate key
+    Seq(
+      (0.1f, "2024-01-01", 10.0),
+      (0.7f, "2024-01-02", 20.0)).toDF("f", "day", "v")
+      .repartition(1)
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day", "f"))
+    val (t1, d1) = DeleteVectors.upsert(
+      spark, dir, Seq((0.1f, "2024-01-01", 11.0)).toDF("f", "day", "v"), Seq("f"))
+    assert(t1 == 1L && d1 == 1L, s"boundary float key must match its file, got ($t1, $d1)")
+    assert(
+      DeleteVectors.lastUpsertCandidateFiles.get() == 1L,
+      "the widened probe must keep exactly the matching file")
+    val rows = Snapshots.readSnapshot(spark, dir)
+      .select($"f", $"v").collect().map(r => (r.getFloat(0), r.getDouble(1))).toSet
+    assert(rows == Set((0.1f, 11.0), (0.7f, 20.0)), s"no duplicate key may survive: $rows")
+  }
+
+  test("bloom probes hit the byte-budgeted LRU cache on a repeat narrowing epoch") {
+    val dir = Files.createTempDirectory("dv_ups_bloomcache").toString + "/t"
+    Seq(
+      (1L, "2024-01-01", 10.0),
+      (3L, "2024-01-01", 30.0),
+      (2L, "2024-01-02", 20.0),
+      (4L, "2024-01-02", 40.0)).toDF("id", "day", "v")
+      .repartition(1)
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id"))
+    // epoch 1 warms the cache (some reads allowed); epoch 2 probes the
+    // SAME files' sidecars and must read NOTHING from the filesystem —
+    // the per-epoch driver-I/O tax the entry-capped cache used to pay
+    DeleteVectors.upsert(
+      spark, dir, Seq((2L, "2024-01-02", 22.0)).toDF("id", "day", "v"), Seq("id"))
+    Snapshots.lastBloomReads.set(0L)
+    // key id=3: range keeps exactly the two ORIGINAL files (epoch 1's
+    // appended file spans [2,2] and is range-excluded), both of whose
+    // sidecars epoch 1 already decoded
+    DeleteVectors.upsert(
+      spark, dir, Seq((3L, "2024-01-01", 33.0)).toDF("id", "day", "v"), Seq("id"))
+    assert(
+      Snapshots.lastBloomReads.get() == 0L,
+      s"second epoch re-read ${Snapshots.lastBloomReads.get()} bloom sidecars from the FS")
+  }
+
   test("ad-hoc upsert sweeps a crashed PRIOR attempt's leftovers (constant prefix)") {
     val dir = Files.createTempDirectory("dv_adhoc_crash").toString + "/t"
     table(dir)

@@ -1415,6 +1415,73 @@ class SnapCatalogSpec extends SparkSpec {
     assert(h.head().getLong(0) == 80L, "the deleted row's 2 must vanish from the total")
   }
 
+  test("DECIMAL SUM pushes from unscaled-BigInt sidecars: manifest-only, grouped, hybrid") {
+    val base = emptyCatalog("snsumdec")
+    val dir = s"$base/t"
+    val rows = Seq(
+      (1L, "2024-01-01", "10.25"),
+      (2L, "2024-01-01", "0.75"),
+      (3L, "2024-01-02", null),
+      (4L, "2024-01-03", "-3.50"),
+      (5L, "2024-01-03", "2.00")).toDF("id", "day", "p")
+      .withColumn("price", col("p").cast("decimal(12,2)"))
+      .drop("p")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, Seq("day", "id", "price"), Seq("id"))
+    val df = spark.sql("SELECT sum(price) AS sp FROM snsumdec.t")
+    assert(scanOf(df).isInstanceOf[SnapAggScan], scanOf(df).description())
+    assert(scanOf(df).description().contains("manifest-only"), scanOf(df).description())
+    // Spark's SUM(DECIMAL(12,2)) answers DECIMAL(22,2) — the pushed slot
+    // must agree exactly or the complete pushdown would mis-type
+    assert(df.schema.head.dataType == org.apache.spark.sql.types.DecimalType(22, 2))
+    assert(df.head().getDecimal(0).compareTo(new java.math.BigDecimal("9.50")) == 0)
+    // AVG rewrites to SUM/COUNT above the pushdown — still zero opens
+    val avg = spark.sql("SELECT avg(price) AS ap FROM snsumdec.t")
+    assert(scanOf(avg).isInstanceOf[SnapAggScan], scanOf(avg).description())
+    assert(avg.head().getDecimal(0).compareTo(new java.math.BigDecimal("2.375")) == 0)
+    // grouped by the partition column; an all-null group answers SQL NULL
+    val g = spark.sql("SELECT day, sum(price) AS sp FROM snsumdec.t GROUP BY day ORDER BY day")
+    assert(scanOf(g).isInstanceOf[SnapAggScan], scanOf(g).description())
+    val gs = g.collect().map(r =>
+      (r.getDate(0).toString, Option(r.getDecimal(1)).map(_.toPlainString).orNull))
+    assert(
+      gs.toSeq == Seq(("2024-01-01", "11.00"), ("2024-01-02", null), ("2024-01-03", "-1.50")),
+      gs.toSeq.toString)
+    // merge-on-read: vector id=5 — the SUM goes hybrid, scanning exactly
+    // day=03's file; the decimal fold re-scales the scanned side once
+    DeleteVectors.deleteWhere(spark, dir, col("id") === 5L)
+    val h = spark.sql("SELECT sum(price) AS sp FROM snsumdec.t")
+    assert(scanOf(h).description().contains("hybrid: 1/"), scanOf(h).description())
+    assert(h.head().getDecimal(0).compareTo(new java.math.BigDecimal("7.50")) == 0)
+  }
+
+  test("SUM pushes on a BLOOM-LESS stats table; overflow errors under ANSI, wraps without") {
+    val base = emptyCatalog("snsumnb")
+    val dir = s"$base/t"
+    val rows = Seq(
+      (Long.MaxValue, "2024-01-01"),
+      (Long.MaxValue, "2024-01-02")).toDF("m", "day")
+    Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
+    // NO bloom columns declared: the sum sidecars must still build — the
+    // pooled pass is gated on statsCols, not on blooms
+    Snapshots.commit(spark, dir, Seq("day", "m"))
+    val df = spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")
+    assert(scanOf(df).isInstanceOf[SnapAggScan], scanOf(df).description())
+    assert(scanOf(df).description().contains("manifest-only"), scanOf(df).description())
+    // 2 × Long.MaxValue overflows BIGINT — the pushed fold must match
+    // Spark's own SUM contract exactly: error under ANSI, silent 64-bit
+    // wrap without (the same query must not change behavior with pushdown)
+    withConfs("spark.sql.ansi.enabled" -> "true") {
+      val e = intercept[Exception](spark.sql("SELECT sum(m) AS sm FROM snsumnb.t").collect())
+      assert(e.getMessage.contains("overflows BIGINT"), e.getMessage)
+    }
+    withConfs("spark.sql.ansi.enabled" -> "false") {
+      val w = spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")
+      assert(scanOf(w).isInstanceOf[SnapAggScan], scanOf(w).description())
+      assert(w.head().getLong(0) == -2L, "non-ANSI SUM wraps to the 64-bit total")
+    }
+  }
+
   test("a NULL partition value groups as SQL NULL and never leaks the hive sentinel into MIN/MAX") {
     val base = emptyCatalog("snaggnull")
     val dir = s"$base/t"

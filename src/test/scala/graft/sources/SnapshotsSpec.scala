@@ -368,6 +368,48 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.countRows(spark, dir) == 5L)
   }
 
+  test("a failed fast-forward rolls back sidecar renames with the data files") {
+    val base = Files.createTempDirectory("snap_ff_rb").toString
+    val dir = s"$base/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id")) // blooms + NDV + sums
+    Snapshots.createBranch(spark, dir, "dev")
+    Snapshots.appendToBranch(
+      spark, dir, "dev",
+      Seq((9L, "2024-01-09", 90.0), (10L, "2024-01-10", 100.0)).toDF("id", "day", "v"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecarNames(): Set[String] = Seq("bloom", "ndv", "sum")
+      .map(d => new org.apache.hadoop.fs.Path(dir, s"_graft_manifests/$d"))
+      .flatMap(p => if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSeq else Nil)
+      .toSet
+    val before = sidecarNames()
+    assert(before.nonEmpty)
+    // block the SECOND sorted target: the first branch file AND its
+    // sidecars move before the failure fires — exactly the window where
+    // a data-only rollback would orphan the renamed sidecars for the
+    // next vacuum to reap
+    val bv = Snapshots.branchView(spark, dir, "dev")
+    val branchRels = bv.rels.filter(_.startsWith(Snapshots.BranchDataDirName)).sorted
+    assert(branchRels.size == 2, branchRels.toString)
+    val blocker = new org.apache.hadoop.fs.Path(
+      dir, branchRels.last.stripPrefix(Snapshots.BranchDataDirName + "/dev/"))
+    fs.mkdirs(blocker.getParent)
+    val out = fs.create(blocker, true)
+    out.write(1); out.close()
+    val e = intercept[Exception](Snapshots.fastForward(spark, dir, "dev"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(sidecarNames() == before, "sidecar renames must roll back with the data files")
+    // the branch is whole: reads work and the live line never advanced
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 6L)
+    assert(Snapshots.latestVersion(spark, dir) == 1L)
+    // heal and adopt: the restored sidecars rename cleanly this time
+    fs.delete(blocker, false)
+    Snapshots.fastForward(spark, dir, "dev")
+    assert(Snapshots.countRows(spark, dir) == 6L)
+    val est = Snapshots.approxCountDistinct(spark, dir, "id")
+    assert(est.isDefined && est.get > 4.0, s"post-heal NDV must still serve: $est")
+  }
+
   test("vacuum keeps ref-pinned DELTA chains and deletion-vector sidecars alive") {
     val dir = Files.createTempDirectory("snap_refs_dv").toString + "/t"
     table(dir)
