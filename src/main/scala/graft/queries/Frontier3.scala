@@ -2752,6 +2752,193 @@ object Frontier3 {
       |SELECT '__synthetic', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, CAST(2 AS BIGINT), true
       |ORDER BY event_type""".stripMargin
 
+  // -- q244: streaming CDC replayed onto a BRANCH, compacted, adopted ------
+
+  /** SURVEY §2.12's "replay a day's CDC onto a fork" story, now real
+    * end-to-end under streaming: the q238 Debezium-style feed (deletes,
+    * updates, inserts) streams through
+    * [[graft.streaming.Streaming.applyChangesMorSink]] with a `branch`
+    * target — each epoch lands as ONE branch-local MoR version
+    * (exactly-once per (branch, tag) via the branch-dir epoch marker),
+    * and the LIVE line never moves during the whole replay
+    * (`live_intact`: version pinned AND the clicks the feed deletes are
+    * still live). `CALL compact_branch` then folds the replay's
+    * epoch fragments (including a DV'd branch append) to ~one clean file
+    * per partition value (`compacted_ok` pins files_after < files_before)
+    * so `CALL fast_forward` adopts a SIZED file set — never N epoch
+    * fragments — and the final per-type totals hash against the oracle.
+    * At 100 TB this closes the staged-CDC gap: the fork validates a
+    * day's replay at epoch prices, compaction is branch-scoped, adoption
+    * is metadata-cost.
+    */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq244", Seq("day"))
+    val v1 = graft.sources.Snapshots.latestVersion(s, dir)
+    s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'replay')")
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val perDay = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(micro).as("sum_u"))
+    // epoch 0: one synthetic insert; epoch 1: the full change algebra PLUS
+    // a second synthetic key on the SAME day — the two epochs land two
+    // files in one partition dir, exactly the small-files accumulation
+    // compact_branch exists for (keys are disjoint, so epoch order can't
+    // change the result)
+    val epoch0 = s.sql(
+      "SELECT 'i' AS op, DATE'1999-12-31' AS day, '__synth_a' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u")
+    val epoch1 = perDay
+      .filter(col("event_type") === "click")
+      .select(lit("d").as("op"), col("day"), col("event_type"), col("n"), col("sum_u"))
+      .unionByName(perDay
+        .filter(col("event_type") === "view")
+        .select(lit("u").as("op"), col("day"), col("event_type"),
+          (col("n") * 3).as("n"), col("sum_u")))
+      .unionByName(s.sql(
+        "SELECT 'i' AS op, DATE'1999-12-31' AS day, '__synth_b' AS event_type, " +
+          "CAST(3 AS BIGINT) AS n, CAST(13 AS BIGINT) AS sum_u"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inDir = new org.apache.hadoop.fs.Path(base, "cdc_in")
+    fs.mkdirs(inDir)
+    Seq(0 -> epoch0, 1 -> epoch1).foreach { case (i, batch) =>
+      val tmp = new org.apache.hadoop.fs.Path(base, s".cdc_stage_$i")
+      batch
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      require(
+        fs.rename(part, new org.apache.hadoop.fs.Path(inDir, f"cdc-$i%02d.parquet")),
+        s"staging epoch $i failed to land")
+      fs.delete(tmp, true)
+    }
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_u", org.apache.spark.sql.types.LongType)))
+    val q = s.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .writeStream
+      .option("checkpointLocation", new org.apache.hadoop.fs.Path(base, "cdc_ck").toString)
+      .foreachBatch(graft.streaming.Streaming.applyChangesMorSink(
+        dir, Seq("day", "event_type"), opCol = "op", tag = "q244", branch = "replay"))
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the WHOLE replay left the live line untouched: version pinned, and
+    // the clicks the feed deleted are still live
+    val liveClicks = s
+      .sql(s"SELECT count(*) AS n FROM $cat.ev WHERE event_type = 'click'").head().getLong(0)
+    val liveIntact = graft.sources.Snapshots.latestVersion(s, dir) == v1 && liveClicks > 0L
+    val (fBefore, fAfter) = (s
+      .sql(s"CALL $cat.compact_branch(table => 'ev', name => 'replay')")
+      .head() match { case r => (r.getLong(0), r.getLong(1)) })
+    val compactedOk = fAfter < fBefore && fAfter >= 1L
+    s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'replay')")
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(sum_u) AS BIGINT) AS u_live
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("live_intact", lit(liveIntact))
+      .withColumn("compacted_ok", lit(compactedOk))
+  }
+
+  val q244Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(u) AS BIGINT) AS us
+      |      FROM s GROUP BY event_type),
+      |live AS (
+      |  SELECT event_type,
+      |         CAST(CASE WHEN event_type = 'view' THEN 3 * n ELSE n END AS BIGINT) AS n,
+      |         us AS u
+      |  FROM g WHERE event_type <> 'click'
+      |  UNION ALL SELECT '__synth_a', CAST(7 AS BIGINT), CAST(42 AS BIGINT)
+      |  UNION ALL SELECT '__synth_b', CAST(3 AS BIGINT), CAST(13 AS BIGINT))
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(u) AS BIGINT) AS u_live,
+      |  true AS live_intact, true AS compacted_ok
+      |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q243: REBASE — the diverged branch's forward path -------------------
+
+  /** q241's staged-delete workflow assumed main was frozen during
+    * validation; under a live feed that window is never quiet. This is
+    * the forward path: branch DML stages (a `branch_delete` of every
+    * click plus a `branch_upsert` through the NEW SQL face), then main
+    * DIVERGES — an INSERT appends a row and a live MoR delete vectors
+    * the SAME file the branch vectored (day=m holds both lines' deletes).
+    * `fast_forward` now refuses (`diverge_refused`), and `CALL rebase`
+    * replays the branch's net delta onto the live head: appends adopt
+    * as-is, untouched pointers adopt verbatim, and the day=m file's two
+    * vectors UNION — each line's deletes survive. The fork re-pins to
+    * head (`rebase_ok` also pins that rebase commits NOTHING on main),
+    * `fast_forward` proceeds, and the final per-type totals hash against
+    * the oracle recomputing both lines' deletes plus both appends. At
+    * 100 TB this is what makes the staged-GDPR-delete workflow real: the
+    * CDC feed never pauses, and the branch still lands at metadata cost.
+    */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq243", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    val v1 = graft.sources.Snapshots.latestVersion(s, dir)
+    s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'replay')")
+    s.sql(s"CALL $cat.branch_delete(table => 'ev', name => 'replay', " +
+      "where => \"event_type = 'click'\")")
+    // the SQL face of the branch upsert: key-match + append, ONE branch version
+    s.sql(s"CALL $cat.branch_upsert(table => 'ev', name => 'replay', " +
+      "source => \"SELECT DATE'1999-01-01' AS day, '__rb' AS event_type, " +
+      "CAST(7 AS BIGINT) AS n, CAST(42 AS BIGINT) AS sum_u\", keys => 'day,event_type')")
+    val liveIntact = graft.sources.Snapshots.latestVersion(s, dir) == v1
+    // main diverges under the validation window: one append, one MoR
+    // delete vectoring a file the branch vectored too
+    s.sql(s"INSERT INTO $cat.ev (day, event_type, n, sum_u) " +
+      "VALUES (DATE'1999-12-31', '__main', CAST(1 AS BIGINT), CAST(10 AS BIGINT))")
+    withConfs(s, "spark.graft.delete.mode" -> "mor") {
+      s.sql(s"DELETE FROM $cat.ev WHERE event_type = 'view' AND day = DATE'$m'")
+    }
+    val divergeRefused = scala.util
+      .Try(s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'replay')").collect())
+      .isFailure
+    val latest = graft.sources.Snapshots.latestVersion(s, dir)
+    val forkV = s.sql(s"CALL $cat.rebase(table => 'ev', name => 'replay')").head().getLong(0)
+    // rebase re-pins the fork to head and commits NOTHING on the live line
+    val rebaseOk = forkV == latest && graft.sources.Snapshots.latestVersion(s, dir) == latest
+    val branchClicks = s
+      .sql(s"SELECT count(*) AS n FROM $cat.ev VERSION AS OF 'replay' WHERE event_type = 'click'")
+      .head().getLong(0)
+    s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'replay')")
+    val adoptedOk = branchClicks == 0L && graft.sources.Snapshots.branches(s, dir).isEmpty
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(sum_u) AS BIGINT) AS u_live
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("live_intact", lit(liveIntact))
+      .withColumn("diverge_refused", lit(divergeRefused))
+      .withColumn("rebase_ok", lit(rebaseOk))
+      .withColumn("adopted_ok", lit(adoptedOk))
+  }
+
+  val q243Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s),
+      |live AS (
+      |  SELECT s.* FROM s, b
+      |  WHERE event_type <> 'click' AND NOT (event_type = 'view' AND day = m))
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(su) AS BIGINT) AS u_live,
+      |  true AS live_intact, true AS diverge_refused, true AS rebase_ok, true AS adopted_ok
+      |FROM live GROUP BY event_type
+      |UNION ALL SELECT '__rb', CAST(7 AS BIGINT), CAST(42 AS BIGINT), true, true, true, true
+      |UNION ALL SELECT '__main', CAST(1 AS BIGINT), CAST(10 AS BIGINT), true, true, true, true
+      |ORDER BY event_type""".stripMargin
+
   // -- q242: DECIMAL SUM/AVG from unscaled-BigInt sum sidecars -------------
 
   /** q239 closed manifest-only SUM/AVG for integrals; this closes it for
@@ -3213,6 +3400,8 @@ object Frontier3 {
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q244_branch_cdc_replay" -> (q244 _),
+    "q243_branch_rebase" -> (q243 _),
     "q242_decimal_sum_pushdown" -> (q242 _),
     "q241_branch_mor_delete" -> (q241 _),
     "q240_writable_branches" -> (q240 _),
@@ -3262,6 +3451,8 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q244_branch_cdc_replay" -> q244Sql,
+    "q243_branch_rebase" -> q243Sql,
     "q242_decimal_sum_pushdown" -> q242Sql,
     "q241_branch_mor_delete" -> q241Sql,
     "q240_writable_branches" -> q240Sql,

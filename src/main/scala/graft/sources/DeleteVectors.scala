@@ -433,6 +433,54 @@ object DeleteVectors {
     newDvRel
   }
 
+  /** Union two deletion-vector sidecars of the SAME data file into one
+    * fresh sidecar — the rebase resolution when both the branch line and
+    * the live line vectored the file (both position domains address the
+    * same immutable bytes, so the union is each line's deletes applied).
+    * Either side may be absent. Driver-side and bounded by the two
+    * vectors' sizes; no sort-order assumption on the inputs. Returns
+    * (new sidecar rel, distinct position count); the superseded sidecars
+    * die in vacuum.
+    */
+  private[sources] def unionSidecars(
+      spark: SparkSession,
+      root: String,
+      dataRel: String,
+      aRel: Option[String],
+      bRel: Option[String]): (String, Long) = {
+    val rootPath = new Path(root)
+    val hconf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
+    def positions(rel: String): Array[Long] = {
+      val r = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+        new Path(rootPath, rel),
+        StructType(Seq(StructField("pos", LongType, nullable = false))),
+        hconf)
+      val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+      try {
+        var row = r.read()
+        while (row != null) {
+          buf += row.getLong(0)
+          row = r.read()
+        }
+      } finally r.close()
+      buf.result()
+    }
+    val merged = (aRel.map(positions).getOrElse(Array.empty[Long]) ++
+      bRel.map(positions).getOrElse(Array.empty[Long])).distinct.sorted
+    val newDvRel =
+      s"${Snapshots.DvDirName}/$dataRel.dv-rb-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    val w = org.apache.spark.sql.graft.Bridge.parquetRowWriter(
+      new Path(rootPath, newDvRel),
+      sidecarSchema,
+      hconf)
+    val relU = org.apache.spark.unsafe.types.UTF8String.fromString(dataRel)
+    try merged.foreach { pos =>
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](relU, pos)))
+    } finally w.close()
+    (newDvRel, merged.length.toLong)
+  }
+
   /** Distributed sidecar write: shuffle ONLY the matched (rel, pos) pairs,
     * one partition stream per hash bucket, each task writing one sidecar
     * per rel it owns (positions sorted-distinct, previous sidecar's
@@ -787,20 +835,80 @@ object DeleteVectors {
       root: String,
       name: String,
       source: DataFrame,
-      keyCols: Seq[String]): (Long, Long) =
+      keyCols: Seq[String],
+      streamTag: String = "",
+      epochId: Long = -1L): (Long, Long) =
+    applyOnBranchInternal(spark, root, name, source, source, keyCols, streamTag, epochId)
+
+  /** Full CDC-apply ON A BRANCH — [[applyChanges]]'s semantics on the
+    * branch line: delete-op rows vector their keys (nothing appends),
+    * the rest upsert, ONE branch version per batch. With the `streamTag`/
+    * `epochId` pair this is the streaming replay target: a day's CDC feed
+    * replays onto a ten-byte fork at epoch prices, exactly-once per
+    * (branch, tag), while the live line never moves —
+    * [[graft.streaming.Streaming.applyChangesMorSink]] with a `branch`
+    * routes here.
+    */
+  def applyChangesOnBranch(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      deleteOps: Set[String] = Set("d", "delete"),
+      streamTag: String = "",
+      epochId: Long = -1L): (Long, Long) = {
+    require(
+      changes.columns.contains(opCol),
+      s"applyChangesOnBranch needs the op column '$opCol' in the change feed")
+    val isDelete = col(opCol).isin(deleteOps.toSeq: _*)
+    applyOnBranchInternal(
+      spark,
+      root,
+      name,
+      keySource = changes,
+      appendSource = changes.filter(!coalesce(isDelete, lit(false))).drop(opCol),
+      keyCols = keyCols,
+      streamTag = streamTag,
+      epochId = epochId)
+  }
+
+  /** The shared branch apply core ([[upsertOnBranch]] /
+    * [[applyChangesOnBranch]]). Exactly-once: the per-(branch, tag) epoch
+    * high-water marker lives INSIDE the branch's manifest dir — it dies
+    * with the branch (drop/fast-forward), so a recreated branch of the
+    * same name starts its epochs fresh; the crash window between commit
+    * and marker falls back to the upsert's logical idempotence, the main
+    * line's contract. Crashed-attempt file leftovers need no sweep here:
+    * branch reads are MANIFEST-driven (never listing-based), so an
+    * uncommitted landed file is invisible and dies when the branch dir
+    * is removed whole.
+    */
+  private def applyOnBranchInternal(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      keySource: DataFrame,
+      appendSource: DataFrame,
+      keyCols: Seq[String],
+      streamTag: String,
+      epochId: Long): (Long, Long) =
     Snapshots.withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (streamTag.nonEmpty && epochId >= 0L &&
+        lastBranchEpoch(fs, rootPath, name, streamTag) >= epochId) return (0L, 0L)
       val bv = Snapshots.branchView(spark, root, name)
       val (keyFields, sourceKeys, partCols, alive) =
-        upsertInputs(bv, root, source, source, keyCols)
+        upsertInputs(bv, root, keySource, appendSource, keyCols)
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
       val written =
         matchKeyUpserts(spark, root, bv, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
       val (changed, newlyDeleted) = pointerUpdatesOf(bv, written)
-      // landOnBranch aligns `source` to the recorded schema itself
-      val added = Snapshots.landOnBranch(spark, root, name, bv, source)
+      // landOnBranch aligns the source to the recorded schema itself
+      val added = Snapshots.landOnBranch(spark, root, name, bv, appendSource)
       if (changed.isEmpty && added.isEmpty) return (0L, 0L)
-      val rootPath = new Path(root)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       try Snapshots.commitBranchDelta(spark, root, name, bv, changed.toSeq ++ added)
       catch {
         case t: Throwable =>
@@ -813,8 +921,42 @@ object DeleteVectors {
           }
           throw t
       }
+      if (streamTag.nonEmpty && epochId >= 0L)
+        writeBranchEpoch(fs, rootPath, name, streamTag, epochId)
       (changed.size.toLong, newlyDeleted)
     }
+
+  private def branchEpochMarker(rootPath: Path, name: String, tag: String): Path =
+    new Path(
+      Snapshots.branchDir(rootPath, name),
+      s".mor-epoch-${java.net.URLEncoder.encode(tag, "UTF-8")}")
+
+  private def lastBranchEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      name: String,
+      tag: String): Long = {
+    val p = branchEpochMarker(rootPath, name, tag)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  private def writeBranchEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path,
+      name: String,
+      tag: String,
+      epochId: Long): Unit = {
+    val p = branchEpochMarker(rootPath, name, tag)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epochId.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
 
   /** Shared validation + alignment prologue of the upsert faces
     * ([[applyInternal]] and [[upsertOnBranch]]): key columns must exist

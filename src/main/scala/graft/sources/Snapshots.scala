@@ -3775,7 +3775,7 @@ object Snapshots {
 
   private def branchesDir(root: Path): Path = new Path(manifestDir(root), "branches")
 
-  private def branchDir(root: Path, name: String): Path = {
+  private[sources] def branchDir(root: Path, name: String): Path = {
     refPath(root, name) // reuse the ref-name gate (filesystem-safe by construction)
     new Path(branchesDir(root), name)
   }
@@ -3916,14 +3916,52 @@ object Snapshots {
       versions == (1L to versions.length.toLong),
       s"branch '$name' of $root has a broken manifest chain (found $versions) — " +
         "a branch manifest is missing or corrupt; refusing to read around the gap")
-    versions.foldLeft(manifestView(spark, root, fork)) { (acc, bv) =>
-        val in = fs.open(branchManifestPath(rootPath, name, bv))
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
-            .map(_.trim).filter(_.nonEmpty)
-          finally in.close()
-        applyDelta(acc, bv, lines)
+    val manifests: Seq[(Long, Seq[String])] = versions.map { bvv =>
+      val in = fs.open(branchManifestPath(rootPath, name, bvv))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        finally in.close()
+      bvv -> lines
     }
+    // a REBASE manifest (`#fork <v>`) restarts reconstruction from main
+    // version v: the chain's prefix belongs to the pre-rebase world and
+    // must not fold in (the marker manifest itself carries the branch's
+    // NET delta re-stated over the new base). The CHAIN is authoritative
+    // — the ref file follows it and heals lazily (vacuum retention reads
+    // [[branchForkVersion]], never the possibly-lagging ref).
+    val lastRebase = manifests.lastIndexWhere(_._2.exists(_.startsWith("#fork ")))
+    val (base, applied) =
+      if (lastRebase < 0) (fork, manifests)
+      else {
+        val f = manifests(lastRebase)._2.find(_.startsWith("#fork ")).get
+          .stripPrefix("#fork ").trim.toLong
+        (f, manifests.drop(lastRebase))
+      }
+    applied.foldLeft(manifestView(spark, root, base)) { case (acc, (bvv, lines)) =>
+      applyDelta(acc, bvv, lines)
+    }
+  }
+
+  /** The branch's CURRENT base (fork) version: the last rebase marker in
+    * its chain, else the ref pin. Chain-authoritative — a crash between a
+    * rebase's marker write and its ref rewrite must not change what the
+    * branch reads over, what vacuum retains, or what fast-forward
+    * compares against.
+    */
+  private[sources] def branchForkVersion(spark: SparkSession, root: String, name: String): Long = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val marker = branchVersions(fs, branchDir(rootPath, name)).reverseIterator.map { v =>
+      val in = fs.open(branchManifestPath(rootPath, name, v))
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+        finally in.close()
+      lines.find(_.startsWith("#fork ")).map(_.stripPrefix("#fork ").trim.toLong)
+    }.collectFirst { case Some(f) => f }
+    marker
+      .orElse(refVersion(spark, root, name))
+      .getOrElse(sys.error(s"branch '$name' has no fork pin — corrupt branch state"))
   }
 
   /** Read the branch: fork state + branch appends, deletion vectors of
@@ -4022,12 +4060,18 @@ object Snapshots {
       root: String,
       name: String,
       bv: ManifestView,
-      plus: Seq[(String, Map[String, ColStat])]): Long = {
+      plus: Seq[(String, Map[String, ColStat])],
+      forkMarker: Option[Long] = None,
+      minus: Seq[String] = Seq.empty): Long = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val bdir = branchDir(rootPath, name)
     val prevB = branchVersions(fs, bdir).lastOption.getOrElse(0L)
     val baseRels = bv.rels.toSet
+    require(
+      minus.forall(baseRels),
+      s"commitBranchDelta('$name'): removed rel(s) not on the branch: " +
+        s"${minus.filterNot(baseRels).take(3).mkString(", ")}")
     val newRels = plus.map(_._1).filterNot(baseRels)
     val header = renderHeader(
       bv.schema,
@@ -4036,12 +4080,16 @@ object Snapshots {
       bv.dropped,
       bv.partCols,
       partCanon = None,
-      nFiles = Some(bv.rels.size.toLong + newRels.size.toLong),
+      nFiles = Some(bv.rels.size.toLong + newRels.size.toLong - minus.size.toLong),
       pathCols = None)
     // `#delta 0` = "the fork view"; branch reconstruction applies the
     // line's manifests in version order, so the base pointer is
-    // informational (the chain's density is validated on read)
-    val body = header ++ Seq(s"#delta $prevB") ++
+    // informational (the chain's density is validated on read).
+    // `#fork <v>` is a REBASE marker: reconstruction restarts from main
+    // version v AT this manifest, discarding the chain prefix — writing
+    // it is the rebase's one atomic step (temp + rename, no deletes).
+    val body = header ++ forkMarker.map(v => s"#fork $v").toSeq ++ Seq(s"#delta $prevB") ++
+      minus.sorted.map("-" + _) ++
       plus.sortBy(_._1).map { case (rel, st) => "+" + renderFileLine(rel, st) }
     val target = branchManifestPath(rootPath, name, prevB + 1L)
     val tmp = new Path(bdir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -4086,13 +4134,13 @@ object Snapshots {
       require(
         fs.exists(branchDir(rootPath, name)),
         s"no branch '$name' under $root (tags cannot fast-forward)")
-      val fork = refVersion(spark, root, name).getOrElse(
-        sys.error(s"branch '$name' has no fork pin — corrupt branch state"))
+      val fork = branchForkVersion(spark, root, name)
       val latest = latestVersion(spark, root)
       require(
         latest == fork,
         s"cannot fast-forward '$name' into $root: the live line advanced past the fork " +
-          s"(v$fork -> v$latest) — the lines diverged; re-apply the branch's appends or clone")
+          s"(v$fork -> v$latest) — the lines diverged; CALL rebase(table, name) to replay " +
+          "the branch's delta onto the live head, then fast-forward")
       val bv = branchView(spark, root, name)
       val forkView = manifestView(spark, root, fork)
       val forkRels = forkView.rels.toSet
@@ -4213,6 +4261,161 @@ object Snapshots {
       v
     }
 
+  /** Compact the branch's PRIVATE files — the maintenance pass an
+    * N-epoch streaming replay needs before [[fastForward]] adopts its
+    * file set onto main: each multi-file partition scope under
+    * `.branch/<name>/` rewrites to ~one file per partition value with its
+    * deletion vectors FOLDED (the rewritten rows exclude vectored
+    * positions, so the new files are clean), and ONE branch delta commits
+    * `-old +new`. Fork files are never touched — a branch may not rewrite
+    * what it doesn't own (their vectors adopt as pointer restates).
+    * Returns (files before, files after) over the branch-private set.
+    */
+  def compactBranch(spark: SparkSession, root: String, name: String): (Long, Long) =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      require(
+        fs.exists(branchDir(rootPath, name)),
+        s"no branch '$name' under $root (tags have no private files to compact)")
+      val bv = branchView(spark, root, name)
+      val prefix = s"$BranchDataDirName/$name/"
+      val branchRels = bv.rels.filter(_.startsWith(prefix))
+      val byDir = branchRels.groupBy(r => new Path(r).getParent.toString)
+      val scoped = byDir.valuesIterator
+        .filter(g => g.size >= 2 || g.exists(r => hasDv(bv.stats.getOrElse(r, Map.empty))))
+        .flatten
+        .toSeq
+        .sorted
+      if (scoped.isEmpty) return (branchRels.size.toLong, branchRels.size.toLong)
+      val dv = dvByRel(bv).filter { case (rel, _) => scoped.contains(rel) }
+      // one read of exactly the rewritten scopes, vectors applied — the
+      // compactInPlace fold, branch-locally
+      val df = scanRels(spark, root, scoped, bv.schema, dv)
+      val added = landOnBranch(spark, root, name, bv, df)
+      commitBranchDelta(spark, root, name, bv, added, minus = scoped)
+      (branchRels.size.toLong, (branchRels.size - scoped.size + added.size).toLong)
+    }
+
+  /** Re-base a DIVERGED branch onto the live line's head — the forward
+    * path [[fastForward]] refuses once main advances past the fork. The
+    * branch's net delta replays over main's CURRENT view:
+    *
+    *  - branch APPENDS adopt as-is (they are new files by construction,
+    *    private under `.branch/` — main can never have gained them);
+    *  - branch deletion-vector restates on FORK files re-match against
+    *    main's current file set: a file main also vectored gets the
+    *    UNION of both lines' positions (both vectors address the same
+    *    immutable bytes — each line's deletes survive, the file-level
+    *    replay of the branch's statement); a file main left untouched
+    *    adopts the branch's pointer verbatim;
+    *  - a vectored fork file that main REWROTE, COMPACTED or REMOVED is
+    *    the conflict: rebase REFUSES loudly naming the files (the
+    *    branch's row-level intent can't be re-derived from a pointer) —
+    *    re-apply the DML on a fresh fork, or clone.
+    *
+    * One atomic step: a REBASE manifest (`#fork <head>` marker + the net
+    * delta re-stated over main's head) appends to the branch chain —
+    * temp + rename, no deletes — then the ref pin follows (retention and
+    * listing read the chain, so a crash between the two is harmless and
+    * heals on the next locked branch op). Like git's rebase, conflicts
+    * below file granularity (the branch deleted key K, main re-inserted
+    * K in a NEW file) are not detected — the branch's pointer restates
+    * only ever touch files both lines agree on. Refuses on schema or
+    * partition-column drift since the fork (branch appends were aligned
+    * to the fork schema). Returns the new fork version (= main's head);
+    * `fastForward` then proceeds. SQL: `CALL cat.rebase(table, name)`.
+    */
+  def rebase(spark: SparkSession, root: String, name: String): Long =
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      require(
+        fs.exists(branchDir(rootPath, name)),
+        s"no branch '$name' under $root (tags cannot rebase — drop and re-pin instead)")
+      val fork = branchForkVersion(spark, root, name)
+      syncRef(fs, rootPath, name, fork) // heal a crashed prior rebase's ref
+      val latest = latestVersion(spark, root)
+      if (latest == fork) return fork // nothing to replay — already based on head
+      val bv = branchView(spark, root, name)
+      val forkView = manifestView(spark, root, fork)
+      val mainView = manifestView(spark, root, latest)
+      require(
+        mainView.schema == forkView.schema && mainView.dropped == forkView.dropped,
+        s"rebase('$name') on $root: the table schema changed since the fork (v$fork -> " +
+          s"v$latest) — branch appends were aligned to the fork schema; " +
+          "re-apply on a fresh fork")
+      require(
+        mainView.partCols == forkView.partCols,
+        s"rebase('$name') on $root: the partition layout changed since the fork — " +
+          "re-apply on a fresh fork")
+      val forkRels = forkView.rels.toSet
+      val mainRels = mainView.rels.toSet
+      val branchRels = bv.rels.filterNot(forkRels).sorted
+      // fork files whose DV pointer the branch changed (deleteOnBranch /
+      // upsertOnBranch restates)
+      val touched = forkView.rels.filter { rel =>
+        dvOf(forkView.stats.getOrElse(rel, Map.empty)) !=
+          dvOf(bv.stats.getOrElse(rel, Map.empty))
+      }
+      val conflicts = touched.filterNot(mainRels).sorted
+      if (conflicts.nonEmpty)
+        sys.error(
+          s"rebase('$name') on $root refuses: ${conflicts.size} fork file(s) the branch " +
+            "vectored were rewritten, compacted or removed on the live line — e.g. " +
+            s"${conflicts.take(3).mkString(", ")}. The branch's row-level intent cannot be " +
+            "re-derived from a position vector; re-apply the DML on a fresh fork, or clone.")
+      val restates: Seq[(String, Map[String, ColStat])] = touched.map { rel =>
+        val mainSt = mainView.stats.getOrElse(rel, Map.empty)
+        val mainDv = dvOf(mainSt)
+        val forkDv = dvOf(forkView.stats.getOrElse(rel, Map.empty))
+        val branchDv = dvOf(bv.stats.getOrElse(rel, Map.empty))
+        if (mainDv == forkDv)
+          // main left the file's vector alone: the branch pointer adopts
+          // verbatim over main's CURRENT stats line
+          rel -> (mainSt ++ dvEntries(bv.stats.getOrElse(rel, Map.empty)))
+        else {
+          // both lines vectored the same immutable file: union positions
+          val (mergedRel, n) = DeleteVectors.unionSidecars(
+            spark, root, rel, branchDv.map(_._1), mainDv.map(_._1))
+          rel -> (mainSt ++ Map(
+            DvPathKey -> ColStat("s", mergedRel, mergedRel),
+            DvCountKey -> ColStat("l", n.toString, n.toString)))
+        }
+      }
+      val plus = restates ++ branchRels.map(r => r -> bv.stats.getOrElse(r, Map.empty))
+      commitBranchDelta(spark, root, name, mainView, plus, forkMarker = Some(latest))
+      syncRef(fs, rootPath, name, latest)
+      latest
+    }
+
+  /** Point the branch's ref pin at `v` (temp + rename overwrite) — the
+    * retention/listing shadow of the chain's authoritative fork marker.
+    */
+  private def syncRef(fs: FileSystem, rootPath: Path, name: String, v: Long): Unit = {
+    val p = refPath(rootPath, name)
+    val cur =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong).toOption
+        finally in.close()
+      }
+    if (!cur.contains(v)) {
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent, s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8"))
+      finally out.close()
+      // HDFS rename refuses an existing dst (local FS overwrites): drop
+      // the stale pin first — a crash in between is harmless, the chain's
+      // fork marker stays authoritative and the next locked op re-syncs
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, false); sys.error(s"ref '$name' resync raced") }
+    }
+  }
+
   /** Drop the branch whole: its manifests, its private data files and its
     * fork pin. The fork version becomes ordinary history. Returns whether
     * the branch existed.
@@ -4252,7 +4455,12 @@ object Snapshots {
         // retention contract
         val keptVersions: Seq[Long] =
           ((keepFrom to latest) ++
-            refs(spark, root).values.filter(v => v >= 1L && v < keepFrom)).distinct.sorted
+            refs(spark, root).values.filter(v => v >= 1L && v < keepFrom) ++
+            // a REBASED branch's base is its chain's fork marker, which
+            // may be ahead of a (lagging, crash-window) ref pin — retain
+            // the chain-authoritative version explicitly
+            branches(spark, root).map(b => branchForkVersion(spark, root, b))
+              .filter(v => v >= 1L && v < keepFrom)).distinct.sorted
         val referenced: Set[String] =
           keptVersions.flatMap(v => files(spark, root, v)).toSet
         // a retained DELTA manifest reconstructs through its RECORDED

@@ -372,6 +372,71 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class BranchUpsert(rootDir: String) extends SnapProcedure("branch_upsert", rootDir) {
+    override def description: String =
+      "merge-on-read UPSERT on a writable branch: branch rows matching a source row's key " +
+        "become deletion vectors, the source's full replacement rows land as branch-private " +
+        "appends, ONE branch version — the SQL face of the staged CDC replay. `source` is a " +
+        "SELECT (or a dotted table name) providing FULL table rows; `keys` a comma list"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(
+        in("table", StringType),
+        in("name", StringType),
+        in("source", StringType),
+        in("keys", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val srcSql = input.getUTF8String(2).toString.trim
+      require(srcSql.nonEmpty, "branch_upsert needs a non-empty `source`")
+      val src =
+        if (srcSql.toLowerCase.startsWith("select") || srcSql.toLowerCase.startsWith("with"))
+          spark.sql(srcSql)
+        else spark.table(srcSql)
+      val keys = input.getUTF8String(3).toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val (files, rows) = graft.sources.DeleteVectors.upsertOnBranch(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        src,
+        keys)
+      result(out("files_touched" -> LongType, "rows_replaced" -> LongType), Seq(files, rows))
+    }
+  }
+
+  private class CompactBranch(rootDir: String)
+      extends SnapProcedure("compact_branch", rootDir) {
+    override def description: String =
+      "compact a branch's PRIVATE files (an N-epoch streaming replay's small files) to " +
+        "~one per partition value, deletion vectors folded, ONE branch delta — so " +
+        "fast_forward adopts a sized file set onto main, never N epoch fragments; fork " +
+        "files are never touched"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (before, after) = Snapshots.compactBranch(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("files_before" -> LongType, "files_after" -> LongType), Seq(before, after))
+    }
+  }
+
+  private class Rebase(rootDir: String) extends SnapProcedure("rebase", rootDir) {
+    override def description: String =
+      "re-base a DIVERGED branch onto the live head: branch appends adopt as-is, branch " +
+        "deletion-vector restates re-match against main's current files (same-file vectors " +
+        "UNION; a vectored fork file main rewrote/compacted/removed REFUSES loudly naming " +
+        "it), then the fork re-pins to head so fast_forward proceeds; returns the new fork"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = Snapshots.rebase(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("fork_version" -> LongType), Seq(v))
+    }
+  }
+
   private class DropBranch(rootDir: String) extends SnapProcedure("drop_branch", rootDir) {
     override def description: String =
       "drop a branch whole: its manifest line, its private data files and its fork pin — " +
@@ -416,6 +481,9 @@ private[snap] object GraftProcedures {
     new CreateBranch(rootDir),
     new FastForward(rootDir),
     new BranchDelete(rootDir),
+    new BranchUpsert(rootDir),
+    new CompactBranch(rootDir),
+    new Rebase(rootDir),
     new DropBranch(rootDir),
     new DropRef(rootDir))
 

@@ -562,15 +562,29 @@ object Streaming {
   def upsertMorSink(
       root: String,
       keyCols: Seq[String],
-      tag: String = "upsert"): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      tag: String = "upsert",
+      branch: String = ""): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, epochId) => {
-      graft.sources.DeleteVectors.upsert(
-        batch.sparkSession,
-        root,
-        batch.toDF(),
-        keyCols,
-        streamTag = tag,
-        epochId = epochId)
+      if (branch.nonEmpty)
+        // the BRANCH-targeted replay: every epoch lands on the fork's
+        // line (exactly-once per (branch, tag)); the live table never
+        // moves until fast_forward adopts the whole replay
+        graft.sources.DeleteVectors.upsertOnBranch(
+          batch.sparkSession,
+          root,
+          branch,
+          batch.toDF(),
+          keyCols,
+          streamTag = tag,
+          epochId = epochId)
+      else
+        graft.sources.DeleteVectors.upsert(
+          batch.sparkSession,
+          root,
+          batch.toDF(),
+          keyCols,
+          streamTag = tag,
+          epochId = epochId)
       ()
     }
 
@@ -585,17 +599,34 @@ object Streaming {
       keyCols: Seq[String],
       opCol: String,
       deleteOps: Set[String] = Set("d", "delete"),
-      tag: String = "cdc-apply"): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      tag: String = "cdc-apply",
+      branch: String = ""): (Dataset[org.apache.spark.sql.Row], Long) => Unit =
     (batch, epochId) => {
-      graft.sources.DeleteVectors.applyChanges(
-        batch.sparkSession,
-        root,
-        batch.toDF(),
-        keyCols,
-        opCol,
-        deleteOps,
-        streamTag = tag,
-        epochId = epochId)
+      if (branch.nonEmpty)
+        // replay a CDC feed onto a writable fork: deletes vector, the
+        // rest upsert, one branch version per epoch — validate the
+        // branch read, then fast_forward (or rebase first if the live
+        // line moved) adopts the whole replay at metadata cost
+        graft.sources.DeleteVectors.applyChangesOnBranch(
+          batch.sparkSession,
+          root,
+          branch,
+          batch.toDF(),
+          keyCols,
+          opCol,
+          deleteOps,
+          streamTag = tag,
+          epochId = epochId)
+      else
+        graft.sources.DeleteVectors.applyChanges(
+          batch.sparkSession,
+          root,
+          batch.toDF(),
+          keyCols,
+          opCol,
+          deleteOps,
+          streamTag = tag,
+          epochId = epochId)
       ()
     }
 

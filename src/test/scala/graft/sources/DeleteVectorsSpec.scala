@@ -1047,6 +1047,71 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(Snapshots.dvByRel(Snapshots.manifestView(spark, dir)).nonEmpty)
   }
 
+  test("branch-targeted CDC sink: 3 epochs replay onto the fork, crash-replay skips, " +
+    "compaction sizes the file set, branch read ≡ batch twin") {
+    val dir = Files.createTempDirectory("dv_branch_stream").toString + "/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"))
+    Snapshots.createBranch(spark, dir, "replay")
+    val liveBefore = rowSet(Snapshots.readSnapshot(spark, dir))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.newProductEncoder
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long, String, Double)]
+    val ckDir = Files.createTempDirectory("dv_branch_ck").toString
+    def start() = stream
+      .toDF()
+      .toDF("op", "id", "day", "v")
+      .writeStream
+      .option("checkpointLocation", ckDir)
+      .foreachBatch(graft.streaming.Streaming.applyChangesMorSink(
+        dir, Seq("day", "id"), opCol = "op", tag = "br1", branch = "replay"))
+      .start()
+    val q = start()
+    try {
+      stream.addData(("u", 2L, "2024-01-01", 110.0)) // epoch 0: update a FORK row
+      q.processAllAvailable()
+      stream.addData(("d", 3L, "2024-01-02", 0.0), ("i", 9L, "2024-01-09", 90.0)) // epoch 1
+      q.processAllAvailable()
+      stream.addData(("u", 9L, "2024-01-09", 91.0)) // epoch 2: update epoch 1's append
+      q.processAllAvailable()
+    } finally q.stop()
+    // crash-replay: a restarted query re-offers processed epochs — the
+    // per-(branch, tag) high-water marker skips them whole
+    val bvBefore = Snapshots.branchView(spark, dir, "replay").version
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(
+      Snapshots.branchView(spark, dir, "replay").version == bvBefore,
+      "replayed epochs must commit nothing on the branch line")
+    val expected = Set(
+      (1L, "2024-01-01", 10.0),
+      (2L, "2024-01-01", 110.0),
+      (4L, "2024-01-03", 30.0),
+      (9L, "2024-01-09", 91.0))
+    assert(rowSet(Snapshots.readBranch(spark, dir, "replay")) == expected)
+    // the live line never moved
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == liveBefore)
+    // compaction: the replay's small files (incl. a DV'd branch append —
+    // epoch 2 vectored epoch 1's file) fold to ~one per partition value
+    val bv0 = Snapshots.branchView(spark, dir, "replay")
+    val privateRels = bv0.rels.filter(_.startsWith(Snapshots.BranchDataDirName))
+    assert(privateRels.size >= 2, privateRels.toString)
+    val (before, after) = Snapshots.compactBranch(spark, dir, "replay")
+    assert(before == privateRels.size.toLong && after < before, s"($before, $after)")
+    assert(rowSet(Snapshots.readBranch(spark, dir, "replay")) == expected, "compaction folds, never changes content")
+    val bv1 = Snapshots.branchView(spark, dir, "replay")
+    assert(
+      bv1.rels.filter(_.startsWith(Snapshots.BranchDataDirName))
+        .forall(r => !Snapshots.hasDv(bv1.stats.getOrElse(r, Map.empty))),
+      "compacted branch files must be clean (vectors folded)")
+    // adopt: fast-forward takes the SIZED set, and the result equals the
+    // batch twin (the same ops applied in one ad-hoc CDC batch)
+    Snapshots.fastForward(spark, dir, "replay")
+    assert(rowSet(Snapshots.readSnapshot(spark, dir)) == expected)
+  }
+
   test("restore shrinking a DV surfaces the revived rows as CDC inserts") {
     val (_, dir) = catalogTable("dvrevive")
     DeleteVectors.deleteWhere(spark, dir, $"id" === 2L) // v2

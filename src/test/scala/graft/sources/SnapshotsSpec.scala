@@ -368,6 +368,62 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.countRows(spark, dir) == 5L)
   }
 
+  test("rebase replays a diverged branch onto the live head; same-file vectors UNION") {
+    val base = Files.createTempDirectory("snap_rebase").toString
+    val dir = s"$base/t"
+    table(dir) // day=01 {1,2} one file, day=02 {3}, day=03 {4}
+    val v1 = Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id"))
+    Snapshots.createBranch(spark, dir, "dev")
+    // branch DML: vector two FORK files, append one private file
+    DeleteVectors.deleteOnBranch(spark, dir, "dev", $"id" === 3L)
+    DeleteVectors.deleteOnBranch(spark, dir, "dev", $"id" === 1L)
+    Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v"))
+    // main DIVERGES: an upsert-append AND a MoR delete vectoring the SAME
+    // day=01 file the branch vectored (id=2 vs the branch's id=1)
+    DeleteVectors.upsert(
+      spark, dir, Seq((10L, "2024-01-10", 100.0)).toDF("id", "day", "v"), Seq("day", "id"))
+    DeleteVectors.deleteWhere(spark, dir, $"id" === 2L)
+    val latest = Snapshots.latestVersion(spark, dir)
+    assert(latest > v1)
+    val e0 = intercept[Exception](Snapshots.fastForward(spark, dir, "dev"))
+    assert(e0.getMessage.contains("rebase"), e0.getMessage)
+    // rebase: appends adopt as-is, the day=02 pointer adopts verbatim
+    // (main never touched it), the day=01 vectors UNION — both lines'
+    // deletes survive
+    assert(Snapshots.rebase(spark, dir, "dev") == latest)
+    assert(Snapshots.refs(spark, dir)("dev") == latest, "the fork pin follows the chain")
+    assert(idsOf(Snapshots.readBranch(spark, dir, "dev")) == Set(4L, 9L, 10L))
+    // the live line is still untouched by branch work
+    assert(idsOf(Snapshots.readSnapshot(spark, dir)) == Set(1L, 3L, 4L, 10L))
+    // rebase is idempotent at head: a no-op returns the fork unchanged
+    assert(Snapshots.rebase(spark, dir, "dev") == latest)
+    // and fast-forward now proceeds: ONE commit, vectors carried
+    val v2 = Snapshots.fastForward(spark, dir, "dev")
+    assert(v2 == latest + 1L)
+    assert(idsOf(Snapshots.readSnapshot(spark, dir)) == Set(4L, 9L, 10L))
+    assert(Snapshots.branches(spark, dir).isEmpty)
+  }
+
+  test("rebase refuses when a vectored fork file was rewritten or removed on main") {
+    val base = Files.createTempDirectory("snap_rebase_conflict").toString
+    val dir = s"$base/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"), Seq("id"))
+    Snapshots.createBranch(spark, dir, "dev")
+    val day03 = Snapshots.files(spark, dir).find(_.startsWith("day=2024-01-03/")).get
+    // the branch vectors day=03's file…
+    DeleteVectors.deleteOnBranch(spark, dir, "dev", $"id" === 4L)
+    // …and main REMOVES that file via a COW delete (the branch's DV is
+    // branch-local, so main's COW guard rightly lets the rewrite run)
+    Sources.deleteWhere(spark, dir, $"id" === 4L)
+    assert(!Snapshots.files(spark, dir).contains(day03))
+    val e = intercept[Exception](Snapshots.rebase(spark, dir, "dev"))
+    assert(e.getMessage.contains("refuses") && e.getMessage.contains(day03), e.getMessage)
+    // the branch is untouched by the refusal: still reads its own world
+    assert(idsOf(Snapshots.readBranch(spark, dir, "dev")) == Set(1L, 2L, 3L))
+  }
+
   test("a failed fast-forward rolls back sidecar renames with the data files") {
     val base = Files.createTempDirectory("snap_ff_rb").toString
     val dir = s"$base/t"
