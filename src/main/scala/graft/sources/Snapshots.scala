@@ -2266,12 +2266,20 @@ object Snapshots {
     // integral stats columns' exact sums recorded while the data is
     // being read anyway; pre-feature files are never re-read by a
     // routine commit
-    // a bloom-less stats table has no "missing bloom" signal for newness:
-    // pass every rel the caller scoped (fresh/added for delta commits) —
-    // buildSumSidecars itself skips (rel, col) pairs whose sidecar exists
+    // a bloom-less stats table has no "missing bloom" signal for newness
+    // AND no commit-time data read to ride: it opts INTO the sum
+    // discipline via an explicit `CALL ndv_backfill` (a routine commit
+    // must not grow a per-commit data-read tax the table never asked
+    // for). Once ANY sum sidecar exists, new files keep the discipline —
+    // the one fs probe per commit is O(1).
     val freshRels =
-      if (backfill || bloomCols.isEmpty) rels.distinct
-      else missing.collect { case (r, _, nb, _) if nb => r }.distinct
+      if (backfill) rels.distinct
+      else if (bloomCols.isEmpty) {
+        val sumDir = new Path(manifestDir(rootPath), "sum")
+        val disciplineOn =
+          fs.exists(sumDir) && fs.listStatusIterator(sumDir).hasNext
+        if (disciplineOn) rels.distinct else Seq.empty
+      } else missing.collect { case (r, _, nb, _) if nb => r }.distinct
     buildSumSidecars(spark, root, freshRels, statsCols)
     if (missing.isEmpty) return
     def buildOne(rel: String, c: String, needBloom: Boolean, needNdv: Boolean): Unit = {
@@ -3902,8 +3910,12 @@ object Snapshots {
   def branchView(spark: SparkSession, root: String, name: String): ManifestView = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val fork = refVersion(spark, root, name).getOrElse(
-      sys.error(s"no branch or tag '$name' under $root"))
+    // the pin may briefly lag (or vanish) inside a rebase's resync window
+    // — force it only on the marker-less path below
+    val forkPin = refVersion(spark, root, name)
+    require(
+      forkPin.isDefined || fs.exists(branchDir(rootPath, name)),
+      s"no branch or tag '$name' under $root")
     require(
       fs.exists(branchDir(rootPath, name)),
       s"'$name' on $root is an immutable tag, not a branch — createBranch for a writable fork")
@@ -3932,7 +3944,9 @@ object Snapshots {
     // [[branchForkVersion]], never the possibly-lagging ref).
     val lastRebase = manifests.lastIndexWhere(_._2.exists(_.startsWith("#fork ")))
     val (base, applied) =
-      if (lastRebase < 0) (fork, manifests)
+      if (lastRebase < 0)
+        (forkPin.getOrElse(
+          sys.error(s"branch '$name' has no fork pin — corrupt branch state")), manifests)
       else {
         val f = manifests(lastRebase)._2.find(_.startsWith("#fork ")).get
           .stripPrefix("#fork ").trim.toLong
@@ -4288,7 +4302,8 @@ object Snapshots {
         .toSeq
         .sorted
       if (scoped.isEmpty) return (branchRels.size.toLong, branchRels.size.toLong)
-      val dv = dvByRel(bv).filter { case (rel, _) => scoped.contains(rel) }
+      val scopedSet = scoped.toSet
+      val dv = dvByRel(bv).filter { case (rel, _) => scopedSet.contains(rel) }
       // one read of exactly the rewritten scopes, vectors applied — the
       // compactInPlace fold, branch-locally
       val df = scanRels(spark, root, scoped, bv.schema, dv)

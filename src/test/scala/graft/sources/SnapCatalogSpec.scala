@@ -1462,9 +1462,13 @@ class SnapCatalogSpec extends SparkSpec {
       (Long.MaxValue, "2024-01-01"),
       (Long.MaxValue, "2024-01-02")).toDF("m", "day")
     Sources.writeParquet(rows.repartition(col("day")), dir, partitionCols = Seq("day"))
-    // NO bloom columns declared: the sum sidecars must still build — the
-    // pooled pass is gated on statsCols, not on blooms
+    // NO bloom columns declared: a routine commit pays no sum-building
+    // data read (the table never opted in), so SUM falls back to a scan…
     Snapshots.commit(spark, dir, Seq("day", "m"))
+    assert(scanOf(spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")).isInstanceOf[SnapBatchScan])
+    // …until the explicit upgrade: CALL ndv_backfill builds the sum
+    // sidecars independently of blooms, and the discipline then sticks
+    Snapshots.backfillNdv(spark, dir)
     val df = spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")
     assert(scanOf(df).isInstanceOf[SnapAggScan], scanOf(df).description())
     assert(scanOf(df).description().contains("manifest-only"), scanOf(df).description())
@@ -1479,6 +1483,14 @@ class SnapCatalogSpec extends SparkSpec {
       val w = spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")
       assert(scanOf(w).isInstanceOf[SnapAggScan], scanOf(w).description())
       assert(w.head().getLong(0) == -2L, "non-ANSI SUM wraps to the 64-bit total")
+    }
+    // a LATER routine commit keeps the discipline for its new files
+    DeleteVectors.upsert(
+      spark, dir, Seq((5L, "2024-01-03")).toDF("m", "day"), Seq("day", "m"))
+    withConfs("spark.sql.ansi.enabled" -> "false") {
+      val w2 = spark.sql("SELECT sum(m) AS sm FROM snsumnb.t")
+      assert(scanOf(w2).description().contains("manifest-only"), scanOf(w2).description())
+      assert(w2.head().getLong(0) == 3L, "2 x Long.MaxValue + 5 wraps to 3")
     }
   }
 
