@@ -3399,7 +3399,252 @@ object Frontier3 {
       |  true AS fold_scoped_ok, true AS cdc_net_zero, true AS raw_agrees
       |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q245: incrementally-maintained MATERIALIZED VIEW --------------------
+
+  /** The dashboard rollup that never recomputes the table:
+    * `CALL mv_create` materializes a per-day aggregate of the stats table
+    * (count/sum/max), then two change windows land — a merge-on-read
+    * DELETE of one day's `click` row plus an appended row in another day,
+    * and a whole-day DELETE — and each `mv_refresh` re-prices at the
+    * CHANGE: affected group keys come from the row-level change feed
+    * (reads only the windows' changed files), exactly those groups
+    * re-aggregate through the upsert's partition-exact narrowing, and the
+    * outcome merges-on-read into the view ([[graft.sources.Mv]]). The
+    * proof is physical, q239-style: an UNTOUCHED day's source file is
+    * corrupted BEFORE the first refresh — a refresh that reads one byte
+    * past its affected groups' files dies loudly; `incr1_ok`/`incr2_ok`
+    * additionally pin the feed path (no silent full-resync downgrade) and
+    * the exact group counts, `noop_ok` pins the at-head no-op, and `u_max`
+    * pins max-under-delete — the aggregate delta-maintenance schemes
+    * cannot answer. At 100 TB: a day's CDC into the fact table makes the
+    * nightly MV refresh cost one day's files, not the table.
+    */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq245", Seq("day", "event_type"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent
+    val mvDir = new org.apache.hadoop.fs.Path(base, "daily").toString
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    s.sql(s"CALL $cat.mv_create(mv => 'daily', source => 'ev', keys => 'day', " +
+      "aggs => 'count(*) AS n_types; sum(n) AS n_tot; sum(sum_u) AS u_tot; max(sum_u) AS u_max')")
+    // window 1: one day loses its click row (its max must re-derive) and
+    // another day gains a brand-new event type
+    graft.sources.DeleteVectors.deleteWhere(
+      s,
+      dir,
+      col("event_type") === "click" && col("day") === lit(java.sql.Date.valueOf(m)))
+    graft.sources.DeleteVectors.upsert(
+      s,
+      dir,
+      s.sql(s"SELECT DATE'${m.plusDays(1)}' AS day, 'zzz' AS event_type, " +
+        "CAST(7 AS BIGINT) AS n, CAST(123456 AS BIGINT) AS sum_u"),
+      Seq("day", "event_type"))
+    // the narrowing canary: corrupt an UNTOUCHED day before any refresh —
+    // neither the change feed nor the re-aggregation may open it
+    val victim = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith(s"day=${m.plusDays(4)}/"))
+      .get
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val r1 = graft.sources.Mv.refresh(s, mvDir)
+    val incr1Ok = !r1.fullResync && r1.groupsRecomputed == 2L && r1.groupsDeleted == 0L
+    // window 2, through the SQL face: a whole day vanishes → its group deletes
+    graft.sources.DeleteVectors.deleteWhere(
+      s,
+      dir,
+      col("day") === lit(java.sql.Date.valueOf(m.plusDays(3))))
+    val r2 = s.sql(s"CALL $cat.mv_refresh(mv => 'daily')").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 0L && r2.getLong(3) == 1L
+    val r3 = graft.sources.Mv.refresh(s, mvDir)
+    val noopOk = r3.fromVersion == r3.toVersion && r3.groupsRecomputed == 0L
+    s.sql(s"SELECT day, n_types, n_tot, u_tot, u_max FROM $cat.daily ORDER BY day")
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("noop_ok", lit(noopOk))
+  }
+
+  val q245Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s),
+      |final AS (
+      |  SELECT s.* FROM s, b
+      |  WHERE NOT (event_type = 'click' AND day = m) AND day <> m + 3
+      |  UNION ALL
+      |  SELECT m + 1, 'zzz', CAST(7 AS BIGINT), CAST(123456 AS BIGINT) FROM b)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(su) AS BIGINT) AS u_tot, CAST(max(su) AS BIGINT) AS u_max,
+      |       true AS incr1_ok, true AS incr2_ok, true AS noop_ok
+      |FROM final GROUP BY day ORDER BY day""".stripMargin
+
+  // -- q246: time-based retention + orphan-file GC --------------------------
+
+  /** The table-hygiene pair production actually runs nightly.
+    * (1) ORPHAN GC: a crashed writer's landed-but-never-committed part
+    * file (planted here as a real parquet copied into another day's dir,
+    * backdated past the grace) costs storage forever and POISONS any
+    * listing-based read of the directory — `listing_poisoned` proves the
+    * poisoning is real, `CALL remove_orphans(dry_run)` lists without
+    * deleting, the reap removes exactly the stray, and `listing_agrees`
+    * proves a raw directory read again matches the manifest count.
+    * Manifest-driven reads never saw it ([[graft.sources.Snapshots
+    * .removeOrphans]]: lock + grace window is the standard lakehouse
+    * contract). (2) TIME-based retention: `CALL vacuum(retain_ms)` —
+    * "keep 7 days" spoken directly instead of guessing a version count; a
+    * generous window reclaims nothing, the zero window reclaims exactly
+    * the delete-replaced archive file while the head stays exact (the
+    * final hash). At 100 TB both are metadata-priced: one directory walk
+    * with an mtime test, one manifest-mtime listing.
+    */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq246", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    // v2: a COW delete rewrites day m's file (the old one archives)
+    graft.sources.Sources.deleteWhere(
+      s,
+      dir,
+      col("event_type") === "click" && col("day") === lit(java.sql.Date.valueOf(m)))
+    val manifestN = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+    // the crashed-writer stray: a REAL part file duplicated into another
+    // day's dir, aged past the grace
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val donor = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith(s"day=${m.plusDays(2)}/"))
+      .get
+    val stray = new org.apache.hadoop.fs.Path(dir, s"day=${m.plusDays(1)}/stray-crashed.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs,
+      new org.apache.hadoop.fs.Path(dir, donor),
+      fs,
+      stray,
+      false,
+      s.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 10000L
+    fs.setTimes(stray, old, old)
+    val listingPoisoned = s.read.parquet(dir).count() > manifestN
+    val dryOk = s
+      .sql(s"CALL $cat.remove_orphans(table => 'ev', grace_ms => 1000, dry_run => true)")
+      .head().getLong(0) == 1L && fs.exists(stray)
+    val reapedOk = s
+      .sql(s"CALL $cat.remove_orphans(table => 'ev', grace_ms => 1000)")
+      .head().getLong(0) == 1L && !fs.exists(stray)
+    val listingAgrees = s.read.parquet(dir).count() == manifestN
+    val keepAllOk = s
+      .sql(s"CALL $cat.vacuum(table => 'ev', retain_ms => ${3600L * 1000})")
+      .head().getLong(0) == 0L
+    val reclaimOk = s
+      .sql(s"CALL $cat.vacuum(table => 'ev', retain_ms => 0)")
+      .head().getLong(0) >= 1L
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(sum_u) AS BIGINT) AS u_live
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("listing_poisoned", lit(listingPoisoned))
+      .withColumn("dry_ok", lit(dryOk))
+      .withColumn("reaped_ok", lit(reapedOk))
+      .withColumn("listing_agrees", lit(listingAgrees))
+      .withColumn("keepall_ok", lit(keepAllOk))
+      .withColumn("reclaim_ok", lit(reclaimOk))
+  }
+
+  val q246Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s)
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_live, CAST(sum(su) AS BIGINT) AS u_live,
+      |       true AS listing_poisoned, true AS dry_ok, true AS reaped_ok,
+      |       true AS listing_agrees, true AS keepall_ok, true AS reclaim_ok
+      |FROM s, b WHERE NOT (event_type = 'click' AND day = m)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q247: CHECK constraints — the ingest-time data-quality gate ---------
+
+  /** `CALL add_check(…, expr => 'n > 0')` records a table-level CHECK
+    * that every commit thereafter enforces against its NEW files only
+    * ([[graft.sources.Constraints]], the O(delta) discipline): a
+    * violating SQL INSERT refuses BEFORE any manifest lands and rolls its
+    * landed part files back (`insert_refused` + `listing_agrees` — a raw
+    * directory read still equals the manifest count, so the refused batch
+    * can never be silently adopted later); a violating merge-on-read
+    * upsert image refuses the same way (`upsert_refused` — the landed
+    * images are deleted by the upsert's own commit-failure cleanup);
+    * `add_check` against data that already violates refuses with the
+    * violation count (`dirty_refused`); `drop_check` disables enforcement
+    * (`post_drop_ok` — the formerly-violating row then lands, and the
+    * oracle's recompute includes it). SQL-standard semantics: only FALSE
+    * violates, NULL passes. At 100 TB: the gate costs one scan of each
+    * commit's new files — the same delta the stats/bloom pass already
+    * reads — and a poisoned upstream batch stops at the table boundary
+    * instead of surfacing in next week's training run.
+    */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq247", Seq("day"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    // a check the existing data violates must refuse, with the count
+    val dirtyRefused =
+      try {
+        s.sql(s"CALL $cat.add_check(table => 'ev', name => 'huge', expr => 'sum_u < 0')").collect()
+        false
+      } catch { case e: Exception => e.getMessage.contains("existing row(s)") }
+    s.sql(s"CALL $cat.add_check(table => 'ev', name => 'n_pos', expr => 'n > 0')").collect()
+    val nBefore = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+    // a violating INSERT refuses and rolls its landing back
+    val insertRefused =
+      try {
+        s.sql(s"INSERT INTO $cat.ev VALUES ('__bad', CAST(-1 AS BIGINT), CAST(5 AS BIGINT), DATE'$m')")
+          .collect()
+        false
+      } catch { case e: Exception => e.getMessage.contains("n_pos") }
+    val nAfterRefused = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+    val listingAgrees = s.read.parquet(dir).count() == nAfterRefused && nAfterRefused == nBefore
+    // a violating merge-on-read upsert image refuses the same way
+    val upsertRefused =
+      try {
+        graft.sources.DeleteVectors.upsert(
+          s,
+          dir,
+          s.sql(s"SELECT DATE'$m' AS day, 'click' AS event_type, " +
+            "CAST(-7 AS BIGINT) AS n, CAST(1 AS BIGINT) AS sum_u"),
+          Seq("day", "event_type"))
+        false
+      } catch { case e: Exception => e.getMessage.contains("n_pos") }
+    // a clean row lands; then drop_check re-admits anything
+    s.sql(s"INSERT INTO $cat.ev VALUES ('__extra', CAST(7 AS BIGINT), CAST(123 AS BIGINT), DATE'$m')")
+      .collect()
+    s.sql(s"CALL $cat.drop_check(table => 'ev', name => 'n_pos')").collect()
+    s.sql(s"INSERT INTO $cat.ev VALUES ('__bad', CAST(-1 AS BIGINT), CAST(5 AS BIGINT), DATE'$m')")
+      .collect()
+    val postDropOk = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) == nBefore + 2L
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(sum_u) AS BIGINT) AS u_tot
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("dirty_refused", lit(dirtyRefused))
+      .withColumn("insert_refused", lit(insertRefused))
+      .withColumn("listing_agrees", lit(listingAgrees))
+      .withColumn("upsert_refused", lit(upsertRefused))
+      .withColumn("post_drop_ok", lit(postDropOk))
+  }
+
+  val q247Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1
+      |  UNION ALL SELECT '__extra', CAST(7 AS BIGINT), CAST(123 AS BIGINT)
+      |  UNION ALL SELECT '__bad', CAST(-1 AS BIGINT), CAST(5 AS BIGINT))
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(su) AS BIGINT) AS u_tot,
+      |       true AS dirty_refused, true AS insert_refused, true AS listing_agrees,
+      |       true AS upsert_refused, true AS post_drop_ok
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q247_check_constraints" -> (q247 _),
+    "q246_retention_gc" -> (q246 _),
+    "q245_incremental_mv" -> (q245 _),
     "q244_branch_cdc_replay" -> (q244 _),
     "q243_branch_rebase" -> (q243 _),
     "q242_decimal_sum_pushdown" -> (q242 _),
@@ -3451,6 +3696,9 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q247_check_constraints" -> q247Sql,
+    "q246_retention_gc" -> q246Sql,
+    "q245_incremental_mv" -> q245Sql,
     "q244_branch_cdc_replay" -> q244Sql,
     "q243_branch_rebase" -> q243Sql,
     "q242_decimal_sum_pushdown" -> q242Sql,

@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, lit, sum, when}
+
+/** Table-level CHECK constraints — the ingest-time data-quality gate:
+  * `addCheck(root, "rev_nonneg", "rev >= 0")` records an SQL predicate
+  * that every commit thereafter enforces against its NEW files only
+  * (the O(delta) discipline every other commit-time pass follows). A
+  * violating batch REFUSES before any manifest lands: readers never see
+  * it, the already-landed part files are unreferenced strays
+  * ([[Snapshots.removeOrphans]] reaps them), and pinned history is
+  * untouched.
+  *
+  * Semantics are SQL-standard CHECK: a row violates only when the
+  * predicate evaluates FALSE — NULL passes (constrain nullability with an
+  * explicit `x IS NOT NULL` check). [[addCheck]] validates the EXISTING
+  * table first (one full scan — a DDL price, paid once), so the invariant
+  * "every committed row satisfies every recorded check" holds from the
+  * moment a check exists; enforcement then rides every face that lands
+  * new rows — listing commits, lock-free appends, streaming epochs,
+  * merge-on-read upsert/CDC images, and branch appends (a branch adoption
+  * must not smuggle bad rows past the gate).
+  *
+  * Storage: one tiny file per check under `_graft_manifests/checks/` —
+  * parsed LOUDLY (the refs lesson: enforcement derives from it; silently
+  * skipping a garbled check would silently stop enforcing it). Cost when
+  * no checks exist: one directory probe per commit.
+  */
+object Constraints {
+
+  private def checksDir(root: Path): Path =
+    new Path(new Path(root, Snapshots.ManifestDirName), "checks")
+
+  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
+  private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The table's recorded checks, name → predicate SQL. Garbled files
+    * refuse loudly — enforcement must never silently shrink.
+    */
+  def checks(spark: SparkSession, root: String): Map[String, String] = {
+    val dir = checksDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Map.empty
+    else
+      fs.listStatus(dir)
+        .toSeq
+        .filterNot(st => st.getPath.getName.startsWith("."))
+        .map { st =>
+          val name = st.getPath.getName
+          val in = fs.open(st.getPath)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+          val ok = lines.headOption.contains("graft-check v1") &&
+            lines.drop(1).headOption.exists(_.startsWith("expr "))
+          if (!ok)
+            sys.error(
+              s"garbled CHECK constraint file ${st.getPath}: enforcement derives from it — " +
+                "restore the file or drop and re-add the check")
+          name -> dec(lines(1).stripPrefix("expr "))
+        }
+        .toMap
+  }
+
+  /** Record a CHECK after proving the EXISTING table satisfies it (one
+    * full scan, refused loudly with the violation count otherwise) —
+    * every later commit then enforces it at O(new files).
+    */
+  def addCheck(spark: SparkSession, root: String, name: String, predicateSql: String): Unit =
+    Snapshots.withTableLock(spark, root) {
+      require(
+        name.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+        s"check name '$name' must be a simple identifier (it names a metadata file)")
+      require(predicateSql.trim.nonEmpty, "addCheck: empty predicate")
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val p = new Path(checksDir(rootPath), name)
+      require(!fs.exists(p), s"check '$name' already exists on $root — drop it first")
+      require(
+        Snapshots.latestVersion(spark, root) > 0L,
+        s"addCheck($root): commit the table first — a check validates against committed data")
+      // prove the check against the CURRENT table before recording it
+      val view = Snapshots.manifestView(spark, root)
+      val live = view.rels.filterNot(r =>
+        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+      if (live.nonEmpty) {
+        val df = Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
+        val bad = violations(df, Map(name -> predicateSql))
+        require(
+          bad.isEmpty,
+          s"addCheck($root): ${bad.head._2} existing row(s) violate '$name' " +
+            s"(${predicateSql}) — fix the data first")
+      }
+      fs.mkdirs(p.getParent)
+      val tmp = new Path(p.getParent, s".check-tmp-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(tmp, true)
+      try out.write(s"graft-check v1\nexpr ${enc(predicateSql)}\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, p)) sys.error(s"recording check '$name' on $root failed")
+    }
+
+  /** Drop a check; returns whether it existed. */
+  def dropCheck(spark: SparkSession, root: String, name: String): Boolean =
+    Snapshots.withTableLock(spark, root) {
+      val p = new Path(checksDir(new Path(root)), name)
+      val fs = fsOf(spark, p)
+      fs.delete(p, false)
+    }
+
+  /** (check name, violating-row count) for every failed check — ONE agg
+    * pass over `df` evaluating all predicates at once. SQL CHECK null
+    * semantics: only FALSE violates.
+    */
+  private def violations(df: DataFrame, cs: Map[String, String]): Seq[(String, Long)] = {
+    val ordered = cs.toSeq.sortBy(_._1)
+    val aggCols = ordered.map { case (n, e) =>
+      sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)).as(s"__graft_check_$n")
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+    ordered.zipWithIndex.collect {
+      case ((n, _), i) if !row.isNullAt(i) && row.getLong(i) > 0L => (n, row.getLong(i))
+    }
+  }
+
+  /** The commit-side gate: refuse when any of `freshRels`' rows violates
+    * a recorded check. Called by every commit face with exactly the rels
+    * NEW in the version being built — zero cost (one directory probe)
+    * when the table has no checks. Scans through [[Snapshots.scanRels]]
+    * (hive partition values splice, so checks may reference partition
+    * columns).
+    */
+  private[sources] def enforce(
+      spark: SparkSession,
+      root: String,
+      freshRels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    if (freshRels.isEmpty) return
+    val cs = checks(spark, root)
+    if (cs.isEmpty) return
+    val df = Snapshots.scanRels(spark, root, freshRels, schema)
+    val bad = violations(df, cs)
+    if (bad.nonEmpty)
+      sys.error(
+        s"commit on $root refused: CHECK constraint ${bad.map { case (n, c) => s"'$n' ($c row(s))" }
+            .mkString(", ")} violated by the new data — nothing was committed; the landed " +
+          "part files are unreferenced (remove_orphans reaps them)")
+  }
+}

@@ -784,17 +784,7 @@ object DeleteVectors {
       try {
         val keyCount = keys0.count()
         val candidates =
-          if (alive.isEmpty) Seq.empty
-          else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
-            val relDf = partitionValuesDf(spark, view, alive, partCols)
-            val touched = keys0.select(partCols.map(col): _*).distinct()
-            relDf
-              .join(broadcast(touched), partCols.toSeq, "left_semi")
-              .select(col("__graft_scope_rel__"))
-              .collect()
-              .map(_.getString(0))
-              .toSeq
-          } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
+          candidateRelsForKeys(spark, root, view, alive, keys0, keyCount, keyCols, keyFields, partCols)
         val written: Seq[(String, String, Long)] =
           if (candidates.isEmpty) Seq.empty
           else {
@@ -1007,6 +997,36 @@ object DeleteVectors {
     * probe would be pure overhead on top of the real join that decides.
     */
   val BloomProbeMaxKeys = 4096L
+
+  /** The candidate-file set a distinct-key batch can possibly match —
+    * the shared narrowing front of every keyed merge-on-read op (upsert,
+    * CDC-apply, and [[Mv]]'s affected-group recompute). Keys covering the
+    * partition columns narrow partition-exactly in the typed domain;
+    * otherwise [[narrowByKeyStats]] applies the stats-interval + bloom
+    * tuple discipline. `keys0` must already be distinct (and should be
+    * persisted by the caller — this path counts and re-scans it).
+    */
+  private[sources] def candidateRelsForKeys(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      alive: Seq[String],
+      keys0: DataFrame,
+      keyCount: Long,
+      keyCols: Seq[String],
+      keyFields: Seq[StructField],
+      partCols: Seq[String]): Seq[String] =
+    if (alive.isEmpty) Seq.empty
+    else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
+      val relDf = partitionValuesDf(spark, view, alive, partCols)
+      val touched = keys0.select(partCols.map(col): _*).distinct()
+      relDf
+        .join(broadcast(touched), partCols.toSeq, "left_semi")
+        .select(col("__graft_scope_rel__"))
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+    } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
 
   /** Candidate narrowing when the MERGE keys do NOT cover the partition
     * columns — the batch [[deleteWhere]] three-stage discipline ported to

@@ -1,0 +1,429 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+import org.apache.spark.sql.types.StructField
+
+/** Incrementally-maintained MATERIALIZED VIEWS over snapshot tables —
+  * `CREATE MATERIALIZED VIEW … GROUP BY …` with a refresh that prices at
+  * the CHANGE, not the table.
+  *
+  * An MV is itself a snapshot table (so it time-travels, clones and
+  * vacuums like any other) holding `SELECT keys…, aggs… FROM source GROUP
+  * BY keys…`, plus one tiny definition file recording the source root,
+  * the group keys, the aggregate expressions, and the source version the
+  * view last reflected. [[refresh]] advances the view to the source's
+  * head in three bounded steps:
+  *
+  *  1. AFFECTED GROUPS: the row-level change feed between the watermark
+  *     and the head ([[graft.sources.snap.SnapChangesTable]] — reads only
+  *     the versions' CHANGED files, compaction cancels to zero) projected
+  *     onto the group keys, distinct. A day's CDC names a day's groups.
+  *  2. RECOMPUTE: exactly those groups re-aggregate from the source head.
+  *     This is full re-aggregation PER GROUP, so every aggregate is
+  *     maintainable — `min`/`max` under deletes included, where
+  *     delta-maintenance schemes go wrong. The scan is narrowed by the
+  *     merge-on-read upsert's own candidate discipline
+  *     ([[DeleteVectors.candidateRelsForKeys]]): group keys covering the
+  *     partition columns prune partition-exactly; otherwise key min/max
+  *     vs per-file stats intervals, then bloom tuple probes. A
+  *     day-keyed MV over a day-clustered 100 TB table recomputes from
+  *     ONE DAY's files.
+  *  3. APPLY: recomputed groups MERGE into the view (merge-on-read
+  *     upsert), groups whose last source row vanished DELETE — one
+  *     atomic MV version; the watermark advances only after it commits.
+  *
+  * Crash contract: the watermark write is AFTER the MV commit, so a crash
+  * between them replays the same window on the next refresh — the replay
+  * recomputes the same groups to the same values and the upsert lands a
+  * content-identical view (versions differ, content converges): the
+  * foreachBatch-upsert idempotence argument.
+  *
+  * Fallback contract: when the change window is no longer expressible
+  * (the source was vacuumed past the watermark), refresh DOWNGRADES to a
+  * full resync — every group key on either side counts as affected, the
+  * same apply path runs — and reports `fullResync = true`. Correctness
+  * never depends on the feed; only the price does.
+  *
+  * NULL group keys are legitimate `GROUP BY` groups but merge-on-read
+  * key-matching (SQL equality) can never vector them, so affected tuples
+  * carrying a NULL component take a dedicated pre-delete (null-safe
+  * predicate over the enumerated tuples, capped at [[NullKeyTupleMax]])
+  * and their fresh rows land as plain appends.
+  *
+  * Beyond the reference's surface (a KV store has no views); the design
+  * re-derives the lakehouse "incremental MV" idea over this format's own
+  * change feed + upsert machinery.
+  */
+object Mv {
+
+  /** A materialized view's recorded definition. `refreshedVersion` is the
+    * SOURCE manifest version the view currently reflects.
+    */
+  final case class MvDef(
+      sourceRoot: String,
+      keyCols: Seq[String],
+      aggExprs: Seq[String],
+      refreshedVersion: Long)
+
+  /** One refresh's outcome: the source window applied, how many groups
+    * recomputed / deleted, and whether the feed downgraded to a full
+    * resync.
+    */
+  final case class RefreshReport(
+      fromVersion: Long,
+      toVersion: Long,
+      groupsRecomputed: Long,
+      groupsDeleted: Long,
+      fullResync: Boolean)
+
+  /** Affected groups with a NULL key component are applied via an
+    * enumerated null-safe pre-delete, so they must be driver-countable;
+    * past this cap refresh refuses loudly (a grouping key that is NULL on
+    * ten thousand distinct groups is a modeling bug, not a workload).
+    */
+  val NullKeyTupleMax = 10000
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def defPath(mvRoot: Path): Path =
+    new Path(new Path(mvRoot, Snapshots.ManifestDirName), "mv/def")
+
+  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
+  private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Parse the view's definition file — LOUDLY (the [[Snapshots.refs]]
+    * lesson: refresh derives what to recompute from it, so silently
+    * tolerating a garbled line would silently build a wrong view).
+    */
+  def definition(spark: SparkSession, mvRoot: String): MvDef = {
+    val p = defPath(new Path(mvRoot))
+    val fs = fsOf(spark, p)
+    require(
+      fs.exists(p),
+      s"$mvRoot is not a materialized view — no definition at $p (create one with Mv.create)")
+    def fail(msg: String): Nothing =
+      sys.error(
+        s"garbled materialized-view definition $p: $msg — refusing to refresh; " +
+          "restore the file or recreate the view")
+    val in = fs.open(p)
+    val txt =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.headOption.isEmpty || lines.head != "graft-mv v1") fail("unknown header")
+    var source: Option[String] = None
+    var version: Option[Long] = None
+    val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.tail.foreach { l =>
+      l.split(" ", 2) match {
+        case Array("source", v) => source = Some(dec(v))
+        case Array("version", v) =>
+          version = Some(
+            try v.toLong
+            catch { case _: NumberFormatException => fail(s"unparseable version '$v'") })
+        case Array("key", v) => keys += dec(v)
+        case Array("agg", v) => aggs += dec(v)
+        case _ => fail(s"unparseable line '$l'")
+      }
+    }
+    if (keys.isEmpty) fail("no group keys recorded")
+    if (aggs.isEmpty) fail("no aggregate expressions recorded")
+    MvDef(
+      source.getOrElse(fail("no source recorded")),
+      keys.toSeq,
+      aggs.toSeq,
+      version.getOrElse(fail("no refreshed version recorded")))
+  }
+
+  /** Durably (re)write the definition — temp + rename, the marker
+    * discipline every watermark in this format uses.
+    */
+  private def writeDef(fs: FileSystem, mvRoot: Path, d: MvDef): Unit = {
+    val p = defPath(mvRoot)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".def-tmp-${java.util.UUID.randomUUID().toString}")
+    val body = (Seq("graft-mv v1", s"source ${enc(d.sourceRoot)}", s"version ${d.refreshedVersion}") ++
+      d.keyCols.map(k => s"key ${enc(k)}") ++
+      d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) sys.error(s"materialized-view definition update failed for $p")
+  }
+
+  /** `SELECT keys…, aggs… GROUP BY keys…` — THE aggregation, one shape at
+    * create and at every refresh (determinism of the recompute is what
+    * makes the crash-replay converge).
+    */
+  private def aggregated(src: DataFrame, d: MvDef): DataFrame =
+    src
+      .groupBy(d.keyCols.map(col): _*)
+      .agg(expr(d.aggExprs.head), d.aggExprs.tail.map(expr): _*)
+
+  /** Create the view: one full aggregation at the source's current head,
+    * committed as a snapshot table with stats AND bloom sidecars on the
+    * group keys (the refresh upsert's narrowing discipline rides them),
+    * then the definition file. `mvRoot` must be fresh.
+    */
+  def create(
+      spark: SparkSession,
+      sourceRoot: String,
+      mvRoot: String,
+      keyCols: Seq[String],
+      aggExprs: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "Mv.create: at least one group-key column")
+    require(aggExprs.nonEmpty, "Mv.create: at least one aggregate expression")
+    val srcV = Snapshots.latestVersion(spark, sourceRoot)
+    require(
+      srcV > 0L,
+      s"Mv.create: source $sourceRoot has no committed manifest — a view materializes a " +
+        "snapshot table (Snapshots.commit / createTable first)")
+    val mvPath = new Path(mvRoot)
+    val fs = fsOf(spark, mvPath)
+    require(
+      Snapshots.latestVersion(spark, mvRoot) == 0L && !fs.exists(defPath(mvPath)),
+      s"Mv.create: $mvRoot already holds a table or view — drop it or pick another root")
+    val d = MvDef(sourceRoot, keyCols, aggExprs, srcV)
+    val full = aggregated(Snapshots.readSnapshot(spark, sourceRoot, srcV), d)
+    val cols = full.columns.toSeq
+    require(
+      cols.take(keyCols.size) == keyCols,
+      s"Mv.create: group keys did not project as declared (got ${cols.mkString(", ")})")
+    val aliases = cols.drop(keyCols.size)
+    aliases.foreach(a =>
+      require(
+        a.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"Mv.create: aggregate column '$a' needs an explicit simple alias — " +
+          "write e.g. 'sum(x) AS total_x'"))
+    require(
+      (aliases ++ keyCols).distinct.size == aliases.size + keyCols.size,
+      s"Mv.create: duplicate output column among ${cols.mkString(", ")}")
+    Sources.writeParquet(full, mvRoot)
+    val v = Snapshots.commit(spark, mvRoot, keyCols, keyCols)
+    writeDef(fs, mvPath, d)
+    v
+  }
+
+  /** Advance the view to the source's current head. Returns the window
+    * applied and the group counts; a no-op (already at head) returns
+    * zeros. Snapshot-consistent under concurrent source writers: the
+    * whole refresh reads the source PINNED at the head observed on entry,
+    * and the watermark records exactly that version.
+    */
+  def refresh(spark: SparkSession, mvRoot: String): RefreshReport =
+    Snapshots.withTableLock(spark, mvRoot) {
+      val d = definition(spark, mvRoot)
+      val v1 = Snapshots.latestVersion(spark, d.sourceRoot)
+      require(
+        v1 >= d.refreshedVersion,
+        s"materialized view $mvRoot reflects source version ${d.refreshedVersion} but " +
+          s"${d.sourceRoot} is at $v1 — the source was replaced wholesale; recreate the view")
+      if (v1 == d.refreshedVersion)
+        return RefreshReport(v1, v1, 0L, 0L, fullResync = false)
+      val mvPath = new Path(mvRoot)
+      val fs = fsOf(spark, mvPath)
+      val incremental = affectedKeysViaChanges(spark, d, v1)
+      val affected = incremental.getOrElse {
+        // full resync: every group on either side is affected — same
+        // apply path, full price, still correct for every aggregate
+        val srcKeys = keysOf(spark, d.sourceRoot, v1, d.keyCols)
+        val mvKeys = keysOf(spark, mvRoot, -1L, d.keyCols)
+        srcKeys.unionByName(mvKeys).distinct().persist()
+      }
+      try {
+        val (rec, del) = applyDelta(spark, d, mvRoot, affected, v1)
+        writeDef(fs, mvPath, d.copy(refreshedVersion = v1))
+        RefreshReport(d.refreshedVersion, v1, rec, del, fullResync = incremental.isEmpty)
+      } finally affected.unpersist()
+    }
+
+  /** The distinct group keys of a pinned snapshot — empty-table-safe (a
+    * fully-deleted table yields an empty frame in the recorded schema
+    * instead of [[Snapshots.readSnapshot]]'s no-files refusal).
+    */
+  private def keysOf(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      keyCols: Seq[String]): DataFrame = {
+    val view = Snapshots.manifestView(spark, root, version)
+    val live = view.rels.filterNot(r =>
+      Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+    if (live.isEmpty) {
+      val sch = view.schema.getOrElse(sys.error(s"$root records no schema"))
+      val keyed = org.apache.spark.sql.types.StructType(
+        keyCols.map(c =>
+          sch.fields
+            .find(_.name == c)
+            .getOrElse(sys.error(s"group key '$c' is not a column of $root"))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keyed)
+    } else
+      Snapshots
+        .scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
+        .select(keyCols.map(col): _*)
+  }
+
+  /** The affected group keys via the row-level change feed — `None` when
+    * the window is no longer expressible (vacuumed predecessor data), in
+    * which case the caller downgrades to a full resync. The frame is
+    * persisted and FORCED here so a feed refusal surfaces before any MV
+    * mutation.
+    */
+  private def affectedKeysViaChanges(
+      spark: SparkSession,
+      d: MvDef,
+      v1: Long): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val keys =
+      try {
+        val tbl = new graft.sources.snap.SnapChangesTable(d.sourceRoot)
+        val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          Map(
+            "startingversion" -> (d.refreshedVersion + 1L).toString,
+            "endingversion" -> v1.toString).asJava)
+        val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          .create(tbl, None, None, opts)
+        org.apache.spark.sql.graft.Bridge
+          .ofRows(spark, rel)
+          .select(d.keyCols.map(col): _*)
+          .distinct()
+          .persist()
+      } catch {
+        case NonFatal(e) =>
+          log.warn(
+            s"materialized-view refresh: change feed for ${d.sourceRoot} " +
+              s"(${d.refreshedVersion}, $v1] not plannable (${e.getMessage}); full resync",
+            e)
+          return None
+      }
+    try {
+      keys.count() // force NOW: a vacuumed window surfaces here, not mid-apply
+      Some(keys)
+    } catch {
+      case NonFatal(e) =>
+        keys.unpersist()
+        log.warn(
+          s"materialized-view refresh: change feed for ${d.sourceRoot} " +
+            s"(${d.refreshedVersion}, $v1] unreadable (${e.getMessage}); full resync",
+          e)
+        None
+    }
+  }
+
+  /** Recompute `affected` groups from the source pinned at `v1` and merge
+    * the outcome into the view: fresh values upsert, vanished groups
+    * delete, NULL-keyed tuples pre-delete + append. Returns
+    * (groups recomputed, groups deleted).
+    */
+  private def applyDelta(
+      spark: SparkSession,
+      d: MvDef,
+      mvRoot: String,
+      affected: DataFrame,
+      v1: Long): (Long, Long) = {
+    val n = affected.count()
+    if (n == 0L) return (0L, 0L) // e.g. a pure-compaction window: nothing changed
+    val srcView = Snapshots.manifestView(spark, d.sourceRoot, v1)
+    val srcSchema = srcView.schema.getOrElse(
+      sys.error(s"source ${d.sourceRoot} records no schema — commit with statsCols first"))
+    val keyFields: Seq[StructField] = d.keyCols.map(c =>
+      srcSchema.fields
+        .find(_.name == c)
+        .getOrElse(sys.error(s"group key '$c' is no longer a column of ${d.sourceRoot}")))
+    // compare in the TABLE's key domain (the upsert prologue's cast)
+    val affectedCast =
+      affected.select(keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val srcPartCols =
+      if (srcView.partCols.nonEmpty) srcView.partCols
+      else Snapshots.partitionColsFromRels(srcView.rels)
+    val alive = srcView.rels.filterNot(r =>
+      Snapshots.fullyDeleted(srcView.stats.getOrElse(r, Map.empty)))
+    // NULL-keyed groups poison both the narrowing (stats min/max ignore
+    // nulls) and the upsert's key match (SQL equality) — detect them once
+    val nullCond = d.keyCols.map(col(_).isNull).reduce(_ || _)
+    val nullRows = affectedCast.filter(nullCond).limit(NullKeyTupleMax + 1).collect()
+    require(
+      nullRows.length <= NullKeyTupleMax,
+      s"refresh of $mvRoot: more than $NullKeyTupleMax affected groups carry a NULL " +
+        "group-key component — a NULL-heavy grouping key cannot merge-on-read; " +
+        "coalesce the key in the view definition")
+    val candidates =
+      if (nullRows.nonEmpty) alive // conservative: stats can't see null-keyed rows
+      else
+        DeleteVectors.candidateRelsForKeys(
+          spark, d.sourceRoot, srcView, alive, affectedCast, n, d.keyCols, keyFields, srcPartCols)
+    val mvSchema = Snapshots
+      .manifestView(spark, mvRoot)
+      .schema
+      .getOrElse(sys.error(s"materialized view $mvRoot records no schema"))
+    val recomputed = (if (candidates.isEmpty) {
+                        // every affected group's last row vanished: nothing to recompute
+                        spark.createDataFrame(
+                          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                          mvSchema)
+                      } else {
+                        val scan = Snapshots.scanRels(
+                          spark, d.sourceRoot, candidates, srcView.schema, Snapshots.dvByRel(srcView))
+                        val keysB =
+                          if (n <= Snapshots.DvBroadcastMaxPositions) broadcast(affectedCast)
+                          else affectedCast
+                        // null-safe semi-join: NULL is a legitimate group key
+                        val cond = d.keyCols.map(c => scan(c) <=> keysB(c)).reduce(_ && _)
+                        aggregated(scan.join(keysB, cond, "left_semi"), d)
+                      }).persist()
+    try {
+      val recKeys = recomputed.select(d.keyCols.map(col): _*)
+      val vanished = affectedCast
+        .join(recKeys, d.keyCols.map(c => affectedCast(c) <=> recKeys(c)).reduce(_ && _), "left_anti")
+        .persist()
+      try {
+        val recCount = recomputed.count()
+        val delCount = vanished.count()
+        if (nullRows.nonEmpty) {
+          // enumerate the null-keyed tuples' old view rows out of the way;
+          // their fresh rows then land as plain appends below. Not atomic
+          // with the apply commit — a crash between replays this window
+          // (watermark unadvanced) and the pre-delete is idempotent.
+          val pred = nullRows.toSeq
+            .map(r =>
+              d.keyCols.zipWithIndex
+                .map { case (c, i) =>
+                  val v = r.get(i)
+                  if (v == null) col(c).isNull else col(c) <=> lit(v)
+                }
+                .reduce(_ && _))
+            .reduce(_ || _)
+          DeleteVectors.deleteWhere(spark, mvRoot, pred)
+        }
+        val opCol = "__graft_mv_op__"
+        def shaped(df: DataFrame, keysOnly: Boolean): DataFrame =
+          df.select(mvSchema.fields.toSeq.map { f =>
+            (if (!keysOnly || d.keyCols.contains(f.name)) col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+        val changes = shaped(recomputed, keysOnly = false)
+          .withColumn(opCol, lit("u"))
+          .unionByName(shaped(vanished, keysOnly = true).withColumn(opCol, lit("d")))
+        DeleteVectors.applyChanges(spark, mvRoot, changes, d.keyCols, opCol)
+        (recCount, delCount)
+      } finally vanished.unpersist()
+    } finally recomputed.unpersist()
+  }
+}

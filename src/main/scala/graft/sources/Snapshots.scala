@@ -923,6 +923,14 @@ object Snapshots {
       val statsCols = statsCols0.filterNot(dropped.contains)
       val bloomCols = bloomCols0.filterNot(dropped.contains)
       val declared = prevView.flatMap(_.schema)
+      // CHECK constraints gate the version's NEW files before any
+      // sidecar or manifest side effect — a violating batch refuses here
+      // and readers never see it (O(new files), zero when no checks)
+      Constraints.enforce(
+        spark,
+        root,
+        files.filterNot(prevView.map(_.rels.toSet).getOrElse(Set.empty[String])),
+        declared)
       // once a table records schema metadata it never degrades back to a
       // bare file list: created/evolved schemas, tombstones and layout
       // must survive stats-less commits too
@@ -1134,6 +1142,7 @@ object Snapshots {
     // immutable file): computed once, reused across rebase attempts
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
+    var checksEnforced = false
     // the fresh files' merged footer schema is attempt-invariant unless a
     // concurrent DDL changes the declared base — cache it keyed by that
     // base so a rebase retry is metadata-only (like the stats and blooms)
@@ -1179,6 +1188,13 @@ object Snapshots {
       else {
         val version = prevV + 1L
         val statsCols = prev.statsCols
+        // CHECK constraints gate the appended files BEFORE sidecars or
+        // the manifest land; attempt-invariant (rels are immutable), so
+        // a rebase retry never re-scans
+        if (!checksEnforced) {
+          Constraints.enforce(spark, root, fresh, prev.schema)
+          checksEnforced = true
+        }
         // evolved schema: the declared base merged with what the new
         // files carry — one O(delta) footer-schema read, computed once
         // and reused across rebase attempts (recomputed only if a
@@ -1333,6 +1349,7 @@ object Snapshots {
       "commitRestated: a rel cannot be both added and removed")
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
+    var checksEnforced = false
     val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
     var result = -1L
     while (result < 0L) {
@@ -1347,6 +1364,12 @@ object Snapshots {
       require(
         dupes.isEmpty,
         s"commitRestated($root): added rel(s) already in v$prevV: ${dupes.take(3).mkString(", ")}")
+      // CHECK constraints gate the added files (upsert/CDC images, branch
+      // adoptions) before sidecars or the manifest land; attempt-invariant
+      if (added.nonEmpty && !checksEnforced) {
+        Constraints.enforce(spark, root, added, prev.schema)
+        checksEnforced = true
+      }
       if (prev.statsCols.nonEmpty) {
         val missingStats = added.filterNot(newStats.containsKey)
         parEach(missingStats) { rel =>
@@ -4052,6 +4075,9 @@ object Snapshots {
       })
     fs.delete(stage, true)
     if (rels.isEmpty) return Seq.empty
+    // CHECK constraints hold on branch lines too — a branch append that
+    // violated them would smuggle bad rows past the gate at fast-forward
+    Constraints.enforce(spark, root, rels, bv.schema)
     // the main commit's stats discipline, branch-locally: footer stats
     // per new file (pooled), value-index sidecars when the table has them
     val statsByRel = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
@@ -4578,6 +4604,100 @@ object Snapshots {
             .sorted
         }
       }
+    }
+  }
+
+  /** Time-based retention — [[vacuum]] with the keep-horizon derived from
+    * COMMIT TIME: every version committed within `retainMs` of now is
+    * retained (the latest always is), refs and branches retain exactly as
+    * in [[vacuum]]. This is how production retention is actually spoken
+    * ("keep 7 days"): a streaming table committing every minute and a
+    * nightly batch table express the same policy with the same call,
+    * where a version-count policy would need wildly different numbers.
+    * The horizon derives from [[manifestVersions]]' one directory listing
+    * (manifest mtime — the `TIMESTAMP AS OF` resolution base), so the
+    * call prices like vacuum itself. Returns the reclaimed archive rels.
+    */
+  def vacuumOlderThan(spark: SparkSession, root: String, retainMs: Long): Seq[String] = {
+    require(retainMs >= 0L, "vacuumOlderThan: retainMs must be non-negative")
+    withTableLock(spark, root) {
+      val latest = latestVersion(spark, root)
+      if (latest == 0L) Nil
+      else {
+        val cutoff = System.currentTimeMillis() - retainMs
+        // oldest version still inside the retention window; chain-only
+        // manifests below the vacuum anchor are listed too, but their
+        // mtimes are old by construction so they never extend the window
+        val keepFrom = manifestVersions(spark, root)
+          .collect { case (v, t) if t >= cutoff => v }
+          .minOption
+          .getOrElse(latest)
+        vacuum(spark, root, keepLast = math.min(Int.MaxValue.toLong, latest - keepFrom + 1L).toInt)
+      }
+    }
+  }
+
+  /** Reap ORPHAN data files: files in the table's live tree that no
+    * manifest references — a crashed writer's landed-but-never-committed
+    * strays. They cost storage forever and, worse, poison any
+    * listing-based read of the directory (the manifest-driven reads never
+    * see them). Safety is two-layered:
+    *
+    *  - the table LOCK serializes against every locked op mid-landing;
+    *  - the GRACE window (`graceMs`, default 24 h) protects the lock-FREE
+    *    writers (fenced appends, streaming epochs): a file younger than
+    *    the grace is never touched, so the policy contract is the
+    *    standard lakehouse one — keep the grace above your longest
+    *    in-flight write.
+    *
+    * Sound because maintenance ARCHIVES replaced files (never leaves them
+    * live), so the live tree of a healthy table is exactly the latest
+    * manifest's rels: anything else old enough to clear the grace is a
+    * stray by construction. Hidden trees (`.branch/`, `.snap-archive/`,
+    * `_graft_manifests/`) are never walked — branch leftovers die with
+    * their branch, archives belong to [[vacuum]]. `dryRun` lists without
+    * deleting. Returns the orphan rels.
+    */
+  def removeOrphans(
+      spark: SparkSession,
+      root: String,
+      graceMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    require(graceMs >= 0L, "removeOrphans: graceMs must be non-negative")
+    withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val latest = latestVersion(spark, root)
+      require(
+        latest > 0L,
+        s"removeOrphans($root): no committed manifest — nothing is referenced; refusing to " +
+          "treat the whole directory as orphans (commit first, or delete the directory)")
+      val referenced = manifestView(spark, root, latest).rels.toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      val rootUri = rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+      def walk(dir: Path): Seq[(String, Long)] =
+        fs.listStatus(dir).toSeq.filterNot(st => isHidden(st.getPath.getName)).flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq((rootUri.relativize(st.getPath.toUri).getPath, st.getModificationTime))
+        }
+      val orphans = walk(rootPath)
+        .collect { case (rel, mtime) if !referenced.contains(rel) && mtime < cutoff => rel }
+        .sorted
+      if (!dryRun) {
+        orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
+        // tidy now-empty partition dirs the strays may have created (a
+        // value no committed file ever had would otherwise linger as an
+        // empty k=v dir and confuse directory listings)
+        def prune(d: Path): Unit =
+          fs.listStatus(d).foreach { st =>
+            if (st.isDirectory && !isHidden(st.getPath.getName)) {
+              prune(st.getPath)
+              if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+            }
+          }
+        prune(rootPath)
+      }
+      orphans
     }
   }
 }

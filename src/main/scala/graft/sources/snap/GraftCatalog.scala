@@ -182,6 +182,8 @@ class GraftCatalog
       case "dvs" => Some(new SnapMetaTable(tableDir, version, "dvs"))
       case "refs" => Some(new SnapMetaTable(tableDir, version, "refs"))
       case "ndv" => Some(new SnapMetaTable(tableDir, version, "ndv"))
+      case "checks" => Some(new SnapMetaTable(tableDir, version, "checks"))
+      case "mv" => Some(new SnapMetaTable(tableDir, version, "mv"))
       case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }
@@ -588,6 +590,21 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
       StructType(Seq(
         StructField("column", StringType, nullable = false),
         StructField("ndv_estimate", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    case "checks" =>
+      // the table's CHECK constraints: what every commit enforces
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expr", StringType, nullable = false)))
+    case "mv" =>
+      // a materialized view's definition + staleness: one row, answering
+      // "what does this view compute and is it behind its source?"
+      StructType(Seq(
+        StructField("source", StringType, nullable = false),
+        StructField("keys", StringType, nullable = false),
+        StructField("aggs", StringType, nullable = false),
+        StructField("refreshed_version", LongType, nullable = false),
+        StructField("source_head", LongType, nullable = false),
+        StructField("stale", BooleanType, nullable = false)))
     case _ =>
       StructType(Seq(
         StructField("rel", StringType, nullable = false),
@@ -678,6 +695,20 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
         mv.bloomCols.sorted.flatMap { c =>
           Snapshots.mergedNdvEstimate(spark, dir, mv.rels, c).map(est => Row(c, est))
         }
+      case "checks" =>
+        graft.sources.Constraints.checks(spark, dir).toSeq.sortBy(_._1).map {
+          case (n, e) => Row(n, e)
+        }
+      case "mv" =>
+        val d = graft.sources.Mv.definition(spark, dir)
+        val head = Snapshots.latestVersion(spark, d.sourceRoot)
+        Seq(Row(
+          d.sourceRoot,
+          d.keyCols.mkString(","),
+          d.aggExprs.mkString("; "),
+          d.refreshedVersion,
+          head,
+          head != d.refreshedVersion))
       case "dvs" =>
         val mv = Snapshots.manifestView(spark, dir, version)
         mv.rels.flatMap { rel =>
@@ -956,9 +987,25 @@ object SnapWriteBuilder {
       // AQE the hint is a no-op and the write is merely what it was.
       val clustered =
         if (partCols.nonEmpty) data.hint("rebalance", partCols.map(col(_)): _*) else data
+      // the landing is rolled back if the commit refuses (a CHECK
+      // constraint violation): a later listing-based commit must never
+      // silently adopt a refused batch's files. The pre-listing is one
+      // extra directory walk on a path whose commit is listing-based
+      // (O(table)) anyway.
+      val preRels = Snapshots.listDataFiles(spark, dir).toSet
       val w = clustered.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(dir)
-      Snapshots.commit(spark, dir, statsCols)
+      try Snapshots.commit(spark, dir, statsCols)
+      catch {
+        case e: Throwable =>
+          val rootPath = new Path(dir)
+          val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Snapshots
+            .listDataFiles(spark, dir)
+            .filterNot(preRels)
+            .foreach(rel => fs.delete(new Path(rootPath, rel), false))
+          throw e
+      }
     }
   }
 }

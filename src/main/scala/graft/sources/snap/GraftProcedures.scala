@@ -172,13 +172,73 @@ private[snap] object GraftProcedures {
 
   private class Vacuum(rootDir: String) extends SnapProcedure("vacuum", rootDir) {
     override def description: String =
-      "drop manifests older than keep_last and reclaim unreferenced archive files"
+      "drop manifests older than keep_last and reclaim unreferenced archive files; " +
+        "retain_ms >= 0 switches to TIME-based retention (keep every version committed " +
+        "within the window — the 'keep 7 days' production policy), keep_last is then ignored"
     override def parameters(): Array[ProcedureParameter] =
-      Array(in("table", StringType), inDefault("keep_last", IntegerType, "1"))
+      Array(
+        in("table", StringType),
+        inDefault("keep_last", IntegerType, "1"),
+        inDefault("retain_ms", LongType, "-1"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = dirOf(input.getUTF8String(0).toString)
+      val retainMs = input.getLong(2)
       val reclaimed =
-        Snapshots.vacuum(spark, dirOf(input.getUTF8String(0).toString), input.getInt(1))
+        if (retainMs >= 0L) Snapshots.vacuumOlderThan(spark, dir, retainMs)
+        else Snapshots.vacuum(spark, dir, input.getInt(1))
       result(out("reclaimed_files" -> LongType), Seq(reclaimed.size.toLong))
+    }
+  }
+
+  private class AddCheck(rootDir: String) extends SnapProcedure("add_check", rootDir) {
+    override def description: String =
+      "record a table-level CHECK constraint (SQL-standard: a row violates only when the " +
+        "predicate is FALSE; NULL passes): existing data is validated first (refused loudly " +
+        "with the violation count otherwise), then every commit enforces it against its NEW " +
+        "files only — a violating batch refuses before any manifest lands"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType), in("expr", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      graft.sources.Constraints.addCheck(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString)
+      result(out("added" -> org.apache.spark.sql.types.BooleanType), Seq(true))
+    }
+  }
+
+  private class DropCheck(rootDir: String) extends SnapProcedure("drop_check", rootDir) {
+    override def description: String =
+      "drop a CHECK constraint by name; later commits stop enforcing it"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType), in("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val existed = graft.sources.Constraints.dropCheck(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString)
+      result(out("existed" -> org.apache.spark.sql.types.BooleanType), Seq(existed))
+    }
+  }
+
+  private class RemoveOrphans(rootDir: String) extends SnapProcedure("remove_orphans", rootDir) {
+    override def description: String =
+      "reap live-tree data files no manifest references (crashed writers' landed-but-never-" +
+        "committed strays): files younger than grace_ms are never touched — keep the grace " +
+        "above your longest in-flight write; dry_run lists without deleting"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(
+        in("table", StringType),
+        inDefault("grace_ms", LongType, (24L * 3600 * 1000).toString),
+        inDefault("dry_run", org.apache.spark.sql.types.BooleanType, "false"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val orphans = Snapshots.removeOrphans(
+        spark,
+        dirOf(input.getUTF8String(0).toString),
+        input.getLong(1),
+        input.getBoolean(2))
+      result(out("orphan_files" -> LongType), Seq(orphans.size.toLong))
     }
   }
 
@@ -452,6 +512,53 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class MvCreate(rootDir: String) extends SnapProcedure("mv_create", rootDir) {
+    override def description: String =
+      "create an incrementally-maintained MATERIALIZED VIEW over a snapshot table: one full " +
+        "aggregation now, then `mv_refresh` re-prices at the change — `keys` is a comma list " +
+        "of group columns, `aggs` a ';'-separated list of aggregate expressions with explicit " +
+        "aliases (e.g. 'sum(x) AS sx; count(*) AS n'); the view is itself a snapshot table " +
+        "with stats+bloom sidecars on the keys"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(
+        in("mv", StringType),
+        in("source", StringType),
+        in("keys", StringType),
+        in("aggs", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val keys = input.getUTF8String(2).toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val aggs = input.getUTF8String(3).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+      val v = graft.sources.Mv.create(
+        spark,
+        dirOf(input.getUTF8String(1).toString),
+        dirOf(input.getUTF8String(0).toString),
+        keys,
+        aggs)
+      result(out("version" -> LongType), Seq(v))
+    }
+  }
+
+  private class MvRefresh(rootDir: String) extends SnapProcedure("mv_refresh", rootDir) {
+    override def description: String =
+      "advance a materialized view to its source's head: affected groups come from the " +
+        "row-level change feed since the last refresh (compaction cancels to zero), exactly " +
+        "those groups re-aggregate (stats/bloom-narrowed scan) and merge-on-read into the " +
+        "view; a vacuumed change window downgrades to a full resync (full_resync = true)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("mv", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = graft.sources.Mv.refresh(spark, dirOf(input.getUTF8String(0).toString))
+      result(
+        out(
+          "from_version" -> LongType,
+          "to_version" -> LongType,
+          "groups_recomputed" -> LongType,
+          "groups_deleted" -> LongType,
+          "full_resync" -> org.apache.spark.sql.types.BooleanType),
+        Seq(r.fromVersion, r.toVersion, r.groupsRecomputed, r.groupsDeleted, r.fullResync))
+    }
+  }
+
   private class DropRef(rootDir: String) extends SnapProcedure("drop_ref", rootDir) {
     override def description: String =
       "drop a branch/tag ref — the pinned version becomes ordinary history the next vacuum may reclaim"
@@ -485,6 +592,11 @@ private[snap] object GraftProcedures {
     new CompactBranch(rootDir),
     new Rebase(rootDir),
     new DropBranch(rootDir),
+    new MvCreate(rootDir),
+    new MvRefresh(rootDir),
+    new RemoveOrphans(rootDir),
+    new AddCheck(rootDir),
+    new DropCheck(rootDir),
     new DropRef(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =

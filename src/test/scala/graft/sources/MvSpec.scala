@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Laws of the incrementally-maintained materialized view ([[Mv]]):
+  * create-equals-recompute, change-driven refresh (incl. min/max under
+  * deletes — the case delta-maintenance schemes get wrong), group
+  * deletion, no-op and crash-replay idempotence, the narrowing proof (a
+  * refresh whose window touched one partition never opens another's
+  * file), the vacuumed-window full-resync downgrade, NULL group keys,
+  * loud garbled definitions, and the SQL procedure faces.
+  */
+class MvSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Source fixture: a day-partitioned table with per-row (day, cat, v),
+    * stats on (day, cat) + bloom on cat so refresh exercises the full
+    * narrowing discipline. Rows are unique per (day, cat) so the source
+    * itself can mutate via merge-on-read upsert on those keys.
+    */
+  private def sourceTable(dir: String): Long = {
+    val base = Seq(
+      ("d01", "a", 10L),
+      ("d01", "b", 11L),
+      ("d02", "a", 20L),
+      ("d02", "b", 7L),
+      ("d03", "a", 30L),
+      ("d03", "c", 3L)).toDF("day", "cat", "v")
+    Sources.writeParquet(base.repartition(1), dir, partitionCols = Seq("day"))
+    Snapshots.commit(spark, dir, Seq("day", "cat"), Seq("cat"))
+  }
+
+  private def mvRows(mvRoot: String): Set[(String, Long, Long, Long)] =
+    Snapshots
+      .readSnapshot(spark, mvRoot)
+      .select($"day", $"n", $"sv", $"mx")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def recomputed(srcRoot: String): Set[(String, Long, Long, Long)] =
+    Snapshots
+      .readSnapshot(spark, srcRoot)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), max($"v").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def fixture(tag: String): (String, String) = {
+    val base = Files.createTempDirectory(tag).toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    sourceTable(src)
+    (src, mv)
+  }
+
+  private val aggs = Seq("count(*) AS n", "sum(v) AS sv", "max(v) AS mx")
+
+  test("create materializes the full aggregation and records the definition") {
+    val (src, mv) = fixture("mv_create")
+    val v = Mv.create(spark, src, mv, Seq("day"), aggs)
+    assert(v == 1L)
+    assert(mvRows(mv) == recomputed(src))
+    val d = Mv.definition(spark, mv)
+    assert(d.sourceRoot == src && d.keyCols == Seq("day") && d.aggExprs == aggs)
+    assert(d.refreshedVersion == Snapshots.latestVersion(spark, src))
+    // the view is a real snapshot table: stats + blooms on the keys
+    val view = Snapshots.manifestView(spark, mv)
+    assert(view.statsCols == Seq("day") && view.bloomCols == Seq("day"))
+  }
+
+  test("create refuses unaliased aggregates and occupied roots") {
+    val (src, mv) = fixture("mv_refuse")
+    val e = intercept[IllegalArgumentException] {
+      Mv.create(spark, src, mv, Seq("day"), Seq("sum(v)"))
+    }
+    assert(e.getMessage.contains("alias"))
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val e2 = intercept[IllegalArgumentException] {
+      Mv.create(spark, src, mv, Seq("day"), aggs)
+    }
+    assert(e2.getMessage.contains("already"))
+  }
+
+  test("refresh applies an upsert window incrementally: update + new group, min/max exact") {
+    val (src, mv) = fixture("mv_incr")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    // update one row of day 2 (its max shrinks from 20 to 5 — the re-agg
+    // must see it) and insert a brand-new day
+    DeleteVectors.upsert(
+      spark,
+      src,
+      Seq(("d02", "a", 5L), ("d04", "z", 99L)).toDF("day", "cat", "v"),
+      Seq("day", "cat"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync, "the change window must come from the feed, not a resync")
+    assert(r.groupsRecomputed == 2L && r.groupsDeleted == 0L)
+    assert(r.toVersion == Snapshots.latestVersion(spark, src))
+    assert(mvRows(mv) == recomputed(src))
+    assert(mvRows(mv).contains(("d02", 2L, 12L, 7L)), "max must SHRINK under the update")
+  }
+
+  test("refresh deletes a group whose last source row vanished") {
+    val (src, mv) = fixture("mv_del")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    DeleteVectors.deleteWhere(spark, src, $"day" === "d03")
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsDeleted == 1L)
+    assert(mvRows(mv) == recomputed(src))
+    assert(!mvRows(mv).exists(_._1 == "d03"))
+  }
+
+  test("refresh at head is a no-op: no new MV version, zero counts") {
+    val (src, mv) = fixture("mv_noop")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val vBefore = Snapshots.latestVersion(spark, mv)
+    val r = Mv.refresh(spark, mv)
+    assert(r.fromVersion == r.toVersion && r.groupsRecomputed == 0L && r.groupsDeleted == 0L)
+    assert(Snapshots.latestVersion(spark, mv) == vBefore)
+  }
+
+  test("a refresh window touching one partition never opens another partition's file") {
+    val (src, mv) = fixture("mv_narrow")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    DeleteVectors.upsert(spark, src, Seq(("d02", "a", 6L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    // corrupt an UNTOUCHED day's file: if the recompute scan (or a silent
+    // full-resync downgrade) reads it, the refresh dies loudly
+    val victim = Snapshots.files(spark, src).find(_.startsWith("day=d03/")).get
+    val p = Snapshots.resolve(spark, src, victim)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(p, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L)
+    // day 2's row reflects the update; day 3's MV row survives from create
+    assert(mvRows(mv).contains(("d02", 2L, 13L, 7L)))
+    assert(mvRows(mv).contains(("d03", 2L, 33L, 30L)))
+  }
+
+  test("crash-replay: a watermark that did not advance replays to a content-identical view") {
+    val (src, mv) = fixture("mv_crash")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val d0 = Mv.definition(spark, mv)
+    DeleteVectors.upsert(spark, src, Seq(("d01", "a", 1L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    assert(!Mv.refresh(spark, mv).fullResync)
+    val afterFirst = mvRows(mv)
+    // simulate the crash window: MV commit landed, watermark write lost —
+    // rewind the recorded version line to the pre-refresh value
+    val p = new org.apache.hadoop.fs.Path(s"$mv/${Snapshots.ManifestDirName}/mv/def")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val rewound =
+      txt.replaceAll("(?m)^version \\d+$", s"version ${d0.refreshedVersion}")
+    val out2 = fs.create(p, true)
+    try out2.write(rewound.getBytes("UTF-8"))
+    finally out2.close()
+    val replay = Mv.refresh(spark, mv)
+    assert(replay.groupsRecomputed == 1L, "the stale watermark must replay the window")
+    assert(mvRows(mv) == afterFirst, "the replay must converge to the same content")
+    assert(Mv.definition(spark, mv).refreshedVersion == Snapshots.latestVersion(spark, src))
+  }
+
+  test("a vacuumed change window downgrades to a full resync — still exact") {
+    val (src, mv) = fixture("mv_resync")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    // a COW delete rewrites day 2's file (archiving the old one), then
+    // vacuum destroys the archive — the feed can no longer read the
+    // removed side of that version
+    Sources.deleteWhere(spark, src, $"day" === "d02" && $"cat" === "b")
+    Snapshots.vacuum(spark, src, keepLast = 1)
+    val r = Mv.refresh(spark, mv)
+    assert(r.fullResync, "the destroyed window must downgrade, not fail")
+    assert(mvRows(mv) == recomputed(src))
+  }
+
+  test("NULL group keys are legitimate groups: updated, deleted and recreated exactly") {
+    val base = Files.createTempDirectory("mv_null").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val rows = Seq(
+      (Some("x"), 1L, 10L),
+      (Some("y"), 2L, 20L),
+      (None, 3L, 30L),
+      (None, 4L, 40L)).toDF("k", "id", "v")
+    Sources.writeParquet(rows.repartition(1), src)
+    Snapshots.commit(spark, src, Seq("k", "id"))
+    Mv.create(spark, src, mv, Seq("k"), Seq("count(*) AS n", "sum(v) AS sv"))
+    def mvState(): Set[(Option[String], Long, Long)] =
+      Snapshots
+        .readSnapshot(spark, mv)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(mvState() == Set((Some("x"), 1L, 10L), (Some("y"), 1L, 20L), (None, 2L, 70L)))
+    // mutate the NULL group: one row updated, so the group recomputes
+    DeleteVectors.upsert(spark, src, Seq((Option.empty[String], 3L, 35L)).toDF("k", "id", "v"), Seq("id"))
+    val r = Mv.refresh(spark, mv)
+    assert(r.groupsRecomputed == 1L)
+    assert(mvState() == Set((Some("x"), 1L, 10L), (Some("y"), 1L, 20L), (None, 2L, 75L)))
+    assert(
+      Snapshots.readSnapshot(spark, mv).filter($"k".isNull).count() == 1L,
+      "the NULL group must not duplicate across refreshes")
+    // delete the NULL group wholesale
+    DeleteVectors.deleteWhere(spark, src, $"k".isNull)
+    val r2 = Mv.refresh(spark, mv)
+    assert(r2.groupsDeleted == 1L)
+    assert(mvState() == Set((Some("x"), 1L, 10L), (Some("y"), 1L, 20L)))
+  }
+
+  test("MVs cascade: a view over a view refreshes incrementally off the upstream's own feed") {
+    val base = Files.createTempDirectory("mv_cascade").toString
+    val src = s"$base/src"
+    val mv1 = s"$base/daily"
+    val mv2 = s"$base/total"
+    sourceTable(src)
+    // mv1: per-day rollup of the source; mv2: per-CAT-COUNT distribution
+    // over mv1 (groups of mv1 rows — deletes/updates upstream must ripple)
+    Mv.create(spark, src, mv1, Seq("day"), aggs)
+    Mv.create(spark, mv1, mv2, Seq("n"), Seq("count(*) AS days", "sum(sv) AS sv_tot"))
+    def recompute2(): Set[(Long, Long, Long)] =
+      Snapshots
+        .readSnapshot(spark, mv1)
+        .groupBy($"n")
+        .agg(count(lit(1)).as("days"), sum($"sv").as("sv_tot"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    def mv2Rows(): Set[(Long, Long, Long)] =
+      Snapshots
+        .readSnapshot(spark, mv2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(mv2Rows() == recompute2())
+    // upstream change: day d03 loses a row (n 2→1) and d04 appears (n 1)
+    DeleteVectors.deleteWhere(spark, src, $"day" === "d03" && $"cat" === "c")
+    DeleteVectors.upsert(spark, src, Seq(("d04", "z", 9L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r1 = Mv.refresh(spark, mv1)
+    assert(!r1.fullResync && r1.groupsRecomputed == 2L)
+    // mv2 refreshes off MV1's OWN change feed (the applyChanges version)
+    val r2 = Mv.refresh(spark, mv2)
+    assert(!r2.fullResync, "the downstream view must ride the upstream's feed")
+    assert(mv2Rows() == recompute2())
+    assert(mvRows(mv1) == recomputed(src), "the chain stays exact end-to-end")
+  }
+
+  test("a garbled definition refuses loudly instead of refreshing wrong") {
+    val (src, mv) = fixture("mv_garbled")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val p = new org.apache.hadoop.fs.Path(s"$mv/${Snapshots.ManifestDirName}/mv/def")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("graft-mv v1\nsource ok\nnonsense line\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[RuntimeException] { Mv.refresh(spark, mv) }
+    assert(e.getMessage.contains("garbled"))
+  }
+
+  test("SQL faces: CALL mv_create / mv_refresh; the view reads as a catalog table") {
+    val base = Files.createTempDirectory("mv_sql").toString
+    sourceTable(s"$base/src")
+    val cat = s"mvsql_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark
+      .sql(s"CALL $cat.mv_create(mv => 'daily', source => 'src', keys => 'day', " +
+        "aggs => 'count(*) AS n; sum(v) AS sv; max(v) AS mx')")
+      .collect()
+    DeleteVectors.upsert(
+      spark,
+      s"$base/src",
+      Seq(("d01", "b", 100L)).toDF("day", "cat", "v"),
+      Seq("day", "cat"))
+    val row = spark.sql(s"CALL $cat.mv_refresh(mv => 'daily')").head()
+    assert(row.getLong(2) == 1L && !row.getBoolean(4))
+    val got = spark
+      .sql(s"SELECT day, n, sv, mx FROM $cat.daily ORDER BY day")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == recomputed(s"$base/src"))
+    // the `mv` metadata table: definition + staleness in one SQL row
+    val meta = spark.sql(s"SELECT * FROM $cat.daily.mv").head()
+    assert(meta.getAs[String]("keys") == "day" && !meta.getAs[Boolean]("stale"))
+    DeleteVectors.upsert(
+      spark,
+      s"$base/src",
+      Seq(("d01", "zz", 1L)).toDF("day", "cat", "v"),
+      Seq("day", "cat"))
+    assert(
+      spark.sql(s"SELECT stale FROM $cat.daily.mv").head().getBoolean(0),
+      "a source commit past the watermark must read as stale")
+  }
+}
