@@ -3641,7 +3641,65 @@ object Frontier3 {
       |       true AS upsert_refused, true AS post_drop_ok
       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -- q248: a FILTERED materialized view kept LIVE by the refresh stream --
+
+  /** The always-fresh filtered rollup: `CALL mv_create(…, where =>
+    * "event_type = 'click'")` materializes only the click rows per day,
+    * and [[graft.streaming.Streaming.mvRefreshStream]] — a manifest-log
+    * stream on the SOURCE — wakes a refresh whenever any commit lands, so
+    * the view follows the table with no scheduler. Exactly-once costs
+    * nothing extra: the refresh is watermark-driven, so replayed or
+    * coalesced triggers are no-ops. Two commits land while the stream
+    * runs: an in-filter insert (a synthetic click day — the view gains
+    * its group) and an out-of-filter insert (a view-event day — the
+    * filter excludes it BOTH from the affected-key feed and from the
+    * recompute, `no_phantom`); `fresh_ok` pins the watermark at the
+    * source head and `cat.clicks.mv` must read `stale = false`. At
+    * 100 TB: the dashboard's click rollup refreshes within a trigger of
+    * every commit, each wake priced at the commit's own changed groups.
+    */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq248", Seq("day", "event_type"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent
+    val mvDir = new org.apache.hadoop.fs.Path(base, "clicks").toString
+    s.sql(s"CALL $cat.mv_create(mv => 'clicks', source => 'ev', keys => 'day', " +
+      "aggs => 'sum(n) AS n_clicks; sum(sum_u) AS u_clicks', " +
+      "where => \"event_type = 'click'\")")
+    val q = graft.streaming.Streaming.mvRefreshStream(
+      s, mvDir, new org.apache.hadoop.fs.Path(base, "ckpt").toString)
+    val (freshOk, noPhantom) =
+      try {
+        q.processAllAvailable() // drains the create-time manifests: no-op
+        s.sql(s"INSERT INTO $cat.ev VALUES ('click', CAST(7 AS BIGINT), CAST(42 AS BIGINT), DATE'1999-12-31')")
+          .collect()
+        s.sql(s"INSERT INTO $cat.ev VALUES ('view', CAST(5 AS BIGINT), CAST(5 AS BIGINT), DATE'1999-12-30')")
+          .collect()
+        q.processAllAvailable() // the commits' manifests wake the refresh
+        val fresh = graft.sources.Mv.definition(s, mvDir).refreshedVersion ==
+          graft.sources.Snapshots.latestVersion(s, dir) &&
+          !s.sql(s"SELECT stale FROM $cat.clicks.mv").head().getBoolean(0)
+        val phantomFree = s
+          .sql(s"SELECT count(*) FROM $cat.clicks WHERE day = DATE'1999-12-30'")
+          .head().getLong(0) == 0L
+        (fresh, phantomFree)
+      } finally q.stop()
+    s.sql(s"SELECT day, n_clicks, u_clicks FROM $cat.clicks ORDER BY day")
+      .withColumn("fresh_ok", lit(freshOk))
+      .withColumn("no_phantom", lit(noPhantom))
+  }
+
+  val q248Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events WHERE event_type = 'click' GROUP BY 1
+      |  UNION ALL SELECT DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT))
+      |SELECT day, CAST(sum(n) AS BIGINT) AS n_clicks, CAST(sum(su) AS BIGINT) AS u_clicks,
+      |       true AS fresh_ok, true AS no_phantom
+      |FROM s GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q248_mv_live" -> (q248 _),
     "q247_check_constraints" -> (q247 _),
     "q246_retention_gc" -> (q246 _),
     "q245_incremental_mv" -> (q245 _),
@@ -3696,6 +3754,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q248_mv_live" -> q248Sql,
     "q247_check_constraints" -> q247Sql,
     "q246_retention_gc" -> q246Sql,
     "q245_incremental_mv" -> q245Sql,

@@ -70,7 +70,8 @@ object Mv {
       sourceRoot: String,
       keyCols: Seq[String],
       aggExprs: Seq[String],
-      refreshedVersion: Long)
+      refreshedVersion: Long,
+      filterSql: Option[String] = None)
 
   /** One refresh's outcome: the source window applied, how many groups
     * recomputed / deleted, and whether the feed downgraded to a full
@@ -128,11 +129,13 @@ object Mv {
     if (lines.headOption.isEmpty || lines.head != "graft-mv v1") fail("unknown header")
     var source: Option[String] = None
     var version: Option[Long] = None
+    var filterSql: Option[String] = None
     val keys = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
     lines.tail.foreach { l =>
       l.split(" ", 2) match {
         case Array("source", v) => source = Some(dec(v))
+        case Array("filter", v) => filterSql = Some(dec(v))
         case Array("version", v) =>
           version = Some(
             try v.toLong
@@ -148,7 +151,8 @@ object Mv {
       source.getOrElse(fail("no source recorded")),
       keys.toSeq,
       aggs.toSeq,
-      version.getOrElse(fail("no refreshed version recorded")))
+      version.getOrElse(fail("no refreshed version recorded")),
+      filterSql)
   }
 
   /** Durably (re)write the definition — temp + rename, the marker
@@ -159,6 +163,7 @@ object Mv {
     fs.mkdirs(p.getParent)
     val tmp = new Path(p.getParent, s".def-tmp-${java.util.UUID.randomUUID().toString}")
     val body = (Seq("graft-mv v1", s"source ${enc(d.sourceRoot)}", s"version ${d.refreshedVersion}") ++
+      d.filterSql.map(f => s"filter ${enc(f)}").toSeq ++
       d.keyCols.map(k => s"key ${enc(k)}") ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
@@ -173,7 +178,8 @@ object Mv {
     * makes the crash-replay converge).
     */
   private def aggregated(src: DataFrame, d: MvDef): DataFrame =
-    src
+    d.filterSql
+      .fold(src)(f => src.filter(expr(f)))
       .groupBy(d.keyCols.map(col): _*)
       .agg(expr(d.aggExprs.head), d.aggExprs.tail.map(expr): _*)
 
@@ -187,7 +193,8 @@ object Mv {
       sourceRoot: String,
       mvRoot: String,
       keyCols: Seq[String],
-      aggExprs: Seq[String]): Long = {
+      aggExprs: Seq[String],
+      filterSql: Option[String] = None): Long = {
     require(keyCols.nonEmpty, "Mv.create: at least one group-key column")
     require(aggExprs.nonEmpty, "Mv.create: at least one aggregate expression")
     val srcV = Snapshots.latestVersion(spark, sourceRoot)
@@ -200,7 +207,7 @@ object Mv {
     require(
       Snapshots.latestVersion(spark, mvRoot) == 0L && !fs.exists(defPath(mvPath)),
       s"Mv.create: $mvRoot already holds a table or view — drop it or pick another root")
-    val d = MvDef(sourceRoot, keyCols, aggExprs, srcV)
+    val d = MvDef(sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty))
     val full = aggregated(Snapshots.readSnapshot(spark, sourceRoot, srcV), d)
     val cols = full.columns.toSeq
     require(
@@ -243,8 +250,8 @@ object Mv {
       val affected = incremental.getOrElse {
         // full resync: every group on either side is affected — same
         // apply path, full price, still correct for every aggregate
-        val srcKeys = keysOf(spark, d.sourceRoot, v1, d.keyCols)
-        val mvKeys = keysOf(spark, mvRoot, -1L, d.keyCols)
+        val srcKeys = keysOf(spark, d.sourceRoot, v1, d.keyCols, d.filterSql)
+        val mvKeys = keysOf(spark, mvRoot, -1L, d.keyCols, None)
         srcKeys.unionByName(mvKeys).distinct().persist()
       }
       try {
@@ -262,7 +269,8 @@ object Mv {
       spark: SparkSession,
       root: String,
       version: Long,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String],
+      filterSql: Option[String]): DataFrame = {
     val view = Snapshots.manifestView(spark, root, version)
     val live = view.rels.filterNot(r =>
       Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
@@ -274,10 +282,10 @@ object Mv {
             .find(_.name == c)
             .getOrElse(sys.error(s"group key '$c' is not a column of $root"))))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keyed)
-    } else
-      Snapshots
-        .scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
-        .select(keyCols.map(col): _*)
+    } else {
+      val df = Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
+      filterSql.fold(df)(f => df.filter(expr(f))).select(keyCols.map(col): _*)
+    }
   }
 
   /** The affected group keys via the row-level change feed — `None` when
@@ -300,8 +308,9 @@ object Mv {
             "endingversion" -> v1.toString).asJava)
         val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           .create(tbl, None, None, opts)
-        org.apache.spark.sql.graft.Bridge
-          .ofRows(spark, rel)
+        val feed = org.apache.spark.sql.graft.Bridge.ofRows(spark, rel)
+        d.filterSql
+          .fold(feed)(f => feed.filter(expr(f)))
           .select(d.keyCols.map(col): _*)
           .distinct()
           .persist()

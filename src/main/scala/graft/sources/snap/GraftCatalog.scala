@@ -602,6 +602,7 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("source", StringType, nullable = false),
         StructField("keys", StringType, nullable = false),
         StructField("aggs", StringType, nullable = false),
+        StructField("filter", StringType, nullable = true),
         StructField("refreshed_version", LongType, nullable = false),
         StructField("source_head", LongType, nullable = false),
         StructField("stale", BooleanType, nullable = false)))
@@ -706,6 +707,7 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
           d.sourceRoot,
           d.keyCols.mkString(","),
           d.aggExprs.mkString("; "),
+          d.filterSql.orNull,
           d.refreshedVersion,
           head,
           head != d.refreshedVersion))

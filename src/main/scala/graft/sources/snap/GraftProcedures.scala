@@ -524,7 +524,8 @@ private[snap] object GraftProcedures {
         in("mv", StringType),
         in("source", StringType),
         in("keys", StringType),
-        in("aggs", StringType))
+        in("aggs", StringType),
+        inDefault("where", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val keys = input.getUTF8String(2).toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       val aggs = input.getUTF8String(3).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -533,7 +534,8 @@ private[snap] object GraftProcedures {
         dirOf(input.getUTF8String(1).toString),
         dirOf(input.getUTF8String(0).toString),
         keys,
-        aggs)
+        aggs,
+        Some(input.getUTF8String(4).toString).map(_.trim).filter(_.nonEmpty))
       result(out("version" -> LongType), Seq(v))
     }
   }

@@ -543,6 +543,34 @@ object Streaming {
       .start()
   }
 
+  /** Keep a materialized view CONTINUOUSLY fresh: a manifest-log stream
+    * on the view's SOURCE table wakes a refresh whenever any commit lands.
+    * Exactly-once needs no machinery here — [[graft.sources.Mv.refresh]]
+    * is watermark-driven and idempotent, so a replayed or coalesced
+    * trigger is a free no-op and a crash between triggers loses nothing
+    * (the next wake catches up to the head in one refresh). The
+    * always-fresh dashboard rollup at change prices: each wake costs the
+    * affected groups' files, never the table.
+    */
+  def mvRefreshStream(
+      spark: SparkSession,
+      mvRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.{Mv, Snapshots}
+    val source = Mv.definition(spark, mvRoot).sourceRoot
+    spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "v*.manifest")
+      .load(s"$source/${Snapshots.ManifestDirName}")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Mv.refresh(spark, mvRoot)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming MERGE-on-read upsert sink — the `foreachBatch` body that
     * prices a streaming CDC-apply like the batch MoR DML: each micro-
     * batch's matched table rows become deletion-vector positions and the

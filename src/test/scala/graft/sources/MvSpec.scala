@@ -257,6 +257,60 @@ class MvSpec extends SparkSpec {
     assert(mvRows(mv1) == recomputed(src), "the chain stays exact end-to-end")
   }
 
+  test("filtered MVs: the WHERE rides create, refresh and both sides of an update") {
+    val base = Files.createTempDirectory("mv_filter").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    sourceTable(src)
+    // only 'a'-cat rows count; group per day
+    Mv.create(spark, src, mv, Seq("day"), aggs, Some("cat = 'a'"))
+    def expected(): Set[(String, Long, Long, Long)] =
+      Snapshots
+        .readSnapshot(spark, src)
+        .filter($"cat" === "a")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"), max($"v").as("mx"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(mvRows(mv) == expected())
+    assert(Mv.definition(spark, mv).filterSql.contains("cat = 'a'"))
+    // an update that moves a row OUT of the filtered set must still
+    // affect its group (the delete side of the change passes the filter)
+    DeleteVectors.upsert(spark, src, Seq(("d03", "a", 31L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r1 = Mv.refresh(spark, mv)
+    assert(!r1.fullResync && r1.groupsRecomputed == 1L)
+    assert(mvRows(mv) == expected())
+    // a change touching ONLY filtered-out rows is a zero-group no-op
+    DeleteVectors.upsert(spark, src, Seq(("d01", "b", 99L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 0L && r2.groupsDeleted == 0L)
+    // deleting the last in-filter row of a day deletes the group even
+    // though out-of-filter rows for that day survive
+    DeleteVectors.deleteWhere(spark, src, $"day" === "d02" && $"cat" === "a")
+    val r3 = Mv.refresh(spark, mv)
+    assert(r3.groupsDeleted == 1L)
+    assert(mvRows(mv) == expected() && !mvRows(mv).exists(_._1 == "d02"))
+  }
+
+  test("mvRefreshStream keeps the view fresh off the source's manifest log") {
+    val base = Files.createTempDirectory("mv_stream").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    sourceTable(src)
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val q = graft.streaming.Streaming.mvRefreshStream(spark, mv, s"$base/ckpt")
+    try {
+      q.processAllAvailable() // drain the create-time manifests: no-op refresh
+      val v0 = Mv.definition(spark, mv).refreshedVersion
+      DeleteVectors.upsert(spark, src, Seq(("d05", "q", 50L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+      q.processAllAvailable() // the commit's manifest wakes one refresh
+      assert(Mv.definition(spark, mv).refreshedVersion > v0)
+      assert(mvRows(mv) == recomputed(src))
+      assert(mvRows(mv).exists(_._1 == "d05"))
+    } finally q.stop()
+  }
+
   test("a garbled definition refuses loudly instead of refreshing wrong") {
     val (src, mv) = fixture("mv_garbled")
     Mv.create(spark, src, mv, Seq("day"), aggs)
