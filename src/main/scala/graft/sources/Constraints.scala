@@ -71,6 +71,27 @@ object Constraints {
         .toMap
   }
 
+  /** A cheap fingerprint of the recorded check set — names, mtimes and
+    * lengths from ONE directory listing. The lock-free append face
+    * re-reads it at every version-slot attempt so a check recorded
+    * between its validation scan and its claim forces a re-validation
+    * (the scan is attempt-invariant only while the check SET is); the
+    * residual window is the microseconds between the fingerprint read
+    * and the claim itself.
+    */
+  private[sources] def fingerprint(spark: SparkSession, root: String): String = {
+    val dir = checksDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) ""
+    else
+      fs.listStatus(dir)
+        .toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+        .sorted
+        .mkString("|")
+  }
+
   /** Record a CHECK after proving the EXISTING table satisfies it (one
     * full scan, refused loudly with the violation count otherwise) —
     * every later commit then enforces it at O(new files).

@@ -109,6 +109,14 @@ object Mv {
   def definition(spark: SparkSession, mvRoot: String): MvDef = {
     val p = defPath(new Path(mvRoot))
     val fs = fsOf(spark, p)
+    // heal the writeDef crash window: the next-image file is COMPLETE by
+    // construction (written and closed before the old def is deleted), so
+    // a missing def with a present next-image means the crash fell
+    // between delete and rename — finish the rename. With BOTH present
+    // the old def is authoritative (the crash fell before the delete; the
+    // stale watermark merely replays, which is idempotent).
+    val next = new Path(p.getParent, ".def-next")
+    if (!fs.exists(p) && fs.exists(next)) fs.rename(next, p)
     require(
       fs.exists(p),
       s"$mvRoot is not a materialized view — no definition at $p (create one with Mv.create)")
@@ -118,13 +126,8 @@ object Mv {
           "restore the file or recreate the view")
     val in = fs.open(p)
     val txt =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val b = new Array[Byte](8192)
-        var n = in.read(b)
-        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
-        new String(buf.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     val lines = txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     if (lines.headOption.isEmpty || lines.head != "graft-mv v1") fail("unknown header")
     var source: Option[String] = None
@@ -155,22 +158,28 @@ object Mv {
       filterSql)
   }
 
-  /** Durably (re)write the definition — temp + rename, the marker
-    * discipline every watermark in this format uses.
+  /** Durably (re)write the definition. Unlike the epoch markers (whose
+    * loss merely replays), this file is the ONLY copy of the view's
+    * keys/aggs/filter — a delete-then-rename crash must not strand the
+    * view definition-less. The next image therefore lands under ONE
+    * deterministic name BEFORE the old def is touched, and
+    * [[definition]] heals the delete→rename window by finishing the
+    * rename. All writers hold the MV table lock, so the fixed name never
+    * races.
     */
   private def writeDef(fs: FileSystem, mvRoot: Path, d: MvDef): Unit = {
     val p = defPath(mvRoot)
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".def-tmp-${java.util.UUID.randomUUID().toString}")
+    val next = new Path(p.getParent, ".def-next")
     val body = (Seq("graft-mv v1", s"source ${enc(d.sourceRoot)}", s"version ${d.refreshedVersion}") ++
       d.filterSql.map(f => s"filter ${enc(f)}").toSeq ++
       d.keyCols.map(k => s"key ${enc(k)}") ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
-    val out = fs.create(tmp, true)
+    val out = fs.create(next, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) sys.error(s"materialized-view definition update failed for $p")
+    if (!fs.rename(next, p)) sys.error(s"materialized-view definition update failed for $p")
   }
 
   /** `SELECT keys…, aggs… GROUP BY keys…` — THE aggregation, one shape at

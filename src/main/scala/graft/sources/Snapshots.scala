@@ -872,9 +872,13 @@ object Snapshots {
       // frees via the 60 s staleness breaker, which a short attempt
       // budget could never reach.
       val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
+      // CHECK enforcement is attempt-invariant per rel (files are
+      // immutable): remember what each retry already validated so a lost
+      // slot race never re-scans the batch
+      val checksEnforced = scala.collection.mutable.Set.empty[String]
       var res: Option[Long] = None
       while (res.isEmpty) {
-        res = commitOnce(spark, root, statsCols0, bloomCols0)
+        res = commitOnce(spark, root, statsCols0, bloomCols0, checksEnforced)
         if (res.isEmpty) {
           if (System.currentTimeMillis() > deadline)
             sys.error(
@@ -895,7 +899,9 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       statsCols0: Seq[String],
-      bloomCols0: Seq[String]): Option[Long] = {
+      bloomCols0: Seq[String],
+      checksEnforced: scala.collection.mutable.Set[String] = scala.collection.mutable.Set.empty)
+      : Option[Long] = {
       val rootPath = new Path(root)
       val fs = fsOf(spark, rootPath)
       // version BEFORE the listing — the ordering is load-bearing: a
@@ -925,12 +931,13 @@ object Snapshots {
       val declared = prevView.flatMap(_.schema)
       // CHECK constraints gate the version's NEW files before any
       // sidecar or manifest side effect — a violating batch refuses here
-      // and readers never see it (O(new files), zero when no checks)
-      Constraints.enforce(
-        spark,
-        root,
-        files.filterNot(prevView.map(_.rels.toSet).getOrElse(Set.empty[String])),
-        declared)
+      // and readers never see it (O(new files), zero when no checks;
+      // rels a lost slot race already validated are skipped — immutable)
+      val toEnforce = files
+        .filterNot(prevView.map(_.rels.toSet).getOrElse(Set.empty[String]))
+        .filterNot(checksEnforced)
+      Constraints.enforce(spark, root, toEnforce, declared)
+      checksEnforced ++= toEnforce
       // once a table records schema metadata it never degrades back to a
       // bare file list: created/evolved schemas, tombstones and layout
       // must survive stats-less commits too
@@ -1142,7 +1149,11 @@ object Snapshots {
     // immutable file): computed once, reused across rebase attempts
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
-    var checksEnforced = false
+    // the check-set FINGERPRINT the last enforcement validated against:
+    // this face is lock-free, so an addCheck (which holds the table lock
+    // this path never takes) can land between our validation and our slot
+    // claim — a changed fingerprint forces a re-validation
+    var enforcedChecks: Option[String] = None
     // the fresh files' merged footer schema is attempt-invariant unless a
     // concurrent DDL changes the declared base — cache it keyed by that
     // base so a rebase retry is metadata-only (like the stats and blooms)
@@ -1189,11 +1200,13 @@ object Snapshots {
         val version = prevV + 1L
         val statsCols = prev.statsCols
         // CHECK constraints gate the appended files BEFORE sidecars or
-        // the manifest land; attempt-invariant (rels are immutable), so
-        // a rebase retry never re-scans
-        if (!checksEnforced) {
+        // the manifest land; attempt-invariant while the check SET is
+        // (rels are immutable) — a concurrently-recorded check changes
+        // the fingerprint and forces a re-validation on the retry
+        val checkFp = Constraints.fingerprint(spark, root)
+        if (!enforcedChecks.contains(checkFp)) {
           Constraints.enforce(spark, root, fresh, prev.schema)
-          checksEnforced = true
+          enforcedChecks = Some(checkFp)
         }
         // evolved schema: the declared base merged with what the new
         // files carry — one O(delta) footer-schema read, computed once
@@ -1259,7 +1272,13 @@ object Snapshots {
               .sortBy(_._1)
               .map { case (rel, st) => renderFileLine(rel, st) }
           else header ++ Seq(s"#delta $prevV") ++ freshLines.map("+" + _)
-        if (tryWriteManifest(fs, rootPath, version, body)) result = version
+        // re-read the check fingerprint AT the claim: the stats/bloom
+        // builds above can take long enough for an addCheck to land
+        // mid-attempt — a changed set retries the attempt (the builds are
+        // cached, so the retry re-validates and re-claims, nothing more)
+        if (enforcedChecks.exists(_ != Constraints.fingerprint(spark, root))) {
+          enforcedChecks = None
+        } else if (tryWriteManifest(fs, rootPath, version, body)) result = version
         else if (System.currentTimeMillis() > deadline)
           sys.error(
             s"commitAppend on $root could not win a version slot within ${SlotRaceDeadlineMs} ms — giving up")
@@ -2214,6 +2233,22 @@ object Snapshots {
           require(
             !layout.contains(name),
             s"'$name' is a hive partition column — the table layout depends on it")
+          // a CHECK referencing the column would refuse EVERY later
+          // landing commit (loud-parse enforcement) — surface the
+          // conflict at DDL time, where the user can act on it
+          Constraints.checks(spark, root).foreach { case (cn, ce) =>
+            // last name part: a qualified reference (`t.v`) still names v
+            val refs = scala.util.Try(
+              spark.sessionState.sqlParser
+                .parseExpression(ce)
+                .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts.last
+                }).getOrElse(Seq.empty)
+            require(
+              !refs.exists(_.equalsIgnoreCase(name)),
+              s"cannot drop '$name' — CHECK constraint '$cn' ($ce) references it; " +
+                s"drop the check first")
+          }
           cur = org.apache.spark.sql.types.StructType(cur.fields.toSeq.filterNot(_.name == name))
           dropped = dropped :+ name
           statsCols = statsCols.filterNot(_ == name)
@@ -2303,7 +2338,7 @@ object Snapshots {
           fs.exists(sumDir) && fs.listStatusIterator(sumDir).hasNext
         if (disciplineOn) rels.distinct else Seq.empty
       } else missing.collect { case (r, _, nb, _) if nb => r }.distinct
-    buildSumSidecars(spark, root, freshRels, statsCols)
+    buildSumSidecars(spark, root, freshRels, statsCols, upgradeNa = backfill)
     if (missing.isEmpty) return
     def buildOne(rel: String, c: String, needBloom: Boolean, needNdv: Boolean): Unit = {
       val p = resolve(spark, root, rel)
@@ -2389,8 +2424,10 @@ object Snapshots {
       if (view.bloomCols.isEmpty) {
         // no blooms means no NDV registers — but a bloom-less stats table
         // still deserves the SUM upgrade path (the backfill is the only
-        // way pre-feature files ever get manifest-only SUM/AVG)
-        buildSumSidecars(spark, root, view.rels, view.statsCols)
+        // way pre-feature files ever get manifest-only SUM/AVG — and it
+        // also re-records stale `na` sidecars written under an older,
+        // narrower summability rule)
+        buildSumSidecars(spark, root, view.rels, view.statsCols, upgradeNa = true)
         return 0L
       }
       val rootPath = new Path(root)
@@ -2458,8 +2495,12 @@ object Snapshots {
   // pass. One negative memo bounds that to a single probe run, and is
   // invalidated the moment a real (non-`na`) sum sidecar for the pair is
   // written — commit, branch land or backfill alike.
+  // value = the WITNESS rel observed missing, so a LATER query whose rel
+  // set does not contain the witness (a pruned subset, an older pinned
+  // version) still probes — one stale negative must not disable pushdown
+  // for file sets that are complete
   private val sumIncompleteCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sumMemoKey(root: String, colName: String): String =
     new Path(root).toString + "\u0000" + colName
 
@@ -2475,9 +2516,15 @@ object Snapshots {
       colName: String,
       rels: Seq[String]): Boolean = {
     val key = sumMemoKey(root, colName)
-    if (sumIncompleteCache.containsKey(key)) return false
-    val ok = rels.forall(r => fileSumOf(spark, root, r, colName).isDefined)
-    if (!ok) sumIncompleteCache.put(key, java.lang.Boolean.TRUE)
+    val witness = sumIncompleteCache.get(key)
+    if (witness != null && rels.contains(witness)) return false
+    var firstMissing: String = null
+    val ok = rels.forall { r =>
+      val present = fileSumOf(spark, root, r, colName).isDefined
+      if (!present && firstMissing == null) firstMissing = r
+      present
+    }
+    if (!ok) sumIncompleteCache.put(key, firstMissing)
     ok
   }
 
@@ -2527,13 +2574,23 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       rels: Seq[String],
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String],
+      upgradeNa: Boolean = false): Unit = {
     if (statsCols.isEmpty) return
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     fs.mkdirs(new Path(manifestDir(rootPath), "sum"))
+    // `upgradeNa` (the explicit backfill only): a sidecar recorded `na`
+    // under an OLDER summability rule (pre-DECIMAL builds wrote `na` once
+    // per decimal column, permanently) counts as missing and is
+    // recomputed under the current rule — without it the documented
+    // backfill upgrade path can never enable DECIMAL SUM pushdown on a
+    // pre-feature table
     val work = rels
-      .map(rel => rel -> statsCols.filter(c => !fs.exists(sumPath(rootPath, rel, c))))
+      .map(rel =>
+        rel -> statsCols.filter(c =>
+          !fs.exists(sumPath(rootPath, rel, c)) ||
+            (upgradeNa && fileSumOf(spark, root, rel, c).isEmpty)))
       .filter(_._2.nonEmpty)
     if (work.isEmpty) return
     def writeOne(rel: String, c: String, content: String): Unit = {
@@ -2542,8 +2599,16 @@ object Snapshots {
       val out = fs.create(tmp, true)
       try out.write(content.getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // benign race: identical content
+      if (!fs.rename(tmp, target)) {
+        // dst exists: identical content on the fresh-file path (benign
+        // race), a stale `na` on the upgrade path — replace it there
+        if (upgradeNa) {
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+        } else fs.delete(tmp, false)
+      }
       sumMissCache.remove(target.toString)
+      sumCache.remove(target.toString) // a cached `na` decode is now stale
       // a real sum landed: the table MAY be complete for this column now —
       // let the next planning pass re-probe (an `na` changes nothing)
       if (content != SumNa) sumIncompleteCache.remove(sumMemoKey(root, c))
@@ -3986,16 +4051,50 @@ object Snapshots {
     * branch reads over, what vacuum retains, or what fast-forward
     * compares against.
     */
+  /** Marker-scan memo per (root, branch): the newest branch version whose
+    * manifest was already inspected, and the newest `#fork` marker found
+    * so far. Branch manifests are immutable, so a later call only reads
+    * the manifests NEW since the memo — without it every fast-forward
+    * precondition, rebase entry and vacuum retention pass re-read a
+    * streaming replay branch's whole N-epoch chain just to learn "no
+    * marker". Same-JVM drop/recreate invalidates via [[dropBranch]].
+    */
+  private val branchForkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Long])]()
+
+  private[sources] def dropBranchForkMemo(root: String, name: String): Unit =
+    branchForkCache.remove(new Path(root).toString + "\u0000" + name)
+
   private[sources] def branchForkVersion(spark: SparkSession, root: String, name: String): Long = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    val marker = branchVersions(fs, branchDir(rootPath, name)).reverseIterator.map { v =>
-      val in = fs.open(branchManifestPath(rootPath, name, v))
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
-        finally in.close()
-      lines.find(_.startsWith("#fork ")).map(_.stripPrefix("#fork ").trim.toLong)
-    }.collectFirst { case Some(f) => f }
+    val versions = branchVersions(fs, branchDir(rootPath, name))
+    val newest = versions.lastOption.getOrElse(0L)
+    val key = rootPath.toString + "\u0000" + name
+    // a memo AHEAD of the chain means the branch was dropped and recreated
+    // (shorter chain, same name) — discard it
+    val (scannedUpTo, cachedFork) =
+      Option(branchForkCache.get(key)).filter(_._1 <= newest).getOrElse((0L, Option.empty[Long]))
+    val marker =
+      if (newest == scannedUpTo) cachedFork
+      else {
+        val freshMarker = versions
+          .filter(_ > scannedUpTo)
+          .reverseIterator
+          .map { v =>
+            val in = fs.open(branchManifestPath(rootPath, name, v))
+            val lines =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n").toSeq
+              finally in.close()
+            lines.find(_.startsWith("#fork ")).map(_.stripPrefix("#fork ").trim.toLong)
+          }
+          .collectFirst { case Some(f) => f }
+        // the newest marker wins; none in the new segment keeps the old
+        val fork = freshMarker.orElse(cachedFork)
+        if (branchForkCache.size() >= 1024) branchForkCache.clear()
+        branchForkCache.put(key, (newest, fork))
+        fork
+      }
     marker
       .orElse(refVersion(spark, root, name))
       .getOrElse(sys.error(s"branch '$name' has no fork pin — corrupt branch state"))
@@ -4298,6 +4397,7 @@ object Snapshots {
         fs.delete(branchDataDir(rootPath, name), true)
         fs.delete(refPath(rootPath, name), false)
       } catch { case _: Exception => () }
+      dropBranchForkMemo(root, name) // a recreated name starts a fresh chain
       v
     }
 
@@ -4469,6 +4569,7 @@ object Snapshots {
       fs.delete(branchDir(rootPath, name), true)
       fs.delete(branchDataDir(rootPath, name), true)
       fs.delete(refPath(rootPath, name), false)
+      dropBranchForkMemo(root, name) // a recreated name starts a fresh chain
       existed
     }
 

@@ -989,23 +989,25 @@ object SnapWriteBuilder {
       // AQE the hint is a no-op and the write is merely what it was.
       val clustered =
         if (partCols.nonEmpty) data.hint("rebalance", partCols.map(col(_)): _*) else data
-      // the landing is rolled back if the commit refuses (a CHECK
-      // constraint violation): a later listing-based commit must never
-      // silently adopt a refused batch's files. The pre-listing is one
-      // extra directory walk on a path whose commit is listing-based
-      // (O(table)) anyway.
-      val preRels = Snapshots.listDataFiles(spark, dir).toSet
-      val w = clustered.write.mode("append")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(dir)
+      // stage + land (the shared landing discipline): the INSERT then
+      // knows exactly which files are its own, so a refused commit (a
+      // CHECK violation) rolls back precisely them — a listing-diff
+      // rollback could misattribute and delete a concurrent lock-free
+      // appender's file that landed (or even committed) mid-window.
+      val rootPath = new Path(dir)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = new Path(rootPath, s".insert-stage-${java.util.UUID.randomUUID().toString.take(8)}")
+      val w = clustered.write.mode("overwrite")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
+      val landed =
+        try Snapshots.landParts(fs, rootPath, Snapshots.stagedParts(spark, fs, stage))
+        finally fs.delete(stage, true)
       try Snapshots.commit(spark, dir, statsCols)
       catch {
         case e: Throwable =>
-          val rootPath = new Path(dir)
-          val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          Snapshots
-            .listDataFiles(spark, dir)
-            .filterNot(preRels)
-            .foreach(rel => fs.delete(new Path(rootPath, rel), false))
+          landed.foreach(rel =>
+            try fs.delete(new Path(rootPath, rel), false)
+            catch { case _: Exception => () })
           throw e
       }
     }

@@ -176,6 +176,18 @@ class ConstraintsSpec extends SparkSpec {
     assert(e.getMessage.contains("garbled CHECK"))
   }
 
+  test("DROP COLUMN refuses while a CHECK references the column") {
+    val dir = Files.createTempDirectory("ck_dropcol").toString + "/t"
+    table(dir)
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] { Snapshots.dropColumn(spark, dir, "v") }
+    assert(e.getMessage.contains("v_pos") && e.getMessage.contains("drop the check first"))
+    // an unrelated column still drops; after drop_check so does 'v'
+    Constraints.dropCheck(spark, dir, "v_pos")
+    Snapshots.dropColumn(spark, dir, "v")
+    assert(!Snapshots.schemaOf(spark, dir).get.fieldNames.contains("v"))
+  }
+
   test("SQL faces: CALL add_check refuses dirty data, enforces after, drop_check disables") {
     val base = Files.createTempDirectory("ck_sql").toString
     val dir = s"$base/t"

@@ -311,6 +311,22 @@ class MvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("definition() heals the writeDef crash window (def deleted, next image present)") {
+    val (src, mv) = fixture("mv_heal")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    val defP = new org.apache.hadoop.fs.Path(s"$mv/${Snapshots.ManifestDirName}/mv/def")
+    val next = new org.apache.hadoop.fs.Path(defP.getParent, ".def-next")
+    val fs = defP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash between writeDef's delete and rename: the old def
+    // is gone, the complete next image is not yet renamed
+    assert(fs.rename(defP, next))
+    val d = Mv.definition(spark, mv)
+    assert(d.keyCols == Seq("day") && d.aggExprs == aggs, "the healed definition must be whole")
+    assert(fs.exists(defP) && !fs.exists(next), "the heal must finish the rename")
+    val r = Mv.refresh(spark, mv) // refresh proceeds normally off the healed def
+    assert(r.fromVersion == r.toVersion, "source unchanged: the healed watermark is current")
+  }
+
   test("a garbled definition refuses loudly instead of refreshing wrong") {
     val (src, mv) = fixture("mv_garbled")
     Mv.create(spark, src, mv, Seq("day"), aggs)

@@ -1457,4 +1457,39 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.lastManifestBytesRead.get() == 0L,
       "corrupt sidecar must fall back to the full (uncounted) parse")
   }
+
+  test("ndv_backfill upgrades a stale `na` SUM sidecar recorded under an older summability rule") {
+    val dir = java.nio.file.Files.createTempDirectory("snap_na_upgrade").toString + "/t"
+    val rows = Seq(
+      (1L, new java.math.BigDecimal("10.25")),
+      (2L, new java.math.BigDecimal("4.75"))).toDF("id", "price")
+      .select($"id", $"price".cast("decimal(10,2)").as("price"))
+    Sources.writeParquet(rows.repartition(1), dir)
+    Snapshots.commit(spark, dir, Seq("id", "price"))
+    // opt into the sum discipline (bloom-less table): sidecars land real.
+    // No read yet — the decode cache must stay cold so the overwrite
+    // below is actually observed (an in-JVM cache legitimately cannot
+    // see external edits; the pre-feature scenario this simulates never
+    // had the values cached in the first place)
+    assert(Snapshots.backfillNdv(spark, dir) == 0L)
+    val rels = Snapshots.files(spark, dir)
+    // simulate the pre-DECIMAL era: the sidecar holds the permanent `na`
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sumDir = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}/sum")
+    fs.listStatus(sumDir).foreach { st =>
+      val out = fs.create(st.getPath, true)
+      try out.write("na".getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(
+      !Snapshots.allSumsPresent(spark, dir, "price", rels),
+      "the planning gate must see the stale `na` and fall back")
+    // the explicit backfill must REWRITE the `na`, not skip the existing
+    // sidecar — without the upgrade the pushdown is disabled forever
+    assert(Snapshots.backfillNdv(spark, dir) == 0L)
+    assert(
+      Snapshots.allSumsPresent(spark, dir, "price", rels),
+      "the explicit backfill must upgrade a stale `na` for a now-summable column")
+  }
 }
