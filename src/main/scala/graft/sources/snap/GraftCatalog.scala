@@ -922,6 +922,8 @@ object SnapWriteBuilder {
       // tables adopted via Snapshots.commit, which never declared one
       val partCols =
         if (latest.partCols.nonEmpty) latest.partCols else partitionColsOf(layoutRels)
+      // what the overwrite archived, for the refusal rollback below
+      var archivedForRollback: Seq[String] = Seq.empty
       if (owFilters.isDefined) {
         // archive the REPLACED files BEFORE the new data lands: pinned
         // readers keep resolving, and the pre-overwrite state stays
@@ -979,6 +981,7 @@ object SnapWriteBuilder {
             }
           }
         replaced.foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
+        archivedForRollback = replaced
       }
       // cluster the incoming rows by the hive layout before writing: an
       // arbitrary upstream partitioning would emit tasks×partition-values
@@ -1005,9 +1008,18 @@ object SnapWriteBuilder {
       try Snapshots.commit(spark, dir, statsCols)
       catch {
         case e: Throwable =>
+          // roll the live tree back to its pre-op state: delete this
+          // write's landed files AND un-archive what the overwrite
+          // replaced (leaving them archived would let a later listing
+          // commit silently truncate the overwritten partitions)
           landed.foreach(rel =>
             try fs.delete(new Path(rootPath, rel), false)
             catch { case _: Exception => () })
+          val archiveRoot = new Path(rootPath, Snapshots.ArchiveDirName)
+          archivedForRollback.foreach { rel =>
+            try fs.rename(new Path(archiveRoot, rel), new Path(rootPath, rel))
+            catch { case _: Exception => () } // still resolves archived
+          }
           throw e
       }
     }

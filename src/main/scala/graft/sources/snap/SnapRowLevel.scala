@@ -716,7 +716,25 @@ class SnapDynamicOverwriteWrite(dir: String, schema: StructType, partCols: Seq[S
             sys.error(s"dynamic overwrite landing failed: $rel")
         }
         fs.delete(stagePath, true)
-        Snapshots.commit(spark, dir) // inherits the table's stats + bloom discipline
+        // inherits the table's stats + bloom discipline; a refused commit
+        // (CHECK violation) rolls the LIVE TREE back to its pre-op state:
+        // this write's landed files are deleted (a later listing commit
+        // must never adopt the refused batch) and the replaced originals
+        // move back from the archive (leaving them archived would let a
+        // later listing commit silently truncate the touched partitions)
+        try Snapshots.commit(spark, dir)
+        catch {
+          case e: Throwable =>
+            stagedRels.foreach(rel =>
+              try fs.delete(new Path(rootPath, rel), false)
+              catch { case _: Exception => () })
+            val archiveRoot = new Path(rootPath, Snapshots.ArchiveDirName)
+            replaced.foreach { rel =>
+              try fs.rename(new Path(archiveRoot, rel), new Path(rootPath, rel))
+              catch { case _: Exception => () } // still resolves archived
+            }
+            throw e
+        }
       }
     }
 

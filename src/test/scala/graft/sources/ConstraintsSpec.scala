@@ -188,6 +188,32 @@ class ConstraintsSpec extends SparkSpec {
     assert(!Snapshots.schemaOf(spark, dir).get.fieldNames.contains("v"))
   }
 
+  test("dynamic partition overwrite enforces and rolls its landing back on refusal") {
+    val base = Files.createTempDirectory("ck_dynover").toString
+    val dir = s"$base/t"
+    table(dir)
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    val cat = s"ckdyn_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val before = Snapshots.readSnapshot(spark, dir).collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.t SELECT CAST(9 AS BIGINT) AS id, " +
+          "CAST(-1.0 AS DOUBLE) AS v, 'd01' AS day").collect()
+      }
+      assert(e.getMessage.contains("v_pos") || e.getCause != null)
+      // the refused batch's landed files are rolled back and the archived
+      // originals keep resolving: the manifest read is byte-identical
+      assert(
+        Snapshots.readSnapshot(spark, dir).collect().map(_.toString).sorted.toSeq == before)
+      // nothing refused lingers for a later listing commit to adopt
+      Snapshots.commit(spark, dir, Seq("day"))
+      assert(Snapshots.readSnapshot(spark, dir).count() == before.size)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("SQL faces: CALL add_check refuses dirty data, enforces after, drop_check disables") {
     val base = Files.createTempDirectory("ck_sql").toString
     val dir = s"$base/t"
