@@ -71,25 +71,42 @@ object Constraints {
         .toMap
   }
 
-  /** A cheap fingerprint of the recorded check set — names, mtimes and
-    * lengths from ONE directory listing. The lock-free append face
-    * re-reads it at every version-slot attempt so a check recorded
-    * between its validation scan and its claim forces a re-validation
-    * (the scan is attempt-invariant only while the check SET is); the
-    * residual window is the microseconds between the fingerprint read
-    * and the claim itself.
+  /** A fingerprint of the recorded check set: the content of a NONCE
+    * stamp file [[addCheck]]/[[dropCheck]] rewrite (fresh UUID) on every
+    * mutation — collision-proof where an (mtime, length) listing is not
+    * (a drop + same-name re-add with an equal-length predicate inside
+    * one mtime tick would compare equal). The lock-free append face
+    * re-reads it at every version-slot attempt AND at the claim itself,
+    * so a check recorded between its validation scan and its claim
+    * forces a re-validation; the residual window is the microseconds
+    * between the final read and the claim. Cost: one exists probe (plus
+    * one tiny read when checks have ever existed).
     */
   private[sources] def fingerprint(spark: SparkSession, root: String): String = {
-    val dir = checksDir(new Path(root))
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) ""
-    else
-      fs.listStatus(dir)
-        .toSeq
-        .filterNot(_.getPath.getName.startsWith("."))
-        .map(st => s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
-        .sorted
-        .mkString("|")
+    val p = new Path(checksDir(new Path(root)), ".stamp")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) ""
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+  }
+
+  /** Rewrite the check-set nonce — called by every mutation, under the
+    * table lock (so the fixed name never races a concurrent mutator;
+    * lock-free READERS of the stamp tolerate the tiny delete→rename
+    * window as a changed fingerprint either way).
+    */
+  private def bumpStamp(fs: FileSystem, root: Path): Unit = {
+    val p = new Path(checksDir(root), ".stamp")
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".stamp-tmp-${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    try out.write(java.util.UUID.randomUUID().toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   /** Record a CHECK after proving the EXISTING table satisfies it (one
@@ -127,14 +144,18 @@ object Constraints {
       try out.write(s"graft-check v1\nexpr ${enc(predicateSql)}\n".getBytes(StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, p)) sys.error(s"recording check '$name' on $root failed")
+      bumpStamp(fs, rootPath)
     }
 
   /** Drop a check; returns whether it existed. */
   def dropCheck(spark: SparkSession, root: String, name: String): Boolean =
     Snapshots.withTableLock(spark, root) {
-      val p = new Path(checksDir(new Path(root)), name)
+      val rootPath = new Path(root)
+      val p = new Path(checksDir(rootPath), name)
       val fs = fsOf(spark, p)
-      fs.delete(p, false)
+      val existed = fs.delete(p, false)
+      if (existed) bumpStamp(fs, rootPath)
+      existed
     }
 
   /** (check name, violating-row count) for every failed check — ONE agg

@@ -179,7 +179,18 @@ object Mv {
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(next, p)) sys.error(s"materialized-view definition update failed for $p")
+    if (!fs.rename(next, p)) {
+      // a LOCK-FREE reader's [[definition]] heal may have finished our
+      // rename for us inside the delete→rename window — that is success,
+      // not failure, iff the def now holds exactly this image
+      val healed =
+        fs.exists(p) && {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString == body
+          finally in.close()
+        }
+      if (!healed) sys.error(s"materialized-view definition update failed for $p")
+    }
   }
 
   /** `SELECT keys…, aggs… GROUP BY keys…` — THE aggregation, one shape at

@@ -2237,13 +2237,26 @@ object Snapshots {
           // landing commit (loud-parse enforcement) — surface the
           // conflict at DDL time, where the user can act on it
           Constraints.checks(spark, root).foreach { case (cn, ce) =>
-            // last name part: a qualified reference (`t.v`) still names v
-            val refs = scala.util.Try(
-              spark.sessionState.sqlParser
-                .parseExpression(ce)
-                .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-                  a.nameParts.last
-                }).getOrElse(Seq.empty)
+            // match ANY name part: `t.v` names v, `s.inner` names the
+            // struct column s — over-matching a qualifier that happens to
+            // equal the column name refuses conservatively (the message
+            // says what to do), under-matching would brick every later
+            // landing commit. An unparseable predicate refuses LOUDLY —
+            // enforcement would refuse those commits anyway.
+            val refs =
+              try
+                spark.sessionState.sqlParser
+                  .parseExpression(ce)
+                  .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                    a.nameParts
+                  }
+                  .flatten
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  sys.error(
+                    s"cannot drop '$name' — CHECK constraint '$cn' ($ce) does not parse; " +
+                      "drop the check first")
+              }
             require(
               !refs.exists(_.equalsIgnoreCase(name)),
               s"cannot drop '$name' — CHECK constraint '$cn' ($ce) references it; " +
@@ -3952,6 +3965,33 @@ object Snapshots {
     }
   }
 
+  /** Roll a REFUSED (or failed) overwrite-shaped write back to the exact
+    * pre-op live tree: delete the files this write landed (a later
+    * listing commit must never adopt a refused batch) and move what it
+    * archived back live (leaving them archived would let a later listing
+    * commit silently truncate the overwritten partitions). Per-file
+    * best-effort — everything still RESOLVES either way (live first,
+    * archive fallback), so a partially-applied rollback degrades reads
+    * not at all; shared by the SQL INSERT and the DSv2 dynamic-overwrite
+    * failure paths so the discipline cannot drift.
+    */
+  private[sources] def rollbackRefusedLanding(
+      fs: FileSystem,
+      rootPath: Path,
+      landed: Seq[String],
+      archived: Seq[String]): Unit = {
+    landed.foreach(rel =>
+      try fs.delete(new Path(rootPath, rel), false)
+      catch { case _: Exception => () })
+    val archiveRoot = new Path(rootPath, ArchiveDirName)
+    archived.foreach { rel =>
+      try {
+        val live = new Path(rootPath, rel)
+        if (!fs.exists(live)) fs.rename(new Path(archiveRoot, rel), live)
+      } catch { case _: Exception => () } // still resolves archived
+    }
+  }
+
   /** Is `name` a WRITABLE branch (vs an immutable tag)? */
   def isBranch(spark: SparkSession, root: String, name: String): Boolean =
     fsOf(spark, new Path(root)).exists(branchDir(new Path(root), name))
@@ -4060,7 +4100,7 @@ object Snapshots {
     * marker". Same-JVM drop/recreate invalidates via [[dropBranch]].
     */
   private val branchForkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[Long])]()
 
   private[sources] def dropBranchForkMemo(root: String, name: String): Unit =
     branchForkCache.remove(new Path(root).toString + "\u0000" + name)
@@ -4071,10 +4111,22 @@ object Snapshots {
     val versions = branchVersions(fs, branchDir(rootPath, name))
     val newest = versions.lastOption.getOrElse(0L)
     val key = rootPath.toString + "\u0000" + name
-    // a memo AHEAD of the chain means the branch was dropped and recreated
-    // (shorter chain, same name) — discard it
+    // the memo is valid only for THIS chain: a drop/recreate under the
+    // same name (possibly by ANOTHER process, which our in-JVM
+    // invalidation cannot see) starts a new chain whose first manifest
+    // has a new mtime — an equal-or-longer recreated chain must not
+    // serve the old chain's fork. One getFileStatus per call buys
+    // that identity.
+    val chainId =
+      versions.headOption
+        .map(v =>
+          try fs.getFileStatus(branchManifestPath(rootPath, name, v)).getModificationTime
+          catch { case _: Exception => -1L })
+        .getOrElse(0L)
     val (scannedUpTo, cachedFork) =
-      Option(branchForkCache.get(key)).filter(_._1 <= newest).getOrElse((0L, Option.empty[Long]))
+      Option(branchForkCache.get(key))
+        .collect { case (id, up, fork) if id == chainId && up <= newest => (up, fork) }
+        .getOrElse((0L, Option.empty[Long]))
     val marker =
       if (newest == scannedUpTo) cachedFork
       else {
@@ -4092,7 +4144,7 @@ object Snapshots {
         // the newest marker wins; none in the new segment keeps the old
         val fork = freshMarker.orElse(cachedFork)
         if (branchForkCache.size() >= 1024) branchForkCache.clear()
-        branchForkCache.put(key, (newest, fork))
+        branchForkCache.put(key, (chainId, newest, fork))
         fork
       }
     marker

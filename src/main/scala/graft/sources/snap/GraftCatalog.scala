@@ -1000,26 +1000,23 @@ object SnapWriteBuilder {
       val rootPath = new Path(dir)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stage = new Path(rootPath, s".insert-stage-${java.util.UUID.randomUUID().toString.take(8)}")
-      val w = clustered.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
-      val landed =
-        try Snapshots.landParts(fs, rootPath, Snapshots.stagedParts(spark, fs, stage))
-        finally fs.delete(stage, true)
-      try Snapshots.commit(spark, dir, statsCols)
-      catch {
+      // ONE failure scope from the stage write through the commit: the
+      // replaced files were archived ABOVE, so a failure anywhere in
+      // between (not just a CHECK refusal at commit) must restore the
+      // exact pre-op live tree — otherwise the next listing commit
+      // silently truncates the overwritten partitions (landParts already
+      // deletes its own partial landing before rethrowing)
+      var landed: Seq[String] = Seq.empty
+      try {
+        val w = clustered.write.mode("overwrite")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
+        landed =
+          try Snapshots.landParts(fs, rootPath, Snapshots.stagedParts(spark, fs, stage))
+          finally fs.delete(stage, true)
+        Snapshots.commit(spark, dir, statsCols)
+      } catch {
         case e: Throwable =>
-          // roll the live tree back to its pre-op state: delete this
-          // write's landed files AND un-archive what the overwrite
-          // replaced (leaving them archived would let a later listing
-          // commit silently truncate the overwritten partitions)
-          landed.foreach(rel =>
-            try fs.delete(new Path(rootPath, rel), false)
-            catch { case _: Exception => () })
-          val archiveRoot = new Path(rootPath, Snapshots.ArchiveDirName)
-          archivedForRollback.foreach { rel =>
-            try fs.rename(new Path(archiveRoot, rel), new Path(rootPath, rel))
-            catch { case _: Exception => () } // still resolves archived
-          }
+          Snapshots.rollbackRefusedLanding(fs, rootPath, landed, archivedForRollback)
           throw e
       }
     }

@@ -707,32 +707,29 @@ class SnapDynamicOverwriteWrite(dir: String, schema: StructType, partCols: Seq[S
             val cut = rel.lastIndexOf('/')
             cut > 0 && touched.contains(rel.substring(0, cut))
           }
-        replaced.foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
-        val stagePath = new Path(rootPath, stage)
-        stagedRels.foreach { rel =>
-          val to = new Path(rootPath, rel)
-          fs.mkdirs(to.getParent)
-          if (!fs.rename(new Path(stagePath, rel), to))
-            sys.error(s"dynamic overwrite landing failed: $rel")
-        }
-        fs.delete(stagePath, true)
-        // inherits the table's stats + bloom discipline; a refused commit
-        // (CHECK violation) rolls the LIVE TREE back to its pre-op state:
-        // this write's landed files are deleted (a later listing commit
-        // must never adopt the refused batch) and the replaced originals
-        // move back from the archive (leaving them archived would let a
-        // later listing commit silently truncate the touched partitions)
-        try Snapshots.commit(spark, dir)
-        catch {
+        // ONE failure scope from the archive step through the commit: a
+        // mid-loop landing failure or a refused commit (CHECK violation)
+        // must restore the exact pre-op live tree — delete whatever this
+        // write already landed and move the replaced originals back from
+        // the archive; otherwise a later listing commit would adopt a
+        // partial never-committed batch AND silently truncate the
+        // overwritten partitions
+        val landedSoFar = scala.collection.mutable.ListBuffer.empty[String]
+        try {
+          replaced.foreach(rel => Snapshots.archiveFile(fs, rootPath, new Path(rootPath, rel)))
+          val stagePath = new Path(rootPath, stage)
+          stagedRels.foreach { rel =>
+            val to = new Path(rootPath, rel)
+            fs.mkdirs(to.getParent)
+            if (!fs.rename(new Path(stagePath, rel), to))
+              sys.error(s"dynamic overwrite landing failed: $rel")
+            landedSoFar += rel
+          }
+          fs.delete(stagePath, true)
+          Snapshots.commit(spark, dir) // inherits the table's stats + bloom discipline
+        } catch {
           case e: Throwable =>
-            stagedRels.foreach(rel =>
-              try fs.delete(new Path(rootPath, rel), false)
-              catch { case _: Exception => () })
-            val archiveRoot = new Path(rootPath, Snapshots.ArchiveDirName)
-            replaced.foreach { rel =>
-              try fs.rename(new Path(archiveRoot, rel), new Path(rootPath, rel))
-              catch { case _: Exception => () } // still resolves archived
-            }
+            Snapshots.rollbackRefusedLanding(fs, rootPath, landedSoFar.toSeq, replaced)
             throw e
         }
       }

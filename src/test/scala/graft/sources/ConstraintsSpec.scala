@@ -182,10 +182,27 @@ class ConstraintsSpec extends SparkSpec {
     Constraints.addCheck(spark, dir, "v_pos", "v > 0")
     val e = intercept[IllegalArgumentException] { Snapshots.dropColumn(spark, dir, "v") }
     assert(e.getMessage.contains("v_pos") && e.getMessage.contains("drop the check first"))
-    // an unrelated column still drops; after drop_check so does 'v'
+    // after drop_check the column drops
     Constraints.dropCheck(spark, dir, "v_pos")
     Snapshots.dropColumn(spark, dir, "v")
     assert(!Snapshots.schemaOf(spark, dir).get.fieldNames.contains("v"))
+  }
+
+  test("DROP COLUMN refuses while a CHECK references a FIELD of the struct column") {
+    val dir = Files.createTempDirectory("ck_dropstruct").toString + "/t"
+    val rows = Seq((1L, 5.0, "x"), (2L, 7.0, "y"))
+      .toDF("id", "inner", "tag")
+      .selectExpr("id", "named_struct('inner', inner) AS s", "tag")
+    Sources.writeParquet(rows.repartition(1), dir)
+    Snapshots.commit(spark, dir, Seq("id"))
+    Constraints.addCheck(spark, dir, "inner_pos", "s.inner > 0")
+    // the guard must see 's' among the reference's name PARTS — matching
+    // only the last part would let the drop brick every later commit
+    val e = intercept[RuntimeException] { Snapshots.dropColumn(spark, dir, "s") }
+    assert(e.getMessage.contains("inner_pos"))
+    Constraints.dropCheck(spark, dir, "inner_pos")
+    Snapshots.dropColumn(spark, dir, "s")
+    assert(!Snapshots.schemaOf(spark, dir).get.fieldNames.contains("s"))
   }
 
   test("dynamic partition overwrite enforces and rolls its landing back on refusal") {
