@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions.{expr, lit, sum, when}
   *
   * Semantics are SQL-standard CHECK: a row violates only when the
   * predicate evaluates FALSE — NULL passes (constrain nullability with an
-  * explicit `x IS NOT NULL` check). [[addCheck]] validates the EXISTING
-  * table first (one full scan — a DDL price, paid once), so the invariant
-  * "every committed row satisfies every recorded check" holds from the
-  * moment a check exists; enforcement then rides every face that lands
+  * explicit `x IS NOT NULL` check). [[addCheck]] publishes the check and
+  * THEN validates the EXISTING table (one full scan — a DDL price, paid
+  * once; a failed proof rolls the check back), so the invariant "every
+  * committed row satisfies every recorded check" holds for every check
+  * that survives its add; enforcement rides every face that lands
   * new rows — listing commits, lock-free appends, streaming epochs,
   * merge-on-read upsert/CDC images, and branch appends (a branch adoption
   * must not smuggle bad rows past the gate).
@@ -78,9 +79,14 @@ object Constraints {
     * one mtime tick would compare equal). The lock-free append face
     * re-reads it at every version-slot attempt AND at the claim itself,
     * so a check recorded between its validation scan and its claim
-    * forces a re-validation; the residual window is the microseconds
-    * between the final read and the claim. Cost: one exists probe (plus
-    * one tiny read when checks have ever existed).
+    * forces a re-validation. Coherence with [[addCheck]]: the check file
+    * PUBLISHES (and the stamp bumps) before addCheck's existing-data
+    * scan even starts, so every manifest the scan could miss was
+    * claimed against the new fingerprint — the residual window is the
+    * microseconds between a writer's claim-time fingerprint read and
+    * its manifest rename, not the (possibly minutes-long) validation
+    * scan. Cost: one exists probe (plus one tiny read when checks have
+    * ever existed).
     */
   private[sources] def fingerprint(spark: SparkSession, root: String): String = {
     val p = new Path(checksDir(new Path(root)), ".stamp")
@@ -109,9 +115,22 @@ object Constraints {
     if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
-  /** Record a CHECK after proving the EXISTING table satisfies it (one
-    * full scan, refused loudly with the violation count otherwise) —
-    * every later commit then enforces it at O(new files).
+  /** Record a CHECK, then prove the EXISTING table satisfies it (one
+    * full scan, the check rolled back and the call refused loudly with
+    * the violation count otherwise) — every later commit then enforces
+    * it at O(new files).
+    *
+    * ORDERING IS THE CORRECTNESS: the check file publishes (and the
+    * stamp bumps) BEFORE the validation scan reads the manifest. A
+    * lock-free [[Snapshots.commitAppend]] whose claim lands after the
+    * publish either read the new fingerprint at the claim (and so
+    * enforced the new check itself) or read the old one — in which case
+    * its claim-time re-check retries with a re-validation; either way
+    * no batch the scan cannot see escapes the predicate. The SQL-standard
+    * analogue is ADD CONSTRAINT ... NOT VALID + VALIDATE: the gate turns
+    * on for NEW data at publish, existing data is proven immediately
+    * after, and a failed proof drops the (briefly enforced, never wrong)
+    * constraint before refusing.
     */
   def addCheck(spark: SparkSession, root: String, name: String, predicateSql: String): Unit =
     Snapshots.withTableLock(spark, root) {
@@ -126,18 +145,8 @@ object Constraints {
       require(
         Snapshots.latestVersion(spark, root) > 0L,
         s"addCheck($root): commit the table first — a check validates against committed data")
-      // prove the check against the CURRENT table before recording it
-      val view = Snapshots.manifestView(spark, root)
-      val live = view.rels.filterNot(r =>
-        Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
-      if (live.nonEmpty) {
-        val df = Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
-        val bad = violations(df, Map(name -> predicateSql))
-        require(
-          bad.isEmpty,
-          s"addCheck($root): ${bad.head._2} existing row(s) violate '$name' " +
-            s"(${predicateSql}) — fix the data first")
-      }
+      // publish FIRST (see the ordering note above): new commits enforce
+      // the pending check from this instant
       fs.mkdirs(p.getParent)
       val tmp = new Path(p.getParent, s".check-tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
@@ -145,6 +154,27 @@ object Constraints {
       finally out.close()
       if (!fs.rename(tmp, p)) sys.error(s"recording check '$name' on $root failed")
       bumpStamp(fs, rootPath)
+      // now prove it against the CURRENT table (manifest read AFTER the
+      // publish+bump, so it sees every commit that claimed under the old
+      // fingerprint); any failure rolls the pending check back
+      try {
+        val view = Snapshots.manifestView(spark, root)
+        val live = view.rels.filterNot(r =>
+          Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+        if (live.nonEmpty) {
+          val df = Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
+          val bad = violations(df, Map(name -> predicateSql))
+          require(
+            bad.isEmpty,
+            s"addCheck($root): ${bad.head._2} existing row(s) violate '$name' " +
+              s"(${predicateSql}) — fix the data first")
+        }
+      } catch {
+        case t: Throwable =>
+          try { fs.delete(p, false); bumpStamp(fs, rootPath) }
+          catch { case _: Exception => () } // rollback best-effort; rethrow the cause
+          throw t
+      }
     }
 
   /** Drop a check; returns whether it existed. */
@@ -184,11 +214,15 @@ object Constraints {
       spark: SparkSession,
       root: String,
       freshRels: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dv: Map[String, (String, Long)] = Map.empty): Unit = {
     if (freshRels.isEmpty) return
     val cs = checks(spark, root)
     if (cs.isEmpty) return
-    val df = Snapshots.scanRels(spark, root, freshRels, schema)
+    // `dv` matters on the ADOPTION faces (fast-forward/rebase): a branch
+    // file may carry deletion vectors from later branch DML, and a
+    // logically-deleted row must not refuse the adoption
+    val df = Snapshots.scanRels(spark, root, freshRels, schema, dv)
     val bad = violations(df, cs)
     if (bad.nonEmpty)
       sys.error(

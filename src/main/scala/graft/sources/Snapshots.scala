@@ -1384,9 +1384,14 @@ object Snapshots {
         dupes.isEmpty,
         s"commitRestated($root): added rel(s) already in v$prevV: ${dupes.take(3).mkString(", ")}")
       // CHECK constraints gate the added files (upsert/CDC images, branch
-      // adoptions) before sidecars or the manifest land; attempt-invariant
+      // adoptions) before sidecars or the manifest land; attempt-invariant.
+      // An adopted branch file may arrive ALREADY vectored (a branch MoR
+      // delete hit a branch append) — enforce over its live rows only, the
+      // same view the committed manifest will serve
       if (added.nonEmpty && !checksEnforced) {
-        Constraints.enforce(spark, root, added, prev.schema)
+        Constraints.enforce(
+          spark, root, added, prev.schema,
+          addedDv.flatMap { case (rel, st) => dvOf(st).map(rel -> _) })
         checksEnforced = true
       }
       if (prev.statsCols.nonEmpty) {
@@ -4026,7 +4031,17 @@ object Snapshots {
     withTableLock(spark, root) {
       val rootPath = new Path(root)
       val v = createRef(spark, root, name, version)
-      fsOf(spark, rootPath).mkdirs(branchDir(rootPath, name))
+      val fs = fsOf(spark, rootPath)
+      fs.mkdirs(branchDir(rootPath, name))
+      // chain-identity NONCE (read by [[branchForkVersion]]'s memo): a
+      // cross-process drop+recreate of the same name starts a chain with
+      // a fresh UUID, so the fork memo can never serve the dead chain's
+      // marker — mtime identity alone is coarse (1 s ticks on some
+      // filesystems) and two chains could share it
+      val nonce = new Path(branchDir(rootPath, name), ".chain")
+      val out = fs.create(nonce, true)
+      try out.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      finally out.close()
       v
     }
 
@@ -4100,7 +4115,7 @@ object Snapshots {
     * marker". Same-JVM drop/recreate invalidates via [[dropBranch]].
     */
   private val branchForkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Option[Long])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Option[Long])]()
 
   private[sources] def dropBranchForkMemo(root: String, name: String): Unit =
     branchForkCache.remove(new Path(root).toString + "\u0000" + name)
@@ -4113,16 +4128,27 @@ object Snapshots {
     val key = rootPath.toString + "\u0000" + name
     // the memo is valid only for THIS chain: a drop/recreate under the
     // same name (possibly by ANOTHER process, which our in-JVM
-    // invalidation cannot see) starts a new chain whose first manifest
-    // has a new mtime — an equal-or-longer recreated chain must not
-    // serve the old chain's fork. One getFileStatus per call buys
-    // that identity.
-    val chainId =
-      versions.headOption
-        .map(v =>
-          try fs.getFileStatus(branchManifestPath(rootPath, name, v)).getModificationTime
-          catch { case _: Exception => -1L })
-        .getOrElse(0L)
+    // invalidation cannot see) starts a new chain that must not serve
+    // the old chain's fork. Identity is the `.chain` creation NONCE
+    // [[createBranch]] writes — an explicit UUID, immune to the coarse
+    // (e.g. 1 s) mtime granularity that could let a drop+recreate inside
+    // one tick alias the dead chain. Pre-nonce branches (created before
+    // the nonce existed) fall back to the first manifest's mtime; one
+    // tiny read either way.
+    val chainId: String =
+      try {
+        val nonce = new Path(branchDir(rootPath, name), ".chain")
+        if (fs.exists(nonce)) {
+          val in = fs.open(nonce)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } else
+          versions.headOption
+            .map(v =>
+              try fs.getFileStatus(branchManifestPath(rootPath, name, v)).getModificationTime.toString
+              catch { case _: Exception => "-1" })
+            .getOrElse("0")
+      } catch { case _: Exception => "-1" }
     val (scannedUpTo, cachedFork) =
       Option(branchForkCache.get(key))
         .collect { case (id, up, fork) if id == chainId && up <= newest => (up, fork) }
@@ -4337,6 +4363,20 @@ object Snapshots {
       val forkRels = forkView.rels.toSet
       val prefix = s"$BranchDataDirName/$name/"
       val branchRels = bv.rels.filterNot(forkRels).sorted
+      // CHECKS current AT ADOPTION gate the branch's net-new rows: land-
+      // time enforcement saw the check set of ITS moment, but an
+      // `add_check` recorded between the branch landing and this
+      // fast-forward validated only main's rows (the branch's files are
+      // unreferenced by any main manifest) — adopting without re-proving
+      // them would smuggle exactly the rows the gate exists to stop.
+      // Enforced PRE-MOVE (rels still resolve under `.branch/`), with
+      // the branch's own deletion vectors applied (a logically-deleted
+      // row must not refuse the adoption). Zero cost when the table has
+      // no checks; O(branch delta) — the adoption's own price — when it
+      // does.
+      Constraints.enforce(
+        spark, root, branchRels, bv.schema,
+        dvByRel(bv).filter { case (rel, _) => !forkRels.contains(rel) })
       // a branch MoR delete on a FORK file changed its pointer on the
       // branch line only — adoption restates the branch's stats (original
       // footer stats + the new DV keys; the sidecar's embedded rel is the
@@ -4545,6 +4585,15 @@ object Snapshots {
       val forkRels = forkView.rels.toSet
       val mainRels = mainView.rels.toSet
       val branchRels = bv.rels.filterNot(forkRels).sorted
+      // the fast-forward adoption gate, applied at the EARLIER door: a
+      // check added on main after the branch landed rows must refuse the
+      // rebase too (replaying unproven rows over the new head just
+      // defers the refusal to fast-forward — refuse here, naming the
+      // check, while the user still has the pre-rebase chain intact).
+      // Zero cost when the table has no checks; branch DVs applied.
+      Constraints.enforce(
+        spark, root, branchRels, bv.schema,
+        dvByRel(bv).filter { case (rel, _) => !forkRels.contains(rel) })
       // fork files whose DV pointer the branch changed (deleteOnBranch /
       // upsertOnBranch restates)
       val touched = forkView.rels.filter { rel =>
@@ -4799,9 +4848,11 @@ object Snapshots {
     *  - the table LOCK serializes against every locked op mid-landing;
     *  - the GRACE window (`graceMs`, default 24 h) protects the lock-FREE
     *    writers (fenced appends, streaming epochs): a file younger than
-    *    the grace is never touched, so the policy contract is the
-    *    standard lakehouse one — keep the grace above your longest
-    *    in-flight write.
+    *    the grace is never touched — and neither is a DIRECTORY younger
+    *    than the grace (an in-flight landing's freshly-mkdir'd partition
+    *    dir must not vanish between its mkdirs and its rename) — so the
+    *    policy contract is the standard lakehouse one: keep the grace
+    *    above your longest in-flight write.
     *
     * Sound because maintenance ARCHIVES replaced files (never leaves them
     * live), so the live tree of a healthy table is exactly the latest
@@ -4828,10 +4879,16 @@ object Snapshots {
       val referenced = manifestView(spark, root, latest).rels.toSet
       val cutoff = System.currentTimeMillis() - graceMs
       val rootUri = rootPath.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri
+      // dir mtimes are captured DURING the walk — i.e. before this pass
+      // deletes anything — so our own deletions (which refresh the parent
+      // dir's mtime) cannot disqualify the prune below
+      val dirMtimes = scala.collection.mutable.Map.empty[Path, Long]
       def walk(dir: Path): Seq[(String, Long)] =
         fs.listStatus(dir).toSeq.filterNot(st => isHidden(st.getPath.getName)).flatMap { st =>
-          if (st.isDirectory) walk(st.getPath)
-          else Seq((rootUri.relativize(st.getPath.toUri).getPath, st.getModificationTime))
+          if (st.isDirectory) {
+            dirMtimes(st.getPath) = st.getModificationTime
+            walk(st.getPath)
+          } else Seq((rootUri.relativize(st.getPath.toUri).getPath, st.getModificationTime))
         }
       val orphans = walk(rootPath)
         .collect { case (rel, mtime) if !referenced.contains(rel) && mtime < cutoff => rel }
@@ -4840,12 +4897,20 @@ object Snapshots {
         orphans.foreach(rel => fs.delete(new Path(rootPath, rel), false))
         // tidy now-empty partition dirs the strays may have created (a
         // value no committed file ever had would otherwise linger as an
-        // empty k=v dir and confuse directory listings)
+        // empty k=v dir and confuse directory listings). The GRACE
+        // window applies to the DIRECTORY too: a lock-free writer's
+        // landing does mkdirs-then-rename, and deleting its partition
+        // dir between the mkdirs and the rename would fail that writer's
+        // landing — a dir whose pre-pass mtime is inside the grace may
+        // be exactly that in-flight mkdirs, so it stays (the next orphan
+        // pass, run after the grace, reaps it if it is still empty).
         def prune(d: Path): Unit =
           fs.listStatus(d).foreach { st =>
             if (st.isDirectory && !isHidden(st.getPath.getName)) {
               prune(st.getPath)
-              if (fs.listStatus(st.getPath).isEmpty) fs.delete(st.getPath, false)
+              if (fs.listStatus(st.getPath).isEmpty &&
+                dirMtimes.get(st.getPath).exists(_ < cutoff))
+                fs.delete(st.getPath, false)
             }
           }
         prune(rootPath)

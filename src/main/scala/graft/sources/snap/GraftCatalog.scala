@@ -182,8 +182,18 @@ class GraftCatalog
       case "dvs" => Some(new SnapMetaTable(tableDir, version, "dvs"))
       case "refs" => Some(new SnapMetaTable(tableDir, version, "refs"))
       case "ndv" => Some(new SnapMetaTable(tableDir, version, "ndv"))
-      case "checks" => Some(new SnapMetaTable(tableDir, version, "checks"))
-      case "mv" => Some(new SnapMetaTable(tableDir, version, "mv"))
+      // `checks` and `mv` read ALWAYS-CURRENT metadata files (the check
+      // set, the view definition) that are not versioned by the manifest
+      // line — a version pin would silently show the CURRENT state as if
+      // it were historical (misleading for enforcement audits), so it
+      // refuses loudly, unlike the sibling kinds that pin exactly
+      case "checks" | "mv" =>
+        if (version > 0L)
+          throw new IllegalArgumentException(
+            s"metadata relation ${ident.name()} on $tableDir is always-current (the check set / " +
+              "view definition is not versioned by the manifest line) — a VERSION AS OF pin " +
+              "would misleadingly present current state as historical; drop the pin")
+        Some(new SnapMetaTable(tableDir, version, ident.name()))
       case "changes" => Some(new SnapChangesTable(tableDir, version))
       case _ => None
     }

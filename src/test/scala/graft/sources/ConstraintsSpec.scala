@@ -132,6 +132,63 @@ class ConstraintsSpec extends SparkSpec {
     assert(Snapshots.readBranch(spark, dir, "dev").count() == 4L)
   }
 
+  test("a refused addCheck still bumps the fingerprint twice (publish-then-rollback ordering)") {
+    val dir = Files.createTempDirectory("ck_fp").toString + "/t"
+    table(dir)
+    Constraints.addCheck(spark, dir, "id_pos", "id > 0") // make the stamp exist
+    val fp0 = Constraints.fingerprint(spark, dir)
+    assert(fp0.nonEmpty)
+    intercept[IllegalArgumentException] { Constraints.addCheck(spark, dir, "v_small", "v < 15") }
+    // publish-first: the pending check bumped the stamp BEFORE its
+    // validation scan, and the rollback bumped it again — a lock-free
+    // append whose claim fell anywhere inside the add is forced to
+    // re-validate either way
+    assert(Constraints.fingerprint(spark, dir) != fp0, "the stamp must not read pre-add")
+    assert(Constraints.checks(spark, dir) == Map("id_pos" -> "id > 0"))
+    // and the surviving set still enforces
+    landRow(dir, -9L, 1.0, "bad-id")
+    val e = intercept[RuntimeException] { Snapshots.commit(spark, dir, Seq("day")) }
+    assert(e.getMessage.contains("id_pos"))
+  }
+
+  test("fast-forward re-proves the branch against checks added AFTER the branch landed") {
+    val dir = Files.createTempDirectory("ck_ff").toString + "/t"
+    table(dir)
+    Snapshots.createBranch(spark, dir, "dev")
+    // the branch lands a row that is legal NOW (no checks yet)
+    Snapshots.appendToBranch(spark, dir, "dev", Seq((7L, "d02", -3.0)).toDF("id", "day", "v"))
+    // ... then main records a check its OWN rows satisfy (so add_check
+    // passes) but the branch's landed row violates
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    val e = intercept[RuntimeException] { Snapshots.fastForward(spark, dir, "dev") }
+    assert(e.getMessage.contains("v_pos"), s"adoption must name the check: ${e.getMessage}")
+    // refusal is clean on both lines: main unchanged, branch still readable
+    assert(Snapshots.readSnapshot(spark, dir).count() == 3L)
+    assert(Snapshots.readBranch(spark, dir, "dev").count() == 4L)
+    // a branch MoR delete of the violating row clears the gate — the
+    // enforcement scan applies the branch's deletion vectors
+    DeleteVectors.deleteOnBranch(spark, dir, "dev", $"v" < 0)
+    Snapshots.fastForward(spark, dir, "dev")
+    assert(Snapshots.readSnapshot(spark, dir).count() == 3L)
+  }
+
+  test("rebase refuses a branch whose landed rows violate a check added since") {
+    val dir = Files.createTempDirectory("ck_rebase").toString + "/t"
+    table(dir)
+    Snapshots.createBranch(spark, dir, "dev")
+    Snapshots.appendToBranch(spark, dir, "dev", Seq((7L, "d02", -3.0)).toDF("id", "day", "v"))
+    // main diverges with clean data, then records the check
+    Snapshots.commitAppend(spark, dir, Seq(landRow(dir, 8L, 4.0, "main-advance")))
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    val e = intercept[RuntimeException] { Snapshots.rebase(spark, dir, "dev") }
+    assert(e.getMessage.contains("v_pos"), s"rebase must name the check: ${e.getMessage}")
+    // the pre-rebase chain is intact: fix the branch, then rebase + adopt
+    DeleteVectors.deleteOnBranch(spark, dir, "dev", $"v" < 0)
+    Snapshots.rebase(spark, dir, "dev")
+    Snapshots.fastForward(spark, dir, "dev")
+    assert(Snapshots.readSnapshot(spark, dir).count() == 4L)
+  }
+
   test("SQL-standard NULL semantics: only FALSE violates") {
     val dir = Files.createTempDirectory("ck_null").toString + "/t"
     val rows = Seq((1L, Some(1.0)), (2L, Option.empty[Double])).toDF("id", "v")

@@ -75,6 +75,9 @@ class RetentionSpec extends SparkSpec {
     val old = System.currentTimeMillis() - 10_000L
     fs.setTimes(s1, old, old)
     fs.setTimes(s2, old, old)
+    // the crashed writer's dir is as old as its crash: age it too (a
+    // FRESH dir is grace-protected — it may be a live landing's mkdirs)
+    fs.setTimes(s2.getParent, old, old)
     // the stray poisons a LISTING-based read (manifest reads never see it)
     assert(spark.read.parquet(dir).count() == before.size + 2)
     val dry = Snapshots.removeOrphans(spark, dir, graceMs = 1000L, dryRun = true)
@@ -87,6 +90,25 @@ class RetentionSpec extends SparkSpec {
     assert(Snapshots.readSnapshot(spark, dir).collect().map(_.toString).sorted.toSeq == before)
     assert(spark.read.parquet(dir).count() == before.size, "the listing read agrees again")
     assert(Snapshots.removeOrphans(spark, dir, graceMs = 1000L).isEmpty, "idempotent")
+  }
+
+  test("removeOrphans: the grace window protects an in-flight writer's fresh DIRECTORY") {
+    val dir = Files.createTempDirectory("ret_dirgrace").toString + "/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day"))
+    val fs = fsOf(dir)
+    // a lock-free landing's mkdirs just created this partition dir; the
+    // rename hasn't happened yet — the empty dir is EXACTLY what a live
+    // writer looks like mid-landing and must survive the prune
+    val inFlight = new org.apache.hadoop.fs.Path(dir, "day=landing/")
+    fs.mkdirs(inFlight)
+    assert(Snapshots.removeOrphans(spark, dir, graceMs = 1000L).isEmpty)
+    assert(fs.exists(inFlight), "a dir younger than the grace must not prune")
+    // once aged past the grace and still empty, the next pass tidies it
+    val old = System.currentTimeMillis() - 10_000L
+    fs.setTimes(inFlight, old, old)
+    assert(Snapshots.removeOrphans(spark, dir, graceMs = 1000L).isEmpty)
+    assert(!fs.exists(inFlight), "an aged empty stray dir prunes")
   }
 
   test("removeOrphans: the grace window protects an in-flight writer's fresh file") {

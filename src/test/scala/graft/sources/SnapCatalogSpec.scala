@@ -2120,4 +2120,23 @@ class SnapCatalogSpec extends SparkSpec {
       empties.get() == 0,
       s"a skipped rewrite commit must advance cost-free, not drain as ${empties.get()} empty batch(es)")
   }
+
+  test("checks/mv metadata relations refuse a VERSION AS OF pin — always-current, never silently so") {
+    val (_, dir) = fixture("snapmetapin")
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    // unpinned reads work
+    assert(
+      spark.sql("SELECT name, expr FROM snapmetapin.ev.checks").collect().map(_.getString(0)).toSeq
+        == Seq("v_pos"))
+    // a pinned read would show the CURRENT check set as if historical —
+    // refuse loudly (the sibling kinds dvs/files pin exactly)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snapmetapin.ev.checks VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("always-current"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM snapmetapin.ev.mv VERSION AS OF 1").collect()
+    }
+    assert(e2.getMessage.contains("always-current"), e2.getMessage)
+  }
 }

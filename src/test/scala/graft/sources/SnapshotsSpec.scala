@@ -424,6 +424,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(idsOf(Snapshots.readBranch(spark, dir, "dev")) == Set(1L, 2L, 3L))
   }
 
+  test("branch fork memo keys on the creation NONCE — a cross-process drop+recreate in one mtime tick never serves the dead chain's fork") {
+    val base = Files.createTempDirectory("snap_nonce").toString
+    val dir = s"$base/t"
+    table(dir)
+    Snapshots.commit(spark, dir, Seq("day", "id"))
+    Snapshots.createBranch(spark, dir, "dev") // fork = v1
+    Sources.deleteWhere(spark, dir, $"id" === 4L) // main advances to v2
+    Snapshots.rebase(spark, dir, "dev") // chain gains a `#fork 2` marker
+    assert(Snapshots.branchForkVersion(spark, dir, "dev") == 2L) // memo primed
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = Snapshots.branchDir(rootPath, "dev")
+    val firstManifest = new org.apache.hadoop.fs.Path(bdir, "v0000000001.manifest")
+    val oldMtime = fs.getFileStatus(firstManifest).getModificationTime
+    // ANOTHER PROCESS drops and recreates the branch (raw fs — our
+    // in-JVM memo invalidation never fires, exactly the hazard)
+    fs.delete(bdir, true)
+    fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"${Snapshots.BranchDataDirName}/dev"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rootPath, "_graft_manifests/refs/dev"), false)
+    Snapshots.createBranch(spark, dir, "dev", version = 1L) // NEW chain, fork = v1
+    Snapshots.appendToBranch(
+      spark, dir, "dev", Seq((9L, "2024-01-09", 90.0)).toDF("id", "day", "v"))
+    // force the mtime collision the nonce must defeat: the recreated
+    // chain's first manifest reads the SAME tick as the dead chain's
+    fs.setTimes(new org.apache.hadoop.fs.Path(bdir, "v0000000001.manifest"), oldMtime, oldMtime)
+    assert(
+      Snapshots.branchForkVersion(spark, dir, "dev") == 1L,
+      "the recreated chain has no rebase marker — the memo must not serve the dead chain's #fork 2")
+  }
+
   test("a failed fast-forward rolls back sidecar renames with the data files") {
     val base = Files.createTempDirectory("snap_ff_rb").toString
     val dir = s"$base/t"
