@@ -3698,7 +3698,164 @@ object Frontier3 {
       |       true AS fresh_ok, true AS no_phantom
       |FROM s GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q251: CHECK constraints re-proven at branch adoption ----------------
+
+  /** The fast-forward gate for checks that postdate the branch: a branch
+    * lands rows while the table has NO checks, then main records
+    * `CALL add_check(n > 0)` (its own rows pass) — the branch's landed
+    * row now violates a check its land-time enforcement never saw.
+    * `fast_forward` must REFUSE naming the check (adopting would smuggle
+    * exactly the rows the gate exists to stop — [[graft.sources
+    * .Snapshots.fastForward]]'s adoption-time re-proof), leave both
+    * lines intact (`branch_intact`), and a branch merge-on-read delete
+    * of the violating row clears the gate (`dv_clears`: the enforcement
+    * scan applies the branch's deletion vectors — a logically-deleted
+    * row must not refuse adoption). The final hash proves the adopted
+    * table holds exactly main + the clean branch row. At 100 TB: the
+    * re-proof costs one scan of the branch DELTA (the adoption's own
+    * price), zero when the table has no checks.
+    */
+  def q251(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq251", Seq("day"))
+    s.sql(s"CALL $cat.create_branch(table => 'ev', name => 'staging')").collect()
+    graft.sources.Snapshots.appendToBranch(
+      s, dir, "staging",
+      s.sql("SELECT '__bad' AS event_type, CAST(-5 AS BIGINT) AS n, " +
+        "CAST(1 AS BIGINT) AS sum_u, DATE'1999-12-31' AS day").unionAll(
+        s.sql("SELECT '__clean' AS event_type, CAST(7 AS BIGINT) AS n, " +
+          "CAST(123 AS BIGINT) AS sum_u, DATE'1999-12-30' AS day")))
+    val nBranch = graft.sources.Snapshots.readBranch(s, dir, "staging").count()
+    // the check postdates the branch's landing; main's own rows pass
+    s.sql(s"CALL $cat.add_check(table => 'ev', name => 'n_pos', expr => 'n > 0')").collect()
+    val nMain = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0)
+    val ffRefused =
+      try { s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'staging')").collect(); false }
+      catch { case e: Exception => e.getMessage.contains("n_pos") }
+    val branchIntact =
+      graft.sources.Snapshots.readBranch(s, dir, "staging").count() == nBranch &&
+        s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) == nMain
+    // a branch MoR delete of the violating row clears the gate
+    graft.sources.DeleteVectors.deleteOnBranch(s, dir, "staging", col("n") < 0)
+    s.sql(s"CALL $cat.fast_forward(table => 'ev', name => 'staging')").collect()
+    val dvClears = s.sql(s"SELECT count(*) FROM $cat.ev").head().getLong(0) == nMain + 1L
+    s.sql(s"""
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(sum_u) AS BIGINT) AS u_tot
+      |FROM $cat.ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .withColumn("ff_refused", lit(ffRefused))
+      .withColumn("branch_intact", lit(branchIntact))
+      .withColumn("dv_clears", lit(dvClears))
+  }
+
+  val q251Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1
+      |  UNION ALL SELECT '__clean', CAST(7 AS BIGINT), CAST(123 AS BIGINT))
+      |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(su) AS BIGINT) AS u_tot,
+      |       true AS ff_refused, true AS branch_intact, true AS dv_clears
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q252: NULL-keyed MV groups — change-priced and atomic ---------------
+
+  /** A materialized view whose grouping key is NULLABLE (here
+    * `nullif(event_type, 'click')` — the "uncategorized" bucket every
+    * real dimension has): NULL groups must refresh exactly like any
+    * other group, in the SAME atomic MV version, and without forfeiting
+    * change-pricing. The physical proof is double: an untouched
+    * partition's file — which records ZERO nulls in the key column — is
+    * corrupted BEFORE the refreshes, so any plan that falls back to
+    * scanning all live files (the old conservative path) dies loudly;
+    * and each refresh must advance the view by exactly ONE version
+    * (`atomic1_ok`/`atomic2_ok` — no separate NULL pre-delete commit a
+    * reader could observe). Window 1 touches only the NULL group; window
+    * 2 mixes a NULL-group update with a whole-group delete. At 100 TB:
+    * per-file null-count stats keep the NULL bucket's refresh priced at
+    * the null-bearing files, not the table ([[graft.sources
+    * .DeleteVectors.candidateRelsForKeys]]'s null-safe arm).
+    */
+  def q252(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq252_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "bykey").toString
+    val stats = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+      .withColumn("nkey", expr("nullif(event_type, 'click')"))
+    graft.sources.Sources.writeParquet(
+      stats.repartition(col("event_type")), dir, Seq("event_type"))
+    graft.sources.Snapshots.commit(s, dir, Seq("event_type", "day", "nkey"))
+    graft.sources.Mv.create(
+      s, dir, mvDir, Seq("nkey"),
+      Seq("count(*) AS n_rows", "sum(n) AS n_tot", "sum(sum_u) AS u_tot"))
+    // window 1: ONLY the NULL group changes (a new click day)
+    graft.sources.DeleteVectors.upsert(
+      s, dir,
+      s.sql("SELECT 'click' AS event_type, DATE'1999-12-31' AS day, CAST(7 AS BIGINT) AS n, " +
+        "CAST(42 AS BIGINT) AS sum_u, CAST(NULL AS STRING) AS nkey"),
+      Seq("event_type", "day"))
+    // the canary: event_type=view's file records ZERO nulls in nkey — a
+    // NULL-group refresh that opens it (the pre-r15 alive fallback) dies
+    val victim = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith("event_type=view/"))
+      .get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val mvV0 = graft.sources.Snapshots.latestVersion(s, mvDir)
+    val r1 = graft.sources.Mv.refresh(s, mvDir)
+    val incr1Ok = !r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L
+    val atomic1Ok = graft.sources.Snapshots.latestVersion(s, mvDir) == mvV0 + 1L
+    // window 2: the NULL group again (second click day) PLUS a whole
+    // group vanishing (every 'error' row merge-on-read deletes)
+    graft.sources.DeleteVectors.upsert(
+      s, dir,
+      s.sql("SELECT 'click' AS event_type, DATE'1999-12-30' AS day, CAST(9 AS BIGINT) AS n, " +
+        "CAST(43 AS BIGINT) AS sum_u, CAST(NULL AS STRING) AS nkey"),
+      Seq("event_type", "day"))
+    graft.sources.DeleteVectors.deleteWhere(s, dir, col("event_type") === "error")
+    val mvV1 = graft.sources.Snapshots.latestVersion(s, mvDir)
+    val r2 = graft.sources.Mv.refresh(s, mvDir)
+    val incr2Ok = !r2.fullResync && r2.groupsRecomputed == 1L && r2.groupsDeleted == 1L
+    val atomic2Ok = graft.sources.Snapshots.latestVersion(s, mvDir) == mvV1 + 1L
+    graft.sources.Snapshots
+      .readSnapshot(s, mvDir)
+      .select(
+        coalesce(col("nkey"), lit("(null)")).as("k"),
+        col("n_rows"),
+        col("n_tot"),
+        col("u_tot"))
+      .orderBy(col("k"))
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("atomic1_ok", lit(atomic1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("atomic2_ok", lit(atomic2Ok))
+  }
+
+  val q252Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |final AS (
+      |  SELECT * FROM s WHERE event_type <> 'error'
+      |  UNION ALL SELECT 'click', DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT)
+      |  UNION ALL SELECT 'click', DATE'1999-12-30', CAST(9 AS BIGINT), CAST(43 AS BIGINT))
+      |SELECT coalesce(nullif(event_type, 'click'), '(null)') AS k,
+      |       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(su) AS BIGINT) AS u_tot,
+      |       true AS incr1_ok, true AS atomic1_ok, true AS incr2_ok, true AS atomic2_ok
+      |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q252_mv_null_groups" -> (q252 _),
+    "q251_branch_check_gate" -> (q251 _),
     "q248_mv_live" -> (q248 _),
     "q247_check_constraints" -> (q247 _),
     "q246_retention_gc" -> (q246 _),
@@ -3754,6 +3911,8 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q252_mv_null_groups" -> q252Sql,
+    "q251_branch_check_gate" -> q251Sql,
     "q248_mv_live" -> q248Sql,
     "q247_check_constraints" -> q247Sql,
     "q246_retention_gc" -> q246Sql,

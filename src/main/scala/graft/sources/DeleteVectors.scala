@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sources.Snapshots.ColStat
@@ -677,7 +677,8 @@ object DeleteVectors {
       opCol: String,
       deleteOps: Set[String] = Set("d", "delete"),
       streamTag: String = "",
-      epochId: Long = -1L): (Long, Long) = {
+      epochId: Long = -1L,
+      nullSafeKeys: Boolean = false): (Long, Long) = {
     require(
       changes.columns.contains(opCol),
       s"applyChanges needs the op column '$opCol' in the change feed")
@@ -689,7 +690,8 @@ object DeleteVectors {
       appendSource = changes.filter(!coalesce(isDelete, lit(false))).drop(opCol),
       keyCols = keyCols,
       streamTag = streamTag,
-      epochId = epochId)
+      epochId = epochId,
+      nullSafeKeys = nullSafeKeys)
   }
 
   /** The shared apply core: table rows matching ANY `keySource` key die
@@ -703,7 +705,8 @@ object DeleteVectors {
       appendSource: DataFrame,
       keyCols: Seq[String],
       streamTag: String,
-      epochId: Long): (Long, Long) =
+      epochId: Long,
+      nullSafeKeys: Boolean = false): (Long, Long) =
     Snapshots.withTableLock(spark, root) {
       require(keyCols.nonEmpty, "upsert needs at least one key column")
       val rootPath = new Path(root)
@@ -724,7 +727,9 @@ object DeleteVectors {
         schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val commitTag = java.util.UUID.randomUUID().toString.take(8)
       val written =
-        matchKeyUpserts(spark, root, view, alive, sourceKeys, keyCols, keyFields, partCols, commitTag)
+        matchKeyUpserts(
+          spark, root, view, alive, sourceKeys, keyCols, keyFields, partCols, commitTag,
+          nullSafe = nullSafeKeys)
       // the ad-hoc prefix is CONSTANT on purpose: the crashed-attempt
       // sweep in [[landAppend]] keys on the prefix, and a per-attempt
       // random tag could never match a PRIOR attempt's leftovers — a hard
@@ -778,21 +783,30 @@ object DeleteVectors {
       keyCols: Seq[String],
       keyFields: Seq[StructField],
       partCols: Seq[String],
-      commitTag: String): Seq[(String, String, Long)] = {
+      commitTag: String,
+      nullSafe: Boolean = false): Seq[(String, String, Long)] = {
     val keys0 = sourceKeys.distinct().persist()
     val (candidates, written) =
       try {
         val keyCount = keys0.count()
         val candidates =
-          candidateRelsForKeys(spark, root, view, alive, keys0, keyCount, keyCols, keyFields, partCols)
+          candidateRelsForKeys(
+            spark, root, view, alive, keys0, keyCount, keyCols, keyFields, partCols, nullSafe)
         val written: Seq[(String, String, Long)] =
           if (candidates.isEmpty) Seq.empty
           else {
             val scan = Snapshots.scanRelsWithPos(spark, root, candidates, view.schema)
             val keys =
               if (keyCount <= Snapshots.DvBroadcastMaxPositions) broadcast(keys0) else keys0
-            val matches = scan
-              .join(keys, keyCols, "left_semi")
+            // `<=>` when the caller matches null-safely (Mv's NULL-keyed
+            // groups); plain name-equality join otherwise — EqualNullSafe
+            // still hash-joins, but the default face keeps SQL equality
+            // (a NULL key matching nothing IS merge semantics)
+            val matched =
+              if (nullSafe)
+                scan.join(keys, keyCols.map(c => scan(c) <=> keys(c)).reduce(_ && _), "left_semi")
+              else scan.join(keys, keyCols, "left_semi")
+            val matches = matched
               .select(col("__graft_dv_rel__").as("rel"), col("__graft_dv_pos__").as("pos"))
             val oldDvByRel = candidates.flatMap { rel =>
               Snapshots.dvOf(view.stats.getOrElse(rel, Map.empty)).map { case (p, _) => rel -> p }
@@ -1005,6 +1019,19 @@ object DeleteVectors {
     * otherwise [[narrowByKeyStats]] applies the stats-interval + bloom
     * tuple discipline. `keys0` must already be distinct (and should be
     * persisted by the caller — this path counts and re-scans it).
+    *
+    * `nullSafe = true` serves the null-safe (`<=>`) match faces: key
+    * tuples carrying a NULL component can only match rows that are NULL
+    * there, which footer min/max, partition-value equality and bloom
+    * probes are all blind to (stats ignore nulls). The batch splits:
+    * null-FREE tuples narrow exactly as above, and null-BEARING tuples
+    * admit precisely the files that can hold a NULL in some
+    * null-bearing key column — per-file NULL-COUNT stats prune data
+    * columns (a file recording zero nulls can never match), the path
+    * segment prunes partition columns (only the null-rendering segment
+    * can), and a file with no recorded stats stays conservatively. A
+    * mostly-non-NULL workload keeps change-pricing; only the genuinely
+    * null-bearing slice of the table joins the scan.
     */
   private[sources] def candidateRelsForKeys(
       spark: SparkSession,
@@ -1015,9 +1042,45 @@ object DeleteVectors {
       keyCount: Long,
       keyCols: Seq[String],
       keyFields: Seq[StructField],
+      partCols: Seq[String],
+      nullSafe: Boolean = false): Seq[String] = {
+    if (alive.isEmpty || keyCount == 0L) return Seq.empty
+    if (!nullSafe)
+      return candidatesNullFree(spark, root, view, alive, keys0, keyCount, keyCols, keyFields, partCols)
+    // ONE tiny agg learns which key columns bear nulls and how many
+    // tuples carry any — the split is driver-metadata-priced
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val aggCols = keyCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__graft_nulls_$c")) :+
+      sum(when(anyNull, 1L).otherwise(0L)).as("__graft_nulls_any")
+    val row = keys0.agg(aggCols.head, aggCols.tail: _*).head()
+    val nAny = row.getLong(keyCols.size)
+    if (nAny == 0L)
+      return candidatesNullFree(spark, root, view, alive, keys0, keyCount, keyCols, keyFields, partCols)
+    val nullCols = keyCols.zipWithIndex.collect { case (c, i) if row.getLong(i) > 0L => c }
+    val base =
+      if (nAny == keyCount) Seq.empty
+      else candidatesNullFree(
+        spark, root, view, alive, keys0.filter(!anyNull), keyCount - nAny, keyCols, keyFields, partCols)
+    val baseSet = base.toSet
+    val nullable = nullBearingCandidates(view, alive, nullCols, partCols).toSet
+    alive.filter(rel => baseSet.contains(rel) || nullable.contains(rel))
+  }
+
+  /** [[candidateRelsForKeys]]'s null-FREE core: partition-exact when the
+    * keys cover the partition columns, stats+bloom narrowing otherwise.
+    */
+  private def candidatesNullFree(
+      spark: SparkSession,
+      root: String,
+      view: Snapshots.ManifestView,
+      alive: Seq[String],
+      keys0: DataFrame,
+      keyCount: Long,
+      keyCols: Seq[String],
+      keyFields: Seq[StructField],
       partCols: Seq[String]): Seq[String] =
-    if (alive.isEmpty) Seq.empty
-    else if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
+    if (partCols.nonEmpty && partCols.forall(keyCols.contains)) {
       val relDf = partitionValuesDf(spark, view, alive, partCols)
       val touched = keys0.select(partCols.map(col): _*).distinct()
       relDf
@@ -1027,6 +1090,32 @@ object DeleteVectors {
         .map(_.getString(0))
         .toSeq
     } else narrowByKeyStats(spark, root, view, alive, keys0, keyCount, keyFields)
+
+  /** The files that can possibly hold a row with NULL in some
+    * `nullCols` column — [[candidateRelsForKeys]]'s null-bearing arm.
+    * Exclusion only on a definite miss: a recorded zero null-count (data
+    * column) or a non-null path segment (partition column); unknown
+    * keeps the file. Union over columns — a per-tuple conjunction would
+    * prune tighter but the union is already a superset of every tuple's
+    * true match set, the read path's pruning contract.
+    */
+  private def nullBearingCandidates(
+      view: Snapshots.ManifestView,
+      alive: Seq[String],
+      nullCols: Seq[String],
+      partCols: Seq[String]): Seq[String] =
+    alive.filter { rel =>
+      nullCols.exists { c =>
+        if (partCols.contains(c))
+          graft.sources.snap.SnapFilters
+            .partSegments(rel)
+            .get(c)
+            .flatMap(graft.sources.snap.SnapFilters.segValue)
+            .isEmpty
+        else
+          Snapshots.nullCountOf(view.stats.getOrElse(rel, Map.empty), c).forall(_ > 0L)
+      }
+    }
 
   /** Candidate narrowing when the MERGE keys do NOT cover the partition
     * columns — the batch [[deleteWhere]] three-stage discipline ported to

@@ -51,11 +51,14 @@ import org.apache.spark.sql.types.StructField
   * same apply path runs — and reports `fullResync = true`. Correctness
   * never depends on the feed; only the price does.
   *
-  * NULL group keys are legitimate `GROUP BY` groups but merge-on-read
-  * key-matching (SQL equality) can never vector them, so affected tuples
-  * carrying a NULL component take a dedicated pre-delete (null-safe
-  * predicate over the enumerated tuples, capped at [[NullKeyTupleMax]])
-  * and their fresh rows land as plain appends.
+  * NULL group keys are legitimate `GROUP BY` groups: the apply matches
+  * them NULL-SAFELY (`<=>` — [[DeleteVectors.applyChanges]]'s
+  * `nullSafeKeys` face), so NULL-keyed groups update and delete inside
+  * the SAME atomic merge as every other group, and candidate narrowing
+  * stays change-priced through per-file null-count stats (a file
+  * recording zero nulls in the key columns can never hold a NULL-keyed
+  * row and stays pruned; only null-bearing or stats-less files join the
+  * conservative set).
   *
   * Beyond the reference's surface (a KV store has no views); the design
   * re-derives the lakehouse "incremental MV" idea over this format's own
@@ -83,13 +86,6 @@ object Mv {
       groupsRecomputed: Long,
       groupsDeleted: Long,
       fullResync: Boolean)
-
-  /** Affected groups with a NULL key component are applied via an
-    * enumerated null-safe pre-delete, so they must be driver-countable;
-    * past this cap refresh refuses loudly (a grouping key that is NULL on
-    * ten thousand distinct groups is a modeling bug, not a workload).
-    */
-  val NullKeyTupleMax = 10000
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -357,9 +353,9 @@ object Mv {
   }
 
   /** Recompute `affected` groups from the source pinned at `v1` and merge
-    * the outcome into the view: fresh values upsert, vanished groups
-    * delete, NULL-keyed tuples pre-delete + append. Returns
-    * (groups recomputed, groups deleted).
+    * the outcome into the view in ONE atomic MV version: fresh values
+    * upsert, vanished groups delete — NULL-keyed groups included, via the
+    * null-safe apply. Returns (groups recomputed, groups deleted).
     */
   private def applyDelta(
       spark: SparkSession,
@@ -384,20 +380,12 @@ object Mv {
       else Snapshots.partitionColsFromRels(srcView.rels)
     val alive = srcView.rels.filterNot(r =>
       Snapshots.fullyDeleted(srcView.stats.getOrElse(r, Map.empty)))
-    // NULL-keyed groups poison both the narrowing (stats min/max ignore
-    // nulls) and the upsert's key match (SQL equality) — detect them once
-    val nullCond = d.keyCols.map(col(_).isNull).reduce(_ || _)
-    val nullRows = affectedCast.filter(nullCond).limit(NullKeyTupleMax + 1).collect()
-    require(
-      nullRows.length <= NullKeyTupleMax,
-      s"refresh of $mvRoot: more than $NullKeyTupleMax affected groups carry a NULL " +
-        "group-key component — a NULL-heavy grouping key cannot merge-on-read; " +
-        "coalesce the key in the view definition")
-    val candidates =
-      if (nullRows.nonEmpty) alive // conservative: stats can't see null-keyed rows
-      else
-        DeleteVectors.candidateRelsForKeys(
-          spark, d.sourceRoot, srcView, alive, affectedCast, n, d.keyCols, keyFields, srcPartCols)
+    // null-safe narrowing: NULL-keyed affected groups admit exactly the
+    // null-bearing files (per-file null-count stats / path segments),
+    // everything else narrows on stats+bloom as usual
+    val candidates = DeleteVectors.candidateRelsForKeys(
+      spark, d.sourceRoot, srcView, alive, affectedCast, n, d.keyCols, keyFields, srcPartCols,
+      nullSafe = true)
     val mvSchema = Snapshots
       .manifestView(spark, mvRoot)
       .schema
@@ -425,22 +413,6 @@ object Mv {
       try {
         val recCount = recomputed.count()
         val delCount = vanished.count()
-        if (nullRows.nonEmpty) {
-          // enumerate the null-keyed tuples' old view rows out of the way;
-          // their fresh rows then land as plain appends below. Not atomic
-          // with the apply commit — a crash between replays this window
-          // (watermark unadvanced) and the pre-delete is idempotent.
-          val pred = nullRows.toSeq
-            .map(r =>
-              d.keyCols.zipWithIndex
-                .map { case (c, i) =>
-                  val v = r.get(i)
-                  if (v == null) col(c).isNull else col(c) <=> lit(v)
-                }
-                .reduce(_ && _))
-            .reduce(_ || _)
-          DeleteVectors.deleteWhere(spark, mvRoot, pred)
-        }
         val opCol = "__graft_mv_op__"
         def shaped(df: DataFrame, keysOnly: Boolean): DataFrame =
           df.select(mvSchema.fields.toSeq.map { f =>
@@ -450,7 +422,12 @@ object Mv {
         val changes = shaped(recomputed, keysOnly = false)
           .withColumn(opCol, lit("u"))
           .unionByName(shaped(vanished, keysOnly = true).withColumn(opCol, lit("d")))
-        DeleteVectors.applyChanges(spark, mvRoot, changes, d.keyCols, opCol)
+        // nullSafeKeys: a NULL-keyed group's old view row matches its
+        // fresh image through `<=>`, so NULL groups ride the SAME atomic
+        // commit as every other group (no separate pre-delete version —
+        // a reader between two commits could otherwise see a view state
+        // corresponding to no source snapshot)
+        DeleteVectors.applyChanges(spark, mvRoot, changes, d.keyCols, opCol, nullSafeKeys = true)
         (recCount, delCount)
       } finally vanished.unpersist()
     } finally recomputed.unpersist()

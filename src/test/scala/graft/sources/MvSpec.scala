@@ -15,6 +15,33 @@ import graft.SparkSpec
   * file), the vacuumed-window full-resync downgrade, NULL group keys,
   * loud garbled definitions, and the SQL procedure faces.
   */
+/** Fault-injection fs for [[MvSpec]]'s writeDef race laws: a local fs
+  * whose `.def-next -> def` rename reports FAILURE after simulating the
+  * concurrent state the failure would coexist with — mode 1 performs the
+  * rename first (a lock-free reader's heal finished it), mode 2 installs
+  * a foreign image (not the heal race; must refuse). One-shot: the mode
+  * re-arms to 0 after firing so the test's other renames pass through.
+  */
+class MvFaultFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mvfault:///")
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (MvFaultFs.mode.get() != 0 && dst.getName == "def" && src.getName == ".def-next") {
+      val m = MvFaultFs.mode.getAndSet(0)
+      if (m == 1) super.rename(src, dst) // the healer finished our rename
+      else {
+        val out = create(dst, true)
+        try out.write("graft-mv v1\nsource Ym9ndXM\nversion 1\nkey x\nagg y\n".getBytes("UTF-8"))
+        finally out.close()
+        delete(src, false)
+      }
+      false // either way OUR rename reports failure
+    } else super.rename(src, dst)
+}
+
+object MvFaultFs {
+  val mode = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MvSpec extends SparkSpec {
 
   import spark.implicits._
@@ -220,6 +247,60 @@ class MvSpec extends SparkSpec {
     assert(mvState() == Set((Some("x"), 1L, 10L), (Some("y"), 1L, 20L)))
   }
 
+  test("a NULL-group refresh stays change-priced (zero-null files never open) and applies in ONE atomic version") {
+    val base = Files.createTempDirectory("mv_nullnarrow").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val rows = Seq(
+      ("d01", Option.empty[String], 1L, 10L),
+      ("d01", Some("x"), 2L, 20L),
+      ("d02", Some("y"), 3L, 30L),
+      ("d03", Some("z"), 100L, 40L)).toDF("day", "k", "id", "v")
+    Sources.writeParquet(rows.repartition(1), src, partitionCols = Seq("day"))
+    Snapshots.commit(spark, src, Seq("day", "k", "id")) // per-file null counts on k
+    Mv.create(spark, src, mv, Seq("k"), Seq("count(*) AS n", "sum(v) AS sv"))
+    // the change window touches ONLY the NULL group (a new null-k row)
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("d01", Option.empty[String], 9L, 5L)).toDF("day", "k", "id", "v"),
+      Seq("id"))
+    // narrowing canary: d03's file records ZERO nulls in k — if the
+    // NULL-group recompute opens it (the old `alive` fallback), it dies
+    val victim = Snapshots.files(spark, src).find(_.startsWith("day=d03/")).get
+    val p = Snapshots.resolve(spark, src, victim)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(p, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    val mvV0 = Snapshots.latestVersion(spark, mv)
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L)
+    assert(
+      Snapshots.latestVersion(spark, mv) == mvV0 + 1L,
+      "the NULL group must ride the SAME commit as everything else — no pre-delete version")
+    def state(): Set[(Option[String], Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r0 => (Option(r0.getString(0)), r0.getLong(1), r0.getLong(2))).toSet
+    assert(state() == Set((None, 2L, 15L), (Some("x"), 1L, 20L), (Some("y"), 1L, 30L), (Some("z"), 1L, 40L)))
+    // a MIXED window (null + non-null groups) is still one atomic
+    // version — and the corrupt d03 file STAYS corrupt: neither the
+    // source upsert's id-range narrowing ({3,9} misses [100,100]) nor
+    // the NULL/y-group recompute may open it
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(
+        ("d01", Option.empty[String], 9L, 7L),
+        ("d02", Some("y"), 3L, 31L)).toDF("day", "k", "id", "v"),
+      Seq("id"))
+    val mvV1 = Snapshots.latestVersion(spark, mv)
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 2L)
+    assert(Snapshots.latestVersion(spark, mv) == mvV1 + 1L, "mixed window: one version")
+    assert(state() == Set((None, 2L, 17L), (Some("x"), 1L, 20L), (Some("y"), 1L, 31L), (Some("z"), 1L, 40L)))
+  }
+
   test("MVs cascade: a view over a view refreshes incrementally off the upstream's own feed") {
     val base = Files.createTempDirectory("mv_cascade").toString
     val src = s"$base/src"
@@ -325,6 +406,40 @@ class MvSpec extends SparkSpec {
     assert(fs.exists(defP) && !fs.exists(next), "the heal must finish the rename")
     val r = Mv.refresh(spark, mv) // refresh proceeds normally off the healed def
     assert(r.fromVersion == r.toVersion, "source unchanged: the healed watermark is current")
+  }
+
+  test("writeDef tolerates a lock-free reader finishing its rename (fault-injected), refuses a foreign image") {
+    // a custom fs scheme whose rename FAILS on the `.def-next -> def`
+    // step after simulating what a concurrent reader's heal would have
+    // done — the only way to execute writeDef's race branch on demand
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mvfault.impl", classOf[graft.sources.MvFaultFs].getName)
+    val base = "mvfault:" + Files.createTempDirectory("mv_fault").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val rows = Seq(("d01", "a", 10L), ("d02", "b", 20L)).toDF("day", "cat", "v")
+    Sources.writeParquet(rows.repartition(1), src, partitionCols = Seq("day"))
+    Snapshots.commit(spark, src, Seq("day", "cat"))
+    Mv.create(spark, src, mv, Seq("day"), Seq("count(*) AS n", "sum(v) AS sv"))
+    DeleteVectors.upsert(spark, src, Seq(("d01", "a", 11L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    // CASE 1: the healer finished OUR rename — writeDef must treat the
+    // failed rename as success (the def holds exactly its image)
+    MvFaultFs.mode.set(1)
+    try {
+      val r = Mv.refresh(spark, mv)
+      assert(r.groupsRecomputed == 1L)
+    } finally MvFaultFs.mode.set(0)
+    assert(
+      Mv.definition(spark, mv).refreshedVersion == Snapshots.latestVersion(spark, src),
+      "the healed-by-reader rename must still advance the watermark")
+    // CASE 2: the rename fails and the def holds a FOREIGN image — that
+    // is NOT the heal race; writeDef must refuse loudly, never shrug
+    DeleteVectors.upsert(spark, src, Seq(("d02", "b", 21L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    MvFaultFs.mode.set(2)
+    try {
+      val e = intercept[RuntimeException] { Mv.refresh(spark, mv) }
+      assert(e.getMessage.contains("definition update failed"), e.getMessage)
+    } finally MvFaultFs.mode.set(0)
   }
 
   test("a garbled definition refuses loudly instead of refreshing wrong") {
