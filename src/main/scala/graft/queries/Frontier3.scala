@@ -3698,6 +3698,114 @@ object Frontier3 {
       |       true AS fresh_ok, true AS no_phantom
       |FROM s GROUP BY day ORDER BY day""".stripMargin
 
+  // -- q249: join-aware materialized view (star-schema rollup) -------------
+
+  /** THE dashboard MV a star schema actually wants: `SELECT dim.attr,
+    * aggs(fact) FROM fact JOIN dim GROUP BY dim.attr` — here per-event
+    * stats rolled up by a dimension table's CATEGORY (click/view →
+    * engagement, purchase/signup → commerce, error → ops) with a
+    * dim-weighted measure (`sum(n * wt)`), created through `CALL
+    * mv_create(dims => 'dim ON event_type=et')`. Refresh re-prices at
+    * the FACT change feed with the dim re-resolved broadcast
+    * ([[graft.sources.Mv]]): affected dim-attr groups TRACE back through
+    * the dim to the fact join-key values that can reach them, and those
+    * values drive partition-exact narrowing. The proof is physical:
+    * the `purchase` partition's file (commerce — untouched by both
+    * windows) is corrupted BEFORE the refreshes; window 1 (a new click
+    * row → engagement) must open only the click/view files, window 2
+    * (every `error` row merge-on-read deleted → the `ops` group
+    * vanishes) must open nothing at all. At 100 TB: the nightly
+    * category rollup of a join-key-clustered fact costs the changed
+    * categories' files — the dim re-resolves as a broadcast, the fact
+    * never re-scans.
+    */
+  def q249(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq249_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val dimDir = new org.apache.hadoop.fs.Path(base, "dim").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "bycat").toString
+    val stats = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(
+      stats.repartition(col("event_type")), dir, Seq("event_type"))
+    graft.sources.Snapshots.commit(s, dir, Seq("event_type", "day"))
+    val dim = {
+      import s.implicits._
+      Seq(
+        ("click", "engagement", 1L),
+        ("view", "engagement", 2L),
+        ("purchase", "commerce", 3L),
+        ("signup", "commerce", 4L),
+        ("error", "ops", 5L)).toDF("et", "category", "wt")
+    }
+    graft.sources.Sources.writeParquet(dim.repartition(1), dimDir)
+    graft.sources.Snapshots.commit(s, dimDir, Seq("et"))
+    val cat = s"snapq249_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"CALL $cat.mv_create(mv => 'bycat', source => 'ev', keys => 'category', " +
+      "aggs => 'count(*) AS n_rows; sum(n) AS n_tot; sum(sum_u) AS u_tot; sum(n * wt) AS nw_tot', " +
+      "dims => 'dim ON event_type=et')").collect()
+    val dimsMeta = s.sql(s"SELECT dims FROM $cat.bycat.mv").head().getString(0)
+    val metaOk = dimsMeta != null && dimsMeta.contains("ON event_type=et")
+    // window 1: one new click row — only `engagement` is affected
+    graft.sources.DeleteVectors.upsert(
+      s, dir,
+      s.sql("SELECT 'click' AS event_type, DATE'1999-12-31' AS day, CAST(7 AS BIGINT) AS n, " +
+        "CAST(42 AS BIGINT) AS sum_u"),
+      Seq("event_type", "day"))
+    // the canary: purchase (commerce) is untouched by both windows — a
+    // refresh whose trace expansion leaks past {click, view} dies here
+    val victim = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith("event_type=purchase/"))
+      .get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val r1 = graft.sources.Mv.refresh(s, mvDir)
+    val incr1Ok = !r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L
+    // window 2: every `error` row merge-on-read deletes — `ops` vanishes
+    // without the refresh opening a single file (the partition's files
+    // are fully-vectored, so the candidate set is empty)
+    graft.sources.DeleteVectors.deleteWhere(s, dir, col("event_type") === "error")
+    val r2 = s.sql(s"CALL $cat.mv_refresh(mv => 'bycat')").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 0L && r2.getLong(3) == 1L
+    val freshOk = !s.sql(s"SELECT stale FROM $cat.bycat.mv").head().getBoolean(0)
+    s.sql(s"SELECT category, n_rows, n_tot, u_tot, nw_tot FROM $cat.bycat ORDER BY category")
+      .withColumn("meta_ok", lit(metaOk))
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("fresh_ok", lit(freshOk))
+  }
+
+  val q249Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |final AS (
+      |  SELECT * FROM s WHERE event_type <> 'error'
+      |  UNION ALL SELECT 'click', DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT)),
+      |joined AS (
+      |  SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+      |              WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
+      |              ELSE 'ops' END AS category,
+      |         CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+      |              WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS wt,
+      |         n, su
+      |  FROM final)
+      |SELECT category, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(su) AS BIGINT) AS u_tot, CAST(sum(n * wt) AS BIGINT) AS nw_tot,
+      |       true AS meta_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
+      |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- q251: CHECK constraints re-proven at branch adoption ----------------
 
   /** The fast-forward gate for checks that postdate the branch: a branch
@@ -3856,6 +3964,7 @@ object Frontier3 {
   val queries: Map[String, Q] = Map(
     "q252_mv_null_groups" -> (q252 _),
     "q251_branch_check_gate" -> (q251 _),
+    "q249_join_mv" -> (q249 _),
     "q248_mv_live" -> (q248 _),
     "q247_check_constraints" -> (q247 _),
     "q246_retention_gc" -> (q246 _),
@@ -3913,6 +4022,7 @@ object Frontier3 {
   val oracles: Map[String, String] = Map(
     "q252_mv_null_groups" -> q252Sql,
     "q251_branch_check_gate" -> q251Sql,
+    "q249_join_mv" -> q249Sql,
     "q248_mv_live" -> q248Sql,
     "q247_check_constraints" -> q247Sql,
     "q246_retention_gc" -> q246Sql,

@@ -15,11 +15,13 @@ import org.apache.spark.sql.types.StructField
   * the CHANGE, not the table.
   *
   * An MV is itself a snapshot table (so it time-travels, clones and
-  * vacuums like any other) holding `SELECT keys…, aggs… FROM source GROUP
-  * BY keys…`, plus one tiny definition file recording the source root,
-  * the group keys, the aggregate expressions, and the source version the
-  * view last reflected. [[refresh]] advances the view to the source's
-  * head in three bounded steps:
+  * vacuums like any other) holding `SELECT keys…, aggs… FROM source
+  * [JOIN dims…] GROUP BY keys…`, plus one tiny definition file recording
+  * the source root, the group keys, the aggregate expressions, the
+  * optional broadcast DIMENSION joins ([[MvDim]] — the star-schema
+  * rollup `SELECT dim.attr, SUM(fact.x) FROM fact JOIN dim GROUP BY`),
+  * and the source version the view last reflected. [[refresh]] advances
+  * the view to the source's head in three bounded steps:
   *
   *  1. AFFECTED GROUPS: the row-level change feed between the watermark
   *     and the head ([[graft.sources.snap.SnapChangesTable]] — reads only
@@ -46,10 +48,19 @@ import org.apache.spark.sql.types.StructField
   * foreachBatch-upsert idempotence argument.
   *
   * Fallback contract: when the change window is no longer expressible
-  * (the source was vacuumed past the watermark), refresh DOWNGRADES to a
-  * full resync — every group key on either side counts as affected, the
-  * same apply path runs — and reports `fullResync = true`. Correctness
-  * never depends on the feed; only the price does.
+  * (the source was vacuumed past the watermark) — or when any DIMENSION
+  * table moved since the last refresh (a dim change can silently re-map
+  * every fact row's group) — refresh DOWNGRADES to a full resync: every
+  * group key on either side counts as affected, the same apply path
+  * runs, and the report says `fullResync = true`. Correctness never
+  * depends on the feed; only the price does. Dims are assumed
+  * slowly-changing; the common refresh re-prices at the FACT change feed
+  * with the dims re-resolved (broadcast) at their pinned heads, and
+  * group keys living on a dim side narrow the fact scan through a
+  * TRACE expansion: affected (dim-attr) groups join back through the
+  * dim to enumerate the fact join-key values that can reach them, and
+  * those values drive the same stats/bloom/partition candidate pruning
+  * fact-column keys get.
   *
   * NULL group keys are legitimate `GROUP BY` groups: the apply matches
   * them NULL-SAFELY (`<=>` — [[DeleteVectors.applyChanges]]'s
@@ -66,15 +77,37 @@ import org.apache.spark.sql.types.StructField
   */
 object Mv {
 
+  /** A recorded dimension join: the FACT side's equi-join columns matched
+    * positionally against the dim's, and the dim manifest version the
+    * view currently reflects (the pin every refresh re-resolves — a moved
+    * dim head downgrades that refresh to a full resync, reported, never
+    * wrong).
+    */
+  final case class MvDim(
+      root: String,
+      factCols: Seq[String],
+      dimCols: Seq[String],
+      version: Long)
+
+  /** A requested dimension join at [[create]] time (the version pin is
+    * resolved by create itself): INNER equi-join `fact.factCols(i) =
+    * dim.dimCols(i)`. The dim's join columns drop after the join (their
+    * values duplicate the fact side's); every other dim column becomes
+    * selectable — as a group key, inside the filter, or in an aggregate.
+    */
+  final case class MvJoinSpec(dimRoot: String, factCols: Seq[String], dimCols: Seq[String])
+
   /** A materialized view's recorded definition. `refreshedVersion` is the
-    * SOURCE manifest version the view currently reflects.
+    * SOURCE (fact) manifest version the view currently reflects; `dims`
+    * are the broadcast dimension joins with their own reflected versions.
     */
   final case class MvDef(
       sourceRoot: String,
       keyCols: Seq[String],
       aggExprs: Seq[String],
       refreshedVersion: Long,
-      filterSql: Option[String] = None)
+      filterSql: Option[String] = None,
+      dims: Seq[MvDim] = Seq.empty)
 
   /** One refresh's outcome: the source window applied, how many groups
     * recomputed / deleted, and whether the feed downgraded to a full
@@ -131,6 +164,7 @@ object Mv {
     var filterSql: Option[String] = None
     val keys = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dims = scala.collection.mutable.ArrayBuffer.empty[MvDim]
     lines.tail.foreach { l =>
       l.split(" ", 2) match {
         case Array("source", v) => source = Some(dec(v))
@@ -141,6 +175,18 @@ object Mv {
             catch { case _: NumberFormatException => fail(s"unparseable version '$v'") })
         case Array("key", v) => keys += dec(v)
         case Array("agg", v) => aggs += dec(v)
+        case Array("dim", rest) =>
+          rest.split(" ") match {
+            case Array(r, f, c, v) =>
+              val fc = dec(f).split(",").toSeq.filter(_.nonEmpty)
+              val dc = dec(c).split(",").toSeq.filter(_.nonEmpty)
+              if (fc.isEmpty || fc.size != dc.size) fail(s"malformed dim join columns in '$l'")
+              dims += MvDim(
+                dec(r), fc, dc,
+                try v.toLong
+                catch { case _: NumberFormatException => fail(s"unparseable dim version '$v'") })
+            case _ => fail(s"unparseable dim line '$l'")
+          }
         case _ => fail(s"unparseable line '$l'")
       }
     }
@@ -151,7 +197,8 @@ object Mv {
       keys.toSeq,
       aggs.toSeq,
       version.getOrElse(fail("no refreshed version recorded")),
-      filterSql)
+      filterSql,
+      dims.toSeq)
   }
 
   /** Durably (re)write the definition. Unlike the epoch markers (whose
@@ -169,6 +216,9 @@ object Mv {
     val next = new Path(p.getParent, ".def-next")
     val body = (Seq("graft-mv v1", s"source ${enc(d.sourceRoot)}", s"version ${d.refreshedVersion}") ++
       d.filterSql.map(f => s"filter ${enc(f)}").toSeq ++
+      d.dims.map(dim =>
+        s"dim ${enc(dim.root)} ${enc(dim.factCols.mkString(","))} " +
+          s"${enc(dim.dimCols.mkString(","))} ${dim.version}") ++
       d.keyCols.map(k => s"key ${enc(k)}") ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(next, true)
@@ -189,20 +239,45 @@ object Mv {
     }
   }
 
-  /** `SELECT keys…, aggs… GROUP BY keys…` — THE aggregation, one shape at
-    * create and at every refresh (determinism of the recompute is what
-    * makes the crash-replay converge).
+  /** The fact frame with every recorded dim BROADCAST-joined on (INNER,
+    * equi) and the dims' join columns dropped (their values duplicate
+    * the fact side's), then the optional filter — the pre-aggregation
+    * frame every face shares. Dims read PINNED at their recorded
+    * versions, so one refresh is snapshot-consistent end to end.
     */
-  private def aggregated(src: DataFrame, d: MvDef): DataFrame =
-    d.filterSql
-      .fold(src)(f => src.filter(expr(f)))
+  private def prepared(spark: SparkSession, d: MvDef, fact: DataFrame): DataFrame = {
+    val joined = d.dims.foldLeft(fact) { (acc, dim) =>
+      val dimDf = Snapshots.readSnapshot(spark, dim.root, dim.version)
+      val cond = dim.factCols
+        .zip(dim.dimCols)
+        .map { case (f, c) => acc(f) === dimDf(c) }
+        .reduce(_ && _)
+      dim.dimCols.foldLeft(acc.join(broadcast(dimDf), cond, "inner"))((df, c) =>
+        df.drop(dimDf(c)))
+    }
+    d.filterSql.fold(joined)(f => joined.filter(expr(f)))
+  }
+
+  /** `SELECT keys…, aggs… GROUP BY keys…` over an already-[[prepared]]
+    * frame — THE aggregation, one shape at create and at every refresh
+    * (determinism of the recompute is what makes the crash-replay
+    * converge).
+    */
+  private def aggregatedFrom(pre: DataFrame, d: MvDef): DataFrame =
+    pre
       .groupBy(d.keyCols.map(col): _*)
       .agg(expr(d.aggExprs.head), d.aggExprs.tail.map(expr): _*)
 
-  /** Create the view: one full aggregation at the source's current head,
-    * committed as a snapshot table with stats AND bloom sidecars on the
-    * group keys (the refresh upsert's narrowing discipline rides them),
-    * then the definition file. `mvRoot` must be fresh.
+  /** Create the view: one full aggregation at the source's current head
+    * (dims broadcast-joined at THEIR current heads), committed as a
+    * snapshot table with stats AND bloom sidecars on the group keys (the
+    * refresh upsert's narrowing discipline rides them), then the
+    * definition file. `mvRoot` must be fresh. Dim rules, validated here
+    * so refresh can trust the recorded definition: every dim is a
+    * committed snapshot table; join columns exist on both sides; the
+    * dim's NON-join columns must not collide with the fact's (or an
+    * earlier dim's) — the joined namespace stays flat and unambiguous;
+    * and each group key must be providable by exactly one side.
     */
   def create(
       spark: SparkSession,
@@ -210,7 +285,8 @@ object Mv {
       mvRoot: String,
       keyCols: Seq[String],
       aggExprs: Seq[String],
-      filterSql: Option[String] = None): Long = {
+      filterSql: Option[String] = None,
+      dims: Seq[MvJoinSpec] = Seq.empty): Long = {
     require(keyCols.nonEmpty, "Mv.create: at least one group-key column")
     require(aggExprs.nonEmpty, "Mv.create: at least one aggregate expression")
     val srcV = Snapshots.latestVersion(spark, sourceRoot)
@@ -223,8 +299,46 @@ object Mv {
     require(
       Snapshots.latestVersion(spark, mvRoot) == 0L && !fs.exists(defPath(mvPath)),
       s"Mv.create: $mvRoot already holds a table or view — drop it or pick another root")
-    val d = MvDef(sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty))
-    val full = aggregated(Snapshots.readSnapshot(spark, sourceRoot, srcV), d)
+    val factSchema = Snapshots
+      .schemaOf(spark, sourceRoot)
+      .getOrElse(sys.error(s"Mv.create: $sourceRoot records no schema (commit with statsCols)"))
+    val dimDefs = dims.map { sp =>
+      val v = Snapshots.latestVersion(spark, sp.dimRoot)
+      require(
+        v > 0L,
+        s"Mv.create: dim ${sp.dimRoot} has no committed manifest — dims are snapshot tables")
+      require(
+        sp.factCols.nonEmpty && sp.factCols.size == sp.dimCols.size,
+        s"Mv.create: dim ${sp.dimRoot} needs matched fact/dim join column lists")
+      MvDim(sp.dimRoot, sp.factCols, sp.dimCols, v)
+    }
+    // namespace discipline: the dims' visible (non-join) columns must not
+    // shadow anything already reachable
+    var seen = factSchema.fieldNames.toSet
+    dimDefs.foreach { dim =>
+      val dimSchema = Snapshots
+        .schemaOf(spark, dim.root)
+        .getOrElse(sys.error(s"Mv.create: dim ${dim.root} records no schema"))
+      dim.factCols.foreach(f =>
+        require(
+          factSchema.fieldNames.contains(f),
+          s"Mv.create: join column '$f' is not a column of the fact table $sourceRoot"))
+      dim.dimCols.foreach(c =>
+        require(
+          dimSchema.fieldNames.contains(c),
+          s"Mv.create: join column '$c' is not a column of dim ${dim.root}"))
+      val visible = dimSchema.fieldNames.toSet -- dim.dimCols.toSet
+      val clash = visible.intersect(seen)
+      require(
+        clash.isEmpty,
+        s"Mv.create: dim ${dim.root} column(s) ${clash.toSeq.sorted.mkString(", ")} collide " +
+          "with an already-joined column — rename them in the dim table first")
+      seen ++= visible
+    }
+    val d = MvDef(
+      sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty), dimDefs)
+    keyOwners(spark, d) // refuses an unprovidable / ambiguous group key loudly
+    val full = aggregatedFrom(prepared(spark, d, Snapshots.readSnapshot(spark, sourceRoot, srcV)), d)
     val cols = full.columns.toSeq
     require(
       cols.take(keyCols.size) == keyCols,
@@ -252,22 +366,43 @@ object Mv {
     */
   def refresh(spark: SparkSession, mvRoot: String): RefreshReport =
     Snapshots.withTableLock(spark, mvRoot) {
-      val d = definition(spark, mvRoot)
-      val v1 = Snapshots.latestVersion(spark, d.sourceRoot)
+      val d0 = definition(spark, mvRoot)
+      val v1 = Snapshots.latestVersion(spark, d0.sourceRoot)
       require(
-        v1 >= d.refreshedVersion,
-        s"materialized view $mvRoot reflects source version ${d.refreshedVersion} but " +
-          s"${d.sourceRoot} is at $v1 — the source was replaced wholesale; recreate the view")
-      if (v1 == d.refreshedVersion)
+        v1 >= d0.refreshedVersion,
+        s"materialized view $mvRoot reflects source version ${d0.refreshedVersion} but " +
+          s"${d0.sourceRoot} is at $v1 — the source was replaced wholesale; recreate the view")
+      // THIS refresh pins every dim at its current head; a dim that moved
+      // since the last refresh can have re-mapped any fact row's group,
+      // which no fact feed can name — downgrade to a full resync (v1:
+      // dims are slowly-changing; a dim-side CDC-driven delta is the
+      // natural next step)
+      val dimsNow = d0.dims.map { dim =>
+        val dv = Snapshots.latestVersion(spark, dim.root)
+        require(
+          dv > 0L,
+          s"materialized view $mvRoot: dim ${dim.root} no longer holds a committed manifest")
+        dim.copy(version = dv)
+      }
+      val dimsMoved = dimsNow.map(_.version) != d0.dims.map(_.version)
+      val d = d0.copy(dims = dimsNow)
+      if (v1 == d.refreshedVersion && !dimsMoved)
         return RefreshReport(v1, v1, 0L, 0L, fullResync = false)
       val mvPath = new Path(mvRoot)
       val fs = fsOf(spark, mvPath)
-      val incremental = affectedKeysViaChanges(spark, d, v1)
+      val incremental =
+        if (dimsMoved) {
+          log.info(
+            s"materialized-view refresh of $mvRoot: a dim head moved — full resync " +
+              "(dim tables are re-resolved whole; fact-feed pricing resumes next refresh)")
+          None
+        } else affectedKeysViaChanges(spark, d, v1)
       val affected = incremental.getOrElse {
         // full resync: every group on either side is affected — same
         // apply path, full price, still correct for every aggregate
-        val srcKeys = keysOf(spark, d.sourceRoot, v1, d.keyCols, d.filterSql)
-        val mvKeys = keysOf(spark, mvRoot, -1L, d.keyCols, None)
+        val srcKeys = prepared(spark, d, tableFrame(spark, d.sourceRoot, v1))
+          .select(d.keyCols.map(col): _*)
+        val mvKeys = tableFrame(spark, mvRoot, -1L).select(d.keyCols.map(col): _*)
         srcKeys.unionByName(mvKeys).distinct().persist()
       }
       try {
@@ -277,30 +412,49 @@ object Mv {
       } finally affected.unpersist()
     }
 
-  /** The distinct group keys of a pinned snapshot — empty-table-safe (a
-    * fully-deleted table yields an empty frame in the recorded schema
-    * instead of [[Snapshots.readSnapshot]]'s no-files refusal).
+  /** A pinned snapshot as a frame — empty-table-safe (a fully-deleted
+    * table yields an empty frame in the recorded schema instead of
+    * [[Snapshots.readSnapshot]]'s no-files refusal).
     */
-  private def keysOf(
-      spark: SparkSession,
-      root: String,
-      version: Long,
-      keyCols: Seq[String],
-      filterSql: Option[String]): DataFrame = {
+  private def tableFrame(spark: SparkSession, root: String, version: Long): DataFrame = {
     val view = Snapshots.manifestView(spark, root, version)
     val live = view.rels.filterNot(r =>
       Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
     if (live.isEmpty) {
       val sch = view.schema.getOrElse(sys.error(s"$root records no schema"))
-      val keyed = org.apache.spark.sql.types.StructType(
-        keyCols.map(c =>
-          sch.fields
-            .find(_.name == c)
-            .getOrElse(sys.error(s"group key '$c' is not a column of $root"))))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], keyed)
-    } else {
-      val df = Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
-      filterSql.fold(df)(f => df.filter(expr(f))).select(keyCols.map(col): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    } else Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view))
+  }
+
+  /** Which side provides each group key: `None` = the fact table,
+    * `Some(dim)` = that dim's visible (non-join) columns. Refused loudly
+    * when a key is providable by no side or — impossible after
+    * [[create]]'s namespace discipline, but re-checked because schemas
+    * evolve — by more than one. The trace-expansion narrowing derives
+    * from this map, so it must never guess.
+    */
+  private def keyOwners(spark: SparkSession, d: MvDef): Seq[(String, Option[MvDim])] = {
+    val factCols = Snapshots
+      .schemaOf(spark, d.sourceRoot)
+      .map(_.fieldNames.toSet)
+      .getOrElse(sys.error(s"${d.sourceRoot} records no schema"))
+    val dimVisible: Seq[(MvDim, Set[String])] = d.dims.map { dim =>
+      dim -> (Snapshots
+        .schemaOf(spark, dim.root)
+        .map(_.fieldNames.toSet)
+        .getOrElse(sys.error(s"dim ${dim.root} records no schema")) -- dim.dimCols.toSet)
+    }
+    d.keyCols.map { k =>
+      if (factCols.contains(k)) k -> Option.empty[MvDim]
+      else {
+        val owners = dimVisible.collect { case (dim, vis) if vis.contains(k) => dim }
+        require(
+          owners.size == 1,
+          s"group key '$k' must be provided by exactly one side of the join " +
+            s"(fact ${d.sourceRoot} + ${d.dims.size} dim(s)); found ${owners.size} providers — " +
+            "the schemas drifted since create")
+        k -> Some(owners.head)
+      }
     }
   }
 
@@ -325,8 +479,11 @@ object Mv {
         val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           .create(tbl, None, None, opts)
         val feed = org.apache.spark.sql.graft.Bridge.ofRows(spark, rel)
-        d.filterSql
-          .fold(feed)(f => feed.filter(expr(f)))
+        // the feed carries FACT rows (deleted images included, with full
+        // values — joinable); dims join on at their pinned heads, which
+        // equal the whole window's dim state (a moved dim already
+        // downgraded to resync before this path runs)
+        prepared(spark, d, feed)
           .select(d.keyCols.map(col): _*)
           .distinct()
           .persist()
@@ -368,10 +525,21 @@ object Mv {
     val srcView = Snapshots.manifestView(spark, d.sourceRoot, v1)
     val srcSchema = srcView.schema.getOrElse(
       sys.error(s"source ${d.sourceRoot} records no schema — commit with statsCols first"))
-    val keyFields: Seq[StructField] = d.keyCols.map(c =>
-      srcSchema.fields
-        .find(_.name == c)
-        .getOrElse(sys.error(s"group key '$c' is no longer a column of ${d.sourceRoot}")))
+    val owners = keyOwners(spark, d)
+    // key fields typed in the JOINED domain: the fact schema for fact
+    // keys, the owning dim's schema for dim-provided keys
+    val dimSchemas: Map[String, org.apache.spark.sql.types.StructType] =
+      d.dims.map(dim =>
+        dim.root -> Snapshots
+          .schemaOf(spark, dim.root)
+          .getOrElse(sys.error(s"dim ${dim.root} records no schema"))).toMap
+    val keyFields: Seq[StructField] = owners.map {
+      case (k, None) =>
+        srcSchema.fields
+          .find(_.name == k)
+          .getOrElse(sys.error(s"group key '$k' is no longer a column of ${d.sourceRoot}"))
+      case (k, Some(dim)) => dimSchemas(dim.root).fields.find(_.name == k).get
+    }
     // compare in the TABLE's key domain (the upsert prologue's cast)
     val affectedCast =
       affected.select(keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -380,12 +548,61 @@ object Mv {
       else Snapshots.partitionColsFromRels(srcView.rels)
     val alive = srcView.rels.filterNot(r =>
       Snapshots.fullyDeleted(srcView.stats.getOrElse(r, Map.empty)))
-    // null-safe narrowing: NULL-keyed affected groups admit exactly the
+    // TRACE EXPANSION: the fact-column tuples that can reach the affected
+    // groups. Fact-owned keys trace as themselves; a dim-owned key (e.g.
+    // `GROUP BY dim.attr`) expands through the dim — affected attr
+    // values join back (null-safely, broadcast) to enumerate the dim
+    // join-key values mapping into them, which enter the trace renamed
+    // to the FACT side's join columns. The expanded tuples then drive
+    // the same stats/bloom/partition narrowing fact keys get: a day's
+    // change into a fact clustered by the join key scans the affected
+    // keys' files, never the table.
+    val factKeyCols = owners.collect { case (k, None) => k }
+    val byDim: Seq[(MvDim, Seq[String])] = owners
+      .collect { case (k, Some(dim)) => (dim, k) }
+      .groupBy(_._1.root)
+      .values
+      .map(g => (g.head._1, g.map(_._2)))
+      .toSeq
+    var trace = affectedCast
+    byDim.foreach { case (dim, kcs) =>
+      val dimDf = broadcast(
+        Snapshots
+          .readSnapshot(spark, dim.root, dim.version)
+          .select((kcs ++ dim.dimCols).map(col): _*)
+          .distinct())
+      val cond = kcs.map(k => trace(k) <=> dimDf(k)).reduce(_ && _)
+      var j = trace.join(dimDf, cond, "inner")
+      kcs.foreach(k => j = j.drop(dimDf(k))) // the dim copy of the attr keys
+      dim.dimCols.zip(dim.factCols).foreach { case (dc, fc) =>
+        j =
+          if (j.columns.contains(fc))
+            // the fact join column is ITSELF a group key: the group's own
+            // value is tighter than the dim row's — keep it, drop the copy
+            j.drop(dimDf(dc))
+          else j.withColumnRenamed(dc, fc)
+      }
+      trace = j
+    }
+    val traceCols = (factKeyCols ++ byDim.flatMap(_._1.factCols)).distinct
+    val traceFields = traceCols.map(c =>
+      srcSchema.fields
+        .find(_.name == c)
+        .getOrElse(sys.error(s"join column '$c' is no longer a column of ${d.sourceRoot}")))
+    val traceTuples = trace
+      .select(traceFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .distinct()
+      .persist()
+    // null-safe narrowing: NULL-keyed trace tuples admit exactly the
     // null-bearing files (per-file null-count stats / path segments),
     // everything else narrows on stats+bloom as usual
-    val candidates = DeleteVectors.candidateRelsForKeys(
-      spark, d.sourceRoot, srcView, alive, affectedCast, n, d.keyCols, keyFields, srcPartCols,
-      nullSafe = true)
+    val candidates =
+      try {
+        val nT = traceTuples.count()
+        DeleteVectors.candidateRelsForKeys(
+          spark, d.sourceRoot, srcView, alive, traceTuples, nT, traceCols, traceFields,
+          srcPartCols, nullSafe = true)
+      } finally traceTuples.unpersist()
     val mvSchema = Snapshots
       .manifestView(spark, mvRoot)
       .schema
@@ -398,12 +615,13 @@ object Mv {
                       } else {
                         val scan = Snapshots.scanRels(
                           spark, d.sourceRoot, candidates, srcView.schema, Snapshots.dvByRel(srcView))
+                        val pre = prepared(spark, d, scan)
                         val keysB =
                           if (n <= Snapshots.DvBroadcastMaxPositions) broadcast(affectedCast)
                           else affectedCast
                         // null-safe semi-join: NULL is a legitimate group key
-                        val cond = d.keyCols.map(c => scan(c) <=> keysB(c)).reduce(_ && _)
-                        aggregated(scan.join(keysB, cond, "left_semi"), d)
+                        val cond = d.keyCols.map(c => pre(c) <=> keysB(c)).reduce(_ && _)
+                        aggregatedFrom(pre.join(keysB, cond, "left_semi"), d)
                       }).persist()
     try {
       val recKeys = recomputed.select(d.keyCols.map(col): _*)

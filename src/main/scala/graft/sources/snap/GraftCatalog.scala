@@ -607,12 +607,16 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("expr", StringType, nullable = false)))
     case "mv" =>
       // a materialized view's definition + staleness: one row, answering
-      // "what does this view compute and is it behind its source?"
+      // "what does this view compute and is it behind its source?" —
+      // `dims` renders the broadcast dimension joins (`root ON f=d@v`;
+      // NULL for a single-table view), and `stale` accounts for BOTH a
+      // moved fact head and any moved dim head
       StructType(Seq(
         StructField("source", StringType, nullable = false),
         StructField("keys", StringType, nullable = false),
         StructField("aggs", StringType, nullable = false),
         StructField("filter", StringType, nullable = true),
+        StructField("dims", StringType, nullable = true),
         StructField("refreshed_version", LongType, nullable = false),
         StructField("source_head", LongType, nullable = false),
         StructField("stale", BooleanType, nullable = false)))
@@ -713,14 +717,25 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
       case "mv" =>
         val d = graft.sources.Mv.definition(spark, dir)
         val head = Snapshots.latestVersion(spark, d.sourceRoot)
+        val dimMoved = d.dims.exists(dim =>
+          Snapshots.latestVersion(spark, dim.root) != dim.version)
+        val dimsStr =
+          if (d.dims.isEmpty) null
+          else
+            d.dims
+              .map(dim =>
+                s"${dim.root} ON ${dim.factCols.zip(dim.dimCols)
+                    .map { case (f, c) => s"$f=$c" }.mkString(",")}@v${dim.version}")
+              .mkString("; ")
         Seq(Row(
           d.sourceRoot,
           d.keyCols.mkString(","),
           d.aggExprs.mkString("; "),
           d.filterSql.orNull,
+          dimsStr,
           d.refreshedVersion,
           head,
-          head != d.refreshedVersion))
+          head != d.refreshedVersion || dimMoved))
       case "dvs" =>
         val mv = Snapshots.manifestView(spark, dir, version)
         mv.rels.flatMap { rel =>

@@ -517,25 +517,42 @@ private[snap] object GraftProcedures {
       "create an incrementally-maintained MATERIALIZED VIEW over a snapshot table: one full " +
         "aggregation now, then `mv_refresh` re-prices at the change — `keys` is a comma list " +
         "of group columns, `aggs` a ';'-separated list of aggregate expressions with explicit " +
-        "aliases (e.g. 'sum(x) AS sx; count(*) AS n'); the view is itself a snapshot table " +
-        "with stats+bloom sidecars on the keys"
+        "aliases (e.g. 'sum(x) AS sx; count(*) AS n'); `dims` optionally broadcast-joins " +
+        "dimension tables ('dim ON fact_col=dim_col[,f2=d2][; dim2 ON ...]' — the star-schema " +
+        "rollup; group keys may be dim columns); the view is itself a snapshot table with " +
+        "stats+bloom sidecars on the keys"
     override def parameters(): Array[ProcedureParameter] =
       Array(
         in("mv", StringType),
         in("source", StringType),
         in("keys", StringType),
         in("aggs", StringType),
-        inDefault("where", StringType, "''"))
+        inDefault("where", StringType, "''"),
+        inDefault("dims", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val keys = input.getUTF8String(2).toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
       val aggs = input.getUTF8String(3).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+      val dims = input.getUTF8String(5).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { one =>
+          val parts = one.split("(?i)\\s+ON\\s+", 2)
+          require(
+            parts.length == 2,
+            s"mv_create dims: '$one' must be '<dim table> ON fact_col=dim_col[,f2=d2]'")
+          val pairs = parts(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+            val fc = p.split("=", 2)
+            require(fc.length == 2, s"mv_create dims: join pair '$p' must be fact_col=dim_col")
+            (fc(0).trim, fc(1).trim)
+          }
+          graft.sources.Mv.MvJoinSpec(dirOf(parts(0).trim), pairs.map(_._1), pairs.map(_._2))
+        }
       val v = graft.sources.Mv.create(
         spark,
         dirOf(input.getUTF8String(1).toString),
         dirOf(input.getUTF8String(0).toString),
         keys,
         aggs,
-        Some(input.getUTF8String(4).toString).map(_.trim).filter(_.nonEmpty))
+        Some(input.getUTF8String(4).toString).map(_.trim).filter(_.nonEmpty),
+        dims)
       result(out("version" -> LongType), Seq(v))
     }
   }

@@ -374,6 +374,133 @@ class MvSpec extends SparkSpec {
     assert(mvRows(mv) == expected() && !mvRows(mv).exists(_._1 == "d02"))
   }
 
+  /** Star-schema fixture: a fact table PARTITIONED BY its join key `cat`
+    * (so dim-attr group keys can prove partition-exact trace narrowing)
+    * and a small dim mapping cat → rollup group `grp` with a weight.
+    */
+  private def starFixture(tag: String): (String, String, String) = {
+    val base = Files.createTempDirectory(tag).toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val f = Seq(
+      ("a", 1L, 10L), ("a", 2L, 11L), ("b", 3L, 20L),
+      ("c", 4L, 30L), ("c", 5L, 31L), ("d", 6L, 40L)).toDF("cat", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    val dd = Seq(("a", "g1", 2L), ("b", "g1", 3L), ("c", "g2", 5L), ("d", "g3", 7L))
+      .toDF("ck", "grp", "w")
+    Sources.writeParquet(dd.repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    (fact, dim, s"$base/mv")
+  }
+
+  private def corrupt(root: String, relPrefix: String): Unit = {
+    val victim = Snapshots.files(spark, root).find(_.startsWith(relPrefix)).get
+    val p = Snapshots.resolve(spark, root, victim)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(p, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("join MV: star rollup by a dim attribute — create exact, fact refresh trace-narrowed, vanished group deletes") {
+    val (fact, dim, mv) = starFixture("mv_star")
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == Set(("g1", 3L, 41L), ("g2", 2L, 61L), ("g3", 1L, 40L)))
+    assert(Mv.definition(spark, mv).dims == Seq(Mv.MvDim(dim, Seq("cat"), Seq("ck"), 1L)))
+    // a fact change touching only g1 (cats a, b); cat=c's file (g2,
+    // untouched) is corrupted — the TRACE expansion (g1 → dim → {a, b})
+    // must keep the refresh partition-exact or it dies here
+    DeleteVectors.upsert(spark, fact, Seq(("a", 9L, 12L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    corrupt(fact, "cat=c/")
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L && r.groupsDeleted == 0L)
+    assert(got() == Set(("g1", 4L, 53L), ("g2", 2L, 61L), ("g3", 1L, 40L)))
+    // delete g3's only cat: the group must vanish, scanning nothing
+    DeleteVectors.deleteWhere(spark, fact, $"cat" === "d")
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 0L && r2.groupsDeleted == 1L)
+    assert(got() == Set(("g1", 4L, 53L), ("g2", 2L, 61L)))
+  }
+
+  test("join MV: a moved dim head downgrades to a reported full resync and re-maps groups exactly") {
+    val (fact, dim, mv) = starFixture("mv_dimmove")
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the `mv` metadata face must read stale on a dim move alone
+    val cat = s"mvdim_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", new org.apache.hadoop.fs.Path(mv).getParent.toString)
+    assert(!spark.sql(s"SELECT stale FROM $cat.mv.mv").head().getBoolean(0))
+    // cat 'c' re-maps g2 → g1 with NO fact change: no fact feed can name
+    // the affected groups — refresh must resync (reported), not guess
+    DeleteVectors.upsert(spark, dim, Seq(("c", "g1", 5L)).toDF("ck", "grp", "w"), Seq("ck"))
+    assert(spark.sql(s"SELECT stale FROM $cat.mv.mv").head().getBoolean(0), "dim move = stale")
+    val r = Mv.refresh(spark, mv)
+    assert(r.fullResync, "a moved dim cannot be priced off the fact feed")
+    assert(r.groupsDeleted == 1L, "g2 no longer derivable — it must delete")
+    assert(got() == Set(("g1", 5L, 102L), ("g3", 1L, 40L)))
+    // the NEXT fact-only window resumes incremental pricing
+    DeleteVectors.upsert(spark, fact, Seq(("d", 9L, 41L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 1L)
+    assert(got() == Set(("g1", 5L, 102L), ("g3", 2L, 81L)))
+  }
+
+  test("join MV: mixed fact+dim group keys and dim measures in aggregates, fact-key trace kept tight") {
+    val (fact, dim, mv) = starFixture("mv_mixed")
+    Mv.create(
+      spark, fact, mv, Seq("grp", "cat"), Seq("count(*) AS n", "sum(v * w) AS wv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    def got(): Set[(String, String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got() == Set(
+      ("g1", "a", 2L, 42L), ("g1", "b", 1L, 60L), ("g2", "c", 2L, 305L), ("g3", "d", 1L, 280L)))
+    // the affected group names its OWN cat (a fact key): the trace must
+    // use it — not the dim expansion's wider {a, b} — so only cat=b's
+    // file opens; cat=a's is corrupted to prove it
+    DeleteVectors.upsert(spark, fact, Seq(("b", 9L, 21L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    corrupt(fact, "cat=a/")
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L)
+    assert(got() == Set(
+      ("g1", "a", 2L, 42L), ("g1", "b", 2L, 123L), ("g2", "c", 2L, 305L), ("g3", "d", 1L, 280L)))
+  }
+
+  test("join-MV create refuses column collisions and unprovidable group keys") {
+    val (fact, dim, mv) = starFixture("mv_refusejoin")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    // a dim whose VISIBLE column collides with a fact column
+    val dim2 = s"$base/dim2"
+    Sources.writeParquet(Seq(("a", 1L)).toDF("ck", "v").repartition(1), dim2)
+    Snapshots.commit(spark, dim2, Seq("ck"))
+    val e = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("cat"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim2, Seq("cat"), Seq("ck"))))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // a group key neither side provides
+    val e2 = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("nope"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    }
+    assert(e2.getMessage.contains("exactly one side"), e2.getMessage)
+  }
+
   test("mvRefreshStream keeps the view fresh off the source's manifest log") {
     val base = Files.createTempDirectory("mv_stream").toString
     val src = s"$base/src"
