@@ -28,6 +28,8 @@ object Bench {
       // fresh session before this; the cache is bounded, just sized to the
       // registry.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // parser extensions are builder-time-only: MV DDL queries need this
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,6 +19,8 @@ object Verify {
       // cache thrashes across a 133-query registry (every eviction is a
       // fresh janino compile)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // parser extensions are builder-time-only: MV DDL queries need this
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .getOrCreate()
     graft.core.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -62,6 +62,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // builder-path extensions (parser DDL needs builder time — a live
+      // session's parser cannot be swapped; the rest also rides here)
+      .config("spark.sql.extensions", classOf[graft.plans.GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -375,6 +375,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
+    // MV DDL (`CREATE/REFRESH/DROP MATERIALIZED VIEW`) — a thin wrapper
+    // that delegates everything else to Spark's own parser verbatim
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     functionTriples.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }

@@ -3806,6 +3806,79 @@ object Frontier3 {
       |       true AS meta_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
       |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q250: the MV lifecycle purely through SQL DDL -----------------------
+
+  /** The SQL-first user's materialized view: `CREATE MATERIALIZED VIEW …
+    * AS SELECT … FROM fact JOIN dim ON … WHERE dim.attr = … GROUP BY …`
+    * parsed by [[graft.plans.GraftSqlParser]] (a parser extension whose
+    * SELECT analysis is Spark's own grammar — the plan pattern-matches
+    * into [[graft.sources.Mv.create]]), then `INSERT INTO` and SQL
+    * `DELETE` land change windows, `REFRESH MATERIALIZED VIEW` applies
+    * each one incrementally (`incr1_ok`: a one-day insert recomputes one
+    * group off the feed; `incr2_ok`: deleting a day's in-filter rows
+    * deletes exactly that group), and `DROP MATERIALIZED VIEW` removes a
+    * scratch view whole and idempotently (`drop_ok`). Not a procedure
+    * call in sight — the entire lifecycle is the standard DDL any BI
+    * tool or SQL client can speak. The filter references the DIM side
+    * (`category = 'engagement'`), so the change feed's dim join is load-
+    * bearing for the affected-group computation, not just the recompute.
+    */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq250", Seq("day"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent
+    val dimDir = new org.apache.hadoop.fs.Path(base, "dim").toString
+    val dim = {
+      import s.implicits._
+      Seq(
+        ("click", "engagement"),
+        ("view", "engagement"),
+        ("purchase", "commerce"),
+        ("signup", "commerce"),
+        ("error", "ops")).toDF("et", "category")
+    }
+    graft.sources.Sources.writeParquet(dim.repartition(1), dimDir)
+    graft.sources.Snapshots.commit(s, dimDir, Seq("et"))
+    val m = Tables.events(s, d).agg(min(to_date(col("ts"))).as("m")).head().getDate(0).toLocalDate
+    s.sql(s"""CREATE MATERIALIZED VIEW $cat.daily_eng AS
+      |SELECT day, count(*) AS n_rows, sum(n) AS n_tot, sum(sum_u) AS u_tot
+      |FROM $cat.ev JOIN $cat.dim d ON event_type = d.et
+      |WHERE category = 'engagement' GROUP BY day""".stripMargin).collect()
+    // window 1: one SQL INSERT — a brand-new engagement day
+    s.sql(s"INSERT INTO $cat.ev VALUES ('click', CAST(7 AS BIGINT), CAST(42 AS BIGINT), DATE'1999-12-31')")
+      .collect()
+    val r1 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.daily_eng").head()
+    val incr1Ok = !r1.getBoolean(4) && r1.getLong(2) == 1L && r1.getLong(3) == 0L
+    // window 2: SQL DELETE of day m's in-filter rows — the group vanishes
+    s.sql(s"DELETE FROM $cat.ev WHERE day = DATE'$m' AND event_type IN ('click', 'view')")
+      .collect()
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.daily_eng").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 0L && r2.getLong(3) == 1L
+    // a scratch view: DROP is whole and idempotent
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.scratch AS " +
+      s"SELECT event_type, count(*) AS n FROM $cat.ev GROUP BY event_type").collect()
+    val dropOk = s.sql(s"DROP MATERIALIZED VIEW $cat.scratch").head().getBoolean(0) &&
+      !s.sql(s"DROP MATERIALIZED VIEW $cat.scratch").head().getBoolean(0)
+    s.sql(s"SELECT day, n_rows, n_tot, u_tot FROM $cat.daily_eng ORDER BY day")
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("drop_ok", lit(dropOk))
+  }
+
+  val q250Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS m FROM s),
+      |eng AS (
+      |  SELECT day, n, su FROM s, b
+      |  WHERE event_type IN ('click', 'view') AND day <> m
+      |  UNION ALL SELECT DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(su) AS BIGINT) AS u_tot,
+      |       true AS incr1_ok, true AS incr2_ok, true AS drop_ok
+      |FROM eng GROUP BY day ORDER BY day""".stripMargin
+
   // -- q251: CHECK constraints re-proven at branch adoption ----------------
 
   /** The fast-forward gate for checks that postdate the branch: a branch
@@ -3964,6 +4037,7 @@ object Frontier3 {
   val queries: Map[String, Q] = Map(
     "q252_mv_null_groups" -> (q252 _),
     "q251_branch_check_gate" -> (q251 _),
+    "q250_mv_sql_ddl" -> (q250 _),
     "q249_join_mv" -> (q249 _),
     "q248_mv_live" -> (q248 _),
     "q247_check_constraints" -> (q247 _),
@@ -4022,6 +4096,7 @@ object Frontier3 {
   val oracles: Map[String, String] = Map(
     "q252_mv_null_groups" -> q252Sql,
     "q251_branch_check_gate" -> q251Sql,
+    "q250_mv_sql_ddl" -> q250Sql,
     "q249_join_mv" -> q249Sql,
     "q248_mv_live" -> q248Sql,
     "q247_check_constraints" -> q247Sql,

@@ -358,6 +358,36 @@ object Mv {
     v
   }
 
+  /** Drop the view whole — its snapshot table, sidecars and definition
+    * die together (a definition-less MV table would be an unreachable
+    * husk). Returns whether a view existed; refuses to delete a
+    * directory that holds a committed TABLE but no view definition
+    * (DROP MATERIALIZED VIEW must never be the thing that destroys a
+    * plain table).
+    */
+  def drop(spark: SparkSession, mvRoot: String): Boolean = {
+    val mvPath = new Path(mvRoot)
+    val fs = fsOf(spark, mvPath)
+    val existed = Snapshots.withTableLock(spark, mvRoot) {
+      val p = defPath(mvPath)
+      val there = fs.exists(p) || fs.exists(new Path(p.getParent, ".def-next"))
+      if (!there) {
+        require(
+          Snapshots.latestVersion(spark, mvRoot) == 0L,
+          s"$mvRoot holds a committed snapshot table but no view definition — it is a TABLE, " +
+            "not a materialized view; refusing to drop it from the MV face")
+        false
+      } else {
+        fs.delete(mvPath, true)
+        true
+      }
+    }
+    // the lock's heartbeat may have recreated the manifest dir (and its
+    // lock file) inside the delete window — sweep the husk AFTER release
+    if (existed) fs.delete(mvPath, true)
+    existed
+  }
+
   /** Advance the view to the source's current head. Returns the window
     * applied and the group counts; a no-op (already at head) returns
     * zeros. Snapshot-consistent under concurrent source writers: the

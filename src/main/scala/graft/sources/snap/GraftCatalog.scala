@@ -81,6 +81,11 @@ class GraftCatalog
 
   override def name(): String = catName
 
+  /** The catalog's base directory — the MV DDL commands compose
+    * `<root>/<namespace…>/<table>` dirs from identifiers through it.
+    */
+  def root: String = rootDir
+
   private def spark: SparkSession = SparkSession.active
 
   private def dirOf(ident: Identifier): String =

@@ -19,6 +19,15 @@ object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A registered catalog plugin by name (`catalogManager` is
+    * `private[sql]`) — the MV DDL commands resolve `cat.table`
+    * identifiers to snapshot roots through it at run time.
+    */
+  def catalogPlugin(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager.catalog(name)
+
   /** The analyzed logical plan of a DataFrame (for feeding custom nodes). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]].logicalPlan

@@ -479,6 +479,47 @@ class MvSpec extends SparkSpec {
       ("g1", "a", 2L, 42L), ("g1", "b", 2L, 123L), ("g2", "c", 2L, 305L), ("g3", "d", 1L, 280L)))
   }
 
+  test("SQL DDL: CREATE / REFRESH / DROP MATERIALIZED VIEW round-trip (join + filter), table-drop refused") {
+    val (fact, dim, mv) = starFixture("mv_ddl")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    val cat = s"mvddl_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    val v = spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.mv AS
+         |SELECT grp, count(*) AS n, sum(v * w) AS wv
+         |FROM $cat.fact JOIN $cat.dim d ON cat = d.ck
+         |WHERE v > 10 GROUP BY grp""".stripMargin).head().getLong(0)
+    assert(v == 1L)
+    val d = Mv.definition(spark, mv)
+    assert(d.dims.map(x => (x.root, x.factCols, x.dimCols)) == Seq((dim, Seq("cat"), Seq("ck"))))
+    assert(d.filterSql.exists(_.contains("v > 10")), d.filterSql.toString)
+    def got(): Set[(String, Long, Long)] =
+      spark.sql(s"SELECT grp, n, wv FROM $cat.mv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // rows v > 10: a:11, b:20 (g1), c:30+31 (g2), d:40 (g3)
+    assert(got() == Set(("g1", 2L, 82L), ("g2", 2L, 305L), ("g3", 1L, 280L)))
+    DeleteVectors.upsert(spark, fact, Seq(("b", 9L, 21L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r = spark.sql(s"REFRESH MATERIALIZED VIEW $cat.mv").head()
+    assert(r.getLong(2) == 1L && !r.getBoolean(4), r.toString)
+    assert(got() == Set(("g1", 3L, 145L), ("g2", 2L, 305L), ("g3", 1L, 280L)))
+    // DROP: true, then idempotently false; a plain TABLE refuses
+    assert(spark.sql(s"DROP MATERIALIZED VIEW $cat.mv").head().getBoolean(0))
+    val fs = new org.apache.hadoop.fs.Path(mv).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mv)), "the view dir must die whole")
+    assert(!spark.sql(s"DROP MATERIALIZED VIEW $cat.mv").head().getBoolean(0))
+    val e = intercept[Exception] { spark.sql(s"DROP MATERIALIZED VIEW $cat.fact").collect() }
+    assert(e.getMessage.contains("not a materialized view"), e.getMessage)
+    // the wrapper delegates everything that is not MV DDL verbatim
+    assert(spark.sql("SELECT 1 AS one").head().getInt(0) == 1)
+    // shape rules refuse loudly: unaliased aggregate
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.mv2 AS SELECT cat, sum(v) FROM $cat.fact GROUP BY cat")
+        .collect()
+    }
+    assert(e2.getMessage.contains("alias"), e2.getMessage)
+  }
+
   test("join-MV create refuses column collisions and unprovidable group keys") {
     val (fact, dim, mv) = starFixture("mv_refusejoin")
     val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
