@@ -578,6 +578,19 @@ private[snap] object GraftProcedures {
     }
   }
 
+  private class MvDrop(rootDir: String) extends SnapProcedure("mv_drop", rootDir) {
+    override def description: String =
+      "drop a materialized view whole (its snapshot table, sidecars and definition die " +
+        "together); refuses a committed table with no view definition — dropping a plain " +
+        "table is a filesystem decision, not an MV call"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("mv", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val existed = graft.sources.Mv.drop(spark, dirOf(input.getUTF8String(0).toString))
+      result(out("existed" -> org.apache.spark.sql.types.BooleanType), Seq(existed))
+    }
+  }
+
   private class DropRef(rootDir: String) extends SnapProcedure("drop_ref", rootDir) {
     override def description: String =
       "drop a branch/tag ref — the pinned version becomes ordinary history the next vacuum may reclaim"
@@ -613,6 +626,7 @@ private[snap] object GraftProcedures {
     new DropBranch(rootDir),
     new MvCreate(rootDir),
     new MvRefresh(rootDir),
+    new MvDrop(rootDir),
     new RemoveOrphans(rootDir),
     new AddCheck(rootDir),
     new DropCheck(rootDir),

@@ -656,5 +656,10 @@ class MvSpec extends SparkSpec {
     assert(
       spark.sql(s"SELECT stale FROM $cat.daily.mv").head().getBoolean(0),
       "a source commit past the watermark must read as stale")
+    // CALL mv_drop: whole, idempotent, table-protective
+    assert(spark.sql(s"CALL $cat.mv_drop(mv => 'daily')").head().getBoolean(0))
+    assert(!spark.sql(s"CALL $cat.mv_drop(mv => 'daily')").head().getBoolean(0))
+    val e = intercept[Exception] { spark.sql(s"CALL $cat.mv_drop(mv => 'src')").collect() }
+    assert(e.getMessage.contains("not a materialized view"), e.getMessage)
   }
 }
