@@ -183,22 +183,26 @@ object GraftSqlParser {
       }
       (parts, pairs.map(_._1), pairs.map(_._2))
     }
-    val keys = groupExprs.map {
+    val groupKeys = groupExprs.map {
       case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
       case other =>
         fail(
           s"GROUP BY '${other.sql}' — group keys must be bare column names (compute " +
             "expressions in the source table, or group by the column)")
     }
-    val keySet = keys.toSet
-    val leading = selectList.take(keys.size).map {
+    val leading = selectList.take(groupKeys.size).map {
       case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
       case other => fail(s"select the GROUP BY keys first (got '${other.sql}')")
     }
-    if (leading.toSet != keySet || selectList.size <= keys.size)
+    if (leading.toSet != groupKeys.toSet || leading.distinct.size != leading.size ||
+      selectList.size <= groupKeys.size)
       fail(
         "the select list must be the GROUP BY keys first, then explicitly aliased " +
           "aggregates (the materialized column order)")
+    // the MATERIALIZED column order is the user's SELECT order — `SELECT
+    // b, a … GROUP BY a, b` materializes (b, a, …), never a silent
+    // rewrite to GROUP BY order (same groups either way)
+    val keys = leading
     val aggs = selectList.drop(keys.size).map {
       case al: Alias =>
         requireBare(al.child, s"aggregate '${al.name}'")

@@ -171,8 +171,23 @@ object Constraints {
         }
       } catch {
         case t: Throwable =>
-          try { fs.delete(p, false); bumpStamp(fs, rootPath) }
-          catch { case _: Exception => () } // rollback best-effort; rethrow the cause
+          // roll the pending check back — and VERIFY it (fs.delete
+          // reports failure as a boolean, not only as an exception): a
+          // silently-still-published check would refuse every later
+          // commit on the table while the caller believes the add never
+          // happened
+          val rolledBack =
+            try {
+              val gone = fs.delete(p, false) || !fs.exists(p)
+              bumpStamp(fs, rootPath)
+              gone
+            } catch { case _: Exception => false }
+          if (!rolledBack)
+            throw new RuntimeException(
+              s"addCheck($root): validation failed AND the pending check '$name' could not " +
+                s"be removed — it REMAINS recorded and will refuse violating commits; run " +
+                s"dropCheck('$name') to clear it. Original failure: ${t.getMessage}",
+              t)
           throw t
       }
     }

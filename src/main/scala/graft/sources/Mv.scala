@@ -368,6 +368,10 @@ object Mv {
   def drop(spark: SparkSession, mvRoot: String): Boolean = {
     val mvPath = new Path(mvRoot)
     val fs = fsOf(spark, mvPath)
+    // the root may not even exist yet — remember, so a no-op drop does
+    // not leave behind the manifest-dir husk withTableLock's own mkdirs
+    // creates for the lock file
+    val rootExisted = fs.exists(mvPath)
     val existed = Snapshots.withTableLock(spark, mvRoot) {
       val p = defPath(mvPath)
       val there = fs.exists(p) || fs.exists(new Path(p.getParent, ".def-next"))
@@ -378,13 +382,24 @@ object Mv {
             "not a materialized view; refusing to drop it from the MV face")
         false
       } else {
-        fs.delete(mvPath, true)
+        // under the lock, only UNREGISTER the view: the definition dies
+        // first (both images), so every serialized MV face afterwards —
+        // refresh, a re-create, a second drop — sees a headless table
+        // and refuses loudly. Deleting the whole tree here would delete
+        // the lock file mid-critical-section (forfeiting the mutual
+        // exclusion the sweep below then relies on being unnecessary).
+        fs.delete(p, false)
+        fs.delete(new Path(p.getParent, ".def-next"), false)
         true
       }
     }
-    // the lock's heartbeat may have recreated the manifest dir (and its
-    // lock file) inside the delete window — sweep the husk AFTER release
+    // sweep AFTER release: the def removal fenced every MV face out
+    // (refresh refuses, create refuses while manifests exist), so the
+    // husk — data files, manifests, sidecars — has no other owner. A
+    // create can only succeed at this root once the sweep removed the
+    // last manifest, i.e. after the tree is essentially gone.
     if (existed) fs.delete(mvPath, true)
+    else if (!rootExisted) fs.delete(mvPath, true) // lock-husk of a no-op drop
     existed
   }
 
@@ -602,14 +617,21 @@ object Mv {
           .select((kcs ++ dim.dimCols).map(col): _*)
           .distinct())
       val cond = kcs.map(k => trace(k) <=> dimDf(k)).reduce(_ && _)
+      // whether the TRACE (not the just-joined dim copy) already carries
+      // the fact column must be decided BEFORE the join: after it, a dim
+      // join column named like its fact column (ON cust_id = cust_id)
+      // makes `j.columns.contains(fc)` true for the dim's copy and a
+      // keep-the-trace's branch would drop the only copy
+      val traceHad = trace.columns.toSet
       var j = trace.join(dimDf, cond, "inner")
       kcs.foreach(k => j = j.drop(dimDf(k))) // the dim copy of the attr keys
       dim.dimCols.zip(dim.factCols).foreach { case (dc, fc) =>
         j =
-          if (j.columns.contains(fc))
+          if (traceHad.contains(fc))
             // the fact join column is ITSELF a group key: the group's own
             // value is tighter than the dim row's — keep it, drop the copy
             j.drop(dimDf(dc))
+          else if (dc == fc) j // same name on both sides: already in place
           else j.withColumnRenamed(dc, fc)
       }
       trace = j

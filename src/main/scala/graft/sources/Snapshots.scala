@@ -1141,7 +1141,17 @@ object Snapshots {
     * its slot, so neither side ever publishes a manifest that drops the
     * other's files.
     */
-  def commitAppend(spark: SparkSession, root: String, addedRels: Seq[String]): Long = {
+  /** `checksPreEnforced`: set ONLY by a caller that already enforced the
+    * current check set over exactly `addedRels` AND holds the table lock
+    * (fast-forward — addCheck takes the same lock, so the set cannot
+    * change under it); the commit then skips its own enforcement scan
+    * instead of reading the same bytes twice.
+    */
+  def commitAppend(
+      spark: SparkSession,
+      root: String,
+      addedRels: Seq[String],
+      checksPreEnforced: Boolean = false): Long = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1153,7 +1163,8 @@ object Snapshots {
     // this face is lock-free, so an addCheck (which holds the table lock
     // this path never takes) can land between our validation and our slot
     // claim — a changed fingerprint forces a re-validation
-    var enforcedChecks: Option[String] = None
+    var enforcedChecks: Option[String] =
+      if (checksPreEnforced) Some(Constraints.fingerprint(spark, root)) else None
     // the fresh files' merged footer schema is attempt-invariant unless a
     // concurrent DDL changes the declared base — cache it keyed by that
     // base so a rebase retry is metadata-only (like the stats and blooms)
@@ -1351,7 +1362,8 @@ object Snapshots {
       restated: Map[String, Map[String, ColStat]],
       addedRels: Seq[String] = Seq.empty,
       removedRels: Seq[String] = Seq.empty,
-      addedDv: Map[String, Map[String, ColStat]] = Map.empty): Long = withTableLock(spark, root) {
+      addedDv: Map[String, Map[String, ColStat]] = Map.empty,
+      checksPreEnforced: Boolean = false): Long = withTableLock(spark, root) {
     require(
       restated.nonEmpty || addedRels.nonEmpty || removedRels.nonEmpty,
       "commitRestated: nothing to commit")
@@ -1368,7 +1380,9 @@ object Snapshots {
       "commitRestated: a rel cannot be both added and removed")
     val newStats = new java.util.concurrent.ConcurrentHashMap[String, Map[String, ColStat]]()
     var bloomsBuilt = false
-    var checksEnforced = false
+    // pre-enforced (see commitAppend's note): the caller scanned exactly
+    // these rels under the same lock — the set cannot have changed
+    var checksEnforced = checksPreEnforced
     val deadline = System.currentTimeMillis() + SlotRaceDeadlineMs
     var result = -1L
     while (result < 0L) {
@@ -4135,6 +4149,11 @@ object Snapshots {
     // one tick alias the dead chain. Pre-nonce branches (created before
     // the nonce existed) fall back to the first manifest's mtime; one
     // tiny read either way.
+    // a FAILED identity read must never alias another failed read (two
+    // transient failures sharing one "-1" sentinel would let the memo
+    // serve a dead chain's fork in the doubly-degraded case) — each
+    // failure yields a UUID that matches no cache entry, ever
+    def unreadable() = s"unreadable-${java.util.UUID.randomUUID()}"
     val chainId: String =
       try {
         val nonce = new Path(branchDir(rootPath, name), ".chain")
@@ -4146,9 +4165,9 @@ object Snapshots {
           versions.headOption
             .map(v =>
               try fs.getFileStatus(branchManifestPath(rootPath, name, v)).getModificationTime.toString
-              catch { case _: Exception => "-1" })
+              catch { case _: Exception => unreadable() })
             .getOrElse("0")
-      } catch { case _: Exception => "-1" }
+      } catch { case _: Exception => unreadable() }
     val (scannedUpTo, cachedFork) =
       Option(branchForkCache.get(key))
         .collect { case (id, up, fork) if id == chainId && up <= newest => (up, fork) }
@@ -4441,9 +4460,12 @@ object Snapshots {
                 DvCountKey -> ColStat("l", cnt.toString, cnt.toString)))
           }
           val addedDv: Map[String, Map[String, ColStat]] = rehomed.asScala.toMap
+          // checksPreEnforced: the adoption gate above already scanned
+          // exactly these rows (same bytes, pre-move paths) under the
+          // SAME table lock — the commit must not pay the scan twice
           if (targets.isEmpty && pointerUpdates.isEmpty) latest
           else if (pointerUpdates.isEmpty && addedDv.isEmpty)
-            commitAppend(spark, root, targets.map(_._2))
+            commitAppend(spark, root, targets.map(_._2), checksPreEnforced = true)
           else
             commitRestated(
               spark,
@@ -4451,7 +4473,8 @@ object Snapshots {
               pointerUpdates,
               addedRels = targets.map(_._2),
               removedRels = Seq.empty,
-              addedDv = addedDv)
+              addedDv = addedDv,
+              checksPreEnforced = true)
         } catch {
           case t: Throwable =>
             // rollback is PRE-COMMIT only: a half-moved branch must not

@@ -159,14 +159,7 @@ class MvSpec extends SparkSpec {
     DeleteVectors.upsert(spark, src, Seq(("d02", "a", 6L)).toDF("day", "cat", "v"), Seq("day", "cat"))
     // corrupt an UNTOUCHED day's file: if the recompute scan (or a silent
     // full-resync downgrade) reads it, the refresh dies loudly
-    val victim = Snapshots.files(spark, src).find(_.startsWith("day=d03/")).get
-    val p = Snapshots.resolve(spark, src, victim)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    val out = fs.create(p, true)
-    try out.write("not parquet".getBytes("UTF-8"))
-    finally out.close()
+    corrupt(src, "day=d03/")
     val r = Mv.refresh(spark, mv)
     assert(!r.fullResync && r.groupsRecomputed == 1L)
     // day 2's row reflects the update; day 3's MV row survives from create
@@ -266,14 +259,7 @@ class MvSpec extends SparkSpec {
       Seq("id"))
     // narrowing canary: d03's file records ZERO nulls in k — if the
     // NULL-group recompute opens it (the old `alive` fallback), it dies
-    val victim = Snapshots.files(spark, src).find(_.startsWith("day=d03/")).get
-    val p = Snapshots.resolve(spark, src, victim)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
-    if (fs.exists(crc)) fs.delete(crc, false)
-    val out = fs.create(p, true)
-    try out.write("not parquet".getBytes("UTF-8"))
-    finally out.close()
+    corrupt(src, "day=d03/")
     val mvV0 = Snapshots.latestVersion(spark, mv)
     val r = Mv.refresh(spark, mv)
     assert(!r.fullResync && r.groupsRecomputed == 1L)
@@ -518,6 +504,35 @@ class MvSpec extends SparkSpec {
         .collect()
     }
     assert(e2.getMessage.contains("alias"), e2.getMessage)
+  }
+
+  test("join MV: a dim joined on the SAME column name refreshes (the trace keeps exactly one copy)") {
+    val base = Files.createTempDirectory("mv_samename").toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val mv = s"$base/mv"
+    // the ubiquitous shape: fact and dim share the join column's NAME
+    // (ON cust_id = cust_id) — the trace expansion must keep exactly one
+    // cust_id column (regression: the post-join containment check saw
+    // the dim's copy and dropped the only one, bricking every refresh)
+    val f = Seq((1L, 1L, 10L), (2L, 1L, 11L), (3L, 2L, 20L), (4L, 3L, 30L))
+      .toDF("id", "cust_id", "v")
+    Sources.writeParquet(f.repartition(1), fact)
+    Snapshots.commit(spark, fact, Seq("id", "cust_id"))
+    val dd = Seq((1L, "s1"), (2L, "s1"), (3L, "s2")).toDF("cust_id", "seg")
+    Sources.writeParquet(dd.repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("cust_id"))
+    Mv.create(
+      spark, fact, mv, Seq("seg"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cust_id"), Seq("cust_id"))))
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == Set(("s1", 3L, 41L), ("s2", 1L, 30L)))
+    DeleteVectors.upsert(spark, fact, Seq((5L, 2L, 21L)).toDF("id", "cust_id", "v"), Seq("id"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+    assert(got() == Set(("s1", 4L, 62L), ("s2", 1L, 30L)))
   }
 
   test("join-MV create refuses column collisions and unprovidable group keys") {
