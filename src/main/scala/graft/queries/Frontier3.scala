@@ -3710,14 +3710,18 @@ object Frontier3 {
     * ([[graft.sources.Mv]]): affected dim-attr groups TRACE back through
     * the dim to the fact join-key values that can reach them, and those
     * values drive partition-exact narrowing. The proof is physical:
-    * the `purchase` partition's file (commerce — untouched by both
+    * the `purchase` partition's file (commerce — untouched by all three
     * windows) is corrupted BEFORE the refreshes; window 1 (a new click
     * row → engagement) must open only the click/view files, window 2
     * (every `error` row merge-on-read deleted → the `ops` group
-    * vanishes) must open nothing at all. At 100 TB: the nightly
-    * category rollup of a join-key-clustered fact costs the changed
-    * categories' files — the dim re-resolves as a broadcast, the fact
-    * never re-scans.
+    * vanishes) must open nothing at all, and window 3 — a DIM-ONLY
+    * re-map (`view` → a new `viewing` category) — takes the DIM-DELTA
+    * path: affected groups derive from the dim's own change feed under
+    * both mappings, and the recompute scans only the changed key's
+    * reachable partitions. At 100 TB: the nightly category rollup of a
+    * join-key-clustered fact costs the changed categories' files — the
+    * dim re-resolves as a broadcast, the fact never re-scans, and a
+    * slowly-changing-dimension update prices at the changed dim keys.
     */
   def q249(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
@@ -3777,11 +3781,23 @@ object Frontier3 {
     graft.sources.DeleteVectors.deleteWhere(s, dir, col("event_type") === "error")
     val r2 = s.sql(s"CALL $cat.mv_refresh(mv => 'bycat')").head()
     val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 0L && r2.getLong(3) == 1L
+    // window 3: a DIM-ONLY change — `view` re-maps to a brand-new
+    // category. The dim-delta path derives the affected groups from the
+    // dim's OWN feed (engagement under the old mapping, viewing under
+    // the new) and the recompute scans only the click/view partitions:
+    // the corrupt purchase file STAYS closed through this window too
+    graft.sources.DeleteVectors.upsert(
+      s, dimDir,
+      s.sql("SELECT 'view' AS et, 'viewing' AS category, CAST(2 AS BIGINT) AS wt"),
+      Seq("et"))
+    val r3 = graft.sources.Mv.refresh(s, mvDir)
+    val incr3Ok = !r3.fullResync && r3.groupsRecomputed == 2L && r3.groupsDeleted == 0L
     val freshOk = !s.sql(s"SELECT stale FROM $cat.bycat.mv").head().getBoolean(0)
     s.sql(s"SELECT category, n_rows, n_tot, u_tot, nw_tot FROM $cat.bycat ORDER BY category")
       .withColumn("meta_ok", lit(metaOk))
       .withColumn("incr1_ok", lit(incr1Ok))
       .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("incr3_ok", lit(incr3Ok))
       .withColumn("fresh_ok", lit(freshOk))
   }
 
@@ -3794,7 +3810,8 @@ object Frontier3 {
       |  SELECT * FROM s WHERE event_type <> 'error'
       |  UNION ALL SELECT 'click', DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT)),
       |joined AS (
-      |  SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+      |  SELECT CASE WHEN event_type = 'click' THEN 'engagement'
+      |              WHEN event_type = 'view' THEN 'viewing'
       |              WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
       |              ELSE 'ops' END AS category,
       |         CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
@@ -3803,7 +3820,8 @@ object Frontier3 {
       |  FROM final)
       |SELECT category, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
       |       CAST(sum(su) AS BIGINT) AS u_tot, CAST(sum(n * wt) AS BIGINT) AS nw_tot,
-      |       true AS meta_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
+      |       true AS meta_ok, true AS incr1_ok, true AS incr2_ok, true AS incr3_ok,
+      |       true AS fresh_ok
       |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- q250: the MV lifecycle purely through SQL DDL -----------------------

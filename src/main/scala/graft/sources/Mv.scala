@@ -48,19 +48,22 @@ import org.apache.spark.sql.types.StructField
   * foreachBatch-upsert idempotence argument.
   *
   * Fallback contract: when the change window is no longer expressible
-  * (the source was vacuumed past the watermark) — or when any DIMENSION
-  * table moved since the last refresh (a dim change can silently re-map
-  * every fact row's group) — refresh DOWNGRADES to a full resync: every
-  * group key on either side counts as affected, the same apply path
-  * runs, and the report says `fullResync = true`. Correctness never
-  * depends on the feed; only the price does. Dims are assumed
-  * slowly-changing; the common refresh re-prices at the FACT change feed
-  * with the dims re-resolved (broadcast) at their pinned heads, and
-  * group keys living on a dim side narrow the fact scan through a
-  * TRACE expansion: affected (dim-attr) groups join back through the
-  * dim to enumerate the fact join-key values that can reach them, and
-  * those values drive the same stats/bloom/partition candidate pruning
-  * fact-column keys get.
+  * (the source was vacuumed past the watermark), refresh DOWNGRADES to a
+  * full resync: every group key on either side counts as affected, the
+  * same apply path runs, and the report says `fullResync = true`.
+  * Correctness never depends on the feed; only the price does. The
+  * common refresh re-prices at the FACT change feed with the dims
+  * re-resolved (broadcast) at their pinned heads, and group keys living
+  * on a dim side narrow the fact scan through a TRACE expansion:
+  * affected (dim-attr) groups join back through the dim to enumerate
+  * the fact join-key values that can reach them, and those values drive
+  * the same stats/bloom/partition candidate pruning fact-column keys
+  * get. A MOVED DIM takes the DIM-DELTA path
+  * ([[affectedKeysViaDimDelta]]): affected groups derive from the dim's
+  * own change feed — changed join keys narrow the fact scan, groups
+  * derive under BOTH the old and the new mapping — so a
+  * slowly-changing-dimension update prices at the changed dim keys;
+  * only an inexpressible dim window (vacuumed feed or old pin) resyncs.
   *
   * NULL group keys are legitimate `GROUP BY` groups: the apply matches
   * them NULL-SAFELY (`<=>` — [[DeleteVectors.applyChanges]]'s
@@ -419,9 +422,10 @@ object Mv {
           s"${d0.sourceRoot} is at $v1 — the source was replaced wholesale; recreate the view")
       // THIS refresh pins every dim at its current head; a dim that moved
       // since the last refresh can have re-mapped any fact row's group,
-      // which no fact feed can name — downgrade to a full resync (v1:
-      // dims are slowly-changing; a dim-side CDC-driven delta is the
-      // natural next step)
+      // which no fact feed alone can name — the DIM-DELTA path derives
+      // the affected groups from the dim's OWN change feed (groups under
+      // both the old and new mappings, fact rows found by changed-key
+      // narrowing), and only an inexpressible window resyncs
       val dimsNow = d0.dims.map { dim =>
         val dv = Snapshots.latestVersion(spark, dim.root)
         require(
@@ -436,12 +440,8 @@ object Mv {
       val mvPath = new Path(mvRoot)
       val fs = fsOf(spark, mvPath)
       val incremental =
-        if (dimsMoved) {
-          log.info(
-            s"materialized-view refresh of $mvRoot: a dim head moved — full resync " +
-              "(dim tables are re-resolved whole; fact-feed pricing resumes next refresh)")
-          None
-        } else affectedKeysViaChanges(spark, d, v1)
+        if (dimsMoved) affectedKeysViaDimDelta(spark, d0, d, v1)
+        else affectedKeysViaChanges(spark, d, v1)
       val affected = incremental.getOrElse {
         // full resync: every group on either side is affected — same
         // apply path, full price, still correct for every aggregate
@@ -503,6 +503,22 @@ object Mv {
     }
   }
 
+  /** The row-level change feed of a snapshot table over `(fromV, toV]` —
+    * reads only the versions' CHANGED files; raises when the window is
+    * no longer expressible (vacuumed predecessor data).
+    */
+  private def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val tbl = new graft.sources.snap.SnapChangesTable(root)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      Map(
+        "startingversion" -> (fromV + 1L).toString,
+        "endingversion" -> toV.toString).asJava)
+    val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(tbl, None, None, opts)
+    org.apache.spark.sql.graft.Bridge.ofRows(spark, rel)
+  }
+
   /** The affected group keys via the row-level change feed — `None` when
     * the window is no longer expressible (vacuumed predecessor data), in
     * which case the caller downgrades to a full resync. The frame is
@@ -513,21 +529,13 @@ object Mv {
       spark: SparkSession,
       d: MvDef,
       v1: Long): Option[DataFrame] = {
-    import scala.jdk.CollectionConverters._
     val keys =
       try {
-        val tbl = new graft.sources.snap.SnapChangesTable(d.sourceRoot)
-        val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
-          Map(
-            "startingversion" -> (d.refreshedVersion + 1L).toString,
-            "endingversion" -> v1.toString).asJava)
-        val rel = org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-          .create(tbl, None, None, opts)
-        val feed = org.apache.spark.sql.graft.Bridge.ofRows(spark, rel)
+        val feed = changeFeed(spark, d.sourceRoot, d.refreshedVersion, v1)
         // the feed carries FACT rows (deleted images included, with full
         // values — joinable); dims join on at their pinned heads, which
-        // equal the whole window's dim state (a moved dim already
-        // downgraded to resync before this path runs)
+        // equal the whole window's dim state (a moved dim takes the
+        // dim-delta path instead of this one)
         prepared(spark, d, feed)
           .select(d.keyCols.map(col): _*)
           .distinct()
@@ -552,6 +560,117 @@ object Mv {
           e)
         None
     }
+  }
+
+  /** Affected group keys when one or more DIM heads moved — the
+    * DIM-DELTA path: price the refresh at the CHANGED DIM KEYS instead
+    * of resyncing the world. A group's value can differ between the
+    * view's reflected state (`fact@wm ⋈ dim@old`) and the target state
+    * (`fact@v1 ⋈ dim@new`) only through
+    *
+    *  1. a fact row that changed in the fact window — its images are in
+    *     the FACT feed; its old group derives under dim@OLD (the state
+    *     the view reflected), its new group under dim@NEW, so the feed
+    *     rows join under BOTH mappings; or
+    *  2. a fact row untouched in the window whose DIM row changed
+    *     (attr re-map, dim-side filter flip, dim-row delete): that dim
+    *     row is in the DIM's own change feed, so its join-key value is
+    *     in `changedPks` — the fact rows carrying those keys are found
+    *     through the SAME candidate narrowing every keyed op uses (a
+    *     fact clustered by the join key opens the changed keys' files
+    *     only), and their groups derive under both mappings too.
+    *
+    * A changed dim key with NO fact rows affects nothing (inner join);
+    * a pure dim compaction cancels to zero changed keys. Groups that
+    * exist only under the OLD mapping recompute to empty under dim@new
+    * and vanish — exactly right. `None` (→ full resync) when any moved
+    * dim's change window or OLD pinned version is no longer readable
+    * (vacuumed), or the fact feed itself is not.
+    */
+  private def affectedKeysViaDimDelta(
+      spark: SparkSession,
+      dOld: MvDef,
+      dNew: MvDef,
+      v1: Long): Option[DataFrame] = {
+    // the per-dim changed-key frames are persisted (candidate narrowing
+    // re-scans them several times) and must live until the final union
+    // is FORCED — released here either way
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def release(): Unit = scratch.foreach(_.unpersist(blocking = false))
+    val affected =
+      try {
+        val srcView = Snapshots.manifestView(spark, dNew.sourceRoot, v1)
+        val srcSchema = srcView.schema.getOrElse(
+          sys.error(s"source ${dNew.sourceRoot} records no schema"))
+        val srcPartCols =
+          if (srcView.partCols.nonEmpty) srcView.partCols
+          else Snapshots.partitionColsFromRels(srcView.rels)
+        val alive = srcView.rels.filterNot(r =>
+          Snapshots.fullyDeleted(srcView.stats.getOrElse(r, Map.empty)))
+        def groupsUnderBoth(rows: DataFrame): DataFrame =
+          prepared(spark, dOld, rows)
+            .select(dOld.keyCols.map(col): _*)
+            .unionByName(prepared(spark, dNew, rows).select(dNew.keyCols.map(col): _*))
+        // side 1: the fact window's own changes, under both mappings
+        val factSide: Seq[DataFrame] =
+          if (v1 == dNew.refreshedVersion) Seq.empty
+          else Seq(groupsUnderBoth(changeFeed(spark, dNew.sourceRoot, dNew.refreshedVersion, v1)))
+        // side 2: per moved dim, the fact rows carrying its changed keys
+        val dimSide: Seq[DataFrame] = dNew.dims.zip(dOld.dims).collect {
+          case (nDim, oDim) if nDim.version != oDim.version =>
+            val keyFields = nDim.factCols.map(c =>
+              srcSchema.fields
+                .find(_.name == c)
+                .getOrElse(sys.error(s"join column '$c' is not a fact column")))
+            val pks = changeFeed(spark, nDim.root, oDim.version, nDim.version)
+              .select(nDim.dimCols.map(col): _*)
+              .toDF(nDim.factCols: _*) // into the fact join-key domain
+              .select(keyFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+              .distinct()
+              .persist()
+            scratch += pks
+            val nP = pks.count() // forces the dim feed: vacuumed surfaces HERE
+            val cands = DeleteVectors.candidateRelsForKeys(
+              spark, dNew.sourceRoot, srcView, alive, pks, nP, nDim.factCols, keyFields,
+              srcPartCols, nullSafe = true)
+            val touched =
+              if (cands.isEmpty)
+                spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], srcSchema)
+              else {
+                val scan = Snapshots.scanRels(
+                  spark, dNew.sourceRoot, cands, srcView.schema, Snapshots.dvByRel(srcView))
+                val pksB =
+                  if (nP <= Snapshots.DvBroadcastMaxPositions) broadcast(pks) else pks
+                val cond =
+                  nDim.factCols.map(c => scan(c) === pksB(c)).reduce(_ && _)
+                scan.join(pksB, cond, "left_semi")
+              }
+            groupsUnderBoth(touched)
+        }
+        val parts = factSide ++ dimSide
+        if (parts.isEmpty) { release(); return None } // nothing moved: caller resyncs
+        parts.reduce(_ unionByName _).distinct().persist()
+      } catch {
+        case NonFatal(e) =>
+          release()
+          log.warn(
+            s"materialized-view refresh: dim-delta window not expressible " +
+              s"(${e.getMessage}); full resync",
+            e)
+          return None
+      }
+    try {
+      affected.count() // force NOW: an unreadable old dim pin surfaces here
+      Some(affected)
+    } catch {
+      case NonFatal(e) =>
+        affected.unpersist()
+        log.warn(
+          s"materialized-view refresh: dim-delta window unreadable (${e.getMessage}); " +
+            "full resync",
+          e)
+        None
+    } finally release()
   }
 
   /** Recompute `affected` groups from the source pinned at `v1` and merge

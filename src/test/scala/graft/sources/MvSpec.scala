@@ -416,7 +416,7 @@ class MvSpec extends SparkSpec {
     assert(got() == Set(("g1", 4L, 53L), ("g2", 2L, 61L)))
   }
 
-  test("join MV: a moved dim head downgrades to a reported full resync and re-maps groups exactly") {
+  test("join MV: a moved dim refreshes via the DIM-DELTA path — changed-key-priced, both mappings, exact") {
     val (fact, dim, mv) = starFixture("mv_dimmove")
     Mv.create(
       spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
@@ -429,19 +429,48 @@ class MvSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", new org.apache.hadoop.fs.Path(mv).getParent.toString)
     assert(!spark.sql(s"SELECT stale FROM $cat.mv.mv").head().getBoolean(0))
-    // cat 'c' re-maps g2 → g1 with NO fact change: no fact feed can name
-    // the affected groups — refresh must resync (reported), not guess
+    // cat 'c' re-maps g2 → g1 with NO fact change: the affected groups
+    // come from the DIM's feed (changed key c → groups g2 under the old
+    // mapping, g1 under the new). The recompute of g1∪g2 scans cats
+    // {a,b,c}; cat=d (g3, untouched) is corrupted to prove the fact scan
+    // stays changed-key-narrowed — a resync would die here
+    corrupt(fact, "cat=d/")
     DeleteVectors.upsert(spark, dim, Seq(("c", "g1", 5L)).toDF("ck", "grp", "w"), Seq("ck"))
     assert(spark.sql(s"SELECT stale FROM $cat.mv.mv").head().getBoolean(0), "dim move = stale")
     val r = Mv.refresh(spark, mv)
-    assert(r.fullResync, "a moved dim cannot be priced off the fact feed")
-    assert(r.groupsDeleted == 1L, "g2 no longer derivable — it must delete")
+    assert(!r.fullResync, "a moved dim with a readable feed must NOT resync")
+    assert(r.groupsRecomputed == 1L && r.groupsDeleted == 1L, r.toString)
     assert(got() == Set(("g1", 5L, 102L), ("g3", 1L, 40L)))
-    // the NEXT fact-only window resumes incremental pricing
-    DeleteVectors.upsert(spark, fact, Seq(("d", 9L, 41L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    // a changed dim key with NO fact rows affects nothing (cheap no-op)
+    DeleteVectors.upsert(spark, dim, Seq(("zz", "g9", 1L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val r0 = Mv.refresh(spark, mv)
+    assert(!r0.fullResync && r0.groupsRecomputed == 0L && r0.groupsDeleted == 0L, r0.toString)
+    // a MIXED window — fact change AND dim re-map in one refresh: the
+    // fact feed's groups derive under both mappings too
+    DeleteVectors.upsert(spark, fact, Seq(("a", 9L, 12L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    DeleteVectors.upsert(spark, dim, Seq(("b", "g2", 3L)).toDF("ck", "grp", "w"), Seq("ck"))
     val r2 = Mv.refresh(spark, mv)
-    assert(!r2.fullResync && r2.groupsRecomputed == 1L)
-    assert(got() == Set(("g1", 5L, 102L), ("g3", 2L, 81L)))
+    assert(!r2.fullResync, r2.toString)
+    // g1 recomputes (a gains a row, b leaves; c stays): cats {a, c} =
+    // rows (10, 11, 12, 30, 31); g2 appears with b's row
+    assert(got() == Set(("g1", 5L, 94L), ("g2", 1L, 20L), ("g3", 1L, 40L)))
+  }
+
+  test("join MV: a vacuumed dim change window downgrades to a reported full resync — still exact") {
+    val (fact, dim, mv) = starFixture("mv_dimvac")
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    // a COW rewrite of the dim (archives the old file) then vacuum
+    // destroys the archived side: the dim feed for the window is gone
+    Sources.updateWhere(spark, dim, $"ck" === "c", Map("grp" -> lit("g1")))
+    Snapshots.vacuum(spark, dim, keepLast = 1)
+    val r = Mv.refresh(spark, mv)
+    assert(r.fullResync, "a destroyed dim window must downgrade, not fail")
+    assert(
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet ==
+        Set(("g1", 5L, 102L), ("g3", 1L, 40L)))
   }
 
   test("join MV: mixed fact+dim group keys and dim measures in aggregates, fact-key trace kept tight") {
