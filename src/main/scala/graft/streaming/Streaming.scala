@@ -544,9 +544,12 @@ object Streaming {
   }
 
   /** Keep a materialized view CONTINUOUSLY fresh: a manifest-log stream
-    * on the view's SOURCE table wakes a refresh whenever any commit lands.
-    * Exactly-once needs no machinery here — [[graft.sources.Mv.refresh]]
-    * is watermark-driven and idempotent, so a replayed or coalesced
+    * on the view's SOURCE table — and, for a JOIN view, on every DIM
+    * table too (a dim-only commit re-maps groups just as surely as a
+    * fact commit; the refresh's dim-delta path prices it at the changed
+    * keys) — wakes a refresh whenever any commit lands. Exactly-once
+    * needs no machinery here — [[graft.sources.Mv.refresh]] is
+    * watermark-driven and idempotent, so a replayed or coalesced
     * trigger is a free no-op and a crash between triggers loses nothing
     * (the next wake catches up to the head in one refresh). The
     * always-fresh dashboard rollup at change prices: each wake costs the
@@ -557,11 +560,15 @@ object Streaming {
       mvRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.{Mv, Snapshots}
-    val source = Mv.definition(spark, mvRoot).sourceRoot
-    spark.readStream
-      .format("text")
-      .option("pathGlobFilter", "v*.manifest")
-      .load(s"$source/${Snapshots.ManifestDirName}")
+    val d = Mv.definition(spark, mvRoot)
+    def manifestLog(root: String): Dataset[org.apache.spark.sql.Row] =
+      spark.readStream
+        .format("text")
+        .option("pathGlobFilter", "v*.manifest")
+        .load(s"$root/${Snapshots.ManifestDirName}")
+    (d.sourceRoot +: d.dims.map(_.root))
+      .map(manifestLog)
+      .reduce(_ union _)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>

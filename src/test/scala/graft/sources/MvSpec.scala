@@ -604,6 +604,30 @@ class MvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshStream wakes on a DIM-only commit for a join view") {
+    val (fact, dim, mv) = starFixture("mv_dimstream")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    val q = graft.streaming.Streaming.mvRefreshStream(spark, mv, s"$base/ckpt")
+    try {
+      q.processAllAvailable() // drain the create-time manifests: no-op
+      def got(): Set[(String, Long, Long)] =
+        Snapshots.readSnapshot(spark, mv).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // a DIM-only commit (no fact change) must wake a refresh: c's
+      // re-map g2 → g1 lands in the view without anyone calling refresh
+      DeleteVectors.upsert(spark, dim, Seq(("c", "g1", 5L)).toDF("ck", "grp", "w"), Seq("ck"))
+      q.processAllAvailable()
+      assert(got() == Set(("g1", 5L, 102L), ("g3", 1L, 40L)))
+      // and a fact commit still wakes as before
+      DeleteVectors.upsert(spark, fact, Seq(("d", 9L, 41L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+      q.processAllAvailable()
+      assert(got() == Set(("g1", 5L, 102L), ("g3", 2L, 81L)))
+    } finally q.stop()
+  }
+
   test("definition() heals the writeDef crash window (def deleted, next image present)") {
     val (src, mv) = fixture("mv_heal")
     Mv.create(spark, src, mv, Seq("day"), aggs)
