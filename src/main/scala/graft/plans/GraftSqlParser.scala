@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   SubqueryExpression
 }
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate,
   Filter,
@@ -153,19 +153,22 @@ object GraftSqlParser {
         (Some(cond.sql), child)
       case child => (None, child)
     }
-    // unroll the left-deep INNER-join chain into (fact, dims)
-    def unroll(p: LogicalPlan): (Seq[String], Seq[(Seq[String], String, Expression)]) = p match {
-      case Join(l, r, Inner, cond, _) =>
+    // unroll the left-deep join chain into (fact, dims) — INNER and LEFT
+    // (OUTER) both maintainable; LEFT keeps unmatched fact rows with
+    // NULL dim attributes
+    def unroll(
+        p: LogicalPlan): (Seq[String], Seq[(Seq[String], String, Expression, String)]) = p match {
+      case Join(l, r, jt, cond, _) if jt == Inner || jt == LeftOuter =>
         val on = cond.getOrElse(fail("every JOIN needs an ON clause of equi-conditions"))
         val (fact, dims) = unroll(l)
         val (parts, name) = relOf(r)
-        (fact, dims :+ ((parts, name, on)))
+        (fact, dims :+ ((parts, name, on, if (jt == LeftOuter) "left" else "inner")))
       case Join(_, _, other, _, _) =>
-        fail(s"only INNER joins are maintainable in v1 (got ${other.sql})")
+        fail(s"only INNER and LEFT joins are maintainable (got ${other.sql})")
       case leaf => (relOf(leaf)._1, Seq.empty)
     }
     val (factParts, rawDims) = unroll(fromPlan)
-    val dims = rawDims.map { case (parts, dimName, on) =>
+    val dims = rawDims.map { case (parts, dimName, on, joinType) =>
       val pairs = conjuncts(on).map {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
           val aDim = a.nameParts.length > 1 && a.nameParts.init.last == dimName
@@ -181,7 +184,7 @@ object GraftSqlParser {
         case other =>
           fail(s"ON condition '${other.sql}' — only equi-conditions (col = col) are supported")
       }
-      (parts, pairs.map(_._1), pairs.map(_._2))
+      (parts, pairs.map(_._1), pairs.map(_._2), joinType)
     }
     val groupKeys = groupExprs.map {
       case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
@@ -249,14 +252,14 @@ case class CreateMaterializedViewCommand(
     keys: Seq[String],
     aggs: Seq[String],
     filterSql: Option[String],
-    dims: Seq[(Seq[String], Seq[String], Seq[String])])
+    dims: Seq[(Seq[String], Seq[String], Seq[String], String)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlParser.dirFor
-    val specs = dims.map { case (parts, factCols, dimCols) =>
-      Mv.MvJoinSpec(dirFor(spark, parts, "dim table"), factCols, dimCols)
+    val specs = dims.map { case (parts, factCols, dimCols, joinType) =>
+      Mv.MvJoinSpec(dirFor(spark, parts, "dim table"), factCols, dimCols, joinType)
     }
     Seq(Row(Mv.create(
       spark,

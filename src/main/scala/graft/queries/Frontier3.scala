@@ -3824,6 +3824,103 @@ object Frontier3 {
       |       true AS fresh_ok
       |FROM joined GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q253: LEFT-join MV — the uncategorized bucket, incrementally --------
+
+  /** The star schema's missing-dimension reality: `CREATE MATERIALIZED
+    * VIEW … AS SELECT category, event_type, … FROM fact LEFT JOIN dim …`
+    * where the dim simply has no row for some event types — those fact
+    * rows form the NULL ("uncategorized") bucket, a first-class group.
+    * Window 1 inserts a brand-new UNMATCHED event type (the NULL bucket
+    * gains a group); window 2 inserts the missing DIM row (the dim-delta
+    * path: the bucket's rows re-map into the new category — one group
+    * vanishes, one appears). Narrowing survives the degenerate case by
+    * construction: the NULL-keyed dim attribute cannot constrain a LEFT
+    * join (unmatched keys are precisely the keys NOT in the dim), but
+    * the FACT-side group key (`event_type`) still narrows partition-
+    * exactly — the corrupt `purchase` file proves zero stray opens
+    * through both windows. At 100 TB: late-arriving dimension data is
+    * the norm, and back-filling a dim row re-prices at the affected
+    * join keys' files, never the fact table.
+    */
+  def q253(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq253_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val dimDir = new org.apache.hadoop.fs.Path(base, "dim").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "bycat").toString
+    val stats = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    graft.sources.Sources.writeParquet(
+      stats.repartition(col("event_type")), dir, Seq("event_type"))
+    graft.sources.Snapshots.commit(s, dir, Seq("event_type", "day"))
+    val dim = {
+      import s.implicits._
+      // deliberately NO row for 'error' (or the synthetic 'zzz'):
+      // unmatched types live in the NULL bucket
+      Seq(
+        ("click", "engagement"),
+        ("view", "engagement"),
+        ("purchase", "commerce"),
+        ("signup", "commerce")).toDF("et", "category")
+    }
+    graft.sources.Sources.writeParquet(dim.repartition(1), dimDir)
+    graft.sources.Snapshots.commit(s, dimDir, Seq("et"))
+    val cat = s"snapq253_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"""CREATE MATERIALIZED VIEW $cat.bycat AS
+      |SELECT category, event_type, count(*) AS n_rows, sum(n) AS n_tot, sum(sum_u) AS u_tot
+      |FROM $cat.ev LEFT JOIN $cat.dim d ON event_type = d.et
+      |GROUP BY category, event_type""".stripMargin).collect()
+    // window 1: a brand-new UNMATCHED type — only the NULL bucket changes
+    s.sql(s"INSERT INTO $cat.ev VALUES (DATE'1999-12-31', CAST(7 AS BIGINT), " +
+      "CAST(42 AS BIGINT), 'zzz')").collect()
+    val victim = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith("event_type=purchase/"))
+      .get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val r1 = graft.sources.Mv.refresh(s, mvDir)
+    val incr1Ok = !r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L
+    // window 2: the late-arriving dim row — 'zzz' re-maps out of the bucket
+    graft.sources.DeleteVectors.upsert(
+      s, dimDir,
+      s.sql("SELECT 'zzz' AS et, 'newcat' AS category"),
+      Seq("et"))
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.bycat").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 1L && r2.getLong(3) == 1L
+    s.sql(s"""SELECT coalesce(category, '(none)') AS k, event_type, n_rows, n_tot, u_tot
+      |FROM $cat.bycat ORDER BY k, event_type""".stripMargin)
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+  }
+
+  val q253Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su
+      |  FROM events GROUP BY 1, 2),
+      |final AS (
+      |  SELECT * FROM s
+      |  UNION ALL SELECT 'zzz', DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT)),
+      |joined AS (
+      |  SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+      |              WHEN event_type IN ('purchase', 'signup') THEN 'commerce'
+      |              WHEN event_type = 'zzz' THEN 'newcat' END AS category,
+      |         event_type, n, su
+      |  FROM final)
+      |SELECT coalesce(category, '(none)') AS k, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(su) AS BIGINT) AS u_tot, true AS incr1_ok, true AS incr2_ok
+      |FROM joined GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -- q250: the MV lifecycle purely through SQL DDL -----------------------
 
   /** The SQL-first user's materialized view: `CREATE MATERIALIZED VIEW …
@@ -4053,6 +4150,7 @@ object Frontier3 {
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q253_left_join_mv" -> (q253 _),
     "q252_mv_null_groups" -> (q252 _),
     "q251_branch_check_gate" -> (q251 _),
     "q250_mv_sql_ddl" -> (q250 _),
@@ -4112,6 +4210,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q253_left_join_mv" -> q253Sql,
     "q252_mv_null_groups" -> q252Sql,
     "q251_branch_check_gate" -> q251Sql,
     "q250_mv_sql_ddl" -> q250Sql,

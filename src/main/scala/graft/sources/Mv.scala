@@ -81,24 +81,32 @@ import org.apache.spark.sql.types.StructField
 object Mv {
 
   /** A recorded dimension join: the FACT side's equi-join columns matched
-    * positionally against the dim's, and the dim manifest version the
-    * view currently reflects (the pin every refresh re-resolves — a moved
-    * dim head downgrades that refresh to a full resync, reported, never
-    * wrong).
+    * positionally against the dim's, the join type (`inner` or `left` —
+    * LEFT keeps unmatched fact rows with NULL dim attributes, the
+    * "uncategorized bucket" every real star schema has), and the dim
+    * manifest version the view currently reflects (the pin every refresh
+    * re-resolves; a moved dim takes the dim-delta path).
     */
   final case class MvDim(
       root: String,
       factCols: Seq[String],
       dimCols: Seq[String],
-      version: Long)
+      version: Long,
+      joinType: String = "inner")
 
   /** A requested dimension join at [[create]] time (the version pin is
-    * resolved by create itself): INNER equi-join `fact.factCols(i) =
-    * dim.dimCols(i)`. The dim's join columns drop after the join (their
-    * values duplicate the fact side's); every other dim column becomes
-    * selectable — as a group key, inside the filter, or in an aggregate.
+    * resolved by create itself): equi-join `fact.factCols(i) =
+    * dim.dimCols(i)`, `joinType` `inner` (default) or `left`. The dim's
+    * join columns drop after the join (their values duplicate the fact
+    * side's — NULL on a left join's unmatched rows, where the fact side
+    * still holds the key); every other dim column becomes selectable —
+    * as a group key, inside the filter, or in an aggregate.
     */
-  final case class MvJoinSpec(dimRoot: String, factCols: Seq[String], dimCols: Seq[String])
+  final case class MvJoinSpec(
+      dimRoot: String,
+      factCols: Seq[String],
+      dimCols: Seq[String],
+      joinType: String = "inner")
 
   /** A materialized view's recorded definition. `refreshedVersion` is the
     * SOURCE (fact) manifest version the view currently reflects; `dims`
@@ -130,6 +138,24 @@ object Mv {
 
   private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
   private def dec(s: String): String = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+
+  private def parsedDim(
+      root: String,
+      f: String,
+      c: String,
+      v: String,
+      joinType: String,
+      line: String,
+      fail: String => Nothing): MvDim = {
+    val fc = dec(f).split(",").toSeq.filter(_.nonEmpty)
+    val dc = dec(c).split(",").toSeq.filter(_.nonEmpty)
+    if (fc.isEmpty || fc.size != dc.size) fail(s"malformed dim join columns in '$line'")
+    MvDim(
+      root, fc, dc,
+      try v.toLong
+      catch { case _: NumberFormatException => fail(s"unparseable dim version '$v'") },
+      joinType)
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -179,15 +205,13 @@ object Mv {
         case Array("key", v) => keys += dec(v)
         case Array("agg", v) => aggs += dec(v)
         case Array("dim", rest) =>
+          // 4 fields = a pre-join-type definition (inner); 5 adds the type
           rest.split(" ") match {
-            case Array(r, f, c, v) =>
-              val fc = dec(f).split(",").toSeq.filter(_.nonEmpty)
-              val dc = dec(c).split(",").toSeq.filter(_.nonEmpty)
-              if (fc.isEmpty || fc.size != dc.size) fail(s"malformed dim join columns in '$l'")
-              dims += MvDim(
-                dec(r), fc, dc,
-                try v.toLong
-                catch { case _: NumberFormatException => fail(s"unparseable dim version '$v'") })
+            case Array(r, f, c, v) => dims += parsedDim(dec(r), f, c, v, "inner", l, fail)
+            case Array(r, f, c, v, t) =>
+              val jt = dec(t)
+              if (jt != "inner" && jt != "left") fail(s"unknown dim join type '$jt' in '$l'")
+              dims += parsedDim(dec(r), f, c, v, jt, l, fail)
             case _ => fail(s"unparseable dim line '$l'")
           }
         case _ => fail(s"unparseable line '$l'")
@@ -221,7 +245,7 @@ object Mv {
       d.filterSql.map(f => s"filter ${enc(f)}").toSeq ++
       d.dims.map(dim =>
         s"dim ${enc(dim.root)} ${enc(dim.factCols.mkString(","))} " +
-          s"${enc(dim.dimCols.mkString(","))} ${dim.version}") ++
+          s"${enc(dim.dimCols.mkString(","))} ${dim.version} ${enc(dim.joinType)}") ++
       d.keyCols.map(k => s"key ${enc(k)}") ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(next, true)
@@ -255,7 +279,7 @@ object Mv {
         .zip(dim.dimCols)
         .map { case (f, c) => acc(f) === dimDf(c) }
         .reduce(_ && _)
-      dim.dimCols.foldLeft(acc.join(broadcast(dimDf), cond, "inner"))((df, c) =>
+      dim.dimCols.foldLeft(acc.join(broadcast(dimDf), cond, dim.joinType))((df, c) =>
         df.drop(dimDf(c)))
     }
     d.filterSql.fold(joined)(f => joined.filter(expr(f)))
@@ -313,7 +337,10 @@ object Mv {
       require(
         sp.factCols.nonEmpty && sp.factCols.size == sp.dimCols.size,
         s"Mv.create: dim ${sp.dimRoot} needs matched fact/dim join column lists")
-      MvDim(sp.dimRoot, sp.factCols, sp.dimCols, v)
+      require(
+        sp.joinType == "inner" || sp.joinType == "left",
+        s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got '${sp.joinType}'")
+      MvDim(sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType)
     }
     // namespace discipline: the dims' visible (non-join) columns must not
     // shadow anything already reachable
@@ -729,7 +756,20 @@ object Mv {
       .map(g => (g.head._1, g.map(_._2)))
       .toSeq
     var trace = affectedCast
-    byDim.foreach { case (dim, kcs) =>
+    // a LEFT dim whose keys carry a NULL in some affected group cannot
+    // constrain the trace: that NULL group's members include UNMATCHED
+    // fact rows, whose join-key values no dim expansion can enumerate
+    // (they are precisely the keys NOT in the dim) — the dim contributes
+    // no trace columns this round and the remaining constraints narrow
+    val unconstrained = byDim.collect {
+      case (dim, kcs) if dim.joinType == "left" && {
+            val anyNull = kcs.map(col(_).isNull).reduce(_ || _)
+            !affectedCast.filter(anyNull).isEmpty
+          } =>
+        dim.root
+    }.toSet
+    val constrainedDims = byDim.filterNot { case (dim, _) => unconstrained.contains(dim.root) }
+    constrainedDims.foreach { case (dim, kcs) =>
       val dimDf = broadcast(
         Snapshots
           .readSnapshot(spark, dim.root, dim.version)
@@ -742,6 +782,9 @@ object Mv {
       // makes `j.columns.contains(fc)` true for the dim's copy and a
       // keep-the-trace's branch would drop the only copy
       val traceHad = trace.columns.toSet
+      // the EXPANSION join is always inner — even for a LEFT dim (this
+      // branch runs only when no affected group is NULL-keyed on it, so
+      // every affected group's members ARE matched rows)
       var j = trace.join(dimDf, cond, "inner")
       kcs.foreach(k => j = j.drop(dimDf(k))) // the dim copy of the attr keys
       dim.dimCols.zip(dim.factCols).foreach { case (dc, fc) =>
@@ -755,25 +798,30 @@ object Mv {
       }
       trace = j
     }
-    val traceCols = (factKeyCols ++ byDim.flatMap(_._1.factCols)).distinct
-    val traceFields = traceCols.map(c =>
-      srcSchema.fields
-        .find(_.name == c)
-        .getOrElse(sys.error(s"join column '$c' is no longer a column of ${d.sourceRoot}")))
-    val traceTuples = trace
-      .select(traceFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      .distinct()
-      .persist()
+    val traceCols = (factKeyCols ++ constrainedDims.flatMap(_._1.factCols)).distinct
     // null-safe narrowing: NULL-keyed trace tuples admit exactly the
     // null-bearing files (per-file null-count stats / path segments),
-    // everything else narrows on stats+bloom as usual
+    // everything else narrows on stats+bloom as usual. No trace columns
+    // at all (every key sat on an unconstrained left dim) is the
+    // documented degenerate: every live file is a candidate.
     val candidates =
-      try {
-        val nT = traceTuples.count()
-        DeleteVectors.candidateRelsForKeys(
-          spark, d.sourceRoot, srcView, alive, traceTuples, nT, traceCols, traceFields,
-          srcPartCols, nullSafe = true)
-      } finally traceTuples.unpersist()
+      if (traceCols.isEmpty) alive
+      else {
+        val traceFields = traceCols.map(c =>
+          srcSchema.fields
+            .find(_.name == c)
+            .getOrElse(sys.error(s"join column '$c' is no longer a column of ${d.sourceRoot}")))
+        val traceTuples = trace
+          .select(traceFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          .distinct()
+          .persist()
+        try {
+          val nT = traceTuples.count()
+          DeleteVectors.candidateRelsForKeys(
+            spark, d.sourceRoot, srcView, alive, traceTuples, nT, traceCols, traceFields,
+            srcPartCols, nullSafe = true)
+        } finally traceTuples.unpersist()
+      }
     val mvSchema = Snapshots
       .manifestView(spark, mvRoot)
       .schema

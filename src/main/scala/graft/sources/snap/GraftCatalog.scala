@@ -729,8 +729,9 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
           else
             d.dims
               .map(dim =>
-                s"${dim.root} ON ${dim.factCols.zip(dim.dimCols)
-                    .map { case (f, c) => s"$f=$c" }.mkString(",")}@v${dim.version}")
+                s"${dim.root}${if (dim.joinType == "left") " LEFT" else ""} ON " +
+                  s"${dim.factCols.zip(dim.dimCols)
+                      .map { case (f, c) => s"$f=$c" }.mkString(",")}@v${dim.version}")
               .mkString("; ")
         Seq(Row(
           d.sourceRoot,

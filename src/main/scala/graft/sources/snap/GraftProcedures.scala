@@ -518,9 +518,10 @@ private[snap] object GraftProcedures {
         "aggregation now, then `mv_refresh` re-prices at the change — `keys` is a comma list " +
         "of group columns, `aggs` a ';'-separated list of aggregate expressions with explicit " +
         "aliases (e.g. 'sum(x) AS sx; count(*) AS n'); `dims` optionally broadcast-joins " +
-        "dimension tables ('dim ON fact_col=dim_col[,f2=d2][; dim2 ON ...]' — the star-schema " +
-        "rollup; group keys may be dim columns); the view is itself a snapshot table with " +
-        "stats+bloom sidecars on the keys"
+        "dimension tables ('dim [LEFT] ON fact_col=dim_col[,f2=d2][; dim2 ON ...]' — the " +
+        "star-schema rollup; group keys may be dim columns; LEFT keeps unmatched fact rows " +
+        "as the NULL bucket); the view is itself a snapshot table with stats+bloom sidecars " +
+        "on the keys"
     override def parameters(): Array[ProcedureParameter] =
       Array(
         in("mv", StringType),
@@ -537,13 +538,18 @@ private[snap] object GraftProcedures {
           val parts = one.split("(?i)\\s+ON\\s+", 2)
           require(
             parts.length == 2,
-            s"mv_create dims: '$one' must be '<dim table> ON fact_col=dim_col[,f2=d2]'")
+            s"mv_create dims: '$one' must be '<dim table> [LEFT] ON fact_col=dim_col[,f2=d2]'")
+          val (tbl, joinType) = {
+            val head = parts(0).trim
+            if (head.toLowerCase.endsWith(" left")) (head.dropRight(5).trim, "left")
+            else (head, "inner")
+          }
           val pairs = parts(1).split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
             val fc = p.split("=", 2)
             require(fc.length == 2, s"mv_create dims: join pair '$p' must be fact_col=dim_col")
             (fc(0).trim, fc(1).trim)
           }
-          graft.sources.Mv.MvJoinSpec(dirOf(parts(0).trim), pairs.map(_._1), pairs.map(_._2))
+          graft.sources.Mv.MvJoinSpec(dirOf(tbl), pairs.map(_._1), pairs.map(_._2), joinType)
         }
       val v = graft.sources.Mv.create(
         spark,

@@ -564,6 +564,91 @@ class MvSpec extends SparkSpec {
     assert(got() == Set(("s1", 4L, 62L), ("s2", 1L, 30L)))
   }
 
+  /** LEFT-join fixture: cat `x` has NO dim row — the unmatched bucket. */
+  private def leftFixture(tag: String): (String, String, String) = {
+    val base = Files.createTempDirectory(tag).toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val f = Seq(("a", 1L, 10L), ("a", 2L, 11L), ("b", 3L, 20L), ("x", 4L, 5L))
+      .toDF("cat", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    val dd = Seq(("a", "g1", 2L), ("b", "g1", 3L)).toDF("ck", "grp", "w")
+    Sources.writeParquet(dd.repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    (fact, dim, s"$base/mv")
+  }
+
+  test("LEFT-join MV: unmatched rows form the NULL group; dim inserts/deletes move rows between buckets") {
+    val (fact, dim, mv) = leftFixture("mv_left")
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "left")))
+    assert(Mv.definition(spark, mv).dims.head.joinType == "left", "the join type must round-trip")
+    def got(): Set[(Option[String], Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == Set((Some("g1"), 3L, 41L), (None, 1L, 5L)))
+    // fact window touching only the unmatched bucket
+    DeleteVectors.upsert(spark, fact, Seq(("x", 9L, 6L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val rA = Mv.refresh(spark, mv)
+    assert(!rA.fullResync && rA.groupsRecomputed == 1L, rA.toString)
+    assert(got() == Set((Some("g1"), 3L, 41L), (None, 2L, 11L)))
+    // dim INSERT: `x` becomes matched — the NULL bucket empties, g2 appears
+    DeleteVectors.upsert(spark, dim, Seq(("x", "g2", 1L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val rB = Mv.refresh(spark, mv)
+    assert(!rB.fullResync && rB.groupsRecomputed == 1L && rB.groupsDeleted == 1L, rB.toString)
+    assert(got() == Set((Some("g1"), 3L, 41L), (Some("g2"), 2L, 11L)))
+    // dim DELETE: `b` becomes unmatched — g1 shrinks, the NULL bucket returns
+    DeleteVectors.deleteWhere(spark, dim, $"ck" === "b")
+    val rC = Mv.refresh(spark, mv)
+    assert(!rC.fullResync, rC.toString)
+    assert(got() == Set((Some("g1"), 2L, 21L), (Some("g2"), 2L, 11L), (None, 1L, 20L)))
+  }
+
+  test("LEFT-join MV: fact-side keys keep narrowing even when the dim cannot constrain") {
+    val (fact, dim, mv) = leftFixture("mv_leftnarrow")
+    Mv.create(
+      spark, fact, mv, Seq("grp", "cat"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "left")))
+    // the affected group is (NULL, x): grp (a LEFT dim key, NULL) cannot
+    // constrain — but cat (a fact key) still narrows partition-exactly,
+    // so cat=a's corrupted file must never open
+    DeleteVectors.upsert(spark, fact, Seq(("x", 9L, 6L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    corrupt(fact, "cat=a/")
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+    val got = Snapshots.readSnapshot(spark, mv).collect()
+      .map(x => (Option(x.getString(0)), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+    assert(got == Set(
+      (Some("g1"), "a", 2L, 21L), (Some("g1"), "b", 1L, 20L), (None, "x", 2L, 11L)))
+  }
+
+  test("LEFT JOIN through the SQL DDL and the procedure dims marker") {
+    val (fact, dim, mv) = leftFixture("mv_leftddl")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    val cat = s"mvleft_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.mv AS
+         |SELECT grp, count(*) AS n, sum(v) AS sv
+         |FROM $cat.fact LEFT JOIN $cat.dim d ON cat = d.ck
+         |GROUP BY grp""".stripMargin).collect()
+    assert(Mv.definition(spark, mv).dims.head.joinType == "left")
+    assert(
+      spark.sql(s"SELECT dims FROM $cat.mv.mv").head().getString(0).contains("LEFT ON cat=ck"),
+      "the metadata face must show the join type")
+    val got = spark.sql(s"SELECT grp, n, sv FROM $cat.mv").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((Some("g1"), 3L, 41L), (None, 1L, 5L)))
+    assert(spark.sql(s"DROP MATERIALIZED VIEW $cat.mv").head().getBoolean(0))
+    // the CALL face's LEFT marker
+    spark.sql(s"CALL $cat.mv_create(mv => 'mv2', source => 'fact', keys => 'grp', " +
+      "aggs => 'count(*) AS n; sum(v) AS sv', dims => 'dim LEFT ON cat=ck')").collect()
+    assert(Mv.definition(spark, s"$base/mv2").dims.head.joinType == "left")
+  }
+
   test("join-MV create refuses column collisions and unprovidable group keys") {
     val (fact, dim, mv) = starFixture("mv_refusejoin")
     val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
