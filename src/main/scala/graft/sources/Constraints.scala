@@ -171,18 +171,19 @@ object Constraints {
         }
       } catch {
         case t: Throwable =>
-          // roll the pending check back — and VERIFY it (fs.delete
-          // reports failure as a boolean, not only as an exception): a
-          // silently-still-published check would refuse every later
-          // commit on the table while the caller believes the add never
-          // happened
-          val rolledBack =
-            try {
-              val gone = fs.delete(p, false) || !fs.exists(p)
-              bumpStamp(fs, rootPath)
-              gone
-            } catch { case _: Exception => false }
-          if (!rolledBack)
+          // roll the pending check back — and VERIFY the file is gone
+          // (fs.delete reports failure as a boolean, not only as an
+          // exception): a silently-still-published check would refuse
+          // every later commit while the caller believes the add never
+          // happened. The stamp bump is best-effort ONCE the file is
+          // gone: a stale fingerprint merely makes some lock-free append
+          // re-validate against the (correct, check-less) current set.
+          val gone =
+            try fs.delete(p, false) || !fs.exists(p)
+            catch { case _: Exception => false }
+          try bumpStamp(fs, rootPath)
+          catch { case _: Exception => () }
+          if (!gone)
             throw new RuntimeException(
               s"addCheck($root): validation failed AND the pending check '$name' could not " +
                 s"be removed — it REMAINS recorded and will refuse violating commits; run " +

@@ -398,26 +398,39 @@ object Mv {
   def drop(spark: SparkSession, mvRoot: String): Boolean = {
     val mvPath = new Path(mvRoot)
     val fs = fsOf(spark, mvPath)
-    // the root may not even exist yet — remember, so a no-op drop does
-    // not leave behind the manifest-dir husk withTableLock's own mkdirs
-    // creates for the lock file
-    val rootExisted = fs.exists(mvPath)
     val existed = Snapshots.withTableLock(spark, mvRoot) {
       val p = defPath(mvPath)
+      val tombstone = new Path(p.getParent, ".def-dropped")
       val there = fs.exists(p) || fs.exists(new Path(p.getParent, ".def-next"))
       if (!there) {
-        require(
-          Snapshots.latestVersion(spark, mvRoot) == 0L,
-          s"$mvRoot holds a committed snapshot table but no view definition — it is a TABLE, " +
-            "not a materialized view; refusing to drop it from the MV face")
-        false
+        if (fs.exists(tombstone)) {
+          // a PRIOR drop unregistered the view but its sweep never
+          // finished (crash, transient fs failure): resume it — the
+          // tombstone is what distinguishes this recoverable husk from a
+          // real table (below), which must never be deletable from here
+          true
+        } else {
+          require(
+            Snapshots.latestVersion(spark, mvRoot) == 0L,
+            s"$mvRoot holds a committed snapshot table but no view definition — it is a " +
+              "TABLE, not a materialized view; refusing to drop it from the MV face")
+          // a no-op drop on a nonexistent root: reclaim the manifest-dir
+          // husk withTableLock's own mkdirs created, HERE under the lock
+          // (the husk holds only our lock file — release tolerates it
+          // missing); never anything of anyone else's
+          fs.delete(new Path(mvPath, Snapshots.ManifestDirName), true)
+          false
+        }
       } else {
-        // under the lock, only UNREGISTER the view: the definition dies
-        // first (both images), so every serialized MV face afterwards —
-        // refresh, a re-create, a second drop — sees a headless table
-        // and refuses loudly. Deleting the whole tree here would delete
-        // the lock file mid-critical-section (forfeiting the mutual
-        // exclusion the sweep below then relies on being unnecessary).
+        // under the lock, only UNREGISTER the view: a TOMBSTONE lands
+        // first, then the definition dies (both images) — every
+        // serialized MV face afterwards sees a headless-but-tombstoned
+        // husk (refresh refuses; create refuses while manifests exist; a
+        // retry drop resumes the sweep). Deleting the whole tree here
+        // would delete the lock file mid-critical-section.
+        val out = fs.create(tombstone, true)
+        try out.write("graft-mv dropped".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
         fs.delete(p, false)
         fs.delete(new Path(p.getParent, ".def-next"), false)
         true
@@ -425,11 +438,13 @@ object Mv {
     }
     // sweep AFTER release: the def removal fenced every MV face out
     // (refresh refuses, create refuses while manifests exist), so the
-    // husk — data files, manifests, sidecars — has no other owner. A
-    // create can only succeed at this root once the sweep removed the
-    // last manifest, i.e. after the tree is essentially gone.
+    // husk — data files, manifests, sidecars, tombstone — has no other
+    // owner. A failed sweep is recoverable: the tombstone lets a retry
+    // drop resume it.
     if (existed) fs.delete(mvPath, true)
-    else if (!rootExisted) fs.delete(mvPath, true) // lock-husk of a no-op drop
+    // the no-op case may leave an EMPTY root dir: a non-recursive delete
+    // can only ever remove an empty directory — provably nobody's data
+    else try fs.delete(mvPath, false) catch { case _: java.io.IOException => () }
     existed
   }
 

@@ -554,6 +554,13 @@ object Streaming {
     * (the next wake catches up to the head in one refresh). The
     * always-fresh dashboard rollup at change prices: each wake costs the
     * affected groups' files, never the table.
+    *
+    * Checkpoint note: a JOIN view's stream has one source per table, so
+    * a checkpoint taken before a view gained (or lost) dims — or by the
+    * pre-dim-wake single-source version — refuses to restart (Spark
+    * rejects a changed source count). Discarding the checkpoint is SAFE
+    * here: exactly-once derives entirely from the refresh watermark, the
+    * checkpoint only paces the wake-ups.
     */
   def mvRefreshStream(
       spark: SparkSession,

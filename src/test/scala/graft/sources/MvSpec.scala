@@ -763,6 +763,32 @@ class MvSpec extends SparkSpec {
     } finally MvFaultFs.mode.set(0)
   }
 
+  test("drop resumes a crashed sweep via the tombstone; a real table still refuses") {
+    val (src, mv) = fixture("mv_dropresume")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    // simulate the crash window: the in-lock phase ran (tombstone
+    // landed, def deleted) but the post-release sweep never did — the
+    // root is a headless-but-tombstoned husk
+    val defP = new org.apache.hadoop.fs.Path(s"$mv/${Snapshots.ManifestDirName}/mv/def")
+    val fs = defP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(defP.getParent, ".def-dropped"), true)
+    try out.write("graft-mv dropped".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(defP, false)
+    // every MV face refuses the husk ...
+    val e = intercept[Exception] { Mv.refresh(spark, mv) }
+    assert(e.getMessage.contains("not a materialized view"), e.getMessage)
+    val e2 = intercept[Exception] { Mv.create(spark, src, mv, Seq("day"), aggs) }
+    assert(e2.getMessage.contains("already holds"), e2.getMessage)
+    // ... except drop, which RESUMES the sweep instead of declaring the
+    // husk a table (the pre-tombstone behavior wedged the root forever)
+    assert(Mv.drop(spark, mv), "a tombstoned husk is a resumable drop")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mv)), "the resume must finish the sweep")
+    // and a committed TABLE with no definition still refuses loudly
+    val e3 = intercept[Exception] { Mv.drop(spark, src) }
+    assert(e3.getMessage.contains("not a materialized view"), e3.getMessage)
+  }
+
   test("a garbled definition refuses loudly instead of refreshing wrong") {
     val (src, mv) = fixture("mv_garbled")
     Mv.create(spark, src, mv, Seq("day"), aggs)
