@@ -35,6 +35,46 @@ class DeleteVectorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSet
 
+  test("applyChanges nullSafeKeys: NULL-keyed rows vector, replace and delete like any other key") {
+    val dir = Files.createTempDirectory("dv_nullsafe").toString + "/t"
+    val rows = Seq(
+      (Some("a"), 10L),
+      (Some("b"), 20L),
+      (Option.empty[String], 30L),
+      (Option.empty[String], 30L)).toDF("k", "v")
+    // the NULL key occupies TWO identical rows so the match must vector
+    // both; stats on k give the narrowing its per-file null counts
+    Sources.writeParquet(rows.repartition(1), dir)
+    Snapshots.commit(spark, dir, Seq("k"))
+    def state(): Seq[(Option[String], Long)] =
+      Snapshots.readSnapshot(spark, dir).collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq.sortBy(t => (t._1, t._2))
+    // DEFAULT face: SQL equality — a NULL-keyed change row matches
+    // nothing (merge semantics), the fresh image just appends
+    DeleteVectors.applyChanges(
+      spark, dir,
+      Seq((Option.empty[String], 31L, "u")).toDF("k", "v", "op"),
+      Seq("k"), "op")
+    assert(
+      state() == Seq((None, 30L), (None, 30L), (None, 31L), (Some("a"), 10L), (Some("b"), 20L)),
+      s"SQL-equality matching must not vector NULL keys: ${state()}")
+    // NULL-SAFE face: the NULL group's old rows (all three now) die and
+    // the replacement lands — one atomic version
+    val v0 = Snapshots.latestVersion(spark, dir)
+    DeleteVectors.applyChanges(
+      spark, dir,
+      Seq((Option.empty[String], 42L, "u")).toDF("k", "v", "op"),
+      Seq("k"), "op", nullSafeKeys = true)
+    assert(Snapshots.latestVersion(spark, dir) == v0 + 1L)
+    assert(state() == Seq((None, 42L), (Some("a"), 10L), (Some("b"), 20L)), state().toString)
+    // and a NULL-keyed DELETE op removes the group outright
+    DeleteVectors.applyChanges(
+      spark, dir,
+      Seq((Option.empty[String], 0L, "d")).toDF("k", "v", "op"),
+      Seq("k"), "op", nullSafeKeys = true)
+    assert(state() == Seq((Some("a"), 10L), (Some("b"), 20L)), state().toString)
+  }
+
   test("MoR delete removes rows without touching a data file; pre-delete version pins") {
     val dir = Files.createTempDirectory("dv_basic").toString + "/t"
     val v1 = table(dir)
