@@ -649,6 +649,53 @@ class MvSpec extends SparkSpec {
     assert(Mv.definition(spark, s"$base/mv2").dims.head.joinType == "left")
   }
 
+  test("TWO dims (inner + left) in one MV: multi-dim trace, one-of-two dim-delta, exact") {
+    val base = Files.createTempDirectory("mv_twodims").toString
+    val fact = s"$base/fact"
+    val dimA = s"$base/dimA"
+    val dimB = s"$base/dimB"
+    val mv = s"$base/mv"
+    val f = Seq(
+      ("a", "r1", 1L, 10L),
+      ("a", "r2", 2L, 11L),
+      ("b", "r1", 3L, 20L),
+      ("b", "r3", 4L, 30L)) // r3 has no dimB row: the LEFT join's NULL zone
+      .toDF("cat", "reg", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "reg", "id"))
+    Sources.writeParquet(Seq(("a", "g1"), ("b", "g2")).toDF("ck", "grp").repartition(1), dimA)
+    Snapshots.commit(spark, dimA, Seq("ck"))
+    Sources.writeParquet(Seq(("r1", "z1"), ("r2", "z2")).toDF("rk", "zone").repartition(1), dimB)
+    Snapshots.commit(spark, dimB, Seq("rk"))
+    Mv.create(
+      spark, fact, mv, Seq("grp", "zone"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(
+        Mv.MvJoinSpec(dimA, Seq("cat"), Seq("ck")),
+        Mv.MvJoinSpec(dimB, Seq("reg"), Seq("rk"), joinType = "left")))
+    def got(): Set[(String, Option[String], Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSet
+    assert(got() == Set(
+      ("g1", Some("z1"), 1L, 10L), ("g1", Some("z2"), 1L, 11L),
+      ("g2", Some("z1"), 1L, 20L), ("g2", None, 1L, 30L)))
+    // ONE window carrying a fact change AND a dimB-only change (dimA
+    // untouched): the fact feed names (g1, z1); dimB's feed names r3,
+    // whose fact rows map (g2, NULL) old → (g2, z3) new
+    DeleteVectors.upsert(
+      spark, fact, Seq(("a", "r1", 9L, 12L)).toDF("cat", "reg", "id", "v"), Seq("id"))
+    DeleteVectors.upsert(spark, dimB, Seq(("r3", "z3")).toDF("rk", "zone"), Seq("rk"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync, r.toString)
+    assert(r.groupsRecomputed == 2L && r.groupsDeleted == 1L, r.toString)
+    assert(got() == Set(
+      ("g1", Some("z1"), 2L, 22L), ("g1", Some("z2"), 1L, 11L),
+      ("g2", Some("z1"), 1L, 20L), ("g2", Some("z3"), 1L, 30L)))
+    // the watermark reflects BOTH dim pins: an immediate second refresh
+    // is a no-op
+    val r2 = Mv.refresh(spark, mv)
+    assert(r2.groupsRecomputed == 0L && r2.groupsDeleted == 0L && !r2.fullResync)
+  }
+
   test("join-MV create refuses column collisions and unprovidable group keys") {
     val (fact, dim, mv) = starFixture("mv_refusejoin")
     val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
