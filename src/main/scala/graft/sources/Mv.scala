@@ -313,7 +313,7 @@ object Mv {
       keyCols: Seq[String],
       aggExprs: Seq[String],
       filterSql: Option[String] = None,
-      dims: Seq[MvJoinSpec] = Seq.empty): Long = {
+      dims: Seq[MvJoinSpec] = Seq.empty): Long = Snapshots.withTableLock(spark, mvRoot) {
     require(keyCols.nonEmpty, "Mv.create: at least one group-key column")
     require(aggExprs.nonEmpty, "Mv.create: at least one aggregate expression")
     val srcV = Snapshots.latestVersion(spark, sourceRoot)
@@ -323,6 +323,16 @@ object Mv {
         "snapshot table (Snapshots.commit / createTable first)")
     val mvPath = new Path(mvRoot)
     val fs = fsOf(spark, mvPath)
+    // a prior drop's tombstone fences create even when the sweep already
+    // removed the manifests (latestVersion would read 0): adopting a
+    // partially-swept husk would marry the new view to the old one's
+    // orphan files — and a still-IN-FLIGHT sweep would then delete the
+    // new view. The sweep deletes the tombstone LAST, so its absence
+    // proves no adoptable remains exist.
+    require(
+      !fs.exists(new Path(defPath(mvPath).getParent, ".def-dropped")),
+      s"Mv.create: $mvRoot holds the remains of a dropped view (unfinished drop sweep) — " +
+        "retry Mv.drop to finish the sweep, then create")
     require(
       Snapshots.latestVersion(spark, mvRoot) == 0L && !fs.exists(defPath(mvPath)),
       s"Mv.create: $mvRoot already holds a table or view — drop it or pick another root")
@@ -414,11 +424,12 @@ object Mv {
             Snapshots.latestVersion(spark, mvRoot) == 0L,
             s"$mvRoot holds a committed snapshot table but no view definition — it is a " +
               "TABLE, not a materialized view; refusing to drop it from the MV face")
-          // a no-op drop on a nonexistent root: reclaim the manifest-dir
-          // husk withTableLock's own mkdirs created, HERE under the lock
-          // (the husk holds only our lock file — release tolerates it
-          // missing); never anything of anyone else's
-          fs.delete(new Path(mvPath, Snapshots.ManifestDirName), true)
+          // a no-op drop on a nonexistent root: the only husk is the
+          // manifest dir withTableLock's own mkdirs created, holding OUR
+          // lock file. Reclaimed AFTER release (below) with non-recursive
+          // deletes only — deleting the tree HERE would destroy the held
+          // lock file mid-critical-section, letting a second process
+          // acquire the "same" lock while this block still runs.
           false
         }
       } else {
@@ -437,15 +448,65 @@ object Mv {
       }
     }
     // sweep AFTER release: the def removal fenced every MV face out
-    // (refresh refuses, create refuses while manifests exist), so the
-    // husk — data files, manifests, sidecars, tombstone — has no other
-    // owner. A failed sweep is recoverable: the tombstone lets a retry
-    // drop resume it.
-    if (existed) fs.delete(mvPath, true)
-    // the no-op case may leave an EMPTY root dir: a non-recursive delete
-    // can only ever remove an empty directory — provably nobody's data
-    else try fs.delete(mvPath, false) catch { case _: java.io.IOException => () }
+    // (refresh refuses; create refuses on the tombstone even once the
+    // manifests are gone), so the husk — data files, manifests, sidecars,
+    // tombstone — has no other owner. A failed sweep is recoverable: the
+    // tombstone lets a retry drop resume it.
+    if (existed) sweepHusk(fs, mvPath)
+    // the no-op case may leave an EMPTY dir skeleton (the lock released
+    // above): non-recursive deletes can only ever remove empty
+    // directories — provably nobody's data, even against a create that
+    // started the instant the lock released
+    else emptyHuskReclaim(fs, mvPath)
     existed
+  }
+
+  /** [[drop]]'s post-release sweep, ordered so the `.def-dropped`
+    * tombstone OUTLIVES every adoptable remain: data files and sidecars
+    * first, then the manifest chain, the tombstone second-to-last, and
+    * the (empty) directory skeleton only via non-recursive deletes. A
+    * crash anywhere before the tombstone's delete leaves a husk every MV
+    * face refuses and a retry drop resumes; after it, only empty dirs —
+    * and a concurrent create that slips in once the tombstone is gone
+    * can lose nothing to the non-recursive tail (its lock file makes the
+    * skeleton non-empty, which simply leaves the dirs to the new owner).
+    */
+  private def sweepHusk(fs: FileSystem, mvPath: Path): Unit = {
+    val man = new Path(mvPath, Snapshots.ManifestDirName)
+    val mvMeta = new Path(man, "mv")
+    if (fs.exists(mvPath))
+      fs.listStatus(mvPath).foreach { st =>
+        if (st.getPath.getName != Snapshots.ManifestDirName) fs.delete(st.getPath, true)
+      }
+    if (fs.exists(man))
+      fs.listStatus(man).foreach { st =>
+        val n = st.getPath.getName
+        // the mv/ metadata dir holds the tombstone (kept for last); a
+        // foreign .lock is a NEW holder's — never delete a lock we don't
+        // hold (ours was released above)
+        if (n != "mv" && n != ".lock") fs.delete(st.getPath, true)
+      }
+    if (fs.exists(mvMeta))
+      fs.listStatus(mvMeta).foreach { st =>
+        if (st.getPath.getName != ".def-dropped") fs.delete(st.getPath, true)
+      }
+    fs.delete(new Path(mvMeta, ".def-dropped"), false)
+    emptyHuskReclaim(fs, mvPath)
+  }
+
+  /** Best-effort removal of an empty `<root>/_manifests/mv` skeleton —
+    * NON-recursive only, innermost first: anything a concurrent writer
+    * landed (or a lock it holds) makes a dir non-empty and the delete a
+    * tolerated no-op.
+    */
+  private def emptyHuskReclaim(fs: FileSystem, mvPath: Path): Unit = {
+    val man = new Path(mvPath, Snapshots.ManifestDirName)
+    def tryDelete(p: Path): Unit =
+      try { fs.delete(p, false); () }
+      catch { case _: java.io.IOException => () }
+    tryDelete(new Path(man, "mv"))
+    tryDelete(man)
+    tryDelete(mvPath)
   }
 
   /** Advance the view to the source's current head. Returns the window

@@ -826,7 +826,7 @@ class MvSpec extends SparkSpec {
     val e = intercept[Exception] { Mv.refresh(spark, mv) }
     assert(e.getMessage.contains("not a materialized view"), e.getMessage)
     val e2 = intercept[Exception] { Mv.create(spark, src, mv, Seq("day"), aggs) }
-    assert(e2.getMessage.contains("already holds"), e2.getMessage)
+    assert(e2.getMessage.contains("unfinished drop sweep"), e2.getMessage)
     // ... except drop, which RESUMES the sweep instead of declaring the
     // husk a table (the pre-tombstone behavior wedged the root forever)
     assert(Mv.drop(spark, mv), "a tombstoned husk is a resumable drop")
@@ -834,6 +834,49 @@ class MvSpec extends SparkSpec {
     // and a committed TABLE with no definition still refuses loudly
     val e3 = intercept[Exception] { Mv.drop(spark, src) }
     assert(e3.getMessage.contains("not a materialized view"), e3.getMessage)
+  }
+
+  test("create refuses a PARTIALLY-swept husk (manifests gone, tombstone left); a drop retry heals it") {
+    val (src, mv) = fixture("mv_partialsweep")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    // simulate a sweep that crashed MIDWAY: manifests and def are gone
+    // (so latestVersion reads 0 and create's old guards would PASS) but
+    // the tombstone and a stray data file remain — the exact window in
+    // which a create used to adopt the husk and the resumed sweep then
+    // silently deleted the brand-new view
+    val manDir = new org.apache.hadoop.fs.Path(s"$mv/${Snapshots.ManifestDirName}")
+    val fs = manDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(manDir, "mv/.def-dropped"), true)
+    try out.write("graft-mv dropped".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(manDir, "mv/def"), false)
+    fs.listStatus(manDir)
+      .filter(st => st.getPath.getName.endsWith(".manifest"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(Snapshots.latestVersion(spark, mv) == 0L, "the husk must look table-less")
+    val e = intercept[Exception] { Mv.create(spark, src, mv, Seq("day"), aggs) }
+    assert(e.getMessage.contains("unfinished drop sweep"), e.getMessage)
+    // the retry drop resumes and finishes; only then is the root free
+    assert(Mv.drop(spark, mv))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(mv)))
+    val v = Mv.create(spark, src, mv, Seq("day"), aggs)
+    assert(v == 1L && mvRows(mv) == recomputed(src), "a finished sweep frees the root for real")
+  }
+
+  test("a no-op drop reclaims only empty dirs and leaves a fresh root usable") {
+    val base = Files.createTempDirectory("mv_noopdrop").toString
+    val src = s"$base/src"
+    sourceTable(src)
+    val mv = s"$base/virgin"
+    assert(!Mv.drop(spark, mv), "dropping a nonexistent view is a no-op")
+    val fs = new org.apache.hadoop.fs.Path(mv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(mv)),
+      "the no-op drop must reclaim the lock-husk it created, not leak it")
+    // the root stays fully usable afterwards
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    assert(mvRows(mv) == recomputed(src))
   }
 
   test("a garbled definition refuses loudly instead of refreshing wrong") {
