@@ -115,6 +115,71 @@ object Constraints {
     if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
+  private def pendingMarker(root: Path, name: String): Path =
+    new Path(checksDir(root), s".pending-$name")
+
+  /** Checks whose add-time proof never completed: the `.pending-<name>`
+    * marker landed before the check published and is cleared only AFTER
+    * the validation scan succeeds, so a process crash between publish
+    * and proof leaves the marker behind. A pending check is still
+    * ENFORCED against new commits (fail-safe — the gate turned on at
+    * publish), but the invariant "every committed row satisfies every
+    * recorded check" is unproven for pre-existing data until
+    * [[validatePending]] re-runs the proof.
+    */
+  def pendingChecks(spark: SparkSession, root: String): Seq[String] = {
+    val dir = checksDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir)
+        .toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(".pending-") => n.stripPrefix(".pending-") }
+        .sorted
+  }
+
+  /** Re-run the add-time proof for every stale pending check (a crash
+    * between [[addCheck]]'s publish and its validation scan): a check
+    * whose proof now passes is promoted to valid (marker cleared); one
+    * whose proof FAILS is dropped — per the add-time contract, a check
+    * that cannot be proven must not remain recorded as if it were. A
+    * marker with no surviving check file (crash on the other side of the
+    * rollback) is reaped silently. Returns name → proven?
+    */
+  def validatePending(spark: SparkSession, root: String): Map[String, Boolean] =
+    Snapshots.withTableLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val recorded = checks(spark, root)
+      pendingChecks(spark, root).flatMap { name =>
+        val marker = pendingMarker(rootPath, name)
+        recorded.get(name) match {
+          case None =>
+            fs.delete(marker, false) // rolled back before the crash: garbage
+            None
+          case Some(predicate) =>
+            val proven =
+              try {
+                val view = Snapshots.manifestView(spark, root)
+                val live = view.rels.filterNot(r =>
+                  Snapshots.fullyDeleted(view.stats.getOrElse(r, Map.empty)))
+                live.isEmpty || violations(
+                  Snapshots.scanRels(spark, root, live, view.schema, Snapshots.dvByRel(view)),
+                  Map(name -> predicate)).isEmpty
+              } catch { case scala.util.control.NonFatal(_) => false }
+            if (!proven) {
+              // the proof fails: the check was never legitimately added —
+              // drop it (same outcome as addCheck's own rollback)
+              fs.delete(new Path(checksDir(rootPath), name), false)
+              bumpStamp(fs, rootPath)
+            }
+            fs.delete(marker, false)
+            Some(name -> proven)
+        }
+      }.toMap
+    }
+
   /** Record a CHECK, then prove the EXISTING table satisfies it (one
     * full scan, the check rolled back and the call refused loudly with
     * the violation count otherwise) — every later commit then enforces
@@ -131,6 +196,12 @@ object Constraints {
     * on for NEW data at publish, existing data is proven immediately
     * after, and a failed proof drops the (briefly enforced, never wrong)
     * constraint before refusing.
+    *
+    * CRASH ACCOUNTING: a `.pending-<name>` marker lands BEFORE the
+    * publish and is cleared only after the proof (or the rollback), so a
+    * crash inside the publish→proof window can never leave an unproven
+    * check indistinguishable from a proven one — [[pendingChecks]] names
+    * it and [[validatePending]] re-runs the proof (or drops the check).
     */
   def addCheck(spark: SparkSession, root: String, name: String, predicateSql: String): Unit =
     Snapshots.withTableLock(spark, root) {
@@ -145,14 +216,23 @@ object Constraints {
       require(
         Snapshots.latestVersion(spark, root) > 0L,
         s"addCheck($root): commit the table first — a check validates against committed data")
-      // publish FIRST (see the ordering note above): new commits enforce
-      // the pending check from this instant
       fs.mkdirs(p.getParent)
+      // the pending marker FIRST: from here to the proof's success this
+      // check is durably recorded as unproven (see CRASH ACCOUNTING)
+      val marker = pendingMarker(rootPath, name)
+      val mOut = fs.create(marker, true)
+      try mOut.write("graft-check-pending v1".getBytes(StandardCharsets.UTF_8))
+      finally mOut.close()
+      // publish next (see the ordering note above): new commits enforce
+      // the pending check from this instant
       val tmp = new Path(p.getParent, s".check-tmp-${java.util.UUID.randomUUID().toString}")
       val out = fs.create(tmp, true)
       try out.write(s"graft-check v1\nexpr ${enc(predicateSql)}\n".getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, p)) sys.error(s"recording check '$name' on $root failed")
+      if (!fs.rename(tmp, p)) {
+        fs.delete(marker, false)
+        sys.error(s"recording check '$name' on $root failed")
+      }
       bumpStamp(fs, rootPath)
       // now prove it against the CURRENT table (manifest read AFTER the
       // publish+bump, so it sees every commit that claimed under the old
@@ -169,6 +249,10 @@ object Constraints {
             s"addCheck($root): ${bad.head._2} existing row(s) violate '$name' " +
               s"(${predicateSql}) — fix the data first")
         }
+        // proof complete: clear the marker LAST — a crash before this
+        // line re-proves a valid check (harmless), never trusts an
+        // unproven one
+        fs.delete(marker, false)
       } catch {
         case t: Throwable =>
           // roll the pending check back — and VERIFY the file is gone
@@ -183,7 +267,12 @@ object Constraints {
             catch { case _: Exception => false }
           try bumpStamp(fs, rootPath)
           catch { case _: Exception => () }
-          if (!gone)
+          if (gone) {
+            // check gone first, THEN the marker: a crash in between
+            // leaves marker-without-check, which validatePending reaps
+            try fs.delete(marker, false)
+            catch { case _: Exception => () }
+          } else
             throw new RuntimeException(
               s"addCheck($root): validation failed AND the pending check '$name' could not " +
                 s"be removed — it REMAINS recorded and will refuse violating commits; run " +
@@ -200,6 +289,7 @@ object Constraints {
       val p = new Path(checksDir(rootPath), name)
       val fs = fsOf(spark, p)
       val existed = fs.delete(p, false)
+      fs.delete(pendingMarker(rootPath, name), false) // a pending check drops whole
       if (existed) bumpStamp(fs, rootPath)
       existed
     }

@@ -313,4 +313,65 @@ class ConstraintsSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.t VALUES (9, CAST(-1.0 AS DOUBLE), 'd01')").collect()
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 4L)
   }
+
+  test("addCheck leaves no pending marker on success OR refusal") {
+    val dir = Files.createTempDirectory("ck_nopending").toString + "/t"
+    table(dir)
+    Constraints.addCheck(spark, dir, "v_pos", "v > 0")
+    assert(Constraints.pendingChecks(spark, dir).isEmpty, "a proven add clears its marker")
+    intercept[IllegalArgumentException] {
+      Constraints.addCheck(spark, dir, "v_small", "v < 15")
+    }
+    assert(
+      Constraints.pendingChecks(spark, dir).isEmpty,
+      "a rolled-back add clears its marker too")
+    assert(Constraints.checks(spark, dir).keySet == Set("v_pos"))
+  }
+
+  test("a crash between publish and proof leaves a PENDING check: named, enforced, re-provable") {
+    val dir = Files.createTempDirectory("ck_pending").toString + "/t"
+    table(dir)
+    // simulate the crash window: check file + pending marker both
+    // present, no proof ever ran (exactly what a kill -9 between
+    // addCheck's publish and its validation scan leaves behind)
+    val fs = fsOf(dir)
+    val checksDir = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}/checks")
+    def plantPending(name: String, expr: String): Unit = {
+      fs.mkdirs(checksDir)
+      val c = fs.create(new org.apache.hadoop.fs.Path(checksDir, name), true)
+      try c.write(
+        s"graft-check v1\nexpr ${java.net.URLEncoder.encode(expr, "UTF-8")}\n".getBytes("UTF-8"))
+      finally c.close()
+      val m = fs.create(new org.apache.hadoop.fs.Path(checksDir, s".pending-$name"), true)
+      try m.write("graft-check-pending v1".getBytes("UTF-8"))
+      finally m.close()
+    }
+    plantPending("v_pos", "v > 0") // provable: existing rows all pass
+    plantPending("v_small", "v < 15") // NOT provable: v=20 violates
+    assert(Constraints.pendingChecks(spark, dir) == Seq("v_pos", "v_small"))
+    // pending checks are still ENFORCED against new commits (fail-safe)
+    val badRel = landRow(dir, 9L, -1.0, "bad-pending")
+    val e = intercept[Exception] { Snapshots.commitAppend(spark, dir, Seq(badRel)) }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(dir, badRel), false)
+    // re-validation: the provable check promotes, the unprovable DROPS
+    // (it was never legitimately added — same outcome as add's rollback)
+    val report = Constraints.validatePending(spark, dir)
+    assert(report == Map("v_pos" -> true, "v_small" -> false), report.toString)
+    assert(Constraints.pendingChecks(spark, dir).isEmpty)
+    assert(Constraints.checks(spark, dir).keySet == Set("v_pos"))
+    // a marker with NO surviving check file (crash on the rollback side)
+    // is reaped silently
+    val m = fs.create(new org.apache.hadoop.fs.Path(checksDir, ".pending-ghost"), true)
+    try m.write("graft-check-pending v1".getBytes("UTF-8"))
+    finally m.close()
+    assert(Constraints.validatePending(spark, dir).isEmpty)
+    assert(Constraints.pendingChecks(spark, dir).isEmpty)
+    // dropping a pending check drops it whole, marker included
+    plantPending("v_any", "v > -100")
+    assert(Constraints.dropCheck(spark, dir, "v_any"))
+    assert(
+      Constraints.pendingChecks(spark, dir).isEmpty &&
+        !Constraints.checks(spark, dir).contains("v_any"))
+  }
 }
