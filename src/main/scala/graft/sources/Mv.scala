@@ -92,7 +92,14 @@ object Mv {
       factCols: Seq[String],
       dimCols: Seq[String],
       version: Long,
-      joinType: String = "inner")
+      joinType: String = "inner",
+      /** The dim's manifest-chain identity ([[Snapshots.chainIdentity]])
+        * at the last refresh — empty on pre-upgrade definitions. A
+        * version pin is meaningless across an out-of-band drop+recreate
+        * (the recreated chain can reach an equal-or-higher version), so
+        * refresh compares identities before trusting the pin.
+        */
+      chain: String = "")
 
   /** A requested dimension join at [[create]] time (the version pin is
     * resolved by create itself): equi-join `fact.factCols(i) =
@@ -118,7 +125,12 @@ object Mv {
       aggExprs: Seq[String],
       refreshedVersion: Long,
       filterSql: Option[String] = None,
-      dims: Seq[MvDim] = Seq.empty)
+      dims: Seq[MvDim] = Seq.empty,
+      /** The FACT chain's identity at the last refresh (empty on
+        * pre-upgrade definitions) — the watermark is only meaningful
+        * against the chain that minted it.
+        */
+      chainId: String = "")
 
   /** One refresh's outcome: the source window applied, how many groups
     * recomputed / deleted, and whether the feed downgraded to a full
@@ -145,6 +157,7 @@ object Mv {
       c: String,
       v: String,
       joinType: String,
+      chain: String,
       line: String,
       fail: String => Nothing): MvDim = {
     val fc = dec(f).split(",").toSeq.filter(_.nonEmpty)
@@ -154,7 +167,8 @@ object Mv {
       root, fc, dc,
       try v.toLong
       catch { case _: NumberFormatException => fail(s"unparseable dim version '$v'") },
-      joinType)
+      joinType,
+      chain)
   }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -191,6 +205,7 @@ object Mv {
     var source: Option[String] = None
     var version: Option[Long] = None
     var filterSql: Option[String] = None
+    var chainId: String = ""
     val keys = scala.collection.mutable.ArrayBuffer.empty[String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
     val dims = scala.collection.mutable.ArrayBuffer.empty[MvDim]
@@ -204,14 +219,20 @@ object Mv {
             catch { case _: NumberFormatException => fail(s"unparseable version '$v'") })
         case Array("key", v) => keys += dec(v)
         case Array("agg", v) => aggs += dec(v)
+        case Array("chain", v) => chainId = dec(v)
         case Array("dim", rest) =>
-          // 4 fields = a pre-join-type definition (inner); 5 adds the type
+          // 4 fields = a pre-join-type definition (inner); 5 adds the
+          // type; 6 adds the dim's chain identity ('-' = unknown)
+          def jt(t: String): String = {
+            val j = dec(t)
+            if (j != "inner" && j != "left") fail(s"unknown dim join type '$j' in '$l'")
+            j
+          }
           rest.split(" ") match {
-            case Array(r, f, c, v) => dims += parsedDim(dec(r), f, c, v, "inner", l, fail)
-            case Array(r, f, c, v, t) =>
-              val jt = dec(t)
-              if (jt != "inner" && jt != "left") fail(s"unknown dim join type '$jt' in '$l'")
-              dims += parsedDim(dec(r), f, c, v, jt, l, fail)
+            case Array(r, f, c, v) => dims += parsedDim(dec(r), f, c, v, "inner", "", l, fail)
+            case Array(r, f, c, v, t) => dims += parsedDim(dec(r), f, c, v, jt(t), "", l, fail)
+            case Array(r, f, c, v, t, ch) =>
+              dims += parsedDim(dec(r), f, c, v, jt(t), if (ch == "-") "" else dec(ch), l, fail)
             case _ => fail(s"unparseable dim line '$l'")
           }
         case _ => fail(s"unparseable line '$l'")
@@ -225,7 +246,8 @@ object Mv {
       aggs.toSeq,
       version.getOrElse(fail("no refreshed version recorded")),
       filterSql,
-      dims.toSeq)
+      dims.toSeq,
+      chainId)
   }
 
   /** Durably (re)write the definition. Unlike the epoch markers (whose
@@ -242,10 +264,12 @@ object Mv {
     fs.mkdirs(p.getParent)
     val next = new Path(p.getParent, ".def-next")
     val body = (Seq("graft-mv v1", s"source ${enc(d.sourceRoot)}", s"version ${d.refreshedVersion}") ++
+      (if (d.chainId.nonEmpty) Seq(s"chain ${enc(d.chainId)}") else Seq.empty) ++
       d.filterSql.map(f => s"filter ${enc(f)}").toSeq ++
       d.dims.map(dim =>
         s"dim ${enc(dim.root)} ${enc(dim.factCols.mkString(","))} " +
-          s"${enc(dim.dimCols.mkString(","))} ${dim.version} ${enc(dim.joinType)}") ++
+          s"${enc(dim.dimCols.mkString(","))} ${dim.version} ${enc(dim.joinType)} " +
+          (if (dim.chain.isEmpty) "-" else enc(dim.chain))) ++
       d.keyCols.map(k => s"key ${enc(k)}") ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(next, true)
@@ -350,7 +374,9 @@ object Mv {
       require(
         sp.joinType == "inner" || sp.joinType == "left",
         s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got '${sp.joinType}'")
-      MvDim(sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType)
+      MvDim(
+        sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType,
+        Snapshots.chainIdentity(spark, sp.dimRoot))
     }
     // namespace discipline: the dims' visible (non-join) columns must not
     // shadow anything already reachable
@@ -376,7 +402,8 @@ object Mv {
       seen ++= visible
     }
     val d = MvDef(
-      sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty), dimDefs)
+      sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty), dimDefs,
+      Snapshots.chainIdentity(spark, sourceRoot))
     keyOwners(spark, d) // refuses an unprovidable / ambiguous group key loudly
     val full = aggregatedFrom(prepared(spark, d, Snapshots.readSnapshot(spark, sourceRoot, srcV)), d)
     val cols = full.columns.toSeq
@@ -519,10 +546,21 @@ object Mv {
     Snapshots.withTableLock(spark, mvRoot) {
       val d0 = definition(spark, mvRoot)
       val v1 = Snapshots.latestVersion(spark, d0.sourceRoot)
+      // CHAIN IDENTITY before the version pins: an out-of-band
+      // drop+recreate of the fact (or a dim) can reach an equal-or-higher
+      // version number, making the recorded watermark look valid while it
+      // belongs to a DEAD chain — reading the new chain's change feed
+      // over the old chain's pin would produce plausible-looking but
+      // WRONG deltas (missed groups, silent staleness). A moved identity
+      // forces a full resync; a recorded-empty one (pre-upgrade def)
+      // adopts the current identity silently.
+      val srcChain = Snapshots.chainIdentity(spark, d0.sourceRoot)
+      val srcChainMoved = d0.chainId.nonEmpty && d0.chainId != srcChain
       require(
-        v1 >= d0.refreshedVersion,
+        srcChainMoved || v1 >= d0.refreshedVersion,
         s"materialized view $mvRoot reflects source version ${d0.refreshedVersion} but " +
-          s"${d0.sourceRoot} is at $v1 — the source was replaced wholesale; recreate the view")
+          s"${d0.sourceRoot} is at $v1 on the SAME chain — the manifest chain was truncated " +
+          "by hand; recreate the view")
       // THIS refresh pins every dim at its current head; a dim that moved
       // since the last refresh can have re-mapped any fact row's group,
       // which no fact feed alone can name — the DIM-DELTA path derives
@@ -534,16 +572,33 @@ object Mv {
         require(
           dv > 0L,
           s"materialized view $mvRoot: dim ${dim.root} no longer holds a committed manifest")
-        dim.copy(version = dv)
+        dim.copy(version = dv, chain = Snapshots.chainIdentity(spark, dim.root))
+      }
+      val dimChainMoved = d0.dims.zip(dimsNow).exists { case (o, n) =>
+        o.chain.nonEmpty && o.chain != n.chain
       }
       val dimsMoved = dimsNow.map(_.version) != d0.dims.map(_.version)
-      val d = d0.copy(dims = dimsNow)
-      if (v1 == d.refreshedVersion && !dimsMoved)
+      val d = d0.copy(dims = dimsNow, chainId = srcChain)
+      val identityMoved = srcChainMoved || dimChainMoved
+      if (v1 == d.refreshedVersion && !dimsMoved && !identityMoved) {
+        // chains intact, versions intact — but adopt newly-minted
+        // identities a pre-upgrade definition lacks, so the NEXT
+        // recreate is caught
+        if (d0.chainId.isEmpty && srcChain.nonEmpty ||
+          d0.dims.zip(dimsNow).exists(p => p._1.chain.isEmpty && p._2.chain.nonEmpty))
+          writeDef(fsOf(spark, new Path(mvRoot)), new Path(mvRoot), d)
         return RefreshReport(v1, v1, 0L, 0L, fullResync = false)
+      }
       val mvPath = new Path(mvRoot)
       val fs = fsOf(spark, mvPath)
       val incremental =
-        if (dimsMoved) affectedKeysViaDimDelta(spark, d0, d, v1)
+        if (identityMoved) {
+          log.warn(
+            s"materialized view $mvRoot: the ${if (srcChainMoved) "fact" else "dim"} manifest " +
+              "chain identity changed (out-of-band drop+recreate) — the recorded pins belong " +
+              "to a dead chain; full resync")
+          None
+        } else if (dimsMoved) affectedKeysViaDimDelta(spark, d0, d, v1)
         else affectedKeysViaChanges(spark, d, v1)
       val affected = incremental.getOrElse {
         // full resync: every group on either side is affected — same

@@ -331,6 +331,50 @@ object Snapshots {
     * stale-ahead or corrupt hint falls back to the listing). Cost:
     * O(commits since the hint) exists() probes, amortized O(1).
     */
+  /** A stable identity for this table's MANIFEST CHAIN — the main-table
+    * twin of the branch `.chain` nonce: a lazily-minted UUID file in the
+    * manifest dir, created exactly once per chain (create-if-absent runs
+    * under the table lock; reads are lock-free). Version numbers alone
+    * cannot distinguish a table from an out-of-band drop+recreate that
+    * reached an equal-or-higher version — but the recreate deleted the
+    * whole tree, nonce included, so the recreated chain mints a FRESH
+    * UUID and every watermark-carrying consumer (a materialized view's
+    * recorded fact/dim pins) can detect that its watermark belongs to a
+    * DEAD chain instead of reading the new chain's change feed over the
+    * old chain's pin. Dotfile → invisible to orphan GC and the
+    * name-targeted manifest sweeps; clones may copy it (identity is only
+    * ever compared for the SAME root path). Requires a committed table
+    * (the nonce marks a chain, not an empty dir).
+    */
+  def chainIdentity(spark: SparkSession, root: String): String = {
+    val rootPath = new Path(root)
+    val dir = manifestDir(rootPath)
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir, ".chain")
+    def read(): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim).filter(_.nonEmpty)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    read().getOrElse {
+      require(
+        latestVersion(spark, root) > 0L,
+        s"chainIdentity($root): no committed manifest — an empty dir has no chain to identify")
+      withTableLock(spark, root) {
+        read().getOrElse {
+          val fresh = java.util.UUID.randomUUID().toString
+          val tmp = new Path(dir, s".chain-tmp-${fresh.take(8)}")
+          val out = fs.create(tmp, true)
+          try out.write(fresh.getBytes("UTF-8"))
+          finally out.close()
+          if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+          read().getOrElse(fresh)
+        }
+      }
+    }
+  }
+
   def latestVersion(spark: SparkSession, root: String): Long = {
     val rootPath = new Path(root)
     val dir = manifestDir(rootPath)

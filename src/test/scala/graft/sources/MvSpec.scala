@@ -400,7 +400,11 @@ class MvSpec extends SparkSpec {
       Snapshots.readSnapshot(spark, mv).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got() == Set(("g1", 3L, 41L), ("g2", 2L, 61L), ("g3", 1L, 40L)))
-    assert(Mv.definition(spark, mv).dims == Seq(Mv.MvDim(dim, Seq("cat"), Seq("ck"), 1L)))
+    val recDim = Mv.definition(spark, mv).dims
+    assert(recDim.map(_.copy(chain = "")) == Seq(Mv.MvDim(dim, Seq("cat"), Seq("ck"), 1L)))
+    assert(
+      recDim.head.chain == Snapshots.chainIdentity(spark, dim),
+      "create must pin the dim's chain identity")
     // a fact change touching only g1 (cats a, b); cat=c's file (g2,
     // untouched) is corrupted — the TRACE expansion (g1 → dim → {a, b})
     // must keep the refresh partition-exact or it dies here
@@ -877,6 +881,63 @@ class MvSpec extends SparkSpec {
     // the root stays fully usable afterwards
     Mv.create(spark, src, mv, Seq("day"), aggs)
     assert(mvRows(mv) == recomputed(src))
+  }
+
+  test("an out-of-band drop+recreate of the SOURCE forces a full resync, never silent staleness") {
+    val (src, mv) = fixture("mv_chainsrc")
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    assert(Mv.definition(spark, mv).chainId.nonEmpty, "create must pin the fact chain identity")
+    // drop the source wholesale and recreate DIFFERENT data at the same
+    // path, committing PAST the recorded watermark — the version pin
+    // alone would read as "nothing new happened since v1, feed (1, 2]"
+    // and derive deltas of the dead chain
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    val fresh = Seq(("d07", "z", 70L), ("d08", "z", 80L)).toDF("day", "cat", "v")
+    Sources.writeParquet(fresh.repartition(1), src, partitionCols = Seq("day"))
+    Snapshots.commit(spark, src, Seq("day", "cat"), Seq("cat"))
+    DeleteVectors.upsert(spark, src, Seq(("d09", "z", 90L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r = Mv.refresh(spark, mv)
+    assert(r.fullResync, "a moved chain identity must resync, not trust the dead pin")
+    assert(mvRows(mv) == recomputed(src), "the resynced view reflects the NEW chain exactly")
+    assert(
+      Mv.definition(spark, mv).chainId == Snapshots.chainIdentity(spark, src),
+      "the def adopts the new chain identity")
+    // and the next refresh is incremental again on the new chain
+    DeleteVectors.upsert(spark, src, Seq(("d09", "z", 91L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 1L)
+    assert(mvRows(mv) == recomputed(src))
+  }
+
+  test("an out-of-band drop+recreate of a DIM forces a full resync (same head version)") {
+    val (fact, dim, mv) = starFixture("mv_chaindim")
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    // recreate the dim at the SAME version count with a DIFFERENT mapping
+    // — versions compare equal, so the pre-identity refresh would have
+    // declared "dims unmoved" and the view would go silently stale
+    val fs = new org.apache.hadoop.fs.Path(dim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dim), true)
+    val remapped = Seq(("a", "g9", 1L), ("b", "g9", 2L), ("c", "g2", 3L), ("d", "g3", 4L))
+      .toDF("ck", "grp", "w")
+    Sources.writeParquet(remapped.repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    assert(
+      Snapshots.latestVersion(spark, dim) == Mv.definition(spark, mv).dims.head.version,
+      "the law needs the recreated dim at the SAME head version")
+    val r = Mv.refresh(spark, mv)
+    assert(r.fullResync, "equal versions on a new chain must still resync")
+    val got = Snapshots.readSnapshot(spark, mv).collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSet
+    val want = Snapshots.readSnapshot(spark, fact)
+      .join(Snapshots.readSnapshot(spark, dim), col("cat") === col("ck"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .collect().map(r0 => (r0.getString(0), r0.getLong(1), r0.getLong(2))).toSet
+    assert(got == want, "the resynced view reflects the recreated dim's mapping")
   }
 
   test("a garbled definition refuses loudly instead of refreshing wrong") {
