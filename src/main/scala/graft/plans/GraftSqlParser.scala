@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   AttributeReference,
   EqualTo,
   Expression,
+  Literal,
   SubqueryExpression
 }
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -22,7 +23,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{
   SubqueryAlias
 }
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, LongType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
 import graft.sources.Mv
 
@@ -186,26 +187,59 @@ object GraftSqlParser {
       }
       (parts, pairs.map(_._1), pairs.map(_._2), joinType)
     }
-    val groupKeys = groupExprs.map {
-      case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
-      case other =>
-        fail(
-          s"GROUP BY '${other.sql}' — group keys must be bare column names (compute " +
-            "expressions in the source table, or group by the column)")
-    }
-    val leading = selectList.take(groupKeys.size).map {
-      case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.nameParts.head
-      case other => fail(s"select the GROUP BY keys first (got '${other.sql}')")
-    }
-    if (leading.toSet != groupKeys.toSet || leading.distinct.size != leading.size ||
-      selectList.size <= groupKeys.size)
+    // the leading select entries ARE the keys: bare attributes (bare
+    // keys) or explicitly aliased expressions (DERIVED keys — the
+    // time-bucketed rollup `date_trunc('hour', ts) AS h`)
+    val nKeys = groupExprs.size
+    if (nKeys == 0 || selectList.size <= nKeys)
       fail(
         "the select list must be the GROUP BY keys first, then explicitly aliased " +
           "aggregates (the materialized column order)")
+    val leadingEntries: Seq[(String, Option[String])] = selectList.take(nKeys).map {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 => (ua.nameParts.head, None)
+      case al: Alias =>
+        requireBare(al.child, s"group key '${al.name}'")
+        al.child match {
+          case ua: UnresolvedAttribute => (al.name, Some(ua.name)) // a plain rename
+          case other => (al.name, Some(other.sql))
+        }
+      case other =>
+        fail(
+          s"select the GROUP BY keys first — bare columns or aliased expressions " +
+            s"(got '${other.sql}')")
+    }
+    val names = leadingEntries.map(_._1)
+    if (names.distinct.size != names.size) fail(s"duplicate group key among ${names.mkString(", ")}")
+    // every GROUP BY entry must name a leading key: by ordinal, by the
+    // key's (alias) name, or by repeating the derived expression
+    def byOrdinal(i: Int): String =
+      if (i >= 1 && i <= nKeys) names(i - 1)
+      else fail(s"GROUP BY ordinal $i is outside the $nKeys leading select-list key(s)")
+    val matched = groupExprs.map {
+      // `GROUP BY 1`: a plain literal pre-Spark-4, an UnresolvedOrdinal
+      // node from Spark 4's parser
+      case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal => byOrdinal(o.ordinal)
+      case l @ Literal(_, IntegerType) => byOrdinal(l.value.asInstanceOf[Int])
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length == 1 && names.contains(ua.nameParts.head) =>
+        ua.nameParts.head
+      case other =>
+        val sql = other.sql
+        leadingEntries
+          .collectFirst { case (n, Some(e)) if e == sql => n }
+          .getOrElse(fail(
+            s"GROUP BY '${other.sql}' does not match any select-list key — group by the " +
+              "key's column, its alias, or its ordinal"))
+    }
+    if (matched.toSet != names.toSet)
+      fail(
+        s"the GROUP BY (${matched.mkString(", ")}) must cover exactly the leading " +
+          s"select-list keys (${names.mkString(", ")})")
     // the MATERIALIZED column order is the user's SELECT order — `SELECT
     // b, a … GROUP BY a, b` materializes (b, a, …), never a silent
     // rewrite to GROUP BY order (same groups either way)
-    val keys = leading
+    val keys = names
+    val keyExprs = leadingEntries.collect { case (n, Some(e)) => n -> e }.toMap
     val aggs = selectList.drop(keys.size).map {
       case al: Alias =>
         requireBare(al.child, s"aggregate '${al.name}'")
@@ -213,7 +247,7 @@ object GraftSqlParser {
       case other =>
         fail(s"aggregate '${other.sql}' needs an explicit alias (… AS name)")
     }
-    CreateMaterializedViewCommand(mvIdent, factParts, keys, aggs, filterSql, dims)
+    CreateMaterializedViewCommand(mvIdent, factParts, keys, aggs, filterSql, dims, keyExprs)
   }
 
   /** Resolve `catalog.…ns.table` to a snapshot directory through the
@@ -252,7 +286,8 @@ case class CreateMaterializedViewCommand(
     keys: Seq[String],
     aggs: Seq[String],
     filterSql: Option[String],
-    dims: Seq[(Seq[String], Seq[String], Seq[String], String)])
+    dims: Seq[(Seq[String], Seq[String], Seq[String], String)],
+    keyExprs: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -268,7 +303,8 @@ case class CreateMaterializedViewCommand(
       keys,
       aggs,
       filterSql,
-      specs)))
+      specs,
+      keyExprs)))
   }
 }
 

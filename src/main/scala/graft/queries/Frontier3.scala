@@ -4149,7 +4149,99 @@ object Frontier3 {
       |       true AS incr1_ok, true AS atomic1_ok, true AS incr2_ok, true AS atomic2_ok
       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- q254: expression-keyed MV — the hourly rollup, interval-narrowed ----
+
+  /** THE canonical TSDB materialization: `CREATE MATERIALIZED VIEW hourly
+    * AS SELECT date_trunc('hour', ts) AS h, event_type, … GROUP BY 1, 2`
+    * — the group key is an EXPRESSION over the fact's timestamp, not a
+    * column, previously inexpressible without pre-materializing the
+    * bucket. Refresh stays change-priced through the derived key's
+    * MONOTONE INVERSE ([[graft.sources.Mv.monotoneInverse]]): an affected
+    * hour value bounds `ts` to `[h, h+1h)`, and the per-file micros
+    * stats interval decides admission — so window 1 (one INSERT into a
+    * brand-new hour) recomputes one group from that hour's file alone,
+    * and window 2 (a merge-on-read DELETE of the max day's `error` rows)
+    * recomputes only that day's touched hours. The proof is physical:
+    * the MIN day's file is corrupted BEFORE both refreshes and neither
+    * may open it — a refresh that fell back to scanning live files (or
+    * whose inverse mapped the interval wrong) dies loudly. The fixture
+    * writes TIMESTAMP_MICROS so `ts` carries INT64 footer stats (INT96,
+    * the session default for oracle dumps, records none — narrowing
+    * would degrade to keep-everything and the canary would catch it).
+    * At 100 TB: the hourly downsample of a day-partitioned fact refreshes
+    * at the changed hours' files, never the table — the #1 materialized
+    * view a time-series user creates.
+    */
+  def q254(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq254_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "hourly").toString
+    val src = ev.select(col("ts"), col("event_type"), micro.as("u"), to_date(col("ts")).as("day"))
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = s.conf.getOption(tsKey)
+    s.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try graft.sources.Sources.writeParquet(src.repartition(col("day")), dir, Seq("day"))
+    finally oldTs.fold(s.conf.unset(tsKey))(s.conf.set(tsKey, _))
+    graft.sources.Snapshots.commit(s, dir, Seq("day", "ts", "event_type"), Seq("event_type"))
+    val cat = s"snapq254_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"""CREATE MATERIALIZED VIEW $cat.hourly AS
+      |SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n_rows, sum(u) AS u_tot
+      |FROM $cat.ev GROUP BY 1, 2""".stripMargin).collect()
+    val keyxOk = graft.sources.Mv.definition(s, mvDir).keyExprs
+      .get("h").exists(_.contains("date_trunc"))
+    val Array(mn, mx) = src.agg(min(col("day")), max(col("day"))).head() match {
+      case r => Array(r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    }
+    // window 1: one INSERT into a brand-new hour of a brand-new day
+    s.sql(s"INSERT INTO $cat.ev VALUES (TIMESTAMP'1999-12-31 23:20:00', 'click', " +
+      "CAST(42 AS BIGINT), DATE'1999-12-31')").collect()
+    // the canary: the MIN day is untouched by both windows — corrupt it
+    // BEFORE the refreshes; an affected-hour interval that leaks past its
+    // own day's files dies here
+    val victim = graft.sources.Snapshots
+      .files(s, dir)
+      .find(_.startsWith(s"day=$mn/"))
+      .get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    val r1 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.hourly").head()
+    val incr1Ok = !r1.getBoolean(4) && r1.getLong(2) == 1L && r1.getLong(3) == 0L
+    // window 2: merge-on-read DELETE of the MAX day's error rows — the
+    // affected hours all lie inside that day's interval
+    s.sql(s"DELETE FROM $cat.ev WHERE day = DATE'$mx' AND event_type = 'error'").collect()
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.hourly").head()
+    val incr2Ok = !r2.getBoolean(4) && (r2.getLong(2) + r2.getLong(3)) > 0L
+    val freshOk = !s.sql(s"SELECT stale FROM $cat.hourly.mv").head().getBoolean(0)
+    s.sql(s"SELECT h, event_type, n_rows, u_tot FROM $cat.hourly ORDER BY h, event_type")
+      .withColumn("keyx_ok", lit(keyxOk))
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("fresh_ok", lit(freshOk))
+  }
+
+  val q254Sql: String =
+    """WITH s AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(ts AS DATE) AS day, event_type,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |b AS (SELECT max(day) AS mx FROM s),
+      |final AS (
+      |  SELECT h, event_type, u FROM s, b WHERE NOT (day = mx AND event_type = 'error')
+      |  UNION ALL SELECT TIMESTAMP '1999-12-31 23:00:00', 'click', CAST(42 AS BIGINT))
+      |SELECT h, event_type, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(u) AS BIGINT) AS u_tot,
+      |       true AS keyx_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
+      |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q254_hourly_expr_mv" -> (q254 _),
     "q253_left_join_mv" -> (q253 _),
     "q252_mv_null_groups" -> (q252 _),
     "q251_branch_check_gate" -> (q251 _),
@@ -4210,6 +4302,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q254_hourly_expr_mv" -> q254Sql,
     "q253_left_join_mv" -> q253Sql,
     "q252_mv_null_groups" -> q252Sql,
     "q251_branch_check_gate" -> q251Sql,

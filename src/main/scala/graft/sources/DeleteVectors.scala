@@ -1099,7 +1099,7 @@ object DeleteVectors {
     * prune tighter but the union is already a superset of every tuple's
     * true match set, the read path's pruning contract.
     */
-  private def nullBearingCandidates(
+  private[sources] def nullBearingCandidates(
       view: Snapshots.ManifestView,
       alive: Seq[String],
       nullCols: Seq[String],

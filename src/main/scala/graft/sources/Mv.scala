@@ -130,7 +130,19 @@ object Mv {
         * pre-upgrade definitions) — the watermark is only meaningful
         * against the chain that minted it.
         */
-      chainId: String = "")
+      chainId: String = "",
+      /** DERIVED group keys: key name → defining SQL over FACT columns
+        * (`h` → `date_trunc('hour', ts)`) — the time-bucketed rollup a
+        * TSDB actually materializes. Names absent from this map are bare
+        * source columns. [[prepared]] materializes each derived key as a
+        * column, so every downstream face (aggregation, affected-group
+        * projection, the null-safe apply) treats it exactly like a bare
+        * key; candidate NARROWING maps an affected key value back to a
+        * source-column interval when the expression has a recognized
+        * monotone inverse ([[monotoneInverse]]) and degrades to the
+        * other keys' constraints when it does not.
+        */
+      keyExprs: Map[String, String] = Map.empty)
 
   /** One refresh's outcome: the source window applied, how many groups
     * recomputed / deleted, and whether the feed downgraded to a full
@@ -207,6 +219,7 @@ object Mv {
     var filterSql: Option[String] = None
     var chainId: String = ""
     val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val keyExprs = scala.collection.mutable.Map.empty[String, String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
     val dims = scala.collection.mutable.ArrayBuffer.empty[MvDim]
     lines.tail.foreach { l =>
@@ -220,6 +233,14 @@ object Mv {
         case Array("key", v) => keys += dec(v)
         case Array("agg", v) => aggs += dec(v)
         case Array("chain", v) => chainId = dec(v)
+        case Array("keyx", rest) =>
+          rest.split(" ") match {
+            case Array(n, e) =>
+              val name = dec(n)
+              keys += name
+              keyExprs(name) = dec(e)
+            case _ => fail(s"unparseable derived-key line '$l'")
+          }
         case Array("dim", rest) =>
           // 4 fields = a pre-join-type definition (inner); 5 adds the
           // type; 6 adds the dim's chain identity ('-' = unknown)
@@ -247,7 +268,8 @@ object Mv {
       version.getOrElse(fail("no refreshed version recorded")),
       filterSql,
       dims.toSeq,
-      chainId)
+      chainId,
+      keyExprs.toMap)
   }
 
   /** Durably (re)write the definition. Unlike the epoch markers (whose
@@ -270,7 +292,8 @@ object Mv {
         s"dim ${enc(dim.root)} ${enc(dim.factCols.mkString(","))} " +
           s"${enc(dim.dimCols.mkString(","))} ${dim.version} ${enc(dim.joinType)} " +
           (if (dim.chain.isEmpty) "-" else enc(dim.chain))) ++
-      d.keyCols.map(k => s"key ${enc(k)}") ++
+      d.keyCols.map(k =>
+        d.keyExprs.get(k).fold(s"key ${enc(k)}")(e => s"keyx ${enc(k)} ${enc(e)}")) ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(next, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -306,7 +329,13 @@ object Mv {
       dim.dimCols.foldLeft(acc.join(broadcast(dimDf), cond, dim.joinType))((df, c) =>
         df.drop(dimDf(c)))
     }
-    d.filterSql.fold(joined)(f => joined.filter(expr(f)))
+    val filtered = d.filterSql.fold(joined)(f => joined.filter(expr(f)))
+    // derived keys materialize LAST (after joins and the filter, which
+    // reference source columns), so every downstream face — the
+    // aggregation, the affected-group projections, the null-safe
+    // semi-join — treats a derived key exactly like a bare column
+    d.keyCols.foldLeft(filtered)((df, k) =>
+      d.keyExprs.get(k).fold(df)(e => df.withColumn(k, expr(e))))
   }
 
   /** `SELECT keys…, aggs… GROUP BY keys…` over an already-[[prepared]]
@@ -337,9 +366,18 @@ object Mv {
       keyCols: Seq[String],
       aggExprs: Seq[String],
       filterSql: Option[String] = None,
-      dims: Seq[MvJoinSpec] = Seq.empty): Long = Snapshots.withTableLock(spark, mvRoot) {
+      dims: Seq[MvJoinSpec] = Seq.empty,
+      keyExprs: Map[String, String] = Map.empty): Long = Snapshots.withTableLock(spark, mvRoot) {
     require(keyCols.nonEmpty, "Mv.create: at least one group-key column")
     require(aggExprs.nonEmpty, "Mv.create: at least one aggregate expression")
+    keyExprs.keys.foreach { k =>
+      require(
+        keyCols.contains(k),
+        s"Mv.create: derived key '$k' is not among the declared group keys")
+      require(
+        k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"Mv.create: derived group key '$k' needs a simple identifier alias")
+    }
     val srcV = Snapshots.latestVersion(spark, sourceRoot)
     require(
       srcV > 0L,
@@ -373,7 +411,9 @@ object Mv {
         s"Mv.create: dim ${sp.dimRoot} needs matched fact/dim join column lists")
       require(
         sp.joinType == "inner" || sp.joinType == "left",
-        s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got '${sp.joinType}'")
+        s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got " +
+          s"'${sp.joinType}' — for a RIGHT join, swap the sides (make the other table the " +
+          "fact); FULL OUTER is not maintainable incrementally")
       MvDim(
         sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType,
         Snapshots.chainIdentity(spark, sp.dimRoot))
@@ -401,9 +441,14 @@ object Mv {
           "with an already-joined column — rename them in the dim table first")
       seen ++= visible
     }
+    keyExprs.keys.foreach(k =>
+      require(
+        !seen.contains(k),
+        s"Mv.create: derived group key '$k' collides with a column of the joined namespace — " +
+          "pick another alias"))
     val d = MvDef(
       sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty), dimDefs,
-      Snapshots.chainIdentity(spark, sourceRoot))
+      Snapshots.chainIdentity(spark, sourceRoot), keyExprs)
     keyOwners(spark, d) // refuses an unprovidable / ambiguous group key loudly
     val full = aggregatedFrom(prepared(spark, d, Snapshots.readSnapshot(spark, sourceRoot, srcV)), d)
     val cols = full.columns.toSeq
@@ -648,18 +693,226 @@ object Mv {
         .getOrElse(sys.error(s"dim ${dim.root} records no schema")) -- dim.dimCols.toSet)
     }
     d.keyCols.map { k =>
-      if (factCols.contains(k)) k -> Option.empty[MvDim]
-      else {
-        val owners = dimVisible.collect { case (dim, vis) if vis.contains(k) => dim }
-        require(
-          owners.size == 1,
-          s"group key '$k' must be provided by exactly one side of the join " +
-            s"(fact ${d.sourceRoot} + ${d.dims.size} dim(s)); found ${owners.size} providers — " +
-            "the schemas drifted since create")
-        k -> Some(owners.head)
+      d.keyExprs.get(k) match {
+        case Some(e) =>
+          // a DERIVED key is fact-owned by contract: its defining
+          // expression may reference only fact columns (v1 — a derived
+          // key over a dim attribute would need the trace expansion to
+          // invert through both the expression AND the dim)
+          val refs = referencedCols(spark, e)
+          require(
+            refs.nonEmpty,
+            s"derived group key '$k' ($e) references no column — a constant key cannot " +
+              "narrow and should be a literal in the reader, not a group key")
+          val bad = refs.filterNot(factCols.contains)
+          require(
+            bad.isEmpty,
+            s"derived group key '$k' ($e) must reference only fact columns of " +
+              s"${d.sourceRoot}; ${bad.mkString(", ")} are not (dim-side derived keys are " +
+              "not supported — group by the dim attribute directly)")
+          k -> Option.empty[MvDim]
+        case None =>
+          if (factCols.contains(k)) k -> Option.empty[MvDim]
+          else {
+            val owners = dimVisible.collect { case (dim, vis) if vis.contains(k) => dim }
+            require(
+              owners.size == 1,
+              s"group key '$k' must be provided by exactly one side of the join " +
+                s"(fact ${d.sourceRoot} + ${d.dims.size} dim(s)); found ${owners.size} providers — " +
+                "the schemas drifted since create")
+            k -> Some(owners.head)
+          }
       }
     }
   }
+
+  /** Bare column names referenced by an (unresolved) SQL expression —
+    * loud on a parse failure: the definition derives narrowing and
+    * validation from these, so it must never guess.
+    */
+  private def referencedCols(spark: SparkSession, exprSql: String): Seq[String] = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch {
+        case NonFatal(e) =>
+          sys.error(s"unparseable expression '$exprSql' in a materialized-view definition: " +
+            e.getMessage)
+      }
+    parsed
+      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
+      .distinct
+  }
+
+  /** Recognize a derived-key expression whose value maps back to an
+    * INTERVAL of one source column — the shapes that are monotone
+    * non-decreasing in their input, so an affected key value `v` bounds
+    * the source rows that can produce it:
+    *
+    *  - `date_trunc(unit, ts)` / `trunc(dt, unit)` → `[v, v + 1 unit)`
+    *  - `to_date(ts)` / `cast(ts as date)`          → `[v, v + 1 day)`
+    *  - `year(dt)`                                  → `[Jan 1 v, Jan 1 v+1)`
+    *  - `floor(x / k)` (k > 0 literal)              → `[v·k, (v+1)·k)`
+    *
+    * Returns (source column, lo-SQL, hi-SQL) where the SQL templates
+    * reference the affected value as `__v`; the hi bound is EXCLUSIVE
+    * but compared inclusively against file stats — over-inclusion is
+    * safe, exclusion needs proof. None for unrecognized shapes: the
+    * refresh then narrows on the OTHER keys only (honest degradation,
+    * the LEFT-dim precedent).
+    */
+  private[sources] def monotoneInverse(
+      spark: SparkSession,
+      exprSql: String): Option[(String, String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, Literal}
+    def bare(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    // date_trunc accepts many unit aliases; timestampadd takes the
+    // canonical set — normalize, dropping sub-second units (their
+    // truncation is below stats resolution anyway) and non-monotone ones
+    def unit(u: String): Option[String] = u.toLowerCase match {
+      case "year" | "yyyy" | "yy" => Some("YEAR")
+      case "quarter" => Some("QUARTER")
+      case "month" | "mon" | "mm" => Some("MONTH")
+      case "week" => Some("WEEK")
+      case "day" | "dd" => Some("DAY")
+      case "hour" => Some("HOUR")
+      case "minute" => Some("MINUTE")
+      case "second" => Some("SECOND")
+      case _ => None
+    }
+    def tsRange(u: String, c: String): (String, String, String) =
+      (c, "cast(__v as timestamp)", s"timestampadd($u, 1, cast(__v as timestamp))")
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch { case NonFatal(_) => return None }
+    parsed match {
+      // a plain RENAME (`day AS d`) is the identity mapping — monotone
+      // with the degenerate interval [v, v]
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some((a.nameParts.head, "__v", "__v"))
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
+          case ("date_trunc", Seq(u, a)) =>
+            for { un <- litStr(u).flatMap(unit); c <- bare(a) } yield tsRange(un, c)
+          case ("trunc", Seq(a, u)) =>
+            for {
+              un <- litStr(u).flatMap(unit).filter(Set("YEAR", "QUARTER", "MONTH", "WEEK"))
+              c <- bare(a)
+            } yield tsRange(un, c)
+          case ("to_date", Seq(a)) => bare(a).map(tsRange("DAY", _))
+          case ("year", Seq(a)) =>
+            bare(a).map(c =>
+              (
+                c,
+                "cast(make_date(cast(__v as int), 1, 1) as timestamp)",
+                "cast(make_date(cast(__v as int) + 1, 1, 1) as timestamp)"))
+          case ("floor", Seq(div: Divide)) =>
+            (bare(div.left), div.right) match {
+              case (Some(c), k: Literal)
+                  if k.value != null &&
+                    scala.util.Try(k.value.toString.toDouble).toOption.exists(_ > 0) =>
+                val kSql = k.sql
+                Some((c, s"__v * $kSql", s"(__v + 1) * $kSql"))
+              case _ => None
+            }
+          case _ => None
+        }
+      case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+        bare(c.child).map(tsRange("DAY", _))
+      case _ => None
+    }
+  }
+
+  /** Per-derived-key interval cap: above it one ENVELOPE interval
+    * replaces the per-value list (the file-admission test is driver-side
+    * per candidate file, so the probe list must stay small).
+    */
+  private val MaxIntervalProbes = 512
+
+  /** Render an interval bound into the STAT domain of the source column
+    * — timestamps compare as footer micros, dates as ISO strings,
+    * numerics numerically (the [[Snapshots.ColStat]] typ rules).
+    */
+  private def statBoundSql(boundSql: String, dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
+        s"cast(unix_micros(cast(($boundSql) as timestamp)) as string)"
+      case org.apache.spark.sql.types.DateType => s"cast(cast(($boundSql) as date) as string)"
+      case org.apache.spark.sql.types.FloatType => s"cast(cast(($boundSql) as double) as string)"
+      case _ => s"cast(($boundSql) as string)"
+    }
+
+  /** Narrow `candidates` through every DERIVED key with a recognized
+    * monotone inverse: each affected key value maps to a source-column
+    * interval, a file survives when its stats interval intersects ANY of
+    * them (or when a NULL-keyed affected group exists and the file can
+    * bear a NULL in the source column — a null-intolerant expression
+    * yields NULL exactly on NULL input). More affected values than
+    * [[MaxIntervalProbes]] collapse to one envelope interval; an
+    * unrecognized expression contributes no constraint (the other keys'
+    * narrowing still applies). A column with NO usable stats (e.g. an
+    * INT96 timestamp) admits every file — degradation, never exclusion.
+    */
+  private def derivedIntervalPrune(
+      spark: SparkSession,
+      d: MvDef,
+      srcView: Snapshots.ManifestView,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      srcPartCols: Seq[String],
+      affected: DataFrame,
+      alive: Seq[String],
+      candidates: Seq[String]): Seq[String] =
+    d.keyExprs.foldLeft(candidates) { case (cands, (k, exprSql)) =>
+      if (cands.isEmpty) cands
+      else
+        monotoneInverse(spark, exprSql) match {
+          case None => cands // unrecognized shape: no constraint from this key
+          case Some((srcCol, loSql, hiSql)) =>
+            srcSchema.fields.find(_.name == srcCol) match {
+              case None => cands // schema drifted; the evolution gate refuses elsewhere
+              case Some(f) =>
+                val vals = affected.select(col(k).as("__v")).distinct()
+                val probes = vals
+                  .where(col("__v").isNotNull)
+                  .selectExpr(
+                    statBoundSql(loSql, f.dataType) + " AS lo",
+                    statBoundSql(hiSql, f.dataType) + " AS hi")
+                val collected = probes.limit(MaxIntervalProbes + 1).collect()
+                val intervals: Seq[(String, String)] =
+                  if (collected.length > MaxIntervalProbes)
+                    probes
+                      .agg(
+                        org.apache.spark.sql.functions.min(col("lo")).as("lo"),
+                        org.apache.spark.sql.functions.max(col("hi")).as("hi"))
+                      .collect()
+                      .toSeq
+                      .map(r => (r.getString(0), r.getString(1)))
+                  else collected.toSeq.map(r => (r.getString(0), r.getString(1)))
+                val anyNull = !vals.where(col("__v").isNull).isEmpty
+                val nullable: Set[String] =
+                  if (anyNull)
+                    DeleteVectors
+                      .nullBearingCandidates(srcView, alive, Seq(srcCol), srcPartCols)
+                      .toSet
+                  else Set.empty
+                cands.filter { rel =>
+                  val st = srcView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+                  nullable.contains(rel) ||
+                  intervals.exists { case (lo, hi) =>
+                    Snapshots.fileMatchesRanges(st, Seq((srcCol, Option(lo), Option(hi))))
+                  }
+                }
+            }
+        }
+    }
 
   /** The row-level change feed of a snapshot table over `(fromV, toV]` —
     * reads only the versions' CHANGED files; raises when the window is
@@ -848,14 +1101,24 @@ object Mv {
     val srcSchema = srcView.schema.getOrElse(
       sys.error(s"source ${d.sourceRoot} records no schema — commit with statsCols first"))
     val owners = keyOwners(spark, d)
+    val mvSchema = Snapshots
+      .manifestView(spark, mvRoot)
+      .schema
+      .getOrElse(sys.error(s"materialized view $mvRoot records no schema"))
     // key fields typed in the JOINED domain: the fact schema for fact
-    // keys, the owning dim's schema for dim-provided keys
+    // keys, the owning dim's schema for dim-provided keys, the VIEW's own
+    // schema for derived keys (their type is the expression's, which the
+    // create-time aggregation pinned into the MV table)
     val dimSchemas: Map[String, org.apache.spark.sql.types.StructType] =
       d.dims.map(dim =>
         dim.root -> Snapshots
           .schemaOf(spark, dim.root)
           .getOrElse(sys.error(s"dim ${dim.root} records no schema"))).toMap
     val keyFields: Seq[StructField] = owners.map {
+      case (k, None) if d.keyExprs.contains(k) =>
+        mvSchema.fields
+          .find(_.name == k)
+          .getOrElse(sys.error(s"derived group key '$k' is not a column of the view $mvRoot"))
       case (k, None) =>
         srcSchema.fields
           .find(_.name == k)
@@ -879,7 +1142,9 @@ object Mv {
     // the same stats/bloom/partition narrowing fact keys get: a day's
     // change into a fact clustered by the join key scans the affected
     // keys' files, never the table.
-    val factKeyCols = owners.collect { case (k, None) => k }
+    // derived keys are fact-owned but are NOT fact columns — they narrow
+    // through their monotone inverse (below), never through the trace
+    val factKeyCols = owners.collect { case (k, None) if !d.keyExprs.contains(k) => k }
     val byDim: Seq[(MvDim, Seq[String])] = owners
       .collect { case (k, Some(dim)) => (dim, k) }
       .groupBy(_._1.root)
@@ -935,7 +1200,7 @@ object Mv {
     // everything else narrows on stats+bloom as usual. No trace columns
     // at all (every key sat on an unconstrained left dim) is the
     // documented degenerate: every live file is a candidate.
-    val candidates =
+    val tupleCandidates =
       if (traceCols.isEmpty) alive
       else {
         val traceFields = traceCols.map(c =>
@@ -953,10 +1218,14 @@ object Mv {
             srcPartCols, nullSafe = true)
         } finally traceTuples.unpersist()
       }
-    val mvSchema = Snapshots
-      .manifestView(spark, mvRoot)
-      .schema
-      .getOrElse(sys.error(s"materialized view $mvRoot records no schema"))
+    // derived keys narrow ON TOP of the tuple narrowing: an affected
+    // hour bounds the source timestamp, and the per-file stats interval
+    // decides admission — a day-clustered 100 TB fact recomputes an
+    // hour's groups from that hour's files
+    val candidates =
+      if (d.keyExprs.isEmpty) tupleCandidates
+      else derivedIntervalPrune(
+        spark, d, srcView, srcSchema, srcPartCols, affectedCast, alive, tupleCandidates)
     val recomputed = (if (candidates.isEmpty) {
                         // every affected group's last row vanished: nothing to recompute
                         spark.createDataFrame(

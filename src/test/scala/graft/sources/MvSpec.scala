@@ -883,6 +883,206 @@ class MvSpec extends SparkSpec {
     assert(mvRows(mv) == recomputed(src))
   }
 
+  // ---- derived (expression-valued) group keys ---------------------------
+
+  /** Timestamp-keyed source for the time-bucketed rollup laws: two days,
+    * distinct hours, written TIMESTAMP_MICROS so `ts` carries usable
+    * footer stats (INT96 — the session default for oracle dumps — records
+    * none, which would demote interval narrowing to keep-everything).
+    */
+  private def tsSourceTable(dir: String): Unit = {
+    val rows = Seq(
+      ("2024-03-01 00:10:00", "a", 1L),
+      ("2024-03-01 00:40:00", "b", 2L),
+      ("2024-03-01 05:15:00", "a", 3L),
+      ("2024-03-02 07:05:00", "a", 4L),
+      ("2024-03-02 07:55:00", "b", 5L),
+      ("2024-03-02 09:30:00", "c", 6L)).toDF("tss", "cat", "v")
+      .select(
+        to_timestamp(col("tss")).as("ts"),
+        col("cat"),
+        col("v"),
+        to_date(col("tss")).as("day"))
+    withMicros(Sources.writeParquet(rows.repartition(col("day")), dir, Seq("day")))
+    Snapshots.commit(spark, dir, Seq("day", "ts", "cat"), Seq("cat"))
+  }
+
+  private def withMicros[T](body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body
+    finally old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+  }
+
+  private def hourRows(root: String): Set[(java.sql.Timestamp, String, Long, Long)] =
+    Snapshots
+      .readSnapshot(spark, root)
+      .select($"h", $"cat", $"n", $"sv")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def recomputedHourly(srcRoot: String): Set[(java.sql.Timestamp, String, Long, Long)] =
+    Snapshots
+      .readSnapshot(spark, srcRoot)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"cat")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  /** Corrupt one committed file for the duration of `body`, restoring the
+    * original bytes afterwards so oracle recomputes can still read the
+    * table — the canary proves `body` never OPENED the file.
+    */
+  private def withCorrupted[T](root: String, relPrefix: String)(body: => T): T = {
+    val victim = Snapshots.files(spark, root).find(_.startsWith(relPrefix)).get
+    val p = Snapshots.resolve(spark, root, victim)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.bak")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, bak, false, spark.sparkContext.hadoopConfiguration)
+    val crc = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
+    val out = fs.create(p, true)
+    try out.write("not parquet".getBytes("UTF-8"))
+    finally out.close()
+    try body
+    finally {
+      fs.delete(p, false)
+      fs.rename(bak, p)
+    }
+  }
+
+  test("derived keys: the hourly rollup creates, refreshes change-priced, and narrows by INTERVAL") {
+    val base = Files.createTempDirectory("mv_hourly").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    tsSourceTable(src)
+    Mv.create(
+      spark, src, mv, Seq("h", "cat"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("h" -> "date_trunc('hour', ts)"))
+    assert(hourRows(mv) == recomputedHourly(src), "create ≡ recompute for derived keys")
+    val d = Mv.definition(spark, mv)
+    assert(d.keyExprs == Map("h" -> "date_trunc('hour', ts)"), "the expression must round-trip")
+    // window 1: one new row in 2024-03-02's 07 hour — the affected hour
+    // bounds ts to [07:00, 08:00) of 03-02, and the 03-01 file's micros
+    // interval provably misses it: the canary proves the recompute never
+    // opens day=2024-03-01 even though `h` is no fact COLUMN at all
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("2024-03-02 07:20:00", "c", 9L)).toDF("tss", "cat", "v")
+        .select(to_timestamp(col("tss")).as("ts"), col("cat"), col("v"),
+          to_date(col("tss")).as("day")),
+      Seq("ts", "cat"))
+    val r1 = withCorrupted(src, "day=2024-03-01/") { Mv.refresh(spark, mv) }
+    assert(!r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L, r1.toString)
+    assert(hourRows(mv) == recomputedHourly(src))
+    // window 2: merge-on-read delete of 03-01's 05 hour — the group
+    // vanishes; this time the OTHER day's file is the canary
+    DeleteVectors.deleteWhere(
+      spark, src,
+      $"ts" >= to_timestamp(lit("2024-03-01 05:00:00")) &&
+        $"ts" < to_timestamp(lit("2024-03-01 06:00:00")))
+    val r2 = withCorrupted(src, "day=2024-03-02/") { Mv.refresh(spark, mv) }
+    assert(!r2.fullResync && r2.groupsRecomputed == 0L && r2.groupsDeleted == 1L, r2.toString)
+    assert(hourRows(mv) == recomputedHourly(src))
+  }
+
+  test("derived keys: an unrecognized expression degrades narrowing, never correctness") {
+    val base = Files.createTempDirectory("mv_opaque").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    tsSourceTable(src)
+    // upper(cat) has no recorded monotone inverse — refresh must still be
+    // exact (the affected-groups math is narrowing-independent)
+    Mv.create(
+      spark, src, mv, Seq("uc"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("uc" -> "upper(cat)"))
+    def expect(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, src).groupBy(upper($"cat").as("uc"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect())
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("2024-03-02 11:00:00", "zz", 7L)).toDF("tss", "cat", "v")
+        .select(to_timestamp(col("tss")).as("ts"), col("cat"), col("v"),
+          to_date(col("tss")).as("day")),
+      Seq("ts", "cat"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L)
+    assert(got() == expect())
+  }
+
+  test("derived keys: refusals — dim-side references and namespace collisions") {
+    val (fact, dim, mv) = starFixture("mv_dkrefuse")
+    // a derived key over a DIM attribute is v1-unsupported: the inverse
+    // cannot thread the join
+    val e = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("g2"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
+        keyExprs = Map("g2" -> "upper(grp)"))
+    }
+    assert(e.getMessage.contains("only fact columns"), e.getMessage)
+    // a derived key named like an existing column would shadow it
+    val e2 = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("v"), Seq("count(*) AS n"),
+        keyExprs = Map("v" -> "upper(cat)"))
+    }
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
+  test("derived keys through SQL DDL: ordinal, alias and repeated-expression GROUP BY all parse") {
+    val base = Files.createTempDirectory("mv_ddlhourly").toString
+    tsSourceTable(s"$base/src")
+    val cat = s"mvddl_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.h1 AS SELECT date_trunc('hour', ts) AS h, " +
+      s"count(*) AS n FROM $cat.src GROUP BY 1").collect()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.h2 AS SELECT date_trunc('hour', ts) AS h, " +
+      s"count(*) AS n FROM $cat.src GROUP BY h").collect()
+    spark.sql(s"CREATE MATERIALIZED VIEW $cat.h3 AS SELECT date_trunc('hour', ts) AS h, " +
+      s"count(*) AS n FROM $cat.src GROUP BY date_trunc('hour', ts)").collect()
+    Seq("h1", "h2", "h3").foreach { v =>
+      val d = Mv.definition(spark, s"$base/$v")
+      assert(d.keyCols == Seq("h") && d.keyExprs.contains("h"), s"$v: $d")
+    }
+    // all three materialize identical content
+    val rows = Seq("h1", "h2", "h3").map(v =>
+      spark.sql(s"SELECT h, n FROM $cat.$v ORDER BY h").collect().map(_.toString).toSeq)
+    assert(rows.distinct.size == 1)
+    // an unaliased expression key refuses with the shape message
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE MATERIALIZED VIEW $cat.bad AS SELECT date_trunc('hour', ts), " +
+        s"count(*) AS n FROM $cat.src GROUP BY 1").collect()
+    }
+    assert(e.getMessage.contains("bare columns or aliased expressions"), e.getMessage)
+  }
+
+  test("monotoneInverse recognizes the documented shapes and only them") {
+    def inv(e: String) = Mv.monotoneInverse(spark, e)
+    assert(inv("date_trunc('hour', ts)").exists(_._1 == "ts"))
+    assert(inv("date_trunc('DD', ts)").exists(_._1 == "ts"))
+    assert(inv("to_date(ts)").exists(_._1 == "ts"))
+    assert(inv("cast(ts as date)").exists(_._1 == "ts"))
+    assert(inv("year(ts)").exists(_._1 == "ts"))
+    assert(inv("trunc(dt, 'month')").exists(_._1 == "dt"))
+    assert(inv("floor(x / 10)").exists(_._1 == "x"))
+    assert(inv("day").exists(_._1 == "day"), "a rename is the identity mapping")
+    assert(inv("floor(x / -10)").isEmpty, "a negative divisor is DEcreasing")
+    assert(inv("floor(10 / x)").isEmpty)
+    assert(inv("month(ts)").isEmpty, "month is not monotone across years")
+    assert(inv("upper(cat)").isEmpty)
+    assert(inv("date_trunc(fmt, ts)").isEmpty, "a non-literal unit cannot invert")
+  }
+
   test("an out-of-band drop+recreate of the SOURCE forces a full resync, never silent staleness") {
     val (src, mv) = fixture("mv_chainsrc")
     Mv.create(spark, src, mv, Seq("day"), aggs)
