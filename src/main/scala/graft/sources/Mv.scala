@@ -142,7 +142,19 @@ object Mv {
         * monotone inverse ([[monotoneInverse]]) and degrades to the
         * other keys' constraints when it does not.
         */
-      keyExprs: Map[String, String] = Map.empty)
+      keyExprs: Map[String, String] = Map.empty,
+      /** The SCHEMA-EVOLUTION contract: every column the definition
+        * REFERENCES (keys, derived-key inputs, aggregate and filter
+        * inputs, both sides of every dim join), pinned with its owner
+        * ("" = the fact, else the dim root) and its create-time type DDL.
+        * Refresh verifies these against the CURRENT schemas: an
+        * unreferenced ADD/DROP/widen is a no-op by construction (the
+        * column is simply not here), while dropping or retyping a
+        * REFERENCED column refuses loudly — the recorded agg SQL would
+        * otherwise re-resolve silently and change the view's result type
+        * mid-history. Empty on pre-upgrade definitions (no check).
+        */
+      refTypes: Seq[(String, String, String)] = Seq.empty)
 
   /** One refresh's outcome: the source window applied, how many groups
     * recomputed / deleted, and whether the feed downgraded to a full
@@ -222,6 +234,7 @@ object Mv {
     val keyExprs = scala.collection.mutable.Map.empty[String, String]
     val aggs = scala.collection.mutable.ArrayBuffer.empty[String]
     val dims = scala.collection.mutable.ArrayBuffer.empty[MvDim]
+    val refTypes = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     lines.tail.foreach { l =>
       l.split(" ", 2) match {
         case Array("source", v) => source = Some(dec(v))
@@ -240,6 +253,11 @@ object Mv {
               keys += name
               keyExprs(name) = dec(e)
             case _ => fail(s"unparseable derived-key line '$l'")
+          }
+        case Array("reft", rest) =>
+          rest.split(" ") match {
+            case Array(o, c, t) => refTypes += ((if (o == "-") "" else dec(o), dec(c), dec(t)))
+            case _ => fail(s"unparseable referenced-type line '$l'")
           }
         case Array("dim", rest) =>
           // 4 fields = a pre-join-type definition (inner); 5 adds the
@@ -269,7 +287,8 @@ object Mv {
       filterSql,
       dims.toSeq,
       chainId,
-      keyExprs.toMap)
+      keyExprs.toMap,
+      refTypes.toSeq)
   }
 
   /** Durably (re)write the definition. Unlike the epoch markers (whose
@@ -294,6 +313,9 @@ object Mv {
           (if (dim.chain.isEmpty) "-" else enc(dim.chain))) ++
       d.keyCols.map(k =>
         d.keyExprs.get(k).fold(s"key ${enc(k)}")(e => s"keyx ${enc(k)} ${enc(e)}")) ++
+      d.refTypes.map { case (o, c, t) =>
+        s"reft ${if (o.isEmpty) "-" else enc(o)} ${enc(c)} ${enc(t)}"
+      } ++
       d.aggExprs.map(a => s"agg ${enc(a)}")).mkString("", "\n", "\n")
     val out = fs.create(next, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -446,10 +468,11 @@ object Mv {
         !seen.contains(k),
         s"Mv.create: derived group key '$k' collides with a column of the joined namespace — " +
           "pick another alias"))
-    val d = MvDef(
+    val d0 = MvDef(
       sourceRoot, keyCols, aggExprs, srcV, filterSql.map(_.trim).filter(_.nonEmpty), dimDefs,
       Snapshots.chainIdentity(spark, sourceRoot), keyExprs)
-    keyOwners(spark, d) // refuses an unprovidable / ambiguous group key loudly
+    keyOwners(spark, d0) // refuses an unprovidable / ambiguous group key loudly
+    val d = d0.copy(refTypes = referencedTypes(spark, d0))
     val full = aggregatedFrom(prepared(spark, d, Snapshots.readSnapshot(spark, sourceRoot, srcV)), d)
     val cols = full.columns.toSeq
     require(
@@ -622,6 +645,10 @@ object Mv {
       val dimChainMoved = d0.dims.zip(dimsNow).exists { case (o, n) =>
         o.chain.nonEmpty && o.chain != n.chain
       }
+      // the schema-evolution gate — AFTER the chain check resolved what
+      // "current schema" even means, BEFORE any window math: a refresh
+      // must never re-resolve the recorded SQL against a drifted type
+      checkReferencedTypes(spark, d0, mvRoot)
       val dimsMoved = dimsNow.map(_.version) != d0.dims.map(_.version)
       val d = d0.copy(dims = dimsNow, chainId = srcChain)
       val identityMoved = srcChainMoved || dimChainMoved
@@ -741,6 +768,89 @@ object Mv {
     parsed
       .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name }
       .distinct
+  }
+
+  /** Pin the TYPE of every column the definition references — see
+    * [[MvDef.refTypes]]. Names are attributed to the fact first, then to
+    * the single dim whose visible columns carry them; names resolvable
+    * nowhere are skipped (the create-time aggregation refuses those
+    * loudly on its own).
+    */
+  private def referencedTypes(
+      spark: SparkSession,
+      d: MvDef): Seq[(String, String, String)] = {
+    val factSchema = Snapshots
+      .schemaOf(spark, d.sourceRoot)
+      .getOrElse(sys.error(s"${d.sourceRoot} records no schema"))
+    val dimSchemas: Seq[(MvDim, org.apache.spark.sql.types.StructType)] = d.dims.map(dim =>
+      dim -> Snapshots
+        .schemaOf(spark, dim.root)
+        .getOrElse(sys.error(s"dim ${dim.root} records no schema")))
+    val named = (d.keyCols.filterNot(d.keyExprs.contains) ++
+      d.keyExprs.values.flatMap(referencedCols(spark, _)) ++
+      d.aggExprs.flatMap(referencedCols(spark, _)) ++
+      d.filterSql.toSeq.flatMap(referencedCols(spark, _))).distinct
+    val resolved = named.flatMap { n =>
+      factSchema.fields.find(_.name == n) match {
+        case Some(f) => Some(("", n, f.dataType.sql))
+        case None =>
+          dimSchemas.collectFirst {
+            case (dim, sch) if !dim.dimCols.contains(n) && sch.fields.exists(_.name == n) =>
+              (dim.root, n, sch.fields.find(_.name == n).get.dataType.sql)
+          }
+      }
+    }
+    val joinRefs = d.dims.flatMap { dim =>
+      val dimSchema = dimSchemas.find(_._1.root == dim.root).get._2
+      dim.factCols.flatMap(c =>
+        factSchema.fields.find(_.name == c).map(f => ("", c, f.dataType.sql))) ++
+        dim.dimCols.flatMap(c =>
+          dimSchema.fields.find(_.name == c).map(f => (dim.root, c, f.dataType.sql)))
+    }
+    (resolved ++ joinRefs).distinct
+  }
+
+  /** Refresh's schema-evolution gate: every recorded referenced column
+    * must still exist with its recorded type. Unreferenced evolution is
+    * a no-op by construction; referenced evolution refuses LOUDLY — the
+    * recorded agg/key/filter SQL re-resolves fresh each refresh, so a
+    * silent widening would change the view's result type mid-history
+    * (and a silent drop would change its meaning).
+    */
+  private def checkReferencedTypes(spark: SparkSession, d: MvDef, mvRoot: String): Unit = {
+    if (d.refTypes.isEmpty) return // pre-upgrade definition: no contract recorded
+    lazy val factSchema = Snapshots
+      .schemaOf(spark, d.sourceRoot)
+      .getOrElse(sys.error(s"${d.sourceRoot} records no schema"))
+    val dimSchemaByRoot = d.dims.map(dim =>
+      dim.root -> Snapshots
+        .schemaOf(spark, dim.root)
+        .getOrElse(sys.error(s"dim ${dim.root} records no schema"))).toMap
+    d.refTypes.foreach { case (owner, c, typ) =>
+      val (schema, what) =
+        if (owner.isEmpty) (factSchema, s"fact ${d.sourceRoot}")
+        else
+          (
+            dimSchemaByRoot.getOrElse(
+              owner,
+              sys.error(s"materialized view $mvRoot records a referenced type for '$owner', " +
+                "which is not among its dims — the definition is inconsistent; recreate the view")),
+            s"dim $owner")
+      schema.fields.find(_.name == c) match {
+        case None =>
+          sys.error(
+            s"materialized view $mvRoot: column '$c' of $what (recorded type $typ) is " +
+              "referenced by the view but no longer exists — refusing to refresh; recreate " +
+              "the view against the evolved schema")
+        case Some(f) if f.dataType.sql != typ =>
+          sys.error(
+            s"materialized view $mvRoot: referenced column '$c' of $what changed type " +
+              s"$typ -> ${f.dataType.sql} since the view was created — refusing to refresh " +
+              "(the recorded aggregates would silently change result type mid-history); " +
+              "recreate the view to adopt the new type")
+        case _ => ()
+      }
+    }
   }
 
   /** Recognize a derived-key expression whose value maps back to an
