@@ -4240,7 +4240,72 @@ object Frontier3 {
       |       true AS keyx_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
       |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- q255: MV refresh across source schema evolution ---------------------
+
+  /** The pinned MV × schema-evolution contract ([[graft.sources.Mv]]'s
+    * `refTypes`): an `ALTER TABLE ADD COLUMNS` lands BETWEEN two refresh
+    * windows and the view — which never references the new column — must
+    * not notice: both windows refresh incrementally off the feed and the
+    * final hash matches a DuckDB recompute that never heard of the
+    * column. The inverse direction refuses: a sibling view whose SUM
+    * references an INT column sees `ALTER COLUMN ... TYPE BIGINT` and
+    * its refresh refuses LOUDLY naming the column and both types
+    * (`widen_refused`) — the recorded agg SQL re-resolves fresh each
+    * refresh, so a silent widening would change the view's result type
+    * mid-history with no record of when. At 100 TB: tables evolve
+    * constantly under living views; "unreferenced evolution is free,
+    * referenced evolution is a conscious rebuild" is the only contract
+    * that never silently corrupts a dashboard.
+    */
+  def q255(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq255", Seq("day"))
+    val base = new org.apache.hadoop.fs.Path(dir).getParent
+    val mvDir = new org.apache.hadoop.fs.Path(base, "daily").toString
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.daily AS SELECT day, count(*) AS n_rows, " +
+      s"sum(n) AS n_tot FROM $cat.ev GROUP BY day").collect()
+    // window 1, pre-evolution
+    s.sql(s"INSERT INTO $cat.ev VALUES ('click', CAST(7 AS BIGINT), CAST(42 AS BIGINT), " +
+      "DATE'1999-12-31')").collect()
+    val r1 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.daily").head()
+    val incr1Ok = !r1.getBoolean(4) && r1.getLong(2) == 1L && r1.getLong(3) == 0L
+    // the evolution: a column the view never references
+    s.sql(s"ALTER TABLE $cat.ev ADD COLUMNS (extra BIGINT)")
+    // window 2, post-evolution — the new column rides the inserted row
+    s.sql(s"INSERT INTO $cat.ev VALUES ('view', CAST(9 AS BIGINT), CAST(43 AS BIGINT), " +
+      "DATE'1999-12-30', CAST(8 AS BIGINT))").collect()
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.daily").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 1L && r2.getLong(3) == 0L
+    // the refusal direction: a view whose agg references an INT column
+    // must refuse after the column widens
+    s.sql(s"CREATE TABLE $cat.w (event_type STRING, u INT)")
+    s.sql(s"INSERT INTO $cat.w VALUES ('click', 1), ('view', 2)").collect()
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.wmv AS SELECT event_type, sum(u) AS su " +
+      s"FROM $cat.w GROUP BY event_type").collect()
+    s.sql(s"ALTER TABLE $cat.w ALTER COLUMN u TYPE BIGINT")
+    val widenRefused =
+      try { s.sql(s"REFRESH MATERIALIZED VIEW $cat.wmv").collect(); false }
+      catch { case e: Exception => e.getMessage.contains("changed type") &&
+        e.getMessage.contains("'u'") }
+    s.sql(s"SELECT day, n_rows, n_tot FROM $cat.daily ORDER BY day")
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("widen_refused", lit(widenRefused))
+  }
+
+  val q255Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |final AS (
+      |  SELECT day, n FROM s
+      |  UNION ALL SELECT DATE'1999-12-31', CAST(7 AS BIGINT)
+      |  UNION ALL SELECT DATE'1999-12-30', CAST(9 AS BIGINT))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       true AS incr1_ok, true AS incr2_ok, true AS widen_refused
+      |FROM final GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q255_mv_schema_evolution" -> (q255 _),
     "q254_hourly_expr_mv" -> (q254 _),
     "q253_left_join_mv" -> (q253 _),
     "q252_mv_null_groups" -> (q252 _),
@@ -4302,6 +4367,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q255_mv_schema_evolution" -> q255Sql,
     "q254_hourly_expr_mv" -> q254Sql,
     "q253_left_join_mv" -> q253Sql,
     "q252_mv_null_groups" -> q252Sql,

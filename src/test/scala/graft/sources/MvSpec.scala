@@ -700,6 +700,84 @@ class MvSpec extends SparkSpec {
     assert(r2.groupsRecomputed == 0L && r2.groupsDeleted == 0L && !r2.fullResync)
   }
 
+  test("TWO dims BOTH moved in one window: the dim-delta derivations UNION, exact, canary held") {
+    val base = Files.createTempDirectory("mv_bothdims").toString
+    val fact = s"$base/fact"
+    val dimA = s"$base/dimA"
+    val dimB = s"$base/dimB"
+    val mv = s"$base/mv"
+    val f = Seq(
+      ("a", "r1", 1L, 10L),
+      ("a", "r2", 2L, 11L),
+      ("b", "r1", 3L, 20L),
+      ("b", "r3", 4L, 30L),
+      ("c", "r1", 5L, 50L)) // cat=c: untouched by EVERYTHING — the canary
+      .toDF("cat", "reg", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "reg", "id"))
+    Sources.writeParquet(
+      Seq(("a", "g1"), ("b", "g2"), ("c", "g3")).toDF("ck", "grp").repartition(1), dimA)
+    Snapshots.commit(spark, dimA, Seq("ck"))
+    Sources.writeParquet(Seq(("r1", "z1"), ("r2", "z2")).toDF("rk", "zone").repartition(1), dimB)
+    Snapshots.commit(spark, dimB, Seq("rk"))
+    Mv.create(
+      spark, fact, mv, Seq("grp", "zone"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(
+        Mv.MvJoinSpec(dimA, Seq("cat"), Seq("ck")),
+        Mv.MvJoinSpec(dimB, Seq("reg"), Seq("rk"), joinType = "left")))
+    def got(): Set[(String, Option[String], Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSet
+    assert(got() == Set(
+      ("g1", Some("z1"), 1L, 10L), ("g1", Some("z2"), 1L, 11L),
+      ("g2", Some("z1"), 1L, 20L), ("g2", None, 1L, 30L),
+      ("g3", Some("z1"), 1L, 50L)))
+    // ONE window where a fact row changes AND BOTH dims move — the
+    // r15 law pinned one-of-two; this exercises the derivation UNION
+    DeleteVectors.upsert(
+      spark, fact, Seq(("a", "r1", 9L, 12L)).toDF("cat", "reg", "id", "v"), Seq("id"))
+    DeleteVectors.upsert(spark, dimA, Seq(("b", "g9")).toDF("ck", "grp"), Seq("ck"))
+    DeleteVectors.upsert(spark, dimB, Seq(("r3", "z3")).toDF("rk", "zone"), Seq("rk"))
+    // dimA's delta names cat=b, dimB's names reg=r3 (whose fact rows are
+    // cat=b), the fact feed names cat=a — cat=c is reachable by NOTHING,
+    // so the recompute must never open its file
+    val r = withCorrupted(fact, "cat=c/") { Mv.refresh(spark, mv) }
+    assert(!r.fullResync, r.toString)
+    assert(r.groupsRecomputed == 3L && r.groupsDeleted == 2L, r.toString)
+    assert(got() == Set(
+      ("g1", Some("z1"), 2L, 22L), ("g1", Some("z2"), 1L, 11L),
+      ("g9", Some("z1"), 1L, 20L), ("g9", Some("z3"), 1L, 30L),
+      ("g3", Some("z1"), 1L, 50L)))
+    val r2 = Mv.refresh(spark, mv)
+    assert(r2.groupsRecomputed == 0L && r2.groupsDeleted == 0L && !r2.fullResync)
+  }
+
+  test("cascade over a JOIN MV: the downstream rides the upstream's commits; a dim move propagates") {
+    val (fact, dim, mv1) = starFixture("mv_joincascade")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    val mv2 = s"$base/mv2"
+    Mv.create(
+      spark, fact, mv1, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    // the downstream consumes the upstream VIEW as its fact — its change
+    // feed is the upstream's own MoR refresh commits
+    Mv.create(spark, mv1, mv2, Seq("n"), Seq("count(*) AS groups_with_n", "sum(sv) AS sv_tot"))
+    def got2(): Set[(Long, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2() == Set((3L, 1L, 41L), (2L, 1L, 61L), (1L, 1L, 40L)))
+    // a DIM move re-maps c's rows into g1: the upstream refreshes via the
+    // dim-delta path, and its commit is an ordinary version the
+    // downstream prices incrementally
+    DeleteVectors.upsert(spark, dim, Seq(("c", "g1", 5L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val r1 = Mv.refresh(spark, mv1)
+    assert(!r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 1L, r1.toString)
+    val r2 = Mv.refresh(spark, mv2)
+    assert(!r2.fullResync, "the downstream must ride the upstream's feed, not resync")
+    assert(r2.groupsRecomputed == 1L && r2.groupsDeleted == 2L, r2.toString)
+    assert(got2() == Set((5L, 1L, 102L), (1L, 1L, 40L)))
+  }
+
   test("join-MV create refuses column collisions and unprovidable group keys") {
     val (fact, dim, mv) = starFixture("mv_refusejoin")
     val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
@@ -1081,6 +1159,87 @@ class MvSpec extends SparkSpec {
     assert(inv("month(ts)").isEmpty, "month is not monotone across years")
     assert(inv("upper(cat)").isEmpty)
     assert(inv("date_trunc(fmt, ts)").isEmpty, "a non-literal unit cannot invert")
+  }
+
+  // ---- source schema evolution -------------------------------------------
+
+  test("schema evolution: UNREFERENCED add/drop on the fact is a no-op for the view") {
+    val base = Files.createTempDirectory("mv_evolve").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    sourceTable(src)
+    Mv.create(spark, src, mv, Seq("day"), aggs)
+    assert(Mv.definition(spark, mv).refTypes.nonEmpty, "create must record the contract")
+    val cat = s"mvevo_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    // the view references day (key) and v (aggs) — `extra` is invisible
+    spark.sql(s"ALTER TABLE $cat.src ADD COLUMNS (extra BIGINT)")
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("d05", "q", 50L, 7L)).toDF("day", "cat", "v", "extra"),
+      Seq("day", "cat"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+    assert(mvRows(mv) == recomputed(src))
+    // dropping the unreferenced column is equally invisible
+    spark.sql(s"ALTER TABLE $cat.src DROP COLUMN extra")
+    DeleteVectors.upsert(spark, src, Seq(("d05", "q", 51L)).toDF("day", "cat", "v"), Seq("day", "cat"))
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 1L, r2.toString)
+    assert(mvRows(mv) == recomputed(src))
+  }
+
+  test("schema evolution: widening or dropping a REFERENCED column refuses loudly at refresh") {
+    val base = Files.createTempDirectory("mv_widen").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val rows = Seq(("d01", "a", 10), ("d02", "b", 20)).toDF("day", "cat", "v") // v: INT
+    Sources.writeParquet(rows.repartition(1), src, partitionCols = Seq("day"))
+    Snapshots.commit(spark, src, Seq("day", "cat"))
+    Mv.create(spark, src, mv, Seq("day"), Seq("count(*) AS n", "sum(v) AS sv"))
+    val cat = s"mvwid_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"ALTER TABLE $cat.src ALTER COLUMN v TYPE BIGINT")
+    val e = intercept[RuntimeException] { Mv.refresh(spark, mv) }
+    assert(
+      e.getMessage.contains("changed type") && e.getMessage.contains("'v'") &&
+        e.getMessage.contains("recreate the view"),
+      e.getMessage)
+    // and a dropped referenced column refuses too (on a sibling view —
+    // the widened table above can no longer host the INT-typed contract)
+    val src2 = s"$base/src2"
+    val mv2 = s"$base/mv2"
+    sourceTable(src2)
+    Mv.create(spark, src2, mv2, Seq("day"), Seq("count(*) AS n", "sum(v) AS sv"))
+    spark.sql(s"ALTER TABLE $cat.src2 DROP COLUMN v")
+    val e2 = intercept[RuntimeException] { Mv.refresh(spark, mv2) }
+    assert(
+      e2.getMessage.contains("no longer exists") && e2.getMessage.contains("'v'"),
+      e2.getMessage)
+  }
+
+  test("schema evolution: the contract covers DIM columns of a join view") {
+    val (fact, dim, mv) = starFixture("mv_dimevolve")
+    val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))))
+    val cat = s"mvdev_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    // `w` is a dim column the view never references: dropping it is a no-op
+    spark.sql(s"ALTER TABLE $cat.dim DROP COLUMN w")
+    DeleteVectors.upsert(spark, fact, Seq(("a", 7L, 12L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync, r.toString)
+    // `grp` is the view's group key: dropping it refuses loudly
+    spark.sql(s"ALTER TABLE $cat.dim DROP COLUMN grp")
+    val e = intercept[RuntimeException] { Mv.refresh(spark, mv) }
+    assert(
+      e.getMessage.contains("'grp'") && e.getMessage.contains("no longer exists"),
+      e.getMessage)
   }
 
   test("an out-of-band drop+recreate of the SOURCE forces a full resync, never silent staleness") {
