@@ -14,14 +14,37 @@ object Frontier3 {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The `(day, event_type, n, sum_u)` pre-aggregation of `events`,
+    * staged ONCE per (data dir, app) and re-read by every scratch-table
+    * builder below — ~24 fixture queries run this identical aggregation,
+    * so paying the events scan once is pure gate-time savings with
+    * hash-identical fixtures (the staged parquet holds exactly what each
+    * builder used to compute inline).
+    */
+  private val stagedStats = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedStatsDir(s: SparkSession, d: String): String =
+    stagedStats.computeIfAbsent(
+      d,
+      _ => {
+        val ev = Tables.events(s, d)
+        val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+        val p = new org.apache.hadoop.fs.Path(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_statstage_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+        graft.core.Scratch.register(p.toString)
+        ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+          .write.mode("overwrite").parquet(p.toString)
+        p.toString
+      })
+
   /** One scratch snapshot table per (query, data dir, app): a per-(day,
     * event_type) stats table partitioned by day, committed as a v2
     * manifest (schema + day stats + row counts), registered in a
     * query-private catalog.
     */
   private def statsTable(s: SparkSession, d: String, tag: String, statsCols: Seq[String]): (String, String) = {
-    val ev = Tables.events(s, d)
-    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
@@ -29,9 +52,8 @@ object Frontier3 {
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(base)) fs.delete(base, true)
     val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
-    val stats = ev
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val stats = s.read.parquet(stagedStatsDir(s, d))
+      .select(col("day"), col("event_type"), col("n"), col("sum_u"))
     graft.sources.Sources.writeParquet(stats.repartition(col("day")), dir, Seq("day"))
     graft.sources.Snapshots.commit(s, dir, statsCols)
     val cat = s"${tag}_${java.lang.Integer.toHexString(d.hashCode)}"
@@ -3724,8 +3746,6 @@ object Frontier3 {
     * slowly-changing-dimension update prices at the changed dim keys.
     */
   def q249(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_snapq249_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
@@ -3735,9 +3755,8 @@ object Frontier3 {
     val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
     val dimDir = new org.apache.hadoop.fs.Path(base, "dim").toString
     val mvDir = new org.apache.hadoop.fs.Path(base, "bycat").toString
-    val stats = ev
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val stats = s.read.parquet(stagedStatsDir(s, d))
+      .select(col("event_type"), col("day"), col("n"), col("sum_u"))
     graft.sources.Sources.writeParquet(
       stats.repartition(col("event_type")), dir, Seq("event_type"))
     graft.sources.Snapshots.commit(s, dir, Seq("event_type", "day"))
@@ -3843,8 +3862,6 @@ object Frontier3 {
     * join keys' files, never the fact table.
     */
   def q253(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_snapq253_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
@@ -3854,9 +3871,8 @@ object Frontier3 {
     val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
     val dimDir = new org.apache.hadoop.fs.Path(base, "dim").toString
     val mvDir = new org.apache.hadoop.fs.Path(base, "bycat").toString
-    val stats = ev
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val stats = s.read.parquet(stagedStatsDir(s, d))
+      .select(col("event_type"), col("day"), col("n"), col("sum_u"))
     graft.sources.Sources.writeParquet(
       stats.repartition(col("event_type")), dir, Seq("event_type"))
     graft.sources.Snapshots.commit(s, dir, Seq("event_type", "day"))
@@ -4071,8 +4087,6 @@ object Frontier3 {
     * .DeleteVectors.candidateRelsForKeys]]'s null-safe arm).
     */
   def q252(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
     val base = new org.apache.hadoop.fs.Path(
       System.getProperty("java.io.tmpdir"),
       s"graft_snapq252_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
@@ -4081,9 +4095,8 @@ object Frontier3 {
     if (fs.exists(base)) fs.delete(base, true)
     val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
     val mvDir = new org.apache.hadoop.fs.Path(base, "bykey").toString
-    val stats = ev
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"), sum(micro).as("sum_u"))
+    val stats = s.read.parquet(stagedStatsDir(s, d))
+      .select(col("event_type"), col("day"), col("n"), col("sum_u"))
       .withColumn("nkey", expr("nullif(event_type, 'click')"))
     graft.sources.Sources.writeParquet(
       stats.repartition(col("event_type")), dir, Seq("event_type"))
