@@ -606,10 +606,14 @@ class SnapMetaTable(dir: String, version: Long, kind: String) extends Table with
         StructField("column", StringType, nullable = false),
         StructField("ndv_estimate", org.apache.spark.sql.types.DoubleType, nullable = false)))
     case "checks" =>
-      // the table's CHECK constraints: what every commit enforces
+      // the table's CHECK constraints: what every commit enforces.
+      // `pending` marks a check whose add-time proof never completed (a
+      // crash between publish and scan) — enforced against new data but
+      // unproven for old; CALL validate_checks re-proves or drops it
       StructType(Seq(
         StructField("name", StringType, nullable = false),
-        StructField("expr", StringType, nullable = false)))
+        StructField("expr", StringType, nullable = false),
+        StructField("pending", org.apache.spark.sql.types.BooleanType, nullable = false)))
     case "mv" =>
       // a materialized view's definition + staleness: one row, answering
       // "what does this view compute and is it behind its source?" —
@@ -716,8 +720,9 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
           Snapshots.mergedNdvEstimate(spark, dir, mv.rels, c).map(est => Row(c, est))
         }
       case "checks" =>
+        val pending = graft.sources.Constraints.pendingChecks(spark, dir).toSet
         graft.sources.Constraints.checks(spark, dir).toSeq.sortBy(_._1).map {
-          case (n, e) => Row(n, e)
+          case (n, e) => Row(n, e, pending.contains(n))
         }
       case "mv" =>
         val d = graft.sources.Mv.definition(spark, dir)

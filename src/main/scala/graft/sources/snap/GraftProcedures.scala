@@ -66,13 +66,20 @@ private[snap] object GraftProcedures {
     protected def out(fields: (String, DataType)*): StructType =
       StructType(fields.map { case (n, dt) => StructField(n, dt, nullable = false) })
 
-    protected def result(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] = {
-      val converted = row.map {
-        case s: String => UTF8String.fromString(s)
-        case x => x
-      }.toArray[Any]
+    protected def result(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] =
+      resultRows(schema, Seq(row))
+
+    /** Multi-row variant for report-shaped procedures (one row per item). */
+    protected def resultRows(
+        schema: StructType,
+        rows0: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
+      val converted = rows0.map(r =>
+        new GenericInternalRow(r.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }.toArray[Any]): InternalRow)
       val scan: Scan = new LocalScan {
-        override def rows(): Array[InternalRow] = Array(new GenericInternalRow(converted))
+        override def rows(): Array[InternalRow] = converted.toArray
         override def readSchema(): StructType = schema
         override def description(): String = s"GraftProcedureResult $name"
       }
@@ -219,6 +226,23 @@ private[snap] object GraftProcedures {
         dirOf(input.getUTF8String(0).toString),
         input.getUTF8String(1).toString)
       result(out("existed" -> org.apache.spark.sql.types.BooleanType), Seq(existed))
+    }
+  }
+
+  private class ValidateChecks(rootDir: String) extends SnapProcedure("validate_checks", rootDir) {
+    override def description: String =
+      "re-run the add-time proof for every PENDING check (an addCheck interrupted between " +
+        "publish and proof): a provable check promotes to valid, an unprovable one is " +
+        "dropped — the same outcome the interrupted add would have reached"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(in("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val report = graft.sources.Constraints
+        .validatePending(spark, dirOf(input.getUTF8String(0).toString))
+        .toSeq.sortBy(_._1)
+      resultRows(
+        out("name" -> StringType, "proven" -> org.apache.spark.sql.types.BooleanType),
+        report.map { case (n, ok) => Seq[Any](n, ok) })
     }
   }
 
@@ -636,6 +660,7 @@ private[snap] object GraftProcedures {
     new RemoveOrphans(rootDir),
     new AddCheck(rootDir),
     new DropCheck(rootDir),
+    new ValidateChecks(rootDir),
     new DropRef(rootDir))
 
   def load(ident: Identifier, rootDir: String): Option[UnboundProcedure] =

@@ -374,4 +374,35 @@ class ConstraintsSpec extends SparkSpec {
       Constraints.pendingChecks(spark, dir).isEmpty &&
         !Constraints.checks(spark, dir).contains("v_any"))
   }
+
+  test("SQL faces: the checks metadata table shows pending state; CALL validate_checks re-proves") {
+    val base = Files.createTempDirectory("ck_pendsql").toString
+    val dir = s"$base/t"
+    table(dir)
+    val cat = s"ckpend_${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", base)
+    spark.sql(s"CALL $cat.add_check(table => 't', name => 'v_pos', expr => 'v > 0')").collect()
+    // a planted crash-state: check + marker, proof never ran
+    val fs = fsOf(dir)
+    val checksDir = new org.apache.hadoop.fs.Path(s"$dir/${Snapshots.ManifestDirName}/checks")
+    val c = fs.create(new org.apache.hadoop.fs.Path(checksDir, "v_big"), true)
+    try c.write(
+      s"graft-check v1\nexpr ${java.net.URLEncoder.encode("v < 100", "UTF-8")}\n".getBytes("UTF-8"))
+    finally c.close()
+    val m = fs.create(new org.apache.hadoop.fs.Path(checksDir, ".pending-v_big"), true)
+    try m.write("graft-check-pending v1".getBytes("UTF-8"))
+    finally m.close()
+    assert(
+      spark.sql(s"SELECT name, pending FROM $cat.t.checks ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("v_big", true), ("v_pos", false)))
+    val rep = spark.sql(s"CALL $cat.validate_checks(table => 't')").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rep == Seq(("v_big", true)), rep.toString)
+    assert(
+      spark.sql(s"SELECT name, pending FROM $cat.t.checks ORDER BY name").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("v_big", false), ("v_pos", false)))
+  }
 }
