@@ -722,22 +722,32 @@ object Mv {
     d.keyCols.map { k =>
       d.keyExprs.get(k) match {
         case Some(e) =>
-          // a DERIVED key is fact-owned by contract: its defining
-          // expression may reference only fact columns (v1 — a derived
-          // key over a dim attribute would need the trace expansion to
-          // invert through both the expression AND the dim)
+          // a DERIVED key is owned by the side providing ALL its inputs:
+          // fact columns → fact-owned (narrowed via the monotone
+          // inverse); one dim's visible columns → dim-owned (narrowed by
+          // evaluating the expression OVER THE BROADCAST DIM in the
+          // trace expansion — the dim is small, so inverting by
+          // enumeration is exact and free). MIXED references are refused:
+          // neither inversion strategy can thread a key that needs both
+          // sides' values at once.
           val refs = referencedCols(spark, e)
           require(
             refs.nonEmpty,
             s"derived group key '$k' ($e) references no column — a constant key cannot " +
               "narrow and should be a literal in the reader, not a group key")
-          val bad = refs.filterNot(factCols.contains)
-          require(
-            bad.isEmpty,
-            s"derived group key '$k' ($e) must reference only fact columns of " +
-              s"${d.sourceRoot}; ${bad.mkString(", ")} are not (dim-side derived keys are " +
-              "not supported — group by the dim attribute directly)")
-          k -> Option.empty[MvDim]
+          if (refs.forall(factCols.contains)) k -> Option.empty[MvDim]
+          else {
+            val owners = dimVisible.collect {
+              case (dim, vis) if refs.forall(vis.contains) => dim
+            }
+            require(
+              owners.size == 1,
+              s"derived group key '$k' ($e) must reference only fact columns, or only the " +
+                s"visible columns of exactly ONE dim; its references (${refs.mkString(", ")}) " +
+                s"resolve to ${owners.size} such side(s) — split a mixed-side expression " +
+                "into per-side keys")
+            k -> Some(owners.head)
+          }
         case None =>
           if (factCols.contains(k)) k -> Option.empty[MvDim]
           else {
@@ -1225,7 +1235,9 @@ object Mv {
           .schemaOf(spark, dim.root)
           .getOrElse(sys.error(s"dim ${dim.root} records no schema"))).toMap
     val keyFields: Seq[StructField] = owners.map {
-      case (k, None) if d.keyExprs.contains(k) =>
+      case (k, _) if d.keyExprs.contains(k) =>
+        // derived keys (either side): the expression's type is whatever
+        // the create-time aggregation pinned into the MV table
         mvSchema.fields
           .find(_.name == k)
           .getOrElse(sys.error(s"derived group key '$k' is not a column of the view $mvRoot"))
@@ -1276,11 +1288,12 @@ object Mv {
     }.toSet
     val constrainedDims = byDim.filterNot { case (dim, _) => unconstrained.contains(dim.root) }
     constrainedDims.foreach { case (dim, kcs) =>
-      val dimDf = broadcast(
-        Snapshots
-          .readSnapshot(spark, dim.root, dim.version)
-          .select((kcs ++ dim.dimCols).map(col): _*)
-          .distinct())
+      // a DERIVED dim key inverts by ENUMERATION: evaluate its expression
+      // over the (small, broadcast) dim — the rows whose value equals an
+      // affected key's are exactly the join keys that can reach the group
+      val dimKeyed = kcs.foldLeft(Snapshots.readSnapshot(spark, dim.root, dim.version))(
+        (df, k) => d.keyExprs.get(k).fold(df)(e => df.withColumn(k, expr(e))))
+      val dimDf = broadcast(dimKeyed.select((kcs ++ dim.dimCols).map(col): _*).distinct())
       val cond = kcs.map(k => trace(k) <=> dimDf(k)).reduce(_ && _)
       // whether the TRACE (not the just-joined dim copy) already carries
       // the fact column must be decided BEFORE the join: after it, a dim

@@ -740,7 +740,7 @@ class SnapMetaRelation(ctx: SQLContext, dir: String, version: Long, kind: String
               .mkString("; ")
         Seq(Row(
           d.sourceRoot,
-          d.keyCols.mkString(","),
+          d.keyCols.map(k => d.keyExprs.get(k).fold(k)(e => s"$k=$e")).mkString(","),
           d.aggExprs.mkString("; "),
           d.filterSql.orNull,
           dimsStr,

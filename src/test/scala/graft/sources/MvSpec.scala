@@ -1096,17 +1096,17 @@ class MvSpec extends SparkSpec {
     assert(got() == expect())
   }
 
-  test("derived keys: refusals — dim-side references and namespace collisions") {
+  test("derived keys: refusals — mixed-side references and namespace collisions") {
     val (fact, dim, mv) = starFixture("mv_dkrefuse")
-    // a derived key over a DIM attribute is v1-unsupported: the inverse
-    // cannot thread the join
+    // a derived key needing BOTH sides' values at once: neither the
+    // monotone inverse nor dim enumeration can thread it
     val e = intercept[IllegalArgumentException] {
       Mv.create(
         spark, fact, mv, Seq("g2"), Seq("count(*) AS n"),
         dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
-        keyExprs = Map("g2" -> "upper(grp)"))
+        keyExprs = Map("g2" -> "concat(cat, grp)"))
     }
-    assert(e.getMessage.contains("only fact columns"), e.getMessage)
+    assert(e.getMessage.contains("exactly ONE"), e.getMessage)
     // a derived key named like an existing column would shadow it
     val e2 = intercept[IllegalArgumentException] {
       Mv.create(
@@ -1114,6 +1114,34 @@ class MvSpec extends SparkSpec {
         keyExprs = Map("v" -> "upper(cat)"))
     }
     assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
+  test("derived keys over a DIM attribute: the trace inverts by enumeration over the broadcast dim") {
+    val (fact, dim, mv) = starFixture("mv_dimderived")
+    // key = upper(grp), a dim-side EXPRESSION: the trace expansion must
+    // evaluate it over the dim to learn which join keys reach a group
+    Mv.create(
+      spark, fact, mv, Seq("ug"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
+      keyExprs = Map("ug" -> "upper(grp)"))
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == Set(("G1", 3L, 41L), ("G2", 2L, 61L), ("G3", 1L, 40L)))
+    // one fact row changes in cat=a (→ G1 via dimA's a→g1): the affected
+    // group's enumeration must name ONLY the join keys mapping into G1
+    // ({a, b}) — cat=c (G2) and cat=d (G3) stay closed
+    DeleteVectors.upsert(
+      spark, fact, Seq(("a", 1L, 13L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r = withCorrupted(fact, "cat=c/") { Mv.refresh(spark, mv) }
+    assert(!r.fullResync && r.groupsRecomputed == 1L && r.groupsDeleted == 0L, r.toString)
+    assert(got() == Set(("G1", 3L, 44L), ("G2", 2L, 61L), ("G3", 1L, 40L)))
+    // and a DIM move re-maps through the expression (dim-delta path):
+    // d's group flips g3 → g2, so UG G3 vanishes and G2 absorbs its rows
+    DeleteVectors.upsert(spark, dim, Seq(("d", "g2", 7L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val r2 = Mv.refresh(spark, mv)
+    assert(!r2.fullResync && r2.groupsRecomputed == 1L && r2.groupsDeleted == 1L, r2.toString)
+    assert(got() == Set(("G1", 3L, 44L), ("G2", 3L, 101L)))
   }
 
   test("derived keys through SQL DDL: ordinal, alias and repeated-expression GROUP BY all parse") {
