@@ -569,22 +569,25 @@ object Mv {
   private def sweepHusk(fs: FileSystem, mvPath: Path): Unit = {
     val man = new Path(mvPath, Snapshots.ManifestDirName)
     val mvMeta = new Path(man, "mv")
-    if (fs.exists(mvPath))
-      fs.listStatus(mvPath).foreach { st =>
-        if (st.getPath.getName != Snapshots.ManifestDirName) fs.delete(st.getPath, true)
-      }
-    if (fs.exists(man))
-      fs.listStatus(man).foreach { st =>
-        val n = st.getPath.getName
-        // the mv/ metadata dir holds the tombstone (kept for last); a
-        // foreign .lock is a NEW holder's — never delete a lock we don't
-        // hold (ours was released above)
-        if (n != "mv" && n != ".lock") fs.delete(st.getPath, true)
-      }
-    if (fs.exists(mvMeta))
-      fs.listStatus(mvMeta).foreach { st =>
-        if (st.getPath.getName != ".def-dropped") fs.delete(st.getPath, true)
-      }
+    // a CONCURRENT resumed drop may be sweeping the same husk: a dir can
+    // vanish between exists() and listStatus() — that is the other
+    // sweeper doing our work, not an error
+    def children(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    children(mvPath).foreach { st =>
+      if (st.getPath.getName != Snapshots.ManifestDirName) fs.delete(st.getPath, true)
+    }
+    children(man).foreach { st =>
+      val n = st.getPath.getName
+      // the mv/ metadata dir holds the tombstone (kept for last); a
+      // foreign .lock is a NEW holder's — never delete a lock we don't
+      // hold (ours was released above)
+      if (n != "mv" && n != ".lock") fs.delete(st.getPath, true)
+    }
+    children(mvMeta).foreach { st =>
+      if (st.getPath.getName != ".def-dropped") fs.delete(st.getPath, true)
+    }
     fs.delete(new Path(mvMeta, ".def-dropped"), false)
     emptyHuskReclaim(fs, mvPath)
   }

@@ -544,8 +544,9 @@ private[snap] object GraftProcedures {
         "aliases (e.g. 'sum(x) AS sx; count(*) AS n'); `dims` optionally broadcast-joins " +
         "dimension tables ('dim [LEFT] ON fact_col=dim_col[,f2=d2][; dim2 ON ...]' — the " +
         "star-schema rollup; group keys may be dim columns; LEFT keeps unmatched fact rows " +
-        "as the NULL bucket); the view is itself a snapshot table with stats+bloom sidecars " +
-        "on the keys"
+        "as the NULL bucket); `key_exprs` optionally defines DERIVED keys " +
+        "('h=date_trunc(''hour'', ts)[; k2=expr2]' — each named key must also appear in " +
+        "`keys`); the view is itself a snapshot table with stats+bloom sidecars on the keys"
     override def parameters(): Array[ProcedureParameter] =
       Array(
         in("mv", StringType),
@@ -553,9 +554,16 @@ private[snap] object GraftProcedures {
         in("keys", StringType),
         in("aggs", StringType),
         inDefault("where", StringType, "''"),
-        inDefault("dims", StringType, "''"))
+        inDefault("dims", StringType, "''"),
+        inDefault("key_exprs", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val keys = input.getUTF8String(2).toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val keyExprs = input.getUTF8String(6).toString.split(";").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map { one =>
+          val kv = one.split("=", 2)
+          require(kv.length == 2, s"mv_create key_exprs: '$one' must be 'name=expression'")
+          (kv(0).trim, kv(1).trim)
+        }.toMap
       val aggs = input.getUTF8String(3).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
       val dims = input.getUTF8String(5).toString.split(";").toSeq.map(_.trim).filter(_.nonEmpty)
         .map { one =>
@@ -582,7 +590,8 @@ private[snap] object GraftProcedures {
         keys,
         aggs,
         Some(input.getUTF8String(4).toString).map(_.trim).filter(_.nonEmpty),
-        dims)
+        dims,
+        keyExprs)
       result(out("version" -> LongType), Seq(v))
     }
   }

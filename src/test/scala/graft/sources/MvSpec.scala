@@ -1378,5 +1378,22 @@ class MvSpec extends SparkSpec {
     assert(!spark.sql(s"CALL $cat.mv_drop(mv => 'daily')").head().getBoolean(0))
     val e = intercept[Exception] { spark.sql(s"CALL $cat.mv_drop(mv => 'src')").collect() }
     assert(e.getMessage.contains("not a materialized view"), e.getMessage)
+    // derived keys through the PROCEDURE face: key_exprs names the
+    // expression, keys lists the name; the metadata renders name=expr
+    spark.sql(s"CALL $cat.mv_create(mv => 'byprefix', source => 'src', keys => 'dpre', " +
+      "aggs => 'count(*) AS n; sum(v) AS sv', " +
+      "key_exprs => 'dpre=substring(day, 1, 2)')").collect()
+    val d = Mv.definition(spark, s"$base/byprefix")
+    assert(d.keyExprs == Map("dpre" -> "substring(day, 1, 2)"))
+    assert(
+      spark.sql(s"SELECT keys FROM $cat.byprefix.mv").head().getString(0)
+        == "dpre=substring(day, 1, 2)")
+    val got2 = spark.sql(s"SELECT dpre, n, sv FROM $cat.byprefix ORDER BY dpre").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want2 = Snapshots.readSnapshot(spark, s"$base/src")
+      .groupBy(substring($"day", 1, 2).as("dpre"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == want2)
   }
 }
