@@ -953,6 +953,23 @@ object Mv {
     }
   }
 
+  /** What a derived key evaluates to on a LEFT join's UNMATCHED rows:
+    * the expression over an all-NULL dim row, as a literal. Most
+    * expressions are null-intolerant (image = NULL); null-tolerant ones
+    * (`coalesce`, `ifnull`, CASE) produce a real value that marks the
+    * groups possibly containing unmatched rows.
+    */
+  private def nullImageLit(
+      spark: SparkSession,
+      dimSchema: org.apache.spark.sql.types.StructType,
+      exprSql: String): org.apache.spark.sql.Column = {
+    val oneNullRow = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(dimSchema.fields.map(_ => null): _*)),
+      dimSchema)
+    lit(oneNullRow.select(expr(exprSql)).head().get(0))
+  }
+
   /** Per-derived-key interval cap: above it one ENVELOPE interval
     * replaces the per-value list (the file-admission test is driver-side
     * per candidate file, so the probe list must stay small).
@@ -1277,15 +1294,23 @@ object Mv {
       .map(g => (g.head._1, g.map(_._2)))
       .toSeq
     var trace = affectedCast
-    // a LEFT dim whose keys carry a NULL in some affected group cannot
-    // constrain the trace: that NULL group's members include UNMATCHED
-    // fact rows, whose join-key values no dim expansion can enumerate
-    // (they are precisely the keys NOT in the dim) — the dim contributes
-    // no trace columns this round and the remaining constraints narrow
+    // a LEFT dim cannot constrain the trace for any affected group that
+    // may contain UNMATCHED fact rows — their join-key values are
+    // precisely the keys NOT in the dim, which no dim enumeration can
+    // produce. For a BARE key the unmatched rows' image is NULL; for a
+    // DERIVED key it is the expression's NULL-IMAGE (expr over an
+    // all-NULL dim row): `upper(grp)` images to NULL, but
+    // `coalesce(grp, 'none')` images to 'none' — an affected 'none'
+    // group includes unmatched rows, so that dim must stand down and the
+    // remaining constraints narrow. Null-safe compare (`<=>`) makes the
+    // NULL image the old isNull test.
     val unconstrained = byDim.collect {
       case (dim, kcs) if dim.joinType == "left" && {
-            val anyNull = kcs.map(col(_).isNull).reduce(_ || _)
-            !affectedCast.filter(anyNull).isEmpty
+            val anyUnmatchedImage = kcs.map { k =>
+              col(k) <=> d.keyExprs.get(k).fold(lit(null))(e =>
+                nullImageLit(spark, dimSchemas(dim.root), e))
+            }.reduce(_ || _)
+            !affectedCast.filter(anyUnmatchedImage).isEmpty
           } =>
         dim.root
     }.toSet

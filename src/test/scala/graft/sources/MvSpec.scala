@@ -778,6 +778,40 @@ class MvSpec extends SparkSpec {
     assert(got2() == Set((5L, 1L, 102L), (1L, 1L, 40L)))
   }
 
+  test("LEFT dim + null-TOLERANT derived key: the expression's NULL-IMAGE group stands the dim down") {
+    val base = Files.createTempDirectory("mv_nullimage").toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val mv = s"$base/mv"
+    val f = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("x", 3L, 30L)) // x: unmatched
+      .toDF("cat", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    Sources.writeParquet(Seq(("a", "g1"), ("b", "g1")).toDF("ck", "grp").repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    // coalesce(grp, 'none') maps UNMATCHED rows to the NON-null 'none' —
+    // the plain NULL-detection guard would never fire, the dim would
+    // "enumerate" the none-group's join keys (finding none, since no dim
+    // row images to 'none'), the trace would go empty and the refresh
+    // would wrongly DELETE the group. The null-image guard stands the
+    // dim down instead.
+    Mv.create(
+      spark, fact, mv, Seq("kg"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "left")),
+      keyExprs = Map("kg" -> "coalesce(grp, 'none')"))
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == Set(("g1", 2L, 30L), ("none", 1L, 30L)))
+    // a second unmatched row lands: the 'none' group must recompute over
+    // ALL its members (x and y), not be trace-narrowed to nothing
+    DeleteVectors.upsert(
+      spark, fact, Seq(("y", 4L, 40L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L && r.groupsDeleted == 0L, r.toString)
+    assert(got() == Set(("g1", 2L, 30L), ("none", 2L, 70L)))
+  }
+
   test("join-MV create refuses column collisions and unprovidable group keys") {
     val (fact, dim, mv) = starFixture("mv_refusejoin")
     val base = new org.apache.hadoop.fs.Path(fact).getParent.toString
