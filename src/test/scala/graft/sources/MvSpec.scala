@@ -876,6 +876,31 @@ class MvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshStream keeps a DERIVED-key (hourly) view fresh off the manifest log") {
+    val base = Files.createTempDirectory("mv_hourlystream").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    tsSourceTable(src)
+    Mv.create(
+      spark, src, mv, Seq("h", "cat"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("h" -> "date_trunc('hour', ts)"))
+    val q = graft.streaming.Streaming.mvRefreshStream(spark, mv, s"$base/ckpt")
+    try {
+      q.processAllAvailable() // drain the create-time manifests: no-op
+      DeleteVectors.upsert(
+        spark, src,
+        Seq(("2024-03-03 15:30:00", "q", 70L)).toDF("tss", "cat", "v")
+          .select(to_timestamp(col("tss")).as("ts"), col("cat"), col("v"),
+            to_date(col("tss")).as("day")),
+        Seq("ts", "cat"))
+      q.processAllAvailable() // the commit's manifest wakes one refresh
+      assert(hourRows(mv) == recomputedHourly(src))
+      assert(
+        Mv.definition(spark, mv).refreshedVersion == Snapshots.latestVersion(spark, src),
+        "the stream-driven refresh advances the watermark")
+    } finally q.stop()
+  }
+
   test("definition() heals the writeDef crash window (def deleted, next image present)") {
     val (src, mv) = fixture("mv_heal")
     Mv.create(spark, src, mv, Seq("day"), aggs)
