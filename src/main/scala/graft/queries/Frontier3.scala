@@ -24,8 +24,11 @@ object Frontier3 {
   private val stagedStats = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def stagedStatsDir(s: SparkSession, d: String): String =
+    // keyed by (dir, app): the staged path embeds the computing app's id,
+    // and a SECOND session in this JVM must not inherit a path the first
+    // app's scratch reaper may already have deleted
     stagedStats.computeIfAbsent(
-      d,
+      s"$d|${s.sparkContext.applicationId}",
       _ => {
         val ev = Tables.events(s, d)
         val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")

@@ -953,6 +953,142 @@ object Mv {
     }
   }
 
+  /** Recognize a CYCLIC/periodic derived-key expression — the shapes
+    * [[monotoneInverse]] must refuse because they repeat across periods,
+    * but whose value still inverts to the UNION of one source interval
+    * per period within the fact's global span (the seasonal-rollup MV:
+    * `GROUP BY month(ts)`):
+    *
+    *  - `month(x)` / `quarter(x)`        → one interval per month/quarter
+    *  - `dayofweek(x)` / `weekday(x)` /
+    *    `dayofmonth(x)` / `day(x)`       → one interval per matching day
+    *  - `hour(x)`                        → one interval per day
+    *
+    * Returns (source column, canonical kind). `minute`/`second` stay
+    * refused: their per-period interval lists explode past any useful
+    * cap (a minute-of-hour key over one year is half a million probes).
+    */
+  private[sources] def cyclicInverse(
+      spark: SparkSession,
+      exprSql: String): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def bare(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch { case NonFatal(_) => return None }
+    parsed match {
+      case f: UnresolvedFunction =>
+        (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
+          case (n @ ("month" | "quarter" | "dayofweek" | "weekday" | "dayofmonth" | "hour"), Seq(a)) =>
+            bare(a).map(c => (c, n))
+          case ("day", Seq(a)) => bare(a).map(c => (c, "dayofmonth"))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The fact's global [min, max] span of `srcCol` as LOCAL DATES padded
+    * one day each way, folded from the alive files' recorded stats —
+    * what the cyclic inversion enumerates periods over. None when no
+    * alive file carries a trusted interval (nothing to enumerate; the
+    * statless files are admitted by the shared admission test anyway).
+    * The ±1-day pad absorbs the micros→date rendering being done in UTC
+    * regardless of the column's zone semantics (max offset < 1 day).
+    */
+  private def globalSpanDates(
+      srcView: Snapshots.ManifestView,
+      alive: Seq[String],
+      srcCol: String,
+      dt: org.apache.spark.sql.types.DataType): Option[(java.time.LocalDate, java.time.LocalDate)] = {
+    def toDate(bound: String, cs: Snapshots.ColStat): Option[java.time.LocalDate] =
+      try
+        cs.typ match {
+          case "l" => Some(java.time.LocalDate.ofEpochDay(Math.floorDiv(bound.toLong, 86400000000L)))
+          case "s" => Some(java.time.LocalDate.parse(bound.take(10)))
+          case _ => None
+        }
+      catch { case NonFatal(_) => None }
+    val spans = alive.flatMap { rel =>
+      val st = srcView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
+      if (!Snapshots.intervalTrusted(st, srcCol)) None
+      else
+        st.get(srcCol).flatMap(cs =>
+          for { lo <- toDate(cs.min, cs); hi <- toDate(cs.max, cs) } yield (lo, hi))
+    }
+    if (spans.isEmpty) None
+    else
+      Some((
+        spans.map(_._1).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)).minusDays(1),
+        spans.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)).plusDays(1)))
+  }
+
+  /** The per-period source intervals of one cyclic key over the affected
+    * values: enumerate the period starts inside the fact's span, keep
+    * the periods whose key value is affected, render [start, end) in the
+    * column's own domain (NTZ stays wall-clock; zoned timestamps get a
+    * ±4 h pad so a DST shift inside any period can never push a matching
+    * row outside its interval — over-inclusion is safe, exclusion needs
+    * proof). None = no constraint from this key (span unknown, span
+    * absurd, or more probes than [[MaxCyclicProbes]] — a cyclic
+    * envelope would span the whole fact, so there is no useful
+    * collapse).
+    */
+  private def cyclicIntervals(
+      spark: SparkSession,
+      kind: String,
+      f: StructField,
+      vals: DataFrame,
+      srcView: Snapshots.ManifestView,
+      alive: Seq[String]): Option[Seq[(String, String)]] = {
+    val isNtz = f.dataType == org.apache.spark.sql.types.TimestampNTZType
+    val isDate = f.dataType == org.apache.spark.sql.types.DateType
+    if (isDate && kind == "hour") return None // hour(date) is constant 0 — nothing to narrow
+    val (d0, d1) = globalSpanDates(srcView, alive, f.name, f.dataType).getOrElse(return None)
+    val nDays = d1.toEpochDay - d0.toEpochDay + 1
+    if (nDays <= 0 || nDays > 200000L) return None // > ~550 years: refuse to enumerate
+    val monthly = kind == "month" || kind == "quarter"
+    val starts =
+      if (monthly)
+        s"sequence(trunc(to_date('$d0'), 'MONTH'), to_date('$d1'), interval 1 month)"
+      else s"sequence(to_date('$d0'), to_date('$d1'), interval 1 day)"
+    val base = spark.range(1).selectExpr(s"explode($starts) AS d")
+    val matched = kind match {
+      case "hour" => vals.crossJoin(base) // every day holds every hour
+      case _ =>
+        vals.crossJoin(base).where(expr(s"$kind(d) = cast(__v as int)"))
+    }
+    val endSql = kind match {
+      case "month" => "add_months(d, 1)"
+      case "quarter" => "add_months(d, 3)"
+      case _ => "date_add(d, 1)"
+    }
+    val (loSql, hiSql) =
+      if (isDate) ("d", endSql)
+      else {
+        val t = if (isNtz) "timestamp_ntz" else "timestamp"
+        val pad = if (isNtz) 0 else 4
+        if (kind == "hour")
+          (
+            s"timestampadd(HOUR, cast(__v as int) - $pad, cast(d as $t))",
+            s"timestampadd(HOUR, cast(__v as int) + 1 + $pad, cast(d as $t))")
+        else
+          (
+            s"timestampadd(HOUR, -$pad, cast(d as $t))",
+            s"timestampadd(HOUR, $pad, cast($endSql as $t))")
+      }
+    val rendered = matched.selectExpr(
+      statBoundSql(loSql, f.dataType) + " AS lo",
+      statBoundSql(hiSql, f.dataType) + " AS hi")
+    val collected = rendered.limit(MaxCyclicProbes + 1).collect()
+    if (collected.length > MaxCyclicProbes) None
+    else Some(collected.toSeq.map(r => (r.getString(0), r.getString(1))))
+  }
+
   /** What a derived key evaluates to on a LEFT join's UNMATCHED rows:
     * the expression over an all-NULL dim row, as a literal. Most
     * expressions are null-intolerant (image = NULL); null-tolerant ones
@@ -976,30 +1112,69 @@ object Mv {
     */
   private val MaxIntervalProbes = 512
 
+  /** Cyclic keys enumerate one interval PER PERIOD within the fact's
+    * span — an hour-of-day key over a ten-year fact is 3 653 intervals
+    * per affected value, so the cap is wider than the monotone one (the
+    * admission test is O(candidates × probes) plain driver-side
+    * comparisons). Above it there is no envelope fallback: a cyclic
+    * key's envelope spans essentially the whole fact, so the honest
+    * degradation is NO constraint from this key.
+    */
+  private val MaxCyclicProbes = 4096
+
+  /** The monotone templates cast through `timestamp`; for a
+    * TIMESTAMP_NTZ source column that cast interprets the wall-clock in
+    * the SESSION zone (and collapses DST-gap values) — retarget the
+    * casts to `timestamp_ntz` so the bounds stay in the column's own
+    * wall-clock domain end to end. The cast text is wholly ours
+    * ([[monotoneInverse]]'s tsRange/year templates), so the textual
+    * retype is exact.
+    */
+  private def retypeBound(boundSql: String, dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        boundSql.replace("as timestamp)", "as timestamp_ntz)")
+      case _ => boundSql
+    }
+
   /** Render an interval bound into the STAT domain of the source column
     * — timestamps compare as footer micros, dates as ISO strings,
     * numerics numerically (the [[Snapshots.ColStat]] typ rules).
+    * TIMESTAMP_NTZ footer stats are WALL-CLOCK micros
+    * (isAdjustedToUTC=false), so the NTZ rendering computes the
+    * wall-clock micros arithmetically — `unix_micros(cast(… as
+    * timestamp))` would shift every bound by the session-zone offset and
+    * wrongly exclude the affected hour's files in a non-UTC session.
     */
   private def statBoundSql(boundSql: String, dt: org.apache.spark.sql.types.DataType): String =
     dt match {
-      case org.apache.spark.sql.types.TimestampType |
-          org.apache.spark.sql.types.TimestampNTZType =>
+      case org.apache.spark.sql.types.TimestampType =>
         s"cast(unix_micros(cast(($boundSql) as timestamp)) as string)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val b = s"cast(($boundSql) as timestamp_ntz)"
+        s"cast(cast(unix_date(cast($b as date)) as bigint) * 86400000000 + " +
+          s"hour($b) * 3600000000 + minute($b) * 60000000 + " +
+          s"cast(floor(date_part('SECOND', $b) * 1000000) as bigint) as string)"
       case org.apache.spark.sql.types.DateType => s"cast(cast(($boundSql) as date) as string)"
       case org.apache.spark.sql.types.FloatType => s"cast(cast(($boundSql) as double) as string)"
       case _ => s"cast(($boundSql) as string)"
     }
 
   /** Narrow `candidates` through every DERIVED key with a recognized
-    * monotone inverse: each affected key value maps to a source-column
-    * interval, a file survives when its stats interval intersects ANY of
-    * them (or when a NULL-keyed affected group exists and the file can
-    * bear a NULL in the source column — a null-intolerant expression
-    * yields NULL exactly on NULL input). More affected values than
-    * [[MaxIntervalProbes]] collapse to one envelope interval; an
-    * unrecognized expression contributes no constraint (the other keys'
-    * narrowing still applies). A column with NO usable stats (e.g. an
-    * INT96 timestamp) admits every file — degradation, never exclusion.
+    * inverse: each affected key value maps to source-column interval(s)
+    * — ONE for a monotone shape ([[monotoneInverse]]), one PER PERIOD in
+    * the fact's span for a cyclic shape ([[cyclicInverse]]) — and a file
+    * survives when its stats interval intersects ANY of them (or when a
+    * NULL-keyed affected group exists and the file can bear a NULL in
+    * the source column — a null-intolerant expression yields NULL
+    * exactly on NULL input). More monotone values than
+    * [[MaxIntervalProbes]] collapse to one envelope interval, aggregated
+    * in the bound's TYPED domain before stat rendering (the rendered
+    * strings compare lexicographically — min('1000','600') is '1000');
+    * an unrecognized expression contributes no constraint (the other
+    * keys' narrowing still applies). A column with NO usable stats
+    * (e.g. an INT96 timestamp) admits every file — degradation, never
+    * exclusion.
     */
   private def derivedIntervalPrune(
       spark: SparkSession,
@@ -1012,46 +1187,68 @@ object Mv {
       candidates: Seq[String]): Seq[String] =
     d.keyExprs.foldLeft(candidates) { case (cands, (k, exprSql)) =>
       if (cands.isEmpty) cands
-      else
-        monotoneInverse(spark, exprSql) match {
-          case None => cands // unrecognized shape: no constraint from this key
-          case Some((srcCol, loSql, hiSql)) =>
-            srcSchema.fields.find(_.name == srcCol) match {
-              case None => cands // schema drifted; the evolution gate refuses elsewhere
-              case Some(f) =>
-                val vals = affected.select(col(k).as("__v")).distinct()
-                val probes = vals
-                  .where(col("__v").isNotNull)
-                  .selectExpr(
-                    statBoundSql(loSql, f.dataType) + " AS lo",
-                    statBoundSql(hiSql, f.dataType) + " AS hi")
-                val collected = probes.limit(MaxIntervalProbes + 1).collect()
-                val intervals: Seq[(String, String)] =
-                  if (collected.length > MaxIntervalProbes)
-                    probes
-                      .agg(
+      else {
+        val inverse: Option[(StructField, DataFrame => Option[Seq[(String, String)]])] = {
+          def fieldOf(srcCol: String): Option[StructField] =
+            srcSchema.fields.find(_.name == srcCol) // absent = schema drifted; the evolution gate refuses elsewhere
+          monotoneInverse(spark, exprSql) match {
+            case Some((srcCol, loSql0, hiSql0)) =>
+              fieldOf(srcCol).map { f =>
+                val (loSql, hiSql) = (retypeBound(loSql0, f.dataType), retypeBound(hiSql0, f.dataType))
+                (f, (vals: DataFrame) => {
+                  val typed = vals
+                    .where(col("__v").isNotNull)
+                    .selectExpr(s"($loSql) AS lo", s"($hiSql) AS hi")
+                  def rendered(src: DataFrame) = src.selectExpr(
+                    statBoundSql("lo", f.dataType) + " AS lo",
+                    statBoundSql("hi", f.dataType) + " AS hi")
+                  val collected = rendered(typed).limit(MaxIntervalProbes + 1).collect()
+                  val intervals =
+                    if (collected.length > MaxIntervalProbes)
+                      rendered(typed.agg(
                         org.apache.spark.sql.functions.min(col("lo")).as("lo"),
-                        org.apache.spark.sql.functions.max(col("hi")).as("hi"))
-                      .collect()
-                      .toSeq
-                      .map(r => (r.getString(0), r.getString(1)))
-                  else collected.toSeq.map(r => (r.getString(0), r.getString(1)))
+                        org.apache.spark.sql.functions.max(col("hi")).as("hi")))
+                        .collect()
+                        .toSeq
+                        .map(r => (r.getString(0), r.getString(1)))
+                    else collected.toSeq.map(r => (r.getString(0), r.getString(1)))
+                  Some(intervals)
+                })
+              }
+            case None =>
+              cyclicInverse(spark, exprSql).flatMap { case (srcCol, kind) =>
+                fieldOf(srcCol).map { f =>
+                  (f, (vals: DataFrame) =>
+                    cyclicIntervals(
+                      spark, kind, f, vals.where(col("__v").isNotNull), srcView, alive))
+                }
+              }
+          }
+        }
+        inverse match {
+          case None => cands // unrecognized shape: no constraint from this key
+          case Some((f, intervalsOf)) =>
+            val vals = affected.select(col(k).as("__v")).distinct()
+            intervalsOf(vals) match {
+              case None => cands // no usable span / probe cap: no constraint
+              case Some(intervals) =>
                 val anyNull = !vals.where(col("__v").isNull).isEmpty
                 val nullable: Set[String] =
                   if (anyNull)
                     DeleteVectors
-                      .nullBearingCandidates(srcView, alive, Seq(srcCol), srcPartCols)
+                      .nullBearingCandidates(srcView, alive, Seq(f.name), srcPartCols)
                       .toSet
                   else Set.empty
                 cands.filter { rel =>
                   val st = srcView.stats.getOrElse(rel, Map.empty[String, Snapshots.ColStat])
                   nullable.contains(rel) ||
                   intervals.exists { case (lo, hi) =>
-                    Snapshots.fileMatchesRanges(st, Seq((srcCol, Option(lo), Option(hi))))
+                    Snapshots.fileMatchesRanges(st, Seq((f.name, Option(lo), Option(hi))))
                   }
                 }
             }
         }
+      }
     }
 
   /** The row-level change feed of a snapshot table over `(fromV, toV]` —

@@ -361,16 +361,29 @@ object Snapshots {
       require(
         latestVersion(spark, root) > 0L,
         s"chainIdentity($root): no committed manifest — an empty dir has no chain to identify")
-      withTableLock(spark, root) {
-        read().getOrElse {
-          val fresh = java.util.UUID.randomUUID().toString
-          val tmp = new Path(dir, s".chain-tmp-${fresh.take(8)}")
-          val out = fs.create(tmp, true)
-          try out.write(fresh.getBytes("UTF-8"))
-          finally out.close()
-          if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-          read().getOrElse(fresh)
+      // the mint WRITES into a dir that readers (an MV refresh pinning
+      // its source/dims) may only have read access to — a failed mint
+      // degrades to the pre-nonce behavior (empty identity; adoption
+      // waits for a writer) instead of failing an otherwise-read-only op
+      try
+        withTableLock(spark, root) {
+          read().getOrElse {
+            val fresh = java.util.UUID.randomUUID().toString
+            val tmp = new Path(dir, s".chain-tmp-${fresh.take(8)}")
+            val out = fs.create(tmp, true)
+            try out.write(fresh.getBytes("UTF-8"))
+            finally out.close()
+            if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+            read().getOrElse(fresh)
+          }
         }
+      catch {
+        case e: java.io.IOException =>
+          org.slf4j.LoggerFactory
+            .getLogger(getClass)
+            .warn(s"chainIdentity($root): cannot mint a chain nonce (${e.getMessage}); " +
+              "treating the chain as identity-less until a writer mints one")
+          ""
       }
     }
   }

@@ -1248,6 +1248,198 @@ class MvSpec extends SparkSpec {
     assert(inv("date_trunc(fmt, ts)").isEmpty, "a non-literal unit cannot invert")
   }
 
+  test("cyclicInverse recognizes the periodic shapes and only them") {
+    def cyc(e: String) = Mv.cyclicInverse(spark, e)
+    assert(cyc("month(ts)").contains(("ts", "month")))
+    assert(cyc("quarter(ts)").contains(("ts", "quarter")))
+    assert(cyc("hour(ts)").contains(("ts", "hour")))
+    assert(cyc("dayofweek(ts)").contains(("ts", "dayofweek")))
+    assert(cyc("weekday(ts)").contains(("ts", "weekday")))
+    assert(cyc("day(ts)").contains(("ts", "dayofmonth")), "day() is the dayofmonth alias")
+    assert(cyc("dayofmonth(ts)").contains(("ts", "dayofmonth")))
+    assert(cyc("minute(ts)").isEmpty, "a minute-of-hour interval list explodes past any cap")
+    assert(cyc("second(ts)").isEmpty)
+    assert(cyc("date_trunc('hour', ts)").isEmpty, "monotone shapes are not cyclic")
+    assert(cyc("upper(cat)").isEmpty)
+    assert(cyc("month(f(ts))").isEmpty, "a nested argument cannot invert")
+  }
+
+  test("derived keys: >MaxIntervalProbes affected values collapse to a TYPED envelope, not a lexicographic one") {
+    // 540 distinct floor(x/10) buckets spanning the 600..1139 range — the
+    // rendered bound strings flip digit length inside the set, so a
+    // string min/max would pick an INVERTED envelope (min '10000' >
+    // max '9990' as numbers) and prune every affected file: the refresh
+    // would silently lose all 540 updates. The far partition's bucket
+    // (99999) lies outside the true typed envelope [6000, 11400) — its
+    // file is the canary proving the collapse still narrows.
+    val base = Files.createTempDirectory("mv_envelope").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val mid = (0 until 540).map(i => ("mid", 6000L + i * 10L, 1L))
+    val far = Seq(("far", 999999L, 5L))
+    val df = (mid ++ far).toDF("part", "x", "v")
+    Sources.writeParquet(df.repartition(col("part")), src, Seq("part"))
+    Snapshots.commit(spark, src, Seq("part", "x"))
+    Mv.create(
+      spark, src, mv, Seq("b"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("b" -> "floor(x / 10)"))
+    def expect(): Set[(Long, Long, Long)] =
+      Snapshots.readSnapshot(spark, src).groupBy(floor($"x" / 10).as("b"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(Long, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect())
+    // one window updating every mid row: 540 affected buckets > 512
+    DeleteVectors.upsert(
+      spark, src,
+      (0 until 540).map(i => ("mid", 6000L + i * 10L, 2L)).toDF("part", "x", "v"),
+      Seq("x"))
+    val r = withCorrupted(src, "part=far/") { Mv.refresh(spark, mv) }
+    assert(!r.fullResync && r.groupsRecomputed == 540L, r.toString)
+    assert(got() == expect(), "the typed envelope must admit every affected file")
+  }
+
+  test("derived keys: TIMESTAMP_NTZ bounds stay in the wall-clock domain in a non-UTC session") {
+    // NTZ footer stats are wall-clock micros; a session-zone rendering
+    // (unix_micros of a zoned cast) would shift every probe by the
+    // offset and prune the affected hour's own file — in New York the
+    // refresh would silently drop the new row. The canary on the other
+    // day proves interval narrowing still works under the non-UTC zone.
+    val base = Files.createTempDirectory("mv_ntz").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val tzKey = "spark.sql.session.timeZone"
+    val oldTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val rows = Seq(
+        ("2024-03-01 05:15:00", "a", 3L),
+        ("2024-03-02 07:05:00", "a", 4L),
+        ("2024-03-02 09:30:00", "c", 6L)).toDF("tss", "cat", "v")
+        .select(
+          expr("cast(tss as timestamp_ntz)").as("ts"),
+          col("cat"),
+          col("v"),
+          expr("to_date(cast(tss as timestamp_ntz))").as("day"))
+      Sources.writeParquet(rows.repartition(col("day")), src, Seq("day"))
+      Snapshots.commit(spark, src, Seq("day", "ts", "cat"))
+      Mv.create(
+        spark, src, mv, Seq("h"), Seq("count(*) AS n", "sum(v) AS sv"),
+        keyExprs = Map("h" -> "date_trunc('hour', ts)"))
+      def expect(): Set[(String, Long, Long)] =
+        Snapshots.readSnapshot(spark, src)
+          .groupBy(date_trunc("hour", $"ts").as("h"))
+          .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+          .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      def got(): Set[(String, Long, Long)] =
+        Snapshots.readSnapshot(spark, mv).collect()
+          .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(got() == expect())
+      DeleteVectors.upsert(
+        spark, src,
+        Seq(("2024-03-02 07:20:00", "b", 9L)).toDF("tss", "cat", "v")
+          .select(
+            expr("cast(tss as timestamp_ntz)").as("ts"),
+            col("cat"),
+            col("v"),
+            expr("to_date(cast(tss as timestamp_ntz))").as("day")),
+        Seq("ts", "cat"))
+      val r = withCorrupted(src, "day=2024-03-01/") { Mv.refresh(spark, mv) }
+      assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+      assert(got() == expect(), "the NTZ hour's own file must never be zone-shifted away")
+    } finally spark.conf.set(tzKey, oldTz)
+  }
+
+  test("cyclic derived keys: a month-of-year MV narrows to the affected month's PERIODS, canary held") {
+    // a seasonal rollup: GROUP BY month(ts) over a two-year fact. A
+    // refresh touching March must admit BOTH years' March files (union
+    // of per-period intervals) and never open July's — the July canary
+    // fails the old behavior only if narrowing leaks, and the assertion
+    // on content fails if a March period is missed.
+    val base = Files.createTempDirectory("mv_cyclic").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    val rows = Seq(
+      ("2022-03-05 01:00:00", "a", 1L),
+      ("2022-03-20 02:00:00", "b", 2L),
+      ("2022-07-04 03:00:00", "a", 3L),
+      ("2023-03-15 04:00:00", "c", 4L),
+      ("2023-07-09 05:00:00", "b", 5L)).toDF("tss", "cat", "v")
+      .select(
+        to_timestamp(col("tss")).as("ts"),
+        col("cat"),
+        col("v"),
+        date_format(col("tss"), "yyyy-MM").as("ym"))
+    withMicros(Sources.writeParquet(rows.repartition(col("ym")), src, Seq("ym")))
+    Snapshots.commit(spark, src, Seq("ym", "ts", "cat"))
+    Mv.create(
+      spark, src, mv, Seq("m"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("m" -> "month(ts)"))
+    def expect(): Set[(Int, Long, Long)] =
+      Snapshots.readSnapshot(spark, src).groupBy(month($"ts").as("m"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(Int, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect())
+    // window: one new March row (2023) — affected month = {3}; both
+    // March files must recompute, both July files must stay shut
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("2023-03-28 06:00:00", "d", 7L)).toDF("tss", "cat", "v")
+        .select(
+          to_timestamp(col("tss")).as("ts"),
+          col("cat"),
+          col("v"),
+          date_format(col("tss"), "yyyy-MM").as("ym")),
+      Seq("ts", "cat"))
+    val r = withCorrupted(src, "ym=2022-07/") { Mv.refresh(spark, mv) }
+    assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+    assert(got() == expect(), "both years' March periods must be admitted")
+    // second window: delete 2022's March rows — month 3 recomputes from
+    // the remaining 2023 March file; 2023's July is the canary this time
+    DeleteVectors.deleteWhere(
+      spark, src,
+      $"ts" < to_timestamp(lit("2023-01-01 00:00:00")) && month($"ts") === 3)
+    val r2 = withCorrupted(src, "ym=2023-07/") { Mv.refresh(spark, mv) }
+    assert(!r2.fullResync && r2.groupsRecomputed == 1L, r2.toString)
+    assert(got() == expect())
+  }
+
+  test("cyclic derived keys: an hour-of-day MV admits the affected hour across EVERY day in span") {
+    val base = Files.createTempDirectory("mv_hourofday").toString
+    val src = s"$base/src"
+    val mv = s"$base/mv"
+    tsSourceTable(src) // two days, hours 00/05 (03-01) and 07/09 (03-02)
+    Mv.create(
+      spark, src, mv, Seq("hd"), Seq("count(*) AS n", "sum(v) AS sv"),
+      keyExprs = Map("hd" -> "hour(ts)"))
+    def expect(): Set[(Int, Long, Long)] =
+      Snapshots.readSnapshot(spark, src).groupBy(hour($"ts").as("hd"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(Int, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect())
+    // a new 05-hour row on 03-02: hour 5 recomputes from BOTH days'
+    // candidates (03-01 has an 05:15 row) — with the ±4 h zoned pad the
+    // 03-01 file (hours 00..05) intersects, so no canary there; what the
+    // law pins is CONTENT across both days' periods
+    DeleteVectors.upsert(
+      spark, src,
+      Seq(("2024-03-02 05:40:00", "z", 8L)).toDF("tss", "cat", "v")
+        .select(to_timestamp(col("tss")).as("ts"), col("cat"), col("v"),
+          to_date(col("tss")).as("day")),
+      Seq("ts", "cat"))
+    val r = Mv.refresh(spark, mv)
+    assert(!r.fullResync && r.groupsRecomputed == 1L, r.toString)
+    assert(got() == expect(), "hour 5 must aggregate across every day in the fact's span")
+  }
+
   // ---- source schema evolution -------------------------------------------
 
   test("schema evolution: UNREFERENCED add/drop on the fact is a no-op for the view") {
