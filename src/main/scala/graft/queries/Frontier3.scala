@@ -4308,6 +4308,100 @@ object Frontier3 {
       .withColumn("widen_refused", lit(widenRefused))
   }
 
+  // -- q256: cyclic expression-keyed MV — the seasonal rollup ---------------
+
+  /** The SEASONAL materialization: `CREATE MATERIALIZED VIEW seasonal AS
+    * SELECT month(ts) AS m, … GROUP BY 1` — a group key that repeats
+    * across years, so no single interval can bound it. Refresh narrows
+    * through the CYCLIC inverse ([[graft.sources.Mv.cyclicInverse]]): an
+    * affected month enumerates one interval per matching period within
+    * the fact's global span (March 2022 AND March 2023 here), and the
+    * per-file micros stats decide admission — never a full-table rescan.
+    * The fixture spreads `events` across 24 months deterministically
+    * (both engines recompute the same remap), partitioned by
+    * year-month so periods are file-disjoint; the July-2022 file is
+    * corrupted BEFORE both refreshes — window 1 (INSERT into March 2023,
+    * affected month {3}) and window 2 (DELETE of November 2022, affected
+    * month {11}) must both leave it shut, proving the period enumeration
+    * admits exactly the affected months' files across every year. At
+    * 100 TB: the month-of-year / hour-of-day rollups a time-series user
+    * materializes right after the hourly one refresh at the affected
+    * periods' files, not the decade of history around them.
+    */
+  def q256(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq256_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val dir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "seasonal").toString
+    // a deterministic 24-month spread: year from floor(event_id/12)%2 so
+    // every month occurs in BOTH years (id%12 alone would pin each month
+    // to one parity, hence one year); minute-truncated time of day so the
+    // oracle's integer date_part twin is exact
+    val src = ev.selectExpr(
+      "make_timestamp(CAST(2022 + CAST(floor(event_id / 12.0) AS BIGINT) % 2 AS INT), " +
+        "CAST(1 + event_id % 12 AS INT), CAST(1 + event_id % 28 AS INT), " +
+        "hour(ts), minute(ts), 0) AS ts",
+      "event_type",
+      "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u")
+      .withColumn("ym", date_format(col("ts"), "yyyy-MM"))
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = s.conf.getOption(tsKey)
+    s.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try graft.sources.Sources.writeParquet(src.repartition(col("ym")), dir, Seq("ym"))
+    finally oldTs.fold(s.conf.unset(tsKey))(s.conf.set(tsKey, _))
+    graft.sources.Snapshots.commit(s, dir, Seq("ym", "ts", "event_type"))
+    val cat = s"snapq256_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"""CREATE MATERIALIZED VIEW $cat.seasonal AS
+      |SELECT month(ts) AS m, count(*) AS n_rows, sum(u) AS u_tot
+      |FROM $cat.ev GROUP BY 1""".stripMargin).collect()
+    val cycOk = graft.sources.Mv.definition(s, mvDir).keyExprs
+      .get("m").exists(_.contains("month"))
+    // the canary: July 2022 is touched by NEITHER window — corrupt it
+    // before both refreshes; a cyclic inverse that degraded to scanning
+    // every candidate (or enumerated the wrong periods) dies here
+    val victim = graft.sources.Snapshots.files(s, dir).find(_.startsWith("ym=2022-07/")).get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(dir, victim))
+    // window 1: INSERT one March-2023 row — affected month {3}; both
+    // years' March files recompute, nothing else opens
+    s.sql(s"INSERT INTO $cat.ev VALUES (TIMESTAMP'2023-03-15 12:00:00', 'click', " +
+      "CAST(42 AS BIGINT), '2023-03')").collect()
+    val r1 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.seasonal").head()
+    val incr1Ok = !r1.getBoolean(4) && r1.getLong(2) == 1L && r1.getLong(3) == 0L
+    // window 2: DELETE November 2022 — month 11 recomputes from its
+    // remaining (2023) period alone
+    s.sql(s"DELETE FROM $cat.ev WHERE ym = '2022-11'").collect()
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.seasonal").head()
+    val incr2Ok = !r2.getBoolean(4) && r2.getLong(2) == 1L && r2.getLong(3) == 0L
+    val freshOk = !s.sql(s"SELECT stale FROM $cat.seasonal.mv").head().getBoolean(0)
+    s.sql(s"SELECT m, n_rows, u_tot FROM $cat.seasonal ORDER BY m")
+      .withColumn("cyc_ok", lit(cycOk))
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+      .withColumn("fresh_ok", lit(freshOk))
+  }
+
+  val q256Sql: String =
+    """WITH s AS (
+      |  SELECT make_timestamp(2022 + CAST(floor(event_id / 12.0) AS BIGINT) % 2,
+      |                        1 + event_id % 12, 1 + event_id % 28,
+      |                        date_part('hour', ts), date_part('minute', ts), 0.0) AS ts2,
+      |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |f AS (
+      |  SELECT ts2, u FROM s WHERE strftime(ts2, '%Y-%m') <> '2022-11'
+      |  UNION ALL SELECT TIMESTAMP '2023-03-15 12:00:00', CAST(42 AS BIGINT))
+      |SELECT CAST(month(ts2) AS INT) AS m, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(u) AS BIGINT) AS u_tot,
+      |       true AS cyc_ok, true AS incr1_ok, true AS incr2_ok, true AS fresh_ok
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q255Sql: String =
     """WITH s AS (
       |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
@@ -4321,6 +4415,7 @@ object Frontier3 {
       |FROM final GROUP BY day ORDER BY day""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q256_seasonal_cyclic_mv" -> (q256 _),
     "q255_mv_schema_evolution" -> (q255 _),
     "q254_hourly_expr_mv" -> (q254 _),
     "q253_left_join_mv" -> (q253 _),
@@ -4383,6 +4478,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q256_seasonal_cyclic_mv" -> q256Sql,
     "q255_mv_schema_evolution" -> q255Sql,
     "q254_hourly_expr_mv" -> q254Sql,
     "q253_left_join_mv" -> q253Sql,
