@@ -743,13 +743,22 @@ object Mv {
             val owners = dimVisible.collect {
               case (dim, vis) if refs.forall(vis.contains) => dim
             }
-            require(
-              owners.size == 1,
-              s"derived group key '$k' ($e) must reference only fact columns, or only the " +
-                s"visible columns of exactly ONE dim; its references (${refs.mkString(", ")}) " +
-                s"resolve to ${owners.size} such side(s) — split a mixed-side expression " +
-                "into per-side keys")
-            k -> Some(owners.head)
+            if (owners.size == 1) k -> Some(owners.head)
+            else {
+              // the AUTO-SPLIT: a mixed key that is a top-level concat of
+              // single-side parts threads ownership per PART — narrowing
+              // recovers the fact part's values by enumeration over the
+              // broadcast dim ([[mixedConcatPrune]]); genuinely entangled
+              // shapes (both sides inside one sub-expression) still refuse
+              require(
+                concatSplit(spark, e, factCols, dimVisible).isDefined,
+                s"derived group key '$k' ($e) must reference only fact columns, only the " +
+                  s"visible columns of exactly ONE dim, or be a top-level concat(...) of " +
+                  "such single-side parts (ONE bare fact column + one dim's expressions + " +
+                  s"string literals — those auto-split); its references (${refs.mkString(", ")}) " +
+                  "do neither — split the expression into per-side keys")
+              k -> Option.empty[MvDim]
+            }
           }
         case None =>
           if (factCols.contains(k)) k -> Option.empty[MvDim]
@@ -1087,6 +1096,171 @@ object Mv {
     val collected = rendered.limit(MaxCyclicProbes + 1).collect()
     if (collected.length > MaxCyclicProbes) None
     else Some(collected.toSeq.map(r => (r.getString(0), r.getString(1))))
+  }
+
+  /** One part of an auto-split mixed derived key ([[concatSplit]]). */
+  private[sources] sealed trait MixedPart
+  private[sources] final case class FactPart(col: String) extends MixedPart
+  private[sources] final case class DimPart(sql: String) extends MixedPart
+  private[sources] final case class LitPart(value: String) extends MixedPart
+
+  /** Decompose a MIXED-side derived key that is a top-level
+    * `concat(...)` of single-side parts: exactly ONE part is a bare fact
+    * column, the rest are string literals and/or expressions over ONE
+    * dim's visible columns. Such a key auto-splits instead of refusing —
+    * the aggregation computes it after the join like any expression, and
+    * refresh narrowing recovers the fact part's values from affected key
+    * strings by enumeration over the broadcast dim
+    * ([[mixedConcatPrune]]). None for anything else (a genuinely
+    * entangled shape keeps [[keyOwners]]'s loud refusal).
+    */
+  private[sources] def concatSplit(
+      spark: SparkSession,
+      exprSql: String,
+      factCols: Set[String],
+      dimVisible: Seq[(MvDim, Set[String])]): Option[(MvDim, Seq[MixedPart])] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(exprSql)
+      catch { case NonFatal(_) => return None }
+    val args: Seq[Expression] = parsed match {
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase).mkString(".") == "concat" &&
+            f.arguments.size >= 2 =>
+        f.arguments
+      case _ => return None
+    }
+    def refsOf(e: Expression): Seq[String] =
+      e.collect { case a: UnresolvedAttribute => a.name }.distinct
+    val parts: Seq[Option[MixedPart]] = args.map {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        Some(LitPart(v.toString))
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && factCols.contains(a.nameParts.head) =>
+        Some(FactPart(a.nameParts.head))
+      case e =>
+        val refs = refsOf(e)
+        if (refs.nonEmpty && dimVisible.exists { case (_, vis) => refs.forall(vis.contains) })
+          Some(DimPart(e.sql))
+        else None
+    }
+    if (parts.contains(None)) return None
+    val ps = parts.flatten
+    if (ps.count(_.isInstanceOf[FactPart]) != 1) return None
+    val dimRefs = args.zip(ps).collect { case (e, _: DimPart) => refsOf(e) }
+    if (dimRefs.isEmpty) return None // all-fact / all-literal is not mixed
+    // the create-time namespace discipline makes visible columns unique
+    // across dims, so at most one dim can own every dim part's refs
+    dimVisible
+      .find { case (_, vis) => dimRefs.forall(_.forall(vis.contains)) }
+      .map { case (dim, _) => (dim, ps) }
+  }
+
+  /** Narrow `candidates` through every auto-split mixed concat key
+    * ([[concatSplit]]): the fact part's values are recovered from the
+    * affected key strings by ENUMERATION over the broadcast dim — for
+    * each (affected value, distinct dim-part tuple), the fact value is
+    * the middle of the string once the dim+literal prefix and suffix
+    * match — and those values then drive the same stats/bloom/partition
+    * narrowing bare fact keys get. A LEFT dim contributes one extra
+    * synthetic tuple, each part's NULL-IMAGE (the expression over an
+    * all-NULL dim row), so groups fed by UNMATCHED rows solve too. An
+    * affected NULL key value stands the key down entirely (a NULL concat
+    * admits any fact value — inner-join rows with a NULL dim attribute
+    * land there, and their fact values are unconstrained). Ambiguous
+    * splits admit EXTRA values — over-inclusion is safe; exclusion only
+    * needs the enumeration to cover the contributing row's dim tuple,
+    * which it does by construction.
+    */
+  private def mixedConcatPrune(
+      spark: SparkSession,
+      d: MvDef,
+      srcView: Snapshots.ManifestView,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      srcPartCols: Seq[String],
+      affected: DataFrame,
+      candidates: Seq[String]): Seq[String] = {
+    val factCols = srcSchema.fieldNames.toSet
+    lazy val dimVisible: Seq[(MvDim, Set[String])] = d.dims.flatMap { dim =>
+      Snapshots
+        .schemaOf(spark, dim.root)
+        .map(sch => dim -> (sch.fieldNames.toSet -- dim.dimCols.toSet))
+    }
+    d.keyExprs.foldLeft(candidates) { case (cands, (k, e)) =>
+      val split =
+        if (cands.isEmpty) None else concatSplit(spark, e, factCols, dimVisible)
+      split match {
+        case None => cands
+        case Some((dim, parts)) =>
+          val fc = parts.collectFirst { case FactPart(c) => c }.get
+          srcSchema.fields.find(_.name == fc) match {
+            case None => cands // schema drifted; the evolution gate refuses elsewhere
+            case Some(field) =>
+              val vals = affected.select(col(k).cast("string").as("__g")).distinct()
+              if (!vals.where(col("__g").isNull).isEmpty) cands // NULL group: stand down
+              else {
+                val dimSchema = Snapshots
+                  .schemaOf(spark, dim.root)
+                  .getOrElse(sys.error(s"dim ${dim.root} records no schema"))
+                val dimPartIdx = parts.zipWithIndex.collect { case (DimPart(_), i) => i }
+                val dimExprs = parts.zipWithIndex.collect { case (DimPart(sql), i) =>
+                  expr(sql).as(s"__p$i")
+                }
+                var tuples = Snapshots
+                  .readSnapshot(spark, dim.root, dim.version)
+                  .select(dimExprs: _*)
+                  .distinct()
+                if (dim.joinType == "left") {
+                  // the unmatched rows' tuple: every dim part at its
+                  // NULL-IMAGE (null-intolerant parts image to NULL and
+                  // drop out below — exactly the rows whose key is NULL)
+                  val imageRow = spark
+                    .range(1)
+                    .select(parts.zipWithIndex.collect { case (DimPart(sql), i) =>
+                      nullImageLit(spark, dimSchema, sql).cast("string").as(s"__p$i")
+                    }: _*)
+                  tuples = tuples
+                    .select(dimPartIdx.map(i => col(s"__p$i").cast("string")): _*)
+                    .unionByName(imageRow)
+                    .distinct()
+                }
+                val factIdx = parts.indexWhere(_.isInstanceOf[FactPart])
+                def sideSql(sel: Seq[(MixedPart, Int)]): String =
+                  if (sel.isEmpty) "''"
+                  else
+                    "concat(" + sel.map {
+                      case (LitPart(v), _) => "'" + v.replace("'", "\\'") + "'"
+                      case (_, i) => s"cast(__p$i as string)"
+                    }.mkString(", ") + ")"
+                val preSql = sideSql(parts.zipWithIndex.take(factIdx))
+                val sufSql = sideSql(parts.zipWithIndex.drop(factIdx + 1))
+                val vf = vals
+                  .crossJoin(broadcast(tuples))
+                  .selectExpr(s"($preSql) AS __pre", s"($sufSql) AS __suf", "__g")
+                  .selectExpr(
+                    "CASE WHEN length(__g) >= length(__pre) + length(__suf) " +
+                      "AND substring(__g, 1, length(__pre)) = __pre " +
+                      "AND right(__g, length(__suf)) = __suf " +
+                      "THEN substring(__g, length(__pre) + 1, " +
+                      "length(__g) - length(__pre) - length(__suf)) END AS __vf")
+                  .where(col("__vf").isNotNull)
+                  .select(col("__vf").cast(field.dataType).as(fc))
+                  .where(col(fc).isNotNull) // an uncastable split admits nothing
+                  .distinct()
+                  .persist()
+                try {
+                  val nT = vf.count()
+                  if (nT == 0L) Seq.empty // no (value, tuple) solves: groups vanish
+                  else
+                    DeleteVectors.candidateRelsForKeys(
+                      spark, d.sourceRoot, srcView, cands, vf, nT, Seq(fc), Seq(field),
+                      srcPartCols)
+                } finally vf.unpersist()
+              }
+          }
+      }
+    }
   }
 
   /** What a derived key evaluates to on a LEFT join's UNMATCHED rows:
@@ -1570,10 +1744,17 @@ object Mv {
     // hour bounds the source timestamp, and the per-file stats interval
     // decides admission — a day-clustered 100 TB fact recomputes an
     // hour's groups from that hour's files
-    val candidates =
-      if (d.keyExprs.isEmpty) tupleCandidates
-      else derivedIntervalPrune(
-        spark, d, srcView, srcSchema, srcPartCols, affectedCast, alive, tupleCandidates)
+    val candidates = {
+      val c1 =
+        if (d.keyExprs.isEmpty) tupleCandidates
+        else derivedIntervalPrune(
+          spark, d, srcView, srcSchema, srcPartCols, affectedCast, alive, tupleCandidates)
+      // auto-split mixed keys narrow through the dim enumeration — a
+      // concat(fact_col, dim_attr) key recovers the fact values from the
+      // affected strings and prunes like a bare fact key
+      if (d.keyExprs.isEmpty || d.dims.isEmpty) c1
+      else mixedConcatPrune(spark, d, srcView, srcSchema, srcPartCols, affectedCast, c1)
+    }
     val recomputed = (if (candidates.isEmpty) {
                         // every affected group's last row vanished: nothing to recompute
                         spark.createDataFrame(

@@ -1155,17 +1155,26 @@ class MvSpec extends SparkSpec {
     assert(got() == expect())
   }
 
-  test("derived keys: refusals — mixed-side references and namespace collisions") {
+  test("derived keys: refusals — ENTANGLED mixed-side references and namespace collisions") {
     val (fact, dim, mv) = starFixture("mv_dkrefuse")
-    // a derived key needing BOTH sides' values at once: neither the
-    // monotone inverse nor dim enumeration can thread it
+    // a derived key needing BOTH sides' values inside ONE sub-expression:
+    // not a top-level concat of single-side parts, so no auto-split —
+    // neither the monotone inverse nor dim enumeration can thread it
     val e = intercept[IllegalArgumentException] {
       Mv.create(
         spark, fact, mv, Seq("g2"), Seq("count(*) AS n"),
         dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
-        keyExprs = Map("g2" -> "concat(cat, grp)"))
+        keyExprs = Map("g2" -> "upper(concat(cat, grp))"))
     }
     assert(e.getMessage.contains("exactly ONE"), e.getMessage)
+    // two fact parts cannot be recovered from one string either
+    val e1b = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("g2"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
+        keyExprs = Map("g2" -> "concat(cat, grp, cat)"))
+    }
+    assert(e1b.getMessage.contains("auto-split"), e1b.getMessage)
     // a derived key named like an existing column would shadow it
     val e2 = intercept[IllegalArgumentException] {
       Mv.create(
@@ -1173,6 +1182,66 @@ class MvSpec extends SparkSpec {
         keyExprs = Map("v" -> "upper(cat)"))
     }
     assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
+  test("mixed-side derived key AUTO-SPLIT: concat(fact, '|', dim_attr) creates and narrows, canary held") {
+    val (fact, dim, mv) = starFixture("mv_mixed")
+    Mv.create(
+      spark, fact, mv, Seq("g2"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
+      keyExprs = Map("g2" -> "concat(cat, '|', grp)"))
+    def expect(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dim), $"cat" === $"ck")
+        .groupBy(concat($"cat", lit("|"), $"grp").as("g2"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect(), "create ≡ recompute for an auto-split mixed key")
+    // window 1: a new fact row in cat=a — affected g2 'a|g1'; the dim
+    // enumeration solves the fact part back to {'a'} and the cat=c
+    // partition is the canary the recompute must never open
+    DeleteVectors.upsert(spark, fact, Seq(("a", 7L, 12L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r1 = withCorrupted(fact, "cat=c/") { Mv.refresh(spark, mv) }
+    assert(!r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L, r1.toString)
+    assert(got() == expect())
+    // window 2: the DIM moves (a: g1 -> g9) — the dim-delta path derives
+    // both mappings' groups; the enumeration still recovers {'a'} and
+    // cat=d stays shut
+    DeleteVectors.upsert(spark, dim, Seq(("a", "g9", 2L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val r2 = withCorrupted(fact, "cat=d/") { Mv.refresh(spark, mv) }
+    assert(!r2.fullResync, r2.toString)
+    assert(got() == expect(), "a moved dim re-maps the mixed key's groups exactly")
+  }
+
+  test("mixed-side AUTO-SPLIT on a LEFT dim: the NULL-IMAGE tuple keeps unmatched groups solvable") {
+    val (fact, dim, mv) = starFixture("mv_mixedleft")
+    // null-TOLERANT dim part: unmatched fact rows land in '<cat>|none'
+    // groups whose dim-part value exists in NO dim row — only the
+    // synthetic NULL-IMAGE tuple can solve the fact part back; without
+    // it the enumeration would find nothing and DELETE the group
+    Mv.create(
+      spark, fact, mv, Seq("g2"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "left")),
+      keyExprs = Map("g2" -> "concat(cat, '|', coalesce(grp, 'none'))"))
+    def expect(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dim), $"cat" === $"ck", "left")
+        .groupBy(concat($"cat", lit("|"), coalesce($"grp", lit("none"))).as("g2"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect())
+    // a new UNMATCHED fact row: cat=e has no dim entry, so its group is
+    // 'e|none' — the image tuple must admit cat=e's file and only it
+    DeleteVectors.upsert(spark, fact, Seq(("e", 8L, 50L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r = withCorrupted(fact, "cat=c/") { Mv.refresh(spark, mv) }
+    assert(!r.fullResync && r.groupsRecomputed == 1L && r.groupsDeleted == 0L, r.toString)
+    assert(got() == expect(), "the unmatched group must recompute, not vanish")
   }
 
   test("derived keys over a DIM attribute: the trace inverts by enumeration over the broadcast dim") {
