@@ -434,8 +434,13 @@ object Mv {
       require(
         sp.joinType == "inner" || sp.joinType == "left",
         s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got " +
-          s"'${sp.joinType}' — for a RIGHT join, swap the sides (make the other table the " +
-          "fact); FULL OUTER is not maintainable incrementally")
+          s"'${sp.joinType}'. For a RIGHT join, reverse it: make ${sp.dimRoot} the fact " +
+          "and LEFT-join the other table as the dim. For FULL OUTER, split it: keep this " +
+          "LEFT-join view for the fact-preserved side, and maintain the dim-only remainder " +
+          "as a second view over the dim as ITS OWN fact (the rows a LEFT join from the dim " +
+          "leaves unmatched — an anti-join at read time), then UNION the two when querying; " +
+          "a single FULL OUTER view is not maintained incrementally because a fact change " +
+          "flips dim rows' matched status table-wide")
       MvDim(
         sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType,
         Snapshots.chainIdentity(spark, sp.dimRoot))

@@ -1184,6 +1184,24 @@ class MvSpec extends SparkSpec {
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 
+  test("RIGHT/FULL OUTER dims refuse with first-class guidance naming the rewrite") {
+    val (fact, dim, mv) = starFixture("mv_outer")
+    val er = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("grp"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "right")))
+    }
+    assert(er.getMessage.contains("reverse it"), er.getMessage)
+    val ef = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, mv, Seq("grp"), Seq("count(*) AS n"),
+        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "full")))
+    }
+    assert(
+      ef.getMessage.contains("UNION the two") && ef.getMessage.contains("LEFT-join view"),
+      ef.getMessage)
+  }
+
   test("mixed-side derived key AUTO-SPLIT: concat(fact, '|', dim_attr) creates and narrows, canary held") {
     val (fact, dim, mv) = starFixture("mv_mixed")
     Mv.create(
