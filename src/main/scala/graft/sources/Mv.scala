@@ -492,7 +492,19 @@ object Mv {
     require(
       (aliases ++ keyCols).distinct.size == aliases.size + keyCols.size,
       s"Mv.create: duplicate output column among ${cols.mkString(", ")}")
-    Sources.writeParquet(full, mvRoot)
+    // NOT SaveMode.Overwrite: Spark's overwrite deletes the target ROOT
+    // recursively — _graft_manifests/ and the very .lock this create
+    // holds included — un-fencing every concurrent writer mid-create
+    // (caught by the cross-process torture spec: the racer's overwrite
+    // then deletes our half-written files). Pre-clean a failed earlier
+    // create's leftovers BY NAME under the lock, then APPEND into the
+    // clean root.
+    if (fs.exists(mvPath)) fs.listStatus(mvPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n == "_temporary" || n == "_SUCCESS" || (!n.startsWith("_") && !n.startsWith(".")))
+        fs.delete(st.getPath, true)
+    }
+    full.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mvRoot)
     val v = Snapshots.commit(spark, mvRoot, keyCols, keyCols)
     writeDef(fs, mvPath, d)
     v
@@ -533,12 +545,11 @@ object Mv {
           false
         }
       } else {
-        // under the lock, only UNREGISTER the view: a TOMBSTONE lands
-        // first, then the definition dies (both images) — every
-        // serialized MV face afterwards sees a headless-but-tombstoned
-        // husk (refresh refuses; create refuses while manifests exist; a
-        // retry drop resumes the sweep). Deleting the whole tree here
-        // would delete the lock file mid-critical-section.
+        // UNREGISTER first: a TOMBSTONE lands, then the definition dies
+        // (both images) — a crash before the sweep below leaves a
+        // headless-but-tombstoned husk every MV face refuses (refresh
+        // refuses; create refuses on the tombstone) and a retry drop
+        // resumes.
         val out = fs.create(tombstone, true)
         try out.write("graft-mv dropped".getBytes(StandardCharsets.UTF_8))
         finally out.close()
@@ -547,29 +558,40 @@ object Mv {
         true
       }
     }
-    // sweep AFTER release: the def removal fenced every MV face out
-    // (refresh refuses; create refuses on the tombstone even once the
-    // manifests are gone), so the husk — data files, manifests, sidecars,
-    // tombstone — has no other owner. A failed sweep is recoverable: the
-    // tombstone lets a retry drop resume it.
-    if (existed) sweepHusk(fs, mvPath)
-    // the no-op case may leave an EMPTY dir skeleton (the lock released
-    // above): non-recursive deletes can only ever remove empty
-    // directories — provably nobody's data, even against a create that
-    // started the instant the lock released
-    else emptyHuskReclaim(fs, mvPath)
+    // sweep INSIDE a (re-acquired) table lock: the sweep deletes by NAME
+    // from listings taken as it goes, so it must be serialized with any
+    // new create — two processes RESUMING the same husk's sweep otherwise
+    // race: the first to delete the tombstone un-fences create, and the
+    // slower sweeper's still-running deletes (manifest version names,
+    // `def` — names a new view REUSES) would destroy the new view's
+    // state. [[sweepHusk]] skips the lock file itself, so holding the
+    // lock through the sweep is safe; a crash mid-sweep leaves tombstone
+    // + a stale lock the next drop breaks and resumes.
+    if (existed) Snapshots.withTableLock(spark, mvRoot) {
+      // re-check under THIS lock: a faster concurrent resumed drop may
+      // have finished the whole sweep while we queued — its tombstone
+      // delete fences us out of deleting anything further
+      if (fs.exists(new Path(defPath(mvPath).getParent, ".def-dropped")))
+        sweepHusk(fs, mvPath)
+    }
+    // the skeleton (now holding only the released lock file) reclaims
+    // with NON-recursive deletes only — provably nobody's data, even
+    // against a create that started the instant the lock released
+    emptyHuskReclaim(fs, mvPath)
     existed
   }
 
-  /** [[drop]]'s post-release sweep, ordered so the `.def-dropped`
-    * tombstone OUTLIVES every adoptable remain: data files and sidecars
-    * first, then the manifest chain, the tombstone second-to-last, and
-    * the (empty) directory skeleton only via non-recursive deletes. A
-    * crash anywhere before the tombstone's delete leaves a husk every MV
-    * face refuses and a retry drop resumes; after it, only empty dirs —
-    * and a concurrent create that slips in once the tombstone is gone
-    * can lose nothing to the non-recursive tail (its lock file makes the
-    * skeleton non-empty, which simply leaves the dirs to the new owner).
+  /** [[drop]]'s sweep — runs UNDER the table lock (so it can never race
+    * a new create or a second resumed sweep; it skips the lock file
+    * itself), ordered so the `.def-dropped` tombstone OUTLIVES every
+    * adoptable remain: data files and sidecars first, then the manifest
+    * chain, the tombstone second-to-last, and the (empty) directory
+    * skeleton only via non-recursive deletes. A crash anywhere before
+    * the tombstone's delete leaves a husk every MV face refuses and a
+    * retry drop resumes; after it, only empty dirs — and a concurrent
+    * create that starts once the lock releases can lose nothing to the
+    * non-recursive tail (its lock file makes the skeleton non-empty,
+    * which simply leaves the dirs to the new owner).
     */
   private def sweepHusk(fs: FileSystem, mvPath: Path): Unit = {
     val man = new Path(mvPath, Snapshots.ManifestDirName)

@@ -142,11 +142,32 @@ object Snapshots {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  /** Lock-file IO routes through java.nio for LOCAL filesystems: Hadoop's
+    * `LocalFileSystem.create(f, overwrite = false)` is an exists() check
+    * followed by an open — NOT atomic across processes, so two JVMs
+    * racing the acquire can BOTH succeed through that window (the
+    * cross-process torture spec catches real double-grants there).
+    * `Files.createFile` is O_CREAT|O_EXCL — genuinely atomic on POSIX.
+    * HDFS's create IS atomic and keeps the hadoop route; an object store
+    * would swap in a conditional PUT. The nio route also writes no
+    * checksum sidecar, so concurrent heartbeat rewrites never produce a
+    * torn `.lock.crc`.
+    */
+  private def localLockFile(fs: FileSystem, p: Path): Option[java.nio.file.Path] =
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(java.nio.file.Paths.get(p.toUri.getPath))
+      case _ => None
+    }
+
   private def readLockTag(fs: FileSystem, lock: Path): Option[String] =
-    try {
-      val in = fs.open(lock)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
+    try localLockFile(fs, lock) match {
+      case Some(nio) =>
+        Some(new String(java.nio.file.Files.readAllBytes(nio), "UTF-8").trim)
+      case None =>
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
     } catch { case _: Exception => None } // vanished or unreadable mid-race
 
   /** Lock-tag format: `graft-lock <createdMs> <heartbeatMs> <owner> <appId>`.
@@ -165,9 +186,10 @@ object Snapshots {
   }
 
   /** Enforced single-writer: maintenance ops run under an exclusive table
-    * lock (create-exclusive `_graft_manifests/.lock`, atomic on every
-    * hadoop FS that supports atomic create — local FS and HDFS do; object
-    * stores would swap in a conditional PUT). Liveness is judged by a
+    * lock (create-exclusive `_graft_manifests/.lock` — O_EXCL via
+    * java.nio on local filesystems ([[localLockFile]]), hadoop's atomic
+    * create on HDFS; object stores would swap in a conditional PUT).
+    * Liveness is judged by a
     * HEARTBEAT: the holder rewrites the lock's timestamp every staleMs/5,
     * so a slow-but-alive op (a compaction outliving staleMs) is never
     * mistaken for a crashed one; only a lock whose heartbeat is older than
@@ -182,6 +204,21 @@ object Snapshots {
     * maintenance durations. Readers never touch the lock — snapshot reads
     * stay coordination-free at any concurrency. Reentrant per thread.
     */
+  /** Diagnostics only: with `-Dgraft.lock.trace=<file>`, append one line
+    * per lock acquire/release (timestamp, pid, owner, key) — what the
+    * cross-process torture spec reads to reconstruct interleavings. A
+    * no-op (one getProperty) in normal runs.
+    */
+  private def lockTrace(msg: => String): Unit = {
+    val f = System.getProperty("graft.lock.trace")
+    if (f != null)
+      try {
+        val w = new java.io.FileWriter(f, true)
+        try w.write(s"${System.currentTimeMillis()} pid${ProcessHandle.current().pid()} $msg\n")
+        finally w.close()
+      } catch { case _: Exception => () }
+  }
+
   def withTableLock[T](
       spark: SparkSession,
       root: String,
@@ -200,15 +237,30 @@ object Snapshots {
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lock, false) // create-exclusive: the atomic acquire
         // heartbeat = NOW, not createdMs: a writer that queued longer than
         // staleMs would otherwise be born already-stale and instantly
         // broken by the next waiter's poll
-        try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
-        finally out.close()
+        localLockFile(fs, lock) match {
+          case Some(nio) =>
+            // O_CREAT|O_EXCL — see [[localLockFile]]: hadoop's local
+            // create-exclusive has a TOCTOU window across processes
+            java.nio.file.Files.createFile(nio)
+            java.nio.file.Files.write(nio, tag(System.currentTimeMillis()).getBytes("UTF-8"))
+          case None =>
+            val out = fs.create(lock, false) // create-exclusive: the atomic acquire
+            try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
+            finally out.close()
+        }
         acquired = true
       } catch {
         case _: java.io.IOException =>
+          // re-create the parent dir before judging contention: a
+          // concurrent no-op drop's skeleton reclaim can delete it after
+          // our one-time mkdirs above, and the nio O_EXCL create (unlike
+          // hadoop's) does NOT create parents — without this, a missing
+          // dir reads as "lock held" and spins to the deadline
+          try fs.mkdirs(dir)
+          catch { case _: java.io.IOException => () }
           val seen = readLockTag(fs, lock)
           val stale = seen.exists(t => heartbeatOf(t).exists(hb => System.currentTimeMillis() - hb > staleMs))
           if (stale) {
@@ -236,6 +288,7 @@ object Snapshots {
       }
     }
     heldLocks.set(heldLocks.get() + key)
+    lockTrace(s"acquire $owner $key")
     val stopHb = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hbThread = new Thread(
       () => {
@@ -249,9 +302,14 @@ object Snapshots {
               // vanishes, so no create-exclusive acquire can slip in; a
               // reader catching the truncated window parses a malformed
               // tag, which reads as fresh, never as stale
-              val out = fs.create(lock, true)
-              try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
-              finally out.close()
+              localLockFile(fs, lock) match {
+                case Some(nio) =>
+                  java.nio.file.Files.write(nio, tag(System.currentTimeMillis()).getBytes("UTF-8"))
+                case None =>
+                  val out = fs.create(lock, true)
+                  try out.write(tag(System.currentTimeMillis()).getBytes("UTF-8"))
+                  finally out.close()
+              }
             } catch { case _: Exception => () } // next beat retries
           }
         }
@@ -269,6 +327,7 @@ object Snapshots {
       try hbThread.join(5000)
       catch { case _: InterruptedException => () }
       heldLocks.set(heldLocks.get() - key)
+      lockTrace(s"release $owner $key")
       // release only if still ours: if a breaker wrongly presumed us dead
       // and another writer holds the lock now, deleting it would unlock a
       // THIRD writer on top of them
