@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   SubqueryExpression
 }
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate,
   Filter,
@@ -159,13 +159,19 @@ object GraftSqlParser {
     // NULL dim attributes
     def unroll(
         p: LogicalPlan): (Seq[String], Seq[(Seq[String], String, Expression, String)]) = p match {
-      case Join(l, r, jt, cond, _) if jt == Inner || jt == LeftOuter =>
+      case Join(l, r, jt, cond, _) if jt == Inner || jt == LeftOuter || jt == FullOuter =>
         val on = cond.getOrElse(fail("every JOIN needs an ON clause of equi-conditions"))
         val (fact, dims) = unroll(l)
         val (parts, name) = relOf(r)
-        (fact, dims :+ ((parts, name, on, if (jt == LeftOuter) "left" else "inner")))
+        val t = jt match {
+          case LeftOuter => "left"
+          case FullOuter => "full"
+          case _ => "inner"
+        }
+        (fact, dims :+ ((parts, name, on, t)))
       case Join(_, _, other, _, _) =>
-        fail(s"only INNER and LEFT joins are maintainable (got ${other.sql})")
+        fail(s"only INNER, LEFT and FULL OUTER joins are maintainable (got ${other.sql}; " +
+          "for RIGHT, reverse the join)")
       case leaf => (relOf(leaf)._1, Seq.empty)
     }
     val (factParts, rawDims) = unroll(fromPlan)

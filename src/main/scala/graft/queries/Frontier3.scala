@@ -4356,6 +4356,85 @@ object Frontier3 {
       .withColumn("widen_refused", lit(widenRefused))
   }
 
+  // -- q257: FULL OUTER join MV — dim-unmatched groups maintained -----------
+
+  /** The coverage dashboard: `CREATE MATERIALIZED VIEW … FROM fact FULL
+    * OUTER JOIN dim …` — every dim row shows, matched or not, so a
+    * nation with zero events reads n=1, total=NULL instead of vanishing.
+    * Incrementally maintained ([[graft.sources.Mv]]'s (c)-side): a fact
+    * window's join keys name exactly the dim rows whose MATCHED STATUS
+    * can flip, and the recompute probes only the affected images' keys
+    * against the fact (stats/bloom/partition narrowing) — window 1's
+    * INSERT of the first uk=999 row flips 'NOWHERE' to matched (n=1,
+    * u_tot=42), window 2's DELETE flips it back to the unmatched image
+    * (n=1, u_tot=NULL), and the uk=0 partition's file is corrupted
+    * through BOTH refreshes: a refresh that fell back to scanning the
+    * fact (or probed more than the affected keys) dies loudly. At
+    * 100 TB: the "show every dimension member" rollup refreshes at the
+    * flipped members' keys, never the fact.
+    */
+  def q257(s: SparkSession, d: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snapq257_${java.lang.Integer.toHexString(d.hashCode)}_${s.sparkContext.applicationId}")
+    graft.core.Scratch.register(base.toString)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    val ev = Tables.events(s, d)
+    val micro = floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+    val evDir = new org.apache.hadoop.fs.Path(base, "ev").toString
+    val ndDir = new org.apache.hadoop.fs.Path(base, "nd").toString
+    val mvDir = new org.apache.hadoop.fs.Path(base, "bynation").toString
+    graft.sources.Sources.writeParquet(
+      ev.select((col("user_id") % 25).cast("long").as("uk"), micro.as("u"))
+        .repartition(col("uk")),
+      evDir, Seq("uk"))
+    graft.sources.Snapshots.commit(s, evDir, Seq("uk"))
+    val nd = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name").as("grp"))
+      .unionByName(s.range(1).select(lit(999L).as("nk"), lit("NOWHERE").as("grp")))
+    graft.sources.Sources.writeParquet(nd.repartition(1), ndDir)
+    graft.sources.Snapshots.commit(s, ndDir, Seq("nk"))
+    val cat = s"snapq257_${java.lang.Integer.toHexString(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.snap.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", base.toString)
+    s.sql(s"""CREATE MATERIALIZED VIEW $cat.bynation AS
+      |SELECT grp, count(*) AS n_rows, sum(u) AS u_tot
+      |FROM $cat.ev FULL OUTER JOIN $cat.nd d ON uk = d.nk
+      |GROUP BY grp""".stripMargin).collect()
+    def nowhere(): (Long, Option[Long]) = {
+      val r = s.sql(s"SELECT n_rows, u_tot FROM $cat.bynation WHERE grp = 'NOWHERE'").head()
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    val createOk = nowhere() == ((1L, None))
+    // the canary: uk=0's file is touched by NEITHER window
+    val victim = graft.sources.Snapshots.files(s, evDir).find(_.startsWith("uk=0/")).get
+    corruptFile(s, fs, new org.apache.hadoop.fs.Path(evDir, victim))
+    // window 1: the first uk=999 row — 'NOWHERE' flips to MATCHED
+    s.sql(s"INSERT INTO $cat.ev VALUES (CAST(42 AS BIGINT), CAST(999 AS BIGINT))").collect()
+    val r1 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.bynation").head()
+    val incr1Ok = !r1.getBoolean(4) && nowhere() == ((1L, Some(42L)))
+    // window 2: deleting it flips 'NOWHERE' back to the unmatched image
+    s.sql(s"DELETE FROM $cat.ev WHERE uk = CAST(999 AS BIGINT)").collect()
+    val r2 = s.sql(s"REFRESH MATERIALIZED VIEW $cat.bynation").head()
+    val incr2Ok = !r2.getBoolean(4) && nowhere() == ((1L, None))
+    s.sql(s"SELECT grp, n_rows, u_tot FROM $cat.bynation ORDER BY grp")
+      .withColumn("create_ok", lit(createOk))
+      .withColumn("incr1_ok", lit(incr1Ok))
+      .withColumn("incr2_ok", lit(incr2Ok))
+  }
+
+  val q257Sql: String =
+    """WITH f AS (
+      |  SELECT user_id % 25 AS uk, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS u
+      |  FROM events),
+      |d AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS grp FROM nation
+      |  UNION ALL SELECT 999, 'NOWHERE')
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(u) AS BIGINT) AS u_tot,
+      |       true AS create_ok, true AS incr1_ok, true AS incr2_ok
+      |FROM f FULL JOIN d ON f.uk = d.nk GROUP BY grp ORDER BY grp""".stripMargin
+
   // -- q256: cyclic expression-keyed MV — the seasonal rollup ---------------
 
   /** The SEASONAL materialization: `CREATE MATERIALIZED VIEW seasonal AS
@@ -4463,6 +4542,7 @@ object Frontier3 {
       |FROM final GROUP BY day ORDER BY day""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q257_full_outer_mv" -> (q257 _),
     "q256_seasonal_cyclic_mv" -> (q256 _),
     "q255_mv_schema_evolution" -> (q255 _),
     "q254_hourly_expr_mv" -> (q254 _),
@@ -4526,6 +4606,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q257_full_outer_mv" -> q257Sql,
     "q256_seasonal_cyclic_mv" -> q256Sql,
     "q255_mv_schema_evolution" -> q255Sql,
     "q254_hourly_expr_mv" -> q254Sql,

@@ -264,7 +264,8 @@ object Mv {
           // type; 6 adds the dim's chain identity ('-' = unknown)
           def jt(t: String): String = {
             val j = dec(t)
-            if (j != "inner" && j != "left") fail(s"unknown dim join type '$j' in '$l'")
+            if (j != "inner" && j != "left" && j != "full")
+              fail(s"unknown dim join type '$j' in '$l'")
             j
           }
           rest.split(" ") match {
@@ -360,6 +361,98 @@ object Mv {
       d.keyExprs.get(k).fold(df)(e => df.withColumn(k, expr(e))))
   }
 
+  /** `d` with its FULL dim demoted to LEFT — what the FEED and SCAN
+    * projections use: Spark's full join over a PARTIAL fact frame would
+    * fabricate one unmatched-dim row per dim row the SUBSET happens to
+    * miss, which is not a fact about the table. The true (c)-side — dim
+    * rows unmatched by the WHOLE pinned fact — is computed separately
+    * ([[fullDimCSide]]) and unioned in.
+    */
+  private def demoteFull(d: MvDef): MvDef =
+    d.copy(dims = d.dims.map(dim =>
+      if (dim.joinType == "full") dim.copy(joinType = "left") else dim))
+
+  /** Shape dim rows into [[prepared]]'s output namespace as UNMATCHED
+    * images: every fact column NULL, the dim's visible columns carried,
+    * the dim-only join columns dropped (prepared's namespace keeps the
+    * FACT's copies), then the recorded filter and derived keys — the
+    * exact tail create's full join feeds the aggregation, so a (c)-side
+    * row aggregates identically at refresh and at create. `keepKeys`
+    * additionally copies the dim join-key values to reserved
+    * `__graft_fk<i>` columns for the existence probe.
+    */
+  private def fullDimImage(
+      d: MvDef,
+      dim: MvDim,
+      dimRows: DataFrame,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      keepKeys: Boolean): DataFrame = {
+    var img = dimRows
+    if (keepKeys)
+      dim.dimCols.zipWithIndex.foreach { case (c, i) =>
+        img = img.withColumn(s"__graft_fk$i", col(c))
+      }
+    srcSchema.fields.foreach(f => img = img.withColumn(f.name, lit(null).cast(f.dataType)))
+    dim.dimCols.foreach(c => if (!srcSchema.fieldNames.contains(c)) img = img.drop(c))
+    val filtered = d.filterSql.fold(img)(f => img.filter(expr(f)))
+    d.keyCols.foldLeft(filtered)((df, k) =>
+      d.keyExprs.get(k).fold(df)(e => df.withColumn(k, expr(e))))
+  }
+
+  /** The (c)-side of a FULL dim's recompute: dim rows whose unmatched
+    * image lands in an AFFECTED group and whose join key is absent from
+    * the WHOLE pinned fact. The existence probe is change-priced — only
+    * the affected images' keys probe the fact, through the same stats/
+    * bloom/partition candidate narrowing every key probe uses. A NULL
+    * dim key never equals any fact key (FULL JOIN semantics), so the
+    * plain-equality anti keeps NULL-keyed dim rows unmatched.
+    */
+  private def fullDimCSide(
+      spark: SparkSession,
+      d: MvDef,
+      dim: MvDim,
+      srcView: Snapshots.ManifestView,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      srcPartCols: Seq[String],
+      alive: Seq[String],
+      affected: DataFrame): DataFrame = {
+    val dimRows = Snapshots.readSnapshot(spark, dim.root, dim.version)
+    val img = fullDimImage(d, dim, dimRows, srcSchema, keepKeys = true)
+    val cond = d.keyCols.map(c => img(c) <=> affected(c)).reduce(_ && _)
+    val affImg = img.join(broadcast(affected.select(d.keyCols.map(col): _*)), cond, "left_semi")
+    val keyFields = dim.factCols.map(c =>
+      srcSchema.fields
+        .find(_.name == c)
+        .getOrElse(sys.error(s"join column '$c' is not a fact column")))
+    val fkCols = dim.dimCols.indices.map(i => s"__graft_fk$i")
+    val pks = affImg
+      .select(fkCols.zip(keyFields).map { case (fk, f) => col(fk).cast(f.dataType).as(f.name) }: _*)
+      .where(keyFields.map(f => col(f.name).isNotNull).reduce(_ && _))
+      .distinct()
+    val nP = pks.count()
+    val present =
+      if (nP == 0L) pks
+      else {
+        val cands = DeleteVectors.candidateRelsForKeys(
+          spark, d.sourceRoot, srcView, alive, pks, nP, dim.factCols, keyFields, srcPartCols)
+        if (cands.isEmpty) pks.limit(0)
+        else {
+          val factKeys = Snapshots
+            .scanRels(spark, d.sourceRoot, cands, srcView.schema, Snapshots.dvByRel(srcView))
+            .select(keyFields.map(f => col(f.name)): _*)
+          factKeys
+            .join(
+              broadcast(pks),
+              dim.factCols.map(c => factKeys(c) === pks(c)).reduce(_ && _),
+              "left_semi")
+            .distinct()
+        }
+      }
+    val unCond = fkCols.zip(dim.factCols).map { case (fk, fc) => affImg(fk) === present(fc) }
+      .reduce(_ && _)
+    affImg.join(broadcast(present), unCond, "left_anti").drop(fkCols: _*)
+  }
+
   /** `SELECT keys…, aggs… GROUP BY keys…` over an already-[[prepared]]
     * frame — THE aggregation, one shape at create and at every refresh
     * (determinism of the recompute is what makes the crash-replay
@@ -423,6 +516,11 @@ object Mv {
     val factSchema = Snapshots
       .schemaOf(spark, sourceRoot)
       .getOrElse(sys.error(s"Mv.create: $sourceRoot records no schema (commit with statsCols)"))
+    require(
+      !dims.exists(_.joinType == "full") || dims.size == 1,
+      "Mv.create: a FULL OUTER dim must be the view's ONLY dim — chained outer joins give " +
+        "every other dim's unmatched semantics a second meaning per side; split the extra " +
+        "dims into a cascaded view over this one")
     val dimDefs = dims.map { sp =>
       val v = Snapshots.latestVersion(spark, sp.dimRoot)
       require(
@@ -432,15 +530,10 @@ object Mv {
         sp.factCols.nonEmpty && sp.factCols.size == sp.dimCols.size,
         s"Mv.create: dim ${sp.dimRoot} needs matched fact/dim join column lists")
       require(
-        sp.joinType == "inner" || sp.joinType == "left",
-        s"Mv.create: dim ${sp.dimRoot} join type must be 'inner' or 'left', got " +
+        sp.joinType == "inner" || sp.joinType == "left" || sp.joinType == "full",
+        s"Mv.create: dim ${sp.dimRoot} join type must be 'inner', 'left' or 'full', got " +
           s"'${sp.joinType}'. For a RIGHT join, reverse it: make ${sp.dimRoot} the fact " +
-          "and LEFT-join the other table as the dim. For FULL OUTER, split it: keep this " +
-          "LEFT-join view for the fact-preserved side, and maintain the dim-only remainder " +
-          "as a second view over the dim as ITS OWN fact (the rows a LEFT join from the dim " +
-          "leaves unmatched — an anti-join at read time), then UNION the two when querying; " +
-          "a single FULL OUTER view is not maintained incrementally because a fact change " +
-          "flips dim rows' matched status table-wide")
+          "and LEFT-join the other table as the dim.")
       MvDim(
         sp.dimRoot, sp.factCols, sp.dimCols, v, sp.joinType,
         Snapshots.chainIdentity(spark, sp.dimRoot))
@@ -1238,7 +1331,7 @@ object Mv {
                   .readSnapshot(spark, dim.root, dim.version)
                   .select(dimExprs: _*)
                   .distinct()
-                if (dim.joinType == "left") {
+                if (dim.joinType != "inner") {
                   // the unmatched rows' tuple: every dim part at its
                   // NULL-IMAGE (null-intolerant parts image to NULL and
                   // drop out below — exactly the rows whose key is NULL)
@@ -1484,11 +1577,27 @@ object Mv {
         // the feed carries FACT rows (deleted images included, with full
         // values — joinable); dims join on at their pinned heads, which
         // equal the whole window's dim state (a moved dim takes the
-        // dim-delta path instead of this one)
-        prepared(spark, d, feed)
-          .select(d.keyCols.map(col): _*)
-          .distinct()
-          .persist()
+        // dim-delta path instead of this one). A FULL dim demotes to
+        // LEFT here — a full join over the FEED would name every dim row
+        // the feed misses — and contributes instead the (c)-images of
+        // dim rows CARRYING the feed's join keys: those are exactly the
+        // rows whose matched status the window can flip
+        var keys = prepared(spark, demoteFull(d), feed).select(d.keyCols.map(col): _*)
+        d.dims.filter(_.joinType == "full").foreach { dim =>
+          val srcSchema = Snapshots
+            .schemaOf(spark, d.sourceRoot)
+            .getOrElse(sys.error(s"${d.sourceRoot} records no schema"))
+          val fkeys = feed.select(dim.factCols.map(col): _*).distinct()
+          val dimRows = Snapshots.readSnapshot(spark, dim.root, dim.version)
+          val cond = dim.dimCols.zip(dim.factCols)
+            .map { case (dc, fc) => dimRows(dc) === fkeys(fc) }
+            .reduce(_ && _)
+          val touched = dimRows.join(broadcast(fkeys), cond, "left_semi")
+          keys = keys.unionByName(
+            fullDimImage(d, dim, touched, srcSchema, keepKeys = false)
+              .select(d.keyCols.map(col): _*))
+        }
+        keys.distinct().persist()
       } catch {
         case NonFatal(e) =>
           log.warn(
@@ -1557,13 +1666,31 @@ object Mv {
         val alive = srcView.rels.filterNot(r =>
           Snapshots.fullyDeleted(srcView.stats.getOrElse(r, Map.empty)))
         def groupsUnderBoth(rows: DataFrame): DataFrame =
-          prepared(spark, dOld, rows)
+          prepared(spark, demoteFull(dOld), rows)
             .select(dOld.keyCols.map(col): _*)
-            .unionByName(prepared(spark, dNew, rows).select(dNew.keyCols.map(col): _*))
-        // side 1: the fact window's own changes, under both mappings
+            .unionByName(
+              prepared(spark, demoteFull(dNew), rows).select(dNew.keyCols.map(col): _*))
+        // a FULL dim's (c)-image groups for a frame of DIM rows — version-
+        // independent (filter + derived keys only reference values)
+        def cImages(dim: MvDim, dimRows: DataFrame): DataFrame =
+          fullDimImage(dNew, dim, dimRows, srcSchema, keepKeys = false)
+            .select(dNew.keyCols.map(col): _*)
+        // side 1: the fact window's own changes, under both mappings —
+        // plus, for a FULL dim, the (c)-images of dim rows carrying the
+        // window's join keys (their matched status can flip)
         val factSide: Seq[DataFrame] =
           if (v1 == dNew.refreshedVersion) Seq.empty
-          else Seq(groupsUnderBoth(changeFeed(spark, dNew.sourceRoot, dNew.refreshedVersion, v1)))
+          else {
+            val feed = changeFeed(spark, dNew.sourceRoot, dNew.refreshedVersion, v1)
+            Seq(groupsUnderBoth(feed)) ++ dNew.dims.filter(_.joinType == "full").map { dim =>
+              val fkeys = feed.select(dim.factCols.map(col): _*).distinct()
+              val dimRows = Snapshots.readSnapshot(spark, dim.root, dim.version)
+              val cond = dim.dimCols.zip(dim.factCols)
+                .map { case (dc, fc) => dimRows(dc) === fkeys(fc) }
+                .reduce(_ && _)
+              cImages(dim, dimRows.join(broadcast(fkeys), cond, "left_semi"))
+            }
+          }
         // side 2: per moved dim, the fact rows carrying its changed keys
         val dimSide: Seq[DataFrame] = dNew.dims.zip(dOld.dims).collect {
           case (nDim, oDim) if nDim.version != oDim.version =>
@@ -1594,7 +1721,18 @@ object Mv {
                   nDim.factCols.map(c => scan(c) === pksB(c)).reduce(_ && _)
                 scan.join(pksB, cond, "left_semi")
               }
-            groupsUnderBoth(touched)
+            // a moved FULL dim additionally affects the (c)-image groups
+            // of its OWN changed rows, under both images (the feed
+            // carries deleted/previous rows with full values)
+            val cSide =
+              if (nDim.joinType == "full")
+                Seq(cImages(nDim, changeFeed(spark, nDim.root, oDim.version, nDim.version)
+                  .select(Snapshots
+                    .schemaOf(spark, nDim.root)
+                    .getOrElse(sys.error(s"dim ${nDim.root} records no schema"))
+                    .fieldNames.toSeq.map(col): _*)))
+              else Seq.empty
+            (Seq(groupsUnderBoth(touched)) ++ cSide).reduce(_ unionByName _)
         }
         val parts = factSide ++ dimSide
         if (parts.isEmpty) { release(); return None } // nothing moved: caller resyncs
@@ -1703,7 +1841,7 @@ object Mv {
     // remaining constraints narrow. Null-safe compare (`<=>`) makes the
     // NULL image the old isNull test.
     val unconstrained = byDim.collect {
-      case (dim, kcs) if dim.joinType == "left" && {
+      case (dim, kcs) if dim.joinType != "inner" && {
             val anyUnmatchedImage = kcs.map { k =>
               col(k) <=> d.keyExprs.get(k).fold(lit(null))(e =>
                 nullImageLit(spark, dimSchemas(dim.root), e))
@@ -1782,15 +1920,35 @@ object Mv {
       if (d.keyExprs.isEmpty || d.dims.isEmpty) c1
       else mixedConcatPrune(spark, d, srcView, srcSchema, srcPartCols, affectedCast, c1)
     }
-    val recomputed = (if (candidates.isEmpty) {
+    val fullDim = d.dims.find(_.joinType == "full")
+    val recomputed = (if (candidates.isEmpty && fullDim.isEmpty) {
                         // every affected group's last row vanished: nothing to recompute
                         spark.createDataFrame(
                           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                           mvSchema)
                       } else {
-                        val scan = Snapshots.scanRels(
-                          spark, d.sourceRoot, candidates, srcView.schema, Snapshots.dvByRel(srcView))
-                        val pre = prepared(spark, d, scan)
+                        val scan =
+                          if (candidates.isEmpty)
+                            // a FULL dim's (c)-side groups need no fact
+                            // files — recompute proceeds over an empty
+                            // fact frame plus the images below
+                            spark.createDataFrame(
+                              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], srcSchema)
+                          else Snapshots.scanRels(
+                            spark, d.sourceRoot, candidates, srcView.schema,
+                            Snapshots.dvByRel(srcView))
+                        // the scan demotes FULL to LEFT (a full join over
+                        // the candidate SUBSET would fabricate unmatched-
+                        // dim rows the other files match); the true
+                        // (c)-side unions in from the whole-fact probe
+                        val preLeft = prepared(spark, demoteFull(d), scan)
+                        val pre = fullDim match {
+                          case None => preLeft
+                          case Some(dim) =>
+                            preLeft.unionByName(fullDimCSide(
+                              spark, d, dim, srcView, srcSchema, srcPartCols, alive,
+                              affectedCast))
+                        }
                         val keysB =
                           if (n <= Snapshots.DvBroadcastMaxPositions) broadcast(affectedCast)
                           else affectedCast

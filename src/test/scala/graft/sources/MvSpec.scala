@@ -1184,7 +1184,7 @@ class MvSpec extends SparkSpec {
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 
-  test("RIGHT/FULL OUTER dims refuse with first-class guidance naming the rewrite") {
+  test("RIGHT dims refuse with the reversal guidance; a SECOND dim beside a FULL one refuses") {
     val (fact, dim, mv) = starFixture("mv_outer")
     val er = intercept[IllegalArgumentException] {
       Mv.create(
@@ -1194,12 +1194,75 @@ class MvSpec extends SparkSpec {
     assert(er.getMessage.contains("reverse it"), er.getMessage)
     val ef = intercept[IllegalArgumentException] {
       Mv.create(
-        spark, fact, mv, Seq("grp"), Seq("count(*) AS n"),
-        dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "full")))
+        spark, fact, mv, Seq("grp", "id"), Seq("count(*) AS n"),
+        dims = Seq(
+          Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "full"),
+          Mv.MvJoinSpec(dim, Seq("id"), Seq("w"), joinType = "inner")))
     }
-    assert(
-      ef.getMessage.contains("UNION the two") && ef.getMessage.contains("LEFT-join view"),
-      ef.getMessage)
+    assert(ef.getMessage.contains("ONLY dim"), ef.getMessage)
+  }
+
+  test("FULL OUTER dim MV: create exact; fact windows flip dim rows' matched status change-priced; dim windows move the (c) groups") {
+    val base = Files.createTempDirectory("mv_full").toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val mv = s"$base/mv"
+    val f = Seq(("a", 1L, 10L), ("a", 2L, 11L), ("b", 3L, 20L)).toDF("cat", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    // z is UNMATCHED by the fact; the NULL-keyed dim row can never match
+    val dd = Seq(("a", "g1", 2L), ("b", "g1", 3L), ("z", "g9", 5L), (null, "g7", 7L))
+      .toDF("ck", "grp", "w")
+    Sources.writeParquet(dd.repartition(1), dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "full")))
+    def expect(): Set[(String, Long, Option[Long])] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dim), $"cat" === $"ck", "full")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    def got(): Set[(String, Long, Option[Long])] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    assert(got() == expect(), "create must carry the unmatched-dim (c) groups (g9, g7)")
+    // window 1: a fact row with cat=z FLIPS z to matched — g9 becomes a
+    // matched group; g1 is untouched, so cat=a's file is the canary
+    DeleteVectors.upsert(spark, fact, Seq(("z", 4L, 30L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r1 = withCorrupted(fact, "cat=a/") { Mv.refresh(spark, mv) }
+    assert(!r1.fullResync, r1.toString)
+    assert(got() == expect(), "g9 must read n=1, sv=30 (matched), not the stale (c) image")
+    // window 2: deleting the cat=z row flips z back to UNMATCHED
+    DeleteVectors.deleteWhere(spark, fact, $"cat" === "z")
+    val r2 = withCorrupted(fact, "cat=a/") { Mv.refresh(spark, mv) }
+    assert(!r2.fullResync, r2.toString)
+    assert(got() == expect(), "g9 must return to the (c) image n=1, sv=NULL")
+    // window 3: a fact row matching NOTHING lands in the NULL-grp bucket
+    // (the LEFT half of FULL) — the NULL-keyed group stands narrowing
+    // down, so no canary on this window
+    DeleteVectors.upsert(spark, fact, Seq(("q", 5L, 7L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r3 = Mv.refresh(spark, mv)
+    assert(!r3.fullResync, r3.toString)
+    assert(got() == expect())
+    // window 4: the DIM moves — z re-maps g9 -> g8 (a (c)-group rename)
+    // via the dim-delta path
+    DeleteVectors.upsert(spark, dim, Seq(("z", "g8", 5L)).toDF("ck", "grp", "w"), Seq("ck"))
+    val r4 = Mv.refresh(spark, mv)
+    assert(!r4.fullResync, r4.toString)
+    assert(got() == expect(), "g9 must vanish and g8 appear as the new (c) group")
+    // window 5: deleting the dim row removes the (c) group entirely
+    DeleteVectors.deleteWhere(spark, dim, $"ck" === "z")
+    val r5 = Mv.refresh(spark, mv)
+    assert(!r5.fullResync, r5.toString)
+    assert(got() == expect(), "g8 must vanish with its dim row")
+    // convergence: a no-op refresh changes nothing
+    val r6 = Mv.refresh(spark, mv)
+    assert(r6.groupsRecomputed == 0L && r6.groupsDeleted == 0L, r6.toString)
   }
 
   test("mixed-side derived key AUTO-SPLIT: concat(fact, '|', dim_attr) creates and narrows, canary held") {
