@@ -901,6 +901,47 @@ class MvSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshStream keeps a FULL OUTER view fresh: a fact commit flips a dim row's matched status") {
+    val base = Files.createTempDirectory("mv_fullstream").toString
+    val fact = s"$base/fact"
+    val dim = s"$base/dim"
+    val mv = s"$base/mv"
+    Sources.writeParquet(
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("cat", "id", "v").repartition(1),
+      fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    Sources.writeParquet(
+      Seq(("a", "g1", 2L), ("b", "g1", 3L), ("z", "g9", 5L)).toDF("ck", "grp", "w").repartition(1),
+      dim)
+    Snapshots.commit(spark, dim, Seq("ck"))
+    Mv.create(
+      spark, fact, mv, Seq("grp"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"), joinType = "full")))
+    def expect(): Set[(String, Long, Option[Long])] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dim), $"cat" === $"ck", "full")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    def got(): Set[(String, Long, Option[Long])] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    val q = graft.streaming.Streaming.mvRefreshStream(spark, mv, s"$base/ckpt")
+    try {
+      q.processAllAvailable() // drain the create-time manifests: no-op
+      // the commit's manifest wakes one refresh that must flip g9 from
+      // its unmatched image (n=1, sv=NULL) to the matched row
+      DeleteVectors.upsert(
+        spark, fact, Seq(("z", 3L, 30L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+      q.processAllAvailable()
+      assert(got() == expect(), "the stream-driven refresh must maintain the (c)-side")
+      assert(got().contains(("g9", 1L, Some(30L))), got().toString)
+    } finally q.stop()
+  }
+
   test("definition() heals the writeDef crash window (def deleted, next image present)") {
     val (src, mv) = fixture("mv_heal")
     Mv.create(spark, src, mv, Seq("day"), aggs)
