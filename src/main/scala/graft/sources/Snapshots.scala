@@ -253,6 +253,14 @@ object Snapshots {
         }
         acquired = true
       } catch {
+        // permission failure is NOT contention: an unwritable manifest
+        // dir (an MV pinning a read-only source/dim) would otherwise
+        // read as "lock held", spin to the 30-minute deadline, and fail
+        // with an error the caller's IO degradation paths don't cover.
+        // Rethrown as-is, it reaches chainIdentity's IOException catch
+        // (AccessDeniedException IS an IOException) and degrades there.
+        case e: java.nio.file.AccessDeniedException => throw e
+        case e: org.apache.hadoop.security.AccessControlException => throw e
         case _: java.io.IOException =>
           // re-create the parent dir before judging contention: a
           // concurrent no-op drop's skeleton reclaim can delete it after
@@ -262,7 +270,22 @@ object Snapshots {
           try fs.mkdirs(dir)
           catch { case _: java.io.IOException => () }
           val seen = readLockTag(fs, lock)
-          val stale = seen.exists(t => heartbeatOf(t).exists(hb => System.currentTimeMillis() - hb > staleMs))
+          // a malformed/empty tag normally reads as FRESH (a torn
+          // heartbeat rewrite must never break a live writer) — but a
+          // tag that PERSISTS malformed is an abandoned husk (a crash
+          // between the O_EXCL create and the tag write leaves an empty
+          // .lock forever): fall back to the FILE's mtime, which a live
+          // holder's heartbeat rewrite refreshes every staleMs/5, so
+          // only a genuinely writer-less lock ever ages past staleMs
+          val stale = seen.exists { t =>
+            heartbeatOf(t) match {
+              case Some(hb) => System.currentTimeMillis() - hb > staleMs
+              case None =>
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(lock).getModificationTime > staleMs
+                catch { case _: java.io.IOException => false } // vanished mid-race: retry
+            }
+          }
           if (stale) {
             // one grave name per OBSERVED tag: concurrent breakers that saw
             // the same dead tag race to one rename, exactly one wins

@@ -680,6 +680,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("an abandoned TAGLESS lock is broken by file mtime; a FRESH tagless one is not") {
+    // a crash between the O_EXCL create and the tag write leaves an
+    // empty .lock whose tag parses as malformed — which must read as
+    // fresh only while the file itself is young (a torn heartbeat
+    // rewrite), not FOREVER (the abandoned husk that would otherwise
+    // block every writer until removed by hand)
+    val dir = Files.createTempDirectory("snap_taglesslock").toString + "/t"
+    table(dir)
+    val mdir = new java.io.File(s"$dir/${Snapshots.ManifestDirName}")
+    mdir.mkdirs()
+    val lock = new java.io.File(mdir, ".lock")
+    java.nio.file.Files.write(lock.toPath, Array.emptyByteArray)
+    java.nio.file.Files.setLastModifiedTime(
+      lock.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 5000L))
+    val t0 = System.nanoTime()
+    Snapshots.withTableLock(spark, dir, staleMs = 1000L) { () }
+    assert((System.nanoTime() - t0) / 1e9 < 60.0, "the aged tagless husk must break, not spin")
+    assert(!lock.exists())
+    // the live-writer half: a tagless lock whose mtime is CURRENT (a
+    // holder mid-write right now) stays unbreakable — the waiter times
+    // out instead of stealing it
+    java.nio.file.Files.write(lock.toPath, Array.emptyByteArray)
+    val e = intercept[RuntimeException] {
+      Snapshots.withTableLock(spark, dir, staleMs = 60000L, maxWaitMs = 1500L) { () }
+    }
+    assert(e.getMessage.contains("still locked"), e.getMessage)
+    assert(lock.exists(), "a fresh tagless lock must never be stolen")
+    java.nio.file.Files.delete(lock.toPath)
+  }
+
   private def nScanned(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
