@@ -336,11 +336,82 @@ object Mv {
     }
   }
 
-  /** The fact frame with every recorded dim BROADCAST-joined on (INNER,
-    * equi) and the dims' join columns dropped (their values duplicate
+  // ---- MV registry at the SOURCE root (the automatic-rewrite index) ----
+  //
+  // `<sourceRoot>/_graft_manifests/mv-refs/<sha256(mvRoot)>` holds the MV
+  // root verbatim — the back-pointer [[graft.plans.MvRewrite]] lists to
+  // find which views materialize aggregates of a fact a query scans.
+  // BEST-EFFORT on the write side: a view over a read-only source simply
+  // goes unregistered (the rewrite conf `spark.graft.mv.rewrite.extraViews`
+  // names such views by hand), and the read side tolerates dangling
+  // pointers (a dropped view's pointer resolves to no definition and is
+  // skipped). The filename hashes instead of URL-encoding so deep roots
+  // never exceed filesystem name limits.
+
+  private def mvRefsDir(sourceRoot: Path): Path =
+    new Path(new Path(sourceRoot, Snapshots.ManifestDirName), "mv-refs")
+
+  private def refName(mvRoot: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(mvRoot.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private def registerRef(spark: SparkSession, sourceRoot: String, mvRoot: String): Unit =
+    try {
+      val dir = mvRefsDir(new Path(sourceRoot))
+      val fs = fsOf(spark, dir)
+      val p = new Path(dir, refName(mvRoot))
+      if (!fs.exists(p)) {
+        fs.mkdirs(dir)
+        val out = fs.create(p, true) // content-idempotent: overwrite races are benign
+        try out.write(mvRoot.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"mv registry: cannot register $mvRoot at $sourceRoot (${e.getMessage}); " +
+          "automatic query rewrite will not see this view — name it in " +
+          "spark.graft.mv.rewrite.extraViews if the source stays read-only")
+    }
+
+  private def unregisterRef(spark: SparkSession, sourceRoot: String, mvRoot: String): Unit =
+    try {
+      val p = new Path(mvRefsDir(new Path(sourceRoot)), refName(mvRoot))
+      fsOf(spark, p).delete(p, false)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The MV roots registered over `sourceRoot` — [[graft.plans.MvRewrite]]'s
+    * candidate list. Dangling entries (dropped out-of-band) are returned
+    * as-is; callers skip roots whose definition no longer reads.
+    */
+  def registeredViews(spark: SparkSession, sourceRoot: String): Seq[String] = {
+    val dir = mvRefsDir(new Path(sourceRoot))
+    val fs = fsOf(spark, dir)
+    try {
+      if (!fs.exists(dir)) Seq.empty
+      else
+        fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+          try {
+            val in = fs.open(st.getPath)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+              .filter(_.nonEmpty)
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.sorted
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  /** The fact frame with every recorded INNER/LEFT dim BROADCAST-joined
+    * (equi) and the dims' join columns dropped (their values duplicate
     * the fact side's), then the optional filter — the pre-aggregation
     * frame every face shares. Dims read PINNED at their recorded
-    * versions, so one refresh is snapshot-consistent end to end.
+    * versions, so one refresh is snapshot-consistent end to end. A FULL
+    * dim gets NO broadcast hint: Spark cannot broadcast-hash a full
+    * outer join, so the hint would be silently ignored and the join
+    * sort-merges — stated here rather than implied otherwise (only
+    * [[demoteFull]]'s LEFT demotion of the same dim broadcasts).
     */
   private def prepared(spark: SparkSession, d: MvDef, fact: DataFrame): DataFrame = {
     val joined = d.dims.foldLeft(fact) { (acc, dim) =>
@@ -349,7 +420,8 @@ object Mv {
         .zip(dim.dimCols)
         .map { case (f, c) => acc(f) === dimDf(c) }
         .reduce(_ && _)
-      dim.dimCols.foldLeft(acc.join(broadcast(dimDf), cond, dim.joinType))((df, c) =>
+      val dimSide = if (dim.joinType == "full") dimDf else broadcast(dimDf)
+      dim.dimCols.foldLeft(acc.join(dimSide, cond, dim.joinType))((df, c) =>
         df.drop(dimDf(c)))
     }
     val filtered = d.filterSql.fold(joined)(f => joined.filter(expr(f)))
@@ -415,11 +487,21 @@ object Mv {
       srcSchema: org.apache.spark.sql.types.StructType,
       srcPartCols: Seq[String],
       alive: Seq[String],
-      affected: DataFrame): DataFrame = {
+      affected: DataFrame,
+      nAffected: Long): DataFrame = {
+    // broadcast DISCIPLINE, not hope: every small side here is hinted
+    // only under the same cap the apply path uses
+    // ([[Snapshots.DvBroadcastMaxPositions]]) — affected keys are
+    // window-bounded in practice (a huge window downgrades to resync),
+    // but an unthresholded hint would still be the one place the MV
+    // paths assumed smallness instead of checking it
+    def capped(df: DataFrame, nRows: Long): DataFrame =
+      if (nRows <= Snapshots.DvBroadcastMaxPositions) broadcast(df) else df
     val dimRows = Snapshots.readSnapshot(spark, dim.root, dim.version)
     val img = fullDimImage(d, dim, dimRows, srcSchema, keepKeys = true)
     val cond = d.keyCols.map(c => img(c) <=> affected(c)).reduce(_ && _)
-    val affImg = img.join(broadcast(affected.select(d.keyCols.map(col): _*)), cond, "left_semi")
+    val affImg =
+      img.join(capped(affected.select(d.keyCols.map(col): _*), nAffected), cond, "left_semi")
     val keyFields = dim.factCols.map(c =>
       srcSchema.fields
         .find(_.name == c)
@@ -442,7 +524,7 @@ object Mv {
             .select(keyFields.map(f => col(f.name)): _*)
           factKeys
             .join(
-              broadcast(pks),
+              capped(pks, nP),
               dim.factCols.map(c => factKeys(c) === pks(c)).reduce(_ && _),
               "left_semi")
             .distinct()
@@ -450,7 +532,8 @@ object Mv {
       }
     val unCond = fkCols.zip(dim.factCols).map { case (fk, fc) => affImg(fk) === present(fc) }
       .reduce(_ && _)
-    affImg.join(broadcast(present), unCond, "left_anti").drop(fkCols: _*)
+    // `present` is a distinct subset of the probed keys, so nP bounds it
+    affImg.join(capped(present, nP), unCond, "left_anti").drop(fkCols: _*)
   }
 
   /** `SELECT keys…, aggs… GROUP BY keys…` over an already-[[prepared]]
@@ -600,6 +683,7 @@ object Mv {
     full.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mvRoot)
     val v = Snapshots.commit(spark, mvRoot, keyCols, keyCols)
     writeDef(fs, mvPath, d)
+    registerRef(spark, sourceRoot, mvRoot)
     v
   }
 
@@ -613,9 +697,16 @@ object Mv {
   def drop(spark: SparkSession, mvRoot: String): Boolean = {
     val mvPath = new Path(mvRoot)
     val fs = fsOf(spark, mvPath)
+    // the rewrite back-pointer's target, read BEFORE the definition dies
+    // (a husk resume has no def — its pointer stays dangling, which the
+    // registry's readers tolerate and the next create overwrites)
+    var refSource: Option[String] = None
     val existed = Snapshots.withTableLock(spark, mvRoot) {
       val p = defPath(mvPath)
       val tombstone = new Path(p.getParent, ".def-dropped")
+      refSource =
+        try Some(definition(spark, mvRoot).sourceRoot)
+        catch { case scala.util.control.NonFatal(_) => None }
       val there = fs.exists(p) || fs.exists(new Path(p.getParent, ".def-next"))
       if (!there) {
         if (fs.exists(tombstone)) {
@@ -671,6 +762,7 @@ object Mv {
     // with NON-recursive deletes only — provably nobody's data, even
     // against a create that started the instant the lock released
     emptyHuskReclaim(fs, mvPath)
+    refSource.foreach(src => unregisterRef(spark, src, mvRoot))
     existed
   }
 
@@ -746,6 +838,9 @@ object Mv {
       // forces a full resync; a recorded-empty one (pre-upgrade def)
       // adopts the current identity silently.
       val srcChain = Snapshots.chainIdentity(spark, d0.sourceRoot)
+      // heal the rewrite registry for pre-upgrade views: one exists-check
+      // when already registered, a best-effort write when not
+      registerRef(spark, d0.sourceRoot, mvRoot)
       val srcChainMoved = d0.chainId.nonEmpty && d0.chainId != srcChain
       require(
         srcChainMoved || v1 >= d0.refreshedVersion,
@@ -1350,7 +1445,17 @@ object Mv {
                   if (sel.isEmpty) "''"
                   else
                     "concat(" + sel.map {
-                      case (LitPart(v), _) => "'" + v.replace("'", "\\'") + "'"
+                      // Catalyst's own literal rendering, NOT hand-rolled
+                      // quoting: a literal containing a backslash would
+                      // re-parse differently under escaped literals, the
+                      // prefix/suffix match would silently miss, and the
+                      // recovered fact-value set would UNDER-include —
+                      // wrong MV contents, not just weaker pruning
+                      case (LitPart(v), _) =>
+                        org.apache.spark.sql.catalyst.expressions
+                          .Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+                            org.apache.spark.sql.types.StringType)
+                          .sql
                       case (_, i) => s"cast(__p$i as string)"
                     }.mkString(", ") + ")"
                 val preSql = sideSql(parts.zipWithIndex.take(factIdx))
@@ -1947,7 +2052,7 @@ object Mv {
                           case Some(dim) =>
                             preLeft.unionByName(fullDimCSide(
                               spark, d, dim, srcView, srcSchema, srcPartCols, alive,
-                              affectedCast))
+                              affectedCast, n))
                         }
                         val keysB =
                           if (n <= Snapshots.DvBroadcastMaxPositions) broadcast(affectedCast)

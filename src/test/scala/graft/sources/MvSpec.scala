@@ -1338,6 +1338,108 @@ class MvSpec extends SparkSpec {
     assert(got() == expect(), "a moved dim re-maps the mixed key's groups exactly")
   }
 
+  test("multi-dim FULL OUTER refusal's cascade guidance BUILDS: two-MV cascade equals the direct full join and refreshes through both windows") {
+    // the refusal names the workaround — "split the extra dims into a
+    // cascaded view over this one" — this law executes that guidance
+    // verbatim and holds it to the direct recompute through a
+    // flip-to-matched and a flip-back window, so the message can never
+    // rot into advice that doesn't build
+    val base = Files.createTempDirectory("mv_fullcascade").toString
+    val fact = s"$base/fact"
+    val dimI = s"$base/dimI"
+    val dimF = s"$base/dimF"
+    val f = Seq(("a", 1L, 10L), ("a", 2L, 11L), ("b", 3L, 20L)).toDF("cat", "id", "v")
+    Sources.writeParquet(f.repartition(1), fact, partitionCols = Seq("cat"))
+    Snapshots.commit(spark, fact, Seq("cat", "id"))
+    val di = Seq((1L, "g1"), (2L, "g2"), (3L, "g1")).toDF("idk", "gi")
+    Sources.writeParquet(di.repartition(1), dimI)
+    Snapshots.commit(spark, dimI, Seq("idk"))
+    val dfull = Seq(("a", "ga"), ("b", "gb"), ("z", "gz")).toDF("ck", "grp")
+    Sources.writeParquet(dfull.repartition(1), dimF)
+    Snapshots.commit(spark, dimF, Seq("ck"))
+    // the refusal, naming the cascade
+    val e = intercept[IllegalArgumentException] {
+      Mv.create(
+        spark, fact, s"$base/mv_refused", Seq("grp", "gi"), Seq("sum(v) AS sv"),
+        dims = Seq(
+          Mv.MvJoinSpec(dimF, Seq("cat"), Seq("ck"), joinType = "full"),
+          Mv.MvJoinSpec(dimI, Seq("id"), Seq("idk"))))
+    }
+    assert(e.getMessage.contains("cascaded view over this one"), e.getMessage)
+    // the guidance, executed: MV1 folds the INNER dim at the full-join
+    // key's grain; MV2 rides MV1 as its fact with the FULL dim alone
+    val mv1 = s"$base/mv1"
+    val mv2 = s"$base/mv2"
+    Mv.create(
+      spark, fact, mv1, Seq("cat", "gi"), Seq("sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dimI, Seq("id"), Seq("idk"))))
+    Mv.create(
+      spark, mv1, mv2, Seq("grp", "gi"), Seq("sum(sv) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dimF, Seq("cat"), Seq("ck"), joinType = "full")))
+    def expect(): Set[(String, Option[String], Option[Long])] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dimI), $"id" === $"idk")
+        .join(Snapshots.readSnapshot(spark, dimF), $"cat" === $"ck", "full")
+        .groupBy($"grp", $"gi")
+        .agg(sum($"v").as("sv"))
+        .collect()
+        .map(r => (
+          r.getString(0),
+          Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    def got(): Set[(String, Option[String], Option[Long])] =
+      Snapshots.readSnapshot(spark, mv2).collect()
+        .map(r => (
+          r.getString(0),
+          Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+    assert(got() == expect(), "the cascade must equal the direct full join (gz unmatched: sv NULL)")
+    assert(got().exists { case (g, _, sv) => g == "gz" && sv.isEmpty }, got().toString)
+    // window 1: a cat=z row flips gz to MATCHED through the cascade
+    DeleteVectors.upsert(spark, fact, Seq(("z", 3L, 30L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r1a = Mv.refresh(spark, mv1)
+    val r1b = Mv.refresh(spark, mv2)
+    assert(!r1a.fullResync && !r1b.fullResync, s"$r1a / $r1b")
+    assert(got() == expect(), "gz must read sv=30 after the flip")
+    // window 2: deleting it flips gz back to the unmatched image
+    DeleteVectors.deleteWhere(spark, fact, $"cat" === "z")
+    Mv.refresh(spark, mv1)
+    Mv.refresh(spark, mv2)
+    assert(got() == expect(), "gz must return to sv NULL")
+  }
+
+  test("mixed-key literal containing a BACKSLASH round-trips through the prune's re-parse") {
+    // the prune renders the concat's literal parts back to SQL for the
+    // prefix/suffix enumeration; hand-rolled quoting that only escapes
+    // single quotes turns the 2-char separator \n into a NEWLINE under
+    // Spark's escaped literals, the prefix match silently misses every
+    // real key string, the recovered fact-value set goes EMPTY, and the
+    // refresh deletes the affected group as 'vanished' — wrong MV
+    // contents, which this law catches
+    val (fact, dim, mv) = starFixture("mv_mixed_bs")
+    Mv.create(
+      spark, fact, mv, Seq("g2"), Seq("count(*) AS n", "sum(v) AS sv"),
+      dims = Seq(Mv.MvJoinSpec(dim, Seq("cat"), Seq("ck"))),
+      keyExprs = Map("g2" -> "concat(cat, '\\\\n', grp)")) // SQL literal '\\n' = the 2 chars \ n
+    def expect(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, fact)
+        .join(Snapshots.readSnapshot(spark, dim), $"cat" === $"ck")
+        .groupBy(concat($"cat", lit("\\n"), $"grp").as("g2"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      Snapshots.readSnapshot(spark, mv).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got() == expect(), "create ≡ recompute with a backslash-bearing separator")
+    assert(got().exists(_._1 == "a\\ng1"), got().toString) // literally backslash-n, not newline
+    DeleteVectors.upsert(spark, fact, Seq(("a", 7L, 12L)).toDF("cat", "id", "v"), Seq("cat", "id"))
+    val r1 = withCorrupted(fact, "cat=c/") { Mv.refresh(spark, mv) }
+    assert(!r1.fullResync && r1.groupsRecomputed == 1L && r1.groupsDeleted == 0L, r1.toString)
+    assert(got() == expect(), "the affected group must UPDATE, not vanish")
+  }
+
   test("mixed-side AUTO-SPLIT on a LEFT dim: the NULL-IMAGE tuple keeps unmatched groups solvable") {
     val (fact, dim, mv) = starFixture("mv_mixedleft")
     // null-TOLERANT dim part: unmatched fact rows land in '<cat>|none'
