@@ -197,6 +197,12 @@ object AsOfJoin {
     if (!es.extraOptimizations.contains(PruneAsOfJoinColumns)) {
       es.extraOptimizations = es.extraOptimizations :+ PruneAsOfJoinColumns
     }
+    // runtime fallback for sessions built without spark.sql.extensions:
+    // extraOptimizations run AFTER scan building, so MvRewrite's scan
+    // case (DataSourceV2ScanRelation) carries this path
+    if (!es.extraOptimizations.contains(MvRewrite)) {
+      es.extraOptimizations = es.extraOptimizations :+ MvRewrite
+    }
   }
 
   /** As-of join two DataFrames through the native operator. Column names on
@@ -375,6 +381,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => PruneAsOfJoinColumns)
+    // automatic MV query rewrite — operator-batch placement, so the
+    // grafted view scan still rides column pruning / later batches
+    e.injectOptimizerRule(_ => MvRewrite)
     // MV DDL (`CREATE/REFRESH/DROP MATERIALIZED VIEW`) — a thin wrapper
     // that delegates everything else to Spark's own parser verbatim
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))

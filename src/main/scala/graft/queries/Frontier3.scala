@@ -4356,6 +4356,72 @@ object Frontier3 {
       .withColumn("widen_refused", lit(widenRefused))
   }
 
+  // -- q258: AUTOMATIC MV query rewrite — the dashboard never names the view
+
+  /** The rewrite capstone ([[graft.plans.MvRewrite]]): the SAME aggregate
+    * SQL a dashboard runs against the FACT — `SELECT day, count(*),
+    * sum(n), sum(sum_u) FROM ev GROUP BY day` — answers from the
+    * incrementally-maintained view without ever naming it. Lifecycle
+    * proven in one pass: (1) fresh view → the optimized plan carries NO
+    * Aggregate (the whole aggregation was replaced by a projection of
+    * the materialization); (2) an INSERT moves the fact head → the same
+    * SQL falls back to the fact scan and reads the new row with the view
+    * untouched (stale views never answer head queries); (3) REFRESH
+    * re-arms the rewrite, and THEN every fact data file is corrupted —
+    * the final query still answers, the zero-fact-bytes proof that the
+    * plan reads only the view. Hash vs DuckDB's recompute of the end
+    * state. At 100 TB this is the feature's point: the nightly dashboard
+    * costs a few thousand pre-aggregated rows, not a fact scan, and
+    * nobody rewrote the dashboard.
+    */
+  def q258(s: SparkSession, d: String): DataFrame = {
+    val (cat, dir) = statsTable(s, d, "snapq258", Seq("day", "event_type"))
+    s.sql(s"CREATE MATERIALIZED VIEW $cat.daily AS SELECT day, count(*) AS n_rows, " +
+      s"sum(n) AS n_tot, sum(sum_u) AS u_tot FROM $cat.ev GROUP BY day").collect()
+    def dash(): DataFrame = s.sql(s"SELECT day, count(*) AS n_rows, sum(n) AS n_tot, " +
+      s"sum(sum_u) AS u_tot FROM $cat.ev GROUP BY day")
+    def rewritten(df: DataFrame): Boolean = df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty
+    val rewrite1Ok = rewritten(dash())
+    // the head moves: the SAME SQL must fall back and see the new row
+    s.sql(s"INSERT INTO $cat.ev VALUES ('click', CAST(7 AS BIGINT), CAST(42 AS BIGINT), " +
+      "DATE'1999-12-31')").collect()
+    val staleDf = dash()
+    val staleRow = staleDf.where(col("day") === lit("1999-12-31").cast("date")).head()
+    val staleOk = !rewritten(staleDf) &&
+      staleRow.getLong(1) == 1L && staleRow.getLong(2) == 7L && staleRow.getLong(3) == 42L
+    val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.daily").head()
+    val freshOk = !r.getBoolean(4) &&
+      !s.sql(s"SELECT stale FROM $cat.daily.mv").head().getBoolean(0)
+    // the physical proof: EVERY fact data file corrupted — any plan that
+    // opens one byte of the fact dies; the rewritten dashboard answers
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.sources.Snapshots.files(s, dir).foreach(rel =>
+      corruptFile(s, fs, graft.sources.Snapshots.resolve(s, dir, rel)))
+    val fin = dash()
+    val rewrite2Ok = rewritten(fin)
+    fin.orderBy("day")
+      .withColumn("rewrite1_ok", lit(rewrite1Ok))
+      .withColumn("stale_ok", lit(staleOk))
+      .withColumn("fresh_ok", lit(freshOk))
+      .withColumn("rewrite2_ok", lit(rewrite2Ok))
+  }
+
+  val q258Sql: String =
+    """WITH s AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_u
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT day, n, sum_u FROM s
+      |  UNION ALL SELECT DATE'1999-12-31', CAST(7 AS BIGINT), CAST(42 AS BIGINT))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tot,
+      |       CAST(sum(sum_u) AS BIGINT) AS u_tot,
+      |       true AS rewrite1_ok, true AS stale_ok, true AS fresh_ok, true AS rewrite2_ok
+      |FROM f GROUP BY day ORDER BY day""".stripMargin
+
   // -- q257: FULL OUTER join MV — dim-unmatched groups maintained -----------
 
   /** The coverage dashboard: `CREATE MATERIALIZED VIEW … FROM fact FULL
@@ -4542,6 +4608,7 @@ object Frontier3 {
       |FROM final GROUP BY day ORDER BY day""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q258_mv_rewrite" -> (q258 _),
     "q257_full_outer_mv" -> (q257 _),
     "q256_seasonal_cyclic_mv" -> (q256 _),
     "q255_mv_schema_evolution" -> (q255 _),
@@ -4606,6 +4673,7 @@ object Frontier3 {
     "q209_stream_to_table" -> (q209 _))
 
   val oracles: Map[String, String] = Map(
+    "q258_mv_rewrite" -> q258Sql,
     "q257_full_outer_mv" -> q257Sql,
     "q256_seasonal_cyclic_mv" -> q256Sql,
     "q255_mv_schema_evolution" -> q255Sql,

@@ -386,7 +386,7 @@ object SnapTable {
       spark.conf.getOption(k).exists(_.equalsIgnoreCase("mor")))
 }
 
-class SnapTable(dir: String, version: Long, branch: Option[String] = None)
+class SnapTable(val dir: String, version: Long, val branch: Option[String] = None)
     extends Table
     with SupportsRead
     with SupportsWrite
@@ -412,6 +412,12 @@ class SnapTable(dir: String, version: Long, branch: Option[String] = None)
       })
 
   private def spark: SparkSession = SparkSession.active
+
+  /** The manifest version this relation is pinned at ([[MvRewrite]]'s
+    * freshness comparand; `version()` itself is taken by the connector
+    * Table trait).
+    */
+  def pinnedVersion: Long = version
 
   override def name(): String =
     branch match {
