@@ -96,6 +96,92 @@ object LockTorture {
     Result(upserts, refused, failures.size, lastV, failures.toSeq)
   }
 
+  final case class MaintResult(
+      upserts: Int,
+      refused: Int,
+      unexpected: Int,
+      lastV: Map[Long, Long],
+      appended: Map[Long, Long],
+      failures: Seq[String])
+
+  /** The documented contention refusals of the MAINTENANCE op set —
+    * branch lifecycle races (create-on-extant, append/ff/rebase on a
+    * just-adopted-and-deleted branch, ff on diverged lines) are part of
+    * the protocol; anything else is a bug.
+    */
+  private def maintBenign(m: String): Boolean =
+    m.contains("already exists") || // createBranch on a live name
+      m.contains("no branch") || // append/ff/rebase racing an adoption's delete
+      m.contains("lines diverged") ||
+      m.contains("CALL rebase")
+
+  /** Scenario 2: MoR upserts racing the table-MAINTENANCE writers —
+    * compaction, clustering, vacuum, and the branch lifecycle
+    * (create → lock-free-landed appends → rebase → fast-forward
+    * adoption). Same contract shape as [[run]]: upserts must never fail
+    * and their last value per key survives; maintenance must be
+    * CONTENT-NEUTRAL (compaction/clustering/vacuum may never lose or
+    * duplicate a row); branch appends (unique keys ≥ 2000) must each
+    * survive to exactly one main-line row once adopted.
+    */
+  def runMaintenance(spark: SparkSession, role: String, base: String, nOps: Int, seed: Long): MaintResult = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fact = s"$base/fact"
+    val branch = s"b_$role"
+    val rnd = new scala.util.Random(seed)
+    var upserts = 0
+    var refused = 0
+    var lastV = Map.empty[Long, Long]
+    var appended = Map.empty[Long, Long]
+    val failures = scala.collection.mutable.Buffer.empty[String]
+    val keyBase = if (role == "a") 0L else 1000L
+    val appendBase = if (role == "a") 2000L else 3000L
+    val opsLog = new java.io.PrintWriter(new java.io.FileWriter(s"$base/$role.ops", true))
+    def note(s: String): Unit = { opsLog.println(s"${System.currentTimeMillis()} $role $s"); opsLog.flush() }
+    for (i <- 0 until nOps) {
+      val op = rnd.nextInt(12)
+      note(s"op$i kind$op start")
+      try op match {
+        case 0 | 1 | 2 | 3 =>
+          val k = keyBase + rnd.nextInt(15)
+          val v = i.toLong
+          DeleteVectors.upsert(spark, fact, Seq((k, v, role)).toDF("k", "v", "w"), Seq("k"))
+          lastV += k -> v
+          upserts += 1
+        case 4 => { graft.sources.Sources.compactInPlace(spark, fact); () }
+        case 5 => { graft.sources.Sources.clusterInPlace(spark, fact, col("k"), 2); () }
+        case 6 => { graft.sources.Snapshots.vacuum(spark, fact, keepLast = 2); () }
+        case 7 => { graft.sources.Snapshots.createBranch(spark, fact, branch); () }
+        case 8 | 9 =>
+          val k = appendBase + i
+          graft.sources.Snapshots.appendToBranch(
+            spark, fact, branch, Seq((k, i.toLong, role)).toDF("k", "v", "w"))
+          appended += k -> i.toLong
+        case 10 => { graft.sources.Snapshots.rebase(spark, fact, branch); () }
+        case 11 =>
+          // adopt: rebase first when the lines diverged, then fast-forward
+          try graft.sources.Snapshots.fastForward(spark, fact, branch)
+          catch {
+            case e: Exception
+                if Option(e.getMessage).exists(_.contains("CALL rebase")) =>
+              graft.sources.Snapshots.rebase(spark, fact, branch)
+              graft.sources.Snapshots.fastForward(spark, fact, branch)
+          }
+          ()
+      } catch {
+        case e: Throwable =>
+          val m = Option(e.getMessage).getOrElse("")
+          if (op <= 3) failures += s"op$i upsert MUST NOT fail: $e"
+          else if (op <= 6) failures += s"op$i maintenance (kind $op) MUST NOT fail: $e"
+          else if (maintBenign(m)) { refused += 1; note(s"op$i kind$op refused: ${m.take(80)}") }
+          else failures += s"op$i (kind $op) unexpected: $e"
+      } finally note(s"op$i kind$op end")
+    }
+    opsLog.close()
+    MaintResult(upserts, refused, failures.size, lastV, appended, failures.toSeq)
+  }
+
   /** Minimal mutual-exclusion check: under the table lock, write a
     * marker naming this role, settle, read it back — a double-grant
     * shows up as a foreign marker. Returns violations.
@@ -137,6 +223,22 @@ object LockTorture {
     if (resultFile == "lockcheck") {
       val v = try lockCheck(spark, role, base, nOpsS.toInt) finally spark.stop()
       sys.exit(if (v == 0) 0 else 3)
+    }
+    if (resultFile.startsWith("maint:")) {
+      val out = resultFile.stripPrefix("maint:")
+      val res =
+        try runMaintenance(spark, role, base, nOpsS.toInt, seedS.toLong)
+        finally spark.stop()
+      val sb = new StringBuilder
+      sb.append(s"upserts ${res.upserts}\n")
+      sb.append(s"refused ${res.refused}\n")
+      sb.append(s"unexpected ${res.unexpected}\n")
+      res.lastV.toSeq.sorted.foreach { case (k, v) => sb.append(s"k $k $v\n") }
+      res.appended.toSeq.sorted.foreach { case (k, v) => sb.append(s"bk $k $v\n") }
+      res.failures.foreach(f => sb.append(s"fail ${f.replace('\n', ' ')}\n"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+      res.failures.foreach(System.err.println)
+      sys.exit(if (res.unexpected > 0) 2 else 0)
     }
     val res =
       try run(spark, role, base, nOpsS.toInt, seedS.toLong)
