@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *  - `embeddings.embedding` gets per-copy deterministic jitter, so ANN
   *    bucket occupancy scales without exact-duplicate vectors.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [k]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [k] [tables]
+  * `tables` (comma-separated, optional) restricts the build — the MV
+  * curvature pass needs only a 100× `events`, not 60 M lineitem rows.
   */
 object ScaleUp {
 
@@ -31,6 +33,10 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val k = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession
       .builder()
@@ -46,7 +52,7 @@ object ScaleUp {
       df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
 
     // broadcast-sized dimensions: copy verbatim
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part").filter(wanted).foreach { t =>
       write(read(t), t, 1)
     }
 
@@ -54,19 +60,24 @@ object ScaleUp {
     def replicate(base: DataFrame, variant: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map(c => variant(base, c)).reduce(_.unionByName(_))
 
-    val orders = read("orders")
-    val orderShift = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
-    write(
-      replicate(orders, (df, c) => df.withColumn("o_orderkey", col("o_orderkey") + lit(c * orderShift))),
-      "orders",
-      32)
+    if (wanted("orders") || wanted("lineitem")) {
+      val orders = read("orders")
+      val orderShift = orders.agg(max("o_orderkey")).head.getLong(0) + 1L
+      if (wanted("orders")) write(
+        replicate(orders, (df, c) => df.withColumn("o_orderkey", col("o_orderkey") + lit(c * orderShift))),
+        "orders",
+        32)
 
-    val lineitem = read("lineitem")
-    write(
-      replicate(lineitem, (df, c) => df.withColumn("l_orderkey", col("l_orderkey") + lit(c * orderShift))),
-      "lineitem",
-      64)
+      if (wanted("lineitem")) {
+        val lineitem = read("lineitem")
+        write(
+          replicate(lineitem, (df, c) => df.withColumn("l_orderkey", col("l_orderkey") + lit(c * orderShift))),
+          "lineitem",
+          64)
+      }
+    }
 
+    if (wanted("events")) {
     val events = read("events")
     val eventShift = events.agg(max("event_id")).head.getLong(0) + 1L
     write(
@@ -74,7 +85,9 @@ object ScaleUp {
       replicate(events, (df, c) => df.withColumn("event_id", col("event_id") + lit(c * eventShift))),
       "events",
       32)
+    }
 
+    if (wanted("documents")) {
     val docs = read("documents")
     val docShift = docs.agg(max("doc_id")).head.getLong(0) + 1L
     write(
@@ -92,7 +105,9 @@ object ScaleUp {
           }),
       "documents",
       32)
+    }
 
+    if (wanted("embeddings")) {
     val emb = read("embeddings")
     val vecShift = emb.agg(max("vec_id")).head.getLong(0) + 1L
     write(
@@ -109,8 +124,10 @@ object ScaleUp {
                   (x, i) => (x + lit(0.01f) * sin(col("vec_id") * 7 + i + lit(c))).cast("float")))),
       "embeddings",
       16)
+    }
 
     val counts = Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .filter(wanted)
       .map(t => s"$t=${spark.read.parquet(s"$dst/$t.parquet").count()}")
     println(s"scaled $src -> $dst (k=$k): ${counts.mkString(", ")}")
     spark.stop()
