@@ -27,7 +27,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++
+  // measurement hook (guide §1): extra JVM flags for the forked run/test
+  // JVM, e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.eventLog.enabled=true
+  // -Dspark.eventLog.dir=/tmp/evlog" to profile a bench query without
+  // touching the bench contract. Empty (a no-op) unless explicitly set.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty)) ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",

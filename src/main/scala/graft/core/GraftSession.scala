@@ -39,6 +39,19 @@ object GraftSession {
     spark.conf.set(
       "spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Let AQE re-plan (and so COALESCE) the output partitioning of plans
+    // being cached: Spark defaults this off, so every persisted frame keeps
+    // the static spark.sql.shuffle.partitions layout — for the maintenance
+    // paths' bounded key/candidate frames (Mv/DeleteVectors persist) that
+    // meant 32 near-empty cached partitions, and EVERY downstream scan of
+    // the cache paid 32 tasks whose dominant cost is re-deserializing the
+    // task binary (measured on q249: 67 of 203 stages ran 32 tasks, 75 s
+    // of task deserialization against 28 s of query CPU; with AQE allowed
+    // on the cached plan the same run has 4 such stages and 325 total
+    // tasks vs 2303). Scale-adaptive by construction — AQE sizes cached
+    // partitions from the data, small frames coalesce, big ones keep
+    // parallelism (guide §2.2/§2.4).
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // custom operators + native SQL functions (runtime path; builder path
     // is GraftExtensions via spark.sql.extensions)
     graft.plans.AsOfJoin.register(spark)
@@ -60,6 +73,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE on cached plans too — see tune() for the measured rationale
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // builder-path extensions (parser DDL needs builder time — a live
