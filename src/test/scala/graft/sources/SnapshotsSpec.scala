@@ -1553,4 +1553,45 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.allSumsPresent(spark, dir, "price", rels),
       "the explicit backfill must upgrade a stale `na` for a now-summable column")
   }
+  test("sidecar build parity: driver-side fast path emits byte-identical bloom/NDV sidecars") {
+    // mixed value domains through CAST-to-string: unicode + empty strings
+    // with nulls, longs, doubles, timestamps — the driver fast path must
+    // reproduce the distributed aggregate's bytes exactly
+    val dir = Files.createTempDirectory("snap_sidecar_parity").toString + "/t"
+    spark
+      .range(0L, 500L)
+      .select(
+        $"id",
+        when($"id" % 7 === 0, lit(null)).otherwise(
+          concat(lit("väl_"), $"id" % 13, lit("é"))).as("s"),
+        ($"id" * 1.5 - 250.0).as("d"),
+        (to_timestamp(lit("2024-03-01 10:00:00")) + expr("make_interval(0,0,0,0,0,0,id*61)")).as("ts"))
+      .repartition(3)
+      .write
+      .parquet(dir)
+    def sidecarBytes(): Map[String, Seq[Byte]] = {
+      Seq("bloom", "ndv").flatMap { kind =>
+        val d = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/$kind")
+        d.listFiles().filterNot(_.getName.startsWith(".")).toSeq.map { f =>
+          s"$kind/${f.getName}" -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
+        }
+      }.toMap
+    }
+    // files are tiny → the commit builds via the driver fast path
+    Snapshots.commit(spark, dir, Seq("id", "s", "ts"), Seq("id", "s", "ts"))
+    val fast = sidecarBytes()
+    assert(fast.nonEmpty && fast.keys.exists(_.startsWith("bloom/")))
+    // wipe and rebuild with the fast path disabled → the distributed build
+    Seq("bloom", "ndv").foreach { kind =>
+      new java.io.File(s"$dir/${Snapshots.ManifestDirName}/$kind")
+        .listFiles().filterNot(_.getName.startsWith(".")).foreach(_.delete())
+    }
+    spark.conf.set("spark.graft.sidecar.driverBuildMaxBytes", "0")
+    try Snapshots.backfillNdv(spark, dir)
+    finally spark.conf.unset("spark.graft.sidecar.driverBuildMaxBytes")
+    val slow = sidecarBytes()
+    assert(slow.keySet == fast.keySet, s"sidecar sets differ: ${slow.keySet} vs ${fast.keySet}")
+    val diff = fast.keys.filter(k => fast(k) != slow(k))
+    assert(diff.isEmpty, s"sidecar bytes differ for: ${diff.mkString(", ")}")
+  }
 }
