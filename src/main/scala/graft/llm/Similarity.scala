@@ -522,7 +522,12 @@ object Similarity {
     val anchors = c.orderBy(col("vec_id")).limit(degree + 1).select(col("vec_id").as("nbr"))
     val repaired = keep(
       score(orphans.crossJoin(anchors).filter(col("node") =!= col("nbr"))))
-    graph.unionByName(repaired)
+    // checkpoint the RETURNED graph too: a search references it once per
+    // hop, and an unmaterialized final union would re-run the orphan-repair
+    // anti-join + scoring sub-DAG on EVERY reference (measured on q221:
+    // ~17 repeated jobs per search step) — the same plan-growth discipline
+    // as the per-round checkpoints, applied to the value handed out
+    graph.unionByName(repaired).localCheckpoint()
   }
 
   /** Incrementally extend a [[knnGraph]] with a freshly-ingested slice —
@@ -620,7 +625,10 @@ object Similarity {
     val anchors = all.orderBy(col("vec_id")).limit(degree + 1).select(col("vec_id").as("nbr"))
     val repaired = keep(
       score(orphans.crossJoin(anchors).filter(col("node") =!= col("nbr"))))
-    untouched.unionByName(recut).unionByName(newEdges).unionByName(repaired)
+    // materialized hand-out, as in [[knnGraph]]: the appended graph is
+    // searched hop by hop, and the untouched/recut/repaired union would
+    // otherwise re-run its anti-joins and re-cut windows per hop
+    untouched.unionByName(recut).unionByName(newEdges).unionByName(repaired).localCheckpoint()
   }
 
   /** Beam search over a [[knnGraph]]: per query, the entry set is the

@@ -1786,7 +1786,9 @@ object Frontier3 {
       Similarity.graphSearchScored(
         graph, emb, queries, beam, steps = 4, planes, 64, probes = planes + 1)
     val approx = Similarity.rankTopK(visited, 10)
-    val exact = Similarity.cosineTopK(queries, emb, 10)
+    // referenced twice (recall hits + the top-1 projection): materialize
+    // the brute-force pass once instead of re-running it per reference
+    val exact = Similarity.cosineTopK(queries, emb, 10).localCheckpoint()
     val hits = exact
       .select(col("qid"), col("vec_id"))
       .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
@@ -1883,7 +1885,8 @@ object Frontier3 {
     val rebuilt = Similarity.knnGraph(emb, degree, rounds = 2, planes = planes, dims = 64)
     val queries = emb.filter(col("vec_id") < 16)
     val beam = math.max(48, (n / 16).toInt)
-    val exact = Similarity.cosineTopK(queries, emb, 10)
+    // referenced three times (two hitsOver panels + the top-1 projection)
+    val exact = Similarity.cosineTopK(queries, emb, 10).localCheckpoint()
     def hitsOver(g: DataFrame): DataFrame = {
       val visited = Similarity
         .graphSearchScored(g, emb, queries, beam, steps = 4, planes, 64, probes = planes + 1)
