@@ -2927,7 +2927,61 @@ object Snapshots {
       def fieldOf(c: String) = df.schema.fields.find(_.name.equalsIgnoreCase(c))
       val (summable, na) = want.partition(c => fieldOf(c).exists(f => isSummable(f.dataType)))
       na.foreach(c => writeOne(rel, c, SumNa))
-      if (summable.nonEmpty) {
+      // small files sum driver-side in one streamed pass (the bloom/NDV
+      // fast-path discipline, [[buildOneDriverSide]]): BigInteger
+      // accumulation in the column's unscaled domain is exactly the
+      // Decimal(38, scale) fold, overflow guard included — a per-file
+      // aggregate job is pure fixed overhead at this size
+      val fileLen =
+        try fs.getFileStatus(p).getLen
+        catch { case _: java.io.IOException => Long.MaxValue }
+      if (summable.nonEmpty && fileLen <= sidecarDriverMaxBytes(spark)) {
+        val fields = summable.map(c => fieldOf(c).get)
+        val hconf = org.apache.spark.sql.graft.Bridge.sessionHadoopConf(spark)
+        val reader = org.apache.spark.sql.graft.Bridge.parquetRowReader(
+          p,
+          org.apache.spark.sql.types.StructType(
+            fields.map(f =>
+              org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))),
+          hconf)
+        val sums = Array.fill(fields.size)(java.math.BigInteger.ZERO)
+        val counts = new Array[Long](fields.size)
+        try {
+          var row = reader.read()
+          while (row != null) {
+            var i = 0
+            while (i < fields.size) {
+              if (!row.isNullAt(i)) {
+                counts(i) += 1L
+                val add = fields(i).dataType match {
+                  case d: org.apache.spark.sql.types.DecimalType =>
+                    row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.unscaledValue()
+                  case org.apache.spark.sql.types.LongType =>
+                    java.math.BigInteger.valueOf(row.getLong(i))
+                  case org.apache.spark.sql.types.IntegerType =>
+                    java.math.BigInteger.valueOf(row.getInt(i).toLong)
+                  case org.apache.spark.sql.types.ShortType =>
+                    java.math.BigInteger.valueOf(row.getShort(i).toLong)
+                  case _ => java.math.BigInteger.valueOf(row.getByte(i).toLong)
+                }
+                sums(i) = sums(i).add(add)
+              }
+              i += 1
+            }
+            row = reader.read()
+          }
+        } finally reader.close()
+        // Decimal(38, s) overflows to null past 38 unscaled digits; the
+        // distributed path records `na` there — reproduce the bound
+        val max38 = java.math.BigInteger.TEN.pow(38)
+        summable.zipWithIndex.foreach { case (c, i) =>
+          val content =
+            if (counts(i) == 0L) "0"
+            else if (sums(i).abs.compareTo(max38) >= 0) SumNa
+            else sums(i).toString
+          writeOne(rel, c, content)
+        }
+      } else if (summable.nonEmpty) {
         import org.apache.spark.sql.functions.{col, count, sum}
         val scaleOf: Map[String, Int] = summable.map { c =>
           c -> (fieldOf(c).get.dataType match {

@@ -1565,12 +1565,13 @@ class SnapshotsSpec extends SparkSpec {
         when($"id" % 7 === 0, lit(null)).otherwise(
           concat(lit("väl_"), $"id" % 13, lit("é"))).as("s"),
         ($"id" * 1.5 - 250.0).as("d"),
-        (to_timestamp(lit("2024-03-01 10:00:00")) + expr("make_interval(0,0,0,0,0,0,id*61)")).as("ts"))
+        (to_timestamp(lit("2024-03-01 10:00:00")) + expr("make_interval(0,0,0,0,0,0,id*61)")).as("ts"),
+        ($"id" * 37 % 1000).cast("decimal(12,3)").as("dec"))
       .repartition(3)
       .write
       .parquet(dir)
     def sidecarBytes(): Map[String, Seq[Byte]] = {
-      Seq("bloom", "ndv").flatMap { kind =>
+      Seq("bloom", "ndv", "sum").flatMap { kind =>
         val d = new java.io.File(s"$dir/${Snapshots.ManifestDirName}/$kind")
         d.listFiles().filterNot(_.getName.startsWith(".")).toSeq.map { f =>
           s"$kind/${f.getName}" -> java.nio.file.Files.readAllBytes(f.toPath).toSeq
@@ -1578,11 +1579,12 @@ class SnapshotsSpec extends SparkSpec {
       }.toMap
     }
     // files are tiny → the commit builds via the driver fast path
-    Snapshots.commit(spark, dir, Seq("id", "s", "ts"), Seq("id", "s", "ts"))
+    Snapshots.commit(spark, dir, Seq("id", "s", "ts", "dec"), Seq("id", "s", "ts"))
     val fast = sidecarBytes()
     assert(fast.nonEmpty && fast.keys.exists(_.startsWith("bloom/")))
+    assert(fast.keys.exists(_.startsWith("sum/")))
     // wipe and rebuild with the fast path disabled → the distributed build
-    Seq("bloom", "ndv").foreach { kind =>
+    Seq("bloom", "ndv", "sum").foreach { kind =>
       new java.io.File(s"$dir/${Snapshots.ManifestDirName}/$kind")
         .listFiles().filterNot(_.getName.startsWith(".")).foreach(_.delete())
     }
